@@ -1,0 +1,95 @@
+"""The validation executor: apply a compiled constraint plan to a DataFrame.
+
+Spark-first design notes (scale: 10^12 rows / 1000 executors):
+- Every check is a boolean Column expression -> single scan, whole-stage
+  codegen, zero shuffles for the violation pass.
+- The violations DataFrame is built with array+filter+explode so only
+  failing rows materialize structs; passing rows cost one codegen'd
+  boolean vector each.
+- The per-partition summary aggregates by ``spark_partition_id`` —
+  partial aggregation happens map-side; the shuffle carries one row per
+  (partition, check outcome), i.e. O(partitions), not O(rows).
+- ``annotate`` returns the input plus `_valid`/`_violations` columns so a
+  pipeline can persist once and derive both outputs without re-scanning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_spark.plans.compile import (
+    CompiledSchema,
+    CompileOptions,
+    compile_schema,
+)
+from jsonschema_spark.resolve import ResolveConfig
+from jsonschema_spark.schema import Schema
+
+VIOLATION_COLS = ("keyword_path", "keyword", "column", "message")
+
+
+@dataclass
+class ValidationResult:
+    annotated: DataFrame  # input + _valid boolean + _violations array
+    compiled: CompiledSchema
+
+    def violations(self, key_cols: Sequence[str]) -> DataFrame:
+        """(key..., keyword_path, keyword, column, message) — one row per
+        violated constraint per input row. Explode drops clean rows."""
+        v = self.annotated.select(*key_cols, F.explode("_violations").alias("_v"))
+        return v.select(*key_cols, *[F.col(f"_v.{c}").alias(c) for c in VIOLATION_COLS])
+
+    def summary(self) -> DataFrame:
+        """Per-partition pass/fail summary (north rule contract)."""
+        return (
+            self.annotated.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("_valid").cast("long")).alias("passed"),
+                F.sum((~F.col("_valid")).cast("long")).alias("failed"),
+                F.sum(F.size("_violations").cast("long")).alias("violation_count"),
+            )
+            .orderBy("partition_id")
+        )
+
+    def totals(self) -> DataFrame:
+        """Whole-table pass/fail rollup (single partial+final aggregate)."""
+        return self.annotated.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("_valid").cast("long")).alias("passed"),
+            F.sum((~F.col("_valid")).cast("long")).alias("failed"),
+            F.sum(F.size("_violations").cast("long")).alias("violation_count"),
+        )
+
+
+def validate(
+    df: DataFrame,
+    schema: Schema | str | dict,
+    options: Optional[CompileOptions] = None,
+    resolve_config: Optional[ResolveConfig] = None,
+) -> ValidationResult:
+    """Compile ``schema`` against ``df.schema`` and annotate ``df`` with
+    validity + violations. Lazily evaluated; compose freely."""
+    if isinstance(schema, str):
+        schema = Schema.from_json(schema)
+    elif isinstance(schema, dict):
+        schema = Schema.from_value(schema)
+    compiled = compile_schema(schema, df.schema, options, resolve_config)
+    annotated = df.withColumn("_violations", compiled.violations_array()).withColumn(
+        "_valid", F.size("_violations") == 0
+    )
+    return ValidationResult(annotated=annotated, compiled=compiled)
+
+
+def violations(
+    df: DataFrame,
+    schema: Schema | str | dict,
+    key_cols: Sequence[str],
+    options: Optional[CompileOptions] = None,
+) -> DataFrame:
+    """One-shot helper: violation rows keyed by ``key_cols``."""
+    return validate(df, schema, options).violations(key_cols)

@@ -1,0 +1,884 @@
+"""Driver-side compiler: JSON Schema document -> PySpark Column-expression plan.
+
+This is the *validate* half the reference lacks (it stops at the compile
+phase; see /root/reference/schema.go for the keyword model our evaluation
+semantics are derived from). Everything here runs ONCE on the driver; the
+output is a set of boolean Column expressions that Catalyst evaluates
+JVM-side with whole-stage codegen. No Python executes per row — the single
+exception is pluggable content checks (audio decode) registered as
+vectorized Arrow pandas UDFs.
+
+Pipeline
+--------
+1. ``inline_refs``     — $ref elimination (view expansion) via the rewriting
+                         walk; the exact rewrite of walk_test.go:265-298:
+                         {$ref: R, ...s} → {allOf: [{...s}, resolve(R)]},
+                         with a bounded unroll for cyclic references.
+2. ``compile_schema``  — bind the resolved schema to a Spark ``StructType``
+                         and emit one ``Check`` per (keyword-path, keyword):
+                         closed-world structural keywords (type/required/
+                         additionalProperties over typed columns) fold to
+                         static results at compile, mirroring the closed
+                         structs of the reference compiler (go.go:608).
+
+Null semantics (documented contract): a NULL column models an ABSENT
+property. Every keyword check passes vacuously on NULL; only ``required``
+(and nested struct ``required``) detects absence. This mirrors JSON Schema
+applicator semantics where keywords do not apply to missing properties.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.resolve import ResolveConfig, resolve_reference
+from jsonschema_spark.schema import Schema
+from jsonschema_spark.walk import Walk
+
+
+class CompileError(ValueError):
+    pass
+
+
+@dataclass
+class CompileOptions:
+    # Bounded unroll for recursive $refs: a cyclic ref is inlined this many
+    # times, then collapses to the boolean True schema with a diagnostic.
+    max_ref_depth: int = 8
+    # 2020-12 treats "format" as annotation-only; opt in to assertions.
+    assert_formats: bool = False
+    # Registered content checks: media-type pattern -> fn(col) -> Column.
+    # The audio decode/SNR check plugs in here (functions/audio.py).
+    content_checks: dict[str, Callable[[Column], Column]] = field(default_factory=dict)
+    # Fail compile on keywords we cannot evaluate (unevaluated*, $dynamic*)
+    # instead of carrying them as annotations. The reference models but never
+    # evaluates these either (SURVEY §2B); default is to reject loudly.
+    strict: bool = True
+
+
+@dataclass
+class Check:
+    """One reportable constraint: a non-null boolean Column, True = pass."""
+
+    pointer: str  # JSON pointer to the keyword in the schema document
+    keyword: str
+    column: str  # dotted instance path ("" = whole row)
+    message: str
+    ok: Column
+    static: Optional[bool] = None  # statically decided at compile time
+
+
+@dataclass
+class CompiledSchema:
+    checks: list[Check]
+    schema: Schema  # post-inline, post-fold document
+
+    def valid(self) -> Column:
+        """Row validity: conjunction of all checks (for filters)."""
+        out = F.lit(True)
+        for c in self.checks:
+            out = out & c.ok
+        return out
+
+    def violations_array(self) -> Column:
+        """array<struct<keyword_path,keyword,column,message>> of failures.
+
+        Built as a compact filtered literal-struct array so the whole thing
+        stays inside whole-stage codegen; explode downstream.
+        """
+        entries = [
+            F.when(
+                ~c.ok,
+                F.struct(
+                    F.lit(c.pointer).alias("keyword_path"),
+                    F.lit(c.keyword).alias("keyword"),
+                    F.lit(c.column).alias("column"),
+                    F.lit(c.message).alias("message"),
+                ),
+            )
+            for c in self.checks
+        ]
+        if not entries:
+            return F.array().cast(
+                "array<struct<keyword_path:string,keyword:string,column:string,message:string>>"
+            )
+        return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: $ref inlining (the ExampleWalk rewrite, bounded for cycles)
+# ---------------------------------------------------------------------------
+
+
+def inline_refs(
+    root: Schema,
+    config: Optional[ResolveConfig] = None,
+    max_depth: int = 8,
+) -> Schema:
+    """Return a copy of ``root`` with every ``$ref`` edge eliminated.
+
+    Rewrite (walk_test.go:265-298): a node {$ref: R, ...siblings} becomes
+    {allOf: [{...siblings}, resolved(R)]} and the replacement is walked, so
+    nested refs inline transitively. Each inline step re-resolves against the
+    ORIGINAL root so $defs stay addressable after rewriting. Cycles collapse
+    to True after ``max_depth`` unrolls (expressions cannot recurse).
+    """
+    original = root.copy()  # pristine resolution target
+    out = root.copy()
+    cfg = config or ResolveConfig()
+
+    state = {"depth": 0}
+
+    def fn(scope, s: Schema):
+        if s.ref == "":
+            return None
+        if state["depth"] >= max_depth:
+            # Bounded unroll exhausted: accept remaining recursion levels.
+            s.replace_with(Schema(comment=f"$ref {s.ref} truncated at depth {max_depth}"))
+            return None
+        state["depth"] += 1
+        resolved = resolve_reference(cfg, s.ref, original)
+        if resolved is None:
+            raise CompileError(f'failed to resolve {{"$ref": "{s.ref}"}} at "{scope.pointer}"')
+        s.ref = ""
+        siblings = s.copy()
+        if siblings.is_true():
+            # Pure {$ref} node: replace directly with the referent.
+            s.replace_with(resolved.copy())
+        else:
+            s.replace_with(Schema(all_of=[siblings, resolved.copy()]))
+        return None
+
+    # Iterate until fixpoint: each walk inlines at least one level.
+    for _ in range(max_depth + 2):
+        found = {"ref": False}
+
+        def probe(scope, s):
+            if s.ref != "":
+                found["ref"] = True
+
+        Walk(out, probe)
+        if not found["ref"]:
+            break
+        Walk(out, fn)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pass 2: bind to a Spark StructType and emit Column expressions
+# ---------------------------------------------------------------------------
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType)
+
+
+def _json_type_matches(json_type: str, dtype: T.DataType) -> Optional[bool]:
+    """Static JSON-type vs Spark-type compatibility.
+
+    True = always matches, False = never, None = needs a runtime check.
+    """
+    if json_type == "null":
+        return False  # non-null value is never type null; NULL is absent
+    if json_type == "string":
+        return isinstance(dtype, (T.StringType, T.BinaryType, T.VarcharType, T.CharType))
+    if json_type == "boolean":
+        return isinstance(dtype, T.BooleanType)
+    if json_type == "integer":
+        if isinstance(dtype, _INTEGRAL):
+            return True
+        if isinstance(dtype, T.DecimalType):
+            return True if dtype.scale == 0 else None
+        if isinstance(dtype, _FRACTIONAL):
+            return None  # whole-valued floats count as integers
+        return False
+    if json_type == "number":
+        return isinstance(dtype, (*_INTEGRAL, *_FRACTIONAL, T.DecimalType))
+    if json_type == "array":
+        return isinstance(dtype, T.ArrayType)
+    if json_type == "object":
+        return isinstance(dtype, (T.StructType, T.MapType))
+    return False
+
+
+def _num_lit(v: Any) -> Column:
+    if isinstance(v, Decimal):
+        return F.lit(float(v)) if v != v.to_integral_value() else F.lit(int(v))
+    return F.lit(v)
+
+
+def _scalar_lit(v: Any, dtype: T.DataType) -> Optional[Column]:
+    """Literal for enum/const comparison against a typed column."""
+    if isinstance(v, bool):
+        return F.lit(v) if isinstance(dtype, T.BooleanType) else None
+    if isinstance(v, (int, float, Decimal)):
+        if isinstance(dtype, (*_INTEGRAL, *_FRACTIONAL, T.DecimalType)):
+            return _num_lit(v)
+        return None
+    if isinstance(v, str):
+        return F.lit(v) if isinstance(dtype, (T.StringType, T.VarcharType, T.CharType)) else None
+    return None
+
+
+def _composite_lit(v: Any, dtype: T.DataType) -> Optional[Column]:
+    if isinstance(v, list) and isinstance(dtype, T.ArrayType):
+        elems = [_value_lit(x, dtype.elementType) for x in v]
+        if any(e is None for e in elems):
+            return None
+        return F.array(*elems)
+    if isinstance(v, dict) and isinstance(dtype, T.StructType):
+        cols = []
+        for f_ in dtype.fields:
+            if f_.name not in v:
+                return None
+            inner = _value_lit(v[f_.name], f_.dataType)
+            if inner is None:
+                return None
+            cols.append(inner.alias(f_.name))
+        return F.struct(*cols)
+    return None
+
+
+def _value_lit(v: Any, dtype: T.DataType) -> Optional[Column]:
+    return _scalar_lit(v, dtype) if not isinstance(v, (list, dict)) else _composite_lit(v, dtype)
+
+
+def _canon_json(v: Any) -> str:
+    """Canonical JSON text for variant (JSON-string) column comparisons."""
+
+    def default(o):
+        if isinstance(o, Decimal):
+            return float(o)
+        raise TypeError
+
+    return json.dumps(v, sort_keys=True, separators=(",", ":"), default=default)
+
+
+def _fmt_num(v: Any) -> str:
+    if isinstance(v, Decimal):
+        return str(v)
+    return repr(v) if isinstance(v, float) else str(v)
+
+
+class _Compiler:
+    def __init__(self, options: CompileOptions):
+        self.opts = options
+        self.checks: list[Check] = []
+
+    # -- check emission helpers --
+
+    def emit(
+        self,
+        ptr: str,
+        keyword: str,
+        column: str,
+        message: str,
+        ok: Column,
+        static: Optional[bool] = None,
+    ) -> None:
+        self.checks.append(Check(ptr, keyword, column, message, ok, static))
+
+    @staticmethod
+    def _vacuous(col: Column, raw: Column) -> Column:
+        """Keyword checks pass on absent (NULL) values and never return NULL."""
+        return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(raw, F.lit(False)))
+
+    # -- validity expression for a whole subschema (used in lambdas/applicators) --
+
+    def valid_expr(self, s: Schema, col: Column, dtype: T.DataType, ptr: str, path: str) -> Column:
+        if s.is_true():
+            return F.lit(True)
+        if s.is_false():
+            return col.isNull()
+        sink: list[Column] = []
+        self._keyword_exprs(s, col, dtype, ptr, path, sink.append)
+        out = F.lit(True)
+        for e in sink:
+            out = out & e
+        return out
+
+    # -- main recursion --
+
+    def compile_node(self, s: Schema, col: Column, dtype: T.DataType, ptr: str, path: str) -> None:
+        """Emit one Check per keyword at this node (granular reporting)."""
+        if s.is_true():
+            return
+        if s.is_false():
+            self.emit(ptr, "false", path, f"{path or 'instance'}: schema is false", col.isNull())
+            return
+        self._keyword_exprs(s, col, dtype, ptr, path, None, granular=True)
+
+    # The single source of truth for keyword evaluation. When ``collect`` is
+    # given, combined exprs are appended to it (lambda context); when
+    # ``granular`` is True, each keyword emits its own Check.
+    def _keyword_exprs(
+        self,
+        s: Schema,
+        col: Column,
+        dtype: T.DataType,
+        ptr: str,
+        path: str,
+        collect: Optional[Callable[[Column], None]],
+        granular: bool = False,
+    ) -> None:
+        def out(keyword: str, raw: Column, message: str, vacuous: bool = True) -> None:
+            expr = self._vacuous(col, raw) if vacuous else F.coalesce(raw, F.lit(False))
+            if granular:
+                self.emit(f"{ptr}/{keyword}", keyword, path, message, expr)
+            else:
+                collect(expr)
+
+        name = path or "instance"
+
+        # JSON Schema keyword applicability: numeric/string/array keywords
+        # apply only to instances of that type; a typed Spark column either
+        # always or never holds such an instance, so inapplicable keywords
+        # fold to statically-true and are not emitted at all.
+        is_numeric = isinstance(dtype, (*_INTEGRAL, *_FRACTIONAL, T.DecimalType))
+        is_stringy = isinstance(
+            dtype, (T.StringType, T.BinaryType, T.VarcharType, T.CharType)
+        )
+        is_temporal = isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType))
+        is_array = isinstance(dtype, T.ArrayType)
+
+        # ---- type ----
+        if s.type is not None:
+            verdicts = [_json_type_matches(t, dtype) for t in s.type]
+            if "null" in s.type or any(v is True for v in verdicts):
+                pass  # statically satisfied for non-null values or absents
+            elif any(v is None for v in verdicts):
+                # integer-vs-fractional: runtime whole-number test
+                out(
+                    "type",
+                    col == F.floor(col),
+                    f"{name} must be of type {s.type}",
+                )
+            else:
+                out(
+                    "type",
+                    F.lit(False),
+                    f"{name} must be of type {s.type} but column is {dtype.simpleString()}",
+                )
+
+        # ---- const / enum ----
+        if s.const is not None:
+            lit = _value_lit(s.const, dtype)
+            if lit is None and isinstance(dtype, T.StringType):
+                lit = F.lit(_canon_json(s.const))
+            raw = (col == lit) if lit is not None else F.lit(False)
+            out("const", raw, f"{name} must equal the const value")
+
+        if s.enum is not None:
+            members = [m for m in s.enum if m is not None]
+            has_null = any(m is None for m in s.enum)
+            lits = [_value_lit(m, dtype) for m in members]
+            if all(l is not None for l in lits) and members:
+                raw = F.lit(False)
+                for l in lits:
+                    raw = raw | (col == l)
+            elif isinstance(dtype, T.StringType):
+                # mixed-type enum over a JSON-encoded string column:
+                # compare canonical JSON text (variant-style evaluation)
+                canon = [_canon_json(m) for m in members]
+                if has_null:
+                    canon.append("null")
+                raw = col.isin(canon)
+            else:
+                raw = F.lit(False)
+            out("enum", raw, f"{name} must be one of the enumerated values")
+
+        # ---- numeric ----
+        if s.multiple_of is not None and is_numeric:
+            m = s.multiple_of
+            if isinstance(m, int):
+                raw = (col % F.lit(m)) == 0
+            else:
+                # arbitrary-precision: evaluate on a decimal cast, mirroring
+                # the reference's json.Number exactness (schema.go:91-95)
+                if not isinstance(m, Decimal):
+                    m = Decimal(str(m))
+                scale = max(10, -m.as_tuple().exponent + 2)
+                dec = col.cast(T.DecimalType(38, min(scale, 18)))
+                raw = F.pmod(dec, F.lit(m).cast(T.DecimalType(38, min(scale, 18)))) == 0
+            out("multipleOf", raw, f"{name} must be a multiple of {_fmt_num(m)}")
+        if s.maximum is not None and (is_numeric or is_temporal):
+            out("maximum", col <= _num_lit(s.maximum), f"{name} must be <= {_fmt_num(s.maximum)}")
+        if s.exclusive_maximum is not None and (is_numeric or is_temporal):
+            out(
+                "exclusiveMaximum",
+                col < _num_lit(s.exclusive_maximum),
+                f"{name} must be < {_fmt_num(s.exclusive_maximum)}",
+            )
+        if s.minimum is not None and (is_numeric or is_temporal):
+            out("minimum", col >= _num_lit(s.minimum), f"{name} must be >= {_fmt_num(s.minimum)}")
+        if s.exclusive_minimum is not None and (is_numeric or is_temporal):
+            out(
+                "exclusiveMinimum",
+                col > _num_lit(s.exclusive_minimum),
+                f"{name} must be > {_fmt_num(s.exclusive_minimum)}",
+            )
+
+        # ---- string ----
+        if s.max_length is not None and is_stringy:
+            out("maxLength", F.length(col) <= s.max_length, f"{name} length must be <= {s.max_length}")
+        if s.min_length is not None and is_stringy:
+            out("minLength", F.length(col) >= s.min_length, f"{name} length must be >= {s.min_length}")
+        if s.pattern is not None and is_stringy:
+            out("pattern", col.rlike(s.pattern), f'{name} must match pattern "{s.pattern}"')
+
+        # ---- array validation ----
+        if s.max_items is not None and is_array:
+            out("maxItems", F.size(col) <= s.max_items, f"{name} must have <= {s.max_items} items")
+        if s.min_items is not None and is_array:
+            out("minItems", F.size(col) >= s.min_items, f"{name} must have >= {s.min_items} items")
+        if s.unique_items and is_array:
+            out(
+                "uniqueItems",
+                F.size(col) == F.size(F.array_distinct(col)),
+                f"{name} items must be unique",
+            )
+
+        elem_type = dtype.elementType if isinstance(dtype, T.ArrayType) else T.NullType()
+
+        if s.items is not None and isinstance(dtype, T.ArrayType):
+            n_prefix = len(s.prefix_items or [])
+            sub = s.items
+            item_valid = lambda x: self.valid_expr(sub, x, elem_type, f"{ptr}/items", f"{path}[]")
+            if n_prefix:
+                arr = F.slice(col, n_prefix + 1, F.greatest(F.size(col) - n_prefix, F.lit(0)))
+            else:
+                arr = col
+            out("items", F.forall(arr, item_valid), f"{name} items must match the item schema")
+
+        if s.prefix_items and isinstance(dtype, T.ArrayType):
+            raw = F.lit(True)
+            for i, sub in enumerate(s.prefix_items):
+                elem = F.element_at(col, i + 1)
+                sub_ok = self.valid_expr(sub, elem, elem_type, f"{ptr}/prefixItems/{i}", f"{path}[{i}]")
+                # absent positions (shorter arrays) are valid
+                raw = raw & F.when(F.size(col) <= i, F.lit(True)).otherwise(
+                    F.coalesce(sub_ok, F.lit(False))
+                )
+            out("prefixItems", raw, f"{name} prefix items must match their schemas")
+
+        if s.contains is not None and isinstance(dtype, T.ArrayType):
+            sub = s.contains
+            pred = lambda x: self.valid_expr(sub, x, elem_type, f"{ptr}/contains", f"{path}[]")
+            n_match = F.size(F.filter(col, pred))
+            min_c = s.min_contains if s.min_contains is not None else 1
+            out("contains", n_match >= min_c, f"{name} must contain >= {min_c} matching items")
+            if s.max_contains is not None:
+                out(
+                    "maxContains",
+                    n_match <= s.max_contains,
+                    f"{name} must contain <= {s.max_contains} matching items",
+                )
+
+        # ---- object validation ----
+        self._object_keywords(s, col, dtype, ptr, path, collect, granular)
+
+        # ---- logic applicators ----
+        if s.all_of:
+            for i, sub in enumerate(s.all_of):
+                if granular:
+                    # granular context: recurse so each branch reports
+                    self.compile_node(sub, col, dtype, f"{ptr}/allOf/{i}", path)
+                else:
+                    collect(self.valid_expr(sub, col, dtype, f"{ptr}/allOf/{i}", path))
+        if s.any_of:
+            raw = F.lit(False)
+            for i, sub in enumerate(s.any_of):
+                raw = raw | self.valid_expr(sub, col, dtype, f"{ptr}/anyOf/{i}", path)
+            out("anyOf", raw, f"{name} must match at least one subschema", vacuous=True)
+        if s.one_of:
+            n = F.lit(0)
+            for i, sub in enumerate(s.one_of):
+                n = n + self.valid_expr(sub, col, dtype, f"{ptr}/oneOf/{i}", path).cast("int")
+            out("oneOf", n == 1, f"{name} must match exactly one subschema", vacuous=True)
+        if s.not_ is not None and not s.not_.is_true():
+            # (not: {} is the false schema, handled by is_false upstream —
+            # only reachable here when combined with other keywords)
+            raw = ~self.valid_expr(s.not_, col, dtype, f"{ptr}/not", path)
+            out("not", raw, f"{name} must not match the subschema", vacuous=True)
+        elif s.not_ is not None:
+            out("not", col.isNull(), f"{name}: schema is false", vacuous=False)
+
+        # ---- conditionals ----
+        if s.if_ is not None:
+            cond = self.valid_expr(s.if_, col, dtype, f"{ptr}/if", path)
+            then_e = (
+                self.valid_expr(s.then, col, dtype, f"{ptr}/then", path)
+                if s.then is not None
+                else F.lit(True)
+            )
+            else_e = (
+                self.valid_expr(s.else_, col, dtype, f"{ptr}/else", path)
+                if s.else_ is not None
+                else F.lit(True)
+            )
+            out(
+                "if",
+                F.when(cond, then_e).otherwise(else_e),
+                f"{name} must satisfy the conditional schema",
+                vacuous=True,
+            )
+
+        # ---- format / content ----
+        if s.format is not None and self.opts.assert_formats:
+            fmt_expr = _format_expr(s.format, col)
+            if fmt_expr is not None:
+                out("format", fmt_expr, f'{name} must match format "{s.format}"')
+        if s.content_media_type is not None:
+            for pattern, fn in self.opts.content_checks.items():
+                if _media_type_matches(pattern, s.content_media_type):
+                    out(
+                        "contentMediaType",
+                        fn(col),
+                        f'{name} content must decode as "{s.content_media_type}"',
+                    )
+                    break
+
+        # ---- unsupported-by-design (parity with the reference) ----
+        if s.has_unevaluated() and self.opts.strict:
+            raise CompileError(
+                f"{ptr}: unevaluatedItems/unevaluatedProperties require annotation "
+                "flow and are not evaluated (the reference models but never "
+                "evaluates them either); compile with strict=False to ignore"
+            )
+        if (s.dynamic_ref or s.dynamic_anchor) and self.opts.strict:
+            raise CompileError(
+                f"{ptr}: $dynamicRef/$dynamicAnchor are not resolved (matching "
+                "the reference, which has no handling for them in resolve.go)"
+            )
+
+    # -- object keywords over StructType (static key set) and MapType (dynamic) --
+
+    def _object_keywords(
+        self,
+        s: Schema,
+        col: Column,
+        dtype: T.DataType,
+        ptr: str,
+        path: str,
+        collect: Optional[Callable[[Column], None]],
+        granular: bool,
+    ) -> None:
+        name = path or "instance"
+
+        def out(keyword: str, raw: Column, message: str, vacuous: bool = True) -> None:
+            expr = self._vacuous(col, raw) if vacuous else F.coalesce(raw, F.lit(False))
+            if granular:
+                self.emit(f"{ptr}/{keyword}", keyword, path, message, expr)
+            else:
+                collect(expr)
+
+        is_struct = isinstance(dtype, T.StructType)
+        is_map = isinstance(dtype, T.MapType)
+        if not (is_struct or is_map):
+            return
+
+        fields: dict[str, T.DataType] = (
+            {f_.name: f_.dataType for f_ in dtype.fields} if is_struct else {}
+        )
+
+        # required
+        if s.required:
+            for req in s.required:
+                if is_struct:
+                    if req in fields:
+                        raw = col.getField(req).isNotNull()
+                        msg = f"{name}.{req} is required"
+                    else:
+                        raw = F.lit(False)
+                        msg = f"{name}.{req} is required but the column does not exist"
+                else:
+                    raw = F.map_contains_key(col, F.lit(req))
+                    msg = f"{name}.{req} is required"
+                if granular:
+                    self.emit(
+                        f"{ptr}/required",
+                        "required",
+                        f"{path}.{req}" if path else req,
+                        msg,
+                        self._vacuous(col, raw),
+                    )
+                else:
+                    collect(self._vacuous(col, raw))
+
+        # properties
+        if s.properties:
+            for key, sub in s.properties.items():
+                child_ptr = f"{ptr}/properties/{_escape(key)}"
+                child_path = f"{path}.{key}" if path else key
+                if is_struct:
+                    if key not in fields:
+                        continue  # property can never be present: vacuous
+                    child_col = col.getField(key)
+                    child_type = fields[key]
+                elif is_map:
+                    child_col = col.getItem(key)
+                    child_type = dtype.valueType
+                if granular:
+                    self.compile_node(sub, child_col, child_type, child_ptr, child_path)
+                else:
+                    collect(self.valid_expr(sub, child_col, child_type, child_ptr, child_path))
+
+        # patternProperties: static key match for structs; dynamic for maps
+        if s.pattern_properties:
+            for pat, sub in s.pattern_properties.items():
+                child_ptr = f"{ptr}/patternProperties/{_escape(pat)}"
+                if is_struct:
+                    rx = re.compile(pat)
+                    for key, ft in fields.items():
+                        if rx.search(key):
+                            child_path = f"{path}.{key}" if path else key
+                            if granular:
+                                self.compile_node(sub, col.getField(key), ft, child_ptr, child_path)
+                            else:
+                                collect(
+                                    self.valid_expr(
+                                        sub, col.getField(key), ft, child_ptr, child_path
+                                    )
+                                )
+                else:
+                    vt = dtype.valueType
+                    matched = F.map_filter(col, lambda k, v: k.rlike(pat))
+                    raw = F.forall(
+                        F.map_values(matched),
+                        lambda v: self.valid_expr(sub, v, vt, child_ptr, f"{path}[*]"),
+                    )
+                    out(
+                        "patternProperties",
+                        raw,
+                        f'{name} properties matching "{pat}" must match the subschema',
+                    )
+
+        # additionalProperties
+        if s.additional_properties is not None:
+            sub = s.additional_properties
+            declared = set((s.properties or {}).keys())
+            patterns = [re.compile(p) for p in (s.pattern_properties or {})]
+            ap_ptr = f"{ptr}/additionalProperties"
+            if is_struct:
+                extras = [
+                    (k, ft)
+                    for k, ft in fields.items()
+                    if k not in declared and not any(rx.search(k) for rx in patterns)
+                ]
+                if sub.is_false():
+                    # closed world: undeclared struct fields must be absent
+                    for k, _ft in extras:
+                        kp = f"{path}.{k}" if path else k
+                        out(
+                            "additionalProperties",
+                            col.getField(k).isNull(),
+                            f"{kp} is not allowed (additionalProperties: false)",
+                        )
+                elif not sub.is_true():
+                    for k, ft in extras:
+                        kp = f"{path}.{k}" if path else k
+                        if granular:
+                            self.compile_node(sub, col.getField(k), ft, ap_ptr, kp)
+                        else:
+                            collect(self.valid_expr(sub, col.getField(k), ft, ap_ptr, kp))
+            else:
+                vt = dtype.valueType
+                unmatched = F.map_filter(
+                    col,
+                    lambda k, v: ~F.coalesce(
+                        k.isin(*sorted(declared)) if declared else F.lit(False),
+                        F.lit(False),
+                    )
+                    & ~_any_rlike(k, [p.pattern for p in patterns]),
+                )
+                if sub.is_false():
+                    out(
+                        "additionalProperties",
+                        F.size(F.map_keys(unmatched)) == 0,
+                        f"{name} must not have additional properties",
+                    )
+                elif not sub.is_true():
+                    raw = F.forall(
+                        F.map_values(unmatched),
+                        lambda v: self.valid_expr(sub, v, vt, ap_ptr, f"{path}[*]"),
+                    )
+                    out("additionalProperties", raw, f"{name} additional properties must match")
+
+        # propertyNames: static for structs (evaluated on literal names)
+        if s.property_names is not None:
+            pn = s.property_names
+            pn_ptr = f"{ptr}/propertyNames"
+            if is_struct:
+                bad = [k for k in fields if not _static_string_ok(pn, k)]
+                for k in bad:
+                    kp = f"{path}.{k}" if path else k
+                    out(
+                        "propertyNames",
+                        col.getField(k).isNull(),
+                        f'{kp}: property name "{k}" violates propertyNames',
+                    )
+            else:
+                raw = F.forall(
+                    F.map_keys(col),
+                    lambda k: self.valid_expr(pn, k, T.StringType(), pn_ptr, f"{path}<key>"),
+                )
+                out("propertyNames", raw, f"{name} property names must match")
+
+        # min/maxProperties: present (non-null) field count for structs
+        if s.max_properties is not None or s.min_properties is not None:
+            if is_struct:
+                n = F.lit(0)
+                for k in fields:
+                    n = n + col.getField(k).isNotNull().cast("int")
+            else:
+                n = F.size(F.map_keys(col))
+            if s.max_properties is not None:
+                out(
+                    "maxProperties",
+                    n <= s.max_properties,
+                    f"{name} must have <= {s.max_properties} properties",
+                )
+            if s.min_properties is not None:
+                out(
+                    "minProperties",
+                    n >= s.min_properties,
+                    f"{name} must have >= {s.min_properties} properties",
+                )
+
+        # dependentRequired: k present => deps present
+        if s.dependent_required:
+            for k, deps in s.dependent_required.items():
+                k_present = (
+                    col.getField(k).isNotNull()
+                    if is_struct and k in fields
+                    else (F.map_contains_key(col, F.lit(k)) if is_map else F.lit(False))
+                )
+                raw = F.lit(True)
+                for d in deps:
+                    d_present = (
+                        col.getField(d).isNotNull()
+                        if is_struct and d in fields
+                        else (F.map_contains_key(col, F.lit(d)) if is_map else F.lit(False))
+                    )
+                    raw = raw & d_present
+                out(
+                    "dependentRequired",
+                    F.when(k_present, raw).otherwise(F.lit(True)),
+                    f"{name}: presence of {k} requires {deps}",
+                )
+
+        # dependentSchemas: k present => subschema applies
+        if s.dependent_schemas:
+            for k, sub in s.dependent_schemas.items():
+                k_present = (
+                    col.getField(k).isNotNull()
+                    if is_struct and k in fields
+                    else (F.map_contains_key(col, F.lit(k)) if is_map else F.lit(False))
+                )
+                sub_ok = self.valid_expr(sub, col, dtype, f"{ptr}/dependentSchemas/{_escape(k)}", path)
+                out(
+                    "dependentSchemas",
+                    F.when(k_present, sub_ok).otherwise(F.lit(True)),
+                    f"{name}: presence of {k} activates a dependent schema",
+                )
+
+
+def _any_rlike(k: Column, patterns: list[str]) -> Column:
+    raw = F.lit(False)
+    for p in patterns:
+        raw = raw | k.rlike(p)
+    return raw
+
+
+def _escape(seg: str) -> str:
+    return seg.replace("~", "~0").replace("/", "~1")
+
+
+def _static_string_ok(s: Schema, value: str) -> bool:
+    """Compile-time evaluation of a string schema against a literal (used for
+    struct propertyNames, whose key set is static)."""
+    if s.is_true():
+        return True
+    if s.is_false():
+        return False
+    if s.min_length is not None and len(value) < s.min_length:
+        return False
+    if s.max_length is not None and len(value) > s.max_length:
+        return False
+    if s.pattern is not None and not re.search(s.pattern, value):
+        return False
+    if s.enum is not None and value not in s.enum:
+        return False
+    if s.const is not None and value != s.const:
+        return False
+    return True
+
+
+_FORMAT_PATTERNS = {
+    "date": r"^\d{4}-\d{2}-\d{2}$",
+    "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
+    "date-time": r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    "ipv4": r"^(\d{1,3}\.){3}\d{1,3}$",
+    "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
+}
+
+
+def _format_expr(fmt: str, col: Column) -> Optional[Column]:
+    pat = _FORMAT_PATTERNS.get(fmt)
+    return col.rlike(pat) if pat is not None else None
+
+
+def _media_type_matches(pattern: str, media_type: str) -> bool:
+    """'audio/*' matches 'audio/wav'; exact match otherwise."""
+    mt = media_type.split(";")[0].strip()
+    if pattern.endswith("/*"):
+        return mt.startswith(pattern[:-1]) or mt == pattern[:-2]
+    return mt == pattern
+
+
+def compile_schema(
+    schema: Schema,
+    struct: T.StructType,
+    options: Optional[CompileOptions] = None,
+    resolve_config: Optional[ResolveConfig] = None,
+) -> CompiledSchema:
+    """Compile ``schema`` (root object schema over the row) against the
+    DataFrame schema ``struct`` into a flat list of boolean Column checks.
+
+    The returned expressions reference columns by name (``F.col``); apply
+    them to any DataFrame with that schema (batch or streaming).
+    """
+    opts = options or CompileOptions()
+    resolved = inline_refs(schema, resolve_config, max_depth=opts.max_ref_depth)
+    c = _Compiler(opts)
+
+    # The row is the instance: a non-null struct. Bind object keywords at the
+    # root against top-level columns.
+    root_type = struct
+    row_col = F.struct(*[F.col(f_.name).alias(f_.name) for f_ in struct.fields])
+
+    # Root-level scalar applicators evaluate over the row struct; property
+    # recursion uses plain columns (prunable by Catalyst).
+    c.compile_node(_strip_defs(resolved), row_col, root_type, "", "")
+    return CompiledSchema(checks=c.checks, schema=resolved)
+
+
+def _strip_defs(s: Schema) -> Schema:
+    """$defs are compile-time containers; after inlining they carry no
+    evaluation semantics (and $comment/metadata are dropped the same way)."""
+    out = s.copy()
+    out.defs = None
+    out.schema = ""
+    out.comment = ""
+    out.id = ""
+    out.anchor = ""
+    return out

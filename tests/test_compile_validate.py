@@ -1,0 +1,259 @@
+"""Keyword-evaluator tests: each SURVEY §2B keyword over tiny DataFrames
+with known pass/fail rows (the reference has no evaluator; semantics are
+draft 2020-12 as encoded by its keyword model, schema.go:44-140).
+"""
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.schema import Schema
+
+
+def _violated(res, key):
+    """{key -> set of violated keywords}"""
+    rows = res.violations([key]).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r[key], set()).add(r.keyword)
+    return out
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("age", T.IntegerType(), True),
+            T.StructField("email", T.StringType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+            T.StructField(
+                "address",
+                T.StructType(
+                    [
+                        T.StructField("city", T.StringType(), True),
+                        T.StructField("zip", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    rows = [
+        Row(id=1, name="alice", age=30, email="a@x.io", tags=["a", "b"], address=Row(city="Rome", zip="12345")),
+        Row(id=2, name=None, age=-5, email="bad", tags=["a", "a"], address=Row(city=None, zip="999")),
+        Row(id=3, name="bob", age=200, email=None, tags=[], address=None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_required_minimum_maximum_pattern(people):
+    schema = Schema.from_value(
+        {
+            "type": "object",
+            "required": ["name"],
+            "properties": {
+                "age": {"type": "integer", "minimum": 0, "maximum": 150},
+                "email": {"type": "string", "pattern": "^[^@]+@[^@]+$"},
+            },
+        }
+    )
+    res = validate(people, schema)
+    v = _violated(res, "id")
+    assert v.get(1) is None
+    assert v[2] == {"required", "minimum", "pattern"}
+    assert v[3] == {"maximum"}  # missing email is vacuously valid
+
+
+def test_array_keywords(people):
+    schema = Schema.from_value(
+        {
+            "properties": {
+                "tags": {"minItems": 1, "uniqueItems": True, "items": {"minLength": 1}}
+            }
+        }
+    )
+    v = _violated(validate(people, schema), "id")
+    assert v.get(1) is None
+    assert v[2] == {"uniqueItems"}
+    assert v[3] == {"minItems"}
+
+
+def test_nested_struct_required_and_pattern(people):
+    schema = Schema.from_value(
+        {
+            "properties": {
+                "address": {
+                    "type": "object",
+                    "required": ["city"],
+                    "properties": {"zip": {"pattern": "^\\d{5}$"}},
+                }
+            }
+        }
+    )
+    v = _violated(validate(people, schema), "id")
+    assert v.get(1) is None
+    assert v[2] == {"required", "pattern"}
+    assert v.get(3) is None  # null address: vacuous
+
+
+def test_enum_const(people, spark):
+    schema = Schema.from_value({"properties": {"name": {"enum": ["alice", "bob"]}}})
+    v = _violated(validate(people, schema), "id")
+    assert v.get(1) is None and v.get(2) is None and v.get(3) is None
+
+    schema = Schema.from_value({"properties": {"name": {"const": "alice"}}})
+    v = _violated(validate(people, schema), "id")
+    assert v.get(1) is None and v[3] == {"const"}
+
+
+def test_logic_applicators(people):
+    schema = Schema.from_value(
+        {
+            "properties": {
+                "age": {
+                    "anyOf": [{"minimum": 100}, {"maximum": 50}],
+                    "oneOf": [{"minimum": 0}, {"maximum": -1}],
+                    "not": {"const": 200},
+                }
+            }
+        }
+    )
+    v = _violated(validate(people, schema), "id")
+    # age=30: anyOf ok (<=50), oneOf ok (exactly branch 1), not ok
+    assert v.get(1) is None
+    # age=-5: anyOf ok (<=50); oneOf: matches only maximum:-1 branch → ok
+    assert v.get(2) is None
+    # age=200: anyOf ok (>=100), oneOf ok, not violated
+    assert v[3] == {"not"}
+
+
+def test_if_then_else(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, isMember=True, num="1234567890"),
+            Row(id=2, isMember=True, num="123"),
+            Row(id=3, isMember=False, num="1234567890-1234"),
+            Row(id=4, isMember=False, num="short"),
+        ]
+    )
+    # conditional-validation-if-else.schema.json, over columns
+    schema = Schema.from_value(
+        {
+            "type": "object",
+            "properties": {"isMember": {"type": "boolean"}},
+            "required": ["isMember"],
+            "if": {"properties": {"isMember": {"const": True}}},
+            "then": {"properties": {"num": {"minLength": 10, "maxLength": 10}}},
+            "else": {"properties": {"num": {"minLength": 15}}},
+        }
+    )
+    v = _violated(validate(df, schema), "id")
+    assert v.get(1) is None
+    assert v[2] == {"if"}
+    assert v.get(3) is None
+    assert v[4] == {"if"}
+
+
+def test_dependent_required_and_schemas(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, foo=True, bar="x", propertiesCount=9),
+            Row(id=2, foo=True, bar=None, propertiesCount=3),
+            Row(id=3, foo=None, bar=None, propertiesCount=None),
+        ]
+    )
+    schema = Schema.from_value(
+        {
+            "dependentRequired": {"foo": ["bar"]},
+            "dependentSchemas": {
+                "foo": {
+                    "required": ["propertiesCount"],
+                    "properties": {"propertiesCount": {"minimum": 7}},
+                }
+            },
+        }
+    )
+    v = _violated(validate(df, schema), "id")
+    assert v.get(1) is None
+    assert v[2] == {"dependentRequired", "dependentSchemas"}
+    assert v.get(3) is None
+
+
+def test_additional_properties_closed_world(spark):
+    df = spark.createDataFrame([Row(id=1, a="x", extra=None), Row(id=2, a="y", extra="boom")])
+    schema = Schema.from_value(
+        {"properties": {"id": True, "a": {"type": "string"}}, "additionalProperties": False}
+    )
+    v = _violated(validate(df, schema), "id")
+    assert v.get(1) is None  # NULL extra = absent = allowed
+    assert v[2] == {"additionalProperties"}
+
+
+def test_type_static_mismatch(spark):
+    df = spark.createDataFrame([Row(id=1, a="not-a-number")])
+    schema = Schema.from_value({"properties": {"a": {"type": "integer"}}})
+    v = _violated(validate(df, schema), "id")
+    assert v[1] == {"type"}
+
+
+def test_integer_accepts_whole_doubles(spark):
+    df = spark.createDataFrame([Row(id=1, x=3.0), Row(id=2, x=3.5)])
+    schema = Schema.from_value({"properties": {"x": {"type": "integer"}}})
+    v = _violated(validate(df, schema), "id")
+    assert v.get(1) is None
+    assert v[2] == {"type"}
+
+
+def test_multiple_of_decimal(spark):
+    df = spark.createDataFrame([Row(id=1, x=0.3), Row(id=2, x=0.35)])
+    schema = Schema.from_value({"properties": {"x": {"multipleOf": 0.1}}})
+    v = _violated(validate(df, schema), "id")
+    assert v.get(1) is None
+    assert v[2] == {"multipleOf"}
+
+
+def test_ref_inlining_through_defs(spark):
+    df = spark.createDataFrame([Row(id=1, veg=[Row(veggieName="c", veggieLike=True)]),
+                                Row(id=2, veg=[Row(veggieName=None, veggieLike=None)])])
+    schema = Schema.from_value(
+        {
+            "properties": {"veg": {"type": "array", "items": {"$ref": "#/$defs/veggie"}}},
+            "$defs": {"veggie": {"type": "object", "required": ["veggieName", "veggieLike"]}},
+        }
+    )
+    v = _violated(validate(df, schema), "id")
+    assert v.get(1) is None
+    assert v[2] == {"items"}
+
+
+def test_summary_and_totals(people):
+    schema = Schema.from_value({"required": ["name"]})
+    res = validate(people, schema)
+    t = res.totals().collect()[0]
+    assert t.rows == 3 and t.failed == 1 and t.passed == 2
+    s = res.summary().collect()
+    assert sum(r.rows for r in s) == 3
+    assert sum(r.violation_count for r in s) == 1
+
+
+def test_valid_expression_stays_jvm_side(people):
+    # The whole constraint plan must be Column expressions (no Python UDFs):
+    # the physical plan shows codegen and no BatchEvalPython/ArrowEvalPython.
+    schema = Schema.from_value(
+        {
+            "required": ["name"],
+            "properties": {
+                "age": {"minimum": 0, "maximum": 150},
+                "email": {"pattern": "^[^@]+@[^@]+$"},
+                "tags": {"minItems": 1, "uniqueItems": True},
+            },
+        }
+    )
+    res = validate(people, schema)
+    plan = res.annotated._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
