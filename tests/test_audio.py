@@ -1,0 +1,124 @@
+"""Audio codec round-trip + SNR invariant + clips-source determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.functions.audio import (
+    SNR_THRESHOLD_DB,
+    audio_snr,
+    audio_snr_ok,
+    decode_payload,
+    decode_pcm_batch,
+    encode_payload,
+    pcm16_from_float,
+    reference_signal,
+    snr_db,
+)
+from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.plans.compile import CompileOptions
+from jsonschema_spark.schema import Schema
+from jsonschema_spark.sources.clips import clips_schema, synth_clips, transcript_for
+
+
+def test_codec_round_trip_lossless():
+    sig = pcm16_from_float(reference_signal("clip-000000000001", 4000))
+    for codec in ("pcm_s16le", "flac"):
+        dec = decode_payload(encode_payload(sig, codec))
+        assert np.array_equal(dec, sig.astype(np.int32)), codec
+
+
+def test_opus_lossy_but_above_threshold():
+    sig = pcm16_from_float(reference_signal("clip-000000000002", 4000))
+    dec = decode_payload(encode_payload(sig, "opus"))
+    s = snr_db(sig.astype(np.int32), dec)
+    assert SNR_THRESHOLD_DB < s < 80.0
+
+
+def test_snr_batch_kernel():
+    cid = "clip-000000000003"
+    n = 8000
+    sig16 = pcm16_from_float(reference_signal(cid, n))
+    good = encode_payload(sig16, "flac")
+    noisy = pcm16_from_float(
+        reference_signal(cid, n) + 0.5 * np.sin(np.arange(n) * 0.3)
+    ).tobytes()
+    out = decode_pcm_batch(
+        pd.Series([good, noisy, None]),
+        pd.Series([cid, cid, cid]),
+        pd.Series([16000, 16000, 16000]),
+        pd.Series([500, 500, 500]),
+    )
+    assert out[0] > SNR_THRESHOLD_DB
+    assert out[1] < SNR_THRESHOLD_DB
+    assert np.isnan(out[2])
+
+
+def test_reference_signal_deterministic():
+    a = reference_signal("clip-000000000042", 1000)
+    b = reference_signal("clip-000000000042", 1000)
+    c = reference_signal("clip-000000000043", 1000)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return synth_clips(spark, 1500, partitions=4).cache()
+
+
+def test_clips_deterministic(spark, clips):
+    again = synth_clips(spark, 1500, partitions=2)  # different partitioning
+    a = sorted(clips.select("clip_id", "sr_hz", "dur_ms", "codec").collect())
+    b = sorted(again.select("clip_id", "sr_hz", "dur_ms", "codec").collect())
+    assert a == b
+
+
+def test_planted_violation_rates(clips):
+    n = clips.count()
+    assert n == 1500
+    dup = clips.groupBy("clip_id").count().filter("count > 1").count()
+    assert dup == len([i for i in range(1500) if i % 199 == 198 and i > 0])
+    bad_sr = clips.filter(~F.col("sr_hz").isin(8000, 16000, 22050, 44100, 48000)).count()
+    assert bad_sr == len([i for i in range(1500) if i % 97 == 96])
+    bad_codec = clips.filter(~F.col("codec").isin("pcm_s16le", "flac", "opus")).count()
+    assert bad_codec == len([i for i in range(1500) if i % 103 == 102])
+
+
+def test_audio_snr_column(clips):
+    flagged = clips.withColumn("snr", audio_snr()).withColumn(
+        "ok", audio_snr_ok()
+    )
+    bad = flagged.filter(~F.col("ok")).select("clip_id").collect()
+    expected = {f"clip-{i:012d}" for i in range(1500) if i % 109 == 108}
+    # duplicates replace the id of i%199==198 rows but never land on i%109==108
+    assert {r.clip_id for r in bad} == expected
+
+
+def test_transcript_invariant(clips):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def ref_transcript(cid: pd.Series) -> pd.Series:
+        return cid.map(transcript_for)
+
+    mismatch = clips.filter(
+        (F.length("transcript") > 0) & (F.col("transcript") != ref_transcript("clip_id"))
+    ).count()
+    expected = len([i for i in range(1500) if i % 211 == 210 and i % 107 != 106])
+    assert mismatch == expected
+
+
+def test_full_clips_validation_with_content_check(clips):
+    opts = CompileOptions(content_checks={"audio/*": lambda col: audio_snr_ok()})
+    res = validate(clips, Schema.from_value(clips_schema()), options=opts)
+    v = res.violations(["clip_id"])
+    by_kw = {r["keyword"]: r["count"] for r in v.groupBy("keyword").count().collect()}
+    assert by_kw.get("enum", 0) > 0  # sr_hz + codec
+    assert by_kw.get("minLength", 0) > 0  # empty transcripts
+    assert by_kw.get("contentMediaType", 0) > 0  # corrupted payloads
+    assert (by_kw.get("minimum", 0) + by_kw.get("maximum", 0)) > 0  # dur_ms
+    totals = res.totals().collect()[0]
+    assert totals.rows == 1500
+    assert totals.failed == v.select("clip_id").distinct().count()
