@@ -1,0 +1,239 @@
+"""Distribution-drift checks vs a baseline snapshot (north rule):
+chi-square over categorical histograms (codec, sr_hz), two-sample
+Kolmogorov-Smirnov over numeric columns (dur_ms).
+
+Scale design:
+- Histograms are plain ``groupBy().count()`` — partial+final aggregate,
+  shuffle carries one row per category.
+- Exact KS sorts the pooled sample once (window cume over value order);
+  correct and oracle-comparable, O(n log n) — use for audits. For the
+  10^12-row path, ``ks_statistic_approx`` compares ECDFs on a
+  ``percentile_approx`` quantile sketch: one aggregate, no global sort,
+  error bounded by the sketch accuracy.
+- Test statistics (a few doubles) reduce to the driver; p-values are
+  computed there in closed form (no scipy dependency).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# chi-square
+# ---------------------------------------------------------------------------
+
+
+def category_histogram(df: DataFrame, column: str) -> DataFrame:
+    return df.groupBy(F.col(column).alias("category")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def chi_square_table(current: DataFrame, baseline: DataFrame, column: str) -> DataFrame:
+    """Per-category observed/expected contributions.
+
+    Expected counts scale the baseline proportions to the current total.
+    Categories absent on one side get count 0 (full outer join).
+    """
+    cur = category_histogram(current, column).withColumnRenamed("cnt", "observed")
+    base = category_histogram(baseline, column).withColumnRenamed("cnt", "base_cnt")
+    joined = cur.join(base, "category", "full_outer").fillna(
+        0, subset=["observed", "base_cnt"]
+    )
+    totals = joined.agg(
+        F.sum("observed").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    expected = F.col("base_cnt") / F.col("n_base") * F.col("n_cur")
+    return j.select(
+        "category",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.when(expected > 0, F.pow(F.col("observed") - expected, 2) / expected).otherwise(
+                F.when(F.col("observed") > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("contribution"),
+    )
+
+
+@dataclass
+class ChiSquareResult:
+    statistic: float
+    dof: int
+    p_value: float
+    drifted: bool
+
+
+def chi_square_test(
+    current: DataFrame, baseline: DataFrame, column: str, alpha: float = 0.001
+) -> ChiSquareResult:
+    tbl = chi_square_table(current, baseline, column)
+    rows = tbl.collect()
+    stat = sum(r.contribution for r in rows)
+    dof = max(len(rows) - 1, 1)
+    p = _chi2_sf(stat, dof)
+    return ChiSquareResult(statistic=stat, dof=dof, p_value=p, drifted=p < alpha)
+
+
+def _chi2_sf(x: float, k: int) -> float:
+    """Survival function of chi-square: regularized upper incomplete gamma
+    Q(k/2, x/2), via the standard series / continued-fraction split."""
+    if math.isinf(x):
+        return 0.0
+    if x <= 0:
+        return 1.0
+    a, xx = k / 2.0, x / 2.0
+    if xx < a + 1.0:
+        return 1.0 - _gamma_p_series(a, xx)
+    return _gamma_q_contfrac(a, xx)
+
+
+def _gamma_p_series(a: float, x: float) -> float:
+    ap, summ, delta = a, 1.0 / a, 1.0 / a
+    for _ in range(500):
+        ap += 1.0
+        delta *= x / ap
+        summ += delta
+        if abs(delta) < abs(summ) * 1e-14:
+            break
+    return summ * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gamma_q_contfrac(a: float, x: float) -> float:
+    tiny = 1e-300
+    b, c, d = x + 1.0 - a, 1.0 / tiny, 1.0 / (x + 1.0 - a)
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+def ks_statistic_exact(current: DataFrame, baseline: DataFrame, column: str) -> DataFrame:
+    """One-row DataFrame (ks_stat, n_cur, n_base): exact two-sample KS.
+
+    Pools both samples, computes running ECDFs with a single ordered window
+    over value, takes max |F_cur - F_base|.
+    """
+    cur = current.select(F.col(column).cast("double").alias("v")).na.drop()
+    base = baseline.select(F.col(column).cast("double").alias("v")).na.drop()
+    u = cur.withColumn("is_cur", F.lit(1)).unionByName(base.withColumn("is_cur", F.lit(0)))
+
+    counts = u.agg(
+        F.sum("is_cur").alias("n_cur"),
+        F.sum(1 - F.col("is_cur")).alias("n_base"),
+    )
+    # RANGE frame: at each distinct value the ECDF includes ALL tied rows,
+    # which is the correct two-sample KS treatment of ties.
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = u.select(
+        (F.sum("is_cur").over(w)).alias("c_cur"),
+        (F.sum(1 - F.col("is_cur")).over(w)).alias("c_base"),
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(counts))
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("c_cur") / F.col("n_cur") - F.col("c_base") / F.col("n_base"))),
+                6,
+            ).alias("ks_stat"),
+            F.first("n_cur").alias("n_cur"),
+            F.first("n_base").alias("n_base"),
+        )
+    )
+
+
+def ks_statistic_approx(
+    current: DataFrame, baseline: DataFrame, column: str, n_quantiles: int = 256
+) -> DataFrame:
+    """Scale path: KS on a quantile sketch — one aggregate per side, no sort.
+
+    Evaluates |F_cur - F_base| at the baseline's sketch quantiles (and vice
+    versa is symmetric up to sketch error).
+    """
+    qs = [i / n_quantiles for i in range(1, n_quantiles)]
+    cur_q = current.agg(
+        F.percentile_approx(F.col(column).cast("double"), qs, 10000).alias("q")
+    )
+    base_q = baseline.agg(
+        F.percentile_approx(F.col(column).cast("double"), qs, 10000).alias("q")
+    )
+    # At baseline quantile value q_i (ECDF_base = i/n), ECDF_cur is the
+    # fraction of cur sketch points <= q_i: estimated by rank lookup.
+    joined = cur_q.crossJoin(base_q.withColumnRenamed("q", "qb"))
+    diff = joined.select(
+        F.aggregate(
+            F.transform(
+                F.col("qb"),
+                lambda x, i: F.abs(
+                    (F.size(F.filter(F.col("q"), lambda y: y <= x)) + F.lit(1.0))
+                    / F.lit(float(n_quantiles))
+                    - (i.cast("double") + 1.0) / F.lit(float(n_quantiles))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("ks_stat")
+    )
+    return diff
+
+
+@dataclass
+class KSResult:
+    statistic: float
+    n_cur: int
+    n_base: int
+    p_value: float
+    drifted: bool
+
+
+def ks_test(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    alpha: float = 0.001,
+    exact: bool = True,
+) -> KSResult:
+    if exact:
+        row = ks_statistic_exact(current, baseline, column).collect()[0]
+        stat, n1, n2 = row.ks_stat, row.n_cur, row.n_base
+    else:
+        stat = ks_statistic_approx(current, baseline, column).collect()[0].ks_stat
+        n1 = current.count()
+        n2 = baseline.count()
+    ne = n1 * n2 / (n1 + n2)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * stat
+    p = _kolmogorov_sf(lam)
+    return KSResult(statistic=stat, n_cur=n1, n_base=n2, p_value=p, drifted=p < alpha)
+
+
+def _kolmogorov_sf(lam: float) -> float:
+    if lam <= 0:
+        return 1.0
+    total = 0.0
+    for j in range(1, 101):
+        term = ((-1) ** (j - 1)) * math.exp(-2.0 * j * j * lam * lam)
+        total += term
+        if abs(term) < 1e-16:
+            break
+    return max(0.0, min(1.0, 2.0 * total))

@@ -1,0 +1,73 @@
+"""Per-column statistics pass (north rule: null fraction, min/max, distinct).
+
+Scale design: ONE single-pass hash aggregate over the table computes every
+requested stat for every column — partial aggregation happens map-side, the
+shuffle carries one partial-agg row per task. Distinct counts default to
+``approx_count_distinct`` (HyperLogLog++, mergeable sketch => no extra
+shuffle); ``exact=True`` switches to exact distinct (one expand) for
+oracle-comparable output.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MINMAXABLE = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+    T.DoubleType, T.DecimalType, T.StringType, T.DateType, T.TimestampType,
+    T.TimestampNTZType, T.BooleanType,
+)
+
+
+def column_stats(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Long-format stats: one row per column.
+
+    (column, row_count, null_count, null_frac, min, max, distinct_count)
+    min/max are rendered as strings so heterogeneous column types stack.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else [f.name for f in df.schema.fields]
+
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        if isinstance(fields[c], _MINMAXABLE):
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"_max_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"_dist_{c}"))
+
+    wide = df.agg(*aggs)
+
+    # Pivot wide -> long with a stack of per-column structs (driver-free).
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").alias("row_count"),
+            F.col(f"_null_{c}").alias("null_count"),
+            F.round(F.col(f"_null_{c}") / F.col("_rows"), 6).alias("null_frac"),
+            F.col(f"_min_{c}").alias("min"),
+            F.col(f"_max_{c}").alias("max"),
+            F.col(f"_dist_{c}").alias("distinct_count"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )

@@ -1,0 +1,158 @@
+"""Engine capability operators (SURVEY §2C): stats, uniqueness, referential,
+drift — verified against DuckDB on the driver-provided sf0.001 tables.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators import drift, referential, stats, uniqueness
+from jsonschema_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation", "region", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def test_column_stats_match_duckdb(spark, duck):
+    df = load_table(spark, SF_DIR, "orders")
+    got = {
+        r.column: r
+        for r in stats.column_stats(df, ["o_custkey", "o_totalprice"], exact_distinct=True).collect()
+    }
+    want = duck.execute(
+        """
+        SELECT count(*) AS rows,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_ck,
+               min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+               count(DISTINCT o_custkey) AS dist_ck,
+               min(o_totalprice) AS min_tp, max(o_totalprice) AS max_tp,
+               count(DISTINCT o_totalprice) AS dist_tp
+        FROM orders
+        """
+    ).fetchone()
+    ck = got["o_custkey"]
+    assert ck.row_count == want[0]
+    assert ck.null_count == want[1]
+    assert int(ck.min) == want[2] and int(ck.max) == want[3]
+    assert ck.distinct_count == want[4]
+    tp = got["o_totalprice"]
+    assert float(tp.min) == pytest.approx(want[5])
+    assert float(tp.max) == pytest.approx(want[6])
+    assert tp.distinct_count == want[7]
+
+
+def test_uniqueness_matches_duckdb(spark, duck):
+    df = load_table(spark, SF_DIR, "lineitem")
+    got = uniqueness.uniqueness_summary(df, ["l_orderkey", "l_linenumber"]).collect()[0]
+    want = duck.execute(
+        """
+        SELECT sum(cnt), count(*), sum(CASE WHEN cnt>1 THEN 1 ELSE 0 END)
+        FROM (SELECT count(*) cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        """
+    ).fetchone()
+    assert got.total_rows == want[0]
+    assert got.distinct_keys == want[1]
+    assert got.duplicate_keys == want[2]
+
+    # salted and plain paths must agree
+    plain = uniqueness.duplicate_keys(df, "l_orderkey").orderBy("l_orderkey").collect()
+    salted = uniqueness.duplicate_keys(df, "l_orderkey", salted=True).orderBy("l_orderkey").collect()
+    assert plain == salted
+
+
+def test_referential_broadcast_and_shuffle_agree(spark, duck):
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    b = referential.check(li, orders, "l_orderkey", "o_orderkey", strategy="broadcast").collect()[0]
+    s = referential.check(li, orders, "l_orderkey", "o_orderkey", strategy="shuffle").collect()[0]
+    want = duck.execute(
+        """
+        SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        """
+    ).fetchone()[0]
+    assert b.orphan_count == want == s.orphan_count
+
+
+def test_referential_detects_orphans(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    # remove some orders to create orphans
+    orders = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderkey") % 10 != 0)
+    got = referential.check(li, orders, "l_orderkey", "o_orderkey").collect()[0]
+    assert got.orphan_count > 0 and not got.ok
+
+
+def test_chi_square_no_drift_on_identical(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    res = drift.chi_square_test(ev, ev, "event_type")
+    assert res.statistic == pytest.approx(0.0)
+    assert not res.drifted
+
+
+def test_chi_square_detects_shift(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    skewed = ev.filter((F.col("event_type") != "click") | (F.xxhash64("event_id") % 4 == 0))
+    res = drift.chi_square_test(skewed, ev, "event_type")
+    assert res.drifted and res.statistic > 0
+
+
+def test_chi2_sf_reference_values():
+    # classic table values: P(chi2_1 > 3.841) ~ 0.05, P(chi2_4 > 9.488) ~ 0.05
+    assert drift._chi2_sf(3.841, 1) == pytest.approx(0.05, abs=1e-3)
+    assert drift._chi2_sf(9.488, 4) == pytest.approx(0.05, abs=1e-3)
+    assert drift._chi2_sf(0.0, 3) == 1.0
+
+
+def test_ks_no_drift_on_identical(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    res = drift.ks_test(ev, ev, "value")
+    assert res.statistic == pytest.approx(0.0)
+    assert not res.drifted
+
+
+def test_ks_detects_shift(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    shifted = ev.withColumn("value", F.col("value") * 1.35 + 2.0)
+    res = drift.ks_test(shifted, ev, "value")
+    assert res.drifted and res.statistic > 0.05
+
+
+def test_ks_exact_matches_duckdb(spark, duck):
+    ev = load_table(spark, SF_DIR, "events")
+    shifted = ev.withColumn("value", F.col("value") * 1.2)
+    got = drift.ks_statistic_exact(shifted, ev, "value").collect()[0]
+    want = duck.execute(
+        """
+        WITH pooled AS (
+          SELECT value * 1.2 AS v, 1 AS is_cur FROM events
+          UNION ALL
+          SELECT value AS v, 0 AS is_cur FROM events
+        ), e AS (
+          SELECT sum(is_cur) OVER w AS c_cur,
+                 sum(1 - is_cur) OVER w AS c_base
+          FROM pooled
+          WINDOW w AS (ORDER BY v RANGE UNBOUNDED PRECEDING)
+        )
+        SELECT round(max(abs(c_cur / (SELECT sum(is_cur) FROM pooled)
+                     - c_base / (SELECT sum(1 - is_cur) FROM pooled))), 6) FROM e
+        """
+    ).fetchone()[0]
+    assert got.ks_stat == pytest.approx(want, abs=1e-9)
+
+
+def test_ks_approx_close_to_exact(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    shifted = ev.withColumn("value", F.col("value") * 1.35 + 2.0)
+    exact = drift.ks_statistic_exact(shifted, ev, "value").collect()[0].ks_stat
+    approx = drift.ks_statistic_approx(shifted, ev, "value").collect()[0].ks_stat
+    assert abs(exact - approx) < 0.08
