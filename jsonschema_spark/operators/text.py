@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines: tokenization stats, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd) — no Python in the path.
+Every function returns columns designed to be reproducible in ANSI SQL so
+the DuckDB oracle can cross-check them exactly (doubles rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def normalize(col: Column) -> Column:
+    """Canonical text form: lowercase, collapsed whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    n = F.size(tokens(col))
+    return F.when(F.length(normalize(col)) == 0, F.lit(0)).otherwise(n)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish count: splits on whitespace AND letter/digit boundaries —
+    a cheap, deterministic proxy for BPE token counts used for budgeting."""
+    pieces = F.split(normalize(col), "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])| ")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    stripped = F.length(F.regexp_replace(col, "[\\p{Punct}]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round((total - stripped) / total.cast("double"), 6)
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(F.round(sw / n.cast("double"), 6))
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(F.round(total / n.cast("double"), 6))
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] heuristic combining length, stopword presence and punctuation —
+    the standard cheap pre-filter shape for web-scale corpus cleaning."""
+    n = token_count(col)
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    p = punct_ratio(col)
+    punct_score = F.when(p <= 0.2, F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(0.5 * len_score + 0.3 * sw_score + 0.2 * punct_score, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize(col))
+
+
+def prefix_fingerprint(col: Column, n_tokens: int = 5) -> Column:
+    """Fingerprint of the first N tokens — a blocking key for near-dup
+    candidate generation (hot alternative to full-text hashing)."""
+    return F.md5(F.array_join(F.slice(tokens(col), 1, n_tokens), " "))
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language heuristic; 'und' when nothing matches.
+
+    Deterministic argmax with fixed tie-break order (en,es,de,fr).
+    """
+    toks = tokens(col)
+
+    def _score(markers):
+        # single-arg lambda: PySpark HOFs treat a second parameter as the
+        # element-index column, so capture markers via closure instead
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _score(markers) for lang, markers in LANG_MARKERS.items()}
+    best_score = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later-applied when()
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("token_count"),
+        bpe_ish_token_count(c).alias("subword_count"),
+        mean_token_length(c).alias("mean_token_len"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+        lang_id(c).alias("lang_pred"),
+    )

@@ -1,0 +1,170 @@
+"""Text analysis, dedup, and similarity-search operators over the
+driver-provided documents/embeddings tables."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators import dedup, similarity, text
+from jsonschema_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    return con
+
+
+def test_token_count_matches_duckdb(docs, duck):
+    got = {
+        r.doc_id: r.token_count
+        for r in docs.select("doc_id", text.token_count(F.col("text")).alias("token_count")).collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, len(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_fingerprint_matches_duckdb(docs, duck):
+    got = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_text_profile_runs_jvm_side(docs):
+    prof = text.text_profile(docs)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = prof.collect()
+    assert len(rows) == docs.count()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(r.lang_pred in ("en", "es", "de", "fr", "und") for r in rows)
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello   world"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="something else"),
+        ]
+    )
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0].dup_count == 2 and out[0].keep_id == 1
+    kept = dedup.distinct_by_content(df).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3]
+
+
+def test_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e f g x"),   # high overlap with 1
+            Row(doc_id=3, text="z y x w v u t s"),   # disjoint trigrams
+        ]
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(df, threshold=0.1).collect()}
+    assert (1, 2) in out and out[(1, 2)] == pytest.approx(5 / 7, abs=1e-6)
+    assert all(p == (1, 2) for p in out)
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=base + " tail"),
+            Row(doc_id=3, text="completely different words in this one entirely")]
+    df = spark.createDataFrame(rows)
+    out = dedup.minhash_lsh_pairs(df, threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_hamming(spark):
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta iota kappax"),
+        Row(doc_id=3, text="one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows)
+    sigs = {r.doc_id: r.s for r in df.select("doc_id", dedup.simhash(F.col("text")).alias("s")).collect()}
+    assert sigs[1] != sigs[3]
+    ham12 = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 < ham13
+    pairs = dedup.simhash_pairs(df, max_hamming=max(ham12, 3)).collect()
+    assert any((r.id_a, r.id_b) == (1, 2) for r in pairs)
+
+
+def test_cosine_topk_matches_duckdb(spark, duck):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r.query_id, r.vec_id, r.cos)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    ]
+    want = duck.execute(
+        """
+        SELECT query_id, vec_id, cos FROM (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rank
+          FROM embeddings c, embeddings q WHERE q.vec_id < 3
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_lsh_ann_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.lsh_ann_topk(emb, queries, k=3, n_planes=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # every query must at least find itself + decent overlap on average
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    # LSH recall on uniform-random embeddings is the weakest case; the
+    # wider-bucket config (4 planes x 8 tables) still must find the query
+    # itself plus a reasonable share of true neighbors.
+    assert all(q in approx_sets.get(q, set()) for q in exact_sets)
+    assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_ivf_assignment_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    a = {r.vec_id: r.ivf_cell for r in similarity.ivf_assign(emb).collect()}
+    b = {r.vec_id: r.ivf_cell for r in similarity.ivf_assign(emb).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1
