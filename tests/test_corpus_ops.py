@@ -101,19 +101,26 @@ def test_minhash_lsh_finds_near_duplicates(spark):
 
 
 def test_simhash_hamming(spark):
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "other")  # one token of 60 changed
     rows = [
-        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta iota kappax"),
-        Row(doc_id=3, text="one two three four five six seven eight nine ten"),
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="Word0 " + base[len("word0 "):]),  # normalizes equal -> hamming 0
+        Row(doc_id=3, text=" ".join(f"zzz{i}" for i in range(60))),
+        Row(doc_id=4, text=near),
     ]
     df = spark.createDataFrame(rows)
     sigs = {r.doc_id: r.s for r in df.select("doc_id", dedup.simhash(F.col("text")).alias("s")).collect()}
+    assert sigs[1] == sigs[2]  # normalization-identical text
     assert sigs[1] != sigs[3]
-    ham12 = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    ham14 = bin((sigs[1] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
     ham13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
-    assert ham12 < ham13
-    pairs = dedup.simhash_pairs(df, max_hamming=max(ham12, 3)).collect()
-    assert any((r.id_a, r.id_b) == (1, 2) for r in pairs)
+    assert ham14 < ham13
+    # banding guarantee is exact for radius <= 3: the identical pair MUST
+    # surface; the disjoint doc must not pair with anything at radius 3
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert any((r.id_a, r.id_b) == (1, 2) and r.hamming == 0 for r in pairs)
+    assert not any(3 in (r.id_a, r.id_b) for r in pairs)
 
 
 def test_cosine_topk_matches_duckdb(spark, duck):
