@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Every SQL-expressible operator in jsonschema_spark has both a
+``queries()`` entry and a DuckDB oracle; ops built on xxhash64 /
+pandas UDFs (minhash, simhash, LSH-ANN, IVF, audio decode) are
+registered rows-only, as the contract allows.
 """
 
 from __future__ import annotations
@@ -12,27 +16,486 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschema_spark.functions.audio import audio_snr_ok
+from jsonschema_spark.operators import dedup, drift, referential, similarity, stats
+from jsonschema_spark.operators import text as text_ops
+from jsonschema_spark.operators import uniqueness
+from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.plans.compile import CompileOptions
+from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips
+from jsonschema_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Flagship validation schema over the driver-provided `orders` table.
+# Violations are guaranteed by the data: status 'P' exists, ~20% of
+# o_totalprice exceed 400000, priorities 4-/5- fail the pattern.
+# ---------------------------------------------------------------------------
+
+ORDERS_JSON_SCHEMA = {
+    "$id": "https://example.com/orders.schema.json",
+    "type": "object",
+    "required": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "properties": {
+        "o_orderkey": {"type": "integer", "minimum": 1},
+        "o_custkey": {"type": "integer", "minimum": 1},
+        "o_orderstatus": {"enum": ["O", "F"]},
+        "o_totalprice": {"type": "number", "exclusiveMinimum": 0, "maximum": 400000},
+        "o_orderpriority": {"type": "string", "pattern": "^[1-3]-"},
+    },
+}
+
+_CLIPS_N = 4000  # synthetic clips per correctness run (deterministic)
+
+
+def _clips_options() -> CompileOptions:
+    return CompileOptions(content_checks={"audio/*": lambda col: audio_snr_ok()})
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: compile the orders schema once on the driver, scan the
+    sf0.001 parquet, emit the violation-rows DataFrame."""
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).violations(["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+
+def _q_validate_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).violations(["o_orderkey"])
+
+
+def _q_validate_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).totals()
+
+
+def _q_column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return stats.column_stats(orders, ["o_custkey", "o_orderstatus"], exact_distinct=True)
+
+
+def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return uniqueness.uniqueness_summary(li, "l_orderkey")
+
+
+def _q_duplicate_custkeys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return uniqueness.duplicate_keys(orders, "o_custkey", salted=True)
+
+
+def _q_referential_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return referential.check(li, orders, "l_orderkey", "o_orderkey", strategy="broadcast")
+
+
+def _q_referential_orphans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 != 0)
+    return referential.orphans(li, orders, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def _q_drift_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.chi_square_table(cur, base, "event_type")
+
+
+def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.ks_statistic_exact(cur, base, "value")
+
+
+def _q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.text_profile(docs)
+
+
+def _q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mirrored = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    return dedup.exact_duplicates(docs.unionByName(mirrored))
+
+
+def _q_dedup_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, threshold=0.1, n=3)
+
+
+def _q_dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def _q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries_df, k=5)
+
+
+def _q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(emb, queries_df, k=5, n_planes=4, n_tables=8)
+
+
+def _q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb).select("vec_id", "ivf_cell")
+
+
+def _q_clips_validate_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = synth_clips(spark, _CLIPS_N)
+    return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).totals()
+
+
+def _q_clips_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = synth_clips(spark, _CLIPS_N)
+    return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).violations(
+        ["clip_id"]
+    ).select("clip_id", "keyword_path", "keyword")
+
+
+def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = synth_clips(spark, _CLIPS_N)
+    return uniqueness.uniqueness_summary(clips, "clip_id", salted=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_orders_violations": _q_validate_orders_violations,
+        "validate_orders_summary": _q_validate_orders_summary,
+        "column_stats_orders": _q_column_stats_orders,
+        "uniqueness_lineitem": _q_uniqueness_lineitem,
+        "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
+        "referential_lineitem_orders": _q_referential_lineitem_orders,
+        "referential_orphans_planted": _q_referential_orphans_planted,
+        "drift_chi_square_events": _q_drift_chi_square_events,
+        "drift_ks_events": _q_drift_ks_events,
+        "text_profile_documents": _q_text_profile_documents,
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "dedup_jaccard_documents": _q_dedup_jaccard_documents,
+        "dedup_minhash_documents": _q_dedup_minhash_documents,
+        "dedup_simhash_documents": _q_dedup_simhash_documents,
+        "similarity_cosine_topk": _q_similarity_cosine_topk,
+        "similarity_lsh_ann": _q_similarity_lsh_ann,
+        "similarity_ivf_assign": _q_similarity_ivf_assign,
+        "clips_validate_totals": _q_clips_validate_totals,
+        "clips_violations": _q_clips_violations,
+        "clips_uniqueness": _q_clips_uniqueness,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB equivalents. Aliases match the Spark column names
+# exactly; aggregates are CAST so DuckDB's HUGEINT sums compare as BIGINT.
+# ---------------------------------------------------------------------------
+
+_ORDERS_CHECK_FAILS = {
+    # (keyword_path, keyword, column, message, fail-predicate SQL)
+    "req_orderkey": (
+        "/required", "required", "o_orderkey", "instance.o_orderkey is required",
+        "o_orderkey IS NULL",
+    ),
+    "req_custkey": (
+        "/required", "required", "o_custkey", "instance.o_custkey is required",
+        "o_custkey IS NULL",
+    ),
+    "req_status": (
+        "/required", "required", "o_orderstatus", "instance.o_orderstatus is required",
+        "o_orderstatus IS NULL",
+    ),
+    "req_totalprice": (
+        "/required", "required", "o_totalprice", "instance.o_totalprice is required",
+        "o_totalprice IS NULL",
+    ),
+    "req_orderdate": (
+        "/required", "required", "o_orderdate", "instance.o_orderdate is required",
+        "o_orderdate IS NULL",
+    ),
+    "req_priority": (
+        "/required", "required", "o_orderpriority", "instance.o_orderpriority is required",
+        "o_orderpriority IS NULL",
+    ),
+    "orderkey_min": (
+        "/properties/o_orderkey/minimum", "minimum", "o_orderkey",
+        "o_orderkey must be >= 1",
+        "o_orderkey IS NOT NULL AND NOT (o_orderkey >= 1)",
+    ),
+    "custkey_min": (
+        "/properties/o_custkey/minimum", "minimum", "o_custkey",
+        "o_custkey must be >= 1",
+        "o_custkey IS NOT NULL AND NOT (o_custkey >= 1)",
+    ),
+    "status_enum": (
+        "/properties/o_orderstatus/enum", "enum", "o_orderstatus",
+        "o_orderstatus must be one of the enumerated values",
+        "o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')",
+    ),
+    "price_max": (
+        "/properties/o_totalprice/maximum", "maximum", "o_totalprice",
+        "o_totalprice must be <= 400000",
+        "o_totalprice IS NOT NULL AND NOT (o_totalprice <= 400000)",
+    ),
+    "price_exmin": (
+        "/properties/o_totalprice/exclusiveMinimum", "exclusiveMinimum", "o_totalprice",
+        "o_totalprice must be > 0",
+        "o_totalprice IS NOT NULL AND NOT (o_totalprice > 0)",
+    ),
+    "priority_pattern": (
+        "/properties/o_orderpriority/pattern", "pattern", "o_orderpriority",
+        'o_orderpriority must match pattern "^[1-3]-"',
+        "o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')",
+    ),
+}
+
+
+def _orders_violations_sql() -> str:
+    parts = []
+    for ptr, kw, col, msg, fail in _ORDERS_CHECK_FAILS.values():
+        msg_sql = msg.replace("'", "''")
+        parts.append(
+            f"SELECT o_orderkey, '{ptr}' AS keyword_path, '{kw}' AS keyword, "
+            f"'{col}' AS \"column\", '{msg_sql}' AS message FROM orders WHERE {fail}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _orders_summary_sql() -> str:
+    fails = [f for (_, _, _, _, f) in _ORDERS_CHECK_FAILS.values()]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+    viol_sum = " + ".join(f"CASE WHEN {f} THEN 1 ELSE 0 END" for f in fails)
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS "rows",
+           CAST(sum(CASE WHEN NOT ({any_fail}) THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           CAST(sum({viol_sum}) AS BIGINT) AS violation_count
+    FROM orders
     """
-    return {}
+
+
+_TEXT_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_STOPWORDS_SQL = "('the','a','and','of','to','in','is','it','on','for')"
+
+
+def _text_profile_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             {_TEXT_NORM} AS norm,
+             string_split({_TEXT_NORM}, ' ') AS toks,
+             string_split(regexp_replace(regexp_replace({_TEXT_NORM},
+                 '([a-z])([0-9])', '\\1 \\2', 'g'),
+                 '([0-9])([a-z])', '\\1 \\2', 'g'), ' ') AS pieces
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, norm, toks,
+        CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS tc,
+        len(list_filter(pieces, x -> length(x) > 0)) AS sc,
+        CASE WHEN len(toks) <= 0 THEN 0.0
+             ELSE round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6)
+        END AS mtl,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                        / length(text), 6)
+        END AS pr,
+        CASE WHEN len(toks) <= 0 THEN 0.0
+             ELSE round(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) / len(toks), 6)
+        END AS swr,
+        len(list_filter(toks, x -> x IN ('the','and','of'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','la','de'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('der','die','und'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('le','la','et'))) AS s_fr
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(tc AS INTEGER) AS token_count,
+           CAST(sc AS INTEGER) AS subword_count,
+           mtl AS mean_token_len,
+           pr AS punct_ratio,
+           swr AS stopword_ratio,
+           round(0.5 * least(tc / 50.0, 1.0)
+                 + 0.3 * (CASE WHEN swr >= 0.05 AND swr <= 0.6 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.3 END), 6) AS quality,
+           md5(norm) AS fingerprint,
+           CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                ELSE 'und'
+           END AS lang_pred
+    FROM m
+    """
+
+
+def _jaccard_sql() -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS toks FROM documents)
+    ), inv AS (
+      SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    ) WHERE jaccard >= 0.1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_orders_violations": _orders_violations_sql(),
+        "validate_orders_summary": _orders_summary_sql(),
+        "column_stats_orders": """
+            SELECT 'o_custkey' AS "column",
+                   CAST(count(*) AS BIGINT) AS row_count,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+                   round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_frac,
+                   CAST(min(o_custkey) AS VARCHAR) AS "min",
+                   CAST(max(o_custkey) AS VARCHAR) AS "max",
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_count
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) / count(*), 6),
+                   min(o_orderstatus), max(o_orderstatus),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+            FROM orders
+        """,
+        "uniqueness_lineitem": """
+            SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                   CAST(count(*) AS BIGINT) AS distinct_keys,
+                   CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_keys,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS duplicate_rows
+            FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+        """,
+        "duplicate_custkeys_orders": """
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "referential_lineitem_orders": """
+            SELECT CAST(count(*) AS BIGINT) AS orphan_count,
+                   count(*) = 0 AS ok
+            FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        """,
+        "referential_orphans_planted": """
+            SELECT l_orderkey, l_linenumber
+            FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 10 <> 0)
+        """,
+        "drift_chi_square_events": """
+            WITH cur AS (
+              SELECT event_type AS category, count(*) AS cnt
+              FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+            ), base AS (
+              SELECT event_type AS category, count(*) AS cnt
+              FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+            ), j AS (
+              SELECT coalesce(c.category, b.category) AS category,
+                     coalesce(c.cnt, 0) AS observed,
+                     coalesce(b.cnt, 0) AS base_cnt
+              FROM cur c FULL OUTER JOIN base b ON c.category = b.category
+            ), t AS (
+              SELECT sum(observed) AS n_cur, sum(base_cnt) AS n_base FROM j
+            )
+            SELECT category,
+                   CAST(observed AS BIGINT) AS observed,
+                   round(base_cnt / t.n_base * t.n_cur, 6) AS expected,
+                   round(CASE WHEN base_cnt / t.n_base * t.n_cur > 0
+                              THEN pow(observed - base_cnt / t.n_base * t.n_cur, 2)
+                                   / (base_cnt / t.n_base * t.n_cur)
+                              WHEN observed > 0 THEN 1e308 * 10
+                              ELSE 0.0 END, 6) AS contribution
+            FROM j, t
+        """,
+        "drift_ks_events": """
+            WITH pooled AS (
+              SELECT value AS v, 1 AS is_cur FROM events
+              WHERE event_id % 2 = 1 AND value IS NOT NULL
+              UNION ALL
+              SELECT value AS v, 0 AS is_cur FROM events
+              WHERE event_id % 2 = 0 AND value IS NOT NULL
+            ), e AS (
+              SELECT sum(is_cur) OVER w AS c_cur,
+                     sum(1 - is_cur) OVER w AS c_base
+              FROM pooled
+              WINDOW w AS (ORDER BY v RANGE UNBOUNDED PRECEDING)
+            )
+            SELECT round(max(abs(c_cur / (SELECT sum(is_cur) FROM pooled)
+                         - c_base / (SELECT sum(1 - is_cur) FROM pooled))), 6) AS ks_stat,
+                   CAST((SELECT sum(is_cur) FROM pooled) AS BIGINT) AS n_cur,
+                   CAST((SELECT sum(1 - is_cur) FROM pooled) AS BIGINT) AS n_base
+            FROM e
+        """,
+        "text_profile_documents": _text_profile_sql(),
+        "dedup_exact_documents": f"""
+            WITH both_sets AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT md5({_TEXT_NORM}) AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS dup_count,
+                   min(doc_id) AS keep_id
+            FROM both_sets
+            GROUP BY md5({_TEXT_NORM})
+            HAVING count(*) > 1
+        """,
+        "dedup_jaccard_documents": _jaccard_sql(),
+        "similarity_cosine_topk": """
+            SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                  q.embedding::DOUBLE[]), 6) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                             q.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c, embeddings q WHERE q.vec_id < 3
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # minhash / simhash / LSH-ANN / IVF (xxhash64-based) and the audio
+        # clips invariant (pandas-UDF decode over a synthesized table) are
+        # not ANSI-SQL-expressible -> rows-only checks by omission here.
+    }

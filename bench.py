@@ -1,0 +1,181 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "total_runtime", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "clips_per_sec": ..., "cpus": ...}
+
+``clips_per_sec`` is the north-star metric (BASELINE.json): full clips
+validation — schema compile + column-expression checks + vectorized audio
+decode/SNR + uniqueness — over a deterministically synthesized clips table.
+Scaling evidence (local[8] vs local[32]) is produced by running this file
+twice with SPARK_GRAFT_CPUS=8/32; see BASELINE.md §Scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Pin per-worker math libraries to one thread BEFORE Spark forks Python
+# workers: N workers x M BLAS/OpenMP threads oversubscribes the box and
+# inverts scaling (measured 5x slowdown at local[32] without this).
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jsonschema_spark.functions.audio import audio_snr_ok
+from jsonschema_spark.operators import dedup, drift, referential, similarity, stats
+from jsonschema_spark.operators import text as text_ops
+from jsonschema_spark.operators import uniqueness
+from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.plans.compile import CompileOptions
+from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips
+from jsonschema_spark.sources.tables import load_table
+
+from __spark_entry__ import ORDERS_JSON_SCHEMA
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS", "20000"))
+
+
+def build_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("jsonschema-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def q_clips_validate(spark: SparkSession):
+    """North-star: full clips validation incl. audio decode + SNR gate."""
+    clips = synth_clips(spark, CLIPS_N, partitions=CPUS * 2)
+    opts = CompileOptions(content_checks={"audio/*": lambda col: audio_snr_ok()})
+    return validate(clips, CLIPS_JSON_SCHEMA, opts).totals().collect()
+
+
+def q_clips_uniqueness(spark: SparkSession):
+    clips = synth_clips(spark, CLIPS_N, partitions=CPUS * 2)
+    return uniqueness.uniqueness_summary(clips, "clip_id", salted=True).collect()
+
+
+def q_validate_orders(spark: SparkSession):
+    orders = load_table(spark, SF_DIR, "orders")
+    r = validate(orders, ORDERS_JSON_SCHEMA)
+    return r.totals().collect()
+
+
+def q_column_stats_lineitem(spark: SparkSession):
+    li = load_table(spark, SF_DIR, "lineitem")
+    return stats.column_stats(li).collect()
+
+
+def q_uniqueness_lineitem(spark: SparkSession):
+    li = load_table(spark, SF_DIR, "lineitem")
+    return uniqueness.uniqueness_summary(li, "l_orderkey", salted=True).collect()
+
+
+def q_referential(spark: SparkSession):
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    return referential.check(li, orders, "l_orderkey", "o_orderkey").collect()
+
+
+def q_drift_ks(spark: SparkSession):
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.ks_statistic_exact(cur, base, "value").collect()
+
+
+def q_drift_chi2(spark: SparkSession):
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.chi_square_table(cur, base, "event_type").collect()
+
+
+def q_text_profile(spark: SparkSession):
+    docs = load_table(spark, SF_DIR, "documents")
+    return (
+        text_ops.text_profile(docs)
+        .agg(F.sum("token_count"), F.avg("quality"), F.count(F.lit(1)))
+        .collect()
+    )
+
+
+def q_dedup_minhash(spark: SparkSession):
+    docs = load_table(spark, SF_DIR, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
+
+
+def q_cosine_topk(spark: SparkSession):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries_df, k=10).collect()
+
+
+QUERIES = {
+    "clips_validate": q_clips_validate,
+    "clips_uniqueness": q_clips_uniqueness,
+    "validate_orders": q_validate_orders,
+    "column_stats_lineitem": q_column_stats_lineitem,
+    "uniqueness_lineitem": q_uniqueness_lineitem,
+    "referential": q_referential,
+    "drift_ks": q_drift_ks,
+    "drift_chi2": q_drift_chi2,
+    "text_profile": q_text_profile,
+    "dedup_minhash": q_dedup_minhash,
+    "cosine_topk": q_cosine_topk,
+}
+
+
+def main():
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warm-up outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # two passes, keep the per-query minimum: the sandbox VM shows heavy
+    # run-to-run CPU-steal variance and the min is the honest capability
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            fn(spark)
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "clips_per_sec": round(CLIPS_N / timings["clips_validate"], 1),
+        "clips_n": CLIPS_N,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,8 +23,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from jsonschema_spark.operators.text import fingerprint, normalize, tokens
+
+
+def _parallelize(df: DataFrame, key: str) -> DataFrame:
+    """Raise partition count for CPU-dense expression work when the scan
+    yielded fewer partitions than cores (small files => 1 split). At real
+    scale the input already has >= cores partitions and this is a no-op —
+    the guard keeps us from *reducing* parallelism or adding a shuffle to
+    an already-wide plan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -62,12 +76,18 @@ def distinct_by_content(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text."""
+    """Distinct word n-grams of the normalized text.
+
+    Documents shorter than ``n`` tokens yield an empty shingle set (guarded:
+    ``sequence(1, 0)`` would descend and feed ``slice`` an invalid start).
+    """
     toks = tokens(col)
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
     )
     return F.array_distinct(grams)
 
@@ -83,9 +103,17 @@ def jaccard_pairs(
 
     Exact, index-based: pairs sharing zero shingles never meet. id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
-    ).withColumn("_size", F.size("_sh"))
+    # persist: the inverted index consumes the shingle arrays on BOTH sides
+    # of the self-join; a barrier stops the O(tokens^2) shingle build from
+    # being re-expanded into each side
+    sh = (
+        _parallelize(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
+        )
+        .select("_id", word_shingles(F.col("_text"), n).alias("_sh"))
+        .withColumn("_size", F.size("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
     left = inv.select(F.col("_id").alias("id_a"), F.col("_size").alias("sa"), "_g")
     right = inv.select(F.col("_id").alias("id_b"), F.col("_size").alias("sb"), "_g")
@@ -107,10 +135,13 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """array<bigint> MinHash signature: slot i = min over shingles of
-    xxhash64(i || shingle). Pure expressions; empty docs get MAX_LONG."""
-    sh = word_shingles(col, n)
+def minhash_signature_from(sh: Column, num_hashes: int = 32) -> Column:
+    """array<bigint> MinHash signature over a *materialized* shingle-array
+    column: slot i = min over shingles of xxhash64(i || shingle). Keeping the
+    shingle array in its own column (behind a shuffle/exchange boundary)
+    matters: inlined into every slot lambda, Catalyst's project-collapsing
+    would rebuild the O(tokens^2) shingle array ``num_hashes`` times per row.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(
@@ -120,6 +151,12 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
             F.lit(2**63 - 1),
         ),
     )
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """Inline variant (shingles rebuilt per slot — prefer the two-step
+    ``word_shingles`` + ``minhash_signature_from`` in hot paths)."""
+    return minhash_signature_from(word_shingles(col, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -138,10 +175,19 @@ def minhash_lsh_pairs(
     band width.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("_sig"),
+    # PERSIST the signatures: banding references _sig once per band and the
+    # bucket join consumes banded twice — without a materialization barrier,
+    # Catalyst's project-collapsing would re-expand the full shingle+minhash
+    # tree at every reference (measured ~50x the work). Materializing the
+    # signature table once is also the standard production shape: at real
+    # scale this intermediate is written to a table between the two phases.
+    sig = (
+        _parallelize(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
+        )
+        .select("_id", word_shingles(F.col("_text"), n).alias("_sh"))
+        .select("_id", "_sh", minhash_signature_from(F.col("_sh"), num_hashes).alias("_sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sig.select(
         "_id",
@@ -172,10 +218,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact Jaccard (small set => broadcast-friendly)
-    sh = df.select(
-        F.col(id_col).alias("_vid"), word_shingles(F.col(text_col), n).alias("_vsh")
-    )
+    # verify candidates with exact Jaccard, reusing the materialized shingle
+    # arrays from the signature stage (no shingle recompute per candidate)
+    sh = sig.select(F.col("_id").alias("_vid"), F.col("_sh").alias("_vsh"))
     verified = (
         cand.join(sh.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vsh", "_sha"), "id_a")
         .join(sh.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vsh", "_shb"), "id_b")
@@ -236,7 +281,15 @@ def simhash_pairs(
     one exact band (pigeonhole), so the join on (band, value) finds all of
     them without a cross join.
     """
-    sig = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sig"))
+    # persist: the 4 band projections + both sides of the bucket self-join
+    # would otherwise each re-expand the full simhash expression tree
+    sig = (
+        _parallelize(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
+        )
+        .select("_id", simhash(F.col("_text")).alias("_sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bands = F.array(
         *[
             F.struct(
