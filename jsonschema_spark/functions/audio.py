@@ -41,20 +41,39 @@ def _seed(clip_id: str) -> int:
     return int.from_bytes(hashlib.md5(clip_id.encode()).digest()[:8], "little")
 
 
+_RAMP = np.arange(1 << 17, dtype=np.float32)
+
+
+def _ramp(n: int) -> np.ndarray:
+    """Cached float32 time ramp (the arange allocation dominates short clips)."""
+    global _RAMP
+    if n > len(_RAMP):
+        _RAMP = np.arange(max(n, 2 * len(_RAMP)), dtype=np.float32)
+    return _RAMP[:n]
+
+
 def reference_signal(clip_id: str, n_samples: int) -> np.ndarray:
     """Deterministic per-clip ground-truth waveform as float in [-1, 1).
 
     Two-harmonic sine with freq/phase/amplitude derived arithmetically from
-    the clip seed (no RNG stream => stable across library versions).
+    the clip seed (no RNG stream => stable across library versions). Float32
+    throughout: generator and checker share this exact function, so the
+    invariant is bit-consistent; float32 sin is ~2x the throughput of
+    float64, which matters at 10^12 clips x 10^4 samples.
     """
     h = _seed(clip_id)
     f0 = 80.0 + (h % 4000) * 0.25  # 80..1080 (relative to sample rate ticks)
     phase = ((h >> 16) % 6283) / 1000.0
     amp = 0.5 + ((h >> 32) % 40) / 100.0  # 0.5..0.89
-    t = np.arange(n_samples, dtype=np.float64)
-    x = amp * np.sin(2 * np.pi * f0 * t / 16000.0 + phase)
-    x += 0.2 * amp * np.sin(2 * np.pi * 2 * f0 * t / 16000.0)
-    return x * 0.8
+    t = _ramp(n_samples)
+    w = np.float32(2.0 * np.pi * f0 / 16000.0)
+    x = np.sin(t * w + np.float32(phase))
+    x *= np.float32(amp)
+    y = np.sin(t * (np.float32(2.0) * w))
+    y *= np.float32(0.2 * amp)
+    x += y
+    x *= np.float32(0.8)
+    return x
 
 
 def pcm16_from_float(x: np.ndarray) -> np.ndarray:
@@ -108,12 +127,11 @@ def decode_pcm_batch(
     """Vectorized batch kernel: SNR (dB) per row. Shared by the pandas UDF
     and unit tests (testable without a SparkSession)."""
     out = np.empty(len(payloads), dtype=np.float64)
-    for i in range(len(payloads)):
-        raw = payloads.iloc[i]
-        cid = clip_ids.iloc[i]
-        sr = srs.iloc[i]
-        dur = durs.iloc[i]
-        if raw is None or cid is None or sr is None or dur is None:
+    it = zip(payloads.tolist(), clip_ids.tolist(), srs.tolist(), durs.tolist())
+    for i, (raw, cid, sr, dur) in enumerate(it):
+        if raw is None or cid is None or sr is None or dur is None or (
+            isinstance(sr, float) and np.isnan(sr)
+        ) or (isinstance(dur, float) and np.isnan(dur)):
             out[i] = float("nan")
             continue
         n_samples = int(sr) * int(dur) // 1000
