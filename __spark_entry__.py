@@ -189,6 +189,28 @@ def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniqueness.uniqueness_summary(clips, "clip_id", salted=True)
 
 
+def _q_clips_resumable_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume protocol over a fresh manifest: preempted first run
+    (4 of 8 buckets), resumed second run; returns per-partition lineage."""
+    import tempfile
+
+    from jsonschema_spark.operators.checkpoint import validate_resumable, with_bucket
+
+    clips = with_bucket(synth_clips(spark, 1000), "clip_id", n_buckets=8)
+    manifest_dir = tempfile.mkdtemp(prefix="jss_manifest_")
+    validate_resumable(
+        clips, CLIPS_JSON_SCHEMA, manifest_dir, "_bucket",
+        options=_clips_options(), max_partitions=4, exclude_cols=["_bucket"],
+    )
+    run = validate_resumable(
+        clips, CLIPS_JSON_SCHEMA, manifest_dir, "_bucket",
+        options=_clips_options(), exclude_cols=["_bucket"],
+    )
+    return run.manifest.select(
+        "partition_value", "rows", "passed", "failed", "violation_count"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_violations": _q_validate_orders_violations,
@@ -211,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_validate_totals": _q_clips_validate_totals,
         "clips_violations": _q_clips_violations,
         "clips_uniqueness": _q_clips_uniqueness,
+        "clips_resumable_manifest": _q_clips_resumable_manifest,
     }
 
 

@@ -1,0 +1,157 @@
+"""Streaming validation parity with batch + resumable checkpoint runs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.checkpoint import (
+    pending_partitions,
+    read_manifest,
+    validate_resumable,
+    with_bucket,
+)
+from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.sources.tables import load_table
+from jsonschema_spark.streaming import stream_violations, windowed_summary
+
+from .conftest import SF_DIR
+
+EVENTS_SCHEMA = {
+    "type": "object",
+    "required": ["event_id", "ts", "user_id", "event_type"],
+    "properties": {
+        "event_id": {"type": "integer", "minimum": 0},
+        "event_type": {"enum": ["view", "click", "signup", "error"]},  # purchase missing
+        "value": {"type": "number", "minimum": 0},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-stage events as a multi-file parquet dir so readStream has files
+    to discover incrementally."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_matches_batch(spark, events_dir, tmp_path):
+    batch_df = spark.read.parquet(events_dir)
+    want = sorted(
+        tuple(r)
+        for r in validate(batch_df, EVENTS_SCHEMA)
+        .violations(["event_id"])
+        .select("event_id", "keyword")
+        .collect()
+    )
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    out = stream_violations(stream, EVENTS_SCHEMA, ["event_id"]).select(
+        "event_id", "keyword"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("viol_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM viol_stream").collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_windowed_summary_counts(spark, events_dir, tmp_path):
+    batch_df = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    summary = windowed_summary(
+        stream, EVENTS_SCHEMA, ts_col="ts", window="1 day", watermark="0 seconds"
+    )
+    q = (
+        summary.writeStream.format("memory")
+        .queryName("win_summary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM win_summary").collect()
+    # append mode finalizes windows up to the watermark; totals over emitted
+    # windows must agree with a batch aggregate over the same window range
+    assert len(rows) > 0
+    emitted = {r.window_start for r in rows}
+    batch_counts = (
+        validate(batch_df, EVENTS_SCHEMA)
+        .annotated.groupBy(F.window(F.col("ts").cast("timestamp"), "1 day").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum((~F.col("_valid")).cast("long")).alias("failed"))
+        .select(F.col("_w.start").alias("window_start"), "rows", "failed")
+        .collect()
+    )
+    batch_by_win = {r.window_start: (r.rows, r.failed) for r in batch_counts}
+    for r in rows:
+        assert batch_by_win[r.window_start] == (r.rows, r.failed)
+
+
+def test_resumable_validation_resumes(spark, tmp_path):
+    df = with_bucket(load_table(spark, SF_DIR, "events"), "event_id", n_buckets=8)
+    manifest_dir = str(tmp_path / "manifest")
+
+    # first invocation: preempted after 3 partitions
+    run1 = validate_resumable(
+        df, EVENTS_SCHEMA, manifest_dir, "_bucket", max_partitions=3
+    )
+    assert len(run1.processed) == 3 and run1.skipped == 5
+    assert sorted(run1.processed) == run1.processed
+
+    # resume: picks up the remaining 5, never reprocesses
+    run2 = validate_resumable(df, EVENTS_SCHEMA, manifest_dir, "_bucket")
+    assert len(run2.processed) == 5
+    assert set(run1.processed).isdisjoint(run2.processed)
+
+    manifest = read_manifest(spark, manifest_dir)
+    rows = manifest.collect()
+    assert len(rows) == 8  # each bucket exactly once
+    assert {r.partition_value for r in rows} == {str(i) for i in range(8)}
+    assert sum(r.rows for r in rows) == df.count()
+
+    # per-partition totals agree with a direct per-bucket batch validation
+    direct = (
+        validate(df, EVENTS_SCHEMA)
+        .annotated.groupBy(F.col("_bucket").alias("partition_value"))
+        .agg(F.sum((~F.col("_valid")).cast("long")).alias("failed"))
+        .collect()
+    )
+    direct_failed = {r.partition_value: r.failed for r in direct}
+    for r in rows:
+        assert direct_failed[r.partition_value] == r.failed
+
+    # idempotent: a third run finds nothing pending
+    run3 = validate_resumable(df, EVENTS_SCHEMA, manifest_dir, "_bucket")
+    assert run3.processed == []
+    assert pending_partitions(df, read_manifest(spark, manifest_dir), "_bucket") == []
+
+
+def test_resumable_persists_violation_lineage(spark, tmp_path):
+    df = with_bucket(load_table(spark, SF_DIR, "events"), "event_id", n_buckets=4)
+    manifest_dir = str(tmp_path / "m2")
+    viol_dir = str(tmp_path / "viols")
+    validate_resumable(
+        df,
+        EVENTS_SCHEMA,
+        manifest_dir,
+        "_bucket",
+        violations_dir=viol_dir,
+        key_cols=["event_id"],
+    )
+    viols = spark.read.parquet(viol_dir)
+    assert "partition_value" in viols.columns
+    total_failed = sum(
+        r.violation_count for r in read_manifest(spark, manifest_dir).collect()
+    )
+    assert viols.count() == total_failed
+    assert os.path.isdir(viol_dir)
