@@ -1,0 +1,128 @@
+"""Two-parallelism scaling evidence (north rule: efficiency >= 0.8 from N
+to 4N executors; sandbox proxy: local[8] vs local[32] on the same input).
+
+Runs the north-star job (full clips validation incl. audio decode) and a
+JVM-only aggregate at both parallelism levels, several passes each, and
+reports min-of-passes throughput + scaling efficiency:
+
+    efficiency = (throughput_32 / throughput_8) / 4
+
+Usage: python tools/scaling.py [n_clips] [passes]
+Writes one JSON line to stdout; paste into BASELINE.md §Scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from jsonschema_spark.functions.audio import audio_snr_ok  # noqa: E402
+from jsonschema_spark.operators.validate import validate  # noqa: E402
+from jsonschema_spark.plans.compile import CompileOptions  # noqa: E402
+from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips  # noqa: E402
+
+JVM_ROWS = 20_000_000
+
+JVM_SCHEMA = {
+    "type": "object",
+    "required": ["id", "code", "name", "amount"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 0},
+        "code": {"type": "integer", "minimum": 0, "maximum": 90},
+        "name": {"type": "string", "pattern": "^user-[0-9]+$", "maxLength": 40},
+        "amount": {"type": "number", "multipleOf": 3},
+    },
+}
+
+
+def jvm_table(spark: SparkSession, cpus: int):
+    """20M-row generated table: validation runs fully inside whole-stage
+    codegen (no I/O, no Python) — isolates the JVM engine's scaling."""
+    return spark.range(0, JVM_ROWS, 1, cpus * 4).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("code"),
+        F.concat(F.lit("user-"), F.col("id")).alias("name"),
+        (F.col("id") % 1000 * 3).cast("double").alias("amount"),
+    )
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+PASSES = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+PATH = f"/tmp/spark_graft_clips_{N}.parquet"
+
+
+def session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.python.worker.reuse", "true")
+        .getOrCreate()
+    )
+
+
+def main():
+    # materialize once (untimed)
+    if not os.path.exists(PATH):
+        spark = session(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_clips(spark, N, partitions=64).write.mode("overwrite").parquet(PATH)
+        spark.stop()
+
+    opts = CompileOptions(content_checks={"audio/*": lambda col: audio_snr_ok()})
+    results: dict[str, dict] = {}
+    for cpus in (8, 32):
+        spark = session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        clips = spark.read.parquet(PATH)
+        jvm = jvm_table(spark, cpus)
+        t_validate, t_jvm = [], []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            validate(clips, CLIPS_JSON_SCHEMA, opts).totals().collect()
+            t_validate.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            validate(jvm, JVM_SCHEMA).totals().collect()
+            t_jvm.append(time.perf_counter() - t0)
+        results[str(cpus)] = {
+            "validate_sec": [round(t, 2) for t in t_validate],
+            "validate_min": round(min(t_validate), 2),
+            "clips_per_sec": round(N / min(t_validate), 1),
+            "jvm_sec": [round(t, 2) for t in t_jvm],
+            "jvm_min": round(min(t_jvm), 2),
+            "jvm_rows_per_sec": round(JVM_ROWS / min(t_jvm), 0),
+        }
+        spark.stop()
+
+    eff_validate = (
+        results["32"]["clips_per_sec"] / results["8"]["clips_per_sec"]
+    ) / 4.0
+    eff_jvm = (results["8"]["jvm_min"] / results["32"]["jvm_min"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "n_clips": N,
+                "jvm_rows": JVM_ROWS,
+                "passes": PASSES,
+                "local8": results["8"],
+                "local32": results["32"],
+                "scaling_efficiency_validate": round(eff_validate, 3),
+                "scaling_efficiency_jvm": round(eff_jvm, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
