@@ -53,6 +53,31 @@ ORDERS_JSON_SCHEMA = {
     },
 }
 
+# Logic-applicator schema over `part` (§2B coverage: oneOf / anyOf /
+# if-then-else inside allOf / not / dependentRequired). Thresholds chosen so
+# every applicator has real violations in the driver's data.
+PART_LOGIC_SCHEMA = {
+    "$id": "https://example.com/part-logic.schema.json",
+    "type": "object",
+    "allOf": [
+        {
+            "if": {"properties": {"p_type": {"pattern": "^STANDARD"}}},
+            "then": {"properties": {"p_retailprice": {"minimum": 990}}},
+            "else": {"properties": {"p_size": {"maximum": 45}}},
+        }
+    ],
+    "oneOf": [
+        {"properties": {"p_size": {"maximum": 25}}},
+        {"properties": {"p_retailprice": {"maximum": 950}}},
+    ],
+    "anyOf": [
+        {"properties": {"p_size": {"minimum": 10}}},
+        {"properties": {"p_type": {"pattern": "ECONOMY"}}},
+    ],
+    "not": {"properties": {"p_brand": {"const": "Brand#4"}}},
+    "dependentRequired": {"p_brand": ["p_type"]},
+}
+
 _CLIPS_N = 4000  # synthetic clips per correctness run (deterministic)
 
 
@@ -80,6 +105,13 @@ def _q_validate_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame
 def _q_validate_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return validate(orders, ORDERS_JSON_SCHEMA).totals()
+
+
+def _q_validate_part_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return validate(part, PART_LOGIC_SCHEMA).violations(["p_partkey"]).select(
+        "p_partkey", "keyword_path", "keyword"
+    )
 
 
 def _q_column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,6 +183,16 @@ def _q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=3)
 
 
+def _q_dedup_embedding_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_pairs_bruteforce(emb, threshold=0.4)
+
+
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.4)
+
+
 def _q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
@@ -215,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_violations": _q_validate_orders_violations,
         "validate_orders_summary": _q_validate_orders_summary,
+        "validate_part_logic": _q_validate_part_logic,
         "column_stats_orders": _q_column_stats_orders,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
@@ -227,6 +270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
+        "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "similarity_cosine_topk": _q_similarity_cosine_topk,
         "similarity_lsh_ann": _q_similarity_lsh_ann,
         "similarity_ivf_assign": _q_similarity_ivf_assign,
@@ -400,9 +445,34 @@ def _jaccard_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    part_logic_fails = {
+        # evaluation semantics mirror plans/compile.py: every property check
+        # passes vacuously on NULL; applicators combine those vacuous truths
+        "/allOf/0/if|if": (
+            "NOT (CASE WHEN (p_type IS NULL OR regexp_matches(p_type, '^STANDARD')) "
+            "THEN (p_retailprice IS NULL OR p_retailprice >= 990) "
+            "ELSE (p_size IS NULL OR p_size <= 45) END)"
+        ),
+        "/oneOf|oneOf": (
+            "NOT ((CASE WHEN (p_size IS NULL OR p_size <= 25) THEN 1 ELSE 0 END "
+            "+ CASE WHEN (p_retailprice IS NULL OR p_retailprice <= 950) THEN 1 ELSE 0 END) = 1)"
+        ),
+        "/anyOf|anyOf": (
+            "NOT ((p_size IS NULL OR p_size >= 10) "
+            "OR (p_type IS NULL OR regexp_matches(p_type, 'ECONOMY')))"
+        ),
+        "/not|not": "(p_brand IS NULL OR p_brand = 'Brand#4')",
+        "/dependentRequired|dependentRequired": "(p_brand IS NOT NULL AND p_type IS NULL)",
+    }
+    part_logic_sql = " UNION ALL ".join(
+        f"SELECT p_partkey, '{k.split('|')[0]}' AS keyword_path, "
+        f"'{k.split('|')[1]}' AS keyword FROM part WHERE {cond}"
+        for k, cond in part_logic_fails.items()
+    )
     return {
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
+        "validate_part_logic": part_logic_sql,
         "column_stats_orders": """
             SELECT 'o_custkey' AS "column",
                    CAST(count(*) AS BIGINT) AS row_count,
@@ -505,6 +575,14 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 1
         """,
         "dedup_jaccard_documents": _jaccard_sql(),
+        "dedup_embedding_bruteforce": """
+            SELECT id_a, id_b, cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cos
+              FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+            ) WHERE cos >= 0.4
+        """,
         "similarity_cosine_topk": """
             SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,

@@ -1,0 +1,165 @@
+"""Multimodal payload plumbing: image / video as opaque binary columns.
+
+The container has no image/video codecs (no PIL/ffmpeg), so the DECODE step
+is stubbed two ways — a deterministic synthetic container (``FIMG``/``FVID``
+magic, fully decodable, used by tests and the synthetic sources) and a
+``NotImplementedError`` for real formats — while everything Spark-side is
+production-shaped and tested: binary columns with typed metadata, Arrow
+batch iteration via ``mapInPandas``, output schemas, and partition-preserving
+execution. Swapping in a real decoder is a one-function change.
+
+Layout mirrors the audio path (functions/audio.py), which is fully real:
+the three modalities share the "opaque binary + typed metadata + vectorized
+kernel" design the north rule prescribes for the clips table.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_IMG_MAGIC = b"FIMG"
+_VID_MAGIC = b"FVID"
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("std_luma", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_luma", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def encode_fake_image(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """FIMG container: magic + u16 w/h + row-major u8 grayscale."""
+    return _IMG_MAGIC + struct.pack("<HH", width, height) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_image(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode the synthetic container; REAL formats are where a PIL/libjpeg
+    call goes — explicitly not implemented in this container."""
+    if raw[:4] == _IMG_MAGIC:
+        w, h = struct.unpack("<HH", raw[4:8])
+        px = np.frombuffer(raw[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
+        return w, h, px
+    raise NotImplementedError(
+        "real image codecs (jpeg/png/webp) are not available in this "
+        "container; plug a PIL/turbojpeg decode in here"
+    )
+
+
+def encode_fake_video(n_frames: int, lumas: np.ndarray) -> bytes:
+    """FVID container: magic + u16 frame count + one u8 mean-luma per frame
+    (a stand-in for real frames; the batch/sampling plumbing is what's real)."""
+    return _VID_MAGIC + struct.pack("<H", n_frames) + lumas.astype(np.uint8).tobytes()
+
+
+def decode_video_frame(raw: bytes, index: int) -> float:
+    if raw[:4] == _VID_MAGIC:
+        (n,) = struct.unpack("<H", raw[4:6])
+        if not 0 <= index < n:
+            raise IndexError(index)
+        return float(raw[6 + index])
+    raise NotImplementedError(
+        "real video codecs are not available in this container; plug an "
+        "ffmpeg/pyav frame extraction in here"
+    )
+
+
+def image_features(df: DataFrame, id_col: str = "image_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Vectorized decode + feature extraction over Arrow batches.
+
+    Partition-preserving ``mapInPandas`` (no shuffle): each executor decodes
+    its own batches; undecodable/missing payloads yield decode_ok=false
+    rows instead of failing the job (poison-pill isolation at 10^12 rows).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in
+                   ("image_id", "width", "height", "mean_luma", "std_luma", "decode_ok")}
+            for iid, raw in zip(b[id_col].tolist(), b[bytes_col].tolist()):
+                if raw is None:
+                    out["image_id"].append(iid)
+                    for k in ("width", "height", "mean_luma", "std_luma"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                try:
+                    w, h, px = decode_image(bytes(raw))
+                    out["image_id"].append(iid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(float(px.mean()))
+                    out["std_luma"].append(float(px.std()))
+                    out["decode_ok"].append(True)
+                except (NotImplementedError, ValueError, IndexError):
+                    out["image_id"].append(iid)
+                    for k in ("width", "height", "mean_luma", "std_luma"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_id",
+                  bytes_col: str = "bytes", n_frames_col: str = "n_frames") -> DataFrame:
+    """Frame sampling: the frame-index fan-out happens JVM-side (sequence +
+    explode — cheap, codegen'd); only the sampled frames cross into Python
+    for decode. At scale this is the difference between shipping whole
+    videos to Python and shipping row-per-sampled-frame."""
+    fanned = df.select(
+        id_col,
+        bytes_col,
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_index"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("video_id", "frame_index", "frame_luma", "decode_ok")}
+            for vid, raw, idx in zip(
+                b[id_col].tolist(), b[bytes_col].tolist(), b["frame_index"].tolist()
+            ):
+                out["video_id"].append(vid)
+                out["frame_index"].append(int(idx))
+                try:
+                    out["frame_luma"].append(decode_video_frame(bytes(raw), int(idx)))
+                    out["decode_ok"].append(True)
+                except (NotImplementedError, IndexError, TypeError):
+                    out["frame_luma"].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return fanned.mapInPandas(kernel, FRAME_SCHEMA)

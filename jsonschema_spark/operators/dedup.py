@@ -241,6 +241,73 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def embedding_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) for all pairs with cosine >= threshold — exact
+    O(n^2) self-join; the correctness baseline / oracle target. Use only on
+    samples or blocked subsets at scale."""
+    from jsonschema_spark.operators.similarity import cosine
+
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH
+    bucketing generates candidates (collision probability per table is
+    (1 - theta/pi)^n_planes — high for near-identical vectors), exact
+    cosine verifies. Sub-quadratic: the shuffle carries (table, bucket)
+    keys, never the n^2 pair space."""
+    from jsonschema_spark.operators.similarity import _hyperplane_sign, cosine
+
+    base = _parallelize(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_id"
+    )
+    out = base
+    for t in range(n_tables):
+        sig = F.lit(t)
+        for p in range(n_planes):
+            sig = sig * 2 + _hyperplane_sign(F.col("_v"), t * n_planes + p, dim)
+        out = out.withColumn(f"_b{t}", sig)
+    banded = out.select(
+        "_id", "_v", F.explode(F.array(*[F.col(f"_b{t}") for t in range(n_tables)])).alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), "bucket")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def simhash(col: Column) -> Column:
     """64-bit SimHash of the token multiset, as bigint — pure expressions.
 
