@@ -143,6 +143,31 @@ def _q_referential_orphans_planted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Dynamic-keys (MapType) validation over the JSON-string props column:
+# required / propertyNames / additionalProperties evaluate dynamically via
+# map higher-order functions (SURVEY §2B object keywords, map branch).
+PROPS_MAP_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "props": {
+            "type": "object",
+            "required": ["k"],
+            "propertyNames": {"pattern": "^[a-z]+$"},
+            "additionalProperties": {"type": "integer", "minimum": 10, "maximum": 80},
+        }
+    },
+}
+
+
+def _q_validate_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", "map<string,int>")
+    )
+    return validate(ev, PROPS_MAP_SCHEMA).violations(["event_id"]).select(
+        "event_id", "keyword_path", "keyword"
+    )
+
+
 def _q_drift_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
@@ -258,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_violations": _q_validate_orders_violations,
         "validate_orders_summary": _q_validate_orders_summary,
         "validate_part_logic": _q_validate_part_logic,
+        "validate_props_map": _q_validate_props_map,
         "column_stats_orders": _q_column_stats_orders,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
@@ -473,6 +499,27 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
         "validate_part_logic": part_logic_sql,
+        "validate_props_map": """
+            SELECT event_id, '/properties/props/required' AS keyword_path,
+                   'required' AS keyword
+            FROM events
+            WHERE props IS NOT NULL
+              AND NOT list_contains(json_keys(props::JSON), 'k')
+            UNION ALL
+            SELECT event_id, '/properties/props/propertyNames', 'propertyNames'
+            FROM events
+            WHERE props IS NOT NULL
+              AND len(list_filter(json_keys(props::JSON),
+                                  x -> NOT regexp_matches(x, '^[a-z]+$'))) > 0
+            UNION ALL
+            SELECT event_id, '/properties/props/additionalProperties',
+                   'additionalProperties'
+            FROM events
+            WHERE props IS NOT NULL AND NOT (
+              CAST(props->>'k' AS INTEGER) IS NULL
+              OR (CAST(props->>'k' AS INTEGER) >= 10
+                  AND CAST(props->>'k' AS INTEGER) <= 80))
+        """,
         "column_stats_orders": """
             SELECT 'o_custkey' AS "column",
                    CAST(count(*) AS BIGINT) AS row_count,
