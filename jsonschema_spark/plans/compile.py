@@ -127,25 +127,60 @@ def inline_refs(
 
     Rewrite (walk_test.go:265-298): a node {$ref: R, ...siblings} becomes
     {allOf: [{...siblings}, resolved(R)]} and the replacement is walked, so
-    nested refs inline transitively. Each inline step re-resolves against the
-    ORIGINAL root so $defs stay addressable after rewriting. Cycles collapse
-    to True after ``max_depth`` unrolls (expressions cannot recurse).
+    nested refs inline transitively. Refs resolve against the NEAREST
+    ENCLOSING RESOURCE — the innermost ancestor carrying ``$id`` (an inlined
+    external document keeps its ``$id``, so its internal ``#/...`` fragment
+    refs keep pointing into itself, mirroring $id re-rooting at
+    resolve.go:145-149) — falling back to the original root document.
+    Cycles collapse to True after ``max_depth`` unrolls (expressions cannot
+    recurse).
     """
     original = root.copy()  # pristine resolution target
     out = root.copy()
     cfg = config or ResolveConfig()
 
-    state = {"depth": 0}
+    # (pointer, ref) pairs already inlined: a ref is CYCLIC at a node iff the
+    # same ref string was already expanded at an ANCESTOR pointer; only then
+    # does the bounded unroll apply. A document with many distinct (or
+    # sibling-shared) refs inlines them all — the bound is per recursion
+    # path, not a global ref budget.
+    inlined: list[tuple[str, str]] = []
+    id_nodes: dict[str, Schema] = {}
+
+    def _is_prefix(p: str, pointer: str) -> bool:
+        if p in ("", "/"):
+            return True
+        prefix = p if p.endswith("/") else p + "/"
+        return pointer == p or pointer.startswith(prefix)
+
+    def resource_for(pointer: str) -> Schema:
+        best_ptr = None
+        for p in id_nodes:
+            if p in ("", "/"):
+                continue  # the root resource IS the fallback
+            # walk pointers use raw keys, so a property named "/" yields a
+            # prefix that already ends in "/" — don't double the separator
+            prefix = p if p.endswith("/") else p + "/"
+            if pointer.startswith(prefix) and (best_ptr is None or len(p) > len(best_ptr)):
+                best_ptr = p
+        return id_nodes[best_ptr] if best_ptr is not None else original
 
     def fn(scope, s: Schema):
         if s.ref == "":
+            # pre-order bookkeeping: a node carrying $id roots a resource for
+            # every ref beneath it — including ones materialized this pass
+            if s.id != "" and scope.pointer != "":
+                id_nodes[scope.pointer] = s
             return None
-        if state["depth"] >= max_depth:
+        depth = sum(
+            1 for p, r in inlined if r == s.ref and _is_prefix(p, scope.pointer)
+        )
+        if depth >= max_depth:
             # Bounded unroll exhausted: accept remaining recursion levels.
             s.replace_with(Schema(comment=f"$ref {s.ref} truncated at depth {max_depth}"))
             return None
-        state["depth"] += 1
-        resolved = resolve_reference(cfg, s.ref, original)
+        inlined.append((scope.pointer, s.ref))
+        resolved = resolve_reference(cfg, s.ref, resource_for(scope.pointer))
         if resolved is None:
             raise CompileError(f'failed to resolve {{"$ref": "{s.ref}"}} at "{scope.pointer}"')
         s.ref = ""
@@ -153,17 +188,24 @@ def inline_refs(
         if siblings.is_true():
             # Pure {$ref} node: replace directly with the referent.
             s.replace_with(resolved.copy())
+            if s.id != "" and scope.pointer != "":
+                id_nodes[scope.pointer] = s
         else:
             s.replace_with(Schema(all_of=[siblings, resolved.copy()]))
+            if s.all_of[1].id != "":
+                id_nodes[f"{scope.pointer}/allOf/1"] = s.all_of[1]
         return None
 
     # Iterate until fixpoint: each walk inlines at least one level.
     for _ in range(max_depth + 2):
         found = {"ref": False}
+        id_nodes.clear()
 
         def probe(scope, s):
             if s.ref != "":
                 found["ref"] = True
+            if s.id != "" and scope.pointer != "":
+                id_nodes[scope.pointer] = s
 
         Walk(out, probe)
         if not found["ref"]:
@@ -676,11 +718,12 @@ class _Compiler:
                     # closed world: undeclared struct fields must be absent
                     for k, _ft in extras:
                         kp = f"{path}.{k}" if path else k
-                        out(
-                            "additionalProperties",
-                            col.getField(k).isNull(),
-                            f"{kp} is not allowed (additionalProperties: false)",
-                        )
+                        expr = self._vacuous(col, col.getField(k).isNull())
+                        msg = f"{kp} is not allowed (additionalProperties: false)"
+                        if granular:
+                            self.emit(ap_ptr, "additionalProperties", kp, msg, expr)
+                        else:
+                            collect(expr)
                 elif not sub.is_true():
                     for k, ft in extras:
                         kp = f"{path}.{k}" if path else k
