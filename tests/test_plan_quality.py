@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(pushdown, pruning, broadcast, codegen, no accidental Python) must survive
+refactors — these tests pin them.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators import referential, stats
+from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+ORDERS_SCHEMA_DOC = {
+    "type": "object",
+    "required": ["o_orderkey"],
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F", "P"]},
+        "o_totalprice": {"exclusiveMinimum": 0},
+    },
+}
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_column_stats_prunes_unused_columns(spark):
+    df = load_table(spark, SF_DIR, "orders")
+    p = plan(stats.column_stats(df, ["o_custkey"]))
+    # the parquet scan must read ONLY the requested column
+    assert "ReadSchema: struct<o_custkey:bigint>" in p
+
+
+def test_source_filter_reaches_parquet_scan(spark):
+    df = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderkey") < 1000)
+    res = validate(df, ORDERS_SCHEMA_DOC)
+    p = plan(res.violations(["o_orderkey"]))
+    assert "PushedFilters: [" in p
+    assert "LessThan(o_orderkey,1000)" in p
+
+
+def test_validation_plan_stays_jvm_side(spark):
+    df = load_table(spark, SF_DIR, "orders")
+    res = validate(df, ORDERS_SCHEMA_DOC)
+    for frame in (res.violations(["o_orderkey"]), res.summary(), res.totals()):
+        p = plan(frame)
+        assert "EvalPython" not in p  # no Python without content checks
+    p = plan(res.totals())
+    # map-side partial + final aggregate, over a scan pruned to exactly the
+    # columns the schema references
+    assert "partial_count" in p and "partial_sum" in p
+    assert "FileScan parquet [o_orderkey#" in p
+    assert "o_orderdate" not in p and "o_custkey" not in p
+
+
+def test_referential_broadcast_strategy(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    p = plan(referential.orphans(li, orders, "l_orderkey", "o_orderkey",
+                                 strategy="broadcast"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_referential_shuffle_strategy(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    # strategy="shuffle" omits the broadcast hint and lets Catalyst/AQE pick;
+    # at test scale the dim fits under autoBroadcastJoinThreshold, so disable
+    # it to observe the large-large plan the strategy exists for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(referential.orphans(li, orders, "l_orderkey", "o_orderkey",
+                                     strategy="shuffle"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_stats_single_pass_single_shuffle(spark):
+    df = load_table(spark, SF_DIR, "lineitem")
+    p = plan(stats.column_stats(df, ["l_orderkey", "l_quantity"]))
+    # one partial+final aggregate pair -> exactly one exchange for the agg
+    # (plus possibly one single-partition exchange for the final row)
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_audio_validation_single_python_node(spark):
+    from jsonschema_spark.functions.audio import audio_snr_ok
+    from jsonschema_spark.plans.compile import CompileOptions
+    from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips
+
+    clips = synth_clips(spark, 50, partitions=2)
+    opts = CompileOptions(content_checks={"audio/*": lambda c: audio_snr_ok()})
+    p = plan(validate(clips, CLIPS_JSON_SCHEMA, opts).totals())
+    # exactly ONE ArrowEvalPython for the decode UDF (plus the generator's
+    # mapInPandas source) — the keyword algebra itself never leaves the JVM
+    assert p.count("ArrowEvalPython") == 1
