@@ -119,6 +119,16 @@ def _q_column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.column_stats(orders, ["o_custkey", "o_orderstatus"], exact_distinct=True)
 
 
+def _q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.column_quantiles(li, "l_extendedprice", exact=True)
+
+
+def _q_corpus_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.corpus_summary(docs)
+
+
 def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return uniqueness.uniqueness_summary(li, "l_orderkey")
@@ -285,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_part_logic": _q_validate_part_logic,
         "validate_props_map": _q_validate_props_map,
         "column_stats_orders": _q_column_stats_orders,
+        "quantiles_lineitem": _q_quantiles_lineitem,
+        "corpus_summary_documents": _q_corpus_summary_documents,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
         "referential_lineitem_orders": _q_referential_lineitem_orders,
@@ -450,6 +462,18 @@ def _text_profile_sql() -> str:
     """
 
 
+def _corpus_summary_sql() -> str:
+    return f"""
+    WITH prof AS ({_text_profile_sql()})
+    SELECT lang_pred,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(token_count) AS BIGINT) AS total_tokens,
+           CAST(sum(subword_count) AS BIGINT) AS total_subwords,
+           round(avg(quality), 6) AS avg_quality
+    FROM prof GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
 def _jaccard_sql() -> str:
     return f"""
     WITH sh AS (
@@ -538,6 +562,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_orderstatus) AS BIGINT)
             FROM orders
         """,
+        "quantiles_lineitem": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS quantile, "
+            f"round(quantile_cont(l_extendedprice, {q}), 6) AS value FROM lineitem"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
+        "corpus_summary_documents": _corpus_summary_sql(),
         "uniqueness_lineitem": """
             SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
                    CAST(count(*) AS BIGINT) AS distinct_keys,

@@ -23,6 +23,39 @@ _MINMAXABLE = (
 )
 
 
+def column_quantiles(
+    df: DataFrame,
+    column: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(quantile, value) — one row per requested quantile.
+
+    Default is the mergeable KLL-style sketch (``approx_percentile``): one
+    partial+final aggregate, no global sort — the only sane shape at 10^12
+    rows. ``exact=True`` switches to the exact interpolating ``percentile``
+    (sort-based; for audits and oracle comparison).
+    """
+    qs = list(quantiles)
+    c = F.col(column).cast("double")
+    if exact:
+        agg = F.percentile(c, F.array(*[F.lit(q) for q in qs]))
+    else:
+        agg = F.percentile_approx(c, qs, accuracy)
+    wide = df.agg(agg.alias("_qs"))
+    entries = [
+        F.struct(F.lit(q).alias("quantile"),
+                 F.round(F.element_at("_qs", i + 1), 6).alias("value"))
+        for i, q in enumerate(qs)
+    ]
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
+        .orderBy("quantile")
+    )
+
+
 def column_stats(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,

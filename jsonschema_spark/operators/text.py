@@ -109,6 +109,24 @@ def lang_id(col: Column) -> Column:
     return out
 
 
+def corpus_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-language corpus rollup: (lang_pred, docs, total_tokens,
+    total_subwords, avg_quality) — the budget/reporting aggregate a
+    training-data pipeline runs after profiling. One partial+final hash
+    aggregate over the profile projection."""
+    prof = text_profile(df, text_col, id_col)
+    return (
+        prof.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("token_count").cast("long").alias("total_tokens"),
+            F.sum("subword_count").cast("long").alias("total_subwords"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     c = F.col(text_col)
     return df.select(
