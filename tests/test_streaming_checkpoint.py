@@ -155,3 +155,58 @@ def test_resumable_persists_violation_lineage(spark, tmp_path):
     )
     assert viols.count() == total_failed
     assert os.path.isdir(viol_dir)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across micro-batches
+    and converge to the batch ground truth."""
+    from jsonschema_spark.streaming.stateful import running_validation_totals
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = running_validation_totals(stream, EVENTS_SCHEMA, "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.processAllAvailable()
+    mid = {r.key: r.rows for r in spark.sql(
+        "SELECT * FROM running_totals").collect()}
+    assert sum(mid.values()) == first.count()
+
+    # second micro-batch arrives; state carries the running totals forward
+    second.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    # totals are monotone per key, so the max row is the latest regardless
+    # of the memory sink's row order
+    latest = {}
+    for r in spark.sql("SELECT * FROM running_totals").collect():
+        cur = (r.rows, r.failed, r.violation_count)
+        if r.key not in latest or cur[0] > latest[r.key][0]:
+            latest[r.key] = cur
+
+    from jsonschema_spark.operators.validate import validate
+    truth = {
+        r.key: (r.rows, r.failed, r.violation_count)
+        for r in validate(ev, EVENTS_SCHEMA)
+        .annotated.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("_valid")).cast("long")).alias("failed"),
+            F.sum(F.size("_violations").cast("long")).alias("violation_count"),
+        )
+        .collect()
+    }
+    assert latest == truth
