@@ -135,6 +135,28 @@ def q_dedup_minhash(spark: SparkSession):
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
 
 
+def q_validate_part_logic(spark: SparkSession):
+    from __spark_entry__ import PART_LOGIC_SCHEMA
+
+    part = load_table(spark, SF_DIR, "part")
+    return validate(part, PART_LOGIC_SCHEMA).totals().collect()
+
+
+def q_quantiles(spark: SparkSession):
+    li = load_table(spark, SF_DIR, "lineitem")
+    return stats.column_quantiles(li, "l_extendedprice").collect()
+
+
+def q_corpus_summary(spark: SparkSession):
+    docs = load_table(spark, SF_DIR, "documents")
+    return text_ops.corpus_summary(docs).collect()
+
+
+def q_embedding_lsh(spark: SparkSession):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.4).count()
+
+
 def q_cosine_topk(spark: SparkSession):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -155,6 +177,10 @@ QUERIES = {
     "text_profile": q_text_profile,
     "dedup_minhash": q_dedup_minhash,
     "cosine_topk": q_cosine_topk,
+    "validate_part_logic": q_validate_part_logic,
+    "quantiles": q_quantiles,
+    "corpus_summary": q_corpus_summary,
+    "embedding_lsh": q_embedding_lsh,
 }
 
 
