@@ -153,6 +153,33 @@ def _q_referential_orphans_planted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Array-keyword coverage over the embeddings vector column (§2B array
+# applicators + validation): items applies AFTER prefixItems (positions 3..64),
+# contains/min/maxContains count matching elements via higher-order filters.
+EMB_ARRAY_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "embedding": {
+            "type": "array",
+            "minItems": 64,
+            "maxItems": 64,
+            "uniqueItems": True,
+            "prefixItems": [{"maximum": 0.2}, {"minimum": -0.2}],
+            "items": {"minimum": -0.4, "maximum": 0.4},
+            "contains": {"minimum": 0.3},
+            "maxContains": 10,
+        }
+    },
+}
+
+
+def _q_validate_embeddings_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return validate(emb, EMB_ARRAY_SCHEMA).violations(["vec_id"]).select(
+        "vec_id", "keyword_path", "keyword"
+    )
+
+
 # Dynamic-keys (MapType) validation over the JSON-string props column:
 # required / propertyNames / additionalProperties evaluate dynamically via
 # map higher-order functions (SURVEY §2B object keywords, map branch).
@@ -294,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_summary": _q_validate_orders_summary,
         "validate_part_logic": _q_validate_part_logic,
         "validate_props_map": _q_validate_props_map,
+        "validate_embeddings_array": _q_validate_embeddings_array,
         "column_stats_orders": _q_column_stats_orders,
         "quantiles_lineitem": _q_quantiles_lineitem,
         "corpus_summary_documents": _q_corpus_summary_documents,
@@ -523,6 +551,46 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
         "validate_part_logic": part_logic_sql,
+        "validate_embeddings_array": """
+            SELECT vec_id, '/properties/embedding/minItems' AS keyword_path,
+                   'minItems' AS keyword
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND NOT (len(embedding) >= 64)
+            UNION ALL
+            SELECT vec_id, '/properties/embedding/maxItems', 'maxItems'
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND NOT (len(embedding) <= 64)
+            UNION ALL
+            SELECT vec_id, '/properties/embedding/uniqueItems', 'uniqueItems'
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_distinct(embedding)) <> len(embedding)
+            UNION ALL
+            SELECT vec_id, '/properties/embedding/prefixItems', 'prefixItems'
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND NOT (
+              (len(embedding) < 1 OR embedding[1] IS NULL OR embedding[1] <= 0.2)
+              AND
+              (len(embedding) < 2 OR embedding[2] IS NULL OR embedding[2] >= -0.2))
+            UNION ALL
+            SELECT vec_id, '/properties/embedding/items', 'items'
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding[3:len(embedding)],
+                       x -> NOT (x IS NULL OR (x >= -0.4 AND x <= 0.4)))) > 0
+            UNION ALL
+            SELECT vec_id, '/properties/embedding/contains', 'contains'
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding,
+                       x -> x IS NULL OR x >= 0.3)) < 1
+            UNION ALL
+            SELECT vec_id, '/properties/embedding/maxContains', 'maxContains'
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding,
+                       x -> x IS NULL OR x >= 0.3)) > 10
+        """,
         "validate_props_map": """
             SELECT event_id, '/properties/props/required' AS keyword_path,
                    'required' AS keyword
