@@ -212,6 +212,13 @@ def _q_drift_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.chi_square_table(cur, base, "event_type")
 
 
+def _q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.psi_table(cur, base, "event_type")
+
+
 def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
@@ -330,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_lineitem_orders": _q_referential_lineitem_orders,
         "referential_orphans_planted": _q_referential_orphans_planted,
         "drift_chi_square_events": _q_drift_chi_square_events,
+        "drift_psi_events": _q_drift_psi_events,
         "drift_ks_events": _q_drift_ks_events,
         "text_profile_documents": _q_text_profile_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
@@ -684,6 +692,31 @@ def oracle_sql() -> dict[str, str]:
                                    / (base_cnt / t.n_base * t.n_cur)
                               WHEN observed > 0 THEN 1e308 * 10
                               ELSE 0.0 END, 6) AS contribution
+            FROM j, t
+        """,
+        "drift_psi_events": """
+            WITH cur AS (
+              SELECT event_type AS category, count(*) AS cnt
+              FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+            ), base AS (
+              SELECT event_type AS category, count(*) AS cnt
+              FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+            ), j AS (
+              SELECT coalesce(c.category, b.category) AS category,
+                     coalesce(c.cnt, 0) AS cur_cnt,
+                     coalesce(b.cnt, 0) AS base_cnt
+              FROM cur c FULL OUTER JOIN base b ON c.category = b.category
+            ), t AS (
+              SELECT sum(cur_cnt) AS n_cur, sum(base_cnt) AS n_base FROM j
+            )
+            SELECT category,
+                   round(greatest(cur_cnt / t.n_cur, 1e-6), 6) AS p_cur,
+                   round(greatest(base_cnt / t.n_base, 1e-6), 6) AS p_base,
+                   round((greatest(cur_cnt / t.n_cur, 1e-6)
+                          - greatest(base_cnt / t.n_base, 1e-6))
+                         * ln(greatest(cur_cnt / t.n_cur, 1e-6)
+                              / greatest(base_cnt / t.n_base, 1e-6)), 6)
+                     AS contribution
             FROM j, t
         """,
         "drift_ks_events": """

@@ -125,6 +125,48 @@ def _gamma_q_contfrac(a: float, x: float) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Population Stability Index
+# ---------------------------------------------------------------------------
+
+
+def psi_table(
+    current: DataFrame, baseline: DataFrame, column: str, eps: float = 1e-6
+) -> DataFrame:
+    """Per-category PSI contributions: (category, p_cur, p_base, contribution)
+    with contribution = (p_cur - p_base) * ln(p_cur / p_base).
+
+    Zero-count proportions are floored at ``eps`` (standard smoothing) so
+    one-sided categories contribute a large-but-finite term. Same shuffle
+    shape as the chi-square path: one groupBy per side, tiny join.
+    PSI < 0.1 stable / 0.1-0.25 moderate / > 0.25 major shift (industry rule
+    of thumb).
+    """
+    cur = category_histogram(current, column).withColumnRenamed("cnt", "cur_cnt")
+    base = category_histogram(baseline, column).withColumnRenamed("cnt", "base_cnt")
+    joined = cur.join(base, "category", "full_outer").fillna(
+        0, subset=["cur_cnt", "base_cnt"]
+    )
+    totals = joined.agg(
+        F.sum("cur_cnt").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    p_cur = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(eps))
+    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(eps))
+    return j.select(
+        "category",
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(p_base, 6).alias("p_base"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("contribution"),
+    )
+
+
+def psi(current: DataFrame, baseline: DataFrame, column: str, eps: float = 1e-6) -> float:
+    """Scalar PSI (sum of contributions) — a few doubles to the driver."""
+    rows = psi_table(current, baseline, column, eps).collect()
+    return float(sum(r.contribution for r in rows))
+
+
+# ---------------------------------------------------------------------------
 # Kolmogorov-Smirnov
 # ---------------------------------------------------------------------------
 

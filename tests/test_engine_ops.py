@@ -156,3 +156,22 @@ def test_ks_approx_close_to_exact(spark):
     exact = drift.ks_statistic_exact(shifted, ev, "value").collect()[0].ks_stat
     approx = drift.ks_statistic_approx(shifted, ev, "value").collect()[0].ks_stat
     assert abs(exact - approx) < 0.08
+
+
+def test_psi_zero_on_identical(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    assert drift.psi(ev, ev, "event_type") == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_detects_shift(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    skewed = ev.filter((F.col("event_type") != "click") | (F.xxhash64("event_id") % 4 == 0))
+    v = drift.psi(skewed, ev, "event_type")
+    assert v > 0.01  # dropping 3/4 of one category is a visible shift
+
+
+def test_psi_one_sided_category_finite(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    no_click = ev.filter(F.col("event_type") != "click")
+    v = drift.psi(no_click, ev, "event_type")
+    assert 0 < v < 100  # eps smoothing keeps the vanished category finite
