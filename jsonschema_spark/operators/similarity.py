@@ -67,17 +67,25 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <vec, r_plane> where r_plane[d] derives from xxhash64."""
-    # deterministic pseudo-gaussian-ish weights in [-1, 1)
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(F.xxhash64(F.concat(F.lit(f"p{plane}|"), d.cast("string"))), F.lit(2000003))
-            - F.lit(1000001.5)
+def _plane_weights(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random weights in [-1, 1), computed ONCE on the
+    driver (md5-derived). Embedding them as literals matters at scale:
+    expression-side hash derivation sits inside a higher-order function that
+    Catalyst does not constant-fold, so it would re-hash dim values per ROW."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int.from_bytes(
+            hashlib.md5(f"p{plane}|{d}".encode()).digest()[:8], "little"
         )
-        / F.lit(1000001.5),
-    )
+        out.append((h % 2000003 - 1000001.5) / 1000001.5)
+    return out
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, r_plane> with driver-computed literal plane weights."""
+    weights = F.array(*[F.lit(w) for w in _plane_weights(plane, dim)])
     return (dot(_to_double(vec), weights) > 0).cast("int")
 
 
@@ -141,17 +149,20 @@ def ivf_assign(
     """Assign each vector to its nearest deterministic pseudo-centroid.
 
     At real scale centroids come from a k-means sample; here they are
-    hash-derived unit vectors so the assignment is reproducible anywhere.
+    hash-derived vectors so the assignment is reproducible anywhere —
+    computed once on the driver and embedded as literal arrays (per-row
+    hash derivation would sit un-folded inside the cosine HOFs).
     """
+    import hashlib
+
     def centroid(cell: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.pmod(F.xxhash64(F.concat(F.lit(f"c{cell}|"), d.cast("string"))), F.lit(1999993))
-                - F.lit(999996.5)
+        vals = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"c{cell}|{d}".encode()).digest()[:8], "little"
             )
-            / F.lit(999996.5),
-        )
+            vals.append((h % 1999993 - 999996.5) / 999996.5)
+        return F.array(*[F.lit(v) for v in vals])
 
     # array of (sim, cell) structs -> array_max picks by sim (then cell);
     # linear expression size, unlike a chained-when argmax.
