@@ -295,6 +295,20 @@ def _q_clips_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("clip_id", "keyword_path", "keyword")
 
 
+def _q_clips_invariant_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-row invariant from input_hint: decoded-PCM SNR >= 30 dB
+    AND transcript equality vs the regenerated reference."""
+    from jsonschema_spark.functions.audio import transcript_ok
+
+    clips = synth_clips(spark, _CLIPS_N)
+    flagged = clips.select(
+        "clip_id",
+        audio_snr_ok().alias("snr_ok"),
+        transcript_ok().alias("transcript_ok"),
+    )
+    return flagged.filter(~F.col("snr_ok") | ~F.col("transcript_ok"))
+
+
 def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = synth_clips(spark, _CLIPS_N)
     return uniqueness.uniqueness_summary(clips, "clip_id", salted=True)
@@ -351,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_assign": _q_similarity_ivf_assign,
         "clips_validate_totals": _q_clips_validate_totals,
         "clips_violations": _q_clips_violations,
+        "clips_invariant_failures": _q_clips_invariant_failures,
         "clips_uniqueness": _q_clips_uniqueness,
         "clips_resumable_manifest": _q_clips_resumable_manifest,
     }

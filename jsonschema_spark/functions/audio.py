@@ -165,6 +165,35 @@ def audio_snr(
                           F.col(dur_ms) if isinstance(dur_ms, str) else dur_ms)
 
 
+def reference_transcript(clip_id: str) -> str:
+    """Ground-truth transcript regenerated from clip_id alone (the row
+    invariant's second half: transcript string equality per input_hint).
+    Deterministic word sequence — mirrors sources/clips.transcript_for."""
+    h = int.from_bytes(hashlib.md5(("t:" + clip_id).encode()).digest()[:8], "little")
+    from jsonschema_spark.sources.clips import _WORDS
+
+    n = 3 + h % 10
+    return " ".join(_WORDS[(h >> (4 * k)) % len(_WORDS)] for k in range(n))
+
+
+@pandas_udf(T.StringType())
+def _reference_transcript_udf(clip_id: pd.Series) -> pd.Series:
+    return clip_id.map(lambda c: reference_transcript(c) if c is not None else None)
+
+
+def transcript_ok(
+    transcript: Column | str = "transcript", clip_id: Column | str = "clip_id"
+) -> Column:
+    """Boolean per-row transcript-equality invariant vs the regenerated
+    reference; NULL transcript is ABSENT (handled by minLength/required),
+    so it passes vacuously here."""
+    tc = F.col(transcript) if isinstance(transcript, str) else transcript
+    cc = F.col(clip_id) if isinstance(clip_id, str) else clip_id
+    return F.when(tc.isNull(), F.lit(True)).otherwise(
+        F.coalesce(tc == _reference_transcript_udf(cc), F.lit(False))
+    )
+
+
 def audio_snr_ok(threshold_db: float = SNR_THRESHOLD_DB, **cols) -> Column:
     """Boolean content check: decode + SNR >= threshold; NULL payload passes
     vacuously (absent property semantics, see plans/compile.py).

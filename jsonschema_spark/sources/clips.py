@@ -87,10 +87,11 @@ def _hash(i: int) -> int:
 
 
 def transcript_for(clip_id: str) -> str:
-    """Reference transcript, regenerable from clip_id alone (row invariant)."""
-    h = int.from_bytes(hashlib.md5(("t:" + clip_id).encode()).digest()[:8], "little")
-    n = 3 + h % 10
-    return " ".join(_WORDS[(h >> (4 * k)) % len(_WORDS)] for k in range(n))
+    """Reference transcript, regenerable from clip_id alone (row invariant).
+    Single source of truth shared with the checker (functions/audio)."""
+    from jsonschema_spark.functions.audio import reference_transcript
+
+    return reference_transcript(clip_id)
 
 
 def _gen_batch(ids: np.ndarray, dur_min: int, dur_max: int, violations: bool) -> pd.DataFrame:

@@ -122,3 +122,15 @@ def test_full_clips_validation_with_content_check(clips):
     totals = res.totals().collect()[0]
     assert totals.rows == 1500
     assert totals.failed == v.select("clip_id").distinct().count()
+
+
+def test_transcript_ok_invariant(clips):
+    from jsonschema_spark.functions.audio import transcript_ok
+
+    bad = clips.filter(~transcript_ok()).select("clip_id", "transcript").collect()
+    # planted: i%211==210 appended noise; i%107==106 emptied the transcript
+    # (empty -> minLength's job, but "" != reference so it fails here too)
+    expected = {
+        f"clip-{i:012d}" for i in range(1500) if i % 211 == 210 or i % 107 == 106
+    }
+    assert {r.clip_id for r in bad} == expected
