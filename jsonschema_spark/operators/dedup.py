@@ -98,10 +98,19 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with n-gram Jaccard >= threshold.
 
     Exact, index-based: pairs sharing zero shingles never meet. id_a < id_b.
+
+    ``max_shingle_freq`` is the web-scale safety valve: a shingle appearing
+    in k documents contributes k^2 candidate pairs to the self-join, so one
+    boilerplate phrase shared by 10^6 docs explodes the shuffle. Capping
+    drops shingles with document frequency above the cap from the index —
+    ``common`` then undercounts for pairs relying on hot shingles, making
+    reported jaccard a LOWER BOUND (recall loss only on boilerplate-joined
+    pairs, the ones near-dup pipelines deliberately ignore). Unset = exact.
     """
     # persist: the inverted index consumes the shingle arrays on BOTH sides
     # of the self-join; a barrier stops the O(tokens^2) shingle build from
@@ -115,6 +124,14 @@ def jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     inv = sh.select("_id", "_size", F.explode("_sh").alias("_g"))
+    if max_shingle_freq is not None:
+        keep = (
+            inv.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("_g")
+        )
+        inv = inv.join(keep, "_g", "left_semi")
     left = inv.select(F.col("_id").alias("id_a"), F.col("_size").alias("sa"), "_g")
     right = inv.select(F.col("_id").alias("id_b"), F.col("_size").alias("sb"), "_g")
     common = (
@@ -174,6 +191,10 @@ def minhash_lsh_pairs(
     join shuffles (band, band-hash) keys — sub-quadratic, skew capped by
     band width.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     # PERSIST the signatures: banding references _sig once per band and the
     # bucket join consumes banded twice — without a materialization barrier,

@@ -175,3 +175,27 @@ def test_ivf_assignment_deterministic(spark):
     b = {r.vec_id: r.ivf_cell for r in similarity.ivf_assign(emb).collect()}
     assert a == b
     assert len(set(a.values())) > 1
+
+
+def test_jaccard_shingle_frequency_cap(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_pairs(docs, threshold=0.1).collect()}
+    # a cap above every shingle's document frequency changes nothing
+    same = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.jaccard_pairs(docs, threshold=0.1,
+                                         max_shingle_freq=10**6).collect()}
+    assert same == exact
+    # an aggressive cap only LOWERS jaccard (lower-bound contract)
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in dedup.jaccard_pairs(docs, threshold=0.0001,
+                                           max_shingle_freq=2).collect()}
+    for pair, j in capped.items():
+        if pair in exact:
+            assert j <= exact[pair] + 1e-9
+
+
+def test_minhash_band_validation(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=5)
