@@ -295,6 +295,25 @@ def _q_clips_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("clip_id", "keyword_path", "keyword")
 
 
+def _q_synth_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/validator loop: data synthesized FROM the orders schema
+    validates clean against it (rows, passed, failed, violation_count)."""
+    from jsonschema_spark.sources.synth import dataframe_for_schema
+
+    schema = {
+        **ORDERS_JSON_SCHEMA,
+        # o_orderdate is required but carries no property schema — the
+        # generator can only synthesize schematized properties
+        "required": [
+            r
+            for r in ORDERS_JSON_SCHEMA["required"]
+            if r in ORDERS_JSON_SCHEMA["properties"]
+        ],
+    }
+    df = dataframe_for_schema(spark, schema, 2000, seed=11)
+    return validate(df, schema).totals()
+
+
 def _q_clips_invariant_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-row invariant from input_hint: decoded-PCM SNR >= 30 dB
     AND transcript equality vs the regenerated reference."""
@@ -365,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_assign": _q_similarity_ivf_assign,
         "clips_validate_totals": _q_clips_validate_totals,
         "clips_violations": _q_clips_violations,
+        "synth_schema_roundtrip": _q_synth_schema_roundtrip,
         "clips_invariant_failures": _q_clips_invariant_failures,
         "clips_uniqueness": _q_clips_uniqueness,
         "clips_resumable_manifest": _q_clips_resumable_manifest,
