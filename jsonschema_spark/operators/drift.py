@@ -129,20 +129,14 @@ def _gamma_q_contfrac(a: float, x: float) -> float:
 # ---------------------------------------------------------------------------
 
 
-def psi_table(
-    current: DataFrame, baseline: DataFrame, column: str, eps: float = 1e-6
+def psi_table_from_histograms(
+    cur: DataFrame, base: DataFrame, eps: float = 1e-6
 ) -> DataFrame:
-    """Per-category PSI contributions: (category, p_cur, p_base, contribution)
-    with contribution = (p_cur - p_base) * ln(p_cur / p_base).
-
-    Zero-count proportions are floored at ``eps`` (standard smoothing) so
-    one-sided categories contribute a large-but-finite term. Same shuffle
-    shape as the chi-square path: one groupBy per side, tiny join.
-    PSI < 0.1 stable / 0.1-0.25 moderate / > 0.25 major shift (industry rule
-    of thumb).
-    """
-    cur = category_histogram(current, column).withColumnRenamed("cnt", "cur_cnt")
-    base = category_histogram(baseline, column).withColumnRenamed("cnt", "base_cnt")
+    """PSI contributions from two pre-aggregated (category, cnt) histograms —
+    reusable from batch (psi_table) and streaming (windowed histograms in
+    foreachBatch, where the stream side is already aggregated)."""
+    cur = cur.withColumnRenamed("cnt", "cur_cnt")
+    base = base.withColumnRenamed("cnt", "base_cnt")
     joined = cur.join(base, "category", "full_outer").fillna(
         0, subset=["cur_cnt", "base_cnt"]
     )
@@ -157,6 +151,25 @@ def psi_table(
         F.round(p_cur, 6).alias("p_cur"),
         F.round(p_base, 6).alias("p_base"),
         F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("contribution"),
+    )
+
+
+def psi_table(
+    current: DataFrame, baseline: DataFrame, column: str, eps: float = 1e-6
+) -> DataFrame:
+    """Per-category PSI contributions: (category, p_cur, p_base, contribution)
+    with contribution = (p_cur - p_base) * ln(p_cur / p_base).
+
+    Zero-count proportions are floored at ``eps`` (standard smoothing) so
+    one-sided categories contribute a large-but-finite term. Same shuffle
+    shape as the chi-square path: one groupBy per side, tiny join.
+    PSI < 0.1 stable / 0.1-0.25 moderate / > 0.25 major shift (industry rule
+    of thumb).
+    """
+    return psi_table_from_histograms(
+        category_histogram(current, column),
+        category_histogram(baseline, column),
+        eps,
     )
 
 

@@ -210,3 +210,43 @@ def test_stateful_running_totals(spark, tmp_path):
         .collect()
     }
     assert latest == truth
+
+
+def test_streaming_psi_matches_batch(spark, events_dir, tmp_path):
+    """Windowed histograms + foreachBatch PSI vs baseline: every completed
+    window's PSI equals the batch psi() over that window's rows."""
+    from jsonschema_spark.operators import drift as drift_ops
+    from jsonschema_spark.streaming.drift import (
+        psi_foreach_batch,
+        windowed_category_histogram,
+    )
+
+    batch_df = spark.read.parquet(events_dir)
+    baseline = batch_df  # whole table as the baseline snapshot
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    hist = windowed_category_histogram(
+        stream, "event_type", ts_col="ts", window="1 day", watermark="0 seconds"
+    )
+    results = []
+
+    def sink(df, batch_id):
+        results.extend(df.collect())
+
+    q = (
+        hist.writeStream.outputMode("append")
+        .foreachBatch(psi_foreach_batch(baseline, "event_type", sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(results) > 0
+    for r in results:
+        window_rows = batch_df.filter(
+            (F.col("ts").cast("timestamp") >= r.window_start)
+            & (F.col("ts").cast("timestamp") < r.window_end)
+        )
+        expected = drift_ops.psi(window_rows, baseline, "event_type")
+        assert r.psi == pytest.approx(expected, abs=1e-9), r

@@ -307,3 +307,18 @@ def test_generated_schema_validates_own_frame(spark):
     totals = res.totals().collect()[0]
     assert totals.rows == 2
     assert totals.failed == 0, res.violations(["id"]).collect()
+
+
+def test_every_driver_table_self_validates(spark):
+    """Closing the typemap/validator loop on ALL driver tables: the schema
+    derived from each table's StructType validates that table clean."""
+    from jsonschema_spark.operators.validate import validate
+    from jsonschema_spark.sources.tables import TPCH_TABLES, load_table
+
+    from .conftest import SF_DIR
+
+    for table in TPCH_TABLES:
+        df = load_table(spark, SF_DIR, table)
+        schema = schema_from_spark_type(df.schema)
+        totals = validate(df, schema).totals().collect()[0]
+        assert totals.failed == 0, (table, totals)
