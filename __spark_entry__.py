@@ -180,6 +180,31 @@ def _q_validate_embeddings_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# contentSchema over the raw JSON-string props column: parsed via from_json
+# with the typemap-derived struct, subschema evaluated on the parse result.
+PROPS_CONTENT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "props": {
+            "type": "string",
+            "contentMediaType": "application/json",
+            "contentSchema": {
+                "type": "object",
+                "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 40}},
+            },
+        }
+    },
+}
+
+
+def _q_validate_props_content_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return validate(ev, PROPS_CONTENT_SCHEMA).violations(["event_id"]).select(
+        "event_id", "keyword_path", "keyword"
+    )
+
+
 # Dynamic-keys (MapType) validation over the JSON-string props column:
 # required / propertyNames / additionalProperties evaluate dynamically via
 # map higher-order functions (SURVEY §2B object keywords, map branch).
@@ -361,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_summary": _q_validate_orders_summary,
         "validate_part_logic": _q_validate_part_logic,
         "validate_props_map": _q_validate_props_map,
+        "validate_props_content_schema": _q_validate_props_content_schema,
         "validate_embeddings_array": _q_validate_embeddings_array,
         "column_stats_orders": _q_column_stats_orders,
         "quantiles_lineitem": _q_quantiles_lineitem,
@@ -594,6 +620,15 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
         "validate_part_logic": part_logic_sql,
+        "validate_props_content_schema": """
+            SELECT event_id,
+                   '/properties/props/contentSchema' AS keyword_path,
+                   'contentSchema' AS keyword
+            FROM events
+            WHERE props IS NOT NULL AND NOT (
+              CAST(props->>'k' AS INTEGER) IS NOT NULL
+              AND CAST(props->>'k' AS INTEGER) >= 40)
+        """,
         "validate_embeddings_array": """
             SELECT vec_id, '/properties/embedding/minItems' AS keyword_path,
                    'minItems' AS keyword

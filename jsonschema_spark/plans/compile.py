@@ -591,6 +591,37 @@ class _Compiler:
                         f'{name} content must decode as "{s.content_media_type}"',
                     )
                     break
+        if s.content_schema is not None and isinstance(
+            dtype, (T.StringType, T.VarcharType, T.CharType)
+        ):
+            # Nested-document validation the reference only models
+            # (schema.go:128): for JSON content, derive the Spark type from
+            # contentSchema (typemap), parse with from_json, and evaluate the
+            # subschema over the parsed struct — still zero Python.
+            mt = (s.content_media_type or "application/json").split(";")[0].strip()
+            if mt == "application/json":
+                from jsonschema_spark.plans.typemap import (
+                    TypeMapError,
+                    spark_type_from_schema,
+                )
+
+                try:
+                    inner = spark_type_from_schema(s.content_schema)
+                except TypeMapError:
+                    inner = None
+                if inner is not None and isinstance(
+                    inner, (T.StructType, T.MapType, T.ArrayType)
+                ):
+                    parsed = F.from_json(col, inner)
+                    sub_ok = self.valid_expr(
+                        s.content_schema, parsed, inner,
+                        f"{ptr}/contentSchema", f"{path}!json",
+                    )
+                    out(
+                        "contentSchema",
+                        parsed.isNotNull() & F.coalesce(sub_ok, F.lit(False)),
+                        f"{name} content must validate against contentSchema",
+                    )
 
         # ---- unsupported-by-design (parity with the reference) ----
         if s.has_unevaluated() and self.opts.strict:

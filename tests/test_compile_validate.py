@@ -257,3 +257,39 @@ def test_valid_expression_stays_jvm_side(people):
     res = validate(people, schema)
     plan = res.annotated._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_content_schema_json_string_column(spark):
+    """contentSchema over a JSON-string column: parse via from_json with the
+    typemap-derived type, evaluate the subschema — no Python in the path."""
+    from pyspark.sql import Row
+
+    doc = {
+        "type": "object",
+        "properties": {
+            "payload": {
+                "type": "string",
+                "contentMediaType": "application/json",
+                "contentSchema": {
+                    "type": "object",
+                    "required": ["k"],
+                    "properties": {"k": {"type": "integer", "minimum": 10}},
+                },
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, payload='{"k": 42}'),
+            Row(rid=2, payload='{"k": 3}'),      # minimum
+            Row(rid=3, payload='{}'),             # required
+            Row(rid=4, payload='not json at all'),
+            Row(rid=5, payload=None),             # absent -> vacuous
+        ],
+        "rid long, payload string",
+    )
+    res = validate(spark_df := df, doc)
+    got = sorted((r.rid, r.keyword) for r in res.violations(["rid"]).collect())
+    assert got == [(2, "contentSchema"), (3, "contentSchema"), (4, "contentSchema")]
+    plan = res.totals()._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
