@@ -79,6 +79,16 @@ PART_LOGIC_SCHEMA = {
 }
 
 _CLIPS_N = 4000  # synthetic clips per correctness run (deterministic)
+_clips_cache: dict[int, DataFrame] = {}
+
+
+def _clips(spark: SparkSession, n: int = _CLIPS_N) -> DataFrame:
+    """Synthesized clips table, persisted once per session: five contract
+    queries consume it, and synthesis is the expensive part."""
+    key = id(spark) ^ n
+    if key not in _clips_cache:
+        _clips_cache[key] = synth_clips(spark, n).persist()
+    return _clips_cache[key]
 
 
 def _clips_options() -> CompileOptions:
@@ -309,12 +319,12 @@ def _q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_clips_validate_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clips = synth_clips(spark, _CLIPS_N)
+    clips = _clips(spark)
     return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).totals()
 
 
 def _q_clips_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clips = synth_clips(spark, _CLIPS_N)
+    clips = _clips(spark)
     return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).violations(
         ["clip_id"]
     ).select("clip_id", "keyword_path", "keyword")
@@ -344,7 +354,7 @@ def _q_clips_invariant_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND transcript equality vs the regenerated reference."""
     from jsonschema_spark.functions.audio import transcript_ok
 
-    clips = synth_clips(spark, _CLIPS_N)
+    clips = _clips(spark)
     flagged = clips.select(
         "clip_id",
         audio_snr_ok().alias("snr_ok"),
@@ -354,7 +364,7 @@ def _q_clips_invariant_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clips = synth_clips(spark, _CLIPS_N)
+    clips = _clips(spark)
     return uniqueness.uniqueness_summary(clips, "clip_id", salted=True)
 
 
