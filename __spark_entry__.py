@@ -215,6 +215,109 @@ def _q_validate_props_content_schema(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# Format-assertion + contentEncoding coverage (§2B format/content rows):
+# string columns derived deterministically from `events` with planted
+# violations; the DuckDB oracle reproduces the identical derivations.
+FORMATS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "day": {"type": "string", "format": "date"},
+        "contact": {"type": "string", "format": "email"},
+        "uid": {"type": "string", "format": "uuid"},
+        "ip": {"type": "string", "format": "ipv4"},
+        "b64": {"type": "string", "contentEncoding": "base64"},
+    },
+}
+
+
+def _q_validate_formats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    h = F.md5(eid.cast("string"))
+    uid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    df = ev.select(
+        "event_id",
+        F.when(eid % 7 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd")).alias("day"),
+        F.when(eid % 5 == 0, F.concat(F.col("event_type"), F.lit("#example.com")))
+        .otherwise(F.concat(F.col("event_type"), F.lit("@example.com"))).alias("contact"),
+        F.when(eid % 11 == 0, F.lit("zzz")).otherwise(uid).alias("uid"),
+        F.when(eid % 17 == 0, F.lit("1234.8.8"))
+        .otherwise(F.concat((eid % 256).cast("string"), F.lit(".8.8.8"))).alias("ip"),
+        F.when(eid % 13 == 0, F.lit("!!!"))
+        .otherwise(F.base64(F.encode(F.col("event_type"), "UTF-8"))).alias("b64"),
+    )
+    opts = CompileOptions(assert_formats=True)
+    return validate(df, FORMATS_SCHEMA, opts).violations(["event_id"]).select(
+        "event_id", "keyword_path", "keyword"
+    )
+
+
+# Remaining generic/numeric/string keyword coverage over lineitem:
+# multipleOf on integers AND on a fractional step (the DecimalType path),
+# const, exclusiveMaximum, min/maxLength, struct-level dependentSchemas.
+LINEITEM_KEYWORDS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "l_quantity": {"multipleOf": 2},
+        "l_tax": {"multipleOf": 0.02},
+        "l_linestatus": {"const": "F"},
+        "l_returnflag": {"minLength": 1, "maxLength": 1},
+        "l_discount": {"exclusiveMaximum": 0.08},
+    },
+    "dependentSchemas": {
+        "l_returnflag": {"properties": {"l_tax": {"maximum": 0.05}}}
+    },
+}
+
+
+def _q_validate_lineitem_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate(li, LINEITEM_KEYWORDS_SCHEMA).violations(["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "keyword_path", "keyword"
+    )
+
+
+# Object-bounds keywords over a derived MapType column: maxProperties,
+# patternProperties and dependentSchemas evaluate dynamically via map
+# higher-order functions (§2B object keywords, map branch).
+PROPS_BOUNDS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "props": {
+            "type": "object",
+            "minProperties": 1,
+            "maxProperties": 3,
+            "patternProperties": {"^v": {"maximum": 60}},
+            "dependentSchemas": {"w": {"required": ["z"]}},
+        }
+    },
+}
+
+
+def _q_validate_props_object_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    p = F.from_json("props", "map<string,int>")
+    m = F.when(
+        eid % 5 == 0,
+        F.map_concat(p, F.create_map(F.lit("v"), (eid % 100).cast("int"))),
+    ).otherwise(p)
+    m = F.when(
+        eid % 7 == 0,
+        F.map_concat(m, F.create_map(F.lit("w"), F.lit(1).cast("int"),
+                                     F.lit("x"), F.lit(2).cast("int"))),
+    ).otherwise(m)
+    df = ev.select("event_id", m.alias("props"))
+    return validate(df, PROPS_BOUNDS_SCHEMA).violations(["event_id"]).select(
+        "event_id", "keyword_path", "keyword"
+    )
+
+
 # Dynamic-keys (MapType) validation over the JSON-string props column:
 # required / propertyNames / additionalProperties evaluate dynamically via
 # map higher-order functions (SURVEY §2B object keywords, map branch).
@@ -395,6 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_violations": _q_validate_orders_violations,
         "validate_orders_summary": _q_validate_orders_summary,
         "validate_part_logic": _q_validate_part_logic,
+        "validate_formats_events": _q_validate_formats_events,
+        "validate_lineitem_keywords": _q_validate_lineitem_keywords,
+        "validate_props_object_bounds": _q_validate_props_object_bounds,
         "validate_props_map": _q_validate_props_map,
         "validate_props_content_schema": _q_validate_props_content_schema,
         "validate_embeddings_array": _q_validate_embeddings_array,
@@ -630,6 +736,113 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
         "validate_part_logic": part_logic_sql,
+        "validate_formats_events": """
+            WITH d AS (
+              SELECT event_id,
+                CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
+                     ELSE strftime(ts, '%Y-%m-%d') END AS day,
+                CASE WHEN event_id % 5 = 0 THEN event_type || '#example.com'
+                     ELSE event_type || '@example.com' END AS contact,
+                CASE WHEN event_id % 11 = 0 THEN 'zzz'
+                     ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+                          substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+                          substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+                          substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+                          substr(md5(CAST(event_id AS VARCHAR)), 21, 12) END AS uid,
+                CASE WHEN event_id % 17 = 0 THEN '1234.8.8'
+                     ELSE CAST(event_id % 256 AS VARCHAR) || '.8.8.8' END AS ip,
+                CASE WHEN event_id % 13 = 0 THEN '!!!'
+                     ELSE to_base64(encode(event_type)) END AS b64
+              FROM events
+            )
+            SELECT event_id, '/properties/day/format' AS keyword_path,
+                   'format' AS keyword
+            FROM d WHERE day IS NOT NULL
+              AND NOT regexp_matches(day, '^\\d{4}-\\d{2}-\\d{2}$')
+            UNION ALL
+            SELECT event_id, '/properties/contact/format', 'format'
+            FROM d WHERE contact IS NOT NULL
+              AND NOT regexp_matches(contact, '^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$')
+            UNION ALL
+            SELECT event_id, '/properties/uid/format', 'format'
+            FROM d WHERE uid IS NOT NULL
+              AND NOT regexp_matches(uid,
+                '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+            UNION ALL
+            SELECT event_id, '/properties/ip/format', 'format'
+            FROM d WHERE ip IS NOT NULL
+              AND NOT regexp_matches(ip, '^(\\d{1,3}\\.){3}\\d{1,3}$')
+            UNION ALL
+            SELECT event_id, '/properties/b64/contentEncoding', 'contentEncoding'
+            FROM d WHERE b64 IS NOT NULL
+              AND NOT regexp_matches(b64,
+                '^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$')
+        """,
+        "validate_lineitem_keywords": """
+            SELECT l_orderkey, l_linenumber,
+                   '/properties/l_quantity/multipleOf' AS keyword_path,
+                   'multipleOf' AS keyword
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND NOT (l_quantity % 2 = 0)
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   '/properties/l_tax/multipleOf', 'multipleOf'
+            FROM lineitem
+            WHERE l_tax IS NOT NULL AND NOT (
+              CAST(l_tax AS DECIMAL(38,10)) % CAST(0.02 AS DECIMAL(38,10)) = 0)
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   '/properties/l_linestatus/const', 'const'
+            FROM lineitem
+            WHERE l_linestatus IS NOT NULL AND l_linestatus <> 'F'
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   '/properties/l_returnflag/minLength', 'minLength'
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND length(l_returnflag) < 1
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   '/properties/l_returnflag/maxLength', 'maxLength'
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND length(l_returnflag) > 1
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   '/properties/l_discount/exclusiveMaximum', 'exclusiveMaximum'
+            FROM lineitem
+            WHERE l_discount IS NOT NULL
+              AND NOT (l_discount < CAST(0.08 AS DOUBLE))
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/dependentSchemas', 'dependentSchemas'
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+              AND NOT (l_tax IS NULL OR l_tax <= 0.05)
+        """,
+        "validate_props_object_bounds": """
+            WITH d AS (
+              SELECT event_id,
+                     props IS NOT NULL AS present,
+                     (event_id % 5 = 0) AS m5,
+                     (event_id % 7 = 0) AS m7,
+                     (event_id % 100) AS v
+              FROM events
+            )
+            SELECT event_id, '/properties/props/maxProperties' AS keyword_path,
+                   'maxProperties' AS keyword
+            FROM d WHERE present AND (1 + CASE WHEN m5 THEN 1 ELSE 0 END
+                                        + CASE WHEN m7 THEN 2 ELSE 0 END) > 3
+            UNION ALL
+            SELECT event_id, '/properties/props/minProperties', 'minProperties'
+            FROM d WHERE present AND (1 + CASE WHEN m5 THEN 1 ELSE 0 END
+                                        + CASE WHEN m7 THEN 2 ELSE 0 END) < 1
+            UNION ALL
+            SELECT event_id, '/properties/props/patternProperties',
+                   'patternProperties'
+            FROM d WHERE present AND m5 AND v > 60
+            UNION ALL
+            SELECT event_id, '/properties/props/dependentSchemas',
+                   'dependentSchemas'
+            FROM d WHERE present AND m7
+        """,
         "validate_props_content_schema": """
             SELECT event_id,
                    '/properties/props/contentSchema' AS keyword_path,

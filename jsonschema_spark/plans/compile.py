@@ -58,9 +58,10 @@ class CompileOptions:
     # Registered content checks: media-type pattern -> fn(col) -> Column.
     # The audio decode/SNR check plugs in here (functions/audio.py).
     content_checks: dict[str, Callable[[Column], Column]] = field(default_factory=dict)
-    # Fail compile on keywords we cannot evaluate (unevaluated*, $dynamic*)
-    # instead of carrying them as annotations. The reference models but never
-    # evaluates these either (SURVEY §2B); default is to reject loudly.
+    # Fail compile on keywords we cannot evaluate ($dynamicRef/$dynamicAnchor
+    # need dynamic-scope resolution; the reference never resolves them either,
+    # resolve.go). unevaluatedProperties/unevaluatedItems ARE evaluated: their
+    # annotation flow compiles to column logic (see _props_evaluated).
     strict: bool = True
 
 
@@ -582,6 +583,14 @@ class _Compiler:
             fmt_expr = _format_expr(s.format, col)
             if fmt_expr is not None:
                 out("format", fmt_expr, f'{name} must match format "{s.format}"')
+        if s.content_encoding is not None and is_stringy:
+            enc_expr = _encoding_expr(s.content_encoding, col)
+            if enc_expr is not None:
+                out(
+                    "contentEncoding",
+                    enc_expr,
+                    f'{name} content must be "{s.content_encoding}"-encoded',
+                )
         if s.content_media_type is not None:
             for pattern, fn in self.opts.content_checks.items():
                 if _media_type_matches(pattern, s.content_media_type):
@@ -612,7 +621,18 @@ class _Compiler:
                 if inner is not None and isinstance(
                     inner, (T.StructType, T.MapType, T.ArrayType)
                 ):
-                    parsed = F.from_json(col, inner)
+                    # contentEncoding applies before contentSchema: a
+                    # base64-wrapped JSON document is decoded JVM-side first.
+                    # Malformed base64 is gated by the validity regex (ANSI
+                    # unbase64 would raise) -> NULL -> contentSchema fails.
+                    src = (
+                        F.when(
+                            col.rlike(_BASE64_PATTERN), F.unbase64(col).cast("string")
+                        )
+                        if s.content_encoding == "base64"
+                        else col
+                    )
+                    parsed = F.from_json(src, inner)
                     sub_ok = self.valid_expr(
                         s.content_schema, parsed, inner,
                         f"{ptr}/contentSchema", f"{path}!json",
@@ -623,13 +643,40 @@ class _Compiler:
                         f"{name} content must validate against contentSchema",
                     )
 
-        # ---- unsupported-by-design (parity with the reference) ----
-        if s.has_unevaluated() and self.opts.strict:
-            raise CompileError(
-                f"{ptr}: unevaluatedItems/unevaluatedProperties require annotation "
-                "flow and are not evaluated (the reference models but never "
-                "evaluates them either); compile with strict=False to ignore"
+        # ---- unevaluatedItems (annotation flow over array elements) ----
+        # The reference models but never evaluates unevaluated* (walk.go:113-
+        # 114); we go further: annotation flow is expressible as column logic.
+        # An element is "evaluated" if covered by prefixItems/items/contains
+        # here or in any successfully-validating in-place applicator branch;
+        # annotations from failing branches are dropped (2020-12 semantics).
+        if s.unevaluated_items is not None and isinstance(dtype, T.ArrayType):
+            sub = s.unevaluated_items
+            ui_ptr = f"{ptr}/unevaluatedItems"
+            et = dtype.elementType
+
+            def elem_ok(x: Column, i: Column) -> Column:
+                ev = self._items_evaluated(s, col, dtype, x, i)
+                sub_ok = (
+                    F.lit(False)
+                    if sub.is_false()
+                    else F.coalesce(
+                        self.valid_expr(sub, x, et, ui_ptr, f"{path}[]"), F.lit(False)
+                    )
+                )
+                if ev is True:
+                    return F.lit(True)
+                if ev is False:
+                    return sub_ok
+                return F.coalesce(ev, F.lit(False)) | sub_ok
+
+            out(
+                "unevaluatedItems",
+                F.size(F.filter(col, lambda x, i: ~elem_ok(x, i))) == 0,
+                f"{name} must not have unevaluated items"
+                + (" (unevaluatedItems: false)" if sub.is_false() else ""),
             )
+
+        # ---- unsupported-by-design (parity with the reference) ----
         if (s.dynamic_ref or s.dynamic_anchor) and self.opts.strict:
             raise CompileError(
                 f"{ptr}: $dynamicRef/$dynamicAnchor are not resolved (matching "
@@ -868,6 +915,207 @@ class _Compiler:
                     f"{name}: presence of {k} activates a dependent schema",
                 )
 
+        # unevaluatedProperties: annotation flow as column logic. A property
+        # is "evaluated" if covered by properties/patternProperties/
+        # additionalProperties here or in any successfully-validating in-place
+        # applicator branch (allOf/anyOf/oneOf/if-then-else/dependentSchemas);
+        # annotations from failing branches are dropped (2020-12 semantics).
+        # Struct columns resolve coverage per static field name; MapType
+        # columns resolve it dynamically per key via map higher-order funcs.
+        if s.unevaluated_properties is not None:
+            sub = s.unevaluated_properties
+            up_ptr = f"{ptr}/unevaluatedProperties"
+            if is_struct:
+                for k, ft in fields.items():
+                    ev = self._props_evaluated(s, col, dtype, k, None)
+                    if ev is True:
+                        continue
+                    kp = f"{path}.{k}" if path else k
+                    present = col.getField(k).isNotNull()
+                    sub_ok = (
+                        F.lit(False)
+                        if sub.is_false()
+                        else F.coalesce(
+                            self.valid_expr(sub, col.getField(k), ft, up_ptr, kp),
+                            F.lit(False),
+                        )
+                    )
+                    allowed = (
+                        sub_ok if ev is False else F.coalesce(ev, F.lit(False)) | sub_ok
+                    )
+                    raw = F.when(present, allowed).otherwise(F.lit(True))
+                    msg = (
+                        f"{kp} is not allowed (unevaluatedProperties: false)"
+                        if sub.is_false()
+                        else f"{kp} must match unevaluatedProperties"
+                    )
+                    if granular:
+                        self.emit(up_ptr, "unevaluatedProperties", kp, msg,
+                                  self._vacuous(col, raw))
+                    else:
+                        collect(self._vacuous(col, raw))
+            elif is_map:
+                vt = dtype.valueType
+
+                def _key_unev(k: Column) -> Column:
+                    ev = self._props_evaluated(s, col, dtype, None, k)
+                    if ev is True:
+                        return F.lit(False)
+                    if ev is False:
+                        return F.lit(True)
+                    return ~F.coalesce(ev, F.lit(False))
+
+                unev = F.map_filter(col, lambda k, v: _key_unev(k))
+                if sub.is_false():
+                    raw = F.size(F.map_keys(unev)) == 0
+                else:
+                    raw = F.forall(
+                        F.map_values(unev),
+                        lambda v: self.valid_expr(sub, v, vt, up_ptr, f"{path}[*]"),
+                    )
+                out(
+                    "unevaluatedProperties",
+                    raw,
+                    f"{name} must not have unevaluated properties"
+                    + (" (unevaluatedProperties: false)" if sub.is_false() else ""),
+                )
+
+    # -- annotation flow (unevaluatedProperties / unevaluatedItems) --
+
+    def _props_evaluated(
+        self,
+        s: Schema,
+        col: Column,
+        dtype: T.DataType,
+        key: Optional[str],
+        key_col: Optional[Column],
+    ):
+        """Is property ``key`` (static struct name) / ``key_col`` (dynamic map
+        key) evaluated by ``s`` or a successfully-validating in-place
+        applicator branch? Returns True, False, or a boolean Column."""
+        if s.is_true() or s.is_false():
+            return False  # boolean schemas carry no applicator keywords
+        if s.additional_properties is not None:
+            return True  # additionalProperties evaluates every remaining key
+        parts: list[Column] = []
+        if s.properties:
+            if key is not None:
+                if key in s.properties:
+                    return True
+            else:
+                parts.append(key_col.isin(*s.properties.keys()))
+        if s.pattern_properties:
+            if key is not None:
+                if any(re.search(p, key) for p in s.pattern_properties):
+                    return True
+            else:
+                parts.append(_any_rlike(key_col, list(s.pattern_properties)))
+
+        def add_branch(branch: Schema, applies: Optional[Column] = None) -> None:
+            ev = self._props_evaluated(branch, col, dtype, key, key_col)
+            if ev is False:
+                return
+            cond = F.coalesce(
+                self.valid_expr(branch, col, dtype, "", ""), F.lit(False)
+            )
+            if applies is not None:
+                cond = applies & cond
+            parts.append(cond if ev is True else cond & F.coalesce(ev, F.lit(False)))
+
+        for branch in (s.all_of or []):
+            add_branch(branch)
+        for branch in (s.any_of or []):
+            add_branch(branch)
+        for branch in (s.one_of or []):
+            add_branch(branch)
+        if s.if_ is not None:
+            if_valid = F.coalesce(
+                self.valid_expr(s.if_, col, dtype, "", ""), F.lit(False)
+            )
+            add_branch(s.if_)
+            if s.then is not None:
+                add_branch(s.then, applies=if_valid)
+            if s.else_ is not None:
+                add_branch(s.else_, applies=~if_valid)
+        if s.dependent_schemas:
+            struct_fields = (
+                {f_.name for f_ in dtype.fields}
+                if isinstance(dtype, T.StructType)
+                else set()
+            )
+            for k2, branch in s.dependent_schemas.items():
+                if isinstance(dtype, T.StructType):
+                    present = (
+                        col.getField(k2).isNotNull()
+                        if k2 in struct_fields
+                        else F.lit(False)
+                    )
+                else:
+                    present = F.map_contains_key(col, F.lit(k2))
+                add_branch(branch, applies=present)
+        # `not` never contributes annotations (its subschema must FAIL for the
+        # keyword to pass, and failing schemas drop their annotations).
+        if not parts:
+            return False
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw | p
+        return raw
+
+    def _items_evaluated(
+        self, s: Schema, col: Column, dtype: T.ArrayType, x: Column, i: Column
+    ):
+        """Is element ``x`` at 0-based index ``i`` evaluated by ``s`` or a
+        successfully-validating in-place applicator branch? Returns True,
+        False, or a boolean Column."""
+        if s.is_true() or s.is_false():
+            return False
+        if s.items is not None:
+            return True  # items evaluates everything beyond prefixItems
+        parts: list[Column] = []
+        if s.prefix_items:
+            parts.append(i < len(s.prefix_items))
+        if s.contains is not None:
+            et = dtype.elementType
+            parts.append(
+                F.coalesce(
+                    self.valid_expr(s.contains, x, et, "", ""), F.lit(False)
+                )
+            )
+
+        def add_branch(branch: Schema, applies: Optional[Column] = None) -> None:
+            ev = self._items_evaluated(branch, col, dtype, x, i)
+            if ev is False:
+                return
+            cond = F.coalesce(
+                self.valid_expr(branch, col, dtype, "", ""), F.lit(False)
+            )
+            if applies is not None:
+                cond = applies & cond
+            parts.append(cond if ev is True else cond & F.coalesce(ev, F.lit(False)))
+
+        for branch in (s.all_of or []):
+            add_branch(branch)
+        for branch in (s.any_of or []):
+            add_branch(branch)
+        for branch in (s.one_of or []):
+            add_branch(branch)
+        if s.if_ is not None:
+            if_valid = F.coalesce(
+                self.valid_expr(s.if_, col, dtype, "", ""), F.lit(False)
+            )
+            add_branch(s.if_)
+            if s.then is not None:
+                add_branch(s.then, applies=if_valid)
+            if s.else_ is not None:
+                add_branch(s.else_, applies=~if_valid)
+        if not parts:
+            return False
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw | p
+        return raw
+
 
 def _any_rlike(k: Column, patterns: list[str]) -> Column:
     raw = F.lit(False)
@@ -914,6 +1162,20 @@ _FORMAT_PATTERNS = {
 def _format_expr(fmt: str, col: Column) -> Optional[Column]:
     pat = _FORMAT_PATTERNS.get(fmt)
     return col.rlike(pat) if pat is not None else None
+
+
+# Strict RFC 4648: groups of 4 from the base64 alphabet, optionally one
+# terminal padded group; total length ≡ 0 (mod 4). The same regex is valid
+# RE2 (DuckDB oracle) and Java (Spark rlike).
+_BASE64_PATTERN = r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+
+def _encoding_expr(enc: str, col: Column) -> Optional[Column]:
+    """contentEncoding validity (schema.go:126): only base64 asserts; other
+    encodings (e.g. quoted-printable) stay annotation-only like the spec."""
+    if enc == "base64":
+        return col.rlike(_BASE64_PATTERN)
+    return None
 
 
 def _media_type_matches(pattern: str, media_type: str) -> bool:

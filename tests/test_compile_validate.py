@@ -293,3 +293,206 @@ def test_content_schema_json_string_column(spark):
     assert got == [(2, "contentSchema"), (3, "contentSchema"), (4, "contentSchema")]
     plan = res.totals()._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_content_encoding_base64(spark):
+    """contentEncoding (schema.go:126): base64 validity asserted JVM-side via
+    the RFC 4648 regex; unknown encodings stay annotation-only."""
+    from pyspark.sql import Row
+
+    doc = {
+        "type": "object",
+        "properties": {
+            "payload": {"type": "string", "contentEncoding": "base64"},
+            "other": {"type": "string", "contentEncoding": "quoted-printable"},
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, payload="aGVsbG8=", other="=3D"),   # valid
+            Row(rid=2, payload="not base64!!", other="x"), # alphabet violation
+            Row(rid=3, payload="abc", other=None),          # length % 4 != 0
+            Row(rid=4, payload="", other=None),             # empty is valid
+            Row(rid=5, payload=None, other=None),           # absent -> vacuous
+        ],
+        "rid long, payload string, other string",
+    )
+    res = validate(df, doc)
+    got = sorted((r.rid, r.keyword) for r in res.violations(["rid"]).collect())
+    assert got == [(2, "contentEncoding"), (3, "contentEncoding")]
+
+
+def test_content_schema_base64_wrapped_json(spark):
+    """contentEncoding composes with contentSchema: decode base64 first, then
+    from_json + subschema evaluation; malformed base64 fails BOTH keywords."""
+    import base64 as b64
+    import json as js
+
+    from pyspark.sql import Row
+
+    enc = lambda o: b64.b64encode(js.dumps(o).encode()).decode()
+    doc = {
+        "type": "object",
+        "properties": {
+            "payload": {
+                "type": "string",
+                "contentEncoding": "base64",
+                "contentMediaType": "application/json",
+                "contentSchema": {
+                    "type": "object",
+                    "required": ["k"],
+                    "properties": {"k": {"type": "integer", "minimum": 40}},
+                },
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, payload=enc({"k": 50})),
+            Row(rid=2, payload=enc({"k": 5})),   # inner minimum
+            Row(rid=3, payload="%%%"),            # not base64 at all
+            Row(rid=4, payload=None),             # absent -> vacuous
+        ],
+        "rid long, payload string",
+    )
+    res = validate(df, doc)
+    got = {}
+    for r in res.violations(["rid"]).collect():
+        got.setdefault(r.rid, set()).add(r.keyword)
+    assert got == {
+        2: {"contentSchema"},
+        3: {"contentEncoding", "contentSchema"},
+    }
+    plan = res.totals()._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_unevaluated_properties_struct(spark):
+    """unevaluatedProperties with annotation flow (SURVEY §7 hard part): a
+    property counts as evaluated only via properties/patternProperties/
+    additionalProperties here or in a successfully-VALIDATING in-place
+    applicator branch; failing branches drop their annotations."""
+    from pyspark.sql import Row
+
+    doc = {
+        "type": "object",
+        "properties": {"rid": {}, "a": {"type": "integer"}},
+        "allOf": [{"properties": {"b": {"type": "integer", "maximum": 10}}}],
+        "if": {"properties": {"a": {"minimum": 5}}, "required": ["a"]},
+        "then": {"properties": {"c": {}}},
+        "unevaluatedProperties": False,
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, a=1, b=5, c=None, d=None),   # clean (c/d absent)
+            Row(rid=2, a=7, b=5, c=3, d=None),      # c evaluated via then
+            Row(rid=3, a=1, b=5, c=3, d=None),      # if fails -> c unevaluated
+            Row(rid=4, a=7, b=20, c=None, d=None),  # allOf branch fails -> b unevaluated
+            Row(rid=5, a=7, b=None, c=None, d=4),   # d never evaluated
+        ],
+        "rid long, a int, b int, c int, d int",
+    )
+    res = validate(df, doc)
+    v = _violated(res, "rid")
+    assert v == {
+        3: {"unevaluatedProperties"},
+        4: {"maximum", "unevaluatedProperties"},
+        5: {"unevaluatedProperties"},
+    }
+
+
+def test_unevaluated_properties_map(spark):
+    """Dynamic-key (MapType) unevaluatedProperties via map higher-order
+    functions: unmatched keys must satisfy the subschema."""
+    from pyspark.sql import types as TT
+
+    doc = {
+        "type": "object",
+        "properties": {
+            "props": {
+                "type": "object",
+                "properties": {"k": {}},
+                "patternProperties": {"^x": {}},
+                "unevaluatedProperties": {"maximum": 5},
+            }
+        },
+    }
+    schema = TT.StructType(
+        [
+            TT.StructField("rid", TT.LongType()),
+            TT.StructField("props", TT.MapType(TT.StringType(), TT.IntegerType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, {"k": 99, "zz": 3}),   # zz unevaluated but <= 5
+            (2, {"zz": 9}),             # zz unevaluated and > 5
+            (3, {"xq": 50}),            # matches ^x -> evaluated
+            (4, None),                  # absent -> vacuous
+        ],
+        schema,
+    )
+    v = _violated(validate(df, doc), "rid")
+    assert v == {2: {"unevaluatedProperties"}}
+
+
+def test_unevaluated_items(spark):
+    """unevaluatedItems: prefixItems positions and contains-matched elements
+    count as evaluated; everything else must satisfy the subschema."""
+    from pyspark.sql import Row
+
+    doc = {
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "prefixItems": [{}],
+                "contains": {"minimum": 100},
+                "unevaluatedItems": {"maximum": 10},
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, arr=[999, 5, 3]),    # idx0 prefix, 999 contains, rest <= 10
+            Row(rid=2, arr=[999, 50]),      # 50 unevaluated and > 10
+            Row(rid=3, arr=[5, 200, 11]),   # 11 unevaluated and > 10
+            Row(rid=4, arr=[1, 2]),         # contains fails; 2 <= 10 ok
+        ],
+        "rid long, arr array<int>",
+    )
+    v = _violated(validate(df, doc), "rid")
+    assert v == {2: {"unevaluatedItems"}, 3: {"unevaluatedItems"}, 4: {"contains"}}
+
+
+def test_unevaluated_items_branch_gating(spark):
+    """Annotations from a failing anyOf branch are dropped: its `items`
+    coverage only applies when the branch validates."""
+    from pyspark.sql import Row
+
+    doc = {
+        "type": "object",
+        "properties": {
+            "arr": {
+                "type": "array",
+                "anyOf": [
+                    {"items": {"type": "integer", "maximum": 50}},
+                    {"maxItems": 1},
+                ],
+                "unevaluatedItems": False,
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, arr=[1, 2, 3]),   # branch 1 validates -> all evaluated
+            Row(rid=2, arr=[99]),        # branch 2 validates but evaluates nothing
+            Row(rid=3, arr=[99, 1]),     # both branches fail
+        ],
+        "rid long, arr array<int>",
+    )
+    v = _violated(validate(df, doc), "rid")
+    assert v == {
+        2: {"unevaluatedItems"},
+        3: {"anyOf", "unevaluatedItems"},
+    }
