@@ -43,7 +43,13 @@ from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips  # noq
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", help="clips table path (parquet/iceberg)")
+    p.add_argument("--input", help="clips table path (parquet/iceberg) or "
+                                   "catalog table name with --format table")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "iceberg", "table"],
+                   help="input source: a path-based format, or 'table' for a "
+                        "catalog table (spark.read.table, the Iceberg "
+                        "catalog shape the north rule names)")
     p.add_argument("--synthesize", type=int, default=0,
                    help="generate N synthetic clips instead of reading --input")
     p.add_argument("--schema", help="path to a JSON schema document "
@@ -64,14 +70,20 @@ def main(argv=None) -> int:
     spark = (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bounded scan batches for the binary payload column: the 4096-row
+        # default allocates batch x payload-size per task (OOM risk at
+        # cluster scale with MB payloads); 512 bounds scan state per task
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synthesize:
         df = synth_clips(spark, args.synthesize)
+    elif args.input and args.format == "table":
+        df = spark.read.table(args.input)
     elif args.input:
-        df = spark.read.parquet(args.input)
+        df = spark.read.format(args.format).load(args.input)
     else:
         p.error("one of --input / --synthesize is required")
 

@@ -1152,10 +1152,35 @@ _FORMAT_PATTERNS = {
     "date": r"^\d{4}-\d{2}-\d{2}$",
     "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
     "date-time": r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$",
+    # ISO 8601: weeks, or date designators optionally + time designators, or
+    # time-only — each part required non-empty (no lookarounds: RE2-safe)
+    "duration": (
+        r"^P(\d+W"
+        r"|(\d+Y(\d+M)?(\d+D)?|\d+M(\d+D)?|\d+D)"
+        r"(T(\d+H(\d+M)?(\d+(\.\d+)?S)?|\d+M(\d+(\.\d+)?S)?|\d+(\.\d+)?S))?"
+        r"|T(\d+H(\d+M)?(\d+(\.\d+)?S)?|\d+M(\d+(\.\d+)?S)?|\d+(\.\d+)?S))$"
+    ),
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
     "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
     "ipv4": r"^(\d{1,3}\.){3}\d{1,3}$",
+    # RFC 4291 text forms: full 8-group, or one '::' compression anywhere
+    "ipv6": (
+        r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|:(:[0-9A-Fa-f]{1,4}){1,7}"
+        r"|([0-9A-Fa-f]{1,4}:){1,6}(:[0-9A-Fa-f]{1,4}){1}"
+        r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+        r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+        r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+        r"|::)$"
+    ),
     "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
+    # RFC 6901 (same grammar jsonptr.py validates driver-side)
+    "json-pointer": r"^(/([^/~]|~[01])*)*$",
+    # absolute URI: scheme ':' + no whitespace/control chars
+    "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$",
 }
 
 

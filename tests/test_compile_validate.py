@@ -496,3 +496,36 @@ def test_unevaluated_items_branch_gating(spark):
         2: {"unevaluatedItems"},
         3: {"anyOf", "unevaluatedItems"},
     }
+
+
+def test_format_assertions_extended(spark):
+    """Opt-in format vocabulary: duration / ipv6 / json-pointer / uri join
+    the original seven; all compile to a single rlike (JVM-side, RE2-safe)."""
+    from pyspark.sql import Row
+
+    from jsonschema_spark.plans.compile import CompileOptions
+
+    doc = {
+        "type": "object",
+        "properties": {
+            "dur": {"type": "string", "format": "duration"},
+            "ip6": {"type": "string", "format": "ipv6"},
+            "ptr": {"type": "string", "format": "json-pointer"},
+            "uri": {"type": "string", "format": "uri"},
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, dur="P1Y2M3DT4H5M6S", ip6="2001:db8::1", ptr="/a/b~1c",
+                uri="https://example.com/x?q=1"),
+            Row(rid=2, dur="P", ip6="1::2::3", ptr="a/b", uri="not a uri"),
+            Row(rid=3, dur="PT0.5S", ip6="::", ptr="", uri="urn:isbn:096139210x"),
+            Row(rid=4, dur=None, ip6=None, ptr=None, uri=None),
+        ],
+        "rid long, dur string, ip6 string, ptr string, uri string",
+    )
+    res = validate(df, doc, CompileOptions(assert_formats=True))
+    got = {}
+    for r in res.violations(["rid"]).collect():
+        got.setdefault(r.rid, set()).add(r.column)
+    assert got == {2: {"dur", "ip6", "ptr", "uri"}}

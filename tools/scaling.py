@@ -68,6 +68,9 @@ def session(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.python.worker.reuse", "true")
+        # bounded scan batches for the ~42KB binary payload column (see
+        # bench.py build_spark): 4096-row default = ~170MB/task buffer
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .getOrCreate()
     )
 
