@@ -421,6 +421,17 @@ def _q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assign(emb).select("vec_id", "ivf_cell")
 
 
+def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probing search; full probe (n_probe == n_cells) degenerates to
+    exact search, which pins the bucket/probe/join plumbing against the
+    same DuckDB oracle as brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=8)
+
+
 def _q_clips_validate_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = _clips(spark)
     return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).totals()
@@ -524,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": _q_similarity_cosine_topk,
         "similarity_lsh_ann": _q_similarity_lsh_ann,
         "similarity_ivf_assign": _q_similarity_ivf_assign,
+        "similarity_ivf_topk": _q_similarity_ivf_topk,
         "clips_validate_totals": _q_clips_validate_totals,
         "clips_violations": _q_clips_violations,
         "synth_schema_roundtrip": _q_synth_schema_roundtrip,
@@ -1053,6 +1065,20 @@ def oracle_sql() -> dict[str, str]:
                                                   b.embedding::DOUBLE[]), 6) AS cos
               FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
             ) WHERE cos >= 0.4
+        """,
+        # full-probe IVF == exact search: same oracle as brute force
+        "similarity_ivf_topk": """
+            SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                  q.embedding::DOUBLE[]), 6) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                             q.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c, embeddings q WHERE q.vec_id < 3
+            ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "similarity_cosine_topk": """
             SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (

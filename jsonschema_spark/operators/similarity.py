@@ -143,36 +143,86 @@ def lsh_ann_topk(
     )
 
 
-def ivf_assign(
-    df: DataFrame, n_cells: int = 16, dim: int = 64, vec_col: str = "embedding"
-) -> DataFrame:
-    """Assign each vector to its nearest deterministic pseudo-centroid.
-
-    At real scale centroids come from a k-means sample; here they are
-    hash-derived vectors so the assignment is reproducible anywhere —
-    computed once on the driver and embedded as literal arrays (per-row
-    hash derivation would sit un-folded inside the cosine HOFs).
-    """
+def _centroid(cell: int, dim: int) -> Column:
+    """Deterministic pseudo-centroid as a literal array (at real scale these
+    come from a k-means sample; hash-derived here so any executor can
+    reproduce them — computed once on the driver, never per row)."""
     import hashlib
 
-    def centroid(cell: int) -> Column:
-        vals = []
-        for d in range(dim):
-            h = int.from_bytes(
-                hashlib.md5(f"c{cell}|{d}".encode()).digest()[:8], "little"
-            )
-            vals.append((h % 1999993 - 999996.5) / 999996.5)
-        return F.array(*[F.lit(v) for v in vals])
+    vals = []
+    for d in range(dim):
+        h = int.from_bytes(
+            hashlib.md5(f"c{cell}|{d}".encode()).digest()[:8], "little"
+        )
+        vals.append((h % 1999993 - 999996.5) / 999996.5)
+    return F.array(*[F.lit(v) for v in vals])
 
-    # array of (sim, cell) structs -> array_max picks by sim (then cell);
-    # linear expression size, unlike a chained-when argmax.
-    cands = F.array(
+
+def _cell_sims(vec_col: str, n_cells: int, dim: int) -> Column:
+    """array<struct<sim,cell>> of similarities to every centroid.
+
+    Linear expression size; array_max / array_sort pick cells, unlike a
+    chained-when argmax (quadratic) would."""
+    return F.array(
         *[
             F.struct(
-                F.round(cosine(F.col(vec_col), centroid(cell)), 9).alias("sim"),
+                F.round(cosine(F.col(vec_col), _centroid(cell, dim)), 9).alias("sim"),
                 F.lit(cell).alias("cell"),
             )
             for cell in range(n_cells)
         ]
     )
-    return df.withColumn("ivf_cell", F.array_max(cands).getField("cell"))
+
+
+def ivf_assign(
+    df: DataFrame, n_cells: int = 16, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest deterministic pseudo-centroid."""
+    return df.withColumn(
+        "ivf_cell", F.array_max(_cell_sims(vec_col, n_cells, dim)).getField("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF probing: the corpus is bucketed ONCE by
+    nearest centroid; each query scores only the vectors in its ``n_probe``
+    nearest cells (exact cosine rank within the probed subset).
+
+    With ``n_probe == n_cells`` this degenerates to exact search — the
+    recall/cost dial the scale path needs (probe fraction ~ n_probe/n_cells
+    of the corpus per query). The join is corpus-bucket x broadcast query
+    probes: the corpus is never reshuffled per query.
+    """
+    c = ivf_assign(corpus.select(id_col, vec_col), n_cells, dim, vec_col)
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_sims(vec_col, n_cells, dim))), 1, n_probe),
+        lambda s: s.getField("cell"),
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            probe_cells.alias("_cells"),
+        )
+        .select(query_id_col, "_qv", F.explode("_cells").alias("ivf_cell"))
+    )
+    cand = c.join(F.broadcast(q), "ivf_cell")
+    scored = cand.select(
+        query_id_col, id_col, F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )

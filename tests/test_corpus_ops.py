@@ -199,3 +199,38 @@ def test_minhash_band_validation(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError):
         dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=5)
+
+
+def test_ivf_topk_full_probe_is_exact(spark):
+    """With n_probe == n_cells the IVF search probes every cell, so it must
+    equal exact brute-force cosine top-k row for row — the invariant that
+    pins the probe/join plumbing."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = [
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in similarity.cosine_topk(emb, queries, k=4).collect()
+    ]
+    full_probe = [
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in similarity.ivf_topk(
+            emb, queries, k=4, n_cells=8, n_probe=8
+        ).collect()
+    ]
+    assert full_probe == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """Partial probing trades recall for cost; the query's own vector lives
+    in its nearest cell, so top-1 self-recall must be perfect."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(q in by_q.get(q, set()) for q in range(5))
