@@ -117,6 +117,11 @@ def _q_validate_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(orders, ORDERS_JSON_SCHEMA).totals()
 
 
+def _q_validate_orders_by_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).by_keyword("o_orderkey")
+
+
 def _q_validate_part_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return validate(part, PART_LOGIC_SCHEMA).violations(["p_partkey"]).select(
@@ -508,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_violations": _q_validate_orders_violations,
         "validate_orders_summary": _q_validate_orders_summary,
+        "validate_orders_by_keyword": _q_validate_orders_by_keyword,
         "validate_part_logic": _q_validate_part_logic,
         "validate_formats_events": _q_validate_formats_events,
         "validate_lineitem_keywords": _q_validate_lineitem_keywords,
@@ -747,6 +753,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
+        "validate_orders_by_keyword": f"""
+            SELECT keyword_path, keyword, "column",
+                   CAST(count(*) AS BIGINT) AS violations,
+                   min(o_orderkey) AS example_min,
+                   max(o_orderkey) AS example_max
+            FROM ({_orders_violations_sql()})
+            GROUP BY keyword_path, keyword, "column"
+        """,
         "validate_part_logic": part_logic_sql,
         "validate_formats_events": """
             WITH d AS (

@@ -56,6 +56,34 @@ class ValidationResult:
             .orderBy("partition_id")
         )
 
+    def by_keyword(self, key_col: Optional[str] = None) -> DataFrame:
+        """Violation rollup per (keyword_path, keyword, column), most-violated
+        first — the triage report for a failed run.
+
+        With ``key_col``, min/max example keys ride along. Examples are
+        min/max rather than collect_set samples on purpose: aggregation
+        state stays O(1) per group at 10^12 rows (collect_set would buffer
+        every distinct key before any cap applied)."""
+        base = self.annotated.select(
+            F.explode("_violations").alias("_v"),
+            *([F.col(key_col).alias("_k")] if key_col else []),
+        )
+        sel = base.select(
+            *[F.col(f"_v.{c}").alias(c) for c in ("keyword_path", "keyword", "column")],
+            *(["_k"] if key_col else []),
+        )
+        aggs = [F.count(F.lit(1)).alias("violations")]
+        if key_col:
+            aggs += [
+                F.min("_k").alias("example_min"),
+                F.max("_k").alias("example_max"),
+            ]
+        return (
+            sel.groupBy("keyword_path", "keyword", "column")
+            .agg(*aggs)
+            .orderBy(F.desc("violations"), "keyword_path", "column")
+        )
+
     def totals(self) -> DataFrame:
         """Whole-table pass/fail rollup (single partial+final aggregate)."""
         return self.annotated.agg(

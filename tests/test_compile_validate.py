@@ -529,3 +529,27 @@ def test_format_assertions_extended(spark):
     for r in res.violations(["rid"]).collect():
         got.setdefault(r.rid, set()).add(r.column)
     assert got == {2: {"dur", "ip6", "ptr", "uri"}}
+
+
+def test_by_keyword_rollup(people):
+    """Per-keyword triage rollup: counts per (keyword_path, keyword, column)
+    plus O(1)-state min/max example keys."""
+    schema = Schema.from_value(
+        {
+            "type": "object",
+            "required": ["name"],
+            "properties": {
+                "age": {"type": "integer", "minimum": 0, "maximum": 150},
+                "email": {"type": "string", "pattern": "^[^@]+@[^@]+$"},
+            },
+        }
+    )
+    rows = validate(people, schema).by_keyword("id").collect()
+    got = {(r.keyword, r.column): (r.violations, r.example_min, r.example_max)
+           for r in rows}
+    assert got == {
+        ("required", "name"): (1, 2, 2),
+        ("minimum", "age"): (1, 2, 2),
+        ("maximum", "age"): (1, 3, 3),
+        ("pattern", "email"): (1, 2, 2),
+    }
