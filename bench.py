@@ -58,12 +58,16 @@ def build_spark() -> SparkSession:
         # keep the default arrow batch (10000): measured ~1.8x faster than
         # 2048 on the payload-heavy audio UDF stage (fewer Arrow flushes)
         #
-        # Bound the vectorized parquet reader's batch for the payload table:
-        # the default 4096 rows x ~42KB binary = ~170MB of buffer per task
-        # (5+GB transient across 32 tasks -> GC churn here, executor OOM at
-        # cluster scale with MB-sized payloads). 512 keeps per-task scan
-        # state ~21MB and costs nothing measurable on the narrow tables.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # Payload-scan GC discipline (measured 10-20x on clips_validate):
+        # 42KB binary payloads x big batches create G1 HUMONGOUS allocations
+        # (>= half a heap region) whose allocation storms stall the whole
+        # JVM for seconds. Two levers: (a) reader batch 128 rows keeps scan
+        # buffers ~5MB — under the humongous threshold; (b) 32m G1 regions
+        # raise that threshold for the remaining Arrow batch buffers. On a
+        # cluster, set the same flag via spark.executor.extraJavaOptions.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .getOrCreate()
     )
 

@@ -1,0 +1,171 @@
+"""spark-submit entry point: training-data curation pipeline over documents.
+
+Composes the engine's operators into the standard pretraining-corpus flow —
+schema validation -> quality gating -> exact dedup -> MinHash near-dedup —
+and emits the curated corpus plus a JSON funnel report. Every stage is
+DataFrame-native (SURVEY §2C + training-data operators): one scan feeds the
+validation + profile projection, dedup removals are aggregates/anti-joins
+(no windows over the full table), and the near-dup pair set rides a
+broadcast anti-join back onto the corpus.
+
+Cluster usage:
+
+    zip -r jsonschema_spark.zip jsonschema_spark
+    spark-submit --py-files jsonschema_spark.zip \\
+        jobs/curate_documents_job.py \\
+        --input <documents-parquet> --output /curated/docs \\
+        --quality-min 0.5 --min-tokens 5 --jaccard-threshold 0.6
+
+Sandbox smoke:
+
+    python jobs/curate_documents_job.py \\
+        --input /root/testdata/sf0.001/documents.parquet \\
+        --output /tmp/curated_docs --master 'local[8]'
+
+Greedy near-dedup policy (documented, deterministic): for every verified
+near-dup pair (id_a < id_b) the larger id is dropped. Chains collapse
+toward their smallest member; a dropped doc always has a smaller surviving
+near-duplicate OR its survivor was itself dropped for a yet-smaller one —
+the standard single-pass choice at corpus scale (full connected-components
+would need iterative joins for marginal gain).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from jsonschema_spark.operators import dedup, text as text_ops  # noqa: E402
+from jsonschema_spark.operators.validate import validate  # noqa: E402
+
+# The corpus contract: what a row must look like to enter curation at all.
+DOCUMENTS_JSON_SCHEMA = {
+    "$id": "https://example.com/documents.schema.json",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 1},
+        "lang": {"enum": ["en", "es", "de", "fr", "zh", "und"]},
+        "source": {"type": "string", "pattern": "^src\\d+$"},
+        "n_chars": {"type": "integer", "minimum": 0},
+    },
+}
+
+
+def curate(
+    docs,
+    quality_min: float = 0.5,
+    min_tokens: int = 5,
+    jaccard_threshold: float = 0.6,
+    schema: dict | None = None,
+):
+    """Run the funnel; returns (curated DataFrame, stats dict).
+
+    The input is scanned once into an annotated+profiled frame that is
+    persisted — every later stage (counts, gates, dedup joins) reuses it.
+    """
+    schema = schema or DOCUMENTS_JSON_SCHEMA
+    ann = validate(docs, schema).annotated
+    profiled = ann.join(
+        text_ops.text_profile(docs.select("doc_id", "text")), "doc_id"
+    ).persist()
+
+    n_input = profiled.count()
+    valid = profiled.filter(F.col("_valid"))
+    n_invalid = n_input - valid.count()
+
+    gated = valid.filter(
+        (F.col("quality") >= quality_min) & (F.col("token_count") >= min_tokens)
+    )
+    n_low_quality = n_input - n_invalid - gated.count()
+
+    # exact dedup: one survivor per content fingerprint (min doc_id), as an
+    # aggregate + semi-join — no global window, shuffle keyed by fingerprint
+    survivors = (
+        gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    )
+    exact = gated.join(survivors, ["fingerprint", "doc_id"], "left_semi")
+    n_exact_removed = n_input - n_invalid - n_low_quality - exact.count()
+
+    # near-dedup: LSH candidates verified by exact Jaccard; drop larger ids
+    pairs = dedup.minhash_lsh_pairs(
+        exact.select("doc_id", "text"), threshold=jaccard_threshold
+    )
+    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = exact.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    n_near_removed = (
+        n_input - n_invalid - n_low_quality - n_exact_removed - curated.count()
+    )
+
+    by_lang = {
+        r["lang_pred"]: r["cnt"]
+        for r in curated.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    stats = {
+        "input_rows": n_input,
+        "schema_invalid": n_invalid,
+        "low_quality": n_low_quality,
+        "exact_dups_removed": n_exact_removed,
+        "near_dups_removed": n_near_removed,
+        "output_rows": n_input - n_invalid - n_low_quality - n_exact_removed - n_near_removed,
+        "by_lang_pred": by_lang,
+    }
+    out_cols = [c for c in curated.columns if not c.startswith("_")]
+    return curated.select(*out_cols), stats
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", help="curated corpus output dir (parquet)")
+    p.add_argument("--schema", help="path to a JSON schema document "
+                                    "(default: built-in documents schema)")
+    p.add_argument("--quality-min", type=float, default=0.5)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--jaccard-threshold", type=float, default=0.6)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    builder = SparkSession.builder.appName("jsonschema-spark-curate-documents")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input)
+    schema = None
+    if args.schema:
+        with open(args.schema) as f:
+            schema = json.load(f)
+
+    curated, stats = curate(
+        docs,
+        quality_min=args.quality_min,
+        min_tokens=args.min_tokens,
+        jaccard_threshold=args.jaccard_threshold,
+        schema=schema,
+    )
+    if args.output:
+        curated.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

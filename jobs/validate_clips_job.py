@@ -70,10 +70,13 @@ def main(argv=None) -> int:
     spark = (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # bounded scan batches for the binary payload column: the 4096-row
-        # default allocates batch x payload-size per task (OOM risk at
-        # cluster scale with MB payloads); 512 bounds scan state per task
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # payload-scan GC discipline (see bench.py): sub-humongous reader
+        # batches bound scan state AND avoid G1 humongous-allocation storms
+        # (measured multi-second whole-JVM stalls with 42KB payloads at the
+        # 4096-row default); 32m regions raise the humongous threshold for
+        # the Arrow transfer buffers on every executor
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

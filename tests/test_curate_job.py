@@ -1,0 +1,56 @@
+"""End-to-end curation funnel (jobs/curate_documents_job.py): schema gate ->
+quality gate -> exact dedup -> MinHash near-dedup, with planted rows that
+exercise every funnel stage deterministically."""
+
+from pyspark.sql import Row
+
+from jobs.curate_documents_job import curate
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while rain falls on green "
+    "hills and children sing old songs near the river bank at dusk tonight"
+)
+
+
+def _doc(i, text, lang="en", source=None):
+    return Row(doc_id=i, text=text, lang=lang,
+               source=source or f"src{i}", n_chars=len(text))
+
+
+def test_curate_funnel_counts(spark):
+    rows = [
+        _doc(1, BASE + " alpha"),
+        _doc(2, BASE + " alpha"),                    # exact dup of 1 -> removed
+        _doc(3, BASE + " beta variant"),             # near-dup of 1 -> removed
+        _doc(4, "completely different tiny text about ships and harbors "
+                "sailing beyond the far horizon every single morning"),
+        _doc(5, BASE + " alpha", lang="xx"),         # schema-invalid (enum)
+        _doc(6, "tiny"),                             # low quality / few tokens
+    ]
+    docs = spark.createDataFrame(rows)
+    curated, stats = curate(docs, quality_min=0.2, min_tokens=5,
+                            jaccard_threshold=0.5)
+    ids = sorted(r.doc_id for r in curated.select("doc_id").collect())
+    assert stats["input_rows"] == 6
+    assert stats["schema_invalid"] == 1          # doc 5
+    assert stats["low_quality"] == 1             # doc 6
+    assert stats["exact_dups_removed"] == 1      # doc 2
+    assert stats["near_dups_removed"] == 1       # doc 3
+    assert stats["output_rows"] == 2
+    assert ids == [1, 4]
+
+
+def test_curate_survivors_keep_content(spark):
+    rows = [
+        _doc(1, BASE + " alpha"),
+        _doc(2, BASE + " alpha"),
+        _doc(4, "completely different tiny text about ships and harbors "
+                "sailing beyond the far horizon every single morning"),
+    ]
+    docs = spark.createDataFrame(rows)
+    curated, stats = curate(docs, quality_min=0.0, min_tokens=1,
+                            jaccard_threshold=0.9)
+    got = {r.doc_id: r.text for r in curated.select("doc_id", "text").collect()}
+    assert set(got) == {1, 4}
+    assert got[1] == BASE + " alpha"
+    assert stats["output_rows"] == 2

@@ -68,9 +68,12 @@ def session(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.python.worker.reuse", "true")
-        # bounded scan batches for the ~42KB binary payload column (see
-        # bench.py build_spark): 4096-row default = ~170MB/task buffer
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # payload-scan GC discipline (see bench.py build_spark): sub-
+        # humongous reader batches + 32m G1 regions stop multi-second
+        # allocation-storm stalls on the 42KB binary column
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .getOrCreate()
     )
 
