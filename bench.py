@@ -164,6 +164,20 @@ def q_corpus_summary(spark: SparkSession):
     return text_ops.corpus_summary(docs).collect()
 
 
+def q_curate_documents(spark: SparkSession):
+    """End-to-end training-data funnel: validate -> quality gate -> exact
+    dedup -> MinHash near-dedup (jobs/curate_documents_job.curate)."""
+    from jobs.curate_documents_job import curate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    curated, stats = curate(docs, quality_min=0.3, min_tokens=5,
+                            jaccard_threshold=0.6)
+    # curate() persists its annotated+profiled frame; release it between
+    # passes so repeated bench runs don't stack cached copies
+    spark.catalog.clearCache()
+    return stats
+
+
 def q_embedding_lsh(spark: SparkSession):
     emb = load_table(spark, SF_DIR, "embeddings")
     return dedup.embedding_near_dups(emb, threshold=0.4).count()
@@ -192,6 +206,7 @@ QUERIES = {
     "validate_part_logic": q_validate_part_logic,
     "quantiles": q_quantiles,
     "corpus_summary": q_corpus_summary,
+    "curate_documents": q_curate_documents,
     "embedding_lsh": q_embedding_lsh,
 }
 
