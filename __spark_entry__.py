@@ -117,6 +117,25 @@ def _q_validate_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(orders, ORDERS_JSON_SCHEMA).totals()
 
 
+def _q_validate_orders_summary_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pass/fail rollup via the SALTED two-phase aggregate (north
+    rule's hot-key treatment); algebraic counts make salted == plain, so
+    the DuckDB oracle pins the salted plumbing exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).summary_by(
+        ["o_orderstatus"], salted=True
+    )
+
+
+def _q_clips_summary_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(codec, sr_hz) pass/fail over the deliberately skewed clips table
+    (~70% of rows share sr_hz=16000) — salted two-phase, rows-only check."""
+    clips = _clips(spark)
+    return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).summary_by(
+        ["codec", "sr_hz"], salted=True
+    )
+
+
 def _q_validate_orders_by_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return validate(orders, ORDERS_JSON_SCHEMA).by_keyword("o_orderkey")
@@ -514,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_violations": _q_validate_orders_violations,
         "validate_orders_summary": _q_validate_orders_summary,
         "validate_orders_by_keyword": _q_validate_orders_by_keyword,
+        "validate_orders_summary_by_status": _q_validate_orders_summary_by_status,
+        "clips_summary_by_codec": _q_clips_summary_by_codec,
         "validate_part_logic": _q_validate_part_logic,
         "validate_formats_events": _q_validate_formats_events,
         "validate_lineitem_keywords": _q_validate_lineitem_keywords,
@@ -639,6 +660,20 @@ def _orders_summary_sql() -> str:
     """
 
 
+def _orders_summary_by_status_sql() -> str:
+    fails = [f for (_, _, _, _, f) in _ORDERS_CHECK_FAILS.values()]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+    viol_sum = " + ".join(f"CASE WHEN {f} THEN 1 ELSE 0 END" for f in fails)
+    return f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS "rows",
+           CAST(sum(CASE WHEN NOT ({any_fail}) THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           CAST(sum({viol_sum}) AS BIGINT) AS violation_count
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
 _TEXT_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOPWORDS_SQL = "('the','a','and','of','to','in','is','it','on','for')"
 
@@ -753,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
+        "validate_orders_summary_by_status": _orders_summary_by_status_sql(),
         "validate_orders_by_keyword": f"""
             SELECT keyword_path, keyword, "column",
                    CAST(count(*) AS BIGINT) AS violations,

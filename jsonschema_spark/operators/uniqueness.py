@@ -41,10 +41,25 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str] | str, salted: bool = Fals
     )
 
 
-def uniqueness_summary(df: DataFrame, keys: Sequence[str] | str, salted: bool = False) -> DataFrame:
-    """(total_rows, distinct_keys, duplicate_keys, duplicate_rows) one-row rollup."""
+def uniqueness_summary(df: DataFrame, keys: Sequence[str] | str, salted: bool = False,
+                       salt_buckets: int = 64) -> DataFrame:
+    """(total_rows, distinct_keys, duplicate_keys, duplicate_rows) one-row rollup.
+
+    ``salted`` routes the per-key count through the same two-phase
+    (key, salt) -> key aggregate as ``duplicate_keys`` so a hot key's
+    partial counts fan out over ``salt_buckets`` reducers."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    if salted:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        per_key = (
+            df.withColumn("_salt", salt)
+            .groupBy(*keys, "_salt")
+            .agg(F.count(F.lit(1)).alias("_partial"))
+            .groupBy(*keys)
+            .agg(F.sum("_partial").alias("cnt"))
+        )
+    else:
+        per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     return per_key.agg(
         F.sum("cnt").alias("total_rows"),
         F.count(F.lit(1)).alias("distinct_keys"),

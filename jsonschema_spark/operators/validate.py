@@ -56,6 +56,46 @@ class ValidationResult:
             .orderBy("partition_id")
         )
 
+    def summary_by(
+        self,
+        group_cols: Sequence[str],
+        salted: bool = False,
+        salt_buckets: int = 64,
+    ) -> DataFrame:
+        """Pass/fail rollup grouped by natural keys (e.g. codec, sr_hz).
+
+        ``salted`` = the north rule's hot-partition treatment: clips data is
+        deliberately skewed (~70% of rows share one sr_hz), so the grouped
+        aggregate runs two-phase — phase 1 on (keys, salt) fans the hot key
+        over ``salt_buckets`` reducers with bounded partial state, phase 2
+        merges partials per key. Counts/sums are algebraic, so results are
+        identical either way (pinned by tests)."""
+        cols = list(group_cols)
+        aggs = lambda: [  # noqa: E731 — fresh Column objects per phase
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("_valid").cast("long")).alias("passed"),
+            F.sum((~F.col("_valid")).cast("long")).alias("failed"),
+            F.sum(F.size("_violations").cast("long")).alias("violation_count"),
+        ]
+        if not salted:
+            return self.annotated.groupBy(*cols).agg(*aggs()).orderBy(*cols)
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        partial = (
+            self.annotated.withColumn("_salt", salt)
+            .groupBy(*cols, "_salt")
+            .agg(*aggs())
+        )
+        return (
+            partial.groupBy(*cols)
+            .agg(
+                F.sum("rows").alias("rows"),
+                F.sum("passed").alias("passed"),
+                F.sum("failed").alias("failed"),
+                F.sum("violation_count").alias("violation_count"),
+            )
+            .orderBy(*cols)
+        )
+
     def by_keyword(self, key_col: Optional[str] = None) -> DataFrame:
         """Violation rollup per (keyword_path, keyword, column), most-violated
         first — the triage report for a failed run.

@@ -553,3 +553,20 @@ def test_by_keyword_rollup(people):
         ("maximum", "age"): (1, 3, 3),
         ("pattern", "email"): (1, 2, 2),
     }
+
+
+def test_summary_by_salted_equals_plain(people):
+    """Grouped rollup: the salted two-phase aggregate must be value-identical
+    to the plain groupBy (counts are algebraic) — pins the salt plumbing."""
+    schema = Schema.from_value(
+        {
+            "type": "object",
+            "required": ["name"],
+            "properties": {"age": {"minimum": 0, "maximum": 150}},
+        }
+    )
+    res = validate(people, schema)
+    plain = [tuple(r) for r in res.summary_by(["name"]).collect()]
+    salted = [tuple(r) for r in res.summary_by(["name"], salted=True, salt_buckets=7).collect()]
+    assert salted == plain
+    assert sum(r[1] for r in plain) == 3  # all rows accounted for
