@@ -250,3 +250,42 @@ def test_streaming_psi_matches_batch(spark, events_dir, tmp_path):
         )
         expected = drift_ops.psi(window_rows, baseline, "event_type")
         assert r.psi == pytest.approx(expected, abs=1e-9), r
+
+
+def test_stream_clips_with_audio_udf(spark, tmp_path):
+    """The north rule's 'same compiled DAG under readStream' claim must hold
+    for the FULL clips plan — including the vectorized audio decode+SNR
+    pandas UDF content check — not just pure-Column schemas."""
+    from jsonschema_spark.functions.audio import audio_snr_ok
+    from jsonschema_spark.plans.compile import CompileOptions
+    from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips
+
+    d = str(tmp_path / "clips_stream")
+    synth_clips(spark, 600, partitions=4).write.mode("overwrite").parquet(d)
+    batch_df = spark.read.parquet(d)
+    opts = CompileOptions(content_checks={"audio/*": lambda col: audio_snr_ok()})
+
+    want = sorted(
+        tuple(r)
+        for r in validate(batch_df, CLIPS_JSON_SCHEMA, opts)
+        .violations(["clip_id"])
+        .select("clip_id", "keyword")
+        .collect()
+    )
+    assert any(kw == "contentMediaType" for _, kw in want)  # UDF check fires
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(d)
+    out = stream_violations(stream, CLIPS_JSON_SCHEMA, ["clip_id"], options=opts).select(
+        "clip_id", "keyword"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clip_viol_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_clips"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM clip_viol_stream").collect())
+    assert got == want
