@@ -342,6 +342,36 @@ def _q_validate_props_object_bounds(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# VariantType validation (Spark 4 dynamic JSON): the same compiled plan over
+# parse_json(props) with runtime type gates; derived rows plant non-object
+# and null-valued instances so type/required applicability diverges.
+PROPS_VARIANT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "props": {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 40, "maximum": 90}},
+        }
+    },
+}
+
+
+def _q_validate_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    js = (
+        F.when(eid % 4 == 1, F.lit('"str"'))
+        .when(eid % 4 == 2, F.lit("[1,2]"))
+        .when(eid % 4 == 3, F.lit('{"k": null}'))
+        .otherwise(F.col("props"))
+    )
+    df = ev.select("event_id", F.parse_json(js).alias("props"))
+    return validate(df, PROPS_VARIANT_SCHEMA).violations(["event_id"]).select(
+        "event_id", "keyword_path", "keyword"
+    )
+
+
 # Dynamic-keys (MapType) validation over the JSON-string props column:
 # required / propertyNames / additionalProperties evaluate dynamically via
 # map higher-order functions (SURVEY §2B object keywords, map branch).
@@ -540,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem_keywords": _q_validate_lineitem_keywords,
         "validate_props_object_bounds": _q_validate_props_object_bounds,
         "validate_props_map": _q_validate_props_map,
+        "validate_props_variant": _q_validate_props_variant,
         "validate_props_content_schema": _q_validate_props_content_schema,
         "validate_embeddings_array": _q_validate_embeddings_array,
         "column_stats_orders": _q_column_stats_orders,
@@ -953,6 +984,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE embedding IS NOT NULL
               AND len(list_filter(embedding,
                        x -> x IS NULL OR x >= 0.3)) > 10
+        """,
+        "validate_props_variant": """
+            WITH d AS (
+              SELECT event_id,
+                CASE WHEN event_id % 4 = 1 THEN '"str"'
+                     WHEN event_id % 4 = 2 THEN '[1,2]'
+                     WHEN event_id % 4 = 3 THEN '{"k": null}'
+                     ELSE props END AS js
+              FROM events
+            )
+            SELECT event_id, '/properties/props/type' AS keyword_path,
+                   'type' AS keyword
+            FROM d WHERE js IS NOT NULL AND json_type(js::JSON) <> 'OBJECT'
+            UNION ALL
+            SELECT event_id, '/properties/props/required', 'required'
+            FROM d WHERE js IS NOT NULL AND json_type(js::JSON) = 'OBJECT'
+              AND NOT list_contains(json_keys(js::JSON), 'k')
+            UNION ALL
+            SELECT event_id, '/properties/props/properties/k/type', 'type'
+            FROM d WHERE js IS NOT NULL AND json_type(js::JSON) = 'OBJECT'
+              AND json_type(js::JSON, '$.k') IS NOT NULL
+              AND json_type(js::JSON, '$.k') NOT IN ('UBIGINT', 'BIGINT')
+            UNION ALL
+            SELECT event_id, '/properties/props/properties/k/minimum', 'minimum'
+            FROM d WHERE js IS NOT NULL AND json_type(js::JSON) = 'OBJECT'
+              AND json_type(js::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
+              AND CAST(js::JSON->>'k' AS DOUBLE) < 40
+            UNION ALL
+            SELECT event_id, '/properties/props/properties/k/maximum', 'maximum'
+            FROM d WHERE js IS NOT NULL AND json_type(js::JSON) = 'OBJECT'
+              AND json_type(js::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
+              AND CAST(js::JSON->>'k' AS DOUBLE) > 90
         """,
         "validate_props_map": """
             SELECT event_id, '/properties/props/required' AS keyword_path,

@@ -395,9 +395,18 @@ class _Compiler:
         )
         is_temporal = isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType))
         is_array = isinstance(dtype, T.ArrayType)
+        is_variant = isinstance(dtype, T.VariantType)
+
+        # VariantType: the value's JSON type is only known at runtime, so
+        # type/enum/const and the type-gated keyword families evaluate via
+        # schema_of_variant + try_variant_get (see _variant_value_keywords).
+        # Object keywords route through a map<string,variant> view inside
+        # _object_keywords; applicators below recurse on the variant as-is.
+        if is_variant:
+            self._variant_value_keywords(s, col, ptr, path, collect, granular)
 
         # ---- type ----
-        if s.type is not None:
+        if s.type is not None and not is_variant:
             verdicts = [_json_type_matches(t, dtype) for t in s.type]
             if "null" in s.type or any(v is True for v in verdicts):
                 pass  # statically satisfied for non-null values or absents
@@ -416,14 +425,14 @@ class _Compiler:
                 )
 
         # ---- const / enum ----
-        if s.const is not None:
+        if s.const is not None and not is_variant:
             lit = _value_lit(s.const, dtype)
             if lit is None and isinstance(dtype, T.StringType):
                 lit = F.lit(_canon_json(s.const))
             raw = (col == lit) if lit is not None else F.lit(False)
             out("const", raw, f"{name} must equal the const value")
 
-        if s.enum is not None:
+        if s.enum is not None and not is_variant:
             members = [m for m in s.enum if m is not None]
             has_null = any(m is None for m in s.enum)
             lits = [_value_lit(m, dtype) for m in members]
@@ -683,6 +692,162 @@ class _Compiler:
                 "the reference, which has no handling for them in resolve.go)"
             )
 
+    # -- VariantType: runtime-typed JSON values (dynamic schema path) --
+    #
+    # A Variant's JSON type is only known per row, so keyword applicability
+    # gates become runtime predicates over schema_of_variant, and typed views
+    # are extracted with try_variant_get (NULL when the path/cast fails).
+    # Variant is the one column kind where JSON null and ABSENT are truly
+    # distinct: an absent property extracts to a Spark NULL variant (vacuous
+    # everywhere, detected by required), while a present JSON null is a
+    # non-null VOID variant (matches type:"null", present for required).
+
+    _V_NUM_SOV = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+
+    def _variant_value_keywords(
+        self,
+        s: Schema,
+        col: Column,
+        ptr: str,
+        path: str,
+        collect: Optional[Callable[[Column], None]],
+        granular: bool,
+    ) -> None:
+        name = path or "instance"
+
+        def out(keyword: str, raw: Column, message: str) -> None:
+            expr = self._vacuous(col, raw)
+            if granular:
+                self.emit(f"{ptr}/{keyword}", keyword, path, message, expr)
+            else:
+                collect(expr)
+
+        sov = F.schema_of_variant(col)
+        v_num = sov.rlike(self._V_NUM_SOV)
+        v_str = sov == "STRING"
+        v_bool = sov == "BOOLEAN"
+        v_null = sov == "VOID"
+        v_arr = sov.rlike("^ARRAY")
+        v_obj = sov.rlike("^OBJECT")
+        num = F.try_variant_get(col, "$", "double")
+        sval = F.try_variant_get(col, "$", "string")
+        arr = F.try_variant_get(col, "$", "array<variant>")
+
+        def type_pred(t: str) -> Column:
+            if t == "integer":
+                return v_num & (num == F.floor(num))
+            return {
+                "number": v_num, "string": v_str, "boolean": v_bool,
+                "null": v_null, "array": v_arr, "object": v_obj,
+            }.get(t, F.lit(False))
+
+        if s.type is not None:
+            raw = F.lit(False)
+            for t in s.type:
+                raw = raw | type_pred(t)
+            out("type", raw, f"{name} must be of type {s.type}")
+
+        def member_eq(mv: Any) -> Column:
+            if mv is None:
+                return v_null
+            if isinstance(mv, bool):
+                return v_bool & (
+                    F.try_variant_get(col, "$", "boolean") == F.lit(mv)
+                )
+            if isinstance(mv, (int, float, Decimal)):
+                return v_num & (num == _num_lit(mv).cast("double"))
+            if isinstance(mv, str):
+                return v_str & (sval == F.lit(mv))
+            # composite members: the string view of a variant is canonical
+            # JSON (sorted keys, no spaces) — same form as _canon_json
+            return (v_arr | v_obj) & (sval == F.lit(_canon_json(mv)))
+
+        if s.const is not None:
+            out("const", member_eq(s.const), f"{name} must equal the const value")
+        if s.enum is not None:
+            raw = F.lit(False)
+            for m in s.enum:
+                raw = raw | member_eq(m)
+            out("enum", raw, f"{name} must be one of the enumerated values")
+
+        # numeric (gated: inapplicable types pass)
+        if s.multiple_of is not None:
+            m = s.multiple_of
+            if isinstance(m, int):
+                mod_ok = (num % F.lit(m)) == 0
+            else:
+                if not isinstance(m, Decimal):
+                    m = Decimal(str(m))
+                scale = max(10, -m.as_tuple().exponent + 2)
+                dec = num.cast(T.DecimalType(38, min(scale, 18)))
+                mod_ok = F.pmod(dec, F.lit(m).cast(T.DecimalType(38, min(scale, 18)))) == 0
+            out("multipleOf", ~v_num | mod_ok, f"{name} must be a multiple of {_fmt_num(s.multiple_of)}")
+        if s.maximum is not None:
+            out("maximum", ~v_num | (num <= _num_lit(s.maximum)), f"{name} must be <= {_fmt_num(s.maximum)}")
+        if s.exclusive_maximum is not None:
+            out("exclusiveMaximum", ~v_num | (num < _num_lit(s.exclusive_maximum)),
+                f"{name} must be < {_fmt_num(s.exclusive_maximum)}")
+        if s.minimum is not None:
+            out("minimum", ~v_num | (num >= _num_lit(s.minimum)), f"{name} must be >= {_fmt_num(s.minimum)}")
+        if s.exclusive_minimum is not None:
+            out("exclusiveMinimum", ~v_num | (num > _num_lit(s.exclusive_minimum)),
+                f"{name} must be > {_fmt_num(s.exclusive_minimum)}")
+
+        # string (gated)
+        if s.max_length is not None:
+            out("maxLength", ~v_str | (F.length(sval) <= s.max_length),
+                f"{name} length must be <= {s.max_length}")
+        if s.min_length is not None:
+            out("minLength", ~v_str | (F.length(sval) >= s.min_length),
+                f"{name} length must be >= {s.min_length}")
+        if s.pattern is not None:
+            out("pattern", ~v_str | sval.rlike(s.pattern),
+                f'{name} must match pattern "{s.pattern}"')
+
+        # array (gated; elements recurse as variants)
+        vt = T.VariantType()
+        if s.max_items is not None:
+            out("maxItems", ~v_arr | (F.size(arr) <= s.max_items),
+                f"{name} must have <= {s.max_items} items")
+        if s.min_items is not None:
+            out("minItems", ~v_arr | (F.size(arr) >= s.min_items),
+                f"{name} must have >= {s.min_items} items")
+        if s.unique_items:
+            canon = F.transform(arr, lambda x: F.try_variant_get(x, "$", "string"))
+            out("uniqueItems", ~v_arr | (F.size(arr) == F.size(F.array_distinct(canon))),
+                f"{name} items must be unique")
+        if s.prefix_items:
+            raw = F.lit(True)
+            for i, sub in enumerate(s.prefix_items):
+                elem_ok = self.valid_expr(
+                    sub, F.element_at(arr, i + 1), vt,
+                    f"{ptr}/prefixItems/{i}", f"{path}[{i}]",
+                )
+                raw = raw & F.when(F.size(arr) <= i, F.lit(True)).otherwise(
+                    F.coalesce(elem_ok, F.lit(False))
+                )
+            out("prefixItems", ~v_arr | raw, f"{name} prefix items must match their schemas")
+        if s.items is not None:
+            n_prefix = len(s.prefix_items or [])
+            sub = s.items
+            tail = (
+                F.slice(arr, n_prefix + 1, F.greatest(F.size(arr) - n_prefix, F.lit(0)))
+                if n_prefix else arr
+            )
+            raw = F.forall(tail, lambda x: self.valid_expr(sub, x, vt, f"{ptr}/items", f"{path}[]"))
+            out("items", ~v_arr | raw, f"{name} items must match the item schema")
+        if s.contains is not None:
+            sub = s.contains
+            n_match = F.size(
+                F.filter(arr, lambda x: self.valid_expr(sub, x, vt, f"{ptr}/contains", f"{path}[]"))
+            )
+            min_c = s.min_contains if s.min_contains is not None else 1
+            out("contains", ~v_arr | (n_match >= min_c),
+                f"{name} must contain >= {min_c} matching items")
+            if s.max_contains is not None:
+                out("maxContains", ~v_arr | (n_match <= s.max_contains),
+                    f"{name} must contain <= {s.max_contains} matching items")
+
     # -- object keywords over StructType (static key set) and MapType (dynamic) --
 
     def _object_keywords(
@@ -696,6 +861,14 @@ class _Compiler:
         granular: bool,
     ) -> None:
         name = path or "instance"
+
+        # Variant objects evaluate through a map<string,variant> view: the
+        # cast is NULL for non-object variants, so object keywords pass
+        # vacuously on them (JSON Schema applicability), and map values are
+        # variants that recurse back through the variant path.
+        if isinstance(dtype, T.VariantType):
+            col = F.try_variant_get(col, "$", "map<string,variant>")
+            dtype = T.MapType(T.StringType(), T.VariantType())
 
         def out(keyword: str, raw: Column, message: str, vacuous: bool = True) -> None:
             expr = self._vacuous(col, raw) if vacuous else F.coalesce(raw, F.lit(False))

@@ -570,3 +570,70 @@ def test_summary_by_salted_equals_plain(people):
     salted = [tuple(r) for r in res.summary_by(["name"], salted=True, salt_buckets=7).collect()]
     assert salted == plain
     assert sum(r[1] for r in plain) == 3  # all rows accounted for
+
+
+def test_variant_dynamic_json_validation(spark):
+    """VariantType: runtime-typed JSON values. Keyword applicability gates
+    become schema_of_variant predicates; object keywords run over a
+    map<string,variant> view; JSON null and ABSENT are truly distinct
+    (present null satisfies required but fails type:'integer')."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 15, "tags": ["a", "b"]}'),   # valid
+            (2, '{"k": 5}'),                          # k minimum
+            (3, '{"k": "x"}'),                        # k type
+            (4, '{"tags": ["a", "a"]}'),              # required k + uniqueItems
+            (5, '"just a string"'),                   # root type (not object)
+            (6, '{"k": null}'),                       # k present (required ok) but VOID -> k type
+            (7, '{"k": 12, "a": 1, "b": 2, "c": 3}'), # maxProperties
+            (8, 'null'),                              # JSON null -> root type
+            (9, None),                                # ABSENT -> vacuous
+        ],
+        "rid long, js string",
+    )
+    df = df.select("rid", F.parse_json("js").alias("v"))
+    doc = {
+        "type": "object",
+        "properties": {
+            "v": {
+                "type": "object",
+                "required": ["k"],
+                "maxProperties": 3,
+                "properties": {
+                    "k": {"type": "integer", "minimum": 10},
+                    "tags": {
+                        "type": "array",
+                        "items": {"type": "string"},
+                        "uniqueItems": True,
+                        "minItems": 1,
+                    },
+                },
+            }
+        },
+    }
+    v = _violated(validate(df, doc), "rid")
+    assert v == {
+        2: {"minimum"},
+        3: {"type"},
+        4: {"required", "uniqueItems"},
+        5: {"type"},
+        6: {"type"},
+        7: {"maxProperties"},
+        8: {"type"},
+    }
+
+
+def test_variant_mixed_enum_and_const(spark):
+    """Deep-equality enum over variants: numeric members match across JSON
+    number representations; composite members compare via canonical JSON."""
+    df = spark.createDataFrame(
+        [
+            (1, "1"), (2, '"two"'), (3, "null"), (4, "[1,2]"),
+            (5, "2"), (6, '"TWO"'), (7, "1.0"), (8, '[1, 2]'),
+        ],
+        "rid long, js string",
+    )
+    df = df.select("rid", F.parse_json("js").alias("v"))
+    doc = {"properties": {"v": {"enum": [1, "two", None, [1, 2]]}}}
+    v = _violated(validate(df, doc), "rid")
+    assert v == {5: {"enum"}, 6: {"enum"}}
