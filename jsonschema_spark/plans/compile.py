@@ -627,30 +627,36 @@ class _Compiler:
                     inner = spark_type_from_schema(s.content_schema)
                 except TypeMapError:
                     inner = None
+                # contentEncoding applies before contentSchema: a
+                # base64-wrapped JSON document is decoded JVM-side first.
+                # Malformed base64 is gated by the validity regex (ANSI
+                # unbase64 would raise) -> NULL -> contentSchema fails.
+                src = (
+                    F.when(
+                        col.rlike(_BASE64_PATTERN), F.unbase64(col).cast("string")
+                    )
+                    if s.content_encoding == "base64"
+                    else col
+                )
                 if inner is not None and isinstance(
                     inner, (T.StructType, T.MapType, T.ArrayType)
                 ):
-                    # contentEncoding applies before contentSchema: a
-                    # base64-wrapped JSON document is decoded JVM-side first.
-                    # Malformed base64 is gated by the validity regex (ANSI
-                    # unbase64 would raise) -> NULL -> contentSchema fails.
-                    src = (
-                        F.when(
-                            col.rlike(_BASE64_PATTERN), F.unbase64(col).cast("string")
-                        )
-                        if s.content_encoding == "base64"
-                        else col
-                    )
                     parsed = F.from_json(src, inner)
-                    sub_ok = self.valid_expr(
-                        s.content_schema, parsed, inner,
-                        f"{ptr}/contentSchema", f"{path}!json",
-                    )
-                    out(
-                        "contentSchema",
-                        parsed.isNotNull() & F.coalesce(sub_ok, F.lit(False)),
-                        f"{name} content must validate against contentSchema",
-                    )
+                else:
+                    # schema has no single static Spark type (mixed-type
+                    # unions, scalar roots, dynamic shapes): parse to a
+                    # VARIANT and evaluate through the runtime-typed path
+                    parsed = F.try_parse_json(src)
+                    inner = T.VariantType()
+                sub_ok = self.valid_expr(
+                    s.content_schema, parsed, inner,
+                    f"{ptr}/contentSchema", f"{path}!json",
+                )
+                out(
+                    "contentSchema",
+                    parsed.isNotNull() & F.coalesce(sub_ok, F.lit(False)),
+                    f"{name} content must validate against contentSchema",
+                )
 
         # ---- unevaluatedItems (annotation flow over array elements) ----
         # The reference models but never evaluates unevaluated* (walk.go:113-

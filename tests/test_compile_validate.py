@@ -637,3 +637,45 @@ def test_variant_mixed_enum_and_const(spark):
     doc = {"properties": {"v": {"enum": [1, "two", None, [1, 2]]}}}
     v = _violated(validate(df, doc), "rid")
     assert v == {5: {"enum"}, 6: {"enum"}}
+
+
+def test_content_schema_variant_fallback(spark):
+    """contentSchema whose document has no single static Spark type (scalar
+    roots, mixed-type unions) parses to a VARIANT and evaluates through the
+    runtime-typed path instead of being skipped."""
+    from pyspark.sql import Row
+
+    doc = {
+        "type": "object",
+        "properties": {
+            "payload": {
+                "type": "string",
+                "contentMediaType": "application/json",
+                "contentSchema": {
+                    "anyOf": [
+                        {"type": "integer", "minimum": 10},
+                        {"type": "string", "minLength": 3},
+                    ]
+                },
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, payload="42"),          # integer branch
+            Row(rid=2, payload='"hello"'),     # string branch
+            Row(rid=3, payload="5"),           # fails both branches
+            Row(rid=4, payload='"ab"'),        # too short
+            Row(rid=5, payload="not json"),    # parse failure
+            Row(rid=6, payload="[1,2]"),       # array matches neither
+            Row(rid=7, payload=None),          # absent -> vacuous
+        ],
+        "rid long, payload string",
+    )
+    v = _violated(validate(df, doc), "rid")
+    assert v == {
+        3: {"contentSchema"},
+        4: {"contentSchema"},
+        5: {"contentSchema"},
+        6: {"contentSchema"},
+    }
