@@ -24,6 +24,7 @@ import re
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jsonschema_spark.operators.validate import validate
@@ -390,4 +391,307 @@ def test_spark_matches_independent_evaluator(spark, schema, rows):
         want = py_valid(schema, inst)
         assert got[i] == want, (
             f"row {i}: spark={got[i]} python={want}\nschema={schema}\nrow={r}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Variant fuzz: dynamic JSON instances against the same independent evaluator
+# ---------------------------------------------------------------------------
+
+
+class _JNull:
+    """Sentinel for a PRESENT JSON null (distinct from absent/None)."""
+
+    def __repr__(self):
+        return "JNULL"
+
+
+JNULL = _JNull()
+
+
+def _jeq(v, m):
+    """Instance-vs-member equality with the JNULL sentinel folded to None."""
+    if v is JNULL:
+        return m is None
+    return v == m
+
+
+def py_valid_v(s, v) -> bool:
+    """py_valid over dynamic JSON instances: JNULL = present JSON null
+    (matches type:'null', satisfies presence, inapplicable elsewhere)."""
+    if _is_true(s):
+        return True
+    if _is_false(s):
+        return v is None
+    if v is None:
+        return True
+    if v is JNULL:
+        ok = True
+        if "type" in s:
+            ts = s["type"] if isinstance(s["type"], list) else [s["type"]]
+            ok &= "null" in ts
+        if "const" in s:
+            ok &= s["const"] is None
+        if "enum" in s:
+            ok &= any(m is None for m in s["enum"])
+        for sub in s.get("allOf", []):
+            ok &= py_valid_v(sub, v)
+        if "anyOf" in s:
+            ok &= any(py_valid_v(sub, v) for sub in s["anyOf"])
+        if "oneOf" in s:
+            ok &= sum(1 for sub in s["oneOf"] if py_valid_v(sub, v)) == 1
+        if "not" in s and not _is_false(s):
+            sub = s["not"]
+            ok &= False if _is_true(sub) else not py_valid_v(sub, v)
+        if "if" in s:
+            if py_valid_v(s["if"], v):
+                ok &= py_valid_v(s["then"], v) if "then" in s else True
+            else:
+                ok &= py_valid_v(s["else"], v) if "else" in s else True
+        return bool(ok)
+
+    ok = True
+    is_num = isinstance(v, (int, float)) and not isinstance(v, bool)
+    is_str = isinstance(v, str)
+    is_arr = isinstance(v, list)
+    is_obj = isinstance(v, dict)
+
+    if "type" in s:
+        ts = s["type"] if isinstance(s["type"], list) else [s["type"]]
+        ok &= any(_type_match(t, v) for t in ts)
+    if "const" in s:
+        ok &= _jeq(v, s["const"])
+    if "enum" in s:
+        ok &= any(_jeq(v, m) for m in s["enum"])
+    if is_num:
+        if "minimum" in s:
+            ok &= v >= s["minimum"]
+        if "maximum" in s:
+            ok &= v <= s["maximum"]
+        if "exclusiveMinimum" in s:
+            ok &= v > s["exclusiveMinimum"]
+        if "exclusiveMaximum" in s:
+            ok &= v < s["exclusiveMaximum"]
+        if "multipleOf" in s:
+            ok &= math.fmod(v, s["multipleOf"]) == 0
+    if is_str:
+        if "minLength" in s:
+            ok &= len(v) >= s["minLength"]
+        if "maxLength" in s:
+            ok &= len(v) <= s["maxLength"]
+        if "pattern" in s:
+            ok &= re.search(s["pattern"], v) is not None
+    if is_arr:
+        if "minItems" in s:
+            ok &= len(v) >= s["minItems"]
+        if "maxItems" in s:
+            ok &= len(v) <= s["maxItems"]
+        if s.get("uniqueItems"):
+            ok &= len(set(map(repr, v))) == len(v)
+        prefix = s.get("prefixItems", [])
+        for i, sub in enumerate(prefix):
+            if i < len(v):
+                ok &= py_valid_v(sub, v[i])
+        if "items" in s:
+            ok &= all(py_valid_v(s["items"], x) for x in v[len(prefix):])
+        if "contains" in s:
+            n = sum(1 for x in v if py_valid_v(s["contains"], x))
+            ok &= n >= s.get("minContains", 1)
+            if "maxContains" in s:
+                ok &= n <= s["maxContains"]
+    if is_obj:
+        ok &= _object_valid_v(s, v)
+
+    for sub in s.get("allOf", []):
+        ok &= py_valid_v(sub, v)
+    if "anyOf" in s:
+        ok &= any(py_valid_v(sub, v) for sub in s["anyOf"])
+    if "oneOf" in s:
+        ok &= sum(1 for sub in s["oneOf"] if py_valid_v(sub, v)) == 1
+    if "not" in s and not _is_false(s):
+        sub = s["not"]
+        ok &= False if _is_true(sub) else not py_valid_v(sub, v)
+    if "if" in s:
+        if py_valid_v(s["if"], v):
+            ok &= py_valid_v(s["then"], v) if "then" in s else True
+        else:
+            ok &= py_valid_v(s["else"], v) if "else" in s else True
+    return bool(ok)
+
+
+def _object_valid_v(s, row: dict) -> bool:
+    ok = True
+    props = s.get("properties", {})
+    pats = s.get("patternProperties", {})
+    for k in s.get("required", []):
+        ok &= k in row  # JSON-null values still satisfy presence
+    for k, sub in props.items():
+        if k in row:
+            ok &= py_valid_v(sub, row[k])
+    for pat, sub in pats.items():
+        for k in row:
+            if re.search(pat, k):
+                ok &= py_valid_v(sub, row[k])
+    if "additionalProperties" in s:
+        ap = s["additionalProperties"]
+        extras = [
+            k for k in row
+            if k not in props and not any(re.search(p, k) for p in pats)
+        ]
+        for k in extras:
+            if _is_false(ap):
+                ok &= False  # keys in a variant object are always present
+            elif not _is_true(ap):
+                ok &= py_valid_v(ap, row[k])
+    if "propertyNames" in s:
+        ok &= all(py_valid_v(s["propertyNames"], k) for k in row)
+    if "minProperties" in s:
+        ok &= len(row) >= s["minProperties"]
+    if "maxProperties" in s:
+        ok &= len(row) <= s["maxProperties"]
+    for k, deps in s.get("dependentRequired", {}).items():
+        if k in row:
+            ok &= all(d in row for d in deps)
+    for k, sub in s.get("dependentSchemas", {}).items():
+        if k in row:
+            ok &= py_valid_v(sub, row)
+    return bool(ok)
+
+
+_j_scal = st.one_of(
+    st.just(JNULL), _ints, _words, st.sampled_from([-2.5, 0.5, 3.0])
+)
+_j_elem = st.one_of(_ints, _words)
+_j_inst = st.one_of(
+    _j_scal,
+    st.lists(_j_elem, max_size=4),
+    st.dictionaries(
+        st.sampled_from(["k", "v", "w", "x1"]),
+        st.one_of(_j_scal, st.lists(_j_elem, max_size=3)),
+        max_size=4,
+    ),
+)
+
+_j_members = st.lists(
+    st.one_of(st.none(), _ints, _words), min_size=1, max_size=3
+)
+
+
+def _v_scalar_schema():
+    elem = st.fixed_dictionaries(
+        {}, optional={"type": st.sampled_from(["integer", "string"]), "minimum": _ints}
+    )
+    return st.fixed_dictionaries(
+        {},
+        optional={
+            "type": st.sampled_from(
+                ["integer", "number", "string", "array", "object", "null",
+                 ["integer", "null"], ["string", "number"]]
+            ),
+            "enum": _j_members,
+            # const: null is unrepresentable in the document model (None ==
+            # keyword absent) — same conflation as the reference's Go
+            # `Const any` field (nil == unset), so don't generate it
+            "const": st.one_of(_ints, _words),
+            "minimum": _ints,
+            "maximum": _ints,
+            "multipleOf": st.sampled_from([2, 3]),
+            "minLength": st.integers(0, 4),
+            "maxLength": st.integers(0, 4),
+            "pattern": _patterns,
+            "minItems": st.integers(0, 3),
+            "maxItems": st.integers(0, 4),
+            "uniqueItems": st.booleans(),
+            "items": elem,
+            "prefixItems": st.lists(elem, min_size=1, max_size=2),
+            "contains": elem,
+            "minContains": st.integers(0, 2),
+            "maxContains": st.integers(0, 3),
+        },
+    )
+
+
+def _v_object_schema():
+    return st.fixed_dictionaries(
+        {},
+        optional={
+            "properties": st.dictionaries(
+                st.sampled_from(["k", "v", "w"]), _v_scalar_schema(),
+                min_size=1, max_size=2,
+            ),
+            "required": st.lists(
+                st.sampled_from(["k", "v", "w"]), unique=True, max_size=2
+            ),
+            "patternProperties": st.fixed_dictionaries(
+                {}, optional={"^k": _v_scalar_schema()}
+            ),
+            "additionalProperties": st.sampled_from([False]) | _v_scalar_schema(),
+            "propertyNames": st.fixed_dictionaries(
+                {}, optional={"pattern": _patterns, "maxLength": st.integers(1, 3)}
+            ),
+            "minProperties": st.integers(0, 3),
+            "maxProperties": st.integers(0, 4),
+            "dependentRequired": st.fixed_dictionaries(
+                {}, optional={"k": st.lists(st.sampled_from(["v", "w"]), unique=True, min_size=1, max_size=2)}
+            ),
+            "dependentSchemas": st.fixed_dictionaries(
+                {}, optional={"k": st.deferred(_v_object_schema)}
+            ),
+        },
+    )
+
+
+def _v_schema():
+    base = st.one_of(_v_scalar_schema(), _v_object_schema())
+    return st.fixed_dictionaries(
+        {},
+        optional={
+            "allOf": st.lists(base, min_size=1, max_size=2),
+            "anyOf": st.lists(base, min_size=1, max_size=2),
+            "oneOf": st.lists(base, min_size=1, max_size=2),
+            "not": base,
+            "if": base,
+            "then": base,
+            "else": base,
+        },
+    ).flatmap(
+        lambda apps: base.map(lambda b: {**b, **apps})
+    )
+
+
+def _encode(v):
+    if v is JNULL:
+        return None
+    if isinstance(v, dict):
+        return {k: _encode(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_encode(x) for x in v]
+    return v
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(schema=_v_schema(), insts=st.lists(st.none() | _j_inst, min_size=4, max_size=8))
+def test_variant_matches_independent_evaluator(spark, schema, insts):
+    import json as _json
+
+    rows = [
+        (i, None if v is None else _json.dumps(_encode(v)))
+        for i, v in enumerate(insts)
+    ]
+    df = spark.createDataFrame(rows, "rid long, js string").select(
+        "rid", F.parse_json("js").alias("v")
+    )
+    doc = {"type": "object", "properties": {"v": schema}}
+    got = {
+        r["rid"]: r["_valid"]
+        for r in validate(df, doc).annotated.select("rid", "_valid").collect()
+    }
+    for i, v in enumerate(insts):
+        want = py_valid_v(schema, v)
+        assert got[i] == want, (
+            f"inst {i}: spark={got[i]} python={want}\nschema={schema}\ninst={v!r}"
         )
