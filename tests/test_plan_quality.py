@@ -103,3 +103,24 @@ def test_audio_validation_single_python_node(spark):
     # exactly ONE ArrowEvalPython for the decode UDF (plus the generator's
     # mapInPandas source) — the keyword algebra itself never leaves the JVM
     assert p.count("ArrowEvalPython") == 1
+
+
+def test_variant_validation_stays_jvm_side(spark):
+    """The variant path (schema_of_variant / try_variant_get / map view)
+    must compile to JVM expressions — no Python evaluation nodes."""
+    ev = load_table(spark, SF_DIR, "events")
+    df = ev.select("event_id", F.parse_json("props").alias("props"))
+    doc = {
+        "type": "object",
+        "properties": {
+            "props": {
+                "type": "object",
+                "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 40}},
+                "maxProperties": 3,
+            }
+        },
+    }
+    p = plan(validate(df, doc).totals())
+    assert "EvalPython" not in p
+    assert "BatchEvalPython" not in p
