@@ -536,6 +536,23 @@ def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniqueness.uniqueness_summary(clips, "clip_id", salted=True)
 
 
+def _q_clips_drift_dur_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star drift check: exact KS on dur_ms of the current clips table
+    vs a baseline snapshot with a deliberately shifted duration distribution
+    (log-uniform 200-2000ms vs 300-3000ms). Rows-only (synthesized input)."""
+    cur = _clips(spark)
+    base = synth_clips(spark, 3000, dur_range=(300, 3000))
+    return drift.ks_statistic_exact(cur, base, "dur_ms")
+
+
+def _q_clips_drift_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square on the codec histogram vs the baseline snapshot (the hot
+    ~80% pcm_s16le key exercises the skew-aware aggregate path)."""
+    cur = _clips(spark)
+    base = synth_clips(spark, 3000, dur_range=(300, 3000))
+    return drift.chi_square_table(cur, base, "codec")
+
+
 def _q_clips_resumable_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume protocol over a fresh manifest: preempted first run
     (4 of 8 buckets), resumed second run; returns per-partition lineage."""
@@ -599,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synth_schema_roundtrip": _q_synth_schema_roundtrip,
         "clips_invariant_failures": _q_clips_invariant_failures,
         "clips_uniqueness": _q_clips_uniqueness,
+        "clips_drift_dur_ms": _q_clips_drift_dur_ms,
+        "clips_drift_codec": _q_clips_drift_codec,
         "clips_resumable_manifest": _q_clips_resumable_manifest,
     }
 

@@ -266,6 +266,11 @@ def _compile(
             s.required = required
         return s
 
+    if isinstance(dtype, T.VariantType):
+        # any JSON value: the boolean true schema (the analogue of the
+        # reference's empty-interface mapping, go.go:361-363)
+        return Schema()
+
     raise TypeMapError(f"unsupported Spark type: {dtype.simpleString()}")
 
 

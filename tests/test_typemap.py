@@ -322,3 +322,13 @@ def test_every_driver_table_self_validates(spark):
         schema = schema_from_spark_type(df.schema)
         totals = validate(df, schema).totals().collect()[0]
         assert totals.failed == 0, (table, totals)
+
+
+def test_variant_maps_to_true_schema():
+    """VariantType (any JSON value) -> the boolean true schema, the analogue
+    of the reference's empty-interface mapping (go.go:361-363)."""
+    from pyspark.sql import types as TT
+
+    st = TT.StructType([TT.StructField("v", TT.VariantType(), False)])
+    s = schema_from_spark_type(st)
+    assert s.properties["v"].is_true()
