@@ -397,6 +397,22 @@ def _q_validate_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_variant_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime JSON-type profile of a VARIANT column (dynamic-JSON dtype
+    histogram) over derived instances spanning every JSON type."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    js = (
+        F.when(eid % 5 == 1, F.lit('"s"'))
+        .when(eid % 5 == 2, F.lit("[1]"))
+        .when(eid % 5 == 3, F.lit("true"))
+        .when(eid % 5 == 4, F.lit("null"))
+        .otherwise(F.col("props"))
+    )
+    df = ev.select(F.parse_json(js).alias("props"))
+    return stats.variant_type_histogram(df, "props")
+
+
 def _q_drift_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
@@ -592,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_embeddings_array": _q_validate_embeddings_array,
         "column_stats_orders": _q_column_stats_orders,
         "quantiles_lineitem": _q_quantiles_lineitem,
+        "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
@@ -1081,6 +1098,27 @@ def oracle_sql() -> dict[str, str]:
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)
         ),
         "corpus_summary_documents": _corpus_summary_sql(),
+        "variant_type_histogram": """
+            WITH d AS (
+              SELECT CASE WHEN event_id % 5 = 1 THEN '"s"'
+                          WHEN event_id % 5 = 2 THEN '[1]'
+                          WHEN event_id % 5 = 3 THEN 'true'
+                          WHEN event_id % 5 = 4 THEN 'null'
+                          ELSE props END AS js
+              FROM events
+            )
+            SELECT CASE WHEN js IS NULL THEN 'absent'
+                        ELSE CASE json_type(js::JSON)
+                             WHEN 'OBJECT' THEN 'object'
+                             WHEN 'ARRAY' THEN 'array'
+                             WHEN 'VARCHAR' THEN 'string'
+                             WHEN 'BOOLEAN' THEN 'boolean'
+                             WHEN 'NULL' THEN 'null'
+                             ELSE 'number' END
+                   END AS json_type,
+                   CAST(count(*) AS BIGINT) AS "count"
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
         "uniqueness_lineitem": """
             SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
                    CAST(count(*) AS BIGINT) AS distinct_keys,

@@ -104,3 +104,36 @@ def column_stats(
         .select("s.*")
         .orderBy("column")
     )
+
+
+_VARIANT_TYPE_MAP = [
+    ("^OBJECT", "object"),
+    ("^ARRAY", "array"),
+    ("^STRING", "string"),
+    ("^BOOLEAN", "boolean"),
+    ("^VOID", "null"),
+    ("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)", "number"),
+]
+
+
+def variant_json_type(col) -> "F.Column":
+    """Runtime JSON type of a VARIANT value as the draft 2020-12 type name
+    (object/array/string/number/boolean/null); NULL for absent values."""
+    sov = F.schema_of_variant(col)
+    expr = F.lit(None).cast("string")
+    for pat, name in reversed(_VARIANT_TYPE_MAP):
+        expr = F.when(sov.rlike(pat), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def variant_type_histogram(df: DataFrame, column: str) -> DataFrame:
+    """(json_type, count) over a VARIANT column — the dynamic-JSON analogue
+    of a dtype profile: one hash aggregate (map-side partials), rows ordered
+    by type name. Absent (SQL NULL) values report as json_type='absent'."""
+    jt = F.coalesce(variant_json_type(F.col(column)), F.lit("absent"))
+    return (
+        df.select(jt.alias("json_type"))
+        .groupBy("json_type")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("json_type")
+    )
