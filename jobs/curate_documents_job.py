@@ -81,14 +81,18 @@ def curate(
         text_ops.text_profile(docs.select("doc_id", "text")), "doc_id"
     ).persist()
 
-    n_input = profiled.count()
-    valid = profiled.filter(F.col("_valid"))
-    n_invalid = n_input - valid.count()
-
-    gated = valid.filter(
-        (F.col("quality") >= quality_min) & (F.col("token_count") >= min_tokens)
-    )
-    n_low_quality = n_input - n_invalid - gated.count()
+    gate = (F.col("quality") >= quality_min) & (F.col("token_count") >= min_tokens)
+    # one aggregate materializes the cache AND yields the first three funnel
+    # counts (instead of three separate count() jobs over the cached frame)
+    funnel = profiled.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+        F.sum((F.col("_valid") & gate).cast("long")).alias("n_gated"),
+    ).collect()[0]
+    n_input = funnel["n_input"]
+    n_invalid = n_input - funnel["n_valid"]
+    n_low_quality = funnel["n_valid"] - funnel["n_gated"]
+    gated = profiled.filter(F.col("_valid") & gate)
 
     # exact dedup: one survivor per content fingerprint (min doc_id), as an
     # aggregate + semi-join — no global window, shuffle keyed by fingerprint
