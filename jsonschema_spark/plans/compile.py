@@ -77,10 +77,39 @@ class Check:
     static: Optional[bool] = None  # statically decided at compile time
 
 
+_METADATA_KEYWORDS = (
+    ("title", "title"),
+    ("description", "description"),
+    ("default", "default"),
+    ("deprecated", "deprecated"),
+    ("read_only", "readOnly"),
+    ("write_only", "writeOnly"),
+    ("examples", "examples"),
+)
+
+
 @dataclass
 class CompiledSchema:
     checks: list[Check]
     schema: Schema  # post-inline, post-fold document
+
+    def metadata_report(self) -> list[dict]:
+        """Annotation keywords carried through compile (schema.go:133-139 —
+        the reference's metadata vocabulary): one record per (pointer,
+        keyword, value), in document order. Zero row-time cost; this is how
+        `deprecated`/`readOnly` schemas surface in run reports."""
+        out: list[dict] = []
+
+        def fn(scope, s: Schema):
+            for attr, kw in _METADATA_KEYWORDS:
+                v = getattr(s, attr)
+                if v is None or v == "":
+                    continue
+                out.append({"pointer": scope.pointer, "keyword": kw, "value": v})
+            return None
+
+        Walk(self.schema, fn)
+        return out
 
     def valid(self) -> Column:
         """Row validity: conjunction of all checks (for filters)."""

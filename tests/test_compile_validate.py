@@ -679,3 +679,32 @@ def test_content_schema_variant_fallback(spark):
         5: {"contentSchema"},
         6: {"contentSchema"},
     }
+
+
+def test_metadata_report(spark):
+    """Metadata vocabulary (schema.go:133-139) carries through compile and
+    surfaces as (pointer, keyword, value) records with zero row-time cost."""
+    from pyspark.sql import types as TT
+
+    from jsonschema_spark.plans.compile import compile_schema
+
+    doc = Schema.from_value(
+        {
+            "title": "clips",
+            "properties": {
+                "old_id": {"type": "integer", "deprecated": True,
+                           "description": "legacy key"},
+                "sr_hz": {"default": 16000, "examples": [8000, 16000]},
+            },
+        }
+    )
+    struct = TT.StructType(
+        [TT.StructField("old_id", TT.LongType()), TT.StructField("sr_hz", TT.IntegerType())]
+    )
+    compiled = compile_schema(doc, struct)
+    got = {(r["pointer"], r["keyword"]): r["value"] for r in compiled.metadata_report()}
+    assert got[("", "title")] == "clips"
+    assert got[("/properties/old_id", "deprecated")] is True
+    assert got[("/properties/old_id", "description")] == "legacy key"
+    assert got[("/properties/sr_hz", "default")] == 16000
+    assert got[("/properties/sr_hz", "examples")] == [8000, 16000]
