@@ -703,7 +703,7 @@ def test_metadata_report(spark):
     )
     compiled = compile_schema(doc, struct)
     got = {(r["pointer"], r["keyword"]): r["value"] for r in compiled.metadata_report()}
-    assert got[("", "title")] == "clips"
+    assert got[("/", "title")] == "clips"
     assert got[("/properties/old_id", "deprecated")] is True
     assert got[("/properties/old_id", "description")] == "legacy key"
     assert got[("/properties/sr_hz", "default")] == 16000
