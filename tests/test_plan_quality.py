@@ -124,3 +124,22 @@ def test_variant_validation_stays_jvm_side(spark):
     p = plan(validate(df, doc).totals())
     assert "EvalPython" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_partitioned_table_prunes_partitions(spark, tmp_path):
+    """Hive/Iceberg-style partition layout: a codec filter must become a
+    partition filter (pruned at planning), not a post-scan predicate —
+    the claim that lets per-codec validation skip scan work at 10^12 rows."""
+    from jsonschema_spark.sources.clips import synth_clips
+
+    d = str(tmp_path / "clips_part")
+    synth_clips(spark, 300, partitions=4).write.partitionBy("codec").mode(
+        "overwrite"
+    ).parquet(d)
+    df = spark.read.parquet(d).filter(F.col("codec") == "flac")
+    p = plan(df.select(F.sum(F.length("bytes"))))
+    assert "PartitionFilters" in p and "codec" in p.split("PartitionFilters", 1)[1][:200]
+    # and the validated scan keeps the pruning
+    doc = {"type": "object", "properties": {"dur_ms": {"minimum": 200}}}
+    p2 = plan(validate(df, doc).totals())
+    assert "PartitionFilters" in p2
