@@ -24,6 +24,8 @@ import re
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -369,8 +371,11 @@ def _row():
 # ---------------------------------------------------------------------------
 
 
+_EXAMPLES = int(os.environ.get("JSS_FUZZ_EXAMPLES", "25"))
+
+
 @settings(
-    max_examples=25,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -670,7 +675,7 @@ def _encode(v):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
