@@ -172,9 +172,6 @@ def q_curate_documents(spark: SparkSession):
     docs = load_table(spark, SF_DIR, "documents")
     curated, stats = curate(docs, quality_min=0.3, min_tokens=5,
                             jaccard_threshold=0.6)
-    # curate() persists its annotated+profiled frame; release it between
-    # passes so repeated bench runs don't stack cached copies
-    spark.catalog.clearCache()
     return stats
 
 

@@ -77,8 +77,16 @@ def curate(
     """
     schema = schema or DOCUMENTS_JSON_SCHEMA
     ann = validate(docs, schema).annotated
-    profiled = ann.join(
-        text_ops.text_profile(docs.select("doc_id", "text")), "doc_id"
+    # profile columns are pure projections of `text` — computed in-line on
+    # the annotated frame (a doc_id join would drop NULL ids and
+    # cross-multiply duplicate ids, corrupting every funnel count)
+    c = F.col("text")
+    profiled = ann.select(
+        "*",
+        text_ops.token_count(c).alias("token_count"),
+        text_ops.quality_score(c).alias("quality"),
+        text_ops.fingerprint(c).alias("fingerprint"),
+        text_ops.lang_id(c).alias("lang_pred"),
     ).persist()
 
     gate = (F.col("quality") >= quality_min) & (F.col("token_count") >= min_tokens)
@@ -116,6 +124,10 @@ def curate(
         r["lang_pred"]: r["cnt"]
         for r in curated.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    # all counts are materialized; release the cache (the returned plan
+    # recomputes if the caller writes it — callers that iterate should
+    # persist the result themselves)
+    profiled.unpersist()
     stats = {
         "input_rows": n_input,
         "schema_invalid": n_invalid,

@@ -94,6 +94,9 @@ def main(argv=None) -> int:
     summary_path = os.path.join(args.out, "batch_summary")
 
     def write_summary(batch_df, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a replayed batch must overwrite its
+        # OWN partition, not append a duplicate summary row — batch_id is
+        # stable across retries, so dynamic partition overwrite is idempotent
         (
             batch_df.agg(
                 F.count(F.lit(1)).alias("rows"),
@@ -102,7 +105,9 @@ def main(argv=None) -> int:
                 F.sum(F.size("_violations").cast("long")).alias("violation_count"),
             )
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(summary_path)
         )
 
@@ -116,26 +121,40 @@ def main(argv=None) -> int:
         q2 = q_sum.trigger(availableNow=True).start()
         q1.awaitTermination()
         q2.awaitTermination()
-        totals = spark.read.parquet(summary_path).agg(
-            F.sum("rows").alias("rows"),
-            F.sum("passed").alias("passed"),
-            F.sum("failed").alias("failed"),
-            F.sum("violation_count").alias("violation_count"),
-        ).collect()[0]
-        n_viol = spark.read.parquet(os.path.join(args.out, "violations")).count()
-        print(json.dumps({
-            "rows": totals["rows"], "passed": totals["passed"],
-            "failed": totals["failed"],
-            "violation_count": totals["violation_count"],
-            "violation_rows_written": n_viol,
-        }))
+        # totals are CUMULATIVE over every run sharing this output dir —
+        # that is the point of the checkpoint: a resumed run adds only new
+        # batches, so cumulative totals stay stable across restarts
+        out = {"cumulative_rows": 0, "cumulative_passed": 0,
+               "cumulative_failed": 0, "cumulative_violation_count": 0,
+               "violation_rows_written": 0}
+        if os.path.isdir(summary_path):
+            totals = spark.read.parquet(summary_path).agg(
+                F.sum("rows").alias("rows"),
+                F.sum("passed").alias("passed"),
+                F.sum("failed").alias("failed"),
+                F.sum("violation_count").alias("violation_count"),
+            ).collect()[0]
+            out.update({
+                "cumulative_rows": totals["rows"] or 0,
+                "cumulative_passed": totals["passed"] or 0,
+                "cumulative_failed": totals["failed"] or 0,
+                "cumulative_violation_count": totals["violation_count"] or 0,
+            })
+        viol_path = os.path.join(args.out, "violations")
+        if os.path.isdir(viol_path) and any(
+            f.endswith(".parquet") for f in os.listdir(viol_path)
+        ):
+            out["violation_rows_written"] = spark.read.parquet(viol_path).count()
+        print(json.dumps(out))
         spark.stop()
         return 0
 
     trig = {"processingTime": f"{args.trigger_seconds} seconds"}
-    q1 = q_viol.trigger(**trig).start()
+    q_viol.trigger(**trig).start()
     q_sum.trigger(**trig).start()
-    q1.awaitTermination()
+    # surfaces whichever stream fails first (awaiting only one would let the
+    # other die silently while the job keeps running)
+    spark.streams.awaitAnyTermination()
     return 0
 
 

@@ -106,14 +106,19 @@ def column_stats(
     )
 
 
-_VARIANT_TYPE_MAP = [
-    ("^OBJECT", "object"),
-    ("^ARRAY", "array"),
-    ("^STRING", "string"),
-    ("^BOOLEAN", "boolean"),
-    ("^VOID", "null"),
-    ("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)", "number"),
-]
+def _variant_type_map():
+    # numeric spellings shared with the validation type gates (single source
+    # of truth: plans/compile.VARIANT_NUMERIC_SOV)
+    from jsonschema_spark.plans.compile import VARIANT_NUMERIC_SOV
+
+    return [
+        ("^OBJECT", "object"),
+        ("^ARRAY", "array"),
+        ("^STRING", "string"),
+        ("^BOOLEAN", "boolean"),
+        ("^VOID", "null"),
+        (VARIANT_NUMERIC_SOV, "number"),
+    ]
 
 
 def variant_json_type(col) -> "F.Column":
@@ -121,7 +126,7 @@ def variant_json_type(col) -> "F.Column":
     (object/array/string/number/boolean/null); NULL for absent values."""
     sov = F.schema_of_variant(col)
     expr = F.lit(None).cast("string")
-    for pat, name in reversed(_VARIANT_TYPE_MAP):
+    for pat, name in reversed(_variant_type_map()):
         expr = F.when(sov.rlike(pat), F.lit(name)).otherwise(expr)
     return expr
 

@@ -14,8 +14,21 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def salt_column(salt_buckets: int = 64) -> Column:
+    """Deterministic per-task salt for two-phase hot-key aggregates.
+
+    NOT monotonically_increasing_id or rand: under partial stage recompute
+    (shuffle-fetch failures at cluster scale) re-executed map tasks must
+    assign the SAME salt to the same rows, or phase-2 merges a mix of old
+    and new partials and counts corrupt. ``spark_partition_id`` is stable
+    for a given input split; a hot key's rows span many input partitions,
+    so it still fans out over min(input partitions, buckets) reducers with
+    bounded partial state per (key, salt)."""
+    return F.pmod(F.spark_partition_id().cast("long"), F.lit(salt_buckets))
 
 
 def duplicate_keys(df: DataFrame, keys: Sequence[str] | str, salted: bool = False,
@@ -28,9 +41,8 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str] | str, salted: bool = Fals
             .agg(F.count(F.lit(1)).alias("dup_count"))
             .filter(F.col("dup_count") > 1)
         )
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     partial = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", salt_column(salt_buckets))
         .groupBy(*keys, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
@@ -50,9 +62,8 @@ def uniqueness_summary(df: DataFrame, keys: Sequence[str] | str, salted: bool = 
     partial counts fan out over ``salt_buckets`` reducers."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     if salted:
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
         per_key = (
-            df.withColumn("_salt", salt)
+            df.withColumn("_salt", salt_column(salt_buckets))
             .groupBy(*keys, "_salt")
             .agg(F.count(F.lit(1)).alias("_partial"))
             .groupBy(*keys)

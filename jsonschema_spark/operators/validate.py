@@ -79,9 +79,10 @@ class ValidationResult:
         ]
         if not salted:
             return self.annotated.groupBy(*cols).agg(*aggs()).orderBy(*cols)
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        from jsonschema_spark.operators.uniqueness import salt_column
+
         partial = (
-            self.annotated.withColumn("_salt", salt)
+            self.annotated.withColumn("_salt", salt_column(salt_buckets))
             .groupBy(*cols, "_salt")
             .agg(*aggs())
         )

@@ -48,6 +48,30 @@ class CompileError(ValueError):
     pass
 
 
+# schema_of_variant spellings that mean "JSON number" — single source of
+# truth shared with operators/stats.variant_type_histogram
+VARIANT_NUMERIC_SOV = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+
+
+def _variant_canon(x: Column) -> Column:
+    """Type-tagged canonical string of a variant for equality/distinctness:
+    numbers normalize through a double cast (1 == 1.0), and the type tag
+    keeps number 1, string "1", bool true and null distinct."""
+    sov = F.schema_of_variant(x)
+    tag = (
+        F.when(sov.rlike(VARIANT_NUMERIC_SOV), F.lit("n"))
+        .when(sov == "STRING", F.lit("s"))
+        .when(sov == "BOOLEAN", F.lit("b"))
+        .when(sov == "VOID", F.lit("z"))
+        .otherwise(F.lit("j"))  # array/object: canonical JSON text view
+    )
+    val = F.when(
+        sov.rlike(VARIANT_NUMERIC_SOV),
+        F.try_variant_get(x, "$", "double").cast("string"),
+    ).otherwise(F.try_variant_get(x, "$", "string"))
+    return F.concat_ws(":", tag, F.coalesce(val, F.lit("")))
+
+
 @dataclass
 class CompileOptions:
     # Bounded unroll for recursive $refs: a cyclic ref is inlined this many
@@ -617,7 +641,10 @@ class _Compiler:
             )
 
         # ---- format / content ----
-        if s.format is not None and self.opts.assert_formats:
+        # format applies to STRING instances only (same applicability gate as
+        # every other string keyword): unguarded rlike would string-cast
+        # numeric columns and false-flag them
+        if s.format is not None and self.opts.assert_formats and is_stringy:
             fmt_expr = _format_expr(s.format, col)
             if fmt_expr is not None:
                 out("format", fmt_expr, f'{name} must match format "{s.format}"')
@@ -737,7 +764,7 @@ class _Compiler:
     # everywhere, detected by required), while a present JSON null is a
     # non-null VOID variant (matches type:"null", present for required).
 
-    _V_NUM_SOV = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+    _V_NUM_SOV = VARIANT_NUMERIC_SOV
 
     def _variant_value_keywords(
         self,
@@ -848,7 +875,7 @@ class _Compiler:
             out("minItems", ~v_arr | (F.size(arr) >= s.min_items),
                 f"{name} must have >= {s.min_items} items")
         if s.unique_items:
-            canon = F.transform(arr, lambda x: F.try_variant_get(x, "$", "string"))
+            canon = F.transform(arr, _variant_canon)
             out("uniqueItems", ~v_arr | (F.size(arr) == F.size(F.array_distinct(canon))),
                 f"{name} items must be unique")
         if s.prefix_items:
