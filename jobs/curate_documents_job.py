@@ -69,11 +69,15 @@ def curate(
     min_tokens: int = 5,
     jaccard_threshold: float = 0.6,
     schema: dict | None = None,
+    output: str | None = None,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
     The input is scanned once into an annotated+profiled frame that is
     persisted — every later stage (counts, gates, dedup joins) reuses it.
+    With ``output`` set, the curated corpus is written (parquet) BEFORE the
+    cache is released, so the write reuses the persisted funnel instead of
+    recomputing validate + profile + both dedup joins from scratch.
     """
     schema = schema or DOCUMENTS_JSON_SCHEMA
     ann = validate(docs, schema).annotated
@@ -114,8 +118,11 @@ def curate(
     pairs = dedup.minhash_lsh_pairs(
         exact.select("doc_id", "text"), threshold=jaccard_threshold
     )
+    # No explicit broadcast hint: drop_ids is O(near-duplicate docs), which
+    # at web scale can be billions of ids — far beyond broadcast limits. AQE
+    # broadcasts when the runtime size is small and shuffles otherwise.
     drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    curated = exact.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    curated = exact.join(drop_ids, "doc_id", "left_anti")
     n_near_removed = (
         n_input - n_invalid - n_low_quality - n_exact_removed - curated.count()
     )
@@ -124,9 +131,13 @@ def curate(
         r["lang_pred"]: r["cnt"]
         for r in curated.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    # all counts are materialized; release the cache (the returned plan
-    # recomputes if the caller writes it — callers that iterate should
-    # persist the result themselves)
+    out_cols = [col for col in curated.columns if not col.startswith("_")]
+    curated = curated.select(*out_cols)
+    if output:
+        curated.write.mode("overwrite").parquet(output)
+    # all counts (and the optional output write) are materialized; release
+    # the cache. Callers that iterate over the returned plan further should
+    # persist the result themselves.
     profiled.unpersist()
     stats = {
         "input_rows": n_input,
@@ -137,8 +148,7 @@ def curate(
         "output_rows": n_input - n_invalid - n_low_quality - n_exact_removed - n_near_removed,
         "by_lang_pred": by_lang,
     }
-    out_cols = [c for c in curated.columns if not c.startswith("_")]
-    return curated.select(*out_cols), stats
+    return curated, stats
 
 
 def main(argv=None) -> int:
@@ -169,15 +179,14 @@ def main(argv=None) -> int:
         with open(args.schema) as f:
             schema = json.load(f)
 
-    curated, stats = curate(
+    _curated, stats = curate(
         docs,
         quality_min=args.quality_min,
         min_tokens=args.min_tokens,
         jaccard_threshold=args.jaccard_threshold,
         schema=schema,
+        output=args.output,
     )
-    if args.output:
-        curated.write.mode("overwrite").parquet(args.output)
     print(json.dumps(stats))
     spark.stop()
     return 0

@@ -37,6 +37,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _maybe_broadcast(df: DataFrame, broadcast: bool) -> DataFrame:
+    """Broadcast hint gate for the query side of similarity joins.
+
+    ``broadcast=True`` (the default) is right for interactive top-k: a
+    handful of query vectors against a huge corpus. For large query SETS
+    (batch re-ranking, all-pairs style jobs) a forced broadcast would
+    exceed the driver/broadcast limits — pass ``broadcast_queries=False``
+    and let AQE pick shuffle vs broadcast from the runtime size."""
+    return F.broadcast(df) if broadcast else df
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -44,6 +55,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, vec_id, cos, rank) — exact top-k by cosine.
 
@@ -52,7 +64,10 @@ def cosine_topk(
     top-k window over corpus_rows x n_queries candidates (cut k-fold by a
     cheap pre-rank if needed).
     """
-    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")))
+    q = _maybe_broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
+        broadcast_queries,
+    )
     joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
     scored = joined.select(
         query_id_col,
@@ -107,6 +122,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: rank exactly within LSH bucket collisions.
 
@@ -129,7 +145,7 @@ def lsh_ann_topk(
     q = with_buckets(queries.select(query_id_col, vec_col), query_id_col).withColumnRenamed(
         vec_col, "_qv"
     )
-    cand = c.join(F.broadcast(q), "bucket").select(
+    cand = c.join(_maybe_broadcast(q, broadcast_queries), "bucket").select(
         query_id_col, id_col, F.col(vec_col), F.col("_qv")
     ).distinct()
     scored = cand.select(
@@ -143,10 +159,9 @@ def lsh_ann_topk(
     )
 
 
-def _centroid(cell: int, dim: int) -> Column:
-    """Deterministic pseudo-centroid as a literal array (at real scale these
-    come from a k-means sample; hash-derived here so any executor can
-    reproduce them — computed once on the driver, never per row)."""
+def _pseudo_centroid(cell: int, dim: int) -> list[float]:
+    """Deterministic hash-derived pseudo-centroid (data-independent
+    fallback; any executor or external oracle can reproduce it)."""
     import hashlib
 
     vals = []
@@ -155,31 +170,112 @@ def _centroid(cell: int, dim: int) -> Column:
             hashlib.md5(f"c{cell}|{d}".encode()).digest()[:8], "little"
         )
         vals.append((h % 1999993 - 999996.5) / 999996.5)
+    return vals
+
+
+def seed_centroids(
+    df: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Data-derived centroids: the first ``n_cells`` corpus vectors by id
+    (deterministic medoid-style seeds — real data points, reproducible by
+    any engine that can sort by id). Collects k rows to the driver; the
+    centroids then travel as expression literals, never per-row state."""
+    rows = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r._v] for r in rows]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 1024,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Real k-means centroids from a deterministic driver-side sample.
+
+    The sample is the first ``sample_size`` vectors by id (deterministic —
+    rerunning yields identical centroids); Lloyd iterations run in numpy on
+    the driver (sample_size x dim floats, trivially small next to the
+    cluster). Initial centroids are the first k sample vectors. Empty cells
+    keep their previous centroid. The result is a plain list of lists —
+    broadcast into the plan as literals by ``ivf_assign``/``ivf_topk``."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r._v for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("kmeans_centroids: empty input")
+    k = min(n_cells, len(x))
+    c = x[:k].copy()
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)  # cosine assignment
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in c]
+
+
+def _centroid_lit(vals: list[float]) -> Column:
     return F.array(*[F.lit(v) for v in vals])
 
 
-def _cell_sims(vec_col: str, n_cells: int, dim: int) -> Column:
+def _resolve_centroids(
+    centroids: list[list[float]] | None, n_cells: int, dim: int
+) -> list[list[float]]:
+    if centroids is not None:
+        return centroids
+    return [_pseudo_centroid(cell, dim) for cell in range(n_cells)]
+
+
+def _cell_sims(
+    vec_col: str, n_cells: int, dim: int, centroids: list[list[float]] | None = None
+) -> Column:
     """array<struct<sim,cell>> of similarities to every centroid.
 
     Linear expression size; array_max / array_sort pick cells, unlike a
-    chained-when argmax (quadratic) would."""
+    chained-when argmax (quadratic) would. Expression size grows with
+    n_cells x dim literals — fine for O(10^2) cells / O(10^2) dims; for
+    larger codebooks switch the assignment to a broadcast centroid-table
+    join (same plan shape as ``ivf_topk``'s probe join)."""
+    cents = _resolve_centroids(centroids, n_cells, dim)
     return F.array(
         *[
             F.struct(
-                F.round(cosine(F.col(vec_col), _centroid(cell, dim)), 9).alias("sim"),
+                F.round(cosine(F.col(vec_col), _centroid_lit(cents[cell])), 9).alias("sim"),
                 F.lit(cell).alias("cell"),
             )
-            for cell in range(n_cells)
+            for cell in range(len(cents))
         ]
     )
 
 
 def ivf_assign(
-    df: DataFrame, n_cells: int = 16, dim: int = 64, vec_col: str = "embedding"
+    df: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest deterministic pseudo-centroid."""
+    """Assign each vector to its nearest centroid (``centroids`` from
+    ``kmeans_centroids``/``seed_centroids``; hash-derived pseudo-centroids
+    as the data-independent fallback)."""
     return df.withColumn(
-        "ivf_cell", F.array_max(_cell_sims(vec_col, n_cells, dim)).getField("cell")
+        "ivf_cell",
+        F.array_max(_cell_sims(vec_col, n_cells, dim, centroids)).getField("cell"),
     )
 
 
@@ -193,6 +289,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probing: the corpus is bucketed ONCE by
     nearest centroid; each query scores only the vectors in its ``n_probe``
@@ -203,9 +301,13 @@ def ivf_topk(
     of the corpus per query). The join is corpus-bucket x broadcast query
     probes: the corpus is never reshuffled per query.
     """
-    c = ivf_assign(corpus.select(id_col, vec_col), n_cells, dim, vec_col)
+    c = ivf_assign(corpus.select(id_col, vec_col), n_cells, dim, vec_col, centroids)
     probe_cells = F.transform(
-        F.slice(F.reverse(F.array_sort(_cell_sims(vec_col, n_cells, dim))), 1, n_probe),
+        F.slice(
+            F.reverse(F.array_sort(_cell_sims(vec_col, n_cells, dim, centroids))),
+            1,
+            n_probe,
+        ),
         lambda s: s.getField("cell"),
     )
     q = (
@@ -216,7 +318,7 @@ def ivf_topk(
         )
         .select(query_id_col, "_qv", F.explode("_cells").alias("ivf_cell"))
     )
-    cand = c.join(F.broadcast(q), "ivf_cell")
+    cand = c.join(_maybe_broadcast(q, broadcast_queries), "ivf_cell")
     scored = cand.select(
         query_id_col, id_col, F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos")
     )

@@ -47,6 +47,44 @@ def windowed_category_histogram(
     )
 
 
+def psi_by_window(
+    batch: DataFrame, base_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """(window_start, window_end, psi) for EVERY window in one grouped plan.
+
+    Single-plan shape (no per-window driver loop): build the complete
+    (window x category) grid — baseline categories via a windows-x-baseline
+    cross join (tiny: windows are few, baseline histogram is one row per
+    category), current-only categories via the full-outer semantics of a
+    coalesced join — then one windowed aggregate computes totals and PSI
+    contributions. One Spark job per micro-batch regardless of how many
+    windows it carries; per-category math matches
+    ``operators/drift.psi_table_from_histograms`` exactly (parity-pinned
+    in tests/test_streaming_drift.py)."""
+    wcols = ["window_start", "window_end"]
+    windows = batch.select(*wcols).distinct()
+    base = base_hist.withColumnRenamed("cnt", "base_cnt")
+    grid = windows.join(base, how="cross")  # every (window, baseline category)
+    cur = batch.select(*wcols, "category", F.col("cnt").alias("cur_cnt"))
+    joined = grid.join(cur, wcols + ["category"], "full_outer").fillna(
+        0, subset=["cur_cnt", "base_cnt"]
+    )
+    # current-only categories enter with base_cnt=0 from the full outer join;
+    # totals are per-window sums computed in the same aggregate below.
+    totals = joined.groupBy(*wcols).agg(
+        F.sum("cur_cnt").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    )
+    j = joined.join(totals, wcols)
+    p_cur = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(eps))
+    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(eps))
+    contrib = F.round((p_cur - p_base) * F.log(p_cur / p_base), 6)
+    return (
+        j.select(*wcols, contrib.alias("contribution"))
+        .groupBy(*wcols)
+        .agg(F.sum("contribution").alias("psi"))
+    )
+
+
 def psi_foreach_batch(
     baseline: DataFrame,
     column: str,
@@ -55,27 +93,14 @@ def psi_foreach_batch(
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function: for each micro-batch of completed
     windowed histograms, emit (window_start, window_end, psi) by comparing
-    every window's histogram against the static baseline snapshot."""
+    every window's histogram against the static baseline snapshot — all
+    windows in one grouped computation (O(1) Spark jobs per batch, not
+    O(windows))."""
     base_hist = category_histogram(baseline, column).cache()
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        windows = [
-            (r.window_start, r.window_end)
-            for r in batch.select("window_start", "window_end").distinct().collect()
-        ]
-        spark = batch.sparkSession
-        out = []
-        for ws, we in windows:
-            cur = batch.filter(
-                (F.col("window_start") == ws) & (F.col("window_end") == we)
-            ).select("category", "cnt")
-            contributions = psi_table_from_histograms(cur, base_hist, eps).collect()
-            out.append((ws, we, float(sum(c.contribution for c in contributions))))
-        sink(
-            spark.createDataFrame(out, "window_start timestamp, window_end timestamp, psi double"),
-            batch_id,
-        )
+        sink(psi_by_window(batch, base_hist, eps), batch_id)
 
     return fn
