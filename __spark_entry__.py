@@ -428,10 +428,25 @@ def _q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS — the bounded-sample AUDIT path (global ordered window;
+    correct but single-reducer, so not the registered scale default)."""
     ev = load_table(spark, sf_dir, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
     base = ev.filter(F.col("event_id") % 2 == 0)
     return drift.ks_statistic_exact(cur, base, "value")
+
+
+# The SCALE-DEFAULT drift path: ECDFs on a fixed literal grid — one
+# partial+final aggregate per side, no global sort/window anywhere.
+# The grid covers the events.value domain at 5-unit resolution.
+_EVENTS_KS_CUTS = drift.linear_cuts(0.0, 600.0, 120)
+
+
+def _q_drift_ks_binned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.ks_statistic_binned(cur, base, "value", _EVENTS_KS_CUTS)
 
 
 def _q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi_square_events": _q_drift_chi_square_events,
         "drift_psi_events": _q_drift_psi_events,
         "drift_ks_events": _q_drift_ks_events,
+        "drift_ks_binned_events": _q_drift_ks_binned_events,
         "text_profile_documents": _q_text_profile_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
@@ -824,6 +840,28 @@ def _jaccard_sql() -> str:
       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
     ) WHERE jaccard >= 0.1
+    """
+
+
+def _ks_binned_sql(cuts: list[float], cur_where: str, base_where: str,
+                   table: str = "events", col: str = "value") -> str:
+    """DuckDB mirror of drift.ks_statistic_binned: identical literal grid,
+    identical double-division ECDF arithmetic."""
+    cut_lits = ", ".join(repr(float(c)) for c in cuts)
+    return f"""
+    WITH cuts AS (SELECT unnest([{cut_lits}]) AS cut),
+    cur AS (SELECT {col} AS v FROM {table} WHERE {cur_where} AND {col} IS NOT NULL),
+    base AS (SELECT {col} AS v FROM {table} WHERE {base_where} AND {col} IS NOT NULL),
+    tc AS (SELECT count(*) AS n_cur FROM cur),
+    tb AS (SELECT count(*) AS n_base FROM base),
+    ec AS (SELECT cut, count(*) FILTER (WHERE v <= cut) AS c
+           FROM cuts CROSS JOIN cur GROUP BY cut),
+    eb AS (SELECT cut, count(*) FILTER (WHERE v <= cut) AS c
+           FROM cuts CROSS JOIN base GROUP BY cut)
+    SELECT round(max(abs(ec.c / tc.n_cur - eb.c / tb.n_base)), 6) AS ks_stat,
+           CAST(max(tc.n_cur) AS BIGINT) AS n_cur,
+           CAST(max(tb.n_base) AS BIGINT) AS n_base
+    FROM ec JOIN eb USING (cut), tc, tb
     """
 
 
@@ -1213,6 +1251,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT sum(1 - is_cur) FROM pooled) AS BIGINT) AS n_base
             FROM e
         """,
+        "drift_ks_binned_events": _ks_binned_sql(
+            _EVENTS_KS_CUTS, "event_id % 2 = 1", "event_id % 2 = 0"
+        ),
         "text_profile_documents": _text_profile_sql(),
         "dedup_exact_documents": f"""
             WITH both_sets AS (

@@ -120,6 +120,18 @@ def q_referential(spark: SparkSession):
 
 
 def q_drift_ks(spark: SparkSession):
+    """Scale-default KS: binned ECDF grid — one aggregate per side, no
+    global sort (the registered contract path, drift_ks_binned_events)."""
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cuts = drift.linear_cuts(0.0, 600.0, 120)
+    return drift.ks_statistic_binned(cur, base, "value", cuts).collect()
+
+
+def q_drift_ks_exact(spark: SparkSession):
+    """Audit path: exact KS via the global ordered window (single-reducer —
+    benched to document the cost delta vs the binned default)."""
     ev = load_table(spark, SF_DIR, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
     base = ev.filter(F.col("event_id") % 2 == 0)
@@ -196,6 +208,7 @@ QUERIES = {
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "referential": q_referential,
     "drift_ks": q_drift_ks,
+    "drift_ks_exact": q_drift_ks_exact,
     "drift_chi2": q_drift_chi2,
     "text_profile": q_text_profile,
     "dedup_minhash": q_dedup_minhash,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -216,6 +216,72 @@ def ks_statistic_exact(current: DataFrame, baseline: DataFrame, column: str) -> 
             F.first("n_base").alias("n_base"),
         )
     )
+
+
+def ks_statistic_binned(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    cuts: Sequence[float],
+) -> DataFrame:
+    """Scale-default KS: ECDFs evaluated on a fixed literal cutpoint grid.
+
+    One-row result (ks_stat, n_cur, n_base). Plan shape: ONE partial+final
+    aggregate per side (a count plus one conditional sum per cutpoint — all
+    algebraic, map-side combined), then a 1-row x 1-row join. No global
+    sort, no window, no single-reducer funnel — this is the registered
+    contract/bench default; ``ks_statistic_exact`` (global ordered window)
+    stays as the audit path for bounded samples.
+
+    The statistic is exact *at the grid resolution*: it understates true KS
+    by at most the largest probability mass between adjacent cutpoints, so
+    choose cuts to cover the domain at the granularity the drift gate needs
+    (e.g. 100-300 points). Deterministic and engine-independent — the same
+    grid reproduces bit-identical ECDFs in any SQL engine, which is what
+    makes this variant DuckDB-oracle-checkable (unlike a percentile
+    sketch, whose merge order is engine-internal).
+    """
+    cut_list = [float(x) for x in cuts]
+
+    def side(df: DataFrame, n_name: str, arr_name: str) -> DataFrame:
+        c = F.col(column).cast("double")
+        aggd = df.filter(c.isNotNull()).agg(
+            F.count(F.lit(1)).alias(n_name),
+            *[
+                F.sum((c <= F.lit(cut)).cast("long")).alias(f"_c{i}")
+                for i, cut in enumerate(cut_list)
+            ],
+        )
+        return aggd.select(
+            n_name, F.array(*[F.col(f"_c{i}") for i in range(len(cut_list))]).alias(arr_name)
+        )
+
+    cur = side(current, "n_cur", "_cur")
+    base = side(baseline, "n_base", "_base")
+    j = cur.crossJoin(base)
+    diff = F.aggregate(
+        F.zip_with(
+            F.col("_cur"),
+            F.col("_base"),
+            lambda a, b: F.abs(
+                a.cast("double") / F.col("n_cur") - b.cast("double") / F.col("n_base")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return j.select(
+        F.round(diff, 6).alias("ks_stat"),
+        F.col("n_cur"),
+        F.col("n_base"),
+    )
+
+
+def linear_cuts(lo: float, hi: float, n: int) -> list[float]:
+    """n+1 equi-spaced cutpoints covering [lo, hi] — the standard grid for
+    ``ks_statistic_binned`` when the domain is known (schema bounds)."""
+    step = (hi - lo) / n
+    return [lo + i * step for i in range(n + 1)]
 
 
 def ks_statistic_approx(

@@ -158,6 +158,36 @@ def test_ks_approx_close_to_exact(spark):
     assert abs(exact - approx) < 0.08
 
 
+def test_ks_binned_close_to_exact_and_bounded(spark):
+    """The scale-default binned KS understates exact KS by at most the
+    largest inter-cut probability mass; at 5-unit resolution over [0, 900]
+    that bound is tight on this data."""
+    ev = load_table(spark, SF_DIR, "events")
+    shifted = ev.withColumn("value", F.col("value") * 1.35 + 2.0)
+    exact = drift.ks_statistic_exact(shifted, ev, "value").collect()[0].ks_stat
+    cuts = drift.linear_cuts(0.0, 900.0, 180)
+    row = drift.ks_statistic_binned(shifted, ev, "value", cuts).collect()[0]
+    assert row.ks_stat <= exact + 1e-9  # grid evaluation can only understate
+    assert abs(exact - row.ks_stat) < 0.03
+    assert row.n_cur > 0 and row.n_base == row.n_cur
+
+
+def test_ks_binned_plan_has_no_sort_or_window(spark):
+    """The registered drift default must never funnel rows through one
+    reducer: no Sort, no Window — just partial+final aggregates."""
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cuts = drift.linear_cuts(0.0, 600.0, 120)
+    plan = (
+        drift.ks_statistic_binned(cur, base, "value", cuts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Sort " not in plan and "+- Sort" not in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
 def test_psi_zero_on_identical(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert drift.psi(ev, ev, "event_type") == pytest.approx(0.0, abs=1e-9)
