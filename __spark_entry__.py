@@ -24,7 +24,7 @@ from jsonschema_spark.operators import text as text_ops
 from jsonschema_spark.operators import uniqueness
 from jsonschema_spark.operators.validate import validate
 from jsonschema_spark.plans.compile import CompileOptions
-from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips
+from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA
 from jsonschema_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -79,16 +79,32 @@ PART_LOGIC_SCHEMA = {
 }
 
 _CLIPS_N = 4000  # synthetic clips per correctness run (deterministic)
-_clips_cache: dict[int, DataFrame] = {}
+_CLIPS_BASE_N = 3000  # drift-baseline snapshot size
+_CLIPS_BASE_DUR = (300, 3000)  # shifted duration distribution (drift trigger)
+_CLIPS_MANIFEST_N = 1000
+_CLIPS_MANIFEST_BUCKETS = 8
+
+# The 6 schema columns; the materialized table additionally carries the
+# planted-violation ledger (_row_idx) which must not enter closed-world
+# validation.
+_CLIPS_COLS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
 
 
 def _clips(spark: SparkSession, n: int = _CLIPS_N) -> DataFrame:
-    """Synthesized clips table, persisted once per session: five contract
-    queries consume it, and synthesis is the expensive part."""
-    key = id(spark) ^ n
-    if key not in _clips_cache:
-        _clips_cache[key] = synth_clips(spark, n).persist()
-    return _clips_cache[key]
+    """Deterministic clips table, materialized to parquet once and SCANNED
+    (the production shape: validation reads a table). The same files back
+    the DuckDB oracles via read_parquet + the _row_idx planted ledger."""
+    from jsonschema_spark.sources.clips import materialized_clips
+
+    df, _ = materialized_clips(spark, n)
+    return df.select(*_CLIPS_COLS)
+
+
+def _clips_baseline(spark: SparkSession) -> DataFrame:
+    from jsonschema_spark.sources.clips import materialized_clips
+
+    df, _ = materialized_clips(spark, _CLIPS_BASE_N, dur_range=_CLIPS_BASE_DUR)
+    return df.select(*_CLIPS_COLS)
 
 
 def _clips_options() -> CompileOptions:
@@ -529,23 +545,35 @@ def _q_clips_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("clip_id", "keyword_path", "keyword")
 
 
+_SYNTH_ROUNDTRIP_SCHEMA = {
+    **ORDERS_JSON_SCHEMA,
+    # o_orderdate is required but carries no property schema — the
+    # generator can only synthesize schematized properties
+    "required": [
+        r
+        for r in ORDERS_JSON_SCHEMA["required"]
+        if r in ORDERS_JSON_SCHEMA["properties"]
+    ],
+}
+_SYNTH_ROUNDTRIP_PATH = "/tmp/jss_oracle_cache/v1/synth_orders_2000_seed11"
+
+
 def _q_synth_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator/validator loop: data synthesized FROM the orders schema
-    validates clean against it (rows, passed, failed, violation_count)."""
+    validates clean against it (rows, passed, failed, violation_count).
+    The synthesized table is materialized so the DuckDB oracle re-derives
+    the same totals by evaluating every schema predicate in SQL over the
+    identical rows."""
+    import os
+
     from jsonschema_spark.sources.synth import dataframe_for_schema
 
-    schema = {
-        **ORDERS_JSON_SCHEMA,
-        # o_orderdate is required but carries no property schema — the
-        # generator can only synthesize schematized properties
-        "required": [
-            r
-            for r in ORDERS_JSON_SCHEMA["required"]
-            if r in ORDERS_JSON_SCHEMA["properties"]
-        ],
-    }
-    df = dataframe_for_schema(spark, schema, 2000, seed=11)
-    return validate(df, schema).totals()
+    if not os.path.exists(os.path.join(_SYNTH_ROUNDTRIP_PATH, "_SUCCESS")):
+        dataframe_for_schema(spark, _SYNTH_ROUNDTRIP_SCHEMA, 2000, seed=11).write.mode(
+            "overwrite"
+        ).parquet(_SYNTH_ROUNDTRIP_PATH)
+    df = spark.read.parquet(_SYNTH_ROUNDTRIP_PATH)
+    return validate(df, _SYNTH_ROUNDTRIP_SCHEMA).totals()
 
 
 def _q_clips_invariant_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,39 +595,51 @@ def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniqueness.uniqueness_summary(clips, "clip_id", salted=True)
 
 
+# dur_ms drift grid: 25ms resolution over the bulk of the log-uniform mass;
+# the planted out-of-range tail (45000ms on both sides) cancels in the diff.
+_CLIPS_KS_CUTS = drift.linear_cuts(0.0, 4500.0, 180)
+
+
 def _q_clips_drift_dur_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star drift check: exact KS on dur_ms of the current clips table
-    vs a baseline snapshot with a deliberately shifted duration distribution
-    (log-uniform 200-2000ms vs 300-3000ms). Rows-only (synthesized input)."""
+    """North-star drift check: scale-default binned KS on dur_ms of the
+    current clips table vs a baseline snapshot with a deliberately shifted
+    duration distribution (log-uniform 200-2000ms vs 300-3000ms)."""
     cur = _clips(spark)
-    base = synth_clips(spark, 3000, dur_range=(300, 3000))
-    return drift.ks_statistic_exact(cur, base, "dur_ms")
+    base = _clips_baseline(spark)
+    return drift.ks_statistic_binned(cur, base, "dur_ms", _CLIPS_KS_CUTS)
 
 
 def _q_clips_drift_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square on the codec histogram vs the baseline snapshot (the hot
     ~80% pcm_s16le key exercises the skew-aware aggregate path)."""
     cur = _clips(spark)
-    base = synth_clips(spark, 3000, dur_range=(300, 3000))
+    base = _clips_baseline(spark)
     return drift.chi_square_table(cur, base, "codec")
 
 
 def _q_clips_resumable_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume protocol over a fresh manifest: preempted first run
-    (4 of 8 buckets), resumed second run; returns per-partition lineage."""
+    (4 of 8 buckets), resumed second run; returns per-partition lineage.
+    The bucketed input is materialized parquet (the _bucket partition column
+    rides in the files), so the DuckDB oracle recomputes the per-bucket
+    totals from the same data."""
     import tempfile
 
-    from jsonschema_spark.operators.checkpoint import validate_resumable, with_bucket
+    from jsonschema_spark.operators.checkpoint import validate_resumable
+    from jsonschema_spark.sources.clips import materialized_clips
 
-    clips = with_bucket(synth_clips(spark, 1000), "clip_id", n_buckets=8)
+    clips, _ = materialized_clips(
+        spark, _CLIPS_MANIFEST_N, n_buckets=_CLIPS_MANIFEST_BUCKETS
+    )
     manifest_dir = tempfile.mkdtemp(prefix="jss_manifest_")
     validate_resumable(
         clips, CLIPS_JSON_SCHEMA, manifest_dir, "_bucket",
-        options=_clips_options(), max_partitions=4, exclude_cols=["_bucket"],
+        options=_clips_options(), max_partitions=4,
+        exclude_cols=["_bucket", "_row_idx"],
     )
     run = validate_resumable(
         clips, CLIPS_JSON_SCHEMA, manifest_dir, "_bucket",
-        options=_clips_options(), exclude_cols=["_bucket"],
+        options=_clips_options(), exclude_cols=["_bucket", "_row_idx"],
     )
     return run.manifest.select(
         "partition_value", "rows", "passed", "failed", "violation_count"
@@ -843,15 +883,95 @@ def _jaccard_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Clips oracles. The contract clips tables are materialized deterministic
+# parquet (sources/clips.materialized_clips) carrying the planted-violation
+# ledger column _row_idx: every corruption is a pure function of the row
+# index (sources/clips.py module docstring), so DuckDB recomputes each
+# check's expected outcome from the SAME files — including the audio SNR
+# gate, whose ground truth is "_row_idx % 109 = 108" (the only planted
+# sub-30dB corruption; all synthetic codecs decode lossless/near-lossless
+# otherwise, unit-pinned in tests/test_audio.py).
+# ---------------------------------------------------------------------------
+
+from jsonschema_spark.sources.clips import clips_path  # noqa: E402
+
+
+def _pq(path: str) -> str:
+    return f"read_parquet('{path}/*.parquet')"
+
+
+_CLIPS_MAIN_PQ = _pq(clips_path(_CLIPS_N))
+_CLIPS_BASE_PQ = _pq(clips_path(_CLIPS_BASE_N, _CLIPS_BASE_DUR))
+_CLIPS_MANIFEST_PQ = _pq(
+    clips_path(_CLIPS_MANIFEST_N, n_buckets=_CLIPS_MANIFEST_BUCKETS)
+)
+
+# (keyword_path, keyword, DuckDB fail-predicate) — mirrors every check the
+# compiled CLIPS_JSON_SCHEMA emits (required/pattern/maxLength never fire in
+# the planted data but are enumerated for faithfulness).
+_CLIPS_CHECK_FAILS = [
+    ("/required", "required", "clip_id IS NULL"),
+    ("/required", "required", "bytes IS NULL"),
+    ("/required", "required", "sr_hz IS NULL"),
+    ("/required", "required", "dur_ms IS NULL"),
+    ("/required", "required", "codec IS NULL"),
+    ("/required", "required", "transcript IS NULL"),
+    ("/properties/clip_id/pattern", "pattern",
+     "clip_id IS NOT NULL AND NOT regexp_matches(clip_id, '^clip-\\d{12}$')"),
+    ("/properties/sr_hz/enum", "enum",
+     "sr_hz IS NOT NULL AND sr_hz NOT IN (8000, 16000, 22050, 44100, 48000)"),
+    ("/properties/dur_ms/minimum", "minimum",
+     "dur_ms IS NOT NULL AND NOT (dur_ms >= 200)"),
+    ("/properties/dur_ms/maximum", "maximum",
+     "dur_ms IS NOT NULL AND NOT (dur_ms <= 30000)"),
+    ("/properties/codec/enum", "enum",
+     "codec IS NOT NULL AND codec NOT IN ('pcm_s16le', 'flac', 'opus')"),
+    ("/properties/transcript/minLength", "minLength",
+     "transcript IS NOT NULL AND length(transcript) < 1"),
+    ("/properties/transcript/maxLength", "maxLength",
+     "transcript IS NOT NULL AND length(transcript) > 500"),
+    # audio decode + SNR >= 30 dB: planted ledger ground truth
+    ("/properties/bytes/contentMediaType", "contentMediaType",
+     "bytes IS NOT NULL AND _row_idx % 109 = 108"),
+]
+
+
+def _clips_violations_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT clip_id, '{ptr}' AS keyword_path, '{kw}' AS keyword "
+        f"FROM {src} WHERE {fail}"
+        for ptr, kw, fail in _CLIPS_CHECK_FAILS
+    )
+
+
+def _clips_totals_sql(src: str, group_cols: tuple[str, ...] = ()) -> str:
+    fails = [f for (_, _, f) in _CLIPS_CHECK_FAILS]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+    viol_sum = " + ".join(f"CASE WHEN {f} THEN 1 ELSE 0 END" for f in fails)
+    sel = (", ".join(group_cols) + "," if group_cols else "")
+    grp = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
+    return f"""
+    SELECT {sel}
+           CAST(count(*) AS BIGINT) AS "rows",
+           CAST(sum(CASE WHEN NOT ({any_fail}) THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           CAST(sum({viol_sum}) AS BIGINT) AS violation_count
+    FROM {src} {grp}
+    """
+
+
 def _ks_binned_sql(cuts: list[float], cur_where: str, base_where: str,
-                   table: str = "events", col: str = "value") -> str:
+                   table: str = "events", col: str = "value",
+                   base_table: str | None = None) -> str:
     """DuckDB mirror of drift.ks_statistic_binned: identical literal grid,
     identical double-division ECDF arithmetic."""
     cut_lits = ", ".join(repr(float(c)) for c in cuts)
+    base_table = base_table or table
     return f"""
     WITH cuts AS (SELECT unnest([{cut_lits}]) AS cut),
     cur AS (SELECT {col} AS v FROM {table} WHERE {cur_where} AND {col} IS NOT NULL),
-    base AS (SELECT {col} AS v FROM {table} WHERE {base_where} AND {col} IS NOT NULL),
+    base AS (SELECT {col} AS v FROM {base_table} WHERE {base_where} AND {col} IS NOT NULL),
     tc AS (SELECT count(*) AS n_cur FROM cur),
     tb AS (SELECT count(*) AS n_base FROM base),
     ec AS (SELECT cut, count(*) FILTER (WHERE v <= cut) AS c
@@ -862,6 +982,59 @@ def _ks_binned_sql(cuts: list[float], cur_where: str, base_where: str,
            CAST(max(tc.n_cur) AS BIGINT) AS n_cur,
            CAST(max(tb.n_base) AS BIGINT) AS n_base
     FROM ec JOIN eb USING (cut), tc, tb
+    """
+
+
+def _chi_square_sql(cur_src: str, base_src: str, col: str) -> str:
+    """DuckDB mirror of drift.chi_square_table over two sources."""
+    return f"""
+    WITH cur AS (
+      SELECT {col} AS category, count(*) AS cnt FROM {cur_src} GROUP BY {col}
+    ), base AS (
+      SELECT {col} AS category, count(*) AS cnt FROM {base_src} GROUP BY {col}
+    ), j AS (
+      SELECT coalesce(c.category, b.category) AS category,
+             coalesce(c.cnt, 0) AS observed,
+             coalesce(b.cnt, 0) AS base_cnt
+      FROM cur c FULL OUTER JOIN base b ON c.category = b.category
+    ), t AS (
+      SELECT sum(observed) AS n_cur, sum(base_cnt) AS n_base FROM j
+    )
+    SELECT category,
+           CAST(observed AS BIGINT) AS observed,
+           round(base_cnt / t.n_base * t.n_cur, 6) AS expected,
+           round(CASE WHEN base_cnt / t.n_base * t.n_cur > 0
+                      THEN pow(observed - base_cnt / t.n_base * t.n_cur, 2)
+                           / (base_cnt / t.n_base * t.n_cur)
+                      WHEN observed > 0 THEN 1e308 * 10
+                      ELSE 0.0 END, 6) AS contribution
+    FROM j, t
+    """
+
+
+def _uniqueness_sql(src: str, key: str) -> str:
+    return f"""
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+           CAST(count(*) AS BIGINT) AS distinct_keys,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_keys,
+           CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS duplicate_rows
+    FROM (SELECT count(*) AS cnt FROM {src} GROUP BY {key})
+    """
+
+
+def _synth_roundtrip_sql() -> str:
+    fails = [
+        f for k, (_, _, _, _, f) in _ORDERS_CHECK_FAILS.items()
+        if k != "req_orderdate"  # not in the synthesized schema (no property)
+    ]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+    viol_sum = " + ".join(f"CASE WHEN {f} THEN 1 ELSE 0 END" for f in fails)
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS "rows",
+           CAST(sum(CASE WHEN NOT ({any_fail}) THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           CAST(sum({viol_sum}) AS BIGINT) AS violation_count
+    FROM {_pq(_SYNTH_ROUNDTRIP_PATH)}
     """
 
 
@@ -1304,7 +1477,37 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings c, embeddings q WHERE q.vec_id < 3
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        # minhash / simhash / LSH-ANN / IVF (xxhash64-based) and the audio
-        # clips invariant (pandas-UDF decode over a synthesized table) are
-        # not ANSI-SQL-expressible -> rows-only checks by omission here.
+        # --- clips contract rows: DuckDB reads the SAME materialized parquet
+        # the Spark queries scan; the _row_idx planted ledger supplies the
+        # expected outcome of the audio SNR / transcript invariants.
+        "clips_validate_totals": _clips_totals_sql(_CLIPS_MAIN_PQ),
+        "clips_violations": _clips_violations_sql(_CLIPS_MAIN_PQ),
+        "clips_summary_by_codec": _clips_totals_sql(
+            _CLIPS_MAIN_PQ, ("codec", "sr_hz")
+        ),
+        "clips_invariant_failures": f"""
+            SELECT clip_id,
+                   (_row_idx % 109 <> 108) AS snr_ok,
+                   NOT (_row_idx % 107 = 106 OR _row_idx % 211 = 210) AS transcript_ok
+            FROM {_CLIPS_MAIN_PQ}
+            WHERE _row_idx % 109 = 108
+               OR _row_idx % 107 = 106
+               OR _row_idx % 211 = 210
+        """,
+        "clips_uniqueness": _uniqueness_sql(_CLIPS_MAIN_PQ, "clip_id"),
+        "clips_drift_dur_ms": _ks_binned_sql(
+            _CLIPS_KS_CUTS, "TRUE", "TRUE",
+            table=_CLIPS_MAIN_PQ, col="dur_ms", base_table=_CLIPS_BASE_PQ,
+        ),
+        "clips_drift_codec": _chi_square_sql(
+            _CLIPS_MAIN_PQ, _CLIPS_BASE_PQ, "codec"
+        ),
+        "clips_resumable_manifest": f"""
+            SELECT _bucket AS partition_value, "rows", passed, failed,
+                   violation_count
+            FROM ({_clips_totals_sql(_CLIPS_MANIFEST_PQ, ("_bucket",))})
+        """,
+        "synth_schema_roundtrip": _synth_roundtrip_sql(),
+        # minhash / simhash / LSH-ANN / IVF oracles follow below once their
+        # hash family is mirrored; anything absent here is rows-only.
     }

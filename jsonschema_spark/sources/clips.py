@@ -94,7 +94,10 @@ def transcript_for(clip_id: str) -> str:
     return reference_transcript(clip_id)
 
 
-def _gen_batch(ids: np.ndarray, dur_min: int, dur_max: int, violations: bool) -> pd.DataFrame:
+def _gen_batch(
+    ids: np.ndarray, dur_min: int, dur_max: int, violations: bool,
+    with_index: bool = False,
+) -> pd.DataFrame:
     rows = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")}
     log_lo, log_hi = np.log(dur_min), np.log(dur_max)
     for i in ids.tolist():
@@ -142,7 +145,10 @@ def _gen_batch(ids: np.ndarray, dur_min: int, dur_max: int, violations: bool) ->
         rows["dur_ms"].append(dur)
         rows["codec"].append(codec)
         rows["transcript"].append(transcript)
-    return pd.DataFrame(rows)
+    df = pd.DataFrame(rows)
+    if with_index:
+        df["_row_idx"] = ids.astype("int64")
+    return df
 
 
 def synth_clips(
@@ -151,22 +157,97 @@ def synth_clips(
     partitions: Optional[int] = None,
     dur_range: tuple[int, int] = (200, 2000),
     violations: bool = True,
+    with_index: bool = False,
 ) -> DataFrame:
     """Distributed deterministic clips table. ``dur_range`` bounds the
     *generated* durations (payload size control); the schema's legal range
-    stays [200, 30000] and planted violations fall outside it."""
+    stays [200, 30000] and planted violations fall outside it.
+
+    ``with_index`` appends the generator row index as ``_row_idx`` — the
+    planted-violation LEDGER column: every corruption is a pure function of
+    the index (module docstring), so an external oracle can recompute the
+    expected outcome of any check from ``_row_idx`` arithmetic alone.
+    Exclude it before closed-world validation."""
     parts = partitions or max(8, spark.sparkContext.defaultParallelism)
     dur_min, dur_max = dur_range
+    schema = CLIPS_SCHEMA
+    if with_index:
+        schema = T.StructType(
+            list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
-            yield _gen_batch(ids, dur_min, dur_max, violations)
+            yield _gen_batch(ids, dur_min, dur_max, violations, with_index)
 
     return (
         spark.range(0, n, 1, parts)
-        .mapInPandas(gen, schema=CLIPS_SCHEMA)
+        .mapInPandas(gen, schema=schema)
     )
+
+
+# Bump when the generator arithmetic changes: the cache path is content-
+# addressed by (version, n, dur_range, buckets), so stale materializations
+# from earlier rounds can never be read.
+_MATERIALIZE_VERSION = "v1"
+_MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
+
+
+def clips_path(
+    n: int,
+    dur_range: tuple[int, int] = (200, 2000),
+    n_buckets: Optional[int] = None,
+) -> str:
+    """Canonical materialization path for (n, dur_range, buckets) — shared
+    by the Spark queries and the DuckDB oracle SQL generator."""
+    import os
+
+    suffix = f"_b{n_buckets}" if n_buckets else ""
+    return os.path.join(
+        _MATERIALIZE_ROOT,
+        _MATERIALIZE_VERSION,
+        f"clips_{n}_{dur_range[0]}_{dur_range[1]}{suffix}",
+    )
+
+
+def materialized_clips(
+    spark: SparkSession,
+    n: int,
+    dur_range: tuple[int, int] = (200, 2000),
+    n_buckets: Optional[int] = None,
+) -> tuple[DataFrame, str]:
+    """Deterministic clips table materialized to parquet ONCE, then scanned.
+
+    Returns (DataFrame read from parquet, absolute path). Serving the
+    contract queries from a real parquet scan (instead of re-synthesizing
+    per query) is both the production shape — validation reads a table —
+    and what makes the driver's DuckDB oracle possible: the oracle SQL
+    reads the SAME files via read_parquet(), with the ``_row_idx`` ledger
+    column carrying the planted-violation ground truth. Synthesis is
+    bit-deterministic, so an existing materialization is always valid for
+    its parameters.
+
+    ``n_buckets`` adds the checkpoint-protocol partition column ``_bucket``
+    (hash of clip_id — materialized so the oracle need not reproduce the
+    hash function).
+    """
+    import os
+
+    path = clips_path(n, dur_range, n_buckets)
+    # ~20-40KB binary payloads x the default 4096-row vectorized-reader
+    # batch = ~100MB contiguous buffers -> reader OOM/G1-humongous stalls
+    # on modest heaps. 128-row batches keep scan buffers a few MB; harmless
+    # for the narrow tables sharing the session (see BASELINE.md finding).
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = synth_clips(spark, n, dur_range=dur_range, with_index=True)
+        if n_buckets:
+            from jsonschema_spark.operators.checkpoint import with_bucket
+
+            df = with_bucket(df, "clip_id", n_buckets=n_buckets)
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), path
 
 
 def codecs_dim(spark: SparkSession) -> DataFrame:
