@@ -482,13 +482,19 @@ def _q_dedup_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH pipeline with the md5_60 hash family: the identical
+    signature/banding/verify algebra runs in DuckDB (oracle below), so the
+    WHOLE sub-quadratic pipeline is hash-matched, not rows-only. Production
+    keeps the faster xxhash64 default (bench path)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, hash_family="md5_60")
 
 
 def _q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with the md5_60 family (60-bit signatures, 4x15
+    bands) — DuckDB recomputes signatures, banding and Hamming verify."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    return dedup.simhash_pairs(docs, max_hamming=3, hash_family="md5_60")
 
 
 def _q_dedup_embedding_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,19 +524,28 @@ def _q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment with DATA-DERIVED centroids (the first 16 corpus
+    vectors by id — deterministic medoid seeds): DuckDB reproduces the
+    same centroid set by sorting, so the whole argmax-assignment is
+    hash-matched."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_assign(emb).select("vec_id", "ivf_cell")
+    cents = similarity.seed_centroids(emb, n_cells=16)
+    return similarity.ivf_assign(emb, centroids=cents).select("vec_id", "ivf_cell")
 
 
 def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probing search; full probe (n_probe == n_cells) degenerates to
+    """IVF probing search over REAL k-means centroids (driver-side Lloyd on
+    a deterministic sample); full probe (n_probe == n_cells) degenerates to
     exact search, which pins the bucket/probe/join plumbing against the
-    same DuckDB oracle as brute force."""
+    same DuckDB oracle as brute force regardless of the codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_cells=8, sample_size=256, iters=5)
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=8)
+    return similarity.ivf_topk(
+        emb, queries_df, k=5, n_cells=8, n_probe=8, centroids=cents
+    )
 
 
 def _q_clips_validate_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,6 +878,80 @@ def _corpus_summary_sql() -> str:
     """
 
 
+# md5_60 token hash — bit-identical to dedup.token_hash(col, "md5_60")
+# (Spark: conv(substr(md5(x),1,15),16,10)::long; both take the top 60 bits
+# of the md5 hex digest, so the value fits BIGINT in either engine).
+def _h60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_GRAMS_SQL = f"""
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS toks FROM documents)
+"""
+
+
+def _minhash_sql(threshold: float = 0.5, num_hashes: int = 32, bands: int = 8) -> str:
+    rows_per_band = num_hashes // bands
+    return f"""
+    WITH sh AS ({_GRAMS_SQL}),
+    sig AS (
+      SELECT doc_id, grams,
+             list_transform(range(0, {num_hashes}), i ->
+               coalesce(list_min(list_transform(grams,
+                 g -> {_h60("CAST(i AS VARCHAR) || '|' || g")})),
+                 9223372036854775807)) AS sg
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, bs.band,
+             array_to_string(list_transform(
+               sg[bs.band * {rows_per_band} + 1 : bs.band * {rows_per_band} + {rows_per_band}],
+               x -> CAST(x AS VARCHAR)), ',') AS bucket
+      FROM sig, (SELECT unnest(range(0, {bands})) AS band) bs
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(len(list_intersect(a.grams, c.grams)) /
+                   CAST(len(list_distinct(list_concat(a.grams, c.grams))) AS DOUBLE),
+                   6) AS jaccard
+      FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                JOIN sh c ON c.doc_id = cand.id_b
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, list_transform(string_split({_TEXT_NORM}, ' '),
+               t -> {_h60("t")}) AS th
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(th,
+                      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS s
+      FROM hs
+    ), banded AS (
+      SELECT doc_id, s, bs.band, (s >> (bs.band * 15)) & 32767 AS bval
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) bs
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.s AS sa, r.s AS sb
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
 def _jaccard_sql() -> str:
     return f"""
     WITH sh AS (
@@ -982,6 +1071,104 @@ def _ks_binned_sql(cuts: list[float], cur_where: str, base_where: str,
            CAST(max(tc.n_cur) AS BIGINT) AS n_cur,
            CAST(max(tb.n_base) AS BIGINT) AS n_base
     FROM ec JOIN eb USING (cut), tc, tb
+    """
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH / IVF oracles: the plane weights and centroid seeds are
+# driver-side deterministic constants, so the SAME values are inlined here
+# as SQL literals (full-precision repr round-trips to the identical double)
+# and DuckDB replicates the bucket assignment + exact-cosine verify.
+# ---------------------------------------------------------------------------
+
+
+def _plane_lit(plane: int, dim: int = 64) -> str:
+    from jsonschema_spark.operators.similarity import _plane_weights
+
+    return "[" + ", ".join(repr(x) for x in _plane_weights(plane, dim)) + "]"
+
+
+def _sig_sql(vec: str, table_idx: int, n_planes: int, dim: int = 64) -> str:
+    """table-disambiguated sign-LSH bucket id, mirroring similarity.py:
+    sig = t * 2^n_planes + sum_p 2^(n_planes-1-p) * [dot(v, plane) > 0]."""
+    terms = [str(table_idx * (1 << n_planes))]
+    for p in range(n_planes):
+        w = _plane_lit(table_idx * n_planes + p, dim)
+        bit = 1 << (n_planes - 1 - p)
+        terms.append(
+            f"{bit} * CASE WHEN list_dot_product({vec}, {w}) > 0 THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _embedding_lsh_sql(threshold: float = 0.4, n_planes: int = 8,
+                       n_tables: int = 6) -> str:
+    sigs = ", ".join(
+        _sig_sql("embedding::DOUBLE[]", t, n_planes) for t in range(n_tables)
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, [{sigs}] AS sigs FROM embeddings),
+    b AS (SELECT vec_id, unnest(sigs) AS bucket FROM s),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT id_a, id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos
+      FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+                JOIN embeddings c ON c.vec_id = cand.id_b
+    ) WHERE cos >= {threshold}
+    """
+
+
+def _lsh_ann_sql(k: int = 5, n_planes: int = 4, n_tables: int = 8) -> str:
+    sigs = ", ".join(
+        _sig_sql("embedding::DOUBLE[]", t, n_planes) for t in range(n_tables)
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, [{sigs}] AS sigs FROM embeddings),
+    cb AS (SELECT vec_id, unnest(sigs) AS bucket FROM s),
+    qb AS (SELECT vec_id AS query_id, unnest(sigs) AS bucket FROM s
+           WHERE vec_id < 3),
+    cand AS (SELECT DISTINCT query_id, vec_id FROM cb JOIN qb USING (bucket)),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS cos
+      FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id
+                JOIN embeddings q ON q.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _ivf_assign_sql(n_cells: int = 16) -> str:
+    """Seed-vector centroids = the first n_cells corpus vectors by id;
+    argmax by round(cos, 9) with highest-cell tiebreak (array_max on
+    struct(sim, cell) picks the lexicographically largest)."""
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells})
+    ), scored AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 9) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS ivf_cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell DESC) AS rn
+      FROM scored
+    ) WHERE rn = 1
     """
 
 
@@ -1442,6 +1629,11 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 1
         """,
         "dedup_jaccard_documents": _jaccard_sql(),
+        "dedup_minhash_documents": _minhash_sql(threshold=0.5),
+        "dedup_simhash_documents": _simhash_sql(max_hamming=3),
+        "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),
+        "similarity_lsh_ann": _lsh_ann_sql(k=5),
+        "similarity_ivf_assign": _ivf_assign_sql(n_cells=16),
         "dedup_embedding_bruteforce": """
             SELECT id_a, id_b, cos FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

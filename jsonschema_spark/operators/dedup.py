@@ -28,6 +28,23 @@ from pyspark.storagelevel import StorageLevel
 from jsonschema_spark.operators.text import fingerprint, normalize, tokens
 
 
+def token_hash(col: Column, hash_family: str = "xxhash64") -> Column:
+    """64-bit-class token hash, selectable per use:
+
+    - ``xxhash64`` — JVM-native, fastest; the production default.
+    - ``md5_60``   — top 60 bits of md5 as a BIGINT. ~3x slower but
+      bit-reproducible in any engine with md5 + hex casts (DuckDB:
+      ``('0x' || substr(md5(x), 1, 15))::BIGINT``), which is what lets the
+      driver's oracle replicate the ENTIRE minhash/simhash pipeline in SQL
+      instead of settling for rows-only checks.
+    """
+    if hash_family == "xxhash64":
+        return F.xxhash64(col)
+    if hash_family == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
 def _parallelize(df: DataFrame, key: str) -> DataFrame:
     """Raise partition count for CPU-dense expression work when the scan
     yielded fewer partitions than cores (small files => 1 split). At real
@@ -152,9 +169,11 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature_from(sh: Column, num_hashes: int = 32) -> Column:
+def minhash_signature_from(
+    sh: Column, num_hashes: int = 32, hash_family: str = "xxhash64"
+) -> Column:
     """array<bigint> MinHash signature over a *materialized* shingle-array
-    column: slot i = min over shingles of xxhash64(i || shingle). Keeping the
+    column: slot i = min over shingles of hash(i || shingle). Keeping the
     shingle array in its own column (behind a shuffle/exchange boundary)
     matters: inlined into every slot lambda, Catalyst's project-collapsing
     would rebuild the O(tokens^2) shingle array ``num_hashes`` times per row.
@@ -163,17 +182,24 @@ def minhash_signature_from(sh: Column, num_hashes: int = 32) -> Column:
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(
             F.array_min(
-                F.transform(sh, lambda g: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), g)))
+                F.transform(
+                    sh,
+                    lambda g: token_hash(
+                        F.concat(i.cast("string"), F.lit("|"), g), hash_family
+                    ),
+                )
             ),
             F.lit(2**63 - 1),
         ),
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
+def minhash_signature(
+    col: Column, num_hashes: int = 32, n: int = 3, hash_family: str = "xxhash64"
+) -> Column:
     """Inline variant (shingles rebuilt per slot — prefer the two-step
     ``word_shingles`` + ``minhash_signature_from`` in hot paths)."""
-    return minhash_signature_from(word_shingles(col, n), num_hashes)
+    return minhash_signature_from(word_shingles(col, n), num_hashes, hash_family)
 
 
 def minhash_lsh_pairs(
@@ -184,6 +210,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard.
 
@@ -207,7 +234,11 @@ def minhash_lsh_pairs(
             df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
         )
         .select("_id", word_shingles(F.col("_text"), n).alias("_sh"))
-        .select("_id", "_sh", minhash_signature_from(F.col("_sh"), num_hashes).alias("_sig"))
+        .select(
+            "_id",
+            "_sh",
+            minhash_signature_from(F.col("_sh"), num_hashes, hash_family).alias("_sig"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sig.select(
@@ -329,27 +360,36 @@ def embedding_near_dups(
     return scored.filter(F.col("cos") >= threshold)
 
 
-def simhash(col: Column) -> Column:
-    """64-bit SimHash of the token multiset, as bigint — pure expressions.
+def simhash_bits(hash_family: str) -> int:
+    """Signature width: 64 with xxhash64; 60 with md5_60 (the oracle-
+    replicable hash yields 60 usable bits — banding becomes 4 x 15)."""
+    return 64 if hash_family == "xxhash64" else 60
+
+
+def simhash(col: Column, hash_family: str = "xxhash64") -> Column:
+    """SimHash of the token multiset, as bigint — pure expressions.
 
     bit b of the signature = sign of sum over tokens of (bit b of
-    xxhash64(token) ? +1 : -1).
+    hash(token) ? +1 : -1).
     """
-    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    # One pass over the token hashes accumulating all 64 bit-counters.
+    bits = simhash_bits(hash_family)
+    hashes = F.transform(tokens(col), lambda t: token_hash(t, hash_family))
+    # One pass over the token hashes accumulating all bit-counters.
     bit_sums = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(bits - 1)),
                 lambda b: F.when(F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
             ),
             lambda x, y: x + y,
         ),
     )
-    powers = F.array(*[F.lit((1 << b) if b < 63 else -(2**63)).cast("long") for b in range(64)])
+    powers = F.array(
+        *[F.lit((1 << b) if b < 63 else -(2**63)).cast("long") for b in range(bits)]
+    )
     return F.aggregate(
         F.zip_with(bit_sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -362,27 +402,32 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Banding: 4 x 16-bit bands — any pair within Hamming 3 shares at least
-    one exact band (pigeonhole), so the join on (band, value) finds all of
-    them without a cross join.
+    Banding: 4 equal bands (16 bits with xxhash64, 15 with md5_60) — any
+    pair within Hamming 3 shares at least one exact band (pigeonhole), so
+    the join on (band, value) finds all of them without a cross join.
     """
+    band_bits = simhash_bits(hash_family) // 4
+    band_mask = (1 << band_bits) - 1
     # persist: the 4 band projections + both sides of the bucket self-join
     # would otherwise each re-expand the full simhash expression tree
     sig = (
         _parallelize(
             df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
         )
-        .select("_id", simhash(F.col("_text")).alias("_sig"))
+        .select("_id", simhash(F.col("_text"), hash_family).alias("_sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("_sig"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+                F.shiftright(F.col("_sig"), b * band_bits)
+                .bitwiseAND(F.lit(band_mask))
+                .alias("bval"),
             )
             for b in range(4)
         ]
