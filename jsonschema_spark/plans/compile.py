@@ -668,49 +668,11 @@ class _Compiler:
         if s.content_schema is not None and isinstance(
             dtype, (T.StringType, T.VarcharType, T.CharType)
         ):
-            # Nested-document validation the reference only models
-            # (schema.go:128): for JSON content, derive the Spark type from
-            # contentSchema (typemap), parse with from_json, and evaluate the
-            # subschema over the parsed struct — still zero Python.
-            mt = (s.content_media_type or "application/json").split(";")[0].strip()
-            if mt == "application/json":
-                from jsonschema_spark.plans.typemap import (
-                    TypeMapError,
-                    spark_type_from_schema,
-                )
-
-                try:
-                    inner = spark_type_from_schema(s.content_schema)
-                except TypeMapError:
-                    inner = None
-                # contentEncoding applies before contentSchema: a
-                # base64-wrapped JSON document is decoded JVM-side first.
-                # Malformed base64 is gated by the validity regex (ANSI
-                # unbase64 would raise) -> NULL -> contentSchema fails.
-                src = (
-                    F.when(
-                        col.rlike(_BASE64_PATTERN), F.unbase64(col).cast("string")
-                    )
-                    if s.content_encoding == "base64"
-                    else col
-                )
-                if inner is not None and isinstance(
-                    inner, (T.StructType, T.MapType, T.ArrayType)
-                ):
-                    parsed = F.from_json(src, inner)
-                else:
-                    # schema has no single static Spark type (mixed-type
-                    # unions, scalar roots, dynamic shapes): parse to a
-                    # VARIANT and evaluate through the runtime-typed path
-                    parsed = F.try_parse_json(src)
-                    inner = T.VariantType()
-                sub_ok = self.valid_expr(
-                    s.content_schema, parsed, inner,
-                    f"{ptr}/contentSchema", f"{path}!json",
-                )
+            cs_ok = self._content_schema_expr(s, col, ptr, path)
+            if cs_ok is not None:
                 out(
                     "contentSchema",
-                    parsed.isNotNull() & F.coalesce(sub_ok, F.lit(False)),
+                    cs_ok,
                     f"{name} content must validate against contentSchema",
                 )
 
@@ -753,6 +715,103 @@ class _Compiler:
                 f"{ptr}: $dynamicRef/$dynamicAnchor are not resolved (matching "
                 "the reference, which has no handling for them in resolve.go)"
             )
+
+    def _content_schema_expr(
+        self, s: Schema, col: Column, ptr: str, path: str
+    ) -> Optional[Column]:
+        """Validity expression for contentSchema over a JSON-document string
+        column — nested-document validation the reference only models
+        (schema.go:128): derive the Spark type from contentSchema (typemap),
+        parse with from_json, evaluate the subschema over the parse result;
+        mixed/dynamic shapes parse to VARIANT. Shared by the static string
+        path and the variant-string view. Returns None for non-JSON media
+        types (no check)."""
+        mt = (s.content_media_type or "application/json").split(";")[0].strip()
+        if mt != "application/json":
+            return None
+        from jsonschema_spark.plans.typemap import (
+            TypeMapError,
+            spark_type_from_schema,
+        )
+
+        try:
+            inner = spark_type_from_schema(s.content_schema)
+        except TypeMapError:
+            inner = None
+        # contentEncoding applies before contentSchema: a base64-wrapped
+        # JSON document is decoded JVM-side first. Malformed base64 is
+        # gated by the validity regex (ANSI unbase64 would raise) -> NULL
+        # -> contentSchema fails.
+        src = (
+            F.when(col.rlike(_BASE64_PATTERN), F.unbase64(col).cast("string"))
+            if s.content_encoding == "base64"
+            else col
+        )
+        if inner is not None and isinstance(
+            inner, (T.StructType, T.MapType, T.ArrayType)
+        ):
+            parsed = F.from_json(src, inner)
+        else:
+            # schema has no single static Spark type (mixed-type unions,
+            # scalar roots, dynamic shapes): parse to a VARIANT and
+            # evaluate through the runtime-typed path
+            parsed = F.try_parse_json(src)
+            inner = T.VariantType()
+        sub_ok = self.valid_expr(
+            s.content_schema, parsed, inner, f"{ptr}/contentSchema", f"{path}!json"
+        )
+        return parsed.isNotNull() & F.coalesce(sub_ok, F.lit(False))
+
+    def _variant_items_evaluated(self, s: Schema, vcol: Column, x: Column, i: Column):
+        """Variant-array analogue of ``_items_evaluated``: is element ``x``
+        (a variant) at 0-based ``i`` evaluated by ``s`` or a successfully-
+        validating in-place applicator branch? Branch validity evaluates
+        against the ORIGINAL variant instance (runtime-gated semantics);
+        element checks recurse on the variant element. Returns True, False,
+        or a boolean Column."""
+        if s.is_true() or s.is_false():
+            return False
+        if s.items is not None:
+            return True
+        vt = T.VariantType()
+        parts: list[Column] = []
+        if s.prefix_items:
+            parts.append(i < len(s.prefix_items))
+        if s.contains is not None:
+            parts.append(
+                F.coalesce(self.valid_expr(s.contains, x, vt, "", ""), F.lit(False))
+            )
+
+        def add_branch(branch: Schema, applies: Optional[Column] = None) -> None:
+            ev = self._variant_items_evaluated(branch, vcol, x, i)
+            if ev is False:
+                return
+            cond = F.coalesce(self.valid_expr(branch, vcol, vt, "", ""), F.lit(False))
+            if applies is not None:
+                cond = applies & cond
+            parts.append(cond if ev is True else cond & F.coalesce(ev, F.lit(False)))
+
+        for branch in (s.all_of or []):
+            add_branch(branch)
+        for branch in (s.any_of or []):
+            add_branch(branch)
+        for branch in (s.one_of or []):
+            add_branch(branch)
+        if s.if_ is not None:
+            if_valid = F.coalesce(
+                self.valid_expr(s.if_, vcol, vt, "", ""), F.lit(False)
+            )
+            add_branch(s.if_)
+            if s.then is not None:
+                add_branch(s.then, applies=if_valid)
+            if s.else_ is not None:
+                add_branch(s.else_, applies=~if_valid)
+        if not parts:
+            return False
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw | p
+        return raw
 
     # -- VariantType: runtime-typed JSON values (dynamic schema path) --
     #
@@ -909,6 +968,54 @@ class _Compiler:
             if s.max_contains is not None:
                 out("maxContains", ~v_arr | (n_match <= s.max_contains),
                     f"{name} must contain <= {s.max_contains} matching items")
+
+        # unevaluatedItems over the array<variant> view — mirrors the static
+        # ArrayType annotation flow (ADVICE r1: previously silently dropped
+        # on variant instances, a fail-open hole).
+        if s.unevaluated_items is not None:
+            sub = s.unevaluated_items
+            ui_ptr = f"{ptr}/unevaluatedItems"
+
+            def v_elem_ok(x: Column, i: Column) -> Column:
+                ev = self._variant_items_evaluated(s, col, x, i)
+                sub_ok = (
+                    F.lit(False)
+                    if sub.is_false()
+                    else F.coalesce(
+                        self.valid_expr(sub, x, vt, ui_ptr, f"{path}[]"), F.lit(False)
+                    )
+                )
+                if ev is True:
+                    return F.lit(True)
+                if ev is False:
+                    return sub_ok
+                return F.coalesce(ev, F.lit(False)) | sub_ok
+
+            out(
+                "unevaluatedItems",
+                ~v_arr | (F.size(F.filter(arr, lambda x, i: ~v_elem_ok(x, i))) == 0),
+                f"{name} must not have unevaluated items"
+                + (" (unevaluatedItems: false)" if sub.is_false() else ""),
+            )
+
+        # format / content assertions on variant STRING instances (gated on
+        # the runtime v_str predicate — same applicability a static string
+        # column gets; ADVICE r1 flagged the silent skip as an inconsistency)
+        if s.format is not None and self.opts.assert_formats:
+            fmt_expr = _format_expr(s.format, sval)
+            if fmt_expr is not None:
+                out("format", ~v_str | fmt_expr,
+                    f'{name} must match format "{s.format}"')
+        if s.content_encoding is not None:
+            enc_expr = _encoding_expr(s.content_encoding, sval)
+            if enc_expr is not None:
+                out("contentEncoding", ~v_str | enc_expr,
+                    f'{name} content must be "{s.content_encoding}"-encoded')
+        if s.content_schema is not None:
+            cs_ok = self._content_schema_expr(s, sval, ptr, path)
+            if cs_ok is not None:
+                out("contentSchema", ~v_str | cs_ok,
+                    f"{name} content must validate against contentSchema")
 
     # -- object keywords over StructType (static key set) and MapType (dynamic) --
 

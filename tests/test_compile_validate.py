@@ -639,6 +639,100 @@ def test_variant_mixed_enum_and_const(spark):
     assert v == {5: {"enum"}, 6: {"enum"}}
 
 
+def test_variant_unevaluated_items(spark):
+    """unevaluatedItems must evaluate on VARIANT arrays (ADVICE r1: it was
+    silently dropped — fail-open). Mirrors the static ArrayType annotation
+    flow: prefixItems cover their positions; a successfully-validating
+    allOf branch's items annotation covers everything; failing branches
+    drop annotations."""
+    df = spark.createDataFrame(
+        [
+            (1, '["a", 1]'),          # prefix covers [0]; 1 unevaluated -> fail
+            (2, '["a"]'),             # fully covered by prefix
+            (3, '["a", "b"]'),        # "b" unevaluated -> fail (uneval: false)
+            (4, '"not an array"'),    # inapplicable -> vacuous pass
+            (5, "[]"),                # empty -> pass
+            (6, None),                # absent -> vacuous
+        ],
+        "rid long, js string",
+    )
+    df = df.select("rid", F.parse_json("js").alias("v"))
+    doc = {
+        "properties": {
+            "v": {
+                "prefixItems": [{"type": "string"}],
+                "unevaluatedItems": False,
+            }
+        }
+    }
+    v = _violated(validate(df, doc), "rid")
+    assert v == {1: {"unevaluatedItems"}, 3: {"unevaluatedItems"}}
+
+    # annotation flow: an allOf branch with items covers ALL elements when
+    # the branch validates; when it fails, its annotation is dropped
+    doc2 = {
+        "properties": {
+            "v": {
+                "allOf": [{"items": {"type": "string"}}],
+                "unevaluatedItems": False,
+            }
+        }
+    }
+    df2 = spark.createDataFrame(
+        [(1, '["a", "b"]'), (2, '["a", 7]')], "rid long, js string"
+    ).select("rid", F.parse_json("js").alias("v"))
+    v2 = _violated(validate(df2, doc2), "rid")
+    # row 1: branch passes -> all evaluated. row 2: branch fails (7 not a
+    # string) -> annotations dropped -> both elements unevaluated.
+    assert 1 not in v2
+    assert "unevaluatedItems" in v2[2]
+
+
+def test_variant_format_and_content_assertions(spark):
+    """format (assert_formats), contentEncoding and contentSchema assert on
+    variant STRING instances, gated on the runtime type (ADVICE r1: the
+    static-string path asserted these while variants silently skipped)."""
+    from jsonschema_spark.plans.compile import CompileOptions
+
+    df = spark.createDataFrame(
+        [
+            (1, '"2024-03-01"'),   # valid date string
+            (2, '"not-a-date"'),   # format violation
+            (3, "42"),             # number -> format inapplicable, passes
+            (4, "null"),           # JSON null -> inapplicable
+        ],
+        "rid long, js string",
+    )
+    df = df.select("rid", F.parse_json("js").alias("v"))
+    doc = {"properties": {"v": {"format": "date"}}}
+    v = _violated(validate(df, doc, CompileOptions(assert_formats=True)), "rid")
+    assert v == {2: {"format"}}
+
+    df2 = spark.createDataFrame(
+        [
+            (1, '"eyJrIjogNDJ9"'),  # base64 of {"k": 42} -> all pass
+            (2, '"!!!"'),           # not base64
+            (3, "7"),               # number -> vacuous
+        ],
+        "rid long, js string",
+    ).select("rid", F.parse_json("js").alias("v"))
+    doc2 = {
+        "properties": {
+            "v": {
+                "contentEncoding": "base64",
+                "contentMediaType": "application/json",
+                "contentSchema": {
+                    "type": "object",
+                    "required": ["k"],
+                    "properties": {"k": {"minimum": 10}},
+                },
+            }
+        }
+    }
+    v2 = _violated(validate(df2, doc2), "rid")
+    assert v2 == {2: {"contentEncoding", "contentSchema"}}
+
+
 def test_content_schema_variant_fallback(spark):
     """contentSchema whose document has no single static Spark type (scalar
     roots, mixed-type unions) parses to a VARIANT and evaluates through the
