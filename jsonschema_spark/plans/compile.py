@@ -173,6 +173,128 @@ class CompiledSchema:
 
 
 # ---------------------------------------------------------------------------
+# Pass 0: $dynamicRef lowering (lexical-scope subset — parity-plus)
+# ---------------------------------------------------------------------------
+
+
+def lower_dynamic_refs(root: Schema, strict: bool = True) -> Schema:
+    """Statically resolve the LEXICAL-SCOPE SUBSET of $dynamicRef.
+
+    The reference never resolves $dynamicRef/$dynamicAnchor (resolve.go has
+    no case for them); we go one step further for the case that matters in
+    practice — recursive meta-schema-style documents evaluated from a fixed
+    root. When validation always starts at the compiled root document, the
+    dynamic scope chain is rooted there, so ``{"$dynamicRef": "#name"}``
+    always lands on the OUTERMOST ``$dynamicAnchor: name`` in the root
+    resource. That choice is static: this pass rewrites each such node to a
+    plain ``$ref`` to that anchor (synthesizing an ``$anchor`` if needed),
+    and ``inline_refs``'s bounded unroll then handles the recursion exactly
+    like any other cyclic ``$ref``.
+
+    Outside the subset — non-fragment URIs, or a winning anchor nested
+    inside an embedded resource (a different ``$id``), where true dynamic
+    re-rooting could pick differently per evaluation path — the node is
+    rejected under ``strict`` (matching the old disposition) or ignored
+    otherwise. Per 2020-12, a fragment with no matching ``$dynamicAnchor``
+    (or a pointer fragment) falls back to plain ``$ref`` behavior.
+    """
+    present = {"dyn": False}
+
+    def probe(scope, s: Schema):
+        if s.dynamic_ref != "" or s.dynamic_anchor != "":
+            present["dyn"] = True
+
+    Walk(root, probe)
+    if not present["dyn"]:
+        return root
+
+    out = root.copy()
+    winners: dict[str, tuple[int, str, Schema]] = {}  # name -> (depth, ptr, node)
+    id_ptrs: list[str] = []
+
+    def collect(scope, s: Schema):
+        if s.id != "" and scope.pointer not in ("", "/"):
+            id_ptrs.append(scope.pointer)
+        if s.dynamic_anchor != "":
+            d = scope.pointer.count("/")
+            cur = winners.get(s.dynamic_anchor)
+            if cur is None or d < cur[0]:
+                winners[s.dynamic_anchor] = (d, scope.pointer, s)
+
+    Walk(out, collect)
+
+    def _resource_of(ptr: str) -> str:
+        """Pointer of the nearest enclosing $id node ('' = root resource).
+        A node that itself carries $id roots its own resource."""
+        best = ""
+        for p in id_ptrs:
+            prefix = p if p.endswith("/") else p + "/"
+            if (ptr == p or ptr.startswith(prefix)) and len(p) > len(best):
+                best = p
+        return best
+
+    for name, (_d, ptr, node) in list(winners.items()):
+        if ptr.strip("/") == _resource_of(ptr).strip("/"):
+            # The winner IS its resource's root. Root anchors are not
+            # registered by compute_identifiers (reference parity), so
+            # clone the root's content into a synthetic $defs entry that
+            # carries the anchor; the root itself stays untouched (its
+            # internal "#/..." pointer refs keep resolving). The clone's
+            # own $dynamicRefs are rewritten by the walk below, closing
+            # the recursion through the def with bounded unroll.
+            clone = node.copy()
+            clone.id = ""
+            clone.defs = None  # resource root keeps the real $defs
+            clone.dynamic_anchor = ""
+            clone.anchor = f"__dynamic__{name}"
+            if node.defs is None:
+                node.defs = {}
+            node.defs[f"__dynamic__{name}"] = clone
+            def_ptr = ptr.rstrip("/") + f"/$defs/__dynamic__{name}"
+            winners[name] = (_d, def_ptr, clone)
+        elif node.anchor == "":
+            node.anchor = f"__dynamic__{name}"
+
+    def rewrite(scope, s: Schema):
+        s.dynamic_anchor = ""  # consumed declaration (inert once lowered)
+        if s.dynamic_ref == "":
+            return None
+        ref = s.dynamic_ref
+        s.dynamic_ref = ""
+        if ref.startswith("#/") or (
+            ref.startswith("#") and ref[1:] not in winners
+        ):
+            # pointer fragment, or no matching dynamic anchor: plain $ref
+            # semantics per 2020-12
+            s.ref = ref
+            return None
+        if ref.startswith("#"):
+            _d, ptr, node = winners[ref[1:]]
+            if _resource_of(ptr) != _resource_of(scope.pointer):
+                # the static "#anchor" rewrite resolves against the ref
+                # node's nearest resource; a winner in a DIFFERENT resource
+                # needs true dynamic re-rooting — outside the subset
+                if strict:
+                    raise CompileError(
+                        f'{scope.pointer}: $dynamicRef "{ref}" crosses an '
+                        "embedded-resource boundary — outside the statically-"
+                        "resolvable lexical-scope subset"
+                    )
+                return None
+            s.ref = "#" + node.anchor
+            return None
+        if strict:
+            raise CompileError(
+                f'{scope.pointer}: $dynamicRef "{ref}" is not a same-document '
+                "fragment — outside the statically-resolvable subset"
+            )
+        return None
+
+    Walk(out, rewrite)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Pass 1: $ref inlining (the ExampleWalk rewrite, bounded for cycles)
 # ---------------------------------------------------------------------------
 
@@ -1566,7 +1688,8 @@ def compile_schema(
     them to any DataFrame with that schema (batch or streaming).
     """
     opts = options or CompileOptions()
-    resolved = inline_refs(schema, resolve_config, max_depth=opts.max_ref_depth)
+    lowered = lower_dynamic_refs(schema, strict=opts.strict)
+    resolved = inline_refs(lowered, resolve_config, max_depth=opts.max_ref_depth)
     c = _Compiler(opts)
 
     # The row is the instance: a non-null struct. Bind object keywords at the

@@ -639,6 +639,90 @@ def test_variant_mixed_enum_and_const(spark):
     assert v == {5: {"enum"}, 6: {"enum"}}
 
 
+def test_dynamic_ref_recursive_tree(spark):
+    """$dynamicRef lexical-scope subset: a recursive meta-schema-style
+    document evaluates with bounded unroll, exactly like a cyclic $ref
+    (parity-plus: the reference never resolves $dynamic* at all)."""
+    doc = {
+        "$id": "https://example.com/tree.schema.json",
+        "$dynamicAnchor": "node",
+        "type": "object",
+        "properties": {
+            "value": {"type": "integer", "minimum": 0},
+            "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+        },
+    }
+    rows = [
+        (1, (5, [(3, []), (2, [])])),     # all valid
+        (2, (5, [(-1, [])])),             # nested child violates minimum
+        (3, (-7, [])),                    # root-level violation
+    ]
+    schema_str = (
+        "rid long, v struct<value int, children array<"
+        "struct<value int, children array<struct<value int, children array<int>>>>>>"
+    )
+    df = spark.createDataFrame(rows, schema_str)
+    wrapped = {"properties": {"v": doc}}
+    v = _violated(validate(df, wrapped), "rid")
+    assert 1 not in v
+    # nested child violations surface at the items applicator (leaf checks
+    # inside a higher-order lambda roll up, as with any inlined $ref)
+    assert 2 in v and any(("items" in k or "minimum" in k) for k in v[2])
+    assert 3 in v and any("minimum" in k for k in v[3])
+
+
+def test_dynamic_ref_outermost_anchor_wins(spark):
+    """The root document's $dynamicAnchor overrides a deeper one with the
+    same name — the meta-schema extension pattern (dynamic scope, not
+    lexical nearest)."""
+    doc = {
+        # root tightens the "ext" slot to integers >= 10
+        "$dynamicAnchor": "ext",
+        "minimum": 10,
+        "allOf": [
+            {
+                "$defs": {
+                    "inner": {
+                        # inner declaration would allow anything >= 0
+                        "$dynamicAnchor": "ext",
+                        "minimum": 0,
+                    }
+                },
+                "$dynamicRef": "#ext",
+            }
+        ],
+    }
+    df = spark.createDataFrame([(1, 50), (2, 5), (3, -1)], "rid long, v int")
+    v = _violated(validate(df, {"properties": {"v": doc}}), "rid")
+    # 5 passes the inner (lexical-nearest) anchor but must FAIL the
+    # outermost one; a lexical-$ref misreading would let rid=2 through.
+    assert 1 not in v
+    assert 2 in v and 3 in v
+
+
+def test_dynamic_ref_falls_back_to_plain_anchor(spark):
+    """No matching $dynamicAnchor: per 2020-12, $dynamicRef degrades to
+    plain $ref resolution against a normal $anchor."""
+    doc = {
+        "$defs": {"pos": {"$anchor": "pos", "minimum": 1}},
+        "properties": {"v": {"$dynamicRef": "#pos"}},
+    }
+    df = spark.createDataFrame([(1, 5), (2, 0)], "rid long, v int")
+    v = _violated(validate(df, doc), "rid")
+    assert v == {2: {"minimum"}}
+
+
+def test_dynamic_ref_external_uri_rejected_under_strict(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.plans.compile import CompileError
+
+    doc = {"properties": {"v": {"$dynamicRef": "https://other.example/x#frag"}}}
+    df = spark.createDataFrame([(1, 5)], "rid long, v int")
+    with _pytest.raises(CompileError):
+        validate(df, doc)
+
+
 def test_variant_unevaluated_items(spark):
     """unevaluatedItems must evaluate on VARIANT arrays (ADVICE r1: it was
     silently dropped — fail-open). Mirrors the static ArrayType annotation
