@@ -452,17 +452,18 @@ def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.ks_statistic_exact(cur, base, "value")
 
 
-# The SCALE-DEFAULT drift path: ECDFs on a fixed literal grid — one
-# partial+final aggregate per side, no global sort/window anywhere.
-# The grid covers the events.value domain at 5-unit resolution.
-_EVENTS_KS_CUTS = drift.linear_cuts(0.0, 600.0, 120)
+# The SCALE-DEFAULT drift path: ECDFs on a uniform histogram grid — one
+# narrow groupBy(bin) aggregate per side (shuffle <= n_bins rows), the
+# cumulative/max step over the tiny histogram only. The grid covers the
+# events.value domain at 5-unit resolution.
+_EVENTS_KS_GRID = (0.0, 600.0, 120)
 
 
 def _q_drift_ks_binned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
     base = ev.filter(F.col("event_id") % 2 == 0)
-    return drift.ks_statistic_binned(cur, base, "value", _EVENTS_KS_CUTS)
+    return drift.ks_statistic_binned(cur, base, "value", *_EVENTS_KS_GRID)
 
 
 def _q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +613,7 @@ def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # dur_ms drift grid: 25ms resolution over the bulk of the log-uniform mass;
 # the planted out-of-range tail (45000ms on both sides) cancels in the diff.
-_CLIPS_KS_CUTS = drift.linear_cuts(0.0, 4500.0, 180)
+_CLIPS_KS_GRID = (0.0, 4500.0, 180)
 
 
 def _q_clips_drift_dur_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,7 +622,7 @@ def _q_clips_drift_dur_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration distribution (log-uniform 200-2000ms vs 300-3000ms)."""
     cur = _clips(spark)
     base = _clips_baseline(spark)
-    return drift.ks_statistic_binned(cur, base, "dur_ms", _CLIPS_KS_CUTS)
+    return drift.ks_statistic_binned(cur, base, "dur_ms", *_CLIPS_KS_GRID)
 
 
 def _q_clips_drift_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,27 +1051,38 @@ def _clips_totals_sql(src: str, group_cols: tuple[str, ...] = ()) -> str:
     """
 
 
-def _ks_binned_sql(cuts: list[float], cur_where: str, base_where: str,
-                   table: str = "events", col: str = "value",
-                   base_table: str | None = None) -> str:
-    """DuckDB mirror of drift.ks_statistic_binned: identical literal grid,
-    identical double-division ECDF arithmetic."""
-    cut_lits = ", ".join(repr(float(c)) for c in cuts)
+def _ks_binned_sql(grid: tuple[float, float, int], cur_where: str,
+                   base_where: str, table: str = "events",
+                   col: str = "value", base_table: str | None = None) -> str:
+    """DuckDB mirror of drift.ks_statistic_binned: identical bin arithmetic
+    (the step literal is the same Python-computed double, so ceil((v-lo)/
+    step) bins bit-identically in both engines)."""
+    lo, hi, n_bins = grid
+    step = (float(hi) - float(lo)) / n_bins
     base_table = base_table or table
+    bin_expr = (
+        f"CASE WHEN v <= {float(lo)!r} THEN 0 "
+        f"WHEN v > {float(hi)!r} THEN {n_bins + 1} "
+        f"ELSE CAST(ceil((v - {float(lo)!r}) / {step!r}) AS INTEGER) END"
+    )
     return f"""
-    WITH cuts AS (SELECT unnest([{cut_lits}]) AS cut),
-    cur AS (SELECT {col} AS v FROM {table} WHERE {cur_where} AND {col} IS NOT NULL),
-    base AS (SELECT {col} AS v FROM {base_table} WHERE {base_where} AND {col} IS NOT NULL),
-    tc AS (SELECT count(*) AS n_cur FROM cur),
-    tb AS (SELECT count(*) AS n_base FROM base),
-    ec AS (SELECT cut, count(*) FILTER (WHERE v <= cut) AS c
-           FROM cuts CROSS JOIN cur GROUP BY cut),
-    eb AS (SELECT cut, count(*) FILTER (WHERE v <= cut) AS c
-           FROM cuts CROSS JOIN base GROUP BY cut)
-    SELECT round(max(abs(ec.c / tc.n_cur - eb.c / tb.n_base)), 6) AS ks_stat,
-           CAST(max(tc.n_cur) AS BIGINT) AS n_cur,
-           CAST(max(tb.n_base) AS BIGINT) AS n_base
-    FROM ec JOIN eb USING (cut), tc, tb
+    WITH cur AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+                 WHERE {cur_where} AND {col} IS NOT NULL),
+    base AS (SELECT CAST({col} AS DOUBLE) AS v FROM {base_table}
+             WHERE {base_where} AND {col} IS NOT NULL),
+    cb AS (SELECT {bin_expr} AS bin, count(*) AS cur_cnt FROM cur GROUP BY 1),
+    bb AS (SELECT {bin_expr} AS bin, count(*) AS base_cnt FROM base GROUP BY 1),
+    j AS (SELECT coalesce(cb.bin, bb.bin) AS bin,
+                 coalesce(cur_cnt, 0) AS cur_cnt,
+                 coalesce(base_cnt, 0) AS base_cnt
+          FROM cb FULL OUTER JOIN bb ON cb.bin = bb.bin),
+    e AS (SELECT sum(cur_cnt) OVER w AS c_cur, sum(base_cnt) OVER w AS c_base
+          FROM j WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+    t AS (SELECT max(c_cur) AS n_cur, max(c_base) AS n_base FROM e)
+    SELECT round(max(abs(c_cur / t.n_cur - c_base / t.n_base)), 6) AS ks_stat,
+           CAST(max(t.n_cur) AS BIGINT) AS n_cur,
+           CAST(max(t.n_base) AS BIGINT) AS n_base
+    FROM e, t
     """
 
 
@@ -1612,7 +1624,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "drift_ks_binned_events": _ks_binned_sql(
-            _EVENTS_KS_CUTS, "event_id % 2 = 1", "event_id % 2 = 0"
+            _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
         "text_profile_documents": _text_profile_sql(),
         "dedup_exact_documents": f"""
@@ -1688,7 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "clips_uniqueness": _uniqueness_sql(_CLIPS_MAIN_PQ, "clip_id"),
         "clips_drift_dur_ms": _ks_binned_sql(
-            _CLIPS_KS_CUTS, "TRUE", "TRUE",
+            _CLIPS_KS_GRID, "TRUE", "TRUE",
             table=_CLIPS_MAIN_PQ, col="dur_ms", base_table=_CLIPS_BASE_PQ,
         ),
         "clips_drift_codec": _chi_square_sql(

@@ -125,8 +125,7 @@ def q_drift_ks(spark: SparkSession):
     ev = load_table(spark, SF_DIR, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
     base = ev.filter(F.col("event_id") % 2 == 0)
-    cuts = drift.linear_cuts(0.0, 600.0, 120)
-    return drift.ks_statistic_binned(cur, base, "value", cuts).collect()
+    return drift.ks_statistic_binned(cur, base, "value", 0.0, 600.0, 120).collect()
 
 
 def q_drift_ks_exact(spark: SparkSession):

@@ -218,70 +218,80 @@ def ks_statistic_exact(current: DataFrame, baseline: DataFrame, column: str) -> 
     )
 
 
+def binned_ecdf_bin(col: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Bin id for the uniform ECDF grid over [lo, hi]: 0 = (v <= lo),
+    b in 1..n_bins means cut_{b-1} < v <= cut_b (cut_b = lo + b*step),
+    n_bins+1 = overflow (v > hi). Pure double arithmetic (ceil of one
+    division) so any engine reproduces the identical binning bit-for-bit —
+    the property the DuckDB oracle relies on."""
+    step = (hi - lo) / n_bins
+    return (
+        F.when(col <= F.lit(float(lo)), F.lit(0))
+        .when(col > F.lit(float(hi)), F.lit(n_bins + 1))
+        .otherwise(F.ceil((col - F.lit(float(lo))) / F.lit(step)).cast("int"))
+    )
+
+
 def ks_statistic_binned(
     current: DataFrame,
     baseline: DataFrame,
     column: str,
-    cuts: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
 ) -> DataFrame:
-    """Scale-default KS: ECDFs evaluated on a fixed literal cutpoint grid.
+    """Scale-default KS: ECDFs on a uniform n_bins grid over [lo, hi].
 
-    One-row result (ks_stat, n_cur, n_base). Plan shape: ONE partial+final
-    aggregate per side (a count plus one conditional sum per cutpoint — all
-    algebraic, map-side combined), then a 1-row x 1-row join. No global
-    sort, no window, no single-reducer funnel — this is the registered
-    contract/bench default; ``ks_statistic_exact`` (global ordered window)
-    stays as the audit path for bounded samples.
+    One-row result (ks_stat, n_cur, n_base). Plan shape: each side maps
+    rows to an int bin (whole-stage codegen) and aggregates ONE narrow
+    groupBy(bin).count() — partial+final, shuffle carries <= n_bins+2 rows
+    per side. The cumulative/max step runs over that tiny histogram (a
+    window over <= n_bins+2 rows, single trivial partition). No global
+    sort, no per-row window, no wide aggregate that would fall out of
+    codegen (a sum-per-cutpoint formulation exceeds Spark's
+    wholeStage maxFields=100 and ran ~6x slower — measured). This is the
+    registered contract/bench default; ``ks_statistic_exact`` stays as the
+    bounded-sample audit path.
 
-    The statistic is exact *at the grid resolution*: it understates true KS
-    by at most the largest probability mass between adjacent cutpoints, so
-    choose cuts to cover the domain at the granularity the drift gate needs
-    (e.g. 100-300 points). Deterministic and engine-independent — the same
-    grid reproduces bit-identical ECDFs in any SQL engine, which is what
-    makes this variant DuckDB-oracle-checkable (unlike a percentile
-    sketch, whose merge order is engine-internal).
+    The statistic is exact *at the grid resolution*: it understates true
+    KS by at most the largest probability mass inside one bin. Rows above
+    ``hi`` count toward the totals but contribute only the (zero)
+    tail difference — both tails agree at +inf by construction.
     """
-    cut_list = [float(x) for x in cuts]
 
-    def side(df: DataFrame, n_name: str, arr_name: str) -> DataFrame:
+    def side(df: DataFrame, cnt_name: str) -> DataFrame:
         c = F.col(column).cast("double")
-        aggd = df.filter(c.isNotNull()).agg(
-            F.count(F.lit(1)).alias(n_name),
-            *[
-                F.sum((c <= F.lit(cut)).cast("long")).alias(f"_c{i}")
-                for i, cut in enumerate(cut_list)
-            ],
-        )
-        return aggd.select(
-            n_name, F.array(*[F.col(f"_c{i}") for i in range(len(cut_list))]).alias(arr_name)
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(binned_ecdf_bin(c, lo, hi, n_bins).alias("bin"))
+            .agg(F.count(F.lit(1)).alias(cnt_name))
         )
 
-    cur = side(current, "n_cur", "_cur")
-    base = side(baseline, "n_base", "_base")
-    j = cur.crossJoin(base)
-    diff = F.aggregate(
-        F.zip_with(
-            F.col("_cur"),
-            F.col("_base"),
-            lambda a, b: F.abs(
-                a.cast("double") / F.col("n_cur") - b.cast("double") / F.col("n_base")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
+    cur = side(current, "cur_cnt")
+    base = side(baseline, "base_cnt")
+    j = cur.join(base, "bin", "full_outer").fillna(0, subset=["cur_cnt", "base_cnt"])
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = j.select(
+        F.sum("cur_cnt").over(w).alias("c_cur"),
+        F.sum("base_cnt").over(w).alias("c_base"),
     )
-    return j.select(
-        F.round(diff, 6).alias("ks_stat"),
-        F.col("n_cur"),
-        F.col("n_base"),
+    totals = e.agg(F.max("c_cur").alias("n_cur"), F.max("c_base").alias("n_base"))
+    return (
+        e.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c_cur") / F.col("n_cur")
+                        - F.col("c_base") / F.col("n_base")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("n_cur").alias("n_cur"),
+            F.first("n_base").alias("n_base"),
+        )
     )
-
-
-def linear_cuts(lo: float, hi: float, n: int) -> list[float]:
-    """n+1 equi-spaced cutpoints covering [lo, hi] — the standard grid for
-    ``ks_statistic_binned`` when the domain is known (schema bounds)."""
-    step = (hi - lo) / n
-    return [lo + i * step for i in range(n + 1)]
 
 
 def ks_statistic_approx(

@@ -165,27 +165,31 @@ def test_ks_binned_close_to_exact_and_bounded(spark):
     ev = load_table(spark, SF_DIR, "events")
     shifted = ev.withColumn("value", F.col("value") * 1.35 + 2.0)
     exact = drift.ks_statistic_exact(shifted, ev, "value").collect()[0].ks_stat
-    cuts = drift.linear_cuts(0.0, 900.0, 180)
-    row = drift.ks_statistic_binned(shifted, ev, "value", cuts).collect()[0]
+    row = drift.ks_statistic_binned(shifted, ev, "value", 0.0, 900.0, 180).collect()[0]
     assert row.ks_stat <= exact + 1e-9  # grid evaluation can only understate
     assert abs(exact - row.ks_stat) < 0.03
     assert row.n_cur > 0 and row.n_base == row.n_cur
 
 
-def test_ks_binned_plan_has_no_sort_or_window(spark):
-    """The registered drift default must never funnel rows through one
-    reducer: no Sort, no Window — just partial+final aggregates."""
+def test_ks_binned_plan_aggregates_before_any_window(spark):
+    """The registered drift default must never funnel ROWS through one
+    reducer: each side reduces to a <= n_bins histogram via a narrow
+    partial+final aggregate; the one window/sort in the plan runs over
+    that tiny histogram only (i.e. strictly above the aggregates — the
+    scan subtree below the last aggregate must be window/sort-free)."""
     ev = load_table(spark, SF_DIR, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
     base = ev.filter(F.col("event_id") % 2 == 0)
-    cuts = drift.linear_cuts(0.0, 600.0, 120)
     plan = (
-        drift.ks_statistic_binned(cur, base, "value", cuts)
+        drift.ks_statistic_binned(cur, base, "value", 0.0, 600.0, 120)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Window" not in plan
-    assert "Sort " not in plan and "+- Sort" not in plan
-    assert "partial_count" in plan or "partial" in plan
+    assert "HashAggregate" in plan and "FileScan" in plan
+    # executed plans print root-first: everything after the LAST (deepest)
+    # aggregate is the scan side — no Window/Sort may appear there
+    scan_side = plan[plan.rindex("HashAggregate"):]
+    assert "FileScan" in scan_side
+    assert "Window" not in scan_side and "Sort " not in scan_side
 
 
 def test_psi_zero_on_identical(spark):
