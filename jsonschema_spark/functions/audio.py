@@ -91,8 +91,57 @@ def encode_payload(pcm: np.ndarray, codec: str) -> bytes:
     return pcm.tobytes()
 
 
+def encode_wav_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Minimal RIFF/WAVE container around mono 16-bit PCM — a REAL format
+    (RFC 2361 / MS WAVEFORMAT), decodable by any audio tool."""
+    import struct
+
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
+    """Real RIFF/WAVE decode: walk chunks, accept PCM (format 1) mono
+    16-bit, return int32 samples. Unsupported layouts raise ValueError
+    (surfaces as a decode failure, not a crash)."""
+    import struct
+
+    pos, n = 12, len(raw)
+    fmt_ok = False
+    data = None
+    while pos + 8 <= n:
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            audio_format, channels, _sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV layout (format={audio_format}, "
+                    f"channels={channels}, bits={bits}); only PCM16 mono"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if not fmt_ok or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    return np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2").astype(np.int32)
+
+
 def decode_payload(raw: bytes) -> np.ndarray:
-    """Decode a payload back to int16 PCM (container sniffed from magic)."""
+    """Decode a payload back to int16 PCM (container sniffed from magic).
+
+    ``RIFF/WAVE`` is decoded for real (PCM16 mono); the synthetic flac/opus
+    containers stand in for their compressed namesakes (no codec libs in
+    this environment); anything else decodes as raw little-endian PCM16."""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return _decode_wav_pcm16(raw)
     if raw[:5] == _FLAC_MAGIC:
         deltas = np.frombuffer(raw[5:], dtype="<i4")
         return np.cumsum(deltas, dtype=np.int64).astype(np.int32)

@@ -63,16 +63,74 @@ def encode_fake_image(width: int, height: int, pixels: np.ndarray) -> bytes:
     return _IMG_MAGIC + struct.pack("<HH", width, height) + pixels.astype(np.uint8).tobytes()
 
 
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """Rec.601 luma from an (h, w, 3) uint8 array, as uint8."""
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+
+def _decode_pnm(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PPM (P6) / PGM (P5) decode — pure numpy, no codec libs.
+    Handles whitespace + '#' comments in the ASCII header; maxval <= 255."""
+    tokens: list[bytes] = []
+    pos = 2  # past magic
+    while len(tokens) < 3 and pos < len(raw):
+        c = raw[pos : pos + 1]
+        if c == b"#":
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(raw[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    if raw[:2] == b"P6":
+        px = np.frombuffer(raw[pos : pos + w * h * 3], dtype=np.uint8)
+        return w, h, _luma(px.reshape(h, w, 3))
+    px = np.frombuffer(raw[pos : pos + w * h], dtype=np.uint8)
+    return w, h, px.reshape(h, w).copy()
+
+
+def _decode_bmp(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Real BMP decode — uncompressed 24-bit BI_RGB (the overwhelmingly
+    common layout), pure numpy. Bottom-up rows, 4-byte row padding."""
+    (data_off,) = struct.unpack("<I", raw[10:14])
+    w, h = struct.unpack("<ii", raw[18:26])
+    bpp, comp = struct.unpack("<HI", raw[28:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(raw[data_off : data_off + stride * h], dtype=np.uint8)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    bgr = rows[::-1] if flip else rows
+    return w, h, _luma(bgr[..., ::-1])
+
+
 def decode_image(raw: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode the synthetic container; REAL formats are where a PIL/libjpeg
-    call goes — explicitly not implemented in this container."""
+    """Decode to (width, height, uint8 grayscale). REAL for the
+    codec-free formats — PPM/PGM (netpbm) and uncompressed 24-bit BMP —
+    plus the synthetic FIMG container; compressed formats (jpeg/png/webp)
+    need a codec lib this environment doesn't ship and raise
+    NotImplementedError (the poison-pill path: decode_ok=false rows)."""
     if raw[:4] == _IMG_MAGIC:
         w, h = struct.unpack("<HH", raw[4:8])
         px = np.frombuffer(raw[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
         return w, h, px
+    if raw[:2] in (b"P5", b"P6"):
+        return _decode_pnm(raw)
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
     raise NotImplementedError(
-        "real image codecs (jpeg/png/webp) are not available in this "
-        "container; plug a PIL/turbojpeg decode in here"
+        "compressed image codecs (jpeg/png/webp) are not available in this "
+        "environment; plug a PIL/turbojpeg decode in here"
     )
 
 

@@ -134,3 +134,33 @@ def test_transcript_ok_invariant(clips):
         f"clip-{i:012d}" for i in range(1500) if i % 211 == 210 or i % 107 == 106
     }
     assert {r.clip_id for r in bad} == expected
+
+
+def test_wav_riff_real_decode_round_trip():
+    """RIFF/WAVE PCM16 mono is decoded for REAL (chunk walk, fmt checks) —
+    a user with actual .wav payloads gets correct PCM, not a stub."""
+    import numpy as np
+    import pytest as _pytest
+
+    from jsonschema_spark.functions.audio import (
+        decode_payload,
+        encode_wav_pcm16,
+        pcm16_from_float,
+        reference_signal,
+        snr_db,
+    )
+
+    pcm = pcm16_from_float(reference_signal("clip-000000000042", 1600))
+    wav = encode_wav_pcm16(pcm, 16000)
+    dec = decode_payload(wav)
+    np.testing.assert_array_equal(dec, pcm.astype(np.int32))
+    assert snr_db(pcm.astype(np.int32), dec) == float("inf")
+
+    # stereo / non-PCM layouts fail loudly (ValueError -> decode-failure row)
+    import struct
+
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    with _pytest.raises(ValueError):
+        decode_payload(b"RIFF" + struct.pack("<I", len(body)) + body)

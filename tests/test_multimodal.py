@@ -90,3 +90,52 @@ def test_embedding_lsh_finds_planted_near_dups(spark):
     assert len(planted) >= 90
     # and exact verification keeps precision: everything reported is >= 0.99
     assert all(r.cos >= 0.99 for r in found)
+
+
+def test_real_ppm_pgm_bmp_decode():
+    """PPM/PGM/BMP are codec-free REAL formats — decoded with pure numpy
+    (only compressed formats remain stubbed)."""
+    import struct
+
+    import numpy as np
+
+    from jsonschema_spark.functions.multimodal import decode_image
+
+    # PGM (P5), 3x2 grayscale with a header comment
+    pgm = b"P5\n# comment\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, px = decode_image(pgm)
+    assert (w, h) == (3, 2)
+    assert px.tolist() == [[10, 20, 30], [40, 50, 60]]
+
+    # PPM (P6), 2x1 RGB: pure red + pure white
+    ppm = b"P6 2 1 255\n" + bytes([255, 0, 0, 255, 255, 255])
+    w, h, px = decode_image(ppm)
+    assert (w, h) == (2, 1)
+    assert px[0, 0] == 76   # Rec.601 luma of pure red
+    assert px[0, 1] == 255
+
+    # BMP: 2x2 uncompressed 24-bit, bottom-up, 4-byte row padding (2*3->8)
+    width, height = 2, 2
+    stride = (width * 3 + 3) & ~3
+    # rows stored bottom-up in BGR; make top row white, bottom row black
+    bottom = bytes([0, 0, 0] * width) + b"\x00" * (stride - width * 3)
+    top = bytes([255, 255, 255] * width) + b"\x00" * (stride - width * 3)
+    pixel_data = bottom + top
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    w, h, px = decode_image(header + info + pixel_data)
+    assert (w, h) == (2, 2)
+    assert px[0].tolist() == [255, 255]  # top row (flipped from bottom-up)
+    assert px[1].tolist() == [0, 0]
+
+    np.testing.assert_array_equal(px, px)  # exercised; shape sane
+
+
+def test_compressed_formats_still_stubbed():
+    import pytest as _pytest
+
+    from jsonschema_spark.functions.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)  # JPEG SOI
