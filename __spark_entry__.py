@@ -443,6 +443,15 @@ def _q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.psi_table(cur, base, "event_type")
 
 
+def _q_drift_psi_value_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-column PSI: uniform binning (engine-independent arithmetic)
+    + the categorical PSI machinery; one narrow aggregate per side."""
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.psi_table_numeric(cur, base, "value", *_EVENTS_KS_GRID)
+
+
 def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KS — the bounded-sample AUDIT path (global ordered window;
     correct but single-reducer, so not the registered scale default)."""
@@ -687,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans_planted": _q_referential_orphans_planted,
         "drift_chi_square_events": _q_drift_chi_square_events,
         "drift_psi_events": _q_drift_psi_events,
+        "drift_psi_value_binned": _q_drift_psi_value_binned,
         "drift_ks_events": _q_drift_ks_events,
         "drift_ks_binned_events": _q_drift_ks_binned_events,
         "text_profile_documents": _q_text_profile_documents,
@@ -1184,6 +1194,41 @@ def _ivf_assign_sql(n_cells: int = 16) -> str:
     """
 
 
+def _psi_binned_sql(grid: tuple[float, float, int], cur_where: str,
+                    base_where: str, table: str = "events",
+                    col: str = "value") -> str:
+    """DuckDB mirror of drift.psi_table_numeric (same bin arithmetic as the
+    binned KS; same eps-floored PSI math as drift_psi_events)."""
+    lo, hi, n_bins = grid
+    step = (float(hi) - float(lo)) / n_bins
+    bin_expr = (
+        f"CASE WHEN v <= {float(lo)!r} THEN 0 "
+        f"WHEN v > {float(hi)!r} THEN {n_bins + 1} "
+        f"ELSE CAST(ceil((v - {float(lo)!r}) / {step!r}) AS INTEGER) END"
+    )
+    return f"""
+    WITH cur AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+                 WHERE {cur_where} AND {col} IS NOT NULL),
+    base AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+             WHERE {base_where} AND {col} IS NOT NULL),
+    cb AS (SELECT {bin_expr} AS category, count(*) AS cur_cnt FROM cur GROUP BY 1),
+    bb AS (SELECT {bin_expr} AS category, count(*) AS base_cnt FROM base GROUP BY 1),
+    j AS (SELECT coalesce(cb.category, bb.category) AS category,
+                 coalesce(cur_cnt, 0) AS cur_cnt,
+                 coalesce(base_cnt, 0) AS base_cnt
+          FROM cb FULL OUTER JOIN bb ON cb.category = bb.category),
+    t AS (SELECT sum(cur_cnt) AS n_cur, sum(base_cnt) AS n_base FROM j)
+    SELECT category,
+           round(greatest(cur_cnt / t.n_cur, 1e-6), 6) AS p_cur,
+           round(greatest(base_cnt / t.n_base, 1e-6), 6) AS p_base,
+           round((greatest(cur_cnt / t.n_cur, 1e-6)
+                  - greatest(base_cnt / t.n_base, 1e-6))
+                 * ln(greatest(cur_cnt / t.n_cur, 1e-6)
+                      / greatest(base_cnt / t.n_base, 1e-6)), 6) AS contribution
+    FROM j, t
+    """
+
+
 def _chi_square_sql(cur_src: str, base_src: str, col: str) -> str:
     """DuckDB mirror of drift.chi_square_table over two sources."""
     return f"""
@@ -1624,6 +1669,9 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "drift_ks_binned_events": _ks_binned_sql(
+            _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
+        ),
+        "drift_psi_value_binned": _psi_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
         "text_profile_documents": _text_profile_sql(),

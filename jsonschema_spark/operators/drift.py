@@ -173,6 +173,32 @@ def psi_table(
     )
 
 
+def psi_table_numeric(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over a NUMERIC column: uniform [lo, hi] binning (the same
+    engine-independent bin arithmetic as ``ks_statistic_binned``) turns the
+    column into categories, then the categorical PSI machinery applies.
+    Plan: one narrow groupBy(bin) per side, shuffle <= n_bins+2 rows.
+    Output (category = bin id as int, p_cur, p_base, contribution)."""
+
+    def hist(df: DataFrame) -> DataFrame:
+        c = F.col(column).cast("double")
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(binned_ecdf_bin(c, lo, hi, n_bins).alias("category"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return psi_table_from_histograms(hist(current), hist(baseline), eps)
+
+
 def psi(current: DataFrame, baseline: DataFrame, column: str, eps: float = 1e-6) -> float:
     """Scalar PSI (sum of contributions) — a few doubles to the driver."""
     rows = psi_table(current, baseline, column, eps).collect()

@@ -192,6 +192,17 @@ def test_ks_binned_plan_aggregates_before_any_window(spark):
     assert "Window" not in scan_side and "Sort " not in scan_side
 
 
+def test_psi_numeric_binned(spark):
+    """Numeric PSI: ~zero on identical distributions, large under a shift;
+    one narrow groupBy(bin) per side (same plan shape as binned KS)."""
+    ev = load_table(spark, SF_DIR, "events")
+    same = drift.psi_table_numeric(ev, ev, "value", 0.0, 600.0, 60).collect()
+    assert abs(sum(r.contribution for r in same)) < 1e-9
+    shifted = ev.withColumn("value", F.col("value") * 1.5 + 40.0)
+    moved = drift.psi_table_numeric(shifted, ev, "value", 0.0, 600.0, 60).collect()
+    assert sum(r.contribution for r in moved) > 0.1
+
+
 def test_psi_zero_on_identical(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert drift.psi(ev, ev, "event_type") == pytest.approx(0.0, abs=1e-9)
