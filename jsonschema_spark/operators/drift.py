@@ -258,6 +258,20 @@ def binned_ecdf_bin(col: Column, lo: float, hi: float, n_bins: int) -> Column:
     )
 
 
+def binned_histogram(
+    df: DataFrame, column: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """(bin, cnt) histogram on the uniform ECDF grid — the shared reduction
+    for binned KS/PSI and their streaming variants. One narrow partial+final
+    aggregate; shuffle <= n_bins+2 rows."""
+    c = F.col(column).cast("double")
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(binned_ecdf_bin(c, lo, hi, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def ks_statistic_binned(
     current: DataFrame,
     baseline: DataFrame,
@@ -285,16 +299,12 @@ def ks_statistic_binned(
     tail difference — both tails agree at +inf by construction.
     """
 
-    def side(df: DataFrame, cnt_name: str) -> DataFrame:
-        c = F.col(column).cast("double")
-        return (
-            df.filter(c.isNotNull())
-            .groupBy(binned_ecdf_bin(c, lo, hi, n_bins).alias("bin"))
-            .agg(F.count(F.lit(1)).alias(cnt_name))
-        )
-
-    cur = side(current, "cur_cnt")
-    base = side(baseline, "base_cnt")
+    cur = binned_histogram(current, column, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "cur_cnt"
+    )
+    base = binned_histogram(baseline, column, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "base_cnt"
+    )
     j = cur.join(base, "bin", "full_outer").fillna(0, subset=["cur_cnt", "base_cnt"])
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e = j.select(

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.drift import (
@@ -83,6 +83,112 @@ def psi_by_window(
         .groupBy(*wcols)
         .agg(F.sum("contribution").alias("psi"))
     )
+
+
+def windowed_binned_histogram(
+    stream: DataFrame,
+    column: str,
+    ts_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(window_start, window_end, bin, cnt) — numeric histograms on the
+    uniform ECDF grid per event-time window; append-mode safe. State is
+    O(windows x n_bins) ints."""
+    from jsonschema_spark.operators.drift import binned_ecdf_bin
+
+    c = F.col(column).cast("double")
+    return (
+        stream.withColumn("_event_ts", F.col(ts_col).cast("timestamp"))
+        .filter(c.isNotNull())
+        .withWatermark("_event_ts", watermark)
+        .groupBy(
+            F.window(F.col("_event_ts"), window).alias("_w"),
+            binned_ecdf_bin(c, lo, hi, n_bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "bin",
+            "cnt",
+        )
+    )
+
+
+def ks_by_window(batch: DataFrame, base_hist: DataFrame) -> DataFrame:
+    """(window_start, window_end, ks_stat, n_cur, n_base) for EVERY window
+    in one grouped plan — the streaming face of
+    ``operators/drift.ks_statistic_binned`` (identical per-window math;
+    parity-pinned in tests). ``base_hist`` is the static baseline (bin,
+    cnt) from ``operators/drift.binned_histogram``. No per-window driver
+    loop: the complete (window x bin) grid is built relationally and the
+    cumulative/max runs as a window function partitioned by window over
+    <= n_bins rows each."""
+    wcols = ["window_start", "window_end"]
+    windows = batch.select(*wcols).distinct()
+    base = base_hist.withColumnRenamed("cnt", "base_cnt")
+    grid = windows.join(base, how="cross")
+    cur = batch.select(*wcols, "bin", F.col("cnt").alias("cur_cnt"))
+    j = grid.join(cur, wcols + ["bin"], "full_outer").fillna(
+        0, subset=["cur_cnt", "base_cnt"]
+    )
+    w = (
+        Window.partitionBy(*wcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = j.select(
+        *wcols,
+        F.sum("cur_cnt").over(w).alias("c_cur"),
+        F.sum("base_cnt").over(w).alias("c_base"),
+    )
+    totals = e.groupBy(*wcols).agg(
+        F.max("c_cur").alias("n_cur"), F.max("c_base").alias("n_base")
+    )
+    return (
+        e.join(totals, wcols)
+        .groupBy(*wcols)
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c_cur") / F.col("n_cur")
+                        - F.col("c_base") / F.col("n_base")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("n_cur").alias("n_cur"),
+            F.first("n_base").alias("n_base"),
+        )
+    )
+
+
+def ks_foreach_batch(
+    baseline: DataFrame,
+    column: str,
+    sink: Callable[[DataFrame, int], None],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for windowed numeric drift: each micro-batch of
+    completed windowed histograms is compared against the static baseline
+    histogram with the binned KS — all windows in one grouped plan."""
+    from jsonschema_spark.operators.drift import binned_histogram
+
+    base_hist = binned_histogram(baseline, column, lo, hi, n_bins).cache()
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink(ks_by_window(batch, base_hist), batch_id)
+
+    return fn
 
 
 def psi_foreach_batch(

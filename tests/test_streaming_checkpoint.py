@@ -252,6 +252,52 @@ def test_streaming_psi_matches_batch(spark, events_dir, tmp_path):
         assert r.psi == pytest.approx(expected, abs=1e-9), r
 
 
+def test_streaming_binned_ks_matches_batch(spark, events_dir, tmp_path):
+    """Windowed numeric histograms + foreachBatch binned KS vs baseline:
+    every completed window's ks_stat equals the batch ks_statistic_binned
+    over that window's rows — all windows computed in ONE grouped plan."""
+    from jsonschema_spark.operators import drift as drift_ops
+    from jsonschema_spark.streaming.drift import (
+        ks_foreach_batch,
+        windowed_binned_histogram,
+    )
+
+    lo, hi, nb = 0.0, 600.0, 60
+    batch_df = spark.read.parquet(events_dir)
+    baseline = batch_df
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    hist = windowed_binned_histogram(
+        stream, "value", ts_col="ts", lo=lo, hi=hi, n_bins=nb,
+        window="1 day", watermark="0 seconds",
+    )
+    results = []
+
+    def sink(df, batch_id):
+        results.extend(df.collect())
+
+    q = (
+        hist.writeStream.outputMode("append")
+        .foreachBatch(ks_foreach_batch(baseline, "value", sink, lo, hi, nb))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ks"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(results) > 1  # multiple windows in one batch -> grouped path
+    for r in results:
+        window_rows = batch_df.filter(
+            (F.col("ts").cast("timestamp") >= r.window_start)
+            & (F.col("ts").cast("timestamp") < r.window_end)
+        )
+        want = drift_ops.ks_statistic_binned(
+            window_rows, baseline, "value", lo, hi, nb
+        ).collect()[0]
+        assert r.ks_stat == pytest.approx(want.ks_stat, abs=1e-9), r
+        assert (r.n_cur, r.n_base) == (want.n_cur, want.n_base)
+
+
 def test_stream_clips_with_audio_udf(spark, tmp_path):
     """The north rule's 'same compiled DAG under readStream' claim must hold
     for the FULL clips plan — including the vectorized audio decode+SNR
