@@ -1,0 +1,162 @@
+"""spark-submit entry point: audio-clip curation funnel over the PRIMARY
+modality (the clips table from BASELINE.json input_hint).
+
+Composes the engine's operators into the standard speech-corpus cleaning
+flow — schema validation (incl. the vectorized decode/SNR content check)
+-> per-row invariant gate (SNR >= 30 dB AND transcript equality) ->
+duplicate-id resolution -> exact payload dedup -> funnel report. One scan
+feeds the annotated frame (persisted); every later stage is an aggregate
+or semi/anti-join keyed by a hash — no windows over the full table, no
+forced broadcasts (AQE picks strategies from runtime sizes).
+
+Cluster usage:
+
+    zip -r jsonschema_spark.zip jsonschema_spark
+    spark-submit --py-files jsonschema_spark.zip \\
+        jobs/curate_clips_job.py --input <clips-parquet> --output /curated
+
+Sandbox smoke:
+
+    python jobs/curate_clips_job.py --synthesize 3000 \\
+        --output /tmp/curated_clips --master 'local[8]'
+
+Dedup policy (deterministic): for duplicate clip_ids the row with the
+smallest payload md5 survives; for duplicate payloads (identical audio
+under different ids) the smallest clip_id survives — single-pass greedy,
+the same stance as curate_documents_job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from jsonschema_spark.functions.audio import audio_snr_ok, transcript_ok  # noqa: E402
+from jsonschema_spark.operators.validate import validate  # noqa: E402
+from jsonschema_spark.plans.compile import CompileOptions  # noqa: E402
+from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips  # noqa: E402
+
+
+def curate_clips(
+    clips,
+    schema: dict | None = None,
+    snr_threshold_db: float = 30.0,
+    output: str | None = None,
+):
+    """Run the funnel; returns (curated DataFrame, stats dict).
+
+    Stage order matters for attribution: a row failing BOTH schema and the
+    invariant counts as schema_invalid (the cheaper gate runs first in the
+    report algebra, mirroring how an operator pipeline would short-circuit).
+    """
+    schema = schema or CLIPS_JSON_SCHEMA
+    opts = CompileOptions(
+        content_checks={"audio/*": lambda col: audio_snr_ok(snr_threshold_db)}
+    )
+    ann = (
+        validate(clips, schema, opts)
+        .annotated.withColumn("_tok", transcript_ok())
+        .withColumn("_pfp", F.md5(F.col("bytes")))
+        .persist()
+    )
+
+    gate = F.col("_valid") & F.col("_tok")
+    funnel = ann.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+        F.sum(gate.cast("long")).alias("n_gated"),
+    ).collect()[0]
+    n_input = funnel["n_input"]
+    n_invalid = n_input - funnel["n_valid"]
+    n_invariant = funnel["n_valid"] - funnel["n_gated"]
+    gated = ann.filter(gate)
+
+    # duplicate clip_ids: smallest payload-md5 survives (deterministic,
+    # aggregate + semi-join — no window over the table); bit-identical
+    # repeats of the surviving (id, payload) pair collapse via a keyed
+    # dropDuplicates (hash aggregation, same shuffle key)
+    id_survivors = gated.groupBy("clip_id").agg(F.min("_pfp").alias("_pfp"))
+    unique_ids = gated.join(id_survivors, ["clip_id", "_pfp"], "left_semi").dropDuplicates(
+        ["clip_id"]
+    )
+    n_after_ids = unique_ids.count()
+    n_dup_ids = n_input - n_invalid - n_invariant - n_after_ids
+
+    # exact payload dedup across ids: smallest clip_id survives
+    payload_survivors = unique_ids.groupBy("_pfp").agg(
+        F.min("clip_id").alias("clip_id")
+    )
+    curated = unique_ids.join(payload_survivors, ["_pfp", "clip_id"], "left_semi")
+    n_after_payload = curated.count()
+    n_dup_payload = n_after_ids - n_after_payload
+
+    by_codec = {
+        r["codec"]: r["cnt"]
+        for r in curated.groupBy("codec").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    out_cols = [c for c in curated.columns if not c.startswith("_")]
+    curated = curated.select(*out_cols)
+    if output:
+        curated.write.mode("overwrite").parquet(output)
+    ann.unpersist()
+    stats = {
+        "input_rows": n_input,
+        "schema_invalid": n_invalid,
+        "invariant_failed": n_invariant,
+        "duplicate_ids_removed": n_dup_ids,
+        "duplicate_payloads_removed": n_dup_payload,
+        "output_rows": n_after_payload,
+        "by_codec": by_codec,
+    }
+    return curated, stats
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="clips parquet path")
+    p.add_argument("--synthesize", type=int, help="generate N synthetic clips instead")
+    p.add_argument("--output", help="curated corpus output dir (parquet)")
+    p.add_argument("--snr-db", type=float, default=30.0)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+    if not args.input and not args.synthesize:
+        p.error("--input or --synthesize required")
+
+    builder = SparkSession.builder.appName("jsonschema-spark-curate-clips")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # payload-scan GC discipline (see CLAUDE.md / BASELINE.md)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    clips = (
+        spark.read.parquet(args.input)
+        if args.input
+        else synth_clips(spark, args.synthesize)
+    )
+    _curated, stats = curate_clips(clips, snr_threshold_db=args.snr_db,
+                                   output=args.output)
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,96 @@
+"""Audio-clip curation funnel (jobs/curate_clips_job.py): schema gate ->
+SNR+transcript invariant gate -> duplicate-id resolution -> exact payload
+dedup, with hand-planted rows that exercise every stage deterministically."""
+
+from pyspark.sql import Row
+
+from jobs.curate_clips_job import curate_clips
+from jsonschema_spark.functions.audio import (
+    encode_payload,
+    pcm16_from_float,
+    reference_signal,
+    reference_transcript,
+)
+from jsonschema_spark.sources.clips import CLIPS_SCHEMA, synth_clips
+
+
+def _clip(cid, codec="pcm_s16le", sr=16000, dur=400, payload_of=None,
+          transcript=None):
+    n = sr * dur // 1000
+    src = payload_of or cid
+    payload = encode_payload(pcm16_from_float(reference_signal(src, n)), codec)
+    return Row(
+        clip_id=cid,
+        bytes=bytearray(payload),
+        sr_hz=sr,
+        dur_ms=dur,
+        codec=codec,
+        transcript=transcript if transcript is not None else reference_transcript(cid),
+    )
+
+
+def test_curate_clips_planted_funnel(spark):
+    a = "clip-000000000001"
+    d = "clip-000000000003"
+    e = "clip-000000000004"
+    f = "clip-000000000005"
+    rows = [
+        _clip(a),                                  # survivor
+        _clip(a),                                  # duplicate id (identical row)
+        _clip(d, payload_of=e),                    # wrong signal -> SNR fail
+        _clip(e, codec="amr"),                     # codec enum -> schema invalid
+        _clip(f, transcript="wrong words"),        # transcript mismatch
+    ]
+    df = spark.createDataFrame(rows, CLIPS_SCHEMA)
+    curated, stats = curate_clips(df)
+    assert stats["input_rows"] == 5
+    # the SNR gate is a SCHEMA content check (contentMediaType), so the
+    # wrong-signal row d counts as schema-invalid alongside e's codec enum
+    assert stats["schema_invalid"] == 2            # d (SNR), e (enum)
+    assert stats["invariant_failed"] == 1          # f (transcript mismatch)
+    assert stats["duplicate_ids_removed"] == 1     # second copy of a
+    assert stats["duplicate_payloads_removed"] == 0
+    assert stats["output_rows"] == 1
+    assert [r.clip_id for r in curated.select("clip_id").collect()] == [a]
+
+
+def test_curate_clips_payload_dedup(spark):
+    """Cross-id payload duplicates: in the synthetic world audio is a pure
+    function of clip_id, so a copied payload necessarily fails the SNR
+    invariant — relax the threshold to isolate the payload-dedup stage."""
+    a = "clip-000000000001"
+    c = "clip-000000000002"
+    rows = [
+        _clip(a),
+        _clip(c, payload_of=a, transcript=reference_transcript(c)),
+    ]
+    df = spark.createDataFrame(rows, CLIPS_SCHEMA)
+    curated, stats = curate_clips(df, snr_threshold_db=-1000.0)
+    assert stats["schema_invalid"] == 0
+    assert stats["invariant_failed"] == 0
+    assert stats["duplicate_ids_removed"] == 0
+    assert stats["duplicate_payloads_removed"] == 1
+    assert [r.clip_id for r in curated.select("clip_id").collect()] == [a]
+
+
+def test_curate_clips_synth_consistency(spark, tmp_path):
+    """Funnel identities over the planted synthetic table + output write."""
+    out = str(tmp_path / "curated_clips")
+    clips = synth_clips(spark, 1500)
+    curated, stats = curate_clips(clips, output=out)
+    assert stats["output_rows"] == (
+        stats["input_rows"]
+        - stats["schema_invalid"]
+        - stats["invariant_failed"]
+        - stats["duplicate_ids_removed"]
+        - stats["duplicate_payloads_removed"]
+    )
+    assert sum(stats["by_codec"].values()) == stats["output_rows"]
+    # planted rates: ~1% schema violators per family, ~0.5% dup ids
+    assert stats["schema_invalid"] > 0
+    assert stats["duplicate_ids_removed"] > 0
+    written = spark.read.parquet(out)
+    assert written.count() == stats["output_rows"]
+    assert set(written.columns) == {
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    }
