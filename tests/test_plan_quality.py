@@ -59,6 +59,25 @@ def test_validation_plan_stays_jvm_side(spark):
     assert "o_orderdate" not in p and "o_custkey" not in p
 
 
+def test_no_rowwise_python_in_any_contract_query(spark):
+    """Global invariant over the WHOLE driver contract: no plan may contain
+    row-at-a-time Python (BatchEvalPython / PythonUDF outside Arrow).
+    Vectorized nodes (ArrowEvalPython for the audio pandas UDF, MapInPandas
+    for synthesis) are the only Python allowed — the north rule's 'no
+    per-row Python' stated as an executable assertion over every query."""
+    import __spark_entry__ as m
+
+    # these two run driver-side actions inside the query function (manifest
+    # protocol / one-time materialization) — their OUTPUT plans are trivial
+    # selects; the operators they call are plan-pinned elsewhere
+    skip = {"clips_resumable_manifest"}
+    for name, fn in m.queries().items():
+        if name in skip:
+            continue
+        p = plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in p, f"{name}: row-wise Python UDF in plan"
+
+
 def test_referential_broadcast_strategy(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     orders = load_table(spark, SF_DIR, "orders")
