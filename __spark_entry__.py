@@ -475,6 +475,33 @@ def _q_drift_ks_binned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.ks_statistic_binned(cur, base, "value", *_EVENTS_KS_GRID)
 
 
+# Schema-driven repair: defaults fill + closed-world projection (the
+# actionable rendering of the metadata vocabulary / additionalProperties).
+REPAIR_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "event_id": {"type": "integer"},
+        "event_type": {"type": "string", "default": "unknown"},
+        "value": {"type": "number", "default": -1.0},
+    },
+    "additionalProperties": False,
+}
+
+
+def _q_repair_defaults_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.repair import repair
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    holey = ev.select(
+        "event_id",
+        F.when(eid % 7 == 0, F.lit(None)).otherwise(F.col("event_type")).alias("event_type"),
+        F.when(eid % 5 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        "user_id",  # undeclared -> dropped by the closed-world projection
+    )
+    return repair(holey, REPAIR_SCHEMA, drop_undeclared=True)
+
+
 def _q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.text_profile(docs)
@@ -699,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_value_binned": _q_drift_psi_value_binned,
         "drift_ks_events": _q_drift_ks_events,
         "drift_ks_binned_events": _q_drift_ks_binned_events,
+        "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
@@ -1674,6 +1702,14 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_value_binned": _psi_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
+        "repair_defaults_events": """
+            SELECT event_id,
+                   coalesce(CASE WHEN event_id % 7 = 0 THEN NULL
+                                 ELSE event_type END, 'unknown') AS event_type,
+                   coalesce(CASE WHEN event_id % 5 = 0 THEN NULL
+                                 ELSE value END, -1.0) AS value
+            FROM events
+        """,
         "text_profile_documents": _text_profile_sql(),
         "dedup_exact_documents": f"""
             WITH both_sets AS (

@@ -220,3 +220,34 @@ def test_psi_one_sided_category_finite(spark):
     no_click = ev.filter(F.col("event_type") != "click")
     v = drift.psi(no_click, ev, "event_type")
     assert 0 < v < 100  # eps smoothing keeps the vanished category finite
+
+
+def test_repair_defaults_and_projection(spark):
+    """Schema-driven repair: scalar `default`s fill NULLs (through $ref),
+    composite defaults are skipped, closed-world projection drops
+    undeclared columns, DataFrame schema/types unchanged."""
+    from jsonschema_spark.operators.repair import apply_defaults, repair
+
+    doc = {
+        "$defs": {"d": {"type": "string", "default": "filled"}},
+        "properties": {
+            "a": {"$ref": "#/$defs/d"},
+            "b": {"type": "integer", "default": 7},
+            "c": {"type": "array", "default": [1, 2]},  # composite: skipped
+        },
+    }
+    df = spark.createDataFrame(
+        [(None, None, None), ("x", 1, [9])],
+        "a string, b int, c array<int>",
+    )
+    fixed = apply_defaults(df, doc)
+    # names and types unchanged (coalesce-with-literal may tighten nullability)
+    assert [(f.name, f.dataType) for f in fixed.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    rows = sorted(fixed.collect(), key=lambda r: (r.b is None, r.b or 0))
+    assert (rows[0].a, rows[0].b, rows[0].c) == ("x", 1, [9])     # untouched
+    assert (rows[1].a, rows[1].b, rows[1].c) == ("filled", 7, None)
+
+    out = repair(df.withColumn("extra", F.lit(1)), doc, drop_undeclared=True)
+    assert out.columns == ["a", "b", "c"]
