@@ -607,7 +607,12 @@ _SYNTH_ROUNDTRIP_SCHEMA = {
         if r in ORDERS_JSON_SCHEMA["properties"]
     ],
 }
-_SYNTH_ROUNDTRIP_PATH = "/tmp/jss_oracle_cache/v1/synth_orders_2000_seed11"
+def _synth_roundtrip_path() -> str:
+    # rides the shared versioned oracle cache: bumping the generator
+    # version in sources/clips.py invalidates this materialization too
+    from jsonschema_spark.sources.clips import oracle_cache_path
+
+    return oracle_cache_path("synth_orders_2000_seed11")
 
 
 def _q_synth_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,15 +621,12 @@ def _q_synth_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The synthesized table is materialized so the DuckDB oracle re-derives
     the same totals by evaluating every schema predicate in SQL over the
     identical rows."""
-    import os
-
+    from jsonschema_spark.sources.clips import publish_once
     from jsonschema_spark.sources.synth import dataframe_for_schema
 
-    if not os.path.exists(os.path.join(_SYNTH_ROUNDTRIP_PATH, "_SUCCESS")):
-        dataframe_for_schema(spark, _SYNTH_ROUNDTRIP_SCHEMA, 2000, seed=11).write.mode(
-            "overwrite"
-        ).parquet(_SYNTH_ROUNDTRIP_PATH)
-    df = spark.read.parquet(_SYNTH_ROUNDTRIP_PATH)
+    path = _synth_roundtrip_path()
+    publish_once(dataframe_for_schema(spark, _SYNTH_ROUNDTRIP_SCHEMA, 2000, seed=11), path)
+    df = spark.read.parquet(path)
     return validate(df, _SYNTH_ROUNDTRIP_SCHEMA).totals()
 
 
@@ -1306,7 +1308,7 @@ def _synth_roundtrip_sql() -> str:
            CAST(sum(CASE WHEN NOT ({any_fail}) THEN 1 ELSE 0 END) AS BIGINT) AS passed,
            CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
            CAST(sum({viol_sum}) AS BIGINT) AS violation_count
-    FROM {_pq(_SYNTH_ROUNDTRIP_PATH)}
+    FROM {_pq(_synth_roundtrip_path())}
     """
 
 

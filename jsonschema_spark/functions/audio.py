@@ -23,6 +23,7 @@ All functions are Arrow-batched (pandas_udf); no per-row Python.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -117,6 +118,8 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
         (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and size >= 16:
+            if len(body) < 16:  # truncated payload: decode failure, not crash
+                raise ValueError("malformed WAV: truncated fmt chunk")
             audio_format, channels, _sr, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -187,7 +190,7 @@ def decode_pcm_batch(
         ref = pcm16_from_float(reference_signal(cid, n_samples)).astype(np.int32)
         try:
             dec = decode_payload(bytes(raw))
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, struct.error):
             out[i] = float("-inf")
             continue
         out[i] = snr_db(ref, dec)

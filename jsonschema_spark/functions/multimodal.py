@@ -99,7 +99,11 @@ def _decode_pnm(raw: bytes) -> tuple[int, int, np.ndarray]:
 
 def _decode_bmp(raw: bytes) -> tuple[int, int, np.ndarray]:
     """Real BMP decode — uncompressed 24-bit BI_RGB (the overwhelmingly
-    common layout), pure numpy. Bottom-up rows, 4-byte row padding."""
+    common layout), pure numpy. Bottom-up rows, 4-byte row padding.
+    Truncated headers raise ValueError (poison-pill path), never
+    struct.error."""
+    if len(raw) < 34:
+        raise ValueError("malformed BMP: truncated header")
     (data_off,) = struct.unpack("<I", raw[10:14])
     w, h = struct.unpack("<ii", raw[18:26])
     bpp, comp = struct.unpack("<HI", raw[28:34])
@@ -180,7 +184,7 @@ def image_features(df: DataFrame, id_col: str = "image_id",
                     out["mean_luma"].append(float(px.mean()))
                     out["std_luma"].append(float(px.std()))
                     out["decode_ok"].append(True)
-                except (NotImplementedError, ValueError, IndexError):
+                except (NotImplementedError, ValueError, IndexError, struct.error):
                     out["image_id"].append(iid)
                     for k in ("width", "height", "mean_luma", "std_luma"):
                         out[k].append(None)
@@ -215,7 +219,7 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_id",
                 try:
                     out["frame_luma"].append(decode_video_frame(bytes(raw), int(idx)))
                     out["decode_ok"].append(True)
-                except (NotImplementedError, IndexError, TypeError):
+                except (NotImplementedError, IndexError, TypeError, struct.error):
                     out["frame_luma"].append(None)
                     out["decode_ok"].append(False)
             yield pd.DataFrame(out)

@@ -45,7 +45,7 @@ def apply_defaults(
     are left untouched); the fill is cast to the column's type so the
     DataFrame schema is unchanged.
     """
-    resolved = inline_refs(_as_schema(schema).copy(), resolve_config)
+    resolved = inline_refs(_as_schema(schema), resolve_config)
     by_name = {f.name: f.dataType for f in df.schema.fields}
     out = df
     for name, sub in (resolved.properties or {}).items():
@@ -69,7 +69,7 @@ def project_declared(
     ``properties`` — the relational action matching the reference
     compiler's always-emitted ``additionalProperties: false``
     (go.go:608). Column order follows the DataFrame (stable)."""
-    resolved = inline_refs(_as_schema(schema).copy(), resolve_config)
+    resolved = inline_refs(_as_schema(schema), resolve_config)
     declared = set((resolved.properties or {}).keys())
     keep = [c for c in df.columns if c in declared]
     return df.select(*keep)

@@ -209,17 +209,14 @@ def lower_dynamic_refs(root: Schema, strict: bool = True) -> Schema:
         return root
 
     out = root.copy()
-    winners: dict[str, tuple[int, str, Schema]] = {}  # name -> (depth, ptr, node)
     id_ptrs: list[str] = []
+    anchors: list[tuple[int, str, Schema]] = []  # (depth, ptr, node)
 
     def collect(scope, s: Schema):
         if s.id != "" and scope.pointer not in ("", "/"):
             id_ptrs.append(scope.pointer)
         if s.dynamic_anchor != "":
-            d = scope.pointer.count("/")
-            cur = winners.get(s.dynamic_anchor)
-            if cur is None or d < cur[0]:
-                winners[s.dynamic_anchor] = (d, scope.pointer, s)
+            anchors.append((scope.pointer.count("/"), scope.pointer, s))
 
     Walk(out, collect)
 
@@ -233,8 +230,23 @@ def lower_dynamic_refs(root: Schema, strict: bool = True) -> Schema:
                 best = p
         return best
 
-    for name, (_d, ptr, node) in list(winners.items()):
-        if ptr.strip("/") == _resource_of(ptr).strip("/"):
+    # Winner selection is PER RESOURCE: a $dynamicRef in resource R binds to
+    # the outermost anchor of that name IN R. A same-named anchor in some
+    # other (embedded) resource never shadows R's — the dynamic scope rooted
+    # at the compiled root only enters embedded resources through refs, and
+    # cross-resource binding is exactly the case we refuse below.
+    winners: dict[tuple[str, str], tuple[int, str, Schema]] = {}
+    names_anywhere: set[str] = set()
+    for d, ptr, node in anchors:
+        name = node.dynamic_anchor
+        names_anywhere.add(name)
+        key = (_resource_of(ptr), name)
+        cur = winners.get(key)
+        if cur is None or d < cur[0]:
+            winners[key] = (d, ptr, node)
+
+    for (res, name), (_d, ptr, node) in list(winners.items()):
+        if ptr.strip("/") == res.strip("/"):
             # The winner IS its resource's root. Root anchors are not
             # registered by compute_identifiers (reference parity), so
             # clone the root's content into a synthetic $defs entry that
@@ -251,7 +263,7 @@ def lower_dynamic_refs(root: Schema, strict: bool = True) -> Schema:
                 node.defs = {}
             node.defs[f"__dynamic__{name}"] = clone
             def_ptr = ptr.rstrip("/") + f"/$defs/__dynamic__{name}"
-            winners[name] = (_d, def_ptr, clone)
+            winners[(res, name)] = (_d, def_ptr, clone)
         elif node.anchor == "":
             node.anchor = f"__dynamic__{name}"
 
@@ -261,27 +273,29 @@ def lower_dynamic_refs(root: Schema, strict: bool = True) -> Schema:
             return None
         ref = s.dynamic_ref
         s.dynamic_ref = ""
-        if ref.startswith("#/") or (
-            ref.startswith("#") and ref[1:] not in winners
-        ):
-            # pointer fragment, or no matching dynamic anchor: plain $ref
-            # semantics per 2020-12
-            s.ref = ref
+        if ref.startswith("#/"):
+            s.ref = ref  # pointer fragment: plain $ref semantics per 2020-12
             return None
         if ref.startswith("#"):
-            _d, ptr, node = winners[ref[1:]]
-            if _resource_of(ptr) != _resource_of(scope.pointer):
-                # the static "#anchor" rewrite resolves against the ref
-                # node's nearest resource; a winner in a DIFFERENT resource
-                # needs true dynamic re-rooting — outside the subset
+            name = ref[1:]
+            key = (_resource_of(scope.pointer), name)
+            if key in winners:
+                s.ref = "#" + winners[key][2].anchor
+                return None
+            if name in names_anywhere:
+                # the only matching dynamic anchors live in OTHER resources:
+                # true dynamic re-rooting could bind across the boundary —
+                # outside the static subset
                 if strict:
                     raise CompileError(
-                        f'{scope.pointer}: $dynamicRef "{ref}" crosses an '
-                        "embedded-resource boundary — outside the statically-"
-                        "resolvable lexical-scope subset"
+                        f'{scope.pointer}: $dynamicRef "{ref}" would bind '
+                        "across an embedded-resource boundary — outside the "
+                        "statically-resolvable lexical-scope subset"
                     )
-                return None
-            s.ref = "#" + node.anchor
+            # no in-resource dynamic anchor: degrade to plain-$ref semantics
+            # (a matching plain $anchor resolves; otherwise resolution fails
+            # LOUDLY downstream — never silently drop the constraint)
+            s.ref = ref
             return None
         if strict:
             raise CompileError(

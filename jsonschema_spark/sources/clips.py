@@ -194,6 +194,36 @@ _MATERIALIZE_VERSION = "v1"
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
 
 
+def oracle_cache_path(name: str) -> str:
+    """Canonical path under the versioned oracle cache for any materialized
+    deterministic table (bump _MATERIALIZE_VERSION when ANY generator's
+    arithmetic changes — all cached tables re-materialize together)."""
+    import os
+
+    return os.path.join(_MATERIALIZE_ROOT, _MATERIALIZE_VERSION, name)
+
+
+def publish_once(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` at ``path`` exactly once, race-safely: write to a
+    session-private temp dir, then atomically rename into place. Concurrent
+    sessions produce bit-identical content (deterministic synthesis), so
+    the rename loser simply discards its copy — readers (Spark scans AND
+    the DuckDB oracle's read_parquet) never observe a partial directory."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another session published
+
+
 def clips_path(
     n: int,
     dur_range: tuple[int, int] = (200, 2000),
@@ -246,7 +276,7 @@ def materialized_clips(
             from jsonschema_spark.operators.checkpoint import with_bucket
 
             df = with_bucket(df, "clip_id", n_buckets=n_buckets)
-        df.write.mode("overwrite").parquet(path)
+        publish_once(df, path)
     return spark.read.parquet(path), path
 
 

@@ -164,3 +164,20 @@ def test_wav_riff_real_decode_round_trip():
     body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
     with _pytest.raises(ValueError):
         decode_payload(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    # truncated fmt chunk (declared 16 bytes, fewer present) must surface
+    # as a decode failure (ValueError), NOT struct.error crashing the task
+    trunc = (b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + b"\x01\x00" * 5)
+    with _pytest.raises(ValueError):
+        decode_payload(trunc)
+    # and through the batch kernel it becomes SNR = -inf, not an exception
+    import pandas as pd
+
+    from jsonschema_spark.functions.audio import decode_pcm_batch
+
+    snr = decode_pcm_batch(
+        pd.Series([trunc]), pd.Series(["clip-000000000001"]),
+        pd.Series([16000]), pd.Series([400]),
+    )
+    assert snr[0] == float("-inf")

@@ -712,6 +712,29 @@ def test_dynamic_ref_falls_back_to_plain_anchor(spark):
     assert v == {2: {"minimum"}}
 
 
+def test_dynamic_ref_binds_within_ref_resource_not_globally(spark):
+    """Winner selection is per resource: a shallower same-named anchor in
+    an EMBEDDED resource must not shadow the root resource's anchor (the
+    dynamic scope rooted at the document never enters the embedded
+    resource). Regression for the round-2 review finding."""
+    doc = {
+        "$defs": {
+            "sub": {
+                "$id": "https://example.com/sub.schema.json",
+                "$dynamicAnchor": "T",
+                "type": "string",
+            },
+            "deep": {"$defs": {"x": {"$dynamicAnchor": "T", "minimum": 10}}},
+        },
+        "properties": {"v": {"$dynamicRef": "#T"}},
+    }
+    df = spark.createDataFrame([(1, 50), (2, 5)], "rid long, v int")
+    # must bind to the ROOT resource's anchor (minimum 10), not /sub's
+    v = _violated(validate(df, doc), "rid")
+    assert 1 not in v
+    assert 2 in v and any("minimum" in k for k in v[2])
+
+
 def test_dynamic_ref_external_uri_rejected_under_strict(spark):
     import pytest as _pytest
 

@@ -139,3 +139,20 @@ def test_compressed_formats_still_stubbed():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)  # JPEG SOI
+
+
+def test_truncated_bmp_is_decode_failure_not_crash(spark):
+    """Poison-pill contract: a truncated BMP header yields decode_ok=false
+    rows instead of crashing the task (ValueError, never struct.error)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from jsonschema_spark.functions.multimodal import decode_image, image_features
+
+    with _pytest.raises(ValueError):
+        decode_image(b"BM" + b"\x00" * 8)
+    df = spark.createDataFrame(
+        [Row(image_id="bad", bytes=bytearray(b"BM" + b"\x00" * 8))]
+    )
+    rows = image_features(df).collect()
+    assert len(rows) == 1 and rows[0].decode_ok is False
