@@ -136,6 +136,12 @@ def py_valid(s, v) -> bool:
             ok &= n >= s.get("minContains", 1)
             if "maxContains" in s:
                 ok &= n <= s["maxContains"]
+        if "unevaluatedItems" in s:
+            sub = s["unevaluatedItems"]
+            for i, x in enumerate(v):
+                if _item_evaluated(s, v, i, py_valid):
+                    continue
+                ok &= False if _is_false(sub) else py_valid(sub, x)
     if is_obj:
         ok &= _object_valid(s, v)
 
@@ -232,6 +238,33 @@ def _prop_evaluated(s, row: dict, k: str) -> bool:
     )
 
 
+def _item_evaluated(s, arr, i, valid_fn) -> bool:
+    """Annotation flow over array elements: is arr[i] evaluated by s or by
+    a successfully-validating in-place applicator branch? Mirrors the
+    engine's _items_evaluated / _variant_items_evaluated."""
+    if _is_true(s) or _is_false(s):
+        return False
+    if "items" in s:
+        return True
+    if i < len(s.get("prefixItems", [])):
+        return True
+    if "contains" in s and valid_fn(s["contains"], arr[i]):
+        return True
+    branches = list(s.get("allOf", [])) + list(s.get("anyOf", [])) + list(
+        s.get("oneOf", [])
+    )
+    if "if" in s:
+        branches.append(s["if"])
+        if valid_fn(s["if"], arr):
+            if "then" in s:
+                branches.append(s["then"])
+        elif "else" in s:
+            branches.append(s["else"])
+    return any(
+        valid_fn(b, arr) and _item_evaluated(b, arr, i, valid_fn) for b in branches
+    )
+
+
 # ---------------------------------------------------------------------------
 # Strategies
 # ---------------------------------------------------------------------------
@@ -302,6 +335,9 @@ def _array_schema():
             "contains": elem,
             "minContains": st.integers(0, 2),
             "maxContains": st.integers(0, 3),
+            "unevaluatedItems": st.sampled_from(
+                [False, {"minimum": 0}, {"maximum": 2}]
+            ),
         },
     )
 
@@ -504,6 +540,12 @@ def py_valid_v(s, v) -> bool:
             ok &= n >= s.get("minContains", 1)
             if "maxContains" in s:
                 ok &= n <= s["maxContains"]
+        if "unevaluatedItems" in s:
+            sub = s["unevaluatedItems"]
+            for i, x in enumerate(v):
+                if _item_evaluated(s, v, i, py_valid_v):
+                    continue
+                ok &= False if _is_false(sub) else py_valid_v(sub, x)
     if is_obj:
         ok &= _object_valid_v(s, v)
 
@@ -612,6 +654,9 @@ def _v_scalar_schema():
             "contains": elem,
             "minContains": st.integers(0, 2),
             "maxContains": st.integers(0, 3),
+            "unevaluatedItems": st.sampled_from(
+                [False, {"minimum": 0}, {"maximum": 2}]
+            ),
         },
     )
 
