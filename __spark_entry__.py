@@ -518,6 +518,19 @@ def _q_dedup_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.1, n=3)
 
 
+def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: exact jaccard pairs (threshold 0.1)
+    -> alternating large-star/small-star connected components. The oracle
+    recomputes the same pairs in SQL and resolves components with a
+    recursive CTE (min reachable id), so the ENTIRE pipeline — including
+    the iterative graph contraction — is hash-matched."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.1, n=3)
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def _q_dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH pipeline with the md5_60 hash family: the identical
     signature/banding/verify algebra runs in DuckDB (oracle below), so the
@@ -732,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_documents": _q_text_profile_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
+        "dedup_clusters_documents": _q_dedup_clusters_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
@@ -1010,6 +1024,39 @@ def _jaccard_sql() -> str:
       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
     ) WHERE jaccard >= 0.1
+    """
+
+
+def _clusters_sql() -> str:
+    """Connected components over the jaccard pair list: recursive CTE
+    enumerating every (node, reachable-node) pair, then MIN per node —
+    an engine-independent replay of large-star/small-star's fixpoint."""
+    return f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS toks FROM documents)
+    ), inv AS (
+      SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(count(*) / (a.sz + b.sz - count(*)), 6) AS jaccard
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      ) WHERE jaccard >= 0.1
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, re.r FROM edges e JOIN reach re ON re.node = e.v
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
     """
 
 
@@ -1727,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 1
         """,
         "dedup_jaccard_documents": _jaccard_sql(),
+        "dedup_clusters_documents": _clusters_sql(),
         "dedup_minhash_documents": _minhash_sql(threshold=0.5),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),

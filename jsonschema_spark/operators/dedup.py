@@ -449,3 +449,126 @@ def simhash_pairs(
     )
     ham = cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# 5. connected components — pair lists -> canonical duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component): component = min node id of the connected component.
+
+    The last step of the dedup ladder: every pair generator above
+    (jaccard/minhash/simhash/embedding LSH) emits PAIRS, but "keep one
+    survivor per duplicate group" needs the TRANSITIVE closure — pairs
+    (a,b),(b,c) are one three-doc cluster even though (a,c) never met in
+    any bucket. Alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two narrow groupBy+join shuffles on node ids, converging in
+    O(log^2 n) rounds independent of component diameter — the property
+    that makes it safe on billion-edge web graphs where plain min-label
+    propagation needs O(diameter) rounds. No Python in the loop body; the
+    driver only iterates and checks an (count, xxhash-sum) fixpoint
+    signature. Each round is localCheckpoint()ed: iterative self-joins
+    otherwise double the lineage per round (exponential planning cost);
+    on a real cluster use a reliable checkpoint dir for fault tolerance.
+
+    Only nodes appearing in >= 1 pair are assigned; singletons are their
+    own trivial cluster and never enter the edge list.
+    """
+    # canonical undirected edge set, big -> small
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        # large-star: for every node, connect all STRICTLY LARGER neighbors
+        # to the min of its closed neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # emitted edge (v, m): v > u >= m, so big -> small is preserved
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: per node, link all smaller-or-equal neighbors (and the
+        # node itself) to the min of that set
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+        )
+        new_e = small.localCheckpoint(eager=True)
+        row = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: 64-bit hash values cannot overflow it, and
+            # ANSI mode would reject a plain bigint sum
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e = new_e
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # fixpoint edges form stars: child -> component min. Roots self-assign.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, cluster_id): transitive near-dup clusters over the corpus,
+    cluster_id = min doc id in the cluster. ``method`` picks the pair
+    generator: 'minhash' (sub-quadratic scale path) or 'jaccard' (exact
+    inverted index). Keep rows where doc_id == cluster_id for a
+    one-survivor-per-cluster dedup policy."""
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
+            hash_family=hash_family,
+        )
+    elif method == "jaccard":
+        pairs = jaccard_pairs(
+            df, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
