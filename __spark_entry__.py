@@ -413,6 +413,28 @@ def _q_validate_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JSONL ingestion validation: raw newline-delimited JSON -> variant ->
+# compiled keyword algebra + explicit parse-failure routing. 1300 lines,
+# planted class = doc_id % 13 (sources/jsonl.py table). The oracle reads
+# the SAME file via read_text() and recomputes every check with DuckDB
+# JSON functions — including the three parse-broken classes.
+_JSONL_N = 1300
+
+
+def _q_validate_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.sources import jsonl as J
+
+    path = J.materialized_jsonl(_JSONL_N)
+    df = J.read_jsonl(spark, path)
+    frame = df.select(J.doc_id_col().alias("doc_id"), "doc", "raw")
+    viol = (
+        validate(frame, J.JSONL_DOC_SCHEMA)
+        .violations(["doc_id"])
+        .select("doc_id", "keyword_path", "keyword")
+    )
+    return viol.unionByName(J.parse_failures(df, J.doc_id_col()))
+
+
 def _q_variant_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime JSON-type profile of a VARIANT column (dynamic-JSON dtype
     histogram) over derived instances spanning every JSON type."""
@@ -726,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_props_object_bounds": _q_validate_props_object_bounds,
         "validate_props_map": _q_validate_props_map,
         "validate_props_variant": _q_validate_props_variant,
+        "validate_jsonl_docs": _q_validate_jsonl_docs,
         "validate_props_content_schema": _q_validate_props_content_schema,
         "validate_embeddings_array": _q_validate_embeddings_array,
         "column_stats_orders": _q_column_stats_orders,
@@ -1057,6 +1080,100 @@ def _clusters_sql() -> str:
       SELECT e.u, re.r FROM edges e JOIN reach re ON re.node = e.v
     )
     SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+def _jsonl_sql() -> str:
+    """Engine-independent recompute of the JSONL ingestion validation:
+    DuckDB reads the SAME file (read_text + line split), re-parses each
+    line (TRY_CAST to JSON = try_parse_json), and re-evaluates every
+    schema check with SQL JSON functions. Checks that can never fire on
+    this corpus (doc_id/text required, numeric minimums) are still
+    recomputed — 0 rows is an assertion, not an omission."""
+    from jsonschema_spark.sources.jsonl import jsonl_path, materialized_jsonl
+
+    path = materialized_jsonl(_JSONL_N)
+    assert path == jsonl_path(_JSONL_N)
+    return f"""
+    WITH lines AS (
+      SELECT unnest(string_split(content, chr(10))) AS raw
+      FROM read_text('{path}')
+    ), nz AS (
+      SELECT raw, TRY_CAST(raw AS JSON) AS j,
+             regexp_extract(raw, '"doc_id": (\\d+)', 1)::BIGINT AS rid
+      FROM lines WHERE trim(raw) <> ''
+    ), obj AS (
+      SELECT rid, j FROM nz WHERE j IS NOT NULL AND json_type(j) = 'OBJECT'
+    )
+    SELECT rid AS doc_id, '/parse' AS keyword_path, 'parse' AS keyword
+    FROM nz WHERE j IS NULL
+    UNION ALL
+    SELECT rid, '/properties/doc/type', 'type'
+    FROM nz WHERE j IS NOT NULL AND json_type(j) <> 'OBJECT'
+    UNION ALL
+    SELECT rid, '/properties/doc/required', 'required'
+    FROM obj WHERE NOT list_contains(json_keys(j), 'doc_id')
+    UNION ALL
+    SELECT rid, '/properties/doc/required', 'required'
+    FROM obj WHERE NOT list_contains(json_keys(j), 'lang')
+    UNION ALL
+    SELECT rid, '/properties/doc/required', 'required'
+    FROM obj WHERE NOT list_contains(json_keys(j), 'text')
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/doc_id/type', 'type'
+    FROM obj WHERE json_type(j, '$.doc_id') IS NOT NULL
+      AND json_type(j, '$.doc_id') NOT IN ('UBIGINT', 'BIGINT')
+      AND NOT (json_type(j, '$.doc_id') = 'DOUBLE'
+               AND TRY_CAST(j->>'doc_id' AS DOUBLE) = floor(TRY_CAST(j->>'doc_id' AS DOUBLE)))
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/doc_id/minimum', 'minimum'
+    FROM obj WHERE json_type(j, '$.doc_id') IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+      AND TRY_CAST(j->>'doc_id' AS DOUBLE) < 0
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/lang/type', 'type'
+    FROM obj WHERE json_type(j, '$.lang') IS NOT NULL
+      AND json_type(j, '$.lang') <> 'VARCHAR'
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/lang/pattern', 'pattern'
+    FROM obj WHERE json_type(j, '$.lang') = 'VARCHAR'
+      AND NOT regexp_matches(j->>'lang', '^[a-z][a-z]$')
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/text/type', 'type'
+    FROM obj WHERE json_type(j, '$.text') IS NOT NULL
+      AND json_type(j, '$.text') <> 'VARCHAR'
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/text/minLength', 'minLength'
+    FROM obj WHERE json_type(j, '$.text') = 'VARCHAR' AND len(j->>'text') < 1
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/quality/type', 'type'
+    FROM obj WHERE json_type(j, '$.quality') IS NOT NULL
+      AND json_type(j, '$.quality') NOT IN ('DOUBLE', 'UBIGINT', 'BIGINT')
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/quality/minimum', 'minimum'
+    FROM obj WHERE json_type(j, '$.quality') IN ('DOUBLE', 'UBIGINT', 'BIGINT')
+      AND TRY_CAST(j->>'quality' AS DOUBLE) < 0
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/quality/maximum', 'maximum'
+    FROM obj WHERE json_type(j, '$.quality') IN ('DOUBLE', 'UBIGINT', 'BIGINT')
+      AND TRY_CAST(j->>'quality' AS DOUBLE) > 1
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/tags/type', 'type'
+    FROM obj WHERE json_type(j, '$.tags') IS NOT NULL
+      AND json_type(j, '$.tags') <> 'ARRAY'
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/tags/maxItems', 'maxItems'
+    FROM obj WHERE json_type(j, '$.tags') = 'ARRAY'
+      AND json_array_length(j, '$.tags') > 5
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/tags/uniqueItems', 'uniqueItems'
+    FROM obj WHERE json_type(j, '$.tags') = 'ARRAY'
+      AND len(json_transform(j->'tags', '["VARCHAR"]'))
+          <> len(list_distinct(json_transform(j->'tags', '["VARCHAR"]')))
+    UNION ALL
+    SELECT rid, '/properties/doc/properties/tags/items', 'items'
+    FROM obj WHERE json_type(j, '$.tags') = 'ARRAY'
+      AND len(list_filter(CAST(j->'tags' AS JSON[]),
+                          x -> json_type(x) <> 'VARCHAR')) > 0
     """
 
 
@@ -1553,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_filter(embedding,
                        x -> x IS NULL OR x >= 0.3)) > 10
         """,
+        "validate_jsonl_docs": _jsonl_sql(),
         "validate_props_variant": """
             WITH d AS (
               SELECT event_id,

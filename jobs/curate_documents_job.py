@@ -22,12 +22,16 @@ Sandbox smoke:
         --input /root/testdata/sf0.001/documents.parquet \\
         --output /tmp/curated_docs --master 'local[8]'
 
-Greedy near-dedup policy (documented, deterministic): for every verified
-near-dup pair (id_a < id_b) the larger id is dropped. Chains collapse
-toward their smallest member; a dropped doc always has a smaller surviving
-near-duplicate OR its survivor was itself dropped for a yet-smaller one —
-the standard single-pass choice at corpus scale (full connected-components
-would need iterative joins for marginal gain).
+Two near-dedup survivor policies (deterministic, selectable):
+
+- ``pairs`` (default): for every verified near-dup pair (id_a < id_b) the
+  larger id is dropped — single-pass, no iteration. Docs that are only
+  TRANSITIVELY related (a~b, b~c, but a,c never paired) can both survive.
+- ``clusters``: resolve the transitive closure with
+  ``dedup.connected_components`` (large-star/small-star, O(log^2 n)
+  rounds) and keep exactly the min-id doc of every duplicate cluster —
+  the strict one-survivor-per-group guarantee, at the cost of the
+  iterative contraction.
 """
 
 from __future__ import annotations
@@ -70,6 +74,8 @@ def curate(
     jaccard_threshold: float = 0.6,
     schema: dict | None = None,
     output: str | None = None,
+    near_dedup_policy: str = "pairs",
+    near_dup_method: str = "minhash",
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -114,14 +120,31 @@ def curate(
     exact = gated.join(survivors, ["fingerprint", "doc_id"], "left_semi")
     n_exact_removed = n_input - n_invalid - n_low_quality - exact.count()
 
-    # near-dedup: LSH candidates verified by exact Jaccard; drop larger ids
-    pairs = dedup.minhash_lsh_pairs(
-        exact.select("doc_id", "text"), threshold=jaccard_threshold
-    )
+    # near-dedup pair generation: MinHash LSH (sub-quadratic scale default,
+    # candidates verified by exact Jaccard) or the exact shingle inverted
+    # index ('jaccard' — full recall, for audits / smaller corpora)
+    if near_dup_method == "minhash":
+        pairs = dedup.minhash_lsh_pairs(
+            exact.select("doc_id", "text"), threshold=jaccard_threshold
+        )
+    elif near_dup_method == "jaccard":
+        pairs = dedup.jaccard_pairs(
+            exact.select("doc_id", "text"), threshold=jaccard_threshold
+        )
+    else:
+        raise ValueError(f"unknown near_dup_method: {near_dup_method!r}")
     # No explicit broadcast hint: drop_ids is O(near-duplicate docs), which
     # at web scale can be billions of ids — far beyond broadcast limits. AQE
     # broadcasts when the runtime size is small and shuffles otherwise.
-    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    if near_dedup_policy == "clusters":
+        comp = dedup.connected_components(pairs)
+        drop_ids = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+    elif near_dedup_policy == "pairs":
+        drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown near_dedup_policy: {near_dedup_policy!r}")
     curated = exact.join(drop_ids, "doc_id", "left_anti")
     n_near_removed = (
         n_input - n_invalid - n_low_quality - n_exact_removed - curated.count()
@@ -160,6 +183,15 @@ def main(argv=None) -> int:
     p.add_argument("--quality-min", type=float, default=0.5)
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--jaccard-threshold", type=float, default=0.6)
+    p.add_argument("--near-dup-method", choices=("minhash", "jaccard"),
+                   default="minhash",
+                   help="'minhash': LSH candidates + exact verify (scale "
+                        "default); 'jaccard': exact inverted index")
+    p.add_argument("--near-dedup-policy", choices=("pairs", "clusters"),
+                   default="pairs",
+                   help="'pairs': drop the larger id of each verified pair "
+                        "(single-pass); 'clusters': connected-components "
+                        "transitive closure, one survivor per cluster")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -186,6 +218,8 @@ def main(argv=None) -> int:
         jaccard_threshold=args.jaccard_threshold,
         schema=schema,
         output=args.output,
+        near_dedup_policy=args.near_dedup_policy,
+        near_dup_method=args.near_dup_method,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -89,3 +89,30 @@ def test_curate_survivors_keep_content(spark):
     assert set(got) == {1, 4}
     assert got[1] == BASE + " alpha"
     assert stats["output_rows"] == 2
+
+
+def test_curate_cluster_policy_collapses_transitive_chains(spark):
+    """pairs-policy keeps both endpoints of a transitive chain (a~mid,
+    b~mid, a!~b); clusters-policy resolves the connected component and
+    keeps exactly the min id."""
+    words = BASE.split()
+    a = " ".join(["red", "blue", "green", "gold", "grey"] + words[5:])
+    b = " ".join(words[:-5] + ["ship", "hill", "road", "lake", "barn"])
+    rows = [_doc(1, a), _doc(2, b), _doc(10, BASE)]
+    docs = spark.createDataFrame(rows)
+
+    curated_pairs, sp = curate(docs, quality_min=0.0, min_tokens=1,
+                               jaccard_threshold=0.5,
+                               near_dup_method="jaccard")
+    ids_pairs = sorted(r.doc_id for r in curated_pairs.select("doc_id").collect())
+    # 10 is the larger id of both pairs -> dropped; 1,2 never paired
+    assert ids_pairs == [1, 2]
+    assert sp["near_dups_removed"] == 1
+
+    curated_cl, sc = curate(docs, quality_min=0.0, min_tokens=1,
+                            jaccard_threshold=0.5,
+                            near_dup_method="jaccard",
+                            near_dedup_policy="clusters")
+    ids_cl = sorted(r.doc_id for r in curated_cl.select("doc_id").collect())
+    assert ids_cl == [1]
+    assert sc["near_dups_removed"] == 2
