@@ -94,3 +94,49 @@ def test_jsonl_plan_is_python_free(spark):
     plan = viol._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    """JSONL ingestion under readStream.text: the same select (try_parse_json
+    -> variant) + the same compiled plan produce identical violations to the
+    batch path — raw-JSON validation works as a streaming source."""
+    from jsonschema_spark.streaming.validate import annotate_stream
+
+    n = 13 * 6
+    src = tmp_path / "jsonl_src"
+    src.mkdir()
+    lines = J.synth_jsonl_lines(n)
+    # two files so the stream sees multiple input splits
+    (src / "a.jsonl").write_text("\n".join(lines[: n // 2]) + "\n")
+    (src / "b.jsonl").write_text("\n".join(lines[n // 2:]) + "\n")
+
+    df, want_viol = _validated(spark, n)
+    want = sorted(tuple(r) for r in want_viol.collect())
+
+    stream_raw = spark.readStream.text(str(src)).select(
+        F.col("value").alias("raw"),
+        F.try_parse_json(F.col("value")).alias("doc"),
+    )
+    frame = stream_raw.select(J.doc_id_col().alias("doc_id"), "doc", "raw")
+    ann = annotate_stream(frame, J.JSONL_DOC_SCHEMA)
+    viol = ann.select(
+        "doc_id", F.explode("_violations").alias("v"), "doc", "raw"
+    ).select(
+        "doc_id",
+        F.col("v.keyword_path").alias("keyword_path"),
+        F.col("v.keyword").alias("keyword"),
+    )
+    parse_rows = J.parse_failures(frame, J.doc_id_col())
+    out = viol.unionByName(parse_rows)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("jsonl_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM jsonl_stream").collect())
+    assert got == want
+    assert len(got) == 10 * 6
