@@ -553,6 +553,24 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_N = 400
+
+
+def _q_dedup_audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup dedup (the audio analogue of MinHash):
+    decode payload -> spectral fingerprint (one Arrow hop, L2-normalized
+    band spectrum) -> hyperplane-LSH candidate buckets -> exact-cosine
+    verify (operators/dedup.audio_near_dup_pairs). The corpus plants
+    re-encodes (gain 0.7 + lossy opus) of row i-1 at every _row_idx
+    i % 4 == 3; the fingerprint design guarantees planted cosine
+    >= 1-1e-6 vs worst non-dup 0.94 (tests/test_audio_dedup.py), so the
+    found pair set equals the ledger-derived expectation EXACTLY."""
+    from jsonschema_spark.sources.clips import materialized_near_dup_clips
+
+    clips, _ = materialized_near_dup_clips(spark, _NEARDUP_N)
+    return dedup.audio_near_dup_pairs(clips).select("id_a", "id_b")
+
+
 def _q_dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH pipeline with the md5_60 hash family: the identical
     signature/banding/verify algebra runs in DuckDB (oracle below), so the
@@ -770,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
+        "dedup_audio_clips": _q_dedup_audio_clips,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1188,7 +1207,21 @@ def _jsonl_sql() -> str:
 # otherwise, unit-pinned in tests/test_audio.py).
 # ---------------------------------------------------------------------------
 
-from jsonschema_spark.sources.clips import clips_path  # noqa: E402
+from jsonschema_spark.sources.clips import clips_path, neardup_clips_path  # noqa: E402
+
+
+def _dedup_audio_sql() -> str:
+    """Outcome oracle for audio fingerprint dedup: the near-dup corpus
+    plants a re-encode of row i-1 at every _row_idx i % 4 == 3 (sources/
+    clips.synth_near_dup_clips), and the fingerprint margins guarantee the
+    operator finds exactly that set — so the expected pairs derive from
+    _row_idx arithmetic over the SAME materialized parquet."""
+    src = f"read_parquet('{neardup_clips_path(_NEARDUP_N)}/*.parquet')"
+    return f"""
+        SELECT a.clip_id AS id_a, b.clip_id AS id_b
+        FROM {src} a JOIN {src} b ON a._row_idx + 1 = b._row_idx
+        WHERE b._row_idx % 4 = 3
+    """
 
 
 def _pq(path: str) -> str:
@@ -1894,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_documents": _jaccard_sql(),
         "dedup_clusters_documents": _clusters_sql(),
         "dedup_minhash_documents": _minhash_sql(threshold=0.5),
+        "dedup_audio_clips": _dedup_audio_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),
         "similarity_lsh_ann": _lsh_ann_sql(k=5),

@@ -217,6 +217,19 @@ def q_dedup_components(spark: SparkSession):
     return dedup.connected_components(pairs).count()
 
 
+_NEARDUP_BENCH_N = int(os.environ.get("SPARK_GRAFT_NEARDUP", "10000"))
+
+
+def q_audio_dedup(spark: SparkSession):
+    """Audio fingerprint near-dup dedup at scale: decode -> spectral
+    fingerprint (one Arrow hop) -> hyperplane-LSH buckets -> cosine
+    verify, over the planted re-encode corpus (materialized untimed)."""
+    from jsonschema_spark.sources.clips import materialized_near_dup_clips
+
+    clips, _ = materialized_near_dup_clips(spark, _NEARDUP_BENCH_N)
+    return dedup.audio_near_dup_pairs(clips).count()
+
+
 def q_cosine_topk(spark: SparkSession):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -245,6 +258,7 @@ QUERIES = {
     "embedding_lsh": q_embedding_lsh,
     "validate_jsonl": q_validate_jsonl,
     "dedup_components": q_dedup_components,
+    "audio_dedup": q_audio_dedup,
 }
 
 
@@ -255,7 +269,9 @@ def main():
     spark.range(1000).selectExpr("sum(id)").collect()
     materialize_clips(spark)
     from jsonschema_spark.sources import jsonl as J
+    from jsonschema_spark.sources.clips import materialized_near_dup_clips
     J.materialized_jsonl(_JSONL_BENCH_N)  # untimed corpus setup
+    materialized_near_dup_clips(spark, _NEARDUP_BENCH_N)  # untimed
 
     # three passes, keep the per-query minimum: the sandbox VM shows heavy
     # run-to-run CPU-steal variance (identical scans measured 2s and 52s

@@ -217,6 +217,118 @@ def audio_snr(
                           F.col(dur_ms) if isinstance(dur_ms, str) else dur_ms)
 
 
+def spectral_fingerprint_batch(
+    payloads: pd.Series, n_fft: int = 4096, n_bands: int = 128
+) -> pd.Series:
+    """Vectorized batch kernel: compact spectral fingerprint per clip.
+
+    Decode -> first ``n_fft`` samples -> Hann window -> |rFFT| magnitude ->
+    fold into ``n_bands`` equal bands -> L2 normalize (float32 list). The
+    normalization makes the fingerprint invariant to amplitude scaling and
+    the magnitude spectrum to phase, so a re-encode of the same recording
+    (lossless, lossy-quantized, or gain-adjusted) lands within cosine
+    ~1e-7 of its source while distinct recordings stay well separated —
+    the audio analogue of the text MinHash/SimHash ladder. Undecodable or
+    empty payloads fingerprint as None (excluded from pairing, surfaced by
+    the SNR/decode checks instead). Shared by the pandas UDF and unit
+    tests (testable without a SparkSession)."""
+    fold = (n_fft // 2) // n_bands  # bins per band; nyquist bin dropped
+    out = []
+    for raw in payloads.tolist():
+        if raw is None:
+            out.append(None)
+            continue
+        try:
+            dec = decode_payload(bytes(raw)).astype(np.float64)
+        except (ValueError, TypeError, struct.error):
+            out.append(None)
+            continue
+        m = min(len(dec), n_fft)
+        if m == 0:
+            out.append(None)
+            continue
+        buf = np.zeros(n_fft)
+        buf[:m] = dec[:m] * np.hanning(m)
+        mag = np.abs(np.fft.rfft(buf))[: n_bands * fold]
+        bands = mag.reshape(n_bands, fold).sum(axis=1)
+        nrm = np.linalg.norm(bands)
+        if nrm == 0.0:
+            out.append(None)
+            continue
+        out.append((bands / nrm).astype(np.float32).tolist())
+    return pd.Series(out)
+
+
+def audio_fingerprint(
+    payload: Column | str = "bytes", n_fft: int = 4096, n_bands: int = 128
+) -> Column:
+    """Spectral fingerprint as array<float> (Arrow-batched pandas UDF).
+
+    One decode+FFT per row, one Arrow hop; the result feeds the embedding
+    near-dup machinery (hyperplane LSH + cosine verify). ALWAYS persist
+    the projected fingerprint frame before fanning it into plane
+    expressions — Catalyst re-expands the UDF per referencing expression
+    otherwise (see operators/dedup.audio_near_dup_pairs)."""
+
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _fp(p: pd.Series) -> pd.Series:
+        return spectral_fingerprint_batch(p, n_fft, n_bands)
+
+    return _fp(F.col(payload) if isinstance(payload, str) else payload)
+
+
+def audio_fingerprint_buckets(
+    payload: Column | str = "bytes",
+    n_fft: int = 4096,
+    n_bands: int = 128,
+    n_planes: int = 16,
+    n_tables: int = 4,
+) -> Column:
+    """struct(embedding array<float>, buckets array<long>): spectral
+    fingerprint PLUS its hyperplane-LSH bucket ids, in ONE Arrow hop.
+
+    The sign bits come from a vectorized numpy matmul against the same
+    deterministic md5-derived planes as operators/similarity (driver-
+    computed, shipped in the UDF closure) — computing them JVM-side as
+    Column expressions would cost n_planes*n_tables interpreted
+    higher-order-function dot products per row (measured ~10 s for 2 000
+    rows vs ~0 here; HOFs run outside whole-stage codegen). Bucket id =
+    (table << 16) | 16 sign bits, so tables share one join key space.
+    Undecodable payloads yield a NULL struct."""
+    from jsonschema_spark.operators.similarity import _plane_weights
+
+    planes = np.array(
+        [_plane_weights(p, n_bands) for p in range(n_planes * n_tables)]
+    )  # (tables*planes, bands), driver-side once
+    bit_w = 1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64)
+
+    out_type = T.StructType(
+        [
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def _fpb(p: pd.Series) -> pd.DataFrame:
+        fps = spectral_fingerprint_batch(p, n_fft, n_bands)
+        ok = [i for i, f in enumerate(fps) if f is not None]
+        buckets = [None] * len(fps)
+        if ok:
+            m = np.array([fps[i] for i in ok], dtype=np.float64)
+            signs = (m @ planes.T) > 0  # (k, tables*planes)
+            for t in range(n_tables):
+                bits = signs[:, t * n_planes : (t + 1) * n_planes]
+                ids = (bits @ bit_w) | (t << 16)
+                for row, b in zip(ok, ids.tolist()):
+                    if buckets[row] is None:
+                        buckets[row] = []
+                    buckets[row].append(b)
+        return pd.DataFrame({"embedding": fps, "buckets": buckets})
+
+    return _fpb(F.col(payload) if isinstance(payload, str) else payload)
+
+
 def reference_transcript(clip_id: str) -> str:
     """Ground-truth transcript regenerated from clip_id alone (the row
     invariant's second half: transcript string equality per input_hint).

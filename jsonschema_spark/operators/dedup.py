@@ -451,6 +451,95 @@ def simhash_pairs(
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def audio_near_dup_pairs(
+    clips: DataFrame,
+    threshold: float = 0.97,
+    method: str = "lsh",
+    n_fft: int = 4096,
+    n_bands: int = 128,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+) -> DataFrame:
+    """Audio near-duplicate pairs: re-encodes / gain-adjusted copies of the
+    same recording under different clip_ids — the audio analogue of text
+    MinHash dedup (real pipelines dedup re-crawled re-encoded media).
+
+    Pipeline: decode payload -> spectral fingerprint + hyperplane-LSH
+    bucket ids in ONE Arrow hop (functions/audio.audio_fingerprint_buckets
+    — the sign bits are a vectorized numpy matmul; JVM-side plane
+    expressions would cost 64 interpreted HOF dot products per row,
+    measured ~10 s / 2 000 rows) -> bucket self-join for candidates ->
+    exact cosine verify. ``method="brute"`` is the exact O(n^2) audit
+    path. Fingerprints are L2-normalized magnitude spectra, so gain
+    changes and lossy quantization leave cosine ~1e-7 from 1.0 while
+    distinct recordings stay far below any sane threshold.
+
+    Scale shape: one scan + one Arrow hop produce a (id, 128-float,
+    4-bucket) frame — ~600 bytes/row regardless of payload size; the
+    16-bit-per-table bucket join keeps random collisions ~n^2/65536 per
+    table and never materializes the pair space. The frame is persisted
+    as a Catalyst barrier (UDF column referenced downstream by both join
+    sides — the measured-27x minhash lesson, CLAUDE.md).
+
+    Returns (id_a, id_b, cos). Undecodable payloads are excluded here and
+    surfaced by the decode/SNR validation checks instead.
+    """
+    from jsonschema_spark.functions.audio import (
+        audio_fingerprint,
+        audio_fingerprint_buckets,
+    )
+    from jsonschema_spark.operators.similarity import cosine
+
+    if method == "brute":
+        fp = clips.select(
+            F.col(id_col).alias("vec_id"),
+            audio_fingerprint(payload_col, n_fft=n_fft, n_bands=n_bands).alias(
+                "embedding"
+            ),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # Filter ABOVE the persist barrier: a filter on the UDF column
+        # below it is pushed under the project and DUPLICATES the Arrow
+        # eval (decode+FFT twice per row — observed as stacked
+        # ArrowEvalPython).
+        return embedding_pairs_bruteforce(
+            fp.filter(F.col("embedding").isNotNull()), threshold
+        )
+
+    fp = clips.select(
+        F.col(id_col).alias("_id"),
+        audio_fingerprint_buckets(
+            payload_col, n_fft=n_fft, n_bands=n_bands,
+            n_planes=n_planes, n_tables=n_tables,
+        ).alias("_s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = (
+        fp.filter(F.col("_s.embedding").isNotNull())
+        .select(
+            "_id",
+            F.col("_s.embedding").alias("_v"),
+            F.explode("_s.buckets").alias("bucket"),
+        )
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), "bucket")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # 5. connected components — pair lists -> canonical duplicate clusters
 # ---------------------------------------------------------------------------

@@ -280,6 +280,104 @@ def materialized_clips(
     return spark.read.parquet(path), path
 
 
+# ---------------------------------------------------------------------------
+# Near-duplicate clips corpus (audio fingerprint dedup ground truth)
+# ---------------------------------------------------------------------------
+
+# Two-tone grid parameters. Tones sit on a coarse frequency grid whose
+# spacing (64 ticks) exceeds the fingerprint band width (4096-FFT folded to
+# 128 bands = 16 bins = 62.5 ticks), so distinct recordings are provably
+# separated in fingerprint space (measured worst non-dup cosine 0.936 vs
+# planted re-encodes >= 0.9999999 — see tests/test_audio_dedup.py).
+_ND_GRID0, _ND_SPACING = 120, 64
+_ND_G = (7680 - _ND_GRID0) // _ND_SPACING  # 118 grid freqs
+ND_MAX_UNIQUE = _ND_G * (_ND_G - 1)  # 13 806 distinct two-tone recordings
+
+
+def _neardup_signal(j: int, n_samples: int) -> np.ndarray:
+    """Deterministic unique recording #j: two tones on the coarse grid,
+    amplitudes 0.7/0.3 (asymmetric so swapped tone pairs differ)."""
+    a = j % _ND_G
+    b = (a + 1 + (j // _ND_G) % (_ND_G - 1)) % _ND_G
+    f0 = _ND_GRID0 + a * _ND_SPACING
+    f1 = _ND_GRID0 + b * _ND_SPACING
+    t = np.arange(n_samples, dtype=np.float64)
+    x = 0.7 * np.sin(2 * np.pi * f0 * t / 16000.0 + 0.1 * j)
+    x += 0.3 * np.sin(2 * np.pi * f1 * t / 16000.0 + 0.05 * j)
+    return 0.8 * x
+
+
+def synth_near_dup_clips(
+    spark: SparkSession,
+    n: int,
+    dup_period: int = 4,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 2000),
+) -> DataFrame:
+    """Clips table with planted audio near-duplicates (the fingerprint-dedup
+    ledger table): row i with ``i % dup_period == dup_period - 1`` is a
+    RE-ENCODE of row i-1 — same recording, gain scaled to 0.7 and
+    re-encoded as lossy opus — under its own clip_id. Every other row is a
+    unique two-tone recording. ``_row_idx`` is the ledger: the expected
+    near-dup pair set is exactly {(i-1, i) : i % dup_period == dup_period-1},
+    recomputable by an external oracle from index arithmetic alone.
+
+    Requires ``n`` <= ND_MAX_UNIQUE (13 806) distinct recordings; beyond
+    that the two-tone grid wraps and "unique" rows would collide."""
+    if n > ND_MAX_UNIQUE:
+        raise ValueError(f"n={n} exceeds ND_MAX_UNIQUE={ND_MAX_UNIQUE}")
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        is_dup = dup_period > 1 and i % dup_period == dup_period - 1 and i > 0
+        base = i - 1 if is_dup else i
+        h = _hash(base)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        sig = _neardup_signal(base, 16000 * dur // 1000)
+        if is_dup:
+            codec = "opus"
+            sig = sig * 0.7  # gain-adjusted re-encode
+        else:
+            codec = "pcm_s16le" if h & 1 else "flac"
+        cid = f"clip-{i:012d}"
+        return (cid, encode_payload(pcm16_from_float(sig), codec), 16000,
+                dur, codec, transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def neardup_clips_path(n: int, dup_period: int = 4) -> str:
+    return oracle_cache_path(f"clips_neardup_{n}_{dup_period}")
+
+
+def materialized_near_dup_clips(
+    spark: SparkSession, n: int, dup_period: int = 4
+) -> tuple[DataFrame, str]:
+    """Near-dup clips table materialized once (same oracle-cache protocol as
+    materialized_clips); the DuckDB oracle reads the SAME files and derives
+    the expected pair set from ``_row_idx`` arithmetic."""
+    import os
+
+    path = neardup_clips_path(n, dup_period)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_near_dup_clips(spark, n, dup_period), path)
+    return spark.read.parquet(path), path
+
+
 def codecs_dim(spark: SparkSession) -> DataFrame:
     """Tiny codec dimension for referential checks (broadcast side)."""
     return spark.createDataFrame(
