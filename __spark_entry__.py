@@ -529,6 +529,14 @@ def _q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.text_profile(docs)
 
 
+def _q_repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (dup n-gram
+    fractions per-row; top token/bigram shares via explode + narrow
+    doc-keyed aggregates — no self-joins, no windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_profile(docs)
+
+
 def _q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mirrored = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -784,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_binned_events": _q_drift_ks_binned_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
+        "repetition_profile_documents": _q_repetition_profile_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
@@ -911,6 +920,50 @@ def _orders_summary_by_status_sql() -> str:
 
 _TEXT_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOPWORDS_SQL = "('the','a','and','of','to','in','is','it','on','for')"
+
+
+def _repetition_sql() -> str:
+    """DuckDB replay of the Gopher-style repetition profile: list functions
+    recompute the n-gram fractions, unnest+GROUP BY the top-term shares."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' ')) END AS g2,
+        CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')) END AS g3
+      FROM toks
+    ), fracs AS (
+      SELECT doc_id,
+        CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE round(1 - len(list_distinct(g2)) / len(g2), 6) END AS dup_2gram_frac,
+        CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE round(1 - len(list_distinct(g3)) / len(g3), 6) END AS dup_3gram_frac
+      FROM grams
+    ), tok_top AS (
+      SELECT doc_id, round(max(c) / sum(c), 6) AS top_token_frac FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ), g2_top AS (
+      SELECT doc_id, round(max(c) / sum(c), 6) AS top_2gram_frac FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.dup_2gram_frac, f.dup_3gram_frac,
+           coalesce(tok_top.top_token_frac, 0.0) AS top_token_frac,
+           coalesce(g2_top.top_2gram_frac, 0.0) AS top_2gram_frac
+    FROM fracs f
+    LEFT JOIN tok_top USING (doc_id)
+    LEFT JOIN g2_top USING (doc_id)
+    """
 
 
 def _text_profile_sql() -> str:
@@ -1911,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "text_profile_documents": _text_profile_sql(),
+        "repetition_profile_documents": _repetition_sql(),
         "dedup_exact_documents": f"""
             WITH both_sets AS (
               SELECT doc_id, text FROM documents

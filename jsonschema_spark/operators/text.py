@@ -140,3 +140,78 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         fingerprint(c).alias("fingerprint"),
         lang_id(c).alias("lang_pred"),
     )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as joined strings (empty array when
+    the doc has fewer than n tokens — guarded explicitly because
+    F.sequence(1, 0) would generate a DESCENDING sequence, not empty)."""
+    return F.when(
+        F.size(toks) < F.lit(n), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def dup_ngram_fraction(col: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one
+    (1 - distinct/total): the Gopher-style within-document repetition
+    signal. Pure per-row expressions — no shuffle, embarrassingly
+    parallel at any scale."""
+    grams = _ngrams(tokens(col), n)
+    total = F.size(grams)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6)
+    )
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals used by training-data quality
+    filters (Gopher-style repetition rules):
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of n-gram
+      occurrences that repeat within the doc (per-row expressions).
+    - ``top_token_frac`` — share of the single most frequent token.
+    - ``top_2gram_frac`` — share of the most frequent word bigram.
+
+    Scale shape: the n-gram fractions never shuffle; the top-frequency
+    signals explode to (doc, term) and aggregate twice on doc-keyed data
+    — both linear, no self-joins. Crossing Gopher-ish thresholds (e.g.
+    dup_3gram_frac > 0.3 or top_token_frac > 0.2) marks a doc
+    ``repetitive`` for the curation gate."""
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        tokens(c).alias("_toks"),
+        dup_ngram_fraction(c, 2).alias("dup_2gram_frac"),
+        dup_ngram_fraction(c, 3).alias("dup_3gram_frac"),
+    )
+
+    def _top_frac(term_col: Column, name: str) -> DataFrame:
+        exploded = base.select(id_col, F.explode(term_col).alias("_t"))
+        per_term = exploded.groupBy(id_col, "_t").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        return per_term.groupBy(id_col).agg(
+            F.round(F.max("_c") / F.sum("_c").cast("double"), 6).alias(name)
+        )
+
+    top_tok = _top_frac(F.col("_toks"), "top_token_frac")
+    top_2g = _top_frac(_ngrams(F.col("_toks"), 2), "top_2gram_frac")
+    return (
+        base.drop("_toks")
+        .join(top_tok, id_col, "left")
+        .join(top_2g, id_col, "left")
+        .select(
+            id_col,
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )

@@ -234,3 +234,40 @@ def test_ivf_topk_partial_probe_recall(spark):
     for r in res.collect():
         by_q.setdefault(r.query_id, set()).add(r.vec_id)
     assert all(q in by_q.get(q, set()) for q in range(5))
+
+
+def test_repetition_profile_known_values(spark):
+    rows = [
+        Row(doc_id=1, text="a b a b a b"),        # heavy bigram repetition
+        Row(doc_id=2, text="w x y z q r"),        # all distinct
+        Row(doc_id=3, text="hello"),              # too short for any n-gram
+        Row(doc_id=4, text="t t t t"),            # single repeated token
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r for r in text.repetition_profile(df).collect()}
+    # doc 1: bigrams [ab, ba, ab, ba, ab] -> distinct 2/5 -> dup frac 0.6;
+    # trigrams [aba, bab, aba, bab] -> 0.5; top token a: 3/6; top bigram ab: 3/5
+    assert got[1]["dup_2gram_frac"] == 0.6
+    assert got[1]["dup_3gram_frac"] == 0.5
+    assert got[1]["top_token_frac"] == 0.5
+    assert got[1]["top_2gram_frac"] == 0.6
+    # doc 2: nothing repeats; top token is 1/6
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_token_frac"] == round(1 / 6, 6)
+    # doc 3: no n-grams at all, top token 1.0
+    assert got[3]["dup_2gram_frac"] == 0.0
+    assert got[3]["dup_3gram_frac"] == 0.0
+    assert got[3]["top_token_frac"] == 1.0
+    assert got[3]["top_2gram_frac"] == 0.0
+    # doc 4: everything is the same token
+    assert got[4]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert got[4]["top_token_frac"] == 1.0
+
+
+def test_repetition_profile_jvm_side(docs):
+    plan = (
+        text.repetition_profile(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
