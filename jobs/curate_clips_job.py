@@ -50,18 +50,31 @@ from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA, synth_clips  # noq
 def curate_clips(
     clips,
     schema: dict | None = None,
-    snr_threshold_db: float = 30.0,
+    snr_threshold_db: float | None = 30.0,
     output: str | None = None,
+    near_dedup: bool = False,
+    fp_threshold: float = 0.97,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
     Stage order matters for attribution: a row failing BOTH schema and the
     invariant counts as schema_invalid (the cheaper gate runs first in the
     report algebra, mirroring how an operator pipeline would short-circuit).
+
+    ``snr_threshold_db=None`` skips the decode/SNR reference invariant —
+    the right setting for corpora with no synthetic ground truth (the
+    schema checks and dedup ladder still run). ``near_dedup=True`` appends
+    audio-fingerprint near-duplicate removal (re-encodes / gain-adjusted
+    copies of the same recording under different ids): pairs from the
+    spectral-fingerprint LSH, transitive clusters via connected
+    components, min clip_id per cluster survives — the same survivor
+    stance as the exact stages.
     """
     schema = schema or CLIPS_JSON_SCHEMA
     opts = CompileOptions(
         content_checks={"audio/*": lambda col: audio_snr_ok(snr_threshold_db)}
+        if snr_threshold_db is not None
+        else {}
     )
     ann = (
         validate(clips, schema, opts)
@@ -100,6 +113,25 @@ def curate_clips(
     n_after_payload = curated.count()
     n_dup_payload = n_after_ids - n_after_payload
 
+    n_near_dups = 0
+    if near_dedup:
+        from jsonschema_spark.operators.dedup import (
+            audio_near_dup_pairs,
+            connected_components,
+        )
+
+        pairs = audio_near_dup_pairs(curated, threshold=fp_threshold)
+        comp = connected_components(pairs)
+        drop = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("clip_id")
+        )
+        # no forced broadcast: the drop set is O(duplicate clips) — AQE
+        # picks broadcast vs shuffle from the runtime size
+        curated = curated.join(drop, "clip_id", "left_anti")
+        n_after_near = curated.count()
+        n_near_dups = n_after_payload - n_after_near
+        n_after_payload = n_after_near
+
     by_codec = {
         r["codec"]: r["cnt"]
         for r in curated.groupBy("codec").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -115,6 +147,7 @@ def curate_clips(
         "invariant_failed": n_invariant,
         "duplicate_ids_removed": n_dup_ids,
         "duplicate_payloads_removed": n_dup_payload,
+        "near_duplicates_removed": n_near_dups,
         "output_rows": n_after_payload,
         "by_codec": by_codec,
     }
@@ -127,6 +160,13 @@ def main(argv=None) -> int:
     p.add_argument("--synthesize", type=int, help="generate N synthetic clips instead")
     p.add_argument("--output", help="curated corpus output dir (parquet)")
     p.add_argument("--snr-db", type=float, default=30.0)
+    p.add_argument("--no-snr", action="store_true",
+                   help="skip the decode/SNR reference invariant (corpora "
+                        "without synthetic ground truth)")
+    p.add_argument("--near-dedup", action="store_true",
+                   help="append audio-fingerprint near-duplicate removal")
+    p.add_argument("--fp-threshold", type=float, default=0.97,
+                   help="fingerprint cosine threshold for near-dedup")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
@@ -151,8 +191,18 @@ def main(argv=None) -> int:
         if args.input
         else synth_clips(spark, args.synthesize)
     )
-    _curated, stats = curate_clips(clips, snr_threshold_db=args.snr_db,
-                                   output=args.output)
+    # underscore-prefixed columns are pipeline metadata (planted-violation
+    # ledgers, bucket keys) — not part of the closed-world document
+    meta_cols = [c for c in clips.columns if c.startswith("_")]
+    if meta_cols:
+        clips = clips.drop(*meta_cols)
+    _curated, stats = curate_clips(
+        clips,
+        snr_threshold_db=None if args.no_snr else args.snr_db,
+        output=args.output,
+        near_dedup=args.near_dedup,
+        fp_threshold=args.fp_threshold,
+    )
     print(json.dumps(stats))
     spark.stop()
     return 0

@@ -94,3 +94,37 @@ def test_curate_clips_synth_consistency(spark, tmp_path):
     assert set(written.columns) == {
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
     }
+
+
+def test_curate_clips_near_dedup_stage(spark):
+    """near_dedup=True removes gain-adjusted re-encodes of the same
+    recording under different ids (audio-fingerprint LSH + connected
+    components, min clip_id survives). The near-dup corpus has no
+    reference-signal ground truth, so the SNR invariant is off —
+    the documented real-corpus setting."""
+    from jsonschema_spark.sources.clips import synth_near_dup_clips
+
+    n = 120  # plants a re-encode of row i-1 at every i % 4 == 3
+    clips = synth_near_dup_clips(spark, n)
+    curated, stats = curate_clips(
+        clips.drop("_row_idx"), snr_threshold_db=None, near_dedup=True
+    )
+    planted = sum(1 for i in range(n) if i % 4 == 3 and i > 0)
+    assert stats["schema_invalid"] == 0
+    assert stats["invariant_failed"] == 0
+    assert stats["duplicate_ids_removed"] == 0
+    assert stats["duplicate_payloads_removed"] == 0
+    assert stats["near_duplicates_removed"] == planted
+    assert stats["output_rows"] == n - planted
+    # survivors are exactly the non-planted (base) rows
+    ids = {r["clip_id"] for r in curated.select("clip_id").collect()}
+    assert ids == {f"clip-{i:012d}" for i in range(n) if not (i % 4 == 3 and i > 0)}
+
+
+def test_curate_clips_near_dedup_off_by_default(spark):
+    from jsonschema_spark.sources.clips import synth_near_dup_clips
+
+    clips = synth_near_dup_clips(spark, 40)
+    _curated, stats = curate_clips(clips.drop("_row_idx"), snr_threshold_db=None)
+    assert stats["near_duplicates_removed"] == 0
+    assert stats["output_rows"] == 40
