@@ -658,6 +658,25 @@ def _q_clips_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("clip_id", "keyword_path", "keyword")
 
 
+def _q_clips_speech_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field row check (CompileOptions.row_checks): transcript
+    chars-per-second vs dur_ms inside [5, 200] — arithmetic BETWEEN two
+    properties, which JSON Schema itself cannot express. The predicate
+    rides the compiled check list (keyword "rowCheck"), so the violation
+    rows here come through the exact same algebra as schema keywords; the
+    oracle recomputes the arithmetic over the SAME parquet."""
+    from jsonschema_spark.functions.audio import speech_rate_ok
+
+    clips = _clips(spark)
+    opts = CompileOptions(row_checks={"speech_rate": speech_rate_ok()})
+    return (
+        validate(clips, CLIPS_JSON_SCHEMA, opts)
+        .violations(["clip_id"])
+        .filter(F.col("keyword") == "rowCheck")
+        .select("clip_id", "keyword_path", "keyword")
+    )
+
+
 _SYNTH_ROUNDTRIP_SCHEMA = {
     **ORDERS_JSON_SCHEMA,
     # o_orderdate is required but carries no property schema — the
@@ -807,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_similarity_ivf_topk,
         "clips_validate_totals": _q_clips_validate_totals,
         "clips_violations": _q_clips_violations,
+        "clips_speech_rate": _q_clips_speech_rate,
         "synth_schema_roundtrip": _q_synth_schema_roundtrip,
         "clips_invariant_failures": _q_clips_invariant_failures,
         "clips_uniqueness": _q_clips_uniqueness,
@@ -2026,6 +2046,14 @@ def oracle_sql() -> dict[str, str]:
         # expected outcome of the audio SNR / transcript invariants.
         "clips_validate_totals": _clips_totals_sql(_CLIPS_MAIN_PQ),
         "clips_violations": _clips_violations_sql(_CLIPS_MAIN_PQ),
+        "clips_speech_rate": f"""
+            SELECT clip_id, '/rowChecks/speech_rate' AS keyword_path,
+                   'rowCheck' AS keyword
+            FROM {_CLIPS_MAIN_PQ}
+            WHERE transcript IS NOT NULL AND dur_ms IS NOT NULL AND dur_ms > 0
+              AND NOT (length(transcript) / (dur_ms / 1000.0)
+                       BETWEEN 5.0 AND 200.0)
+        """,
         "clips_summary_by_codec": _clips_totals_sql(
             _CLIPS_MAIN_PQ, ("codec", "sr_hz")
         ),

@@ -358,6 +358,27 @@ def transcript_ok(
     )
 
 
+def speech_rate_ok(
+    min_cps: float = 5.0,
+    max_cps: float = 200.0,
+    transcript: Column | str = "transcript",
+    dur_ms: Column | str = "dur_ms",
+) -> Column:
+    """Transcript/duration alignment: characters-per-second inside
+    [min_cps, max_cps] — the cross-field sanity bound speech pipelines run
+    (a 2-word transcript on a 30 s clip, or a paragraph on 200 ms, signals
+    a mis-paired row even when both fields individually validate). A pure
+    Column expression for CompileOptions.row_checks — JSON Schema itself
+    cannot relate two properties arithmetically. NULL/non-positive inputs
+    pass vacuously (required/minimum cover those)."""
+    t = F.col(transcript) if isinstance(transcript, str) else transcript
+    d = F.col(dur_ms) if isinstance(dur_ms, str) else dur_ms
+    cps = F.length(t) / (d.cast("double") / 1000.0)
+    return F.when(t.isNull() | d.isNull() | (d <= 0), F.lit(True)).otherwise(
+        (cps >= min_cps) & (cps <= max_cps)
+    )
+
+
 def audio_snr_ok(threshold_db: float = SNR_THRESHOLD_DB, **cols) -> Column:
     """Boolean content check: decode + SNR >= threshold; NULL payload passes
     vacuously (absent property semantics, see plans/compile.py).

@@ -87,6 +87,14 @@ class CompileOptions:
     # resolve.go). unevaluatedProperties/unevaluatedItems ARE evaluated: their
     # annotation flow compiles to column logic (see _props_evaluated).
     strict: bool = True
+    # Named cross-field row predicates (name -> boolean Column, True = pass):
+    # constraints JSON Schema cannot express (arithmetic across properties,
+    # e.g. transcript-length vs duration alignment). Folded into the check
+    # list as keyword "rowCheck" at pointer /rowChecks/<name>, so they flow
+    # through violations/triage/totals/streaming like any schema keyword.
+    # NULL results count as FAILED (fail-loud) — make vacuous passes
+    # explicit in the predicate.
+    row_checks: dict[str, Column] = field(default_factory=dict)
 
 
 @dataclass
@@ -1714,6 +1722,20 @@ def compile_schema(
     # Root-level scalar applicators evaluate over the row struct; property
     # recursion uses plain columns (prunable by Catalyst).
     c.compile_node(_strip_defs(resolved), row_col, root_type, "", "")
+
+    # Cross-field row predicates ride behind the schema-derived checks:
+    # same Check shape, so every downstream surface (violations_array,
+    # triage, totals, streaming) reports them with zero special cases.
+    for name, pred in opts.row_checks.items():
+        c.checks.append(
+            Check(
+                pointer=f"/rowChecks/{name}",
+                keyword="rowCheck",
+                column="",
+                message=f"row check '{name}' failed",
+                ok=F.coalesce(pred, F.lit(False)),
+            )
+        )
     return CompiledSchema(checks=c.checks, schema=resolved)
 
 
