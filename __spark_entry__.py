@@ -169,6 +169,36 @@ def _q_column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.column_stats(orders, ["o_custkey", "o_orderstatus"], exact_distinct=True)
 
 
+def _q_infer_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference (the FromGoType-of-data analogue): exact profile ->
+    constraint rows. The oracle recomputes every inference decision in SQL
+    (HAVING gates derive enum candidacy and required-ness independently)."""
+    from jsonschema_spark.plans.infer import inferred_constraints
+
+    orders = load_table(spark, sf_dir, "orders")
+    return inferred_constraints(orders)
+
+
+def _q_infer_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-trusted-slice workflow: rows passing the hand-written orders
+    schema become the baseline; a schema inferred from them (bounds, enums,
+    lengths, required) is enforced on the FULL table. The oracle re-derives
+    the baseline, the inferred constants (scalar subqueries), and the
+    violation rows entirely in SQL."""
+    from jsonschema_spark.plans.infer import infer_schema
+
+    orders = load_table(spark, sf_dir, "orders")
+    clean = (
+        validate(orders, ORDERS_JSON_SCHEMA)
+        .annotated.filter("_valid")
+        .select(orders.columns)
+    )
+    inferred = infer_schema(clean)
+    return validate(orders, inferred).violations(["o_orderkey"]).select(
+        "o_orderkey", "keyword_path", "keyword", "column"
+    )
+
+
 def _q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return stats.column_quantiles(li, "l_extendedprice", exact=True)
@@ -797,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_props_content_schema": _q_validate_props_content_schema,
         "validate_embeddings_array": _q_validate_embeddings_array,
         "column_stats_orders": _q_column_stats_orders,
+        "infer_constraints_orders": _q_infer_constraints_orders,
+        "infer_validate_orders": _q_infer_validate_orders,
         "quantiles_lineitem": _q_quantiles_lineitem,
         "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
@@ -922,6 +954,125 @@ def _orders_summary_sql() -> str:
            CAST(sum({viol_sum}) AS BIGINT) AS violation_count
     FROM orders
     """
+
+
+# (column, duckdb type kind) for the orders table — drives the inference
+# oracles; the kinds mirror plans/infer._is_stats_type on the parquet schema.
+_ORDERS_INFER_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _infer_constraints_sql() -> str:
+    """DuckDB recomputation of every inference decision over orders: HAVING
+    clauses re-derive required-ness (zero nulls) and enum candidacy
+    (distinct <= 16) from the data, matching plans/infer's rules."""
+    jtype = {"int": "integer", "num": "number", "str": "string", "ts": "string"}
+    parts = []
+    for c, kind in _ORDERS_INFER_COLS:
+        parts.append(
+            f"SELECT '{c}' AS \"column\", 'type' AS keyword, "
+            f"'{jtype[kind]}' AS value_str, CAST(NULL AS DOUBLE) AS value_num"
+        )
+        if kind == "ts":
+            parts.append(f"SELECT '{c}', 'format', 'date-time', NULL")
+        parts.append(
+            f"SELECT '{c}', 'required', 'true', NULL FROM orders "
+            f"HAVING sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0"
+        )
+        if kind == "int":
+            parts.append(
+                f"SELECT '{c}', 'minimum', CAST(min({c}) AS VARCHAR), "
+                f"CAST(min({c}) AS DOUBLE) FROM orders HAVING count({c}) > 0"
+            )
+            parts.append(
+                f"SELECT '{c}', 'maximum', CAST(max({c}) AS VARCHAR), "
+                f"CAST(max({c}) AS DOUBLE) FROM orders HAVING count({c}) > 0"
+            )
+        elif kind == "num":
+            parts.append(
+                f"SELECT '{c}', 'minimum', CAST(NULL AS VARCHAR), min({c}) "
+                f"FROM orders HAVING count({c}) > 0"
+            )
+            parts.append(
+                f"SELECT '{c}', 'maximum', CAST(NULL AS VARCHAR), max({c}) "
+                f"FROM orders HAVING count({c}) > 0"
+            )
+        elif kind == "ts":
+            parts.append(
+                f"SELECT '{c}', 'minimum', strftime(min({c}), '%Y-%m-%d %H:%M:%S'), "
+                f"NULL FROM orders HAVING count({c}) > 0"
+            )
+            parts.append(
+                f"SELECT '{c}', 'maximum', strftime(max({c}), '%Y-%m-%d %H:%M:%S'), "
+                f"NULL FROM orders HAVING count({c}) > 0"
+            )
+        elif kind == "str":
+            parts.append(
+                f"SELECT '{c}', 'minLength', CAST(min(length({c})) AS VARCHAR), "
+                f"CAST(min(length({c})) AS DOUBLE) FROM orders HAVING count({c}) > 0"
+            )
+            parts.append(
+                f"SELECT '{c}', 'maxLength', CAST(max(length({c})) AS VARCHAR), "
+                f"CAST(max(length({c})) AS DOUBLE) FROM orders HAVING count({c}) > 0"
+            )
+            parts.append(
+                f"SELECT '{c}', 'enum', string_agg(DISTINCT {c}, '|' ORDER BY {c}), "
+                f"NULL FROM orders "
+                f"HAVING count(DISTINCT {c}) BETWEEN 1 AND 16"
+            )
+    return " UNION ALL ".join(parts)
+
+
+def _infer_validate_sql() -> str:
+    """The clean-trained inferred schema enforced on the full orders table,
+    rebuilt in SQL: `clean` = rows passing the hand-written schema; every
+    inferred constant is a scalar subquery over `clean`."""
+    fails = [f for (_, _, _, _, f) in _ORDERS_CHECK_FAILS.values()]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+    checks = []
+    # required: clean rows have no nulls, so every column is required
+    for c, _k in _ORDERS_INFER_COLS:
+        checks.append(
+            f"SELECT o_orderkey, '/required' AS keyword_path, "
+            f"'required' AS keyword, '{c}' AS \"column\" "
+            f"FROM orders WHERE {c} IS NULL"
+        )
+    for c, kind in _ORDERS_INFER_COLS:
+        if kind in ("int", "num", "ts"):
+            checks.append(
+                f"SELECT o_orderkey, '/properties/{c}/minimum', 'minimum', '{c}' "
+                f"FROM orders WHERE {c} IS NOT NULL "
+                f"AND NOT ({c} >= (SELECT min({c}) FROM clean))"
+            )
+            checks.append(
+                f"SELECT o_orderkey, '/properties/{c}/maximum', 'maximum', '{c}' "
+                f"FROM orders WHERE {c} IS NOT NULL "
+                f"AND NOT ({c} <= (SELECT max({c}) FROM clean))"
+            )
+        elif kind == "str":
+            checks.append(
+                f"SELECT o_orderkey, '/properties/{c}/minLength', 'minLength', '{c}' "
+                f"FROM orders WHERE {c} IS NOT NULL "
+                f"AND NOT (length({c}) >= (SELECT min(length({c})) FROM clean))"
+            )
+            checks.append(
+                f"SELECT o_orderkey, '/properties/{c}/maxLength', 'maxLength', '{c}' "
+                f"FROM orders WHERE {c} IS NOT NULL "
+                f"AND NOT (length({c}) <= (SELECT max(length({c})) FROM clean))"
+            )
+            checks.append(
+                f"SELECT o_orderkey, '/properties/{c}/enum', 'enum', '{c}' "
+                f"FROM orders WHERE {c} IS NOT NULL "
+                f"AND {c} NOT IN (SELECT DISTINCT {c} FROM clean)"
+            )
+    union = " UNION ALL ".join(checks)
+    return f"WITH clean AS (SELECT * FROM orders WHERE NOT ({any_fail})) {union}"
 
 
 def _orders_summary_by_status_sql() -> str:
@@ -1848,6 +1999,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT o_orderstatus) AS BIGINT)
             FROM orders
         """,
+        "infer_constraints_orders": _infer_constraints_sql(),
+        "infer_validate_orders": _infer_validate_sql(),
         "quantiles_lineitem": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS quantile, "
             f"round(quantile_cont(l_extendedprice, {q}), 6) AS value FROM lineitem"

@@ -433,7 +433,15 @@ def _json_type_matches(json_type: str, dtype: T.DataType) -> Optional[bool]:
     if json_type == "null":
         return False  # non-null value is never type null; NULL is absent
     if json_type == "string":
-        return isinstance(dtype, (T.StringType, T.BinaryType, T.VarcharType, T.CharType))
+        # temporal columns serialize to JSON as strings, and typemap emits
+        # {"type": "string", "format": "date-time"} for them — a schema
+        # produced from a table's own StructType must not statically fail
+        # against that table
+        return isinstance(
+            dtype,
+            (T.StringType, T.BinaryType, T.VarcharType, T.CharType,
+             T.DateType, T.TimestampType, T.TimestampNTZType),
+        )
     if json_type == "boolean":
         return isinstance(dtype, T.BooleanType)
     if json_type == "integer":
