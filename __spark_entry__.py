@@ -199,6 +199,31 @@ def _q_infer_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: o_totalprice vs the summed lineitem
+    amount per order. Amounts are cast to DECIMAL(28,6) before summing so
+    the aggregate is exact and order-independent (doubles would make the
+    result depend on merge order)."""
+    from jsonschema_spark.operators.reconcile import reconcile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return reconcile(
+        orders, li, "o_orderkey", "l_orderkey", "o_totalprice", amount, rel_tol=0.01
+    )
+
+
+def _q_completeness_orders_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain completeness: calendar days missing between the observed
+    min/max of o_orderdate (expected side generated with sequence() — O(days),
+    never O(rows))."""
+    from jsonschema_spark.operators.reconcile import date_completeness
+
+    orders = load_table(spark, sf_dir, "orders")
+    return date_completeness(orders, "o_orderdate")
+
+
 def _q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return stats.column_quantiles(li, "l_extendedprice", exact=True)
@@ -829,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_orders": _q_column_stats_orders,
         "infer_constraints_orders": _q_infer_constraints_orders,
         "infer_validate_orders": _q_infer_validate_orders,
+        "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
+        "completeness_orders_days": _q_completeness_orders_days,
         "quantiles_lineitem": _q_quantiles_lineitem,
         "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
@@ -2001,6 +2028,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "infer_constraints_orders": _infer_constraints_sql(),
         "infer_validate_orders": _infer_validate_sql(),
+        "reconcile_orders_lineitem": """
+            WITH l AS (
+              SELECT l_orderkey,
+                     SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(28,6))) AS detail_total,
+                     CAST(count(*) AS BIGINT) AS detail_rows
+              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+            ), j AS (
+              SELECT o.o_orderkey, o.o_totalprice, l.detail_total,
+                     COALESCE(l.detail_rows, 0) AS detail_rows,
+                     round(abs(o.o_totalprice - CAST(l.detail_total AS DOUBLE))
+                           / abs(o.o_totalprice), 6) AS rel_diff
+              FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderkey IS NOT NULL
+            )
+            SELECT * FROM j WHERE detail_total IS NULL OR rel_diff > 0.01
+        """,
+        "completeness_orders_days": """
+            WITH b AS (
+              SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                     CAST(max(o_orderdate) AS DATE) AS hi
+              FROM orders WHERE o_orderdate IS NOT NULL
+            ), e AS (
+              SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                     AS missing_day
+              FROM b
+            ), o AS (
+              SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+              FROM orders WHERE o_orderdate IS NOT NULL
+            )
+            SELECT missing_day FROM e
+            WHERE missing_day NOT IN (SELECT day FROM o)
+            ORDER BY missing_day
+        """,
         "quantiles_lineitem": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS quantile, "
             f"round(quantile_cont(l_extendedprice, {q}), 6) AS value FROM lineitem"
