@@ -619,6 +619,31 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_N = 400
 
 
+_QUALITY_N = 600
+
+
+def _q_clips_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gates (loudness / silence / clipping) over the planted
+    quality-defect corpus: decode -> one Arrow hop computing the whole
+    signal struct -> JVM-side gate booleans. The planted classes
+    (_row_idx % 12: half-silenced / gain-clipped / near-silent) land with
+    wide margins (silence 0.48 vs gate 0.2; clipping >= 0.12 vs 0.005;
+    rms <= -65 dBFS vs -45), so gate outcomes equal ledger arithmetic."""
+    from jsonschema_spark.functions.audio import audio_quality, quality_gates
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_N)
+    q = clips.select("clip_id", audio_quality("bytes", "sr_hz").alias("q"))
+    g = quality_gates(F.col("q"))
+    return q.select(
+        "clip_id",
+        g["silent"].alias("silent"),
+        g["clipped"].alias("clipped"),
+        g["too_quiet"].alias("too_quiet"),
+        g["pass"].alias("pass"),
+    )
+
+
 def _q_dedup_audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup dedup (the audio analogue of MinHash):
     decode payload -> spectral fingerprint (one Arrow hop, L2-normalized
@@ -876,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_audio_clips": _q_dedup_audio_clips,
+        "clips_audio_quality": _q_clips_audio_quality,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1472,6 +1498,23 @@ def _dedup_audio_sql() -> str:
         SELECT a.clip_id AS id_a, b.clip_id AS id_b
         FROM {src} a JOIN {src} b ON a._row_idx + 1 = b._row_idx
         WHERE b._row_idx % 4 = 3
+    """
+
+
+def _clips_audio_quality_sql() -> str:
+    """Ledger oracle for the audio quality gates: expected booleans are
+    pure _row_idx % 12 arithmetic over the SAME materialized parquet
+    (classes and margins documented at sources/clips.QUALITY_CLS_*)."""
+    from jsonschema_spark.sources.clips import quality_clips_path
+
+    src = f"read_parquet('{quality_clips_path(_QUALITY_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               (_row_idx % 12 = 1 OR _row_idx % 12 = 9) AS silent,
+               (_row_idx % 12 = 5) AS clipped,
+               (_row_idx % 12 = 9) AS too_quiet,
+               (_row_idx % 12 NOT IN (1, 5, 9)) AS "pass"
+        FROM {src}
     """
 
 
@@ -2216,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_documents": _clusters_sql(),
         "dedup_minhash_documents": _minhash_sql(threshold=0.5),
         "dedup_audio_clips": _dedup_audio_sql(),
+        "clips_audio_quality": _clips_audio_quality_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),
         "similarity_lsh_ann": _lsh_ann_sql(k=5),

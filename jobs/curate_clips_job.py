@@ -54,6 +54,10 @@ def curate_clips(
     output: str | None = None,
     near_dedup: bool = False,
     fp_threshold: float = 0.97,
+    quality_gate: bool = False,
+    max_silence_frac: float = 0.2,
+    max_clipping_frac: float = 0.005,
+    min_rms_dbfs: float = -45.0,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -63,7 +67,14 @@ def curate_clips(
 
     ``snr_threshold_db=None`` skips the decode/SNR reference invariant —
     the right setting for corpora with no synthetic ground truth (the
-    schema checks and dedup ladder still run). ``near_dedup=True`` appends
+    schema checks and dedup ladder still run). ``quality_gate=True`` adds
+    the reference-free audio quality gate (silence fraction / clipping /
+    loudness floor — functions/audio.quality_gates): unlike the SNR
+    invariant it needs no ground truth, so it applies to real corpora;
+    the signal struct is computed in one Arrow hop inside the SAME
+    persisted projection as the other annotations, and the gate filter
+    sits ABOVE the persist barrier (filtering on a UDF output below a
+    persist duplicates the UDF). ``near_dedup=True`` appends
     audio-fingerprint near-duplicate removal (re-encodes / gain-adjusted
     copies of the same recording under different ids): pairs from the
     spectral-fingerprint LSH, transitive clusters via connected
@@ -80,18 +91,35 @@ def curate_clips(
         validate(clips, schema, opts)
         .annotated.withColumn("_tok", transcript_ok())
         .withColumn("_pfp", F.md5(F.col("bytes")))
-        .persist()
     )
+    if quality_gate:
+        from jsonschema_spark.functions.audio import audio_quality, quality_gates
 
-    gate = F.col("_valid") & F.col("_tok")
+        ann = ann.withColumn(
+            "_qpass",
+            quality_gates(
+                audio_quality("bytes", "sr_hz"),
+                max_silence_frac=max_silence_frac,
+                max_clipping_frac=max_clipping_frac,
+                min_rms_dbfs=min_rms_dbfs,
+            )["pass"],
+        )
+    else:
+        ann = ann.withColumn("_qpass", F.lit(True))
+    ann = ann.persist()
+
+    pre_quality = F.col("_valid") & F.col("_tok")
+    gate = pre_quality & F.col("_qpass")
     funnel = ann.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+        F.sum(pre_quality.cast("long")).alias("n_pre_quality"),
         F.sum(gate.cast("long")).alias("n_gated"),
     ).collect()[0]
     n_input = funnel["n_input"]
     n_invalid = n_input - funnel["n_valid"]
-    n_invariant = funnel["n_valid"] - funnel["n_gated"]
+    n_invariant = funnel["n_valid"] - funnel["n_pre_quality"]
+    n_quality = funnel["n_pre_quality"] - funnel["n_gated"]
     gated = ann.filter(gate)
 
     # duplicate clip_ids: smallest payload-md5 survives (deterministic,
@@ -103,7 +131,7 @@ def curate_clips(
         ["clip_id"]
     )
     n_after_ids = unique_ids.count()
-    n_dup_ids = n_input - n_invalid - n_invariant - n_after_ids
+    n_dup_ids = n_input - n_invalid - n_invariant - n_quality - n_after_ids
 
     # exact payload dedup across ids: smallest clip_id survives
     payload_survivors = unique_ids.groupBy("_pfp").agg(
@@ -145,6 +173,7 @@ def curate_clips(
         "input_rows": n_input,
         "schema_invalid": n_invalid,
         "invariant_failed": n_invariant,
+        "quality_rejected": n_quality,
         "duplicate_ids_removed": n_dup_ids,
         "duplicate_payloads_removed": n_dup_payload,
         "near_duplicates_removed": n_near_dups,
@@ -167,6 +196,15 @@ def main(argv=None) -> int:
                    help="append audio-fingerprint near-duplicate removal")
     p.add_argument("--fp-threshold", type=float, default=0.97,
                    help="fingerprint cosine threshold for near-dedup")
+    p.add_argument("--quality-gate", action="store_true",
+                   help="drop clips failing the reference-free audio "
+                        "quality gates (silence / clipping / loudness)")
+    p.add_argument("--max-silence", type=float, default=0.2,
+                   help="max fraction of silent 20ms frames")
+    p.add_argument("--max-clipping", type=float, default=0.005,
+                   help="max fraction of full-scale samples")
+    p.add_argument("--min-rms", type=float, default=-45.0,
+                   help="loudness floor in dBFS")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
@@ -202,6 +240,10 @@ def main(argv=None) -> int:
         output=args.output,
         near_dedup=args.near_dedup,
         fp_threshold=args.fp_threshold,
+        quality_gate=args.quality_gate,
+        max_silence_frac=args.max_silence,
+        max_clipping_frac=args.max_clipping,
+        min_rms_dbfs=args.min_rms,
     )
     print(json.dumps(stats))
     spark.stop()

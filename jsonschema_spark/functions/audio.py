@@ -329,6 +329,127 @@ def audio_fingerprint_buckets(
     return _fpb(F.col(payload) if isinstance(payload, str) else payload)
 
 
+SILENCE_FLOOR_DBFS = -40.0  # frame-RMS below this counts as silence
+
+
+def audio_quality_batch(
+    payloads: pd.Series, srs: pd.Series, silence_db: float = SILENCE_FLOOR_DBFS
+) -> pd.DataFrame:
+    """Vectorized batch kernel: loudness/silence/clipping signals per clip.
+
+    Decode -> normalize to [-1, 1] ->
+      rms_dbfs       overall RMS loudness in dBFS
+      peak_dbfs      peak sample level in dBFS
+      silence_frac   fraction of 20 ms frames (sr/50 samples) whose frame
+                     RMS is below ``silence_db`` dBFS
+      clipping_frac  fraction of samples pinned at full scale (int16
+                     +32767 / -32768)
+      n_samples      decoded sample count (-1 on decode failure)
+
+    These are the audio analogues of the text quality signals
+    (operators/text.quality_profile): cheap per-clip scalars a curation
+    funnel gates on. Undecodable/NULL payloads yield NaN metrics and
+    n_samples = -1 (the SNR/decode checks surface those separately).
+    Shared by the pandas UDF and unit tests (no SparkSession needed)."""
+    n = len(payloads)
+    rms = np.full(n, np.nan)
+    peak = np.full(n, np.nan)
+    silence = np.full(n, np.nan)
+    clipping = np.full(n, np.nan)
+    nsamp = np.full(n, -1, dtype=np.int64)
+    floor = 10.0 ** (silence_db / 20.0)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(pcm)
+        nsamp[i] = m
+        if m == 0:
+            silence[i] = 1.0
+            clipping[i] = 0.0
+            continue
+        x = pcm.astype(np.float64) / 32768.0
+        p = float(np.max(np.abs(x)))
+        r = float(np.sqrt(np.mean(x * x)))
+        rms[i] = 20.0 * np.log10(r) if r > 0.0 else -np.inf
+        peak[i] = 20.0 * np.log10(p) if p > 0.0 else -np.inf
+        clipping[i] = float(np.mean((pcm >= 32767) | (pcm <= -32768)))
+        frame = max(1, int(sr) // 50)
+        nf = m // frame
+        if nf == 0:
+            silence[i] = 1.0 if r < floor else 0.0
+        else:
+            fr = x[: nf * frame].reshape(nf, frame)
+            frms = np.sqrt(np.mean(fr * fr, axis=1))
+            silence[i] = float(np.mean(frms < floor))
+    return pd.DataFrame(
+        {
+            "rms_dbfs": rms,
+            "peak_dbfs": peak,
+            "silence_frac": silence,
+            "clipping_frac": clipping,
+            "n_samples": nsamp,
+        }
+    )
+
+
+AUDIO_QUALITY_TYPE = T.StructType(
+    [
+        T.StructField("rms_dbfs", T.DoubleType()),
+        T.StructField("peak_dbfs", T.DoubleType()),
+        T.StructField("silence_frac", T.DoubleType()),
+        T.StructField("clipping_frac", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def audio_quality(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+    silence_db: float = SILENCE_FLOOR_DBFS,
+) -> Column:
+    """struct(rms_dbfs, peak_dbfs, silence_frac, clipping_frac, n_samples)
+    — ONE Arrow hop for the whole signal family. Persist the projected
+    struct before deriving multiple gate columns from it (Catalyst project
+    collapsing re-runs the UDF per referencing expression otherwise)."""
+
+    @pandas_udf(AUDIO_QUALITY_TYPE)
+    def _aq(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return audio_quality_batch(p, sr, silence_db)
+
+    return _aq(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
+def quality_gates(
+    q: Column,
+    max_silence_frac: float = 0.2,
+    max_clipping_frac: float = 0.005,
+    min_rms_dbfs: float = -45.0,
+) -> Column:
+    """struct(silent, clipped, too_quiet, pass) gate booleans over an
+    ``audio_quality`` struct column — pure Column expressions (JVM-side),
+    NULL-safe: undecodable clips (NaN metrics) fail every gate loudly."""
+    ok = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    silent = ~ok(~F.isnan(q["silence_frac"]) & (q["silence_frac"] <= max_silence_frac))
+    clipped = ~ok(
+        ~F.isnan(q["clipping_frac"]) & (q["clipping_frac"] <= max_clipping_frac)
+    )
+    quiet = ~ok(~F.isnan(q["rms_dbfs"]) & (q["rms_dbfs"] >= min_rms_dbfs))
+    return F.struct(
+        silent.alias("silent"),
+        clipped.alias("clipped"),
+        quiet.alias("too_quiet"),
+        (~silent & ~clipped & ~quiet).alias("pass"),
+    )
+
+
 def reference_transcript(clip_id: str) -> str:
     """Ground-truth transcript regenerated from clip_id alone (the row
     invariant's second half: transcript string equality per input_hint).

@@ -378,6 +378,82 @@ def materialized_near_dup_clips(
     return spark.read.parquet(path), path
 
 
+# Planted quality-defect classes (disjoint by construction, _row_idx % 12):
+#   cls 1 -> second half of the waveform zeroed   (silence_frac ~= 0.5)
+#   cls 5 -> gain x2.2 before int16 conversion    (hard clipping; every
+#            base amplitude lands past full scale, worst case peak 1.06 ->
+#            ~21% of samples pinned)
+#   cls 9 -> gain x0.001                          (rms ~= -60 dBFS: too
+#            quiet AND every 20ms frame under the -40 dBFS silence floor)
+#   else  -> untouched reference signal (peak <= 0.85, rms ~= -9 dBFS)
+QUALITY_CLASS_MOD = 12
+QUALITY_CLS_HALF_SILENT = 1
+QUALITY_CLS_CLIPPED = 5
+QUALITY_CLS_QUIET = 9
+
+
+def synth_quality_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 2000),
+) -> DataFrame:
+    """Clips table with planted audio-quality defects (the quality-gate
+    ledger table). All payloads are raw pcm_s16le so clipping detection is
+    exact (the synthetic opus container quantizes away the +-32767 pins).
+    The expected gate outcome of every row is pure ``_row_idx`` arithmetic
+    — see QUALITY_CLS_* above — so an external oracle needs no decoder."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = 16000 * dur // 1000
+        sig = reference_signal(cid, n_samples).astype(np.float64)
+        cls = i % QUALITY_CLASS_MOD
+        if cls == QUALITY_CLS_HALF_SILENT:
+            sig[n_samples // 2 :] = 0.0
+        elif cls == QUALITY_CLS_CLIPPED:
+            sig = sig * 2.2
+        elif cls == QUALITY_CLS_QUIET:
+            sig = sig * 0.001
+        return (cid, encode_payload(pcm16_from_float(sig), "pcm_s16le"),
+                16000, dur, "pcm_s16le", transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def quality_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_quality_{n}")
+
+
+def materialized_quality_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """Quality-defect clips table materialized once (oracle-cache protocol);
+    the DuckDB oracle reads the SAME files and derives expected gate
+    booleans from ``_row_idx % 12`` alone."""
+    import os
+
+    path = quality_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_quality_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
 def codecs_dim(spark: SparkSession) -> DataFrame:
     """Tiny codec dimension for referential checks (broadcast side)."""
     return spark.createDataFrame(
