@@ -199,6 +199,36 @@ def _q_infer_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_RATES = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+
+
+def _q_sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (language rebalancing): membership
+    is u(doc_id) < rate[lang] with u derived from md5 — a pure row-local
+    codegen'd filter, zero shuffle; the report is two narrow aggregates.
+    The oracle recomputes membership bit-identically via DuckDB hex casts."""
+    from jsonschema_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        docs, "doc_id", "lang", _STRAT_RATES, default_rate=0.0, seed="s1"
+    )
+    return sampling.sample_report(docs, s, "lang")
+
+
+def _q_sample_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling: hash-ordered prefix whose running
+    n_chars sum stays <= 4000 per source (greedy packer, deterministic and
+    append-stable). Window is per-stratum — no global sort."""
+    from jsonschema_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.token_budget_sample(
+        docs, "doc_id", "n_chars", 4000, strata_col="source", seed="s2"
+    )
+    return s.select("doc_id", "source", "n_chars")
+
+
 def _q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table reconciliation: o_totalprice vs the summed lineitem
     amount per order. Amounts are cast to DECIMAL(28,6) before summing so
@@ -881,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_validate_orders": _q_infer_validate_orders,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "completeness_orders_days": _q_completeness_orders_days,
+        "sample_documents_stratified": _q_sample_documents_stratified,
+        "sample_documents_token_budget": _q_sample_documents_token_budget,
         "quantiles_lineitem": _q_quantiles_lineitem,
         "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
@@ -2087,6 +2119,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_orderkey IS NOT NULL
             )
             SELECT * FROM j WHERE detail_total IS NULL OR rel_diff > 0.01
+        """,
+        "sample_documents_stratified": f"""
+            WITH s AS (
+              SELECT * FROM documents
+              WHERE doc_id IS NOT NULL
+                AND ('0x' || substr(md5('s1' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    / 1152921504606846976.0
+                  < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items()))} ELSE 0.0 END
+            ), a AS (
+              SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS rows_in
+              FROM documents GROUP BY lang
+            ), b AS (
+              SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS rows_kept
+              FROM s GROUP BY lang
+            )
+            SELECT a.stratum, a.rows_in, COALESCE(b.rows_kept, 0) AS rows_kept
+            FROM a LEFT JOIN b USING (stratum) ORDER BY a.stratum
+        """,
+        "sample_documents_token_budget": """
+            WITH h AS (
+              SELECT doc_id, source, n_chars,
+                     SUM(CAST(n_chars AS BIGINT)) OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('s2' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                                doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS running
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            )
+            SELECT doc_id, source, n_chars FROM h WHERE running <= 4000
         """,
         "completeness_orders_days": """
             WITH b AS (

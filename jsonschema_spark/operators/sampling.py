@@ -1,0 +1,137 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines sample constantly — down-weight a crawl source,
+balance languages, fit a token budget — and at 10^12 rows the sample must
+be DETERMINISTIC (re-runs and retried tasks pick the same rows; an auditor
+can recompute membership from the key alone). Random-number sampling
+(``df.sample``) gives none of that. Everything here derives membership
+from ``md5(seed || key)``:
+
+    u(key) = int(hex(md5(seed|key))[:15], 16) / 2^60   — uniform in [0,1)
+
+so membership is a pure function of (seed, key) — portable across engines
+(the DuckDB oracles recompute it bit-identically via hex casts, the same
+``md5_60`` trick as the MinHash oracle family).
+
+Scale design (10^12 rows):
+- ``hash_sample`` / ``stratified_sample`` are pure row-local filters: no
+  shuffle at all, fully codegen'd (md5 + substring + conv are JVM
+  built-ins). Sampling 10^12 rows costs one scan.
+- ``token_budget_sample`` needs a per-stratum running sum, i.e. a window
+  ordered by the hash WITHIN each stratum. That is the right scale shape
+  when strata are numerous and individually bounded (sources, languages,
+  shards): each stratum sorts independently, no global order. For a
+  single giant stratum, pre-shard it (add a hash-derived sub-stratum) or
+  use ``hash_sample`` with rate = budget/total as the shuffle-free
+  approximation.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 60)
+
+
+def sample_hash(key: Column, seed: str = "") -> Column:
+    """60-bit deterministic hash of (seed, key) as BIGINT in [0, 2^60)."""
+    tagged = F.concat_ws("|", F.lit(seed), key.cast("string"))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+
+
+def sample_uniform(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform in [0,1) derived from the key — the membership
+    score every operator below thresholds on."""
+    return sample_hash(key, seed) / F.lit(HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: str = ""
+) -> DataFrame:
+    """Keep rows with u(key) < rate. Deterministic, shuffle-free, exact-ish
+    (binomial around rate*n). NULL keys are dropped (no stable identity to
+    sample on — surface them with a required/uniqueness check instead)."""
+    return df.where(
+        F.col(key_col).isNotNull()
+        & (sample_uniform(F.col(key_col), seed) < F.lit(rate))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. {"en": 0.1, "de": 0.5}) — the
+    language/source-rebalancing primitive. Still a pure row-local filter:
+    the rate lookup compiles to a CASE chain over the (small, driver-known)
+    strata map; strata absent from ``rates`` get ``default_rate``."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.where(
+        F.col(key_col).isNotNull()
+        & (sample_uniform(F.col(key_col), seed) < rate)
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    strata_col: Optional[str] = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic prefix of the hash-ordered stream whose cumulative
+    ``weight_col`` (token counts) stays within ``budget`` — per stratum
+    when ``strata_col`` is given, so each source/language gets its own
+    budget. A row is kept iff the running sum INCLUDING it is <= budget
+    (first over-budget row is excluded, like a greedy packer).
+
+    The hash ordering makes the kept prefix a uniform random subset that is
+    stable under re-runs and under appends of later-hashing rows."""
+    u = sample_hash(F.col(key_col), seed)
+    parts = [F.col(strata_col)] if strata_col else []
+    w = (
+        Window.partitionBy(*parts).orderBy(u.asc(), F.col(key_col).asc())
+        if parts
+        else Window.orderBy(u.asc(), F.col(key_col).asc())
+    )
+    running = F.sum(F.col(weight_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.where(F.col(key_col).isNotNull() & F.col(weight_col).isNotNull())
+        .withColumn("_running", running)
+        .where(F.col("_running") <= F.lit(int(budget)))
+        .drop("_running")
+    )
+
+
+def sample_report(
+    df: DataFrame,
+    sampled: DataFrame,
+    strata_col: str,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-stratum before/after accounting: (stratum, rows_in, rows_kept
+    [, weight_in, weight_kept]). Two narrow aggregates + one tiny join."""
+    aggs_in = [F.count(F.lit(1)).alias("rows_in")]
+    aggs_out = [F.count(F.lit(1)).alias("rows_kept")]
+    if weight_col:
+        aggs_in.append(F.sum(F.col(weight_col).cast("long")).alias("weight_in"))
+        aggs_out.append(F.sum(F.col(weight_col).cast("long")).alias("weight_kept"))
+    a = df.groupBy(F.col(strata_col).alias("stratum")).agg(*aggs_in)
+    b = sampled.groupBy(F.col(strata_col).alias("stratum")).agg(*aggs_out)
+    out = a.join(b, "stratum", "left")
+    fills = {"rows_kept": 0}
+    if weight_col:
+        fills["weight_kept"] = 0
+    return out.fillna(fills).orderBy("stratum")

@@ -1,0 +1,107 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.sampling import (
+    hash_sample,
+    sample_report,
+    stratified_sample,
+    token_budget_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, "en" if i % 3 else "de", f"src{i % 4}", 100 + (i % 7) * 10)
+        for i in range(400)
+    ]
+    rows.append((None, "en", "src0", 100))  # null key: never sampled
+    return spark.createDataFrame(rows, "doc_id long, lang string, source string, n_chars long")
+
+
+def test_hash_sample_deterministic_and_seeded(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed="x").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed="x").collect()}
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed="y").collect()}
+    assert a == b                      # re-runs identical
+    assert a != c                      # seed changes the sample
+    assert None not in a
+    assert 0.2 < len(a) / 400 < 0.4    # binomial around 0.3
+
+
+def test_hash_sample_rate_monotone(docs):
+    """A row kept at rate r is kept at every r' > r (nested samples — the
+    property that lets a pipeline tighten budgets without resampling)."""
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1, seed="x").collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, seed="x").collect()}
+    assert small <= big
+
+
+def test_stratified_rates(docs):
+    s = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.0, "de": 1.0}, default_rate=0.0, seed="x"
+    )
+    out = s.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in out}
+    assert "en" not in by
+    assert by["de"] == 134  # every non-null de row (i % 3 == 0, i in 0..399)
+
+
+def test_stratified_default_rate(docs):
+    s = stratified_sample(docs, "doc_id", "lang", {}, default_rate=1.0, seed="x")
+    assert s.count() == 400  # all non-null keys kept
+
+
+def test_token_budget_respected_per_stratum(docs):
+    s = token_budget_sample(docs, "doc_id", "n_chars", 900, strata_col="source")
+    sums = {
+        r["source"]: r["s"]
+        for r in s.groupBy("source").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    assert sums and all(v <= 900 for v in sums.values())
+
+
+def test_token_budget_is_greedy_prefix(docs):
+    """Kept set = longest hash-ordered prefix within budget: adding the
+    first excluded row must break the budget."""
+    budget = 900
+    s = token_budget_sample(docs, "doc_id", "n_chars", budget, strata_col="source")
+    kept = {r["doc_id"] for r in s.collect()}
+    from jsonschema_spark.operators.sampling import sample_hash
+
+    ordered = (
+        docs.where(F.col("doc_id").isNotNull())
+        .withColumn("_h", sample_hash(F.col("doc_id")))
+        .orderBy("_h", "doc_id")
+        .collect()
+    )
+    by_src: dict = {}
+    for r in ordered:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        run = 0
+        for r in rows:
+            run += r["n_chars"]
+            assert (r["doc_id"] in kept) == (run <= budget)
+
+
+def test_token_budget_append_stable(spark, docs):
+    """Appending rows never evicts a kept row whose hash precedes theirs...
+    verified the practical way: the sample of a subset is a superset filter
+    of the full sample restricted to that subset's prefix condition — here
+    we just pin that removing NON-sampled rows leaves the sample unchanged."""
+    s1 = token_budget_sample(docs, "doc_id", "n_chars", 900, strata_col="source")
+    kept = {r["doc_id"] for r in s1.collect()}
+    shrunk = docs.where(F.col("doc_id").isNull() | F.col("doc_id").isin(*kept))
+    s2 = token_budget_sample(shrunk, "doc_id", "n_chars", 900, strata_col="source")
+    assert {r["doc_id"] for r in s2.collect()} == kept
+
+
+def test_sample_report(docs):
+    s = stratified_sample(docs, "doc_id", "lang", {"de": 1.0}, seed="x")
+    rep = {r["stratum"]: r for r in sample_report(docs, s, "lang", "n_chars").collect()}
+    assert rep["de"]["rows_kept"] == rep["de"]["rows_in"]  # rate 1.0, no null keys in de
+    assert rep["en"]["rows_kept"] == 0 and rep["en"]["weight_kept"] == 0
+    assert rep["en"]["rows_in"] == 267  # 266 en rows + 1 null-key en row
