@@ -674,6 +674,30 @@ def _q_clips_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGMENT_MS = 250
+
+
+def _q_clips_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM segmentation as pure Column algebra (sequence/explode/binary
+    substring — ZERO Python, zero shuffle): each clip becomes ceil(samples/
+    segment) windows; the oracle re-slices the same payloads as hex strings
+    and compares window md5s byte-for-byte."""
+    from jsonschema_spark.operators.segments import segment_clips
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_N)
+    segs = segment_clips(clips.select(*_CLIPS_COLS), _SEGMENT_MS)
+    return segs.select(
+        "clip_id",
+        "segment_id",
+        "seg_idx",
+        "seg_start_ms",
+        "seg_dur_ms",
+        F.length("seg_bytes").cast("long").alias("n_bytes"),
+        F.md5(F.hex("seg_bytes")).alias("seg_md5"),
+    )
+
+
 def _q_dedup_audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup dedup (the audio analogue of MinHash):
     decode payload -> spectral fingerprint (one Arrow hop, L2-normalized
@@ -934,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_audio_clips": _q_dedup_audio_clips,
         "clips_audio_quality": _q_clips_audio_quality,
+        "clips_segments": _q_clips_segments,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1547,6 +1572,43 @@ def _clips_audio_quality_sql() -> str:
                (_row_idx % 12 = 9) AS too_quiet,
                (_row_idx % 12 NOT IN (1, 5, 9)) AS "pass"
         FROM {src}
+    """
+
+
+def _clips_segments_sql() -> str:
+    """Hex-string re-slicing oracle for PCM segmentation: byte window
+    [i*sps*2, +this*2) of the payload is hex-char window [i*sps*4+1, this*4);
+    both engines md5 the identical uppercase hex text of each window."""
+    from jsonschema_spark.sources.clips import quality_clips_path
+
+    src = f"read_parquet('{quality_clips_path(_QUALITY_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx, sr_hz,
+                 octet_length(bytes) // 2 AS n_samples,
+                 (sr_hz * {_SEGMENT_MS}) // 1000 AS sps
+          FROM {src}
+        ), e AS (
+          SELECT clip_id, hx, sr_hz, n_samples, sps,
+                 unnest(generate_series(
+                   0, CAST(ceil(n_samples / CAST(sps AS DOUBLE)) AS BIGINT) - 1
+                 )) AS seg_idx
+          FROM t WHERE n_samples > 0
+        ), w AS (
+          SELECT clip_id, hx, sr_hz, seg_idx,
+                 seg_idx * sps AS start_sample,
+                 least(sps, n_samples - seg_idx * sps) AS this_samples
+          FROM e
+        )
+        SELECT clip_id,
+               clip_id || '#' || lpad(CAST(seg_idx AS VARCHAR), 5, '0') AS segment_id,
+               CAST(seg_idx AS INT) AS seg_idx,
+               CAST(floor(start_sample * 1000.0 / sr_hz) AS BIGINT) AS seg_start_ms,
+               CAST(floor(this_samples * 1000.0 / sr_hz) AS BIGINT) AS seg_dur_ms,
+               CAST(this_samples * 2 AS BIGINT) AS n_bytes,
+               md5(substring(hx, CAST(start_sample * 4 + 1 AS BIGINT),
+                             CAST(this_samples * 4 AS BIGINT))) AS seg_md5
+        FROM w
     """
 
 
@@ -2323,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_documents": _minhash_sql(threshold=0.5),
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
+        "clips_segments": _clips_segments_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),
         "similarity_lsh_ann": _lsh_ann_sql(k=5),

@@ -1,0 +1,131 @@
+"""Audio segmentation: split clips into fixed-duration training segments.
+
+Training pipelines rarely feed whole recordings to a model — they want
+uniform windows (e.g. 100 ms frames for fingerprinting, 10 s chunks for
+ASR). For raw PCM16 payloads the byte layout IS the sample layout
+(2 bytes/sample, mono), so segmentation is pure Column algebra:
+
+    scan -> sequence(0, n_seg-1) -> explode -> substring(bytes, off, len)
+
+ZERO Python, zero shuffle, whole-stage codegen end to end — the segment
+rows stream out of the same task that read the parquet row group. This is
+the kind of operator that would be a per-row UDF in a naive port; Spark's
+binary `substring` + array `sequence`/`explode` make it free.
+
+Container formats (WAV/flac/opus) are NOT byte-sliceable mid-stream;
+those rows pass through as a single segment 0 (flag ``sliceable=false``)
+— decode-then-segment for them belongs in the Arrow decode hop instead.
+
+Guards: ``F.sequence(0, n-1)`` DESCENDS for n <= 0 (sequence(0,-1) =
+[0,-1]); empty payloads are guarded to an empty segment array and drop
+out at the explode.
+
+Scale note (10^12 clips): output cardinality is segments ~= dur/segment_ms
+per clip — the explode multiplies rows but not bytes (each segment slice
+references its window); downstream shuffles should happen AFTER any
+per-segment reduction. Partition count follows the input scan; resize
+with ``spark.sql.files.maxPartitionBytes`` as payload width dictates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PCM_CODEC = "pcm_s16le"
+BYTES_PER_SAMPLE = 2
+
+
+def segment_clips(
+    df: DataFrame,
+    segment_ms: int,
+    min_tail_ms: int = 0,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Explode each clip into fixed-duration segments.
+
+    Returns (clip_id, segment_id, seg_idx, seg_start_ms, seg_dur_ms,
+    sr_hz, codec, sliceable, seg_bytes). The final segment may be shorter
+    than ``segment_ms``; tails shorter than ``min_tail_ms`` are dropped
+    (a short-tail gate for training-window uniformity). Non-PCM codecs
+    yield one whole-payload segment with ``sliceable = false``.
+    """
+    if segment_ms <= 0:
+        raise ValueError("segment_ms must be positive")
+
+    pcm = F.col(codec_col) == PCM_CODEC
+    n_bytes = F.length(F.col(payload_col))
+    n_samples = (n_bytes / BYTES_PER_SAMPLE).cast("long")
+    # samples per segment, per row (sr varies by row)
+    sps = (F.col(sr_col).cast("long") * segment_ms / 1000).cast("long")
+    n_seg = F.ceil(n_samples / sps).cast("long")
+
+    idxs = (
+        F.when(~pcm | sps.isNull() | (sps <= 0), F.array(F.lit(0)))
+        .when(n_seg < 1, F.array().cast("array<int>"))
+        .otherwise(F.sequence(F.lit(0), (n_seg - 1).cast("int")))
+    )
+
+    seg = df.select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.col(sr_col),
+        F.col(codec_col),
+        pcm.alias("sliceable"),
+        n_samples.alias("_n_samples"),
+        sps.alias("_sps"),
+        F.explode(idxs).alias("seg_idx"),
+    )
+
+    start_sample = F.col("seg_idx").cast("long") * F.col("_sps")
+    this_samples = F.when(
+        F.col("sliceable"),
+        F.least(F.col("_sps"), F.col("_n_samples") - start_sample),
+    ).otherwise(F.col("_n_samples"))
+    seg_bytes = F.when(
+        F.col("sliceable"),
+        F.substring(
+            F.col(payload_col),
+            (start_sample * BYTES_PER_SAMPLE + 1).cast("int"),
+            (this_samples * BYTES_PER_SAMPLE).cast("int"),
+        ),
+    ).otherwise(F.col(payload_col))
+    sr = F.col(sr_col).cast("long")
+    seg_start_ms = F.floor(start_sample * 1000 / sr).cast("long")
+    seg_dur_ms = F.floor(this_samples * 1000 / sr).cast("long")
+
+    out = seg.select(
+        F.col(id_col),
+        F.concat(
+            F.col(id_col), F.lit("#"), F.lpad(F.col("seg_idx").cast("string"), 5, "0")
+        ).alias("segment_id"),
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        F.when(F.col("sliceable"), seg_start_ms).otherwise(F.lit(0)).alias(
+            "seg_start_ms"
+        ),
+        seg_dur_ms.alias("seg_dur_ms"),
+        F.col(sr_col),
+        F.col(codec_col),
+        F.col("sliceable"),
+        seg_bytes.alias("seg_bytes"),
+    )
+    if min_tail_ms > 0:
+        out = out.where(~F.col("sliceable") | (F.col("seg_dur_ms") >= min_tail_ms))
+    return out
+
+
+def segment_summary(segments: DataFrame) -> DataFrame:
+    """Per-clip rollup: (clip_id, n_segments, total_ms, sliceable) — one
+    narrow aggregate keyed by clip_id."""
+    return (
+        segments.groupBy("clip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_dur_ms").alias("total_ms"),
+            F.min("sliceable").alias("sliceable"),
+        )
+        .orderBy("clip_id")
+    )
