@@ -229,6 +229,16 @@ def _q_sample_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFr
     return s.select("doc_id", "source", "n_chars")
 
 
+def _q_outliers_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers (Iglewicz-Hoaglin modified z-score on median/MAD):
+    two chained aggregates + a one-row broadcast + a codegen'd filter —
+    no window, no data sort. exact=True here so the oracle's quantile_cont
+    interpolation matches bit-for-bit; production default is the
+    percentile sketch (same pattern as the KS/quantile family)."""
+    events = load_table(spark, sf_dir, "events")
+    return stats.mad_outliers(events, "value", ["event_id"], k=3.5, exact=True)
+
+
 def _q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table reconciliation: o_totalprice vs the summed lineitem
     amount per order. Amounts are cast to DECIMAL(28,6) before summing so
@@ -933,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_orders": _q_column_stats_orders,
         "infer_constraints_orders": _q_infer_constraints_orders,
         "infer_validate_orders": _q_infer_validate_orders,
+        "outliers_events_value": _q_outliers_events_value,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "completeness_orders_days": _q_completeness_orders_days,
         "sample_documents_stratified": _q_sample_documents_stratified,
@@ -2165,6 +2176,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "infer_constraints_orders": _infer_constraints_sql(),
         "infer_validate_orders": _infer_validate_sql(),
+        "outliers_events_value": """
+            WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+            d AS (
+              SELECT quantile_cont(abs(value - (SELECT med FROM m)), 0.5) AS mad
+              FROM events
+            )
+            SELECT event_id, CAST(value AS DOUBLE) AS "value",
+                   round(0.6745 * abs(value - (SELECT med FROM m))
+                         / (SELECT mad FROM d), 6) AS modified_z
+            FROM events
+            WHERE value IS NOT NULL AND (SELECT mad FROM d) > 0
+              AND round(0.6745 * abs(value - (SELECT med FROM m))
+                        / (SELECT mad FROM d), 6) > 3.5
+        """,
         "reconcile_orders_lineitem": """
             WITH l AS (
               SELECT l_orderkey,

@@ -142,3 +142,59 @@ def variant_type_histogram(df: DataFrame, column: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("json_type")
     )
+
+
+def robust_center_spread(
+    df: DataFrame, column: str, exact: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """One-row (median, mad): median and median-absolute-deviation of
+    ``column``. MAD needs the median as an input, so this is two chained
+    aggregates composed WITHOUT a driver round-trip: the one-row median
+    frame cross-joins back onto the table (broadcast of a single row).
+
+    Default uses the mergeable percentile sketch (partial+final aggregate,
+    no sort — the only sane shape at 10^12 rows); ``exact=True`` switches
+    to the interpolating exact percentile for audits and oracle comparison
+    (matches DuckDB ``quantile_cont``).
+    """
+    c = F.col(column).cast("double")
+
+    def med(col):
+        return (
+            F.percentile(col, F.lit(0.5))
+            if exact
+            else F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+        )
+
+    m = df.agg(med(c).alias("median"))
+    return (
+        df.crossJoin(m)
+        .agg(
+            F.first("median").alias("median"),
+            med(F.abs(c - F.col("median"))).alias("mad"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    column: str,
+    key_cols: Sequence[str],
+    k: float = 3.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Rows whose modified z-score 0.6745*|x - median|/MAD exceeds ``k``
+    (Iglewicz-Hoaglin robust outlier rule — resistant to the outliers
+    themselves, unlike mean/stddev z-scores).
+
+    Returns (key..., value, modified_z) with modified_z rounded to 6.
+    Plan shape: two aggregates + one broadcast of a single stats row +
+    one codegen'd filter scan — no window, no sort of the data."""
+    stats = robust_center_spread(df, column, exact=exact)
+    c = F.col(column).cast("double")
+    z = F.round(F.lit(0.6745) * F.abs(c - F.col("median")) / F.col("mad"), 6)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .where(c.isNotNull() & (F.col("mad") > 0) & (z > k))
+        .select(*key_cols, c.alias("value"), z.alias("modified_z"))
+    )
