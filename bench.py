@@ -230,6 +230,76 @@ def q_audio_dedup(spark: SparkSession):
     return dedup.audio_near_dup_pairs(clips).count()
 
 
+_QUALITY_BENCH_N = int(os.environ.get("SPARK_GRAFT_QUALITY", "10000"))
+
+
+def q_audio_quality(spark: SparkSession):
+    """Reference-free audio quality gates (loudness/silence/clipping) —
+    decode + full signal family in ONE Arrow hop over the planted
+    defect corpus (materialized untimed)."""
+    from jsonschema_spark.functions.audio import audio_quality, quality_gates
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    g = quality_gates(audio_quality("bytes", "sr_hz"))
+    return (
+        clips.select(g["silent"].alias("s"), g["clipped"].alias("c"),
+                     g["too_quiet"].alias("q"))
+        .agg(F.sum(F.col("s").cast("long")), F.sum(F.col("c").cast("long")),
+             F.sum(F.col("q").cast("long")))
+        .collect()
+    )
+
+
+def q_clips_segments(spark: SparkSession):
+    """PCM segmentation: sequence/explode/binary-substring, zero Python —
+    slices every payload into 250ms training windows and folds a checksum
+    so the slicing work cannot be pruned."""
+    from jsonschema_spark.operators.segments import segment_clips
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    segs = segment_clips(clips.select("clip_id", "bytes", "sr_hz", "codec"), 250)
+    return segs.agg(
+        F.count(F.lit(1)), F.sum("seg_dur_ms"), F.sum(F.length("seg_bytes"))
+    ).collect()
+
+
+def q_infer_schema(spark: SparkSession):
+    """Schema inference profile over orders: two exact hash aggregates
+    (bounds/nulls/distincts, then gated enum collect)."""
+    from jsonschema_spark.plans.infer import infer_schema
+
+    orders = load_table(spark, SF_DIR, "orders")
+    return infer_schema(orders)
+
+
+def q_reconcile(spark: SparkSession):
+    """Cross-table reconciliation: decimal-exact detail aggregate + AQE-
+    sized join of orders vs lineitem."""
+    from jsonschema_spark.operators.reconcile import reconcile_summary
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return reconcile_summary(
+        orders, li, "o_orderkey", "l_orderkey", "o_totalprice", amount
+    ).collect()
+
+
+def q_sample_token_budget(spark: SparkSession):
+    """Deterministic per-source token-budget sampling (hash-ordered greedy
+    prefix, window per stratum)."""
+    from jsonschema_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    return (
+        token_budget_sample(docs, "doc_id", "n_chars", 40000, strata_col="source")
+        .agg(F.count(F.lit(1)), F.sum("n_chars"))
+        .collect()
+    )
+
+
 def q_cosine_topk(spark: SparkSession):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -259,6 +329,11 @@ QUERIES = {
     "validate_jsonl": q_validate_jsonl,
     "dedup_components": q_dedup_components,
     "audio_dedup": q_audio_dedup,
+    "audio_quality": q_audio_quality,
+    "clips_segments": q_clips_segments,
+    "infer_schema": q_infer_schema,
+    "reconcile": q_reconcile,
+    "sample_token_budget": q_sample_token_budget,
 }
 
 
@@ -272,6 +347,8 @@ def main():
     from jsonschema_spark.sources.clips import materialized_near_dup_clips
     J.materialized_jsonl(_JSONL_BENCH_N)  # untimed corpus setup
     materialized_near_dup_clips(spark, _NEARDUP_BENCH_N)  # untimed
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+    materialized_quality_clips(spark, _QUALITY_BENCH_N)  # untimed
 
     # three passes, keep the per-query minimum: the sandbox VM shows heavy
     # run-to-run CPU-steal variance (identical scans measured 2s and 52s
