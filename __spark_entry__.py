@@ -708,6 +708,25 @@ def _q_clips_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_N = 400
+
+
+def _q_audio_containment_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap provenance: segment (pure Column algebra) ->
+    per-segment spectral fingerprint + LSH buckets (one Arrow hop) ->
+    cross-clip bucket join -> cosine verify -> clip-pair rollup. The
+    corpus plants a 1s opus excerpt of row i-1 at every _row_idx
+    i % 4 == 3; margins match the whole-clip fingerprint family, so the
+    found pair set equals the ledger arithmetic exactly."""
+    from jsonschema_spark.operators.dedup import audio_containment_pairs
+    from jsonschema_spark.sources.clips import materialized_containment_clips
+
+    clips, _ = materialized_containment_clips(spark, _CONTAIN_N)
+    return audio_containment_pairs(clips.select(*_CLIPS_COLS)).select(
+        "id_a", "id_b"
+    )
+
+
 def _q_dedup_audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio fingerprint near-dup dedup (the audio analogue of MinHash):
     decode payload -> spectral fingerprint (one Arrow hop, L2-normalized
@@ -968,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_audio_clips": _q_dedup_audio_clips,
+        "audio_containment_clips": _q_audio_containment_clips,
         "clips_audio_quality": _q_clips_audio_quality,
         "clips_segments": _q_clips_segments,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
@@ -1620,6 +1640,21 @@ def _clips_segments_sql() -> str:
                md5(substring(hx, CAST(start_sample * 4 + 1 AS BIGINT),
                              CAST(this_samples * 4 AS BIGINT))) AS seg_md5
         FROM w
+    """
+
+
+def _audio_containment_sql() -> str:
+    """Outcome oracle for containment provenance: the corpus plants a 1s
+    excerpt of row i-1 at every _row_idx i % 4 == 3 (sources/clips.
+    synth_containment_clips); fingerprint margins guarantee the operator
+    finds exactly that pair set."""
+    from jsonschema_spark.sources.clips import containment_clips_path
+
+    src = f"read_parquet('{containment_clips_path(_CONTAIN_N)}/*.parquet')"
+    return f"""
+        SELECT a.clip_id AS id_a, b.clip_id AS id_b
+        FROM {src} a JOIN {src} b ON a._row_idx + 1 = b._row_idx
+        WHERE b._row_idx % 4 = 3
     """
 
 
@@ -2411,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
         "clips_segments": _clips_segments_sql(),
+        "audio_containment_clips": _audio_containment_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),
         "similarity_lsh_ann": _lsh_ann_sql(k=5),

@@ -540,6 +540,85 @@ def audio_near_dup_pairs(
     return scored.filter(F.col("cos") >= threshold)
 
 
+def audio_containment_pairs(
+    clips: DataFrame,
+    segment_ms: int = 1000,
+    threshold: float = 0.97,
+    min_tail_ms: int = 250,
+    n_fft: int = 4096,
+    n_bands: int = 128,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Partial-overlap provenance: clip pairs where one clip CONTAINS a
+    window of the other (excerpts, re-clipped uploads, samples) — cases
+    whole-clip fingerprinting misses because the global spectrum of a 2 s
+    recording and its 1 s excerpt differ.
+
+    Composition of three session operators, all scale-shaped:
+      segment_clips (pure Column algebra: sequence/explode/binary
+      substring; container codecs pass through as one whole-payload
+      segment, which is exactly right — an opus excerpt IS its own
+      candidate window) ->
+      audio_fingerprint_buckets per segment (decode+FFT+LSH sign bits in
+      ONE Arrow hop; persisted as the Catalyst re-expansion barrier) ->
+      16-bit bucket join across DIFFERENT clips -> exact cosine verify ->
+      aggregate matched windows per clip pair.
+
+    Returns (id_a, id_b, n_matched_segments, max_cos), id_a < id_b.
+    Never materializes the segment-pair space beyond bucket collisions;
+    shuffles are keyed on bucket then on the (tiny) pair set.
+    """
+    from jsonschema_spark.functions.audio import audio_fingerprint_buckets
+    from jsonschema_spark.operators.segments import segment_clips
+    from jsonschema_spark.operators.similarity import cosine
+
+    segs = segment_clips(
+        clips, segment_ms, min_tail_ms=min_tail_ms, id_col=id_col
+    )
+    fp = segs.select(
+        F.col(id_col).alias("_id"),
+        F.col("seg_idx"),
+        audio_fingerprint_buckets(
+            "seg_bytes", n_fft=n_fft, n_bands=n_bands,
+            n_planes=n_planes, n_tables=n_tables,
+        ).alias("_s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # filter ABOVE the persist barrier (UDF-below-persist duplication)
+    banded = fp.filter(F.col("_s.embedding").isNotNull()).select(
+        "_id",
+        "seg_idx",
+        F.col("_s.embedding").alias("_v"),
+        F.explode("_s.buckets").alias("bucket"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), "bucket")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.seg_idx").alias("seg_a"),
+            F.col("r.seg_idx").alias("seg_b"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "id_a", "id_b", "seg_a", "seg_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_segments"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. connected components — pair lists -> canonical duplicate clusters
 # ---------------------------------------------------------------------------

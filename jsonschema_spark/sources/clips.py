@@ -454,6 +454,68 @@ def materialized_quality_clips(spark: SparkSession, n: int) -> tuple[DataFrame, 
     return spark.read.parquet(path), path
 
 
+def synth_containment_clips(
+    spark: SparkSession,
+    n: int,
+    period: int = 4,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Clips table with planted PARTIAL-overlap provenance (the containment
+    ledger table): row i with ``i % period == period - 1`` is a 1 s EXCERPT
+    — samples [16000, 32000) of row i-1's unique 2 s two-tone recording —
+    gain-scaled to 0.8 and re-encoded as lossy opus under its own clip_id.
+    Every other row is a unique 2 s recording in raw PCM (segmentable).
+    Expected containment pair set = {(i-1, i) : i % period == period-1},
+    pure ``_row_idx`` arithmetic."""
+    if n > ND_MAX_UNIQUE:
+        raise ValueError(f"n={n} exceeds ND_MAX_UNIQUE={ND_MAX_UNIQUE}")
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+    base_samples = 32000  # 2 s at 16 kHz
+
+    def _row(i: int) -> tuple:
+        is_excerpt = period > 1 and i % period == period - 1 and i > 0
+        base = i - 1 if is_excerpt else i
+        sig = _neardup_signal(base, base_samples)
+        if is_excerpt:
+            sig = sig[16000:32000] * 0.8
+            codec, dur = "opus", 1000
+        else:
+            codec, dur = "pcm_s16le", 2000
+        cid = f"clip-{i:012d}"
+        return (cid, encode_payload(pcm16_from_float(sig), codec), 16000,
+                dur, codec, transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def containment_clips_path(n: int, period: int = 4) -> str:
+    return oracle_cache_path(f"clips_containment_{n}_{period}")
+
+
+def materialized_containment_clips(
+    spark: SparkSession, n: int, period: int = 4
+) -> tuple[DataFrame, str]:
+    """Containment clips table materialized once (oracle-cache protocol);
+    the DuckDB oracle derives the expected pair set from ``_row_idx``."""
+    import os
+
+    path = containment_clips_path(n, period)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_containment_clips(spark, n, period), path)
+    return spark.read.parquet(path), path
+
+
 def codecs_dim(spark: SparkSession) -> DataFrame:
     """Tiny codec dimension for referential checks (broadcast side)."""
     return spark.createDataFrame(
