@@ -140,3 +140,36 @@ def test_typemap_schema_passes_own_table(spark, frame):
     s = schema_from_spark_type(frame.schema)
     res = validate(frame, s)
     assert res.totals().collect()[0]["violation_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: the self-validation invariant holds for ARBITRARY data.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_cell_int = st.one_of(st.none(), st.integers(-(10**9), 10**9))
+_cell_float = st.one_of(
+    st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)
+)
+_cell_str = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=8
+    ),
+)
+_rows = st.lists(
+    st.tuples(_cell_int, _cell_float, _cell_str), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_rows)
+def test_fuzz_self_validation(spark, rows):
+    """validate(df, infer_schema(df)) is violation-free for any frame —
+    inference must never produce a constraint its own training data
+    violates (bounds inclusive, enum complete, required only on
+    null-free columns, lengths in codepoints)."""
+    df = spark.createDataFrame(rows, "i long, f double, s string")
+    res = validate(df, infer_schema(df))
+    assert res.totals().collect()[0]["violation_count"] == 0
