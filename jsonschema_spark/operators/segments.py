@@ -56,15 +56,22 @@ def segment_clips(
     if segment_ms <= 0:
         raise ValueError("segment_ms must be positive")
 
-    pcm = F.col(codec_col) == PCM_CODEC
     n_bytes = F.length(F.col(payload_col))
     n_samples = (n_bytes / BYTES_PER_SAMPLE).cast("long")
     # samples per segment, per row (sr varies by row)
     sps = (F.col(sr_col).cast("long") * segment_ms / 1000).cast("long")
     n_seg = F.ceil(n_samples / sps).cast("long")
 
+    # sliceable requires BOTH raw PCM and a usable sample rate — a PCM row
+    # with NULL/zero sr_hz must pass through whole, not emit NULL slices
+    pcm = (
+        (F.col(codec_col) == PCM_CODEC)
+        & F.col(sr_col).isNotNull()
+        & (F.col(sr_col) > 0)
+    )
+
     idxs = (
-        F.when(~pcm | sps.isNull() | (sps <= 0), F.array(F.lit(0)))
+        F.when(~pcm, F.array(F.lit(0)))
         .when(n_seg < 1, F.array().cast("array<int>"))
         .otherwise(F.sequence(F.lit(0), (n_seg - 1).cast("int")))
     )

@@ -92,3 +92,17 @@ def test_no_python_in_plan(clips):
 def test_segment_ms_validation(clips):
     with pytest.raises(ValueError):
         segment_clips(clips, 0)
+
+
+def test_null_sr_pcm_passes_through_whole(spark):
+    """A PCM row with NULL sample rate cannot be windowed — it must pass
+    through as one whole unsliceable segment, never emit NULL slices."""
+    df = spark.createDataFrame(
+        [("n", b"\x01\x02\x03\x04", None, 100, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    rows = segment_clips(df, 100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert not r["sliceable"]
+    assert bytes(r["seg_bytes"]) == b"\x01\x02\x03\x04"
