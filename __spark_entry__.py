@@ -1145,14 +1145,16 @@ def _infer_constraints_sql() -> str:
                 f"FROM orders HAVING count({c}) > 0"
             )
         elif kind == "ts":
-            parts.append(
-                f"SELECT '{c}', 'minimum', strftime(min({c}), '%Y-%m-%d %H:%M:%S'), "
-                f"NULL FROM orders HAVING count({c}) > 0"
-            )
-            parts.append(
-                f"SELECT '{c}', 'maximum', strftime(max({c}), '%Y-%m-%d %H:%M:%S'), "
-                f"NULL FROM orders HAVING count({c}) > 0"
-            )
+            # mirror Python isoformat(sep=' '): fractional seconds appear
+            # only when non-zero (Spark side preserves micros)
+            for kw, agg in (("minimum", "min"), ("maximum", "max")):
+                parts.append(
+                    f"SELECT '{c}', '{kw}', "
+                    f"CASE WHEN strftime({agg}({c}), '%f') = '000000' "
+                    f"THEN strftime({agg}({c}), '%Y-%m-%d %H:%M:%S') "
+                    f"ELSE strftime({agg}({c}), '%Y-%m-%d %H:%M:%S.%f') END, "
+                    f"NULL FROM orders HAVING count({c}) > 0"
+                )
         elif kind == "str":
             parts.append(
                 f"SELECT '{c}', 'minLength', CAST(min(length({c})) AS VARCHAR), "
@@ -2236,11 +2238,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT o.o_orderkey, o.o_totalprice, l.detail_total,
                      COALESCE(l.detail_rows, 0) AS detail_rows,
                      round(abs(o.o_totalprice - CAST(l.detail_total AS DOUBLE))
-                           / abs(o.o_totalprice), 6) AS rel_diff
+                           / greatest(abs(o.o_totalprice), 1e-12), 6) AS rel_diff
               FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
               WHERE o.o_orderkey IS NOT NULL
             )
-            SELECT * FROM j WHERE detail_total IS NULL OR rel_diff > 0.01
+            SELECT * FROM j
+            WHERE detail_total IS NULL OR o_totalprice IS NULL OR rel_diff > 0.01
         """,
         "sample_documents_stratified": f"""
             WITH s AS (

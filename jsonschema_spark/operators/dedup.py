@@ -514,28 +514,32 @@ def audio_near_dup_pairs(
             n_planes=n_planes, n_tables=n_tables,
         ).alias("_s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # candidate pairs carry IDS ONLY through the bucket join + distinct —
+    # shuffling and hashing the 128-float embeddings just to dedup
+    # multi-table collisions would ship ~1KB/row for nothing; vectors are
+    # re-attached afterwards from the cached fp frame (the small pair set
+    # broadcasts, the vectors never reshuffle)
     banded = (
         fp.filter(F.col("_s.embedding").isNotNull())
-        .select(
-            "_id",
-            F.col("_s.embedding").alias("_v"),
-            F.explode("_s.buckets").alias("bucket"),
-        )
+        .select("_id", F.explode("_s.buckets").alias("bucket"))
     )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), "bucket")
         .filter(F.col("l._id") < F.col("r._id"))
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._v").alias("_va"),
-            F.col("r._v").alias("_vb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
-    scored = cand.select(
-        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
+    vecs = fp.select("_id", F.col("_s.embedding").alias("_v"))
+    scored = (
+        cand.join(vecs.withColumnRenamed("_id", "id_a")
+                  .withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_v", "_vb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
     )
     return scored.filter(F.col("cos") >= threshold)
 
@@ -585,12 +589,12 @@ def audio_containment_pairs(
             n_planes=n_planes, n_tables=n_tables,
         ).alias("_s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # filter ABOVE the persist barrier (UDF-below-persist duplication)
+    # filter ABOVE the persist barrier (UDF-below-persist duplication);
+    # candidates carry (id, seg_idx) keys only through the bucket join +
+    # distinct — embeddings re-attach from the cached fp frame afterwards
+    # (see audio_near_dup_pairs for the shuffle-width rationale)
     banded = fp.filter(F.col("_s.embedding").isNotNull()).select(
-        "_id",
-        "seg_idx",
-        F.col("_s.embedding").alias("_v"),
-        F.explode("_s.buckets").alias("bucket"),
+        "_id", "seg_idx", F.explode("_s.buckets").alias("bucket")
     )
     cand = (
         banded.alias("l")
@@ -601,15 +605,27 @@ def audio_containment_pairs(
             F.col("r._id").alias("id_b"),
             F.col("l.seg_idx").alias("seg_a"),
             F.col("r.seg_idx").alias("seg_b"),
-            F.col("l._v").alias("_va"),
-            F.col("r._v").alias("_vb"),
         )
         .distinct()
     )
-    scored = cand.select(
-        "id_a", "id_b", "seg_a", "seg_b",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
-    ).filter(F.col("cos") >= threshold)
+    vecs = fp.select("_id", "seg_idx", F.col("_s.embedding").alias("_v"))
+    scored = (
+        cand.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("seg_idx").alias("seg_a"),
+                        F.col("_v").alias("_va")),
+            ["id_a", "seg_a"],
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("seg_idx").alias("seg_b"),
+                        F.col("_v").alias("_vb")),
+            ["id_b", "seg_b"],
+        )
+        .select(
+            "id_a", "id_b", "seg_a", "seg_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
     return (
         scored.groupBy("id_a", "id_b")
         .agg(

@@ -66,9 +66,13 @@ def reconcile(
     joined = header.where(F.col(header_key).isNotNull()).join(
         agg, F.col(header_key) == F.col("_k"), "left"
     )
+    # denominator floor guards the zero-header case: abs(h)/0 would be NULL
+    # under non-ANSI divide and silently DROP a 100%-wrong total from the
+    # mismatch set; with the floor, h=0 vs d=100 scores rel_diff ~1e14 and
+    # is flagged. NULL header values are flagged explicitly.
     rel = F.round(
         F.abs(F.col(header_value) - F.col("detail_total").cast("double"))
-        / F.abs(F.col(header_value)),
+        / F.greatest(F.abs(F.col(header_value)), F.lit(1e-12)),
         6,
     )
     return (
@@ -79,7 +83,11 @@ def reconcile(
             F.coalesce(F.col("detail_rows"), F.lit(0)).alias("detail_rows"),
             rel.alias("rel_diff"),
         )
-        .where(F.col("detail_total").isNull() | (F.col("rel_diff") > rel_tol))
+        .where(
+            F.col("detail_total").isNull()
+            | F.col(header_value).isNull()
+            | (F.col("rel_diff") > rel_tol)
+        )
     )
 
 
@@ -128,10 +136,11 @@ def date_completeness(
         df.where(F.col(ts_col).isNotNull())
         .select(F.to_date(ts_col).alias("day"))
         .distinct()
+        .persist()
     )
-    bounds = df.where(F.col(ts_col).isNotNull()).agg(
-        F.to_date(F.min(ts_col)).alias("lo"), F.to_date(F.max(ts_col)).alias("hi")
-    )
+    # bounds derive from the already-reduced day set (O(days) input) — one
+    # scan of the fact table total, not two
+    bounds = observed.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     expected = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("missing_day")
     )

@@ -44,6 +44,7 @@ def segment_clips(
     payload_col: str = "bytes",
     sr_col: str = "sr_hz",
     codec_col: str = "codec",
+    dur_col: str = "dur_ms",
 ) -> DataFrame:
     """Explode each clip into fixed-duration segments.
 
@@ -51,7 +52,10 @@ def segment_clips(
     sr_hz, codec, sliceable, seg_bytes). The final segment may be shorter
     than ``segment_ms``; tails shorter than ``min_tail_ms`` are dropped
     (a short-tail gate for training-window uniformity). Non-PCM codecs
-    yield one whole-payload segment with ``sliceable = false``.
+    yield one whole-payload segment with ``sliceable = false`` whose
+    duration comes from ``dur_col`` (metadata — a compressed container's
+    byte count says nothing about its duration); NULL payloads yield zero
+    segments (nothing to carry).
     """
     if segment_ms <= 0:
         raise ValueError("segment_ms must be positive")
@@ -62,20 +66,30 @@ def segment_clips(
     sps = (F.col(sr_col).cast("long") * segment_ms / 1000).cast("long")
     n_seg = F.ceil(n_samples / sps).cast("long")
 
-    # sliceable requires BOTH raw PCM and a usable sample rate — a PCM row
-    # with NULL/zero sr_hz must pass through whole, not emit NULL slices
-    pcm = (
+    # sliceable requires raw PCM, a usable sample rate AND a non-zero
+    # window (sr*segment_ms >= 1000) — coalesce collapses three-valued
+    # logic so a NULL codec/sr row passes through whole instead of
+    # exploding into duplicate whole-payload copies (~NULL is NULL and
+    # would skip the passthrough branch)
+    pcm = F.coalesce(
         (F.col(codec_col) == PCM_CODEC)
         & F.col(sr_col).isNotNull()
         & (F.col(sr_col) > 0)
+        & (sps > 0),
+        F.lit(False),
     )
 
     idxs = (
-        F.when(~pcm, F.array(F.lit(0)))
+        F.when(F.col(payload_col).isNull(), F.array().cast("array<int>"))
+        .when(~pcm, F.array(F.lit(0)))
         .when(n_seg < 1, F.array().cast("array<int>"))
         .otherwise(F.sequence(F.lit(0), (n_seg - 1).cast("int")))
     )
 
+    dur_meta = (
+        F.col(dur_col).cast("long") if dur_col in df.columns
+        else F.lit(None).cast("long")
+    )
     seg = df.select(
         F.col(id_col),
         F.col(payload_col),
@@ -84,14 +98,12 @@ def segment_clips(
         pcm.alias("sliceable"),
         n_samples.alias("_n_samples"),
         sps.alias("_sps"),
+        dur_meta.alias("_dur_meta"),
         F.explode(idxs).alias("seg_idx"),
     )
 
     start_sample = F.col("seg_idx").cast("long") * F.col("_sps")
-    this_samples = F.when(
-        F.col("sliceable"),
-        F.least(F.col("_sps"), F.col("_n_samples") - start_sample),
-    ).otherwise(F.col("_n_samples"))
+    this_samples = F.least(F.col("_sps"), F.col("_n_samples") - start_sample)
     seg_bytes = F.when(
         F.col("sliceable"),
         F.substring(
@@ -102,7 +114,12 @@ def segment_clips(
     ).otherwise(F.col(payload_col))
     sr = F.col(sr_col).cast("long")
     seg_start_ms = F.floor(start_sample * 1000 / sr).cast("long")
-    seg_dur_ms = F.floor(this_samples * 1000 / sr).cast("long")
+    # duration: derived from the sample window for sliceable PCM; from the
+    # dur_ms METADATA for container codecs (compressed byte counts say
+    # nothing about duration)
+    seg_dur_ms = F.when(
+        F.col("sliceable"), F.floor(this_samples * 1000 / sr).cast("long")
+    ).otherwise(F.col("_dur_meta"))
 
     out = seg.select(
         F.col(id_col),

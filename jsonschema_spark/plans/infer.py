@@ -25,17 +25,21 @@ the default/oracle path):
 - ``closed_world=True``-> ``additionalProperties: false`` (the reference's
                           own disposition for structs, go.go:608)
 
-Scale design (10^12 rows): TWO aggregate jobs, both partial+final hash
-aggregates with O(columns) state per task — no shuffle wider than one row
-per task, no sort, no window, no collect of row data. Pass 1 computes
-counts/bounds/exact-distinct for every column; pass 2 runs ``collect_set``
-ONLY on the columns pass 1 proved to have <= ``max_enum`` distinct values,
-so aggregation state is bounded by ``max_enum`` entries per column. The
+Scale design (10^12 rows): TWO aggregate jobs. Pass 1 (default) computes
+counts/bounds and gates enum candidacy with ``approx_count_distinct``
+(HLL++ — a mergeable sketch, so the whole pass is one partial+final hash
+aggregate: no shuffle wider than one row per task, no sort, no window).
+Pass 2 runs ``collect_set`` ONLY on columns the sketch gated in (with
+head-room factor 2 on the threshold), then re-checks the ACTUAL set size
+against ``max_enum`` — so every final inference decision is exact even
+though the gate is a sketch; the sketch only decides which columns pay
+for pass-2 state (bounded by ~2x ``max_enum`` values per column). The
 only driver materialization is the one-row profile.
 
-With ``exact=False`` the distinct gate uses ``approx_count_distinct``
-(HLL++, rsd) with head-room factor 2 on the threshold — the cheap path for
-exploratory profiling; the enum *contents* are still exact.
+``exact=True`` (audit mode) swaps the gate to ``count_distinct``. NOTE:
+multiple exact distinct aggregates in one pass make Catalyst plan an
+Expand (input multiplied per distinct column) plus a shuffle of distinct
+values — fine for audits, not the 10^12-row default; the sketch gate is.
 """
 
 from __future__ import annotations
@@ -60,8 +64,8 @@ class InferOptions:
     string_bounds: bool = True    # minLength/maxLength on string columns
     required_from_nulls: bool = True  # zero nulls -> required
     closed_world: bool = True     # additionalProperties: false
-    exact: bool = True            # exact distinct counts (oracle mode)
-    rsd: float = 0.05             # HLL rsd when exact=False
+    exact: bool = False           # True = exact distinct gate (audit mode)
+    rsd: float = 0.05             # HLL rsd for the default sketch gate
 
 
 @dataclass(frozen=True)
@@ -182,7 +186,7 @@ def _base_type(dt: T.DataType) -> tuple[str, Optional[str], Optional[str]]:
         return "boolean", None, None
     if isinstance(dt, T.BinaryType):
         return "string", None, "base64"
-    raise ValueError(f"cannot infer scalar schema for {dt.simpleString()}")
+    return None, None, None  # complex types: structural mapping, no stats
 
 
 def schema_from_profile(
@@ -196,6 +200,16 @@ def schema_from_profile(
     for c, p in profiles.items():
         jtype, fmt, enc = _base_type(p.dtype)
         nullable = p.null_count > 0 or not opts.required_from_nulls
+        if jtype is None:
+            # complex column (array/map/struct): structural schema from the
+            # typemap compiler, stats-free — inference must not crash on
+            # realistic tables just because one column isn't scalar
+            from jsonschema_spark.plans.typemap import schema_from_spark_type
+
+            props[c] = schema_from_spark_type(p.dtype)
+            if not nullable and opts.required_from_nulls:
+                required.append(c)
+            continue
         s = Schema(type=[jtype, "null"] if nullable else [jtype])
         if fmt:
             s.format = fmt
@@ -276,6 +290,11 @@ def inferred_constraints(
     for c, p in profiles.items():
         jtype, fmt, _enc = _base_type(p.dtype)
         kind = _is_stats_type(p.dtype)
+        if jtype is None:
+            # complex column: null-profile only
+            if opts.required_from_nulls and p.null_count == 0:
+                rows.append((c, "required", "true", None))
+            continue
         rows.append((c, "type", jtype, None))
         if fmt:
             rows.append((c, "format", fmt, None))

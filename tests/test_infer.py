@@ -44,7 +44,7 @@ def frame(spark):
 
 
 def test_profile_exact_values(frame):
-    p = profile_columns(frame)
+    p = profile_columns(frame, options=InferOptions(exact=True))
     assert p["k"].null_count == 1 and p["k"].min_value == 1 and p["k"].max_value == 3
     assert p["s"].null_count == 0
     assert p["s"].min_length == 1 and p["s"].max_length == 3

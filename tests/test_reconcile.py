@@ -40,10 +40,23 @@ def test_reconcile_flags_planted_rows(tables):
             header, detail, "k", "fk", "total", F.col("amt"), rel_tol=0.01
         ).collect()
     }
-    assert set(rows) == {2, 3}
+    # 2: 3% off; 3: no detail rows; 4: NULL header value with detail present
+    # (un-reconcilable -> flagged, not silently dropped)
+    assert set(rows) == {2, 3, 4}
     assert float(rows[2]["detail_total"]) == 103.0
     assert rows[2]["rel_diff"] == 0.03
     assert rows[3]["detail_total"] is None and rows[3]["detail_rows"] == 0
+    assert rows[4]["rel_diff"] is None
+
+
+def test_reconcile_zero_header_is_flagged(spark):
+    """The non-ANSI-divide blind spot: abs(h-d)/abs(0) is NULL — a
+    100%-wrong zero total must still be flagged (denominator floor)."""
+    header = spark.createDataFrame([(1, 0.0), (2, 0.0)], "k long, total double")
+    detail = spark.createDataFrame([(1, 100.0), (2, 0.0)], "fk long, amt double")
+    out = {r["k"] for r in
+           reconcile(header, detail, "k", "fk", "total", F.col("amt"), 0.01).collect()}
+    assert out == {1}  # zero-vs-zero reconciles, zero-vs-100 flags
 
 
 def test_reconcile_exact_at_tolerance_boundary(spark):
@@ -68,7 +81,7 @@ def test_reconcile_summary(tables):
         header, detail, "k", "fk", "total", F.col("amt"), 0.01
     ).collect()[0]
     assert row["header_rows"] == 4  # null key excluded
-    assert row["mismatched"] == 2
+    assert row["mismatched"] == 3   # 3% off + no detail + NULL header value
     assert row["missing_detail"] == 1
     assert row["max_rel_diff"] == 0.03
 
