@@ -239,6 +239,17 @@ def _q_outliers_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.mad_outliers(events, "value", ["event_id"], k=3.5, exact=True)
 
 
+def _q_sample_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    top-5 per source by u(doc_id)^(1/n_chars) — inclusion probability
+    proportional to document length, deterministic via the md5 uniform."""
+    from jsonschema_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = weighted_sample(docs, "doc_id", "n_chars", 5, strata_col="source", seed="w1")
+    return s.select("doc_id", "source", "n_chars")
+
+
 def _q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table reconciliation: o_totalprice vs the summed lineitem
     amount per order. Amounts are cast to DECIMAL(28,6) before summing so
@@ -967,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_orders_days": _q_completeness_orders_days,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "sample_documents_token_budget": _q_sample_documents_token_budget,
+        "sample_documents_weighted": _q_sample_documents_weighted,
         "quantiles_lineitem": _q_quantiles_lineitem,
         "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
@@ -2275,6 +2287,22 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
             )
             SELECT doc_id, source, n_chars FROM h WHERE running <= 4000
+        """,
+        "sample_documents_weighted": """
+            WITH h AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY pow(
+                         ('0x' || substr(md5('w1' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           / 1152921504606846976.0,
+                         1.0 / CAST(n_chars AS DOUBLE)
+                       ) DESC, doc_id ASC
+                     ) AS rk
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, source, n_chars FROM h WHERE rk <= 5
         """,
         "completeness_orders_days": """
             WITH b AS (

@@ -115,6 +115,40 @@ def token_budget_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: Optional[str] = None,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: keep the k
+    rows with the largest score u(key)^(1/weight) per stratum — the
+    Efraimidis–Spirakis A-Res key, inclusion probability proportional to
+    weight, driven by the same md5 uniform as every other sampler here
+    (re-run-stable, auditable, engine-portable).
+
+    Rows with NULL/non-positive weights or NULL keys are excluded. The
+    rank runs per stratum (no global sort when ``strata_col`` is given);
+    k is small by construction, so the window state is bounded."""
+    u = sample_uniform(F.col(key_col), seed)
+    w = F.col(weight_col).cast("double")
+    score = F.pow(u, F.lit(1.0) / w)
+    parts = [F.col(strata_col)] if strata_col else []
+    win = (
+        Window.partitionBy(*parts).orderBy(score.desc(), F.col(key_col).asc())
+        if parts
+        else Window.orderBy(score.desc(), F.col(key_col).asc())
+    )
+    return (
+        df.where(F.col(key_col).isNotNull() & w.isNotNull() & (w > 0))
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= F.lit(int(k)))
+        .drop("_rk")
+    )
+
+
 def sample_report(
     df: DataFrame,
     sampled: DataFrame,

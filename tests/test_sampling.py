@@ -105,3 +105,38 @@ def test_sample_report(docs):
     assert rep["de"]["rows_kept"] == rep["de"]["rows_in"]  # rate 1.0, no null keys in de
     assert rep["en"]["rows_kept"] == 0 and rep["en"]["weight_kept"] == 0
     assert rep["en"]["rows_in"] == 267  # 266 en rows + 1 null-key en row
+
+
+def test_weighted_sample_topk_per_stratum(docs):
+    from jsonschema_spark.operators.sampling import weighted_sample
+
+    s = weighted_sample(docs, "doc_id", "n_chars", 3, strata_col="source")
+    counts = {r["source"]: r["c"] for r in
+              s.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {"src0", "src1", "src2", "src3"}
+    assert all(v == 3 for v in counts.values())
+    # deterministic across re-runs
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_sample(docs, "doc_id", "n_chars", 3, strata_col="source").collect())
+    assert a == b
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Inclusion probability scales with weight: with one huge-weight row,
+    u^(1/w) -> 1 and it must always be selected."""
+    from jsonschema_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1) for i in range(50)] + [(99, 10_000_000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {r["id"] for r in weighted_sample(df, "id", "w", 5).collect()}
+    assert 99 in out and len(out) == 5
+
+
+def test_weighted_sample_excludes_bad_weights(spark):
+    from jsonschema_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, None), (None, 10)], "id long, w long"
+    )
+    assert [r["id"] for r in weighted_sample(df, "id", "w", 10).collect()] == [1]
