@@ -719,6 +719,51 @@ def _q_clips_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAD_N = 400
+_RESAMPLE_SR = 8000
+
+
+def _q_clips_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-VAD silence trimming: the span decision is ONE Arrow hop
+    returning 24 bytes/row (integer frame-peak compare, no float in the
+    decision path); the payload slice is JVM-side binary substring. The
+    oracle re-decodes EVERY int16 sample from the parquet hex, recomputes
+    frame maxima, spans, and the md5 of the trimmed window."""
+    from jsonschema_spark.operators.trim import trim_silence
+    from jsonschema_spark.sources.clips import materialized_padded_clips
+
+    clips, _ = materialized_padded_clips(spark, _PAD_N)
+    t = trim_silence(clips.select(*_CLIPS_COLS))
+    return t.select(
+        "clip_id",
+        "n_samples",
+        "start_sample",
+        "end_sample",
+        "trim_lead_ms",
+        "trim_tail_ms",
+        F.col("dur_ms").cast("long").alias("out_ms"),
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
+def _q_clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-factor sample-rate decimation (16 kHz -> 8 kHz) in one Arrow
+    hop; the oracle rebuilds the decimated payload hex (every 2nd sample,
+    order-pinned string_agg) and compares md5s byte-for-byte."""
+    from jsonschema_spark.operators.trim import resample_pcm
+    from jsonschema_spark.sources.clips import materialized_padded_clips
+
+    clips, _ = materialized_padded_clips(spark, _PAD_N)
+    r = resample_pcm(clips.select(*_CLIPS_COLS), _RESAMPLE_SR)
+    return r.select(
+        "clip_id",
+        F.col("sr_hz").cast("long").alias("sr_out"),
+        "n_out",
+        F.col("dur_ms").cast("long").alias("out_ms"),
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
 _CONTAIN_N = 400
 
 
@@ -1002,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_containment_clips": _q_audio_containment_clips,
         "clips_audio_quality": _q_clips_audio_quality,
         "clips_segments": _q_clips_segments,
+        "clips_trim_silence": _q_clips_trim_silence,
+        "clips_resample": _q_clips_resample,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1654,6 +1701,102 @@ def _clips_segments_sql() -> str:
                md5(substring(hx, CAST(start_sample * 4 + 1 AS BIGINT),
                              CAST(this_samples * 4 AS BIGINT))) AS seg_md5
         FROM w
+    """
+
+
+def _clips_trim_silence_sql() -> str:
+    """Per-SAMPLE recompute oracle for VAD trimming: decode each little-
+    endian int16 from the payload hex (low byte at chars [4i+1,2], high at
+    [4i+3,2], two's complement), take per-20ms-frame |max| (the final
+    partial frame is its own frame), span = whole frames between the first
+    and last frame whose peak exceeds the 327 (~-40 dBFS) threshold, then
+    md5 the hex of the trimmed byte window. Integer arithmetic end to end
+    — bit-identical to the numpy kernel."""
+    from jsonschema_spark.functions.audio import SILENCE_AMP
+    from jsonschema_spark.sources.clips import padded_clips_path
+
+    src = f"read_parquet('{padded_clips_path(_PAD_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx, sr_hz,
+                 octet_length(bytes) // 2 AS n,
+                 greatest(sr_hz // 50, 1) AS fr
+          FROM {src}
+        ), s AS (
+          SELECT clip_id, n, fr,
+                 unnest(generate_series(0, n - 1)) AS i, hx
+          FROM t WHERE n > 0
+        ), v AS (
+          SELECT clip_id, n, fr, i // fr AS f,
+                 CAST(('0x' || substr(hx, i * 4 + 3, 2)
+                            || substr(hx, i * 4 + 1, 2)) AS INTEGER) AS raw
+          FROM s
+        ), fm AS (
+          SELECT clip_id, any_value(n) AS n, any_value(fr) AS fr, f,
+                 max(abs(CASE WHEN raw >= 32768 THEN raw - 65536
+                              ELSE raw END)) AS m
+          FROM v GROUP BY clip_id, f
+        ), sp AS (
+          SELECT clip_id, any_value(n) AS n, any_value(fr) AS fr,
+                 min(CASE WHEN m > {SILENCE_AMP} THEN f END) AS fv,
+                 max(CASE WHEN m > {SILENCE_AMP} THEN f END) AS lv
+          FROM fm GROUP BY clip_id
+        ), spans AS (
+          SELECT clip_id, n,
+                 CASE WHEN fv IS NULL THEN 0 ELSE fv * fr END AS ss,
+                 CASE WHEN fv IS NULL THEN 0
+                      ELSE least((lv + 1) * fr, n) END AS se
+          FROM sp
+        )
+        SELECT t.clip_id,
+               CAST(t.n AS BIGINT) AS n_samples,
+               CAST(p.ss AS BIGINT) AS start_sample,
+               CAST(p.se AS BIGINT) AS end_sample,
+               CAST(floor(p.ss * 1000.0 / t.sr_hz) AS BIGINT) AS trim_lead_ms,
+               CAST(floor((t.n - p.se) * 1000.0 / t.sr_hz) AS BIGINT)
+                 AS trim_tail_ms,
+               CAST(floor((p.se - p.ss) * 1000.0 / t.sr_hz) AS BIGINT)
+                 AS out_ms,
+               md5(substr(t.hx, CAST(p.ss * 4 + 1 AS BIGINT),
+                          CAST((p.se - p.ss) * 4 AS BIGINT))) AS out_md5
+        FROM t JOIN spans p USING (clip_id)
+    """
+
+
+def _clips_resample_sql() -> str:
+    """Decimation oracle: output sample j is input sample j*factor; the
+    oracle reassembles the decimated payload as hex text (4 chars/sample,
+    ORDER BY j pins the aggregation order) and md5s it."""
+    from jsonschema_spark.sources.clips import padded_clips_path
+
+    src = f"read_parquet('{padded_clips_path(_PAD_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx,
+                 octet_length(bytes) // 2 AS n,
+                 sr_hz // {_RESAMPLE_SR} AS factor
+          FROM {src}
+        ), e AS (
+          SELECT clip_id, hx, factor,
+                 (n + factor - 1) // factor AS n_out
+          FROM t
+        ), g AS (
+          SELECT clip_id, n_out,
+                 unnest(generate_series(0, n_out - 1)) AS j, hx, factor
+          FROM e WHERE n_out > 0
+        ), h AS (
+          SELECT clip_id, any_value(n_out) AS n_out,
+                 string_agg(substr(hx, j * factor * 4 + 1, 4), ''
+                            ORDER BY j) AS oh
+          FROM g GROUP BY clip_id
+        )
+        SELECT clip_id,
+               CAST({_RESAMPLE_SR} AS BIGINT) AS sr_out,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(floor(n_out * 1000.0 / {_RESAMPLE_SR}) AS BIGINT)
+                 AS out_ms,
+               md5(oh) AS out_md5
+        FROM h
     """
 
 
@@ -2477,6 +2620,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
         "clips_segments": _clips_segments_sql(),
+        "clips_trim_silence": _clips_trim_silence_sql(),
+        "clips_resample": _clips_resample_sql(),
         "audio_containment_clips": _audio_containment_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),

@@ -511,3 +511,171 @@ def audio_snr_ok(threshold_db: float = SNR_THRESHOLD_DB, **cols) -> Column:
     return F.when(pc.isNull(), F.lit(True)).otherwise(
         F.coalesce(snr >= threshold_db, F.lit(False))
     )
+
+
+# ---------------------------------------------------------------------------
+# Speech-span detection (energy VAD) + sample-rate decimation — payload-
+# rewriting curation kernels. Both are integer-exact by construction so a
+# SQL oracle can recompute them bit-for-bit from the same parquet bytes
+# (no float thresholds anywhere in the decision path).
+# ---------------------------------------------------------------------------
+
+# |int16| amplitude at/below which a sample counts as silence for span
+# detection: 327 =~ -40 dBFS. Integer compare (not frame RMS) keeps the
+# voiced/silent decision bit-exact across engines — no float summation
+# order to disagree on.
+SILENCE_AMP = 327
+
+
+def speech_span_batch(
+    payloads: pd.Series,
+    srs: pd.Series,
+    silence_amp: int = SILENCE_AMP,
+    frame_div: int = 50,
+) -> pd.DataFrame:
+    """Vectorized batch kernel: leading/trailing-silence span per clip.
+
+    Frames of ``sr // frame_div`` samples (20 ms at frame_div=50; the final
+    partial frame is its own shorter frame). A frame is *voiced* iff
+    max(|sample|) > ``silence_amp``. The speech span is
+    [first_voiced_frame * frame, min((last_voiced_frame + 1) * frame, n)),
+    i.e. whole frames — deliberately conservative so trimming never cuts
+    into speech mid-frame.
+
+    Returns (n_samples, start_sample, end_sample):
+      n_samples = -1 and NULL-like -1 spans on NULL/undecodable input
+      (callers surface decode failures separately);
+      all-silent clips get start = end = 0 (empty span);
+      |int16| is taken in int32 (|-32768| overflows int16).
+
+    Decision path is pure integer arithmetic -> a DuckDB oracle unnesting
+    the hex-decoded samples reproduces every span exactly.
+    """
+    n = len(payloads)
+    nsamp = np.full(n, -1, dtype=np.int64)
+    start = np.full(n, -1, dtype=np.int64)
+    end = np.full(n, -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        if int(sr) <= 0:
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(pcm)
+        nsamp[i] = m
+        if m == 0:
+            start[i] = 0
+            end[i] = 0
+            continue
+        fr = max(1, int(sr) // frame_div)
+        a = np.abs(pcm.astype(np.int32))
+        offs = np.arange(0, m, fr)
+        fmax = np.maximum.reduceat(a, offs)
+        voiced = np.nonzero(fmax > silence_amp)[0]
+        if voiced.size == 0:
+            start[i] = 0
+            end[i] = 0
+        else:
+            start[i] = int(voiced[0]) * fr
+            end[i] = min((int(voiced[-1]) + 1) * fr, m)
+    return pd.DataFrame(
+        {"n_samples": nsamp, "start_sample": start, "end_sample": end}
+    )
+
+
+SPEECH_SPAN_TYPE = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("start_sample", T.LongType()),
+        T.StructField("end_sample", T.LongType()),
+    ]
+)
+
+
+def speech_span(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+    silence_amp: int = SILENCE_AMP,
+    frame_div: int = 50,
+) -> Column:
+    """struct(n_samples, start_sample, end_sample) — ONE Arrow hop. Only
+    the 24-byte span crosses back from Python; the payload slice itself is
+    JVM-side binary ``substring`` (operators/trim.py), so trimmed bytes
+    never round-trip through the Python worker."""
+
+    @pandas_udf(SPEECH_SPAN_TYPE)
+    def _span(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return speech_span_batch(p, sr, silence_amp, frame_div)
+
+    return _span(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
+def decimate_batch(
+    payloads: pd.Series, srs: pd.Series, target_sr: int
+) -> pd.DataFrame:
+    """Vectorized batch kernel: integer-factor sample-rate decimation.
+
+    Row is resampled iff it decodes and ``sr % target_sr == 0``; output is
+    every ``factor``-th decoded sample re-emitted as raw pcm_s16le (i.e.
+    containers are transcoded to PCM on the way through — the decode
+    already paid for itself). Rows that don't qualify return NULL bytes +
+    n_out = -1 so callers can pass them through unchanged and LOUDLY
+    flag non-integer ratios instead of silently approximating.
+
+    Decimation (sample dropping) is exact and oracle-reproducible; it
+    assumes content is band-limited below the target Nyquist — true for
+    speech at >= 8 kHz targets. A production extension would put a
+    polyphase anti-alias FIR in this same Arrow hop; the plumbing
+    (schema, batch shape, byte flow) would not change.
+    """
+    if target_sr <= 0:
+        raise ValueError("target_sr must be positive")
+    n = len(payloads)
+    outb: list = [None] * n
+    nout = np.full(n, -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        sr = int(sr)
+        if sr <= 0 or sr % target_sr != 0:
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        dec = pcm[:: sr // target_sr]
+        outb[i] = dec.astype("<i2").tobytes()
+        nout[i] = len(dec)
+    return pd.DataFrame({"out_bytes": outb, "n_out": nout})
+
+
+DECIMATE_TYPE = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("n_out", T.LongType()),
+    ]
+)
+
+
+def decimate(
+    payload: Column | str,
+    sr_hz: Column | str,
+    target_sr: int,
+) -> Column:
+    """struct(out_bytes, n_out): payload decimated to ``target_sr`` (see
+    decimate_batch). One Arrow hop; n_out = -1 marks not-resampled rows."""
+
+    @pandas_udf(DECIMATE_TYPE)
+    def _dec(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return decimate_batch(p, sr, target_sr)
+
+    return _dec(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )

@@ -1,0 +1,170 @@
+"""Payload-rewriting audio curation: silence trimming + sample-rate
+normalization.
+
+Training corpora shed dead air and normalize sample rates *before* the
+expensive stages (fingerprinting, ASR feature extraction) — at 100 TB a
+20% silence fraction is 20 TB of bytes every downstream shuffle, UDF hop
+and sink would otherwise carry. Both operators therefore sit early in the
+funnel and REDUCE bytes-in-flight:
+
+- ``trim_silence``: energy-VAD span in one Arrow hop (only a 24-byte span
+  struct returns from Python), then the payload slice is JVM-side binary
+  ``substring`` — trimmed bytes never round-trip through the Python
+  worker, and whole-stage codegen keeps the slice next to the scan.
+- ``resample_pcm``: integer-factor decimation (48k→16k, 16k→8k) in one
+  Arrow hop; containers are transcoded to raw PCM on the way through.
+
+Scale notes (10^12 clips): both are narrow per-row maps — zero shuffle,
+partitioning follows the scan; the byte reduction *shrinks* every
+downstream stage. Decision paths are pure integer arithmetic, so the
+DuckDB oracle recomputes spans and decimated payloads bit-for-bit from
+the same parquet files (contract queries ``clips_trim_silence``,
+``clips_resample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_spark.functions.audio import (
+    SILENCE_AMP,
+    decimate,
+    speech_span,
+)
+
+PCM_CODEC = "pcm_s16le"
+BYTES_PER_SAMPLE = 2
+
+
+def trim_silence(
+    df: DataFrame,
+    silence_amp: int = SILENCE_AMP,
+    frame_div: int = 50,
+    payload_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    codec_col: str = "codec",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Trim leading/trailing silence from raw-PCM payloads.
+
+    Adds columns:
+      n_samples / start_sample / end_sample — the detected speech span
+          (NULL where the payload is NULL or undecodable);
+      trimmed — true iff the payload column was actually rewritten;
+      trim_lead_ms / trim_tail_ms — how much was cut (0 for pass-through).
+    and REWRITES ``payload_col`` + ``dur_col`` for trimmed rows.
+
+    Only raw ``pcm_s16le`` rows are byte-sliceable; container codecs pass
+    through unchanged with their span attached (trim-after-decode for
+    those belongs in a transcode hop — see ``resample_pcm``). All-silent
+    clips trim to an EMPTY payload (span [0, 0)) — downstream gates drop
+    them; undecodable rows pass through with NULL span so decode checks
+    surface them instead of this operator eating the evidence.
+    """
+    span = speech_span(payload_col, sr_col, silence_amp, frame_div)
+    d = df.withColumn("_span", span)
+
+    ok = F.coalesce(F.col("_span.n_samples") >= 0, F.lit(False))
+    n_samples = F.when(ok, F.col("_span.n_samples"))
+    start = F.when(ok, F.col("_span.start_sample"))
+    end = F.when(ok, F.col("_span.end_sample"))
+    sliceable = F.coalesce(F.col(codec_col) == PCM_CODEC, F.lit(False)) & ok
+    sr = F.col(sr_col).cast("long")
+
+    new_bytes = F.when(
+        sliceable,
+        F.substring(
+            F.col(payload_col),
+            (start * BYTES_PER_SAMPLE + 1).cast("int"),
+            ((end - start) * BYTES_PER_SAMPLE).cast("int"),
+        ),
+    ).otherwise(F.col(payload_col))
+    new_dur = F.when(
+        sliceable, F.floor((end - start) * 1000 / sr).cast(dict(df.dtypes)[dur_col])
+    ).otherwise(F.col(dur_col))
+    lead_ms = F.when(sliceable, F.floor(start * 1000 / sr)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    tail_ms = F.when(
+        sliceable, F.floor((n_samples - end) * 1000 / sr)
+    ).otherwise(F.lit(0)).cast("long")
+
+    out_cols = []
+    for c in df.columns:
+        if c == payload_col:
+            out_cols.append(new_bytes.alias(payload_col))
+        elif c == dur_col:
+            out_cols.append(new_dur.alias(dur_col))
+        else:
+            out_cols.append(F.col(c))
+    return d.select(
+        *out_cols,
+        n_samples.alias("n_samples"),
+        start.alias("start_sample"),
+        end.alias("end_sample"),
+        sliceable.alias("trimmed"),
+        lead_ms.alias("trim_lead_ms"),
+        tail_ms.alias("trim_tail_ms"),
+    )
+
+
+def resample_pcm(
+    df: DataFrame,
+    target_sr: int,
+    payload_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    codec_col: str = "codec",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Normalize sample rate by integer-factor decimation.
+
+    Rows whose rate divides evenly (``sr_hz % target_sr == 0``) and decode
+    are rewritten: payload becomes raw pcm_s16le at ``target_sr`` (codec
+    + sr_hz columns updated, containers transcoded); everything else
+    passes through unchanged with ``resampled = false`` — non-integer
+    ratios are flagged, never silently approximated. Adds
+    (resampled, n_out). ``dur_col`` is recomputed from the output sample
+    count for resampled rows (floor(n_out * 1000 / target_sr)).
+    """
+    d = df.withColumn("_dec", decimate(payload_col, sr_col, target_sr))
+    ok = F.coalesce(F.col("_dec.n_out") >= 0, F.lit(False))
+
+    out_cols = []
+    for c in df.columns:
+        if c == payload_col:
+            out_cols.append(
+                F.when(ok, F.col("_dec.out_bytes"))
+                .otherwise(F.col(payload_col))
+                .alias(payload_col)
+            )
+        elif c == sr_col:
+            out_cols.append(
+                F.when(ok, F.lit(target_sr))
+                .otherwise(F.col(sr_col))
+                .cast(dict(df.dtypes)[sr_col])
+                .alias(sr_col)
+            )
+        elif c == codec_col:
+            out_cols.append(
+                F.when(ok, F.lit(PCM_CODEC))
+                .otherwise(F.col(codec_col))
+                .alias(codec_col)
+            )
+        elif c == dur_col:
+            out_cols.append(
+                F.when(
+                    ok,
+                    F.floor(F.col("_dec.n_out") * 1000 / target_sr),
+                )
+                .otherwise(F.col(dur_col))
+                .cast(dict(df.dtypes)[dur_col])
+                .alias(dur_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return d.select(
+        *out_cols,
+        ok.alias("resampled"),
+        F.when(ok, F.col("_dec.n_out")).alias("n_out"),
+    )

@@ -454,6 +454,78 @@ def materialized_quality_clips(spark: SparkSession, n: int) -> tuple[DataFrame, 
     return spark.read.parquet(path), path
 
 
+# Silence-padded clips (the trim/resample ledger table): every row is a
+# voiced two-harmonic body wrapped in exact-zero pads, all sizes whole
+# 20 ms frames at 16 kHz so the expected speech span is pure _row_idx
+# arithmetic (and the per-sample DuckDB oracle recomputes it from bytes):
+#   lead pad  = (i % 7) * 40 ms   (0..240 ms, whole frames)
+#   tail pad  = (i % 5) * 60 ms   (0..240 ms, whole frames)
+#   body      = 200 + (hash(i) % 31) * 20 ms of reference_signal
+#   class i % 11 == 10 -> body zeroed too (fully-silent clip, empty span)
+# Body frame peaks are >= ~10 000 |int16| vs the 327 silence threshold —
+# no near-threshold frames, bit-stable everywhere.
+PADDED_SILENT_MOD = 11
+PADDED_CLS_ALL_SILENT = 10
+
+
+def synth_padded_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Clips table with planted leading/trailing silence pads (see the
+    ledger comment above). All payloads raw pcm_s16le at 16 kHz."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        lead_ms = (i % 7) * 40
+        tail_ms = (i % 5) * 60
+        body_ms = 200 + (h % 31) * 20
+        cid = f"clip-{i:012d}"
+        body = reference_signal(cid, 16000 * body_ms // 1000).astype(np.float64)
+        if i % PADDED_SILENT_MOD == PADDED_CLS_ALL_SILENT:
+            body = body * 0.0
+        sig = np.concatenate(
+            [
+                np.zeros(16000 * lead_ms // 1000),
+                body,
+                np.zeros(16000 * tail_ms // 1000),
+            ]
+        )
+        dur = lead_ms + body_ms + tail_ms
+        return (cid, encode_payload(pcm16_from_float(sig), "pcm_s16le"),
+                16000, dur, "pcm_s16le", transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def padded_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_padded_{n}")
+
+
+def materialized_padded_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """Silence-padded clips table materialized once (oracle-cache protocol);
+    the DuckDB oracle re-decodes every sample from the SAME parquet hex."""
+    import os
+
+    path = padded_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_padded_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
 def synth_containment_clips(
     spark: SparkSession,
     n: int,

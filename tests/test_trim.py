@@ -1,0 +1,176 @@
+"""Silence trimming + decimation (operators/trim.py, audio kernels)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.functions.audio import (
+    decimate_batch,
+    decode_payload,
+    encode_payload,
+    pcm16_from_float,
+    reference_signal,
+    speech_span_batch,
+)
+from jsonschema_spark.operators.trim import resample_pcm, trim_silence
+
+
+def _body(n: int, cid: str = "clip-000000000007") -> np.ndarray:
+    return reference_signal(cid, n).astype(np.float64)
+
+
+def _pcm(sig: np.ndarray) -> bytes:
+    return pcm16_from_float(sig).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# kernel: speech_span_batch
+# ---------------------------------------------------------------------------
+
+
+def test_span_lead_and_tail():
+    sig = np.concatenate([np.zeros(640), _body(3200), np.zeros(960)])
+    d = speech_span_batch(pd.Series([_pcm(sig)]), pd.Series([16000]))
+    assert d.iloc[0].tolist() == [4800, 640, 3840]
+
+
+def test_span_edges():
+    # all-silent, empty, NULL, undecodable-sr rows
+    d = speech_span_batch(
+        pd.Series([_pcm(np.zeros(1600)), b"", None, _pcm(_body(320))]),
+        pd.Series([16000, 16000, 16000, None]),
+    )
+    assert d.iloc[0].tolist() == [1600, 0, 0]
+    assert d.iloc[1].tolist() == [0, 0, 0]
+    assert d.iloc[2].tolist() == [-1, -1, -1]
+    assert d.iloc[3].tolist() == [-1, -1, -1]
+
+
+def test_span_never_cuts_speech():
+    """Span is whole frames: every sample with |s| > threshold is inside."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 4000))
+        sig = rng.uniform(-0.02, 0.02, n)  # mostly sub-threshold noise
+        k = int(rng.integers(0, n))
+        sig[k] = 0.5  # one loud sample
+        pay = _pcm(sig)
+        d = speech_span_batch(pd.Series([pay]), pd.Series([16000]))
+        pcm = np.frombuffer(pay, dtype="<i2").astype(np.int32)
+        loud = np.nonzero(np.abs(pcm) > 327)[0]
+        lo, hi = d.iloc[0]["start_sample"], d.iloc[0]["end_sample"]
+        assert all(lo <= i < hi for i in loud)
+
+
+def test_span_negative_fullscale():
+    """|-32768| must not overflow int16 inside the kernel."""
+    sig = np.zeros(640)
+    pay = bytearray(_pcm(sig))
+    pay[640:642] = (0x00, 0x80)  # sample 320 = -32768
+    d = speech_span_batch(pd.Series([bytes(pay)]), pd.Series([16000]))
+    assert d.iloc[0].tolist() == [640, 320, 640]
+
+
+# ---------------------------------------------------------------------------
+# kernel: decimate_batch
+# ---------------------------------------------------------------------------
+
+
+def test_decimate_matches_numpy_stride():
+    pay = _pcm(_body(4801))  # odd length exercises ceil
+    d = decimate_batch(pd.Series([pay]), pd.Series([16000]), 8000)
+    pcm = np.frombuffer(pay, dtype="<i2")
+    assert d.iloc[0]["n_out"] == 2401
+    assert bytes(d.iloc[0]["out_bytes"]) == pcm[::2].tobytes()
+
+
+def test_decimate_transcodes_containers():
+    pcm = pcm16_from_float(_body(3200))
+    d = decimate_batch(
+        pd.Series([encode_payload(pcm, "opus")]), pd.Series([16000]), 8000
+    )
+    dec = decode_payload(encode_payload(pcm, "opus"))
+    assert bytes(d.iloc[0]["out_bytes"]) == dec[::2].astype("<i2").tobytes()
+
+
+def test_decimate_rejects_non_integer_ratio():
+    d = decimate_batch(
+        pd.Series([_pcm(_body(320)), None]), pd.Series([22050, 16000]), 16000
+    )
+    assert d["n_out"].tolist() == [-1, -1]
+    assert d["out_bytes"].tolist() == [None, None]
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    lead, body, tail = np.zeros(640), _body(3200), np.zeros(960)
+    rows = [
+        ("pad", _pcm(np.concatenate([lead, body, tail])), 16000, 300, "pcm_s16le"),
+        ("allsilent", _pcm(np.zeros(1600)), 16000, 100, "pcm_s16le"),
+        ("container", encode_payload(pcm16_from_float(body), "opus"), 16000, 200,
+         "opus"),
+        ("nullpay", None, 16000, 100, "pcm_s16le"),
+        ("oddrate", _pcm(body), 22050, 145, "pcm_s16le"),
+    ]
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+
+
+def test_trim_silence_frame(clips):
+    out = {r["clip_id"]: r for r in trim_silence(clips).collect()}
+    p = out["pad"]
+    assert (p["start_sample"], p["end_sample"], p["trimmed"]) == (640, 3840, True)
+    assert (p["trim_lead_ms"], p["trim_tail_ms"], p["dur_ms"]) == (40, 60, 200)
+    orig = np.concatenate([np.zeros(640), _body(3200), np.zeros(960)])
+    assert bytes(p["bytes"]) == _pcm(orig)[1280:7680]
+    assert len(bytes(out["allsilent"]["bytes"])) == 0
+    # containers pass through with span attached, payload untouched
+    c = out["container"]
+    assert not c["trimmed"] and c["n_samples"] == 3200
+    assert bytes(c["bytes"]) == bytes(
+        {r["clip_id"]: r for r in clips.collect()}["container"]["bytes"]
+    )
+    npay = out["nullpay"]
+    assert npay["n_samples"] is None and not npay["trimmed"]
+    assert npay["bytes"] is None and npay["dur_ms"] == 100
+
+
+def test_resample_frame(clips):
+    out = {r["clip_id"]: r for r in resample_pcm(clips, 8000).collect()}
+    p = out["pad"]
+    assert p["resampled"] and p["sr_hz"] == 8000 and p["n_out"] == 2400
+    assert p["codec"] == "pcm_s16le" and p["dur_ms"] == 300
+    # container transcoded to raw PCM at the target rate
+    c = out["container"]
+    assert c["resampled"] and c["codec"] == "pcm_s16le" and c["n_out"] == 1600
+    # non-integer ratio + NULL pass through, loudly flagged
+    assert not out["oddrate"]["resampled"] and out["oddrate"]["sr_hz"] == 22050
+    assert out["oddrate"]["codec"] == "pcm_s16le"
+    assert not out["nullpay"]["resampled"] and out["nullpay"]["n_out"] is None
+
+
+def test_trim_single_arrow_hop(clips):
+    """Span detection costs ONE ArrowEvalPython node; the slice itself is
+    JVM-side (no second Python hop, no BatchEvalPython anywhere)."""
+    plan = trim_silence(clips)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_trim_then_resample_composes(clips):
+    """The curation order that minimizes bytes: trim first, then decimate."""
+    t = trim_silence(clips).drop(
+        "n_samples", "start_sample", "end_sample", "trimmed",
+        "trim_lead_ms", "trim_tail_ms",
+    )
+    r = {r["clip_id"]: r for r in resample_pcm(t, 8000).collect()}
+    assert r["pad"]["n_out"] == 1600  # 3200 speech samples / 2
+    body = _body(3200)
+    assert bytes(r["pad"]["bytes"]) == pcm16_from_float(body)[::2].tobytes()
