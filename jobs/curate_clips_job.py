@@ -58,6 +58,8 @@ def curate_clips(
     max_silence_frac: float = 0.2,
     max_clipping_frac: float = 0.005,
     min_rms_dbfs: float = -45.0,
+    trim: bool = False,
+    resample_sr: int | None = None,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -79,7 +81,13 @@ def curate_clips(
     copies of the same recording under different ids): pairs from the
     spectral-fingerprint LSH, transitive clusters via connected
     components, min clip_id per cluster survives — the same survivor
-    stance as the exact stages.
+    stance as the exact stages. ``trim=True`` / ``resample_sr`` add
+    output NORMALIZATION after all gates and dedup (they rewrite payload
+    bytes, so they must not run before the SNR invariant or the
+    byte-identity dedup): silence trimming + integer-factor decimation
+    (operators/trim.py), with bytes_in/bytes_out attribution in the
+    report — the byte-reduction stage that shrinks every downstream
+    consumer of the curated corpus.
     """
     schema = schema or CLIPS_JSON_SCHEMA
     opts = CompileOptions(
@@ -160,6 +168,43 @@ def curate_clips(
         n_near_dups = n_after_payload - n_after_near
         n_after_payload = n_after_near
 
+    # Output normalization LAST: the SNR invariant and the dedup ladder
+    # must see original payload bytes (trimming would break the reference
+    # comparison and split pad-variant fingerprints inconsistently); the
+    # curated corpus is then rewritten smaller — at 100 TB a 20% silence
+    # fraction is 20 TB every downstream stage would otherwise carry.
+    norm_stats = {}
+    norm = None
+    if trim or resample_sr:
+        from jsonschema_spark.operators.trim import resample_pcm, trim_silence
+
+        added: list[str] = []
+        norm = curated
+        if trim:
+            norm = trim_silence(norm)
+            added += ["n_samples", "start_sample", "end_sample", "trimmed",
+                      "trim_lead_ms", "trim_tail_ms"]
+        if resample_sr:
+            norm = resample_pcm(norm, resample_sr)
+            added += ["resampled", "n_out"]
+        norm = norm.persist()
+        bytes_in = curated.agg(F.sum(F.length("bytes"))).collect()[0][0] or 0
+        agg = norm.agg(
+            F.sum(F.length("bytes")).alias("bytes_out"),
+            *([F.sum(F.col("trimmed").cast("long")).alias("n_trimmed")]
+              if trim else []),
+            *([F.sum(F.col("resampled").cast("long")).alias("n_resampled")]
+              if resample_sr else []),
+        ).collect()[0]
+        norm_stats = {
+            "bytes_in": int(bytes_in),
+            "bytes_out": int(agg["bytes_out"] or 0),
+            **({"rows_trimmed": int(agg["n_trimmed"] or 0)} if trim else {}),
+            **({"rows_resampled": int(agg["n_resampled"] or 0)}
+               if resample_sr else {}),
+        }
+        curated = norm.drop(*added)
+
     by_codec = {
         r["codec"]: r["cnt"]
         for r in curated.groupBy("codec").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -169,6 +214,8 @@ def curate_clips(
     if output:
         curated.write.mode("overwrite").parquet(output)
     ann.unpersist()
+    if norm is not None:
+        norm.unpersist()
     stats = {
         "input_rows": n_input,
         "schema_invalid": n_invalid,
@@ -179,6 +226,7 @@ def curate_clips(
         "near_duplicates_removed": n_near_dups,
         "output_rows": n_after_payload,
         "by_codec": by_codec,
+        **norm_stats,
     }
     return curated, stats
 
@@ -205,6 +253,12 @@ def main(argv=None) -> int:
                    help="max fraction of full-scale samples")
     p.add_argument("--min-rms", type=float, default=-45.0,
                    help="loudness floor in dBFS")
+    p.add_argument("--trim-silence", action="store_true",
+                   help="trim leading/trailing silence from PCM payloads "
+                        "on output (energy VAD; operators/trim.py)")
+    p.add_argument("--resample", type=int, metavar="SR",
+                   help="normalize sample rate by integer-factor "
+                        "decimation on output (containers transcoded)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
@@ -244,6 +298,8 @@ def main(argv=None) -> int:
         max_silence_frac=args.max_silence,
         max_clipping_frac=args.max_clipping,
         min_rms_dbfs=args.min_rms,
+        trim=args.trim_silence,
+        resample_sr=args.resample,
     )
     print(json.dumps(stats))
     spark.stop()

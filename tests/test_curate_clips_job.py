@@ -128,3 +128,34 @@ def test_curate_clips_near_dedup_off_by_default(spark):
     _curated, stats = curate_clips(clips.drop("_row_idx"), snr_threshold_db=None)
     assert stats["near_duplicates_removed"] == 0
     assert stats["output_rows"] == 40
+
+
+def test_curate_clips_normalization_stage(spark):
+    """--trim-silence/--resample rewrite payloads AFTER gates + dedup:
+    byte counts shrink, survivors unchanged, attribution in the report."""
+    import numpy as np
+
+    a, b = "clip-000000000001", "clip-000000000002"
+    na, nb = 16000 * 400 // 1000, 16000 * 400 // 1000
+    pad = np.zeros(640)  # 40 ms of silence
+    rows = []
+    for cid, n in ((a, na), (b, nb)):
+        sig = np.concatenate([pad, reference_signal(cid, n).astype(np.float64)])
+        rows.append(Row(
+            clip_id=cid, bytes=bytearray(pcm16_from_float(sig).tobytes()),
+            sr_hz=16000, dur_ms=440, codec="pcm_s16le",
+            transcript=reference_transcript(cid),
+        ))
+    df = spark.createDataFrame(rows, CLIPS_SCHEMA)
+    # padded payloads don't match the reference signal -> skip the SNR gate
+    curated, stats = curate_clips(
+        df, snr_threshold_db=None, trim=True, resample_sr=8000
+    )
+    assert stats["output_rows"] == 2
+    assert stats["rows_trimmed"] == 2 and stats["rows_resampled"] == 2
+    assert stats["bytes_in"] == 2 * (640 + na) * 2
+    assert stats["bytes_out"] == (na + nb)  # trimmed, then every 2nd sample
+    out = {r["clip_id"]: r for r in curated.collect()}
+    assert out[a]["sr_hz"] == 8000 and len(bytes(out[a]["bytes"])) == na
+    ref = pcm16_from_float(reference_signal(a, na).astype(np.float64))
+    assert bytes(out[a]["bytes"]) == ref[::2].tobytes()
