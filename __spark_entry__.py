@@ -719,6 +719,29 @@ def _q_clips_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_segments_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-aligned training windows: each PCM segment carries the
+    proportional character window [floor(start*len/n), floor(end*len/n))
+    of the clip transcript (weak alignment for (audio, text) pair
+    cutting) — pure Column algebra, zero Python. The oracle re-derives
+    every boundary with the same integer arithmetic."""
+    from jsonschema_spark.operators.segments import segment_clips
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_N)
+    segs = segment_clips(
+        clips.select(*_CLIPS_COLS), _SEGMENT_MS, transcript_col="transcript"
+    )
+    return segs.select(
+        "clip_id",
+        "seg_idx",
+        "seg_start_ms",
+        "seg_dur_ms",
+        F.md5(F.hex("seg_bytes")).alias("seg_md5"),
+        F.col("seg_transcript").alias("seg_transcript"),
+    )
+
+
 _PAD_N = 400
 _RESAMPLE_SR = 8000
 
@@ -1049,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segments": _q_clips_segments,
         "clips_trim_silence": _q_clips_trim_silence,
         "clips_resample": _q_clips_resample,
+        "clips_segments_transcript": _q_clips_segments_transcript,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1700,6 +1724,50 @@ def _clips_segments_sql() -> str:
                CAST(this_samples * 2 AS BIGINT) AS n_bytes,
                md5(substring(hx, CAST(start_sample * 4 + 1 AS BIGINT),
                              CAST(this_samples * 4 AS BIGINT))) AS seg_md5
+        FROM w
+    """
+
+
+def _clips_segments_transcript_sql() -> str:
+    """Segments oracle extended with the proportional transcript window:
+    char range [start*len//n + 1, end*len//n) via integer floor — the
+    same arithmetic the Column expressions use (transcripts are ASCII, so
+    char == byte positions agree across engines)."""
+    from jsonschema_spark.sources.clips import quality_clips_path
+
+    src = f"read_parquet('{quality_clips_path(_QUALITY_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx, sr_hz, transcript,
+                 length(transcript) AS txn,
+                 octet_length(bytes) // 2 AS n_samples,
+                 (sr_hz * {_SEGMENT_MS}) // 1000 AS sps
+          FROM {src}
+        ), e AS (
+          SELECT clip_id, hx, sr_hz, transcript, txn, n_samples, sps,
+                 unnest(generate_series(
+                   0, CAST(ceil(n_samples / CAST(sps AS DOUBLE)) AS BIGINT) - 1
+                 )) AS seg_idx
+          FROM t WHERE n_samples > 0
+        ), w AS (
+          SELECT clip_id, hx, sr_hz, transcript, txn, n_samples, seg_idx,
+                 seg_idx * sps AS start_sample,
+                 least(sps, n_samples - seg_idx * sps) AS this_samples
+          FROM e
+        )
+        SELECT clip_id,
+               CAST(seg_idx AS INT) AS seg_idx,
+               CAST(floor(start_sample * 1000.0 / sr_hz) AS BIGINT)
+                 AS seg_start_ms,
+               CAST(floor(this_samples * 1000.0 / sr_hz) AS BIGINT)
+                 AS seg_dur_ms,
+               md5(substring(hx, CAST(start_sample * 4 + 1 AS BIGINT),
+                             CAST(this_samples * 4 AS BIGINT))) AS seg_md5,
+               substring(transcript,
+                         CAST(start_sample * txn // n_samples + 1 AS BIGINT),
+                         CAST((start_sample + this_samples) * txn // n_samples
+                              - start_sample * txn // n_samples AS BIGINT))
+                 AS seg_transcript
         FROM w
     """
 
@@ -2622,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_segments": _clips_segments_sql(),
         "clips_trim_silence": _clips_trim_silence_sql(),
         "clips_resample": _clips_resample_sql(),
+        "clips_segments_transcript": _clips_segments_transcript_sql(),
         "audio_containment_clips": _audio_containment_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),

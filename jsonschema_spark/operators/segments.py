@@ -45,6 +45,7 @@ def segment_clips(
     sr_col: str = "sr_hz",
     codec_col: str = "codec",
     dur_col: str = "dur_ms",
+    transcript_col: str | None = None,
 ) -> DataFrame:
     """Explode each clip into fixed-duration segments.
 
@@ -56,6 +57,15 @@ def segment_clips(
     duration comes from ``dur_col`` (metadata — a compressed container's
     byte count says nothing about its duration); NULL payloads yield zero
     segments (nothing to carry).
+
+    ``transcript_col`` (optional) adds ``seg_transcript``: the character
+    window proportional to the sample window — char range
+    [floor(start*len/n), floor(end*len/n)) — the standard weak-alignment
+    for cutting (audio, text) training pairs when no forced aligner has
+    run; slices reassemble the transcript exactly (concatenation over
+    seg_idx is the identity — integer-floor boundaries are monotone and
+    exhaustive). Non-sliceable rows carry the whole transcript. Like the
+    byte slice it is pure Column algebra — zero Python, zero shuffle.
     """
     if segment_ms <= 0:
         raise ValueError("segment_ms must be positive")
@@ -90,6 +100,7 @@ def segment_clips(
         F.col(dur_col).cast("long") if dur_col in df.columns
         else F.lit(None).cast("long")
     )
+    extra = [F.col(transcript_col).alias("_transcript")] if transcript_col else []
     seg = df.select(
         F.col(id_col),
         F.col(payload_col),
@@ -99,6 +110,7 @@ def segment_clips(
         n_samples.alias("_n_samples"),
         sps.alias("_sps"),
         dur_meta.alias("_dur_meta"),
+        *extra,
         F.explode(idxs).alias("seg_idx"),
     )
 
@@ -121,6 +133,25 @@ def segment_clips(
         F.col("sliceable"), F.floor(this_samples * 1000 / sr).cast("long")
     ).otherwise(F.col("_dur_meta"))
 
+    tx_cols = []
+    if transcript_col:
+        tx_len = F.length(F.col("_transcript")).cast("long")
+        # char window [floor(start*len/n), floor(end*len/n)): monotone
+        # exhaustive integer boundaries -> concatenation over seg_idx
+        # reassembles the transcript exactly
+        ch_start = F.floor(start_sample * tx_len / F.col("_n_samples")).cast("long")
+        ch_end = F.floor(
+            (start_sample + this_samples) * tx_len / F.col("_n_samples")
+        ).cast("long")
+        seg_tx = F.when(
+            F.col("sliceable"),
+            F.substring(
+                F.col("_transcript"),
+                (ch_start + 1).cast("int"),
+                (ch_end - ch_start).cast("int"),
+            ),
+        ).otherwise(F.col("_transcript"))
+        tx_cols = [seg_tx.alias("seg_transcript")]
     out = seg.select(
         F.col(id_col),
         F.concat(
@@ -135,6 +166,7 @@ def segment_clips(
         F.col(codec_col),
         F.col("sliceable"),
         seg_bytes.alias("seg_bytes"),
+        *tx_cols,
     )
     if min_tail_ms > 0:
         out = out.where(~F.col("sliceable") | (F.col("seg_dur_ms") >= min_tail_ms))

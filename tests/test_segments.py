@@ -106,3 +106,40 @@ def test_null_sr_pcm_passes_through_whole(spark):
     r = rows[0]
     assert not r["sliceable"]
     assert bytes(r["seg_bytes"]) == b"\x01\x02\x03\x04"
+
+
+def test_segment_transcript_alignment(clips):
+    """seg_transcript slices are proportional char windows that reassemble
+    the transcript exactly; non-sliceable rows carry the whole text."""
+    withtx = clips.withColumn(
+        "transcript", F.concat(F.lit("transcript of "), F.col("clip_id"))
+    )
+    segs = segment_clips(withtx, 100, transcript_col="transcript").collect()
+    tx = {r["clip_id"]: r["transcript"] for r in withtx.collect()}
+    by_clip: dict = {}
+    for r in segs:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    for cid, rows in by_clip.items():
+        rows.sort(key=lambda r: r["seg_idx"])
+        if rows[0]["sliceable"]:
+            assert "".join(r["seg_transcript"] for r in rows) == tx[cid], cid
+        else:
+            assert rows[0]["seg_transcript"] == tx[cid]
+    # proportionality: clip c0 = 10 equal segments over an even split
+    c0 = sorted(by_clip["c0"], key=lambda r: r["seg_idx"])
+    n = len(tx["c0"])
+    for r in c0:
+        lo = r["seg_idx"] * 1600 * n // 16000
+        hi = min((r["seg_idx"] + 1) * 1600, 16000) * n // 16000
+        assert r["seg_transcript"] == tx["c0"][lo:hi]
+
+
+def test_segment_transcript_nulls(spark):
+    rows = [("cN", _clip(9, 1600)[1], 16000, 100, "pcm_s16le", None)]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string",
+    )
+    segs = segment_clips(df, 50, transcript_col="transcript").collect()
+    assert all(r["seg_transcript"] is None for r in segs)
