@@ -787,6 +787,30 @@ def _q_clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAIN_TARGET_RMS = 0.1
+_GAIN_MAX = 4.0
+
+
+def _q_clips_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization: gain = min(max, target / rms) in exactly-
+    rounded double arithmetic, samples rescaled with explicit half-up
+    rounding (floor(v*g + 0.5)) — the oracle recomputes gain AND every
+    output sample from the parquet hex and md5s the rebuilt payload."""
+    from jsonschema_spark.operators.trim import normalize_loudness
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_N)
+    r = normalize_loudness(
+        clips.select(*_CLIPS_COLS), _GAIN_TARGET_RMS, _GAIN_MAX
+    )
+    return r.select(
+        "clip_id",
+        F.length("bytes").cast("long").alias("out_len"),
+        F.col("gain").alias("gain"),
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
 _CONTAIN_N = 400
 
 
@@ -1073,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_trim_silence": _q_clips_trim_silence,
         "clips_resample": _q_clips_resample,
         "clips_segments_transcript": _q_clips_segments_transcript,
+        "clips_gain_normalize": _q_clips_gain_normalize,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1865,6 +1890,64 @@ def _clips_resample_sql() -> str:
                  AS out_ms,
                md5(oh) AS out_md5
         FROM h
+    """
+
+
+def _clips_gain_normalize_sql() -> str:
+    """Full per-sample recompute of loudness normalization: decode int16s
+    from hex, exact int64 sum of squares -> double gain (every op —
+    CAST/divide/sqrt/least — is correctly-rounded IEEE, matching numpy
+    bit-for-bit), rescale each sample with floor(v*g + 0.5), clip, re-hex
+    little-endian via printf, md5 the rebuilt payload."""
+    from jsonschema_spark.sources.clips import quality_clips_path
+
+    src = f"read_parquet('{quality_clips_path(_QUALITY_N)}/*.parquet')"
+    tgt, gmax = repr(_GAIN_TARGET_RMS), repr(_GAIN_MAX)
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx,
+                 octet_length(bytes) // 2 AS n
+          FROM {src}
+        ), s AS (
+          SELECT clip_id, n, hx, unnest(generate_series(0, n - 1)) AS i
+          FROM t WHERE n > 0
+        ), v AS (
+          SELECT clip_id, n, i,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+          FROM (
+            SELECT clip_id, n, i,
+                   CAST(('0x' || substr(hx, i * 4 + 3, 2)
+                              || substr(hx, i * 4 + 1, 2)) AS INTEGER) AS raw
+            FROM s
+          ) q
+        ), g AS (
+          SELECT clip_id, any_value(n) AS n,
+                 sum(CAST(val AS BIGINT) * val) AS ss
+          FROM v GROUP BY clip_id
+        ), gg AS (
+          SELECT clip_id, n,
+                 CASE WHEN ss = 0 THEN {gmax}
+                      ELSE least({gmax}, {tgt} /
+                           (sqrt(CAST(ss AS DOUBLE) / n) / 32768.0))
+                 END AS gain
+          FROM g
+        ), o AS (
+          SELECT v.clip_id, v.i, gg.gain,
+                 CAST(greatest(-32768.0, least(32767.0,
+                      floor(CAST(v.val AS DOUBLE) * gg.gain + 0.5)))
+                      AS INTEGER) AS ov
+          FROM v JOIN gg USING (clip_id)
+        ), h AS (
+          SELECT clip_id, any_value(gain) AS gain,
+                 string_agg(printf('%02X%02X', (ov & 65535) % 256,
+                                   (ov & 65535) // 256), '' ORDER BY i) AS oh
+          FROM o GROUP BY clip_id
+        )
+        SELECT h.clip_id,
+               CAST(g.n * 2 AS BIGINT) AS out_len,
+               h.gain AS gain,
+               md5(h.oh) AS out_md5
+        FROM h JOIN g USING (clip_id)
     """
 
 
@@ -2691,6 +2774,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_trim_silence": _clips_trim_silence_sql(),
         "clips_resample": _clips_resample_sql(),
         "clips_segments_transcript": _clips_segments_transcript_sql(),
+        "clips_gain_normalize": _clips_gain_normalize_sql(),
         "audio_containment_clips": _audio_containment_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),

@@ -60,6 +60,7 @@ def curate_clips(
     min_rms_dbfs: float = -45.0,
     trim: bool = False,
     resample_sr: int | None = None,
+    target_rms: float | None = None,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -175,8 +176,12 @@ def curate_clips(
     # fraction is 20 TB every downstream stage would otherwise carry.
     norm_stats = {}
     norm = None
-    if trim or resample_sr:
-        from jsonschema_spark.operators.trim import resample_pcm, trim_silence
+    if trim or resample_sr or target_rms is not None:
+        from jsonschema_spark.operators.trim import (
+            normalize_loudness,
+            resample_pcm,
+            trim_silence,
+        )
 
         added: list[str] = []
         norm = curated
@@ -187,6 +192,9 @@ def curate_clips(
         if resample_sr:
             norm = resample_pcm(norm, resample_sr)
             added += ["resampled", "n_out"]
+        if target_rms is not None:
+            norm = normalize_loudness(norm, target_rms=target_rms)
+            added += ["normalized", "gain"]
         norm = norm.persist()
         bytes_in = curated.agg(F.sum(F.length("bytes"))).collect()[0][0] or 0
         agg = norm.agg(
@@ -195,6 +203,8 @@ def curate_clips(
               if trim else []),
             *([F.sum(F.col("resampled").cast("long")).alias("n_resampled")]
               if resample_sr else []),
+            *([F.sum(F.col("normalized").cast("long")).alias("n_normalized")]
+              if target_rms is not None else []),
         ).collect()[0]
         norm_stats = {
             "bytes_in": int(bytes_in),
@@ -202,6 +212,8 @@ def curate_clips(
             **({"rows_trimmed": int(agg["n_trimmed"] or 0)} if trim else {}),
             **({"rows_resampled": int(agg["n_resampled"] or 0)}
                if resample_sr else {}),
+            **({"rows_normalized": int(agg["n_normalized"] or 0)}
+               if target_rms is not None else {}),
         }
         curated = norm.drop(*added)
 
@@ -259,6 +271,9 @@ def main(argv=None) -> int:
     p.add_argument("--resample", type=int, metavar="SR",
                    help="normalize sample rate by integer-factor "
                         "decimation on output (containers transcoded)")
+    p.add_argument("--target-rms", type=float, metavar="LIN",
+                   help="normalize loudness to this linear full-scale RMS "
+                        "on output (0.1 = -20 dBFS)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
@@ -300,6 +315,7 @@ def main(argv=None) -> int:
         min_rms_dbfs=args.min_rms,
         trim=args.trim_silence,
         resample_sr=args.resample,
+        target_rms=args.target_rms,
     )
     print(json.dumps(stats))
     spark.stop()

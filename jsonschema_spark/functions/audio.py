@@ -679,3 +679,78 @@ def decimate(
         F.col(payload) if isinstance(payload, str) else payload,
         F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
     )
+
+
+def gain_normalize_batch(
+    payloads: pd.Series,
+    target_rms: float = 0.1,
+    max_gain: float = 4.0,
+) -> pd.DataFrame:
+    """Vectorized batch kernel: loudness (RMS) normalization.
+
+    gain = min(max_gain, target_rms / rms_linear) where
+    rms_linear = sqrt(sum(v^2) / n) / 32768; each sample becomes
+    clip(floor(v * gain + 0.5), -32768, 32767) re-emitted as raw
+    pcm_s16le (containers transcode on the way through).
+
+    EVERY operation in both the gain and the sample path is exactly
+    rounded IEEE double arithmetic (sum of int squares is exact in int64,
+    division / sqrt / multiply are correctly rounded, floor(x + 0.5) is
+    explicit half-up — np.round's half-to-even would NOT be SQL-
+    reproducible) — so a DuckDB oracle recomputes the output payload
+    bit-for-bit. All-zero clips keep gain = max_gain by definition
+    (zeros stay zeros; avoids the div-by-zero NULL/inf engine split).
+    NULL/undecodable rows return NULL bytes + n_out = -1.
+    """
+    n = len(payloads)
+    outb: list = [None] * n
+    nout = np.full(n, -1, dtype=np.int64)
+    gains = np.full(n, np.nan)
+    for i, raw in enumerate(payloads.tolist()):
+        if raw is None:
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(pcm)
+        nout[i] = m
+        if m == 0:
+            outb[i] = b""
+            gains[i] = max_gain
+            continue
+        v = pcm.astype(np.int64)
+        ss = int(np.dot(v, v))  # exact: n * 32768^2 << 2^63
+        if ss == 0:
+            g = float(max_gain)
+        else:
+            g = min(float(max_gain), target_rms / (np.sqrt(ss / m) / 32768.0))
+        gains[i] = g
+        out = np.floor(pcm.astype(np.float64) * g + 0.5)
+        out = np.clip(out, -32768.0, 32767.0).astype("<i2")
+        outb[i] = out.tobytes()
+    return pd.DataFrame({"out_bytes": outb, "n_out": nout, "gain": gains})
+
+
+GAIN_NORMALIZE_TYPE = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("gain", T.DoubleType()),
+    ]
+)
+
+
+def gain_normalize(
+    payload: Column | str,
+    target_rms: float = 0.1,
+    max_gain: float = 4.0,
+) -> Column:
+    """struct(out_bytes, n_out, gain): RMS-normalized payload (see
+    gain_normalize_batch). One Arrow hop; n_out = -1 marks pass-through."""
+
+    @pandas_udf(GAIN_NORMALIZE_TYPE)
+    def _gn(p: pd.Series) -> pd.DataFrame:
+        return gain_normalize_batch(p, target_rms, max_gain)
+
+    return _gn(F.col(payload) if isinstance(payload, str) else payload)

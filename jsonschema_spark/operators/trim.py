@@ -168,3 +168,49 @@ def resample_pcm(
         ok.alias("resampled"),
         F.when(ok, F.col("_dec.n_out")).alias("n_out"),
     )
+
+
+def normalize_loudness(
+    df: DataFrame,
+    target_rms: float = 0.1,
+    max_gain: float = 4.0,
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Normalize clip loudness to ``target_rms`` (linear full-scale RMS;
+    0.1 = -20 dBFS), gain capped at ``max_gain``.
+
+    Decodable rows are rewritten as raw pcm_s16le with every sample
+    scaled by clip(floor(v * gain + 0.5)) — integer-exact given the gain,
+    and the gain itself is exactly-rounded double arithmetic, so the
+    DuckDB oracle reproduces output payloads bit-for-bit
+    (``clips_gain_normalize``). NULL/undecodable rows pass through with
+    ``normalized = false``. Adds (normalized, gain). One Arrow hop, zero
+    shuffle; at corpus scale this removes the loudness spread that
+    otherwise dominates batch statistics in training.
+    """
+    from jsonschema_spark.functions.audio import gain_normalize
+
+    d = df.withColumn("_gn", gain_normalize(payload_col, target_rms, max_gain))
+    ok = F.coalesce(F.col("_gn.n_out") >= 0, F.lit(False))
+    out_cols = []
+    for c in df.columns:
+        if c == payload_col:
+            out_cols.append(
+                F.when(ok, F.col("_gn.out_bytes"))
+                .otherwise(F.col(payload_col))
+                .alias(payload_col)
+            )
+        elif c == codec_col:
+            out_cols.append(
+                F.when(ok, F.lit(PCM_CODEC))
+                .otherwise(F.col(codec_col))
+                .alias(codec_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return d.select(
+        *out_cols,
+        ok.alias("normalized"),
+        F.when(ok, F.col("_gn.gain")).alias("gain"),
+    )

@@ -174,3 +174,53 @@ def test_trim_then_resample_composes(clips):
     assert r["pad"]["n_out"] == 1600  # 3200 speech samples / 2
     body = _body(3200)
     assert bytes(r["pad"]["bytes"]) == pcm16_from_float(body)[::2].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# loudness normalization
+# ---------------------------------------------------------------------------
+
+
+def test_gain_normalize_rms_target():
+    from jsonschema_spark.functions.audio import gain_normalize_batch
+
+    sig = 0.5 * np.sin(2 * np.pi * 220.0 * np.arange(16000) / 16000.0)
+    d = gain_normalize_batch(pd.Series([_pcm(sig)]), target_rms=0.1, max_gain=4.0)
+    out = np.frombuffer(bytes(d.iloc[0]["out_bytes"]), dtype="<i2")
+    rms = np.sqrt(np.mean((out.astype(np.float64) / 32768.0) ** 2))
+    assert abs(rms - 0.1) < 1e-3  # hits the target
+    # exact definition: floor(v * gain + 0.5), clipped
+    pcm = np.frombuffer(_pcm(sig), dtype="<i2").astype(np.float64)
+    g = d.iloc[0]["gain"]
+    want = np.clip(np.floor(pcm * g + 0.5), -32768, 32767).astype("<i2")
+    assert np.array_equal(out, want)
+
+
+def test_gain_normalize_edges():
+    from jsonschema_spark.functions.audio import gain_normalize_batch
+
+    quiet = 0.001 * np.sin(2 * np.pi * 220.0 * np.arange(800) / 16000.0)
+    d = gain_normalize_batch(
+        pd.Series([_pcm(np.zeros(160)), _pcm(quiet), None, b""]),
+        target_rms=0.1, max_gain=4.0,
+    )
+    assert d.iloc[0]["gain"] == 4.0  # all-zero: capped, zeros stay zeros
+    assert bytes(d.iloc[0]["out_bytes"]) == b"\x00" * 320
+    assert d.iloc[1]["gain"] == 4.0  # very quiet: capped
+    assert d.iloc[2]["n_out"] == -1 and d.iloc[2]["out_bytes"] is None
+    assert d.iloc[3]["n_out"] == 0 and bytes(d.iloc[3]["out_bytes"]) == b""
+
+
+def test_normalize_loudness_frame(clips):
+    from jsonschema_spark.operators.trim import normalize_loudness
+
+    out = {r["clip_id"]: r for r in normalize_loudness(clips).collect()}
+    assert out["pad"]["normalized"] and out["pad"]["gain"] is not None
+    # container transcoded to raw pcm
+    assert out["container"]["normalized"]
+    assert out["container"]["codec"] == "pcm_s16le"
+    assert not out["nullpay"]["normalized"] and out["nullpay"]["bytes"] is None
+    # attenuation never clips: gain < 1 keeps samples in range
+    loud = out["pad"]
+    v = np.frombuffer(bytes(loud["bytes"]), dtype="<i2")
+    assert v.min() >= -32768 and v.max() <= 32767
