@@ -787,6 +787,43 @@ def _q_clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUITE_CONFIG = {
+    "checks": [
+        {"type": "schema", "name": "orders_schema", "table": "orders",
+         "schema": None, "max_violation_rate": 0.12},  # schema filled below
+        {"type": "unique", "name": "orders_pk", "table": "orders",
+         "keys": ["o_orderkey"]},
+        {"type": "unique", "name": "orders_custkey_unique", "table": "orders",
+         "keys": ["o_custkey"]},
+        {"type": "not_null", "name": "custkey_not_null", "table": "orders",
+         "column": "o_custkey", "max_null_rate": 0.0},
+        {"type": "row_count", "name": "orders_nonempty", "table": "orders",
+         "min_rows": 1},
+        {"type": "referential", "name": "lineitem_orders", "table": "lineitem",
+         "keys": ["l_orderkey"], "ref_table": "orders",
+         "ref_keys": ["o_orderkey"]},
+        {"type": "completeness_days", "name": "orderdate_days",
+         "table": "orders", "column": "o_orderdate", "max_missing": 0},
+    ]
+}
+_SUITE_CONFIG["checks"][0]["schema"] = ORDERS_JSON_SCHEMA
+
+
+def _q_suite_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative validation suite (operators/suite.py): seven named
+    checks over orders + lineitem — schema rate, PK/key uniqueness,
+    null-rate, row-count floor, referential orphans, day-domain
+    completeness — one report row each, thresholds from config. The
+    oracle recomputes every metric AND the pass/fail decision in SQL."""
+    from jsonschema_spark.operators.suite import run_suite
+
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    return run_suite(tables, _SUITE_CONFIG)
+
+
 _GAIN_TARGET_RMS = 0.1
 _GAIN_MAX = 4.0
 
@@ -1098,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_resample": _q_clips_resample,
         "clips_segments_transcript": _q_clips_segments_transcript,
         "clips_gain_normalize": _q_clips_gain_normalize,
+        "suite_report_orders": _q_suite_report_orders,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1891,6 +1929,67 @@ def _clips_resample_sql() -> str:
                md5(oh) AS out_md5
         FROM h
     """
+
+
+def _suite_report_orders_sql() -> str:
+    """One SELECT per suite check, UNION ALL — metrics and pass/fail
+    recomputed from the same tables (the schema-rate check reuses the
+    enumerated fail predicates behind the validate_orders oracles)."""
+    fails = [f for (_, _, _, _, f) in _ORDERS_CHECK_FAILS.values()]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+
+    def row(name, ctype, metric, threshold, passed):
+        return f"""
+        SELECT '{name}' AS check_name, '{ctype}' AS check_type,
+               CAST({metric} AS DOUBLE) AS metric,
+               CAST({threshold} AS DOUBLE) AS threshold,
+               CASE WHEN {passed} THEN 'pass' ELSE 'fail' END AS status
+        """
+
+    schema_rate = (
+        f"(SELECT CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / greatest(count(*), 1) FROM orders)"
+    )
+    dup_pk = ("(SELECT count(*) FROM (SELECT o_orderkey FROM orders "
+              "GROUP BY o_orderkey HAVING count(*) > 1))")
+    dup_ck = ("(SELECT count(*) FROM (SELECT o_custkey FROM orders "
+              "GROUP BY o_custkey HAVING count(*) > 1))")
+    null_rate = ("(SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 "
+                 "END) AS DOUBLE) / greatest(count(*), 1) FROM orders)")
+    n_rows = "(SELECT count(*) FROM orders)"
+    orphans = ("(SELECT count(*) FROM lineitem l WHERE NOT EXISTS "
+               "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))")
+    missing_days = """(
+        WITH b AS (
+          SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                 CAST(max(o_orderdate) AS DATE) AS hi
+          FROM orders WHERE o_orderdate IS NOT NULL
+        ), e AS (
+          SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                 AS d
+          FROM b
+        ), o AS (
+          SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+          FROM orders WHERE o_orderdate IS NOT NULL
+        )
+        SELECT count(*) FROM e WHERE d NOT IN (SELECT day FROM o)
+    )"""
+    return " UNION ALL ".join(
+        [
+            row("orders_schema", "schema", schema_rate, 0.12,
+                f"{schema_rate} <= 0.12"),
+            row("orders_pk", "unique", dup_pk, 0, f"{dup_pk} <= 0"),
+            row("orders_custkey_unique", "unique", dup_ck, 0,
+                f"{dup_ck} <= 0"),
+            row("custkey_not_null", "not_null", null_rate, 0.0,
+                f"{null_rate} <= 0.0"),
+            row("orders_nonempty", "row_count", n_rows, 1, f"{n_rows} >= 1"),
+            row("lineitem_orders", "referential", orphans, 0,
+                f"{orphans} <= 0"),
+            row("orderdate_days", "completeness_days", missing_days, 0,
+                f"{missing_days} <= 0"),
+        ]
+    )
 
 
 def _clips_gain_normalize_sql() -> str:
@@ -2775,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_resample": _clips_resample_sql(),
         "clips_segments_transcript": _clips_segments_transcript_sql(),
         "clips_gain_normalize": _clips_gain_normalize_sql(),
+        "suite_report_orders": _suite_report_orders_sql(),
         "audio_containment_clips": _audio_containment_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),

@@ -300,6 +300,23 @@ def q_sample_token_budget(spark: SparkSession):
     )
 
 
+def q_clips_normalize(spark: SparkSession):
+    """Payload normalization chain over the quality corpus: VAD trim
+    (one Arrow span hop + JVM byte slice) -> loudness normalization (one
+    Arrow rewrite hop); checksum folds so nothing prunes."""
+    from jsonschema_spark.operators.trim import normalize_loudness, trim_silence
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    t = trim_silence(clips.select("clip_id", "bytes", "sr_hz", "codec", "dur_ms"))
+    n = normalize_loudness(
+        t.select("clip_id", "bytes", "sr_hz", "codec", "dur_ms")
+    )
+    return n.agg(
+        F.count(F.lit(1)), F.sum(F.length("bytes")), F.sum("gain")
+    ).collect()
+
+
 def q_cosine_topk(spark: SparkSession):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -334,6 +351,7 @@ QUERIES = {
     "infer_schema": q_infer_schema,
     "reconcile": q_reconcile,
     "sample_token_budget": q_sample_token_budget,
+    "clips_normalize": q_clips_normalize,
 }
 
 

@@ -1,0 +1,206 @@
+"""Declarative validation suites: one config in, one check-report out.
+
+The user-facing front door that composes the engine's operators —
+schema validation, uniqueness, referential integrity, domain
+completeness, cross-table reconciliation, drift — into a single run
+driven by a JSON config (the shape teams check into their repo next to
+the schema document):
+
+    {"checks": [
+      {"type": "schema", "name": "orders_schema", "table": "orders",
+       "schema": {...}, "max_violation_rate": 0.05},
+      {"type": "unique", "name": "orders_pk", "table": "orders",
+       "keys": ["o_orderkey"]},
+      {"type": "not_null", "name": "custkey_set", "table": "orders",
+       "column": "o_custkey", "max_null_rate": 0.0},
+      {"type": "row_count", "name": "orders_nonempty", "table": "orders",
+       "min_rows": 1},
+      {"type": "referential", "name": "li_orders", "table": "lineitem",
+       "keys": ["l_orderkey"], "ref_table": "orders",
+       "ref_keys": ["o_orderkey"]},
+      {"type": "completeness_days", "name": "orderdate_gaps",
+       "table": "orders", "column": "o_orderdate", "max_missing": 0}
+    ]}
+
+Each check yields one row (check_name, check_type, metric, threshold,
+status) — `metric` is the measured quantity (violation rate, duplicate
+key count, orphan count, missing days, null rate, row count) and
+`status` is 'pass'/'fail' against the config threshold. The report is a
+DataFrame: at most one row per check ever reaches the driver.
+
+Scale notes (10^12 rows): every check is an aggregate or anti-join the
+underlying operator already shapes for scale (salted uniqueness,
+AQE-sized referential joins, sequence-generated day domains). Checks on
+the SAME table still scan it once per check — at 100 TB, group your
+aggregate-style checks into few suites per table, or persist the table
+frame across the suite run; the report union itself is n_checks rows.
+
+Cited behavior: the reference validates one schema document per call
+(jsonschema.go); a suite is the table-scale analogue — many named
+checks, one report, thresholds decided by config not code.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPORT_SCHEMA = (
+    "check_name string, check_type string, metric double, "
+    "threshold double, status string"
+)
+
+
+def _report_row(
+    name: str, ctype: str, metric, threshold, passed
+) -> Callable[[DataFrame], DataFrame]:
+    """Shape a 1-row aggregate into the report schema (all JVM-side)."""
+
+    def shape(agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            F.lit(ctype).alias("check_type"),
+            metric.cast("double").alias("metric"),
+            F.lit(float(threshold)).alias("threshold"),
+            F.when(passed, F.lit("pass")).otherwise(F.lit("fail")).alias(
+                "status"
+            ),
+        )
+
+    return shape
+
+
+def _check_schema(df: DataFrame, spec: dict) -> DataFrame:
+    from jsonschema_spark.operators.validate import validate
+
+    rate = float(spec.get("max_violation_rate", 0.0))
+    ann = validate(df, spec["schema"]).annotated
+    agg = ann.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("_valid")).cast("long")).alias("bad"),
+    )
+    # guard: empty table -> rate 0 (floor the denominator, see CLAUDE.md)
+    metric = F.col("bad") / F.greatest(F.col("n"), F.lit(1))
+    return _report_row(
+        spec["name"], "schema", metric, rate, metric <= rate
+    )(agg)
+
+
+def _check_unique(df: DataFrame, spec: dict) -> DataFrame:
+    keys = spec["keys"]
+    max_dups = int(spec.get("max_duplicate_keys", 0))
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_keys"))
+    )
+    metric = F.coalesce(F.col("dup_keys"), F.lit(0))
+    return _report_row(
+        spec["name"], "unique", metric, max_dups, metric <= max_dups
+    )(dups)
+
+
+def _check_not_null(df: DataFrame, spec: dict) -> DataFrame:
+    rate = float(spec.get("max_null_rate", 0.0))
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(spec["column"]).isNull().cast("long")).alias("nulls"),
+    )
+    metric = F.col("nulls") / F.greatest(F.col("n"), F.lit(1))
+    return _report_row(
+        spec["name"], "not_null", metric, rate, metric <= rate
+    )(agg)
+
+
+def _check_row_count(df: DataFrame, spec: dict) -> DataFrame:
+    min_rows = int(spec["min_rows"])
+    agg = df.agg(F.count(F.lit(1)).alias("n"))
+    metric = F.col("n")
+    return _report_row(
+        spec["name"], "row_count", metric, min_rows, metric >= min_rows
+    )(agg)
+
+
+def _check_referential(
+    df: DataFrame, spec: dict, tables: dict[str, DataFrame]
+) -> DataFrame:
+    max_orphans = int(spec.get("max_orphans", 0))
+    ref = tables[spec["ref_table"]]
+    keys, ref_keys = spec["keys"], spec["ref_keys"]
+    child = df.select(
+        *[F.col(k).alias(rk) for k, rk in zip(keys, ref_keys)]
+    )
+    orphans = (
+        child.join(ref.select(*ref_keys), ref_keys, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    metric = F.coalesce(F.col("orphans"), F.lit(0))
+    return _report_row(
+        spec["name"], "referential", metric, max_orphans, metric <= max_orphans
+    )(orphans)
+
+
+def _check_completeness_days(df: DataFrame, spec: dict) -> DataFrame:
+    from jsonschema_spark.operators.reconcile import date_completeness
+
+    max_missing = int(spec.get("max_missing", 0))
+    missing = date_completeness(df, spec["column"]).agg(
+        F.count(F.lit(1)).alias("missing")
+    )
+    metric = F.coalesce(F.col("missing"), F.lit(0))
+    return _report_row(
+        spec["name"], "completeness_days", metric, max_missing,
+        metric <= max_missing,
+    )(missing)
+
+
+_CHECKS = {
+    "schema": lambda df, spec, tables: _check_schema(df, spec),
+    "unique": lambda df, spec, tables: _check_unique(df, spec),
+    "not_null": lambda df, spec, tables: _check_not_null(df, spec),
+    "row_count": lambda df, spec, tables: _check_row_count(df, spec),
+    "referential": _check_referential,
+    "completeness_days": lambda df, spec, tables: _check_completeness_days(
+        df, spec
+    ),
+}
+
+
+def run_suite(
+    tables: dict[str, DataFrame], config: dict
+) -> DataFrame:
+    """Run every check in ``config["checks"]`` against ``tables``;
+    returns the unioned report DataFrame (one row per check). Unknown
+    check types and missing tables raise at PLAN time — a suite with a
+    typo must fail loudly before a single task runs, not emit a report
+    with silently absent rows."""
+    checks = config.get("checks", [])
+    if not checks:
+        raise ValueError("suite config has no checks")
+    reports = []
+    for spec in checks:
+        ctype = spec.get("type")
+        if ctype not in _CHECKS:
+            raise ValueError(f"unknown check type: {ctype!r} in {spec.get('name')!r}")
+        if spec.get("table") not in tables:
+            raise ValueError(
+                f"check {spec.get('name')!r} references unknown table "
+                f"{spec.get('table')!r}"
+            )
+        reports.append(_CHECKS[ctype](tables[spec["table"]], spec, tables))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def suite_summary(report: DataFrame) -> DataFrame:
+    """(n_checks, n_passed, n_failed) — one row."""
+    return report.agg(
+        F.count(F.lit(1)).alias("n_checks"),
+        F.sum((F.col("status") == "pass").cast("long")).alias("n_passed"),
+        F.sum((F.col("status") == "fail").cast("long")).alias("n_failed"),
+    )

@@ -1,0 +1,97 @@
+"""Declarative validation suites (operators/suite.py) on planted frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.suite import run_suite, suite_summary
+
+SCHEMA = {
+    "type": "object",
+    "required": ["id", "name"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 1},
+        "name": {"type": "string", "maxLength": 10},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    head = spark.createDataFrame(
+        [
+            (1, "alpha", "2026-01-01"),
+            (2, "beta", "2026-01-02"),
+            (2, "beta2", "2026-01-04"),   # dup id + a missing day (01-03)
+            (0, "gamma", "2026-01-05"),   # schema violation (minimum)
+            (5, None, "2026-01-06"),      # schema violation (required)
+        ],
+        "id long, name string, d string",
+    ).select("id", "name", F.col("d").cast("date").alias("d"))
+    detail = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (9, 90.0)], "fk long, amount double"
+    )  # fk=9 is an orphan
+    return {"head": head, "detail": detail}
+
+
+def _report(tables, checks):
+    rows = run_suite(tables, {"checks": checks}).collect()
+    return {r["check_name"]: r for r in rows}
+
+
+def test_suite_checks(tables):
+    rep = _report(tables, [
+        {"type": "schema", "name": "head_schema", "table": "head",
+         "schema": SCHEMA, "max_violation_rate": 0.1},
+        {"type": "unique", "name": "head_pk", "table": "head", "keys": ["id"]},
+        {"type": "not_null", "name": "name_set", "table": "head",
+         "column": "name", "max_null_rate": 0.0},
+        {"type": "row_count", "name": "head_nonempty", "table": "head",
+         "min_rows": 1},
+        {"type": "referential", "name": "detail_head", "table": "detail",
+         "keys": ["fk"], "ref_table": "head", "ref_keys": ["id"]},
+        {"type": "completeness_days", "name": "head_days", "table": "head",
+         "column": "d", "max_missing": 0},
+    ])
+    # 2 of 5 rows violate the schema -> rate 0.4 > 0.1
+    assert rep["head_schema"]["status"] == "fail"
+    assert abs(rep["head_schema"]["metric"] - 0.4) < 1e-12
+    assert rep["head_pk"]["status"] == "fail" and rep["head_pk"]["metric"] == 1
+    assert rep["name_set"]["status"] == "fail"
+    assert rep["head_nonempty"]["status"] == "pass"
+    assert rep["detail_head"]["status"] == "fail"
+    assert rep["detail_head"]["metric"] == 1  # the fk=9 orphan
+    assert rep["head_days"]["status"] == "fail"
+    assert rep["head_days"]["metric"] == 1  # 2026-01-03 missing
+
+
+def test_suite_thresholds_flip(tables):
+    rep = _report(tables, [
+        {"type": "schema", "name": "lenient", "table": "head",
+         "schema": SCHEMA, "max_violation_rate": 0.5},
+        {"type": "unique", "name": "dups_ok", "table": "head",
+         "keys": ["id"], "max_duplicate_keys": 1},
+        {"type": "referential", "name": "one_orphan_ok", "table": "detail",
+         "keys": ["fk"], "ref_table": "head", "ref_keys": ["id"],
+         "max_orphans": 1},
+    ])
+    assert all(r["status"] == "pass" for r in rep.values())
+
+
+def test_suite_summary(tables):
+    report = run_suite(tables, {"checks": [
+        {"type": "row_count", "name": "a", "table": "head", "min_rows": 1},
+        {"type": "row_count", "name": "b", "table": "head", "min_rows": 99},
+    ]})
+    s = suite_summary(report).collect()[0]
+    assert (s["n_checks"], s["n_passed"], s["n_failed"]) == (2, 1, 1)
+
+
+def test_suite_rejects_typos(tables):
+    with pytest.raises(ValueError, match="unknown check type"):
+        run_suite(tables, {"checks": [{"type": "uniqe", "name": "x",
+                                       "table": "head", "keys": ["id"]}]})
+    with pytest.raises(ValueError, match="unknown table"):
+        run_suite(tables, {"checks": [{"type": "row_count", "name": "x",
+                                       "table": "nope", "min_rows": 1}]})
+    with pytest.raises(ValueError, match="no checks"):
+        run_suite(tables, {"checks": []})
