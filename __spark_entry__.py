@@ -824,6 +824,36 @@ def _q_suite_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_suite(tables, _SUITE_CONFIG)
 
 
+def _q_suite_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite with the drift family: chi-square + PSI of event_type between
+    the odd/even event_id halves (the same deterministic split the drift
+    contract queries use) plus a null-rate and row-count check — the full
+    north-rule check taxonomy (stats, uniqueness, referential, drift)
+    now runs from ONE declarative config."""
+    from jsonschema_spark.operators.suite import run_suite
+
+    ev = load_table(spark, sf_dir, "events")
+    tables = {
+        "events": ev.filter(F.col("event_id") % 2 == 1),
+        "events_base": ev.filter(F.col("event_id") % 2 == 0),
+    }
+    config = {
+        "checks": [
+            {"type": "drift_chi2", "name": "event_type_chi2",
+             "table": "events", "column": "event_type",
+             "baseline_table": "events_base", "max_stat": 5.0},
+            {"type": "drift_psi", "name": "event_type_psi",
+             "table": "events", "column": "event_type",
+             "baseline_table": "events_base", "max_psi": 0.05},
+            {"type": "not_null", "name": "value_set", "table": "events",
+             "column": "value", "max_null_rate": 0.01},
+            {"type": "row_count", "name": "events_nonempty",
+             "table": "events", "min_rows": 100},
+        ]
+    }
+    return run_suite(tables, config)
+
+
 _GAIN_TARGET_RMS = 0.1
 _GAIN_MAX = 4.0
 
@@ -1136,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segments_transcript": _q_clips_segments_transcript,
         "clips_gain_normalize": _q_clips_gain_normalize,
         "suite_report_orders": _q_suite_report_orders,
+        "suite_report_events": _q_suite_report_events,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
         "dedup_embedding_bruteforce": _q_dedup_embedding_bruteforce,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1988,6 +2019,65 @@ def _suite_report_orders_sql() -> str:
                 f"{orphans} <= 0"),
             row("orderdate_days", "completeness_days", missing_days, 0,
                 f"{missing_days} <= 0"),
+        ]
+    )
+
+
+def _suite_report_events_sql() -> str:
+    """Drift-family suite oracle: chi2/PSI stats recomputed per category
+    (same rounding ladder as the drift oracles: round(contribution, 6),
+    sum, round(stat, 6)), plus null-rate and row-count checks."""
+
+    def row(name, ctype, metric, threshold, passed):
+        return f"""
+        SELECT '{name}' AS check_name, '{ctype}' AS check_type,
+               CAST({metric} AS DOUBLE) AS metric,
+               CAST({threshold} AS DOUBLE) AS threshold,
+               CASE WHEN {passed} THEN 'pass' ELSE 'fail' END AS status
+        """
+
+    hist = """
+        WITH cur AS (
+          SELECT event_type AS category, count(*) AS cnt
+          FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+        ), base AS (
+          SELECT event_type AS category, count(*) AS cnt
+          FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        ), j AS (
+          SELECT coalesce(c.category, b.category) AS category,
+                 coalesce(c.cnt, 0) AS cur_cnt,
+                 coalesce(b.cnt, 0) AS base_cnt
+          FROM cur c FULL OUTER JOIN base b ON c.category = b.category
+        ), t AS (
+          SELECT sum(cur_cnt) AS n_cur, sum(base_cnt) AS n_base FROM j
+        )
+    """
+    chi2 = f"""({hist}
+        SELECT round(sum(round(
+          CASE WHEN base_cnt / t.n_base * t.n_cur > 0
+               THEN pow(cur_cnt - base_cnt / t.n_base * t.n_cur, 2)
+                    / (base_cnt / t.n_base * t.n_cur)
+               WHEN cur_cnt > 0 THEN 1e308 * 10
+               ELSE 0.0 END, 6)), 6)
+        FROM j, t)"""
+    psi = f"""({hist}
+        SELECT round(sum(round(
+          (greatest(cur_cnt / t.n_cur, 1e-6) - greatest(base_cnt / t.n_base, 1e-6))
+          * ln(greatest(cur_cnt / t.n_cur, 1e-6)
+               / greatest(base_cnt / t.n_base, 1e-6)), 6)), 6)
+        FROM j, t)"""
+    null_rate = ("(SELECT CAST(sum(CASE WHEN \"value\" IS NULL THEN 1 ELSE 0 "
+                 "END) AS DOUBLE) / greatest(count(*), 1) FROM events "
+                 "WHERE event_id % 2 = 1)")
+    n_rows = "(SELECT count(*) FROM events WHERE event_id % 2 = 1)"
+    return " UNION ALL ".join(
+        [
+            row("event_type_chi2", "drift_chi2", chi2, 5.0, f"{chi2} <= 5.0"),
+            row("event_type_psi", "drift_psi", psi, 0.05, f"{psi} <= 0.05"),
+            row("value_set", "not_null", null_rate, 0.01,
+                f"{null_rate} <= 0.01"),
+            row("events_nonempty", "row_count", n_rows, 100,
+                f"{n_rows} >= 100"),
         ]
     )
 
@@ -2875,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_segments_transcript": _clips_segments_transcript_sql(),
         "clips_gain_normalize": _clips_gain_normalize_sql(),
         "suite_report_orders": _suite_report_orders_sql(),
+        "suite_report_events": _suite_report_events_sql(),
         "audio_containment_clips": _audio_containment_sql(),
         "dedup_simhash_documents": _simhash_sql(max_hamming=3),
         "dedup_embedding_lsh": _embedding_lsh_sql(threshold=0.4),

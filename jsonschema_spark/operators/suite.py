@@ -157,6 +157,38 @@ def _check_completeness_days(df: DataFrame, spec: dict) -> DataFrame:
     )(missing)
 
 
+def _check_drift_chi2(
+    df: DataFrame, spec: dict, tables: dict[str, DataFrame]
+) -> DataFrame:
+    from jsonschema_spark.operators import drift
+
+    max_stat = float(spec["max_stat"])
+    base = tables[spec["baseline_table"]]
+    agg = drift.chi_square_table(df, base, spec["column"]).agg(
+        F.round(F.sum("contribution"), 6).alias("stat")
+    )
+    metric = F.col("stat")
+    return _report_row(
+        spec["name"], "drift_chi2", metric, max_stat, metric <= max_stat
+    )(agg)
+
+
+def _check_drift_psi(
+    df: DataFrame, spec: dict, tables: dict[str, DataFrame]
+) -> DataFrame:
+    from jsonschema_spark.operators import drift
+
+    max_psi = float(spec["max_psi"])
+    base = tables[spec["baseline_table"]]
+    agg = drift.psi_table(df, base, spec["column"]).agg(
+        F.round(F.sum("contribution"), 6).alias("psi")
+    )
+    metric = F.col("psi")
+    return _report_row(
+        spec["name"], "drift_psi", metric, max_psi, metric <= max_psi
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -166,6 +198,8 @@ _CHECKS = {
     "completeness_days": lambda df, spec, tables: _check_completeness_days(
         df, spec
     ),
+    "drift_chi2": _check_drift_chi2,
+    "drift_psi": _check_drift_psi,
 }
 
 
@@ -185,11 +219,13 @@ def run_suite(
         ctype = spec.get("type")
         if ctype not in _CHECKS:
             raise ValueError(f"unknown check type: {ctype!r} in {spec.get('name')!r}")
-        if spec.get("table") not in tables:
-            raise ValueError(
-                f"check {spec.get('name')!r} references unknown table "
-                f"{spec.get('table')!r}"
-            )
+        for key in ("table", "ref_table", "baseline_table"):
+            if key in spec or key == "table":
+                if spec.get(key) not in tables:
+                    raise ValueError(
+                        f"check {spec.get('name')!r} references unknown "
+                        f"{key} {spec.get(key)!r}"
+                    )
         reports.append(_CHECKS[ctype](tables[spec["table"]], spec, tables))
     out = reports[0]
     for r in reports[1:]:

@@ -95,3 +95,36 @@ def test_suite_rejects_typos(tables):
                                        "table": "nope", "min_rows": 1}]})
     with pytest.raises(ValueError, match="no checks"):
         run_suite(tables, {"checks": []})
+
+
+def test_suite_drift_checks(spark):
+    cur = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "cat string"
+    )
+    same = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "cat string"
+    )
+    shifted = spark.createDataFrame(
+        [("a",)] * 90 + [("b",)] * 10, "cat string"
+    )
+    tables = {"cur": cur, "same": same, "shifted": shifted}
+    rep = _report(tables, [
+        {"type": "drift_chi2", "name": "no_drift", "table": "cur",
+         "column": "cat", "baseline_table": "same", "max_stat": 0.01},
+        {"type": "drift_psi", "name": "psi_same", "table": "cur",
+         "column": "cat", "baseline_table": "same", "max_psi": 0.01},
+        {"type": "drift_chi2", "name": "drifted", "table": "cur",
+         "column": "cat", "baseline_table": "shifted", "max_stat": 1.0},
+        {"type": "drift_psi", "name": "psi_drifted", "table": "cur",
+         "column": "cat", "baseline_table": "shifted", "max_psi": 0.1},
+    ])
+    assert rep["no_drift"]["status"] == "pass" and rep["no_drift"]["metric"] == 0.0
+    assert rep["psi_same"]["status"] == "pass"
+    assert rep["drifted"]["status"] == "fail" and rep["drifted"]["metric"] > 1.0
+    assert rep["psi_drifted"]["status"] == "fail"
+    # unknown baseline table fails at plan time
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown baseline_table"):
+        run_suite(tables, {"checks": [
+            {"type": "drift_psi", "name": "x", "table": "cur",
+             "column": "cat", "baseline_table": "nope", "max_psi": 0.1}]})
