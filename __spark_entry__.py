@@ -804,6 +804,11 @@ _SUITE_CONFIG = {
          "ref_keys": ["o_orderkey"]},
         {"type": "completeness_days", "name": "orderdate_days",
          "table": "orders", "column": "o_orderdate", "max_missing": 0},
+        {"type": "reconcile", "name": "orders_totalprice", "table": "orders",
+         "detail_table": "lineitem", "key": "o_orderkey",
+         "detail_key": "l_orderkey", "value": "o_totalprice",
+         "detail_amount": "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+         "rel_tol": 0.01, "max_mismatches": 0},
     ]
 }
 _SUITE_CONFIG["checks"][0]["schema"] = ORDERS_JSON_SCHEMA
@@ -2005,6 +2010,22 @@ def _suite_report_orders_sql() -> str:
         )
         SELECT count(*) FROM e WHERE d NOT IN (SELECT day FROM o)
     )"""
+    mismatches = """(
+        WITH l AS (
+          SELECT l_orderkey,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(28,6))) AS detail_total
+          FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+        ), j AS (
+          SELECT o.o_totalprice, l.detail_total,
+                 round(abs(o.o_totalprice - CAST(l.detail_total AS DOUBLE))
+                       / greatest(abs(o.o_totalprice), 1e-12), 6) AS rel_diff
+          FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderkey IS NOT NULL
+        )
+        SELECT count(*) FROM j
+        WHERE detail_total IS NULL OR o_totalprice IS NULL OR rel_diff > 0.01
+    )"""
     return " UNION ALL ".join(
         [
             row("orders_schema", "schema", schema_rate, 0.12,
@@ -2019,6 +2040,8 @@ def _suite_report_orders_sql() -> str:
                 f"{orphans} <= 0"),
             row("orderdate_days", "completeness_days", missing_days, 0,
                 f"{missing_days} <= 0"),
+            row("orders_totalprice", "reconcile", mismatches, 0,
+                f"{mismatches} <= 0"),
         ]
     )
 

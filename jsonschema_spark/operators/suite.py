@@ -189,6 +189,33 @@ def _check_drift_psi(
     )(agg)
 
 
+def _check_reconcile(
+    df: DataFrame, spec: dict, tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Header-vs-detail reconciliation as a suite check: metric = number
+    of header rows whose detail sum mismatches beyond rel_tol (or that
+    have no detail rows). ``detail_amount`` is a SQL expression string
+    evaluated on the detail table (F.expr) — config stays declarative."""
+    from jsonschema_spark.operators.reconcile import reconcile
+
+    max_mismatches = int(spec.get("max_mismatches", 0))
+    detail = tables[spec["detail_table"]]
+    mismatches = reconcile(
+        df,
+        detail,
+        spec["key"],
+        spec["detail_key"],
+        spec["value"],
+        F.expr(spec["detail_amount"]),
+        rel_tol=float(spec.get("rel_tol", 0.01)),
+    ).agg(F.count(F.lit(1)).alias("mismatches"))
+    metric = F.coalesce(F.col("mismatches"), F.lit(0))
+    return _report_row(
+        spec["name"], "reconcile", metric, max_mismatches,
+        metric <= max_mismatches,
+    )(mismatches)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -200,6 +227,7 @@ _CHECKS = {
     ),
     "drift_chi2": _check_drift_chi2,
     "drift_psi": _check_drift_psi,
+    "reconcile": _check_reconcile,
 }
 
 
@@ -219,7 +247,7 @@ def run_suite(
         ctype = spec.get("type")
         if ctype not in _CHECKS:
             raise ValueError(f"unknown check type: {ctype!r} in {spec.get('name')!r}")
-        for key in ("table", "ref_table", "baseline_table"):
+        for key in ("table", "ref_table", "baseline_table", "detail_table"):
             if key in spec or key == "table":
                 if spec.get(key) not in tables:
                     raise ValueError(

@@ -128,3 +128,25 @@ def test_suite_drift_checks(spark):
         run_suite(tables, {"checks": [
             {"type": "drift_psi", "name": "x", "table": "cur",
              "column": "cat", "baseline_table": "nope", "max_psi": 0.1}]})
+
+
+def test_suite_reconcile_check(spark):
+    head = spark.createDataFrame(
+        [(1, 30.0), (2, 50.0), (3, 10.0)], "k long, total double"
+    )
+    detail = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 49.0)], "fk long, amt double"
+    )  # key 2 mismatches (49 vs 50 at 1%: 0.02 > 0.01); key 3 has no details
+    tables = {"head": head, "detail": detail}
+    rep = _report(tables, [
+        {"type": "reconcile", "name": "totals", "table": "head",
+         "detail_table": "detail", "key": "k", "detail_key": "fk",
+         "value": "total", "detail_amount": "amt"},
+        {"type": "reconcile", "name": "totals_lenient", "table": "head",
+         "detail_table": "detail", "key": "k", "detail_key": "fk",
+         "value": "total", "detail_amount": "amt", "rel_tol": 0.05,
+         "max_mismatches": 1},
+    ])
+    assert rep["totals"]["status"] == "fail" and rep["totals"]["metric"] == 2
+    assert rep["totals_lenient"]["status"] == "pass"
+    assert rep["totals_lenient"]["metric"] == 1  # only the missing-detail key
