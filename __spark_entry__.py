@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsonschema_spark.functions.audio import audio_snr_ok
+from jsonschema_spark.operators import decontaminate
 from jsonschema_spark.operators import dedup, drift, referential, similarity, stats
 from jsonschema_spark.operators import text as text_ops
 from jsonschema_spark.operators import uniqueness
@@ -667,6 +668,20 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report. The 'benchmark' is derived from the
+    corpus itself — an 8-token prompt window (tokens 3..10) from every 17th
+    document — so planted contamination is known by construction: each
+    prompt's source doc overlaps it, plus genuine cross-doc collisions.
+    Returns only flagged docs (>=1 shared 5-gram with the benchmark)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.array_join(F.slice(text_ops.tokens(F.col("text")), 3, 8), " ").alias("text")
+    )
+    rep = decontaminate.contamination_report(docs, bench, n=5)
+    return rep.filter(F.col("contaminated_ngrams") > 0)
+
+
 _NEARDUP_N = 400
 
 
@@ -1161,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
+        "decontaminate_documents": _q_decontaminate_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_audio_clips": _q_dedup_audio_clips,
         "audio_containment_clips": _q_audio_containment_clips,
@@ -1615,6 +1631,36 @@ def _jaccard_sql() -> str:
       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
     ) WHERE jaccard >= 0.1
+    """
+
+
+def _decontaminate_sql() -> str:
+    """DuckDB replay of the benchmark-decontamination report: the benchmark
+    is tokens 3..10 of every 17th doc; grams are distinct word 5-grams on
+    both sides; contaminated = doc grams present in the benchmark set."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents
+    ), bgrams AS (
+      SELECT DISTINCT unnest(
+        list_transform(range(1, greatest(len(bt) - 4, 0) + 1),
+                       i -> array_to_string(bt[i:i+4], ' '))) AS g
+      FROM (SELECT string_split(array_to_string(t[3:10], ' '), ' ') AS bt
+            FROM toks WHERE doc_id % 17 = 0)
+    ), dgrams AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                       i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+    )
+    SELECT d.doc_id,
+           CAST(count(d.g) AS BIGINT) AS total_ngrams,
+           CAST(count(b.g) AS BIGINT) AS contaminated_ngrams,
+           round(count(b.g) / CAST(greatest(count(d.g), 1) AS DOUBLE), 6)
+             AS contamination
+    FROM dgrams d LEFT JOIN bgrams b ON d.g = b.g
+    GROUP BY d.doc_id
+    HAVING count(b.g) > 0
     """
 
 
@@ -2979,6 +3025,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_documents": _jaccard_sql(),
         "dedup_clusters_documents": _clusters_sql(),
+        "decontaminate_documents": _decontaminate_sql(),
         "dedup_minhash_documents": _minhash_sql(threshold=0.5),
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
