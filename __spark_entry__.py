@@ -668,6 +668,26 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, 4-token overlap. One
+    projection + one generate, zero shuffles; the token array is
+    materialized before the explode (project-collapsing guard)."""
+    from jsonschema_spark.operators import chunk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk.chunk_documents(docs, chunk_tokens=32, overlap=4)
+
+
+def _q_pack_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing attribution: per-source concat-and-chunk with a
+    2000-char budget — offset, first/last training sequence, straddle
+    count per doc. One window per source group, no global sort."""
+    from jsonschema_spark.operators import chunk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk.pack_plan(docs, budget=2000, weight_col="n_chars")
+
+
 def _q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination report. The 'benchmark' is derived from the
     corpus itself — an 8-token prompt window (tokens 3..10) from every 17th
@@ -1177,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "decontaminate_documents": _q_decontaminate_documents,
+        "chunk_documents": _q_chunk_documents,
+        "pack_plan_documents": _q_pack_plan_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_audio_clips": _q_dedup_audio_clips,
         "audio_containment_clips": _q_audio_containment_clips,
@@ -3026,6 +3048,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_documents": _jaccard_sql(),
         "dedup_clusters_documents": _clusters_sql(),
         "decontaminate_documents": _decontaminate_sql(),
+        "chunk_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents
+            ), ch AS (
+              SELECT doc_id, t,
+                     unnest(range(0, CASE WHEN len(t) <= 32 THEN 1
+                       ELSE 1 + (len(t) - 32 + 27) // 28 END)) AS chunk_idx
+              FROM toks
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(t[chunk_idx*28+1 : chunk_idx*28+32]) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(t[chunk_idx*28+1 : chunk_idx*28+32], ' ')
+                     AS chunk_text
+            FROM ch
+        """,
+        "pack_plan_documents": """
+            WITH h AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+                     COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+                       PARTITION BY source ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS off
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            ), p AS (
+              SELECT doc_id, source, weight, off,
+                     off // 2000 AS pack_first,
+                     CASE WHEN weight > 0 THEN (off + weight - 1) // 2000
+                          ELSE off // 2000 END AS pack_last
+              FROM h
+            )
+            SELECT doc_id, source, weight, off AS "offset", pack_first,
+                   pack_last, pack_last - pack_first + 1 AS n_packs
+            FROM p
+        """,
         "dedup_minhash_documents": _minhash_sql(threshold=0.5),
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),

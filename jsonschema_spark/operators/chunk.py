@@ -1,0 +1,121 @@
+"""Context-window operators for LLM training-data pipelines: split long
+documents into fixed token windows (chunking) and attribute documents to
+packed training sequences (GPT-style concat-and-chunk packing).
+
+Reference parity note: the reference engine (mark-hartmann/jsonschema) has
+no corpus operators — this is training-data-pipeline surface layered on the
+validation engine, like dedup/sampling/decontaminate.
+
+Scale shape:
+  * ``chunk_documents`` is a single projection + generate (explode of a
+    chunk-index sequence) — no shuffle at all; output rows ~= input tokens
+    / stride, embarrassingly parallel at 10^12 docs.  The token array is
+    materialized in its own projection BEFORE the explode so Catalyst's
+    project collapsing cannot re-run ``split`` once per chunk row.
+  * ``pack_plan`` is one window function per partition group (source,
+    shard, ...). Each group sorts independently — the classic "pack within
+    bucket" layout — so parallelism = number of groups and no global sort
+    ever happens. Use a hash bucket column for corpora without a natural
+    grouping.
+
+Everything is pure Column algebra (codegen'd, no Python), with integer
+arithmetic chosen so a DuckDB oracle reproduces each value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed token windows with overlap: (id_col, chunk_idx, n_tokens,
+    chunk_text), one row per window.
+
+    Window i covers tokens [i*stride, i*stride + chunk_tokens) of the
+    normalized token stream, stride = chunk_tokens - overlap. A document
+    with n <= chunk_tokens tokens yields exactly one (possibly short)
+    chunk; otherwise 1 + ceil((n - chunk_tokens) / stride) chunks, the
+    last one shorter. Concatenating chunks at stride offsets reproduces
+    the token stream exactly (overlap regions duplicated by design).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # own projection: the token array must be materialized before the
+    # generate below, or project collapsing re-runs split() per chunk row
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.floor((F.col("_n") - chunk_tokens + stride - 1) / F.lit(stride)))
+    )
+    ch = t.select(
+        F.col(id_col),
+        "_t",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks.cast("bigint") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    piece = F.slice(F.col("_t"), (F.col("chunk_idx") * stride + 1).cast("int"), chunk_tokens)
+    return ch.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_plan(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk packing attribution: which training sequences does
+    each document land in?
+
+    Documents are laid end-to-end per ``group_col`` in ascending ``id_col``
+    order; training sequence w of a group covers weight span
+    [w*budget, (w+1)*budget). Returns per document:
+
+      offset      cumulative weight of all earlier docs in the group
+      pack_first  floor(offset / budget) — first sequence touched
+      pack_last   floor((offset + weight - 1) / budget) — last sequence
+      n_packs     pack_last - pack_first + 1 (straddle count)
+
+    This is the standard GPT-style packing (documents may straddle window
+    boundaries); n_packs > 1 rows are exactly the boundary-crossing docs.
+    Zero-weight docs sit at their offset with n_packs = 1. NULL ids or
+    weights are excluded (they have no deterministic position).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = F.col(weight_col).cast("long")
+    off = F.coalesce(F.sum(wt).over(w), F.lit(0).cast("long"))
+    first = F.floor(off / F.lit(budget))
+    last = F.when(wt > 0, F.floor((off + wt - 1) / F.lit(budget))).otherwise(first)
+    return (
+        df.where(F.col(id_col).isNotNull() & F.col(weight_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            wt.alias("weight"),
+            off.alias("offset"),
+            first.alias("pack_first"),
+            last.alias("pack_last"),
+            (last - first + 1).alias("n_packs"),
+        )
+    )
