@@ -668,6 +668,55 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over a deterministically PII-planted
+    corpus: residue classes of doc_id get an email / IPv4 / phone / long
+    digit run appended (both engines rebuild the identical text), then the
+    report counts each family and md5's the redacted output — so the
+    oracle checks detection AND the exact redacted bytes."""
+    from jsonschema_spark.operators import pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):  # noqa: ANN001
+        return c.cast("string")
+
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), s(d), F.lit("@example"), s(d % 3), F.lit(".com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" from 10."), s(d % 256), F.lit(".0."), s((d * 3) % 256)),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" tel +1 555-01"), F.lpad(s(d % 100), 2, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0, F.concat(F.lit(" acct "), F.lpad(s(d), 10, "0"))
+            ).otherwise(F.lit("")),
+        ),
+    )
+    rep = pii.pii_report(planted)
+    return rep.filter(F.col("pii_total") > 0).select(
+        "doc_id",
+        "emails",
+        "phones",
+        "ipv4s",
+        "digit_runs",
+        "pii_total",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 32-token windows, 4-token overlap. One
     projection + one generate, zero shuffles; the token array is
@@ -1198,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "decontaminate_documents": _q_decontaminate_documents,
         "chunk_documents": _q_chunk_documents,
+        "pii_documents": _q_pii_documents,
         "pack_plan_documents": _q_pack_plan_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
         "dedup_audio_clips": _q_dedup_audio_clips,
@@ -1653,6 +1703,49 @@ def _jaccard_sql() -> str:
       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
     ) WHERE jaccard >= 0.1
+    """
+
+
+def _pii_sql() -> str:
+    """DuckDB replay of the PII report over the same planted corpus: the
+    pattern constants are injected verbatim (RE2 ∩ Java subset), counts via
+    regexp_extract_all, redaction via chained regexp_replace(..., 'g')."""
+    from jsonschema_spark.operators.pii import DIGIT_RUN, EMAIL, IPV4, PHONE
+
+    red = "t"
+    for pat, repl in (
+        (EMAIL, "<EMAIL>"),
+        (PHONE, "<PHONE>"),
+        (IPV4, "<IP>"),
+        (DIGIT_RUN, "<NUM>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example' || CAST(doc_id % 3 AS VARCHAR) || '.com' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN ' tel +1 555-01'
+             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0 THEN ' acct '
+             || lpad(CAST(doc_id AS VARCHAR), 10, '0') ELSE '' END
+        AS t
+      FROM documents
+    ), rep AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '{EMAIL}')) AS BIGINT) AS emails,
+        CAST(len(regexp_extract_all(t, '{PHONE}')) AS BIGINT) AS phones,
+        CAST(len(regexp_extract_all(t, '{IPV4}')) AS BIGINT) AS ipv4s,
+        CAST(len(regexp_extract_all(t, '{DIGIT_RUN}')) AS BIGINT) AS digit_runs,
+        md5({red}) AS redacted_md5
+      FROM planted
+    )
+    SELECT doc_id, emails, phones, ipv4s, digit_runs,
+           emails + phones + ipv4s + digit_runs AS pii_total, redacted_md5
+    FROM rep WHERE emails + phones + ipv4s + digit_runs > 0
     """
 
 
@@ -3048,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_documents": _jaccard_sql(),
         "dedup_clusters_documents": _clusters_sql(),
         "decontaminate_documents": _decontaminate_sql(),
+        "pii_documents": _pii_sql(),
         "chunk_documents": f"""
             WITH toks AS (
               SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM documents
