@@ -251,6 +251,43 @@ def _q_sample_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", "source", "n_chars")
 
 
+_MIX_BUDGET = 120_000  # char-mass budget for the temperature-mixing queries
+
+
+def _q_mixture_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature corpus-mixing plan (alpha=0.5 sqrt sampling over
+    sources, n_chars mass): per-source mass, integer-scaled weight,
+    mixture share, capped sampling rate. The normalizer sums INTEGER
+    weights floor(sqrt(n)*2^20) so summation order cannot perturb it;
+    sqrt / * 2^20 / floor / divide are all correctly-rounded IEEE ops, so
+    DuckDB reproduces every double bit-for-bit."""
+    from jsonschema_spark.operators.sampling import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, "source", _MIX_BUDGET, weight_col="n_chars", alpha=0.5)
+    return plan.select(
+        "stratum",
+        "n",
+        "w_scaled",
+        F.round("mix_p", 9).alias("mix_p"),
+        F.round("rate", 9).alias("rate"),
+    )
+
+
+def _q_mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the temperature mixture: deterministic md5-hash membership at
+    each source's alpha=0.5 rate. The oracle recomputes the exact rate AND
+    the md5_60 uniform per doc, so the sampled id set must match row for
+    row."""
+    from jsonschema_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = mixture_sample(
+        docs, "doc_id", "source", _MIX_BUDGET, weight_col="n_chars", seed="mx1"
+    )
+    return s.select("doc_id", "source", "n_chars")
+
+
 def _q_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table reconciliation: o_totalprice vs the summed lineitem
     amount per order. Amounts are cast to DECIMAL(28,6) before summing so
@@ -735,6 +772,44 @@ def _q_pack_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk.pack_plan(docs, budget=2000, weight_col="n_chars")
+
+
+# 16-token boilerplate headers planted for the block-dedup contract query —
+# both engines rebuild the identical text, so removal counts and the md5 of
+# every cleaned document are known by construction.
+_BOILER_A = (
+    "subscribe to our newsletter follow us on social media"
+    " all rights reserved terms of service apply"
+)
+_BOILER_B = (
+    "cookie notice we use cookies to improve your experience"
+    " accept all cookies or manage preferences here"
+)
+
+
+def _q_boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: 16-token blocks, blocks occurring in
+    >=5 distinct docs removed, survivors reassembled in order. Headers A/B
+    (16 tokens each) are prepended to doc_id % 3 / % 4 residue classes so
+    they align to whole blocks; the word-soup remainder is unique per doc.
+    The oracle hash-matches block counts AND the md5 of every cleaned
+    document (string_agg replay of the filtered, ordered block list)."""
+    from jsonschema_spark.operators import boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.when(d % 3 == 0, F.lit(_BOILER_A + " ")).otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.lit(_BOILER_B + " ")).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = boilerplate.remove_common_blocks(planted, block_tokens=16, min_doc_freq=5)
+    return out.select(
+        "doc_id", "n_blocks", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
 
 
 def _q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents_stratified": _q_sample_documents_stratified,
         "sample_documents_token_budget": _q_sample_documents_token_budget,
         "sample_documents_weighted": _q_sample_documents_weighted,
+        "mixture_plan_documents": _q_mixture_plan_documents,
+        "mixture_sample_documents": _q_mixture_sample_documents,
         "quantiles_lineitem": _q_quantiles_lineitem,
         "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
@@ -1247,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _q_dedup_clusters_documents,
         "decontaminate_documents": _q_decontaminate_documents,
         "chunk_documents": _q_chunk_documents,
+        "boilerplate_documents": _q_boilerplate_documents,
         "pii_documents": _q_pii_documents,
         "pack_plan_documents": _q_pack_plan_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
@@ -1503,6 +1581,19 @@ def _orders_summary_by_status_sql() -> str:
 
 
 _TEXT_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# shared CTE prefix for the temperature-mixing oracles: per-source char
+# mass, integer-scaled sqrt weight (floor(sqrt(n)*2^20) — exact in both
+# engines), and the order-independent integer normalizer
+_MIX_PLAN_CTE = """WITH mixs AS (
+              SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS n
+              FROM documents WHERE source IS NOT NULL GROUP BY source
+            ), mixw AS (
+              SELECT stratum, n,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)
+                       AS w_scaled
+              FROM mixs
+            ), mixt AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tot FROM mixw)"""
 _STOPWORDS_SQL = "('the','a','and','of','to','in','is','it','on','for')"
 
 
@@ -2955,6 +3046,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars FROM h WHERE running <= 4000
         """,
+        "mixture_plan_documents": f"""
+            {_MIX_PLAN_CTE}
+            SELECT stratum, n, w_scaled,
+                   round(CAST(w_scaled AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS mix_p,
+                   round(least(1.0, CAST({float(_MIX_BUDGET)} AS DOUBLE)
+                               * CAST(w_scaled AS DOUBLE) / CAST(tot AS DOUBLE)
+                               / CAST(n AS DOUBLE)), 9) AS rate
+            FROM mixw, mixt
+        """,
+        "mixture_sample_documents": f"""
+            {_MIX_PLAN_CTE}, mixr AS (
+              SELECT stratum,
+                     least(1.0, CAST({float(_MIX_BUDGET)} AS DOUBLE)
+                           * CAST(w_scaled AS DOUBLE) / CAST(tot AS DOUBLE)
+                           / CAST(n AS DOUBLE)) AS rate
+              FROM mixw, mixt
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN mixr ON d.source = mixr.stratum
+            WHERE d.doc_id IS NOT NULL
+              AND ('0x' || substr(md5('mx1' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+                < mixr.rate
+        """,
         "sample_documents_weighted": """
             WITH h AS (
               SELECT doc_id, source, n_chars,
@@ -3157,6 +3272,37 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[chunk_idx*28+1 : chunk_idx*28+32], ' ')
                      AS chunk_text
             FROM ch
+        """,
+        "boilerplate_documents": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_A} ' ELSE '' END ||
+                     CASE WHEN doc_id % 4 = 0 THEN '{_BOILER_B} ' ELSE '' END ||
+                     text AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM planted
+            ), ch AS (
+              SELECT doc_id, t,
+                     unnest(range(0, CASE WHEN len(t) <= 16 THEN 1
+                       ELSE 1 + (len(t) - 16 + 15) // 16 END)) AS chunk_idx
+              FROM toks
+            ), b AS (
+              SELECT doc_id, chunk_idx,
+                     array_to_string(t[chunk_idx*16+1 : chunk_idx*16+16], ' ') AS bt
+              FROM ch
+            ), freq AS (
+              SELECT md5(bt) AS h, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY 1
+            ), f AS (
+              SELECT b.doc_id, b.chunk_idx, b.bt, (freq.df >= 5) AS c
+              FROM b JOIN freq ON md5(b.bt) = freq.h
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   md5(COALESCE(string_agg(CASE WHEN NOT c THEN bt END, ' '
+                                           ORDER BY chunk_idx), '')) AS clean_md5
+            FROM f GROUP BY doc_id
         """,
         "pack_plan_documents": """
             WITH h AS (

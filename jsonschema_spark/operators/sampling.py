@@ -169,3 +169,101 @@ def sample_report(
     if weight_col:
         fills["weight_kept"] = 0
     return out.fillna(fills).orderBy("stratum")
+
+
+MIX_SCALE = 1 << 20  # integer weight scaling: floor(n^alpha * 2^20)
+
+
+def _alpha_weight(n: Column, alpha: float, scale: int) -> Column:
+    """Integer-scaled stratum weight floor(n^alpha * scale) as BIGINT.
+
+    alpha in {0.0, 0.5, 1.0} uses only correctly-rounded IEEE ops (sqrt,
+    multiply-by-power-of-two is exponent-shift-exact, floor), so DuckDB
+    reproduces the value bit-for-bit. Other alphas go through pow, which
+    is NOT correctly rounded — fine inside Spark, excluded from oracles.
+    """
+    if alpha == 0.5:
+        return F.floor(F.sqrt(n.cast("double")) * F.lit(float(scale))).cast("long")
+    if alpha == 1.0:
+        return (n.cast("long") * F.lit(int(scale))).cast("long")
+    if alpha == 0.0:
+        return F.when(n > 0, F.lit(int(scale))).otherwise(F.lit(0)).cast("long")
+    return F.floor(
+        F.pow(n.cast("double"), F.lit(float(alpha))) * F.lit(float(scale))
+    ).cast("long")
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    budget: int,
+    weight_col: Optional[str] = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based corpus mixing plan (the GPT-3 / PaLM / multilingual
+    alpha-sampling step): per-stratum mass n_s (row count, or sum of
+    ``weight_col``), mixture share p_s = n_s^alpha / sum(n_t^alpha), and the
+    deterministic per-stratum sampling rate that hits a total ``budget`` of
+    mass with that mixture:
+
+        rate_s = min(1, budget * p_s / n_s)
+
+    alpha < 1 up-weights small strata (alpha=0.5 is the classic sqrt
+    temperature; alpha=0 is uniform-over-strata; alpha=1 is proportional =
+    no rebalancing). Rates cap at 1 — a stratum smaller than its mixture
+    allocation contributes everything it has (no upsampling here; epochs >
+    1 is the trainer's job).
+
+    Scale shape: one groupBy on the strata column (tiny output — strata are
+    sources/languages), one scalar aggregate for the normalizer, one
+    broadcast-sized cross join. The normalizer sums INTEGER-scaled weights
+    (floor(n^alpha * 2^20)), so summation order cannot perturb the result —
+    that is what keeps the whole plan engine-exact for oracle replay.
+    NULL strata are excluded (no identity to allocate to).
+    """
+    mass = (
+        F.sum(F.col(weight_col).cast("long")) if weight_col else F.count(F.lit(1))
+    ).cast("long")
+    plan = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(mass.alias("n"))
+        .withColumn("w_scaled", _alpha_weight(F.col("n"), alpha, MIX_SCALE))
+    )
+    tot = plan.agg(F.sum("w_scaled").alias("_tot"))
+    mix_p = F.col("w_scaled").cast("double") / F.col("_tot").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(int(budget)))
+        * F.col("w_scaled").cast("double")
+        / F.col("_tot").cast("double")
+        / F.col("n").cast("double"),
+    )
+    return plan.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n", "w_scaled", mix_p.alias("mix_p"), rate.alias("rate")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    budget: int,
+    weight_col: Optional[str] = None,
+    alpha: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Apply a ``mixture_plan``: deterministic hash sampling at each
+    stratum's temperature rate. Membership is u(seed|key) < rate_s — a pure
+    function of (seed, key, corpus composition), re-run-stable and
+    auditable. The plan side is tiny (one row per stratum) so AQE
+    broadcasts the join; the corpus is never shuffled."""
+    plan = mixture_plan(df, strata_col, budget, weight_col, alpha).select(
+        F.col("stratum").alias(strata_col), "rate"
+    )
+    return (
+        df.where(F.col(key_col).isNotNull() & F.col(strata_col).isNotNull())
+        .join(plan, strata_col)
+        .where(sample_uniform(F.col(key_col), seed) < F.col("rate"))
+        .drop("rate")
+    )

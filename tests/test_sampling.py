@@ -140,3 +140,55 @@ def test_weighted_sample_excludes_bad_weights(spark):
         [(1, 10), (2, 0), (3, None), (None, 10)], "id long, w long"
     )
     assert [r["id"] for r in weighted_sample(df, "id", "w", 10).collect()] == [1]
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def test_mixture_plan_alpha_half_upweights_small(docs):
+    from jsonschema_spark.operators.sampling import mixture_plan
+
+    plan = {r["stratum"]: r for r in mixture_plan(docs, "lang", budget=100).collect()}
+    # en has ~2x the rows of de; sqrt temperature gives de a mixture share
+    # ABOVE its mass share and en below
+    n_en, n_de = plan["en"]["n"], plan["de"]["n"]
+    assert n_en > n_de
+    assert plan["de"]["mix_p"] > n_de / (n_en + n_de)
+    assert plan["en"]["mix_p"] < n_en / (n_en + n_de)
+    assert abs(plan["en"]["mix_p"] + plan["de"]["mix_p"] - 1.0) < 1e-9
+
+
+def test_mixture_plan_alpha_one_is_proportional(docs):
+    from jsonschema_spark.operators.sampling import mixture_plan
+
+    plan = {r["stratum"]: r for r in mixture_plan(docs, "lang", 100, alpha=1.0).collect()}
+    n_en, n_de = plan["en"]["n"], plan["de"]["n"]
+    assert abs(plan["en"]["mix_p"] - n_en / (n_en + n_de)) < 1e-12
+    # expected kept mass = budget * p; rate = budget * p / n
+    assert abs(plan["en"]["rate"] - 100 * plan["en"]["mix_p"] / n_en) < 1e-12
+
+
+def test_mixture_plan_rate_caps_at_one(docs):
+    from jsonschema_spark.operators.sampling import mixture_plan
+
+    plan = mixture_plan(docs, "lang", budget=10**9).collect()
+    assert all(r["rate"] == 1.0 for r in plan)
+
+
+def test_mixture_sample_hits_budget_and_is_deterministic(docs):
+    from jsonschema_spark.operators.sampling import mixture_sample
+
+    a = {r["doc_id"] for r in mixture_sample(docs, "doc_id", "lang", 200, seed="m").collect()}
+    b = {r["doc_id"] for r in mixture_sample(docs, "doc_id", "lang", 200, seed="m").collect()}
+    assert a == b
+    assert None not in a
+    assert 140 < len(a) < 260  # binomial around 200 total
+
+
+def test_mixture_sample_weighted_mass(docs):
+    """Weighted mixture: budget counts n_chars mass, not rows."""
+    from jsonschema_spark.operators.sampling import mixture_sample
+
+    s = mixture_sample(docs, "doc_id", "lang", 20000, weight_col="n_chars", seed="m")
+    kept_mass = s.agg(F.sum("n_chars")).collect()[0][0]
+    assert 12000 < kept_mass < 28000
