@@ -325,6 +325,62 @@ def q_cosine_topk(spark: SparkSession):
     return similarity.cosine_topk(emb, queries_df, k=10).collect()
 
 
+def q_hygiene_suite(spark: SparkSession):
+    """Training-data hygiene sweep over documents at SF_DIR: benchmark
+    decontamination (corpus-derived prompt set), PII detect+redact, and
+    boilerplate block-dedup — three scans, one groupBy-on-md5 shuffle
+    (boilerplate), everything else codegen'd projections."""
+    from jsonschema_spark.operators import boilerplate, decontaminate, pii
+    from jsonschema_spark.operators.text import tokens
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.array_join(F.slice(tokens(F.col("text")), 3, 8), " ").alias("text")
+    )
+    a = (
+        decontaminate.contamination_report(docs, bench_set, n=5)
+        .agg(F.count(F.lit(1)), F.sum("contaminated_ngrams"))
+        .collect()
+    )
+    b = pii.pii_report(docs).agg(F.sum("pii_total"), F.count(F.lit(1))).collect()
+    c = (
+        boilerplate.remove_common_blocks(docs, block_tokens=16, min_doc_freq=5)
+        .agg(F.sum("n_removed"), F.sum(F.length("clean_text")))
+        .collect()
+    )
+    return a + b + c
+
+
+def q_chunk_pack(spark: SparkSession):
+    """Context-window chunking (32-token windows, overlap 4; zero-shuffle
+    generate) + packing attribution (per-source window)."""
+    from jsonschema_spark.operators import chunk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = (
+        chunk.chunk_documents(docs, chunk_tokens=32, overlap=4)
+        .agg(F.count(F.lit(1)), F.sum("n_tokens"))
+        .collect()
+    )
+    b = (
+        chunk.pack_plan(docs, budget=2000, weight_col="n_chars")
+        .agg(F.max("pack_last"), F.sum("n_packs"))
+        .collect()
+    )
+    return a + b
+
+
+def q_mixture_sample(spark: SparkSession):
+    """Temperature corpus mixing: alpha=0.5 plan over sources + md5-hash
+    membership at each stratum's rate (one tiny groupBy + broadcast join +
+    row-local filter)."""
+    from jsonschema_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    s = mixture_sample(docs, "doc_id", "source", 120_000, weight_col="n_chars")
+    return s.agg(F.count(F.lit(1)), F.sum("n_chars")).collect()
+
+
 QUERIES = {
     "clips_validate": q_clips_validate,
     "clips_uniqueness": q_clips_uniqueness,
@@ -352,6 +408,9 @@ QUERIES = {
     "reconcile": q_reconcile,
     "sample_token_budget": q_sample_token_budget,
     "clips_normalize": q_clips_normalize,
+    "hygiene_suite": q_hygiene_suite,
+    "chunk_pack": q_chunk_pack,
+    "mixture_sample": q_mixture_sample,
 }
 
 

@@ -76,6 +76,10 @@ def curate(
     output: str | None = None,
     near_dedup_policy: str = "pairs",
     near_dup_method: str = "minhash",
+    boilerplate_min_doc_freq: int | None = None,
+    mix_budget: int | None = None,
+    mix_alpha: float = 0.5,
+    mix_strata: str = "source",
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -112,13 +116,42 @@ def curate(
     n_low_quality = funnel["n_valid"] - funnel["n_gated"]
     gated = profiled.filter(F.col("_valid") & gate)
 
+    # optional block-level boilerplate removal BEFORE exact dedup: stripping
+    # shared chrome makes near-identical docs exactly equal, so the cheap
+    # fingerprint stage catches what would otherwise need MinHash. The
+    # cleaned text replaces `text`; the fingerprint is recomputed; docs
+    # that fall under min_tokens after cleaning are re-gated out.
+    n_boiler_blocks = 0
+    n_boiler_gated = 0
+    if boilerplate_min_doc_freq:
+        from jsonschema_spark.operators import boilerplate
+
+        bp = boilerplate.remove_common_blocks(
+            gated.select("doc_id", "text"),
+            block_tokens=16,
+            min_doc_freq=boilerplate_min_doc_freq,
+        ).persist()
+        n_boiler_blocks = bp.agg(F.sum("n_removed")).collect()[0][0] or 0
+        cleaned = gated.drop("text", "fingerprint", "token_count").join(
+            bp.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        )
+        regated = cleaned.select(
+            "*",
+            text_ops.token_count(F.col("text")).alias("token_count"),
+            text_ops.fingerprint(F.col("text")).alias("fingerprint"),
+        ).filter(F.col("token_count") >= min_tokens)
+        n_after = regated.count()
+        n_boiler_gated = n_input - n_invalid - n_low_quality - n_after
+        gated = regated
+
     # exact dedup: one survivor per content fingerprint (min doc_id), as an
     # aggregate + semi-join — no global window, shuffle keyed by fingerprint
     survivors = (
         gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     )
     exact = gated.join(survivors, ["fingerprint", "doc_id"], "left_semi")
-    n_exact_removed = n_input - n_invalid - n_low_quality - exact.count()
+    pool = n_input - n_invalid - n_low_quality - n_boiler_gated
+    n_exact_removed = pool - exact.count()
 
     # near-dedup pair generation: MinHash LSH (sub-quadratic scale default,
     # candidates verified by exact Jaccard) or the exact shingle inverted
@@ -146,9 +179,25 @@ def curate(
     else:
         raise ValueError(f"unknown near_dedup_policy: {near_dedup_policy!r}")
     curated = exact.join(drop_ids, "doc_id", "left_anti")
-    n_near_removed = (
-        n_input - n_invalid - n_low_quality - n_exact_removed - curated.count()
-    )
+    n_near_removed = pool - n_exact_removed - curated.count()
+
+    # optional temperature mixing as the final stage: rebalance the CLEAN,
+    # DEDUPED corpus (mixing before dedup would let duplicate mass distort
+    # the per-stratum allocation)
+    n_mix_removed = 0
+    if mix_budget:
+        from jsonschema_spark.operators.sampling import mixture_sample
+
+        mixed = mixture_sample(
+            curated,
+            "doc_id",
+            mix_strata,
+            mix_budget,
+            weight_col="token_count",
+            alpha=mix_alpha,
+        )
+        n_mix_removed = pool - n_exact_removed - n_near_removed - mixed.count()
+        curated = mixed
 
     by_lang = {
         r["lang_pred"]: r["cnt"]
@@ -162,13 +211,18 @@ def curate(
     # the cache. Callers that iterate over the returned plan further should
     # persist the result themselves.
     profiled.unpersist()
+    if boilerplate_min_doc_freq:
+        bp.unpersist()
     stats = {
         "input_rows": n_input,
         "schema_invalid": n_invalid,
         "low_quality": n_low_quality,
+        "boilerplate_blocks_removed": int(n_boiler_blocks),
+        "boilerplate_regated": n_boiler_gated,
         "exact_dups_removed": n_exact_removed,
         "near_dups_removed": n_near_removed,
-        "output_rows": n_input - n_invalid - n_low_quality - n_exact_removed - n_near_removed,
+        "mixture_removed": n_mix_removed,
+        "output_rows": pool - n_exact_removed - n_near_removed - n_mix_removed,
         "by_lang_pred": by_lang,
     }
     return curated, stats
@@ -192,6 +246,15 @@ def main(argv=None) -> int:
                    help="'pairs': drop the larger id of each verified pair "
                         "(single-pass); 'clusters': connected-components "
                         "transitive closure, one survivor per cluster")
+    p.add_argument("--boilerplate-min-doc-freq", type=int, default=None,
+                   help="enable block-level boilerplate removal before "
+                        "exact dedup: drop 16-token blocks occurring in "
+                        ">= N distinct docs (off by default)")
+    p.add_argument("--mix-budget", type=int, default=None,
+                   help="enable temperature mixing as the final stage: "
+                        "token-mass budget for the alpha-sampled output")
+    p.add_argument("--mix-alpha", type=float, default=0.5)
+    p.add_argument("--mix-strata", default="source")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -220,6 +283,10 @@ def main(argv=None) -> int:
         output=args.output,
         near_dedup_policy=args.near_dedup_policy,
         near_dup_method=args.near_dup_method,
+        boilerplate_min_doc_freq=args.boilerplate_min_doc_freq,
+        mix_budget=args.mix_budget,
+        mix_alpha=args.mix_alpha,
+        mix_strata=args.mix_strata,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -116,3 +116,72 @@ def test_curate_cluster_policy_collapses_transitive_chains(spark):
     ids_cl = sorted(r.doc_id for r in curated_cl.select("doc_id").collect())
     assert ids_cl == [1]
     assert sc["near_dups_removed"] == 2
+
+
+BOILER = (
+    "subscribe to our newsletter follow us on social media"
+    " all rights reserved terms of service apply"
+)  # exactly 16 tokens -> one whole block at block_tokens=16
+
+
+def test_curate_boilerplate_stage_unmasks_exact_dups(spark):
+    """Two docs identical except for a shared boilerplate header are NOT
+    exact dups raw; with the block-dedup stage on, the header is stripped
+    (it occurs in >= 3 docs) and the exact fingerprint stage catches them."""
+    rows = [
+        _doc(1, BOILER + " " + BASE + " alpha"),
+        _doc(2, BASE + " alpha"),                   # same body, no header
+        _doc(3, BOILER + " completely different tiny text about ships and"
+                " harbors sailing beyond the far horizon every morning"),
+        _doc(4, BOILER + " another unique body of words describing careful"
+                " meticulous gardening on sunny spring afternoons outside"),
+    ]
+    docs = spark.createDataFrame(rows)
+    # without the stage: no exact dups (header differs), near-dup catches it
+    _c0, s0 = curate(docs, quality_min=0.0, min_tokens=1, jaccard_threshold=0.9)
+    assert s0["exact_dups_removed"] == 0
+    # with the stage: header stripped from 1/3/4 -> doc 1 == doc 2 exactly
+    c1, s1 = curate(docs, quality_min=0.0, min_tokens=1, jaccard_threshold=0.9,
+                    boilerplate_min_doc_freq=3)
+    assert s1["boilerplate_blocks_removed"] == 3
+    assert s1["exact_dups_removed"] == 1
+    ids = sorted(r.doc_id for r in c1.select("doc_id").collect())
+    assert ids == [1, 3, 4]
+    # the surviving text is the CLEANED text
+    kept1 = c1.filter("doc_id = 1").select("text").collect()[0][0]
+    assert not kept1.startswith("subscribe")
+
+
+def test_curate_boilerplate_regates_emptied_docs(spark):
+    """A doc that is 100% boilerplate empties after cleaning and falls to
+    the min_tokens re-gate (counted, not silently dropped)."""
+    rows = [
+        _doc(1, BOILER),
+        _doc(2, BOILER),
+        _doc(3, BOILER),
+        _doc(4, BASE + " alpha"),
+    ]
+    docs = spark.createDataFrame(rows)
+    _c, s = curate(docs, quality_min=0.0, min_tokens=1, jaccard_threshold=0.9,
+                   boilerplate_min_doc_freq=3)
+    assert s["boilerplate_regated"] == 3
+    assert s["output_rows"] == 1
+
+
+def test_curate_mixture_stage(spark):
+    """Temperature mixing as the final stage: a large budget keeps all
+    strata (rates cap at 1); stats row present and consistent."""
+    rows = [
+        _doc(i, BASE + f" word{i} tail{i}", source=f"src{i % 2}")
+        for i in range(1, 9)
+    ]
+    docs = spark.createDataFrame(rows)
+    c, s = curate(docs, quality_min=0.0, min_tokens=1, jaccard_threshold=0.95,
+                  mix_budget=10**9)
+    assert s["mixture_removed"] == 0
+    assert s["output_rows"] == c.count()
+    # small budget removes some rows deterministically
+    c2, s2 = curate(docs, quality_min=0.0, min_tokens=1, jaccard_threshold=0.95,
+                    mix_budget=60)
+    assert s2["mixture_removed"] > 0
+    assert s2["output_rows"] == c2.count() == 8 - s2["mixture_removed"]
