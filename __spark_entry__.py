@@ -1226,6 +1226,44 @@ def _q_clips_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniqueness.uniqueness_summary(clips, "clip_id", salted=True)
 
 
+def _q_pack_plan_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing attribution on the AUDIO modality: clips laid end-to-end per
+    codec into 30 s training windows — offset, first/last window, straddle
+    count. Restricted to unique clip_ids on both sides: the ledger corpus
+    plants duplicate ids, and a running sum ordered by a tied key is not
+    engine-deterministic."""
+    from jsonschema_spark.operators import chunk
+
+    clips = _clips(spark)
+    singles = (
+        clips.groupBy("clip_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") == 1)
+        .select("clip_id")
+    )
+    base = clips.join(singles, "clip_id", "left_semi")
+    return chunk.pack_plan(
+        base, budget=30_000, weight_col="dur_ms", id_col="clip_id", group_col="codec"
+    )
+
+
+def _q_mixture_sample_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing on the AUDIO modality: alpha=0.5 over codecs with
+    dur_ms mass, 1e6 ms budget, md5 membership on clip_id. Same bit-exact
+    integer-normalizer construction as the documents mixture."""
+    from jsonschema_spark.operators.sampling import mixture_sample
+
+    clips = _clips(spark)
+    return mixture_sample(
+        clips.select("clip_id", "codec", "dur_ms"),
+        "clip_id",
+        "codec",
+        1_000_000,
+        weight_col="dur_ms",
+        seed="mc1",
+    )
+
+
 # dur_ms drift grid: 25ms resolution over the bulk of the log-uniform mass;
 # the planted out-of-range tail (45000ms on both sides) cancels in the diff.
 _CLIPS_KS_GRID = (0.0, 4500.0, 180)
@@ -1351,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synth_schema_roundtrip": _q_synth_schema_roundtrip,
         "clips_invariant_failures": _q_clips_invariant_failures,
         "clips_uniqueness": _q_clips_uniqueness,
+        "pack_plan_clips": _q_pack_plan_clips,
+        "mixture_sample_clips": _q_mixture_sample_clips,
         "clips_drift_dur_ms": _q_clips_drift_dur_ms,
         "clips_drift_codec": _q_clips_drift_codec,
         "clips_resumable_manifest": _q_clips_resumable_manifest,
@@ -3400,6 +3440,53 @@ def oracle_sql() -> dict[str, str]:
                OR _row_idx % 211 = 210
         """,
         "clips_uniqueness": _uniqueness_sql(_CLIPS_MAIN_PQ, "clip_id"),
+        "pack_plan_clips": f"""
+            WITH singles AS (
+              SELECT clip_id FROM {_CLIPS_MAIN_PQ}
+              GROUP BY clip_id HAVING COUNT(*) = 1
+            ), h AS (
+              SELECT c.clip_id, c.codec, CAST(c.dur_ms AS BIGINT) AS weight,
+                     COALESCE(SUM(CAST(c.dur_ms AS BIGINT)) OVER (
+                       PARTITION BY c.codec ORDER BY c.clip_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS off
+              FROM {_CLIPS_MAIN_PQ} c JOIN singles USING (clip_id)
+              WHERE c.clip_id IS NOT NULL AND c.dur_ms IS NOT NULL
+            ), p AS (
+              SELECT clip_id, codec, weight, off,
+                     off // 30000 AS pack_first,
+                     CASE WHEN weight > 0 THEN (off + weight - 1) // 30000
+                          ELSE off // 30000 END AS pack_last
+              FROM h
+            )
+            SELECT clip_id, codec, weight, off AS "offset", pack_first,
+                   pack_last, pack_last - pack_first + 1 AS n_packs
+            FROM p
+        """,
+        "mixture_sample_clips": f"""
+            WITH mixs AS (
+              SELECT codec AS stratum, CAST(SUM(dur_ms) AS BIGINT) AS n
+              FROM {_CLIPS_MAIN_PQ} WHERE codec IS NOT NULL GROUP BY codec
+            ), mixw AS (
+              SELECT stratum, n,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT)
+                       AS w_scaled
+              FROM mixs
+            ), mixt AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS tot FROM mixw),
+            mixr AS (
+              SELECT stratum,
+                     least(1.0, CAST(1000000.0 AS DOUBLE)
+                           * CAST(w_scaled AS DOUBLE) / CAST(tot AS DOUBLE)
+                           / CAST(n AS DOUBLE)) AS rate
+              FROM mixw, mixt
+            )
+            SELECT c.clip_id, c.codec, c.dur_ms
+            FROM {_CLIPS_MAIN_PQ} c JOIN mixr ON c.codec = mixr.stratum
+            WHERE c.clip_id IS NOT NULL
+              AND ('0x' || substr(md5('mc1' || '|' || c.clip_id), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+                < mixr.rate
+        """,
         "clips_drift_dur_ms": _ks_binned_sql(
             _CLIPS_KS_GRID, "TRUE", "TRUE",
             table=_CLIPS_MAIN_PQ, col="dur_ms", base_table=_CLIPS_BASE_PQ,
