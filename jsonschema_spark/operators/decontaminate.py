@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
+from .dedup import word_shingles_from_tokens
+from .text import tokens
 
 
 def benchmark_grams(
@@ -41,7 +42,8 @@ def benchmark_grams(
     same benchmark should ``.persist()`` the result.
     """
     return (
-        bench.select(F.explode(word_shingles(F.col(text_col), n)).alias("_g"))
+        bench.select(tokens(F.col(text_col)).alias("_t"))
+        .select(F.explode(word_shingles_from_tokens(F.col("_t"), n)).alias("_g"))
         .distinct()
     )
 
@@ -67,9 +69,14 @@ def contamination_report(
     The corpus itself is never shuffled before the final count.
     """
     grams = benchmark_grams(bench, n, bench_text_col).withColumn("_hit", F.lit(1))
-    ex = df.select(
+    # token array materialized in its own projection: the slice lambda
+    # inside the shingle transform re-evaluates its array input per element
+    # under interpreted HOF evaluation, so feeding it raw text re-runs
+    # split(normalize(text)) once per shingle — O(tokens^2) per document
+    # (measured 4x on this operator at sf0.1)
+    ex = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).select(
         F.col(id_col),
-        F.explode_outer(word_shingles(F.col(text_col), n)).alias("_g"),
+        F.explode_outer(word_shingles_from_tokens(F.col("_t"), n)).alias("_g"),
     )
     joined = ex.join(grams, "_g", "left")
     return (

@@ -95,10 +95,21 @@ def distinct_by_content(df: DataFrame, text_col: str = "text", id_col: str = "do
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text.
 
-    Documents shorter than ``n`` tokens yield an empty shingle set (guarded:
-    ``sequence(1, 0)`` would descend and feed ``slice`` an invalid start).
+    HOT-PATH WARNING: interpreted HOF evaluation has no subexpression
+    cache, so the slice lambda re-evaluates its array input PER ELEMENT.
+    When ``col`` is raw text, that re-runs split(normalize(text)) once per
+    shingle — O(tokens^2) per document (measured 4x on decontaminate).
+    Corpus-scale callers must materialize the token array as its own
+    projected column and use ``word_shingles_from_tokens`` instead.
     """
-    toks = tokens(col)
+    return word_shingles_from_tokens(tokens(col), n)
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an (ideally materialized-attribute) token
+    array column. Documents shorter than ``n`` tokens yield an empty
+    shingle set (guarded: ``sequence(1, 0)`` would descend and feed
+    ``slice`` an invalid start)."""
     k = F.size(toks) - (n - 1)
     grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -136,7 +147,8 @@ def jaccard_pairs(
         _parallelize(
             df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
         )
-        .select("_id", word_shingles(F.col("_text"), n).alias("_sh"))
+        .select("_id", tokens(F.col("_text")).alias("_t"))
+        .select("_id", word_shingles_from_tokens(F.col("_t"), n).alias("_sh"))
         .withColumn("_size", F.size("_sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -233,7 +245,8 @@ def minhash_lsh_pairs(
         _parallelize(
             df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")), "_id"
         )
-        .select("_id", word_shingles(F.col("_text"), n).alias("_sh"))
+        .select("_id", tokens(F.col("_text")).alias("_t"))
+        .select("_id", word_shingles_from_tokens(F.col("_t"), n).alias("_sh"))
         .select(
             "_id",
             "_sh",
