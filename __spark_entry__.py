@@ -158,6 +158,15 @@ def _q_validate_orders_by_keyword(spark: SparkSession, sf_dir: str) -> DataFrame
     return validate(orders, ORDERS_JSON_SCHEMA).by_keyword("o_orderkey")
 
 
+def _q_violation_examples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triage drill-down: 5 deterministic example rows per violated
+    (keyword_path, keyword, column), hash-ordered so the picks are a
+    stable uniform sample. Two-phase salted top-k (exact); the oracle
+    replays the md5_60 ordering and the per-group row_number."""
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).examples(["o_orderkey"], k=5)
+
+
 def _q_validate_part_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return validate(part, PART_LOGIC_SCHEMA).violations(["p_partkey"]).select(
@@ -1320,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_violations": _q_validate_orders_violations,
         "validate_orders_summary": _q_validate_orders_summary,
         "validate_orders_by_keyword": _q_validate_orders_by_keyword,
+        "violation_examples_orders": _q_violation_examples_orders,
         "validate_orders_summary_by_status": _q_validate_orders_summary_by_status,
         "clips_summary_by_codec": _q_clips_summary_by_codec,
         "validate_part_logic": _q_validate_part_logic,
@@ -2783,6 +2793,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders_violations": _orders_violations_sql(),
         "validate_orders_summary": _orders_summary_sql(),
+        "violation_examples_orders": f"""
+            WITH v AS ({_orders_violations_sql()}), h AS (
+              SELECT *, ('0x' || substr(md5('ex1' || '|' ||
+                         CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS u
+              FROM v
+            ), r AS (
+              SELECT keyword_path, keyword, "column", o_orderkey, message,
+                     CAST(row_number() OVER (
+                       PARTITION BY keyword_path, keyword, "column"
+                       ORDER BY u ASC, o_orderkey ASC) AS INTEGER) AS rank
+              FROM h
+            )
+            SELECT * FROM r WHERE rank <= 5
+        """,
         "validate_orders_summary_by_status": _orders_summary_by_status_sql(),
         "validate_orders_by_keyword": f"""
             SELECT keyword_path, keyword, "column",

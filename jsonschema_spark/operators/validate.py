@@ -125,6 +125,58 @@ class ValidationResult:
             .orderBy(F.desc("violations"), "keyword_path", "column")
         )
 
+    def examples(
+        self,
+        key_cols: Sequence[str],
+        k: int = 5,
+        salt_buckets: int = 64,
+        seed: str = "ex1",
+    ) -> DataFrame:
+        """k deterministic example rows per violated (keyword_path, keyword,
+        column) — the triage drill-down after ``by_keyword``: which actual
+        rows exhibit each failure mode. Returns (keyword_path, keyword,
+        column, key..., message, rank).
+
+        Examples are ordered by the md5_60 hash of the key, so the picks
+        are a stable uniform sample — identical under re-runs, task
+        retries, and appends of later-hashing rows (and replayable by an
+        external engine, which is how the oracle checks this exactly).
+
+        Two-phase exact top-k for the 10^12-row shape: phase 1 ranks
+        within (group, salt) and keeps k per salted partition, phase 2
+        ranks only <= k * salt_buckets candidates per group. A hot keyword
+        (most of the corpus violating one constraint) never funnels its
+        full row set through one window reducer; the result is still exact
+        because every global top-k row is in its own salt bucket's top-k.
+        """
+        from pyspark.sql import Window
+
+        from jsonschema_spark.operators.sampling import sample_hash
+        from jsonschema_spark.operators.uniqueness import salt_column
+
+        grp = ["keyword_path", "keyword", "column"]
+        v = self.annotated.select(*key_cols, F.explode("_violations").alias("_v"))
+        flat = v.select(
+            *[F.col(f"_v.{c}").alias(c) for c in grp],
+            *key_cols,
+            F.col("_v.message").alias("message"),
+        )
+        u = sample_hash(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]), seed
+        )
+        order = [u.asc()] + [F.col(c).asc() for c in key_cols]
+        wp = Window.partitionBy(*grp, "_salt").orderBy(*order)
+        wf = Window.partitionBy(*grp).orderBy(*order)
+        partial = (
+            flat.withColumn("_salt", salt_column(salt_buckets))
+            .withColumn("_rk", F.row_number().over(wp))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk", "_salt")
+        )
+        return partial.withColumn("rank", F.row_number().over(wf)).filter(
+            F.col("rank") <= k
+        )
+
     def totals(self) -> DataFrame:
         """Whole-table pass/fail rollup (single partial+final aggregate)."""
         return self.annotated.agg(

@@ -909,3 +909,36 @@ def test_metadata_report(spark):
     assert got[("/properties/old_id", "description")] == "legacy key"
     assert got[("/properties/sr_hz", "default")] == 16000
     assert got[("/properties/sr_hz", "examples")] == [8000, 16000]
+
+
+def test_examples_two_phase_exact(spark):
+    """examples(): k deterministic rows per violation group; the salted
+    two-phase top-k must equal the single-phase result exactly."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    # 50 rows violating minimum, 2 violating maximum
+    rows = [Row(id=i, v=-i) for i in range(1, 51)]
+    rows += [Row(id=100 + i, v=1000 + i) for i in range(2)]
+    df = spark.createDataFrame(rows, schema)
+    doc = {"type": "object",
+           "properties": {"v": {"minimum": 0, "maximum": 500}}}
+    res = validate(df, doc)
+    ex = res.examples(["id"], k=5, salt_buckets=16).collect()
+    by_kw = {}
+    for r in ex:
+        by_kw.setdefault(r.keyword, []).append((r.rank, r.id))
+    assert len(by_kw["minimum"]) == 5          # capped at k
+    assert len(by_kw["maximum"]) == 2          # fewer than k -> all
+    assert sorted(r for r, _ in by_kw["minimum"]) == [1, 2, 3, 4, 5]
+    # two-phase == single-phase (salt_buckets=1 degenerates to one window)
+    plain = res.examples(["id"], k=5, salt_buckets=1).collect()
+    assert sorted((r.keyword, r.rank, r.id) for r in plain) == \
+           sorted((r.keyword, r.rank, r.id) for r in ex)
+    # deterministic under re-run
+    again = res.examples(["id"], k=5, salt_buckets=16).collect()
+    assert sorted((r.keyword, r.rank, r.id) for r in again) == \
+           sorted((r.keyword, r.rank, r.id) for r in ex)
