@@ -690,6 +690,16 @@ def _q_repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return text_ops.repetition_profile(docs)
 
 
+def _q_vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit analysis: per-doc OOV rate against the corpus's own
+    top-64 vocabulary (deterministic: freq desc, token asc tie-break).
+    One explode + AQE-broadcast vocab join + per-doc groupBy; the oracle
+    replays the vocabulary selection AND the coverage counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = text_ops.top_vocab(docs, size=64)
+    return text_ops.vocab_coverage(docs, vocab)
+
+
 def _q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mirrored = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
@@ -1366,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_binned_events": _q_drift_ks_binned_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
+        "vocab_coverage_documents": _q_vocab_coverage_documents,
         "repetition_profile_documents": _q_repetition_profile_documents,
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
@@ -3336,6 +3347,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[chunk_idx*28+1 : chunk_idx*28+32], ' ')
                      AS chunk_text
             FROM ch
+        """,
+        "vocab_coverage_documents": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split({_TEXT_NORM}, ' ')) AS _tok
+              FROM documents
+            ), vocab AS (
+              SELECT _tok AS token FROM tok
+              GROUP BY _tok ORDER BY COUNT(*) DESC, _tok ASC LIMIT 64
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) - COUNT(v.token) AS BIGINT) AS oov_tokens,
+                   round((COUNT(*) - COUNT(v.token))
+                         / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS oov_ratio
+            FROM tok t LEFT JOIN vocab v ON t._tok = v.token
+            GROUP BY t.doc_id
         """,
         "boilerplate_documents": f"""
             WITH planted AS (

@@ -215,3 +215,61 @@ def repetition_profile(
             F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
         )
     )
+
+
+def top_vocab(
+    df: DataFrame, size: int = 4096, text_col: str = "text"
+) -> DataFrame:
+    """The ``size`` most frequent normalized tokens in the corpus —
+    (token, freq), ties broken by token ascending so the vocabulary is
+    deterministic across engines and re-runs.
+
+    Shape: one explode + one groupBy(token) count (fixed-width-ish shuffle
+    key, partial agg map-side), then orderBy+limit, which Spark executes
+    as TakeOrdered (per-partition top-k merged on the driver — no global
+    sort shuffle)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(size)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-fit analysis: per document, how much of the token stream a
+    fixed vocabulary covers — (id_col, n_tokens, oov_tokens, oov_ratio).
+
+    ``vocab`` is a DataFrame with a ``token`` column (e.g. ``top_vocab``
+    output, or a real tokenizer's vocab loaded as a table). The corpus is
+    exploded once and left-joined against the vocab — small next to the
+    corpus, so AQE broadcasts it (never forced: a pathological vocab must
+    not OOM the driver) — then one partial-aggregated groupBy per doc.
+    Token multiplicity counts: a repeated OOV word is that many OOV
+    occurrences, which is what a token-budget owner cares about."""
+    marked = vocab.select(F.col("token").alias("_tok"), F.lit(1).alias("_in"))
+    ex = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).select(
+        F.col(id_col), F.explode_outer(F.col("_t")).alias("_tok")
+    )
+    joined = ex.join(marked, "_tok", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("_tok").alias("n_tokens"),
+            (F.count("_tok") - F.count("_in")).alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.round(
+                F.col("oov_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )

@@ -271,3 +271,37 @@ def test_repetition_profile_jvm_side(docs):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_top_vocab_deterministic_tiebreak(spark):
+    from jsonschema_spark.operators.text import top_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c")], "doc_id bigint, text string"
+    )
+    v = top_vocab(df, size=2).collect()
+    # a and b tie at 2; token-asc tie-break picks a first
+    assert [(r["token"], r["freq"]) for r in v] == [("a", 2), ("b", 2)]
+
+
+def test_vocab_coverage_counts_multiplicity(spark):
+    from jsonschema_spark.operators.text import top_vocab, vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b zz zz zz"),   # vocab {a,b}: 3 OOV occurrences
+            (2, "a b"),              # fully covered
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    out = {r["doc_id"]: r for r in vocab_coverage(df, vocab).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["oov_tokens"] == 3
+    assert out[1]["oov_ratio"] == 0.5
+    assert out[2]["oov_tokens"] == 0 and out[2]["oov_ratio"] == 0.0
+    # self-derived vocabulary covers the most frequent tokens
+    v2 = top_vocab(df, size=3)
+    got = {r["doc_id"]: r["oov_tokens"] for r in vocab_coverage(df, v2).collect()}
+    # top-3 by (freq desc, token asc): a(3), zz(3) tie -> a first... both in;
+    # third is b(2). All tokens covered.
+    assert got == {1: 0, 2: 0}
