@@ -322,6 +322,104 @@ def _q_completeness_orders_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_completeness(orders, "o_orderdate")
 
 
+# Two deterministic "snapshots" of orders for the diff family: snapshot A
+# (old) drops keys % 103 == 0 (these become 'added'), snapshot B (new) drops
+# keys % 101 == 0 ('removed'), bumps o_totalprice by +1.0 on % 97 == 0 and
+# rewrites o_orderpriority on % 89 == 0 ('changed', one or two columns).
+# Identical integer/IEEE arithmetic in DuckDB makes the diff fully oracled.
+_DIFF_COMPARE_COLS = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def _diff_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", *_DIFF_COMPARE_COLS
+    )
+    old = orders.where(F.col("o_orderkey") % 103 != 0)
+    new = (
+        orders.where(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 89 == 0, F.lit("9-CHANGED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return old, new
+
+
+# Shared DuckDB replay of the two snapshots + the full-outer diff; the three
+# diff oracles append their final SELECT. IS DISTINCT FROM == Spark's
+# null-safe-inequality; concat_ws skips NULL branches in both engines.
+_DIFF_ORACLE_BASE = """
+            WITH old_s AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 103 <> 0
+            ), new_s AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 89 = 0 THEN '9-CHANGED'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 101 <> 0
+            ), j AS (
+              SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                     o.o_orderkey IS NOT NULL AS in_old,
+                     n.o_orderkey IS NOT NULL AS in_new,
+                     (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS c1,
+                     (o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS c2,
+                     (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority) AS c3
+              FROM old_s o FULL JOIN new_s n ON o.o_orderkey = n.o_orderkey
+            ), d AS (
+              SELECT o_orderkey,
+                     CASE WHEN NOT in_old THEN 'added'
+                          WHEN NOT in_new THEN 'removed'
+                          WHEN CAST(c1 AS INT) + CAST(c2 AS INT) + CAST(c3 AS INT) > 0
+                               THEN 'changed'
+                          ELSE 'unchanged' END AS "change",
+                     CASE WHEN in_old AND in_new THEN concat_ws(',',
+                            CASE WHEN c1 THEN 'o_orderstatus' END,
+                            CASE WHEN c2 THEN 'o_totalprice' END,
+                            CASE WHEN c3 THEN 'o_orderpriority' END)
+                          ELSE '' END AS changed_cols,
+                     CAST(CASE WHEN in_old AND in_new
+                               THEN CAST(c1 AS INT) + CAST(c2 AS INT) + CAST(c3 AS INT)
+                               ELSE 0 END AS INT) AS n_changed
+              FROM j
+            )
+"""
+
+
+def _q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based snapshot diff (incremental-validation primitive): classify
+    every o_orderkey as added/removed/changed between two deterministic
+    snapshots of orders and name the changed columns. One AQE-sized full
+    outer join on the key; comparison is codegen'd null-safe equality."""
+    from jsonschema_spark.operators.diff import snapshot_diff
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    return snapshot_diff(old, new, "o_orderkey", compare_cols=_DIFF_COMPARE_COLS)
+
+
+def _q_snapshot_diff_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.diff import snapshot_diff_summary
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    return snapshot_diff_summary(old, new, "o_orderkey", compare_cols=_DIFF_COMPARE_COLS)
+
+
+def _q_column_change_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.diff import column_change_counts
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    return column_change_counts(old, new, "o_orderkey", compare_cols=_DIFF_COMPARE_COLS)
+
+
 def _q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return stats.column_quantiles(li, "l_extendedprice", exact=True)
@@ -1357,6 +1455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events_value": _q_outliers_events_value,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "completeness_orders_days": _q_completeness_orders_days,
+        "snapshot_diff_orders": _q_snapshot_diff_orders,
+        "snapshot_diff_summary_orders": _q_snapshot_diff_summary_orders,
+        "column_change_counts_orders": _q_column_change_counts_orders,
         "sample_documents_stratified": _q_sample_documents_stratified,
         "sample_documents_token_budget": _q_sample_documents_token_budget,
         "sample_documents_weighted": _q_sample_documents_weighted,
@@ -3160,6 +3261,24 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
             )
             SELECT doc_id, source, n_chars FROM h WHERE rk <= 5
+        """,
+        "snapshot_diff_orders": _DIFF_ORACLE_BASE
+        + """
+            SELECT o_orderkey, "change", changed_cols, n_changed
+            FROM d WHERE "change" <> 'unchanged'
+        """,
+        "snapshot_diff_summary_orders": _DIFF_ORACLE_BASE
+        + """
+            SELECT "change", CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY "change"
+        """,
+        "column_change_counts_orders": _DIFF_ORACLE_BASE
+        + """
+            SELECT "column", CAST(count(*) AS BIGINT) AS n_changed
+            FROM (
+              SELECT unnest(string_split(changed_cols, ',')) AS "column"
+              FROM d WHERE "change" = 'changed'
+            ) WHERE "column" <> '' GROUP BY "column"
         """,
         "completeness_orders_days": """
             WITH b AS (
