@@ -134,6 +134,21 @@ def _q_validate_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(orders, ORDERS_JSON_SCHEMA).totals()
 
 
+def _q_basic_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2020-12 "basic" output units (spec §12.4.2): the standard
+    interchange rendering of the violation list — keywordLocation /
+    absoluteKeywordLocation (root $id + pointer) / instanceLocation /
+    error, straight off the same codegen'd violations array."""
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).basic_output_units(["o_orderkey"])
+
+
+def _q_flag_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2020-12 "flag" output format: one (key, valid) row per instance."""
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).flag_output(["o_orderkey"])
+
+
 def _q_validate_orders_summary_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped pass/fail rollup via the SALTED two-phase aggregate (north
     rule's hot-key treatment); algebraic counts make salted == plain, so
@@ -1436,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_violations": _q_validate_orders_violations,
         "validate_orders_summary": _q_validate_orders_summary,
+        "basic_output_orders": _q_basic_output_orders,
+        "flag_output_orders": _q_flag_output_orders,
         "validate_orders_by_keyword": _q_validate_orders_by_keyword,
         "violation_examples_orders": _q_violation_examples_orders,
         "validate_orders_summary_by_status": _q_validate_orders_summary_by_status,
@@ -1592,6 +1609,26 @@ def _orders_violations_sql() -> str:
             f"'{col}' AS \"column\", '{msg_sql}' AS message FROM orders WHERE {fail}"
         )
     return " UNION ALL ".join(parts)
+
+
+def _basic_output_sql() -> str:
+    base = ORDERS_JSON_SCHEMA["$id"]
+    parts = []
+    for ptr, kw, col, msg, fail in _ORDERS_CHECK_FAILS.values():
+        msg_sql = msg.replace("'", "''")
+        parts.append(
+            f"SELECT o_orderkey, '{ptr}' AS \"keywordLocation\", "
+            f"'{base}#{ptr}' AS \"absoluteKeywordLocation\", "
+            f"'/{col}' AS \"instanceLocation\", '{msg_sql}' AS error "
+            f"FROM orders WHERE {fail}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _flag_output_sql() -> str:
+    fails = [f for (_, _, _, _, f) in _ORDERS_CHECK_FAILS.values()]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+    return f"SELECT o_orderkey, NOT ({any_fail}) AS valid FROM orders"
 
 
 def _orders_summary_sql() -> str:
@@ -2904,6 +2941,8 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "validate_orders_violations": _orders_violations_sql(),
+        "basic_output_orders": _basic_output_sql(),
+        "flag_output_orders": _flag_output_sql(),
         "validate_orders_summary": _orders_summary_sql(),
         "violation_examples_orders": f"""
             WITH v AS ({_orders_violations_sql()}), h AS (

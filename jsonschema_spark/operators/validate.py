@@ -177,6 +177,85 @@ class ValidationResult:
             F.col("rank") <= k
         )
 
+    def flag_output(self, key_cols: Sequence[str]) -> DataFrame:
+        """2020-12 "flag" output format (spec §12.4.1), relationally
+        rendered: one row per instance, (key..., valid). Zero shuffles —
+        the _valid column is already part of the annotated scan."""
+        return self.annotated.select(*key_cols, F.col("_valid").alias("valid"))
+
+    def basic_output_units(self, key_cols: Sequence[str]) -> DataFrame:
+        """2020-12 "basic" output units (spec §12.4.2): the flat error list,
+        one row per (instance, failed keyword) with the spec's field names —
+
+        - ``keywordLocation``: JSON Pointer to the keyword in the compiled
+          (post-$ref-inline) schema document — dynamic-scope-free by
+          construction, which is exactly when the spec allows the relative
+          pointer to stand alone.
+        - ``absoluteKeywordLocation``: root ``$id`` + ``#`` + pointer when
+          the document declares an ``$id`` (NULL otherwise).
+        - ``instanceLocation``: JSON Pointer to the instance value (dotted
+          column path rendered per RFC 6901, ``~``/``/`` escaped; "" = the
+          whole instance).
+        - ``error``: the human-readable message.
+
+        Same plan shape as ``violations()`` — explode of the codegen'd
+        violations array, no extra scan, no shuffle."""
+        root_id = self.compiled.schema.id
+        v = self.annotated.select(*key_cols, F.explode("_violations").alias("_v"))
+        kw_loc = F.col("_v.keyword_path")
+        abs_loc = (
+            F.concat(F.lit(root_id), F.lit("#"), kw_loc)
+            if root_id
+            else F.lit(None).cast("string")
+        )
+        esc = F.regexp_replace(
+            F.regexp_replace(F.col("_v.column"), "~", "~0"), "/", "~1"
+        )
+        inst_loc = F.when(
+            F.col("_v.column") == "", F.lit("")
+        ).otherwise(F.concat(F.lit("/"), F.regexp_replace(esc, "\\.", "/")))
+        return v.select(
+            *key_cols,
+            kw_loc.alias("keywordLocation"),
+            abs_loc.alias("absoluteKeywordLocation"),
+            inst_loc.alias("instanceLocation"),
+            F.col("_v.message").alias("error"),
+        )
+
+    def basic_output(self, key_cols: Sequence[str]) -> DataFrame:
+        """2020-12 "basic" output documents, one row per instance:
+        (key..., valid, errors array<struct>) — the relational rendering of
+        the spec's single {valid, errors: [...]} object. Built from the
+        annotated frame with transform() over the already-computed
+        violations array (no explode, no shuffle, no re-scan)."""
+        root_id = self.compiled.schema.id
+        unit = lambda x: F.struct(  # noqa: E731
+            x["keyword_path"].alias("keywordLocation"),
+            (
+                F.concat(F.lit(root_id), F.lit("#"), x["keyword_path"])
+                if root_id
+                else F.lit(None).cast("string")
+            ).alias("absoluteKeywordLocation"),
+            F.when(x["column"] == "", F.lit("")).otherwise(
+                F.concat(
+                    F.lit("/"),
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(x["column"], "~", "~0"), "/", "~1"
+                        ),
+                        "\\.",
+                        "/",
+                    ),
+                )
+            ).alias("instanceLocation"),
+            x["message"].alias("error"),
+        )
+        return self.annotated.select(
+            *key_cols,
+            F.col("_valid").alias("valid"),
+            F.transform("_violations", unit).alias("errors"),
+        )
+
     def totals(self) -> DataFrame:
         """Whole-table pass/fail rollup (single partial+final aggregate)."""
         return self.annotated.agg(
