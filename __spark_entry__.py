@@ -445,6 +445,15 @@ def _q_corpus_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.corpus_summary(docs)
 
 
+def _q_model_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality model (fastText/LR-shaped filter with driver
+    weights): per-doc feature vector + raw margin + keep flag. The margin
+    is a fixed-order multiply-add chain over exactly-rounded feature
+    ratios, so DuckDB reproduces every double bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.model_quality_profile(docs)
+
+
 def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return uniqueness.uniqueness_summary(li, "l_orderkey")
@@ -1483,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_lineitem": _q_quantiles_lineitem,
         "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
+        "model_quality_documents": _q_model_quality_documents,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
         "referential_lineitem_orders": _q_referential_lineitem_orders,
@@ -1837,6 +1847,51 @@ def _repetition_sql() -> str:
     FROM fracs f
     LEFT JOIN tok_top USING (doc_id)
     LEFT JOIN g2_top USING (doc_id)
+    """
+
+
+def _model_quality_sql() -> str:
+    """DuckDB replay of the linear quality model: identical feature
+    arithmetic (exact-rounded ratios) + the same fixed-order multiply-add
+    margin with the driver weights inlined at full precision."""
+    w = {k: repr(float(v)) for k, v in text_ops.QUALITY_WEIGHTS_DEFAULT.items()}
+    margin = (
+        f"{w['bias']} + {w['len_sat']} * len_sat"
+        f" + {w['stopword_ratio']} * stopword_ratio"
+        f" + {w['unique_ratio']} * unique_ratio"
+        f" + {w['punct_ratio']} * punct_ratio"
+        f" + {w['digit_ratio']} * digit_ratio"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TEXT_NORM} AS norm,
+             string_split({_TEXT_NORM}, ' ') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+        least((CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+          AS len_sat,
+        CASE WHEN len(toks) <= 0 THEN 0.0
+             ELSE round(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) / len(toks), 6)
+        END AS stopword_ratio,
+        CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END) <= 0 THEN 0.0
+             ELSE round(len(list_distinct(toks))
+                        / (CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END), 6)
+        END AS unique_ratio,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                        / length(text), 6)
+        END AS punct_ratio,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        / length(text), 6)
+        END AS digit_ratio
+      FROM tok
+    )
+    SELECT doc_id, len_sat, stopword_ratio, unique_ratio, punct_ratio, digit_ratio,
+           round({margin}, 9) AS score,
+           round({margin}, 9) >= 0.0 AS keep
+    FROM feat
     """
 
 
@@ -3472,6 +3527,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "text_profile_documents": _text_profile_sql(),
+        "model_quality_documents": _model_quality_sql(),
         "repetition_profile_documents": _repetition_sql(),
         "dedup_exact_documents": f"""
             WITH both_sets AS (

@@ -80,6 +80,7 @@ def curate(
     mix_budget: int | None = None,
     mix_alpha: float = 0.5,
     mix_strata: str = "source",
+    model_threshold: float | None = None,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -95,25 +96,36 @@ def curate(
     # the annotated frame (a doc_id join would drop NULL ids and
     # cross-multiply duplicate ids, corrupting every funnel count)
     c = F.col("text")
-    profiled = ann.select(
-        "*",
+    profile_cols = [
         text_ops.token_count(c).alias("token_count"),
         text_ops.quality_score(c).alias("quality"),
         text_ops.fingerprint(c).alias("fingerprint"),
         text_ops.lang_id(c).alias("lang_pred"),
-    ).persist()
+    ]
+    if model_threshold is not None:
+        # linear-model gate (fastText/LR-shaped margin): computed in the
+        # same single-scan projection as the heuristic profile
+        profile_cols.append(text_ops.model_quality_score(c).alias("model_score"))
+    profiled = ann.select("*", *profile_cols).persist()
 
-    gate = (F.col("quality") >= quality_min) & (F.col("token_count") >= min_tokens)
-    # one aggregate materializes the cache AND yields the first three funnel
-    # counts (instead of three separate count() jobs over the cached frame)
+    heuristic_gate = (F.col("quality") >= quality_min) & (
+        F.col("token_count") >= min_tokens
+    )
+    gate = heuristic_gate
+    if model_threshold is not None:
+        gate = gate & (F.col("model_score") >= model_threshold)
+    # one aggregate materializes the cache AND yields the first funnel
+    # counts (instead of separate count() jobs over the cached frame)
     funnel = profiled.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+        F.sum((F.col("_valid") & heuristic_gate).cast("long")).alias("n_heur"),
         F.sum((F.col("_valid") & gate).cast("long")).alias("n_gated"),
     ).collect()[0]
     n_input = funnel["n_input"]
     n_invalid = n_input - funnel["n_valid"]
-    n_low_quality = funnel["n_valid"] - funnel["n_gated"]
+    n_low_quality = funnel["n_valid"] - funnel["n_heur"]
+    n_model_rejected = funnel["n_heur"] - funnel["n_gated"]
     gated = profiled.filter(F.col("_valid") & gate)
 
     # optional block-level boilerplate removal BEFORE exact dedup: stripping
@@ -141,7 +153,7 @@ def curate(
             text_ops.fingerprint(F.col("text")).alias("fingerprint"),
         ).filter(F.col("token_count") >= min_tokens)
         n_after = regated.count()
-        n_boiler_gated = n_input - n_invalid - n_low_quality - n_after
+        n_boiler_gated = n_input - n_invalid - n_low_quality - n_model_rejected - n_after
         gated = regated
 
     # exact dedup: one survivor per content fingerprint (min doc_id), as an
@@ -150,7 +162,7 @@ def curate(
         gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     )
     exact = gated.join(survivors, ["fingerprint", "doc_id"], "left_semi")
-    pool = n_input - n_invalid - n_low_quality - n_boiler_gated
+    pool = n_input - n_invalid - n_low_quality - n_model_rejected - n_boiler_gated
     n_exact_removed = pool - exact.count()
 
     # near-dedup pair generation: MinHash LSH (sub-quadratic scale default,
@@ -217,6 +229,7 @@ def curate(
         "input_rows": n_input,
         "schema_invalid": n_invalid,
         "low_quality": n_low_quality,
+        "model_rejected": n_model_rejected,
         "boilerplate_blocks_removed": int(n_boiler_blocks),
         "boilerplate_regated": n_boiler_gated,
         "exact_dups_removed": n_exact_removed,
@@ -255,6 +268,10 @@ def main(argv=None) -> int:
                         "token-mass budget for the alpha-sampled output")
     p.add_argument("--mix-alpha", type=float, default=0.5)
     p.add_argument("--mix-strata", default="source")
+    p.add_argument("--model-threshold", type=float, default=None,
+                   help="enable the linear quality-model gate: drop docs "
+                        "whose model margin is below this value (off by "
+                        "default; 0.0 is the model's natural boundary)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -287,6 +304,7 @@ def main(argv=None) -> int:
         mix_budget=args.mix_budget,
         mix_alpha=args.mix_alpha,
         mix_strata=args.mix_strata,
+        model_threshold=args.model_threshold,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -77,6 +77,90 @@ def quality_score(col: Column) -> Column:
     return F.round(0.5 * len_score + 0.3 * sw_score + 0.2 * punct_score, 6)
 
 
+def digit_ratio(col: Column) -> Column:
+    total = F.length(col)
+    stripped = F.length(F.regexp_replace(col, "[0-9]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round((total - stripped) / total.cast("double"), 6)
+    )
+
+
+def unique_token_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    n = token_count(col)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6)
+    )
+
+
+# Linear quality model (the fastText/LR-style filter used by GPT-3/CCNet
+# pipelines, with driver-provided weights instead of a shipped binary —
+# plug trained weights in, the plan shape is identical). The score is the
+# RAW MARGIN w.x + bias, not a sigmoid: exp() is not correctly rounded
+# cross-engine, while the feature ratios (counts, divides) and the fixed
+# left-to-right multiply-add chain are — so the DuckDB oracle reproduces
+# every double bit-for-bit. Feature order is the dict order below.
+QUALITY_WEIGHTS_DEFAULT: dict[str, float] = {
+    "bias": -1.0,
+    "len_sat": 1.6,          # saturating length: least(tokens/50, 1)
+    "stopword_ratio": 1.2,   # natural prose has stopwords
+    "unique_ratio": 0.6,     # repetitive spam has few distinct tokens
+    "punct_ratio": -1.8,     # markup/boilerplate is punctuation-heavy
+    "digit_ratio": -2.2,     # serial dumps / tables are digit-heavy
+}
+
+
+def model_features(col: Column) -> dict[str, Column]:
+    """The model's feature vector, each component oracle-replicable."""
+    n = token_count(col)
+    return {
+        "len_sat": F.least(n / F.lit(50.0), F.lit(1.0)),
+        "stopword_ratio": stopword_ratio(col),
+        "unique_ratio": unique_token_ratio(col),
+        "punct_ratio": punct_ratio(col),
+        "digit_ratio": digit_ratio(col),
+    }
+
+
+def model_quality_score(col: Column, weights: dict[str, float] | None = None) -> Column:
+    """Raw linear margin, rounded to 9 places (both engines round SQL-style
+    half-away, so downstream threshold comparisons agree exactly)."""
+    return _margin(model_features(col), weights)
+
+
+def _margin(feats: dict[str, Column], weights: dict[str, float] | None) -> Column:
+    w = weights or QUALITY_WEIGHTS_DEFAULT
+    score = F.lit(float(w["bias"]))
+    for name, fcol in feats.items():
+        score = score + F.lit(float(w[name])) * fcol
+    return F.round(score, 9)
+
+
+def model_quality_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Per-doc model scoring: (id, features..., score, keep). TWO stacked
+    projections (features, then margin over the feature ATTRIBUTES) so the
+    O(tokens) feature expressions — interpreted HOFs with no subexpression
+    cache — are evaluated once each, not re-expanded into the score (the
+    project-collapsing gotcha in CLAUDE.md); zero shuffles either way."""
+    c = F.col(text_col)
+    feats = model_features(c)
+    base = df.select(
+        F.col(id_col), *[fc.alias(name) for name, fc in feats.items()]
+    )
+    score = _margin({name: F.col(name) for name in feats}, weights)
+    return base.select(
+        "*",
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize(col))
