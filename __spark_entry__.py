@@ -1217,6 +1217,36 @@ def _q_dedup_audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.audio_near_dup_pairs(clips).select("id_a", "id_b")
 
 
+def _q_dedup_transcript_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy transcript dedup: PassJoin segment-banded edit-distance pairs
+    (dedup.edit_distance_pairs, exact recall for ed <= k, never all-pairs
+    on the long path). Corpus = clip transcripts plus two deterministic
+    typo-variant classes derived IN-PLAN from the ledger (delete 3rd char
+    at _row_idx%7==3, substitute 1st char at _row_idx%11==5) — the oracle
+    rebuilds the same corpus in SQL and brute-forces levenshtein over the
+    length-window, so equality also certifies the banding's exact recall."""
+    from jsonschema_spark.sources.clips import materialized_clips
+
+    clips, _ = materialized_clips(spark, _CLIPS_N)
+    base = clips.select(
+        F.col("clip_id").alias("id"), F.col("transcript").alias("text"), "_row_idx"
+    )
+    dele = base.filter(F.col("_row_idx") % 7 == 3).select(
+        F.concat(F.col("id"), F.lit("~d")).alias("id"),
+        F.concat(F.substring("text", 1, 2), F.expr("substring(text, 4)")).alias(
+            "text"
+        ),
+    )
+    subs = base.filter(F.col("_row_idx") % 11 == 5).select(
+        F.concat(F.col("id"), F.lit("~s")).alias("id"),
+        F.concat(F.lit("z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    corpus = (
+        base.select("id", "text").unionByName(dele).unionByName(subs).distinct()
+    )
+    return dedup.edit_distance_pairs(corpus, k=2, text_col="text", id_col="id")
+
+
 def _q_dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH pipeline with the md5_60 hash family: the identical
     signature/banding/verify algebra runs in DuckDB (oracle below), so the
@@ -1515,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_documents": _q_pii_documents,
         "pack_plan_documents": _q_pack_plan_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
+        "dedup_transcript_edits": _q_dedup_transcript_edits,
         "dedup_audio_clips": _q_dedup_audio_clips,
         "audio_containment_clips": _q_audio_containment_clips,
         "clips_audio_quality": _q_clips_audio_quality,
@@ -3630,6 +3661,28 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "dedup_minhash_documents": _minhash_sql(threshold=0.5),
+        "dedup_transcript_edits": f"""
+            WITH base AS (
+                SELECT clip_id AS id, transcript AS text, _row_idx
+                FROM {_CLIPS_MAIN_PQ}
+            ), corpus AS (
+                SELECT DISTINCT id, text FROM (
+                    SELECT id, text FROM base
+                    UNION ALL
+                    SELECT id || '~d', substr(text, 1, 2) || substr(text, 4)
+                    FROM base WHERE _row_idx % 7 = 3
+                    UNION ALL
+                    SELECT id || '~s', 'z' || substr(text, 2)
+                    FROM base WHERE _row_idx % 11 = 5
+                )
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+            FROM corpus a JOIN corpus b
+              ON a.id < b.id
+             AND abs(length(a.text) - length(b.text)) <= 2
+            WHERE levenshtein(a.text, b.text) <= 2
+        """,
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
         "clips_segments": _clips_segments_sql(),

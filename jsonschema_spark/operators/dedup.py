@@ -769,3 +769,183 @@ def duplicate_clusters(
     return connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. edit-distance near-dup (PassJoin segment banding — exact recall)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    k: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, edit_distance) for all id pairs with Levenshtein
+    distance <= k. EXACT (recall 1.0), never all-pairs on the long path.
+
+    The fuzzy sibling of exact transcript equality: finds re-recordings /
+    re-labelings whose transcripts differ by a typo, OCR slip, or
+    re-normalization — pairs byte-identity dedup and token-level Jaccard
+    both miss (one edit inside a word changes every n-gram that spans it).
+
+    Algorithm (PassJoin-style segment pigeonhole, Li/Deng/Feng's public
+    partition scheme): if ed(s, t) <= k and s is split into k+1 segments,
+    at least one segment of s occurs VERBATIM in t, start-position shifted
+    by at most k. So:
+
+      index side  every row with length >= k+1 emits its k+1 segments,
+                  keyed (length, segment_idx, segment_text);
+      probe side  every row emits, for each candidate partner length
+                  L' in [max(k+1, len-k), len+k] and each segment spec of
+                  L', its substrings at the <= 2k+1 admissible start
+                  positions — O(k^2) short keys per row, constant for
+                  fixed k;
+      join        one equi-join on the key (AQE-sized; the segment text
+                  makes keys selective), candidates deduped to id pairs;
+      verify      join texts back by id and keep pairs whose exact
+                  Levenshtein (threshold-bounded, JVM-side) is <= k.
+
+    Rows shorter than k+1 characters cannot be pigeonholed but need no
+    index: ANY two strings of length <= k are trivially within ed <= k
+    (ed <= max length), so the short-short block is emitted directly from
+    the distinct short TEXTS (a domain bounded by the alphabet, not the
+    corpus); short-vs-long pairs are caught by the main join (the long row
+    is the indexed side). The quadratic short-short OUTPUT is inherent to
+    the answer, not a plan artifact.
+
+    Scale: shuffles are the key join + one pair distinct; no windows, no
+    driver round-trips, zero Python (Levenshtein is a codegen'd JVM
+    builtin). ``max_key_freq`` is the same safety valve as
+    ``jaccard_pairs.max_shingle_freq``: a segment shared by f rows creates
+    O(f^2) candidates, so boilerplate-heavy corpora can cap it — recall
+    then drops ONLY for pairs whose every matching segment is hot
+    (documented lower-bound semantics). Unset = exact.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1 (k=0 is exact_duplicates)")
+    kp1 = k + 1
+    base = (
+        _parallelize(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+            "_id",
+        )
+        .filter(F.col("_text").isNotNull())
+        .select("_id", "_text", F.length("_text").alias("_n"))
+    )
+
+    # ---- index side: k+1 segments of every partitionable row ----
+    # segment spec for a string of length L: q = L div (k+1), r = L mod
+    # (k+1); segment i (0-based) has length q+1 for i < r else q, start
+    # i*q + min(i, r). Pure integer Column algebra, replayable in SQL.
+    lng = base.filter(F.col("_n") >= kp1)
+    idx = (
+        lng.select(
+            "_id",
+            "_text",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+        )
+        .select(
+            "_id",
+            F.col("_n").alias("_L"),
+            "_i",
+            F.expr(
+                f"substring(_text, _i * (_n DIV {kp1}) + least(_i, _n % {kp1}) + 1, "
+                f"(_n DIV {kp1}) + if(_i < _n % {kp1}, 1, 0))"
+            ).alias("_seg"),
+        )
+    )
+    if max_key_freq is not None:
+        keep = (
+            idx.groupBy("_L", "_i", "_seg")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_key_freq)
+            .select("_L", "_i", "_seg")
+        )
+        idx = idx.join(keep, ["_L", "_i", "_seg"], "left_semi")
+
+    # ---- probe side: admissible substrings for every partner length ----
+    probe = (
+        base.select(
+            F.col("_id").alias("_pid"),
+            "_text",
+            F.col("_n").alias("_tn"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(kp1), F.col("_n") - k), F.col("_n") + k
+                )
+            ).alias("_L"),
+        )
+        .select(
+            "_pid",
+            "_text",
+            "_tn",
+            "_L",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("_i"),
+        )
+        .select(
+            "_pid",
+            "_text",
+            "_tn",
+            "_L",
+            "_i",
+            F.expr(f"_L DIV {kp1} + if(_i < _L % {kp1}, 1, 0)").alias("_len"),
+            F.expr(f"_i * (_L DIV {kp1}) + least(_i, _L % {kp1})").alias("_st"),
+        )
+        .withColumn("_plo", F.greatest(F.lit(0), F.col("_st") - k))
+        .withColumn("_phi", F.least(F.col("_tn") - F.col("_len"), F.col("_st") + k))
+        .filter(F.col("_phi") >= F.col("_plo"))
+        .select(
+            "_pid",
+            "_L",
+            "_i",
+            F.expr(
+                "explode(transform(sequence(_plo, _phi), "
+                "p -> substring(_text, p + 1, _len)))"
+            ).alias("_seg"),
+        )
+    )
+
+    cand = (
+        idx.join(probe, ["_L", "_i", "_seg"])
+        .filter(F.col("_id") != F.col("_pid"))
+        .select(
+            F.least("_id", "_pid").alias("id_a"),
+            F.greatest("_id", "_pid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # ---- short-short block: all pairs of short rows qualify trivially ----
+    # (ed <= max length <= k). Non-equi self-join over the short slice only
+    # — empty on corpora without sub-(k+1)-char rows, and the quadratic
+    # output is the true answer when they exist, not a plan artifact.
+    shorts = base.filter(F.col("_n") <= k)
+    spairs = (
+        shorts.select(F.col("_id").alias("id_a"))
+        .join(
+            shorts.select(F.col("_id").alias("id_b")),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .distinct()
+    )
+
+    pairs = cand.unionByName(spairs).distinct()
+
+    # ---- verify: exact threshold-bounded Levenshtein, JVM-side ----
+    ta = base.select(F.col("_id").alias("id_a"), F.col("_text").alias("_ta"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("_text").alias("_tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # threshold-bounded: the JVM kernel early-exits above k
+            F.levenshtein(F.col("_ta"), F.col("_tb"), k).alias("edit_distance"),
+        )
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= k))
+    )
