@@ -168,6 +168,18 @@ def _q_clips_summary_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-slice report: per-(codec, sr_hz) violation rate + the
+    Iglewicz-Hoaglin MAD-outlier verdict over the group rates (exact
+    percentile so the oracle's quantile_cont matches bit-for-bit). The
+    'which slice of the fleet is statistically sick' composition of the
+    per-partition pass/fail contract."""
+    clips = _clips(spark)
+    return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).partition_health(
+        ["codec", "sr_hz"], salted=True, exact=True
+    )
+
+
 def _q_validate_orders_by_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return validate(orders, ORDERS_JSON_SCHEMA).by_keyword("o_orderkey")
@@ -1496,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_examples_orders": _q_violation_examples_orders,
         "validate_orders_summary_by_status": _q_validate_orders_summary_by_status,
         "clips_summary_by_codec": _q_clips_summary_by_codec,
+        "clips_partition_health": _q_clips_partition_health,
         "validate_part_logic": _q_validate_part_logic,
         "validate_formats_events": _q_validate_formats_events,
         "validate_lineitem_keywords": _q_validate_lineitem_keywords,
@@ -3748,6 +3761,30 @@ def oracle_sql() -> dict[str, str]:
         "clips_summary_by_codec": _clips_totals_sql(
             _CLIPS_MAIN_PQ, ("codec", "sr_hz")
         ),
+        "clips_partition_health": f"""
+            WITH s AS ({_clips_totals_sql(_CLIPS_MAIN_PQ, ("codec", "sr_hz"))}),
+            r AS (
+                SELECT codec, sr_hz, "rows", failed,
+                       round(failed / "rows", 9) AS fail_rate
+                FROM s
+            ),
+            m AS (SELECT quantile_cont(fail_rate, 0.5) AS med FROM r),
+            d AS (
+                SELECT quantile_cont(abs(fail_rate - (SELECT med FROM m)), 0.5)
+                       AS mad
+                FROM r
+            )
+            SELECT codec, sr_hz, "rows", failed, fail_rate,
+                   CASE WHEN (SELECT mad FROM d) > 0 THEN
+                        round(0.6745 * abs(fail_rate - (SELECT med FROM m))
+                              / (SELECT mad FROM d), 6)
+                   END AS modified_z,
+                   coalesce((SELECT mad FROM d) > 0
+                            AND round(0.6745 * abs(fail_rate - (SELECT med FROM m))
+                                      / (SELECT mad FROM d), 6) > 3.5,
+                            FALSE) AS anomalous
+            FROM r
+        """,
         "clips_invariant_failures": f"""
             SELECT clip_id,
                    (_row_idx % 109 <> 108) AS snr_ok,

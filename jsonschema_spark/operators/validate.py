@@ -97,6 +97,61 @@ class ValidationResult:
             .orderBy(*cols)
         )
 
+    def partition_health(
+        self,
+        group_cols: Sequence[str],
+        k: float = 3.5,
+        salted: bool = False,
+        exact: bool = False,
+    ) -> DataFrame:
+        """Anomalous-slice detection: per-group violation RATE plus the
+        Iglewicz-Hoaglin MAD-outlier verdict over the rates — "which
+        codec/shard/day is statistically sicker than the fleet", the
+        per-partition pass/fail summary made actionable.
+
+        Composition, not new machinery: ``summary_by`` (two-phase salted
+        option for hot keys) -> fail_rate -> median/MAD over the O(groups)
+        summary (operators/stats.robust_center_spread; sketch default,
+        ``exact=True`` for audits/oracles) -> modified z + flag. The stats
+        frame is ONE row cross-joined back broadcast-style, so the whole
+        report costs the summary aggregate plus O(groups) arithmetic —
+        no window, no sort, no driver round-trip.
+
+        ``modified_z`` is NULL and ``anomalous`` False when MAD == 0 (more
+        than half the groups share one rate — the rule is undefined and
+        flagging everything-or-nothing on noise would be worse than
+        declining)."""
+        from jsonschema_spark.operators.stats import robust_center_spread
+
+        s = self.summary_by(group_cols, salted=salted)
+        rates = s.select(
+            *group_cols,
+            "rows",
+            "failed",
+            F.round(F.col("failed") / F.col("rows"), 9).alias("fail_rate"),
+        )
+        st = robust_center_spread(rates, "fail_rate", exact=exact)
+        z = F.round(
+            F.lit(0.6745)
+            * F.abs(F.col("fail_rate") - F.col("median"))
+            / F.col("mad"),
+            6,
+        )
+        return (
+            rates.crossJoin(F.broadcast(st))
+            .select(
+                *group_cols,
+                "rows",
+                "failed",
+                "fail_rate",
+                F.when(F.col("mad") > 0, z).alias("modified_z"),
+                F.coalesce(
+                    (F.col("mad") > 0) & (z > F.lit(float(k))), F.lit(False)
+                ).alias("anomalous"),
+            )
+            .orderBy(*group_cols)
+        )
+
     def by_keyword(self, key_col: Optional[str] = None) -> DataFrame:
         """Violation rollup per (keyword_path, keyword, column), most-violated
         first — the triage report for a failed run.

@@ -251,3 +251,53 @@ def test_repair_defaults_and_projection(spark):
 
     out = repair(df.withColumn("extra", F.lit(1)), doc, drop_undeclared=True)
     assert out.columns == ["a", "b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# partition_health — MAD-outlier verdict over per-group violation rates
+# ---------------------------------------------------------------------------
+
+_PH_SCHEMA = {"type": "object", "properties": {"v": {"maximum": 10}}}
+
+
+def _ph_frame(spark, sick_group_rate: float):
+    from jsonschema_spark.operators.validate import validate
+
+    rows = []
+    for g in range(10):
+        for i in range(100):
+            # group g9 violates at sick_group_rate; others at 2-5% with
+            # group-to-group variation (identical rates would make MAD 0)
+            bad_every = int(1 / sick_group_rate) if g == 9 else 20 + 7 * g
+            rows.append((f"g{g}", 99 if i % bad_every == 0 else 1))
+    df = spark.createDataFrame(rows, "grp string, v int")
+    return validate(df, _PH_SCHEMA)
+
+
+def test_partition_health_flags_sick_group(spark):
+    out = _ph_frame(spark, 0.5).partition_health(["grp"], exact=True).collect()
+    flags = {r["grp"]: r["anomalous"] for r in out}
+    assert flags["g9"] is True
+    assert sum(flags.values()) == 1          # only the planted group
+    r9 = next(r for r in out if r["grp"] == "g9")
+    assert r9["fail_rate"] == 0.5 and r9["modified_z"] > 3.5
+
+
+def test_partition_health_mad_zero_declines(spark):
+    from jsonschema_spark.operators.validate import validate
+
+    # every group identical -> MAD 0 -> no flags, z NULL
+    rows = [(f"g{g}", 1) for g in range(6) for _ in range(10)]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    out = validate(df, _PH_SCHEMA).partition_health(["grp"], exact=True).collect()
+    assert all(r["anomalous"] is False for r in out)
+    assert all(r["modified_z"] is None for r in out)
+
+
+def test_partition_health_salted_parity(spark):
+    res = _ph_frame(spark, 0.25)
+    plain = sorted(map(tuple, res.partition_health(["grp"], exact=True).collect()))
+    salted = sorted(
+        map(tuple, res.partition_health(["grp"], salted=True, exact=True).collect())
+    )
+    assert plain == salted
