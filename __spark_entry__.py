@@ -149,6 +149,70 @@ def _q_flag_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(orders, ORDERS_JSON_SCHEMA).flag_output(["o_orderkey"])
 
 
+_INCR_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _incr_orders_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(old, new) snapshot pair mirroring _INCR_NEW_SQL bit-for-bit."""
+    base = load_table(spark, sf_dir, "orders").select(*_INCR_COLS)
+    k = F.col("o_orderkey")
+    mutated = base.where(k % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(k % 89 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(k % 83 == 0, F.col("o_totalprice") + 600000)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    added = base.where(k % 101 == 0).select(
+        (k + 20000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("9-ADDED").alias("o_orderpriority"),
+    )
+    return base, mutated.unionByName(added)
+
+
+def _q_incremental_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental validation: prior violations carried across the
+    snapshot diff, fresh constraint evaluation on ONLY the added+changed
+    slice. The oracle replays a FULL validation of the evolved table, so
+    a hash match proves incremental == full exactly."""
+    from jsonschema_spark.operators import incremental
+
+    old, new = _incr_orders_frames(spark, sf_dir)
+    prior = validate(old, ORDERS_JSON_SCHEMA).violations(["o_orderkey"])
+    return incremental.incremental_violations(
+        old, new, "o_orderkey", ORDERS_JSON_SCHEMA, prior
+    )
+
+
+def _q_incremental_totals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-sized totals correction: prior - stale + fresh, with both
+    correction terms validated over delta slices only; oracle recomputes
+    the full-table totals of the evolved snapshot."""
+    from jsonschema_spark.operators import incremental
+
+    old, new = _incr_orders_frames(spark, sf_dir)
+    prior = validate(old, ORDERS_JSON_SCHEMA).totals()
+    return incremental.incremental_totals(
+        old, new, "o_orderkey", ORDERS_JSON_SCHEMA, prior
+    )
+
+
 def _q_validate_orders_summary_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped pass/fail rollup via the SALTED two-phase aggregate (north
     rule's hot-key treatment); algebraic counts make salted == plain, so
@@ -1501,6 +1565,8 @@ def _q_clips_resumable_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders_violations": _q_validate_orders_violations,
+        "incremental_validate_orders": _q_incremental_validate_orders,
+        "incremental_totals_orders": _q_incremental_totals_orders,
         "validate_orders_summary": _q_validate_orders_summary,
         "basic_output_orders": _q_basic_output_orders,
         "flag_output_orders": _q_flag_output_orders,
@@ -1654,13 +1720,13 @@ _ORDERS_CHECK_FAILS = {
 }
 
 
-def _orders_violations_sql() -> str:
+def _orders_violations_sql(table: str = "orders") -> str:
     parts = []
     for ptr, kw, col, msg, fail in _ORDERS_CHECK_FAILS.values():
         msg_sql = msg.replace("'", "''")
         parts.append(
             f"SELECT o_orderkey, '{ptr}' AS keyword_path, '{kw}' AS keyword, "
-            f"'{col}' AS \"column\", '{msg_sql}' AS message FROM orders WHERE {fail}"
+            f"'{col}' AS \"column\", '{msg_sql}' AS message FROM {table} WHERE {fail}"
         )
     return " UNION ALL ".join(parts)
 
@@ -1685,7 +1751,7 @@ def _flag_output_sql() -> str:
     return f"SELECT o_orderkey, NOT ({any_fail}) AS valid FROM orders"
 
 
-def _orders_summary_sql() -> str:
+def _orders_summary_sql(table: str = "orders") -> str:
     fails = [f for (_, _, _, _, f) in _ORDERS_CHECK_FAILS.values()]
     any_fail = " OR ".join(f"({f})" for f in fails)
     viol_sum = " + ".join(f"CASE WHEN {f} THEN 1 ELSE 0 END" for f in fails)
@@ -1694,8 +1760,25 @@ def _orders_summary_sql() -> str:
            CAST(sum(CASE WHEN NOT ({any_fail}) THEN 1 ELSE 0 END) AS BIGINT) AS passed,
            CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
            CAST(sum({viol_sum}) AS BIGINT) AS violation_count
-    FROM orders
+    FROM {table}
     """
+
+
+# Deterministic snapshot evolution for the incremental-validation queries:
+# one removed class (%97), two changed classes (%89 status -> enum
+# violation, %83 price bump -> maximum violation), one added class (%101
+# re-keyed clone violating the priority pattern). Identical arithmetic on
+# both engines; key positivity makes % sign-safe.
+_INCR_NEW_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 600000 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey + 20000000, o_custkey, 'O', o_totalprice, o_orderdate, '9-ADDED'
+FROM orders WHERE o_orderkey % 101 = 0
+"""
 
 
 # (column, duckdb type kind) for the orders table — drives the inference
@@ -3040,6 +3123,12 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "validate_orders_violations": _orders_violations_sql(),
+        "incremental_validate_orders": (
+            f"WITH newt AS ({_INCR_NEW_SQL}) {_orders_violations_sql('newt')}"
+        ),
+        "incremental_totals_orders": (
+            f"WITH newt AS ({_INCR_NEW_SQL}) {_orders_summary_sql('newt')}"
+        ),
         "basic_output_orders": _basic_output_sql(),
         "flag_output_orders": _flag_output_sql(),
         "validate_orders_summary": _orders_summary_sql(),
