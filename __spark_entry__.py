@@ -1120,6 +1120,74 @@ def _q_clips_segments_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAD_N = 400
 _RESAMPLE_SR = 8000
+_WAV_N = 600
+
+_INTEGRITY_COLS = [
+    "clip_id",
+    "codec",
+    "expected_samples",
+    "actual_len",
+    "expected_len",
+    "magic_ok",
+    "len_ok",
+    "integrity_ok",
+]
+
+
+def _q_clips_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-speed container integrity: magic prefix + exact byte-length
+    reconciliation vs (sr_hz, dur_ms, codec), pure codegen over the binary
+    column (no Python, no decode). Defects planted in-query on the ledger:
+    %113 truncates the payload, %127 drifts dur_ms; the 'amr' rows
+    exercise the unknown-codec (uncertifiable -> false) path."""
+    from jsonschema_spark.operators.integrity import payload_integrity
+    from jsonschema_spark.sources.clips import materialized_clips
+
+    clips, _ = materialized_clips(spark, _CLIPS_N)
+    idx = F.col("_row_idx")
+    mutated = clips.select(
+        "clip_id",
+        F.when(
+            idx % 113 == 0, F.expr("substring(bytes, 1, length(bytes) - 3)")
+        )
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+        "sr_hz",
+        (F.col("dur_ms") + F.when(idx % 127 == 0, 7).otherwise(0)).alias("dur_ms"),
+        "codec",
+    )
+    return payload_integrity(mutated).select(*_INTEGRITY_COLS)
+
+
+def _q_clips_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level canonical RIFF/WAVE header parse (little-endian reads
+    via hex+conv, still whole-stage codegen) cross-checked against the
+    metadata columns; the oracle re-parses every field from the same
+    parquet blob hex."""
+    from jsonschema_spark.operators.integrity import wav_header_checks
+    from jsonschema_spark.sources.clips import materialized_wav_clips
+
+    clips, _ = materialized_wav_clips(spark, _WAV_N)
+    w = wav_header_checks(clips.select(*_CLIPS_COLS))
+    return w.select(
+        "clip_id",
+        "actual_len",
+        "is_riff",
+        "canonical",
+        "audio_format",
+        "n_channels",
+        "header_sr",
+        "byte_rate",
+        "block_align",
+        "bits_per_sample",
+        "data_size",
+        "riff_size_ok",
+        "data_size_ok",
+        "fmt_ok",
+        "sr_match",
+        "samples_match",
+        "header_ok",
+    )
 
 
 def _q_clips_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,6 +1697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_containment_clips": _q_audio_containment_clips,
         "clips_audio_quality": _q_clips_audio_quality,
         "clips_segments": _q_clips_segments,
+        "clips_payload_integrity": _q_clips_payload_integrity,
+        "clips_wav_headers": _q_clips_wav_headers,
         "clips_trim_silence": _q_clips_trim_silence,
         "clips_resample": _q_clips_resample,
         "clips_segments_transcript": _q_clips_segments_transcript,
@@ -2501,6 +2571,122 @@ def _clips_segments_transcript_sql() -> str:
                               - start_sample * txn // n_samples AS BIGINT))
                  AS seg_transcript
         FROM w
+    """
+
+
+def _payload_integrity_sql() -> str:
+    """Replay of payload_integrity: the same in-query mutations (%113
+    truncation, %127 dur drift), then magic/length reconciliation over the
+    hex of the SAME parquet blobs."""
+    from jsonschema_spark.sources.clips import clips_path
+
+    src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    return f"""
+        WITH m AS (
+          SELECT clip_id, codec, sr_hz,
+                 dur_ms + CASE WHEN _row_idx % 127 = 0 THEN 7 ELSE 0 END AS dur_ms,
+                 octet_length(bytes)
+                   - CASE WHEN _row_idx % 113 = 0 THEN 3 ELSE 0 END AS alen,
+                 substr(hex(bytes), 1,
+                        2 * (octet_length(bytes)
+                             - CASE WHEN _row_idx % 113 = 0 THEN 3 ELSE 0 END))
+                   AS hx
+          FROM {src}
+        ), n AS (
+          SELECT *,
+                 (CAST(sr_hz AS BIGINT) * CAST(dur_ms AS BIGINT)) // 1000 AS ns
+          FROM m
+        ), e AS (
+          SELECT *,
+                 CASE codec WHEN 'pcm_s16le' THEN 2 * ns
+                            WHEN 'flac' THEN 5 + 4 * ns
+                            WHEN 'opus' THEN 4 + 2 * ns
+                            WHEN 'wav' THEN 44 + 2 * ns END AS elen,
+                 coalesce(CASE codec
+                            WHEN 'pcm_s16le' THEN hx IS NOT NULL
+                            WHEN 'flac' THEN substr(hx, 1, 10) = '664C614330'
+                            WHEN 'opus' THEN substr(hx, 1, 8) = '4F707553'
+                            WHEN 'wav' THEN substr(hx, 1, 8) = '52494646'
+                                        AND substr(hx, 17, 8) = '57415645'
+                          END, FALSE) AS mok
+          FROM n
+        )
+        SELECT clip_id, codec,
+               CAST(ns AS BIGINT) AS expected_samples,
+               CAST(alen AS BIGINT) AS actual_len,
+               CAST(elen AS BIGINT) AS expected_len,
+               mok AS magic_ok,
+               coalesce(elen = alen, FALSE) AS len_ok,
+               mok AND coalesce(elen = alen, FALSE) AS integrity_ok
+        FROM e
+    """
+
+
+def _hx_le(pos: int, nb: int) -> str:
+    """DuckDB little-endian unsigned read at 1-based BYTE offset ``pos``
+    over the hex string ``hx`` (byte k lives at chars 2k-1..2k)."""
+    parts = [f"substr(hx, {2 * (pos + i - 1) + 1}, 2)" for i in range(nb - 1, -1, -1)]
+    return "TRY_CAST(('0x' || " + " || ".join(parts) + ") AS BIGINT)"
+
+
+def _wav_headers_sql() -> str:
+    """Field-level header re-parse from the parquet blob hex — the oracle
+    recomputes every little-endian integer and every reconciliation flag
+    from the bytes, independent of the planted-class ledger."""
+    from jsonschema_spark.sources.clips import wav_clips_path
+
+    src = f"read_parquet('{wav_clips_path(_WAV_N)}/*.parquet')"
+    le = _hx_le
+    return f"""
+        WITH t AS (
+          SELECT clip_id, sr_hz, dur_ms,
+                 CAST(octet_length(bytes) AS BIGINT) AS alen,
+                 hex(bytes) AS hx
+          FROM {src}
+        ), r AS (
+          SELECT *,
+                 coalesce(alen >= 44
+                          AND substr(hx, 1, 8) = '52494646'
+                          AND substr(hx, 17, 8) = '57415645', FALSE) AS is_riff
+          FROM t
+        ), c AS (
+          SELECT *,
+                 coalesce(is_riff
+                          AND substr(hx, 25, 8) = '666D7420'
+                          AND {le(17, 4)} = 16
+                          AND substr(hx, 73, 8) = '64617461', FALSE) AS canonical
+          FROM r
+        ), f AS (
+          SELECT *,
+                 CASE WHEN canonical THEN {le(21, 2)} END AS audio_format,
+                 CASE WHEN canonical THEN {le(23, 2)} END AS n_channels,
+                 CASE WHEN canonical THEN {le(25, 4)} END AS header_sr,
+                 CASE WHEN canonical THEN {le(29, 4)} END AS byte_rate,
+                 CASE WHEN canonical THEN {le(33, 2)} END AS block_align,
+                 CASE WHEN canonical THEN {le(35, 2)} END AS bits_per_sample,
+                 CASE WHEN canonical THEN {le(41, 4)} END AS data_size
+          FROM c
+        ), k AS (
+          SELECT *,
+                 coalesce(canonical AND {le(5, 4)} = alen - 8, FALSE) AS riff_size_ok,
+                 coalesce(canonical AND data_size = alen - 44, FALSE) AS data_size_ok,
+                 coalesce(canonical AND audio_format = 1 AND n_channels = 1
+                          AND bits_per_sample = 16
+                          AND byte_rate = header_sr * 2
+                          AND block_align = 2, FALSE) AS fmt_ok,
+                 coalesce(canonical AND header_sr = sr_hz, FALSE) AS sr_match,
+                 coalesce(canonical AND data_size // 2 =
+                          (CAST(sr_hz AS BIGINT) * CAST(dur_ms AS BIGINT)) // 1000,
+                          FALSE) AS samples_match
+          FROM f
+        )
+        SELECT clip_id, alen AS actual_len, is_riff, canonical,
+               audio_format, n_channels, header_sr, byte_rate, block_align,
+               bits_per_sample, data_size,
+               riff_size_ok, data_size_ok, fmt_ok, sr_match, samples_match,
+               riff_size_ok AND data_size_ok AND fmt_ok AND sr_match
+                 AND samples_match AS header_ok
+        FROM k
     """
 
 
@@ -3788,6 +3974,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
         "clips_segments": _clips_segments_sql(),
+        "clips_payload_integrity": _payload_integrity_sql(),
+        "clips_wav_headers": _wav_headers_sql(),
         "clips_trim_silence": _clips_trim_silence_sql(),
         "clips_resample": _clips_resample_sql(),
         "clips_segments_transcript": _clips_segments_transcript_sql(),

@@ -594,3 +594,95 @@ def codecs_dim(spark: SparkSession) -> DataFrame:
         [("pcm_s16le", "wav"), ("flac", "flac"), ("opus", "ogg")],
         ["codec", "container"],
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV-header ledger corpus (container-integrity ground truth)
+# ---------------------------------------------------------------------------
+
+# Planted header-defect classes (i % WAV_CLASS_MOD), disjoint by
+# construction; everything else is a clean canonical 44-byte RIFF/WAVE:
+#   cls 2  -> header sample rate written as 2x the sr_hz column (sr_match
+#             fails; sizes still self-consistent)
+#   cls 5  -> payload truncated by 13 bytes (riff_size/data_size vs actual
+#             length fail; magics intact)
+#   cls 7  -> dur_ms column +9 ms (samples_match fails; payload itself fine)
+#   cls 9  -> raw PCM bytes, no container (is_riff fails)
+#   cls 11 -> first magic byte corrupted 'R'->'X' (is_riff fails)
+WAV_CLASS_MOD = 13
+WAV_CLS_SR_MISMATCH = 2
+WAV_CLS_TRUNCATED = 5
+WAV_CLS_DUR_DRIFT = 7
+WAV_CLS_RAW_PCM = 9
+WAV_CLS_BAD_MAGIC = 11
+
+
+def synth_wav_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 2000),
+) -> DataFrame:
+    """Clips table whose payloads are REAL canonical RIFF/WAVE PCM16 mono
+    containers (functions/audio.encode_wav_pcm16) with planted header /
+    metadata defects — the ledger table for operators/integrity.py. The
+    expected outcome of every check is pure ``_row_idx`` arithmetic, but
+    the DuckDB oracle goes further and re-parses every header field from
+    the parquet blob hex."""
+    from jsonschema_spark.functions.audio import encode_wav_pcm16
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        sr = 16000
+        cid = f"clip-{i:012d}"
+        pcm = pcm16_from_float(reference_signal(cid, sr * dur // 1000))
+        cls = i % WAV_CLASS_MOD
+        col_dur = dur
+        if cls == WAV_CLS_SR_MISMATCH:
+            payload = encode_wav_pcm16(pcm, sr * 2)
+        elif cls == WAV_CLS_TRUNCATED:
+            payload = encode_wav_pcm16(pcm, sr)[:-13]
+        elif cls == WAV_CLS_DUR_DRIFT:
+            payload = encode_wav_pcm16(pcm, sr)
+            col_dur = dur + 9
+        elif cls == WAV_CLS_RAW_PCM:
+            payload = pcm.astype("<i2").tobytes()
+        elif cls == WAV_CLS_BAD_MAGIC:
+            payload = b"X" + encode_wav_pcm16(pcm, sr)[1:]
+        else:
+            payload = encode_wav_pcm16(pcm, sr)
+        return (cid, payload, sr, col_dur, "wav", transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def wav_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_wav_{n}")
+
+
+def materialized_wav_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """WAV-header ledger table materialized once (oracle-cache protocol);
+    the DuckDB oracle re-parses every header field from the SAME blobs."""
+    import os
+
+    path = wav_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_wav_clips(spark, n), path)
+    return spark.read.parquet(path), path
