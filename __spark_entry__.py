@@ -1134,6 +1134,48 @@ _INTEGRITY_COLS = [
 ]
 
 
+# Discriminator-routed schema registry (per-codec contracts). Bounds chosen
+# so every branch has real violations in the ledger corpus: planted sr=12345
+# / dur excursions hit the pcm branch, planted empty transcripts hit flac,
+# the natural non-16k sr tail hits opus, planted 'amr' rows are unregistered.
+_DISPATCH_SCHEMAS = {
+    "pcm_s16le": {
+        "$id": "https://example.com/clips-pcm.schema.json",
+        "type": "object",
+        "properties": {
+            "dur_ms": {"minimum": 200, "maximum": 30000},
+            "sr_hz": {"enum": [8000, 16000, 22050, 44100, 48000]},
+        },
+    },
+    "flac": {
+        "$id": "https://example.com/clips-flac.schema.json",
+        "type": "object",
+        "properties": {
+            "transcript": {"minLength": 1},
+            "dur_ms": {"maximum": 1500},
+        },
+    },
+    "opus": {
+        "$id": "https://example.com/clips-opus.schema.json",
+        "type": "object",
+        "properties": {
+            "sr_hz": {"enum": [16000]},
+            "dur_ms": {"minimum": 300},
+        },
+    },
+}
+
+
+def _q_clips_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-schema dispatch: every row validated against the schema its
+    codec selects, one scan, one codegen'd CASE over per-schema violation
+    arrays; unregistered codecs rejected loudly."""
+    from jsonschema_spark.operators.dispatch import validate_dispatch
+
+    res = validate_dispatch(_clips(spark), _DISPATCH_SCHEMAS, "codec")
+    return res.violations(["clip_id"])
+
+
 def _q_clips_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-speed container integrity: magic prefix + exact byte-length
     reconciliation vs (sr_hz, dur_ms, codec), pure codegen over the binary
@@ -1697,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_containment_clips": _q_audio_containment_clips,
         "clips_audio_quality": _q_clips_audio_quality,
         "clips_segments": _q_clips_segments,
+        "clips_dispatch": _q_clips_dispatch,
         "clips_payload_integrity": _q_clips_payload_integrity,
         "clips_wav_headers": _q_clips_wav_headers,
         "clips_trim_silence": _q_clips_trim_silence,
@@ -2572,6 +2615,51 @@ def _clips_segments_transcript_sql() -> str:
                  AS seg_transcript
         FROM w
     """
+
+
+def _clips_dispatch_sql() -> str:
+    """Replay of the codec-routed registry: each branch's checks as
+    codec-gated SELECTs, plus the unregistered-codec rejection row."""
+    from jsonschema_spark.sources.clips import clips_path
+
+    src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    checks = [
+        # (codec, pointer, keyword, column, message, fail predicate)
+        ("pcm_s16le", "/properties/dur_ms/minimum", "minimum", "dur_ms",
+         "dur_ms must be >= 200",
+         "dur_ms IS NOT NULL AND NOT (dur_ms >= 200)"),
+        ("pcm_s16le", "/properties/dur_ms/maximum", "maximum", "dur_ms",
+         "dur_ms must be <= 30000",
+         "dur_ms IS NOT NULL AND NOT (dur_ms <= 30000)"),
+        ("pcm_s16le", "/properties/sr_hz/enum", "enum", "sr_hz",
+         "sr_hz must be one of the enumerated values",
+         "sr_hz IS NOT NULL AND sr_hz NOT IN (8000, 16000, 22050, 44100, 48000)"),
+        ("flac", "/properties/transcript/minLength", "minLength", "transcript",
+         "transcript length must be >= 1",
+         "transcript IS NOT NULL AND NOT (length(transcript) >= 1)"),
+        ("flac", "/properties/dur_ms/maximum", "maximum", "dur_ms",
+         "dur_ms must be <= 1500",
+         "dur_ms IS NOT NULL AND NOT (dur_ms <= 1500)"),
+        ("opus", "/properties/sr_hz/enum", "enum", "sr_hz",
+         "sr_hz must be one of the enumerated values",
+         "sr_hz IS NOT NULL AND sr_hz NOT IN (16000)"),
+        ("opus", "/properties/dur_ms/minimum", "minimum", "dur_ms",
+         "dur_ms must be >= 300",
+         "dur_ms IS NOT NULL AND NOT (dur_ms >= 300)"),
+    ]
+    parts = [
+        f"SELECT clip_id, '{ptr}' AS keyword_path, '{kw}' AS keyword, "
+        f"'{col}' AS \"column\", '{msg}' AS message FROM {src} "
+        f"WHERE codec = '{codec}' AND ({fail})"
+        for codec, ptr, kw, col, msg, fail in checks
+    ]
+    parts.append(
+        f"SELECT clip_id, '/dispatch' AS keyword_path, 'dispatch' AS keyword, "
+        f"'codec' AS \"column\", "
+        f"'no schema registered for instance.codec value' AS message FROM {src} "
+        f"WHERE codec IS NULL OR codec NOT IN ('pcm_s16le', 'flac', 'opus')"
+    )
+    return " UNION ALL ".join(parts)
 
 
 def _payload_integrity_sql() -> str:
@@ -3974,6 +4062,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
         "clips_segments": _clips_segments_sql(),
+        "clips_dispatch": _clips_dispatch_sql(),
         "clips_payload_integrity": _payload_integrity_sql(),
         "clips_wav_headers": _wav_headers_sql(),
         "clips_trim_silence": _clips_trim_silence_sql(),
