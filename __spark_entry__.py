@@ -848,6 +848,18 @@ def _q_drift_ks_binned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.ks_statistic_binned(cur, base, "value", *_EVENTS_KS_GRID)
 
 
+def _q_drift_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice drift matrix: "which user segment drifted" — PSI +
+    chi-square of the event_type histogram per user_id%8 segment, ONE
+    grouped plan for all slices (no driver loop)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "segment", (F.col("user_id") % 8).cast("long")
+    )
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.drift_matrix(cur, base, ["segment"], "event_type")
+
+
 # Schema-driven repair: defaults fill + closed-world projection (the
 # actionable rendering of the metadata vocabulary / additionalProperties).
 REPAIR_SCHEMA = {
@@ -1643,6 +1655,18 @@ def _q_clips_drift_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.chi_square_table(cur, base, "codec")
 
 
+def _q_clips_drift_matrix_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-codec drift matrix on dur_ms (binned on the shared ECDF grid):
+    the slice-triage rendering of the north-star drift check — every codec's
+    duration distribution vs the baseline snapshot in ONE grouped plan, with
+    a per-slice stable/moderate/major verdict."""
+    cur = _clips(spark)
+    base = _clips_baseline(spark)
+    return drift.drift_matrix_numeric(
+        cur, base, ["codec"], "dur_ms", *_CLIPS_KS_GRID
+    )
+
+
 def _q_clips_resumable_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume protocol over a fresh manifest: preempted first run
     (4 of 8 buckets), resumed second run; returns per-partition lineage.
@@ -1721,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_value_binned": _q_drift_psi_value_binned,
         "drift_ks_events": _q_drift_ks_events,
         "drift_ks_binned_events": _q_drift_ks_binned_events,
+        "drift_matrix_events": _q_drift_matrix_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
@@ -1765,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_clips": _q_mixture_sample_clips,
         "clips_drift_dur_ms": _q_clips_drift_dur_ms,
         "clips_drift_codec": _q_clips_drift_codec,
+        "clips_drift_matrix_codec": _q_clips_drift_matrix_codec,
         "clips_resumable_manifest": _q_clips_resumable_manifest,
     }
 
@@ -3184,6 +3210,84 @@ def _ks_binned_sql(grid: tuple[float, float, int], cur_where: str,
     """
 
 
+def _drift_matrix_sql(
+    cur_src: str,
+    base_src: str,
+    group_sql: str,
+    cat_sql: str,
+    cur_where: str = "TRUE",
+    base_where: str = "TRUE",
+    group_alias: str = "segment",
+    psi_moderate: float = 0.1,
+    psi_major: float = 0.25,
+) -> str:
+    """DuckDB mirror of drift.drift_matrix_from_histograms: per-group PSI +
+    chi-square where every per-category contribution is floored to an
+    integer-scaled 1e-6 grid (floor(x*1e6 + 0.5), exact BIGINT sums) so the
+    per-group totals are aggregation-order independent — the same arithmetic
+    the Spark side performs, hence bit-identical hashes."""
+    mod_s = int(psi_moderate * 1e6)
+    maj_s = int(psi_major * 1e6)
+    return f"""
+    WITH cur AS (
+      SELECT {group_sql} AS g, {cat_sql} AS category, count(*) AS cnt
+      FROM {cur_src} WHERE {cur_where} GROUP BY 1, 2
+    ), base AS (
+      SELECT {group_sql} AS g, {cat_sql} AS category, count(*) AS cnt
+      FROM {base_src} WHERE {base_where} GROUP BY 1, 2
+    ), j AS (
+      SELECT coalesce(c.g, b.g) AS g,
+             coalesce(c.category, b.category) AS category,
+             coalesce(c.cnt, 0) AS cur_cnt,
+             coalesce(b.cnt, 0) AS base_cnt
+      FROM cur c FULL OUTER JOIN base b
+        ON c.g = b.g AND c.category = b.category
+    ), t AS (
+      SELECT g, CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+             CAST(sum(base_cnt) AS BIGINT) AS n_base
+      FROM j GROUP BY g
+    ), c AS (
+      SELECT j.g, cur_cnt, base_cnt, n_cur, n_base,
+             greatest(cur_cnt / n_cur, 1e-6) AS p_cur,
+             greatest(base_cnt / n_base, 1e-6) AS p_base,
+             base_cnt / n_base * n_cur AS expected
+      FROM j JOIN t ON j.g = t.g
+    ), s AS (
+      SELECT g,
+             max(n_cur) AS n_cur, max(n_base) AS n_base,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(CASE WHEN base_cnt = 0 AND cur_cnt > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS new_categories,
+             CAST(sum(CAST(floor((p_cur - p_base) * ln(p_cur / p_base) * 1e6
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS psi_s,
+             CAST(sum(CASE WHEN expected > 0
+                           THEN CAST(floor(pow(cur_cnt - expected, 2)
+                                           / expected * 1e6 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS chi2_s
+      FROM c GROUP BY g
+    )
+    SELECT g AS {group_alias}, n_cur, n_base, n_categories, new_categories,
+           psi_s / 1e6 AS psi, chi2_s / 1e6 AS chi2,
+           CASE WHEN psi_s >= {maj_s} THEN 'major'
+                WHEN psi_s >= {mod_s} THEN 'moderate'
+                ELSE 'stable' END AS verdict
+    FROM s ORDER BY 1
+    """
+
+
+def _drift_matrix_bin_expr(grid: tuple[float, float, int], col: str) -> str:
+    """The shared uniform-grid bin id (identical arithmetic to
+    drift.binned_ecdf_bin — the step literal is the same Python double)."""
+    lo, hi, n_bins = grid
+    step = (float(hi) - float(lo)) / n_bins
+    v = f"CAST({col} AS DOUBLE)"
+    return (
+        f"CASE WHEN {v} <= {float(lo)!r} THEN 0 "
+        f"WHEN {v} > {float(hi)!r} THEN {n_bins + 1} "
+        f"ELSE CAST(ceil(({v} - {float(lo)!r}) / {step!r}) AS INTEGER) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane-LSH / IVF oracles: the plane weights and centroid seeds are
 # driver-side deterministic constants, so the SAME values are inlined here
@@ -3922,6 +4026,14 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_binned_events": _ks_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
+        "drift_matrix_events": _drift_matrix_sql(
+            "events",
+            "events",
+            "user_id % 8",
+            "event_type",
+            cur_where="event_id % 2 = 1",
+            base_where="event_id % 2 = 0",
+        ),
         "drift_psi_value_binned": _psi_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
@@ -4214,6 +4326,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clips_drift_codec": _chi_square_sql(
             _CLIPS_MAIN_PQ, _CLIPS_BASE_PQ, "codec"
+        ),
+        "clips_drift_matrix_codec": _drift_matrix_sql(
+            _CLIPS_MAIN_PQ,
+            _CLIPS_BASE_PQ,
+            "codec",
+            _drift_matrix_bin_expr(_CLIPS_KS_GRID, "dur_ms"),
+            cur_where="dur_ms IS NOT NULL",
+            base_where="dur_ms IS NOT NULL",
+            group_alias="codec",
         ),
         "clips_resumable_manifest": f"""
             SELECT _bucket AS partition_value, "rows", passed, failed,

@@ -403,3 +403,135 @@ def _kolmogorov_sf(lam: float) -> float:
         if abs(term) < 1e-16:
             break
     return max(0.0, min(1.0, 2.0 * total))
+
+
+# ---------------------------------------------------------------------------
+# Per-group drift matrix: "which slice drifted", one grouped plan
+# ---------------------------------------------------------------------------
+
+
+def drift_matrix_from_histograms(
+    cur: DataFrame,
+    base: DataFrame,
+    group_cols: list[str],
+    eps: float = 1e-6,
+    psi_moderate: float = 0.1,
+    psi_major: float = 0.25,
+) -> DataFrame:
+    """Per-group PSI + chi-square from two (group..., category, cnt)
+    histograms — the grouped generalization of ``psi_table_from_histograms``
+    / ``chi_square_table`` with NO driver loop over slices: one join on
+    (group, category), per-group totals joined back (O(groups) rows — AQE
+    broadcasts), one final narrow aggregate.
+
+    Determinism: per-category contributions are rounded to 6 dp and summed
+    as INTEGER-scaled values (floor(x*1e6 + 0.5), exact BIGINT addition), so
+    the per-group sums are independent of aggregation order — the property
+    the cross-engine oracle needs, and a stability guarantee for reruns.
+
+    Chi-square is computed over categories with expected > 0; categories
+    new in the current slice (baseline count 0) are reported in
+    ``new_categories`` instead of forcing an infinite statistic. PSI's eps
+    floor already accounts for them.
+    """
+    cur = cur.withColumnRenamed("cnt", "cur_cnt")
+    base = base.withColumnRenamed("cnt", "base_cnt")
+    keys = [*group_cols, "category"]
+    joined = cur.join(base, keys, "full_outer").fillna(
+        0, subset=["cur_cnt", "base_cnt"]
+    )
+    totals = joined.groupBy(*group_cols).agg(
+        F.sum("cur_cnt").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    )
+    j = joined.join(totals, list(group_cols))
+
+    p_cur = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(eps))
+    p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(eps))
+    psi_c = (p_cur - p_base) * F.log(p_cur / p_base)
+    expected = F.col("base_cnt") / F.col("n_base") * F.col("n_cur")
+    chi2_c = F.when(expected > 0, F.pow(F.col("cur_cnt") - expected, 2) / expected)
+
+    scaled = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    per_group = (
+        j.groupBy(*group_cols)
+        .agg(
+            F.max("n_cur").alias("n_cur"),
+            F.max("n_base").alias("n_base"),
+            F.count(F.lit(1)).alias("n_categories"),
+            F.sum(
+                ((F.col("base_cnt") == 0) & (F.col("cur_cnt") > 0)).cast("long")
+            ).alias("new_categories"),
+            F.sum(scaled(psi_c)).alias("_psi_s"),
+            F.sum(F.coalesce(scaled(chi2_c), F.lit(0))).alias("_chi2_s"),
+        )
+    )
+    psi = F.col("_psi_s") / 1e6
+    return per_group.select(
+        *group_cols,
+        "n_cur",
+        "n_base",
+        "n_categories",
+        "new_categories",
+        psi.alias("psi"),
+        (F.col("_chi2_s") / 1e6).alias("chi2"),
+        F.when(F.col("_psi_s") >= F.lit(int(psi_major * 1e6)), F.lit("major"))
+        .when(F.col("_psi_s") >= F.lit(int(psi_moderate * 1e6)), F.lit("moderate"))
+        .otherwise(F.lit("stable"))
+        .alias("verdict"),
+    ).orderBy(*group_cols)
+
+
+def _grouped_category_histogram(
+    df: DataFrame, group_cols: list[str], column: str
+) -> DataFrame:
+    return df.groupBy(
+        *[F.col(g) for g in group_cols], F.col(column).alias("category")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def drift_matrix(
+    current: DataFrame,
+    baseline: DataFrame,
+    group_cols,
+    column: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Categorical per-slice drift: (group..., n_cur, n_base, n_categories,
+    new_categories, psi, chi2, verdict), one grouped plan. NULL group keys
+    never join across sides (standard join semantics) — filter or fill
+    them upstream if NULL is a meaningful slice."""
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return drift_matrix_from_histograms(
+        _grouped_category_histogram(current, gs, column),
+        _grouped_category_histogram(baseline, gs, column),
+        gs,
+        eps,
+    )
+
+
+def drift_matrix_numeric(
+    current: DataFrame,
+    baseline: DataFrame,
+    group_cols,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Numeric per-slice drift on the shared uniform bin grid (same
+    engine-exact bin arithmetic as the binned KS/PSI)."""
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def hist(df: DataFrame) -> DataFrame:
+        c = F.col(column).cast("double")
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(
+                *[F.col(g) for g in gs],
+                binned_ecdf_bin(c, lo, hi, n_bins).alias("category"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return drift_matrix_from_histograms(hist(current), hist(baseline), gs, eps)

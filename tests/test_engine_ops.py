@@ -203,6 +203,97 @@ def test_psi_numeric_binned(spark):
     assert sum(r.contribution for r in moved) > 0.1
 
 
+def test_drift_matrix_identical_is_stable(spark):
+    """Per-slice drift matrix: identical distributions → every slice stable,
+    psi == chi2 == 0, no new categories."""
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "segment", (F.col("user_id") % 4).cast("long")
+    )
+    rows = drift.drift_matrix(ev, ev, ["segment"], "event_type").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.verdict == "stable"
+        assert r.psi == pytest.approx(0.0, abs=1e-5)
+        assert r.chi2 == pytest.approx(0.0, abs=1e-5)
+        assert r.new_categories == 0
+        assert r.n_cur == r.n_base > 0
+
+
+def test_drift_matrix_flags_only_the_shifted_slice(spark):
+    """Plant drift in ONE slice (drop most 'click' events in segment 0);
+    the matrix must flag that slice and leave the others stable."""
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "segment", (F.col("user_id") % 4).cast("long")
+    )
+    cur = ev.filter(
+        (F.col("segment") != 0)
+        | (F.col("event_type") != "click")
+        | (F.xxhash64("event_id") % 8 == 0)
+    )
+    by_seg = {
+        r.segment: r for r in drift.drift_matrix(cur, ev, ["segment"], "event_type").collect()
+    }
+    assert by_seg[0].psi > 0.05 and by_seg[0].chi2 > 0
+    for s in (1, 2, 3):
+        assert by_seg[s].verdict == "stable"
+        assert by_seg[s].psi == pytest.approx(0.0, abs=1e-5)
+
+
+def test_drift_matrix_single_group_matches_psi_table(spark):
+    """A one-slice matrix reduces to the ungrouped PSI (the per-category
+    contributions are rounded to the same 1e-6 grid before summation)."""
+    ev = load_table(spark, SF_DIR, "events")
+    skewed = ev.filter(
+        (F.col("event_type") != "click") | (F.xxhash64("event_id") % 4 == 0)
+    )
+    m = drift.drift_matrix(
+        skewed.withColumn("g", F.lit(1)), ev.withColumn("g", F.lit(1)), ["g"], "event_type"
+    ).collect()
+    assert len(m) == 1
+    flat = drift.psi_table(skewed, ev, "event_type").collect()
+    want = sum(r.contribution for r in flat)
+    assert m[0].psi == pytest.approx(want, abs=len(flat) * 2e-6)
+    assert m[0].n_categories == len(flat)
+
+
+def test_drift_matrix_counts_new_categories(spark):
+    """A category present only in the current slice is reported in
+    new_categories (and PSI'd via the eps floor), never an infinite chi2."""
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.withColumn(
+        "event_type",
+        F.when(F.xxhash64("event_id") % 50 == 0, F.lit("brand_new")).otherwise(
+            F.col("event_type")
+        ),
+    ).withColumn("g", F.lit("all"))
+    base = ev.withColumn("g", F.lit("all"))
+    row = drift.drift_matrix(cur, base, ["g"], "event_type").collect()[0]
+    assert row.new_categories == 1
+    assert row.chi2 < float("inf") and row.psi > 0
+
+
+def test_drift_matrix_numeric_detects_per_slice_shift(spark):
+    """Numeric (binned) matrix: scale one slice's values, only it drifts."""
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "segment", (F.col("user_id") % 2).cast("long")
+    )
+    cur = ev.withColumn(
+        "value",
+        F.when(F.col("segment") == 1, F.col("value") * 1.5 + 40.0).otherwise(
+            F.col("value")
+        ),
+    )
+    by_seg = {
+        r.segment: r
+        for r in drift.drift_matrix_numeric(
+            cur, ev, ["segment"], "value", 0.0, 600.0, 60
+        ).collect()
+    }
+    assert by_seg[0].psi == pytest.approx(0.0, abs=1e-5)
+    assert by_seg[1].psi > 0.1
+    assert by_seg[1].verdict in ("moderate", "major")
+
+
 def test_psi_zero_on_identical(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert drift.psi(ev, ev, "event_type") == pytest.approx(0.0, abs=1e-9)
