@@ -860,6 +860,21 @@ def _q_drift_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.drift_matrix(cur, base, ["segment"], "event_type")
 
 
+def _q_drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table drift report: every requested column (numeric value on
+    the shared bin grid + categorical event_type) verdict'd in ONE stacked
+    histogram pass per side — no per-column scans."""
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.drift_report(
+        cur,
+        base,
+        numeric_cols={"value": (0.0, 600.0, 60)},
+        categorical_cols=["event_type"],
+    )
+
+
 # Schema-driven repair: defaults fill + closed-world projection (the
 # actionable rendering of the metadata vocabulary / additionalProperties).
 REPAIR_SCHEMA = {
@@ -1667,6 +1682,20 @@ def _q_clips_drift_matrix_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star drift report: dur_ms (binned), sr_hz and codec
+    (categorical) vs the baseline snapshot — the whole clips table's drift
+    posture in one stacked pass per side."""
+    cur = _clips(spark)
+    base = _clips_baseline(spark)
+    return drift.drift_report(
+        cur,
+        base,
+        numeric_cols={"dur_ms": _CLIPS_KS_GRID},
+        categorical_cols=["sr_hz", "codec"],
+    )
+
+
 def _q_clips_resumable_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume protocol over a fresh manifest: preempted first run
     (4 of 8 buckets), resumed second run; returns per-partition lineage.
@@ -1746,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_events": _q_drift_ks_events,
         "drift_ks_binned_events": _q_drift_ks_binned_events,
         "drift_matrix_events": _q_drift_matrix_events,
+        "drift_report_events": _q_drift_report_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
@@ -1791,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_drift_dur_ms": _q_clips_drift_dur_ms,
         "clips_drift_codec": _q_clips_drift_codec,
         "clips_drift_matrix_codec": _q_clips_drift_matrix_codec,
+        "clips_drift_report": _q_clips_drift_report,
         "clips_resumable_manifest": _q_clips_resumable_manifest,
     }
 
@@ -3226,15 +3257,36 @@ def _drift_matrix_sql(
     integer-scaled 1e-6 grid (floor(x*1e6 + 0.5), exact BIGINT sums) so the
     per-group totals are aggregation-order independent — the same arithmetic
     the Spark side performs, hence bit-identical hashes."""
+    cur_hist = (
+        f"SELECT {group_sql} AS g, {cat_sql} AS category, count(*) AS cnt "
+        f"FROM {cur_src} WHERE {cur_where} GROUP BY 1, 2"
+    )
+    base_hist = (
+        f"SELECT {group_sql} AS g, {cat_sql} AS category, count(*) AS cnt "
+        f"FROM {base_src} WHERE {base_where} GROUP BY 1, 2"
+    )
+    return _drift_matrix_core_sql(
+        cur_hist, base_hist, group_alias, psi_moderate, psi_major
+    )
+
+
+def _drift_matrix_core_sql(
+    cur_hist: str,
+    base_hist: str,
+    group_alias: str,
+    psi_moderate: float = 0.1,
+    psi_major: float = 0.25,
+) -> str:
+    """The shared per-group PSI/chi2 core over two (g, category, cnt)
+    histogram subqueries — integer-scaled 1e-6 contributions summed as
+    exact BIGINTs, identical to drift.drift_matrix_from_histograms."""
     mod_s = int(psi_moderate * 1e6)
     maj_s = int(psi_major * 1e6)
     return f"""
     WITH cur AS (
-      SELECT {group_sql} AS g, {cat_sql} AS category, count(*) AS cnt
-      FROM {cur_src} WHERE {cur_where} GROUP BY 1, 2
+      {cur_hist}
     ), base AS (
-      SELECT {group_sql} AS g, {cat_sql} AS category, count(*) AS cnt
-      FROM {base_src} WHERE {base_where} GROUP BY 1, 2
+      {base_hist}
     ), j AS (
       SELECT coalesce(c.g, b.g) AS g,
              coalesce(c.category, b.category) AS category,
@@ -3285,6 +3337,40 @@ def _drift_matrix_bin_expr(grid: tuple[float, float, int], col: str) -> str:
         f"CASE WHEN {v} <= {float(lo)!r} THEN 0 "
         f"WHEN {v} > {float(hi)!r} THEN {n_bins + 1} "
         f"ELSE CAST(ceil(({v} - {float(lo)!r}) / {step!r}) AS INTEGER) END"
+    )
+
+
+def _drift_report_sql(
+    cur_src: str,
+    base_src: str,
+    numeric_cols: dict,
+    categorical_cols: list,
+    cur_where: str = "TRUE",
+    base_where: str = "TRUE",
+) -> str:
+    """DuckDB mirror of drift.drift_report: one stacked (column, category)
+    histogram per side (UNION ALL of per-column GROUP BYs — same counts the
+    Spark explode produces), NULLs excluded, bins rendered as VARCHAR."""
+
+    def hist(src: str, where: str) -> str:
+        parts = []
+        for c, grid in numeric_cols.items():
+            b = _drift_matrix_bin_expr(grid, c)
+            parts.append(
+                f"SELECT '{c}' AS g, CAST({b} AS VARCHAR) AS category, "
+                f"count(*) AS cnt FROM {src} "
+                f"WHERE ({where}) AND {c} IS NOT NULL GROUP BY 1, 2"
+            )
+        for c in categorical_cols:
+            parts.append(
+                f"SELECT '{c}' AS g, CAST({c} AS VARCHAR) AS category, "
+                f"count(*) AS cnt FROM {src} "
+                f"WHERE ({where}) AND {c} IS NOT NULL GROUP BY 1, 2"
+            )
+        return " UNION ALL ".join(parts)
+
+    return _drift_matrix_core_sql(
+        hist(cur_src, cur_where), hist(base_src, base_where), '"column"'
     )
 
 
@@ -4034,6 +4120,14 @@ def oracle_sql() -> dict[str, str]:
             cur_where="event_id % 2 = 1",
             base_where="event_id % 2 = 0",
         ),
+        "drift_report_events": _drift_report_sql(
+            "events",
+            "events",
+            {"value": (0.0, 600.0, 60)},
+            ["event_type"],
+            cur_where="event_id % 2 = 1",
+            base_where="event_id % 2 = 0",
+        ),
         "drift_psi_value_binned": _psi_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
@@ -4335,6 +4429,12 @@ def oracle_sql() -> dict[str, str]:
             cur_where="dur_ms IS NOT NULL",
             base_where="dur_ms IS NOT NULL",
             group_alias="codec",
+        ),
+        "clips_drift_report": _drift_report_sql(
+            _CLIPS_MAIN_PQ,
+            _CLIPS_BASE_PQ,
+            {"dur_ms": _CLIPS_KS_GRID},
+            ["sr_hz", "codec"],
         ),
         "clips_resumable_manifest": f"""
             SELECT _bucket AS partition_value, "rows", passed, failed,

@@ -421,8 +421,11 @@ def drift_matrix_from_histograms(
     """Per-group PSI + chi-square from two (group..., category, cnt)
     histograms — the grouped generalization of ``psi_table_from_histograms``
     / ``chi_square_table`` with NO driver loop over slices: one join on
-    (group, category), per-group totals joined back (O(groups) rows — AQE
-    broadcasts), one final narrow aggregate.
+    (group, category), per-group totals via a window PARTITIONED on the
+    group over the tiny post-aggregate histogram (single reference — a
+    groupBy+rejoin formulation references the joined subtree twice, and
+    Catalyst plans the whole upstream scan once per reference: measured 8
+    parquet scans vs this shape's 2), one final narrow aggregate.
 
     Determinism: per-category contributions are rounded to 6 dp and summed
     as INTEGER-scaled values (floor(x*1e6 + 0.5), exact BIGINT addition), so
@@ -440,10 +443,10 @@ def drift_matrix_from_histograms(
     joined = cur.join(base, keys, "full_outer").fillna(
         0, subset=["cur_cnt", "base_cnt"]
     )
-    totals = joined.groupBy(*group_cols).agg(
-        F.sum("cur_cnt").alias("n_cur"), F.sum("base_cnt").alias("n_base")
+    w = Window.partitionBy(*group_cols)
+    j = joined.withColumn("n_cur", F.sum("cur_cnt").over(w)).withColumn(
+        "n_base", F.sum("base_cnt").over(w)
     )
-    j = joined.join(totals, list(group_cols))
 
     p_cur = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(eps))
     p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(eps))
@@ -535,3 +538,76 @@ def drift_matrix_numeric(
         )
 
     return drift_matrix_from_histograms(hist(current), hist(baseline), gs, eps)
+
+
+# ---------------------------------------------------------------------------
+# Whole-table drift report: every column in ONE pass per side
+# ---------------------------------------------------------------------------
+
+
+def drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    numeric_cols: dict | None = None,
+    categorical_cols=None,
+    eps: float = 1e-6,
+    psi_moderate: float = 0.1,
+    psi_major: float = 0.25,
+) -> DataFrame:
+    """Drift verdict for EVERY requested column in one scan per side.
+
+    ``numeric_cols`` maps column -> (lo, hi, n_bins) on the shared uniform
+    ECDF grid; ``categorical_cols`` lists string/low-cardinality columns
+    histogrammed by raw value. Each row explodes into one (column, category)
+    entry per requested column (codegen'd generator — no Python, no
+    per-column scans), then ONE groupBy(column, category) aggregate per side
+    feeds ``drift_matrix_from_histograms`` with the column name as the
+    group. Plan cost: one scan + one narrow shuffle per side whose row count
+    is the SUM of the columns' category cardinalities — independent of table
+    width scanned (column pruning keeps the scan to the requested columns)
+    and of row count.
+
+    NULL values are excluded from every histogram (numeric bins of NULL are
+    NULL, categorical NULLs are filtered): drift here means "the
+    distribution of present values moved"; null-fraction drift is a
+    column_stats comparison, not a shape change. Bin ids are rendered as
+    strings so numeric and categorical columns share one category domain —
+    per-column, so the mixed domain never collides.
+
+    Output: (column, n_cur, n_base, n_categories, new_categories, psi,
+    chi2, verdict) — one row per column, ordered by column.
+    """
+    numeric_cols = numeric_cols or {}
+    categorical_cols = list(categorical_cols or [])
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("drift_report: no columns requested")
+
+    def hist(df: DataFrame) -> DataFrame:
+        entries = []
+        for c, (lo, hi, n_bins) in numeric_cols.items():
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    binned_ecdf_bin(F.col(c).cast("double"), lo, hi, n_bins)
+                    .cast("string")
+                    .alias("category"),
+                )
+            )
+        for c in categorical_cols:
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("category"),
+                )
+            )
+        return (
+            df.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.column", "e.category")
+            .filter(F.col("category").isNotNull())
+            .groupBy("column", "category")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return drift_matrix_from_histograms(
+        hist(current), hist(baseline), ["column"], eps, psi_moderate, psi_major
+    )

@@ -294,6 +294,41 @@ def test_drift_matrix_numeric_detects_per_slice_shift(spark):
     assert by_seg[1].verdict in ("moderate", "major")
 
 
+def test_drift_report_flags_only_the_shifted_column(spark):
+    """Whole-table report: shift `value`, leave event_type alone → exactly
+    the value row drifts."""
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.withColumn("value", F.col("value") * 1.5 + 40.0)
+    rows = {
+        r["column"]: r
+        for r in drift.drift_report(
+            cur, ev, {"value": (0.0, 600.0, 60)}, ["event_type"]
+        ).collect()
+    }
+    assert set(rows) == {"value", "event_type"}
+    assert rows["value"].psi > 0.1
+    assert rows["event_type"].verdict == "stable"
+    assert rows["event_type"].psi == pytest.approx(0.0, abs=1e-5)
+
+
+def test_drift_report_scans_each_side_once(spark):
+    """The stacked-histogram report reads each input ONCE regardless of how
+    many columns are requested (a per-column loop would scan k times), keeps
+    the scan pruned to the requested columns, and stays JVM-side."""
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    df = drift.drift_report(
+        cur, base, {"value": (0.0, 600.0, 60)}, ["event_type"]
+    )
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert p.count("FileScan parquet") == 2
+    assert "BatchEvalPython" not in p
+    assert "props" not in p and "user_id" not in p  # column pruning held
+
+
 def test_psi_zero_on_identical(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert drift.psi(ev, ev, "event_type") == pytest.approx(0.0, abs=1e-9)
