@@ -144,6 +144,18 @@ def q_drift_chi2(spark: SparkSession):
     return drift.chi_square_table(cur, base, "event_type").collect()
 
 
+def q_drift_report(spark: SparkSession):
+    """Whole-table drift report: numeric + categorical columns verdict'd in
+    ONE stacked histogram pass per side (shuffle = sum of category
+    cardinalities, independent of row count)."""
+    ev = load_table(spark, SF_DIR, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.drift_report(
+        cur, base, {"value": (0.0, 600.0, 120)}, ["event_type"]
+    ).collect()
+
+
 def q_text_profile(spark: SparkSession):
     docs = load_table(spark, SF_DIR, "documents")
     return (
@@ -391,6 +403,7 @@ QUERIES = {
     "drift_ks": q_drift_ks,
     "drift_ks_exact": q_drift_ks_exact,
     "drift_chi2": q_drift_chi2,
+    "drift_report": q_drift_report,
     "text_profile": q_text_profile,
     "dedup_minhash": q_dedup_minhash,
     "cosine_topk": q_cosine_topk,

@@ -210,3 +210,94 @@ def psi_foreach_batch(
         sink(psi_by_window(batch, base_hist, eps), batch_id)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Per-(window x slice) drift matrix: "which slice drifted in which window"
+# ---------------------------------------------------------------------------
+
+
+def sliced_windowed_category_histogram(
+    stream: DataFrame,
+    column: str,
+    ts_col: str,
+    slice_cols: list[str],
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(window_start, window_end, slice..., category, cnt) — append-mode
+    safe; state is O(windows x slices x categories) counters."""
+    return (
+        stream.withColumn("_event_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_event_ts", watermark)
+        .groupBy(
+            F.window(F.col("_event_ts"), window).alias("_w"),
+            *[F.col(s) for s in slice_cols],
+            F.col(column).alias("category"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *slice_cols,
+            "category",
+            "cnt",
+        )
+    )
+
+
+def drift_matrix_by_window(
+    batch: DataFrame,
+    base_hist: DataFrame,
+    slice_cols: list[str],
+    eps: float = 1e-6,
+    psi_moderate: float = 0.1,
+    psi_major: float = 0.25,
+) -> DataFrame:
+    """Per-(window, slice) PSI + chi-square + verdict in ONE grouped plan —
+    the streaming face of ``operators/drift.drift_matrix`` (identical
+    per-group math; parity-pinned in tests). ``base_hist`` is the static
+    per-slice histogram from ``operators/drift._grouped_category_histogram``
+    (slice..., category, cnt). The batch's few distinct windows cross-join
+    the baseline so a slice that went silent in a window is reported with
+    n_cur = 0 (all mass moved) rather than silently dropped."""
+    from jsonschema_spark.operators.drift import drift_matrix_from_histograms
+
+    wcols = ["window_start", "window_end"]
+    windows = batch.select(*wcols).distinct()
+    base = windows.join(base_hist, how="cross")
+    return drift_matrix_from_histograms(
+        batch, base, wcols + list(slice_cols), eps, psi_moderate, psi_major
+    )
+
+
+def drift_matrix_foreach_batch(
+    baseline: DataFrame,
+    column: str,
+    slice_cols: list[str],
+    sink: Callable[[DataFrame, int], None],
+    eps: float = 1e-6,
+    psi_moderate: float = 0.1,
+    psi_major: float = 0.25,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch builder for the sliced drift matrix: each micro-batch of
+    completed (window x slice) histograms is verdict'd against the static
+    per-slice baseline — every window AND every slice in one grouped plan
+    (O(1) Spark jobs per batch, not O(windows x slices))."""
+    from jsonschema_spark.operators.drift import _grouped_category_histogram
+
+    base_hist = _grouped_category_histogram(
+        baseline, list(slice_cols), column
+    ).cache()
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink(
+            drift_matrix_by_window(
+                batch, base_hist, slice_cols, eps, psi_moderate, psi_major
+            ),
+            batch_id,
+        )
+
+    return fn

@@ -335,3 +335,69 @@ def test_stream_clips_with_audio_udf(spark, tmp_path):
     q.stop()
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM clip_viol_stream").collect())
     assert got == want
+
+
+def test_streaming_drift_matrix_matches_batch(spark, events_dir, tmp_path):
+    """Sliced windowed histograms + foreachBatch drift matrix: every
+    completed (window, slice) verdict equals the batch drift_matrix over
+    that window's rows — all windows x slices in ONE grouped plan."""
+    from jsonschema_spark.operators import drift as drift_ops
+    from jsonschema_spark.streaming.drift import (
+        drift_matrix_foreach_batch,
+        sliced_windowed_category_histogram,
+    )
+
+    seg = (F.col("user_id") % 2).cast("long")
+    batch_df = spark.read.parquet(events_dir).withColumn("segment", seg)
+    baseline = batch_df
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir).withColumn("segment", seg)
+    hist = sliced_windowed_category_histogram(
+        stream, "event_type", ts_col="ts", slice_cols=["segment"],
+        window="1 day", watermark="0 seconds",
+    )
+    results = []
+
+    def sink(df, batch_id):
+        results.extend(df.collect())
+
+    q = (
+        hist.writeStream.outputMode("append")
+        .foreachBatch(
+            drift_matrix_foreach_batch(baseline, "event_type", ["segment"], sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_dm"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(results) > 2  # multiple (window, slice) cells in one plan
+    windows = sorted({(r.window_start, r.window_end) for r in results})
+    assert len(windows) > 1
+    for ws, we in windows:
+        window_rows = batch_df.filter(
+            (F.col("ts").cast("timestamp") >= ws)
+            & (F.col("ts").cast("timestamp") < we)
+        )
+        want = {
+            r.segment: r
+            for r in drift_ops.drift_matrix(
+                window_rows, baseline, ["segment"], "event_type"
+            ).collect()
+        }
+        got = {
+            r.segment: r
+            for r in results
+            if (r.window_start, r.window_end) == (ws, we)
+        }
+        assert set(got) == set(want)
+        for s in want:
+            assert got[s].psi == pytest.approx(want[s].psi, abs=1e-9)
+            assert got[s].chi2 == pytest.approx(want[s].chi2, abs=1e-9)
+            assert got[s].verdict == want[s].verdict
+            assert (got[s].n_cur, got[s].n_base) == (
+                want[s].n_cur, want[s].n_base,
+            )
