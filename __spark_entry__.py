@@ -875,6 +875,91 @@ def _q_drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_drift_wasserstein_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) drift on events.value over the shared
+    uniform bin grid — the drift statistic in the column's own units
+    ("the distribution moved ~N to the right"). Same scale shape as the
+    binned KS default: one narrow groupBy(bin) per side; per-bin
+    contributions floored to an integer 1e-9 grid so the sum is
+    aggregation-order independent and DuckDB replays it bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    return drift.wasserstein_binned(cur, base, "value", *_EVENTS_KS_GRID)
+
+
+# FDs checked on lineitem: l_partkey -> l_suppkey FAILS by design (a part
+# ships from several suppliers — a planted violating FD at every SF), while
+# (l_orderkey, l_linenumber) -> l_quantity HOLDS (it's the primary key).
+_LINEITEM_FDS = {
+    "partkey_suppkey": ("l_partkey", "l_suppkey"),
+    "orderline_qty": (("l_orderkey", "l_linenumber"), "l_quantity"),
+}
+
+
+def _q_fd_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency report: both FDs checked in ONE scan (stacked
+    inline generator) + two narrow aggregates; shuffle bounded by distinct
+    (fd, determinant, dependent) triples, never row count."""
+    from jsonschema_spark.operators.fd import fd_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fd_report(li, _LINEITEM_FDS)
+
+
+def _q_fd_violating_groups_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 worst violating determinant groups of the planted-failing FD,
+    deterministic ordering (n_distinct desc, n_rows desc, det asc)."""
+    from jsonschema_spark.operators.fd import fd_violating_groups
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fd_violating_groups(
+        li, {"partkey_suppkey": ("l_partkey", "l_suppkey")}, k=10
+    )
+
+
+#: silence SLA for the events feed: 2.5 days (median per-user max gap is
+#: ~2 days at sf0.01, so the verdict splits the fleet)
+_EVENTS_GAP_SLA_S = 216000.0
+
+
+def _q_sequence_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sequence health over the events feed: timestamp regressions
+    in arrival (event_id) order, duplicate instants, max inter-arrival gap
+    and span in exact BIGINT microseconds — windows PARTITIONED BY user
+    (parallelism = keys, no global sort)."""
+    from jsonschema_spark.operators.sequence import sequence_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_profile(ev, "user_id", "ts", "event_id")
+
+
+def _q_sequence_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row fleet rollup of the per-user sequence profile with the
+    silence SLA applied."""
+    from jsonschema_spark.operators.sequence import sequence_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_report(
+        ev, "user_id", "ts", "event_id", max_gap_s=_EVENTS_GAP_SLA_S
+    )
+
+
+def _q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew verdict for a shuffle keyed on event_type: exact BIGINT
+    ppm share of the hottest key vs the salting threshold. ONE aggregate
+    chain (histogram -> global rollup), no second reference, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.skew_report(ev, "event_type", salt_threshold_ppm=250_000)
+
+
+def _q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hottest event_type keys with exact counts + integer-ppm
+    shares (TakeOrdered top-k — per-partition heap, no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.heavy_hitters(ev, "event_type", k=3)
+
+
 # Schema-driven repair: defaults fill + closed-world projection (the
 # actionable rendering of the metadata vocabulary / additionalProperties).
 REPAIR_SCHEMA = {
@@ -1662,6 +1747,16 @@ def _q_clips_drift_dur_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.ks_statistic_binned(cur, base, "dur_ms", *_CLIPS_KS_GRID)
 
 
+def _q_clips_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star drift in milliseconds: Wasserstein-1 distance between the
+    current and baseline dur_ms distributions on the shared ECDF grid —
+    "durations moved ~N ms", complementing the binned-KS worst-gap view.
+    Identical scale shape (one narrow groupBy(bin) per side)."""
+    cur = _clips(spark)
+    base = _clips_baseline(spark)
+    return drift.wasserstein_binned(cur, base, "dur_ms", *_CLIPS_KS_GRID)
+
+
 def _q_clips_drift_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square on the codec histogram vs the baseline snapshot (the hot
     ~80% pcm_s16le key exercises the skew-aware aggregate path)."""
@@ -1774,8 +1869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_value_binned": _q_drift_psi_value_binned,
         "drift_ks_events": _q_drift_ks_events,
         "drift_ks_binned_events": _q_drift_ks_binned_events,
+        "drift_wasserstein_events": _q_drift_wasserstein_events,
         "drift_matrix_events": _q_drift_matrix_events,
         "drift_report_events": _q_drift_report_events,
+        "fd_report_lineitem": _q_fd_report_lineitem,
+        "fd_violating_groups_lineitem": _q_fd_violating_groups_lineitem,
+        "sequence_events_user": _q_sequence_events_user,
+        "sequence_report_events": _q_sequence_report_events,
+        "skew_report_events": _q_skew_report_events,
+        "heavy_hitters_events": _q_heavy_hitters_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
@@ -1819,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_plan_clips": _q_pack_plan_clips,
         "mixture_sample_clips": _q_mixture_sample_clips,
         "clips_drift_dur_ms": _q_clips_drift_dur_ms,
+        "clips_drift_wasserstein": _q_clips_drift_wasserstein,
         "clips_drift_codec": _q_clips_drift_codec,
         "clips_drift_matrix_codec": _q_clips_drift_matrix_codec,
         "clips_drift_report": _q_clips_drift_report,
@@ -3241,6 +3344,89 @@ def _ks_binned_sql(grid: tuple[float, float, int], cur_where: str,
     """
 
 
+# DuckDB mirror of sequence_profile over the events feed. DuckDB defaults
+# to NULLS LAST on ASC, so NULLS FIRST is spelled explicitly to match
+# Spark's asc_nulls_first; gaps compare exact BIGINT microseconds
+# (epoch_us == Spark unix_micros).
+_SEQUENCE_PROFILE_SQL = """
+    WITH b AS (
+      SELECT user_id, event_id AS i, ts AS t, epoch_us(ts) AS t_us
+      FROM events WHERE user_id IS NOT NULL
+    ), m AS (
+      SELECT user_id, t_us,
+             coalesce(CAST(t_us < lag(t_us) OVER (
+               PARTITION BY user_id
+               ORDER BY i ASC NULLS FIRST, t ASC NULLS FIRST
+             ) AS INTEGER), 0) AS is_regression,
+             coalesce(CAST(t_us = lag(t_us) OVER (
+               PARTITION BY user_id
+               ORDER BY t ASC NULLS FIRST, i ASC NULLS FIRST
+             ) AS INTEGER), 0) AS is_dup_ts,
+             t_us - lag(t_us) OVER (
+               PARTITION BY user_id
+               ORDER BY t ASC NULLS FIRST, i ASC NULLS FIRST
+             ) AS gap_us
+      FROM b
+    ), prof AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN t_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_ts,
+             CAST(sum(is_regression) AS BIGINT) AS regressions,
+             CAST(sum(is_dup_ts) AS BIGINT) AS dup_ts,
+             CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+             CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us
+      FROM m GROUP BY user_id
+    )
+"""
+
+
+def _wasserstein_binned_sql(grid: tuple[float, float, int], cur_where: str,
+                            base_where: str, table: str = "events",
+                            col: str = "value",
+                            base_table: str | None = None) -> str:
+    """DuckDB mirror of drift.wasserstein_binned: identical bin arithmetic
+    plus the identical integer-grid flooring (floor(|Fc-Fb|*step*1e9+0.5)
+    as BIGINT, weighted by the gap to the next present bin) so the sum is
+    aggregation-order independent and bit-identical across engines."""
+    lo, hi, n_bins = grid
+    step = (float(hi) - float(lo)) / n_bins
+    base_table = base_table or table
+    bin_expr = (
+        f"CASE WHEN v <= {float(lo)!r} THEN 0 "
+        f"WHEN v > {float(hi)!r} THEN {n_bins + 1} "
+        f"ELSE CAST(ceil((v - {float(lo)!r}) / {step!r}) AS INTEGER) END"
+    )
+    return f"""
+    WITH cur AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+                 WHERE {cur_where} AND {col} IS NOT NULL),
+    base AS (SELECT CAST({col} AS DOUBLE) AS v FROM {base_table}
+             WHERE {base_where} AND {col} IS NOT NULL),
+    cb AS (SELECT {bin_expr} AS bin, count(*) AS cur_cnt FROM cur GROUP BY 1),
+    bb AS (SELECT {bin_expr} AS bin, count(*) AS base_cnt FROM base GROUP BY 1),
+    j AS (SELECT coalesce(cb.bin, bb.bin) AS bin,
+                 coalesce(cur_cnt, 0) AS cur_cnt,
+                 coalesce(base_cnt, 0) AS base_cnt
+          FROM cb FULL OUTER JOIN bb ON cb.bin = bb.bin),
+    e AS (SELECT bin,
+                 sum(cur_cnt) OVER w AS c_cur,
+                 sum(base_cnt) OVER w AS c_base,
+                 sum(cur_cnt) OVER () AS n_cur,
+                 sum(base_cnt) OVER () AS n_base,
+                 least(coalesce(lead(bin) OVER (ORDER BY bin), {n_bins + 1}),
+                       {n_bins + 1}) - bin AS weight
+          FROM j WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING))
+    SELECT round(sum(CASE WHEN bin <= {n_bins} THEN
+                   CAST(floor(abs(CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+                                  - CAST(c_base AS DOUBLE) / CAST(n_base AS DOUBLE))
+                              * {step!r} * 1e9 + 0.5) AS BIGINT) * weight
+                 ELSE 0 END) / 1e9, 6) AS w1_dist,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(max(n_base) AS BIGINT) AS n_base
+    FROM e
+    """
+
+
 def _drift_matrix_sql(
     cur_src: str,
     base_src: str,
@@ -4112,6 +4298,113 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_binned_events": _ks_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
+        "drift_wasserstein_events": _wasserstein_binned_sql(
+            _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
+        ),
+        "fd_report_lineitem": """
+            WITH p1 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT l_suppkey)
+                          + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_distinct
+              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+            ), p2 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT l_quantity)
+                          + max(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_distinct
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+              GROUP BY l_orderkey, l_linenumber
+            ), r AS (
+              SELECT 'partkey_suppkey' AS fd, * FROM p1
+              UNION ALL
+              SELECT 'orderline_qty' AS fd, * FROM p2
+            )
+            SELECT fd,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violating_groups,
+                   CAST(sum(CASE WHEN n_distinct > 1 THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS violating_rows,
+                   CAST(max(n_distinct) AS BIGINT) AS max_distinct,
+                   sum(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END) = 0
+                     AS fd_holds
+            FROM r GROUP BY fd
+        """,
+        "fd_violating_groups_lineitem": """
+            WITH p AS (
+              SELECT CAST(l_partkey AS VARCHAR) AS det,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT l_suppkey)
+                          + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_distinct
+              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+            ), v AS (
+              SELECT 'partkey_suppkey' AS fd, det, n_rows, n_distinct,
+                     CAST(row_number() OVER (
+                       ORDER BY n_distinct DESC, n_rows DESC, det ASC
+                     ) AS INTEGER) AS "rank"
+              FROM p WHERE n_distinct > 1
+            )
+            SELECT fd, det, n_rows, n_distinct, "rank" FROM v WHERE "rank" <= 10
+        """,
+        "sequence_events_user": _SEQUENCE_PROFILE_SQL + """
+            SELECT * FROM prof
+        """,
+        "sequence_report_events": _SEQUENCE_PROFILE_SQL + f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(CASE WHEN regressions > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS keys_with_regressions,
+                   CAST(sum(regressions) AS BIGINT) AS total_regressions,
+                   CAST(sum(CASE WHEN dup_ts > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS keys_with_dup_ts,
+                   CAST(sum(dup_ts) AS BIGINT) AS total_dup_ts,
+                   CAST(coalesce(sum(CASE WHEN max_gap_us >
+                       {int(216000.0 * 1_000_000)} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS keys_over_gap_sla,
+                   CAST(max(max_gap_us) AS BIGINT) AS max_gap_us,
+                   (sum(regressions) = 0 AND sum(dup_ts) = 0
+                    AND coalesce(sum(CASE WHEN max_gap_us >
+                        {int(216000.0 * 1_000_000)} THEN 1 ELSE 0 END), 0) = 0)
+                     AS ok
+            FROM prof
+        """,
+        "skew_report_events": """
+            WITH h AS (
+              SELECT event_type AS value, count(*) AS cnt
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1
+            ), a AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(cnt) AS BIGINT) AS max_cnt
+              FROM h
+            )
+            SELECT total_rows, n_distinct, max_cnt,
+                   (max_cnt * CAST(1000000 AS BIGINT)) // total_rows
+                     AS max_share_ppm,
+                   ((max_cnt * CAST(1000000 AS BIGINT)) // total_rows) > 250000
+                     AS salt_recommended
+            FROM a
+        """,
+        "heavy_hitters_events": """
+            WITH h AS (
+              SELECT CAST(event_type AS VARCHAR) AS value,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1
+            ), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+            r AS (
+              SELECT value, cnt,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, value ASC)
+                          AS INTEGER) AS "rank"
+              FROM h
+            )
+            SELECT value, cnt,
+                   (cnt * CAST(1000000 AS BIGINT)) // (SELECT total FROM t)
+                     AS share_ppm,
+                   "rank"
+            FROM r WHERE "rank" <= 3
+        """,
         "drift_matrix_events": _drift_matrix_sql(
             "events",
             "events",
@@ -4415,6 +4708,10 @@ def oracle_sql() -> dict[str, str]:
                 < mixr.rate
         """,
         "clips_drift_dur_ms": _ks_binned_sql(
+            _CLIPS_KS_GRID, "TRUE", "TRUE",
+            table=_CLIPS_MAIN_PQ, col="dur_ms", base_table=_CLIPS_BASE_PQ,
+        ),
+        "clips_drift_wasserstein": _wasserstein_binned_sql(
             _CLIPS_KS_GRID, "TRUE", "TRUE",
             table=_CLIPS_MAIN_PQ, col="dur_ms", base_table=_CLIPS_BASE_PQ,
         ),

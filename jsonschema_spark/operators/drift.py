@@ -329,6 +329,89 @@ def ks_statistic_binned(
     )
 
 
+def wasserstein_binned(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance on the shared uniform bin grid.
+
+    W1 complements the drift family: KS reports the WORST ECDF gap, PSI a
+    log-ratio divergence — W1 integrates |F_cur - F_base| over the value
+    axis, so it is the only one that says "the distribution moved ~12 ms
+    to the right" in the column's own units. One-row result
+    (w1_dist, n_cur, n_base).
+
+    Plan shape (identical to the binned KS scale default): one narrow
+    ``groupBy(bin)`` per side (shuffle <= n_bins+2 rows), full-outer join
+    of two tiny histograms, then ONE window pass over <= n_bins+2 rows
+    computing cumulative and total counts together (single tiny
+    partition; no second reference to the frame, so the upstream
+    aggregates are planned exactly once — a ``crossJoin(totals)``
+    formulation plans them twice).
+
+    Cross-engine determinism: each bin's |Fc - Fb| * step contribution is
+    floored onto an integer 1e-9 grid (floor(x*1e9 + 0.5), half-up — all
+    inputs are correctly-rounded IEEE doubles) and summed as BIGINTs, so
+    the result is aggregation-order independent and DuckDB replays it
+    bit-for-bit. Mass above ``hi`` counts toward the totals but the
+    integral is truncated at the grid edge (both ECDFs reach 1 at +inf);
+    like binned KS, the statistic is exact at the grid resolution.
+    """
+    step = (hi - lo) / n_bins
+    cur = binned_histogram(current, column, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "cur_cnt"
+    )
+    base = binned_histogram(baseline, column, lo, hi, n_bins).withColumnRenamed(
+        "cnt", "base_cnt"
+    )
+    j = cur.join(base, "bin", "full_outer").fillna(0, subset=["cur_cnt", "base_cnt"])
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.orderBy("bin")
+    # Bins with zero mass on BOTH sides are absent from the join, but the
+    # ECDF difference is constant across them — weight each present bin by
+    # the number of grid cut points it covers (gap to the next present bin,
+    # truncated at the grid edge). KS needs no such weight (max of a
+    # constant run is the run's value); an integral does.
+    e = j.select(
+        "bin",
+        F.sum("cur_cnt").over(w_cum).alias("c_cur"),
+        F.sum("base_cnt").over(w_cum).alias("c_base"),
+        F.sum("cur_cnt").over(w_all).alias("n_cur"),
+        F.sum("base_cnt").over(w_all).alias("n_base"),
+        (
+            F.least(
+                F.coalesce(F.lead("bin").over(w_ord), F.lit(n_bins + 1)),
+                F.lit(n_bins + 1),
+            )
+            - F.col("bin")
+        ).alias("weight"),
+    )
+    contrib = F.abs(
+        F.col("c_cur") / F.col("n_cur") - F.col("c_base") / F.col("n_base")
+    ) * F.lit(step)
+    scaled = F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("bigint") * F.col(
+        "weight"
+    )
+    return e.agg(
+        F.round(
+            F.sum(F.when(F.col("bin") <= n_bins, scaled).otherwise(F.lit(0)))
+            / F.lit(1e9),
+            6,
+        ).alias("w1_dist"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("n_base").alias("n_base"),
+    )
+
+
 def ks_statistic_approx(
     current: DataFrame, baseline: DataFrame, column: str, n_quantiles: int = 256
 ) -> DataFrame:
