@@ -1,0 +1,93 @@
+"""Quarantine split-writer (jobs/quarantine_job.py): one validated scan ->
+valid parquet + violation-annotated quarantine parquet + JSON report."""
+
+import json
+
+from pyspark.sql import Row
+
+from jobs.quarantine_job import split_quarantine
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "integer", "minimum": 0},
+        "status": {"enum": ["O", "F", "P"]},
+        "amount": {"type": "number", "exclusiveMinimum": 0},
+    },
+    "required": ["id", "status", "amount"],
+}
+
+
+def _rows():
+    return [
+        Row(id=1, status="O", amount=10.0),
+        Row(id=2, status="F", amount=5.5),
+        Row(id=-3, status="O", amount=1.0),   # minimum violation
+        Row(id=4, status="X", amount=2.0),    # enum violation
+        Row(id=5, status="P", amount=0.0),    # exclusiveMinimum violation
+        Row(id=6, status=None, amount=3.0),   # required violation
+    ]
+
+
+def test_split_quarantine(spark):
+    df = spark.createDataFrame(_rows())
+    valid, quarantine, annotated = split_quarantine(df, SCHEMA)
+    try:
+        ok = sorted(r.id for r in valid.collect())
+        bad = sorted(r.id for r in quarantine.collect())
+        assert ok == [1, 2]
+        assert bad == [-3, 4, 5, 6]
+        assert valid.columns == ["id", "status", "amount"]
+        assert quarantine.columns == ["id", "status", "amount", "_violations_json"]
+        # the violation payload is parseable JSON naming the keyword
+        q = {r.id: json.loads(r._violations_json) for r in quarantine.collect()}
+        assert q[-3][0]["keyword"] == "minimum"
+        assert q[4][0]["keyword"] == "enum"
+        assert q[5][0]["keyword"] == "exclusiveMinimum"
+        assert {v["keyword"] for v in q[6]} == {"required"}
+    finally:
+        annotated.unpersist()
+
+
+def test_quarantine_job_end_to_end(spark, tmp_path):
+    """CLI main(): writes both sinks, prints the report line, and the exit
+    code reflects the --max-violation-rate gate."""
+    from jobs.quarantine_job import main
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_rows()).write.parquet(src)
+    schema_path = tmp_path / "s.json"
+    schema_path.write_text(json.dumps(SCHEMA))
+    v_out, q_out = str(tmp_path / "valid"), str(tmp_path / "quar")
+
+    rc = main([
+        "--input", src, "--schema", str(schema_path),
+        "--valid", v_out, "--quarantine", q_out,
+        "--max-violation-rate", "0.5",
+    ])
+    assert rc == 1  # 4/6 > 0.5
+
+    assert sorted(r.id for r in spark.read.parquet(v_out).collect()) == [1, 2]
+    quar = spark.read.parquet(q_out)
+    assert sorted(r.id for r in quar.collect()) == [-3, 4, 5, 6]
+    assert "_violations_json" in quar.columns
+
+    rc2 = main([
+        "--input", src, "--schema", str(schema_path),
+        "--valid", v_out, "--quarantine", q_out,
+        "--max-violation-rate", "0.9",
+    ])
+    assert rc2 == 0
+
+
+def test_split_single_scan_plan(spark):
+    """Both sinks must filter ABOVE the persist barrier: each output's plan
+    contains the InMemoryTableScan, not a second validation scan."""
+    df = spark.createDataFrame(_rows())
+    valid, quarantine, annotated = split_quarantine(df, SCHEMA)
+    try:
+        for out in (valid, quarantine):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+    finally:
+        annotated.unpersist()
