@@ -945,6 +945,59 @@ def _q_sequence_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_metric_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run metric regression (Deequ MetricsRepository-style):
+    seven synthetic "runs" (o_orderkey % 8 buckets 0-6) each contribute a
+    (check, metric) pair — row count and open-status rate — and bucket 7
+    plays the current run with its row count DOUBLED (a simulated
+    duplicate load). The doubled row count must flag against the trailing
+    median/MAD baseline; the untouched open_rate must not. Seven prior
+    runs keep both percentiles interpolation-free (exact middle
+    elements), so every double is bit-identical in DuckDB."""
+    from jsonschema_spark.operators.history import metric_regressions
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull()
+    )
+    per_run = orders.groupBy((F.col("o_orderkey") % 8).alias("r")).agg(
+        F.count(F.lit(1)).cast("double").alias("rows_m"),
+        (
+            F.sum((F.col("o_orderstatus") == "O").cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("open_rate"),
+    )
+    stacked = per_run.select(
+        "r",
+        F.explode(
+            F.array(
+                F.struct(F.lit("rows").alias("check"), F.col("rows_m").alias("metric")),
+                F.struct(
+                    F.lit("open_rate").alias("check"), F.col("open_rate").alias("metric")
+                ),
+            )
+        ).alias("e"),
+    ).select("r", "e.check", "e.metric")
+    history = stacked.where(F.col("r") < 7).select(
+        F.concat(F.lit("run_"), F.col("r")).alias("run_id"), "check", "metric"
+    )
+    current = stacked.where(F.col("r") == 7).select(
+        "check",
+        F.when(F.col("check") == "rows", F.col("metric") * 2)
+        .otherwise(F.col("metric"))
+        .alias("metric"),
+    )
+    out = metric_regressions(history, current, k=3.5, min_runs=3)
+    return out.select(
+        "check",
+        "n_runs",
+        F.round("baseline_median", 6).alias("baseline_median"),
+        F.round("baseline_mad", 6).alias("baseline_mad"),
+        F.round("metric", 6).alias("metric"),
+        "modified_z",
+        "regressed",
+    )
+
+
 def _q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew verdict for a shuffle keyed on event_type: exact BIGINT
     ppm share of the hottest key vs the salting threshold. ONE aggregate
@@ -1876,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violating_groups_lineitem": _q_fd_violating_groups_lineitem,
         "sequence_events_user": _q_sequence_events_user,
         "sequence_report_events": _q_sequence_report_events,
+        "metric_history_orders": _q_metric_history_orders,
         "skew_report_events": _q_skew_report_events,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "repair_defaults_events": _q_repair_defaults_events,
@@ -4369,6 +4423,60 @@ def oracle_sql() -> dict[str, str]:
                         {int(216000.0 * 1_000_000)} THEN 1 ELSE 0 END), 0) = 0)
                      AS ok
             FROM prof
+        """,
+        "metric_history_orders": """
+            WITH b AS (
+              SELECT o_orderkey % 8 AS r,
+                     CAST(count(*) AS DOUBLE) AS rows_m,
+                     CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) AS open_rate
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+            ), stacked AS (
+              SELECT r, 'rows' AS "check", rows_m AS metric FROM b
+              UNION ALL
+              SELECT r, 'open_rate' AS "check", open_rate AS metric FROM b
+            ), h AS (
+              SELECT "check", metric AS m FROM stacked
+              WHERE r < 7 AND metric IS NOT NULL
+            ), med AS (
+              SELECT "check", quantile_cont(m, 0.5) AS baseline_median,
+                     CAST(count(*) AS BIGINT) AS n_runs
+              FROM h GROUP BY "check"
+            ), mad AS (
+              SELECT h."check",
+                     quantile_cont(abs(h.m - med.baseline_median), 0.5)
+                       AS baseline_mad
+              FROM h JOIN med ON h."check" = med."check"
+              GROUP BY h."check"
+            ), cur AS (
+              SELECT "check",
+                     CASE WHEN "check" = 'rows' THEN metric * 2
+                          ELSE metric END AS metric
+              FROM stacked WHERE r = 7
+            ), j AS (
+              SELECT cur."check", med.n_runs, med.baseline_median,
+                     mad.baseline_mad, cur.metric,
+                     CASE WHEN med.n_runs >= 3 AND mad.baseline_mad > 0
+                          THEN round(0.6745 * (cur.metric - med.baseline_median)
+                                     / mad.baseline_mad, 6)
+                     END AS modified_z
+              FROM cur
+              LEFT JOIN med ON cur."check" = med."check"
+              LEFT JOIN mad ON cur."check" = mad."check"
+            )
+            SELECT "check",
+                   CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+                   round(baseline_median, 6) AS baseline_median,
+                   round(baseline_mad, 6) AS baseline_mad,
+                   round(metric, 6) AS metric,
+                   modified_z,
+                   CASE WHEN NOT coalesce(n_runs >= 3, FALSE) THEN FALSE
+                        WHEN metric IS NULL THEN TRUE
+                        WHEN coalesce(baseline_mad > 0, FALSE)
+                          THEN abs(modified_z) > 3.5
+                        ELSE metric <> baseline_median
+                   END AS regressed
+            FROM j
         """,
         "skew_report_events": """
             WITH h AS (

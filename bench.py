@@ -393,6 +393,32 @@ def q_mixture_sample(spark: SparkSession):
     return s.agg(F.count(F.lit(1)), F.sum("n_chars")).collect()
 
 
+def q_fd_report(spark: SparkSession):
+    """Functional-dependency report: two FDs over lineitem in ONE scan
+    (stacked inline generator) + two narrow hash aggregates; shuffle
+    bounded by distinct (fd, det, dep) triples."""
+    from jsonschema_spark.operators.fd import fd_report
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    return fd_report(
+        li,
+        {
+            "partkey_suppkey": ("l_partkey", "l_suppkey"),
+            "orderline_qty": (("l_orderkey", "l_linenumber"), "l_quantity"),
+        },
+    ).collect()
+
+
+def q_sequence_profile(spark: SparkSession):
+    """Per-key sequence checks over events: two orderings sharing ONE hash
+    partitioning on the key (one exchange, two sorts), exact BIGINT
+    microsecond gaps, final narrow rollup."""
+    from jsonschema_spark.operators.sequence import sequence_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    return sequence_report(ev, "user_id", "ts", "event_id", max_gap_s=216000.0).collect()
+
+
 QUERIES = {
     "clips_validate": q_clips_validate,
     "clips_uniqueness": q_clips_uniqueness,
@@ -424,6 +450,8 @@ QUERIES = {
     "hygiene_suite": q_hygiene_suite,
     "chunk_pack": q_chunk_pack,
     "mixture_sample": q_mixture_sample,
+    "fd_report": q_fd_report,
+    "sequence_profile": q_sequence_profile,
 }
 
 

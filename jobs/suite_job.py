@@ -40,6 +40,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ.setdefault(_v, "1")
 
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from jsonschema_spark.operators.suite import run_suite, suite_summary  # noqa: E402
 
@@ -48,6 +49,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True, help="suite config JSON path")
     p.add_argument("--report", help="report output dir (parquet)")
+    p.add_argument("--history", help="metrics-history table (parquet dir): "
+                   "judge this run's metrics against the trailing runs "
+                   "(median/MAD regression detection) and append them")
+    p.add_argument("--run-id", help="run identifier recorded in --history")
+    p.add_argument("--fail-on-regression", action="store_true",
+                   help="exit 1 when any metric regresses vs its history "
+                   "(default: regressions are reported but advisory)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -62,6 +70,7 @@ def main(argv=None) -> int:
             with open(path) as f:
                 spec["schema"] = json.load(f)
 
+    preexisting = SparkSession.getActiveSession() is not None
     builder = SparkSession.builder.appName("jsonschema-spark-suite")
     if args.master:
         builder = builder.master(args.master)
@@ -82,14 +91,44 @@ def main(argv=None) -> int:
         report = spark.read.parquet(args.report)  # reuse the written result
     rows = report.collect()
     summ = suite_summary(report).collect()[0]
-    print(json.dumps({
+    out = {
         "checks": [r.asDict() for r in rows],
         "n_checks": summ["n_checks"],
         "n_passed": summ["n_passed"],
         "n_failed": summ["n_failed"],
-    }, default=str))
-    spark.stop()
-    return 0 if summ["n_failed"] == 0 else 1
+    }
+
+    # Deequ MetricsRepository-style anomaly detection: judge this run's
+    # metrics against the TRAILING history first, then append this run.
+    n_regressed = 0
+    if args.history:
+        from jsonschema_spark.operators.history import (
+            append_run,
+            metric_regressions,
+        )
+
+        current = report.select(
+            F.col("check_name").alias("check"), "metric"
+        )
+        try:
+            history = spark.read.parquet(args.history)
+        except Exception:
+            history = None  # first run: nothing to judge against
+        if history is not None:
+            reg_rows = metric_regressions(history, current).collect()
+            out["regressions"] = [r.asDict() for r in reg_rows]
+            n_regressed = sum(1 for r in reg_rows if r["regressed"])
+            out["n_regressed"] = n_regressed
+        append_run(
+            report, args.run_id or "run", args.history,
+            check_col="check_name",
+        )
+
+    print(json.dumps(out, default=str))
+    if not preexisting:  # embedded callers (tests) keep their session
+        spark.stop()
+    failed = summ["n_failed"] > 0 or (args.fail_on_regression and n_regressed > 0)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -150,3 +150,51 @@ def test_suite_reconcile_check(spark):
     assert rep["totals"]["status"] == "fail" and rep["totals"]["metric"] == 2
     assert rep["totals_lenient"]["status"] == "pass"
     assert rep["totals_lenient"]["metric"] == 1  # only the missing-detail key
+
+
+def test_suite_job_history_regression(spark, tmp_path, capsys):
+    """suite_job --history: run-over-run metric regression detection —
+    stable runs build a baseline, a doubled table flags, and
+    --fail-on-regression turns the flag into the exit code."""
+    import json as _json
+
+    from jobs.suite_job import main
+
+    src = str(tmp_path / "t")
+    hist = str(tmp_path / "hist")
+    cfg_path = tmp_path / "suite.json"
+    cfg_path.write_text(_json.dumps({
+        "tables": {"t": src},
+        "checks": [
+            {"type": "row_count", "name": "t_rows", "table": "t",
+             "min_rows": 1},
+        ],
+    }))
+
+    def run(n_rows, run_id, fail_on_regression=False):
+        spark.createDataFrame(
+            [(i,) for i in range(n_rows)], "id long"
+        ).write.mode("overwrite").parquet(src)
+        argv = ["--config", str(cfg_path), "--history", hist,
+                "--run-id", run_id]
+        if fail_on_regression:
+            argv.append("--fail-on-regression")
+        rc = main(argv)
+        return rc, _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # four stable runs build the baseline (first run has no history yet)
+    for i, n in enumerate((100, 101, 99, 100)):
+        rc, out = run(n, f"r{i}")
+        assert rc == 0
+        assert out.get("n_regressed", 0) == 0
+
+    # doubled row count: regression reported, advisory by default
+    rc, out = run(200, "r4")
+    assert rc == 0
+    assert out["n_regressed"] == 1
+    reg = {r["check"]: r for r in out["regressions"]}
+    assert reg["t_rows"]["regressed"] is True
+
+    # ...and gating with --fail-on-regression
+    rc, out = run(200, "r5", fail_on_regression=True)
+    assert rc == 1
