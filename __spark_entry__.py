@@ -1510,6 +1510,40 @@ def _q_suite_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_suite(tables, config)
 
 
+def _q_suite_report_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite with the session-I check families — functional dependency,
+    per-key sequence health, freshness vs a declarative as_of, and the
+    key-skew gate — all from ONE config. Mixed verdicts by construction:
+    the planted-failing FD and the zero-tolerance sequence check fail,
+    the 100000 s freshness and 25% skew gates pass, the 1-day freshness
+    gate fails (events end ~2024-01-30, as_of 2024-02-01)."""
+    from jsonschema_spark.operators.suite import run_suite
+
+    tables = {
+        "events": load_table(spark, sf_dir, "events"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    config = {
+        "checks": [
+            {"type": "fd", "name": "partkey_suppkey", "table": "lineitem",
+             "determinant": "l_partkey", "dependent": "l_suppkey",
+             "max_violating_groups": 0},
+            {"type": "sequence", "name": "events_ordered", "table": "events",
+             "key": "user_id", "ts": "ts", "id": "event_id",
+             "max_gap_s": _EVENTS_GAP_SLA_S, "max_issues": 0},
+            {"type": "freshness", "name": "events_fresh", "table": "events",
+             "column": "ts", "as_of": "2024-02-01 00:00:00",
+             "max_age_s": 100000.0},
+            {"type": "freshness", "name": "events_fresh_1d", "table": "events",
+             "column": "ts", "as_of": "2024-02-01 00:00:00",
+             "max_age_s": 86400.0},
+            {"type": "skew", "name": "event_type_skew", "table": "events",
+             "column": "event_type", "max_share_ppm": 250000},
+        ]
+    }
+    return run_suite(tables, config)
+
+
 _GAIN_TARGET_RMS = 0.1
 _GAIN_MAX = 4.0
 
@@ -1930,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_events_user": _q_sequence_events_user,
         "sequence_report_events": _q_sequence_report_events,
         "metric_history_orders": _q_metric_history_orders,
+        "suite_report_relational": _q_suite_report_relational,
         "skew_report_events": _q_skew_report_events,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "repair_defaults_events": _q_repair_defaults_events,
@@ -4423,6 +4458,54 @@ def oracle_sql() -> dict[str, str]:
                         {int(216000.0 * 1_000_000)} THEN 1 ELSE 0 END), 0) = 0)
                      AS ok
             FROM prof
+        """,
+        "suite_report_relational": _SEQUENCE_PROFILE_SQL + f"""
+            , fd AS (
+              SELECT CAST(count(*) AS DOUBLE) AS metric FROM (
+                SELECT l_partkey
+                FROM lineitem WHERE l_partkey IS NOT NULL
+                GROUP BY l_partkey
+                HAVING count(DISTINCT l_suppkey)
+                       + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) > 1
+              )
+            ), seq AS (
+              SELECT CAST(sum(regressions) + sum(dup_ts)
+                   + coalesce(sum(CASE WHEN max_gap_us >
+                       {int(216000.0 * 1_000_000)} THEN 1 ELSE 0 END), 0)
+                     AS DOUBLE) AS metric
+              FROM prof
+            ), fresh AS (
+              SELECT (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                      - max(epoch_us(ts))) / CAST(1000000 AS DOUBLE) AS metric
+              FROM events
+            ), skw AS (
+              SELECT CAST((max(cnt) * CAST(1000000 AS BIGINT)) // sum(cnt)
+                     AS DOUBLE) AS metric
+              FROM (SELECT count(*) AS cnt FROM events
+                    WHERE event_type IS NOT NULL GROUP BY event_type)
+            )
+            SELECT 'partkey_suppkey' AS check_name, 'fd' AS check_type,
+                   metric, CAST(0.0 AS DOUBLE) AS threshold,
+                   CASE WHEN metric <= CAST(0.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END AS status
+            FROM fd
+            UNION ALL
+            SELECT 'events_ordered', 'sequence', metric, CAST(0.0 AS DOUBLE),
+                   CASE WHEN metric <= CAST(0.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END
+            FROM seq
+            UNION ALL
+            SELECT 'events_fresh', 'freshness', metric, CAST(100000.0 AS DOUBLE),
+                   CASE WHEN coalesce(metric <= CAST(100000.0 AS DOUBLE), FALSE)
+                        THEN 'pass' ELSE 'fail' END
+            FROM fresh
+            UNION ALL
+            SELECT 'events_fresh_1d', 'freshness', metric, CAST(86400.0 AS DOUBLE),
+                   CASE WHEN coalesce(metric <= CAST(86400.0 AS DOUBLE), FALSE)
+                        THEN 'pass' ELSE 'fail' END
+            FROM fresh
+            UNION ALL
+            SELECT 'event_type_skew', 'skew', metric, CAST(250000.0 AS DOUBLE),
+                   CASE WHEN metric <= CAST(250000.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END
+            FROM skw
         """,
         "metric_history_orders": """
             WITH b AS (

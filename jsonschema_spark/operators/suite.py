@@ -216,6 +216,83 @@ def _check_reconcile(
     )(mismatches)
 
 
+def _check_fd(df: DataFrame, spec: dict) -> DataFrame:
+    """Functional dependency as a suite check: metric = number of
+    determinant groups carrying >1 dependent value."""
+    from jsonschema_spark.operators.fd import fd_report
+
+    max_groups = int(spec.get("max_violating_groups", 0))
+    rep = fd_report(
+        df, {spec["name"]: (spec["determinant"], spec["dependent"])}
+    ).agg(F.coalesce(F.sum("violating_groups"), F.lit(0)).alias("v"))
+    metric = F.col("v")
+    return _report_row(
+        spec["name"], "fd", metric, max_groups, metric <= max_groups
+    )(rep)
+
+
+def _check_sequence(df: DataFrame, spec: dict) -> DataFrame:
+    """Per-key ordering health as a suite check: metric = total issues
+    (timestamp regressions + duplicate instants + keys over the gap SLA)."""
+    from jsonschema_spark.operators.sequence import sequence_report
+
+    max_issues = int(spec.get("max_issues", 0))
+    gap = spec.get("max_gap_s")
+    rep = sequence_report(
+        df, spec["key"], spec["ts"], spec["id"],
+        max_gap_s=float(gap) if gap is not None else None,
+    )
+    agg = rep.select(
+        (
+            F.col("total_regressions")
+            + F.col("total_dup_ts")
+            + F.col("keys_over_gap_sla")
+        ).alias("issues")
+    )
+    metric = F.col("issues")
+    return _report_row(
+        spec["name"], "sequence", metric, max_issues, metric <= max_issues
+    )(agg)
+
+
+def _check_freshness(df: DataFrame, spec: dict) -> DataFrame:
+    """Data freshness: metric = age in seconds of the newest timestamp vs
+    ``as_of`` (ISO string in the config — declarative and replayable;
+    orchestrators inject the wall clock). An empty/all-NULL column yields
+    a NULL age, which FAILS (no data is never fresh)."""
+    max_age_s = float(spec["max_age_s"])
+    as_of = F.lit(spec["as_of"]).cast("timestamp")
+    agg = df.agg(
+        (
+            (
+                F.unix_micros(as_of)
+                - F.max(F.unix_micros(F.col(spec["column"]).cast("timestamp")))
+            )
+            / F.lit(1_000_000.0)
+        ).alias("age_s")
+    )
+    metric = F.col("age_s")
+    return _report_row(
+        spec["name"], "freshness", metric, max_age_s,
+        F.coalesce(metric <= max_age_s, F.lit(False)),
+    )(agg)
+
+
+def _check_skew(df: DataFrame, spec: dict) -> DataFrame:
+    """Key-skew gate: metric = exact ppm share of the hottest key value
+    (the salting-decision input, enforced declaratively)."""
+    from jsonschema_spark.operators.stats import skew_report
+
+    max_ppm = int(spec.get("max_share_ppm", 250_000))
+    rep = skew_report(df, spec["column"], salt_threshold_ppm=max_ppm).select(
+        F.col("max_share_ppm").alias("ppm")
+    )
+    metric = F.coalesce(F.col("ppm"), F.lit(0))
+    return _report_row(
+        spec["name"], "skew", metric, max_ppm, metric <= max_ppm
+    )(rep)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -228,6 +305,10 @@ _CHECKS = {
     "drift_chi2": _check_drift_chi2,
     "drift_psi": _check_drift_psi,
     "reconcile": _check_reconcile,
+    "fd": lambda df, spec, tables: _check_fd(df, spec),
+    "sequence": lambda df, spec, tables: _check_sequence(df, spec),
+    "freshness": lambda df, spec, tables: _check_freshness(df, spec),
+    "skew": lambda df, spec, tables: _check_skew(df, spec),
 }
 
 

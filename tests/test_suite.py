@@ -198,3 +198,58 @@ def test_suite_job_history_regression(spark, tmp_path, capsys):
     # ...and gating with --fail-on-regression
     rc, out = run(200, "r5", fail_on_regression=True)
     assert rc == 1
+
+
+def test_suite_relational_checks(spark):
+    """fd / sequence / freshness / skew check types: metric arithmetic and
+    threshold verdicts on planted frames."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            ("u", 1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+            ("u", 2, dt.datetime(2024, 1, 1, 0, 0, 10)),
+            ("u", 3, dt.datetime(2024, 1, 1, 0, 0, 5)),   # regression
+            ("v", 1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ],
+        "k string, i int, t timestamp",
+    )
+    fd_t = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "det int, dep string"
+    )
+    skew_t = spark.createDataFrame(
+        [("hot",)] * 9 + [("cold",)], "c string"
+    )
+    rep = _report({"ev": ev, "fd_t": fd_t, "skew_t": skew_t}, [
+        {"type": "fd", "name": "det_dep", "table": "fd_t",
+         "determinant": "det", "dependent": "dep"},
+        {"type": "sequence", "name": "ev_seq", "table": "ev",
+         "key": "k", "ts": "t", "id": "i", "max_gap_s": 60.0},
+        {"type": "freshness", "name": "ev_fresh", "table": "ev",
+         "column": "t", "as_of": "2024-01-01 01:00:00",
+         "max_age_s": 7200.0},
+        {"type": "freshness", "name": "ev_stale", "table": "ev",
+         "column": "t", "as_of": "2024-01-02 00:00:00",
+         "max_age_s": 3600.0},
+        {"type": "skew", "name": "c_skew", "table": "skew_t",
+         "column": "c", "max_share_ppm": 500_000},
+    ])
+    assert rep["det_dep"]["status"] == "fail" and rep["det_dep"]["metric"] == 1.0
+    assert rep["ev_seq"]["status"] == "fail" and rep["ev_seq"]["metric"] == 1.0
+    # newest t = 00:00:10, as_of 01:00 -> age 3590 s <= 7200
+    assert rep["ev_fresh"]["status"] == "pass"
+    assert rep["ev_fresh"]["metric"] == 3590.0
+    assert rep["ev_stale"]["status"] == "fail"
+    assert rep["c_skew"]["status"] == "fail"
+    assert rep["c_skew"]["metric"] == 900_000.0
+
+
+def test_suite_freshness_empty_fails(spark):
+    """No data is never fresh: an all-NULL timestamp column must FAIL,
+    not pass on a NULL age."""
+    ev = spark.createDataFrame([(None,)], "t timestamp")
+    rep = _report({"ev": ev}, [
+        {"type": "freshness", "name": "f", "table": "ev", "column": "t",
+         "as_of": "2024-01-01 00:00:00", "max_age_s": 1e12},
+    ])
+    assert rep["f"]["status"] == "fail"
