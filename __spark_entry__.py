@@ -945,6 +945,32 @@ def _q_sequence_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_referential_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-schema referential report: the full dimension chain
+    (lineitem→supplier→nation→region, orders→customer→nation) verdict'd
+    in one O(edges)-row report; each edge is an independent broadcast
+    anti-join aggregate. The supplier dim drops s_suppkey % 50 == 0 rows
+    to plant orphans on ONE edge (lineitems referencing them), proving
+    the report isolates the broken edge."""
+    from jsonschema_spark.operators.referential import check_chain
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 50 != 0
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return check_chain([
+        ("lineitem_supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        ("supplier_nation", supplier, "s_nationkey", nation, "n_nationkey"),
+        ("nation_region", nation, "n_regionkey", region, "r_regionkey"),
+        ("orders_customer", orders, "o_custkey", customer, "c_custkey"),
+        ("customer_nation", customer, "c_nationkey", nation, "n_nationkey"),
+    ])
+
+
 def _q_metric_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-over-run metric regression (Deequ MetricsRepository-style):
     seven synthetic "runs" (o_orderkey % 8 buckets 0-6) each contribute a
@@ -1965,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_report_events": _q_sequence_report_events,
         "metric_history_orders": _q_metric_history_orders,
         "suite_report_relational": _q_suite_report_relational,
+        "referential_chain": _q_referential_chain,
         "skew_report_events": _q_skew_report_events,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "repair_defaults_events": _q_repair_defaults_events,
@@ -4458,6 +4485,40 @@ def oracle_sql() -> dict[str, str]:
                         {int(216000.0 * 1_000_000)} THEN 1 ELSE 0 END), 0) = 0)
                      AS ok
             FROM prof
+        """,
+        "referential_chain": """
+            WITH sup AS (SELECT * FROM supplier WHERE s_suppkey % 50 <> 0)
+            SELECT 'lineitem_supplier' AS edge,
+                   CAST(count(*) AS BIGINT) AS orphan_count,
+                   count(*) = 0 AS ok
+            FROM lineitem l
+            WHERE l.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM sup s
+                              WHERE s.s_suppkey = l.l_suppkey)
+            UNION ALL
+            SELECT 'supplier_nation', CAST(count(*) AS BIGINT), count(*) = 0
+            FROM sup s
+            WHERE s.s_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey)
+            UNION ALL
+            SELECT 'nation_region', CAST(count(*) AS BIGINT), count(*) = 0
+            FROM nation n
+            WHERE n.n_regionkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey)
+            UNION ALL
+            SELECT 'orders_customer', CAST(count(*) AS BIGINT), count(*) = 0
+            FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'customer_nation', CAST(count(*) AS BIGINT), count(*) = 0
+            FROM customer c
+            WHERE c.c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)
         """,
         "suite_report_relational": _SEQUENCE_PROFILE_SQL + f"""
             , fd AS (

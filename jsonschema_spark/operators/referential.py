@@ -41,6 +41,35 @@ def orphans(
     return non_null.join(right, cond, "left_anti")
 
 
+def check_chain(
+    edges: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Snowflake-schema referential report: one verdict row per FK edge.
+
+    ``edges`` = (name, fact_df, fact_key, dim_df, dim_key) tuples — e.g.
+    the full TPC-H-ish chain lineitem→supplier→nation→region plus
+    orders→customer→nation. Each edge is an independent anti-join
+    aggregate (dims broadcast — they are small by definition in a
+    snowflake; pass pre-filtered frames for planted audits); the report
+    is a union of one-row aggregates, so edge verdicts compute in
+    parallel and the result is O(edges) rows.
+    """
+    reports = []
+    for name, fact, fk, dim, dk in edges:
+        o = orphans(fact, dim, fk, dk)
+        reports.append(
+            o.agg(F.count(F.lit(1)).alias("orphan_count")).select(
+                F.lit(name).alias("edge"),
+                "orphan_count",
+                (F.col("orphan_count") == 0).alias("ok"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def check(
     fact: DataFrame,
     dim: DataFrame,

@@ -218,3 +218,22 @@ def test_heavy_hitters_topk_and_ties(spark):
         ("z", 3, 3),
     ]
     assert hh[0]["share_ppm"] == 5 * 1_000_000 // 12
+
+
+# ---------------------------------------------------------------------------
+# referential chain
+# ---------------------------------------------------------------------------
+
+
+def test_check_chain_isolates_broken_edge(spark):
+    from jsonschema_spark.operators.referential import check_chain
+
+    fact = spark.createDataFrame([(1,), (2,), (3,)], "fk int")
+    dim_ok = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    dim_broken = spark.createDataFrame([(1,), (2,)], "k int")
+    rep = {r["edge"]: r for r in check_chain([
+        ("good", fact, "fk", dim_ok, "k"),
+        ("broken", fact, "fk", dim_broken, "k"),
+    ]).collect()}
+    assert rep["good"]["ok"] is True and rep["good"]["orphan_count"] == 0
+    assert rep["broken"]["ok"] is False and rep["broken"]["orphan_count"] == 1
