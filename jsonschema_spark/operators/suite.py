@@ -22,6 +22,13 @@ the schema document):
        "table": "orders", "column": "o_orderdate", "max_missing": 0}
     ]}
 
+Any check may carry a ``"where"`` SQL predicate: the check then runs on
+the matching slice only (e.g. ``"where": "codec = 'pcm_s16le'"`` gates a
+per-codec contract; ``"where": "o_orderdate >= date'2026-01-01'"``
+scopes a freshness or FD check to the live partition). The predicate is
+a codegen'd filter that pushes into the scan — a scoped check reads
+less, not more.
+
 Each check yields one row (check_name, check_type, metric, threshold,
 status) — `metric` is the measured quantity (violation rate, duplicate
 key count, orphan count, missing days, null rate, row count) and
@@ -335,7 +342,10 @@ def run_suite(
                         f"check {spec.get('name')!r} references unknown "
                         f"{key} {spec.get(key)!r}"
                     )
-        reports.append(_CHECKS[ctype](tables[spec["table"]], spec, tables))
+        target = tables[spec["table"]]
+        if "where" in spec:
+            target = target.filter(F.expr(spec["where"]))
+        reports.append(_CHECKS[ctype](target, spec, tables))
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -253,3 +253,22 @@ def test_suite_freshness_empty_fails(spark):
          "as_of": "2024-01-01 00:00:00", "max_age_s": 1e12},
     ])
     assert rep["f"]["status"] == "fail"
+
+
+def test_suite_where_scoping(spark):
+    """A check with a "where" predicate runs on the matching slice only."""
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "a"), (3, "b"), (3, "b")],
+        "id long, grp string",
+    )
+    rep = _report({"t": t}, [
+        {"type": "unique", "name": "all_ids", "table": "t", "keys": ["id"]},
+        {"type": "unique", "name": "a_ids", "table": "t", "keys": ["id"],
+         "where": "grp = 'a'"},
+        {"type": "row_count", "name": "b_rows", "table": "t",
+         "where": "grp = 'b'", "min_rows": 3},
+    ])
+    assert rep["all_ids"]["metric"] == 2.0      # ids 2 and 3 duplicated
+    assert rep["a_ids"]["metric"] == 1.0        # only id 2 inside grp=a
+    assert rep["b_rows"]["metric"] == 2.0
+    assert rep["b_rows"]["status"] == "fail"
