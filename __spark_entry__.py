@@ -945,6 +945,50 @@ def _q_sequence_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repair_coerce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven type coercion on a raw string ingest derived from
+    events: integer/number/boolean columns rendered as strings with
+    planted uncastable lexemes (trailing junk on event_id%13, garbage on
+    %17, a non-boolean token on %3). Strict integer lexemes (Spark
+    try_cast) are replicated in the oracle with a regex gate — '3.0'
+    must NOT coerce to integer, matching the validator's integer
+    semantics. Failures ride the _coerce_failed accounting column."""
+    from jsonschema_spark.operators.repair import coerce_types
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id").isNotNull())
+    eid = F.col("event_id")
+    raw = ev.select(
+        "event_id",
+        F.concat(
+            eid.cast("string"),
+            F.when(eid % 13 == 0, F.lit("x")).otherwise(F.lit("")),
+        ).alias("id_str"),
+        F.when(eid % 17 == 0, F.lit("oops")).otherwise(
+            F.concat(F.col("user_id").cast("string"), F.lit(".5"))
+        ).alias("num_str"),
+        F.when(eid % 3 == 0, F.lit("true"))
+        .when(eid % 3 == 1, F.lit("false"))
+        .otherwise(F.lit("maybe"))
+        .alias("bool_str"),
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "id_str": {"type": "integer"},
+            "num_str": {"type": "number"},
+            "bool_str": {"type": "boolean"},
+        },
+    }
+    out = coerce_types(raw, schema)
+    return out.select(
+        "event_id",
+        "id_str",
+        "num_str",
+        "bool_str",
+        F.concat_ws(",", F.col("_coerce_failed")).alias("failed"),
+    )
+
+
 def _q_referential_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake-schema referential report: the full dimension chain
     (lineitem→supplier→nation→region, orders→customer→nation) verdict'd
@@ -1992,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_history_orders": _q_metric_history_orders,
         "suite_report_relational": _q_suite_report_relational,
         "referential_chain": _q_referential_chain,
+        "repair_coerce_events": _q_repair_coerce_events,
         "skew_report_events": _q_skew_report_events,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "repair_defaults_events": _q_repair_defaults_events,
@@ -4485,6 +4530,37 @@ def oracle_sql() -> dict[str, str]:
                         {int(216000.0 * 1_000_000)} THEN 1 ELSE 0 END), 0) = 0)
                      AS ok
             FROM prof
+        """,
+        "repair_coerce_events": """
+            WITH raw AS (
+              SELECT event_id,
+                     CAST(event_id AS VARCHAR)
+                       || CASE WHEN event_id % 13 = 0 THEN 'x' ELSE '' END
+                       AS id_str,
+                     CASE WHEN event_id % 17 = 0 THEN 'oops'
+                          ELSE CAST(user_id AS VARCHAR) || '.5' END AS num_str,
+                     CASE WHEN event_id % 3 = 0 THEN 'true'
+                          WHEN event_id % 3 = 1 THEN 'false'
+                          ELSE 'maybe' END AS bool_str
+              FROM events WHERE event_id IS NOT NULL
+            ), c AS (
+              SELECT event_id, id_str, num_str, bool_str,
+                     CASE WHEN regexp_matches(trim(id_str), '^[+-]?[0-9]+$')
+                          THEN try_cast(trim(id_str) AS BIGINT) END AS id_c,
+                     try_cast(num_str AS DOUBLE) AS num_c,
+                     try_cast(bool_str AS BOOLEAN) AS bool_c
+              FROM raw
+            )
+            SELECT event_id,
+                   id_c AS id_str, num_c AS num_str, bool_c AS bool_str,
+                   concat_ws(',',
+                     CASE WHEN id_str IS NOT NULL AND id_c IS NULL
+                          THEN 'id_str' END,
+                     CASE WHEN num_str IS NOT NULL AND num_c IS NULL
+                          THEN 'num_str' END,
+                     CASE WHEN bool_str IS NOT NULL AND bool_c IS NULL
+                          THEN 'bool_str' END) AS failed
+            FROM c
         """,
         "referential_chain": """
             WITH sup AS (SELECT * FROM supplier WHERE s_suppkey % 50 <> 0)

@@ -75,6 +75,62 @@ def project_declared(
     return df.select(*keep)
 
 
+#: JSON Schema type -> Spark cast target for string-source coercion
+_JSON_TO_SPARK = {"integer": "bigint", "number": "double", "boolean": "boolean"}
+
+
+def coerce_types(
+    df: DataFrame,
+    schema: Schema | dict | str,
+    resolve_config: Optional[ResolveConfig] = None,
+) -> DataFrame:
+    """Schema-driven type coercion for raw string ingest (CSV, scraped
+    JSON): every declared property whose schema says ``integer`` /
+    ``number`` / ``boolean`` but whose DataFrame column is a STRING is
+    try_cast to the schema-implied type. Values that are present but
+    uncastable become NULL **and are accounted loudly**: the returned
+    frame carries ``_coerce_failed`` (array of column names that failed
+    on that row, empty when clean) so callers can quarantine instead of
+    silently nulling.
+
+    Strict-cast contract: ``"3.0"`` does NOT coerce to integer (it is a
+    number, not an integer lexeme — matching the validator's Decimal-exact
+    multipleOf/integer semantics), and only STRING source columns are
+    touched (a double column under an integer schema is the validator's
+    business, not a cast's). Pure codegen'd expressions (try_cast +
+    conditional array), zero Python, column-pruning friendly.
+    """
+    resolved = inline_refs(_as_schema(schema), resolve_config)
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_cols = []
+    fail_flags = []
+    targets = {}
+    for name, sub in (resolved.properties or {}).items():
+        types = sub.type or ()
+        if len(types) != 1 or types[0] not in _JSON_TO_SPARK:
+            continue
+        if by_name.get(name) != "string":
+            continue
+        targets[name] = _JSON_TO_SPARK[types[0]]
+    for c in df.columns:
+        if c in targets:
+            coerced = F.expr(f"try_cast(`{c}` AS {targets[c]})")
+            out_cols.append(coerced.alias(c))
+            fail_flags.append(
+                F.when(
+                    F.col(c).isNotNull() & coerced.isNull(), F.lit(c)
+                )
+            )
+        else:
+            out_cols.append(F.col(c))
+    failed = (
+        F.array_compact(F.array(*fail_flags))
+        if fail_flags
+        else F.array().cast("array<string>")
+    )
+    return df.select(*out_cols, failed.alias("_coerce_failed"))
+
+
 def repair(
     df: DataFrame,
     schema: Schema | dict | str,

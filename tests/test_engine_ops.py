@@ -427,3 +427,46 @@ def test_partition_health_salted_parity(spark):
         map(tuple, res.partition_health(["grp"], salted=True, exact=True).collect())
     )
     assert plain == salted
+
+
+def test_repair_coerce_types(spark):
+    """Schema-driven string coercion: try_cast to the schema-implied type,
+    uncastable-but-present values accounted in _coerce_failed (never
+    silently nulled); non-string columns and multi-type schemas untouched."""
+    from jsonschema_spark.operators.repair import coerce_types
+
+    df = spark.createDataFrame(
+        [
+            (1, "42", "1.5", "true", "keep"),
+            (2, "3.0", "oops", "false", "keep"),   # 3.0 is not an integer lexeme
+            (3, None, "2e3", "maybe", "keep"),
+            (4, " 7 ", "8", "1", "keep"),
+        ],
+        "pk long, a string, b string, c string, d string",
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "pk": {"type": "integer"},           # already bigint: untouched
+            "a": {"type": "integer"},
+            "b": {"type": "number"},
+            "c": {"type": "boolean"},
+            "d": {"type": ["string", "null"]},   # multi-type: untouched
+        },
+    }
+    out = {r.pk: r for r in coerce_types(df, schema).collect()}
+    assert out[1].a == 42 and out[1].b == 1.5 and out[1].c is True
+    assert out[1]._coerce_failed == []
+    # strict integer lexeme: "3.0" fails loudly, matching the validator's
+    # integer semantics; "oops" fails number
+    assert out[2].a is None and out[2]._coerce_failed == ["a", "b"]
+    assert out[2].c is False
+    # NULL source is not a failure (absent-property semantics)
+    assert out[3].a is None and "a" not in out[3]._coerce_failed
+    assert out[3].b == 2000.0
+    assert out[3]._coerce_failed == ["c"]
+    assert out[4].a == 7 and out[4].c is True and out[4]._coerce_failed == []
+    # dtypes actually changed; untouched columns keep theirs
+    dt = dict(coerce_types(df, schema).dtypes)
+    assert dt["a"] == "bigint" and dt["b"] == "double" and dt["c"] == "boolean"
+    assert dt["d"] == "string" and dt["pk"] == "bigint"
