@@ -78,6 +78,34 @@ def session(cpus: int) -> SparkSession:
     )
 
 
+def compute_probe(cpus: int, passes: int = 3) -> float:
+    """Compute-bound control: 24 chained sha2 rounds over 4M tiny rows —
+    zero payload traffic, pure whole-stage codegen. Measures how much
+    compute the HOST actually grants 8 vs 32 runnable threads in this
+    window; no job can scale past this, so scaling numbers below are
+    reported alongside it (a 0.22 'efficiency' against a 0.37 host grant
+    is the host, not the plan)."""
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"probe-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    col = F.col("id").cast("string")
+    for _ in range(24):
+        col = F.sha2(col, 256)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        spark.range(4_000_000).repartition(cpus * 4).select(
+            F.max(col).alias("m")
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    spark.stop()
+    return best
+
+
 def main():
     # materialize once (untimed)
     if not os.path.exists(PATH):
@@ -140,6 +168,11 @@ def main():
         results["32"]["clips_per_sec"] / results["8"]["clips_per_sec"]
     ) / 4.0
     eff_jvm = (results["8"]["jvm_min"] / results["32"]["jvm_min"]) / 4.0
+
+    # same-session host-grant ceiling (compute-bound control)
+    probe8 = compute_probe(8)
+    probe32 = compute_probe(32)
+    host_grant_eff = round(probe8 / probe32 / 4.0, 3)
     print(
         json.dumps(
             {
@@ -153,6 +186,14 @@ def main():
                 "paired_rounds": paired,
                 "paired_best_validate": max(p["eff_validate"] for p in paired),
                 "paired_best_jvm": max(p["eff_jvm"] for p in paired),
+                "host_grant": {
+                    "probe8_sec": round(probe8, 2),
+                    "probe32_sec": round(probe32, 2),
+                    "efficiency_ceiling": host_grant_eff,
+                },
+                "validate_vs_ceiling": round(
+                    eff_validate / host_grant_eff, 3
+                ) if host_grant_eff > 0 else None,
             }
         )
     )
