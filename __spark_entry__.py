@@ -1068,6 +1068,19 @@ def _q_metric_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over lineitem's numeric columns with
+    exact DECIMAL(38,12) moment sums (order-independent — F.corr's double
+    accumulation is partition-order dependent and cross-engine unstable);
+    Pearson r is then pure correctly-rounded double arithmetic, so DuckDB
+    replays it bit-for-bit. One stacked scan, shuffle = O(partitions x
+    pairs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.correlation_pairs(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def _q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew verdict for a shuffle keyed on event_type: exact BIGINT
     ppm share of the hottest key vs the salting threshold. ONE aggregate
@@ -2039,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_coerce_events": _q_repair_coerce_events,
         "skew_report_events": _q_skew_report_events,
         "heavy_hitters_events": _q_heavy_hitters_events,
+        "correlation_lineitem": _q_correlation_lineitem,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
@@ -4698,6 +4712,46 @@ def oracle_sql() -> dict[str, str]:
                    END AS regressed
             FROM j
         """,
+        "correlation_lineitem": " UNION ALL ".join(
+            f"""(
+            WITH m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     SUM(CAST(CAST({cx} AS DOUBLE) AS DECIMAL(38,12))) AS sx,
+                     SUM(CAST(CAST({cy} AS DOUBLE) AS DECIMAL(38,12))) AS sy,
+                     SUM(CAST(CAST({cx} AS DOUBLE) * CAST({cx} AS DOUBLE)
+                              AS DECIMAL(38,12))) AS sxx,
+                     SUM(CAST(CAST({cy} AS DOUBLE) * CAST({cy} AS DOUBLE)
+                              AS DECIMAL(38,12))) AS syy,
+                     SUM(CAST(CAST({cx} AS DOUBLE) * CAST({cy} AS DOUBLE)
+                              AS DECIMAL(38,12))) AS sxy
+              FROM lineitem
+              WHERE {cx} IS NOT NULL AND {cy} IS NOT NULL
+            )
+            SELECT '{cx}' AS col_x, '{cy}' AS col_y, n,
+                   CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN round(
+                          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                          6)
+                   END AS corr
+            FROM m
+            )"""
+            for cx, cy in [
+                ("l_quantity", "l_extendedprice"),
+                ("l_quantity", "l_discount"),
+                ("l_quantity", "l_tax"),
+                ("l_extendedprice", "l_discount"),
+                ("l_extendedprice", "l_tax"),
+                ("l_discount", "l_tax"),
+            ]
+        ),
         "skew_report_events": """
             WITH h AS (
               SELECT event_type AS value, count(*) AS cnt

@@ -261,6 +261,74 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 20) -> DataFrame:
     )
 
 
+def correlation_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation over the given numeric columns —
+    (col_x, col_y, n, corr) for every unordered pair, NULL-pair rows
+    excluded per pair, corr NULL for constant columns.
+
+    Determinism design: ``F.corr`` (and any naive double accumulation)
+    depends on partition merge order. Here every moment (sum x, sum y,
+    sum x², sum y², sum xy) is a per-row DOUBLE product CAST TO
+    DECIMAL(38,12) BEFORE SUMMING — exact, associative, identical across
+    engines/partitionings/retries (same trick as reconcile's detail
+    sums); Pearson r is then a fixed sequence of correctly-rounded double
+    ops over those exact sums, so DuckDB reproduces it bit-for-bit.
+
+    Plan shape: each row explodes into one (pair, x, y) entry per pair
+    (codegen'd generator), then ONE narrow groupBy(pair) — partial
+    aggregation collapses each partition to n_pairs rows before the
+    shuffle, so shuffle volume is O(partitions × pairs), never row count,
+    and no aggregate grows wide enough to fall out of whole-stage codegen
+    (the >100-field cliff a one-sum-per-pair wide aggregate hits).
+    """
+    dec = "decimal(38,12)"
+    pairs = [
+        (columns[i], columns[j])
+        for i in range(len(columns))
+        for j in range(i + 1, len(columns))
+    ]
+    entries = []
+    for cx, cy in pairs:
+        x = F.col(cx).cast("double")
+        y = F.col(cy).cast("double")
+        entries.append(
+            F.when(
+                x.isNotNull() & y.isNotNull(),
+                F.struct(
+                    F.lit(f"{cx}\x1f{cy}").alias("pair"),
+                    x.alias("x"),
+                    y.alias("y"),
+                ),
+            )
+        )
+    stacked = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select("e.pair", "e.x", "e.y")
+    )
+    agg = stacked.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - sx * sy
+    vx = nd * F.col("sxx").cast("double") - sx * sx
+    vy = nd * F.col("syy").cast("double") - sy * sy
+    den = F.sqrt(vx) * F.sqrt(vy)
+    return agg.select(
+        F.split_part(F.col("pair"), F.lit("\x1f"), F.lit(1)).alias("col_x"),
+        F.split_part(F.col("pair"), F.lit("\x1f"), F.lit(2)).alias("col_y"),
+        "n",
+        F.when(den > 0, F.round(cov / den, 6)).alias("corr"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     column: str,

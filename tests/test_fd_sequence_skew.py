@@ -237,3 +237,37 @@ def test_check_chain_isolates_broken_edge(spark):
     ]).collect()}
     assert rep["good"]["ok"] is True and rep["good"]["orphan_count"] == 0
     assert rep["broken"]["ok"] is False and rep["broken"]["orphan_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# correlation pairs
+# ---------------------------------------------------------------------------
+
+
+def test_correlation_pairs(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0, -1.0), (2.0, 4.0, 5.0, -2.0),
+         (3.0, 6.0, 5.0, -3.0), (4.0, None, 5.0, -4.0)],
+        "x double, y double, c double, z double",
+    )
+    out = {(r.col_x, r.col_y): r for r in
+           stats.correlation_pairs(df, ["x", "y", "c", "z"]).collect()}
+    assert out[("x", "y")].corr == 1.0 and out[("x", "y")].n == 3  # NULL pair excluded
+    assert out[("x", "z")].corr == -1.0 and out[("x", "z")].n == 4
+    assert out[("x", "c")].corr is None  # constant column declines
+    assert out[("y", "z")].corr == -1.0
+    assert len(out) == 6
+
+
+def test_correlation_partition_invariance(spark):
+    """The decimal-sum design makes the result identical under any
+    partitioning (the property F.corr lacks)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.uniform(0, 100), rnd.uniform(0, 100)) for _ in range(500)]
+    df1 = spark.createDataFrame(rows, "x double, y double").coalesce(1)
+    df2 = spark.createDataFrame(rows, "x double, y double").repartition(16)
+    r1 = stats.correlation_pairs(df1, ["x", "y"]).collect()[0].corr
+    r2 = stats.correlation_pairs(df2, ["x", "y"]).collect()[0].corr
+    assert r1 == r2
