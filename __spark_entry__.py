@@ -1068,6 +1068,22 @@ def _q_metric_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinctness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ Distinctness/UniqueValueRatio/Entropy analyzers in one
+    stacked pass over three events columns. Entropy's c·ln c terms are
+    floored to an integer 1e-6 grid (the PSI-oracle precedent) so the
+    sum is order-independent and DuckDB replays it exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.distinctness_profile(ev, ["event_type", "user_id", "event_id"])
+
+
+def _q_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/population-stddev with exact DECIMAL(38,12) moment sums —
+    order-independent, unlike F.avg/F.stddev's double accumulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.moments(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def _q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation over lineitem's numeric columns with
     exact DECIMAL(38,12) moment sums (order-independent — F.corr's double
@@ -2053,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": _q_skew_report_events,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "correlation_lineitem": _q_correlation_lineitem,
+        "distinctness_events": _q_distinctness_events,
+        "moments_lineitem": _q_moments_lineitem,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
@@ -4712,6 +4730,52 @@ def oracle_sql() -> dict[str, str]:
                    END AS regressed
             FROM j
         """,
+        "distinctness_events": " UNION ALL ".join(
+            f"""(
+            WITH cnt AS (
+              SELECT CAST({c} AS VARCHAR) AS v, count(*) AS c
+              FROM events WHERE {c} IS NOT NULL GROUP BY 1
+            ), a AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unique,
+                     CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+                                         * ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS s
+              FROM cnt
+            )
+            SELECT '{c}' AS "column", n_rows, n_distinct,
+                   round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                     AS distinctness,
+                   round(CAST(n_unique AS DOUBLE) / CAST(n_distinct AS DOUBLE), 6)
+                     AS unique_value_ratio,
+                   round(ln(CAST(n_rows AS DOUBLE))
+                         - (CAST(s AS DOUBLE) / 1e6) / CAST(n_rows AS DOUBLE), 6)
+                     AS entropy
+            FROM a
+            )"""
+            for c in ("event_type", "user_id", "event_id")
+        ),
+        "moments_lineitem": " UNION ALL ".join(
+            f"""(
+            WITH m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,12))) AS sx,
+                     SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)
+                              AS DECIMAL(38,12))) AS sxx
+              FROM lineitem WHERE {c} IS NOT NULL
+            )
+            SELECT '{c}' AS "column", n,
+                   round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+                   round(sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                       CAST(0.0 AS DOUBLE)))
+                         / CAST(n AS DOUBLE), 6) AS stddev
+            FROM m
+            )"""
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        ),
         "correlation_lineitem": " UNION ALL ".join(
             f"""(
             WITH m AS (

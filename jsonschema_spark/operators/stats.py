@@ -261,6 +261,110 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 20) -> DataFrame:
     )
 
 
+def distinctness_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column value-distribution shape (the Deequ Distinctness /
+    UniqueValueRatio / Entropy analyzers): one row per column with
+    (column, n_rows, n_distinct, distinctness, unique_value_ratio,
+    entropy). NULLs excluded (completeness is column_stats' job).
+
+    - distinctness      = n_distinct / n_rows
+    - unique_value_ratio = values occurring exactly once / n_distinct
+    - entropy (nats)    = ln(n) - sum(c·ln c)/n over value counts c —
+      each c·ln c term is floored onto an integer 1e-6 grid and summed
+      as BIGINTs (the PSI-oracle precedent: double ln agrees across
+      engines well above that grid), so the sum is aggregation-order
+      independent and DuckDB-replayable; the final combination is
+      correctly-rounded double arithmetic, rounded to 6.
+
+    Plan shape: ALL columns in one stacked pass — explode to (column,
+    value-as-string), ONE groupBy(column, value) partial+final count
+    (shuffle bounded by total distinct values across columns), then one
+    narrow groupBy(column). No windows, no driver round-trips.
+    """
+    entries = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            ),
+        )
+        for c in columns
+    ]
+    stacked = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select("e.column", "e.value")
+    )
+    counts = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scaled_clnc = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    agg = counts.groupBy("column").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n_unique"),
+        F.sum(scaled_clnc).alias("sum_clnc_scaled"),
+    )
+    n = F.col("n_rows").cast("double")
+    entropy = F.log(n) - (F.col("sum_clnc_scaled") / F.lit(1e6)) / n
+    return agg.select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_rows"), 6).alias("distinctness"),
+        F.round(F.col("n_unique") / F.col("n_distinct"), 6).alias(
+            "unique_value_ratio"
+        ),
+        F.when(F.col("n_rows") > 0, F.round(entropy, 6)).alias("entropy"),
+    )
+
+
+def moments(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column mean / population-stddev with exact DECIMAL(38,12)
+    moment sums (order-independent — ``F.avg``/``F.stddev`` accumulate
+    doubles in partition order and are not replayable cross-engine).
+    Returns (column, n, mean, stddev) — same stacked one-pass shape as
+    :func:`correlation_pairs`. stddev is the population form
+    sqrt(n·sxx - sx²)/n; NULL for n == 0."""
+    dec = "decimal(38,12)"
+    entries = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("double").alias("x"),
+            ),
+        )
+        for c in columns
+    ]
+    stacked = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select("e.column", "e.x")
+    )
+    agg = stacked.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return agg.select(
+        "column",
+        "n",
+        F.round(sx / nd, 6).alias("mean"),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.sqrt(F.greatest(nd * sxx - sx * sx, F.lit(0.0))) / nd, 6),
+        ).alias("stddev"),
+    )
+
+
 def correlation_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Pairwise Pearson correlation over the given numeric columns —
     (col_x, col_y, n, corr) for every unordered pair, NULL-pair rows

@@ -271,3 +271,60 @@ def test_correlation_partition_invariance(spark):
     r1 = stats.correlation_pairs(df1, ["x", "y"]).collect()[0].corr
     r2 = stats.correlation_pairs(df2, ["x", "y"]).collect()[0].corr
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# distinctness / entropy / moments
+# ---------------------------------------------------------------------------
+
+
+def test_distinctness_profile(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("c", None)], "s string, v int"
+    )
+    out = {r.column: r for r in
+           stats.distinctness_profile(df, ["s", "v"]).collect()}
+    s = out["s"]
+    assert s.n_rows == 4 and s.n_distinct == 3
+    assert s.distinctness == 0.75
+    assert s.unique_value_ratio == round(2 / 3, 6)
+    # H = ln(4) - (2 ln 2 + 1 ln 1 + 1 ln 1)/4
+    expected = math.log(4) - (2 * math.log(2)) / 4
+    assert abs(s.entropy - expected) < 1e-5
+    v = out["v"]
+    assert v.n_rows == 3 and v.n_distinct == 2  # NULL excluded
+
+
+def test_entropy_extremes(spark):
+    import math
+
+    const = spark.createDataFrame([("k",)] * 10, "s string")
+    assert stats.distinctness_profile(const, ["s"]).collect()[0].entropy == 0.0
+    uniq = spark.createDataFrame([(str(i),) for i in range(8)], "s string")
+    r = stats.distinctness_profile(uniq, ["s"]).collect()[0]
+    assert abs(r.entropy - math.log(8)) < 1e-5
+    assert r.unique_value_ratio == 1.0
+
+
+def test_moments_exact(spark):
+    df = spark.createDataFrame(
+        [(2.0, 10.0), (4.0, 10.0), (6.0, None), (8.0, 10.0)], "x double, y double"
+    )
+    out = {r.column: r for r in stats.moments(df, ["x", "y"]).collect()}
+    assert out["x"].mean == 5.0 and out["x"].n == 4
+    assert abs(out["x"].stddev - 2.236068) < 1e-6  # sqrt(5)
+    assert out["y"].mean == 10.0 and out["y"].stddev == 0.0 and out["y"].n == 3
+
+
+def test_moments_partition_invariance(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [(rnd.uniform(-50, 50),) for _ in range(400)]
+    a = spark.createDataFrame(rows, "x double").coalesce(1)
+    b = spark.createDataFrame(rows, "x double").repartition(16)
+    ra = stats.moments(a, ["x"]).collect()[0]
+    rb = stats.moments(b, ["x"]).collect()[0]
+    assert (ra.mean, ra.stddev) == (rb.mean, rb.stddev)
