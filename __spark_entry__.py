@@ -1068,6 +1068,17 @@ def _q_metric_history_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mutual_information_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ MutualInformation analyzer: MI(event_type; user segment) in
+    nats — joint histogram + re-aggregated marginals (tiny post-agg
+    joins), contributions floored to the integer 1e-6 grid so the sum is
+    order-independent and DuckDB-replayable."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "seg", (F.col("user_id") % 4).cast("string")
+    )
+    return stats.mutual_information(ev, "event_type", "seg")
+
+
 def _q_distinctness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ Distinctness/UniqueValueRatio/Entropy analyzers in one
     stacked pass over three events columns. Entropy's c·ln c terms are
@@ -2071,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_lineitem": _q_correlation_lineitem,
         "distinctness_events": _q_distinctness_events,
         "moments_lineitem": _q_moments_lineitem,
+        "mutual_information_events": _q_mutual_information_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
@@ -4728,6 +4740,31 @@ def oracle_sql() -> dict[str, str]:
                           THEN abs(modified_z) > 3.5
                         ELSE metric <> baseline_median
                    END AS regressed
+            FROM j
+        """,
+        "mutual_information_events": """
+            WITH p AS (
+              SELECT CAST(event_type AS VARCHAR) AS x,
+                     CAST(user_id % 4 AS VARCHAR) AS y
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ), joint AS (
+              SELECT x, y, count(*) AS c_xy FROM p GROUP BY 1, 2
+            ), mx AS (SELECT x, sum(c_xy) AS c_x FROM joint GROUP BY 1),
+            my AS (SELECT y, sum(c_xy) AS c_y FROM joint GROUP BY 1),
+            t AS (SELECT sum(c_xy) AS n FROM joint),
+            j AS (
+              SELECT c_xy, c_x, c_y, n
+              FROM joint JOIN mx USING (x) JOIN my USING (y), t
+            )
+            SELECT 'event_type' AS col_x, 'seg' AS col_y,
+                   CAST(max(n) AS BIGINT) AS n,
+                   round((CAST(sum(CAST(floor(
+                       CAST(c_xy AS DOUBLE)
+                       * (ln(CAST(c_xy AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+                          - ln(CAST(c_x AS DOUBLE)) - ln(CAST(c_y AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6)
+                     / CAST(max(n) AS DOUBLE), 6) AS mi
             FROM j
         """,
         "distinctness_events": " UNION ALL ".join(

@@ -323,6 +323,58 @@ def distinctness_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     )
 
 
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    Deequ MutualInformation analyzer: how much knowing X tells you about
+    Y (0 = independent; min(H(X), H(Y)) = deterministic). The
+    relational use: quantify near-FDs that ``fd_report`` would call
+    violated but are still structurally strong.
+
+    One-row result (col_x, col_y, n, mi). Rows with a NULL on either
+    side are excluded.
+
+    Plan shape: ONE groupBy(x, y) joint-count aggregate (shuffle bounded
+    by distinct pairs); marginals re-aggregate the tiny joint histogram
+    (post-aggregate data, AQE broadcasts the joins); the final sum runs
+    over joint-histogram rows. Each contribution
+    c_xy · (ln c_xy + ln n − ln c_x − ln c_y) is floored onto the
+    integer 1e-6 grid and summed as BIGINTs (entropy/PSI precedent), so
+    the result is aggregation-order independent and DuckDB-replayable;
+    MI = scaled_sum / 1e6 / n.
+    """
+    pair = df.select(
+        F.col(col_x).cast("string").alias("x"),
+        F.col(col_y).cast("string").alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    from pyspark import StorageLevel
+
+    # joint is referenced four times (marginals ×2, total, join) — persist
+    # the tiny post-aggregate histogram or Catalyst re-plans the full
+    # upstream scan once per reference (the drift_matrix lesson).
+    joint = (
+        pair.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mx = joint.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    my = joint.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    tot = joint.agg(F.sum("c_xy").alias("n"))
+    j = joint.join(mx, "x").join(my, "y").crossJoin(F.broadcast(tot))
+    ln = lambda col: F.log(col.cast("double"))  # noqa: E731
+    term = F.col("c_xy").cast("double") * (
+        ln(F.col("c_xy")) + ln(F.col("n")) - ln(F.col("c_x")) - ln(F.col("c_y"))
+    )
+    scaled = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return j.agg(
+        F.max("n").alias("n"),
+        F.round(
+            (F.sum(scaled) / F.lit(1e6)) / F.max("n").cast("double"), 6
+        ).alias("mi"),
+    ).select(
+        F.lit(col_x).alias("col_x"), F.lit(col_y).alias("col_y"), "n", "mi"
+    )
+
+
 def moments(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Per-column mean / population-stddev with exact DECIMAL(38,12)
     moment sums (order-independent — ``F.avg``/``F.stddev`` accumulate

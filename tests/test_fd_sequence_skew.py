@@ -328,3 +328,26 @@ def test_moments_partition_invariance(spark):
     ra = stats.moments(a, ["x"]).collect()[0]
     rb = stats.moments(b, ["x"]).collect()[0]
     assert (ra.mean, ra.stddev) == (rb.mean, rb.stddev)
+
+
+def test_mutual_information(spark):
+    import math
+
+    # y = f(x): deterministic -> MI = H(X)
+    det = spark.createDataFrame(
+        [("a", "1")] * 2 + [("b", "2")] * 2, "x string, y string"
+    )
+    r = stats.mutual_information(det, "x", "y").collect()[0]
+    assert abs(r.mi - math.log(2)) < 1e-5
+    assert (r.col_x, r.col_y, r.n) == ("x", "y", 4)
+
+    # independent -> MI = 0 (uniform product corpus)
+    rows = [(a, b) for a in "ab" for b in "cd" for _ in range(5)]
+    ind = spark.createDataFrame(rows, "x string, y string")
+    assert stats.mutual_information(ind, "x", "y").collect()[0].mi == 0.0
+
+    # NULL on either side excluded
+    n = spark.createDataFrame(
+        [("a", "1"), ("a", None), (None, "2")], "x string, y string"
+    )
+    assert stats.mutual_information(n, "x", "y").collect()[0].n == 1
