@@ -300,6 +300,38 @@ def _check_skew(df: DataFrame, spec: dict) -> DataFrame:
     )(rep)
 
 
+def _check_mean_between(df: DataFrame, spec: dict) -> DataFrame:
+    """Great-Expectations' expect_column_mean_to_be_between on the
+    exact-DECIMAL-sum mean (order-independent, replayable). metric = the
+    mean; threshold column carries max_mean (min_mean rides the status
+    logic). An empty/all-NULL column yields NULL and FAILS."""
+    from jsonschema_spark.operators.stats import moments
+
+    lo = float(spec["min_mean"])
+    hi = float(spec["max_mean"])
+    # agg() guarantees ONE report row even when the stacked profile is
+    # empty (all-NULL column -> zero groups -> the check row would vanish)
+    m = moments(df, [spec["column"]]).agg(F.min("mean").alias("m"))
+    metric = F.col("m")
+    passed = F.coalesce((metric >= lo) & (metric <= hi), F.lit(False))
+    return _report_row(spec["name"], "mean_between", metric, hi, passed)(m)
+
+
+def _check_entropy_min(df: DataFrame, spec: dict) -> DataFrame:
+    """Degenerate-distribution gate: a categorical column whose Shannon
+    entropy collapses below the floor signals a broken upstream (one
+    value flooding the feed). metric = entropy in nats."""
+    from jsonschema_spark.operators.stats import distinctness_profile
+
+    floor = float(spec["min_entropy"])
+    e = distinctness_profile(df, [spec["column"]]).agg(
+        F.min("entropy").alias("e")
+    )
+    metric = F.col("e")
+    passed = F.coalesce(metric >= floor, F.lit(False))
+    return _report_row(spec["name"], "entropy_min", metric, floor, passed)(e)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -316,6 +348,8 @@ _CHECKS = {
     "sequence": lambda df, spec, tables: _check_sequence(df, spec),
     "freshness": lambda df, spec, tables: _check_freshness(df, spec),
     "skew": lambda df, spec, tables: _check_skew(df, spec),
+    "mean_between": lambda df, spec, tables: _check_mean_between(df, spec),
+    "entropy_min": lambda df, spec, tables: _check_entropy_min(df, spec),
 }
 
 

@@ -272,3 +272,33 @@ def test_suite_where_scoping(spark):
     assert rep["a_ids"]["metric"] == 1.0        # only id 2 inside grp=a
     assert rep["b_rows"]["metric"] == 2.0
     assert rep["b_rows"]["status"] == "fail"
+
+
+def test_suite_mean_and_entropy_checks(spark):
+    t = spark.createDataFrame(
+        [(10.0, "a"), (20.0, "a"), (30.0, "a"), (None, "a"), (40.0, "b")],
+        "v double, c string",
+    )
+    rep = _report({"t": t}, [
+        {"type": "mean_between", "name": "v_mean_ok", "table": "t",
+         "column": "v", "min_mean": 20.0, "max_mean": 30.0},
+        {"type": "mean_between", "name": "v_mean_tight", "table": "t",
+         "column": "v", "min_mean": 26.0, "max_mean": 30.0},
+        {"type": "entropy_min", "name": "c_entropy", "table": "t",
+         "column": "c", "min_entropy": 1.0},
+    ])
+    assert rep["v_mean_ok"]["metric"] == 25.0
+    assert rep["v_mean_ok"]["status"] == "pass"
+    assert rep["v_mean_tight"]["status"] == "fail"
+    # 4/5 'a': H = ln 5 - (4 ln 4)/5 ~ 0.5004 < 1.0 -> degenerate, fails
+    assert rep["c_entropy"]["status"] == "fail"
+    assert abs(rep["c_entropy"]["metric"] - 0.500402) < 1e-5
+
+
+def test_suite_mean_empty_column_fails(spark):
+    t = spark.createDataFrame([(None,)], "v double")
+    rep = _report({"t": t}, [
+        {"type": "mean_between", "name": "m", "table": "t", "column": "v",
+         "min_mean": 0.0, "max_mean": 1.0},
+    ])
+    assert rep["m"]["status"] == "fail"
