@@ -168,6 +168,90 @@ def ks_by_window(batch: DataFrame, base_hist: DataFrame) -> DataFrame:
     )
 
 
+def wasserstein_by_window(
+    batch: DataFrame, base_hist: DataFrame, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """(window_start, window_end, w1_dist, n_cur, n_base) for EVERY window
+    in one grouped plan — the streaming face of
+    ``operators/drift.wasserstein_binned`` (identical per-window math:
+    present-bin gap weights, integer 1e-9 grid sums; parity-pinned).
+    ONE window partitioning computes cumulative, total and gap weight
+    together — no totals rejoin."""
+    step = (float(hi) - float(lo)) / n_bins
+    wcols = ["window_start", "window_end"]
+    windows = batch.select(*wcols).distinct()
+    base = base_hist.withColumnRenamed("cnt", "base_cnt")
+    grid = windows.join(base, how="cross")
+    cur = batch.select(*wcols, "bin", F.col("cnt").alias("cur_cnt"))
+    j = grid.join(cur, wcols + ["bin"], "full_outer").fillna(
+        0, subset=["cur_cnt", "base_cnt"]
+    )
+    w_cum = (
+        Window.partitionBy(*wcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(*wcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy(*wcols).orderBy("bin")
+    e = j.select(
+        *wcols,
+        "bin",
+        F.sum("cur_cnt").over(w_cum).alias("c_cur"),
+        F.sum("base_cnt").over(w_cum).alias("c_base"),
+        F.sum("cur_cnt").over(w_all).alias("n_cur"),
+        F.sum("base_cnt").over(w_all).alias("n_base"),
+        (
+            F.least(
+                F.coalesce(F.lead("bin").over(w_ord), F.lit(n_bins + 1)),
+                F.lit(n_bins + 1),
+            )
+            - F.col("bin")
+        ).alias("weight"),
+    )
+    contrib = F.abs(
+        F.col("c_cur") / F.col("n_cur") - F.col("c_base") / F.col("n_base")
+    ) * F.lit(step)
+    scaled = F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("bigint") * F.col(
+        "weight"
+    )
+    return e.groupBy(*wcols).agg(
+        F.round(
+            F.sum(F.when(F.col("bin") <= n_bins, scaled).otherwise(F.lit(0)))
+            / F.lit(1e9),
+            6,
+        ).alias("w1_dist"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("n_base").alias("n_base"),
+    )
+
+
+def wasserstein_foreach_batch(
+    baseline: DataFrame,
+    column: str,
+    sink: Callable[[DataFrame, int], None],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for windowed W1 drift: every completed window
+    in the micro-batch gets its earth-mover distance vs the static
+    baseline in one grouped plan."""
+    from jsonschema_spark.operators.drift import binned_histogram
+
+    base_hist = binned_histogram(baseline, column, lo, hi, n_bins).cache()
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink(wasserstein_by_window(batch, base_hist, lo, hi, n_bins), batch_id)
+
+    return fn
+
+
 def ks_foreach_batch(
     baseline: DataFrame,
     column: str,

@@ -401,3 +401,49 @@ def test_streaming_drift_matrix_matches_batch(spark, events_dir, tmp_path):
             assert (got[s].n_cur, got[s].n_base) == (
                 want[s].n_cur, want[s].n_base,
             )
+
+
+def test_streaming_wasserstein_matches_batch(spark, events_dir, tmp_path):
+    """Windowed W1 drift via foreachBatch: every completed window's
+    w1_dist equals the batch wasserstein_binned over that window's rows —
+    all windows in ONE grouped plan (present-bin gap weights included)."""
+    from jsonschema_spark.operators import drift as drift_ops
+    from jsonschema_spark.streaming.drift import (
+        wasserstein_foreach_batch,
+        windowed_binned_histogram,
+    )
+
+    lo, hi, nb = 0.0, 600.0, 60
+    batch_df = spark.read.parquet(events_dir)
+    baseline = batch_df
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_dir)
+    hist = windowed_binned_histogram(
+        stream, "value", ts_col="ts", lo=lo, hi=hi, n_bins=nb,
+        window="1 day", watermark="0 seconds",
+    )
+    results = []
+
+    def sink(df, batch_id):
+        results.extend(df.collect())
+
+    q = (
+        hist.writeStream.outputMode("append")
+        .foreachBatch(wasserstein_foreach_batch(baseline, "value", sink, lo, hi, nb))
+        .option("checkpointLocation", str(tmp_path / "ckpt_w1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(results) > 1
+    for r in results:
+        window_rows = batch_df.filter(
+            (F.col("ts").cast("timestamp") >= r.window_start)
+            & (F.col("ts").cast("timestamp") < r.window_end)
+        )
+        want = drift_ops.wasserstein_binned(
+            window_rows, baseline, "value", lo, hi, nb
+        ).collect()[0]
+        assert r.w1_dist == pytest.approx(want.w1_dist, abs=1e-9), r
+        assert (r.n_cur, r.n_base) == (want.n_cur, want.n_base)
