@@ -1,0 +1,132 @@
+"""spark-submit entry point: one-shot table profile.
+
+The "what is this table" front door composing the analyzer family:
+per-column stats (nulls, min/max, distinct), value-distribution shape
+(distinctness / unique-value ratio / entropy), exact-sum moments
+(mean/stddev) for numeric columns, and key-skew verdicts for requested
+shuffle-key candidates. Output: one long-format parquet report +
+a JSON summary line.
+
+    spark-submit --py-files jsonschema_spark.zip jobs/profile_job.py \\
+        --input /data/orders --output /out/profile \\
+        --skew-candidates o_custkey,o_orderstatus
+
+Scale shape: column_stats is ONE wide aggregate; distinctness and
+moments are one stacked pass each (shuffle bounded by distinct values /
+n_columns); skew reports are one histogram chain per candidate. Nothing
+here exceeds a handful of aggregates over the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from jsonschema_spark.operators import stats  # noqa: E402
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+#: columns eligible for the distinctness/entropy pass — unbounded-payload
+#: types (binary, deeply nested) are excluded
+_PROFILABLE = (_NUMERIC + (T.StringType, T.BooleanType, T.DateType,
+                           T.TimestampType, T.TimestampNTZType))
+
+
+def profile_table(df, skew_candidates=None):
+    """Long-format profile: (section, column, metric, value_str, value_num).
+    Pure composition of the analyzer operators; returns a DataFrame."""
+    sections = []
+
+    def long_form(src, section, id_col, exclude=()):
+        cols = [c for c in src.columns if c != id_col and c not in exclude]
+        entries = [
+            F.struct(
+                F.lit(c).alias("metric"),
+                F.col(c).cast("string").alias("value_str"),
+                F.col(c).cast("string").try_cast("double").alias("value_num"),
+            )
+            for c in cols
+            if isinstance(src.schema[c].dataType, _NUMERIC + (T.BooleanType,))
+            or True  # keep all; value_num NULL where non-numeric
+        ]
+        return src.select(
+            F.lit(section).alias("section"),
+            F.col(id_col).cast("string").alias("column"),
+            F.explode(F.array(*entries)).alias("e"),
+        ).select("section", "column", "e.metric", "e.value_str", "e.value_num")
+
+    profilable = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _PROFILABLE)
+    ]
+    numeric = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)
+    ]
+    sections.append(long_form(stats.column_stats(df, profilable), "stats", "column"))
+    if profilable:
+        sections.append(
+            long_form(stats.distinctness_profile(df, profilable), "shape", "column")
+        )
+    if numeric:
+        sections.append(long_form(stats.moments(df, numeric), "moments", "column"))
+    for c in skew_candidates or []:
+        rep = stats.skew_report(df, c).withColumn("column", F.lit(c))
+        sections.append(long_form(rep, "skew", "column"))
+
+    out = sections[0]
+    for s in sections[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="input table (parquet path)")
+    p.add_argument("--output", help="profile report output (parquet)")
+    p.add_argument("--skew-candidates", help="comma-separated shuffle-key candidates")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    preexisting = SparkSession.getActiveSession() is not None
+    builder = SparkSession.builder.appName("jsonschema-spark-profile")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.config("spark.sql.adaptive.enabled", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    df = spark.read.parquet(args.input)
+    cands = (
+        [c.strip() for c in args.skew_candidates.split(",") if c.strip()]
+        if args.skew_candidates
+        else []
+    )
+    report = profile_table(df, cands)
+    if args.output:
+        report.write.mode("overwrite").parquet(args.output)
+        report = spark.read.parquet(args.output)
+    rows = report.count()
+    print(json.dumps({
+        "columns": len(df.columns),
+        "report_rows": rows,
+        "sections": [r.section for r in report.select("section").distinct().collect()],
+        "output": args.output,
+    }))
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,3 +91,31 @@ def test_split_single_scan_plan(spark):
             assert "InMemoryTableScan" in plan
     finally:
         annotated.unpersist()
+
+
+def test_profile_job(spark, tmp_path, capsys):
+    """Table-profiler CLI: long-format report covers stats / shape /
+    moments / skew sections with sane values."""
+    import json as _json
+
+    from jobs.profile_job import main, profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", None)],
+        "id long, grp string, v double",
+    )
+    rep = profile_table(df, ["grp"]).collect()
+    by = {(r.section, r.column, r.metric): r for r in rep}
+    assert by[("stats", "v", "null_count")].value_num == 1.0
+    assert by[("shape", "grp", "n_distinct")].value_num == 2.0
+    assert by[("moments", "v", "mean")].value_num == 15.0
+    assert by[("skew", "grp", "max_share_ppm")].value_num == 666666.0
+
+    src = str(tmp_path / "t")
+    df.write.parquet(src)
+    out = str(tmp_path / "prof")
+    rc = main(["--input", src, "--output", out, "--skew-candidates", "grp"])
+    assert rc == 0
+    j = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(j["sections"]) == {"stats", "shape", "moments", "skew"}
+    assert spark.read.parquet(out).count() == j["report_rows"]
