@@ -223,6 +223,22 @@ def _check_reconcile(
     )(mismatches)
 
 
+def _check_completeness_categories(df: DataFrame, spec: dict) -> DataFrame:
+    """Contract-category completeness: metric = number of expected values
+    (config list) absent from the column."""
+    from jsonschema_spark.operators.reconcile import categorical_completeness
+
+    max_missing = int(spec.get("max_missing", 0))
+    missing = categorical_completeness(df, spec["column"], spec["expected"]).agg(
+        F.count(F.lit(1)).alias("missing")
+    )
+    metric = F.coalesce(F.col("missing"), F.lit(0))
+    return _report_row(
+        spec["name"], "completeness_categories", metric, max_missing,
+        metric <= max_missing,
+    )(missing)
+
+
 def _check_fd(df: DataFrame, spec: dict) -> DataFrame:
     """Functional dependency as a suite check: metric = number of
     determinant groups carrying >1 dependent value."""
@@ -350,6 +366,8 @@ _CHECKS = {
     "skew": lambda df, spec, tables: _check_skew(df, spec),
     "mean_between": lambda df, spec, tables: _check_mean_between(df, spec),
     "entropy_min": lambda df, spec, tables: _check_entropy_min(df, spec),
+    "completeness_categories": lambda df, spec, tables:
+        _check_completeness_categories(df, spec),
 }
 
 

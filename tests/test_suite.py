@@ -302,3 +302,16 @@ def test_suite_mean_empty_column_fails(spark):
          "min_mean": 0.0, "max_mean": 1.0},
     ])
     assert rep["m"]["status"] == "fail"
+
+
+def test_suite_completeness_categories(spark):
+    t = spark.createDataFrame([("pcm",), ("flac",), (None,)], "codec string")
+    rep = _report({"t": t}, [
+        {"type": "completeness_categories", "name": "codecs", "table": "t",
+         "column": "codec", "expected": ["pcm", "flac", "opus"]},
+        {"type": "completeness_categories", "name": "codecs_lenient",
+         "table": "t", "column": "codec",
+         "expected": ["pcm", "flac", "opus"], "max_missing": 1},
+    ])
+    assert rep["codecs"]["metric"] == 1.0 and rep["codecs"]["status"] == "fail"
+    assert rep["codecs_lenient"]["status"] == "pass"
