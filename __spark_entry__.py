@@ -4507,20 +4507,25 @@ def oracle_sql() -> dict[str, str]:
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
         "fd_report_lineitem": """
-            WITH p1 AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT l_suppkey)
-                          + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_distinct
-              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
-            ), p2 AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(count(DISTINCT l_quantity)
-                          + max(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_distinct
+            WITH pp1 AS (
+              SELECT l_partkey AS det, l_suppkey AS dep, count(*) AS c
+              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1, 2
+            ), p1 AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS maj
+              FROM pp1 GROUP BY det
+            ), pp2 AS (
+              SELECT l_orderkey, l_linenumber, l_quantity AS dep,
+                     count(*) AS c
               FROM lineitem
               WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
-              GROUP BY l_orderkey, l_linenumber
+              GROUP BY 1, 2, 3
+            ), p2 AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS maj
+              FROM pp2 GROUP BY l_orderkey, l_linenumber
             ), r AS (
               SELECT 'partkey_suppkey' AS fd, * FROM p1
               UNION ALL
@@ -4533,6 +4538,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_distinct > 1 THEN n_rows ELSE 0 END)
                         AS BIGINT) AS violating_rows,
                    CAST(max(n_distinct) AS BIGINT) AS max_distinct,
+                   round((CAST(sum(n_rows) AS BIGINT)
+                          - CAST(sum(maj) AS BIGINT))
+                         / CAST(CAST(sum(n_rows) AS BIGINT) AS DOUBLE), 6)
+                     AS g3_error,
                    sum(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END) = 0
                      AS fd_holds
             FROM r GROUP BY fd

@@ -105,6 +105,7 @@ def fd_group_profile(
     return per_pair.groupBy("fd", "det").agg(
         F.sum("pair_rows").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct"),
+        F.max("pair_rows").alias("majority_rows"),
     )
 
 
@@ -114,8 +115,16 @@ def fd_report(
     """One row per FD: does it hold, and how badly does it fail?
 
     (fd, n_groups, violating_groups, violating_rows, max_distinct,
-    fd_holds). ``violating_rows`` counts rows living in groups with >1
-    dependent value — the rows a repair would have to touch.
+    g3_error, fd_holds). ``violating_rows`` counts rows living in groups
+    with >1 dependent value — the rows a repair would have to touch.
+    ``g3_error`` is the standard approximate-FD error (TANE's g3, public
+    literature): the minimum FRACTION of rows whose removal makes the FD
+    hold exactly — 1 − Σ_groups max-dependent-count / n. A 0.002 g3 on a
+    "violated" FD says the dependency is structurally near-exact (one
+    re-ingest glitch per 500 rows), where violating_groups alone cannot
+    distinguish noise from genuinely multi-valued relationships.
+    ``g3_error`` is exact integer arithmetic until one final division —
+    engine-replayable.
     """
     prof = fd_group_profile(df, fds)
     viol = F.col("n_distinct") > 1
@@ -128,6 +137,8 @@ def fd_report(
                 "violating_rows"
             ),
             F.max("n_distinct").alias("max_distinct"),
+            F.sum("n_rows").alias("_n"),
+            F.sum("majority_rows").alias("_keep"),
         )
         .select(
             "fd",
@@ -135,6 +146,9 @@ def fd_report(
             "violating_groups",
             "violating_rows",
             "max_distinct",
+            F.round(
+                (F.col("_n") - F.col("_keep")) / F.col("_n").cast("double"), 6
+            ).alias("g3_error"),
             (F.col("violating_groups") == 0).alias("fd_holds"),
         )
     )

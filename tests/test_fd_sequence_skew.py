@@ -351,3 +351,14 @@ def test_mutual_information(spark):
         [("a", "1"), ("a", None), (None, "2")], "x string, y string"
     )
     assert stats.mutual_information(n, "x", "y").collect()[0].n == 1
+
+
+def test_fd_g3_error(fd_df):
+    """g3 = minimum fraction of rows to delete for the FD to hold: a_c has
+    groups {1: x,x,y (keep 2), 2: z (keep 1), 3: NULL,z (keep 1)} ->
+    (6-4)/6."""
+    rep = {r["fd"]: r for r in fd_report(
+        fd_df, {"a_b": ("a", "b"), "a_c": ("a", "c")}
+    ).collect()}
+    assert rep["a_b"]["g3_error"] == 0.0
+    assert rep["a_c"]["g3_error"] == 0.333333
