@@ -104,6 +104,51 @@ def encode_wav_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# G.711 mu-law (CCITT standard, public spec) — a REAL lossy telephony
+# codec implemented in pure numpy: 16-bit PCM <-> 8-bit companded bytes.
+# Round-trip SNR on program material is ~38 dB, comfortably above the
+# 30 dB content invariant, so the SNR gate exercises a genuine lossy
+# codec rather than only the synthetic stand-ins.
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+_ULAW_SEG = np.array(
+    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int32
+)
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> mu-law bytes (vectorized G.711 encoder)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0x00).astype(np.int32)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    seg = np.digitize(mag, _ULAW_SEG)  # 1..8 (mag >= 0x100 after bias)
+    seg = np.minimum(seg, 7).astype(np.int32)
+    man = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | man) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(b: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int32 PCM samples (vectorized G.711 decoder)."""
+    u = (~b.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    seg = (u >> 4) & 0x07
+    man = u & 0x0F
+    mag = (((man << 3) + _ULAW_BIAS) << seg) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int32)
+
+
+def encode_wav_ulaw(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """RIFF/WAVE container around mono G.711 mu-law (WAVE_FORMAT_MULAW=7,
+    8 bits/sample) — the standard telephony WAV layout."""
+    import struct
+
+    data = ulaw_encode(pcm).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, sr_hz, sr_hz, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
     """Real RIFF/WAVE decode: walk chunks, accept PCM (format 1) mono
     16-bit, return int32 samples. Unsupported layouts raise ValueError
@@ -123,17 +168,21 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
             audio_format, channels, _sr, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if audio_format != 1 or channels != 1 or bits != 16:
+            if channels != 1 or (audio_format, bits) not in ((1, 16), (7, 8)):
                 raise ValueError(
                     f"unsupported WAV layout (format={audio_format}, "
-                    f"channels={channels}, bits={bits}); only PCM16 mono"
+                    f"channels={channels}, bits={bits}); "
+                    "only PCM16 mono or mu-law mono"
                 )
             fmt_ok = True
+            is_ulaw = audio_format == 7
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks pad to even
     if not fmt_ok or data is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
+    if is_ulaw:
+        return ulaw_decode(np.frombuffer(data, dtype=np.uint8))
     return np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2").astype(np.int32)
 
 

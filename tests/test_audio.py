@@ -181,3 +181,71 @@ def test_wav_riff_real_decode_round_trip():
         pd.Series([16000]), pd.Series([400]),
     )
     assert snr[0] == float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (real lossy codec)
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_encode_scalar(s):
+    """Independent scalar reference (straight from the G.711 spec)."""
+    BIAS, CLIP = 0x84, 32635
+    sign = 0x80 if s < 0 else 0
+    mag = min(abs(s), CLIP) + BIAS
+    seg = 0
+    for bound in (0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF):
+        if mag > bound:
+            seg += 1
+    seg = min(seg, 7)
+    man = (mag >> (seg + 3)) & 0x0F
+    return ~(sign | (seg << 4) | man) & 0xFF
+
+
+def _ulaw_decode_scalar(b):
+    u = (~b) & 0xFF
+    sign, seg, man = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+    mag = (((man << 3) + 0x84) << seg) - 0x84
+    return -mag if sign else mag
+
+
+def test_ulaw_matches_scalar_reference_everywhere():
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import ulaw_decode, ulaw_encode
+
+    # every 16-bit input value vs the scalar spec implementation
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    enc = ulaw_encode(xs)
+    ref = np.array([_ulaw_encode_scalar(int(s)) for s in
+                    range(-32768, 32768, 257)], dtype=np.uint8)
+    assert (enc[::257] == ref).all()
+    # every byte decodes to the spec value
+    bs = np.arange(256, dtype=np.uint8)
+    dec = ulaw_decode(bs)
+    assert all(int(dec[b]) == _ulaw_decode_scalar(b) for b in range(256))
+    # VALUE-level idempotence at the quantization points (byte-level
+    # idempotence fails only for the spec's negative-zero alias 0x7F/0xFF)
+    again = ulaw_decode(ulaw_encode(dec.astype(np.int16)))
+    assert (again == dec).all()
+
+
+def test_ulaw_wav_roundtrip_passes_snr_gate():
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import (
+        decode_payload,
+        encode_wav_ulaw,
+        pcm16_from_float,
+        reference_signal,
+        snr_db,
+    )
+
+    pcm = pcm16_from_float(reference_signal("clip-ulaw", 16000))
+    raw = encode_wav_ulaw(pcm, 16000)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    dec = decode_payload(raw)
+    assert len(dec) == len(pcm)
+    s = snr_db(pcm.astype(np.int32), dec)
+    # mu-law companding: ~38 dB on program material — above the 30 dB gate
+    assert 30.0 < s < 45.0
