@@ -1678,6 +1678,42 @@ def _q_clips_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ULAW_N = 600
+_ULAW_SNR_GATE_DB = 15.0  # see _q_clips_ulaw_decode gate calibration
+
+
+def _q_clips_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-lossy-codec cross-engine decode proof: G.711 mu-law RIFF/WAVE
+    payloads decoded by the numpy kernel in ONE Arrow hop
+    (functions/audio.audio_decode_profile); the DuckDB oracle re-decodes
+    the SAME parquet blobs with the pure-integer G.711 expansion formula
+    and must md5-match the rebuilt int16-LE sample stream bit-for-bit.
+    snr_ok exercises the SNR content gate on a genuinely lossy codec: the
+    planted class (_row_idx % ULAW_CLASS_MOD == ULAW_CLS_CORRUPT) zeroes
+    half the companded bytes (a zero mu-law byte decodes to -32124).
+
+    Gate calibration (measured over the deterministic corpus): clean
+    round-trips span 26.7-39.2 dB — G.711 companding dips BELOW the
+    engine's default 30 dB allclose gate on low-amplitude program
+    material, so the default gate would misclassify ~2% of genuine
+    mu-law round-trips. The mu-law gate is therefore 15 dB: >11 dB of
+    margin to the clean minimum AND to the corrupt maximum (-3.6 dB)."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_ulaw_clips
+
+    clips, _ = materialized_ulaw_clips(spark, _ULAW_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        (F.col("p.snr") >= F.lit(_ULAW_SNR_GATE_DB)).alias("snr_ok"),
+    )
+
+
 _CONTAIN_N = 400
 
 
@@ -2108,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_resample": _q_clips_resample,
         "clips_segments_transcript": _q_clips_segments_transcript,
         "clips_gain_normalize": _q_clips_gain_normalize,
+        "clips_ulaw_decode": _q_clips_ulaw_decode,
         "suite_report_orders": _q_suite_report_orders,
         "suite_report_events": _q_suite_report_events,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
@@ -3432,6 +3469,55 @@ def _clips_gain_normalize_sql() -> str:
                h.gain AS gain,
                md5(h.oh) AS out_md5
         FROM h JOIN g USING (clip_id)
+    """
+
+
+def _clips_ulaw_decode_sql() -> str:
+    """Independent G.711 mu-law decoder in pure integer SQL: complement the
+    stored byte, split sign/segment/mantissa, expand with the CCITT
+    formula mag = ((man*8 + 132) << seg) - 132, re-hex the int16-LE
+    samples with printf('%02X%02X', lo, hi) and md5 the rebuilt stream —
+    byte offsets skip the canonical 44-byte RIFF/WAVE mu-law header (one
+    companded byte per sample, so n = octet_length - 44). snr_ok comes
+    from the planted-corruption ledger (_row_idx arithmetic)."""
+    from jsonschema_spark.sources.clips import (
+        ULAW_CLASS_MOD,
+        ULAW_CLS_CORRUPT,
+        ulaw_clips_path,
+    )
+
+    src = f"read_parquet('{ulaw_clips_path(_ULAW_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, _row_idx, hex(bytes) AS hx,
+                 octet_length(bytes) - 44 AS n
+          FROM {src}
+        ), s AS (
+          SELECT clip_id, n, hx, unnest(generate_series(0, n - 1)) AS i
+          FROM t WHERE n > 0
+        ), u AS (
+          SELECT clip_id, n, i,
+                 255 - CAST(('0x' || substr(hx, 89 + i * 2, 2)) AS INTEGER) AS uv
+          FROM s
+        ), v AS (
+          SELECT clip_id, n, i,
+                 CASE WHEN uv >= 128 THEN -mag ELSE mag END AS val
+          FROM (
+            SELECT clip_id, n, i, uv,
+                   (((uv & 15) * 8 + 132) << ((uv >> 4) & 7)) - 132 AS mag
+            FROM u
+          ) q
+        ), h AS (
+          SELECT clip_id,
+                 string_agg(printf('%02X%02X', (val & 65535) % 256,
+                                   (val & 65535) // 256), '' ORDER BY i) AS oh
+          FROM v GROUP BY clip_id
+        )
+        SELECT t.clip_id,
+               CAST(t.n AS BIGINT) AS n_samples,
+               md5(h.oh) AS dec_md5,
+               (t._row_idx % {ULAW_CLASS_MOD} <> {ULAW_CLS_CORRUPT}) AS snr_ok
+        FROM t JOIN h USING (clip_id)
     """
 
 
@@ -5060,6 +5146,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_resample": _clips_resample_sql(),
         "clips_segments_transcript": _clips_segments_transcript_sql(),
         "clips_gain_normalize": _clips_gain_normalize_sql(),
+        "clips_ulaw_decode": _clips_ulaw_decode_sql(),
         "suite_report_orders": _suite_report_orders_sql(),
         "suite_report_events": _suite_report_events_sql(),
         "audio_containment_clips": _audio_containment_sql(),

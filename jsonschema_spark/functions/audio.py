@@ -246,6 +246,77 @@ def decode_pcm_batch(
     return pd.Series(out)
 
 
+DECODE_PROFILE_TYPE = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dec_md5", T.StringType()),
+        T.StructField("snr", T.DoubleType()),
+    ]
+)
+
+
+def decode_profile_batch(
+    payloads: pd.Series, clip_ids: pd.Series, srs: pd.Series, durs: pd.Series
+) -> pd.DataFrame:
+    """Vectorized batch kernel: decode each payload once and emit
+    (n_samples, dec_md5, snr) — the decoded-PCM fingerprint plus the SNR
+    invariant from a SINGLE decode. ``dec_md5`` is md5 of the UPPERCASE
+    hex rendering of the int16-LE samples (values clipped to int16), the
+    exact string a SQL engine rebuilds with printf('%02X%02X', lo, hi) —
+    which is what makes the decode itself cross-engine checkable (the
+    DuckDB oracle re-decodes the same blobs with pure integer SQL).
+    Undecodable payloads yield (NULL, NULL, -inf)."""
+    n_out: list = []
+    md5_out: list = []
+    snr_out = np.empty(len(payloads), dtype=np.float64)
+    it = zip(payloads.tolist(), clip_ids.tolist(), srs.tolist(), durs.tolist())
+    for i, (raw, cid, sr, dur) in enumerate(it):
+        if raw is None or cid is None or sr is None or dur is None or (
+            isinstance(sr, float) and np.isnan(sr)
+        ) or (isinstance(dur, float) and np.isnan(dur)):
+            n_out.append(None)
+            md5_out.append(None)
+            snr_out[i] = float("nan")
+            continue
+        try:
+            dec = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            n_out.append(None)
+            md5_out.append(None)
+            snr_out[i] = float("-inf")
+            continue
+        n_samples = int(sr) * int(dur) // 1000
+        ref = pcm16_from_float(reference_signal(cid, n_samples)).astype(np.int32)
+        d16 = np.clip(dec, -32768, 32767).astype("<i2")
+        n_out.append(len(dec))
+        md5_out.append(hashlib.md5(d16.tobytes().hex().upper().encode()).hexdigest())
+        snr_out[i] = snr_db(ref, dec)
+    return pd.DataFrame(
+        {"n_samples": pd.array(n_out, dtype="Int64"),
+         "dec_md5": md5_out, "snr": snr_out}
+    )
+
+
+@pandas_udf(DECODE_PROFILE_TYPE)
+def _decode_profile_udf(
+    payload: pd.Series, clip_id: pd.Series, sr_hz: pd.Series, dur_ms: pd.Series
+) -> pd.DataFrame:
+    return decode_profile_batch(payload, clip_id, sr_hz, dur_ms)
+
+
+def audio_decode_profile(
+    payload: Column | str = "bytes",
+    clip_id: Column | str = "clip_id",
+    sr_hz: Column | str = "sr_hz",
+    dur_ms: Column | str = "dur_ms",
+) -> Column:
+    """struct(n_samples, dec_md5, snr) — decode fingerprint + SNR invariant
+    in ONE Arrow hop. Project the struct once and extract fields above it
+    (do not reference the UDF expression from multiple siblings)."""
+    c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
+    return _decode_profile_udf(c(payload), c(clip_id), c(sr_hz), c(dur_ms))
+
+
 @pandas_udf(T.DoubleType())
 def _audio_snr_udf(
     payload: pd.Series, clip_id: pd.Series, sr_hz: pd.Series, dur_ms: pd.Series

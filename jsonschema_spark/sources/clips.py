@@ -686,3 +686,83 @@ def materialized_wav_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_wav_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law ledger corpus (real-lossy-codec ground truth)
+# ---------------------------------------------------------------------------
+
+# Telephony-shaped clips whose payloads are REAL RIFF/WAVE mu-law containers
+# (functions/audio.encode_wav_ulaw: WAVE_FORMAT_MULAW=7, 8 kHz mono, one
+# companded byte per sample). Planted class (i % ULAW_CLASS_MOD):
+#   cls 4 -> first half of the companded data bytes zeroed. A zero mu-law
+#            byte decodes to -32124 (near-full-scale), so per-sample noise
+#            power on the corrupted span is enormous: SNR <= ~19 dB worst
+#            case, far under the 30 dB gate. Clean rows round-trip at
+#            ~38 dB (mu-law companding SQNR on program material).
+# Everything else derives from _row_idx arithmetic, and the DuckDB oracle
+# goes further: it re-decodes every payload from the parquet blob hex with
+# the pure-integer G.711 expansion formula and md5-compares the rebuilt
+# sample stream against the numpy kernel's decode.
+ULAW_CLASS_MOD = 9
+ULAW_CLS_CORRUPT = 4
+ULAW_SR_HZ = 8000
+
+
+def synth_ulaw_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 2000),
+) -> DataFrame:
+    """Mu-law clips table with planted payload corruption — the ledger
+    table for the real-lossy-codec decode/SNR contract query."""
+    from jsonschema_spark.functions.audio import encode_wav_ulaw
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = ULAW_SR_HZ * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n_samples))
+        payload = encode_wav_ulaw(pcm, ULAW_SR_HZ)
+        if i % ULAW_CLASS_MOD == ULAW_CLS_CORRUPT:
+            ba = bytearray(payload)
+            half = n_samples // 2
+            ba[44 : 44 + half] = b"\x00" * half
+            payload = bytes(ba)
+        return (cid, payload, ULAW_SR_HZ, dur, "pcm_mulaw",
+                transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def ulaw_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_ulaw_{n}")
+
+
+def materialized_ulaw_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """Mu-law ledger table materialized once (oracle-cache protocol); the
+    DuckDB oracle re-decodes the SAME blobs with integer SQL."""
+    import os
+
+    path = ulaw_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_ulaw_clips(spark, n), path)
+    return spark.read.parquet(path), path

@@ -249,3 +249,66 @@ def test_ulaw_wav_roundtrip_passes_snr_gate():
     s = snr_db(pcm.astype(np.int32), dec)
     # mu-law companding: ~38 dB on program material — above the 30 dB gate
     assert 30.0 < s < 45.0
+
+
+def test_ulaw_ledger_margins_and_decode_profile():
+    """Differential replay of the mu-law ledger corpus at small n: the
+    clean/corrupt SNR populations must straddle the 15 dB query gate with
+    >10 dB margin on both sides, and dec_md5 must equal an independently
+    computed md5 over the scalar-lookup decode."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from jsonschema_spark.functions.audio import (
+        decode_profile_batch,
+        encode_wav_ulaw,
+        pcm16_from_float,
+        reference_signal,
+    )
+    from jsonschema_spark.sources.clips import (
+        ULAW_CLASS_MOD,
+        ULAW_CLS_CORRUPT,
+        ULAW_SR_HZ,
+        _hash,
+    )
+
+    log_lo, log_hi = np.log(200), np.log(2000)
+    payloads, cids, srs, durs, is_corrupt = [], [], [], [], []
+    for i in range(90):
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        ns = ULAW_SR_HZ * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, ns))
+        payload = encode_wav_ulaw(pcm, ULAW_SR_HZ)
+        corrupt = i % ULAW_CLASS_MOD == ULAW_CLS_CORRUPT
+        if corrupt:
+            ba = bytearray(payload)
+            ba[44 : 44 + ns // 2] = b"\x00" * (ns // 2)
+            payload = bytes(ba)
+        payloads.append(payload)
+        cids.append(cid)
+        srs.append(ULAW_SR_HZ)
+        durs.append(dur)
+        is_corrupt.append(corrupt)
+
+    prof = decode_profile_batch(
+        pd.Series(payloads), pd.Series(cids), pd.Series(srs), pd.Series(durs)
+    )
+    clean = prof["snr"][~pd.Series(is_corrupt)]
+    corrupt = prof["snr"][pd.Series(is_corrupt)]
+    assert clean.min() > 25.0  # gate 15 + >10 dB margin
+    assert corrupt.max() < 5.0
+
+    # independent decode: scalar lookup table over the data bytes
+    lut = np.array([_ulaw_decode_scalar(b) for b in range(256)], dtype=np.int16)
+    for k in (0, 4, 7):  # one clean, the corrupt class, one more clean
+        dec = lut[np.frombuffer(payloads[k][44:], dtype=np.uint8)]
+        want = hashlib.md5(
+            dec.astype("<i2").tobytes().hex().upper().encode()
+        ).hexdigest()
+        assert prof["dec_md5"][k] == want
+        assert int(prof["n_samples"][k]) == len(payloads[k]) - 44
