@@ -1717,6 +1717,40 @@ def _q_clips_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAIN_N = 400
 
 
+_ALAW_N = 600
+
+
+def _q_clips_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second real-lossy-codec cross-engine decode proof: G.711 A-law
+    RIFF/WAVE payloads (WAVE_FORMAT_ALAW=6) decoded by the numpy kernel in
+    ONE Arrow hop; the DuckDB oracle re-decodes the SAME parquet blobs
+    with the pure-integer A-law expansion (XOR 0x55, segmented shift) and
+    must md5-match the rebuilt int16-LE sample stream bit-for-bit. Unlike
+    mu-law (whose clean floor was 26.7 dB), A-law round-trips the corpus
+    at 35.9-39.8 dB, so snr_ok here exercises the engine's DEFAULT 30 dB
+    content gate on a genuine lossy codec; the planted class
+    (_row_idx % ALAW_CLASS_MOD == ALAW_CLS_CORRUPT) zeroes half the
+    companded bytes (a zero A-law byte decodes to -5504), collapsing SNR
+    to <= 2.6 dB."""
+    from jsonschema_spark.functions.audio import (
+        SNR_THRESHOLD_DB,
+        audio_decode_profile,
+    )
+    from jsonschema_spark.sources.clips import materialized_alaw_clips
+
+    clips, _ = materialized_alaw_clips(spark, _ALAW_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        (F.col("p.snr") >= F.lit(SNR_THRESHOLD_DB)).alias("snr_ok"),
+    )
+
+
 def _q_audio_containment_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap provenance: segment (pure Column algebra) ->
     per-segment spectral fingerprint + LSH buckets (one Arrow hop) ->
@@ -2145,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segments_transcript": _q_clips_segments_transcript,
         "clips_gain_normalize": _q_clips_gain_normalize,
         "clips_ulaw_decode": _q_clips_ulaw_decode,
+        "clips_alaw_decode": _q_clips_alaw_decode,
         "suite_report_orders": _q_suite_report_orders,
         "suite_report_events": _q_suite_report_events,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
@@ -3517,6 +3552,61 @@ def _clips_ulaw_decode_sql() -> str:
                CAST(t.n AS BIGINT) AS n_samples,
                md5(h.oh) AS dec_md5,
                (t._row_idx % {ULAW_CLASS_MOD} <> {ULAW_CLS_CORRUPT}) AS snr_ok
+        FROM t JOIN h USING (clip_id)
+    """
+
+
+def _clips_alaw_decode_sql() -> str:
+    """Independent G.711 A-law decoder in pure integer SQL: XOR the stored
+    byte with 0x55, split sign/segment/mantissa, expand with the CCITT
+    formula t = (man<<4)+8 for segment 0 and ((man<<4)+264) << (seg-1)
+    above, re-hex the int16-LE samples with printf('%02X%02X', lo, hi)
+    and md5 the rebuilt stream — byte offsets skip the canonical 44-byte
+    RIFF/WAVE A-law header (one companded byte per sample, so
+    n = octet_length - 44). snr_ok comes from the planted-corruption
+    ledger (_row_idx arithmetic)."""
+    from jsonschema_spark.sources.clips import (
+        ALAW_CLASS_MOD,
+        ALAW_CLS_CORRUPT,
+        alaw_clips_path,
+    )
+
+    src = f"read_parquet('{alaw_clips_path(_ALAW_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, _row_idx, hex(bytes) AS hx,
+                 octet_length(bytes) - 44 AS n
+          FROM {src}
+        ), s AS (
+          SELECT clip_id, n, hx, unnest(generate_series(0, n - 1)) AS i
+          FROM t WHERE n > 0
+        ), u AS (
+          SELECT clip_id, n, i,
+                 xor(CAST(('0x' || substr(hx, 89 + i * 2, 2)) AS INTEGER), 85)
+                   AS av
+          FROM s
+        ), v AS (
+          SELECT clip_id, n, i,
+                 CASE WHEN (av & 128) <> 0 THEN mag ELSE -mag END AS val
+          FROM (
+            SELECT clip_id, n, i, av,
+                   CASE WHEN ((av >> 4) & 7) = 0
+                        THEN ((av & 15) << 4) + 8
+                        ELSE (((av & 15) << 4) + 264)
+                             << (((av >> 4) & 7) - 1)
+                   END AS mag
+            FROM u
+          ) q
+        ), h AS (
+          SELECT clip_id,
+                 string_agg(printf('%02X%02X', (val & 65535) % 256,
+                                   (val & 65535) // 256), '' ORDER BY i) AS oh
+          FROM v GROUP BY clip_id
+        )
+        SELECT t.clip_id,
+               CAST(t.n AS BIGINT) AS n_samples,
+               md5(h.oh) AS dec_md5,
+               (t._row_idx % {ALAW_CLASS_MOD} <> {ALAW_CLS_CORRUPT}) AS snr_ok
         FROM t JOIN h USING (clip_id)
     """
 
@@ -5147,6 +5237,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_segments_transcript": _clips_segments_transcript_sql(),
         "clips_gain_normalize": _clips_gain_normalize_sql(),
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
+        "clips_alaw_decode": _clips_alaw_decode_sql(),
         "suite_report_orders": _suite_report_orders_sql(),
         "suite_report_events": _suite_report_events_sql(),
         "audio_containment_clips": _audio_containment_sql(),

@@ -149,6 +149,56 @@ def encode_wav_ulaw(pcm: np.ndarray, sr_hz: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# G.711 A-law (the E1/European telephony companding law, same CCITT
+# standard family as mu-law above) — vectorized numpy port of the
+# public-domain Sun reference implementation (linear2alaw/alaw2linear).
+# 13-bit segmented companding, even bits toggled by 0x55 on the wire.
+_ALAW_SEG = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> A-law bytes (vectorized G.711 encoder).
+
+    Mirrors the reference linear2alaw exactly: arithmetic >>3 to 13 bits,
+    negatives map through -x-1 (one's complement), segment lookup over
+    _ALAW_SEG, mantissa shift is (>>1) in segments 0-1 and (>>seg) above,
+    result XOR 0x55 (0xD5 for non-negative inputs carries the sign bit)."""
+    x = pcm.astype(np.int32) >> 3
+    neg = x < 0
+    mag = np.where(neg, -x - 1, x)
+    mask = np.where(neg, 0x55, 0xD5).astype(np.int32)
+    seg = np.searchsorted(_ALAW_SEG, mag, side="left").astype(np.int32)
+    out_of_range = seg >= 8
+    seg = np.minimum(seg, 7)
+    man = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    aval = (seg << 4) | man
+    aval = np.where(out_of_range, 0x7F, aval)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(b: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int32 PCM samples (vectorized G.711 decoder)."""
+    a = b.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where((a & 0x80) != 0, t, -t).astype(np.int32)
+
+
+def encode_wav_alaw(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """RIFF/WAVE container around mono G.711 A-law (WAVE_FORMAT_ALAW=6,
+    8 bits/sample) — the standard telephony WAV layout."""
+    import struct
+
+    data = alaw_encode(pcm).tobytes()
+    fmt = struct.pack("<HHIIHH", 6, 1, sr_hz, sr_hz, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
     """Real RIFF/WAVE decode: walk chunks, accept PCM (format 1) mono
     16-bit, return int32 samples. Unsupported layouts raise ValueError
@@ -168,21 +218,25 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
             audio_format, channels, _sr, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if channels != 1 or (audio_format, bits) not in ((1, 16), (7, 8)):
+            if channels != 1 or (audio_format, bits) not in (
+                (1, 16), (7, 8), (6, 8)
+            ):
                 raise ValueError(
                     f"unsupported WAV layout (format={audio_format}, "
                     f"channels={channels}, bits={bits}); "
-                    "only PCM16 mono or mu-law mono"
+                    "only PCM16 mono or G.711 mu-law/A-law mono"
                 )
             fmt_ok = True
-            is_ulaw = audio_format == 7
+            g711_format = audio_format if audio_format in (6, 7) else 0
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks pad to even
     if not fmt_ok or data is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
-    if is_ulaw:
+    if g711_format == 7:
         return ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    if g711_format == 6:
+        return alaw_decode(np.frombuffer(data, dtype=np.uint8))
     return np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2").astype(np.int32)
 
 

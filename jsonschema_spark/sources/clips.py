@@ -766,3 +766,83 @@ def materialized_ulaw_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_ulaw_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law ledger corpus (second real-lossy-codec ground truth)
+# ---------------------------------------------------------------------------
+
+# The E1/European sibling of the mu-law corpus above: payloads are REAL
+# RIFF/WAVE A-law containers (functions/audio.encode_wav_alaw:
+# WAVE_FORMAT_ALAW=6, 8 kHz mono, one companded byte per sample). Planted
+# class (i % ALAW_CLASS_MOD):
+#   cls 4 -> first half of the companded data bytes zeroed. A zero A-law
+#            byte decodes to -5504 (0x00 ^ 0x55 = 0x55 -> segment 5), so
+#            the corrupted span replaces program material with a constant
+#            mid-scale rail: SNR collapses to a few dB, far under the
+#            gate. Clean rows round-trip at ~38 dB (A-law SQNR).
+# The DuckDB oracle re-decodes every payload from the parquet blob hex
+# with the pure-integer A-law expansion (XOR 0x55, segmented shift) and
+# md5-compares the rebuilt int16-LE sample stream with the numpy kernel.
+ALAW_CLASS_MOD = 9
+ALAW_CLS_CORRUPT = 4
+ALAW_SR_HZ = 8000
+
+
+def synth_alaw_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 2000),
+) -> DataFrame:
+    """A-law clips table with planted payload corruption — the ledger
+    table for the second real-lossy-codec decode/SNR contract query."""
+    from jsonschema_spark.functions.audio import encode_wav_alaw
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = ALAW_SR_HZ * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n_samples))
+        payload = encode_wav_alaw(pcm, ALAW_SR_HZ)
+        if i % ALAW_CLASS_MOD == ALAW_CLS_CORRUPT:
+            ba = bytearray(payload)
+            half = n_samples // 2
+            ba[44 : 44 + half] = b"\x00" * half
+            payload = bytes(ba)
+        return (cid, payload, ALAW_SR_HZ, dur, "pcm_alaw",
+                transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def alaw_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_alaw_{n}")
+
+
+def materialized_alaw_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """A-law ledger table materialized once (oracle-cache protocol); the
+    DuckDB oracle re-decodes the SAME blobs with integer SQL."""
+    import os
+
+    path = alaw_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_alaw_clips(spark, n), path)
+    return spark.read.parquet(path), path

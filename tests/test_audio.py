@@ -312,3 +312,152 @@ def test_ulaw_ledger_margins_and_decode_profile():
         ).hexdigest()
         assert prof["dec_md5"][k] == want
         assert int(prof["n_samples"][k]) == len(payloads[k]) - 44
+
+# ---------------------------------------------------------------------------
+# G.711 A-law (second real lossy codec)
+# ---------------------------------------------------------------------------
+
+
+_ALAW_SEG_SCALAR = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def _alaw_encode_scalar(s):
+    """Independent scalar reference (Sun public-domain linear2alaw)."""
+    p = s >> 3
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    seg = 8
+    for i, bound in enumerate(_ALAW_SEG_SCALAR):
+        if p <= bound:
+            seg = i
+            break
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (p >> 1) & 0x0F if seg < 2 else (p >> seg) & 0x0F
+    return aval ^ mask
+
+
+def _alaw_decode_scalar(b):
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def test_alaw_matches_scalar_reference_everywhere():
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import alaw_decode, alaw_encode
+
+    # every 16-bit input value vs the scalar spec implementation
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    enc = alaw_encode(xs)
+    ref = np.array(
+        [_alaw_encode_scalar(int(s)) for s in range(-32768, 32768)],
+        dtype=np.uint8,
+    )
+    assert (enc == ref).all()
+    # every byte decodes to the spec value
+    bs = np.arange(256, dtype=np.uint8)
+    dec = alaw_decode(bs)
+    assert all(int(dec[b]) == _alaw_decode_scalar(b) for b in range(256))
+    # byte-level idempotence at the quantization points (A-law has no
+    # negative-zero alias, unlike mu-law: decode is injective per byte)
+    again = alaw_decode(alaw_encode(dec.astype(np.int16)))
+    assert (again == dec).all()
+
+
+def test_alaw_wav_roundtrip_passes_default_snr_gate():
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import (
+        SNR_THRESHOLD_DB,
+        decode_payload,
+        encode_wav_alaw,
+        pcm16_from_float,
+        reference_signal,
+        snr_db,
+    )
+
+    pcm = pcm16_from_float(reference_signal("clip-alaw", 16000))
+    raw = encode_wav_alaw(pcm, 16000)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    dec = decode_payload(raw)
+    assert len(dec) == len(pcm)
+    s = snr_db(pcm.astype(np.int32), dec)
+    # A-law companding: ~38 dB on program material — above the DEFAULT gate
+    assert SNR_THRESHOLD_DB < s < 45.0
+
+
+def test_alaw_ledger_margins_and_decode_profile():
+    """Differential replay of the A-law ledger corpus at small n: the
+    clean/corrupt SNR populations must straddle the default 30 dB gate
+    (clean min 35.9 dB / corrupt max 2.6 dB over the full 600-row corpus),
+    and dec_md5 must equal an independently computed md5 over the
+    scalar-lookup decode."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from jsonschema_spark.functions.audio import (
+        decode_profile_batch,
+        encode_wav_alaw,
+        pcm16_from_float,
+        reference_signal,
+    )
+    from jsonschema_spark.sources.clips import (
+        ALAW_CLASS_MOD,
+        ALAW_CLS_CORRUPT,
+        ALAW_SR_HZ,
+        _hash,
+    )
+
+    log_lo, log_hi = np.log(200), np.log(2000)
+    payloads, cids, srs, durs, is_corrupt = [], [], [], [], []
+    for i in range(90):
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        ns = ALAW_SR_HZ * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, ns))
+        payload = encode_wav_alaw(pcm, ALAW_SR_HZ)
+        corrupt = i % ALAW_CLASS_MOD == ALAW_CLS_CORRUPT
+        if corrupt:
+            ba = bytearray(payload)
+            ba[44 : 44 + ns // 2] = b"\x00" * (ns // 2)
+            payload = bytes(ba)
+        payloads.append(payload)
+        cids.append(cid)
+        srs.append(ALAW_SR_HZ)
+        durs.append(dur)
+        is_corrupt.append(corrupt)
+
+    prof = decode_profile_batch(
+        pd.Series(payloads), pd.Series(cids), pd.Series(srs), pd.Series(durs)
+    )
+    clean = prof["snr"][~pd.Series(is_corrupt)]
+    corrupt = prof["snr"][pd.Series(is_corrupt)]
+    assert clean.min() > 30.0  # the DEFAULT engine gate holds for A-law
+    assert corrupt.max() < 5.0
+
+    # independent decode: scalar lookup table over the data bytes
+    lut = np.array([_alaw_decode_scalar(b) for b in range(256)], dtype=np.int16)
+    for k in (0, 4, 7):  # one clean, the corrupt class, one more clean
+        dec = lut[np.frombuffer(payloads[k][44:], dtype=np.uint8)]
+        want = hashlib.md5(
+            dec.astype("<i2").tobytes().hex().upper().encode()
+        ).hexdigest()
+        assert prof["dec_md5"][k] == want
+        assert int(prof["n_samples"][k]) == len(payloads[k]) - 44
