@@ -1678,6 +1678,71 @@ def _q_clips_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPEED_NUM, _SPEED_DEN = 11, 10  # 1.1x ASR speed perturbation
+_MASK_MS = 100
+_MIX_GAIN = 0.25
+
+
+def _q_clips_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed perturbation (Kaldi-style 1.1x): output sample j is input
+    sample (j*11)//10 — pure integer index arithmetic in one Arrow hop
+    (operators/augment.speed_perturb). The oracle reassembles the
+    perturbed payload hex sample-by-sample and md5-compares."""
+    from jsonschema_spark.operators.augment import speed_perturb
+    from jsonschema_spark.sources.clips import materialized_padded_clips
+
+    clips, _ = materialized_padded_clips(spark, _PAD_N)
+    r = speed_perturb(clips.select(*_CLIPS_COLS), _SPEED_NUM, _SPEED_DEN)
+    return r.select(
+        "clip_id",
+        "n_out",
+        F.col("dur_ms").cast("long").alias("out_ms"),
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
+def _q_clips_time_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform time masking (the SpecAugment primitive): two md5_60-
+    derived spans zeroed per clip with ZERO Python — mask starts are
+    codegen'd hash arithmetic and the rewrite is JVM binary surgery
+    (substring/concat/unhex(repeat)). The oracle recomputes both spans
+    from md5(clip_id||':tm<k>') and rebuilds the masked hex."""
+    from jsonschema_spark.operators.augment import time_mask
+    from jsonschema_spark.sources.clips import materialized_padded_clips
+
+    clips, _ = materialized_padded_clips(spark, _PAD_N)
+    r = time_mask(clips.select(*_CLIPS_COLS), n_masks=2, mask_ms=_MASK_MS)
+    return r.select(
+        "clip_id",
+        "masked",
+        "mask0_start",
+        "mask1_start",
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
+def _q_clips_mix_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-overlay augmentation: each clip mixed with a deterministically
+    selected bank clip (md5_60(clip_id||':mx') % N) at gain 0.25 —
+    one AQE-sized equi-join + one Arrow hop computing
+    clip(floor(a + b*0.25 + 0.5)) in exactly-rounded double arithmetic.
+    The oracle replays the selection hash, re-decodes BOTH payloads from
+    parquet hex, and rebuilds the mixed sample stream bit-for-bit."""
+    from jsonschema_spark.operators.augment import mix_overlay
+    from jsonschema_spark.sources.clips import materialized_padded_clips
+
+    clips, _ = materialized_padded_clips(spark, _PAD_N)
+    r = mix_overlay(
+        clips.select(*_CLIPS_COLS), clips, n_noise=_PAD_N, gain=_MIX_GAIN
+    )
+    return r.select(
+        "clip_id",
+        "noise_idx",
+        "n_out",
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
 _ULAW_N = 600
 _ULAW_SNR_GATE_DB = 15.0  # see _q_clips_ulaw_decode gate calibration
 
@@ -2180,6 +2245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gain_normalize": _q_clips_gain_normalize,
         "clips_ulaw_decode": _q_clips_ulaw_decode,
         "clips_alaw_decode": _q_clips_alaw_decode,
+        "clips_speed_perturb": _q_clips_speed_perturb,
+        "clips_time_mask": _q_clips_time_mask,
+        "clips_mix_overlay": _q_clips_mix_overlay,
         "suite_report_orders": _q_suite_report_orders,
         "suite_report_events": _q_suite_report_events,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
@@ -3553,6 +3621,144 @@ def _clips_ulaw_decode_sql() -> str:
                md5(h.oh) AS dec_md5,
                (t._row_idx % {ULAW_CLASS_MOD} <> {ULAW_CLS_CORRUPT}) AS snr_ok
         FROM t JOIN h USING (clip_id)
+    """
+
+
+def _clips_speed_perturb_sql() -> str:
+    """Speed-perturbation oracle: output sample j is input sample
+    (j*num)//den, n_out = (n*den)//num; the decimated/stretched payload
+    is reassembled as hex text (ORDER BY j pins aggregation order)."""
+    from jsonschema_spark.sources.clips import padded_clips_path
+
+    src = f"read_parquet('{padded_clips_path(_PAD_N)}/*.parquet')"
+    num, den = _SPEED_NUM, _SPEED_DEN
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx, sr_hz,
+                 octet_length(bytes) // 2 AS n
+          FROM {src}
+        ), e AS (
+          SELECT clip_id, hx, sr_hz, (n * {den}) // {num} AS n_out
+          FROM t
+        ), g AS (
+          SELECT clip_id, n_out,
+                 unnest(generate_series(0, n_out - 1)) AS j, hx
+          FROM e WHERE n_out > 0
+        ), h AS (
+          SELECT clip_id, any_value(n_out) AS n_out,
+                 string_agg(substr(hx, ((j * {num}) // {den}) * 4 + 1, 4),
+                            '' ORDER BY j) AS oh
+          FROM g GROUP BY clip_id
+        )
+        SELECT e.clip_id,
+               CAST(e.n_out AS BIGINT) AS n_out,
+               CAST(floor(e.n_out * 1000.0 / e.sr_hz) AS BIGINT) AS out_ms,
+               md5(h.oh) AS out_md5
+        FROM e JOIN h USING (clip_id)
+    """
+
+
+def _clips_time_mask_sql() -> str:
+    """Time-masking oracle: both mask starts recomputed from
+    md5(clip_id||':tm<k>') (top-60-bit hash % (n-w+1)), masked samples
+    rendered as '0000', everything else copied from the source hex."""
+    from jsonschema_spark.sources.clips import padded_clips_path
+
+    src = f"read_parquet('{padded_clips_path(_PAD_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx, sr_hz,
+                 octet_length(bytes) // 2 AS n
+          FROM {src}
+        ), p AS (
+          SELECT clip_id, hx, n,
+                 least((sr_hz * {_MASK_MS}) // 1000, n) AS w
+          FROM t
+        ), m AS (
+          SELECT clip_id, hx, n, w,
+                 CAST(('0x' || substr(md5(clip_id || ':tm0'), 1, 15))
+                      AS BIGINT) % greatest(n - w + 1, 1) AS s0,
+                 CAST(('0x' || substr(md5(clip_id || ':tm1'), 1, 15))
+                      AS BIGINT) % greatest(n - w + 1, 1) AS s1
+          FROM p
+        ), g AS (
+          SELECT clip_id, s0, s1, w, hx,
+                 unnest(generate_series(0, n - 1)) AS i
+          FROM m WHERE n > 0
+        ), h AS (
+          SELECT clip_id,
+                 string_agg(CASE WHEN (i >= s0 AND i < s0 + w)
+                                   OR (i >= s1 AND i < s1 + w) THEN '0000'
+                                 ELSE substr(hx, i * 4 + 1, 4) END,
+                            '' ORDER BY i) AS oh
+          FROM g GROUP BY clip_id
+        )
+        SELECT m.clip_id,
+               TRUE AS masked,
+               CAST(m.s0 AS BIGINT) AS mask0_start,
+               CAST(m.s1 AS BIGINT) AS mask1_start,
+               md5(h.oh) AS out_md5
+        FROM m JOIN h USING (clip_id)
+    """
+
+
+def _clips_mix_overlay_sql() -> str:
+    """Overlay-mix oracle: replay the noise selection hash
+    (md5_60(clip_id||':mx') % N), join the bank row, decode BOTH int16-LE
+    streams from hex, and rebuild clip(floor(a + b*gain + 0.5)) — every
+    operation exactly-rounded double arithmetic, so the md5 of the
+    re-hexed sample stream matches the numpy kernel bit-for-bit."""
+    from jsonschema_spark.sources.clips import padded_clips_path
+
+    src = f"read_parquet('{padded_clips_path(_PAD_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, _row_idx, hex(bytes) AS hx,
+                 octet_length(bytes) // 2 AS n
+          FROM {src}
+        ), k AS (
+          SELECT clip_id, hx, n,
+                 CAST(('0x' || substr(md5(clip_id || ':mx'), 1, 15))
+                      AS BIGINT) % {_PAD_N} AS nid
+          FROM t
+        ), j AS (
+          SELECT k.clip_id, k.nid, k.hx AS ha, k.n AS na,
+                 t2.hx AS hb, t2.n AS nb
+          FROM k JOIN t t2 ON t2._row_idx = k.nid
+        ), g AS (
+          SELECT clip_id, nid, na, nb, ha, hb,
+                 unnest(generate_series(0, na - 1)) AS i
+          FROM j WHERE na > 0
+        ), v AS (
+          SELECT clip_id, nid, i,
+                 CAST(('0x' || substr(ha, i * 4 + 3, 2)
+                            || substr(ha, i * 4 + 1, 2)) AS INTEGER) AS rawa,
+                 CASE WHEN i < nb
+                      THEN CAST(('0x' || substr(hb, i * 4 + 3, 2)
+                                      || substr(hb, i * 4 + 1, 2)) AS INTEGER)
+                      ELSE 0 END AS rawb
+          FROM g
+        ), w AS (
+          SELECT clip_id, nid, i,
+                 CAST(greatest(least(floor(
+                   CAST(CASE WHEN rawa >= 32768 THEN rawa - 65536
+                             ELSE rawa END AS DOUBLE)
+                   + CAST(CASE WHEN rawb >= 32768 THEN rawb - 65536
+                               ELSE rawb END AS DOUBLE)
+                     * CAST({_MIX_GAIN!r} AS DOUBLE)
+                   + 0.5), 32767.0), -32768.0) AS INTEGER) AS val
+          FROM v
+        ), h AS (
+          SELECT clip_id, any_value(nid) AS nid, count(*) AS n_out,
+                 string_agg(printf('%02X%02X', (val & 65535) % 256,
+                                   (val & 65535) // 256), '' ORDER BY i) AS oh
+          FROM w GROUP BY clip_id
+        )
+        SELECT clip_id,
+               CAST(nid AS BIGINT) AS noise_idx,
+               CAST(n_out AS BIGINT) AS n_out,
+               md5(oh) AS out_md5
+        FROM h
     """
 
 
@@ -5238,6 +5444,9 @@ def oracle_sql() -> dict[str, str]:
         "clips_gain_normalize": _clips_gain_normalize_sql(),
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
         "clips_alaw_decode": _clips_alaw_decode_sql(),
+        "clips_speed_perturb": _clips_speed_perturb_sql(),
+        "clips_time_mask": _clips_time_mask_sql(),
+        "clips_mix_overlay": _clips_mix_overlay_sql(),
         "suite_report_orders": _suite_report_orders_sql(),
         "suite_report_events": _suite_report_events_sql(),
         "audio_containment_clips": _audio_containment_sql(),

@@ -419,6 +419,27 @@ def q_sequence_profile(spark: SparkSession):
     return sequence_report(ev, "user_id", "ts", "event_id", max_gap_s=216000.0).collect()
 
 
+def q_clips_augment(spark: SparkSession):
+    """Augmentation funnel over 10k clips: waveform time masking (ZERO
+    Python — codegen'd md5_60 spans + JVM binary surgery) followed by 1.1x
+    speed perturbation (one Arrow hop). Reports total output bytes so the
+    whole rewrite chain materializes."""
+    from jsonschema_spark.operators.augment import speed_perturb, time_mask
+
+    # deterministic half of the table (a limit() would gather to one
+    # partition; the hash filter keeps the scan parallel)
+    clips = spark.read.parquet(_CLIPS_PATH).filter(
+        F.xxhash64("clip_id") % 2 == 0
+    )
+    masked = time_mask(clips, n_masks=2, mask_ms=100)
+    sp = speed_perturb(masked, 11, 10)
+    return sp.select(
+        F.count("*").alias("n"),
+        F.sum(F.length("bytes")).alias("out_bytes"),
+        F.sum(F.col("perturbed").cast("long")).alias("n_perturbed"),
+    ).collect()
+
+
 QUERIES = {
     "clips_validate": q_clips_validate,
     "clips_uniqueness": q_clips_uniqueness,
@@ -450,6 +471,7 @@ QUERIES = {
     "hygiene_suite": q_hygiene_suite,
     "chunk_pack": q_chunk_pack,
     "mixture_sample": q_mixture_sample,
+    "clips_augment": q_clips_augment,
     "fd_report": q_fd_report,
     "sequence_profile": q_sequence_profile,
 }

@@ -928,3 +928,134 @@ def gain_normalize(
         return gain_normalize_batch(p, target_rms, max_gain)
 
     return _gn(F.col(payload) if isinstance(payload, str) else payload)
+
+
+# ---------------------------------------------------------------------------
+# Training-data augmentation kernels: speed perturbation + overlay mixing.
+# Both are integer/exactly-rounded-double arithmetic end to end, so the
+# DuckDB oracle recomputes output payloads bit-for-bit from the parquet
+# blobs (time masking needs no kernel at all — it is pure JVM binary
+# surgery in operators/augment.py).
+# ---------------------------------------------------------------------------
+
+
+def speed_gather_batch(
+    payloads: pd.Series, num: int, den: int
+) -> pd.DataFrame:
+    """Vectorized batch kernel: speed perturbation by the exact rational
+    factor ``num/den`` (the classic ASR 0.9x/1.1x augmentation — e.g.
+    num=11, den=10 plays 1.1x faster).
+
+    Output sample j is input sample ``(j * num) // den``; output length is
+    ``(n * den) // num`` — nearest-sample resampling as pure integer index
+    arithmetic (no interpolation), which keeps the payload rewrite
+    bit-reproducible in SQL. Containers are transcoded to raw pcm_s16le
+    on the way through (the decode already paid for itself). NULL or
+    undecodable rows return NULL bytes + n_out = -1 (pass-through)."""
+    if num <= 0 or den <= 0:
+        raise ValueError("num and den must be positive")
+    n = len(payloads)
+    outb: list = [None] * n
+    nout = np.full(n, -1, dtype=np.int64)
+    for i, raw in enumerate(payloads.tolist()):
+        if raw is None:
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(pcm)
+        n_out = (m * den) // num
+        if n_out == 0:
+            outb[i] = b""
+            nout[i] = 0
+            continue
+        idx = (np.arange(n_out, dtype=np.int64) * num) // den
+        outb[i] = pcm[idx].astype("<i2").tobytes()
+        nout[i] = n_out
+    return pd.DataFrame({"out_bytes": outb, "n_out": nout})
+
+
+SPEED_GATHER_TYPE = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("n_out", T.LongType()),
+    ]
+)
+
+
+def speed_gather(payload: Column | str, num: int, den: int) -> Column:
+    """struct(out_bytes, n_out): payload resampled to speed ``num/den``
+    (see speed_gather_batch). One Arrow hop; n_out = -1 marks
+    pass-through rows."""
+
+    @pandas_udf(SPEED_GATHER_TYPE)
+    def _sp(p: pd.Series) -> pd.DataFrame:
+        return speed_gather_batch(p, num, den)
+
+    return _sp(F.col(payload) if isinstance(payload, str) else payload)
+
+
+def mix_payloads_batch(
+    payloads: pd.Series, noise: pd.Series, gain: float
+) -> pd.DataFrame:
+    """Vectorized batch kernel: additive overlay mixing (speech + scaled
+    background), the standard noise-augmentation primitive.
+
+    out[i] = clip(floor(a[i] + b[i] * gain + 0.5), -32768, 32767) over
+    the full length of ``a``; the noise clip is truncated past len(a) and
+    contributes zero past len(b). Every operation is exactly-rounded IEEE
+    double arithmetic with explicit half-up rounding (np.round's
+    half-to-even would not be SQL-reproducible), so a DuckDB oracle
+    rebuilds the mixed payload bit-for-bit. Containers transcode to raw
+    pcm_s16le on the way through. Rows where either payload is NULL or
+    undecodable return NULL bytes + n_out = -1 (pass-through)."""
+    n = len(payloads)
+    outb: list = [None] * n
+    nout = np.full(n, -1, dtype=np.int64)
+    g = float(gain)
+    for i, (ra, rb) in enumerate(zip(payloads.tolist(), noise.tolist())):
+        if ra is None or rb is None:
+            continue
+        try:
+            a = decode_payload(bytes(ra))
+            b = decode_payload(bytes(rb))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(a)
+        nout[i] = m
+        if m == 0:
+            outb[i] = b""
+            continue
+        mixed = a.astype(np.float64).copy()
+        k = min(m, len(b))
+        if k:
+            mixed[:k] += b[:k].astype(np.float64) * g
+        out = np.clip(np.floor(mixed + 0.5), -32768.0, 32767.0)
+        outb[i] = out.astype("<i2").tobytes()
+    return pd.DataFrame({"out_bytes": outb, "n_out": nout})
+
+
+MIX_PAYLOADS_TYPE = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("n_out", T.LongType()),
+    ]
+)
+
+
+def mix_payloads(
+    payload: Column | str, noise_payload: Column | str, gain: float
+) -> Column:
+    """struct(out_bytes, n_out): payload overlaid with ``gain``-scaled
+    noise payload (see mix_payloads_batch). One Arrow hop; n_out = -1
+    marks pass-through rows."""
+
+    @pandas_udf(MIX_PAYLOADS_TYPE)
+    def _mx(p: pd.Series, q: pd.Series) -> pd.DataFrame:
+        return mix_payloads_batch(p, q, gain)
+
+    return _mx(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(noise_payload) if isinstance(noise_payload, str) else noise_payload,
+    )

@@ -1,0 +1,213 @@
+"""Augmentation operators (operators/augment.py): differential replays vs
+independent numpy/Python implementations, plus plan-shape asserts (time
+masking must stay entirely JVM-side; the Arrow ops must stay single-hop
+and shuffle-free)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.functions.audio import (
+    mix_payloads_batch,
+    speed_gather_batch,
+)
+from jsonschema_spark.operators.augment import (
+    mix_overlay,
+    speed_perturb,
+    time_mask,
+)
+
+CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("_row_idx", T.LongType()),
+    ]
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _rows(n_clips=8, sr=16000):
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(n_clips):
+        n = 3200 + 160 * i
+        pcm = rng.randint(-30000, 30000, n).astype("<i2")
+        rows.append(
+            (f"clip-{i:012d}", bytes(pcm.tobytes()), sr, n * 1000 // sr,
+             "pcm_s16le", "x", i)
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def aug_df(spark):
+    return spark.createDataFrame(_rows(), CLIP_SCHEMA).persist()
+
+
+# ---------------------------------------------------------------------------
+# kernels (no SparkSession needed)
+# ---------------------------------------------------------------------------
+
+
+def test_speed_gather_kernel_indices():
+    pcm = np.arange(-50, 50, dtype="<i2")
+    for num, den in ((11, 10), (9, 10), (3, 2), (1, 1)):
+        out = speed_gather_batch(pd.Series([pcm.tobytes()]), num, den)
+        n_out = (len(pcm) * den) // num
+        assert int(out["n_out"][0]) == n_out
+        got = np.frombuffer(out["out_bytes"][0], dtype="<i2")
+        exp = pcm[(np.arange(n_out) * num) // den]
+        assert (got == exp).all()
+    # NULL and undecodable pass-through
+    out = speed_gather_batch(pd.Series([None]), 11, 10)
+    assert out["out_bytes"][0] is None and int(out["n_out"][0]) == -1
+
+
+def test_speed_gather_rejects_bad_rate():
+    with pytest.raises(ValueError):
+        speed_gather_batch(pd.Series([b""]), 0, 10)
+
+
+def test_mix_payloads_kernel_exact():
+    a = np.array([-32768, -100, 0, 100, 32767, 5], dtype="<i2")
+    b = np.array([-32768, 100, 2, -3], dtype="<i2")  # shorter: zero-extended
+    out = mix_payloads_batch(
+        pd.Series([a.tobytes()]), pd.Series([b.tobytes()]), 0.25
+    )
+    got = np.frombuffer(out["out_bytes"][0], dtype="<i2")
+    mixed = a.astype(np.float64).copy()
+    mixed[: len(b)] += b.astype(np.float64) * 0.25
+    exp = np.clip(np.floor(mixed + 0.5), -32768, 32767).astype("<i2")
+    assert (got == exp).all()
+    # clipping floor: -32768 + (-32768 * 0.25) pins at -32768
+    assert got[0] == -32768
+    # NULL on either side passes through
+    out = mix_payloads_batch(pd.Series([a.tobytes()]), pd.Series([None]), 0.25)
+    assert out["out_bytes"][0] is None and int(out["n_out"][0]) == -1
+
+
+# ---------------------------------------------------------------------------
+# operators (differential replay vs independent Python)
+# ---------------------------------------------------------------------------
+
+
+def test_speed_perturb_differential(aug_df):
+    rows = _rows()
+    for num, den in ((11, 10), (9, 10)):
+        got = {
+            r["clip_id"]: r
+            for r in speed_perturb(aug_df.drop("_row_idx"), num, den)
+            .select("clip_id", "bytes", "n_out", "perturbed", "dur_ms", "codec")
+            .collect()
+        }
+        for cid, raw, sr, dur, _, _, i in rows:
+            pcm = np.frombuffer(raw, dtype="<i2")
+            n_out = (len(pcm) * den) // num
+            r = got[cid]
+            assert r["perturbed"] and r["n_out"] == n_out
+            assert r["codec"] == "pcm_s16le"
+            assert r["dur_ms"] == n_out * 1000 // sr
+            exp = pcm[(np.arange(n_out) * num) // den]
+            assert (np.frombuffer(bytes(r["bytes"]), dtype="<i2") == exp).all()
+
+
+def test_time_mask_differential(aug_df):
+    rows = _rows()
+    got = {
+        r["clip_id"]: r
+        for r in time_mask(aug_df.drop("_row_idx"), n_masks=2, mask_ms=100)
+        .select("clip_id", "bytes", "masked", "mask0_start", "mask1_start")
+        .collect()
+    }
+    for cid, raw, sr, dur, _, _, i in rows:
+        pcm = np.frombuffer(raw, dtype="<i2").copy()
+        n = len(pcm)
+        w = min(sr * 100 // 1000, n)
+        r = got[cid]
+        assert r["masked"]
+        for k, col in enumerate(("mask0_start", "mask1_start")):
+            s = _md5_60(f"{cid}:tm{k}") % max(n - w + 1, 1)
+            assert r[col] == s
+            pcm[s : s + w] = 0
+        out = np.frombuffer(bytes(r["bytes"]), dtype="<i2")
+        assert len(out) == n and (out == pcm).all()
+
+
+def test_time_mask_passes_through_container_codecs(spark):
+    rows = [("clip-000000000000", b"OpuS" + b"\x01\x02" * 10, 16000, 100,
+             "opus", "x", 0)]
+    df = spark.createDataFrame(rows, CLIP_SCHEMA)
+    r = time_mask(df.drop("_row_idx")).collect()[0]
+    assert not r["masked"] and r["mask0_start"] is None
+    assert bytes(r["bytes"]) == rows[0][1]
+
+
+def test_mix_overlay_differential(aug_df):
+    rows = _rows()
+    n = len(rows)
+    got = {
+        r["clip_id"]: r
+        for r in mix_overlay(aug_df.drop("_row_idx"), aug_df, n_noise=n)
+        .select("clip_id", "bytes", "mixed", "noise_idx", "n_out", "codec")
+        .collect()
+    }
+    for cid, raw, sr, dur, _, _, i in rows:
+        r = got[cid]
+        nid = _md5_60(f"{cid}:mx") % n
+        assert r["mixed"] and r["noise_idx"] == nid
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        b = np.frombuffer(rows[nid][1], dtype="<i2").astype(np.float64)
+        k = min(len(a), len(b))
+        mixed = a.copy()
+        mixed[:k] += b[:k] * 0.25
+        exp = np.clip(np.floor(mixed + 0.5), -32768, 32767).astype("<i2")
+        assert (np.frombuffer(bytes(r["bytes"]), dtype="<i2") == exp).all()
+        assert r["n_out"] == len(a) and r["codec"] == "pcm_s16le"
+
+
+def test_mix_overlay_null_noise_passes_through(spark, aug_df):
+    # a bank missing the selected index -> left join NULL -> pass-through
+    empty_bank = spark.createDataFrame([], CLIP_SCHEMA)
+    out = mix_overlay(aug_df.drop("_row_idx"), empty_bank, n_noise=8).collect()
+    assert all(not r["mixed"] for r in out)
+    src = {r[0]: r[1] for r in _rows()}
+    assert all(bytes(r["bytes"]) == src[r["clip_id"]] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_time_mask_plan_zero_python_zero_shuffle(aug_df):
+    p = _plan(time_mask(aug_df.drop("_row_idx")))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_speed_perturb_plan_single_arrow_hop_no_shuffle(aug_df):
+    p = _plan(speed_perturb(aug_df.drop("_row_idx"), 11, 10))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p and "Exchange" not in p
+
+
+def test_mix_overlay_plan_single_arrow_hop(aug_df):
+    p = _plan(mix_overlay(aug_df.drop("_row_idx"), aug_df, n_noise=8))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
