@@ -1743,6 +1743,29 @@ def _q_clips_mix_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STEREO_N = 400
+
+
+def _q_clips_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-count normalization: interleaved stereo RIFF/WAVE PCM16
+    payloads downmixed to raw mono with (l+r)>>1 — exact integer
+    arithmetic in one Arrow hop (operators/trim.downmix_mono). The
+    planted already-mono class must pass through byte-identical. The
+    oracle re-decodes BOTH channels from the parquet hex and rebuilds
+    floor((l+r)/2) sample-for-sample."""
+    from jsonschema_spark.operators.trim import downmix_mono
+    from jsonschema_spark.sources.clips import materialized_stereo_clips
+
+    clips, _ = materialized_stereo_clips(spark, _STEREO_N)
+    r = downmix_mono(clips.select(*_CLIPS_COLS))
+    return r.select(
+        "clip_id",
+        "downmixed",
+        "n_out",
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
 _ULAW_N = 600
 _ULAW_SNR_GATE_DB = 15.0  # see _q_clips_ulaw_decode gate calibration
 
@@ -2248,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_speed_perturb": _q_clips_speed_perturb,
         "clips_time_mask": _q_clips_time_mask,
         "clips_mix_overlay": _q_clips_mix_overlay,
+        "clips_downmix": _q_clips_downmix,
         "suite_report_orders": _q_suite_report_orders,
         "suite_report_events": _q_suite_report_events,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
@@ -3621,6 +3645,68 @@ def _clips_ulaw_decode_sql() -> str:
                md5(h.oh) AS dec_md5,
                (t._row_idx % {ULAW_CLASS_MOD} <> {ULAW_CLS_CORRUPT}) AS snr_ok
         FROM t JOIN h USING (clip_id)
+    """
+
+
+def _clips_downmix_sql() -> str:
+    """Downmix oracle: stereo rows (ledger class) decode left sample i at
+    hex offset 89 + i*8 and right at 89 + i*8 + 4 (44-byte canonical
+    header, 4 bytes/frame, int16-LE two's complement), rebuild
+    floor((l+r)/2.0) — exact for |l+r| < 2^53 — re-hex and md5; the
+    planted already-mono class passes through byte-identical (md5 of the
+    original blob hex)."""
+    from jsonschema_spark.sources.clips import (
+        STEREO_CLS_MONO,
+        STEREO_MONO_MOD,
+        stereo_clips_path,
+    )
+
+    src = f"read_parquet('{stereo_clips_path(_STEREO_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, _row_idx, hex(bytes) AS hx,
+                 (octet_length(bytes) - 44) // 4 AS frames
+          FROM {src}
+        ), st AS (
+          SELECT clip_id, hx, frames FROM t
+          WHERE _row_idx % {STEREO_MONO_MOD} <> {STEREO_CLS_MONO}
+        ), g AS (
+          SELECT clip_id, frames, hx,
+                 unnest(generate_series(0, frames - 1)) AS i
+          FROM st WHERE frames > 0
+        ), v AS (
+          SELECT clip_id, i,
+                 CAST(('0x' || substr(hx, 89 + i * 8 + 2, 2)
+                            || substr(hx, 89 + i * 8, 2)) AS INTEGER) AS rl,
+                 CAST(('0x' || substr(hx, 89 + i * 8 + 6, 2)
+                            || substr(hx, 89 + i * 8 + 4, 2)) AS INTEGER) AS rr
+          FROM g
+        ), w AS (
+          SELECT clip_id, i,
+                 CAST(floor((
+                   CAST(CASE WHEN rl >= 32768 THEN rl - 65536
+                             ELSE rl END AS DOUBLE)
+                   + CAST(CASE WHEN rr >= 32768 THEN rr - 65536
+                               ELSE rr END AS DOUBLE)) / 2.0)
+                      AS INTEGER) AS val
+          FROM v
+        ), h AS (
+          SELECT clip_id, count(*) AS n_out,
+                 string_agg(printf('%02X%02X', (val & 65535) % 256,
+                                   (val & 65535) // 256), '' ORDER BY i) AS oh
+          FROM w GROUP BY clip_id
+        )
+        SELECT st.clip_id,
+               TRUE AS downmixed,
+               CAST(h.n_out AS BIGINT) AS n_out,
+               md5(h.oh) AS out_md5
+        FROM st JOIN h USING (clip_id)
+        UNION ALL
+        SELECT clip_id,
+               FALSE AS downmixed,
+               CAST(NULL AS BIGINT) AS n_out,
+               md5(hx) AS out_md5
+        FROM t WHERE _row_idx % {STEREO_MONO_MOD} = {STEREO_CLS_MONO}
     """
 
 
@@ -5447,6 +5533,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_speed_perturb": _clips_speed_perturb_sql(),
         "clips_time_mask": _clips_time_mask_sql(),
         "clips_mix_overlay": _clips_mix_overlay_sql(),
+        "clips_downmix": _clips_downmix_sql(),
         "suite_report_orders": _suite_report_orders_sql(),
         "suite_report_events": _suite_report_events_sql(),
         "audio_containment_clips": _audio_containment_sql(),

@@ -199,14 +199,14 @@ def encode_wav_alaw(pcm: np.ndarray, sr_hz: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
-    """Real RIFF/WAVE decode: walk chunks, accept PCM (format 1) mono
-    16-bit, return int32 samples. Unsupported layouts raise ValueError
-    (surfaces as a decode failure, not a crash)."""
+def _parse_wav(raw: bytes) -> tuple[int, int, int, int, bytes]:
+    """Walk RIFF/WAVE chunks (chunks pad to even); return
+    (audio_format, channels, sr_hz, bits, data). Malformed containers
+    raise ValueError (surfaces as a decode failure, not a crash)."""
     import struct
 
     pos, n = 12, len(raw)
-    fmt_ok = False
+    fmt = None
     data = None
     while pos + 8 <= n:
         cid = raw[pos : pos + 4]
@@ -215,27 +215,31 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
         if cid == b"fmt " and size >= 16:
             if len(body) < 16:  # truncated payload: decode failure, not crash
                 raise ValueError("malformed WAV: truncated fmt chunk")
-            audio_format, channels, _sr, _br, _ba, bits = struct.unpack(
+            audio_format, channels, sr, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if channels != 1 or (audio_format, bits) not in (
-                (1, 16), (7, 8), (6, 8)
-            ):
-                raise ValueError(
-                    f"unsupported WAV layout (format={audio_format}, "
-                    f"channels={channels}, bits={bits}); "
-                    "only PCM16 mono or G.711 mu-law/A-law mono"
-                )
-            fmt_ok = True
-            g711_format = audio_format if audio_format in (6, 7) else 0
+            fmt = (audio_format, channels, sr, bits)
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size & 1)  # chunks pad to even
-    if not fmt_ok or data is None:
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
-    if g711_format == 7:
+    return (*fmt, data)
+
+
+def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
+    """Real RIFF/WAVE decode: accept mono PCM16 / G.711 mu-law / A-law,
+    return int32 samples. Unsupported layouts raise ValueError."""
+    audio_format, channels, _sr, bits, data = _parse_wav(raw)
+    if channels != 1 or (audio_format, bits) not in ((1, 16), (7, 8), (6, 8)):
+        raise ValueError(
+            f"unsupported WAV layout (format={audio_format}, "
+            f"channels={channels}, bits={bits}); "
+            "only PCM16 mono or G.711 mu-law/A-law mono"
+        )
+    if audio_format == 7:
         return ulaw_decode(np.frombuffer(data, dtype=np.uint8))
-    if g711_format == 6:
+    if audio_format == 6:
         return alaw_decode(np.frombuffer(data, dtype=np.uint8))
     return np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2").astype(np.int32)
 
@@ -1059,3 +1063,87 @@ def mix_payloads(
         F.col(payload) if isinstance(payload, str) else payload,
         F.col(noise_payload) if isinstance(noise_payload, str) else noise_payload,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multichannel: stereo RIFF/WAVE + channel downmix. Real pipelines ingest
+# stereo recordings and normalize to mono before feature extraction; the
+# downmix is exact integer arithmetic ((l + r) >> 1 == floor((l+r)/2)),
+# so the DuckDB oracle rebuilds output payloads bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16_stereo(
+    left: np.ndarray, right: np.ndarray, sr_hz: int
+) -> bytes:
+    """RIFF/WAVE container around interleaved stereo 16-bit PCM
+    (format 1, channels=2, block align 4) — the standard layout."""
+    import struct
+
+    if len(left) != len(right):
+        raise ValueError("left/right must be the same length")
+    inter = np.empty(2 * len(left), dtype="<i2")
+    inter[0::2] = left.astype("<i2")
+    inter[1::2] = right.astype("<i2")
+    data = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, sr_hz, sr_hz * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def downmix_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Vectorized batch kernel: stereo-to-mono downmix.
+
+    Rows whose payload is a RIFF/WAVE stereo PCM16 container are rewritten
+    as raw mono pcm_s16le with out[i] = (l[i] + r[i]) >> 1 — arithmetic-
+    shift floor division, exact integer arithmetic (== floor((l+r)/2.0)
+    sample-for-sample, which is what the SQL oracle computes). Everything
+    else — mono containers, raw PCM, NULL, undecodable — passes through
+    with n_out = -1: downmixing is a no-op for already-mono rows, and
+    decode failures surface through the decode checks, not here."""
+    n = len(payloads)
+    outb: list = [None] * n
+    nout = np.full(n, -1, dtype=np.int64)
+    for i, raw in enumerate(payloads.tolist()):
+        if raw is None:
+            continue
+        b = bytes(raw)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            continue
+        try:
+            audio_format, channels, _sr, bits, data = _parse_wav(b)
+        except (ValueError, struct.error):
+            continue
+        if (audio_format, channels, bits) != (1, 2, 16):
+            continue
+        frames = len(data) // 4
+        x = (
+            np.frombuffer(data[: frames * 4], dtype="<i2")
+            .astype(np.int32)
+            .reshape(-1, 2)
+        )
+        mono = (x[:, 0] + x[:, 1]) >> 1
+        outb[i] = mono.astype("<i2").tobytes()
+        nout[i] = frames
+    return pd.DataFrame({"out_bytes": outb, "n_out": nout})
+
+
+DOWNMIX_TYPE = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("n_out", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(DOWNMIX_TYPE)
+def _downmix_udf(p: pd.Series) -> pd.DataFrame:
+    return downmix_batch(p)
+
+
+def downmix(payload: Column | str = "bytes") -> Column:
+    """struct(out_bytes, n_out): stereo WAV payload downmixed to raw mono
+    pcm_s16le (see downmix_batch). One Arrow hop; n_out = -1 marks
+    pass-through (already-mono / non-WAV / undecodable) rows."""
+    return _downmix_udf(F.col(payload) if isinstance(payload, str) else payload)

@@ -170,6 +170,47 @@ def resample_pcm(
     )
 
 
+def downmix_mono(
+    df: DataFrame,
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Normalize channel count: stereo RIFF/WAVE PCM16 payloads are
+    rewritten as raw mono pcm_s16le with out[i] = (l[i] + r[i]) >> 1 —
+    exact integer arithmetic, so the DuckDB oracle rebuilds output
+    payloads bit-for-bit (``clips_downmix``). Already-mono containers,
+    raw PCM, NULL and undecodable rows pass through with
+    ``downmixed = false`` (decode failures surface via the decode
+    checks, never here). Adds (downmixed, n_out). One Arrow hop, zero
+    shuffle; like trim/resample this HALVES bytes-in-flight for stereo
+    corpora before the expensive downstream stages."""
+    from jsonschema_spark.functions.audio import downmix
+
+    d = df.withColumn("_dm", downmix(payload_col))
+    ok = F.coalesce(F.col("_dm.n_out") >= 0, F.lit(False))
+    out_cols = []
+    for c in df.columns:
+        if c == payload_col:
+            out_cols.append(
+                F.when(ok, F.col("_dm.out_bytes"))
+                .otherwise(F.col(payload_col))
+                .alias(payload_col)
+            )
+        elif c == codec_col:
+            out_cols.append(
+                F.when(ok, F.lit(PCM_CODEC))
+                .otherwise(F.col(codec_col))
+                .alias(codec_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return d.select(
+        *out_cols,
+        ok.alias("downmixed"),
+        F.when(ok, F.col("_dm.n_out")).alias("n_out"),
+    )
+
+
 def normalize_loudness(
     df: DataFrame,
     target_rms: float = 0.1,

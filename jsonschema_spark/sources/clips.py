@@ -846,3 +846,80 @@ def materialized_alaw_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_alaw_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# ---------------------------------------------------------------------------
+# Stereo ledger corpus (channel-downmix ground truth)
+# ---------------------------------------------------------------------------
+
+# Interleaved stereo RIFF/WAVE PCM16 containers (format 1, channels=2,
+# block align 4): left channel is the clip's reference signal, right is
+# the independent signal of clip_id||':R'. Planted class
+# (i % STEREO_MONO_MOD == STEREO_CLS_MONO): already-mono WAV — the
+# downmix operator must pass those through untouched. The DuckDB oracle
+# re-decodes BOTH interleaved channels from the parquet hex and rebuilds
+# floor((l+r)/2) sample-for-sample.
+STEREO_MONO_MOD = 5
+STEREO_CLS_MONO = 3
+STEREO_SR_HZ = 16000
+
+
+def synth_stereo_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 2000),
+) -> DataFrame:
+    """Stereo clips table with planted already-mono rows — the ledger
+    table for the channel-downmix contract query."""
+    from jsonschema_spark.functions.audio import (
+        encode_wav_pcm16,
+        encode_wav_pcm16_stereo,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = STEREO_SR_HZ * dur // 1000
+        left = pcm16_from_float(reference_signal(cid, n_samples))
+        if i % STEREO_MONO_MOD == STEREO_CLS_MONO:
+            payload = encode_wav_pcm16(left, STEREO_SR_HZ)
+        else:
+            right = pcm16_from_float(reference_signal(cid + ":R", n_samples))
+            payload = encode_wav_pcm16_stereo(left, right, STEREO_SR_HZ)
+        return (cid, payload, STEREO_SR_HZ, dur, "wav",
+                transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def stereo_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_stereo_{n}")
+
+
+def materialized_stereo_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """Stereo ledger table materialized once (oracle-cache protocol); the
+    DuckDB oracle re-decodes both channels from the SAME blobs."""
+    import os
+
+    path = stereo_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_stereo_clips(spark, n), path)
+    return spark.read.parquet(path), path

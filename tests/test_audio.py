@@ -461,3 +461,78 @@ def test_alaw_ledger_margins_and_decode_profile():
         ).hexdigest()
         assert prof["dec_md5"][k] == want
         assert int(prof["n_samples"][k]) == len(payloads[k]) - 44
+
+# ---------------------------------------------------------------------------
+# Stereo WAV + channel downmix
+# ---------------------------------------------------------------------------
+
+
+def test_stereo_wav_downmix_kernel():
+    import numpy as np
+    import pandas as pd
+
+    from jsonschema_spark.functions.audio import (
+        decode_payload,
+        downmix_batch,
+        encode_wav_pcm16,
+        encode_wav_pcm16_stereo,
+    )
+
+    rng = np.random.RandomState(3)
+    left = rng.randint(-32768, 32768, 500).astype("<i2")
+    right = rng.randint(-32768, 32768, 500).astype("<i2")
+    wav = encode_wav_pcm16_stereo(left, right, 16000)
+    mono_wav = encode_wav_pcm16(left, 16000)
+    out = downmix_batch(pd.Series([wav, mono_wav, None, left.tobytes()]))
+    # stereo: exact floor((l+r)/2) per sample
+    got = np.frombuffer(out["out_bytes"][0], dtype="<i2")
+    exp = ((left.astype(np.int32) + right.astype(np.int32)) >> 1).astype("<i2")
+    assert int(out["n_out"][0]) == 500 and (got == exp).all()
+    # mono WAV / NULL / raw PCM pass through
+    assert out["n_out"].tolist()[1:] == [-1, -1, -1]
+    assert all(out["out_bytes"][k] is None for k in (1, 2, 3))
+    # decode_payload still rejects stereo through the mono invariant path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_payload(wav)
+
+
+def test_downmix_mono_operator(spark):
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import (
+        encode_wav_pcm16,
+        encode_wav_pcm16_stereo,
+        pcm16_from_float,
+        reference_signal,
+    )
+    from jsonschema_spark.operators.trim import downmix_mono
+    from jsonschema_spark.sources.clips import CLIPS_SCHEMA
+
+    rows = []
+    for i in range(10):
+        cid = f"clip-{i:012d}"
+        left = pcm16_from_float(reference_signal(cid, 1600))
+        if i % 3 == 2:
+            payload = encode_wav_pcm16(left, 16000)
+        else:
+            right = pcm16_from_float(reference_signal(cid + ":R", 1600))
+            payload = encode_wav_pcm16_stereo(left, right, 16000)
+        rows.append((cid, payload, 16000, 100, "wav", "x"))
+    df = spark.createDataFrame(rows, CLIPS_SCHEMA)
+    got = {r["clip_id"]: r for r in downmix_mono(df).collect()}
+    for i, (cid, payload, *_rest) in enumerate(rows):
+        r = got[cid]
+        if i % 3 == 2:
+            assert not r["downmixed"] and r["n_out"] is None
+            assert bytes(r["bytes"]) == payload and r["codec"] == "wav"
+        else:
+            left = pcm16_from_float(reference_signal(cid, 1600)).astype(np.int32)
+            right = pcm16_from_float(
+                reference_signal(cid + ":R", 1600)
+            ).astype(np.int32)
+            exp = ((left + right) >> 1).astype("<i2")
+            assert r["downmixed"] and r["n_out"] == 1600
+            assert r["codec"] == "pcm_s16le"
+            assert (np.frombuffer(bytes(r["bytes"]), dtype="<i2") == exp).all()
