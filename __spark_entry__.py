@@ -1743,6 +1743,25 @@ def _q_clips_mix_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MANIFEST_BUCKETS = 16
+
+
+def _q_clips_content_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable transfer manifest: per-bucket row counts, byte
+    totals and a commutative content checksum (SUM of md5_60 over keyed
+    payload-digest lines, DECIMAL(38,0)-exact) — the artifact a 100 TB
+    corpus copy verifies against bucket-by-bucket. One scan, one narrow
+    groupBy; payloads reduce to 32-byte digests before the shuffle. The
+    oracle recomputes every bucket from the same parquet blobs."""
+    from jsonschema_spark.operators.integrity import content_manifest
+    from jsonschema_spark.sources.clips import materialized_clips
+
+    clips, _ = materialized_clips(spark, _CLIPS_N)
+    return content_manifest(
+        clips.select(*_CLIPS_COLS), n_buckets=_MANIFEST_BUCKETS
+    )
+
+
 _STEREO_N = 400
 
 
@@ -2272,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_time_mask": _q_clips_time_mask,
         "clips_mix_overlay": _q_clips_mix_overlay,
         "clips_downmix": _q_clips_downmix,
+        "clips_content_manifest": _q_clips_content_manifest,
         "suite_report_orders": _q_suite_report_orders,
         "suite_report_events": _q_suite_report_events,
         "dedup_simhash_documents": _q_dedup_simhash_documents,
@@ -3645,6 +3665,29 @@ def _clips_ulaw_decode_sql() -> str:
                md5(h.oh) AS dec_md5,
                (t._row_idx % {ULAW_CLASS_MOD} <> {ULAW_CLS_CORRUPT}) AS snr_ok
         FROM t JOIN h USING (clip_id)
+    """
+
+
+def _clips_content_manifest_sql() -> str:
+    """Manifest oracle: bucket assignment, keyed line hash and the
+    DECIMAL-exact commutative sum all recomputed from the parquet blobs
+    (md5_60 == ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    src = _CLIPS_MAIN_PQ
+    return f"""
+        WITH r AS (
+          SELECT CAST(('0x' || substr(md5(clip_id), 1, 15)) AS BIGINT)
+                   % {_MANIFEST_BUCKETS} AS bucket,
+                 CAST(('0x' || substr(md5(clip_id || ':' ||
+                        coalesce(md5(hex(bytes)), 'null')), 1, 15))
+                      AS BIGINT) AS h,
+                 coalesce(octet_length(bytes), 0) AS len
+          FROM {src}
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(len) AS BIGINT) AS total_bytes,
+               CAST(sum(h) AS DECIMAL(38,0)) AS digest_sum
+        FROM r GROUP BY bucket
     """
 
 
@@ -5534,6 +5577,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_time_mask": _clips_time_mask_sql(),
         "clips_mix_overlay": _clips_mix_overlay_sql(),
         "clips_downmix": _clips_downmix_sql(),
+        "clips_content_manifest": _clips_content_manifest_sql(),
         "suite_report_orders": _suite_report_orders_sql(),
         "suite_report_events": _suite_report_events_sql(),
         "audio_containment_clips": _audio_containment_sql(),

@@ -127,3 +127,92 @@ def test_integrity_plans_are_pure_codegen(spark):
         plan = op(_mk(spark, rows))._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, f"{op.__name__} plan has Python nodes"
         assert "Exchange" not in plan, f"{op.__name__} plan shuffles"
+
+
+def test_content_manifest_differential(spark):
+    """Manifest recomputed independently in Python: bucket assignment,
+    counts, byte totals, and the commutative digest sum must match; any
+    single-byte payload flip or key rename must move its bucket's sum."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from jsonschema_spark.operators.integrity import content_manifest
+
+    def md5_60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for i in range(40):
+        payload = None if i % 7 == 5 else bytes([i % 251]) * (50 + i)
+        rows.append(Row(clip_id=f"clip-{i:012d}", bytes=payload))
+    df = spark.createDataFrame(rows)
+    got = {r["bucket"]: r for r in content_manifest(df, n_buckets=4).collect()}
+
+    exp: dict = {}
+    for r in rows:
+        b = md5_60(r.clip_id) % 4
+        ph = (
+            hashlib.md5(r.bytes.hex().upper().encode()).hexdigest()
+            if r.bytes is not None
+            else "null"
+        )
+        h = md5_60(f"{r.clip_id}:{ph}")
+        n, tot, s = exp.get(b, (0, 0, 0))
+        exp[b] = (n + 1, tot + (len(r.bytes) if r.bytes else 0), s + h)
+    assert set(got) == set(exp)
+    for b, (n, tot, s) in exp.items():
+        assert got[b]["n_rows"] == n
+        assert got[b]["total_bytes"] == tot
+        assert int(got[b]["digest_sum"]) == s
+
+    # sensitivity: flip one byte -> that bucket's digest moves, others don't
+    flipped = [
+        Row(
+            clip_id=r.clip_id,
+            bytes=(bytes([r.bytes[0] ^ 1]) + r.bytes[1:])
+            if r.clip_id.endswith("0") and r.bytes
+            else r.bytes,
+        )
+        for r in rows
+    ]
+    got2 = {
+        r["bucket"]: r
+        for r in content_manifest(
+            spark.createDataFrame(flipped), n_buckets=4
+        ).collect()
+    }
+    moved = {
+        b
+        for b in got
+        if int(got[b]["digest_sum"]) != int(got2[b]["digest_sum"])
+    }
+    touched = {
+        md5_60(r.clip_id) % 4
+        for r in rows
+        if r.clip_id.endswith("0") and r.bytes
+    }
+    assert moved == touched
+
+
+def test_content_manifest_partition_invariant(spark):
+    """The digest sum must be identical under any partitioning/order."""
+    from pyspark.sql import Row
+
+    from jsonschema_spark.operators.integrity import content_manifest
+
+    rows = [
+        Row(clip_id=f"clip-{i:012d}", bytes=bytes([i % 17]) * (10 + i))
+        for i in range(30)
+    ]
+    df1 = spark.createDataFrame(rows).repartition(1)
+    df2 = spark.createDataFrame(list(reversed(rows))).repartition(13)
+    a = sorted(
+        (r["bucket"], r["n_rows"], r["total_bytes"], str(r["digest_sum"]))
+        for r in content_manifest(df1, n_buckets=4).collect()
+    )
+    b = sorted(
+        (r["bucket"], r["n_rows"], r["total_bytes"], str(r["digest_sum"]))
+        for r in content_manifest(df2, n_buckets=4).collect()
+    )
+    assert a == b
