@@ -143,6 +143,30 @@ def _q_basic_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(orders, ORDERS_JSON_SCHEMA).basic_output_units(["o_orderkey"])
 
 
+def _q_detailed_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2020-12 "detailed" output (spec §12.4.3), relationally rendered:
+    the evaluation hierarchy pruned to error-containing schema-location
+    units, one row per (failing instance, unit) with parent pointers and
+    direct/total error counts. The unit hierarchy is static (compile
+    time), so the plan is explode -> literal-map ancestor lookup -> one
+    narrow groupBy. The oracle rebuilds every unit row from the
+    enumerated check predicates and the same ancestor-chain arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).detailed_output_units(
+        ["o_orderkey"]
+    )
+
+
+def _q_detailed_output_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detailed output over the applicator-heavy logic schema: units nest
+    below /allOf/0, so the hierarchy (parentLocation chains) is exercised
+    beyond the flat properties case."""
+    part = load_table(spark, sf_dir, "part")
+    return validate(part, PART_LOGIC_SCHEMA).detailed_output_units(
+        ["p_partkey"]
+    )
+
+
 def _q_flag_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2020-12 "flag" output format: one (key, valid) row per instance."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2201,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_totals_orders": _q_incremental_totals_orders,
         "validate_orders_summary": _q_validate_orders_summary,
         "basic_output_orders": _q_basic_output_orders,
+        "detailed_output_orders": _q_detailed_output_orders,
+        "detailed_output_part": _q_detailed_output_part,
         "flag_output_orders": _q_flag_output_orders,
         "validate_orders_by_keyword": _q_validate_orders_by_keyword,
         "violation_examples_orders": _q_violation_examples_orders,
@@ -2405,6 +2431,47 @@ def _basic_output_sql() -> str:
             f"FROM orders WHERE {fail}"
         )
     return " UNION ALL ".join(parts)
+
+
+def _detailed_output_sql(
+    check_fails: list[tuple[str, str]],
+    base: str | None,
+    table: str = "orders",
+    key: str = "o_orderkey",
+) -> str:
+    """Detailed-output oracle: for every (check ptr, fail predicate),
+    emit one row per ancestor schema-location unit (ancestor chains
+    recomputed with the SAME _schema_location_chain the operator uses —
+    the chain arithmetic is driver-side/static in both engines), then
+    group to (key, unit) with direct/total counts."""
+    from jsonschema_spark.operators.validate import _schema_location_chain
+
+    parts = []
+    parents: dict[str, str | None] = {}
+    for ptr, fail in check_fails:
+        chain = _schema_location_chain(ptr)
+        for i, u in enumerate(chain):
+            parents.setdefault(u, chain[i - 1] if i else None)
+            d = 1 if i == len(chain) - 1 else 0
+            parts.append(
+                f"SELECT {key}, '{u}' AS u, {d} AS d FROM {table} WHERE {fail}"
+            )
+    parent_case = " ".join(
+        f"WHEN u = '{u}' THEN " + ("NULL" if p is None else f"'{p}'")
+        for u, p in parents.items()
+    )
+    abs_loc = f"'{base}#' || u" if base else "CAST(NULL AS VARCHAR)"
+    return f"""
+        SELECT {key},
+               u AS "keywordLocation",
+               CASE {parent_case} END AS "parentLocation",
+               {abs_loc} AS "absoluteKeywordLocation",
+               FALSE AS valid,
+               CAST(sum(d) AS BIGINT) AS n_errors_direct,
+               CAST(count(*) AS BIGINT) AS n_errors_total
+        FROM ({' UNION ALL '.join(parts)})
+        GROUP BY {key}, u
+    """
 
 
 def _flag_output_sql() -> str:
@@ -4462,8 +4529,7 @@ def _synth_roundtrip_sql() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
-    part_logic_fails = {
+_PART_LOGIC_FAILS = {
         # evaluation semantics mirror plans/compile.py: every property check
         # passes vacuously on NULL; applicators combine those vacuous truths
         "/allOf/0/if|if": (
@@ -4482,10 +4548,13 @@ def oracle_sql() -> dict[str, str]:
         "/not|not": "(p_brand IS NULL OR p_brand = 'Brand#4')",
         "/dependentRequired|dependentRequired": "(p_brand IS NOT NULL AND p_type IS NULL)",
     }
+
+
+def oracle_sql() -> dict[str, str]:
     part_logic_sql = " UNION ALL ".join(
         f"SELECT p_partkey, '{k.split('|')[0]}' AS keyword_path, "
         f"'{k.split('|')[1]}' AS keyword FROM part WHERE {cond}"
-        for k, cond in part_logic_fails.items()
+        for k, cond in _PART_LOGIC_FAILS.items()
     )
     return {
         "validate_orders_violations": _orders_violations_sql(),
@@ -4496,6 +4565,18 @@ def oracle_sql() -> dict[str, str]:
             f"WITH newt AS ({_INCR_NEW_SQL}) {_orders_summary_sql('newt')}"
         ),
         "basic_output_orders": _basic_output_sql(),
+        "detailed_output_orders": _detailed_output_sql(
+            [(ptr, fail)
+             for (ptr, _, _, _, fail) in _ORDERS_CHECK_FAILS.values()],
+            ORDERS_JSON_SCHEMA["$id"],
+        ),
+        "detailed_output_part": _detailed_output_sql(
+            [(k.split("|")[0], fail)
+             for k, fail in _PART_LOGIC_FAILS.items()],
+            PART_LOGIC_SCHEMA["$id"],
+            table="part",
+            key="p_partkey",
+        ),
         "flag_output_orders": _flag_output_sql(),
         "validate_orders_summary": _orders_summary_sql(),
         "violation_examples_orders": f"""

@@ -32,6 +32,48 @@ from jsonschema_spark.schema import Schema
 VIOLATION_COLS = ("keyword_path", "keyword", "column", "message")
 
 
+_APPLICATOR_2SEG = frozenset(
+    {"properties", "patternProperties", "dependentSchemas", "$defs",
+     "allOf", "anyOf", "oneOf", "prefixItems"}
+)
+_APPLICATOR_1SEG = frozenset(
+    {"not", "if", "then", "else", "items", "contains",
+     "additionalProperties", "propertyNames", "contentSchema",
+     "unevaluatedProperties", "unevaluatedItems"}
+)
+
+
+def _schema_location_chain(ptr: str) -> list[str]:
+    """Ancestor SUBSCHEMA locations of an assertion-keyword pointer, root
+    ("") first, ending at the unit that directly holds the assertion —
+    the static hierarchy the 2020-12 detailed/verbose output formats
+    nest by. A check pointer's LAST segment is always the reporting
+    keyword (``/allOf/0/if`` reports the ``if`` assertion AT the
+    subschema ``/allOf/0``), so the walk covers the parent pointer only.
+    Applicators with a name/index component consume two segments
+    ("/properties/x", "/allOf/0"); bare-subschema applicators consume
+    one ("/not", "/then"); an unrecognized segment stops the walk (a
+    property literally NAMED "items" is covered by the two-segment rule
+    first)."""
+    segs = ptr.split("/")[1:-1] if ptr.startswith("/") else []
+    units = [""]
+    cur = ""
+    i = 0
+    while i < len(segs):
+        s = segs[i]
+        if s in _APPLICATOR_2SEG and i + 1 < len(segs):
+            cur = f"{cur}/{s}/{segs[i + 1]}"
+            units.append(cur)
+            i += 2
+        elif s in _APPLICATOR_1SEG:
+            cur = f"{cur}/{s}"
+            units.append(cur)
+            i += 1
+        else:
+            break
+    return units
+
+
 @dataclass
 class ValidationResult:
     annotated: DataFrame  # input + _valid boolean + _violations array
@@ -309,6 +351,80 @@ class ValidationResult:
             *key_cols,
             F.col("_valid").alias("valid"),
             F.transform("_violations", unit).alias("errors"),
+        )
+
+    def detailed_output_units(self, key_cols: Sequence[str]) -> DataFrame:
+        """2020-12 "detailed" output (spec §12.4.3), relationally rendered:
+        the evaluation hierarchy PRUNED to schema-location units that
+        contain errors — one row per (failing instance, error-containing
+        unit) with
+
+        - ``keywordLocation``: JSON Pointer to the subschema unit;
+        - ``parentLocation``: the unit's parent in the hierarchy (NULL at
+          the root — the relational encoding of the spec's nesting);
+        - ``absoluteKeywordLocation``: root ``$id`` + ``#`` + pointer
+          when the document declares an ``$id``;
+        - ``valid``: always false (detailed prunes passing units);
+        - ``n_errors_direct``: assertion failures AT this unit;
+        - ``n_errors_total``: failures at or below it.
+
+        The unit set and each check's ancestor chain are STATIC (known at
+        compile time), so the plan is: explode the codegen'd violations
+        array -> map keyword_path to its ancestor-unit array via a
+        literal map (driver-built, O(distinct checks)) -> explode ->
+        one narrow groupBy((key..., unit)). No extra scan, no Python."""
+        chains: dict[str, list[str]] = {}
+        for c in self.compiled.checks:
+            chains.setdefault(c.pointer, _schema_location_chain(c.pointer))
+        root_id = self.compiled.schema.id
+
+        map_items = []
+        for ptr, units in chains.items():
+            map_items.append(F.lit(ptr))
+            map_items.append(F.array(*[F.lit(u) for u in units]))
+        anc_map = F.create_map(*map_items)
+        parent_items = []
+        seen = set()
+        for units in chains.values():
+            for i, u in enumerate(units):
+                if u not in seen:
+                    seen.add(u)
+                    parent_items.append(F.lit(u))
+                    parent_items.append(
+                        F.lit(units[i - 1]) if i else F.lit(None).cast("string")
+                    )
+        parent_map = F.create_map(*parent_items)
+
+        v = self.annotated.select(
+            *key_cols, F.explode("_violations").alias("_v")
+        ).select(
+            *key_cols,
+            F.element_at(anc_map, F.col("_v.keyword_path")).alias("_anc"),
+        )
+        x = v.select(
+            *key_cols,
+            F.element_at(F.col("_anc"), F.size("_anc")).alias("_du"),
+            F.explode("_anc").alias("unit"),
+        )
+        g = x.groupBy(*key_cols, "unit").agg(
+            F.count(F.lit(1)).alias("n_errors_total"),
+            F.sum((F.col("unit") == F.col("_du")).cast("long")).alias(
+                "n_errors_direct"
+            ),
+        )
+        abs_loc = (
+            F.concat(F.lit(root_id), F.lit("#"), F.col("unit"))
+            if root_id
+            else F.lit(None).cast("string")
+        )
+        return g.select(
+            *key_cols,
+            F.col("unit").alias("keywordLocation"),
+            F.element_at(parent_map, F.col("unit")).alias("parentLocation"),
+            abs_loc.alias("absoluteKeywordLocation"),
+            F.lit(False).alias("valid"),
+            "n_errors_direct",
+            "n_errors_total",
         )
 
     def totals(self) -> DataFrame:

@@ -86,3 +86,74 @@ def test_output_plan_no_python_no_shuffle(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+def test_schema_location_chain():
+    from jsonschema_spark.operators.validate import _schema_location_chain as c
+
+    assert c("/required") == [""]
+    assert c("/properties/sr_hz/enum") == ["", "/properties/sr_hz"]
+    assert c("/allOf/0/if") == ["", "/allOf/0"]
+    assert c("/oneOf") == [""]
+    assert c("/allOf/0/properties/x/minimum") == [
+        "", "/allOf/0", "/allOf/0/properties/x"
+    ]
+    assert c("/properties/x/minContains") == ["", "/properties/x"]
+    assert c("/not/pattern") == ["", "/not"]
+    # a property literally named like an applicator keyword
+    assert c("/properties/items/minimum") == ["", "/properties/items"]
+
+
+def test_detailed_output_units_flat(spark):
+    rows = _res(spark).detailed_output_units(["k"]).collect()
+    by = {(r["k"], r["keywordLocation"]): r for r in rows}
+    # instance 2 fails two property units + the root aggregates both
+    assert set(by) == {
+        (2, ""),
+        (2, "/properties/s"),
+        (2, "/properties/v"),
+    }
+    root = by[(2, "")]
+    assert root["parentLocation"] is None
+    assert root["n_errors_direct"] == 0 and root["n_errors_total"] == 2
+    s = by[(2, "/properties/s")]
+    assert s["parentLocation"] == ""
+    assert s["n_errors_direct"] == 1 and s["n_errors_total"] == 1
+    assert s["absoluteKeywordLocation"] == (
+        "https://example.com/out.json#/properties/s"
+    )
+    assert all(r["valid"] is False for r in rows)
+
+
+NESTED_SCHEMA = {
+    "$id": "https://example.com/nested.json",
+    "type": "object",
+    "allOf": [
+        {"properties": {"v": {"minimum": 0}}},
+        {"properties": {"s": {"minLength": 3}}},
+    ],
+    "required": ["k"],
+}
+
+
+def test_detailed_output_units_nested(spark):
+    df = spark.createDataFrame(
+        [(1, "x", -2.0)], "k int, s string, v double"
+    )
+    rows = validate(df, NESTED_SCHEMA).detailed_output_units(["k"]).collect()
+    by = {r["keywordLocation"]: r for r in rows}
+    # both allOf branches fail -> each branch unit + its property unit +
+    # the root, with parent chains intact
+    assert set(by) == {
+        "",
+        "/allOf/0",
+        "/allOf/0/properties/v",
+        "/allOf/1",
+        "/allOf/1/properties/s",
+    }
+    assert by[""]["n_errors_total"] == 2 and by[""]["n_errors_direct"] == 0
+    assert by["/allOf/0"]["parentLocation"] == ""
+    assert by["/allOf/0"]["n_errors_total"] == 1
+    assert by["/allOf/0"]["n_errors_direct"] == 0
+    assert by["/allOf/0/properties/v"]["parentLocation"] == "/allOf/0"
+    assert by["/allOf/0/properties/v"]["n_errors_direct"] == 1
