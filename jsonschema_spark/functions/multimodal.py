@@ -118,12 +118,135 @@ def _decode_bmp(raw: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, _luma(bgr[..., ::-1])
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + cid
+        + body
+        + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """REAL PNG encoder (stdlib zlib — no codec lib needed): 8-bit
+    grayscale from an (h, w) array or RGB from (h, w, 3), filter type 0
+    per scanline, one zlib-deflated IDAT. Output opens in any viewer."""
+    px = px.astype(np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        ctype = 0
+        rows = px
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w, _ = px.shape
+        ctype = 2
+        rows = px.reshape(h, w * 3)
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB")
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL PNG decode (public spec + stdlib zlib): 8-bit depth, color
+    types 0 (gray) / 2 (RGB) / 6 (RGBA, alpha dropped), all five scanline
+    filters, no interlace. Filters 0/2 are vectorized; 1 is a per-channel
+    cumsum (mod-256 prefix sum); 3/4 fall back to a per-pixel row loop —
+    encoders in this repo only emit filter 0, so the slow path exists for
+    foreign files, not the hot path. Malformed input raises ValueError."""
+    import zlib
+
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, n = 8, len(raw)
+    idat = b""
+    hdr = None
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+        cid = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        if cid == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("malformed PNG: truncated IHDR")
+            hdr = struct.unpack(">IIBBBBB", body[:13])
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, bitd, ctype, _comp, _filt, interlace = hdr
+    if bitd != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG layout (depth={bitd}, color={ctype}, "
+            f"interlace={interlace}); 8-bit gray/RGB/RGBA non-interlaced only"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    data = zlib.decompress(idat)
+    if len(data) < h * (stride + 1):
+        raise ValueError("malformed PNG: truncated pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        ft = data[p]
+        row = np.frombuffer(data[p + 1 : p + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        p += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 255
+        elif ft == 1:  # Sub: per-channel mod-256 prefix sum
+            cur = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) & 255
+        elif ft in (3, 4):  # Average / Paeth: left-dependent, row loop
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pred = (a + b) // 2 if ft == 3 else _paeth(a, b, c)
+                cur[x] = (int(row[x]) + pred) & 255
+        else:
+            raise ValueError(f"malformed PNG: filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if ctype == 0:
+        return w, h, out
+    px = out.reshape(h, w, ch)
+    return w, h, _luma(px[..., :3])
+
+
 def decode_image(raw: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode to (width, height, uint8 grayscale). REAL for the
-    codec-free formats — PPM/PGM (netpbm) and uncompressed 24-bit BMP —
-    plus the synthetic FIMG container; compressed formats (jpeg/png/webp)
-    need a codec lib this environment doesn't ship and raise
-    NotImplementedError (the poison-pill path: decode_ok=false rows)."""
+    """Decode to (width, height, uint8 grayscale). REAL for PPM/PGM
+    (netpbm), uncompressed 24-bit BMP, and PNG (stdlib zlib inflate +
+    scanline unfiltering — see _decode_png), plus the synthetic FIMG
+    container; the remaining compressed formats (jpeg/webp) need a codec
+    lib this environment doesn't ship and raise NotImplementedError
+    (the poison-pill path: decode_ok=false rows)."""
     if raw[:4] == _IMG_MAGIC:
         w, h = struct.unpack("<HH", raw[4:8])
         px = np.frombuffer(raw[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
@@ -132,8 +255,10 @@ def decode_image(raw: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_pnm(raw)
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
+    if raw[:8] == _PNG_MAGIC:
+        return _decode_png(raw)
     raise NotImplementedError(
-        "compressed image codecs (jpeg/png/webp) are not available in this "
+        "compressed image codecs (jpeg/webp) are not available in this "
         "environment; plug a PIL/turbojpeg decode in here"
     )
 

@@ -32,8 +32,13 @@ def test_fake_image_round_trip():
 
 
 def test_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
+    # PNG is now decoded for real (see test_png_*); a malformed PNG body
+    # is a decode FAILURE (ValueError), and the still-unavailable codecs
+    # (jpeg, mpeg) stay loudly stubbed
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)
     with pytest.raises(NotImplementedError):
         decode_video_frame(b"\x00\x00\x01\xba mpeg", 0)
 
@@ -156,3 +161,129 @@ def test_truncated_bmp_is_decode_failure_not_crash(spark):
     )
     rows = image_features(df).collect()
     assert len(rows) == 1 and rows[0].decode_ok is False
+
+
+def test_png_round_trip_gray_and_rgb():
+    import numpy as np
+
+    from jsonschema_spark.functions.multimodal import (
+        _luma,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (23, 31)).astype(np.uint8)
+    w, h, px = decode_image(encode_png(g))
+    assert (w, h) == (31, 23) and (px == g).all()
+    rgb = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    w, h, px = decode_image(encode_png(rgb))
+    assert (w, h) == (13, 9) and (px == _luma(rgb)).all()
+
+
+def test_png_all_five_filters_decode():
+    """Hand-built PNG whose scanlines cycle through filters 0-4, the
+    filtered bytes produced by an independent scalar filter ENCODER —
+    the decoder must invert every filter exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from jsonschema_spark.functions.multimodal import (
+        _PNG_MAGIC,
+        _decode_png,
+        _luma,
+        _paeth,
+        _png_chunk,
+    )
+
+    rng = np.random.RandomState(7)
+    W, H, CH = 7, 5, 3
+    truth = rng.randint(0, 256, (H, W * CH)).astype(np.int32)
+    lines = []
+    prev = np.zeros(W * CH, np.int32)
+    for y in range(H):
+        ft = y % 5
+        cur = truth[y]
+        enc = cur.copy()
+        for x in range(W * CH - 1, -1, -1):
+            a = int(cur[x - CH]) if x >= CH else 0
+            b = int(prev[x])
+            c = int(prev[x - CH]) if x >= CH else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: _paeth(a, b, c)}[ft]
+            enc[x] = (cur[x] - pred) & 255
+        lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, px = _decode_png(png)
+    want = _luma(truth.astype(np.uint8).reshape(H, W, CH))
+    assert (w, h) == (W, H) and (px == want).all()
+
+
+def test_png_unsupported_layouts_are_decode_failures():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from jsonschema_spark.functions.multimodal import (
+        _PNG_MAGIC,
+        _decode_png,
+        _png_chunk,
+        encode_png,
+    )
+
+    def png_with_ihdr(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        raw = zlib.compress(b"\x00\x00\x00" * 2)
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", raw)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(ValueError):  # 16-bit depth
+        _decode_png(png_with_ihdr(16, 0, 0))
+    with _pytest.raises(ValueError):  # Adam7 interlace
+        _decode_png(png_with_ihdr(8, 0, 1))
+    with _pytest.raises(ValueError):  # palette color
+        _decode_png(png_with_ihdr(8, 3, 0))
+    with _pytest.raises(ValueError):  # truncated pixel data
+        bad = encode_png(np.zeros((4, 4), np.uint8))
+        # shrink the IDAT payload: re-deflate fewer bytes than h*(w+1)
+        _decode_png(png_with_ihdr(8, 0, 0).replace(
+            zlib.compress(b"\x00\x00\x00" * 2), zlib.compress(b"\x00")
+        ))
+        del bad
+
+
+def test_image_features_over_png(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsonschema_spark.functions.multimodal import encode_png, image_features
+
+    rng = np.random.RandomState(9)
+    rows = []
+    lumas = {}
+    for i in range(6):
+        px = rng.randint(0, 256, (8 + i, 10)).astype(np.uint8)
+        lumas[f"img-{i}"] = (float(px.mean()), px.shape)
+        rows.append(Row(image_id=f"img-{i}", bytes=bytearray(encode_png(px))))
+    rows.append(Row(image_id="img-bad", bytes=bytearray(b"\xff\xd8\xff\xe0junk")))
+    df = spark.createDataFrame(rows)
+    got = {r["image_id"]: r for r in image_features(df).collect()}
+    assert not got["img-bad"]["decode_ok"]
+    for k, (mean, (h, w)) in lumas.items():
+        r = got[k]
+        assert r["decode_ok"] and (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_luma"] - mean) < 1e-9
