@@ -348,6 +348,41 @@ def _check_entropy_min(df: DataFrame, spec: dict) -> DataFrame:
     return _report_row(spec["name"], "entropy_min", metric, floor, passed)(e)
 
 
+def _check_manifest(
+    df: DataFrame, spec: dict, tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Source-vs-destination content reconciliation as a suite check:
+    compute the commutative transfer manifest (integrity.content_manifest)
+    over BOTH tables and count buckets whose (n_rows, total_bytes,
+    digest_sum) differ — the declarative gate a copy/restore/backfill
+    pipeline runs before promoting a destination table. Metric = number
+    of mismatched buckets (missing-on-either-side counts as mismatched);
+    threshold ``max_mismatched`` (default 0)."""
+    from jsonschema_spark.operators.integrity import content_manifest
+
+    max_mismatched = int(spec.get("max_mismatched", 0))
+    n_buckets = int(spec.get("n_buckets", 64))
+    key = spec.get("key_col", "clip_id")
+    payload = spec.get("payload_col", "bytes")
+    ref = tables[spec["ref_table"]]
+    a = content_manifest(df, key, payload, n_buckets).alias("a")
+    b = content_manifest(ref, key, payload, n_buckets).alias("b")
+    j = a.join(b, "bucket", "full_outer")
+    same = (
+        F.col("a.n_rows").eqNullSafe(F.col("b.n_rows"))
+        & F.col("a.total_bytes").eqNullSafe(F.col("b.total_bytes"))
+        & F.col("a.digest_sum").eqNullSafe(F.col("b.digest_sum"))
+    )
+    agg = j.agg(
+        F.coalesce(F.sum((~same).cast("long")), F.lit(0)).alias("mismatched")
+    )
+    metric = F.col("mismatched")
+    return _report_row(
+        spec["name"], "manifest", metric, max_mismatched,
+        metric <= max_mismatched,
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -368,6 +403,7 @@ _CHECKS = {
     "entropy_min": lambda df, spec, tables: _check_entropy_min(df, spec),
     "completeness_categories": lambda df, spec, tables:
         _check_completeness_categories(df, spec),
+    "manifest": _check_manifest,
 }
 
 

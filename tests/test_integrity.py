@@ -216,3 +216,42 @@ def test_content_manifest_partition_invariant(spark):
         for r in content_manifest(df2, n_buckets=4).collect()
     )
     assert a == b
+
+
+def test_manifest_suite_check(spark):
+    """Suite check type 'manifest': identical tables pass; a single
+    flipped payload fails with exactly the touched bucket counted."""
+    from pyspark.sql import Row
+
+    from jsonschema_spark.operators.suite import run_suite
+
+    rows = [
+        Row(clip_id=f"clip-{i:012d}", bytes=bytes([i % 11]) * (20 + i))
+        for i in range(25)
+    ]
+    src = spark.createDataFrame(rows)
+    same = spark.createDataFrame(list(reversed(rows))).repartition(5)
+    flipped = spark.createDataFrame(
+        [Row(clip_id=r.clip_id,
+             bytes=(bytes([r.bytes[0] ^ 1]) + r.bytes[1:])
+             if r.clip_id == "clip-000000000003" else r.bytes)
+         for r in rows]
+    )
+    config = {
+        "checks": [
+            {"type": "manifest", "name": "copy_ok", "table": "src",
+             "ref_table": "dst_same", "n_buckets": 4},
+            {"type": "manifest", "name": "copy_corrupt", "table": "src",
+             "ref_table": "dst_flipped", "n_buckets": 4},
+        ]
+    }
+    rep = {
+        r["check_name"]: r
+        for r in run_suite(
+            {"src": src, "dst_same": same, "dst_flipped": flipped}, config
+        ).collect()
+    }
+    assert rep["copy_ok"]["status"] == "pass"
+    assert rep["copy_ok"]["metric"] == 0.0
+    assert rep["copy_corrupt"]["status"] == "fail"
+    assert rep["copy_corrupt"]["metric"] == 1.0  # exactly one bucket moved
