@@ -167,6 +167,18 @@ def _q_detailed_output_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_verbose_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2020-12 "verbose" output (spec §12.4.4): the FULL evaluation
+    hierarchy — every (instance, schema-location unit) pair, passing
+    units included with valid=true, exactly n_rows x n_units output rows.
+    Single explode of a per-row literal entry array + one narrow groupBy;
+    no join, no second scan, no Python."""
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(orders, ORDERS_JSON_SCHEMA).verbose_output_units(
+        ["o_orderkey"]
+    )
+
+
 def _q_flag_output_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2020-12 "flag" output format: one (key, valid) row per instance."""
     orders = load_table(spark, sf_dir, "orders")
@@ -969,6 +981,62 @@ def _q_sequence_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sessionization gap for the events feed: 8 hours. Median per-user
+#: inter-arrival is ~11 h at sf0.01, so the gap both merges (multi-event
+#: sessions exist) and splits (sessions-per-key > 1).
+_EVENTS_SESSION_GAP_S = 28800.0
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization of the events feed: one row per (user, session)
+    via the native session_window aggregation — one shuffle on the key;
+    the index/idle pass windows over per-SESSION rows only. Exact-integer
+    outputs (BIGINT micros differences, floor-cents value sums)."""
+    from jsonschema_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        ev, "user_id", "ts", gap_s=_EVENTS_SESSION_GAP_S,
+        id_col="event_id", value_col="value",
+    )
+
+
+def _q_session_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row fleet rollup of the session profile."""
+    from jsonschema_spark.operators.temporal import session_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_report(
+        ev, "user_id", "ts", gap_s=_EVENTS_SESSION_GAP_S, id_col="event_id"
+    )
+
+
+def _q_asof_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase event attributed to the user's
+    most recent click at-or-before it (equal instants match). Union-tag +
+    running last(ignorenulls) — ONE exchange on the key, zero joins in
+    the plan (vs the quadratic candidate-pair join); latency in exact
+    BIGINT micros. DuckDB replays it with a native ASOF LEFT JOIN."""
+    from jsonschema_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # the operator passes NULL-key/NULL-ts left rows through unmatched;
+    # the contract query pre-filters them so the oracle's NOT NULL gates
+    # see the same left set at any scale factor
+    purchases = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, "user_id", "ts",
+        right_cols=["event_id"], dedup_tie_col="event_id",
+    ).select("event_id", "user_id", "matched_event_id", "matched_latency_us")
+
+
 def _q_repair_coerce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-driven type coercion on a raw string ingest derived from
     events: integer/number/boolean columns rendered as strings with
@@ -1219,6 +1287,42 @@ def _q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+#: split fractions for the leakage-safe split query; thresholds are exact
+#: 60-bit integers computed once on the driver and inlined into BOTH the
+#: Spark CASE chain and the DuckDB oracle.
+_SPLIT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+_SPLIT_SEED = "split1"
+
+
+def _q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: near-duplicate clusters
+    (exact-jaccard pairs -> connected components) become the split unit,
+    so near-duplicates can never straddle train/test — the contamination
+    hole plain id-hash splitting leaves open. Split membership is a pure
+    md5_60 function of the cluster id (rerun-stable, auditor-recomputable);
+    the oracle replays clusters with a recursive CTE and the hash with
+    the same integer thresholds."""
+    from jsonschema_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.1, n=3)
+    clusters = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    grouped = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("split_group"),
+        )
+    )
+    return assign_splits(
+        grouped, "doc_id", _SPLIT_FRACTIONS,
+        group_col="split_group", seed=_SPLIT_SEED,
+    ).select("doc_id", "split_group", "split")
 
 
 def _q_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2226,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_summary": _q_validate_orders_summary,
         "basic_output_orders": _q_basic_output_orders,
         "detailed_output_orders": _q_detailed_output_orders,
+        "verbose_output_orders": _q_verbose_output_orders,
         "detailed_output_part": _q_detailed_output_part,
         "flag_output_orders": _q_flag_output_orders,
         "validate_orders_by_keyword": _q_validate_orders_by_keyword,
@@ -2275,6 +2380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_report_lineitem": _q_fd_report_lineitem,
         "fd_violating_groups_lineitem": _q_fd_violating_groups_lineitem,
         "sequence_events_user": _q_sequence_events_user,
+        "sessionize_events": _q_sessionize_events,
+        "session_report_events": _q_session_report_events,
+        "asof_attribution_events": _q_asof_attribution_events,
         "sequence_report_events": _q_sequence_report_events,
         "metric_history_orders": _q_metric_history_orders,
         "suite_report_relational": _q_suite_report_relational,
@@ -2293,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_jaccard_documents": _q_dedup_jaccard_documents,
         "dedup_clusters_documents": _q_dedup_clusters_documents,
+        "split_documents": _q_split_documents,
         "decontaminate_documents": _q_decontaminate_documents,
         "chunk_documents": _q_chunk_documents,
         "boilerplate_documents": _q_boilerplate_documents,
@@ -2471,6 +2580,54 @@ def _detailed_output_sql(
                CAST(count(*) AS BIGINT) AS n_errors_total
         FROM ({' UNION ALL '.join(parts)})
         GROUP BY {key}, u
+    """
+
+
+def _verbose_output_sql(
+    check_fails: list[tuple[str, str]],
+    base: str | None,
+    table: str = "orders",
+    key: str = "o_orderkey",
+) -> str:
+    """Verbose-output oracle: detailed's per-(key, unit) error aggregation
+    LEFT-JOINED onto the full (instance x unit) cross product, so passing
+    units appear with valid=true and zero counts."""
+    from jsonschema_spark.operators.validate import _schema_location_chain
+
+    parts = []
+    parents: dict[str, str | None] = {}
+    for ptr, fail in check_fails:
+        chain = _schema_location_chain(ptr)
+        for i, u in enumerate(chain):
+            parents.setdefault(u, chain[i - 1] if i else None)
+            d = 1 if i == len(chain) - 1 else 0
+            parts.append(
+                f"SELECT {key}, '{u}' AS u, {d} AS d FROM {table} WHERE {fail}"
+            )
+    parent_case = " ".join(
+        f"WHEN r.u = '{u}' THEN " + ("NULL" if p is None else f"'{p}'")
+        for u, p in parents.items()
+    )
+    unit_values = ", ".join(f"('{u}')" for u in sorted(parents))
+    abs_loc = f"'{base}#' || r.u" if base else "CAST(NULL AS VARCHAR)"
+    return f"""
+        WITH agg AS (
+          SELECT {key}, u,
+                 CAST(sum(d) AS BIGINT) AS nd,
+                 CAST(count(*) AS BIGINT) AS nt
+          FROM ({' UNION ALL '.join(parts)})
+          GROUP BY {key}, u
+        ), units(u) AS (VALUES {unit_values}),
+        all_rows AS (SELECT t.{key}, units.u FROM {table} t CROSS JOIN units)
+        SELECT r.{key},
+               r.u AS "keywordLocation",
+               CASE {parent_case} END AS "parentLocation",
+               {abs_loc} AS "absoluteKeywordLocation",
+               (agg.nt IS NULL) AS valid,
+               CAST(coalesce(agg.nd, 0) AS BIGINT) AS n_errors_direct,
+               CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_errors_total
+        FROM all_rows r LEFT JOIN agg
+          ON r.{key} = agg.{key} AND r.u = agg.u
     """
 
 
@@ -3010,6 +3167,38 @@ def _clusters_sql() -> str:
       SELECT e.u, re.r FROM edges e JOIN reach re ON re.node = e.v
     )
     SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+def _split_documents_sql() -> str:
+    """Leakage-safe split oracle: the clusters recursive CTE (same SQL as
+    dedup_clusters_documents) left-joined onto documents, then the md5_60
+    hash of the split group against the SAME integer thresholds the
+    operator compiled (driver-side constants, inlined full-precision)."""
+    names = list(_SPLIT_FRACTIONS)
+    thr: list[int] = []
+    cum = 0.0
+    for n in names[:-1]:
+        cum += float(_SPLIT_FRACTIONS[n])
+        thr.append(int(round(cum * (1 << 60))))
+    case = " ".join(
+        f"WHEN hh < {t} THEN '{n}'" for n, t in zip(names[:-1], thr)
+    )
+    return f"""
+    WITH cl AS ({_clusters_sql()}),
+    g AS (
+      SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_group
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    ),
+    h AS (
+      SELECT doc_id, split_group,
+             ('0x' || substr(md5('{_SPLIT_SEED}' || '|' ||
+                CAST(split_group AS VARCHAR)), 1, 15))::BIGINT AS hh
+      FROM g
+    )
+    SELECT doc_id, split_group,
+           CASE {case} ELSE '{names[-1]}' END AS split
+    FROM h
     """
 
 
@@ -4131,6 +4320,47 @@ def _ks_binned_sql(grid: tuple[float, float, int], cur_where: str,
 # to NULLS LAST on ASC, so NULLS FIRST is spelled explicitly to match
 # Spark's asc_nulls_first; gaps compare exact BIGINT microseconds
 # (epoch_us == Spark unix_micros).
+# Gaps-and-islands replay of operators/temporal.sessionize. The boundary
+# rule matches F.session_window exactly (new session iff delta > gap —
+# an exactly-gap-spaced event still merges; pinned by test_temporal).
+_SESSIONIZE_SQL = f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), m AS (
+      SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+                       OR t_us - lag(t_us) OVER w > {int(28800.0 * 1_000_000)}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY t_us ASC NULLS FIRST, event_id ASC NULLS FIRST)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id
+        ORDER BY t_us ASC NULLS FIRST, event_id ASC NULLS FIRST
+        ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ), g AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(event_id) AS BIGINT) AS min_event_id,
+             CAST(max(event_id) AS BIGINT) AS max_event_id,
+             CAST(max(t_us) - min(t_us) AS BIGINT) AS duration_us,
+             min(t_us) AS s_min, max(t_us) AS s_max,
+             CAST(sum(v_c) AS BIGINT) AS sum_value_c
+      FROM s GROUP BY user_id, sid
+    ), sess AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+             n_events, min_event_id, max_event_id, duration_us,
+             CAST(s_min - lag(s_max) OVER (
+               PARTITION BY user_id ORDER BY sid ASC NULLS FIRST
+             ) AS BIGINT) AS idle_before_us,
+             sum_value_c
+      FROM g
+    )
+"""
+
 _SEQUENCE_PROFILE_SQL = """
     WITH b AS (
       SELECT user_id, event_id AS i, ts AS t, epoch_us(ts) AS t_us
@@ -4576,6 +4806,11 @@ def oracle_sql() -> dict[str, str]:
             PART_LOGIC_SCHEMA["$id"],
             table="part",
             key="p_partkey",
+        ),
+        "verbose_output_orders": _verbose_output_sql(
+            [(ptr, fail)
+             for (ptr, _, _, _, fail) in _ORDERS_CHECK_FAILS.values()],
+            ORDERS_JSON_SCHEMA["$id"],
         ),
         "flag_output_orders": _flag_output_sql(),
         "validate_orders_summary": _orders_summary_sql(),
@@ -5176,6 +5411,40 @@ def oracle_sql() -> dict[str, str]:
                      AS ok
             FROM prof
         """,
+        "sessionize_events": _SESSIONIZE_SQL + """
+            SELECT * FROM sess
+        """,
+        "session_report_events": _SESSIONIZE_SQL + """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS singleton_sessions,
+                   CAST(max(n_events) AS BIGINT) AS max_session_events,
+                   CAST(max(duration_us) AS BIGINT) AS max_duration_us,
+                   CAST(max(idle_before_us) AS BIGINT) AS max_idle_us
+            FROM sess
+        """,
+        "asof_attribution_events": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t_us
+              FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+              SELECT user_id, epoch_us(ts) AS t_us,
+                     max(event_id) AS click_id
+              FROM events
+              WHERE event_type = 'click'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY user_id, epoch_us(ts)
+            )
+            SELECT p.event_id, p.user_id,
+                   c.click_id AS matched_event_id,
+                   CAST(p.t_us - c.t_us AS BIGINT) AS matched_latency_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.t_us >= c.t_us
+        """,
         "repair_coerce_events": """
             WITH raw AS (
               SELECT event_id,
@@ -5534,6 +5803,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_documents": _jaccard_sql(),
         "dedup_clusters_documents": _clusters_sql(),
+        "split_documents": _split_documents_sql(),
         "decontaminate_documents": _decontaminate_sql(),
         "pii_documents": _pii_sql(),
         "chunk_documents": f"""

@@ -419,6 +419,36 @@ def q_sequence_profile(spark: SparkSession):
     return sequence_report(ev, "user_id", "ts", "event_id", max_gap_s=216000.0).collect()
 
 
+def q_sessionize(spark: SparkSession):
+    """Gap sessionization of events (8h gap): native session_window agg
+    — one shuffle on the key; index/idle windows run over per-SESSION
+    rows only."""
+    from jsonschema_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, SF_DIR, "events")
+    s = sessionize(ev, "user_id", "ts", gap_s=28800.0, id_col="event_id",
+                   value_col="value")
+    return s.agg(F.count(F.lit(1)), F.sum("n_events")).collect()
+
+
+def q_asof_attribution(spark: SparkSession):
+    """Backward as-of join (purchase -> latest click per user): union-tag
+    + running last(ignorenulls) — ONE exchange, zero joins in the plan."""
+    from jsonschema_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    out = asof_join(p, c, "user_id", "ts", right_cols=["event_id"],
+                    dedup_tie_col="event_id")
+    return out.agg(
+        F.count(F.lit(1)), F.count("matched_event_id"),
+        F.max("matched_latency_us"),
+    ).collect()
+
+
 def q_clips_augment(spark: SparkSession):
     """Augmentation funnel over 10k clips: waveform time masking (ZERO
     Python — codegen'd md5_60 spans + JVM binary surgery) followed by 1.1x
@@ -474,6 +504,8 @@ QUERIES = {
     "clips_augment": q_clips_augment,
     "fd_report": q_fd_report,
     "sequence_profile": q_sequence_profile,
+    "sessionize": q_sessionize,
+    "asof_attribution": q_asof_attribution,
 }
 
 

@@ -267,3 +267,62 @@ def mixture_sample(
         .where(sample_uniform(F.col(key_col), seed) < F.col("rate"))
         .drop("rate")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float],
+    group_col: Optional[str] = None,
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test split assignment — leakage-safe when
+    grouped.
+
+    Every row gets ``out_col`` in ``fractions``' keys, chosen by where the
+    60-bit hash of its identity lands among cumulative-fraction
+    thresholds (exact integer literals — the DuckDB oracle inlines the
+    same ints). The identity is ``coalesce(group_col, key_col)`` when
+    ``group_col`` is given, else ``key_col``:
+
+    - Plain mode: split is a pure function of (seed, key) — rerun-stable,
+      no shuffle, fully codegen'd.
+    - Grouped mode (THE point): pass a near-duplicate cluster id
+      (``dedup.connected_components``) as ``group_col`` and every member
+      of a cluster lands in the SAME split — near-duplicates can never
+      straddle train/test, the standard contamination hole hash-splitting
+      on raw ids leaves open.
+
+    Fractions must sum to ~1 (assignment is total: last split takes the
+    tail, so rounding never drops a row). NULL identities all hash the
+    same tag and land together in one deterministic split — give rows a
+    real identity (or a cluster) before splitting.
+    """
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    total = float(sum(fractions[n] for n in names))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    thresholds: list[int] = []
+    cum = 0.0
+    for n in names[:-1]:
+        cum += float(fractions[n])
+        thresholds.append(int(round(cum * (1 << 60))))
+    identity = (
+        F.coalesce(F.col(group_col), F.col(key_col))
+        if group_col is not None
+        else F.col(key_col)
+    )
+    h = sample_hash(identity, seed)
+    expr = None
+    for name, thr in zip(names[:-1], thresholds):
+        branch = h < F.lit(thr)
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jsonschema_spark.plans.compile import (
@@ -423,6 +423,92 @@ class ValidationResult:
             F.element_at(parent_map, F.col("unit")).alias("parentLocation"),
             abs_loc.alias("absoluteKeywordLocation"),
             F.lit(False).alias("valid"),
+            "n_errors_direct",
+            "n_errors_total",
+        )
+
+    def verbose_output_units(self, key_cols: Sequence[str]) -> DataFrame:
+        """2020-12 "verbose" output (spec §12.4.4), relationally rendered:
+        the FULL evaluation hierarchy — every schema-location unit for
+        every instance, passing units included — one row per (instance,
+        unit) with the same columns as :meth:`detailed_output_units` plus
+        a real ``valid`` flag (detailed prunes passing units; verbose
+        keeps them, so the output has exactly n_instances x n_units rows).
+
+        Plan shape: the unit set and every check's ancestor chain are
+        static, so each row contributes ONE concat of (a) its violations
+        flattened through a literal pointer->ancestor-entries map and (b)
+        a literal zero-weight entry per unit — a single explode + one
+        narrow groupBy((key..., unit)). No join, no second scan of the
+        annotated frame (referencing it twice would re-plan the whole
+        validation upstream — see CLAUDE.md), no per-row Python."""
+        chains: dict[str, list[str]] = {}
+        for c in self.compiled.checks:
+            chains.setdefault(c.pointer, _schema_location_chain(c.pointer))
+        root_id = self.compiled.schema.id
+
+        def entry(u: str, w: int, d: int) -> Column:
+            return F.struct(
+                F.lit(u).alias("u"),
+                F.lit(w).alias("w"),
+                F.lit(d).alias("d"),
+            )
+
+        map_items = []
+        parent_items: list[Column] = []
+        seen: set[str] = set()
+        for ptr, units in chains.items():
+            map_items.append(F.lit(ptr))
+            map_items.append(
+                F.array(*[
+                    entry(u, 1, 1 if i == len(units) - 1 else 0)
+                    for i, u in enumerate(units)
+                ])
+            )
+            for i, u in enumerate(units):
+                if u not in seen:
+                    seen.add(u)
+                    parent_items.append(F.lit(u))
+                    parent_items.append(
+                        F.lit(units[i - 1]) if i else F.lit(None).cast("string")
+                    )
+        anc_map = F.create_map(*map_items)
+        parent_map = F.create_map(*parent_items)
+        all_units = sorted(seen)
+        zero_entries = F.array(*[entry(u, 0, 0) for u in all_units])
+
+        entries = F.concat(
+            F.flatten(
+                F.transform(
+                    F.col("_violations"),
+                    lambda v: F.element_at(anc_map, v["keyword_path"]),
+                )
+            ),
+            zero_entries,
+        )
+        x = self.annotated.select(
+            *key_cols, F.explode(entries).alias("_e")
+        ).select(
+            *key_cols,
+            F.col("_e.u").alias("unit"),
+            F.col("_e.w").alias("_w"),
+            F.col("_e.d").alias("_d"),
+        )
+        g = x.groupBy(*key_cols, "unit").agg(
+            F.sum("_w").alias("n_errors_total"),
+            F.sum("_d").alias("n_errors_direct"),
+        )
+        abs_loc = (
+            F.concat(F.lit(root_id), F.lit("#"), F.col("unit"))
+            if root_id
+            else F.lit(None).cast("string")
+        )
+        return g.select(
+            *key_cols,
+            F.col("unit").alias("keywordLocation"),
+            F.element_at(parent_map, F.col("unit")).alias("parentLocation"),
+            abs_loc.alias("absoluteKeywordLocation"),
+            (F.col("n_errors_total") == 0).alias("valid"),
             "n_errors_direct",
             "n_errors_total",
         )

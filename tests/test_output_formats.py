@@ -157,3 +157,54 @@ def test_detailed_output_units_nested(spark):
     assert by["/allOf/0"]["n_errors_direct"] == 0
     assert by["/allOf/0/properties/v"]["parentLocation"] == "/allOf/0"
     assert by["/allOf/0/properties/v"]["n_errors_direct"] == 1
+
+
+def test_verbose_output_units_flat(spark):
+    res = _res(spark)
+    rows = res.verbose_output_units(["k"]).collect()
+    units = {r["keywordLocation"] for r in rows}
+    n_inst = 3
+    # full hierarchy: every (instance, unit) pair, passing units included
+    assert len(rows) == n_inst * len(units)
+    by = {(r["k"], r["keywordLocation"]): r for r in rows}
+    # instance 1 passes everywhere
+    for u in units:
+        r = by[(1, u)]
+        assert r["valid"] is True
+        assert r["n_errors_direct"] == 0 and r["n_errors_total"] == 0
+    # instance 2: same error units/counts as detailed, plus valid flags
+    det = {
+        (r["k"], r["keywordLocation"]): r
+        for r in res.detailed_output_units(["k"]).collect()
+    }
+    for (k, u), d in det.items():
+        v = by[(k, u)]
+        assert v["valid"] is False
+        assert v["n_errors_direct"] == d["n_errors_direct"]
+        assert v["n_errors_total"] == d["n_errors_total"]
+        assert v["parentLocation"] == d["parentLocation"]
+        assert v["absoluteKeywordLocation"] == d["absoluteKeywordLocation"]
+    root = by[(2, "")]
+    assert root["parentLocation"] is None and root["n_errors_total"] == 2
+
+
+def test_verbose_output_units_nested(spark):
+    df = spark.createDataFrame(
+        [(1, "x", -2.0), (2, "abc", 1.0)], "k int, s string, v double"
+    )
+    rows = validate(df, NESTED_SCHEMA).verbose_output_units(["k"]).collect()
+    by = {(r["k"], r["keywordLocation"]): r for r in rows}
+    units = {u for (_, u) in by}
+    assert units == {
+        "",
+        "/allOf/0",
+        "/allOf/0/properties/v",
+        "/allOf/1",
+        "/allOf/1/properties/s",
+    }
+    assert len(rows) == 2 * len(units)
+    assert by[(2, "")]["valid"] is True
+    assert by[(1, "")]["valid"] is False
+    assert by[(1, "/allOf/0/properties/v")]["n_errors_direct"] == 1
+    assert by[(1, "/allOf/0")]["parentLocation"] == ""
+    assert by[(2, "/allOf/1/properties/s")]["n_errors_total"] == 0

@@ -192,3 +192,53 @@ def test_mixture_sample_weighted_mass(docs):
     s = mixture_sample(docs, "doc_id", "lang", 20000, weight_col="n_chars", seed="m")
     kept_mass = s.agg(F.sum("n_chars")).collect()[0][0]
     assert 12000 < kept_mass < 28000
+
+
+def test_assign_splits_total_and_deterministic(docs):
+    from jsonschema_spark.operators.sampling import assign_splits
+
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = assign_splits(docs, "doc_id", fr, seed="s")
+    b = assign_splits(docs, "doc_id", fr, seed="s")
+    rows_a = {r["doc_id"]: r["split"] for r in a.collect()}
+    rows_b = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert rows_a == rows_b  # rerun-stable
+    assert len(rows_a) == docs.count()  # total assignment, no drops
+    counts = {}
+    for s in rows_a.values():
+        counts[s] = counts.get(s, 0) + 1
+    n = len(rows_a)
+    assert counts.get("train", 0) > 0.6 * n  # binomial around 0.8
+    assert set(counts) <= {"train", "valid", "test"}
+
+
+def test_assign_splits_group_cohesion(spark):
+    """THE leakage property: every member of a group lands in the same
+    split, whatever the group sizes."""
+    from jsonschema_spark.operators.sampling import assign_splits
+
+    rows = [(i, i % 37) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster long")
+    out = assign_splits(
+        df, "doc_id", {"train": 0.5, "valid": 0.25, "test": 0.25},
+        group_col="cluster", seed="g",
+    )
+    per_group = (
+        out.groupBy("cluster")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    # and the groups themselves spread over more than one split
+    assert out.select("split").distinct().count() > 1
+
+
+def test_assign_splits_rejects_bad_fractions(docs):
+    import pytest
+
+    from jsonschema_spark.operators.sampling import assign_splits
+
+    with pytest.raises(ValueError):
+        assign_splits(docs, "doc_id", {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError):
+        assign_splits(docs, "doc_id", {"all": 1.0})
