@@ -1754,7 +1754,9 @@ def _q_suite_report_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-skew gate — all from ONE config. Mixed verdicts by construction:
     the planted-failing FD and the zero-tolerance sequence check fail,
     the 100000 s freshness and 25% skew gates pass, the 1-day freshness
-    gate fails (events end ~2024-01-30, as_of 2024-02-01)."""
+    gate fails (events end ~2024-01-30, as_of 2024-02-01), and the 48 h
+    stuck-session gate fails at sf0.01 (longest 8h-gap session ≈ 61 h)
+    while passing at sf0.001 (≈ 36 h)."""
     from jsonschema_spark.operators.suite import run_suite
 
     tables = {
@@ -1777,6 +1779,10 @@ def _q_suite_report_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
              "max_age_s": 86400.0},
             {"type": "skew", "name": "event_type_skew", "table": "events",
              "column": "event_type", "max_share_ppm": 250000},
+            {"type": "session", "name": "events_stuck_sessions",
+             "table": "events", "key": "user_id", "ts": "ts",
+             "id": "event_id", "gap_s": _EVENTS_SESSION_GAP_S,
+             "max_duration_s": 172800.0},
         ]
     }
     return run_suite(tables, config)
@@ -5534,6 +5540,34 @@ def oracle_sql() -> dict[str, str]:
                      AS DOUBLE) AS metric
               FROM (SELECT count(*) AS cnt FROM events
                     WHERE event_type IS NOT NULL GROUP BY event_type)
+            ), sess_m AS (
+              SELECT CAST(max(mx - mn) AS DOUBLE)
+                     / CAST(1000000 AS DOUBLE) AS metric
+              FROM (
+                SELECT user_id, sid, min(t_us) AS mn, max(t_us) AS mx
+                FROM (
+                  SELECT user_id, event_id, t_us,
+                         sum(new_s) OVER (
+                           PARTITION BY user_id
+                           ORDER BY t_us ASC NULLS FIRST,
+                                    event_id ASC NULLS FIRST
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM (
+                    SELECT user_id, event_id, t_us,
+                           CASE WHEN lag(t_us) OVER w IS NULL
+                                  OR t_us - lag(t_us) OVER w
+                                     > {int(28800.0 * 1_000_000)}
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM (SELECT user_id, event_id, epoch_us(ts) AS t_us
+                          FROM events
+                          WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY t_us ASC NULLS FIRST,
+                                          event_id ASC NULLS FIRST)
+                  )
+                )
+                GROUP BY user_id, sid
+              )
             )
             SELECT 'partkey_suppkey' AS check_name, 'fd' AS check_type,
                    metric, CAST(0.0 AS DOUBLE) AS threshold,
@@ -5557,6 +5591,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'event_type_skew', 'skew', metric, CAST(250000.0 AS DOUBLE),
                    CASE WHEN metric <= CAST(250000.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END
             FROM skw
+            UNION ALL
+            SELECT 'events_stuck_sessions', 'session', metric,
+                   CAST(172800.0 AS DOUBLE),
+                   CASE WHEN coalesce(metric <= CAST(172800.0 AS DOUBLE), FALSE)
+                        THEN 'pass' ELSE 'fail' END
+            FROM sess_m
         """,
         "metric_history_orders": """
             WITH b AS (

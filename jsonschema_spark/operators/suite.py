@@ -278,6 +278,28 @@ def _check_sequence(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_session(df: DataFrame, spec: dict) -> DataFrame:
+    """Stuck-session detector: metric = the longest gap-session duration
+    in seconds (``gap_s`` defines the session boundary). A session longer
+    than the SLA means some key never goes idle — bot traffic, a replayed
+    feed, or a stuck producer re-emitting under one id. An empty feed
+    yields NULL and FAILS (no sessions is never healthy)."""
+    from jsonschema_spark.operators.temporal import session_report
+
+    max_duration_s = float(spec["max_duration_s"])
+    rep = session_report(
+        df, spec["key"], spec["ts"], float(spec["gap_s"]), spec["id"]
+    )
+    agg = rep.select(
+        (F.col("max_duration_us") / F.lit(1_000_000.0)).alias("dur_s")
+    )
+    metric = F.col("dur_s")
+    return _report_row(
+        spec["name"], "session", metric, max_duration_s,
+        F.coalesce(metric <= max_duration_s, F.lit(False)),
+    )(agg)
+
+
 def _check_freshness(df: DataFrame, spec: dict) -> DataFrame:
     """Data freshness: metric = age in seconds of the newest timestamp vs
     ``as_of`` (ISO string in the config — declarative and replayable;
@@ -397,6 +419,7 @@ _CHECKS = {
     "reconcile": _check_reconcile,
     "fd": lambda df, spec, tables: _check_fd(df, spec),
     "sequence": lambda df, spec, tables: _check_sequence(df, spec),
+    "session": lambda df, spec, tables: _check_session(df, spec),
     "freshness": lambda df, spec, tables: _check_freshness(df, spec),
     "skew": lambda df, spec, tables: _check_skew(df, spec),
     "mean_between": lambda df, spec, tables: _check_mean_between(df, spec),

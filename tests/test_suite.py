@@ -315,3 +315,43 @@ def test_suite_completeness_categories(spark):
     ])
     assert rep["codecs"]["metric"] == 1.0 and rep["codecs"]["status"] == "fail"
     assert rep["codecs_lenient"]["status"] == "pass"
+
+
+def test_suite_session_check(spark):
+    """Stuck-session gate: tight SLA fails, loose SLA passes; empty feed
+    fails (never vanishes)."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.suite import run_suite
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2026-01-01 00:00:00"),
+            (1, 11, "2026-01-01 00:00:40"),
+            (1, 12, "2026-01-01 00:01:20"),  # one 80s session
+            (2, 20, "2026-01-01 00:00:00"),
+        ],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cfg = {
+        "checks": [
+            {"type": "session", "name": "tight", "table": "t",
+             "key": "user_id", "ts": "ts", "id": "event_id",
+             "gap_s": 60.0, "max_duration_s": 30.0},
+            {"type": "session", "name": "loose", "table": "t",
+             "key": "user_id", "ts": "ts", "id": "event_id",
+             "gap_s": 60.0, "max_duration_s": 300.0},
+        ]
+    }
+    rows = {r["check_name"]: r for r in run_suite({"t": df}, cfg).collect()}
+    assert rows["tight"]["status"] == "fail"
+    assert rows["tight"]["metric"] == 80.0
+    assert rows["loose"]["status"] == "pass"
+
+    empty = df.where(F.lit(False))
+    out = run_suite({"t": empty}, {"checks": [
+        {"type": "session", "name": "none", "table": "t",
+         "key": "user_id", "ts": "ts", "id": "event_id",
+         "gap_s": 60.0, "max_duration_s": 300.0},
+    ]}).collect()
+    assert len(out) == 1 and out[0]["status"] == "fail"
