@@ -1919,6 +1919,38 @@ def _q_clips_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMAGES_N = 300
+
+
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over the REAL-PNG ledger corpus: scan -> zlib
+    inflate + scanline unfilter + block-mean + gradient bits in ONE Arrow
+    hop. The oracle reads the planted ``_dhash`` (computed from SOURCE
+    pixels at synth time, never through the codec), so a hash match
+    certifies the whole encode->store->decode->hash path bit-for-bit."""
+    from jsonschema_spark.functions.multimodal import image_dhash
+    from jsonschema_spark.sources.images import materialized_images
+
+    images, _ = materialized_images(spark, _IMAGES_N)
+    return image_dhash(images)
+
+
+def _q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (dHash Hamming <= 3): banded 4x16-bit
+    self-join, pigeonhole-complete, exact xor+bit_count verify — the
+    image face of the SimHash machinery. The oracle brute-forces all
+    pairs from the ledger hashes (n is small; pigeonhole makes banded ==
+    brute for Hamming <= 3), so candidate generation AND verification
+    are both certified."""
+    from jsonschema_spark.operators.dedup import image_near_dup_pairs
+    from jsonschema_spark.sources.images import materialized_images
+
+    images, _ = materialized_images(spark, _IMAGES_N)
+    return image_near_dup_pairs(images, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 _ULAW_N = 600
 _ULAW_SNR_GATE_DB = 15.0  # see _q_clips_ulaw_decode gate calibration
 
@@ -2427,6 +2459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segments_transcript": _q_clips_segments_transcript,
         "clips_gain_normalize": _q_clips_gain_normalize,
         "clips_ulaw_decode": _q_clips_ulaw_decode,
+        "image_dhash": _q_image_dhash,
+        "image_near_dup_pairs": _q_image_near_dup_pairs,
         "clips_alaw_decode": _q_clips_alaw_decode,
         "clips_speed_perturb": _q_clips_speed_perturb,
         "clips_time_mask": _q_clips_time_mask,
@@ -3878,6 +3912,33 @@ def _clips_gain_normalize_sql() -> str:
                h.gain AS gain,
                md5(h.oh) AS out_md5
         FROM h JOIN g USING (clip_id)
+    """
+
+
+def _image_dhash_sql() -> str:
+    """dHash ledger oracle: the materialized parquet's planted truth
+    (the Spark query materializes the corpus before the oracle runs —
+    same protocol as the ulaw/alaw ledgers)."""
+    from jsonschema_spark.sources.images import images_path
+
+    src = f"read_parquet('{images_path(_IMAGES_N)}/*.parquet')"
+    return f"""
+        SELECT image_id, CAST(_dhash AS BIGINT) AS dhash, TRUE AS decode_ok
+        FROM {src}
+    """
+
+
+def _image_near_dup_pairs_sql() -> str:
+    """Brute-force all-pairs Hamming over the ledger hashes — independent
+    of banding; equals the banded set for Hamming <= 3 by pigeonhole."""
+    from jsonschema_spark.sources.images import images_path
+
+    src = f"read_parquet('{images_path(_IMAGES_N)}/*.parquet')"
+    return f"""
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a._dhash, b._dhash)) AS INTEGER) AS hamming
+        FROM {src} a JOIN {src} b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a._dhash, b._dhash)) <= 3
     """
 
 
@@ -5963,6 +6024,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_segments_transcript": _clips_segments_transcript_sql(),
         "clips_gain_normalize": _clips_gain_normalize_sql(),
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
+        "image_dhash": _image_dhash_sql(),
+        "image_near_dup_pairs": _image_near_dup_pairs_sql(),
         "clips_alaw_decode": _clips_alaw_decode_sql(),
         "clips_speed_perturb": _clips_speed_perturb_sql(),
         "clips_time_mask": _clips_time_mask_sql(),

@@ -319,6 +319,81 @@ def image_features(df: DataFrame, id_col: str = "image_id",
     return df.select(id_col, bytes_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+#: dHash grid: 8 rows x 9 cols of block means -> 8x8 horizontal-gradient
+#: sign bits. The perceptual standard (Krawetz "Kind of Like That"):
+#: robust to re-encode/resize/brightness shifts, 64 bits join-able with
+#: the same 4x16-bit banding SimHash uses.
+DHASH_ROWS, DHASH_COLS = 8, 9
+
+
+def dhash_from_pixels(px: np.ndarray) -> int:
+    """64-bit perceptual difference hash of a grayscale pixel array.
+
+    Block-mean downscale to an 8x9 grid (``np.array_split`` — exact,
+    deterministic, no resample kernel), then bit (r, c) = 1 iff
+    grid[r, c] > grid[r, c+1], packed row-major MSB-first into a SIGNED
+    64-bit int (two's complement — bitwise xor/bit_count are sign-blind,
+    and BIGINT round-trips through parquet/DuckDB exactly).
+
+    Shared by the Spark kernel (decoded payload pixels) and the image
+    ledger generator (planted source pixels): PNG grayscale is lossless,
+    so the contract pins the whole encode->store->decode->hash path
+    against pixel-level ground truth."""
+    g = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.float64)
+    for r, rows in enumerate(np.array_split(px.astype(np.float64), DHASH_ROWS, axis=0)):
+        for c, block in enumerate(np.array_split(rows, DHASH_COLS, axis=1)):
+            g[r, c] = block.mean()
+    val = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            val = (val << 1) | int(g[r, c] > g[r, c + 1])
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Per-image 64-bit perceptual dHash: decode + hash in ONE Arrow hop
+    (partition-preserving ``mapInPandas``, no shuffle). Undecodable or
+    NULL payloads yield decode_ok=false with a NULL hash (poison-pill
+    isolation). Band extraction for the LSH join stays JVM-side — it is
+    cheap integer shifting on the hash column, unlike the hyperplane-dot
+    case where bucketing belongs inside the Arrow hop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hashes, oks = [], [], []
+            for iid, raw in zip(b[id_col].tolist(), b[bytes_col].tolist()):
+                ids.append(iid)
+                if raw is None:
+                    hashes.append(None)
+                    oks.append(False)
+                    continue
+                try:
+                    _w, _h, px = decode_image(bytes(raw))
+                    hashes.append(dhash_from_pixels(px))
+                    oks.append(True)
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {"image_id": ids, "dhash": pd.array(hashes, dtype="Int64"),
+                 "decode_ok": oks}
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, IMAGE_DHASH_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_id",
                   bytes_col: str = "bytes", n_frames_col: str = "n_frames") -> DataFrame:
     """Frame sampling: the frame-index fan-out happens JVM-side (sequence +

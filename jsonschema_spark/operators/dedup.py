@@ -464,6 +464,71 @@ def simhash_pairs(
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def image_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    payload_col: str = "bytes",
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual dHash Hamming distance —
+    the image analogue of :func:`simhash_pairs` (re-encoded / re-crawled
+    copies of the same picture under different ids).
+
+    Pipeline: decode + dHash in ONE Arrow hop
+    (functions/multimodal.image_dhash) -> persist barrier (the 4 band
+    projections and both sides of the bucket self-join would each re-run
+    the decode UDF otherwise — the Catalyst re-expansion gotcha) ->
+    4x16-bit band self-join (pigeonhole-complete for Hamming <= 3) ->
+    exact Hamming via codegen'd xor + bit_count. Undecodable payloads
+    drop out ABOVE the persist barrier (filtering below it would
+    duplicate the UDF — see audio_near_dup_pairs).
+
+    Scale: banded join only, never all-pairs; parallelism = bucket count;
+    an exact-duplicate storm concentrates in one bucket — run
+    :func:`distinct_by_content` first if exact dups dominate."""
+    from jsonschema_spark.functions.multimodal import image_dhash
+
+    sig = image_dhash(
+        _parallelize(images, id_col), id_col=id_col, bytes_col=payload_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ok = sig.filter(F.col("decode_ok")).select(
+        F.col("image_id").alias("_id"), F.col("dhash").alias("_sig")
+    )
+    band_mask = (1 << 16) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_sig"), b * 16)
+                .bitwiseAND(F.lit(band_mask))
+                .alias("bval"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = ok.select("_id", "_sig", F.explode(bands).alias("_b")).select(
+        "_id", "_sig", "_b.band", "_b.bval"
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bval"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("sig_a"),
+            F.col("r._sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    )
+    return ham.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def audio_near_dup_pairs(
     clips: DataFrame,
     threshold: float = 0.97,

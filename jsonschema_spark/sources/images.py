@@ -1,0 +1,109 @@
+"""Deterministic ledger image corpus (real PNG payloads) for the image
+near-dup contract queries.
+
+Every row carries BOTH the PNG payload and planted pixel-level ground
+truth (``_dhash``, computed by the SAME public dHash arithmetic directly
+from the source pixel array — never through the codec). Grayscale PNG is
+lossless, so the Spark pipeline (scan -> zlib inflate -> unfilter ->
+block-mean -> gradient bits) must land on the ledger value exactly; the
+DuckDB oracle reads the materialized parquet and replays hashing-level
+logic (banding, xor bit_count) from ``_dhash`` alone. That certifies the
+full encode->store->decode->hash path against planted truth while
+keeping the oracle engine-independent (DuckDB cannot inflate PNGs; it
+does not need to).
+
+Family layout (i = row index, three members per family):
+- member 0: base image — per-family RNG uint8 luma, 48x32;
+- member 1: EXACT pixel duplicate of the base under a different id
+  (guaranteed Hamming-0 pair — re-encoded/re-crawled copy);
+- member 2: perturbed copy (~6% pixels +/-16) — strong enough to flip
+  a few gradient bits: the planted positives spread over Hamming 0..>3
+  (some fall outside the threshold — real negatives among same-family
+  pairs, not just cross-family ones). The truth is whatever ``_dhash``
+  says: pairs are DERIVED from the ledger, never assumed.
+
+Oracle-cache protocol: materialized once under /tmp/jss_oracle_cache
+(atomic rename, bit-identical across sessions); bump ``_IMAGES_VER``
+when generator arithmetic changes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from jsonschema_spark.functions.multimodal import dhash_from_pixels, encode_png
+from jsonschema_spark.sources.clips import _MATERIALIZE_ROOT, publish_once
+
+_IMAGES_VER = "v2"
+IMG_W, IMG_H = 48, 32
+MEMBERS_PER_FAMILY = 3
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_dhash", T.LongType(), False),
+    ]
+)
+
+
+def _base_pixels(family: int) -> np.ndarray:
+    rng = np.random.RandomState(900_001 + family)
+    return rng.randint(0, 256, size=(IMG_H, IMG_W)).astype(np.uint8)
+
+
+def _pixels(i: int) -> np.ndarray:
+    family, member = divmod(i, MEMBERS_PER_FAMILY)
+    px = _base_pixels(family)
+    if member == 2:
+        rng = np.random.RandomState(500_001 + i)
+        mask = rng.rand(IMG_H, IMG_W) < 0.06
+        delta = rng.randint(-16, 17, size=(IMG_H, IMG_W))
+        px = np.clip(
+            px.astype(np.int16) + np.where(mask, delta, 0), 0, 255
+        ).astype(np.uint8)
+    return px
+
+
+def _row(i: int) -> tuple:
+    px = _pixels(i)
+    return (
+        f"img-{i:06d}",
+        bytearray(encode_png(px)),
+        IMG_W,
+        IMG_H,
+        i,
+        dhash_from_pixels(px),  # truth from SOURCE pixels, not the codec
+    )
+
+
+def synth_images(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    """Deterministic PNG image table with the planted _dhash ledger."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_row),
+        IMAGES_SCHEMA,
+    )
+
+
+def images_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"images_{_IMAGES_VER}_{n}")
+
+
+def materialized_images(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """Image ledger table materialized once (oracle-cache protocol); the
+    DuckDB oracle reads the SAME files."""
+    path = images_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_images(spark, n), path)
+    return spark.read.parquet(path), path

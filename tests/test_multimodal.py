@@ -287,3 +287,69 @@ def test_image_features_over_png(spark):
         r = got[k]
         assert r["decode_ok"] and (r["width"], r["height"]) == (w, h)
         assert abs(r["mean_luma"] - mean) < 1e-9
+
+
+def test_dhash_png_round_trip():
+    """dHash of decoded PNG pixels == dHash of source pixels (lossless)."""
+    import numpy as np
+
+    from jsonschema_spark.functions.multimodal import (
+        dhash_from_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(32, 48)).astype(np.uint8)
+    w, h, dec = decode_image(encode_png(px))
+    assert (w, h) == (48, 32)
+    assert dhash_from_pixels(dec) == dhash_from_pixels(px)
+
+
+def test_dhash_signed_packing():
+    """An all-ones top bit packs into a NEGATIVE int64 (two's complement)."""
+    import numpy as np
+
+    from jsonschema_spark.functions.multimodal import dhash_from_pixels
+
+    # strictly decreasing columns -> every gradient bit is 1 -> hash -1
+    px = np.tile(np.arange(255, 255 - 48, -1, dtype=np.uint8), (32, 1))
+    assert dhash_from_pixels(px) == -1
+    # strictly increasing -> all zero
+    px = np.tile(np.arange(0, 48, dtype=np.uint8), (32, 1))
+    assert dhash_from_pixels(px) == 0
+
+
+def test_image_near_dup_pairs_matches_brute(spark):
+    """Banded pairs == brute-force over the ledger hashes (pigeonhole),
+    exact dups at Hamming 0, undecodable rows poison-pilled out."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.dedup import image_near_dup_pairs
+    from jsonschema_spark.sources.images import synth_images
+
+    images = synth_images(spark, 60).withColumn(
+        "bytes",
+        F.when(F.col("_row_idx") == 59, F.lit(b"not an image")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    got = image_near_dup_pairs(images, max_hamming=3)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in got.collect()}
+    # brute force over the ledger truth (excluding the poisoned row)
+    truth = {
+        r["image_id"]: r["_dhash"]
+        for r in images.select("image_id", "_dhash").collect()
+        if r["image_id"] != "img-000059"
+    }
+    expect = {}
+    ids = sorted(truth)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((truth[a] ^ truth[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert rows == expect
+    # every family's exact duplicate is present at hamming 0
+    assert all(
+        rows.get((f"img-{f*3:06d}", f"img-{f*3+1:06d}")) == 0 for f in range(19)
+    )
