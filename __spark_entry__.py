@@ -1919,6 +1919,64 @@ def _q_clips_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_layout_report(mode: str):
+    """File-layout health over a deterministic multi-file corpus: small-
+    file row stats + min/max data-skipping effectiveness on the key
+    column. The per-file profile comes from input_file_name() + one
+    narrow groupBy; the pair join runs over per-FILE rows (8 here,
+    thousands at 100 TB). File names are task-UUIDs, so only the one-row
+    aggregate is emitted; the oracle regroups by DuckDB's own filename
+    column and must land on identical totals."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from jsonschema_spark.operators.layout import layout_report
+        from jsonschema_spark.sources.layouts import materialized_layout
+
+        df, _ = materialized_layout(spark, mode)
+        return layout_report(df, "k")
+
+    q.__doc__ = _q_layout_report.__doc__
+    return q
+
+
+def _layout_report_sql(mode: str) -> str:
+    from jsonschema_spark.sources.layouts import layout_path
+
+    src = f"read_parquet('{layout_path(mode)}/*/*.parquet', filename=true)"
+    return f"""
+        WITH p AS (
+          SELECT filename AS f,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(k) AS lo, max(k) AS hi
+          FROM {src} GROUP BY 1
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                 CAST(min(n_rows) AS BIGINT) AS min_file_rows,
+                 CAST(max(n_rows) AS BIGINT) AS max_file_rows
+          FROM p
+        ), o AS (
+          SELECT CAST(count(*) AS BIGINT) AS total_pairs,
+                 CAST(coalesce(sum(CASE WHEN a.lo <= b.hi AND b.lo <= a.hi
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS overlap_pairs
+          FROM p a JOIN p b ON a.f < b.f
+        )
+        SELECT n_files, n_rows, min_file_rows, max_file_rows,
+               CAST(n_rows AS DOUBLE) / CAST(n_files AS DOUBLE)
+                 AS avg_file_rows,
+               CAST(max_file_rows AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_files AS DOUBLE))
+                 AS row_skew,
+               overlap_pairs, total_pairs,
+               CASE WHEN total_pairs > 0
+                    THEN CAST(overlap_pairs AS DOUBLE)
+                         / CAST(total_pairs AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS overlap_fraction
+        FROM s, o
+    """
+
+
 _IMAGES_N = 300
 
 
@@ -2461,6 +2519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_ulaw_decode": _q_clips_ulaw_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
+        "layout_report_range": _q_layout_report("range"),
+        "layout_report_hash": _q_layout_report("hash"),
         "clips_alaw_decode": _q_clips_alaw_decode,
         "clips_speed_perturb": _q_clips_speed_perturb,
         "clips_time_mask": _q_clips_time_mask,
@@ -6026,6 +6086,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
+        "layout_report_range": _layout_report_sql("range"),
+        "layout_report_hash": _layout_report_sql("hash"),
         "clips_alaw_decode": _clips_alaw_decode_sql(),
         "clips_speed_perturb": _clips_speed_perturb_sql(),
         "clips_time_mask": _clips_time_mask_sql(),

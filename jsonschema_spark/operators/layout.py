@@ -1,0 +1,123 @@
+"""File-layout health: small-file profile + data-skipping effectiveness.
+
+At 100 TB the physical layout decides scan cost as much as the plan does:
+a table shattered into millions of tiny files drowns the driver in task
+scheduling and footer reads, and a table whose files all overlap on the
+query column defeats min/max data skipping entirely (every file survives
+pruning, every query is a full scan). This module reports both — the
+validation-engine face of table maintenance (compaction / clustering
+advisors in Iceberg/Delta tooling).
+
+Operators:
+- :func:`file_profile` — one row per data file: row count + per-column
+  min/max, from ``F.input_file_name()`` + one narrow groupBy. ONE scan of
+  only the profiled columns; file count rows reach the driver, never data.
+- :func:`layout_report` — one-row verdict over the profile:
+  - small-file signals: n_files, rows per file (min/avg/max), the
+    row-skew ratio (max/avg) that predicts straggler tasks;
+  - skipping signals on a target column: ``overlap_pairs`` (file pairs
+    whose [min, max] ranges intersect — 0 for a range-partitioned /
+    Z-ordered layout, n*(n-1)/2 for a fully unclustered one) and
+    ``overlap_fraction``; the pair join is over per-FILE rows (thousands
+    at 100 TB), trivially small next to the scan it advises about.
+
+Determinism (oracle contract): files are identified by FULL path (scheme
+stripped) — basenames are NOT unique under Hive-style ``partitionBy``
+output, where sibling directories reuse the same task-partition-id +
+job-UUID basename. Per-file rows never cross engines (names are task
+UUIDs); only the one-row aggregate does, so Spark/DuckDB path-spelling
+differences are irrelevant. Rows-per-file averages use exact integer
+sums with a single double division at the end.
+
+The reference library has no engine/layout surface (SURVEY.md §2C —
+engine capability, no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def file_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-data-file profile: (file, n_rows, min_<c>, max_<c> ...).
+
+    ``file`` is the full path (``file:`` scheme stripped) of the physical
+    file each row came from — basenames alone collide across Hive-style
+    partition directories. NULL-only files yield NULL min/max (and count
+    toward overlap as non-overlapping — no range, nothing to skip or not
+    skip)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.withColumn(
+            "file",
+            F.regexp_replace(F.input_file_name(), r"^file:(//)?", ""),
+        )
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def layout_report(df: DataFrame, column: str) -> DataFrame:
+    """One-row layout verdict for pruning on ``column``.
+
+    Columns: n_files, n_rows, min_file_rows / max_file_rows,
+    avg_file_rows (double), row_skew (max/avg), overlap_pairs,
+    total_pairs, overlap_fraction (0.0 = perfectly clustered on
+    ``column``, 1.0 = every file overlaps every other — min/max skipping
+    prunes nothing).
+    """
+    prof = file_profile(df, [column]).persist()
+    lo, hi = f"min_{column}", f"max_{column}"
+    a = prof.select(
+        F.col("file").alias("fa"), F.col(lo).alias("lo_a"), F.col(hi).alias("hi_a")
+    )
+    b = prof.select(
+        F.col("file").alias("fb"), F.col(lo).alias("lo_b"), F.col(hi).alias("hi_b")
+    )
+    # per-FILE pair join: n_files^2 candidates, thousands of rows at most.
+    # NULL ranges (all-NULL files) produce NULL comparisons -> not counted.
+    pairs = a.crossJoin(b).where(F.col("fa") < F.col("fb"))
+    overlaps = pairs.agg(
+        F.count(F.lit(1)).alias("total_pairs"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("lo_a") <= F.col("hi_b"))
+                    & (F.col("lo_b") <= F.col("hi_a"))
+                ).cast("bigint")
+            ),
+            F.lit(0),
+        ).alias("overlap_pairs"),
+    )
+    sizes = prof.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("n_rows").alias("min_file_rows"),
+        F.max("n_rows").alias("max_file_rows"),
+    )
+    out = sizes.crossJoin(overlaps).select(
+        "n_files",
+        "n_rows",
+        "min_file_rows",
+        "max_file_rows",
+        (F.col("n_rows").cast("double") / F.col("n_files")).alias(
+            "avg_file_rows"
+        ),
+        (
+            F.col("max_file_rows")
+            / (F.col("n_rows").cast("double") / F.col("n_files"))
+        ).alias("row_skew"),
+        "overlap_pairs",
+        "total_pairs",
+        F.when(F.col("total_pairs") > 0,
+               F.col("overlap_pairs") / F.col("total_pairs").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("overlap_fraction"),
+    )
+    return out
