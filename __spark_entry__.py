@@ -1939,30 +1939,106 @@ def _q_layout_report(mode: str):
     return q
 
 
-def _layout_report_sql(mode: str) -> str:
-    from jsonschema_spark.sources.layouts import layout_path
+_ZKEY_N = 4096          # 64x64 grid, 6 bits per column
+_ZKEY_SIDE = 64
+_ZKEY_BITS = 6
 
-    src = f"read_parquet('{layout_path(mode)}/*/*.parquet', filename=true)"
+
+def _q_zorder_key_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton/Z-order linearization itself, certified per-row cross-
+    engine: every (k1, k2) cell of a 64x64 grid with its interleaved
+    64-bit z-value (bit i of column j at position i*2+j). Pure shift/AND/
+    OR Column algebra inside whole-stage codegen — the key Delta/Iceberg
+    OPTIMIZE ZORDER BY linearizes with before compaction; DuckDB rebuilds
+    all 4096 values with integer div/mod arithmetic and must hash-match."""
+    from jsonschema_spark.operators.layout import zorder_key
+
+    side = _ZKEY_SIDE
+    return (
+        spark.range(_ZKEY_N)
+        .select(
+            (F.col("id") % side).cast("long").alias("k1"),
+            (F.col("id") / side).cast("long").alias("k2"),
+        )
+        .select("k1", "k2", zorder_key(["k1", "k2"], _ZKEY_BITS).alias("z"))
+    )
+
+
+def _zorder_key_values_sql() -> str:
+    terms = " + ".join(
+        f"((k1 // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((k2 // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(_ZKEY_BITS)
+    )
     return f"""
-        WITH p AS (
+        WITH g AS (
+          SELECT CAST(id % {_ZKEY_SIDE} AS BIGINT) AS k1,
+                 CAST(id // {_ZKEY_SIDE} AS BIGINT) AS k2
+          FROM range({_ZKEY_N}) t(id)
+        )
+        SELECT k1, k2, CAST({terms} AS BIGINT) AS z FROM g
+    """
+
+
+def _q_layout_zorder_vs_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order as layout REMEDIATION, measured by the layout_report it was
+    built to improve: the same 128x128 logical grid written two ways — a
+    single-column sort (perfect k1 pruning, zero k2 pruning) vs a z-order
+    clustering (tight per-file ranges on BOTH columns: only same-tile-row /
+    same-tile-column file pairs overlap, 0.2 each for a 4x4 tiling). Four
+    verdict rows (layout x dim); the oracle regroups per DuckDB's own
+    filename column and must land on identical totals."""
+    from jsonschema_spark.operators.layout import layout_report
+    from jsonschema_spark.sources.layouts import materialized_layout_2d
+
+    parts = []
+    for mode in ("sort", "zorder"):
+        df, _ = materialized_layout_2d(spark, mode)
+        for dim in ("k1", "k2"):
+            parts.append(
+                layout_report(df, dim).select(
+                    F.lit(mode).alias("layout"),
+                    F.lit(dim).alias("dim"),
+                    "*",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _layout_report_ctes(
+    src: str, key: str, sfx: str = ""
+) -> tuple[str, str]:
+    """(CTE definitions, verdict SELECT) for one layout_report replay —
+    suffixed CTE names so several replays merge into ONE WITH clause
+    (UNION ALL of separate WITH statements is a parse error)."""
+    ctes = f"""
+        p{sfx} AS (
           SELECT filename AS f,
                  CAST(count(*) AS BIGINT) AS n_rows,
-                 min(k) AS lo, max(k) AS hi
+                 min({key}) AS lo, max({key}) AS hi
           FROM {src} GROUP BY 1
-        ), s AS (
+        ), s{sfx} AS (
           SELECT CAST(count(*) AS BIGINT) AS n_files,
                  CAST(sum(n_rows) AS BIGINT) AS n_rows,
                  CAST(min(n_rows) AS BIGINT) AS min_file_rows,
                  CAST(max(n_rows) AS BIGINT) AS max_file_rows
-          FROM p
-        ), o AS (
+          FROM p{sfx}
+        ), o{sfx} AS (
           SELECT CAST(count(*) AS BIGINT) AS total_pairs,
                  CAST(coalesce(sum(CASE WHEN a.lo <= b.hi AND b.lo <= a.hi
                                         THEN 1 ELSE 0 END), 0) AS BIGINT)
                    AS overlap_pairs
-          FROM p a JOIN p b ON a.f < b.f
-        )
-        SELECT n_files, n_rows, min_file_rows, max_file_rows,
+          FROM p{sfx} a JOIN p{sfx} b ON a.f < b.f
+        )"""
+    return ctes, _layout_verdict_select(sfx)
+
+
+def _layout_verdict_select(sfx: str = "", labels: str = "") -> str:
+    return f"""
+        SELECT {labels}n_files, n_rows, min_file_rows, max_file_rows,
                CAST(n_rows AS DOUBLE) / CAST(n_files AS DOUBLE)
                  AS avg_file_rows,
                CAST(max_file_rows AS DOUBLE)
@@ -1973,8 +2049,34 @@ def _layout_report_sql(mode: str) -> str:
                     THEN CAST(overlap_pairs AS DOUBLE)
                          / CAST(total_pairs AS DOUBLE)
                     ELSE CAST(0.0 AS DOUBLE) END AS overlap_fraction
-        FROM s, o
+        FROM s{sfx}, o{sfx}
     """
+
+
+def _layout_zorder_vs_sort_sql() -> str:
+    from jsonschema_spark.sources.layouts import layout2d_path
+
+    ctes, selects = [], []
+    for mode in ("sort", "zorder"):
+        src = f"read_parquet('{layout2d_path(mode)}/*/*.parquet', filename=true)"
+        for dim in ("k1", "k2"):
+            sfx = f"_{mode}_{dim}"
+            c, _ = _layout_report_ctes(src, dim, sfx)
+            ctes.append(c)
+            selects.append(
+                _layout_verdict_select(
+                    sfx, f"'{mode}' AS layout, '{dim}' AS dim, "
+                )
+            )
+    return "WITH " + ", ".join(ctes) + " UNION ALL ".join(selects)
+
+
+def _layout_report_sql(mode: str) -> str:
+    from jsonschema_spark.sources.layouts import layout_path
+
+    src = f"read_parquet('{layout_path(mode)}/*/*.parquet', filename=true)"
+    ctes, select = _layout_report_ctes(src, "k")
+    return "WITH " + ctes + select
 
 
 _IMAGES_N = 300
@@ -2521,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup_pairs": _q_image_near_dup_pairs,
         "layout_report_range": _q_layout_report("range"),
         "layout_report_hash": _q_layout_report("hash"),
+        "zorder_key_values": _q_zorder_key_values,
+        "layout_zorder_vs_sort": _q_layout_zorder_vs_sort,
         "clips_alaw_decode": _q_clips_alaw_decode,
         "clips_speed_perturb": _q_clips_speed_perturb,
         "clips_time_mask": _q_clips_time_mask,
@@ -6088,6 +6192,8 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
         "layout_report_range": _layout_report_sql("range"),
         "layout_report_hash": _layout_report_sql("hash"),
+        "zorder_key_values": _zorder_key_values_sql(),
+        "layout_zorder_vs_sort": _layout_zorder_vs_sort_sql(),
         "clips_alaw_decode": _clips_alaw_decode_sql(),
         "clips_speed_perturb": _clips_speed_perturb_sql(),
         "clips_time_mask": _clips_time_mask_sql(),

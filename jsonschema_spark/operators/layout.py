@@ -41,6 +41,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def zorder_key(columns: Sequence[str], bits: int = 16) -> Column:
+    """Morton / Z-order interleaved key over non-negative integer columns.
+
+    Bit ``i`` of column ``j`` lands at position ``i * len(columns) + j`` of
+    the result, so a contiguous range of z-values covers a compact
+    hyper-rectangle of the key space — writing files in z-order gives every
+    file a tight [min, max] range on EVERY interleaved column at once,
+    which is what makes multi-column min/max data skipping work (the
+    remediation :func:`layout_report` asks for). This is the same
+    linearization Delta/Iceberg ``OPTIMIZE ZORDER BY`` applies before
+    compaction.
+
+    Pure Column algebra — ``bits * len(columns)`` shift/AND/OR terms, all
+    inside whole-stage codegen; no UDF, no shuffle (the caller decides how
+    to repartition on the key). Requires ``bits * len(columns) <= 63`` and
+    values in ``[0, 2**bits)``; values wider than ``bits`` alias (callers
+    quantize first — rank or bucket real columns into the domain).
+    """
+    m = len(columns)
+    if m == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * m > 63:
+        raise ValueError(f"bits*columns = {bits * m} exceeds 63 (bigint)")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(columns):
+        v = F.col(c).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * m + j)
+            )
+    return z
+
+
 def file_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Per-data-file profile: (file, n_rows, min_<c>, max_<c> ...).
 

@@ -1,14 +1,92 @@
 """File-layout health (operators/layout.py): small-file profile +
-min/max data-skipping effectiveness."""
+min/max data-skipping effectiveness + Z-order clustering."""
 
+import pytest
 from pyspark.sql import functions as F
 
-from jsonschema_spark.operators.layout import file_profile, layout_report
+from jsonschema_spark.operators.layout import (
+    file_profile,
+    layout_report,
+    zorder_key,
+)
 from jsonschema_spark.sources.layouts import (
     LAYOUT_FILES,
     LAYOUT_N,
+    LAYOUT2D_FILES,
     materialized_layout,
+    materialized_layout_2d,
 )
+
+
+def _py_zorder(vals, bits):
+    z = 0
+    m = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * m + j)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = (
+        spark.range(512)
+        .select(
+            (F.col("id") % 16).alias("a"),
+            ((F.col("id") / 16).cast("long") % 8).alias("b"),
+            (F.col("id") % 5).alias("c"),
+        )
+        .select("a", "b", "c", zorder_key(["a", "b", "c"], 4).alias("z"))
+        .collect()
+    )
+    for r in rows:
+        assert r["z"] == _py_zorder([r["a"], r["b"], r["c"]], 4)
+
+
+def test_zorder_key_is_bijective_on_complete_grid(spark):
+    """bits=7 over a full 128x128 grid: z is a permutation of [0, 2^14)."""
+    agg = (
+        spark.range(128 * 128)
+        .select(
+            (F.col("id") % 128).alias("k1"),
+            (F.col("id") / 128).cast("long").alias("k2"),
+        )
+        .select(zorder_key(["k1", "k2"], 7).alias("z"))
+        .agg(
+            F.countDistinct("z").alias("d"),
+            F.min("z").alias("lo"),
+            F.max("z").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (agg["d"], agg["lo"], agg["hi"]) == (128 * 128, 0, 128 * 128 - 1)
+
+
+def test_zorder_key_validates_args(spark):
+    with pytest.raises(ValueError):
+        zorder_key([], 4)
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], 32)  # 64 bits > 63
+
+
+def test_zorder_layout_prunes_both_dims(spark):
+    """The remediation story: sort prunes only k1; z-order gives tight
+    ranges on BOTH dims (4x4 tiling -> only same-row/col tiles overlap)."""
+    srt, _ = materialized_layout_2d(spark, "sort")
+    zo, _ = materialized_layout_2d(spark, "zorder")
+    pairs = LAYOUT2D_FILES * (LAYOUT2D_FILES - 1) // 2  # 120
+    expect = {
+        ("sort", "k1"): 0,
+        ("sort", "k2"): pairs,
+        # 4 tile-rows / 4 tile-cols of 4 tiles: 4 * C(4,2) = 24 pairs each
+        ("zorder", "k1"): 24,
+        ("zorder", "k2"): 24,
+    }
+    for mode, df in (("sort", srt), ("zorder", zo)):
+        for dim in ("k1", "k2"):
+            rep = layout_report(df, dim).collect()[0]
+            assert rep["n_files"] == LAYOUT2D_FILES
+            assert rep["total_pairs"] == pairs
+            assert rep["overlap_pairs"] == expect[(mode, dim)], (mode, dim)
 
 
 def test_layout_report_range_vs_hash(spark):
