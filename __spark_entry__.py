@@ -1939,6 +1939,61 @@ def _q_layout_report(mode: str):
     return q
 
 
+_COMPACT_TARGET = 1000
+
+
+def _q_compaction_report_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the long-tail 'geo' layout (file
+    sizes are the distinct powers of two a streaming writer leaves
+    behind): files laid size-descending onto a cumulative quota, grp =
+    floor(cumsum_prev / target) — the size-ordered rolling pack bin-pack
+    compaction uses. One-row verdict (files before/after, small-file
+    count, max group rows, fill ratio); the window runs over per-FILE
+    rows only. DuckDB replays the identical window arithmetic over its
+    own filename grouping (file SIZES are engine-invariant even though
+    names are task UUIDs — sizes are unique, so the desc order is total)."""
+    from jsonschema_spark.operators.layout import compaction_report
+    from jsonschema_spark.sources.layouts import materialized_layout
+
+    df, _ = materialized_layout(spark, "geo")
+    return compaction_report(df, _COMPACT_TARGET)
+
+
+def _compaction_report_geo_sql() -> str:
+    from jsonschema_spark.sources.layouts import layout_path
+
+    src = f"read_parquet('{layout_path('geo')}/*/*.parquet', filename=true)"
+    t = _COMPACT_TARGET
+    return f"""
+        WITH p AS (
+          SELECT filename AS f, CAST(count(*) AS BIGINT) AS n_rows
+          FROM {src} GROUP BY 1
+        ), pl AS (
+          SELECT n_rows,
+                 CAST(coalesce(sum(n_rows) OVER (
+                       ORDER BY n_rows DESC, f
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) // {t} AS grp
+          FROM p
+        ), g AS (
+          SELECT grp,
+                 CAST(count(*) AS BIGINT) AS g_files,
+                 CAST(sum(n_rows) AS BIGINT) AS g_rows,
+                 CAST(sum(CASE WHEN n_rows < {t} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS g_small
+          FROM pl GROUP BY 1
+        )
+        SELECT CAST(sum(g_files) AS BIGINT) AS n_files,
+               CAST(sum(g_small) AS BIGINT) AS small_files,
+               CAST(sum(g_rows) AS BIGINT) AS total_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(max(g_rows) AS BIGINT) AS max_group_rows,
+               CAST(sum(g_rows) AS DOUBLE)
+                 / CAST(count(*) * {t} AS DOUBLE) AS avg_group_fill
+        FROM g
+    """
+
+
 _ZKEY_N = 4096          # 64x64 grid, 6 bits per column
 _ZKEY_SIDE = 64
 _ZKEY_BITS = 6
@@ -2625,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_report_hash": _q_layout_report("hash"),
         "zorder_key_values": _q_zorder_key_values,
         "layout_zorder_vs_sort": _q_layout_zorder_vs_sort,
+        "compaction_report_geo": _q_compaction_report_geo,
         "clips_alaw_decode": _q_clips_alaw_decode,
         "clips_speed_perturb": _q_clips_speed_perturb,
         "clips_time_mask": _q_clips_time_mask,
@@ -6194,6 +6250,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_report_hash": _layout_report_sql("hash"),
         "zorder_key_values": _zorder_key_values_sql(),
         "layout_zorder_vs_sort": _layout_zorder_vs_sort_sql(),
+        "compaction_report_geo": _compaction_report_geo_sql(),
         "clips_alaw_decode": _clips_alaw_decode_sql(),
         "clips_speed_perturb": _clips_speed_perturb_sql(),
         "clips_time_mask": _clips_time_mask_sql(),

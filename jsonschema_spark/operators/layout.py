@@ -96,6 +96,74 @@ def file_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     )
 
 
+def compaction_plan(df: DataFrame, target_rows: int) -> DataFrame:
+    """Rolling-pack compaction plan: (file, n_rows, grp) per data file.
+
+    Files are laid size-descending onto a cumulative quota and ``grp`` is
+    the quota bin the file STARTS in (``floor(cumsum_prev / target)``) —
+    the size-ordered rolling pack Iceberg/Delta bin-pack compaction uses,
+    except a straddling file joins the earlier group (groups overshoot by
+    at most one file, never undershoot). Deterministic given the file-size
+    multiset; ties broken by path. The window runs over per-FILE rows
+    (thousands at 100 TB) — a single tiny sort, trivial next to the
+    rewrite it plans.
+    """
+    from pyspark.sql import Window
+
+    prof = file_profile(df, [])
+    w = (
+        Window.orderBy(F.col("n_rows").desc(), F.col("file"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    return prof.select(
+        "file",
+        "n_rows",
+        (cum_prev / F.lit(target_rows)).cast("bigint").alias("grp"),
+    )
+
+
+def compaction_report(df: DataFrame, target_rows: int) -> DataFrame:
+    """One-row compaction verdict: how many files the table SHOULD be.
+
+    Columns: n_files, small_files (below target), total_rows, n_groups
+    (files after compaction), max_group_rows, avg_group_fill
+    (total_rows / (n_groups * target) — 1.0 = perfectly packed).
+    """
+    # ONE chain — plan -> per-group -> verdict. Referencing `plan` twice
+    # would re-run the whole file_profile SCAN per reference (no common-
+    # subplan sharing), so small_files is carried through the group level.
+    return (
+        compaction_plan(df, target_rows)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("g_files"),
+            F.sum("n_rows").alias("g_rows"),
+            F.sum(
+                (F.col("n_rows") < F.lit(target_rows)).cast("bigint")
+            ).alias("g_small"),
+        )
+        .agg(
+            F.sum("g_files").alias("n_files"),
+            F.sum("g_small").alias("small_files"),
+            F.sum("g_rows").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("g_rows").alias("max_group_rows"),
+        )
+        .select(
+            "n_files",
+            "small_files",
+            "total_rows",
+            "n_groups",
+            "max_group_rows",
+            (
+                F.col("total_rows").cast("double")
+                / (F.col("n_groups") * F.lit(target_rows)).cast("double")
+            ).alias("avg_group_fill"),
+        )
+    )
+
+
 def layout_report(df: DataFrame, column: str) -> DataFrame:
     """One-row layout verdict for pruning on ``column``.
 

@@ -48,6 +48,12 @@ def _bucket(mode: str):
         return (F.col("k") / F.lit(per)).cast("int")
     if mode == "hash":
         return (F.col("k") % F.lit(LAYOUT_FILES)).cast("int")
+    if mode == "geo":
+        # bucket b holds rows [2^b - 1, 2^(b+1) - 1): file sizes are the
+        # distinct powers of two 1, 2, 4, ... — the long-tail small-file
+        # shape a streaming writer leaves behind. floor(log2(k+1)) via
+        # binary-string length (pure integer, no float boundary risk).
+        return (F.length(F.conv(F.col("k") + 1, 10, 2)) - 1).cast("int")
     raise ValueError(f"unknown layout mode: {mode!r}")
 
 

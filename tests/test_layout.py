@@ -5,6 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.layout import (
+    compaction_plan,
+    compaction_report,
     file_profile,
     layout_report,
     zorder_key,
@@ -122,6 +124,62 @@ def test_file_profile_shape(spark, tmp_path):
     assert min(r["min_k"] for r in prof) == 0
     assert max(r["max_k"] for r in prof) == 99
     assert all(0 <= r["min_v"] <= r["max_v"] <= 9 for r in prof)
+
+
+def _py_rolling_pack(sizes, target):
+    """Independent replay of the cumulative-quota grouping."""
+    grps = {}
+    cum = 0
+    for s in sorted(sizes, reverse=True):
+        grps.setdefault(cum // target, []).append(s)
+        cum += s
+    return grps
+
+
+def test_compaction_plan_matches_python_replay(spark):
+    geo, _ = materialized_layout(spark, "geo")
+    plan = compaction_plan(geo, 1000).collect()
+    sizes = [r["n_rows"] for r in plan]
+    assert sorted(sizes, reverse=True)[:4] == [8192, 4096, 3617, 2048]
+    expect = _py_rolling_pack(sizes, 1000)
+    got = {}
+    for r in plan:
+        got.setdefault(r["grp"], []).append(r["n_rows"])
+    assert {g: sorted(v) for g, v in got.items()} == {
+        g: sorted(v) for g, v in expect.items()
+    }
+
+
+def test_compaction_report_geo(spark):
+    geo, _ = materialized_layout(spark, "geo")
+    rep = compaction_report(geo, 1000).collect()[0]
+    # bucket b holds [2^b - 1, 2^(b+1) - 1): sizes 1..8192, tail 3617
+    sizes = [2**b for b in range(14)] + [20_000 - (2**14 - 1)]
+    expect = _py_rolling_pack(sizes, 1000)
+    assert rep["n_files"] == len(sizes)
+    assert rep["total_rows"] == 20_000
+    assert rep["small_files"] == sum(1 for s in sizes if s < 1000)
+    assert rep["n_groups"] == len(expect)
+    assert rep["max_group_rows"] == max(sum(v) for v in expect.values())
+    assert rep["avg_group_fill"] == 20_000 / (len(expect) * 1000)
+
+
+def test_compaction_report_already_compact(spark, tmp_path):
+    """Uniform at-target files: every file its own group, fill 1.0."""
+    d = str(tmp_path / "flat")
+    (
+        spark.range(4000)
+        .select(F.col("id").alias("k"), (F.col("id") % 4).alias("_b"))
+        .repartition(4, "_b")
+        .write.partitionBy("_b")
+        .parquet(d)
+    )
+    rep = compaction_report(spark.read.parquet(d), 1000).collect()[0]
+    assert rep["n_files"] == 4
+    assert rep["small_files"] == 0
+    assert rep["n_groups"] == 4
+    assert rep["max_group_rows"] == 1000
+    assert rep["avg_group_fill"] == 1.0
 
 
 def test_layout_report_single_file(spark, tmp_path):
