@@ -74,6 +74,24 @@ def zorder_key(columns: Sequence[str], bits: int = 16) -> Column:
     return z
 
 
+def cluster_zordered(
+    df: DataFrame, columns: Sequence[str], n_files: int, bits: int = 16
+) -> DataFrame:
+    """Re-cluster rows z-ordered for a compacting rewrite — the OPTIMIZE
+    action :func:`layout_report` + :func:`compaction_plan` recommend.
+
+    ``repartitionByRange`` on the Morton key (range boundaries from
+    Spark's distributed sample — one pass + one shuffle, no global sort)
+    then a partition-local sort, so every output file covers one compact
+    z-range → tight min/max on EVERY clustered column. The caller writes
+    the result; pair with ``spark.sql.files.maxRecordsPerFile`` or pick
+    ``n_files`` ≈ total_bytes / target_file_size at scale. Columns must
+    be quantized to ``[0, 2**bits)`` first (rank/bucket real domains).
+    """
+    z = zorder_key(columns, bits)
+    return df.repartitionByRange(n_files, z).sortWithinPartitions(z)
+
+
 def file_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Per-data-file profile: (file, n_rows, min_<c>, max_<c> ...).
 
