@@ -566,6 +566,103 @@ def _q_model_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.model_quality_profile(docs)
 
 
+# ---------------------------------------------------------------------------
+# Filter-model evaluation (operators/evalmetrics.py): the measurement half of
+# model-based curation. Score = the linear model margin; trusted label = the
+# heuristic quality gate (quality >= 0.75); model gate = margin >= 0.8. Every
+# statistic is exact-DECIMAL/rank arithmetic, so DuckDB replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_EVAL_LABEL_Q = 0.75       # trusted-label gate on the heuristic quality score
+_EVAL_MODEL_T = 0.8        # model keep gate on the margin
+_EVAL_CONF_THRESHOLDS = [0.0, 0.25, 0.5, 0.75, 0.85, 0.95]
+# Grids chosen so step is a BINARY-exact double (2.0/64, 2.0/32, 1.0/16):
+# the shared ceil((v-lo)/step) then bins bit-identically in both engines
+# with zero decimal-literal conversion risk. Margin observed in [-0.32, 1.05].
+_EVAL_AUC_GRID = (-0.5, 1.5, 64)
+_EVAL_PR_GRID = (-0.5, 1.5, 32)
+_EVAL_CAL_BINS = 16                 # quality score lives in [0, 1]
+
+
+def _eval_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (score=margin, quality, label, model_keep) — the shared
+    projection every eval-metrics contract query starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    base = docs.select(
+        "doc_id",
+        text_ops.model_quality_score(c).alias("score"),
+        text_ops.quality_score(c).alias("quality"),
+    )
+    return base.select(
+        "*",
+        (F.col("quality") >= F.lit(_EVAL_LABEL_Q)).alias("label"),
+        (F.col("score") >= F.lit(_EVAL_MODEL_T)).alias("model_keep"),
+    )
+
+
+def _q_model_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators import evalmetrics as em
+
+    return em.confusion_report(
+        _eval_scored_docs(spark, sf_dir), "score", "label",
+        _EVAL_CONF_THRESHOLDS,
+    )
+
+
+def _q_model_auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default binned AUC (histogram rank sums — the registered path;
+    exact AUC below stays as the audit row, mirroring the KS disposition)."""
+    from jsonschema_spark.operators import evalmetrics as em
+
+    return em.roc_auc_binned(
+        _eval_scored_docs(spark, sf_dir), "score", "label", *_EVAL_AUC_GRID
+    )
+
+
+def _q_model_auc_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators import evalmetrics as em
+
+    return em.roc_auc_exact(_eval_scored_docs(spark, sf_dir), "score", "label")
+
+
+def _q_model_pr_curve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators import evalmetrics as em
+
+    return em.pr_curve(
+        _eval_scored_docs(spark, sf_dir), "score", "label", *_EVAL_PR_GRID
+    )
+
+
+def _q_model_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: does the cheap [0,1] heuristic track the model's
+    keep decision? (score = heuristic quality, label = margin >= 0.8)."""
+    from jsonschema_spark.operators import evalmetrics as em
+
+    return em.calibration_report(
+        _eval_scored_docs(spark, sf_dir), "quality", "model_keep",
+        n_bins=_EVAL_CAL_BINS,
+    )
+
+
+def _q_model_ece_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators import evalmetrics as em
+
+    return em.expected_calibration_error(
+        _eval_scored_docs(spark, sf_dir), "quality", "model_keep",
+        n_bins=_EVAL_CAL_BINS,
+    )
+
+
+def _q_gate_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic gate and the model gate."""
+    from jsonschema_spark.operators import evalmetrics as em
+
+    return em.agreement_report(
+        _eval_scored_docs(spark, sf_dir), "label", "model_keep"
+    )
+
+
 def _q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return uniqueness.uniqueness_summary(li, "l_orderkey")
@@ -2618,6 +2715,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_type_histogram": _q_variant_type_histogram,
         "corpus_summary_documents": _q_corpus_summary_documents,
         "model_quality_documents": _q_model_quality_documents,
+        "model_confusion_documents": _q_model_confusion_documents,
+        "model_auc_documents": _q_model_auc_documents,
+        "model_auc_exact_documents": _q_model_auc_exact_documents,
+        "model_pr_curve_documents": _q_model_pr_curve_documents,
+        "model_calibration_documents": _q_model_calibration_documents,
+        "model_ece_documents": _q_model_ece_documents,
+        "gate_agreement_documents": _q_gate_agreement_documents,
         "uniqueness_lineitem": _q_uniqueness_lineitem,
         "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
         "referential_lineitem_orders": _q_referential_lineitem_orders,
@@ -3165,6 +3269,221 @@ def _model_quality_sql() -> str:
            round({margin}, 9) AS score,
            round({margin}, 9) >= 0.0 AS keep
     FROM feat
+    """
+
+
+def _eval_scored_cte() -> str:
+    """Shared CTE chain (tok → feat → scored) replaying _eval_scored_docs:
+    the same feature arithmetic as _model_quality_sql, the same quality
+    heuristic as _text_profile_sql, and the two gate booleans. Rows with a
+    NULL score or label are dropped here, mirroring evalmetrics._scored."""
+    w = {k: repr(float(v)) for k, v in text_ops.QUALITY_WEIGHTS_DEFAULT.items()}
+    margin = (
+        f"{w['bias']} + {w['len_sat']} * len_sat"
+        f" + {w['stopword_ratio']} * stopword_ratio"
+        f" + {w['unique_ratio']} * unique_ratio"
+        f" + {w['punct_ratio']} * punct_ratio"
+        f" + {w['digit_ratio']} * digit_ratio"
+    )
+    quality = (
+        "round(0.5 * len_sat"
+        " + 0.3 * (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6"
+        " THEN 1.0 ELSE 0.5 END)"
+        " + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END), 6)"
+    )
+    return f"""tok AS (
+      SELECT doc_id, text, {_TEXT_NORM} AS norm,
+             string_split({_TEXT_NORM}, ' ') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+        least((CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END) / 50.0, 1.0)
+          AS len_sat,
+        CASE WHEN len(toks) <= 0 THEN 0.0
+             ELSE round(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) / len(toks), 6)
+        END AS stopword_ratio,
+        CASE WHEN (CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END) <= 0 THEN 0.0
+             ELSE round(len(list_distinct(toks))
+                        / (CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END), 6)
+        END AS unique_ratio,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                        / length(text), 6)
+        END AS punct_ratio,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        / length(text), 6)
+        END AS digit_ratio
+      FROM tok
+    ), scored0 AS (
+      SELECT doc_id, round({margin}, 9) AS s, {quality} AS quality
+      FROM feat
+    ), scored AS (
+      SELECT doc_id, s, quality,
+             quality >= CAST({_EVAL_LABEL_Q!r} AS DOUBLE) AS label,
+             s >= CAST({_EVAL_MODEL_T!r} AS DOUBLE) AS model_keep
+      FROM scored0
+      WHERE s IS NOT NULL AND quality IS NOT NULL
+    )"""
+
+
+def _eval_bin_sql(v: str, lo: float, hi: float, n_bins: int) -> str:
+    """DuckDB replay of drift.binned_ecdf_bin over expression ``v`` (the
+    step literal is the same Python-computed double, so ceil((v-lo)/step)
+    bins bit-identically in both engines)."""
+    step = (hi - lo) / n_bins
+    return (
+        f"CASE WHEN {v} <= CAST({float(lo)!r} AS DOUBLE) THEN 0 "
+        f"WHEN {v} > CAST({float(hi)!r} AS DOUBLE) THEN {n_bins + 1} "
+        f"ELSE CAST(ceil(({v} - CAST({float(lo)!r} AS DOUBLE))"
+        f" / CAST({step!r} AS DOUBLE)) AS INTEGER) END"
+    )
+
+
+def _eval_confusion_sql() -> str:
+    thr = ", ".join(repr(float(t)) for t in _EVAL_CONF_THRESHOLDS)
+    return f"""
+    WITH {_eval_scored_cte()}, thr AS (
+      SELECT unnest(CAST([{thr}] AS DOUBLE[])) AS threshold
+    ), c AS (
+      SELECT t.threshold,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+             CAST(sum(CASE WHEN s >= t.threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM scored, thr t GROUP BY t.threshold
+    )
+    SELECT threshold, tp, pp - tp AS fp, n - np - (pp - tp) AS tn, np - tp AS fn,
+           CASE WHEN pp > 0 THEN round(tp / pp, 9) END AS "precision",
+           CASE WHEN np > 0 THEN round(tp / np, 9) END AS recall,
+           CASE WHEN (2 * tp + (pp - tp) + (np - tp)) > 0
+                THEN round(2 * tp / (2 * tp + (pp - tp) + (np - tp)), 9)
+           END AS f1,
+           CASE WHEN n > 0 THEN round((tp + (n - np - (pp - tp))) / n, 9) END AS accuracy
+    FROM c ORDER BY threshold
+    """
+
+
+def _eval_auc_sql(binned: bool) -> str:
+    """Mann-Whitney rank-sum AUC over tie groups (grid bins or distinct
+    scores) — the 2·ranksum identity kept exact in DECIMAL(38,0), matching
+    evalmetrics._auc_from_groups."""
+    if binned:
+        lo, hi, n_bins = _EVAL_AUC_GRID
+        key = _eval_bin_sql("s", lo, hi, n_bins)
+    else:
+        key = "s"
+    return f"""
+    WITH {_eval_scored_cte()}, g AS (
+      SELECT {key} AS k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM scored GROUP BY 1
+    ), r AS (
+      SELECT n, np,
+             CAST(np AS DECIMAL(38,0)) *
+             CAST(2 * (sum(n) OVER (ORDER BY k) - n) + n + 1 AS DECIMAL(38,0)) AS r2
+      FROM g
+    ), a AS (
+      SELECT CAST(sum(r2) AS DECIMAL(38,0)) AS r2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS n_all
+      FROM r
+    )
+    SELECT n_pos, n_all - n_pos AS n_neg,
+           CASE WHEN n_pos > 0 AND n_all > n_pos THEN
+             round(CAST(r2 - CAST(n_pos AS DECIMAL(38,0)) * CAST(n_pos + 1 AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * CAST(n_all - n_pos AS DECIMAL(38,0)) AS DOUBLE), 9)
+           END AS auc
+    FROM a
+    """
+
+
+def _eval_pr_sql() -> str:
+    lo, hi, n_bins = _EVAL_PR_GRID
+    step = (hi - lo) / n_bins
+    thr = (
+        f"CASE WHEN bin = 0 THEN NULL "
+        f"WHEN bin = {n_bins + 1} THEN CAST({float(hi)!r} AS DOUBLE) "
+        f"ELSE CAST({float(lo)!r} AS DOUBLE) + (bin - 1) * CAST({float(step)!r} AS DOUBLE) END"
+    )
+    return f"""
+    WITH {_eval_scored_cte()}, g AS (
+      SELECT {_eval_bin_sql("s", lo, hi, n_bins)} AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM scored GROUP BY 1
+    ), c AS (
+      SELECT bin,
+             CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS pp,
+             CAST(sum(np) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+             CAST(sum(np) OVER () AS BIGINT) AS n_pos
+      FROM g
+    )
+    SELECT bin, {thr} AS threshold, pp AS n_pred, tp, pp - tp AS fp,
+           CASE WHEN pp > 0 THEN round(tp / pp, 9) END AS "precision",
+           CASE WHEN n_pos > 0 THEN round(tp / n_pos, 9) END AS recall
+    FROM c ORDER BY bin
+    """
+
+
+def _eval_cal_groups_sql() -> str:
+    """Shared reliability histogram: score = the [0,1] heuristic quality,
+    label = the model keep gate (matching _q_model_calibration_documents)."""
+    return f"""{_eval_scored_cte()}, g AS (
+      SELECT {_eval_bin_sql("quality", 0.0, 1.0, _EVAL_CAL_BINS)} AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN model_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             sum(CAST(quality AS DECIMAL(38,12))) AS ssum
+      FROM scored GROUP BY 1
+    )"""
+
+
+def _eval_calibration_sql() -> str:
+    return f"""
+    WITH {_eval_cal_groups_sql()}
+    SELECT bin, n, n_pos,
+           round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE), 9) AS avg_score,
+           round(n_pos / CAST(n AS DOUBLE), 9) AS pos_rate,
+           round(CAST(abs(ssum - CAST(n_pos AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 9) AS gap
+    FROM g ORDER BY bin
+    """
+
+
+def _eval_ece_sql() -> str:
+    return f"""
+    WITH {_eval_cal_groups_sql()}, d AS (
+      SELECT n, abs(ssum - CAST(n_pos AS DECIMAL(38,12))) AS dev FROM g
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins_present,
+           CASE WHEN sum(n) > 0 THEN
+             round(CAST(sum(dev) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 9)
+           END AS ece
+    FROM d
+    """
+
+
+def _eval_agreement_sql() -> str:
+    return f"""
+    WITH {_eval_scored_cte()}, a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN model_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN label AND model_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM scored
+    ), p AS (
+      SELECT *,
+             (CAST(n AS DOUBLE) - n_a - n_b + 2 * n_both) / CAST(n AS DOUBLE) AS po,
+             (n_a / CAST(n AS DOUBLE)) * (n_b / CAST(n AS DOUBLE))
+               + ((n - n_a) / CAST(n AS DOUBLE)) * ((n - n_b) / CAST(n AS DOUBLE)) AS pe
+      FROM a
+    )
+    SELECT n, n_a, n_b, n_both,
+           CASE WHEN n > 0 THEN round(po, 9) END AS observed_agreement,
+           CASE WHEN n > 0 THEN round(pe, 9) END AS expected_agreement,
+           CASE WHEN n > 0 AND pe < 1.0 THEN round((po - pe) / (1 - pe), 9) END AS kappa
+    FROM p
     """
 
 
@@ -6108,6 +6427,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile_documents": _text_profile_sql(),
         "model_quality_documents": _model_quality_sql(),
+        "model_confusion_documents": _eval_confusion_sql(),
+        "model_auc_documents": _eval_auc_sql(binned=True),
+        "model_auc_exact_documents": _eval_auc_sql(binned=False),
+        "model_pr_curve_documents": _eval_pr_sql(),
+        "model_calibration_documents": _eval_calibration_sql(),
+        "model_ece_documents": _eval_ece_sql(),
+        "gate_agreement_documents": _eval_agreement_sql(),
         "repetition_profile_documents": _repetition_sql(),
         "dedup_exact_documents": f"""
             WITH both_sets AS (
