@@ -687,6 +687,41 @@ def _q_referential_orphans_planted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing (operators/joincard): the EXACT inner-join
+    output size of orders x lineitem on orderkey from two per-key count
+    profiles — each input scanned ONCE, the only join is profile-level
+    (<= distinct keys rows), never the row-level join itself. The FK
+    shape shows as explosion_ratio ~= 1."""
+    from jsonschema_spark.operators.joincard import join_cardinality_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_cardinality_report(orders, li, "o_orderkey", "l_orderkey")
+
+
+def _q_join_explosion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guard firing: events self-joined on the low-cardinality
+    event_type column is a quadratic blowup, and the report proves it
+    for the cost of one groupBy per side."""
+    from jsonschema_spark.operators.joincard import join_cardinality_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return join_cardinality_report(ev, ev, "event_type", "event_type")
+
+
+def _q_join_hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 join keys by output contribution (the salting shortlist)
+    for events x events on user_id. orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort shuffle
+    — and the rank window runs over the 10 survivors only; deterministic
+    (est desc, key asc) tie-break keeps the set engine-invariant."""
+    from jsonschema_spark.operators.joincard import join_hot_keys
+
+    ev = load_table(spark, sf_dir, "events")
+    return join_hot_keys(ev, ev, "user_id", "user_id", k=10)
+
+
 # Array-keyword coverage over the embeddings vector column (§2B array
 # applicators + validation): items applies AFTER prefixItems (positions 3..64),
 # contains/min/maxContains count matching elements via higher-order filters.
@@ -1568,6 +1603,34 @@ def _q_clips_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         g["clipped"].alias("clipped"),
         g["too_quiet"].alias("too_quiet"),
         g["pass"].alias("pass"),
+    )
+
+
+_BW_N = 600
+
+
+def _q_clips_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth/upsample consistency over the planted pure-tone corpus:
+    decode -> one Arrow hop counting zero crossings (an exact integer
+    function of the bytes) -> JVM-side dominant-frequency bin + gates.
+    The planted tones (sources/clips.bw_tone_freq: 150 Hz upsample-suspect,
+    7750 Hz Nyquist-crowded, 1250..5450 Hz normal, all mid-bin) leave
+    >=45 Hz margin against the estimator's ~5 Hz worst-case error, so the
+    100-Hz bin and all three verdicts equal ledger arithmetic."""
+    from jsonschema_spark.functions.audio import audio_bandwidth, bandwidth_gates
+    from jsonschema_spark.sources.clips import materialized_bandwidth_clips
+
+    clips, _ = materialized_bandwidth_clips(spark, _BW_N)
+    b = clips.select(
+        "clip_id", "sr_hz", audio_bandwidth("bytes", "sr_hz").alias("bw")
+    )
+    g = bandwidth_gates(F.col("bw"), "sr_hz")
+    return b.select(
+        "clip_id",
+        F.floor(F.col("bw")["est_freq_hz"] / F.lit(100.0)).cast("long").alias("freq_bin"),
+        g["upsample_suspect"].alias("upsample_suspect"),
+        g["nyquist_crowded"].alias("nyquist_crowded"),
+        g["bandwidth_ok"].alias("bandwidth_ok"),
     )
 
 
@@ -2726,6 +2789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_custkeys_orders": _q_duplicate_custkeys_orders,
         "referential_lineitem_orders": _q_referential_lineitem_orders,
         "referential_orphans_planted": _q_referential_orphans_planted,
+        "join_cardinality_orders_lineitem": _q_join_cardinality_orders_lineitem,
+        "join_explosion_events": _q_join_explosion_events,
+        "join_hot_keys_events": _q_join_hot_keys_events,
         "drift_chi_square_events": _q_drift_chi_square_events,
         "drift_psi_events": _q_drift_psi_events,
         "drift_psi_value_binned": _q_drift_psi_value_binned,
@@ -2769,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_audio_clips": _q_dedup_audio_clips,
         "audio_containment_clips": _q_audio_containment_clips,
         "clips_audio_quality": _q_clips_audio_quality,
+        "clips_bandwidth": _q_clips_bandwidth,
         "clips_segments": _q_clips_segments,
         "clips_dispatch": _q_clips_dispatch,
         "clips_payload_integrity": _q_clips_payload_integrity,
@@ -3916,6 +3983,67 @@ def _clips_audio_quality_sql() -> str:
                (_row_idx % 12 = 5) AS clipped,
                (_row_idx % 12 = 9) AS too_quiet,
                (_row_idx % 12 NOT IN (1, 5, 9)) AS "pass"
+        FROM {src}
+    """
+
+
+def _join_card_sql(ltab: str, lkey: str, rtab: str, rkey: str,
+                   threshold: float = 4.0) -> str:
+    """One-row join-cardinality report replay: per-key count profiles,
+    profile-level join, scalar aggregates. Every count CASTs to BIGINT
+    (DuckDB sum() goes HUGEINT) and the ratio divides DOUBLE by DOUBLE
+    (DuckDB numeric literals are DECIMAL — CLAUDE.md gotcha)."""
+    return f"""
+        WITH lp AS (
+          SELECT {lkey} AS k, count(*) AS c FROM {ltab}
+          WHERE {lkey} IS NOT NULL GROUP BY 1
+        ), rp AS (
+          SELECT {rkey} AS k, count(*) AS c FROM {rtab}
+          WHERE {rkey} IS NOT NULL GROUP BY 1
+        ), pair AS (
+          SELECT lp.c AS lc, rp.c AS rc FROM lp JOIN rp ON lp.k = rp.k
+        ), base AS (
+          SELECT
+            CAST((SELECT count({lkey}) FROM {ltab}) AS BIGINT) AS left_rows,
+            CAST((SELECT count(*) - count({lkey}) FROM {ltab}) AS BIGINT)
+              AS left_null_keys,
+            CAST((SELECT count({rkey}) FROM {rtab}) AS BIGINT) AS right_rows,
+            CAST((SELECT count(*) - count({rkey}) FROM {rtab}) AS BIGINT)
+              AS right_null_keys,
+            CAST((SELECT count(*) FROM lp) AS BIGINT) AS left_keys,
+            CAST((SELECT count(*) FROM rp) AS BIGINT) AS right_keys,
+            CAST((SELECT count(*) FROM pair) AS BIGINT) AS matching_keys,
+            CAST((SELECT COALESCE(sum(lc * rc), 0) FROM pair) AS BIGINT)
+              AS est_inner_rows,
+            CAST((SELECT COALESCE(max(lc * rc), 0) FROM pair) AS BIGINT)
+              AS max_fanout
+        )
+        SELECT *,
+               CAST(est_inner_rows AS DOUBLE)
+                 / CAST(greatest(left_rows, right_rows, 1) AS DOUBLE)
+                 AS explosion_ratio,
+               (CAST(est_inner_rows AS DOUBLE)
+                 / CAST(greatest(left_rows, right_rows, 1) AS DOUBLE))
+                 > CAST({threshold!r} AS DOUBLE) AS explosive
+        FROM base
+    """
+
+
+def _clips_bandwidth_sql() -> str:
+    """Ledger oracle for the bandwidth gates: expected frequency bin and
+    verdicts are pure _row_idx arithmetic over the SAME materialized
+    parquet (classes and margins documented at sources/clips.BW_CLS_*)."""
+    from jsonschema_spark.sources.clips import bandwidth_clips_path
+
+    src = f"read_parquet('{bandwidth_clips_path(_BW_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               CAST(CASE WHEN _row_idx % 9 = 5 THEN 1
+                         WHEN _row_idx % 9 = 7 THEN 77
+                         ELSE 12 + (_row_idx % 43) END AS BIGINT) AS freq_bin,
+               (_row_idx % 9 = 5) AS upsample_suspect,
+               (_row_idx % 9 = 7) AS nyquist_crowded,
+               (_row_idx % 9 NOT IN (5, 7)) AS bandwidth_ok
         FROM {src}
     """
 
@@ -5864,6 +5992,35 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 10 <> 0)
         """,
+        "join_cardinality_orders_lineitem": _join_card_sql(
+            "orders", "o_orderkey", "lineitem", "l_orderkey"
+        ),
+        "join_explosion_events": _join_card_sql(
+            "events", "event_type", "events", "event_type"
+        ),
+        "join_hot_keys_events": """
+            WITH lp AS (
+              SELECT user_id AS k, count(*) AS c FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1
+            ), rp AS (
+              SELECT user_id AS k, count(*) AS c FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1
+            ), pair AS (
+              SELECT lp.k, lp.c AS left_cnt, rp.c AS right_cnt,
+                     lp.c * rp.c AS est_rows
+              FROM lp JOIN rp ON lp.k = rp.k
+            ), ranked AS (
+              SELECT k, left_cnt, right_cnt, est_rows,
+                     row_number() OVER (ORDER BY est_rows DESC, k ASC) AS rnk
+              FROM pair
+            )
+            SELECT k AS key,
+                   CAST(left_cnt AS BIGINT) AS left_cnt,
+                   CAST(right_cnt AS BIGINT) AS right_cnt,
+                   CAST(est_rows AS BIGINT) AS est_rows,
+                   CAST(rnk AS INT) AS rank
+            FROM ranked WHERE rnk <= 10
+        """,
         "drift_chi_square_events": """
             WITH cur AS (
               SELECT event_type AS category, count(*) AS cnt
@@ -6561,6 +6718,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_audio_clips": _dedup_audio_sql(),
         "clips_audio_quality": _clips_audio_quality_sql(),
+        "clips_bandwidth": _clips_bandwidth_sql(),
         "clips_segments": _clips_segments_sql(),
         "clips_dispatch": _clips_dispatch_sql(),
         "clips_payload_integrity": _payload_integrity_sql(),

@@ -628,6 +628,104 @@ def quality_gates(
     )
 
 
+AUDIO_BANDWIDTH_TYPE = T.StructType(
+    [
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("est_freq_hz", T.DoubleType()),
+    ]
+)
+
+
+def bandwidth_profile_batch(payloads: pd.Series, srs: pd.Series) -> pd.DataFrame:
+    """Vectorized batch kernel: zero-crossing bandwidth proxy per clip.
+
+    Decode -> count sign transitions of the int16 waveform (a sample of
+    exactly 0 counts as non-negative, so the count is a pure integer
+    function of the bytes — no float thresholds, fully deterministic):
+
+      zero_crossings  number of i in [1, n) with sign(x[i]) != sign(x[i-1])
+      n_samples       decoded sample count (-1 on decode failure)
+      est_freq_hz     zero_crossings * sr / (2 * (n - 1)) — the dominant-
+                      frequency estimate (exact for tonal content to within
+                      ~sr/n Hz; a band-limited content proxy in general)
+
+    Why it matters at corpus scale: audio whose estimated content
+    bandwidth sits far below the claimed sample rate's Nyquist is the
+    classic signature of UPSAMPLED material (8 kHz telephony re-encoded
+    as "16 kHz"), and content crowding Nyquist signals aliasing-prone or
+    mislabeled-rate clips. Both are metadata-vs-payload consistency
+    checks the schema keywords alone cannot express.
+    Shared by the pandas UDF and unit tests (no SparkSession needed)."""
+    n = len(payloads)
+    zc = np.full(n, -1, dtype=np.int64)
+    nsamp = np.full(n, -1, dtype=np.int64)
+    est = np.full(n, np.nan)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(pcm)
+        nsamp[i] = m
+        if m < 2:
+            zc[i] = 0
+            continue
+        nonneg = pcm >= 0
+        c = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+        zc[i] = c
+        est[i] = c * float(sr) / (2.0 * (m - 1))
+    return pd.DataFrame(
+        {"zero_crossings": zc, "n_samples": nsamp, "est_freq_hz": est}
+    )
+
+
+def audio_bandwidth(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+) -> Column:
+    """struct(zero_crossings, n_samples, est_freq_hz) — ONE Arrow hop.
+    Persist the projected struct before deriving multiple gate columns
+    from it (Catalyst project collapsing re-runs the UDF otherwise)."""
+
+    @pandas_udf(AUDIO_BANDWIDTH_TYPE)
+    def _bw(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return bandwidth_profile_batch(p, sr)
+
+    return _bw(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
+def bandwidth_gates(
+    bw: Column,
+    sr_hz: Column | str = "sr_hz",
+    upsample_frac: float = 1.0 / 32.0,
+    crowd_frac: float = 0.45,
+) -> Column:
+    """struct(upsample_suspect, nyquist_crowded, bandwidth_ok) over an
+    ``audio_bandwidth`` struct — pure Column expressions, NULL-safe
+    (undecodable clips fail the ok gate loudly, flag neither suspect).
+
+    upsample_suspect: est_freq < sr * upsample_frac (content band sits at
+    <1/16 of Nyquist — the upsampled-telephony signature).
+    nyquist_crowded: est_freq > sr * crowd_frac (content rides the rate
+    ceiling — mislabeled-rate / aliasing-prone)."""
+    sr = (F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz).cast("double")
+    e = bw["est_freq_hz"]
+    decoded = F.coalesce(~F.isnan(e), F.lit(False))
+    up = decoded & (e < sr * F.lit(upsample_frac))
+    crowd = decoded & (e > sr * F.lit(crowd_frac))
+    return F.struct(
+        up.alias("upsample_suspect"),
+        crowd.alias("nyquist_crowded"),
+        (decoded & ~up & ~crowd).alias("bandwidth_ok"),
+    )
+
+
 def reference_transcript(clip_id: str) -> str:
     """Ground-truth transcript regenerated from clip_id alone (the row
     invariant's second half: transcript string equality per input_hint).

@@ -454,6 +454,88 @@ def materialized_quality_clips(spark: SparkSession, n: int) -> tuple[DataFrame, 
     return spark.read.parquet(path), path
 
 
+# Bandwidth-consistency clips (the upsample-detection ledger table): every
+# row is a PURE tone at a frequency that is pure _row_idx arithmetic, so the
+# zero-crossing dominant-frequency estimate (functions/audio.audio_bandwidth)
+# lands within ~sr/n Hz of the planted frequency and the 100-Hz bin verdicts
+# equal ledger arithmetic with >=45 Hz margin. Classes (_row_idx % 9):
+#   cls 5 -> 150 Hz tone under a claimed 16 kHz rate (content band at
+#            Nyquist/53 — the upsampled-telephony signature)  -> bin 1
+#   cls 7 -> 7750 Hz tone (content crowding Nyquist 8000)     -> bin 77
+#   else  -> 1250 + 100*(_row_idx % 43) Hz (1250..5450)       -> bin 12+(i%43)
+BW_CLASS_MOD = 9
+BW_CLS_UPSAMPLED = 5
+BW_CLS_CROWDED = 7
+BW_SR = 16000
+
+
+def bw_tone_freq(i: int) -> float:
+    """Planted tone frequency for bandwidth-ledger row i (pure arithmetic;
+    every frequency is ≡50 (mod 100) so it sits mid-bin)."""
+    cls = i % BW_CLASS_MOD
+    if cls == BW_CLS_UPSAMPLED:
+        return 150.0
+    if cls == BW_CLS_CROWDED:
+        return 7750.0
+    return 1250.0 + 100.0 * (i % 43)
+
+
+def synth_bandwidth_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 2000),
+) -> DataFrame:
+    """Clips table with planted bandwidth defects (see BW_CLS_* above).
+    All payloads are raw pcm_s16le pure tones at amplitude 0.7; the claimed
+    rate is always 16 kHz, so the zero-crossing estimate exposes exactly
+    the planted content-vs-metadata inconsistencies."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields) + [T.StructField("_row_idx", T.LongType(), False)]
+    )
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = BW_SR * dur // 1000
+        f = bw_tone_freq(i)
+        t = np.arange(n_samples, dtype=np.float64)
+        sig = 0.7 * np.sin(2.0 * np.pi * f * t / BW_SR + 0.37)
+        return (cid, encode_payload(pcm16_from_float(sig), "pcm_s16le"),
+                BW_SR, dur, "pcm_s16le", transcript_for(cid), i)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def bandwidth_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_bandwidth_{n}")
+
+
+def materialized_bandwidth_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """Bandwidth-defect clips table materialized once (oracle-cache
+    protocol); the DuckDB oracle derives the expected frequency bin and
+    gate booleans from ``_row_idx`` arithmetic alone."""
+    import os
+
+    path = bandwidth_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_bandwidth_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
 # Silence-padded clips (the trim/resample ledger table): every row is a
 # voiced two-harmonic body wrapped in exact-zero pads, all sizes whole
 # 20 ms frames at 16 kHz so the expected speech span is pure _row_idx
