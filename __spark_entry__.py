@@ -1943,6 +1943,10 @@ def _q_suite_report_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
              "table": "events", "key": "user_id", "ts": "ts",
              "id": "event_id", "gap_s": _EVENTS_SESSION_GAP_S,
              "max_duration_s": 172800.0},
+            {"type": "join_explosion", "name": "events_selfjoin_type",
+             "table": "events", "ref_table": "events",
+             "key": "event_type", "ref_key": "event_type",
+             "max_ratio": 4.0},
         ]
     }
     return run_suite(tables, config)
@@ -6325,6 +6329,16 @@ def oracle_sql() -> dict[str, str]:
                 )
                 GROUP BY user_id, sid
               )
+            ), jx AS (
+              SELECT CAST(s AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)
+                     AS metric
+              FROM (
+                SELECT (SELECT CAST(sum(c * c) AS BIGINT) FROM
+                          (SELECT count(*) AS c FROM events
+                           WHERE event_type IS NOT NULL
+                           GROUP BY event_type)) AS s,
+                       (SELECT count(event_type) FROM events) AS n
+              )
             )
             SELECT 'partkey_suppkey' AS check_name, 'fd' AS check_type,
                    metric, CAST(0.0 AS DOUBLE) AS threshold,
@@ -6354,6 +6368,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(metric <= CAST(172800.0 AS DOUBLE), FALSE)
                         THEN 'pass' ELSE 'fail' END
             FROM sess_m
+            UNION ALL
+            SELECT 'events_selfjoin_type', 'join_explosion', metric,
+                   CAST(4.0 AS DOUBLE),
+                   CASE WHEN metric <= CAST(4.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END
+            FROM jx
         """,
         "metric_history_orders": """
             WITH b AS (

@@ -338,6 +338,27 @@ def _check_skew(df: DataFrame, spec: dict) -> DataFrame:
     )(rep)
 
 
+def _check_join_explosion(
+    df: DataFrame, spec: dict, tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Join-blowup gate: metric = the EXACT inner-join explosion ratio
+    (output rows / larger input) of table x ref_table on key/ref_key,
+    computed from per-key count profiles WITHOUT running the join
+    (operators/joincard). The declarative guard a pipeline puts in front
+    of every planned join step."""
+    from jsonschema_spark.operators.joincard import join_cardinality_report
+
+    max_ratio = float(spec.get("max_ratio", 4.0))
+    ref = tables[spec["ref_table"]]
+    rep = join_cardinality_report(
+        df, ref, spec["key"], spec["ref_key"], explosion_threshold=max_ratio
+    )
+    metric = F.col("explosion_ratio")
+    return _report_row(
+        spec["name"], "join_explosion", metric, max_ratio, metric <= max_ratio
+    )(rep)
+
+
 def _check_mean_between(df: DataFrame, spec: dict) -> DataFrame:
     """Great-Expectations' expect_column_mean_to_be_between on the
     exact-DECIMAL-sum mean (order-independent, replayable). metric = the
@@ -427,6 +448,7 @@ _CHECKS = {
     "completeness_categories": lambda df, spec, tables:
         _check_completeness_categories(df, spec),
     "manifest": _check_manifest,
+    "join_explosion": _check_join_explosion,
 }
 
 

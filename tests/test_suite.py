@@ -355,3 +355,35 @@ def test_suite_session_check(spark):
          "gap_s": 60.0, "max_duration_s": 300.0},
     ]}).collect()
     assert len(out) == 1 and out[0]["status"] == "fail"
+
+
+def test_suite_join_explosion_check(spark):
+    from jsonschema_spark.operators.suite import run_suite
+
+    left = spark.createDataFrame(
+        [("hot",)] * 10 + [("c1",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 10 + [("c2",)], "j string"
+    )
+    cfg = {
+        "checks": [
+            {"type": "join_explosion", "name": "blowup", "table": "l",
+             "ref_table": "r", "key": "k", "ref_key": "j",
+             "max_ratio": 4.0},
+            {"type": "join_explosion", "name": "fk_ok", "table": "l",
+             "ref_table": "dim", "key": "k", "ref_key": "d",
+             "max_ratio": 4.0},
+        ]
+    }
+    dim = spark.createDataFrame([("hot",), ("c1",)], "d string")
+    rows = {
+        r["check_name"]: r
+        for r in run_suite({"l": left, "r": right, "dim": dim}, cfg).collect()
+    }
+    # hot*hot = 100 est rows over 11 inputs -> ratio ~9.09 -> fail
+    assert rows["blowup"]["status"] == "fail"
+    assert rows["blowup"]["metric"] == pytest.approx(100.0 / 11.0)
+    # 1:1 dim join: est 11 rows over 11 -> ratio 1.0 -> pass
+    assert rows["fk_ok"]["status"] == "pass"
+    assert rows["fk_ok"]["metric"] == pytest.approx(1.0)
