@@ -2314,6 +2314,27 @@ def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(images)
 
 
+_VIDEOS_N = 300
+
+
+def _q_videos_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL Y4M (YUV4MPEG2) streams: the frame-index
+    fan-out is JVM-side (sequence + explode from the n_frames metadata);
+    only sampled frames cross into Python, where the Y4M parser slices
+    the Y plane and takes its exact integer mean. Planted truncations
+    (sources/videos: 10 bytes torn off mid-final-frame while metadata
+    claims the full count) surface as decode_ok=false on exactly the
+    sampled indices past the last complete frame. The oracle re-slices
+    the SAME parquet bytes as hex and recomputes every sampled frame's
+    luma sum — certifying header parse, frame addressing, and the
+    truncation boundary byte-for-byte."""
+    from jsonschema_spark.functions.multimodal import sample_frames
+    from jsonschema_spark.sources.videos import materialized_videos
+
+    vids, _ = materialized_videos(spark, _VIDEOS_N)
+    return sample_frames(vids, every_n=3)
+
+
 def _q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs (dHash Hamming <= 3): banded 4x16-bit
     self-join, pigeonhole-complete, exact xor+bit_count verify — the
@@ -2851,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_ulaw_decode": _q_clips_ulaw_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
+        "videos_y4m_frames": _q_videos_y4m_frames,
         "layout_report_range": _q_layout_report("range"),
         "layout_report_hash": _q_layout_report("hash"),
         "zorder_key_values": _q_zorder_key_values,
@@ -4583,6 +4605,46 @@ def _clips_gain_normalize_sql() -> str:
                h.gain AS gain,
                md5(h.oh) AS out_md5
         FROM h JOIN g USING (clip_id)
+    """
+
+
+def _videos_y4m_frames_sql() -> str:
+    """Byte-level Y4M replay: header 39 bytes, frame block 102 (6-byte
+    FRAME marker + 64 Y + 32 chroma), complete frames = (len-39)//102;
+    each sampled frame's luma = exact sum of its 64 Y hex pairs / 64
+    (power-of-two divide — bit-exact DOUBLE in both engines)."""
+    from jsonschema_spark.sources.videos import videos_path
+
+    src = f"read_parquet('{videos_path(_VIDEOS_N)}/*.parquet')"
+    return f"""
+        WITH v AS (
+          SELECT video_id, hex(bytes) AS hx, n_frames,
+                 (octet_length(bytes) - 39) // 102 AS actual_frames
+          FROM {src}
+        ), e AS (
+          SELECT video_id, hx, actual_frames,
+                 unnest(generate_series(0, n_frames - 1, 3)) AS fi
+          FROM v
+        ), px AS (
+          SELECT video_id, fi, hx,
+                 unnest(generate_series(0, 63)) AS j
+          FROM e WHERE fi < actual_frames
+        ), s AS (
+          SELECT video_id, fi,
+                 sum(('0x' || substr(hx,
+                        (39 + fi * 102 + 6) * 2 + 2 * j + 1, 2))::BIGINT)
+                   AS ysum
+          FROM px GROUP BY video_id, fi
+        )
+        SELECT video_id, CAST(fi AS INT) AS frame_index,
+               CAST(ysum AS DOUBLE) / CAST(64 AS DOUBLE) AS frame_luma,
+               TRUE AS decode_ok
+        FROM s
+        UNION ALL
+        SELECT video_id, CAST(fi AS INT) AS frame_index,
+               CAST(NULL AS DOUBLE) AS frame_luma,
+               FALSE AS decode_ok
+        FROM e WHERE fi >= actual_frames
     """
 
 
@@ -6749,6 +6811,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
+        "videos_y4m_frames": _videos_y4m_frames_sql(),
         "layout_report_range": _layout_report_sql("range"),
         "layout_report_hash": _layout_report_sql("hash"),
         "zorder_key_values": _zorder_key_values_sql(),

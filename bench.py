@@ -470,6 +470,54 @@ def q_clips_augment(spark: SparkSession):
     ).collect()
 
 
+def q_join_guard(spark: SparkSession):
+    """Pre-flight join sizing over events: the explosion report for the
+    event_type self-join + the user_id hot-key shortlist — two key
+    profiles and profile-level joins, never a row-level join."""
+    from jsonschema_spark.operators.joincard import (
+        join_cardinality_report,
+        join_hot_keys,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    rep = join_cardinality_report(ev, ev, "event_type", "event_type").collect()
+    ev2 = load_table(spark, SF_DIR, "events")
+    hot = join_hot_keys(ev2, ev2, "user_id", "user_id", k=10).collect()
+    return rep, hot
+
+
+def q_model_eval(spark: SparkSession):
+    """Filter-model evaluation over sf documents: binned ROC-AUC (histogram
+    rank sums) + expected calibration error (narrow groupBy(bin)) on the
+    expression-only quality model's scores."""
+    import __spark_entry__ as E
+
+    auc = E._q_model_auc_documents(spark, SF_DIR).collect()
+    ece = E._q_model_ece_documents(spark, SF_DIR).collect()
+    return auc, ece
+
+
+def q_clips_bandwidth(spark: SparkSession):
+    """Bandwidth/upsample consistency over half the clips table: decode ->
+    zero-crossing count in one Arrow hop -> JVM gate booleans; reports the
+    flagged fractions (the deterministic hash filter keeps the payload
+    scan parallel — a limit() would collapse it to one partition)."""
+    from jsonschema_spark.functions.audio import audio_bandwidth, bandwidth_gates
+
+    clips = spark.read.parquet(_CLIPS_PATH).filter(
+        F.xxhash64("clip_id") % 2 == 1
+    )
+    b = clips.select(
+        "sr_hz", audio_bandwidth("bytes", "sr_hz").alias("bw")
+    )
+    g = bandwidth_gates(F.col("bw"), "sr_hz")
+    return b.select(
+        F.count("*").alias("n"),
+        F.sum(g["upsample_suspect"].cast("long")).alias("n_upsample"),
+        F.sum(g["nyquist_crowded"].cast("long")).alias("n_crowded"),
+    ).collect()
+
+
 QUERIES = {
     "clips_validate": q_clips_validate,
     "clips_uniqueness": q_clips_uniqueness,
@@ -506,6 +554,9 @@ QUERIES = {
     "sequence_profile": q_sequence_profile,
     "sessionize": q_sessionize,
     "asof_attribution": q_asof_attribution,
+    "join_guard": q_join_guard,
+    "model_eval": q_model_eval,
+    "clips_bandwidth": q_clips_bandwidth,
 }
 
 

@@ -269,15 +269,86 @@ def encode_fake_video(n_frames: int, lumas: np.ndarray) -> bytes:
     return _VID_MAGIC + struct.pack("<H", n_frames) + lumas.astype(np.uint8).tobytes()
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(frames_y: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode a (n_frames, h, w) uint8 luma stack as YUV4MPEG2 (Y4M) —
+    a REAL video format (the uncompressed interchange format ffmpeg/
+    mjpegtools speak), built from the stdlib alone: a plain-text stream
+    header, then per frame a ``FRAME\\n`` marker + raw 4:2:0 planes.
+    Chroma planes are written neutral (128) — synthetic sources carry
+    signal in luma, which is what every feature kernel here reads."""
+    if frames_y.ndim != 3:
+        raise ValueError("frames_y must be (n_frames, h, w)")
+    n, h, w = frames_y.shape
+    if h % 2 or w % 2:
+        raise ValueError("4:2:0 needs even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    parts = [head]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames_y[f].astype(np.uint8).tobytes())
+        parts.append(uv)
+        parts.append(uv)
+    return b"".join(parts)
+
+
+def _parse_y4m(raw: bytes) -> tuple[int, int, int, int]:
+    """(width, height, header_len, frame_block_len) from a Y4M stream.
+    frame_block_len includes the 6-byte FRAME marker + Y + U + V planes."""
+    if raw[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = raw.index(b"\n")
+    w = h = None
+    for tok in raw[len(_Y4M_MAGIC) : nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C") and not tok.startswith(b"C420"):
+            raise ValueError(f"unsupported Y4M chroma mode {tok!r}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    frame = 6 + w * h + 2 * ((h // 2) * (w // 2))
+    return w, h, nl + 1, frame
+
+
+def y4m_frame_count(raw: bytes) -> int:
+    """Number of complete frames in the stream (trailing partial bytes —
+    a truncated upload — are NOT counted; pair with the metadata column
+    for an integrity check)."""
+    _, _, off, frame = _parse_y4m(raw)
+    return (len(raw) - off) // frame
+
+
+def decode_y4m_frame_luma(raw: bytes, index: int) -> float:
+    """Mean luma of frame ``index`` — exact integer sum over the Y plane
+    divided once (both cross-engine-safe operations)."""
+    w, h, off, frame = _parse_y4m(raw)
+    n = (len(raw) - off) // frame
+    if not 0 <= index < n:
+        raise IndexError(index)
+    start = off + index * frame + 6
+    y = np.frombuffer(raw[start : start + w * h], dtype=np.uint8)
+    return float(int(y.astype(np.int64).sum()) / (w * h))
+
+
 def decode_video_frame(raw: bytes, index: int) -> float:
+    """Mean luma of one frame. REAL for Y4M (YUV4MPEG2) streams; the
+    synthetic FVID container stays for plumbing tests; compressed codecs
+    (h264/vp9) need ffmpeg/pyav this environment doesn't ship."""
     if raw[:4] == _VID_MAGIC:
         (n,) = struct.unpack("<H", raw[4:6])
         if not 0 <= index < n:
             raise IndexError(index)
         return float(raw[6 + index])
+    if raw[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        return decode_y4m_frame_luma(raw, index)
     raise NotImplementedError(
-        "real video codecs are not available in this container; plug an "
-        "ffmpeg/pyav frame extraction in here"
+        "compressed video codecs (h264/vp9) are not available in this "
+        "container; plug an ffmpeg/pyav frame extraction in here"
     )
 
 
@@ -419,7 +490,8 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_id",
                 try:
                     out["frame_luma"].append(decode_video_frame(bytes(raw), int(idx)))
                     out["decode_ok"].append(True)
-                except (NotImplementedError, IndexError, TypeError, struct.error):
+                except (NotImplementedError, IndexError, TypeError, ValueError,
+                        struct.error):
                     out["frame_luma"].append(None)
                     out["decode_ok"].append(False)
             yield pd.DataFrame(out)

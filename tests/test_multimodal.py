@@ -353,3 +353,92 @@ def test_image_near_dup_pairs_matches_brute(spark):
     assert all(
         rows.get((f"img-{f*3:06d}", f"img-{f*3+1:06d}")) == 0 for f in range(19)
     )
+
+
+def test_y4m_round_trip_and_frame_luma():
+    from jsonschema_spark.functions.multimodal import (
+        decode_video_frame,
+        decode_y4m_frame_luma,
+        encode_y4m,
+        y4m_frame_count,
+    )
+
+    frames = np.arange(3 * 8 * 8, dtype=np.uint8).reshape(3, 8, 8) % 256
+    raw = encode_y4m(frames)
+    assert raw[:9] == b"YUV4MPEG2"
+    assert y4m_frame_count(raw) == 3
+    for f in range(3):
+        want = float(int(frames[f].astype(np.int64).sum()) / 64)
+        assert decode_y4m_frame_luma(raw, f) == want
+        assert decode_video_frame(raw, f) == want
+    with pytest.raises(IndexError):
+        decode_y4m_frame_luma(raw, 3)
+
+
+def test_y4m_header_constants_match_source():
+    from jsonschema_spark.functions.multimodal import encode_y4m
+    from jsonschema_spark.sources.videos import (
+        Y4M_FRAME_LEN,
+        Y4M_HEADER_LEN,
+        video_frames,
+    )
+
+    raw = encode_y4m(video_frames(0))
+    # the oracle hardcodes these offsets — pin them against the encoder
+    assert raw.index(b"\n") + 1 == Y4M_HEADER_LEN
+    assert (len(raw) - Y4M_HEADER_LEN) % Y4M_FRAME_LEN == 0
+    assert raw[Y4M_HEADER_LEN : Y4M_HEADER_LEN + 6] == b"FRAME\n"
+
+
+def test_y4m_truncation_detected():
+    from jsonschema_spark.functions.multimodal import (
+        decode_y4m_frame_luma,
+        y4m_frame_count,
+    )
+    from jsonschema_spark.sources.videos import _row, video_n_frames
+
+    i = 4  # TRUNC_CLS row
+    _, raw, _, _, claimed, _ = _row(i)
+    raw = bytes(raw)
+    assert claimed == video_n_frames(i)
+    assert y4m_frame_count(raw) == claimed - 1
+    decode_y4m_frame_luma(raw, claimed - 2)  # last complete frame ok
+    with pytest.raises(IndexError):
+        decode_y4m_frame_luma(raw, claimed - 1)
+
+
+def test_y4m_odd_dims_and_bad_stream():
+    from jsonschema_spark.functions.multimodal import encode_y4m, y4m_frame_count
+
+    with pytest.raises(ValueError):
+        encode_y4m(np.zeros((1, 7, 8), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        y4m_frame_count(b"MPEG-PS whatever")
+
+
+def test_y4m_sample_frames_end_to_end(spark):
+    from jsonschema_spark.functions.multimodal import sample_frames
+    from jsonschema_spark.sources.videos import (
+        TRUNC_CLS,
+        TRUNC_MOD,
+        synth_videos,
+        video_frames,
+        video_n_frames,
+    )
+
+    vids = synth_videos(spark, 33, partitions=4)
+    rows = sample_frames(vids, every_n=3).collect()
+    by = {(r["video_id"], r["frame_index"]): r for r in rows}
+    for i in range(33):
+        n = video_n_frames(i)
+        actual = n - 1 if i % TRUNC_MOD == TRUNC_CLS else n
+        fr = video_frames(i)
+        for fi in range(0, n, 3):
+            r = by[(f"vid-{i:06d}", fi)]
+            if fi < actual:
+                assert r["decode_ok"]
+                assert r["frame_luma"] == float(
+                    int(fr[fi].astype(np.int64).sum()) / 64
+                )
+            else:
+                assert not r["decode_ok"] and r["frame_luma"] is None
