@@ -58,6 +58,9 @@ def curate_clips(
     max_silence_frac: float = 0.2,
     max_clipping_frac: float = 0.005,
     min_rms_dbfs: float = -45.0,
+    bandwidth_gate: bool = False,
+    upsample_frac: float = 1.0 / 32.0,
+    crowd_frac: float = 0.45,
     trim: bool = False,
     resample_sr: int | None = None,
     target_rms: float | None = None,
@@ -115,20 +118,43 @@ def curate_clips(
         )
     else:
         ann = ann.withColumn("_qpass", F.lit(True))
+    if bandwidth_gate:
+        # content-vs-metadata consistency (upsampled-telephony /
+        # mislabeled-rate detection): its own Arrow hop in the same
+        # persisted projection; the filter sits ABOVE the barrier
+        from jsonschema_spark.functions.audio import (
+            audio_bandwidth,
+            bandwidth_gates,
+        )
+
+        ann = ann.withColumn(
+            "_bwok",
+            bandwidth_gates(
+                audio_bandwidth("bytes", "sr_hz"),
+                "sr_hz",
+                upsample_frac=upsample_frac,
+                crowd_frac=crowd_frac,
+            )["bandwidth_ok"],
+        )
+    else:
+        ann = ann.withColumn("_bwok", F.lit(True))
     ann = ann.persist()
 
     pre_quality = F.col("_valid") & F.col("_tok")
-    gate = pre_quality & F.col("_qpass")
+    qgate = pre_quality & F.col("_qpass")
+    gate = qgate & F.col("_bwok")
     funnel = ann.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("_valid").cast("long")).alias("n_valid"),
         F.sum(pre_quality.cast("long")).alias("n_pre_quality"),
+        F.sum(qgate.cast("long")).alias("n_qgated"),
         F.sum(gate.cast("long")).alias("n_gated"),
     ).collect()[0]
     n_input = funnel["n_input"]
     n_invalid = n_input - funnel["n_valid"]
     n_invariant = funnel["n_valid"] - funnel["n_pre_quality"]
-    n_quality = funnel["n_pre_quality"] - funnel["n_gated"]
+    n_quality = funnel["n_pre_quality"] - funnel["n_qgated"]
+    n_bandwidth = funnel["n_qgated"] - funnel["n_gated"]
     gated = ann.filter(gate)
 
     # duplicate clip_ids: smallest payload-md5 survives (deterministic,
@@ -140,7 +166,8 @@ def curate_clips(
         ["clip_id"]
     )
     n_after_ids = unique_ids.count()
-    n_dup_ids = n_input - n_invalid - n_invariant - n_quality - n_after_ids
+    n_dup_ids = (n_input - n_invalid - n_invariant - n_quality
+                 - n_bandwidth - n_after_ids)
 
     # exact payload dedup across ids: smallest clip_id survives
     payload_survivors = unique_ids.groupBy("_pfp").agg(
@@ -233,6 +260,7 @@ def curate_clips(
         "schema_invalid": n_invalid,
         "invariant_failed": n_invariant,
         "quality_rejected": n_quality,
+        "bandwidth_rejected": n_bandwidth,
         "duplicate_ids_removed": n_dup_ids,
         "duplicate_payloads_removed": n_dup_payload,
         "near_duplicates_removed": n_near_dups,
@@ -265,6 +293,14 @@ def main(argv=None) -> int:
                    help="max fraction of full-scale samples")
     p.add_argument("--min-rms", type=float, default=-45.0,
                    help="loudness floor in dBFS")
+    p.add_argument("--bandwidth-gate", action="store_true",
+                   help="drop clips whose zero-crossing content band is "
+                        "inconsistent with the claimed sample rate "
+                        "(upsampled / mislabeled-rate detection)")
+    p.add_argument("--upsample-frac", type=float, default=1.0 / 32.0,
+                   help="flag when est content freq < sr * this")
+    p.add_argument("--crowd-frac", type=float, default=0.45,
+                   help="flag when est content freq > sr * this")
     p.add_argument("--trim-silence", action="store_true",
                    help="trim leading/trailing silence from PCM payloads "
                         "on output (energy VAD; operators/trim.py)")
@@ -313,6 +349,9 @@ def main(argv=None) -> int:
         max_silence_frac=args.max_silence,
         max_clipping_frac=args.max_clipping,
         min_rms_dbfs=args.min_rms,
+        bandwidth_gate=args.bandwidth_gate,
+        upsample_frac=args.upsample_frac,
+        crowd_frac=args.crowd_frac,
         trim=args.trim_silence,
         resample_sr=args.resample,
         target_rms=args.target_rms,

@@ -159,3 +159,32 @@ def test_curate_clips_normalization_stage(spark):
     assert out[a]["sr_hz"] == 8000 and len(bytes(out[a]["bytes"])) == na
     ref = pcm16_from_float(reference_signal(a, na).astype(np.float64))
     assert bytes(out[a]["bytes"]) == ref[::2].tobytes()
+
+
+def test_curate_clips_bandwidth_gate(spark):
+    from jsonschema_spark.sources.clips import (
+        BW_CLASS_MOD,
+        BW_CLS_CROWDED,
+        BW_CLS_UPSAMPLED,
+        synth_bandwidth_clips,
+    )
+
+    n = 90
+    clips = synth_bandwidth_clips(spark, n, partitions=4).drop("_row_idx")
+    # pure tones don't match the two-harmonic reference -> skip SNR gate
+    curated, stats = curate_clips(
+        clips, snr_threshold_db=None, bandwidth_gate=True
+    )
+    expected_rejected = sum(
+        1 for i in range(n)
+        if i % BW_CLASS_MOD in (BW_CLS_UPSAMPLED, BW_CLS_CROWDED)
+    )
+    assert stats["bandwidth_rejected"] == expected_rejected
+    assert stats["output_rows"] == n - expected_rejected
+    assert stats["quality_rejected"] == 0
+    assert curated.count() == n - expected_rejected
+
+    # gate off by default: nothing attributed to bandwidth
+    _, stats_off = curate_clips(clips, snr_threshold_db=None)
+    assert stats_off["bandwidth_rejected"] == 0
+    assert stats_off["output_rows"] == n
