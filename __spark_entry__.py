@@ -710,6 +710,51 @@ def _q_join_explosion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_cardinality_report(ev, ev, "event_type", "event_type")
 
 
+def _q_key_overlap_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact audit of the distinct-key overlap probe: the HLL
+    path (one mergeable-sketch pass per side, no join — the 100 TB
+    contamination probe) must land within 5% of the exact cardinalities
+    (Datasketches standard error ~1.6% at lg_k=12; deterministic, no
+    RNG). The oracle recomputes the exact counts in SQL and pins
+    sketch_ok TRUE — the same banded-audit stance as the quantile/KS
+    sketch rows."""
+    from jsonschema_spark.operators.joincard import key_overlap_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    est = key_overlap_sketch(orders, cust, "o_custkey", "c_custkey")
+    lk = orders.filter(F.col("o_custkey").isNotNull()).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    rk = cust.filter(F.col("c_custkey").isNotNull()).select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    ex = (
+        lk.agg(F.count(F.lit(1)).alias("left_distinct"))
+        .crossJoin(rk.agg(F.count(F.lit(1)).alias("right_distinct")))
+        .crossJoin(
+            lk.join(rk, "k", "left_semi")
+            .agg(F.count(F.lit(1)).alias("overlap_keys"))
+        )
+    )
+    union_exact = (
+        F.col("left_distinct") + F.col("right_distinct") - F.col("overlap_keys")
+    ).cast("double")
+    band = lambda e, x: (  # noqa: E731
+        F.abs(e.cast("double") - x) <= F.lit(0.05) * x
+    )
+    return ex.crossJoin(est).select(
+        "left_distinct",
+        "right_distinct",
+        "overlap_keys",
+        (
+            band(F.col("left_distinct_est"), F.col("left_distinct").cast("double"))
+            & band(F.col("right_distinct_est"), F.col("right_distinct").cast("double"))
+            & band(F.col("union_est"), union_exact)
+        ).alias("sketch_ok"),
+    )
+
+
 def _q_join_hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 join keys by output contribution (the salting shortlist)
     for events x events on user_id. orderBy().limit() compiles to
@@ -2817,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality_orders_lineitem": _q_join_cardinality_orders_lineitem,
         "join_explosion_events": _q_join_explosion_events,
         "join_hot_keys_events": _q_join_hot_keys_events,
+        "key_overlap_orders_customer": _q_key_overlap_orders_customer,
         "drift_chi_square_events": _q_drift_chi_square_events,
         "drift_psi_events": _q_drift_psi_events,
         "drift_psi_value_binned": _q_drift_psi_value_binned,
@@ -6064,6 +6110,19 @@ def oracle_sql() -> dict[str, str]:
         "join_explosion_events": _join_card_sql(
             "events", "event_type", "events", "event_type"
         ),
+        "key_overlap_orders_customer": """
+            SELECT
+              CAST((SELECT count(DISTINCT o_custkey) FROM orders
+                    WHERE o_custkey IS NOT NULL) AS BIGINT) AS left_distinct,
+              CAST((SELECT count(DISTINCT c_custkey) FROM customer
+                    WHERE c_custkey IS NOT NULL) AS BIGINT) AS right_distinct,
+              CAST((SELECT count(DISTINCT o.o_custkey) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS BIGINT) AS overlap_keys,
+              TRUE AS sketch_ok
+        """,
         "join_hot_keys_events": """
             WITH lp AS (
               SELECT user_id AS k, count(*) AS c FROM events

@@ -97,3 +97,27 @@ def test_plan_shapes(spark):
     # the report never joins the input ROWS — only the two aggregated
     # profiles meet, below a single-row aggregate
     assert rep_plan.count("Join") == 1
+
+
+def test_key_overlap_sketch_accuracy(spark):
+    from jsonschema_spark.operators.joincard import key_overlap_sketch
+
+    # |A|=3000, |B|=2500, overlap=[1000,3000)=2000, union=3500
+    left = spark.range(0, 3000).select(F.col("id").alias("a"))
+    right = spark.range(1000, 3500).select(F.col("id").alias("b"))
+    r = key_overlap_sketch(left, right, "a", "b").collect()[0]
+    assert abs(r["left_distinct_est"] - 3000) <= 0.05 * 3000
+    assert abs(r["right_distinct_est"] - 2500) <= 0.05 * 2500
+    assert abs(r["union_est"] - 3500) <= 0.05 * 3500
+    assert abs(r["overlap_est"] - 2000) <= 0.10 * 3500  # union-scaled error
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+
+
+def test_key_overlap_sketch_disjoint_nonnegative(spark):
+    from jsonschema_spark.operators.joincard import key_overlap_sketch
+
+    left = spark.range(0, 500).select(F.col("id").alias("a"))
+    right = spark.range(10_000, 10_500).select(F.col("id").alias("b"))
+    r = key_overlap_sketch(left, right, "a", "b").collect()[0]
+    assert r["overlap_est"] >= 0  # clamped: inclusion-exclusion can go negative
+    assert r["overlap_est"] <= 0.10 * 1000
