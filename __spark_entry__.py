@@ -2359,6 +2359,82 @@ def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(images)
 
 
+# Deterministic HTML wrapping for the extraction contract query: the
+# corpus is documents.text embedded in markup that exercises every strip
+# step (script with a raw '<', style, comment, entities incl. a double-
+# encoded '&amp;amp;', nbsp). Both engines build and strip the SAME string.
+_HTML_WRAP_PRE = (
+    '<html><head><title>t</title><style>p{color:red}</style>'
+    '<script>var x = 1 < 2 && "s";</script></head><body><h1>'
+)
+_HTML_WRAP_MID = (
+    "</h1>\n<p>it&#39;s &quot;quoted&quot; &lt;tagged&gt;"
+    " a&nbsp;&amp;amp; b</p>\n<p>"
+)
+_HTML_WRAP_POST = "</p><!-- hidden\ncomment --></body></html>"
+
+
+def _q_webtext_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/webtext.extract_html_text): the
+    deterministic regex layer (script/style/comment/tag strip, entity
+    decode with &amp; last, engine-identical whitespace collapse) as ONE
+    codegen projection — zero shuffles, zero Python. The oracle wraps the
+    same documents in the same markup and replays the identical pattern
+    chain with RE2, so the md5 of every extracted text must match."""
+    from jsonschema_spark.operators.webtext import extract_html_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_WRAP_PRE),
+        F.col("doc_id"),
+        F.lit(_HTML_WRAP_MID),
+        F.col("text"),
+        F.lit(_HTML_WRAP_POST),
+    )
+    ext = extract_html_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(ext).cast("bigint").alias("n_chars"),
+        F.md5(ext).alias("extracted_md5"),
+    )
+
+
+def _q_webtext_encoding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health profile (operators/webtext.encoding_profile): counts
+    of mojibake double-decode signatures, U+FFFD replacement chars, and
+    raw control bytes, plus the ASCII ratio — one codegen projection.
+    Defects are injected deterministically by md5-derived class (1: a
+    mojibake suffix, 2: a replacement char, 3: a \\x07 control byte) so
+    the gate outcomes are non-trivial; the oracle performs the SAME
+    injection and counts with the IDENTICAL patterns."""
+    from jsonschema_spark.operators.webtext import encoding_gates, encoding_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    cls = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(5),
+    )
+    t = (
+        F.when(cls == 1, F.concat(F.col("text"), F.lit(" cafÃ©")))
+        .when(cls == 2, F.concat(F.col("text"), F.lit(" �")))
+        .when(cls == 3, F.concat(F.col("text"), F.lit(" \x07x")))
+        .otherwise(F.col("text"))
+    )
+    prof = encoding_profile(t)
+    base = docs.select("doc_id", prof.alias("p"))
+    g = encoding_gates(F.col("p"))
+    return base.select(
+        "doc_id",
+        F.col("p")["mojibake_count"].alias("mojibake_count"),
+        F.col("p")["replacement_count"].alias("replacement_count"),
+        F.col("p")["control_count"].alias("control_count"),
+        F.col("p")["non_ascii_count"].alias("non_ascii_count"),
+        g["encoding_ok"].alias("encoding_ok"),
+    )
+
+
 _VIDEOS_N = 300
 
 
@@ -2863,6 +2939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_explosion_events": _q_join_explosion_events,
         "join_hot_keys_events": _q_join_hot_keys_events,
         "key_overlap_orders_customer": _q_key_overlap_orders_customer,
+        "webtext_extract_documents": _q_webtext_extract_documents,
+        "webtext_encoding_documents": _q_webtext_encoding_documents,
         "drift_chi_square_events": _q_drift_chi_square_events,
         "drift_psi_events": _q_drift_psi_events,
         "drift_psi_value_binned": _q_drift_psi_value_binned,
@@ -4056,6 +4134,73 @@ def _clips_audio_quality_sql() -> str:
                (_row_idx % 12 = 9) AS too_quiet,
                (_row_idx % 12 NOT IN (1, 5, 9)) AS "pass"
         FROM {src}
+    """
+
+
+def _webtext_extract_sql() -> str:
+    """RE2 replay of the HTML strip chain: the oracle wraps the same
+    documents in the same markup and applies the IDENTICAL pattern list
+    (operators/webtext.HTML_STRIP_STEPS) in order with the 'g' flag."""
+    from jsonschema_spark.operators.webtext import HTML_STRIP_STEPS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "src"
+    for pat, rep in HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    expr = f"trim({expr})"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 '{q(_HTML_WRAP_PRE)}' || doc_id || '{q(_HTML_WRAP_MID)}'
+                   || text || '{q(_HTML_WRAP_POST)}' AS src
+          FROM documents
+        ), e AS (
+          SELECT doc_id, {expr} AS x FROM t
+        )
+        SELECT doc_id, CAST(length(x) AS BIGINT) AS n_chars,
+               md5(x) AS extracted_md5
+        FROM e
+    """
+
+
+def _webtext_encoding_sql() -> str:
+    """Identical-pattern encoding-health replay: same md5-derived defect
+    injection, same RE2-subset patterns, counts via regexp_extract_all."""
+    from jsonschema_spark.operators.webtext import (
+        CONTROL_CHARS,
+        MOJIBAKE,
+        NON_ASCII,
+        REPLACEMENT_CHAR,
+    )
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5
+                   WHEN 1 THEN text || ' cafÃ©'
+                   WHEN 2 THEN text || ' {REPLACEMENT_CHAR}'
+                   WHEN 3 THEN text || ' ' || chr(7) || 'x'
+                   ELSE text END AS x
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(x, '{MOJIBAKE}')) AS BIGINT)
+              AS mojibake_count,
+            CAST(len(regexp_extract_all(x, '{REPLACEMENT_CHAR}')) AS BIGINT)
+              AS replacement_count,
+            CAST(len(regexp_extract_all(x, '{CONTROL_CHARS}')) AS BIGINT)
+              AS control_count,
+            CAST(len(regexp_extract_all(x, '{NON_ASCII}')) AS BIGINT)
+              AS non_ascii_count
+          FROM t
+        )
+        SELECT doc_id, mojibake_count, replacement_count, control_count,
+               non_ascii_count,
+               (mojibake_count = 0 AND replacement_count = 0
+                AND control_count = 0) AS encoding_ok
+        FROM c
     """
 
 
@@ -6110,6 +6255,8 @@ def oracle_sql() -> dict[str, str]:
         "join_explosion_events": _join_card_sql(
             "events", "event_type", "events", "event_type"
         ),
+        "webtext_extract_documents": _webtext_extract_sql(),
+        "webtext_encoding_documents": _webtext_encoding_sql(),
         "key_overlap_orders_customer": """
             SELECT
               CAST((SELECT count(DISTINCT o_custkey) FROM orders
