@@ -2359,6 +2359,64 @@ def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(images)
 
 
+_SUGGEST_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderpriority", False),
+]
+
+
+def _q_suite_suggest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion (operators/suggest — the Deequ
+    ConstraintSuggestion face): two passes over orders (one wide
+    aggregate + one stacked distinct groupBy) derive the check suite a
+    human would write — not_null/unique for the key, enum completeness
+    for status/priority, [min,max] numeric ranges. Deterministic exact
+    arithmetic end to end; the oracle replays every suggestion rule."""
+    from jsonschema_spark.operators.suggest import column_suggestions
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_suggestions(orders, [c for c, _ in _SUGGEST_COLS])
+
+
+def _suite_suggest_sql() -> str:
+    """Per-column facts (counts, distinct cardinality, numeric min/max)
+    + the literal suggestion rules as UNION branches."""
+    parts = []
+    for c, is_num in _SUGGEST_COLS:
+        mn = f"CAST(min({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col, count(*) AS n_total,"
+            f" count({c}) AS n_nonnull,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS mn, {mx} AS mx, {str(is_num).upper()} AS is_num"
+            f" FROM orders"
+        )
+    facts = "\n          UNION ALL ".join(parts)
+    return f"""
+        WITH f AS (
+          {facts}
+        )
+        SELECT col AS "column", 'not_null' AS check_type,
+               CAST(NULL AS DOUBLE) AS param_lo,
+               CAST(NULL AS DOUBLE) AS param_hi
+        FROM f WHERE n_total > 0 AND n_nonnull = n_total
+        UNION ALL
+        SELECT col, 'unique', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM f WHERE n_nonnull > 0 AND n_distinct = n_nonnull
+        UNION ALL
+        SELECT col, 'completeness_categories', CAST(n_distinct AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM f WHERE n_distinct BETWEEN 2 AND 12
+        UNION ALL
+        SELECT col, 'mean_between', mn, mx
+        FROM f WHERE is_num AND n_distinct > 12
+    """
+
+
 # Deterministic HTML wrapping for the extraction contract query: the
 # corpus is documents.text embedded in markup that exercises every strip
 # step (script with a raw '<', style, comment, entities incl. a double-
@@ -2941,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_overlap_orders_customer": _q_key_overlap_orders_customer,
         "webtext_extract_documents": _q_webtext_extract_documents,
         "webtext_encoding_documents": _q_webtext_encoding_documents,
+        "suite_suggest_orders": _q_suite_suggest_orders,
         "drift_chi_square_events": _q_drift_chi_square_events,
         "drift_psi_events": _q_drift_psi_events,
         "drift_psi_value_binned": _q_drift_psi_value_binned,
@@ -6257,6 +6316,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "webtext_extract_documents": _webtext_extract_sql(),
         "webtext_encoding_documents": _webtext_encoding_sql(),
+        "suite_suggest_orders": _suite_suggest_sql(),
         "key_overlap_orders_customer": """
             SELECT
               CAST((SELECT count(DISTINCT o_custkey) FROM orders

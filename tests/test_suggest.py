@@ -1,0 +1,77 @@
+"""Constraint suggestion (operators/suggest).
+
+Pins: the exact suggestion set on a hand-built frame (unique/not_null/
+enum/numeric-range and the all-NULL edge), the two-pass plan shape, and
+the self-consistency loop — a suggested suite must PASS on the table it
+was profiled from (the Deequ ConstraintSuggestion contract).
+"""
+
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.suggest import (
+    as_suite_config,
+    column_suggestions,
+)
+from jsonschema_spark.operators.suite import run_suite
+
+
+def _frame(spark):
+    rows = [
+        (i, "a" if i % 3 else "b", float(i) * 1.5 if i != 7 else None, None)
+        for i in range(50)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, status string, val double, dead string"
+    )
+
+
+def test_suggestion_set(spark):
+    df = _frame(spark)
+    got = {
+        (r["column"], r["check_type"]): (r["param_lo"], r["param_hi"])
+        for r in column_suggestions(
+            df, ["id", "status", "val", "dead"]
+        ).collect()
+    }
+    assert got[("id", "not_null")] == (None, None)
+    assert got[("id", "unique")] == (None, None)
+    assert got[("id", "mean_between")] == (0.0, 49.0)
+    assert got[("status", "not_null")] == (None, None)
+    assert got[("status", "completeness_categories")] == (2.0, None)
+    # val has a NULL -> no not_null; 49 distinct doubles -> range only
+    assert ("val", "not_null") not in got
+    assert got[("val", "unique")] == (None, None)
+    assert got[("val", "mean_between")] == (0.0, 73.5)
+    # all-NULL column suggests nothing
+    assert not [k for k in got if k[0] == "dead"]
+
+
+def test_suggested_suite_passes_on_source(spark):
+    df = _frame(spark)
+    sugg = column_suggestions(df, ["id", "status", "val"])
+    cfg = as_suite_config(df, sugg, table="t")
+    assert cfg["checks"], "must suggest something"
+    report = run_suite({"t": df}, cfg).collect()
+    assert all(r["status"] == "pass" for r in report)
+    # and the enum list is the real domain, sorted
+    cats = [c for c in cfg["checks"]
+            if c["type"] == "completeness_categories"]
+    assert cats and cats[0]["expected"] == ["a", "b"]
+
+
+def test_suggestions_detect_drift(spark):
+    df = _frame(spark)
+    cfg = as_suite_config(df, column_suggestions(df, ["id", "status"]), "t")
+    drifted = df.filter("id % 3 != 0")  # category 'b' disappears
+    report = {r["check_name"]: r["status"]
+              for r in run_suite({"t": drifted}, cfg).collect()}
+    assert report["status_completeness_categories"] == "fail"
+
+
+def test_two_pass_plan(spark):
+    df = _frame(spark)
+    plan = (
+        column_suggestions(df, ["id", "status", "val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
