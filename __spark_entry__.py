@@ -601,6 +601,26 @@ def _eval_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_model_auc_by_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice filter-model evaluation: binned ROC-AUC per language —
+    does the quality gate rank as well on every lang as overall? (the
+    slice-health stance of the drift matrix applied to the model-eval
+    family). Rank windows are PARTITIONED by slice over histogram rows
+    only — thousands of slices stay one narrow shuffle."""
+    from jsonschema_spark.operators import evalmetrics as em
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        F.col("lang"),
+        text_ops.model_quality_score(c).alias("score"),
+        (text_ops.quality_score(c) >= F.lit(_EVAL_LABEL_Q)).alias("label"),
+    )
+    return em.roc_auc_binned_by(
+        scored, "score", "label", "lang", *_EVAL_AUC_GRID
+    )
+
+
 def _q_model_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_spark.operators import evalmetrics as em
 
@@ -2984,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_quality_documents": _q_model_quality_documents,
         "model_confusion_documents": _q_model_confusion_documents,
         "model_auc_documents": _q_model_auc_documents,
+        "model_auc_by_lang_documents": _q_model_auc_by_lang_documents,
         "model_auc_exact_documents": _q_model_auc_exact_documents,
         "model_pr_curve_documents": _q_model_pr_curve_documents,
         "model_calibration_documents": _q_model_calibration_documents,
@@ -3601,6 +3622,40 @@ def _eval_scored_cte() -> str:
       FROM scored0
       WHERE s IS NOT NULL AND quality IS NOT NULL
     )"""
+
+
+def _eval_auc_by_lang_sql() -> str:
+    """Per-slice Mann-Whitney replay: same tie-group identity, PARTITION
+    BY slice windows, scored rows re-joined to documents for the lang."""
+    lo, hi, n_bins = _EVAL_AUC_GRID
+    key = _eval_bin_sql("s", lo, hi, n_bins)
+    return f"""
+    WITH {_eval_scored_cte()}, sl AS (
+      SELECT d.lang AS slice, sc.s, sc.label
+      FROM scored sc JOIN documents d USING (doc_id)
+    ), g AS (
+      SELECT slice, {key} AS k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+      FROM sl GROUP BY 1, 2
+    ), r AS (
+      SELECT slice, n, np,
+             CAST(np AS DECIMAL(38,0)) *
+             CAST(2 * (sum(n) OVER (PARTITION BY slice ORDER BY k) - n)
+                  + n + 1 AS DECIMAL(38,0)) AS r2
+      FROM g
+    ), a AS (
+      SELECT slice, CAST(sum(r2) AS DECIMAL(38,0)) AS r2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS n_all
+      FROM r GROUP BY slice
+    )
+    SELECT slice, n_pos, n_all - n_pos AS n_neg,
+           CASE WHEN n_pos > 0 AND n_all > n_pos THEN
+             round(CAST(r2 - CAST(n_pos AS DECIMAL(38,0)) * CAST(n_pos + 1 AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(2 * CAST(n_pos AS DECIMAL(38,0)) * CAST(n_all - n_pos AS DECIMAL(38,0)) AS DOUBLE), 9)
+           END AS auc
+    FROM a
+    """
 
 
 def _eval_bin_sql(v: str, lo: float, hi: float, n_bins: int) -> str:
@@ -6933,6 +6988,7 @@ def oracle_sql() -> dict[str, str]:
         "model_quality_documents": _model_quality_sql(),
         "model_confusion_documents": _eval_confusion_sql(),
         "model_auc_documents": _eval_auc_sql(binned=True),
+        "model_auc_by_lang_documents": _eval_auc_by_lang_sql(),
         "model_auc_exact_documents": _eval_auc_sql(binned=False),
         "model_pr_curve_documents": _eval_pr_sql(),
         "model_calibration_documents": _eval_calibration_sql(),

@@ -207,6 +207,67 @@ def roc_auc_binned(
     return _auc_from_groups(_binned_groups(d, lo, hi, n_bins), "bin")
 
 
+def roc_auc_binned_by(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    slice_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-slice binned AUC: one row per slice value (slice, n_pos,
+    n_neg, auc) — the filter-model fairness/QA view (does the quality
+    gate rank as well on every language/source as it does overall?).
+
+    Same grid arithmetic as ``roc_auc_binned``; the rank window is
+    PARTITIONED by slice so each partition holds <= n_bins+2 histogram
+    rows — thousands of slices stay one narrow shuffle, never a global
+    sort. NULL slices are kept as their own row (a silently-unsliceable
+    subpopulation is a finding, not a drop)."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    d = df.select(
+        F.col(slice_col).cast("string").alias("slice"),
+        s.alias("s"),
+        y.alias("y"),
+    ).where(s.isNotNull() & y.isNotNull())
+    g = d.groupBy(
+        "slice", binned_ecdf_bin(F.col("s"), lo, hi, n_bins).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("np"),
+    )
+    w = Window.partitionBy("slice").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n").over(w)
+    contrib = (
+        F.col("np").cast(_DEC0)
+        * (2 * (cum - F.col("n")) + F.col("n") + 1).cast(_DEC0)
+    )
+    agg = g.select("slice", "n", "np", contrib.alias("r2")).groupBy(
+        "slice"
+    ).agg(
+        F.sum("r2").alias("r2"),
+        F.sum("np").alias("n_pos"),
+        F.sum("n").alias("n_all"),
+    )
+    n_pos = F.col("n_pos").cast(_DEC0)
+    n_neg = (F.col("n_all") - F.col("n_pos")).cast(_DEC0)
+    num = (F.col("r2") - n_pos * (n_pos + 1)).cast("double")
+    den = (2 * n_pos * n_neg).cast("double")
+    return agg.select(
+        "slice",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n_all") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_all") > F.col("n_pos")),
+            F.round(num / den, 9),
+        ).alias("auc"),
+    )
+
+
 def pr_curve(
     df: DataFrame,
     score_col: str,

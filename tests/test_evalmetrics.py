@@ -183,3 +183,29 @@ def test_null_rows_dropped(spark):
     )
     r = em.confusion_report(df, "score", "label", [0.5]).collect()[0]
     assert r["tp"] + r["fp"] + r["tn"] + r["fn"] == 1
+
+
+def test_roc_auc_binned_by_matches_per_slice(spark):
+    rng = random.Random(23)
+    rows = []
+    for i in range(400):
+        sl = ("en", "de", "fr")[i % 3]
+        label = rng.random() < 0.4
+        score = rng.random() * 0.8 + (0.2 if label else 0.0)
+        rows.append((sl, score, label))
+    rows.append((None, 0.5, True))  # NULL slice survives as its own row
+    rows.append((None, 0.4, False))
+    df = spark.createDataFrame(rows, "lang string, score double, label boolean")
+    got = {
+        r["slice"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in em.roc_auc_binned_by(
+            df, "score", "label", "lang", -0.5, 1.5, 64
+        ).collect()
+    }
+    assert set(got) == {"en", "de", "fr", None}
+    for sl in ("en", "de", "fr"):
+        solo = em.roc_auc_binned(
+            df.filter(f"lang = '{sl}'"), "score", "label", -0.5, 1.5, 64
+        ).collect()[0]
+        assert got[sl] == (solo["n_pos"], solo["n_neg"], solo["auc"])
+    assert got[None] == (1, 1, 1.0)  # the lone positive outranks the negative
