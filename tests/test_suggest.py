@@ -75,3 +75,21 @@ def test_two_pass_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_suggest_job_chain(spark, tmp_path):
+    import json
+
+    from jobs.suggest_job import main as suggest_main
+    from jobs.suite_job import main as suite_main
+
+    src = str(tmp_path / "orders_src")
+    _frame(spark).write.mode("overwrite").parquet(src)
+    cfg = str(tmp_path / "suggested.json")
+    rc = suggest_main(["--input", src, "--table", "t", "--output", cfg])
+    assert rc == 0
+    conf = json.load(open(cfg))
+    assert conf["tables"] == {"t": src}
+    assert any(c["type"] == "unique" for c in conf["checks"])
+    # the suggested suite gates green on its own source
+    assert suite_main(["--config", cfg]) == 0
