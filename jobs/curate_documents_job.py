@@ -81,6 +81,8 @@ def curate(
     mix_alpha: float = 0.5,
     mix_strata: str = "source",
     model_threshold: float | None = None,
+    extract_html: bool = False,
+    encoding_gate: bool = False,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -91,6 +93,12 @@ def curate(
     recomputing validate + profile + both dedup joins from scratch.
     """
     schema = schema or DOCUMENTS_JSON_SCHEMA
+    if extract_html:
+        # raw-crawl ingestion: markup -> text BEFORE validation, so the
+        # schema's minLength/quality gates judge the extracted text
+        from jsonschema_spark.operators.webtext import extract_html_text
+
+        docs = docs.withColumn("text", extract_html_text("text"))
     ann = validate(docs, schema).annotated
     # profile columns are pure projections of `text` — computed in-line on
     # the annotated frame (a doc_id join would drop NULL ids and
@@ -106,8 +114,21 @@ def curate(
         # linear-model gate (fastText/LR-shaped margin): computed in the
         # same single-scan projection as the heuristic profile
         profile_cols.append(text_ops.model_quality_score(c).alias("model_score"))
+    if encoding_gate:
+        # encoding health (mojibake / U+FFFD / control bytes) in the same
+        # single-scan projection; gated FIRST — a double-decoded document's
+        # quality features are meaningless
+        from jsonschema_spark.operators.webtext import (
+            encoding_gates,
+            encoding_profile,
+        )
+
+        profile_cols.append(
+            encoding_gates(encoding_profile(c))["encoding_ok"].alias("_encok")
+        )
     profiled = ann.select("*", *profile_cols).persist()
 
+    enc = F.col("_encok") if encoding_gate else F.lit(True)
     heuristic_gate = (F.col("quality") >= quality_min) & (
         F.col("token_count") >= min_tokens
     )
@@ -119,14 +140,16 @@ def curate(
     funnel = profiled.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("_valid").cast("long")).alias("n_valid"),
-        F.sum((F.col("_valid") & heuristic_gate).cast("long")).alias("n_heur"),
-        F.sum((F.col("_valid") & gate).cast("long")).alias("n_gated"),
+        F.sum((F.col("_valid") & enc).cast("long")).alias("n_enc"),
+        F.sum((F.col("_valid") & enc & heuristic_gate).cast("long")).alias("n_heur"),
+        F.sum((F.col("_valid") & enc & gate).cast("long")).alias("n_gated"),
     ).collect()[0]
     n_input = funnel["n_input"]
     n_invalid = n_input - funnel["n_valid"]
-    n_low_quality = funnel["n_valid"] - funnel["n_heur"]
+    n_encoding_rejected = funnel["n_valid"] - funnel["n_enc"]
+    n_low_quality = funnel["n_enc"] - funnel["n_heur"]
     n_model_rejected = funnel["n_heur"] - funnel["n_gated"]
-    gated = profiled.filter(F.col("_valid") & gate)
+    gated = profiled.filter(F.col("_valid") & enc & gate)
 
     # optional block-level boilerplate removal BEFORE exact dedup: stripping
     # shared chrome makes near-identical docs exactly equal, so the cheap
@@ -153,7 +176,8 @@ def curate(
             text_ops.fingerprint(F.col("text")).alias("fingerprint"),
         ).filter(F.col("token_count") >= min_tokens)
         n_after = regated.count()
-        n_boiler_gated = n_input - n_invalid - n_low_quality - n_model_rejected - n_after
+        n_boiler_gated = (n_input - n_invalid - n_encoding_rejected
+                          - n_low_quality - n_model_rejected - n_after)
         gated = regated
 
     # exact dedup: one survivor per content fingerprint (min doc_id), as an
@@ -162,7 +186,8 @@ def curate(
         gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     )
     exact = gated.join(survivors, ["fingerprint", "doc_id"], "left_semi")
-    pool = n_input - n_invalid - n_low_quality - n_model_rejected - n_boiler_gated
+    pool = (n_input - n_invalid - n_encoding_rejected - n_low_quality
+            - n_model_rejected - n_boiler_gated)
     n_exact_removed = pool - exact.count()
 
     # near-dedup pair generation: MinHash LSH (sub-quadratic scale default,
@@ -228,6 +253,7 @@ def curate(
     stats = {
         "input_rows": n_input,
         "schema_invalid": n_invalid,
+        "encoding_rejected": n_encoding_rejected,
         "low_quality": n_low_quality,
         "model_rejected": n_model_rejected,
         "boilerplate_blocks_removed": int(n_boiler_blocks),
@@ -272,6 +298,13 @@ def main(argv=None) -> int:
                    help="enable the linear quality-model gate: drop docs "
                         "whose model margin is below this value (off by "
                         "default; 0.0 is the model's natural boundary)")
+    p.add_argument("--extract-html", action="store_true",
+                   help="treat text as raw markup: strip script/style/"
+                        "tags and decode entities BEFORE validation "
+                        "(operators/webtext.extract_html_text)")
+    p.add_argument("--encoding-gate", action="store_true",
+                   help="drop docs with mojibake / U+FFFD / control-byte "
+                        "encoding damage (operators/webtext)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -305,6 +338,8 @@ def main(argv=None) -> int:
         mix_alpha=args.mix_alpha,
         mix_strata=args.mix_strata,
         model_threshold=args.model_threshold,
+        extract_html=args.extract_html,
+        encoding_gate=args.encoding_gate,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -185,3 +185,34 @@ def test_curate_mixture_stage(spark):
                     mix_budget=60)
     assert s2["mixture_removed"] > 0
     assert s2["output_rows"] == c2.count() == 8 - s2["mixture_removed"]
+
+
+def test_curate_webtext_stages(spark):
+    from jobs.curate_documents_job import curate
+
+    rows = []
+    for i in range(40):
+        body = f"document number {i} with plenty of useful words to pass " \
+               f"the quality gate easily here {i}"
+        if i % 4 == 1:
+            body = f"<html><body><p>{body}</p><script>x=1;</script></body></html>"
+        if i % 10 == 3:
+            body = body + " bad � byte"
+        rows.append((i, body, "en", f"src{i % 3}", len(body)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    curated, stats = curate(
+        docs, extract_html=True, encoding_gate=True, quality_min=0.0,
+        min_tokens=3,
+    )
+    # the � rows (i % 10 == 3 -> 4 rows) are encoding-rejected
+    assert stats["encoding_rejected"] == 4
+    assert stats["schema_invalid"] == 0
+    out = {r["doc_id"]: r["text"] for r in curated.collect()}
+    # html rows were extracted: tags and script gone, text preserved
+    assert out[1].startswith("document number 1 ")
+    assert "<" not in out[1] and "script" not in out[1]
+    # without the gates the damaged/markup rows sail through
+    _, stats_off = curate(docs, quality_min=0.0, min_tokens=3)
+    assert stats_off["encoding_rejected"] == 0
