@@ -268,6 +268,27 @@ def _q_clips_summary_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_MS = 250
+
+
+def _q_clips_duration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR batch-formation prep (operators/chunk.duration_buckets): clips
+    bucketed by 250 ms duration bands with exact padding-waste accounting
+    per bucket — ONE narrow groupBy whose key is also the downstream
+    batch writer's repartition key."""
+    from jsonschema_spark.operators.chunk import duration_buckets
+
+    return duration_buckets(_clips(spark), "dur_ms", _BUCKET_MS)
+
+
+def _q_clips_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row why-bucketing report: global pad-to-corpus-max waste vs
+    pad-to-bucket-max waste, derived from per-BUCKET rows only."""
+    from jsonschema_spark.operators.chunk import padding_waste_report
+
+    return padding_waste_report(_clips(spark), "dur_ms", _BUCKET_MS)
+
+
 def _q_clips_partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomalous-slice report: per-(codec, sr_hz) violation rate + the
     Iglewicz-Hoaglin MAD-outlier verdict over the group rates (exact
@@ -2975,6 +2996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_summary_by_status": _q_validate_orders_summary_by_status,
         "clips_summary_by_codec": _q_clips_summary_by_codec,
         "clips_partition_health": _q_clips_partition_health,
+        "clips_duration_buckets": _q_clips_duration_buckets,
+        "clips_padding_waste": _q_clips_padding_waste,
         "validate_part_logic": _q_validate_part_logic,
         "validate_formats_events": _q_validate_formats_events,
         "validate_lineitem_keywords": _q_validate_lineitem_keywords,
@@ -7203,6 +7226,56 @@ def oracle_sql() -> dict[str, str]:
         "clips_summary_by_codec": _clips_totals_sql(
             _CLIPS_MAIN_PQ, ("codec", "sr_hz")
         ),
+        "clips_duration_buckets": f"""
+            WITH g AS (
+              SELECT dur_ms // {_BUCKET_MS} AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_clips,
+                     CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+                     CAST(max(dur_ms) AS BIGINT) AS max_ms
+              FROM {_CLIPS_MAIN_PQ}
+              WHERE dur_ms IS NOT NULL AND dur_ms >= 0
+              GROUP BY 1
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(bucket * {_BUCKET_MS} AS BIGINT) AS lo_ms,
+                   CAST((bucket + 1) * {_BUCKET_MS} AS BIGINT) AS hi_ms,
+                   n_clips, total_ms, max_ms,
+                   CAST(n_clips * max_ms AS BIGINT) AS padded_ms,
+                   CASE WHEN n_clips * max_ms > 0 THEN
+                     round(1.0 - CAST(total_ms AS DOUBLE)
+                           / CAST(n_clips * max_ms AS DOUBLE), 9)
+                   ELSE 0.0 END AS waste_ratio
+            FROM g
+        """,
+        "clips_padding_waste": f"""
+            WITH g AS (
+              SELECT dur_ms // {_BUCKET_MS} AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_clips,
+                     CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+                     CAST(max(dur_ms) AS BIGINT) AS max_ms
+              FROM {_CLIPS_MAIN_PQ}
+              WHERE dur_ms IS NOT NULL AND dur_ms >= 0
+              GROUP BY 1
+            ), a AS (
+              SELECT CAST(sum(n_clips) AS BIGINT) AS n_clips,
+                     CAST(count(*) AS BIGINT) AS n_buckets,
+                     CAST(sum(total_ms) AS BIGINT) AS total_ms,
+                     CAST(max(max_ms) AS BIGINT) AS global_max_ms,
+                     CAST(sum(n_clips * max_ms) AS BIGINT) AS bucketed_padded_ms
+              FROM g
+            )
+            SELECT n_clips, n_buckets, total_ms, global_max_ms,
+                   bucketed_padded_ms,
+                   CASE WHEN n_clips * global_max_ms > 0 THEN
+                     round(1.0 - CAST(total_ms AS DOUBLE)
+                           / CAST(n_clips * global_max_ms AS DOUBLE), 9)
+                   ELSE 0.0 END AS global_waste_ratio,
+                   CASE WHEN bucketed_padded_ms > 0 THEN
+                     round(1.0 - CAST(total_ms AS DOUBLE)
+                           / CAST(bucketed_padded_ms AS DOUBLE), 9)
+                   ELSE 0.0 END AS bucketed_waste_ratio
+            FROM a
+        """,
         "clips_partition_health": f"""
             WITH s AS ({_clips_totals_sql(_CLIPS_MAIN_PQ, ("codec", "sr_hz"))}),
             r AS (

@@ -119,3 +119,89 @@ def pack_plan(
             (last - first + 1).alias("n_packs"),
         )
     )
+
+
+def duration_buckets(
+    df: DataFrame,
+    dur_col: str = "dur_ms",
+    bucket_ms: int = 250,
+) -> DataFrame:
+    """ASR batch-formation prep: assign each clip to a fixed-width
+    duration bucket and account the padding cost of batching by bucket.
+
+    Dynamic batching pads every clip in a batch to the batch maximum;
+    batching by duration bucket bounds that waste by the bucket width.
+    One row per bucket: (bucket, lo_ms, hi_ms, n_clips, total_ms, max_ms,
+    padded_ms = n_clips * max_ms, waste_ratio = 1 - total/padded).
+
+    Scale shape: ONE narrow groupBy(bucket) — the bucket id is also the
+    natural repartition key for the downstream batch writer, so the
+    shuffle that computes this report is the same shuffle that forms
+    batches. NULL/negative durations are excluded (surface them with the
+    schema checks, not here)."""
+    if bucket_ms <= 0:
+        raise ValueError("bucket_ms must be positive")
+    d = F.col(dur_col).cast("long")
+    g = (
+        df.where(d.isNotNull() & (d >= 0))
+        .groupBy(F.floor(d / F.lit(int(bucket_ms))).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(d).alias("total_ms"),
+            F.max(d).alias("max_ms"),
+        )
+    )
+    padded = (F.col("n_clips") * F.col("max_ms")).alias("padded_ms")
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * F.lit(int(bucket_ms))).cast("long").alias("lo_ms"),
+        ((F.col("bucket") + 1) * F.lit(int(bucket_ms))).cast("long").alias("hi_ms"),
+        "n_clips",
+        "total_ms",
+        "max_ms",
+        padded,
+        F.when(
+            (F.col("n_clips") * F.col("max_ms")) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("total_ms").cast("double")
+                / (F.col("n_clips") * F.col("max_ms")).cast("double"),
+                9,
+            ),
+        ).otherwise(F.lit(0.0)).alias("waste_ratio"),
+    )
+
+
+def padding_waste_report(
+    df: DataFrame,
+    dur_col: str = "dur_ms",
+    bucket_ms: int = 250,
+) -> DataFrame:
+    """ONE row quantifying why duration bucketing exists: global padding
+    waste (every clip padded to the corpus max — the naive shuffle-free
+    batcher) vs bucketed waste (each clip padded to its bucket max).
+    Derived from the bucket report alone — per-BUCKET rows, never a
+    second pass over the clips."""
+    b = duration_buckets(df, dur_col, bucket_ms)
+    agg = b.agg(
+        F.sum("n_clips").alias("n_clips"),
+        F.sum("total_ms").alias("total_ms"),
+        F.max("max_ms").alias("global_max_ms"),
+        F.sum("padded_ms").alias("bucketed_padded_ms"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    gpad = (F.col("n_clips") * F.col("global_max_ms")).cast("double")
+    ratio = lambda num: F.when(  # noqa: E731
+        num > 0, F.round(F.lit(1.0) - F.col("total_ms").cast("double") / num, 9)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_clips",
+        "n_buckets",
+        "total_ms",
+        "global_max_ms",
+        "bucketed_padded_ms",
+        ratio(gpad).alias("global_waste_ratio"),
+        ratio(F.col("bucketed_padded_ms").cast("double")).alias(
+            "bucketed_waste_ratio"
+        ),
+    )

@@ -94,3 +94,42 @@ def test_pack_plan_offsets_are_prefix_sums(spark):
     for r in plan:
         assert r["offset"] == run
         run += r["weight"]
+
+
+def test_duration_buckets_exact(spark):
+    from jsonschema_spark.operators.chunk import (
+        duration_buckets,
+        padding_waste_report,
+    )
+
+    durs = [100, 240, 260, 490, 500, 999, None, -5]
+    df = spark.createDataFrame([(d,) for d in durs], "dur_ms int")
+    rows = {r["bucket"]: r for r in duration_buckets(df, "dur_ms", 250).collect()}
+    # bucket 0: 100,240 -> max 240, total 340; bucket 1: 260,490;
+    # bucket 2: 500; bucket 3: 999; NULL/negative excluded
+    assert set(rows) == {0, 1, 2, 3}
+    assert (rows[0]["n_clips"], rows[0]["total_ms"], rows[0]["max_ms"]) == (2, 340, 240)
+    assert rows[0]["padded_ms"] == 480
+    assert rows[0]["waste_ratio"] == round(1 - 340 / 480, 9)
+    assert (rows[1]["lo_ms"], rows[1]["hi_ms"]) == (250, 500)
+    assert rows[2]["waste_ratio"] == 0.0  # singleton pads nothing
+
+    rep = padding_waste_report(df, "dur_ms", 250).collect()[0]
+    assert rep["n_clips"] == 6 and rep["n_buckets"] == 4
+    assert rep["global_max_ms"] == 999
+    total = 100 + 240 + 260 + 490 + 500 + 999
+    assert rep["global_waste_ratio"] == round(1 - total / (6 * 999), 9)
+    bucketed = 480 + 2 * 490 + 500 + 999
+    assert rep["bucketed_padded_ms"] == bucketed
+    assert rep["bucketed_waste_ratio"] == round(1 - total / bucketed, 9)
+    # bucketing must never pad MORE than global
+    assert rep["bucketed_waste_ratio"] <= rep["global_waste_ratio"]
+
+
+def test_duration_buckets_validation(spark):
+    from jsonschema_spark.operators.chunk import duration_buckets
+
+    df = spark.createDataFrame([(1,)], "dur_ms int")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        duration_buckets(df, "dur_ms", 0)
