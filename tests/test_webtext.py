@@ -92,3 +92,66 @@ def test_webtext_plan_is_pure_codegen(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_extract_differential_fuzz(spark):
+    """Spark's regex chain vs a pure-Python re replay on random markup —
+    the patterns live in the RE2∩java.regex∩python-re subset, so all
+    three engines must agree character-for-character."""
+    import random
+    import re
+
+    from jsonschema_spark.operators.webtext import HTML_STRIP_STEPS
+
+    rng = random.Random(99)
+    pieces = [
+        "plain words ", "<b>bold</b>", "<script>junk < 1 && 2</script>",
+        "<style>a{b:c}</style>", "<!-- note -->", "&amp;amp;", "&lt;x&gt;",
+        "&quot;q&quot;", "&#39;", "&nbsp;", "\n\t ", "a<br/>b",
+        "<p class='x'>para</p>", "tail",
+    ]
+    docs = [
+        "".join(rng.choice(pieces) for _ in range(rng.randrange(1, 12)))
+        for _ in range(60)
+    ]
+
+    def py_extract(s: str) -> str:
+        for pat, rep in HTML_STRIP_STEPS:
+            s = re.sub(pat, rep, s)
+        return s.strip()
+
+    from jsonschema_spark.operators.webtext import extract_html_text
+
+    df = spark.createDataFrame([(d,) for d in docs], "t string")
+    got = [r["x"] for r in df.select(extract_html_text("t").alias("x")).collect()]
+    assert got == [py_extract(d) for d in docs]
+
+
+def test_encoding_profile_differential_fuzz(spark):
+    import random
+    import re
+
+    from jsonschema_spark.operators.webtext import (
+        CONTROL_CHARS,
+        MOJIBAKE,
+        NON_ASCII,
+        REPLACEMENT_CHAR,
+    )
+
+    rng = random.Random(7)
+    atoms = ["word ", "cafÃ©", "â€", "Â ", "�",
+             "\x07", "\x1f", "ok", "é"]
+    docs = ["".join(rng.choice(atoms) for _ in range(rng.randrange(0, 15)))
+            for _ in range(60)]
+    df = spark.createDataFrame([(d,) for d in docs], "t string")
+    got = (
+        df.select(encoding_profile("t").alias("p"))
+        .select("p.mojibake_count", "p.replacement_count",
+                "p.control_count", "p.non_ascii_count")
+        .collect()
+    )
+    for d, r in zip(docs, got):
+        assert r["mojibake_count"] == len(re.findall(MOJIBAKE, d))
+        assert r["replacement_count"] == len(re.findall(REPLACEMENT_CHAR, d))
+        assert r["control_count"] == len(re.findall(CONTROL_CHARS, d))
+        assert r["non_ascii_count"] == len(re.findall(NON_ASCII, d))
