@@ -2441,9 +2441,14 @@ def _suite_suggest_sql() -> str:
         WITH f AS (
           {facts}
         )
-        SELECT col AS "column", 'not_null' AS check_type,
-               CAST(NULL AS DOUBLE) AS param_lo,
+        SELECT '*' AS "column", 'row_count' AS check_type,
+               CAST(n_total // 2 AS DOUBLE) AS param_lo,
                CAST(NULL AS DOUBLE) AS param_hi
+        FROM f WHERE col = '{_SUGGEST_COLS[0][0]}' AND n_total > 0
+        UNION ALL
+        SELECT col, 'not_null',
+               CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
         FROM f WHERE n_total > 0 AND n_nonnull = n_total
         UNION ALL
         SELECT col, 'unique', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)

@@ -103,7 +103,18 @@ def column_suggestions(
     )
 
     cm = int(category_max)
+    anchor = columns[0]
     sugg = F.array(
+        # table-level size floor (Deequ's hasSize suggestion): emitted once,
+        # anchored to the first profiled column; half the observed rows is
+        # the catastrophic-drop tripwire, not a tight bound
+        F.when(
+            (F.col("column") == anchor) & (F.col("n_total") > 0),
+            F.struct(F.lit("row_count").alias("check_type"),
+                     F.floor(F.col("n_total") / 2).cast("double")
+                      .alias("param_lo"),
+                     F.lit(None).cast("double").alias("param_hi")),
+        ),
         F.when(
             (F.col("n_total") > 0) & (F.col("n_nonnull") == F.col("n_total")),
             F.struct(F.lit("not_null").alias("check_type"),
@@ -134,7 +145,8 @@ def column_suggestions(
         j.select("column", F.explode(sugg).alias("s"))
         .where(F.col("s").isNotNull())
         .select(
-            "column",
+            F.when(F.col("s")["check_type"] == "row_count", F.lit("*"))
+            .otherwise(F.col("column")).alias("column"),
             F.col("s")["check_type"].alias("check_type"),
             F.col("s")["param_lo"].alias("param_lo"),
             F.col("s")["param_hi"].alias("param_hi"),
@@ -187,4 +199,8 @@ def as_suite_config(
                            "table": table, "column": c,
                            "min_mean": r["param_lo"],
                            "max_mean": r["param_hi"]})
+        elif ct == "row_count":
+            checks.append({"type": "row_count", "name": f"{table}_row_count",
+                           "table": table,
+                           "min_rows": int(r["param_lo"])})
     return {"checks": checks}

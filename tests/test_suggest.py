@@ -33,6 +33,7 @@ def test_suggestion_set(spark):
             df, ["id", "status", "val", "dead"]
         ).collect()
     }
+    assert got[("*", "row_count")] == (25.0, None)
     assert got[("id", "not_null")] == (None, None)
     assert got[("id", "unique")] == (None, None)
     assert got[("id", "mean_between")] == (0.0, 49.0)
