@@ -268,6 +268,17 @@ def _q_clips_summary_by_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity triage in ONE aggregate pass: GROUP BY ROLLUP
+    emits (codec, sr_hz), (codec), and the grand total from a single
+    shuffle with partial aggregation — instead of one job per level.
+    depth = concrete leading keys (0 = grand total)."""
+    clips = _clips(spark)
+    return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).summary_rollup(
+        ["codec", "sr_hz"]
+    )
+
+
 _BUCKET_MS = 250
 
 
@@ -3003,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_partition_health": _q_clips_partition_health,
         "clips_duration_buckets": _q_clips_duration_buckets,
         "clips_padding_waste": _q_clips_padding_waste,
+        "clips_summary_rollup": _q_clips_summary_rollup,
         "validate_part_logic": _q_validate_part_logic,
         "validate_formats_events": _q_validate_formats_events,
         "validate_lineitem_keywords": _q_validate_lineitem_keywords,
@@ -5414,6 +5426,25 @@ def _clips_totals_sql(src: str, group_cols: tuple[str, ...] = ()) -> str:
     """
 
 
+def _clips_rollup_sql() -> str:
+    """ROLLUP replay: identical per-check predicates, GROUP BY ROLLUP
+    levels, depth from GROUPING() flags (keys are never NULL in the
+    ledger corpus, so NULL means rolled-up in both engines)."""
+    fails = [f for (_, _, f) in _CLIPS_CHECK_FAILS]
+    any_fail = " OR ".join(f"({f})" for f in fails)
+    viol_sum = " + ".join(f"CASE WHEN {f} THEN 1 ELSE 0 END" for f in fails)
+    return f"""
+    SELECT codec, sr_hz,
+           CAST(2 - GROUPING(codec) - GROUPING(sr_hz) AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS "rows",
+           CAST(sum(CASE WHEN NOT ({any_fail}) THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           CAST(sum(CASE WHEN {any_fail} THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           CAST(sum({viol_sum}) AS BIGINT) AS violation_count
+    FROM {_CLIPS_MAIN_PQ}
+    GROUP BY ROLLUP (codec, sr_hz)
+    """
+
+
 def _ks_binned_sql(grid: tuple[float, float, int], cur_where: str,
                    base_where: str, table: str = "events",
                    col: str = "value", base_table: str | None = None) -> str:
@@ -7281,6 +7312,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS bucketed_waste_ratio
             FROM a
         """,
+        "clips_summary_rollup": _clips_rollup_sql(),
         "clips_partition_health": f"""
             WITH s AS ({_clips_totals_sql(_CLIPS_MAIN_PQ, ("codec", "sr_hz"))}),
             r AS (

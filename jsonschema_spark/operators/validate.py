@@ -139,6 +139,42 @@ class ValidationResult:
             .orderBy(*cols)
         )
 
+    def summary_rollup(self, group_cols: Sequence[str]) -> DataFrame:
+        """Multi-granularity pass/fail in ONE aggregate pass: GROUP BY
+        ROLLUP over the key hierarchy emits every prefix level — (codec,
+        sr_hz), (codec), and the grand total — from a single shuffle
+        with partial aggregation, instead of one job per granularity.
+        ``depth`` = how many leading keys are concrete on that row
+        (0 = grand total); rolled-up key columns are NULL. The triage
+        view: scan the coarse rows first, drill into the fine ones."""
+        cols = list(group_cols)
+        n = len(cols)
+        gid = F.grouping_id(*[F.col(c) for c in cols])
+        return (
+            self.annotated.rollup(*cols)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("_valid").cast("long")).alias("passed"),
+                F.sum((~F.col("_valid")).cast("long")).alias("failed"),
+                F.sum(F.size("_violations").cast("long")).alias(
+                    "violation_count"
+                ),
+                gid.alias("_gid"),
+            )
+            .select(
+                *cols,
+                # ROLLUP rolls up a SUFFIX of k keys -> gid = 2^k - 1, so
+                # gid+1 is a power of two and log2 is exact in doubles
+                (F.lit(n)
+                 - F.log2(F.col("_gid").cast("double") + 1).cast("long"))
+                .alias("depth"),
+                "rows",
+                "passed",
+                "failed",
+                "violation_count",
+            )
+        )
+
     def partition_health(
         self,
         group_cols: Sequence[str],
