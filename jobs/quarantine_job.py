@@ -50,15 +50,21 @@ from jsonschema_spark.operators.validate import validate  # noqa: E402
 
 
 def split_quarantine(
-    df: DataFrame, schema: dict
+    df: DataFrame, schema: dict, observation=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(valid, quarantine, annotated): one validated scan, persisted; the
     two outputs filter above the persist barrier. ``quarantine`` carries
     the original columns plus ``_violations_json``. Caller must unpersist
-    ``annotated`` after BOTH writes."""
-    annotated = validate(df, schema).annotated.persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ``annotated`` after BOTH writes.
+
+    With ``observation`` (a pyspark Observation), the pass/fail totals
+    ride the FIRST write as observe() metrics — no separate aggregate
+    job over the cache at all. The observe node sits BELOW the persist,
+    so the metrics fire exactly once (when the cache materializes)."""
+    r = validate(df, schema)
+    base = r.observed_annotated(observation) if observation is not None \
+        else r.annotated
+    annotated = base.persist(StorageLevel.MEMORY_AND_DISK)
     orig_cols = [c for c in df.columns]
     valid = annotated.where(F.col("_valid")).select(*orig_cols)
     quarantine = annotated.where(~F.col("_valid")).select(
@@ -90,16 +96,17 @@ def main(argv=None) -> int:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    from pyspark.sql import Observation
+
     df = spark.read.parquet(args.input)
-    valid, quarantine, annotated = split_quarantine(df, schema)
+    obs = Observation("validate_totals")
+    valid, quarantine, annotated = split_quarantine(df, schema, observation=obs)
     valid.write.mode("overwrite").parquet(args.valid)
     quarantine.write.mode("overwrite").parquet(args.quarantine)
 
-    tot = annotated.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum((~F.col("_valid")).cast("long")).alias("failed"),
-        F.sum(F.size("_violations").cast("long")).alias("violation_count"),
-    ).collect()[0]
+    # totals accumulated during the first write (Observation API) —
+    # zero extra jobs, zero extra scans
+    tot = obs.get
     annotated.unpersist()
 
     rate = (tot["failed"] / tot["rows"]) if tot["rows"] else 0.0

@@ -139,6 +139,22 @@ class ValidationResult:
             .orderBy(*cols)
         )
 
+    def observed_annotated(self, observation) -> DataFrame:
+        """Attach single-pass validation counters (rows / failed /
+        violation_count) to the annotated frame via Spark's Observation
+        API: the totals materialize as a SIDE EFFECT of the first action
+        over the frame — a writer job gets its pass/fail report for zero
+        extra jobs and zero extra scans. Read them with
+        ``observation.get`` after that action completes. Place any
+        ``persist()`` ABOVE this node so re-reads of the cache don't
+        re-fire (or double-count) the metrics."""
+        return self.annotated.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("_valid")).cast("long")).alias("failed"),
+            F.sum(F.size("_violations").cast("long")).alias("violation_count"),
+        )
+
     def summary_rollup(self, group_cols: Sequence[str]) -> DataFrame:
         """Multi-granularity pass/fail in ONE aggregate pass: GROUP BY
         ROLLUP over the key hierarchy emits every prefix level — (codec,
