@@ -24,6 +24,11 @@ from jsonschema_spark.operators import dedup, drift, referential, similarity, st
 from jsonschema_spark.operators import text as text_ops
 from jsonschema_spark.operators import uniqueness
 from jsonschema_spark.operators.validate import validate
+from jsonschema_spark.operators.webtext import (
+    CONTROL_CHARS as _ENC_CTRL,
+    MOJIBAKE as _ENC_MOJIBAKE,
+    REPLACEMENT_CHAR as _ENC_REPL,
+)
 from jsonschema_spark.plans.compile import CompileOptions
 from jsonschema_spark.sources.clips import CLIPS_JSON_SCHEMA
 from jsonschema_spark.sources.tables import load_table
@@ -2019,9 +2024,15 @@ def _q_suite_report_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = {
         "events": load_table(spark, sf_dir, "events"),
         "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "documents": load_table(spark, sf_dir, "documents"),
     }
     config = {
         "checks": [
+            {"type": "matches_regex", "name": "event_type_shape",
+             "table": "events", "column": "event_type",
+             "pattern": "^[a-z_]+$", "max_violation_rate": 0.0},
+            {"type": "encoding", "name": "documents_encoding",
+             "table": "documents", "column": "text", "max_bad_rate": 0.0},
             {"type": "fd", "name": "partkey_suppkey", "table": "lineitem",
              "determinant": "l_partkey", "dependent": "l_suppkey",
              "max_violating_groups": 0},
@@ -6781,7 +6792,31 @@ def oracle_sql() -> dict[str, str]:
                            GROUP BY event_type)) AS s,
                        (SELECT count(event_type) FROM events) AS n
               )
+            ), rx AS (
+              SELECT CAST(sum(CASE WHEN NOT regexp_matches(event_type,
+                       '^[a-z_]+$') THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(greatest(count(*), 1) AS DOUBLE) AS metric
+              FROM events WHERE event_type IS NOT NULL
+            ), encx AS (
+              SELECT CAST(sum(CASE WHEN
+                       len(regexp_extract_all(text, '{_ENC_MOJIBAKE}')) > 0
+                       OR len(regexp_extract_all(text, '{_ENC_REPL}')) > 0
+                       OR len(regexp_extract_all(text, '{_ENC_CTRL}')) > 0
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(greatest(count(*), 1) AS DOUBLE) AS metric
+              FROM documents WHERE text IS NOT NULL
             )
+            SELECT 'event_type_shape' AS check_name,
+                   'matches_regex' AS check_type, metric,
+                   CAST(0.0 AS DOUBLE) AS threshold,
+                   CASE WHEN metric <= CAST(0.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END AS status
+            FROM rx
+            UNION ALL
+            SELECT 'documents_encoding', 'encoding', metric,
+                   CAST(0.0 AS DOUBLE),
+                   CASE WHEN metric <= CAST(0.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END
+            FROM encx
+            UNION ALL
             SELECT 'partkey_suppkey' AS check_name, 'fd' AS check_type,
                    metric, CAST(0.0 AS DOUBLE) AS threshold,
                    CASE WHEN metric <= CAST(0.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END AS status

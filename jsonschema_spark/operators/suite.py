@@ -338,6 +338,50 @@ def _check_skew(df: DataFrame, spec: dict) -> DataFrame:
     )(rep)
 
 
+def _check_matches_regex(df: DataFrame, spec: dict) -> DataFrame:
+    """Great-Expectations' expect_column_values_to_match_regex: metric =
+    fraction of NON-NULL values not matching ``pattern`` (keep patterns
+    in the RE2∩java.regex subset so external replays agree). NULLs are
+    not_null's job."""
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    col = F.col(spec["column"])
+    agg = df.where(col.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~col.cast("string").rlike(spec["pattern"])).cast("long")
+        ).alias("bad"),
+    )
+    metric = F.coalesce(F.col("bad"), F.lit(0)) / F.greatest(
+        F.col("n"), F.lit(1)
+    )
+    return _report_row(
+        spec["name"], "matches_regex", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
+def _check_encoding(df: DataFrame, spec: dict) -> DataFrame:
+    """Encoding-health gate (operators/webtext): metric = fraction of
+    non-NULL documents failing the mojibake/replacement/control gates."""
+    from jsonschema_spark.operators.webtext import (
+        encoding_gates,
+        encoding_profile,
+    )
+
+    max_rate = float(spec.get("max_bad_rate", 0.0))
+    col = F.col(spec["column"])
+    ok = encoding_gates(encoding_profile(col))["encoding_ok"]
+    agg = df.where(col.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~ok).cast("long")).alias("bad"),
+    )
+    metric = F.coalesce(F.col("bad"), F.lit(0)) / F.greatest(
+        F.col("n"), F.lit(1)
+    )
+    return _report_row(
+        spec["name"], "encoding", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 def _check_join_explosion(
     df: DataFrame, spec: dict, tables: dict[str, DataFrame]
 ) -> DataFrame:
@@ -449,6 +493,8 @@ _CHECKS = {
         _check_completeness_categories(df, spec),
     "manifest": _check_manifest,
     "join_explosion": _check_join_explosion,
+    "matches_regex": lambda df, spec, tables: _check_matches_regex(df, spec),
+    "encoding": lambda df, spec, tables: _check_encoding(df, spec),
 }
 
 

@@ -387,3 +387,33 @@ def test_suite_join_explosion_check(spark):
     # 1:1 dim join: est 11 rows over 11 -> ratio 1.0 -> pass
     assert rows["fk_ok"]["status"] == "pass"
     assert rows["fk_ok"]["metric"] == pytest.approx(1.0)
+
+
+def test_suite_matches_regex_and_encoding_checks(spark):
+    from jsonschema_spark.operators.suite import run_suite
+
+    df = spark.createDataFrame(
+        [("click", "clean text"), ("VIEW", "bad \x07 text"),
+         (None, None), ("scroll", "fine")],
+        "et string, txt string",
+    )
+    cfg = {
+        "checks": [
+            {"type": "matches_regex", "name": "shape", "table": "t",
+             "column": "et", "pattern": "^[a-z_]+$",
+             "max_violation_rate": 0.0},
+            {"type": "matches_regex", "name": "shape_loose", "table": "t",
+             "column": "et", "pattern": "^[a-z_]+$",
+             "max_violation_rate": 0.5},
+            {"type": "encoding", "name": "enc", "table": "t",
+             "column": "txt", "max_bad_rate": 0.0},
+        ]
+    }
+    rows = {r["check_name"]: r for r in run_suite({"t": df}, cfg).collect()}
+    # 3 non-null et values, 1 ('VIEW') violates -> rate 1/3
+    assert rows["shape"]["status"] == "fail"
+    assert rows["shape"]["metric"] == pytest.approx(1 / 3)
+    assert rows["shape_loose"]["status"] == "pass"
+    # 3 non-null txt values, 1 control-damaged -> rate 1/3 -> fail at 0.0
+    assert rows["enc"]["status"] == "fail"
+    assert rows["enc"]["metric"] == pytest.approx(1 / 3)
