@@ -240,3 +240,52 @@ def layout_report(df: DataFrame, column: str) -> DataFrame:
         .alias("overlap_fraction"),
     )
     return out
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols,
+    n_buckets: int,
+    sort_cols=None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED (and optionally sorted) table — the layout
+    remediation for repeated joins/aggregations on the same key.
+
+    Bucketing pre-shuffles the data ONCE at write time: every row lands
+    in hash(bucket_cols) % n_buckets, recorded in the catalog. A later
+    join of two tables bucketed the same way on the join key runs with
+    ZERO exchanges (Spark trusts the bucketing as the required hash
+    partitioning), and sortBy additionally removes the sort under a
+    sort-merge join. At 100 TB this converts every recurring
+    fact-to-fact join from a full-table shuffle into a local merge —
+    the single biggest recurring-cost lever the layout family offers.
+
+    ``path`` makes it an external table (parquet files at that path);
+    bucketing metadata lives in the session catalog either way, so read
+    back with ``spark.table(table_name)`` — a raw ``read.parquet(path)``
+    sees the files but NOT the bucketing."""
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        int(n_buckets), *bucket_cols
+    )
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def exchange_count(df) -> int:
+    """Number of shuffle exchanges in the executed plan (AQE prints the
+    plan twice — final + initial — so count on the final section only)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    return final.count("Exchange hashpartitioning") + final.count(
+        "Exchange rangepartitioning"
+    )

@@ -224,3 +224,48 @@ def test_layout_report_single_file(spark, tmp_path):
     assert rep["n_files"] == 1
     assert rep["total_pairs"] == 0
     assert rep["overlap_fraction"] == 0.0
+
+
+def test_bucketed_join_elides_exchanges(spark, tmp_path):
+    from jsonschema_spark.operators.layout import exchange_count, write_bucketed
+
+    left = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bk_left", "k", 8, sort_cols="k",
+                   path=str(tmp_path / "l"))
+    write_bucketed(right, "bk_right", "k", 8, sort_cols="k",
+                   path=str(tmp_path / "r"))
+    try:
+        # force a sort-merge join so the exchange question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        bucketed = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        plain = left.join(right, "k")
+        n_bucketed = exchange_count(bucketed)
+        n_plain = exchange_count(plain)
+        assert n_bucketed == 0, f"bucketed join still shuffles: {n_bucketed}"
+        assert n_plain >= 2  # both sides of a plain SMJ shuffle
+        # and the answers agree
+        assert bucketed.count() == plain.count() == 5000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_bucketed_groupby_elides_exchange(spark, tmp_path):
+    from jsonschema_spark.operators.layout import exchange_count, write_bucketed
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).selectExpr("id % 97 AS k", "id AS v")
+    write_bucketed(df, "bk_agg", "k", 4, path=str(tmp_path / "g"))
+    try:
+        agg = spark.table("bk_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        assert exchange_count(agg) == 0
+        plain = df.groupBy("k").agg(F.sum("v").alias("s"))
+        assert exchange_count(plain) >= 1
+        assert agg.count() == 97
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_agg")
