@@ -2445,43 +2445,69 @@ def _q_suite_suggest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _suite_suggest_sql() -> str:
-    """Per-column facts (counts, distinct cardinality, numeric min/max)
-    + the literal suggestion rules as UNION branches."""
+    """Per-column facts (counts, distinct cardinality, numeric min/max,
+    all-values-match flags per library pattern) + the literal suggestion
+    rules as UNION branches."""
+    from jsonschema_spark.operators.suggest import PATTERN_LIBRARY
+
     parts = []
     for c, is_num in _SUGGEST_COLS:
         mn = f"CAST(min({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
         mx = f"CAST(max({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        rx = []
+        for i, (_, pat) in enumerate(PATTERN_LIBRARY):
+            if is_num:
+                rx.append(f"0 AS rx{i}")
+            else:
+                rx.append(
+                    f"COALESCE(min(CASE WHEN {c} IS NOT NULL THEN"
+                    f" CASE WHEN regexp_matches({c}, '{pat}') THEN 1"
+                    f" ELSE 0 END END), 0) AS rx{i}"
+                )
         parts.append(
             f"SELECT '{c}' AS col, count(*) AS n_total,"
             f" count({c}) AS n_nonnull,"
             f" count(DISTINCT {c}) AS n_distinct,"
-            f" {mn} AS mn, {mx} AS mx, {str(is_num).upper()} AS is_num"
+            f" {mn} AS mn, {mx} AS mx, {str(is_num).upper()} AS is_num,"
+            f" {', '.join(rx)}"
             f" FROM orders"
         )
     facts = "\n          UNION ALL ".join(parts)
+    pick = " ".join(
+        f"WHEN rx{i} = 1 THEN '{pat}'"
+        for i, (_, pat) in enumerate(PATTERN_LIBRARY)
+    )
+    any_rx = " OR ".join(f"rx{i} = 1" for i in range(len(PATTERN_LIBRARY)))
     return f"""
         WITH f AS (
           {facts}
         )
         SELECT '*' AS "column", 'row_count' AS check_type,
                CAST(n_total // 2 AS DOUBLE) AS param_lo,
-               CAST(NULL AS DOUBLE) AS param_hi
+               CAST(NULL AS DOUBLE) AS param_hi,
+               CAST(NULL AS VARCHAR) AS param_str
         FROM f WHERE col = '{_SUGGEST_COLS[0][0]}' AND n_total > 0
         UNION ALL
         SELECT col, 'not_null',
                CAST(NULL AS DOUBLE),
-               CAST(NULL AS DOUBLE)
+               CAST(NULL AS DOUBLE),
+               CAST(NULL AS VARCHAR)
         FROM f WHERE n_total > 0 AND n_nonnull = n_total
         UNION ALL
-        SELECT col, 'unique', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        SELECT col, 'unique', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS VARCHAR)
         FROM f WHERE n_nonnull > 0 AND n_distinct = n_nonnull
         UNION ALL
         SELECT col, 'completeness_categories', CAST(n_distinct AS DOUBLE),
-               CAST(NULL AS DOUBLE)
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
         FROM f WHERE n_distinct BETWEEN 2 AND 12
         UNION ALL
-        SELECT col, 'mean_between', mn, mx
+        SELECT col, 'mean_between', mn, mx, CAST(NULL AS VARCHAR)
         FROM f WHERE is_num AND n_distinct > 12
+        UNION ALL
+        SELECT col, 'matches_regex', CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CASE {pick} END
+        FROM f WHERE n_nonnull > 0 AND ({any_rx})
     """
 
 

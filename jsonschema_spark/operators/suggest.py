@@ -39,6 +39,18 @@ _NUMERIC = (
 
 DEFAULT_CATEGORY_MAX = 12
 
+# Fixed value-shape library (GE's expect_column_values_to_match_regex
+# suggestions): the FIRST pattern every observed non-NULL value matches is
+# suggested. RE2 ∩ java.regex subset, explicit classes (no \\d — engine
+# defaults differ under unicode flags).
+PATTERN_LIBRARY: tuple[tuple[str, str], ...] = (
+    ("int_lexeme", r"^[+-]?[0-9]+$"),
+    ("iso_date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("upper_code", r"^[A-Z]+$"),
+    ("lower_snake", r"^[a-z_]+$"),
+    ("word_digits", r"^[a-z]+[0-9]+$"),
+)
+
 
 def _is_numeric(df: DataFrame, col: str) -> bool:
     return isinstance(df.schema[col].dataType, _NUMERIC)
@@ -55,13 +67,31 @@ def column_suggestions(
     deterministic."""
     # pass 1: ONE wide aggregate — total rows, per-column null counts,
     # numeric min/max as double
+    def _is_string(c: str) -> bool:
+        return isinstance(df.schema[c].dataType, T.StringType)
+
     aggs = [F.count(F.lit(1)).alias("__n_total")]
     for c in columns:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         if _is_numeric(df, c):
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+        if _is_string(c):
+            for i, (_, pat) in enumerate(PATTERN_LIBRARY):
+                # bool_and over non-NULL values: 1 iff every value matches
+                aggs.append(
+                    F.min(
+                        F.when(F.col(c).isNotNull(),
+                               F.col(c).rlike(pat).cast("int"))
+                    ).alias(f"__rx{i}_{c}")
+                )
     wide = df.agg(*aggs)
+
+    def _rx(c: str, i: int):
+        if _is_string(c):
+            return F.coalesce(F.col(f"__rx{i}_{c}"), F.lit(0))
+        return F.lit(0)
+
     facts_entries = [
         F.struct(
             F.lit(c).alias("column"),
@@ -72,6 +102,8 @@ def column_suggestions(
             (F.col(f"__mx_{c}") if _is_numeric(df, c)
              else F.lit(None).cast("double")).alias("mx"),
             F.lit(_is_numeric(df, c)).alias("is_num"),
+            F.array(*[_rx(c, i) for i in range(len(PATTERN_LIBRARY))])
+            .alias("rx"),
         )
         for c in columns
     ]
@@ -104,41 +136,54 @@ def column_suggestions(
 
     cm = int(category_max)
     anchor = columns[0]
+    no_s = F.lit(None).cast("string").alias("param_str")
+
+    def _elem(ct, lo, hi, ps=None):
+        return F.struct(
+            F.lit(ct).alias("check_type"),
+            lo.alias("param_lo"),
+            hi.alias("param_hi"),
+            (ps if ps is not None else F.lit(None).cast("string"))
+            .alias("param_str"),
+        )
+
+    nul = F.lit(None).cast("double")
+    # first library pattern every non-NULL value matched (ordered whens)
+    pattern_lit = F.lit(None).cast("string")
+    for i, (_, pat) in reversed(list(enumerate(PATTERN_LIBRARY))):
+        pattern_lit = F.when(F.col("rx")[i] == 1, F.lit(pat)).otherwise(
+            pattern_lit
+        )
     sugg = F.array(
         # table-level size floor (Deequ's hasSize suggestion): emitted once,
         # anchored to the first profiled column; half the observed rows is
         # the catastrophic-drop tripwire, not a tight bound
         F.when(
             (F.col("column") == anchor) & (F.col("n_total") > 0),
-            F.struct(F.lit("row_count").alias("check_type"),
-                     F.floor(F.col("n_total") / 2).cast("double")
-                      .alias("param_lo"),
-                     F.lit(None).cast("double").alias("param_hi")),
+            _elem("row_count", F.floor(F.col("n_total") / 2).cast("double"),
+                  nul),
         ),
         F.when(
             (F.col("n_total") > 0) & (F.col("n_nonnull") == F.col("n_total")),
-            F.struct(F.lit("not_null").alias("check_type"),
-                     F.lit(None).cast("double").alias("param_lo"),
-                     F.lit(None).cast("double").alias("param_hi")),
+            _elem("not_null", nul, nul),
         ),
         F.when(
             (F.col("n_nonnull") > 0)
             & (F.col("n_distinct") == F.col("n_nonnull")),
-            F.struct(F.lit("unique").alias("check_type"),
-                     F.lit(None).cast("double").alias("param_lo"),
-                     F.lit(None).cast("double").alias("param_hi")),
+            _elem("unique", nul, nul),
         ),
         F.when(
             (F.col("n_distinct") >= 2) & (F.col("n_distinct") <= cm),
-            F.struct(F.lit("completeness_categories").alias("check_type"),
-                     F.col("n_distinct").cast("double").alias("param_lo"),
-                     F.lit(None).cast("double").alias("param_hi")),
+            _elem("completeness_categories",
+                  F.col("n_distinct").cast("double"), nul),
         ),
         F.when(
             F.col("is_num") & (F.col("n_distinct") > cm),
-            F.struct(F.lit("mean_between").alias("check_type"),
-                     F.col("mn").alias("param_lo"),
-                     F.col("mx").alias("param_hi")),
+            _elem("mean_between", F.col("mn"), F.col("mx")),
+        ),
+        F.when(
+            (F.col("n_nonnull") > 0) & pattern_lit.isNotNull(),
+            _elem("matches_regex", nul, nul, pattern_lit),
         ),
     )
     return (
@@ -150,6 +195,7 @@ def column_suggestions(
             F.col("s")["check_type"].alias("check_type"),
             F.col("s")["param_lo"].alias("param_lo"),
             F.col("s")["param_hi"].alias("param_hi"),
+            F.col("s")["param_str"].alias("param_str"),
         )
     )
 
@@ -203,4 +249,9 @@ def as_suite_config(
             checks.append({"type": "row_count", "name": f"{table}_row_count",
                            "table": table,
                            "min_rows": int(r["param_lo"])})
+        elif ct == "matches_regex":
+            checks.append({"type": "matches_regex", "name": name,
+                           "table": table, "column": c,
+                           "pattern": r["param_str"],
+                           "max_violation_rate": 0.0})
     return {"checks": checks}

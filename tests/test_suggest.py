@@ -39,6 +39,8 @@ def test_suggestion_set(spark):
     assert got[("id", "mean_between")] == (0.0, 49.0)
     assert got[("status", "not_null")] == (None, None)
     assert got[("status", "completeness_categories")] == (2.0, None)
+    # every status value matches the lower_snake library pattern
+    assert ("status", "matches_regex") in got
     # val has a NULL -> no not_null; 49 distinct doubles -> range only
     assert ("val", "not_null") not in got
     assert got[("val", "unique")] == (None, None)
@@ -58,6 +60,8 @@ def test_suggested_suite_passes_on_source(spark):
     cats = [c for c in cfg["checks"]
             if c["type"] == "completeness_categories"]
     assert cats and cats[0]["expected"] == ["a", "b"]
+    rx = [c for c in cfg["checks"] if c["type"] == "matches_regex"]
+    assert rx and rx[0]["pattern"] == "^[a-z_]+$"
 
 
 def test_suggestions_detect_drift(spark):
