@@ -2502,6 +2502,10 @@ def _suite_suggest_sql() -> str:
                CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
         FROM f WHERE n_distinct BETWEEN 2 AND 12
         UNION ALL
+        SELECT col, 'values_in_set', CAST(n_distinct AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+        FROM f WHERE n_distinct BETWEEN 2 AND 12
+        UNION ALL
         SELECT col, 'mean_between', mn, mx, CAST(NULL AS VARCHAR)
         FROM f WHERE is_num AND n_distinct > 12
         UNION ALL

@@ -177,6 +177,12 @@ def column_suggestions(
             _elem("completeness_categories",
                   F.col("n_distinct").cast("double"), nul),
         ),
+        # the reverse-direction enum gate: no NEW category may appear
+        F.when(
+            (F.col("n_distinct") >= 2) & (F.col("n_distinct") <= cm),
+            _elem("values_in_set",
+                  F.col("n_distinct").cast("double"), nul),
+        ),
         F.when(
             F.col("is_num") & (F.col("n_distinct") > cm),
             _elem("mean_between", F.col("mn"), F.col("mx")),
@@ -212,7 +218,7 @@ def as_suite_config(
     rows = suggestions.collect()
     enum_cols = sorted(
         {r["column"] for r in rows
-         if r["check_type"] == "completeness_categories"}
+         if r["check_type"] in ("completeness_categories", "values_in_set")}
     )
     expected: dict[str, list] = {}
     for c in enum_cols:
@@ -240,6 +246,11 @@ def as_suite_config(
             checks.append({"type": "completeness_categories", "name": name,
                            "table": table, "column": c,
                            "expected": expected[c]})
+        elif ct == "values_in_set":
+            checks.append({"type": "values_in_set", "name": name,
+                           "table": table, "column": c,
+                           "expected": expected[c],
+                           "max_unexpected_rate": 0.0})
         elif ct == "mean_between":
             checks.append({"type": "mean_between", "name": name,
                            "table": table, "column": c,

@@ -338,6 +338,27 @@ def _check_skew(df: DataFrame, spec: dict) -> DataFrame:
     )(rep)
 
 
+def _check_values_in_set(df: DataFrame, spec: dict) -> DataFrame:
+    """Great-Expectations' expect_column_values_to_be_in_set — the
+    REVERSE direction of completeness_categories: that check asks "is
+    every expected value still present?", this one asks "did any NEW
+    value appear?". metric = fraction of non-NULL values outside
+    ``expected``."""
+    max_rate = float(spec.get("max_unexpected_rate", 0.0))
+    col = F.col(spec["column"]).cast("string")
+    expected = [str(v) for v in spec["expected"]]
+    agg = df.where(col.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~col.isin(expected)).cast("long")).alias("bad"),
+    )
+    metric = F.coalesce(F.col("bad"), F.lit(0)) / F.greatest(
+        F.col("n"), F.lit(1)
+    )
+    return _report_row(
+        spec["name"], "values_in_set", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 def _check_matches_regex(df: DataFrame, spec: dict) -> DataFrame:
     """Great-Expectations' expect_column_values_to_match_regex: metric =
     fraction of NON-NULL values not matching ``pattern`` (keep patterns
@@ -495,6 +516,7 @@ _CHECKS = {
     "join_explosion": _check_join_explosion,
     "matches_regex": lambda df, spec, tables: _check_matches_regex(df, spec),
     "encoding": lambda df, spec, tables: _check_encoding(df, spec),
+    "values_in_set": lambda df, spec, tables: _check_values_in_set(df, spec),
 }
 
 

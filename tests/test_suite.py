@@ -417,3 +417,23 @@ def test_suite_matches_regex_and_encoding_checks(spark):
     # 3 non-null txt values, 1 control-damaged -> rate 1/3 -> fail at 0.0
     assert rows["enc"]["status"] == "fail"
     assert rows["enc"]["metric"] == pytest.approx(1 / 3)
+
+
+def test_suite_values_in_set_check(spark):
+    from jsonschema_spark.operators.suite import run_suite
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), (None,)], "k string"
+    )
+    cfg = {"checks": [
+        {"type": "values_in_set", "name": "strict", "table": "t",
+         "column": "k", "expected": ["a", "b"],
+         "max_unexpected_rate": 0.0},
+        {"type": "values_in_set", "name": "loose", "table": "t",
+         "column": "k", "expected": ["a", "b"],
+         "max_unexpected_rate": 0.5},
+    ]}
+    rows = {r["check_name"]: r for r in run_suite({"t": df}, cfg).collect()}
+    assert rows["strict"]["status"] == "fail"
+    assert rows["strict"]["metric"] == pytest.approx(1 / 3)
+    assert rows["loose"]["status"] == "pass"
