@@ -2055,6 +2055,10 @@ def _q_suite_report_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
              "table": "events", "ref_table": "events",
              "key": "event_type", "ref_key": "event_type",
              "max_ratio": 4.0},
+            {"type": "expr", "name": "discount_in_range",
+             "table": "lineitem",
+             "expr": "l_discount >= 0 AND l_discount <= 0.1",
+             "max_violation_rate": 0.0},
         ]
     }
     return run_suite(tables, config)
@@ -6822,6 +6826,12 @@ def oracle_sql() -> dict[str, str]:
                            GROUP BY event_type)) AS s,
                        (SELECT count(event_type) FROM events) AS n
               )
+            ), ex AS (
+              SELECT CAST(sum(CASE WHEN NOT COALESCE(
+                       l_discount >= 0 AND l_discount <= 0.1, FALSE)
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(greatest(count(*), 1) AS DOUBLE) AS metric
+              FROM lineitem
             ), rx AS (
               SELECT CAST(sum(CASE WHEN NOT regexp_matches(event_type,
                        '^[a-z_]+$') THEN 1 ELSE 0 END) AS DOUBLE)
@@ -6880,6 +6890,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4.0 AS DOUBLE),
                    CASE WHEN metric <= CAST(4.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END
             FROM jx
+            UNION ALL
+            SELECT 'discount_in_range', 'expr', metric,
+                   CAST(0.0 AS DOUBLE),
+                   CASE WHEN metric <= CAST(0.0 AS DOUBLE) THEN 'pass' ELSE 'fail' END
+            FROM ex
         """,
         "metric_history_orders": """
             WITH b AS (

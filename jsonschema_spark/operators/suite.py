@@ -338,6 +338,26 @@ def _check_skew(df: DataFrame, spec: dict) -> DataFrame:
     )(rep)
 
 
+def _check_expr(df: DataFrame, spec: dict) -> DataFrame:
+    """Catch-all row predicate (GE's custom expectation): ``expr`` is any
+    SQL boolean over the row; metric = fraction of rows NOT satisfying
+    it. Three-valued logic is resolved loudly: a NULL predicate counts
+    as a violation (wrap in your own coalesce to opt out) — silent NULL
+    pass-through is how `WHERE x > t` checks lose rows (CLAUDE.md)."""
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    ok = F.coalesce(F.expr(spec["expr"]), F.lit(False))
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~ok).cast("long")).alias("bad"),
+    )
+    metric = F.coalesce(F.col("bad"), F.lit(0)) / F.greatest(
+        F.col("n"), F.lit(1)
+    )
+    return _report_row(
+        spec["name"], "expr", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 def _check_values_in_set(df: DataFrame, spec: dict) -> DataFrame:
     """Great-Expectations' expect_column_values_to_be_in_set — the
     REVERSE direction of completeness_categories: that check asks "is
@@ -517,6 +537,7 @@ _CHECKS = {
     "matches_regex": lambda df, spec, tables: _check_matches_regex(df, spec),
     "encoding": lambda df, spec, tables: _check_encoding(df, spec),
     "values_in_set": lambda df, spec, tables: _check_values_in_set(df, spec),
+    "expr": lambda df, spec, tables: _check_expr(df, spec),
 }
 
 

@@ -437,3 +437,22 @@ def test_suite_values_in_set_check(spark):
     assert rows["strict"]["status"] == "fail"
     assert rows["strict"]["metric"] == pytest.approx(1 / 3)
     assert rows["loose"]["status"] == "pass"
+
+
+def test_suite_expr_check(spark):
+    from jsonschema_spark.operators.suite import run_suite
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 1.0), (None, 5.0)], "a double, b double"
+    )
+    cfg = {"checks": [
+        {"type": "expr", "name": "a_lt_b", "table": "t",
+         "expr": "a < b", "max_violation_rate": 0.0},
+        {"type": "expr", "name": "a_lt_b_loose", "table": "t",
+         "expr": "a < b", "max_violation_rate": 0.7},
+    ]}
+    rows = {r["check_name"]: r for r in run_suite({"t": df}, cfg).collect()}
+    # row2 violates; row3's NULL predicate counts as a violation (loud)
+    assert rows["a_lt_b"]["status"] == "fail"
+    assert rows["a_lt_b"]["metric"] == pytest.approx(2 / 3)
+    assert rows["a_lt_b_loose"]["status"] == "pass"
