@@ -1476,6 +1476,38 @@ def _q_repair_defaults_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repair(holey, REPAIR_SCHEMA, drop_undeclared=True)
 
 
+_IMPACT_SCHEMA = {
+    "type": "object",
+    "required": ["event_type", "value"],
+    "properties": {
+        "event_id": {"type": "integer"},
+        "event_type": {"type": "string", "minLength": 1, "default": "unknown"},
+        "value": {"type": "number", "minimum": 0.0, "default": -1.0},
+    },
+}
+
+
+def _q_repair_impact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair-impact audit (operators/repair.repair_impact_report): the
+    decision input for a 100 TB rewrite — per-keyword violations before
+    vs after the default-fill chain, at two-scan cost. The planted holes
+    are fixed by defaults (required rows go to zero), while the -1.0
+    value default deliberately VIOLATES the minimum — surfacing as a
+    negative ``fixed`` (the report catches repairs that backfire)."""
+    from jsonschema_spark.operators.repair import repair_impact_report
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    holey = ev.select(
+        "event_id",
+        F.when(eid % 7 == 0, F.lit(None)).otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(eid % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return repair_impact_report(holey, _IMPACT_SCHEMA)
+
+
 def _q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.text_profile(docs)
@@ -3132,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_lineitem": _q_moments_lineitem,
         "mutual_information_events": _q_mutual_information_events,
         "repair_defaults_events": _q_repair_defaults_events,
+        "repair_impact_events": _q_repair_impact_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
         "repetition_profile_documents": _q_repetition_profile_documents,
@@ -7115,6 +7148,59 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_value_binned": _psi_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
+        "repair_impact_events": """
+            WITH holey AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE event_type END AS event_type,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          ELSE value END AS value
+              FROM events
+            ), rep AS (
+              SELECT event_id,
+                     COALESCE(event_type, 'unknown') AS event_type,
+                     COALESCE(value, CAST(-1.0 AS DOUBLE)) AS value
+              FROM holey
+            ), b AS (
+              SELECT '/required' AS kp, 'required' AS kw,
+                     'event_type' AS col, count(*) AS c
+              FROM holey WHERE event_type IS NULL
+              UNION ALL
+              SELECT '/required', 'required', 'value', count(*)
+              FROM holey WHERE value IS NULL
+              UNION ALL
+              SELECT '/properties/value/minimum', 'minimum', 'value', count(*)
+              FROM holey WHERE value IS NOT NULL
+                AND NOT (value >= CAST(0.0 AS DOUBLE))
+              UNION ALL
+              SELECT '/properties/event_type/minLength', 'minLength',
+                     'event_type', count(*)
+              FROM holey WHERE event_type IS NOT NULL
+                AND NOT (length(event_type) >= 1)
+            ), a AS (
+              SELECT '/required' AS kp, 'required' AS kw,
+                     'event_type' AS col, count(*) AS c
+              FROM rep WHERE event_type IS NULL
+              UNION ALL
+              SELECT '/required', 'required', 'value', count(*)
+              FROM rep WHERE value IS NULL
+              UNION ALL
+              SELECT '/properties/value/minimum', 'minimum', 'value', count(*)
+              FROM rep WHERE value IS NOT NULL
+                AND NOT (value >= CAST(0.0 AS DOUBLE))
+              UNION ALL
+              SELECT '/properties/event_type/minLength', 'minLength',
+                     'event_type', count(*)
+              FROM rep WHERE event_type IS NOT NULL
+                AND NOT (length(event_type) >= 1)
+            )
+            SELECT b.kp AS keyword_path, b.kw AS keyword, b.col AS "column",
+                   CAST(b.c AS BIGINT) AS violations_before,
+                   CAST(a.c AS BIGINT) AS violations_after,
+                   CAST(b.c - a.c AS BIGINT) AS fixed
+            FROM b JOIN a ON b.kp = a.kp AND b.kw = a.kw AND b.col = a.col
+            WHERE b.c > 0 OR a.c > 0
+        """,
         "repair_defaults_events": """
             SELECT event_id,
                    coalesce(CASE WHEN event_id % 7 = 0 THEN NULL

@@ -142,3 +142,50 @@ def repair(
     if drop_undeclared:
         out = project_declared(out, schema, resolve_config)
     return out
+
+
+def repair_impact_report(
+    df: DataFrame,
+    schema: Schema | dict | str,
+    validate_schema: Schema | dict | str | None = None,
+    drop_undeclared: bool = False,
+    resolve_config: Optional[ResolveConfig] = None,
+) -> DataFrame:
+    """Quantify what ``repair`` would fix BEFORE rewriting the table:
+    validate the frame as-is AND after the repair chain, then diff the
+    per-(keyword_path, keyword, column) violation counts.
+
+      violations_before / violations_after / fixed (= before - after)
+
+    A keyword absent on one side reports 0 there (full outer join over
+    the tiny keyword-triage rows); a NEGATIVE ``fixed`` is a loud signal
+    that the repair INTRODUCED violations (e.g. a default that itself
+    fails a bound). ``validate_schema`` defaults to the repair schema —
+    pass the stricter contract when they differ.
+
+    Plan shape: two validated scans + two keyword-sized groupBys + one
+    tiny outer join — the decision input for a 100 TB rewrite, at
+    two-scan cost."""
+    from jsonschema_spark.operators.validate import validate
+
+    vschema = validate_schema if validate_schema is not None else schema
+    before = validate(df, vschema).by_keyword().select(
+        "keyword_path", "keyword", "column",
+        F.col("violations").alias("violations_before"),
+    )
+    repaired = repair(df, schema, drop_undeclared=drop_undeclared,
+                      resolve_config=resolve_config)
+    after = validate(repaired, vschema).by_keyword().select(
+        "keyword_path", "keyword", "column",
+        F.col("violations").alias("violations_after"),
+    )
+    j = before.join(after, ["keyword_path", "keyword", "column"],
+                    "full_outer")
+    b = F.coalesce(F.col("violations_before"), F.lit(0))
+    a = F.coalesce(F.col("violations_after"), F.lit(0))
+    return j.select(
+        "keyword_path", "keyword", "column",
+        b.alias("violations_before"),
+        a.alias("violations_after"),
+        (b - a).alias("fixed"),
+    )

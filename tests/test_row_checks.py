@@ -64,3 +64,32 @@ def test_speech_rate_ok_bounds(spark):
         for r in df.select("id", speech_rate_ok().alias("ok")).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+def test_repair_impact_report(spark):
+    from jsonschema_spark.operators.repair import repair_impact_report
+
+    schema = {
+        "type": "object",
+        "required": ["k", "name"],
+        "properties": {
+            "k": {"type": "integer", "minimum": 0},
+            "name": {"type": "string", "default": "anon"},
+            "v": {"type": "number", "default": -1.0, "minimum": -2.0},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, None, 2.0), (2, "x", None), (-3, None, None), (4, "y", 1.0)],
+        "k long, name string, v double",
+    )
+    rows = {
+        (r["keyword"], r["column"]): (r["violations_before"],
+                                      r["violations_after"], r["fixed"])
+        for r in repair_impact_report(df, schema).collect()
+    }
+    # 'required name' violations (2 rows) fixed by the default fill
+    req = [v for (kw, c), v in rows.items() if kw == "required" and c == "name"]
+    assert req == [(2, 0, 2)]
+    # the k minimum violation is NOT repairable -> unchanged
+    mins = [v for (kw, c), v in rows.items() if kw == "minimum" and c == "k"]
+    assert mins == [(1, 1, 0)]
