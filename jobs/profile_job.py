@@ -81,6 +81,51 @@ def profile_table(df, skew_candidates=None):
         )
     if numeric:
         sections.append(long_form(stats.moments(df, numeric), "moments", "column"))
+    strings = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    if strings:
+        # encoding health (operators/webtext): ONE wide aggregate across
+        # all string columns — totals of the damage signatures plus the
+        # damaged-row rate per column
+        from jsonschema_spark.operators.webtext import encoding_profile
+
+        aggs = []
+        for c in strings:
+            p = encoding_profile(F.col(c))
+            bad = (
+                (p["mojibake_count"] > 0)
+                | (p["replacement_count"] > 0)
+                | (p["control_count"] > 0)
+            )
+            aggs += [
+                F.sum(p["mojibake_count"]).alias(f"__moj_{c}"),
+                F.sum(p["replacement_count"]).alias(f"__rep_{c}"),
+                F.sum(p["control_count"]).alias(f"__ctl_{c}"),
+                F.sum(F.when(F.col(c).isNotNull() & bad, 1).otherwise(0))
+                .alias(f"__bad_{c}"),
+                F.count(F.col(c)).alias(f"__n_{c}"),
+            ]
+        wide = df.agg(*aggs)
+        enc = wide.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__moj_{c}").alias("mojibake_total"),
+                        F.col(f"__rep_{c}").alias("replacement_total"),
+                        F.col(f"__ctl_{c}").alias("control_total"),
+                        (
+                            F.col(f"__bad_{c}").cast("double")
+                            / F.greatest(F.col(f"__n_{c}"), F.lit(1))
+                        ).alias("bad_row_rate"),
+                    )
+                    for c in strings
+                ])
+            ).alias("e")
+        ).select("e.*")
+        sections.append(long_form(enc, "encoding", "column"))
     for c in skew_candidates or []:
         rep = stats.skew_report(df, c).withColumn("column", F.lit(c))
         sections.append(long_form(rep, "skew", "column"))

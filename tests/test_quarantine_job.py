@@ -117,5 +117,21 @@ def test_profile_job(spark, tmp_path, capsys):
     rc = main(["--input", src, "--output", out, "--skew-candidates", "grp"])
     assert rc == 0
     j = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert set(j["sections"]) == {"stats", "shape", "moments", "skew"}
+    assert set(j["sections"]) == {"stats", "shape", "moments", "skew", "encoding"}
     assert spark.read.parquet(out).count() == j["report_rows"]
+
+
+def test_profile_encoding_section(spark):
+    from jobs.profile_job import profile_table
+
+    df = spark.createDataFrame(
+        [("ok text", 1), ("bad \x07 ctl", 2), (None, 3)],
+        "t string, n long",
+    )
+    rows = {
+        (r["column"], r["metric"]): r["value_num"]
+        for r in profile_table(df).filter("section = 'encoding'").collect()
+    }
+    assert rows[("t", "control_total")] == 1.0
+    assert rows[("t", "mojibake_total")] == 0.0
+    assert rows[("t", "bad_row_rate")] == 0.5  # 1 damaged of 2 non-NULL
