@@ -780,19 +780,23 @@ def _q_key_overlap_orders_customer(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     est = key_overlap_sketch(orders, cust, "o_custkey", "c_custkey")
-    lk = orders.filter(F.col("o_custkey").isNotNull()).select(
-        F.col("o_custkey").alias("k")
-    ).distinct()
-    rk = cust.filter(F.col("c_custkey").isNotNull()).select(
-        F.col("c_custkey").alias("k")
-    ).distinct()
-    ex = (
-        lk.agg(F.count(F.lit(1)).alias("left_distinct"))
-        .crossJoin(rk.agg(F.count(F.lit(1)).alias("right_distinct")))
-        .crossJoin(
-            lk.join(rk, "k", "left_semi")
-            .agg(F.count(F.lit(1)).alias("overlap_keys"))
-        )
+    # exact side in ONE pass: each distinct frame is referenced once
+    # (re-referencing would re-plan its entire input scan — CLAUDE.md)
+    lk = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("k")).distinct()
+        .withColumn("_l", F.lit(1))
+    )
+    rk = (
+        cust.filter(F.col("c_custkey").isNotNull())
+        .select(F.col("c_custkey").alias("k")).distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    ex = lk.join(rk, "k", "full_outer").agg(
+        F.count("_l").alias("left_distinct"),
+        F.count("_r").alias("right_distinct"),
+        F.count(F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(),
+                       F.lit(1))).alias("overlap_keys"),
     )
     union_exact = (
         F.col("left_distinct") + F.col("right_distinct") - F.col("overlap_keys")
