@@ -518,6 +518,19 @@ def q_clips_bandwidth(spark: SparkSession):
     ).collect()
 
 
+def q_suggest(spark: SparkSession):
+    """Constraint suggestion over orders: one wide aggregate + one stacked
+    distinct pass drafting the table's check suite (operators/suggest)."""
+    from jsonschema_spark.operators.suggest import column_suggestions
+
+    orders = load_table(spark, SF_DIR, "orders")
+    return column_suggestions(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    ).collect()
+
+
 QUERIES = {
     "clips_validate": q_clips_validate,
     "clips_uniqueness": q_clips_uniqueness,
@@ -557,6 +570,7 @@ QUERIES = {
     "join_guard": q_join_guard,
     "model_eval": q_model_eval,
     "clips_bandwidth": q_clips_bandwidth,
+    "suggest": q_suggest,
 }
 
 

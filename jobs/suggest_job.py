@@ -52,6 +52,7 @@ def main(argv=None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    preexisting = SparkSession.getActiveSession() is not None
     builder = SparkSession.builder.appName("jsonschema-spark-suggest")
     if args.master:
         builder = builder.master(args.master)
@@ -79,7 +80,7 @@ def main(argv=None) -> int:
         },
         "output": args.output,
     }))
-    if SparkSession.getActiveSession() is not None:
+    if not preexisting:
         spark.stop()
     return 0
 
