@@ -1480,6 +1480,35 @@ def _q_repair_defaults_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repair(holey, REPAIR_SCHEMA, drop_undeclared=True)
 
 
+_RJ_BANDS = 60
+_RJ_STEP = 2.5
+_RJ_WIDTH = 4.0
+
+
+def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (operators/temporal.range_join): every
+    (event, band) pair with lo <= value < hi via bucket equi-join +
+    exact re-check — a hash join where the naive non-equi formulation
+    compiles to an all-pairs CartesianProduct/NestedLoop (plan pinned in
+    tests/test_temporal.py). Bands overlap (step 2.5, width 4.0), so
+    events legitimately match multiple bands; the oracle replays the
+    plain BETWEEN join."""
+    from jsonschema_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("p")
+    )
+    bands = spark.range(0, _RJ_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.lit(_RJ_STEP)).cast("double").alias("lo"),
+        (F.col("id") * F.lit(_RJ_STEP) + F.lit(_RJ_WIDTH)).cast("double")
+        .alias("hi"),
+    )
+    return range_join(ev, bands, "p", "lo", "hi", bin_width=_RJ_STEP).select(
+        "event_id", "band_id"
+    )
+
+
 _IMPACT_SCHEMA = {
     "type": "object",
     "required": ["event_type", "value"],
@@ -3169,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information_events": _q_mutual_information_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "repair_impact_events": _q_repair_impact_events,
+        "range_join_events": _q_range_join_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
         "repetition_profile_documents": _q_repetition_profile_documents,
@@ -7152,6 +7182,15 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_value_binned": _psi_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
+        "range_join_events": f"""
+            SELECT e.event_id, CAST(b.id AS BIGINT) AS band_id
+            FROM events e
+            JOIN (SELECT unnest(generate_series(0, {_RJ_BANDS - 1})) AS id) b
+              ON e.value >= CAST(b.id AS DOUBLE) * CAST({_RJ_STEP!r} AS DOUBLE)
+             AND e.value < CAST(b.id AS DOUBLE) * CAST({_RJ_STEP!r} AS DOUBLE)
+                           + CAST({_RJ_WIDTH!r} AS DOUBLE)
+            WHERE e.value IS NOT NULL
+        """,
         "repair_impact_events": """
             WITH holey AS (
               SELECT event_id,

@@ -237,3 +237,57 @@ def asof_join(
         *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols],
         (F.col("_t_us") - F.col("_m._r_t_us")).alias(f"{prefix}latency_us"),
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Banded interval join: every (point, interval) pair with
+    lo <= point < hi — WITHOUT the nested-loop plan a naive non-equi
+    join compiles to.
+
+    Spark turns ``points JOIN intervals ON p BETWEEN lo AND hi`` into a
+    BroadcastNestedLoopJoin — O(points x intervals), a 100 TB
+    death sentence. The standard fix is banding: explode each interval
+    into the fixed-width buckets it covers, bucket the points once, and
+    equi-join on the bucket (hash join, AQE-sized), then re-check the
+    exact predicate. A point lives in exactly ONE bucket, so no pair
+    can match twice — no dedup pass needed.
+
+    ``bin_width`` tunes fanout: buckets-per-interval ~= interval_len /
+    bin_width (+1). Pick it near the median interval length — one or
+    two buckets per interval, a constant-factor explode. Empty or
+    inverted intervals (hi <= lo) match nothing (F.sequence DESCENDS
+    when hi < lo — CLAUDE.md — so they are guarded out explicitly).
+
+    Column name collisions between the two inputs must be resolved by
+    the caller (select/alias first), like any Spark join."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = float(bin_width)
+    p = points.withColumn(
+        "_rj_bucket", F.floor(F.col(point_col) / F.lit(w)).cast("long")
+    )
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    iv = (
+        intervals.where(hi > lo)
+        .withColumn(
+            "_rj_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(lo / F.lit(w)).cast("long"),
+                    F.floor(hi / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = p.join(iv, "_rj_bucket").where(
+        (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("_rj_bucket")

@@ -353,3 +353,65 @@ def test_sessionize_stream_batch_parity(spark, tmp_path):
         and want.select(*cols).exceptAll(got.select(*cols)).count() == 0
     )
     assert got.count() == 3  # (1: two sessions) + (2: one merged session)
+
+
+def test_range_join_parity_and_plan(spark):
+    import random
+
+    from jsonschema_spark.operators.temporal import range_join
+
+    rng = random.Random(13)
+    pts = [(i, rng.uniform(-5, 105)) for i in range(300)]
+    ivs = []
+    for j in range(40):
+        lo = rng.uniform(-10, 100)
+        ivs.append((j, lo, lo + rng.uniform(0, 12)))
+    ivs.append((98, 50.0, 50.0))   # empty
+    ivs.append((99, 60.0, 55.0))   # inverted
+    points = spark.createDataFrame(pts, "pid long, p double")
+    intervals = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "p", "lo", "hi", 8.0).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, p in pts
+        for iid, lo, hi in ivs
+        if lo <= p < hi
+    }
+    assert got == want
+
+    plan = (
+        range_join(points, intervals, "p", "lo", "hi", 8.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    naive = points.join(
+        intervals, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    # what we are avoiding: Spark's non-equi join is all-pairs
+    assert "NestedLoop" in naive_plan or "CartesianProduct" in naive_plan
+
+
+def test_range_join_single_match_per_pair(spark):
+    from jsonschema_spark.operators.temporal import range_join
+
+    # interval spans many buckets; the point still matches exactly once
+    points = spark.createDataFrame([(1, 17.0)], "pid long, p double")
+    intervals = spark.createDataFrame([(7, 0.0, 100.0)],
+                                      "iid long, lo double, hi double")
+    rows = range_join(points, intervals, "p", "lo", "hi", 2.0).collect()
+    assert len(rows) == 1 and rows[0]["iid"] == 7
+
+
+def test_range_join_validation(spark):
+    import pytest as _pt
+
+    from jsonschema_spark.operators.temporal import range_join
+
+    df = spark.createDataFrame([(1.0,)], "p double")
+    with _pt.raises(ValueError):
+        range_join(df, df, "p", "p", "p", 0)
