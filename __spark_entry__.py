@@ -1509,6 +1509,19 @@ def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute/hour/day resolutions
+    of the events value stream in ONE GROUP BY ROLLUP pass (single
+    Expand + single shuffle) — string-formatted time keys and an exact
+    DECIMAL(38,12) sum so every resolution replays byte-identically."""
+    from jsonschema_spark.operators.temporal import time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    # minute-level cardinality at sf0.01 is fine; at 10^12 rows you'd
+    # bound the window with a partition filter first (pushed to the scan)
+    return time_rollup(ev, "ts", "value")
+
+
 _IMPACT_SCHEMA = {
     "type": "object",
     "required": ["event_type", "value"],
@@ -3199,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_defaults_events": _q_repair_defaults_events,
         "repair_impact_events": _q_repair_impact_events,
         "range_join_events": _q_range_join_events,
+        "time_rollup_events": _q_time_rollup_events,
         "text_profile_documents": _q_text_profile_documents,
         "vocab_coverage_documents": _q_vocab_coverage_documents,
         "repetition_profile_documents": _q_repetition_profile_documents,
@@ -7182,6 +7196,26 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_value_binned": _psi_binned_sql(
             _EVENTS_KS_GRID, "event_id % 2 = 1", "event_id % 2 = 0"
         ),
+        "time_rollup_events": """
+            WITH base AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS "day",
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS "hour",
+                     strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M')
+                       AS "minute",
+                     value AS v
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            )
+            SELECT "day", "hour", "minute",
+                   CAST(3 - GROUPING("day") - GROUPING("hour")
+                        - GROUPING("minute") AS BIGINT) AS depth,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(CAST(sum(CAST(v AS DECIMAL(38,12)))
+                        AS DECIMAL(38,12)) AS DOUBLE) AS value_sum,
+                   min(v) AS value_min,
+                   max(v) AS value_max
+            FROM base
+            GROUP BY ROLLUP ("day", "hour", "minute")
+        """,
         "range_join_events": f"""
             SELECT e.event_id, CAST(b.id AS BIGINT) AS band_id
             FROM events e

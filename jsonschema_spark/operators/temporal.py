@@ -291,3 +291,58 @@ def range_join(
         & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("_rj_bucket")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute, hour, and day
+    resolutions of (count, sum, min, max) in ONE aggregate pass via
+    GROUP BY ROLLUP over the truncated-time hierarchy — instead of one
+    job per resolution (the TimescaleDB continuous-aggregate shape,
+    Spark-first: a single Expand feeds a single shuffle with partial
+    aggregation).
+
+      depth 3 = per-minute rows, 2 = per-hour, 1 = per-day,
+      0 = the grand total; rolled-up key columns are NULL.
+
+    Keys are emitted as explicit-format STRINGS (date_format) so they
+    replay byte-identically in any engine; the value sum accumulates in
+    exact DECIMAL(38,12) (order-independent — a double F.sum is not
+    replayable) and converts to double once. NULL ts/value rows are
+    excluded loudly (count them with a not_null check)."""
+    ts = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(ts.isNotNull() & v.isNotNull()).select(
+        F.date_format(F.date_trunc("day", ts), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH").alias("hour"),
+        F.date_format(F.date_trunc("minute", ts), "yyyy-MM-dd HH:mm").alias(
+            "minute"
+        ),
+        v.alias("v"),
+    )
+    gid = F.grouping_id(F.col("day"), F.col("hour"), F.col("minute"))
+    return (
+        base.rollup("day", "hour", "minute")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,12)")).alias("_sv"),
+            F.min("v").alias("value_min"),
+            F.max("v").alias("value_max"),
+            gid.alias("_gid"),
+        )
+        .select(
+            "day",
+            "hour",
+            "minute",
+            (F.lit(3)
+             - F.log2(F.col("_gid").cast("double") + 1).cast("long"))
+            .alias("depth"),
+            "n",
+            F.col("_sv").cast("double").alias("value_sum"),
+            "value_min",
+            "value_max",
+        )
+    )

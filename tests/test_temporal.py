@@ -415,3 +415,38 @@ def test_range_join_validation(spark):
     df = spark.createDataFrame([(1.0,)], "p double")
     with _pt.raises(ValueError):
         range_join(df, df, "p", "p", "p", 0)
+
+
+def test_time_rollup_levels(spark):
+    from jsonschema_spark.operators.temporal import time_rollup
+
+    rows = [
+        ("2026-03-01 10:15:10", 1.0),
+        ("2026-03-01 10:15:40", 2.0),
+        ("2026-03-01 10:47:00", 4.0),
+        ("2026-03-01 11:00:05", 8.0),
+        ("2026-03-02 09:30:00", 16.0),
+        (None, 99.0),
+        ("2026-03-02 09:31:00", None),
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = time_rollup(df, "ts", "value").collect()
+    by = {(r["day"], r["hour"], r["minute"]): r for r in out}
+    # minute level
+    m = by[("2026-03-01", "2026-03-01 10", "2026-03-01 10:15")]
+    assert (m["depth"], m["n"], m["value_sum"]) == (3, 2, 3.0)
+    # hour level
+    h = by[("2026-03-01", "2026-03-01 10", None)]
+    assert (h["depth"], h["n"], h["value_sum"]) == (2, 3, 7.0)
+    # day level
+    d = by[("2026-03-01", None, None)]
+    assert (d["depth"], d["n"], d["value_sum"], d["value_max"]) == (1, 4, 15.0, 8.0)
+    # grand total excludes NULL ts/value rows
+    g = by[(None, None, None)]
+    assert (g["depth"], g["n"], g["value_sum"]) == (0, 5, 31.0)
+    # single aggregate pass
+    plan = time_rollup(df, "ts", "value")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" in plan
