@@ -2673,6 +2673,50 @@ def _q_webtext_encoding_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_JPEG_N = 270
+
+
+def _q_images_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (functions/jpeg.py — pure numpy Huffman
+    + IDCT, Annex K tables, zero codec libs): Arrow-batched mapInPandas
+    over the ledger corpus; decoded Y-plane sums must equal the sums the
+    SAME codec produced at synth time (encode -> store -> decode
+    certified end-to-end). Planted mid-scan truncations (verified at
+    synth to break the decoder) must fail LOUDLY (decode_ok=false),
+    never return partial pixels."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from jsonschema_spark.functions.jpeg import decode_jpeg_gray
+    from jsonschema_spark.sources.images import materialized_jpeg_images
+
+    imgs, _ = materialized_jpeg_images(spark, _JPEG_N)
+
+    def kernel(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in
+                   ("image_id", "width", "height", "ysum", "decode_ok")}
+            for iid, raw in zip(b["image_id"].tolist(), b["bytes"].tolist()):
+                out["image_id"].append(iid)
+                try:
+                    w, h, px = decode_jpeg_gray(bytes(raw))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["ysum"].append(int(px.astype("int64").sum()))
+                    out["decode_ok"].append(True)
+                except Exception:  # any decode failure -> loud false row
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["ysum"].append(None)
+                    out["decode_ok"].append(False)
+            yield _pd.DataFrame(out)
+
+    schema = ("image_id string, width int, height int, ysum long, "
+              "decode_ok boolean")
+    return imgs.select("image_id", "bytes").mapInPandas(kernel, schema)
+
+
 _VIDEOS_N = 300
 
 
@@ -3243,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
         "videos_y4m_frames": _q_videos_y4m_frames,
+        "images_jpeg_decode": _q_images_jpeg_decode,
         "layout_report_range": _q_layout_report("range"),
         "layout_report_hash": _q_layout_report("hash"),
         "zorder_key_values": _q_zorder_key_values,
@@ -5076,6 +5121,23 @@ def _clips_gain_normalize_sql() -> str:
                h.gain AS gain,
                md5(h.oh) AS out_md5
         FROM h JOIN g USING (clip_id)
+    """
+
+
+def _images_jpeg_decode_sql() -> str:
+    """Ledger oracle for the JPEG decode: the expected Y sums were
+    computed at synth time by the same codec (and truncated rows were
+    VERIFIED to break it), so expectations are pure ledger columns."""
+    from jsonschema_spark.sources.images import jpeg_images_path
+
+    src = f"read_parquet('{jpeg_images_path(_JPEG_N)}/*.parquet')"
+    return f"""
+        SELECT image_id,
+               CASE WHEN _row_idx % 9 = 6 THEN NULL ELSE width END AS width,
+               CASE WHEN _row_idx % 9 = 6 THEN NULL ELSE height END AS height,
+               _ysum AS ysum,
+               (_row_idx % 9 <> 6) AS decode_ok
+        FROM {src}
     """
 
 
@@ -7436,6 +7498,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
         "videos_y4m_frames": _videos_y4m_frames_sql(),
+        "images_jpeg_decode": _images_jpeg_decode_sql(),
         "layout_report_range": _layout_report_sql("range"),
         "layout_report_hash": _layout_report_sql("hash"),
         "zorder_key_values": _zorder_key_values_sql(),

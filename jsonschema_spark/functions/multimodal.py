@@ -257,9 +257,16 @@ def decode_image(raw: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_bmp(raw)
     if raw[:8] == _PNG_MAGIC:
         return _decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        # REAL baseline JPEG (grayscale SOF0) in pure numpy — color/
+        # progressive streams raise NotImplementedError inside
+        from jsonschema_spark.functions.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(raw)
     raise NotImplementedError(
-        "compressed image codecs (jpeg/webp) are not available in this "
-        "environment; plug a PIL/turbojpeg decode in here"
+        "webp/other compressed image codecs are not available in this "
+        "environment; plug a PIL/turbojpeg decode in here (baseline "
+        "grayscale JPEG decodes natively — functions/jpeg.py)"
     )
 
 

@@ -107,3 +107,78 @@ def materialized_images(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_images(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- REAL-JPEG ledger corpus (baseline grayscale, functions/jpeg.py) ----
+# Planted defect (_row_idx % 9 == 6): the stream is truncated 12 bytes
+# mid-scan (torn upload) -> decode must fail LOUDLY (decode_ok=false),
+# never return partial pixels silently. The ledger carries the decoded
+# Y-plane sum computed at synth time by the SAME decoder, so the
+# contract query certifies encode -> store -> decode bit-for-bit.
+_JPEG_VER = "v1"
+JPEG_TRUNC_MOD = 9
+JPEG_TRUNC_CLS = 6
+JPEG_TRUNC_BYTES = 12
+JPEG_QUALITY = 85
+
+JPEG_IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ysum", T.LongType(), True),
+    ]
+)
+
+
+def _jpeg_row(i: int) -> tuple:
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = _pixels(i)
+    raw = encode_jpeg_gray(px, JPEG_QUALITY)
+    truncated = i % JPEG_TRUNC_MOD == JPEG_TRUNC_CLS
+    ysum = None
+    if truncated:
+        # the ledger asserts decode_ok=false for this row, so the cut is
+        # VERIFIED at synth time (a too-shallow cut near EOI could still
+        # decode; deepen until the decoder actually raises)
+        cut = JPEG_TRUNC_BYTES
+        while True:
+            cand = raw[:-cut]
+            try:
+                decode_jpeg_gray(bytes(cand))
+                cut += 12
+            except Exception:
+                raw = cand
+                break
+    else:
+        _, _, dec = decode_jpeg_gray(raw)
+        ysum = int(dec.astype(np.int64).sum())
+    return (f"jpg-{i:06d}", bytearray(raw), IMG_W, IMG_H, i, ysum)
+
+
+def synth_jpeg_images(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    """Deterministic REAL-JPEG image table with the decoded-sum ledger."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_jpeg_row),
+        JPEG_IMAGES_SCHEMA,
+    )
+
+
+def jpeg_images_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"images_jpeg_{_JPEG_VER}_{n}")
+
+
+def materialized_jpeg_images(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    path = jpeg_images_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_jpeg_images(spark, n), path)
+    return spark.read.parquet(path), path

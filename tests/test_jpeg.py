@@ -1,0 +1,105 @@
+"""Baseline JPEG codec (functions/jpeg.py — pure numpy, Annex K tables).
+
+Pins: round-trip fidelity bounds by quality, exact flat-image recovery,
+odd (non-multiple-of-8) dimensions, loud rejection of color/progressive/
+malformed streams, dispatch through decode_image, and the end-to-end
+Spark decode over the ledger corpus incl. verified truncations.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from jsonschema_spark.functions.jpeg import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    scaled_quant,
+)
+from jsonschema_spark.functions.multimodal import decode_image
+
+
+def _img(seed=1, h=32, w=48):
+    rng = np.random.RandomState(seed)
+    base = np.add.outer(np.linspace(0, 200, h), np.linspace(0, 55, w))
+    return np.clip(base + rng.randn(h, w) * 8, 0, 255).astype(np.uint8)
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((a.astype(float) - b.astype(float)) ** 2)))
+
+
+def test_round_trip_quality_bounds():
+    px = _img()
+    for q, bound in ((95, 3.0), (85, 7.0), (50, 10.0)):
+        w, h, dec = decode_jpeg_gray(encode_jpeg_gray(px, q))
+        assert (w, h) == (48, 32)
+        assert _rmse(dec, px) < bound, q
+
+
+def test_quality_monotonic_size():
+    px = _img(2)
+    sizes = [len(encode_jpeg_gray(px, q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+    assert scaled_quant(90).max() < scaled_quant(30).max()
+
+
+def test_flat_and_odd_dimensions_exact():
+    flat = np.full((17, 9), 77, dtype=np.uint8)
+    w, h, dec = decode_jpeg_gray(encode_jpeg_gray(flat, 85))
+    assert (w, h) == (9, 17)
+    assert np.array_equal(dec, flat)
+
+
+def test_decode_image_dispatch():
+    px = _img(3)
+    w, h, dec = decode_image(encode_jpeg_gray(px, 95))
+    assert (w, h) == (48, 32) and _rmse(dec, px) < 3.0
+
+
+def test_color_jpeg_rejected_loudly():
+    raw = bytearray(encode_jpeg_gray(_img(4), 85))
+    i = raw.find(b"\xff\xc0")
+    # patch component count 1 -> 3 in the SOF0 header
+    assert raw[i + 9] == 1
+    raw[i + 9] = 3
+    with pytest.raises(NotImplementedError, match="color"):
+        decode_jpeg_gray(bytes(raw))
+
+
+def test_progressive_rejected_loudly():
+    raw = bytearray(encode_jpeg_gray(_img(5), 85))
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2  # SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(bytes(raw))
+
+
+def test_malformed_streams_raise():
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01\x02")
+    with pytest.raises((ValueError, struct.error, IndexError)):
+        decode_jpeg_gray(b"\xff\xd8\xff\xdb\x00\x04\x00")
+
+
+def test_spark_ledger_corpus_end_to_end(spark):
+    from jsonschema_spark.sources.images import (
+        JPEG_TRUNC_CLS,
+        JPEG_TRUNC_MOD,
+        synth_jpeg_images,
+    )
+
+    imgs = synth_jpeg_images(spark, 45, partitions=4)
+    rows = imgs.collect()
+    assert len(rows) == 45
+    for r in rows:
+        truncated = r["_row_idx"] % JPEG_TRUNC_MOD == JPEG_TRUNC_CLS
+        raw = bytes(r["bytes"])
+        if truncated:
+            assert r["_ysum"] is None
+            with pytest.raises(Exception):
+                decode_jpeg_gray(raw)
+        else:
+            w, h, px = decode_jpeg_gray(raw)
+            assert (w, h) == (r["width"], r["height"])
+            assert int(px.astype(np.int64).sum()) == r["_ysum"]
