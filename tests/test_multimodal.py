@@ -32,13 +32,15 @@ def test_fake_image_round_trip():
 
 
 def test_real_codec_is_stubbed():
-    # PNG is now decoded for real (see test_png_*); a malformed PNG body
-    # is a decode FAILURE (ValueError), and the still-unavailable codecs
-    # (jpeg, mpeg) stay loudly stubbed
+    # PNG and baseline grayscale JPEG decode for real (test_png_*,
+    # test_jpeg.py); malformed bodies are decode FAILURES (ValueError),
+    # and the still-unavailable codecs (webp, mpeg) stay loudly stubbed
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises((ValueError, Exception)):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)  # torn JPEG
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)
+        decode_image(b"RIFF0000WEBP")
     with pytest.raises(NotImplementedError):
         decode_video_frame(b"\x00\x00\x01\xba mpeg", 0)
 
@@ -142,8 +144,10 @@ def test_compressed_formats_still_stubbed():
 
     from jsonschema_spark.functions.multimodal import decode_image
 
+    # baseline grayscale JPEG now decodes natively (test_jpeg.py);
+    # webp stays loudly stubbed
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)  # JPEG SOI
+        decode_image(b"RIFF0000WEBPVP8 ")
 
 
 def test_truncated_bmp_is_decode_failure_not_crash(spark):
