@@ -154,6 +154,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.out)
 
+    def marker(self, m: int) -> None:
+        """Byte-align (1-fill, stuffed if it lands on 0xFF) then emit a
+        raw marker — the RSTn path."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, m])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, code bits) for a DC/AC value per T.81 F.1.2.1."""
@@ -165,8 +173,13 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def encode_jpeg_gray(px: np.ndarray, quality: int = 85) -> bytes:
-    """Encode a (h, w) uint8 array as a baseline grayscale JPEG."""
+def encode_jpeg_gray(
+    px: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Encode a (h, w) uint8 array as a baseline grayscale JPEG.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (error-resilience structure real encoders produce — exercised
+    so the decoder's restart path is tested against our own output)."""
     if px.ndim != 2:
         raise ValueError("expected a 2-D grayscale array")
     h, w = px.shape
@@ -179,8 +192,15 @@ def encode_jpeg_gray(px: np.ndarray, quality: int = 85) -> bytes:
 
     bw_writer = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    n_rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.marker(0xD0 + (n_rst % 8))
+                n_rst += 1
+                prev_dc = 0
+            mcu += 1
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coef = _fdct(block)
             q = np.round(coef / quant).astype(np.int64)
@@ -225,6 +245,8 @@ def encode_jpeg_gray(px: np.ndarray, quality: int = 85) -> bytes:
                    + bytes([1, 0x11, 0])))  # SOF0: 1 component, 1x1, q0
     out.append(seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)))
     out.append(seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))  # DRI
     out.append(seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))  # SOS
     out.append(scan)
     out.append(b"\xff\xd9")  # EOI
@@ -277,6 +299,22 @@ class _BitReader:
                 return v
         raise ValueError("invalid Huffman code")
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary. Any buffered
+        bits are the last byte's 1-fill padding plus the 0xFF pads the
+        marker guard injected (_fill never crosses a marker), so they
+        are discarded wholesale."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return
+        raise ValueError("expected restart marker")
+
 
 def _extend(bits: int, cat: int) -> int:
     if cat == 0:
@@ -286,17 +324,48 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
+def _decode_block(reader: "_BitReader", dc_tab, ac_tab, qtab, pred: int):
+    """One entropy-coded 8x8 block -> (spatial block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = reader.huff(dc_tab)
+    pred += _extend(reader.read(cat), cat)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.huff(ac_tab)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, cat = rs >> 4, rs & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(reader.read(cat), cat)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    coef[ZIG_ROWS, ZIG_COLS] = zz
+    return _idct(coef * qtab) + 128.0, pred
+
+
 def decode_jpeg_gray(raw: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline grayscale JPEG -> (width, height, uint8 pixels).
-    Raises NotImplementedError for multi-component (color) or
-    progressive streams; ValueError for malformed data."""
+    """Decode a baseline sequential (SOF0) JPEG -> (width, height, uint8
+    LUMA pixels). Grayscale AND color streams are supported (any
+    sampling factors, interleaved MCUs, restart intervals); chroma
+    blocks are entropy-decoded and discarded — this engine's image
+    features are luma-based. Progressive / arithmetic / 12-bit streams
+    raise NotImplementedError; malformed data raises ValueError."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     quant = {}
     dc_tabs, ac_tabs = {}, {}
     h = w = None
+    comps = None  # [(cid, hi, vi, tq)]
+    scan = None  # [(comp_index, td, ta)]
     scan_start = None
+    restart_interval = 0
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -328,12 +397,18 @@ def decode_jpeg_gray(raw: bytes) -> tuple[int, int, np.ndarray]:
             prec, hh, ww, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "color JPEG needs a real codec lib; grayscale baseline "
-                    "is supported natively"
-                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
             h, w = hh, ww
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("bad sampling factors")
+                comps.append((cid, hi, vi, tq))
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -344,47 +419,160 @@ def decode_jpeg_gray(raw: bytes) -> tuple[int, int, np.ndarray]:
                 tab = _build_decoder(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF0")
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            td, ta = body[2] >> 4, body[2] & 0xF
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved multi-scan")
+            scan = []
+            for si in range(ns):
+                cs = body[1 + 2 * si]
+                tt = body[2 + 2 * si]
+                idx = next(
+                    (k for k, c in enumerate(comps) if c[0] == cs), None
+                )
+                if idx is None:
+                    raise ValueError("scan references unknown component")
+                scan.append((idx, tt >> 4, tt & 0xF))
             scan_start = pos + ln
-            dc_tab, ac_tab = dc_tabs[td], ac_tabs[ta]
-            qtab = quant[0]
             break
         pos += ln
     if scan_start is None or h is None:
         raise ValueError("missing SOS/SOF0")
 
+    if len(scan) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit and the declared sampling factors only
+        # matter relative to other components (there are none)
+        ci = scan[0][0]
+        cid, _, _, tq = comps[ci]
+        comps = [(cid, 1, 1, tq)]
+        scan = [(0, scan[0][1], scan[0][2])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # luma = first scan component's underlying SOF component
+    luma_idx = scan[0][0]
+    _, lh, lv, _ = comps[luma_idx]
+    luma = np.zeros((mcuy * lv * 8, mcux * lh * 8), dtype=np.float64)
+
     reader = _BitReader(raw[scan_start:])
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(comps)
+            for (ci, td, ta) in scan:
+                _, hi, vi, tq = comps[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        block, preds[ci] = _decode_block(
+                            reader, dc_tabs[td], ac_tabs[ta],
+                            quant[tq], preds[ci],
+                        )
+                        if ci == luma_idx:
+                            y0 = (my * vi + vy) * 8
+                            x0 = (mx * hi + vx) * 8
+                            luma[y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # component-resolution crop, then nearest upsample if luma was
+    # subsampled relative to the frame (rare but legal)
+    ch = -(-h * lv // vmax)
+    cw = -(-w * lh // hmax)
+    plane = luma[:ch, :cw]
+    if (ch, cw) != (h, w):
+        yi = (np.arange(h) * ch // h).clip(0, ch - 1)
+        xi = (np.arange(w) * cw // w).clip(0, cw - 1)
+        plane = plane[np.ix_(yi, xi)]
+    px = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+    return w, h, px
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB -> float64 YCbCr (JFIF full-range, Rec.601)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline COLOR JPEG (YCbCr 4:4:4,
+    interleaved MCUs, one quant + one Huffman table pair shared by all
+    components — legal and simplest)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w = rgb.shape[:2]
+    ycc = rgb_to_ycbcr(rgb)
+    quant = scaled_quant(quality)
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
+    planes = []
+    for ci in range(3):
+        p = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        p[:h, :w] = ycc[..., ci]
+        p[h:, :w] = p[h - 1 : h, :w]
+        p[:, w:] = p[:, w - 1 : w]
+        planes.append(p)
+
+    bw_writer = _BitWriter()
+    preds = [0, 0, 0]
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = reader.huff(dc_tab)
-            diff = _extend(reader.read(cat), cat)
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = reader.huff(ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, cat = rs >> 4, rs & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.read(cat), cat)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            coef[ZIG_ROWS, ZIG_COLS] = zz
-            block = _idct(coef * qtab) + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    px = np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
-    return w, h, px
+            for ci in range(3):
+                block = planes[ci][by * 8 : by * 8 + 8,
+                                   bx * 8 : bx * 8 + 8] - 128.0
+                q = np.round(_fdct(block) / quant).astype(np.int64)
+                zz = q[ZIG_ROWS, ZIG_COLS]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                cat, bits = _magnitude(diff)
+                code, ln = _DC_ENC[cat]
+                bw_writer.write(code, ln)
+                if cat:
+                    bw_writer.write(bits, cat)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = _AC_ENC[0xF0]
+                        bw_writer.write(code, ln)
+                        run -= 16
+                    cat, bits = _magnitude(v)
+                    code, ln = _AC_ENC[(run << 4) | cat]
+                    bw_writer.write(code, ln)
+                    bw_writer.write(bits, cat)
+                    run = 0
+                if run:  # trailing zeros -> EOB (replaces any pending ZRLs)
+                    code, ln = _AC_ENC[0x00]
+                    bw_writer.write(code, ln)
+    scan = bw_writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zz_quant = quant[ZIG_ROWS, ZIG_COLS].astype(np.uint8).tobytes()
+    sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    out = [b"\xff\xd8"]
+    out.append(seg(0xDB, b"\x00" + zz_quant))
+    out.append(seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps))
+    out.append(seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)))
+    out.append(seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)))
+    out.append(seg(0xDA, bytes([3]) + sos_comps + bytes([0, 63, 0])))
+    out.append(scan)
+    out.append(b"\xff\xd9")
+    return b"".join(out)

@@ -57,13 +57,13 @@ def test_decode_image_dispatch():
     assert (w, h) == (48, 32) and _rmse(dec, px) < 3.0
 
 
-def test_color_jpeg_rejected_loudly():
+def test_exotic_component_count_rejected_loudly():
     raw = bytearray(encode_jpeg_gray(_img(4), 85))
     i = raw.find(b"\xff\xc0")
-    # patch component count 1 -> 3 in the SOF0 header
+    # patch component count 1 -> 4 (CMYK-style) in the SOF0 header
     assert raw[i + 9] == 1
-    raw[i + 9] = 3
-    with pytest.raises(NotImplementedError, match="color"):
+    raw[i + 9] = 4
+    with pytest.raises(NotImplementedError, match="component"):
         decode_jpeg_gray(bytes(raw))
 
 
@@ -103,3 +103,49 @@ def test_spark_ledger_corpus_end_to_end(spark):
             w, h, px = decode_jpeg_gray(raw)
             assert (w, h) == (r["width"], r["height"])
             assert int(px.astype(np.int64).sum()) == r["_ysum"]
+
+
+def test_restart_intervals_round_trip():
+    from jsonschema_spark.functions.jpeg import encode_jpeg_gray
+
+    px = _img(6)
+    base = decode_jpeg_gray(encode_jpeg_gray(px, 95))[2]
+    for ri in (1, 3, 7):
+        raw = encode_jpeg_gray(px, 95, restart_interval=ri)
+        assert b"\xff\xdd" in raw  # DRI emitted
+        w, h, dec = decode_jpeg_gray(raw)
+        assert np.array_equal(dec, base)
+
+
+def test_color_jpeg_decodes_to_luma():
+    from jsonschema_spark.functions.jpeg import (
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+    )
+
+    rng = np.random.RandomState(8)
+    base = np.add.outer(np.linspace(0, 200, 32), np.linspace(0, 55, 48))
+    rgb = np.stack([
+        np.clip(base + rng.randn(32, 48) * 5, 0, 255),
+        np.clip(255 - base + rng.randn(32, 48) * 5, 0, 255),
+        np.clip(base * 0.5 + 60 + rng.randn(32, 48) * 5, 0, 255),
+    ], axis=-1).astype(np.uint8)
+    w, h, lum = decode_jpeg_gray(encode_jpeg_color(rgb, 95))
+    assert (w, h) == (48, 32)
+    ytrue = rgb_to_ycbcr(rgb)[..., 0]
+    assert _rmse(lum, ytrue) < 3.0
+    # and through the generic dispatch
+    w2, h2, lum2 = decode_image(encode_jpeg_color(rgb, 95))
+    assert np.array_equal(lum, lum2)
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    # some encoders declare 2x2 sampling on grayscale; a one-component
+    # scan is NON-interleaved so the stream layout is identical
+    raw = bytearray(encode_jpeg_gray(_img(9), 90))
+    i = raw.find(b"\xff\xc0")
+    assert raw[i + 11] == 0x11
+    raw[i + 11] = 0x22  # declare 2x2
+    w, h, dec = decode_jpeg_gray(bytes(raw))
+    base = decode_jpeg_gray(encode_jpeg_gray(_img(9), 90))[2]
+    assert np.array_equal(dec, base)
