@@ -507,65 +507,110 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def encode_jpeg_color(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as a baseline COLOR JPEG (YCbCr 4:4:4,
-    interleaved MCUs, one quant + one Huffman table pair shared by all
-    components — legal and simplest)."""
+def _encode_block(bw_writer: "_BitWriter", block: np.ndarray,
+                  quant: np.ndarray, pred: int) -> int:
+    """Entropy-encode one 8x8 spatial block; returns the new DC pred."""
+    q = np.round(_fdct(block - 128.0) / quant).astype(np.int64)
+    zz = q[ZIG_ROWS, ZIG_COLS]
+    diff = int(zz[0]) - pred
+    cat, bits = _magnitude(diff)
+    code, ln = _DC_ENC[cat]
+    bw_writer.write(code, ln)
+    if cat:
+        bw_writer.write(bits, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_ENC[0xF0]
+            bw_writer.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = _AC_ENC[(run << 4) | cat]
+        bw_writer.write(code, ln)
+        bw_writer.write(bits, cat)
+        run = 0
+    if run:  # trailing zeros -> EOB (replaces any pending ZRLs)
+        code, ln = _AC_ENC[0x00]
+        bw_writer.write(code, ln)
+    return int(zz[0])
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    out = np.empty((ph, pw), dtype=np.float64)
+    h, w = p.shape
+    out[:h, :w] = p
+    out[h:, :w] = p[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg_color(
+    rgb: np.ndarray, quality: int = 85, subsample: str = "444"
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline COLOR JPEG — YCbCr with
+    4:4:4 or 4:2:0 chroma subsampling (the layout virtually every
+    real-world color JPEG uses), interleaved MCUs, one quant + one
+    Huffman table pair shared by all components (legal and simplest).
+    4:2:0 chroma planes are 2x2 box means."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     h, w = rgb.shape[:2]
     ycc = rgb_to_ycbcr(rgb)
     quant = scaled_quant(quality)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+
+    if subsample == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+        chroma = [ycc[..., 1], ycc[..., 2]]
+    else:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # 2x2 box-mean chroma at half resolution (pad odd dims first)
+        he, we = h + (h & 1), w + (w & 1)
+        full = _pad_plane(ycc[..., 1], he, we), _pad_plane(ycc[..., 2], he, we)
+        chroma = [
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+            / 4.0
+            for p in full
+        ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     planes = []
-    for ci in range(3):
-        p = np.empty((bh * 8, bw * 8), dtype=np.float64)
-        p[:h, :w] = ycc[..., ci]
-        p[h:, :w] = p[h - 1 : h, :w]
-        p[:, w:] = p[:, w - 1 : w]
-        planes.append(p)
+    for ci, (hi, vi) in enumerate(samp):
+        src = ycc[..., 0] if ci == 0 else chroma[ci - 1]
+        planes.append(_pad_plane(src, mcuy * vi * 8, mcux * hi * 8))
 
     bw_writer = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                block = planes[ci][by * 8 : by * 8 + 8,
-                                   bx * 8 : bx * 8 + 8] - 128.0
-                q = np.round(_fdct(block) / quant).astype(np.int64)
-                zz = q[ZIG_ROWS, ZIG_COLS]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                cat, bits = _magnitude(diff)
-                code, ln = _DC_ENC[cat]
-                bw_writer.write(code, ln)
-                if cat:
-                    bw_writer.write(bits, cat)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = _AC_ENC[0xF0]
-                        bw_writer.write(code, ln)
-                        run -= 16
-                    cat, bits = _magnitude(v)
-                    code, ln = _AC_ENC[(run << 4) | cat]
-                    bw_writer.write(code, ln)
-                    bw_writer.write(bits, cat)
-                    run = 0
-                if run:  # trailing zeros -> EOB (replaces any pending ZRLs)
-                    code, ln = _AC_ENC[0x00]
-                    bw_writer.write(code, ln)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for vy in range(vi):
+                    for vx in range(hi):
+                        y0 = (my * vi + vy) * 8
+                        x0 = (mx * hi + vx) * 8
+                        preds[ci] = _encode_block(
+                            bw_writer,
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            quant,
+                            preds[ci],
+                        )
     scan = bw_writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     zz_quant = quant[ZIG_ROWS, ZIG_COLS].astype(np.uint8).tobytes()
-    sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    sof_comps = b"".join(
+        bytes([cid, (samp[i][0] << 4) | samp[i][1], 0])
+        for i, cid in enumerate((1, 2, 3))
+    )
     sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
     out = [b"\xff\xd8"]
     out.append(seg(0xDB, b"\x00" + zz_quant))

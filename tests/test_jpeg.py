@@ -149,3 +149,28 @@ def test_single_component_scan_ignores_sampling_factors():
     w, h, dec = decode_jpeg_gray(bytes(raw))
     base = decode_jpeg_gray(encode_jpeg_gray(_img(9), 90))[2]
     assert np.array_equal(dec, base)
+
+
+def test_color_420_decodes_to_full_res_luma():
+    """4:2:0 — the layout virtually every real color JPEG uses: 2x2 Y
+    blocks per interleaved MCU. Exercises the decoder's multi-block
+    luma placement, which the 4:4:4 path never touches."""
+    from jsonschema_spark.functions.jpeg import (
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+    )
+
+    rng = np.random.RandomState(10)
+    base = np.add.outer(np.linspace(0, 180, 33), np.linspace(0, 70, 49))
+    rgb = np.stack([
+        np.clip(base + rng.randn(33, 49) * 5, 0, 255),
+        np.clip(200 - base * 0.7 + rng.randn(33, 49) * 5, 0, 255),
+        np.clip(base * 0.4 + 40 + rng.randn(33, 49) * 5, 0, 255),
+    ], axis=-1).astype(np.uint8)  # odd dims on purpose
+    raw = encode_jpeg_color(rgb, 95, subsample="420")
+    w, h, lum = decode_jpeg_gray(raw)
+    assert (w, h) == (49, 33)
+    ytrue = rgb_to_ycbcr(rgb)[..., 0]
+    assert _rmse(lum, ytrue) < 3.0
+    # 4:2:0 should be smaller than 4:4:4 of the same image
+    assert len(raw) < len(encode_jpeg_color(rgb, 95, subsample="444"))
