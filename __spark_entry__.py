@@ -1744,6 +1744,57 @@ def _q_boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 12-token chorus planted MID-DOCUMENT at a doc-dependent char offset for the
+# repeated-span contract query — span starts land at varying token positions
+# (unlike the block-aligned boilerplate plant), exercising the positional
+# machinery; both engines rebuild the identical planted text.
+_SPAN_CHORUS = "pack my box with five dozen liquor jugs while daft zephyrs vex"
+
+
+def _q_span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style cross-document repeated-SPAN report (word 8-grams in
+    >= 5 docs; min-id owner keeps its copy): per-doc merged-span counts,
+    covered-token totals and the md5 of every trimmed document. The chorus
+    is inserted mid-text at (40 + (doc_id % 7) * 11) chars into every
+    doc_id % 5 == 2 document — splitting a word at the cut is fine (both
+    engines tokenize the same final string); chorus-internal grams go hot,
+    boundary grams stay per-doc unique, so each non-owner plant covers
+    exactly the 12 chorus tokens plus any genuine corpus collisions, which
+    the oracle replays identically."""
+    from jsonschema_spark.operators import spandedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    cut = (F.lit(40) + (d % 7) * F.lit(11)).cast("int")
+    planted = docs.select(
+        d.alias("doc_id"),
+        F.when(
+            d % 5 == 2,
+            F.concat(
+                F.col("text").substr(F.lit(1), cut),
+                F.lit(" " + _SPAN_CHORUS + " "),
+                F.col("text").substr(
+                    cut + 1, F.greatest(F.length("text") - cut, F.lit(0))
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep = spandedup.repeated_span_report(
+        planted, n=8, min_doc_freq=5, keep_first=True
+    )
+    return rep.select(
+        "doc_id",
+        "total_tokens",
+        "dup_positions",
+        "n_spans",
+        "dup_tokens",
+        "dup_fraction",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def _q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination report. The 'benchmark' is derived from the
     corpus itself — an 8-token prompt window (tokens 3..10) from every 17th
@@ -3267,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": _q_decontaminate_documents,
         "chunk_documents": _q_chunk_documents,
         "boilerplate_documents": _q_boilerplate_documents,
+        "span_dedup_documents": _q_span_dedup_documents,
         "pii_documents": _q_pii_documents,
         "pack_plan_documents": _q_pack_plan_documents,
         "dedup_minhash_documents": _q_dedup_minhash_documents,
@@ -7439,6 +7491,65 @@ def oracle_sql() -> dict[str, str]:
                    md5(COALESCE(string_agg(CASE WHEN NOT c THEN bt END, ' '
                                            ORDER BY chunk_idx), '')) AS clean_md5
             FROM f GROUP BY doc_id
+        """,
+        "span_dedup_documents": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 2 THEN
+                       substr(text, 1, CAST(40 + (doc_id % 7) * 11 AS INT))
+                       || ' {_SPAN_CHORUS} ' ||
+                       substr(text, CAST(41 + (doc_id % 7) * 11 AS INT))
+                     ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS t FROM planted
+            ), pos AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS p
+              FROM toks WHERE len(t) >= 8
+            ), g AS (
+              SELECT doc_id, p,
+                     md5(array_to_string(t[p : p + 7], ' ')) AS h
+              FROM pos
+            ), freq AS (
+              SELECT h, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner
+              FROM g GROUP BY 1
+            ), hot AS (
+              SELECT g.doc_id, g.p FROM g JOIN freq USING (h)
+              WHERE freq.df >= 5 AND g.doc_id <> freq.owner
+            ), byd AS (
+              SELECT doc_id, list_sort(list(p)) AS ps FROM hot GROUP BY doc_id
+            ), m AS (
+              SELECT toks.doc_id, toks.t, len(toks.t) AS sz,
+                     COALESCE(byd.ps, CAST([] AS BIGINT[])) AS ps
+              FROM toks LEFT JOIN byd USING (doc_id)
+            ), s AS (
+              SELECT doc_id, t, sz, len(ps) AS k,
+                CASE WHEN len(ps) = 0 THEN 0 ELSE
+                  list_sum(list_transform(range(1, len(ps) + 1), i ->
+                    LEAST(8, CASE WHEN i = len(ps) THEN 8
+                             ELSE ps[i + 1] - ps[i] END)))
+                END AS dup_tokens,
+                CASE WHEN len(ps) = 0 THEN 0 ELSE
+                  len(list_filter(range(1, len(ps) + 1), i ->
+                    i = len(ps) OR ps[i + 1] - ps[i] > 8))
+                END AS n_spans,
+                CASE WHEN len(ps) = 0 THEN CAST([] AS BIGINT[]) ELSE
+                  list_distinct(flatten(list_transform(ps, p -> range(p, p + 8))))
+                END AS cov
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(sz AS BIGINT) AS total_tokens,
+                   CAST(k AS BIGINT) AS dup_positions,
+                   CAST(n_spans AS BIGINT) AS n_spans,
+                   CAST(dup_tokens AS BIGINT) AS dup_tokens,
+                   CAST(dup_tokens AS DOUBLE) / CAST(GREATEST(sz, 1) AS DOUBLE)
+                     AS dup_fraction,
+                   md5(array_to_string(list_transform(
+                     list_filter(range(1, sz + 1),
+                                 ix -> NOT list_contains(cov, ix)),
+                     ix -> t[ix]), ' ')) AS clean_md5
+            FROM s
         """,
         "pack_plan_documents": """
             WITH h AS (

@@ -170,6 +170,19 @@ def q_dedup_minhash(spark: SparkSession):
     return dedup.minhash_lsh_pairs(docs, threshold=0.5).count()
 
 
+def q_span_dedup(spark: SparkSession):
+    """Cross-doc repeated-span trim (Lee et al. style): positional-gram
+    doc-freq shuffle + hot-set join + per-doc span algebra."""
+    from jsonschema_spark.operators import spandedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    return (
+        spandedup.repeated_span_report(docs, n=8, min_doc_freq=5)
+        .agg(F.sum("dup_tokens"), F.sum("n_spans"), F.count(F.lit(1)))
+        .collect()
+    )
+
+
 def q_validate_part_logic(spark: SparkSession):
     from __spark_entry__ import PART_LOGIC_SCHEMA
 
@@ -544,6 +557,7 @@ QUERIES = {
     "drift_report": q_drift_report,
     "text_profile": q_text_profile,
     "dedup_minhash": q_dedup_minhash,
+    "span_dedup": q_span_dedup,
     "cosine_topk": q_cosine_topk,
     "validate_part_logic": q_validate_part_logic,
     "quantiles": q_quantiles,

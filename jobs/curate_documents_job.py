@@ -83,6 +83,9 @@ def curate(
     model_threshold: float | None = None,
     extract_html: bool = False,
     encoding_gate: bool = False,
+    span_dedup_min_doc_freq: int | None = None,
+    span_n: int = 8,
+    span_max_dup_fraction: float | None = None,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -180,6 +183,45 @@ def curate(
                           - n_low_quality - n_model_rejected - n_after)
         gated = regated
 
+    # optional cross-document repeated-SPAN trim (Lee et al. 2107.06499
+    # style) BEFORE exact dedup: removing shared runs at arbitrary offsets
+    # (quoted chains, lyrics, license text mid-document) makes near-
+    # identical docs exactly equal for the cheap fingerprint stage, same
+    # rationale as the block-aligned boilerplate pass above but offset-free.
+    n_span_tokens_trimmed = 0
+    n_span_gated = 0
+    sp = None
+    if span_dedup_min_doc_freq:
+        from jsonschema_spark.operators import spandedup
+
+        sp = spandedup.repeated_span_report(
+            gated.select("doc_id", "text"),
+            n=span_n,
+            min_doc_freq=span_dedup_min_doc_freq,
+            keep_first=True,
+        ).persist()
+        n_span_tokens_trimmed = int(
+            sp.agg(F.sum("dup_tokens")).collect()[0][0] or 0
+        )
+        keepable = sp
+        if span_max_dup_fraction is not None:
+            # mostly-duplicated docs are dropped whole: trimming a 95 %-
+            # boilerplate doc leaves junk (the Lee et al. disposition)
+            keepable = sp.filter(F.col("dup_fraction") <= span_max_dup_fraction)
+        cleaned = gated.drop("text", "fingerprint", "token_count").join(
+            keepable.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        )
+        regated = cleaned.select(
+            "*",
+            text_ops.token_count(F.col("text")).alias("token_count"),
+            text_ops.fingerprint(F.col("text")).alias("fingerprint"),
+        ).filter(F.col("token_count") >= min_tokens)
+        n_after = regated.count()
+        n_span_gated = (n_input - n_invalid - n_encoding_rejected
+                        - n_low_quality - n_model_rejected - n_boiler_gated
+                        - n_after)
+        gated = regated
+
     # exact dedup: one survivor per content fingerprint (min doc_id), as an
     # aggregate + semi-join — no global window, shuffle keyed by fingerprint
     survivors = (
@@ -187,7 +229,7 @@ def curate(
     )
     exact = gated.join(survivors, ["fingerprint", "doc_id"], "left_semi")
     pool = (n_input - n_invalid - n_encoding_rejected - n_low_quality
-            - n_model_rejected - n_boiler_gated)
+            - n_model_rejected - n_boiler_gated - n_span_gated)
     n_exact_removed = pool - exact.count()
 
     # near-dedup pair generation: MinHash LSH (sub-quadratic scale default,
@@ -250,6 +292,8 @@ def curate(
     profiled.unpersist()
     if boilerplate_min_doc_freq:
         bp.unpersist()
+    if sp is not None:
+        sp.unpersist()
     stats = {
         "input_rows": n_input,
         "schema_invalid": n_invalid,
@@ -258,6 +302,8 @@ def curate(
         "model_rejected": n_model_rejected,
         "boilerplate_blocks_removed": int(n_boiler_blocks),
         "boilerplate_regated": n_boiler_gated,
+        "span_tokens_trimmed": n_span_tokens_trimmed,
+        "span_regated": n_span_gated,
         "exact_dups_removed": n_exact_removed,
         "near_dups_removed": n_near_removed,
         "mixture_removed": n_mix_removed,
@@ -305,6 +351,16 @@ def main(argv=None) -> int:
     p.add_argument("--encoding-gate", action="store_true",
                    help="drop docs with mojibake / U+FFFD / control-byte "
                         "encoding damage (operators/webtext)")
+    p.add_argument("--span-dedup-min-doc-freq", type=int, default=None,
+                   help="enable cross-document repeated-SPAN trimming "
+                        "before exact dedup: word n-gram runs occurring in "
+                        ">= N distinct docs are removed at every offset, "
+                        "min-id owner keeps its copy (off by default)")
+    p.add_argument("--span-n", type=int, default=8,
+                   help="span-dedup word n-gram width (default 8)")
+    p.add_argument("--span-max-dup-fraction", type=float, default=None,
+                   help="with span dedup: DROP docs whose duplicated-token "
+                        "fraction exceeds this instead of trimming them")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -340,6 +396,9 @@ def main(argv=None) -> int:
         model_threshold=args.model_threshold,
         extract_html=args.extract_html,
         encoding_gate=args.encoding_gate,
+        span_dedup_min_doc_freq=args.span_dedup_min_doc_freq,
+        span_n=args.span_n,
+        span_max_dup_fraction=args.span_max_dup_fraction,
     )
     print(json.dumps(stats))
     spark.stop()

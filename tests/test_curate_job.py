@@ -168,6 +168,61 @@ def test_curate_boilerplate_regates_emptied_docs(spark):
     assert s["output_rows"] == 1
 
 
+CHAIN = (
+    "every copy of this viral chain letter must be shared with ten"
+    " friends immediately"
+)  # 14 tokens >= span width 8; internal 8-grams are offset-independent
+
+
+def test_curate_span_stage_unmasks_exact_dups(spark):
+    """Two docs identical except for a shared chain-letter span at
+    DIFFERENT offsets are not exact dups raw (and not block-aligned, so
+    the boilerplate stage can't see them either); the span stage trims the
+    repeated run wherever it sits, the min-id owner keeps its copy, and
+    the exact fingerprint stage catches the now-equal survivors."""
+    body2 = ("an unrelated essay concerning lighthouse keepers and their"
+             " long quiet winters beside cold northern seas")
+    rows = [
+        _doc(1, CHAIN + " " + BASE + " alpha"),  # owner: keeps the chain
+        _doc(2, body2 + " " + CHAIN),            # trimmed -> body2
+        _doc(3, CHAIN + " " + body2),            # trimmed -> body2 == doc 2
+    ]
+    docs = spark.createDataFrame(rows)
+    _c0, s0 = curate(docs, quality_min=0.0, min_tokens=1,
+                     jaccard_threshold=0.9)
+    assert s0["exact_dups_removed"] == 0
+    c1, s1 = curate(docs, quality_min=0.0, min_tokens=1,
+                    jaccard_threshold=0.9, span_dedup_min_doc_freq=3)
+    assert s1["span_tokens_trimmed"] == 28  # 14 chain tokens x docs 2 and 3
+    assert s1["exact_dups_removed"] == 1    # doc 3 == doc 2 after trimming
+    ids = sorted(r.doc_id for r in c1.select("doc_id").collect())
+    assert ids == [1, 2]
+    kept = {r.doc_id: r.text for r in c1.select("doc_id", "text").collect()}
+    assert CHAIN in kept[1]       # owner copy survives
+    assert kept[2] == body2       # trimmed at the non-zero offset too
+
+
+def test_curate_span_stage_drops_mostly_duplicated_docs(spark):
+    """With --span-max-dup-fraction, docs that are mostly duplicated
+    material are dropped whole (trimming would leave junk) and counted in
+    span_regated; a doc trimmed to nothing falls to the min_tokens re-gate
+    the same way."""
+    rows = [
+        _doc(1, CHAIN),                 # owner: fraction 0 -> kept
+        _doc(2, CHAIN + " x"),          # 14/15 duplicated -> dropped whole
+        _doc(3, CHAIN + " y z"),        # 14/16 duplicated -> dropped whole
+        _doc(4, BASE + " alpha"),
+    ]
+    docs = spark.createDataFrame(rows)
+    _c, s = curate(docs, quality_min=0.0, min_tokens=1,
+                   jaccard_threshold=0.9, span_dedup_min_doc_freq=3,
+                   span_max_dup_fraction=0.5)
+    assert s["span_regated"] == 2
+    assert s["output_rows"] == 2
+    ids = sorted(r.doc_id for r in _c.select("doc_id").collect())
+    assert ids == [1, 4]
+
+
 def test_curate_mixture_stage(spark):
     """Temperature mixing as the final stage: a large budget keeps all
     strata (rates cap at 1); stats row present and consistent."""
