@@ -3006,6 +3006,21 @@ def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (Jegou et al. 2011): 8 subspaces x 16
+    seed centroids over the 64-dim corpus; the ADC scan reads only (id,
+    code) — the memory-bound 100 TB path. Every op is correctly-rounded
+    IEEE in a FIXED left-associative order, so DuckDB replays encode + LUT
+    + ranking bit-for-bit from the SAME parquet (seed codebooks rebuilt by
+    sorting — no literal shipping)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_seed_codebooks(emb, m=8, k_per_space=16)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, queries_df, books, k=5)
+
+
 def _q_clips_validate_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = _clips(spark)
     return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).totals()
@@ -3360,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_ann": _q_similarity_lsh_ann,
         "similarity_ivf_assign": _q_similarity_ivf_assign,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
+        "similarity_pq_topk": _q_similarity_pq_topk,
         "clips_validate_totals": _q_clips_validate_totals,
         "clips_violations": _q_clips_violations,
         "clips_speech_rate": _q_clips_speech_rate,
@@ -4156,6 +4172,65 @@ _GRAMS_SQL = f"""
            i -> array_to_string(toks[i:i+2], ' '))) AS grams
   FROM (SELECT doc_id, string_split({_TEXT_NORM}, ' ') AS toks FROM documents)
 """
+
+
+def _pq_topk_sql(
+    m: int = 8, k_cent: int = 16, d: int = 64, topk: int = 5, n_queries: int = 3
+) -> str:
+    """DuckDB replay of PQ ADC search (similarity.pq_topk with seed
+    codebooks): the codebook is rebuilt from the SAME parquet by sorting
+    (first k vectors by id); per-subspace squared-L2 chains are emitted in
+    the IDENTICAL left-associative op order as the Column expressions, so
+    codes, lookup tables and totals are bit-for-bit equal — no literal
+    shipping, sf-independent SQL."""
+    d_s = d // m
+
+    def chain(vec: str, start: int) -> str:
+        terms = []
+        for j in range(d_s):
+            a = f"CAST({vec}[{start + j + 1}] AS DOUBLE)"
+            b = f"CAST(ce[{start + j + 1}] AS DOUBLE)"
+            terms.append(f"({a} - {b}) * ({a} - {b})")
+        return " + ".join(terms)
+
+    dist_lists = ",\n                 ".join(
+        f"list_transform(cb.cents, ce -> {chain('e.embedding', s * d_s)}) AS d_{s}"
+        for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"list_position(d_{s}, list_min(d_{s})) AS p_{s}" for s in range(m)
+    )
+    lut_lists = ",\n                 ".join(
+        f"list_transform(cb.cents, ce -> {chain('e.embedding', s * d_s)}) AS l_{s}"
+        for s in range(m)
+    )
+    total = " + ".join(f"q.l_{s}[c.p_{s}]" for s in range(m))
+    return f"""
+        WITH cb AS (
+          SELECT list(embedding ORDER BY vec_id) AS cents
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {k_cent})
+        ), c0 AS (
+          SELECT e.vec_id,
+                 {dist_lists}
+          FROM embeddings e, cb
+        ), c AS (
+          SELECT vec_id, {code_cols} FROM c0
+        ), q0 AS (
+          SELECT e.vec_id AS query_id,
+                 {lut_lists}
+          FROM embeddings e, cb WHERE e.vec_id < {n_queries}
+        ), scored AS (
+          SELECT q.query_id, c.vec_id, round({total}, 6) AS approx_dist
+          FROM c, q0 q
+        )
+        SELECT query_id, vec_id, approx_dist, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {topk}
+    """
 
 
 def _minhash_sql(threshold: float = 0.5, num_hashes: int = 32, bands: int = 8) -> str:
@@ -7637,6 +7712,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cos >= 0.4
         """,
         # full-probe IVF == exact search: same oracle as brute force
+        "similarity_pq_topk": _pq_topk_sql(),
         "similarity_ivf_topk": """
             SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,

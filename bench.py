@@ -342,6 +342,19 @@ def q_clips_normalize(spark: SparkSession):
     ).collect()
 
 
+def q_pq_adc(spark: SparkSession):
+    """PQ encode + ADC top-k: the memory-bound ANN path (corpus scan reads
+    only (id, code); codebooks ride as literals)."""
+    from jsonschema_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = similarity.pq_seed_codebooks(emb, m=8, k_per_space=16)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, queries, books, k=10).count()
+
+
 def q_cosine_topk(spark: SparkSession):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -559,6 +572,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "span_dedup": q_span_dedup,
     "cosine_topk": q_cosine_topk,
+    "pq_adc": q_pq_adc,
     "validate_part_logic": q_validate_part_logic,
     "quantiles": q_quantiles,
     "corpus_summary": q_corpus_summary,

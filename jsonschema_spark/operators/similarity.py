@@ -328,3 +328,190 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy(query_id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound scale path
+# ---------------------------------------------------------------------------
+# At 10^12 vectors the bottleneck is bytes-per-vector scanned per query:
+# fp32x64 = 256 B; PQ with m subspaces stores m small codes (conceptually m
+# bytes at 256 centroids; m ints here). The asymmetric-distance (ADC) scan
+# reads ONLY the code column — a ~32x narrower scan — and the codebooks ride
+# the plan as literals (no broadcast, no shuffle; Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011). Compose with
+# ``ivf_assign`` (bucket by coarse centroid, encode residuals per bucket)
+# for IVF-PQ; here the flat ADC scan is the contract-pinned core.
+#
+# Everything is correctly-rounded IEEE (cast/sub/mul/add in a FIXED
+# left-associative order), so DuckDB replays encode + ADC bit-for-bit —
+# the contract oracle rebuilds the same seed codebooks from the same
+# parquet by sorting (no full-precision literal shipping needed).
+
+
+def pq_seed_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k_per_space: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Codebook[s] = the s-th subvector of the first ``k_per_space`` corpus
+    vectors by id — deterministic medoid seeds, SQL-reproducible (the PQ
+    analogue of ``seed_centroids``). Returns m lists of k subvectors."""
+    rows = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(k_per_space)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_seed_codebooks: empty input")
+    dim = len(rows[0]._v)
+    if dim % m != 0:
+        raise ValueError(f"pq_seed_codebooks: dim {dim} not divisible by m {m}")
+    d_s = dim // m
+    return [
+        [[float(x) for x in r._v[s * d_s : (s + 1) * d_s]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k_per_space: int = 16,
+    sample_size: int = 1024,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Real per-subspace Lloyd (euclidean) codebooks from a deterministic
+    driver-side sample (first ``sample_size`` by id — rerunning yields
+    identical codebooks; same stance as ``kmeans_centroids``). Empty cells
+    keep their previous centroid."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    x = np.asarray([r._v for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    d_s = dim // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * d_s : (s + 1) * d_s]
+        k = min(k_per_space, len(xs))
+        c = xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def _sq_l2_to_literal(vec_col: str, cent: list[float], start: int) -> Column:
+    """Squared L2 between vec[start+1 .. start+len] and a literal subvector,
+    as a FIXED left-associative chain of correctly-rounded IEEE ops — the
+    exact op order the DuckDB oracle replays."""
+    expr = None
+    for j, cval in enumerate(cent):
+        e = F.element_at(F.col(vec_col), start + j + 1).cast("double") - F.lit(
+            float(cval)
+        )
+        term = e * e
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def _pq_code_array(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """array<int> of 0-based nearest-centroid codes, one per subspace.
+    Ties resolve to the FIRST minimal index (array_position semantics on
+    bit-identical doubles — same rule as DuckDB list_position)."""
+    m = len(codebooks)
+    d_s = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        dists = F.array(
+            *[_sq_l2_to_literal(vec_col, cent, s * d_s) for cent in codebooks[s]]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Corpus -> compact PQ codes (the write-once encode pass). The code
+    column is what the ADC scan reads; persist/write it next to the id and
+    drop the raw vectors from the hot path. Pure codegen expressions —
+    expression size grows with m x k x d_s literals (fine for O(10^2)
+    centroids; larger codebooks switch to a broadcast centroid-table join,
+    the ``_cell_sims`` disposition)."""
+    return df.withColumn(code_col, _pq_code_array(vec_col, codebooks))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(query_id, vec_id, approx_dist, rank) — approximate top-k by
+    asymmetric PQ distance (ADC): per query, a lookup table of squared L2
+    from the query subvector to every centroid; per corpus code, the
+    distance is m table lookups summed in fixed order. The corpus side
+    carries ONLY (id, code); the query side (tiny) is broadcast. No
+    shuffle of the corpus, one narrow scan, window top-k per query."""
+    m = len(codebooks)
+    d_s = len(codebooks[0][0])
+    if code_col not in corpus.columns:
+        corpus = pq_encode(corpus, codebooks, vec_col=vec_col, code_col=code_col)
+    c = corpus.select(F.col(id_col), F.col(code_col).alias("_code"))
+    luts = [
+        F.array(
+            *[_sq_l2_to_literal(vec_col, cent, s * d_s) for cent in codebooks[s]]
+        ).alias(f"_lut{s}")
+        for s in range(m)
+    ]
+    q = queries.select(F.col(query_id_col), *luts)
+    joined = c.crossJoin(_maybe_broadcast(q, broadcast_queries))
+    total = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"_lut{s}"), F.element_at(F.col("_code"), s + 1) + 1
+        )
+        total = term if total is None else total + term
+    scored = joined.select(
+        query_id_col, id_col, F.round(total, 6).alias("approx_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
