@@ -3021,6 +3021,23 @@ def _q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, queries_df, books, k=5)
 
 
+def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with FULL probe (n_probe == n_cells): codes quantize raw
+    vectors, so the probed union is the whole corpus and the result is
+    EXACTLY flat PQ ADC — pinning the coarse-bucket/probe/join plumbing
+    against the same bit-exact oracle regardless of the coarse codebook
+    (the ivf_topk full-probe stance)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_seed_codebooks(emb, m=8, k_per_space=16)
+    coarse = similarity.seed_centroids(emb, n_cells=8)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivfpq_topk(
+        emb, queries_df, books, k=5, n_cells=8, n_probe=8, centroids=coarse
+    )
+
+
 def _q_clips_validate_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = _clips(spark)
     return validate(clips, CLIPS_JSON_SCHEMA, _clips_options()).totals()
@@ -3376,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_assign": _q_similarity_ivf_assign,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
         "similarity_pq_topk": _q_similarity_pq_topk,
+        "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
         "clips_validate_totals": _q_clips_validate_totals,
         "clips_violations": _q_clips_violations,
         "clips_speech_rate": _q_clips_speech_rate,
@@ -7713,6 +7731,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full-probe IVF == exact search: same oracle as brute force
         "similarity_pq_topk": _pq_topk_sql(),
+        "similarity_ivfpq_topk": _pq_topk_sql(),
         "similarity_ivf_topk": """
             SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id,

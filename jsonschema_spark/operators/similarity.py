@@ -420,37 +420,70 @@ def pq_train(
     return books
 
 
-def _sq_l2_to_literal(vec_col: str, cent: list[float], start: int) -> Column:
-    """Squared L2 between vec[start+1 .. start+len] and a literal subvector,
-    as a FIXED left-associative chain of correctly-rounded IEEE ops — the
-    exact op order the DuckDB oracle replays."""
-    expr = None
-    for j, cval in enumerate(cent):
-        e = F.element_at(F.col(vec_col), start + j + 1).cast("double") - F.lit(
-            float(cval)
-        )
-        term = e * e
-        expr = term if expr is None else expr + term
-    return expr
+def _book_lit(book: list[list[float]]) -> Column:
+    """One subspace codebook as a literal array<array<double>> (k x d_s)."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in cent]) for cent in book]
+    )
+
+
+def _sq_l2_sub(vec_col: str, ce: Column, start: int, d_s: int) -> Column:
+    """Squared L2 between vec[start+1 .. start+d_s] and a centroid
+    subvector column, as a left fold from +0.0 — bit-identical to the
+    left-associative chain the DuckDB oracle emits (+0.0 + t == t for the
+    non-negative squared terms), every op correctly-rounded IEEE.
+
+    HOF form on purpose: the fully unrolled literal chain (m x k x d_s
+    terms) blows the 64 KB janino method limit — whole-stage codegen FAILS
+    and the giant tree runs interpreted with its shared subtrees
+    re-evaluated (measured 23 s for a 5k x 8-query ADC at m=8, k=16).
+    Small lambda bodies over a 2-D literal keep per-row work linear."""
+    sub = F.slice(F.col(vec_col), start + 1, d_s)
+    return F.aggregate(
+        F.zip_with(sub, ce, lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
 
 
 def _pq_code_array(
     vec_col: str, codebooks: list[list[list[float]]]
 ) -> Column:
     """array<int> of 0-based nearest-centroid codes, one per subspace.
-    Ties resolve to the FIRST minimal index (array_position semantics on
-    bit-identical doubles — same rule as DuckDB list_position)."""
+    The (dist, idx) struct array is referenced ONCE by array_min (struct
+    ordering = lexicographic, so equal distances resolve to the smallest
+    index — the same first-minimum rule as DuckDB list_position); a
+    array_position(dists, array_min(dists)) formulation would re-expand
+    the whole distance tree twice under interpreted eval."""
     m = len(codebooks)
     d_s = len(codebooks[0][0])
+
+    def _dstruct(book: Column, start: int, k: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.struct(
+                _sq_l2_sub(vec_col, F.element_at(book, i), start, d_s).alias(
+                    "d"
+                ),
+                i.alias("i"),
+            ),
+        )
+
     codes = []
     for s in range(m):
-        dists = F.array(
-            *[_sq_l2_to_literal(vec_col, cent, s * d_s) for cent in codebooks[s]]
-        )
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
+        dstruct = _dstruct(_book_lit(codebooks[s]), s * d_s, len(codebooks[s]))
+        codes.append((F.array_min(dstruct).getField("i") - 1).cast("int"))
     return F.array(*codes)
+
+
+def _pq_lut(vec_col: str, book: list[list[float]], start: int) -> Column:
+    """array<double>: squared L2 from the query subvector to every centroid
+    of one subspace, in codebook order."""
+    d_s = len(book[0])
+    return F.transform(
+        _book_lit(book), lambda ce: _sq_l2_sub(vec_col, ce, start, d_s)
+    )
 
 
 def pq_encode(
@@ -491,9 +524,7 @@ def pq_topk(
         corpus = pq_encode(corpus, codebooks, vec_col=vec_col, code_col=code_col)
     c = corpus.select(F.col(id_col), F.col(code_col).alias("_code"))
     luts = [
-        F.array(
-            *[_sq_l2_to_literal(vec_col, cent, s * d_s) for cent in codebooks[s]]
-        ).alias(f"_lut{s}")
+        _pq_lut(vec_col, codebooks[s], s * d_s).alias(f"_lut{s}")
         for s in range(m)
     ]
     q = queries.select(F.col(query_id_col), *luts)
@@ -505,6 +536,78 @@ def pq_topk(
         )
         total = term if total is None else total + term
     scored = joined.select(
+        query_id_col, id_col, F.round(total, 6).alias("approx_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
+    centroids: list[list[float]] | None = None,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ (the full Jegou et al. recipe): coarse-bucket the corpus by
+    nearest centroid ONCE, store only (id, cell, code); each query probes
+    its ``n_probe`` nearest cells and ranks by ADC within the probed
+    subset. Per-query cost ~ (n_probe/n_cells) x m-code bytes of the
+    corpus — the two knobs compound at 10^12 vectors.
+
+    Codes quantize RAW vectors (not per-cell residuals), so
+    ``n_probe == n_cells`` degenerates EXACTLY to the flat ``pq_topk`` —
+    which pins the bucket/probe/join plumbing against the same bit-exact
+    DuckDB oracle regardless of the coarse codebook (the ``ivf_topk``
+    full-probe stance). Residual encoding would buy accuracy at the cost
+    of that degeneracy and per-cell codebooks."""
+    m = len(codebooks)
+    d_s = len(codebooks[0][0])
+    c = ivf_assign(corpus.select(id_col, vec_col), n_cells, dim, vec_col, centroids)
+    c = pq_encode(c, codebooks, vec_col=vec_col, code_col=code_col).select(
+        id_col, "ivf_cell", F.col(code_col).alias("_code")
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.reverse(F.array_sort(_cell_sims(vec_col, n_cells, dim, centroids))),
+            1,
+            n_probe,
+        ),
+        lambda s: s.getField("cell"),
+    )
+    luts = [
+        _pq_lut(vec_col, codebooks[s], s * d_s).alias(f"_lut{s}")
+        for s in range(m)
+    ]
+    q = queries.select(
+        F.col(query_id_col), probe_cells.alias("_cells"), *luts
+    ).select(
+        query_id_col,
+        F.explode("_cells").alias("ivf_cell"),
+        *[f"_lut{s}" for s in range(m)],
+    )
+    cand = c.join(_maybe_broadcast(q, broadcast_queries), "ivf_cell")
+    total = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"_lut{s}"), F.element_at(F.col("_code"), s + 1) + 1
+        )
+        total = term if total is None else total + term
+    scored = cand.select(
         query_id_col, id_col, F.round(total, 6).alias("approx_dist")
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -157,3 +157,46 @@ def test_pq_dim_not_divisible_raises(spark):
         pq_seed_codebooks(df, m=2)
     with pytest.raises(ValueError):
         pq_train(df, m=2)
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark):
+    from jsonschema_spark.operators.similarity import ivfpq_topk, seed_centroids
+
+    emb = _emb(spark)
+    books = pq_seed_codebooks(emb, m=8, k_per_space=8)
+    coarse = seed_centroids(emb, n_cells=4)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = pq_topk(emb, queries, books, k=5).collect()
+    full = ivfpq_topk(
+        emb, queries, books, k=5, n_cells=4, n_probe=4, centroids=coarse
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["approx_dist"])  # noqa: E731
+    assert sorted(map(key, full)) == sorted(map(key, flat))
+
+
+def test_ivfpq_partial_probe_finds_cluster_neighbors(spark):
+    from jsonschema_spark.operators.similarity import ivfpq_topk, kmeans_centroids
+
+    rng = random.Random(11)
+    dim, m = 16, 4
+    centers = [[12.0 * ((c >> b) & 1) for b in range(dim)] for c in range(4)]
+    rows = [
+        (i, [centers[i % 4][j] + rng.uniform(-0.4, 0.4) for j in range(dim)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(df, m=m, k_per_space=8, sample_size=80, iters=5)
+    coarse = kmeans_centroids(df, n_cells=4, sample_size=80, iters=5)
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk(
+        df, queries, books, k=5, n_cells=4, n_probe=1, dim=dim, centroids=coarse
+    ).collect()
+    # probing ONE cell must still return same-cluster neighbors
+    for r in got:
+        assert r["vec_id"] % 4 == r["query_id"] % 4
+    counts = {q: sum(1 for r in got if r["query_id"] == q) for q in range(4)}
+    assert all(v == 5 for v in counts.values()), counts
