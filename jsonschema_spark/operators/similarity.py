@@ -10,8 +10,14 @@
 - ``ivf_topk``             — IVF-style alternative: corpus is bucketed by
   nearest of K deterministic "centroid" vectors; queries probe the
   ``n_probe`` nearest buckets only.
+- ``pq_encode``/``pq_topk``/``ivfpq_topk`` — product quantization: the
+  memory-bound path (the ADC scan reads only (id, code) — ~32x narrower
+  than fp32 vectors at m=8); IVF-PQ compounds the probe fraction on top.
 
 Vector math is pure Column expressions (zip_with/aggregate) — JVM-side.
+Keep lambda bodies SMALL: fully unrolled literal chains blow janino's
+64 KB codegen limit and silently fall back to interpreted eval (see
+``_sq_l2_sub``).
 """
 
 from __future__ import annotations
