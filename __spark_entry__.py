@@ -2841,6 +2841,35 @@ def _q_clips_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADPCM_N = 400
+
+
+def _q_clips_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode proof: mono IMA/DVI ADPCM
+    (WAVE_FORMAT_IMA_ADPCM = 0x11, 4 bits/sample, ~4:1) in a standard WAV
+    container with extended fmt + fact chunks, decoded by the numpy block
+    decoder in ONE Arrow hop. The adaptive recurrence is not
+    SQL-expressible, so the oracle serves the ledger: decode fingerprints
+    the SAME codec produced at synth time (encode -> store -> distribute
+    -> decode certified end-to-end), with planted truncations VERIFIED at
+    synth to make the decoder raise (decode_ok=false — torn uploads never
+    return partial audio silently)."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_adpcm_clips
+
+    clips, _ = materialized_adpcm_clips(spark, _ADPCM_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
 _CONTAIN_N = 400
 
 
@@ -3368,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segments_transcript": _q_clips_segments_transcript,
         "clips_gain_normalize": _q_clips_gain_normalize,
         "clips_ulaw_decode": _q_clips_ulaw_decode,
+        "clips_adpcm_decode": _q_clips_adpcm_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
         "videos_y4m_frames": _q_videos_y4m_frames,
@@ -5350,6 +5380,23 @@ def _image_near_dup_pairs_sql() -> str:
                CAST(bit_count(xor(a._dhash, b._dhash)) AS INTEGER) AS hamming
         FROM {src} a JOIN {src} b ON a.image_id < b.image_id
         WHERE bit_count(xor(a._dhash, b._dhash)) <= 3
+    """
+
+
+def _clips_adpcm_decode_sql() -> str:
+    """Ledger oracle for the IMA ADPCM decode: the adaptive per-sample
+    recurrence is not SQL-expressible, so expectations are the synth-time
+    decode fingerprints (and synth-VERIFIED truncation failures) carried
+    in the SAME parquet the Spark query scans — the jpeg-ledger stance."""
+    from jsonschema_spark.sources.clips import adpcm_clips_path
+
+    src = f"read_parquet('{adpcm_clips_path(_ADPCM_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % 11 <> 7) AS decode_ok
+        FROM {src}
     """
 
 
@@ -7699,6 +7746,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_segments_transcript": _clips_segments_transcript_sql(),
         "clips_gain_normalize": _clips_gain_normalize_sql(),
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
+        "clips_adpcm_decode": _clips_adpcm_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
         "videos_y4m_frames": _videos_y4m_frames_sql(),

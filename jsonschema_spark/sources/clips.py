@@ -1005,3 +1005,105 @@ def materialized_stereo_clips(spark: SparkSession, n: int) -> tuple[DataFrame, s
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_stereo_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- REAL-ADPCM ledger corpus (IMA/DVI 4-bit WAV, functions/audio.py) ----
+# Planted defect (_row_idx % ADPCM_TRUNC_MOD == ADPCM_TRUNC_CLS): the WAV
+# byte stream is truncated mid-data (torn upload). The cut is deepened at
+# synth time until the decoder ACTUALLY raises (a shallow cut may only
+# shave final-block padding), so the ledger's decode_ok=false rows are
+# verified, never assumed. Non-truncated rows carry the decode fingerprint
+# (_n_dec, _dec_md5) the SAME codec produced at synth time — the contract
+# query certifies encode -> store -> distribute -> decode end-to-end.
+ADPCM_TRUNC_MOD = 11
+ADPCM_TRUNC_CLS = 7
+ADPCM_BLOCK_ALIGN = 256
+ADPCM_SR_HZ = 16000
+
+ADPCM_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_n_dec", T.LongType(), True),
+        T.StructField("_dec_md5", T.StringType(), True),
+    ]
+)
+
+
+def synth_adpcm_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 900),
+) -> DataFrame:
+    """Clips whose payloads are REAL compressed audio: mono IMA ADPCM
+    (WAVE_FORMAT_IMA_ADPCM = 0x11) in a standard WAV container with the
+    extended fmt + fact chunks — 4 bits/sample, ~4:1 over PCM16."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import (
+        decode_payload,
+        encode_wav_adpcm,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = ADPCM_SR_HZ * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n_samples))
+        raw = encode_wav_adpcm(pcm, ADPCM_SR_HZ, ADPCM_BLOCK_ALIGN)
+        n_dec = None
+        dec_md5 = None
+        if i % ADPCM_TRUNC_MOD == ADPCM_TRUNC_CLS:
+            cut = 3
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += ADPCM_BLOCK_ALIGN // 2
+                except Exception:
+                    raw = cand
+                    break
+        else:
+            dec = decode_payload(raw)
+            d16 = np.clip(dec, -32768, 32767).astype("<i2")
+            n_dec = len(dec)
+            dec_md5 = _hashlib.md5(
+                d16.tobytes().hex().upper().encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), ADPCM_SR_HZ, dur, "adpcm",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def adpcm_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_adpcm_{n}")
+
+
+def materialized_adpcm_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """ADPCM ledger table materialized once (oracle-cache protocol); the
+    DuckDB oracle reads the SAME files and serves expectations from the
+    synth-verified ledger columns alone."""
+    import os
+
+    path = adpcm_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_adpcm_clips(spark, n), path)
+    return spark.read.parquet(path), path
