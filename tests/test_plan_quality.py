@@ -162,3 +162,42 @@ def test_partitioned_table_prunes_partitions(spark, tmp_path):
     doc = {"type": "object", "properties": {"dur_ms": {"minimum": 200}}}
     p2 = plan(validate(df, doc).totals())
     assert "PartitionFilters" in p2
+
+
+def test_span_dedup_caches_scan_and_forces_no_broadcast(spark):
+    """repeated_span_report must (a) scan the source once into the persist
+    barrier — every downstream path reads the cache, (b) never FORCE a
+    broadcast (the hot-gram set is usually tiny, but at web scale it can
+    be arbitrarily large: AQE must choose)."""
+    from jsonschema_spark.operators.spandedup import repeated_span_report
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rep = repeated_span_report(docs, n=8, min_doc_freq=5)
+    analyzed = rep._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    p = plan(rep)
+    # one real parquet scan feeding the cache; downstream reads are
+    # InMemoryTableScans of the persisted token projection
+    assert p.count("InMemoryTableScan") >= 2
+    assert "rowwisePython" not in p and "BatchEvalPython" not in p
+
+
+def test_pq_topk_corpus_never_reshuffled(spark):
+    """ADC search: the corpus side must carry only (id, code) into a
+    broadcast join of the tiny query side — no Exchange of corpus rows
+    keyed by anything, no Python nodes."""
+    from jsonschema_spark.operators.similarity import (
+        pq_seed_codebooks,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_seed_codebooks(emb, m=8, k_per_space=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = plan(pq_topk(emb, queries, books, k=5))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # the only sort is the per-query top-k window
+    assert p.count("SortMergeJoin") == 0
