@@ -2870,6 +2870,34 @@ def _q_clips_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLAC_N = 400
+
+
+def _q_clips_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode proof (functions/flac.py — RFC 9639 subset: fixed
+    predictors + partitioned Rice, pure numpy/Python, zero codec libs):
+    payloads decoded in ONE Arrow hop must land BIT-FOR-BIT on the
+    pre-encode PCM — FLAC is lossless, so the ledger fingerprint is
+    computed from the SOURCE samples and never passes through the codec.
+    Planted torn-upload truncations AND mid-stream single-bit flips
+    (both synth-VERIFIED to raise) must fail loudly via the stream's own
+    CRC-8/CRC-16/STREAMINFO-MD5 integrity chain (decode_ok=false)."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_flac_clips
+
+    clips, _ = materialized_flac_clips(spark, _FLAC_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
 _CONTAIN_N = 400
 
 
@@ -3398,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gain_normalize": _q_clips_gain_normalize,
         "clips_ulaw_decode": _q_clips_ulaw_decode,
         "clips_adpcm_decode": _q_clips_adpcm_decode,
+        "clips_flac_decode": _q_clips_flac_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
         "videos_y4m_frames": _q_videos_y4m_frames,
@@ -5396,6 +5425,32 @@ def _clips_adpcm_decode_sql() -> str:
                _n_dec AS n_samples,
                _dec_md5 AS dec_md5,
                (_row_idx % 11 <> 7) AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_flac_decode_sql() -> str:
+    """Ledger oracle for the REAL FLAC decode. FLAC is LOSSLESS, so the
+    expected fingerprint is computed from the SOURCE samples at synth
+    time (truth never passes through the codec — stronger than the ADPCM
+    ledger, which certifies encode->decode fixpoint): the distributed
+    decode must land on the pre-encode PCM bit-for-bit. Planted torn
+    uploads and mid-stream bit flips are synth-VERIFIED to raise through
+    the stream's own CRC-8/CRC-16/MD5 integrity chain."""
+    from jsonschema_spark.sources.clips import (
+        FLAC_CLASS_MOD,
+        FLAC_FLIP_CLS,
+        FLAC_TRUNC_CLS,
+        flac_clips_path,
+    )
+
+    src = f"read_parquet('{flac_clips_path(_FLAC_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % {FLAC_CLASS_MOD}
+                  NOT IN ({FLAC_TRUNC_CLS}, {FLAC_FLIP_CLS})) AS decode_ok
         FROM {src}
     """
 
@@ -7747,6 +7802,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_gain_normalize": _clips_gain_normalize_sql(),
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
         "clips_adpcm_decode": _clips_adpcm_decode_sql(),
+        "clips_flac_decode": _clips_flac_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
         "videos_y4m_frames": _videos_y4m_frames_sql(),

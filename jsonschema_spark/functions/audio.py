@@ -394,14 +394,24 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
 def decode_payload(raw: bytes) -> np.ndarray:
     """Decode a payload back to int16 PCM (container sniffed from magic).
 
-    ``RIFF/WAVE`` is decoded for real (PCM16 mono); the synthetic flac/opus
-    containers stand in for their compressed namesakes (no codec libs in
-    this environment); anything else decodes as raw little-endian PCM16."""
+    ``RIFF/WAVE`` is decoded for real (PCM16 / G.711 / IMA ADPCM mono),
+    and REAL FLAC streams (``fLaC`` marker) decode through the pure-numpy
+    subset codec in functions/flac.py; the legacy synthetic flac/opus
+    containers remain for the roster corpora; anything else decodes as
+    raw little-endian PCM16."""
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return _decode_wav_pcm16(raw)
     if raw[:5] == _FLAC_MAGIC:
+        # legacy synthetic container ("fLaC0": byte 5 = 0x30, a RESERVED
+        # metadata type no conforming real stream carries — unambiguous)
         deltas = np.frombuffer(raw[5:], dtype="<i4")
         return np.cumsum(deltas, dtype=np.int64).astype(np.int32)
+    if raw[:4] == b"fLaC":
+        # REAL FLAC (functions/flac.py): lossless, CRC+MD5 verified decode
+        from jsonschema_spark.functions.flac import decode_flac
+
+        _sr, pcm = decode_flac(bytes(raw))
+        return pcm
     if raw[:4] == _OPUS_MAGIC:
         q = np.frombuffer(raw[4:], dtype="<i2").astype(np.int32)
         return q << 2

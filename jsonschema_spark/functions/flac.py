@@ -1,0 +1,447 @@
+"""REAL FLAC codec (subset) in pure Python/numpy — zero codec libs.
+
+Implements the FLAC format per the public specification (RFC 9639 /
+xiph.org): "fLaC" marker, STREAMINFO metadata block (incl. the MD5 of the
+unencoded PCM — verified on decode, so bitstream corruption fails LOUDLY),
+frames with CRC-8-protected headers and CRC-16-protected bodies, UTF-8
+coded frame numbers, and subframes of type CONSTANT, VERBATIM and FIXED
+(orders 0-4) with partitioned-Rice-coded residuals.
+
+Subset bounds (raise loudly, never guess): mono, 16-bit, fixed blocksize;
+LPC subframes, wasted bits, stereo decorrelation and variable blocksize
+are rejected with ValueError. The ENCODER chooses the best fixed
+predictor per block by minimal absolute residual sum and a per-partition
+Rice parameter from the residual mean — the standard fixed-predictor
+encoding strategy, so real-world decoders accept the output, and the
+decoder accepts any conforming fixed-predictor stream (not just ours).
+
+FLAC is LOSSLESS: decode(encode(pcm)) must equal pcm bit-for-bit, which
+makes the round-trip itself a complete correctness oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+__all__ = ["encode_flac", "decode_flac", "FLAC_MARKER"]
+
+FLAC_MARKER = b"fLaC"
+_BLOCKSIZE = 4096
+
+
+# ---------------------------------------------------------------- CRCs --
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly x^8+x^2+x^1+1 (0x07), init 0 — FLAC frame headers."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame bodies."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# -------------------------------------------------------------- bit I/O --
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits terminated by a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        while bits > 0:
+            if self.byte >= len(self.data):
+                raise ValueError("malformed FLAC: bitstream truncated")
+            avail = 8 - self.bit
+            take = min(bits, avail)
+            cur = self.data[self.byte]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            bits -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("malformed FLAC: runaway unary code")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+# ------------------------------------------------------ UTF-8 frame no. --
+def _utf8_encode(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    if n < 0x800:
+        lead, nbytes = 0xC0, 2
+    elif n < 0x10000:
+        lead, nbytes = 0xE0, 3
+    elif n < 0x200000:
+        lead, nbytes = 0xF0, 4
+    elif n < 0x4000000:
+        lead, nbytes = 0xF8, 5
+    else:
+        lead, nbytes = 0xFC, 6
+    for i in range(nbytes - 1):
+        out.append(0x80 | (n & 0x3F))
+        n >>= 6
+    out.append(lead | n)
+    return bytes(reversed(out))
+
+
+def _utf8_decode(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for lead, nb in ((0xFC, 6), (0xF8, 5), (0xF0, 4), (0xE0, 3), (0xC0, 2)):
+        if (b0 & ~((1 << (7 - nb)) - 1)) & 0xFF == lead:
+            nbytes = nb
+            break
+    if not nbytes:
+        raise ValueError("malformed FLAC: bad UTF-8 frame number")
+    n = b0 & ((1 << (7 - nbytes)) - 1)
+    for _ in range(nbytes - 1):
+        bx = r.read(8)
+        if bx & 0xC0 != 0x80:
+            raise ValueError("malformed FLAC: bad UTF-8 continuation")
+        n = (n << 6) | (bx & 0x3F)
+    return n
+
+
+# ------------------------------------------------------ fixed predictors --
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _fixed_restore(res: np.ndarray, warmup: list[int], order: int) -> np.ndarray:
+    out = list(warmup)
+    coefs = _FIXED_COEFS[order]
+    for r in res.tolist():
+        pred = 0
+        for j, c in enumerate(coefs):
+            pred += c * out[-1 - j]
+        out.append(r + pred)
+    return np.array(out, dtype=np.int64)
+
+
+# ------------------------------------------------------------- residual --
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    return np.where(r >= 0, r << 1, (-r << 1) - 1).astype(np.int64)
+
+
+def _rice_param(res: np.ndarray) -> int:
+    if len(res) == 0:
+        return 0
+    mean = int(np.abs(res).mean()) + 1
+    p = 0
+    while (1 << (p + 1)) < 2 * mean and p < 14:
+        p += 1
+    return p
+
+
+def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
+    """Rice coding method 00 (4-bit parameters), partition order 0."""
+    w.write(0, 2)   # coding method: rice, 4-bit params
+    w.write(0, 4)   # partition order 0 -> one partition
+    p = _rice_param(res)
+    w.write(p, 4)
+    for u in _zigzag(res).tolist():
+        w.write_unary(u >> p)
+        w.write(u & ((1 << p) - 1), p)
+
+
+def _read_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError("malformed FLAC: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for part in range(nparts):
+        n = blocksize >> porder
+        if part == 0:
+            n -= order
+        if n < 0:
+            raise ValueError("malformed FLAC: bad partition layout")
+        param = r.read(pbits)
+        if param == escape:
+            raw_bits = r.read(5)
+            for _ in range(n):
+                out.append(r.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(n):
+                q = r.read_unary()
+                u = (q << param) | r.read(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return np.array(out, dtype=np.int64)
+
+
+# -------------------------------------------------------------- encoder --
+def encode_flac(pcm: np.ndarray, sr_hz: int, blocksize: int = _BLOCKSIZE) -> bytes:
+    """Mono int16 PCM -> FLAC stream (fixed predictors, Rice residuals)."""
+    x = np.asarray(pcm, dtype=np.int64)
+    if len(x) == 0:
+        raise ValueError("encode_flac: empty signal")
+    if x.max(initial=0) > 32767 or x.min(initial=0) < -32768:
+        raise ValueError("encode_flac: samples exceed 16-bit range")
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+    out = bytearray(FLAC_MARKER)
+    streaminfo = struct.pack(">HH", blocksize, blocksize)
+    streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    # 20 bits sr | 3 bits channels-1 | 5 bits bits-1 | 36 bits total samples
+    packed = (sr_hz << 44) | (0 << 41) | (15 << 36) | len(x)
+    streaminfo += packed.to_bytes(8, "big")
+    streaminfo += md5
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    for frame_no, pos in enumerate(range(0, len(x), blocksize)):
+        blk = x[pos : pos + blocksize]
+        out += _encode_frame(blk, frame_no, blocksize)
+    return bytes(out)
+
+
+def _encode_frame(blk: np.ndarray, frame_no: int, nominal_bs: int) -> bytes:
+    n = len(blk)
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)  # sync
+    w.write(0, 1)                  # reserved
+    w.write(0, 1)                  # fixed-blocksize stream
+    w.write(0b0111, 4)             # blocksize: 16-bit at end of header
+    w.write(0, 4)                  # sample rate: from STREAMINFO
+    w.write(0, 4)                  # channels: mono
+    w.write(0b100, 3)              # sample size: 16 bits
+    w.write(0, 1)                  # reserved
+    for b in _utf8_encode(frame_no):
+        w.write(b, 8)
+    w.write(n - 1, 16)
+    header = bytes(w.buf)
+    w.write(_crc8(header), 8)
+
+    # choose best fixed predictor by minimal |residual| sum
+    max_order = min(4, n - 1)
+    best_order, best_res, best_cost = 0, blk.astype(np.int64), None
+    for order in range(0, max_order + 1):
+        res = _fixed_residual(blk, order)
+        cost = int(np.abs(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    if int(np.abs(best_res).max(initial=0)) > (1 << 30):
+        best_order, best_res = 0, blk.astype(np.int64)  # stay in rice range
+
+    if np.all(blk == blk[0]):
+        w.write(0, 1)
+        w.write(0b000000, 6)       # CONSTANT
+        w.write(0, 1)
+        w.write(int(blk[0]) & 0xFFFF, 16)
+    else:
+        w.write(0, 1)
+        w.write(0b001000 | best_order, 6)  # FIXED, order
+        w.write(0, 1)                      # no wasted bits
+        for s in blk[:best_order].tolist():
+            w.write(int(s) & 0xFFFF, 16)
+        _write_residual(w, best_res)
+    w.align()
+    body = bytes(w.buf)
+    return body + struct.pack(">H", _crc16(body))
+
+
+# -------------------------------------------------------------- decoder --
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """FLAC stream -> (sr_hz, int32 PCM). Verifies frame-header CRC-8,
+    frame CRC-16 and the STREAMINFO MD5 of the decoded PCM — any mismatch
+    or truncation raises ValueError (decode fails LOUDLY)."""
+    if data[:4] != FLAC_MARKER:
+        raise ValueError("malformed FLAC: missing fLaC marker")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("malformed FLAC: truncated metadata")
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        last = bool(hdr & 0x80)
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("malformed FLAC: truncated metadata block")
+        if btype == 0:
+            if length != 34:
+                raise ValueError("malformed FLAC: bad STREAMINFO length")
+            streaminfo = body
+        pos += 4 + length
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("malformed FLAC: missing STREAMINFO")
+    min_bs, max_bs = struct.unpack(">HH", streaminfo[:4])
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    sr = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    want_md5 = streaminfo[18:34]
+    if channels != 1 or bits != 16:
+        raise ValueError("unsupported FLAC layout: only mono 16-bit")
+    if min_bs != max_bs:
+        raise ValueError("unsupported FLAC layout: variable blocksize")
+
+    out: list[np.ndarray] = []
+    got = 0
+    while got < total:
+        if pos >= len(data):
+            raise ValueError("malformed FLAC: stream ends before all samples")
+        blk, pos = _decode_frame(data, pos, min_bs)
+        out.append(blk)
+        got += len(blk)
+    pcm = np.concatenate(out)[:total].astype(np.int64)
+    if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != want_md5:
+        raise ValueError("FLAC integrity failure: STREAMINFO MD5 mismatch")
+    return sr, pcm.astype(np.int32)
+
+
+def _decode_frame(data: bytes, pos: int, nominal_bs: int) -> tuple[np.ndarray, int]:
+    r = _BitReader(data, pos)
+    if r.read(14) != 0b11111111111110:
+        raise ValueError("malformed FLAC: lost frame sync")
+    r.read(1)
+    blocking = r.read(1)
+    bs_code = r.read(4)
+    sr_code = r.read(4)
+    ch_code = r.read(4)
+    ss_code = r.read(3)
+    r.read(1)
+    if blocking != 0:
+        raise ValueError("unsupported FLAC: variable-blocksize frames")
+    if ch_code != 0:
+        raise ValueError("unsupported FLAC: non-mono channel assignment")
+    if ss_code != 0b100:
+        raise ValueError("unsupported FLAC: non-16-bit sample size")
+    _frame_no = _utf8_decode(r)
+    if bs_code == 0b0110:
+        blocksize = r.read(8) + 1
+    elif bs_code == 0b0111:
+        blocksize = r.read(16) + 1
+    elif bs_code == 0b0001:
+        blocksize = 192
+    elif 0b0010 <= bs_code <= 0b0101:
+        blocksize = 576 << (bs_code - 2)
+    elif bs_code >= 0b1000:
+        blocksize = 256 << (bs_code - 8)
+    else:
+        raise ValueError("malformed FLAC: reserved blocksize code")
+    if sr_code in (0b1100, 0b1101, 0b1110):
+        r.read(8 if sr_code == 0b1100 else 16)
+    header_len = r.byte - pos + (1 if r.bit else 0)
+    # CRC-8 covers the header bytes BEFORE the crc byte; header must be
+    # byte-aligned here (14+1+1+4+4+4+3+1 = 32 bits + whole utf8/bs bytes)
+    if r.bit != 0:
+        raise ValueError("malformed FLAC: unaligned frame header")
+    want = r.read(8)
+    if _crc8(data[pos : pos + header_len]) != want:
+        raise ValueError("FLAC integrity failure: frame header CRC-8")
+
+    # subframe (mono)
+    if r.read(1) != 0:
+        raise ValueError("malformed FLAC: bad subframe padding bit")
+    stype = r.read(6)
+    if r.read(1) != 0:
+        raise ValueError("unsupported FLAC: wasted bits")
+    if stype == 0:
+        val = r.read_signed(16)
+        blk = np.full(blocksize, val, dtype=np.int64)
+    elif stype == 1:
+        blk = np.array(
+            [r.read_signed(16) for _ in range(blocksize)], dtype=np.int64
+        )
+    elif 0b001000 <= stype <= 0b001100:
+        order = stype & 0x7
+        warmup = [r.read_signed(16) for _ in range(order)]
+        res = _read_residual(r, blocksize, order)
+        blk = _fixed_restore(res, warmup, order)
+    elif stype >= 0b100000:
+        raise ValueError("unsupported FLAC: LPC subframes")
+    else:
+        raise ValueError("malformed FLAC: reserved subframe type")
+    r.align()
+    body_end = r.byte
+    if body_end + 2 > len(data):
+        raise ValueError("malformed FLAC: truncated frame footer")
+    (want16,) = struct.unpack(">H", data[body_end : body_end + 2])
+    if _crc16(data[pos:body_end]) != want16:
+        raise ValueError("FLAC integrity failure: frame CRC-16")
+    return blk, body_end + 2

@@ -1107,3 +1107,103 @@ def materialized_adpcm_clips(spark: SparkSession, n: int) -> tuple[DataFrame, st
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_adpcm_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- REAL-FLAC ledger corpus (functions/flac.py subset codec) ------------
+# FLAC is LOSSLESS, so the ledger fingerprint is computed from the SOURCE
+# samples directly (truth never passes through the codec — the images.py
+# _dhash stance, stronger than the ADPCM ledger): the distributed decode
+# must land on the pre-encode PCM bit-for-bit. Two planted defect classes,
+# each VERIFIED at synth time to make the decoder raise:
+#   _row_idx % 13 == 4  -> stream truncated (torn upload)
+#   _row_idx % 13 == 9  -> single bit flipped mid-stream (CRC-16 / MD5
+#                          integrity failure)
+FLAC_CLASS_MOD = 13
+FLAC_TRUNC_CLS = 4
+FLAC_FLIP_CLS = 9
+FLAC_SR_HZ = 16000
+
+
+def synth_flac_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 900),
+) -> DataFrame:
+    """Clips whose payloads are REAL FLAC streams (RFC 9639 subset: fixed
+    predictors + partitioned Rice, CRC-8/CRC-16/MD5-verified decode)."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.functions.flac import encode_flac
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = FLAC_SR_HZ * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n_samples))
+        raw = encode_flac(pcm, FLAC_SR_HZ)
+        cls = i % FLAC_CLASS_MOD
+        n_dec = None
+        dec_md5 = None
+        if cls == FLAC_TRUNC_CLS:
+            cut = 8
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += 64
+                except Exception:
+                    raw = cand
+                    break
+        elif cls == FLAC_FLIP_CLS:
+            pos = len(raw) // 2
+            while True:
+                cand = bytearray(raw)
+                cand[pos] ^= 0x10
+                try:
+                    decode_payload(bytes(cand))
+                    pos = (pos + 37) % len(raw)
+                except Exception:
+                    raw = bytes(cand)
+                    break
+        else:
+            # ledger truth from the SOURCE samples, not through the codec
+            n_dec = len(pcm)
+            dec_md5 = _hashlib.md5(
+                pcm.astype("<i2").tobytes().hex().upper().encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), FLAC_SR_HZ, dur, "flac",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def flac_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_flac_{n}")
+
+
+def materialized_flac_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
+    """FLAC ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = flac_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_flac_clips(spark, n), path)
+    return spark.read.parquet(path), path

@@ -1,0 +1,129 @@
+"""REAL FLAC codec (functions/flac.py) — RFC 9639 subset: fixed
+predictors + partitioned Rice, CRC-8/CRC-16/STREAMINFO-MD5 integrity.
+
+FLAC is lossless, so decode(encode(pcm)) == pcm bit-for-bit IS the
+complete correctness oracle; the corruption tests pin that the stream's
+own integrity chain fails loudly (never silent partial audio)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from jsonschema_spark.functions.audio import (
+    decode_payload,
+    pcm16_from_float,
+    reference_signal,
+)
+from jsonschema_spark.functions.flac import _crc8, _crc16, decode_flac, encode_flac
+
+
+def test_crc_check_values():
+    # published check values: CRC-8 poly 0x07 init 0 -> 0xF4;
+    # CRC-16/BUYPASS poly 0x8005 init 0 no-reflect -> 0xFEE8
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 100, 4095, 4096, 4097, 14400])
+def test_roundtrip_bit_exact(n):
+    rng = np.random.RandomState(n)
+    pcm = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    sr, out = decode_flac(encode_flac(pcm, 16000))
+    assert sr == 16000
+    assert np.array_equal(out.astype(np.int16), pcm)
+
+
+def test_roundtrip_reference_signal_and_ratio():
+    pcm = pcm16_from_float(reference_signal("clip-flac", 14400))
+    raw = encode_flac(pcm, 16000)
+    sr, out = decode_flac(raw)
+    assert np.array_equal(out.astype(np.int16), pcm)
+    # tonal reference signal must actually compress (fixed predictors work)
+    assert len(raw) < 2 * len(pcm)
+
+
+def test_constant_and_extreme_blocks():
+    # all-constant block -> CONSTANT subframe; int16 extremes stay exact
+    for v in (0, 1, -1, 32767, -32768):
+        pcm = np.full(5000, v, dtype=np.int16)
+        raw = encode_flac(pcm, 8000)
+        sr, out = decode_flac(raw)
+        assert np.array_equal(out.astype(np.int16), pcm), v
+    # constant signal is tiny (header + per-frame constant subframes)
+    assert len(encode_flac(np.zeros(8192, dtype=np.int16), 8000)) < 200
+
+
+def test_multibyte_utf8_frame_numbers():
+    # >=128 frames forces multi-byte UTF-8 coded frame numbers
+    rng = np.random.RandomState(3)
+    pcm = rng.randint(-2000, 2000, size=200 * 64).astype(np.int16)
+    sr, out = decode_flac(encode_flac(pcm, 16000, blocksize=64))
+    assert np.array_equal(out.astype(np.int16), pcm)
+
+
+def test_decode_payload_dispatch():
+    # the "fLaC" magic routes decode_payload to the real codec, while the
+    # legacy synthetic container ("fLaC0") still takes the delta path
+    pcm = pcm16_from_float(reference_signal("clip-dispatch", 3000))
+    out = decode_payload(encode_flac(pcm, 16000))
+    assert np.array_equal(np.asarray(out, dtype=np.int64),
+                          pcm.astype(np.int64))
+
+
+def test_streaminfo_md5_matches_source():
+    pcm = pcm16_from_float(reference_signal("clip-md5", 2500))
+    raw = encode_flac(pcm, 16000)
+    # bytes 8..42 = STREAMINFO (34 bytes); last 16 are the PCM MD5
+    assert raw[26:42] == hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+
+
+def test_corruption_raises_loudly():
+    pcm = pcm16_from_float(reference_signal("clip-corrupt", 9000))
+    raw = encode_flac(pcm, 16000)
+    with pytest.raises(ValueError):
+        decode_flac(raw[:-30])  # torn upload
+    with pytest.raises(ValueError):
+        decode_flac(raw[: len(raw) // 2])  # mid-frame cut
+    flipped = bytearray(raw)
+    flipped[len(raw) // 2] ^= 0x10  # mid-stream bit flip
+    with pytest.raises(ValueError):
+        decode_flac(bytes(flipped))
+    with pytest.raises(ValueError):
+        decode_flac(b"OggS" + raw[4:])  # wrong marker
+
+
+def test_subset_bounds_rejected():
+    with pytest.raises(ValueError):
+        encode_flac(np.array([], dtype=np.int16), 16000)
+    with pytest.raises(ValueError):
+        encode_flac(np.array([40000], dtype=np.int64), 16000)
+
+
+def test_synth_flac_ledger(spark):
+    from jsonschema_spark.sources.clips import (
+        FLAC_CLASS_MOD,
+        FLAC_FLIP_CLS,
+        FLAC_TRUNC_CLS,
+        synth_flac_clips,
+    )
+
+    rows = synth_flac_clips(spark, 29).collect()
+    assert len(rows) == 29
+    n_bad = 0
+    for r in rows:
+        cls = r["_row_idx"] % FLAC_CLASS_MOD
+        if cls in (FLAC_TRUNC_CLS, FLAC_FLIP_CLS):
+            n_bad += 1
+            assert r["_dec_md5"] is None
+            with pytest.raises(ValueError):
+                decode_payload(bytes(r["bytes"]))
+        else:
+            dec = decode_payload(bytes(r["bytes"]))
+            assert len(dec) == r["_n_dec"]
+            # lossless: decoded PCM fingerprint == SOURCE-sample ledger md5
+            got = hashlib.md5(
+                np.asarray(dec, dtype="<i2").tobytes().hex().upper().encode()
+            ).hexdigest()
+            assert got == r["_dec_md5"]
+    assert n_bad > 0
