@@ -2898,6 +2898,95 @@ def _q_clips_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLAC2_N = 400
+
+
+def _q_clips_flac_stereo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC decode proof — channel decorrelation coverage. The
+    corpus cycles rows through ALL FOUR channel assignments of RFC 9639
+    (independent, left/side, right/side, mid/side; side channel at 17
+    bits), so the single Arrow-hop decode exercises every reconstruction
+    path (mid/side uses mid2 = (mid<<1)|(side&1) to recover l+r exactly).
+    The ledger fingerprint is the exact-integer mono downmix (l+r)>>1 of
+    the PRE-ENCODE source channels — FLAC is lossless and the downmix is
+    pure integer arithmetic, so decode->downmix must land on it
+    bit-for-bit. Planted truncations and mid-stream bit flips (synth-
+    VERIFIED to raise) must fail loudly via CRC-8/CRC-16/MD5."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_flac_stereo_clips
+
+    clips, _ = materialized_flac_stereo_clips(spark, _FLAC2_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
+_WAVD_N = 550
+
+
+def _q_clips_wav_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-bit-depth / multi-channel WAV ingestion proof: the corpus
+    cycles pcm8-mono, pcm24-mono, pcm16-stereo, pcm8-stereo, pcm24-stereo
+    and ONE Arrow hop decodes them all to int16-scale mono with exact
+    integer conventions ((u-128)<<8, arithmetic >>8 keeping the top 16
+    bits, (l+r)>>1 downmix). Raw PCM has NO integrity chain, so planted
+    torn uploads still decode — short; the realistic catch is length
+    reconciliation, surfaced as len_ok = (n_samples == sr*dur DIV 1000).
+    The ledger certifies even the truncated decodes (whole frames below
+    the cut, computed from SOURCE samples)."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_wav_depth_clips
+
+    clips, _ = materialized_wav_depth_clips(spark, _WAVD_N)
+    prof = clips.select(
+        "clip_id", "sr_hz", "dur_ms",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        (F.col("p.n_samples")
+         == F.expr("CAST(sr_hz AS BIGINT) * dur_ms div 1000")
+         ).alias("len_ok"),
+    )
+
+
+def _q_clips_pcm24_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine 24-bit PCM decode proof over the mono-24 slice of the
+    WAV-depth corpus: the DuckDB oracle re-decodes the SAME parquet blobs
+    with pure integer SQL (3-byte little-endian group; sign-extend +
+    arithmetic >>8 via ((v24 + 2^23) % 2^24) // 256 - 2^15, nonnegative
+    numerator so truncating division IS floor) and must md5-match
+    the rebuilt int16-LE stream bit-for-bit — planted torn uploads
+    included, because both sides trim to whole 3-byte frames."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import (
+        WAVD_LAYOUTS,
+        materialized_wav_depth_clips,
+    )
+
+    mono24 = WAVD_LAYOUTS.index((24, 1))
+    clips, _ = materialized_wav_depth_clips(spark, _WAVD_N)
+    sub = clips.where(F.col("_row_idx") % len(WAVD_LAYOUTS) == mono24)
+    prof = sub.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+    )
+
+
 _CONTAIN_N = 400
 
 
@@ -3427,6 +3516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_ulaw_decode": _q_clips_ulaw_decode,
         "clips_adpcm_decode": _q_clips_adpcm_decode,
         "clips_flac_decode": _q_clips_flac_decode,
+        "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
+        "clips_wav_depths": _q_clips_wav_depths,
+        "clips_pcm24_decode": _q_clips_pcm24_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
         "videos_y4m_frames": _q_videos_y4m_frames,
@@ -5452,6 +5544,97 @@ def _clips_flac_decode_sql() -> str:
                (_row_idx % {FLAC_CLASS_MOD}
                   NOT IN ({FLAC_TRUNC_CLS}, {FLAC_FLIP_CLS})) AS decode_ok
         FROM {src}
+    """
+
+
+def _clips_flac_stereo_decode_sql() -> str:
+    """Ledger oracle for the STEREO FLAC decode: expectations are the
+    synth-time mono downmix (l+r)>>1 of the pre-encode source channels
+    (exact integer arithmetic; truth never passes through the codec),
+    served from the ledger columns of the SAME parquet files the Spark
+    side reads. Planted trunc/flip rows are synth-VERIFIED to raise."""
+    from jsonschema_spark.sources.clips import (
+        FLAC_CLASS_MOD,
+        FLAC_FLIP_CLS,
+        FLAC_TRUNC_CLS,
+        flac_stereo_clips_path,
+    )
+
+    src = f"read_parquet('{flac_stereo_clips_path(_FLAC2_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % {FLAC_CLASS_MOD}
+                  NOT IN ({FLAC_TRUNC_CLS}, {FLAC_FLIP_CLS})) AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_wav_depths_sql() -> str:
+    """Ledger oracle for the WAV bit-depth/channel corpus: expectations
+    (incl. the certified TRUNCATED decodes — raw PCM has no integrity
+    chain) come from synth-time source arithmetic; len_ok is recomputed
+    INDEPENDENTLY from the metadata columns (_n_dec vs sr*dur//1000), not
+    from the planted-class arithmetic, so it cross-checks the ledger."""
+    from jsonschema_spark.sources.clips import wav_depth_clips_path
+
+    src = f"read_parquet('{wav_depth_clips_path(_WAVD_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_n_dec = CAST(sr_hz AS BIGINT) * dur_ms // 1000) AS len_ok
+        FROM {src}
+    """
+
+
+def _clips_pcm24_decode_sql() -> str:
+    """Independent 24-bit PCM decoder in pure integer SQL: each sample is
+    a 3-byte little-endian group after the canonical 44-byte header;
+    sign-extension + the kernel's arithmetic >>8 on the UNSIGNED group
+    become ((v24 + 2^23) % 2^24) // 256 - 2^15 (nonnegative numerator,
+    so truncating division IS floor; the wrap re-centers the sign bit).
+    Rebuild the int16-LE hex stream and md5 — must
+    match the Arrow-hop decode bit-for-bit, torn uploads included (both
+    engines trim to whole 3-byte frames)."""
+    from jsonschema_spark.sources.clips import (
+        WAVD_LAYOUTS,
+        wav_depth_clips_path,
+    )
+
+    mono24 = WAVD_LAYOUTS.index((24, 1))
+    src = f"read_parquet('{wav_depth_clips_path(_WAVD_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx,
+                 (octet_length(bytes) - 44) // 3 AS n
+          FROM {src}
+          WHERE _row_idx % {len(WAVD_LAYOUTS)} = {mono24}
+        ), s AS (
+          SELECT clip_id, n, hx, unnest(generate_series(0, n - 1)) AS i
+          FROM t WHERE n > 0
+        ), u AS (
+          SELECT clip_id, n, i,
+                 CAST(('0x' || substr(hx, 89 + i * 6, 2)) AS INTEGER)
+                 + (CAST(('0x' || substr(hx, 91 + i * 6, 2)) AS INTEGER) << 8)
+                 + (CAST(('0x' || substr(hx, 93 + i * 6, 2)) AS INTEGER) << 16)
+                   AS v24
+          FROM s
+        ), v AS (
+          SELECT clip_id, n, i,
+                 ((v24 + 8388608) % 16777216) // 256 - 32768 AS val
+          FROM u
+        ), h AS (
+          SELECT clip_id,
+                 string_agg(printf('%02X%02X', (val & 65535) % 256,
+                                   (val & 65535) // 256), '' ORDER BY i) AS oh
+          FROM v GROUP BY clip_id
+        )
+        SELECT t.clip_id,
+               CAST(t.n AS BIGINT) AS n_samples,
+               md5(h.oh) AS dec_md5
+        FROM t JOIN h USING (clip_id)
     """
 
 
@@ -7803,6 +7986,9 @@ def oracle_sql() -> dict[str, str]:
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
         "clips_adpcm_decode": _clips_adpcm_decode_sql(),
         "clips_flac_decode": _clips_flac_decode_sql(),
+        "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
+        "clips_wav_depths": _clips_wav_depths_sql(),
+        "clips_pcm24_decode": _clips_pcm24_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
         "videos_y4m_frames": _videos_y4m_frames_sql(),

@@ -104,6 +104,50 @@ def encode_wav_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_pcm(samples: np.ndarray, sr_hz: int, bits: int = 16) -> bytes:
+    """RIFF/WAVE container around integer PCM at 8/16/24 bits, mono (1-D)
+    or stereo ((n, 2), interleaved on write). Samples are given at the
+    TARGET depth's own scale — [-128, 127] for 8-bit (stored unsigned as
+    v+128 per the WAV convention), int16 for 16-bit, int24 for 24-bit
+    (packed little-endian 3-byte) — the encoder packs exactly what it is
+    given (no resampling logic hides in the container writer). The
+    canonical 44-byte header layout keeps byte offsets fixed for the
+    cross-engine SQL re-decoders."""
+    import struct
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        channels = 1
+    elif x.ndim == 2 and x.shape[1] == 2:
+        channels = 2
+    else:
+        raise ValueError("encode_wav_pcm: expected 1-D mono or (n, 2) stereo")
+    if bits not in (8, 16, 24):
+        raise ValueError("encode_wav_pcm: bits must be 8, 16 or 24")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if x.size and (x.max() > hi or x.min() < lo):
+        raise ValueError(f"encode_wav_pcm: samples exceed {bits}-bit range")
+    flat = x.reshape(-1)  # C order == channel-interleaved for stereo
+    if bits == 8:
+        data = (flat + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = flat.astype("<i2").tobytes()
+    else:
+        u = (flat & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((len(flat), 3), dtype=np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        data = b.tobytes()
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sr_hz, sr_hz * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 # G.711 mu-law (CCITT standard, public spec) — a REAL lossy telephony
 # codec implemented in pure numpy: 16-bit PCM <-> 8-bit companded bytes.
 # Round-trip SNR on program material is ~38 dB, comfortably above the
@@ -368,17 +412,22 @@ def _parse_wav(raw: bytes) -> tuple[int, int, int, int, int, int | None, bytes]:
 
 
 def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
-    """Real RIFF/WAVE decode: accept mono PCM16 / G.711 mu-law / A-law /
-    IMA ADPCM, return int32 samples. Unsupported layouts raise
-    ValueError."""
+    """Real RIFF/WAVE decode: accept PCM at 8 (unsigned) / 16 / 24 bits in
+    mono or stereo, plus mono G.711 mu-law / A-law / IMA ADPCM; return
+    int32 samples at int16 scale (stereo is downmixed with the engine's
+    exact (l+r)>>1 convention, 8-bit is re-centered and scaled with
+    (u-128)<<8, 24-bit keeps the top 16 bits via arithmetic shift — all
+    pure integer arithmetic, so every path is cross-engine checkable).
+    Unsupported layouts raise ValueError."""
     audio_format, channels, _sr, bits, block_align, fact, data = _parse_wav(raw)
-    if channels != 1 or (audio_format, bits) not in (
-        (1, 16), (7, 8), (6, 8), (0x11, 4)
-    ):
+    pcm_ok = audio_format == 1 and bits in (8, 16, 24) and channels in (1, 2)
+    g711_ok = (audio_format, bits, channels) in ((7, 8, 1), (6, 8, 1))
+    adpcm_ok = (audio_format, bits, channels) == (0x11, 4, 1)
+    if not (pcm_ok or g711_ok or adpcm_ok):
         raise ValueError(
             f"unsupported WAV layout (format={audio_format}, "
-            f"channels={channels}, bits={bits}); "
-            "only PCM16 / G.711 mu-law / A-law / IMA ADPCM, mono"
+            f"channels={channels}, bits={bits}); only PCM 8/16/24-bit "
+            "mono/stereo or G.711 mu-law / A-law / IMA ADPCM mono"
         )
     if audio_format == 7:
         return ulaw_decode(np.frombuffer(data, dtype=np.uint8))
@@ -388,7 +437,21 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
         if block_align < 5:
             raise ValueError("malformed ADPCM: block_align too small")
         return adpcm_decode(data, block_align, n_samples=fact)
-    return np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2").astype(np.int32)
+    frame = (bits // 8) * channels
+    data = data[: (len(data) // frame) * frame]
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        # unsigned 8-bit PCM: re-center at 0 and scale to int16 range
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) << 8
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v24 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v24 -= (v24 >= (1 << 23)) * (1 << 24)   # sign-extend int24
+        x = v24 >> 8                            # floor shift: top 16 bits
+    if channels == 2:
+        x = (x[0::2] + x[1::2]) >> 1            # exact-integer downmix
+    return x
 
 
 def decode_payload(raw: bytes) -> np.ndarray:
@@ -411,6 +474,12 @@ def decode_payload(raw: bytes) -> np.ndarray:
         from jsonschema_spark.functions.flac import decode_flac
 
         _sr, pcm = decode_flac(bytes(raw))
+        if pcm.ndim == 2:
+            # stereo -> mono with the engine's exact-integer downmix
+            # convention ((l + r) >> 1 == floor((l+r)/2) — downmix_batch)
+            return ((pcm[:, 0].astype(np.int64) + pcm[:, 1]) >> 1).astype(
+                np.int32
+            )
         return pcm
     if raw[:4] == _OPUS_MAGIC:
         q = np.frombuffer(raw[4:], dtype="<i2").astype(np.int32)

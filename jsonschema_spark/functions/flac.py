@@ -7,13 +7,21 @@ frames with CRC-8-protected headers and CRC-16-protected bodies, UTF-8
 coded frame numbers, and subframes of type CONSTANT, VERBATIM and FIXED
 (orders 0-4) with partitioned-Rice-coded residuals.
 
-Subset bounds (raise loudly, never guess): mono, 16-bit, fixed blocksize;
-LPC subframes, wasted bits, stereo decorrelation and variable blocksize
-are rejected with ValueError. The ENCODER chooses the best fixed
-predictor per block by minimal absolute residual sum and a per-partition
-Rice parameter from the residual mean — the standard fixed-predictor
+Subset bounds (raise loudly, never guess): mono or stereo, 16-bit, fixed
+blocksize; LPC subframes, wasted bits and variable blocksize are rejected
+with ValueError. Stereo implements ALL FOUR channel assignments of the
+spec — independent, left/side, right/side and mid/side — with the side
+channel at 17 bits and the canonical reconstruction
+``mid2 = (mid << 1) | (side & 1); l = (mid2 + side) >> 1; r = l - side``
+(mid is the same ``(l + r) >> 1`` floor the engine's stereo-WAV downmix
+uses). The ENCODER chooses the cheapest assignment per frame by summed
+best-fixed-predictor |residual| and the best fixed predictor per
+subframe by minimal absolute residual sum with a per-partition Rice
+parameter from the residual mean — the standard fixed-predictor
 encoding strategy, so real-world decoders accept the output, and the
 decoder accepts any conforming fixed-predictor stream (not just ours).
+The STREAMINFO MD5 is over the channel-interleaved little-endian
+samples, per spec.
 
 FLAC is LOSSLESS: decode(encode(pcm)) must equal pcm bit-for-bit, which
 makes the round-trip itself a complete correctness oracle.
@@ -251,39 +259,141 @@ def _read_residual(r: _BitReader, blocksize: int, order: int) -> np.ndarray:
 
 
 # -------------------------------------------------------------- encoder --
-def encode_flac(pcm: np.ndarray, sr_hz: int, blocksize: int = _BLOCKSIZE) -> bytes:
-    """Mono int16 PCM -> FLAC stream (fixed predictors, Rice residuals)."""
+# stereo channel-assignment codes (frame-header "channels" nibble)
+_CH_INDEP2 = 0b0001
+_CH_LEFT_SIDE = 0b1000
+_CH_RIGHT_SIDE = 0b1001
+_CH_MID_SIDE = 0b1010
+_STEREO_MODES = {
+    "independent": _CH_INDEP2,
+    "left_side": _CH_LEFT_SIDE,
+    "right_side": _CH_RIGHT_SIDE,
+    "mid_side": _CH_MID_SIDE,
+}
+
+
+def encode_flac(
+    pcm: np.ndarray,
+    sr_hz: int,
+    blocksize: int = _BLOCKSIZE,
+    stereo_mode: str | None = None,
+) -> bytes:
+    """int16 PCM -> FLAC stream (fixed predictors, Rice residuals).
+
+    ``pcm`` is 1-D for mono or ``(n, 2)`` for stereo. ``stereo_mode``
+    forces one channel assignment (``independent`` / ``left_side`` /
+    ``right_side`` / ``mid_side``); ``None`` picks the cheapest per
+    frame by summed best-fixed-predictor |residual| (the spec's own
+    guidance for fixed-predictor encoders)."""
     x = np.asarray(pcm, dtype=np.int64)
-    if len(x) == 0:
+    if x.ndim == 1:
+        channels = 1
+    elif x.ndim == 2 and x.shape[1] == 2:
+        channels = 2
+    else:
+        raise ValueError("encode_flac: expected 1-D mono or (n, 2) stereo")
+    if stereo_mode is not None and stereo_mode not in _STEREO_MODES:
+        raise ValueError(f"encode_flac: unknown stereo_mode {stereo_mode!r}")
+    n_total = x.shape[0]
+    if n_total == 0:
         raise ValueError("encode_flac: empty signal")
     if x.max(initial=0) > 32767 or x.min(initial=0) < -32768:
         raise ValueError("encode_flac: samples exceed 16-bit range")
+    # spec: MD5 of the unencoded audio, channel-interleaved, little-endian
+    # ((n, 2) int16 in C order IS the interleaved l0 r0 l1 r1 ... stream)
     md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
 
     out = bytearray(FLAC_MARKER)
     streaminfo = struct.pack(">HH", blocksize, blocksize)
     streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
     # 20 bits sr | 3 bits channels-1 | 5 bits bits-1 | 36 bits total samples
-    packed = (sr_hz << 44) | (0 << 41) | (15 << 36) | len(x)
+    packed = (sr_hz << 44) | ((channels - 1) << 41) | (15 << 36) | n_total
     streaminfo += packed.to_bytes(8, "big")
     streaminfo += md5
     out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
-    for frame_no, pos in enumerate(range(0, len(x), blocksize)):
+    for frame_no, pos in enumerate(range(0, n_total, blocksize)):
         blk = x[pos : pos + blocksize]
-        out += _encode_frame(blk, frame_no, blocksize)
+        out += _encode_frame(blk, frame_no, blocksize, stereo_mode)
     return bytes(out)
 
 
-def _encode_frame(blk: np.ndarray, frame_no: int, nominal_bs: int) -> bytes:
-    n = len(blk)
+def _best_fixed(ch: np.ndarray) -> tuple[int, np.ndarray, int]:
+    """Best fixed predictor for one subframe channel by |residual| sum."""
+    n = len(ch)
+    max_order = min(4, n - 1)
+    best_order, best_res, best_cost = 0, ch, int(np.abs(ch).sum())
+    for order in range(1, max_order + 1):
+        res = _fixed_residual(ch, order)
+        cost = int(np.abs(res).sum())
+        if cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    if int(np.abs(best_res).max(initial=0)) > (1 << 30):
+        best_order, best_res = 0, ch  # stay in rice range
+    return best_order, best_res, best_cost
+
+
+def _write_subframe(w: _BitWriter, ch: np.ndarray, depth: int) -> None:
+    """One subframe at the given bit depth (17 for a side channel)."""
+    mask = (1 << depth) - 1
+    if np.all(ch == ch[0]):
+        w.write(0, 1)
+        w.write(0b000000, 6)       # CONSTANT
+        w.write(0, 1)
+        w.write(int(ch[0]) & mask, depth)
+        return
+    order, res, _cost = _best_fixed(ch)
+    w.write(0, 1)
+    w.write(0b001000 | order, 6)   # FIXED, order
+    w.write(0, 1)                  # no wasted bits
+    for s in ch[:order].tolist():
+        w.write(int(s) & mask, depth)
+    _write_residual(w, res)
+
+
+def _encode_frame(
+    blk: np.ndarray,
+    frame_no: int,
+    nominal_bs: int,
+    stereo_mode: str | None = None,
+) -> bytes:
+    n = blk.shape[0]
+    if blk.ndim == 1:
+        ch_code = 0
+        subframes = [(blk.astype(np.int64), 16)]
+    else:
+        l = blk[:, 0].astype(np.int64)
+        r = blk[:, 1].astype(np.int64)
+        mid = (l + r) >> 1          # same floor as the stereo-WAV downmix
+        side = l - r                # 17-bit channel
+        if stereo_mode is not None:
+            ch_code = _STEREO_MODES[stereo_mode]
+        else:
+            cl, cr = _best_fixed(l)[2], _best_fixed(r)[2]
+            cm, cs = _best_fixed(mid)[2], _best_fixed(side)[2]
+            costs = {
+                _CH_INDEP2: cl + cr,
+                _CH_LEFT_SIDE: cl + cs,
+                _CH_RIGHT_SIDE: cs + cr,
+                _CH_MID_SIDE: cm + cs,
+            }
+            ch_code = min(costs, key=lambda k: (costs[k], k))
+        if ch_code == _CH_INDEP2:
+            subframes = [(l, 16), (r, 16)]
+        elif ch_code == _CH_LEFT_SIDE:
+            subframes = [(l, 16), (side, 17)]
+        elif ch_code == _CH_RIGHT_SIDE:
+            subframes = [(side, 17), (r, 16)]
+        else:
+            subframes = [(mid, 16), (side, 17)]
+
     w = _BitWriter()
     w.write(0b11111111111110, 14)  # sync
     w.write(0, 1)                  # reserved
     w.write(0, 1)                  # fixed-blocksize stream
     w.write(0b0111, 4)             # blocksize: 16-bit at end of header
     w.write(0, 4)                  # sample rate: from STREAMINFO
-    w.write(0, 4)                  # channels: mono
+    w.write(ch_code, 4)            # channels / stereo decorrelation
     w.write(0b100, 3)              # sample size: 16 bits
     w.write(0, 1)                  # reserved
     for b in _utf8_encode(frame_no):
@@ -292,29 +402,8 @@ def _encode_frame(blk: np.ndarray, frame_no: int, nominal_bs: int) -> bytes:
     header = bytes(w.buf)
     w.write(_crc8(header), 8)
 
-    # choose best fixed predictor by minimal |residual| sum
-    max_order = min(4, n - 1)
-    best_order, best_res, best_cost = 0, blk.astype(np.int64), None
-    for order in range(0, max_order + 1):
-        res = _fixed_residual(blk, order)
-        cost = int(np.abs(res).sum())
-        if best_cost is None or cost < best_cost:
-            best_order, best_res, best_cost = order, res, cost
-    if int(np.abs(best_res).max(initial=0)) > (1 << 30):
-        best_order, best_res = 0, blk.astype(np.int64)  # stay in rice range
-
-    if np.all(blk == blk[0]):
-        w.write(0, 1)
-        w.write(0b000000, 6)       # CONSTANT
-        w.write(0, 1)
-        w.write(int(blk[0]) & 0xFFFF, 16)
-    else:
-        w.write(0, 1)
-        w.write(0b001000 | best_order, 6)  # FIXED, order
-        w.write(0, 1)                      # no wasted bits
-        for s in blk[:best_order].tolist():
-            w.write(int(s) & 0xFFFF, 16)
-        _write_residual(w, best_res)
+    for ch, depth in subframes:
+        _write_subframe(w, ch, depth)
     w.align()
     body = bytes(w.buf)
     return body + struct.pack(">H", _crc16(body))
@@ -322,9 +411,10 @@ def _encode_frame(blk: np.ndarray, frame_no: int, nominal_bs: int) -> bytes:
 
 # -------------------------------------------------------------- decoder --
 def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
-    """FLAC stream -> (sr_hz, int32 PCM). Verifies frame-header CRC-8,
-    frame CRC-16 and the STREAMINFO MD5 of the decoded PCM — any mismatch
-    or truncation raises ValueError (decode fails LOUDLY)."""
+    """FLAC stream -> (sr_hz, int32 PCM): 1-D for mono, (n, 2) for stereo.
+    Verifies frame-header CRC-8, frame CRC-16 and the STREAMINFO MD5 of
+    the decoded (channel-interleaved) PCM — any mismatch or truncation
+    raises ValueError (decode fails LOUDLY)."""
     if data[:4] != FLAC_MARKER:
         raise ValueError("malformed FLAC: missing fLaC marker")
     pos = 4
@@ -355,8 +445,8 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     bits = ((packed >> 36) & 0x1F) + 1
     total = packed & ((1 << 36) - 1)
     want_md5 = streaminfo[18:34]
-    if channels != 1 or bits != 16:
-        raise ValueError("unsupported FLAC layout: only mono 16-bit")
+    if channels not in (1, 2) or bits != 16:
+        raise ValueError("unsupported FLAC layout: only mono/stereo 16-bit")
     if min_bs != max_bs:
         raise ValueError("unsupported FLAC layout: variable blocksize")
 
@@ -365,16 +455,42 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     while got < total:
         if pos >= len(data):
             raise ValueError("malformed FLAC: stream ends before all samples")
-        blk, pos = _decode_frame(data, pos, min_bs)
+        blk, pos = _decode_frame(data, pos, min_bs, channels)
         out.append(blk)
-        got += len(blk)
-    pcm = np.concatenate(out)[:total].astype(np.int64)
+        got += blk.shape[0]
+    pcm = np.concatenate(out, axis=0)[:total].astype(np.int64)
+    # spec MD5 is over the interleaved stream; (n, 2) int16 C-order == it
     if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != want_md5:
         raise ValueError("FLAC integrity failure: STREAMINFO MD5 mismatch")
     return sr, pcm.astype(np.int32)
 
 
-def _decode_frame(data: bytes, pos: int, nominal_bs: int) -> tuple[np.ndarray, int]:
+def _read_subframe(r: _BitReader, blocksize: int, depth: int) -> np.ndarray:
+    if r.read(1) != 0:
+        raise ValueError("malformed FLAC: bad subframe padding bit")
+    stype = r.read(6)
+    if r.read(1) != 0:
+        raise ValueError("unsupported FLAC: wasted bits")
+    if stype == 0:
+        val = r.read_signed(depth)
+        return np.full(blocksize, val, dtype=np.int64)
+    if stype == 1:
+        return np.array(
+            [r.read_signed(depth) for _ in range(blocksize)], dtype=np.int64
+        )
+    if 0b001000 <= stype <= 0b001100:
+        order = stype & 0x7
+        warmup = [r.read_signed(depth) for _ in range(order)]
+        res = _read_residual(r, blocksize, order)
+        return _fixed_restore(res, warmup, order)
+    if stype >= 0b100000:
+        raise ValueError("unsupported FLAC: LPC subframes")
+    raise ValueError("malformed FLAC: reserved subframe type")
+
+
+def _decode_frame(
+    data: bytes, pos: int, nominal_bs: int, channels: int = 1
+) -> tuple[np.ndarray, int]:
     r = _BitReader(data, pos)
     if r.read(14) != 0b11111111111110:
         raise ValueError("malformed FLAC: lost frame sync")
@@ -387,8 +503,20 @@ def _decode_frame(data: bytes, pos: int, nominal_bs: int) -> tuple[np.ndarray, i
     r.read(1)
     if blocking != 0:
         raise ValueError("unsupported FLAC: variable-blocksize frames")
-    if ch_code != 0:
-        raise ValueError("unsupported FLAC: non-mono channel assignment")
+    if channels == 1:
+        if ch_code != 0:
+            raise ValueError("malformed FLAC: stereo frame in a mono stream")
+        depths = [16]
+    elif ch_code == _CH_INDEP2:
+        depths = [16, 16]
+    elif ch_code == _CH_LEFT_SIDE:
+        depths = [16, 17]
+    elif ch_code == _CH_RIGHT_SIDE:
+        depths = [17, 16]
+    elif ch_code == _CH_MID_SIDE:
+        depths = [16, 17]
+    else:
+        raise ValueError("malformed FLAC: channel assignment vs STREAMINFO")
     if ss_code != 0b100:
         raise ValueError("unsupported FLAC: non-16-bit sample size")
     _frame_no = _utf8_decode(r)
@@ -415,28 +543,21 @@ def _decode_frame(data: bytes, pos: int, nominal_bs: int) -> tuple[np.ndarray, i
     if _crc8(data[pos : pos + header_len]) != want:
         raise ValueError("FLAC integrity failure: frame header CRC-8")
 
-    # subframe (mono)
-    if r.read(1) != 0:
-        raise ValueError("malformed FLAC: bad subframe padding bit")
-    stype = r.read(6)
-    if r.read(1) != 0:
-        raise ValueError("unsupported FLAC: wasted bits")
-    if stype == 0:
-        val = r.read_signed(16)
-        blk = np.full(blocksize, val, dtype=np.int64)
-    elif stype == 1:
-        blk = np.array(
-            [r.read_signed(16) for _ in range(blocksize)], dtype=np.int64
-        )
-    elif 0b001000 <= stype <= 0b001100:
-        order = stype & 0x7
-        warmup = [r.read_signed(16) for _ in range(order)]
-        res = _read_residual(r, blocksize, order)
-        blk = _fixed_restore(res, warmup, order)
-    elif stype >= 0b100000:
-        raise ValueError("unsupported FLAC: LPC subframes")
-    else:
-        raise ValueError("malformed FLAC: reserved subframe type")
+    chans = [_read_subframe(r, blocksize, depth) for depth in depths]
+    if channels == 1:
+        blk = chans[0]
+    elif ch_code == _CH_INDEP2:
+        blk = np.stack(chans, axis=1)
+    elif ch_code == _CH_LEFT_SIDE:
+        left, side = chans
+        blk = np.stack([left, left - side], axis=1)
+    elif ch_code == _CH_RIGHT_SIDE:
+        side, right = chans
+        blk = np.stack([right + side, right], axis=1)
+    else:  # mid/side: mid2 = 2*mid + parity(side) reconstructs l + r exactly
+        mid, side = chans
+        mid2 = (mid << 1) | (side & 1)
+        blk = np.stack([(mid2 + side) >> 1, (mid2 - side) >> 1], axis=1)
     r.align()
     body_end = r.byte
     if body_end + 2 > len(data):

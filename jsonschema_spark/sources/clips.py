@@ -1198,6 +1198,226 @@ def flac_clips_path(n: int) -> str:
     return oracle_cache_path(f"clips_flac_{n}")
 
 
+# --- REAL-FLAC STEREO ledger corpus (channel decorrelation) ---------------
+# Same ledger stance as the mono corpus (truth from the SOURCE samples,
+# never through the codec), but payloads are STEREO streams and the rows
+# CYCLE through all four channel assignments of RFC 9639 — independent,
+# left/side, right/side, mid/side — so the distributed decode exercises
+# every reconstruction path (side at 17 bits, mid = (l+r)>>1). The ledger
+# fingerprint is over the MONO DOWNMIX (l+r)>>1 of the source channels:
+# FLAC is lossless and the downmix is exact integer arithmetic, so the
+# engine's decode->downmix must land on it bit-for-bit.
+FLAC2_MODES = ("independent", "left_side", "right_side", "mid_side")
+
+
+def synth_flac_stereo_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 900),
+) -> DataFrame:
+    """Clips whose payloads are REAL STEREO FLAC streams; ledger truth is
+    the exact-integer mono downmix of the pre-encode channels."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.functions.flac import encode_flac
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = FLAC_SR_HZ * dur // 1000
+        left = pcm16_from_float(reference_signal(cid + "#L", n_samples))
+        right = pcm16_from_float(reference_signal(cid + "#R", n_samples))
+        stereo = np.stack(
+            [left.astype(np.int64), right.astype(np.int64)], axis=1
+        )
+        raw = encode_flac(stereo, FLAC_SR_HZ,
+                          stereo_mode=FLAC2_MODES[i % len(FLAC2_MODES)])
+        cls = i % FLAC_CLASS_MOD
+        n_dec = None
+        dec_md5 = None
+        if cls == FLAC_TRUNC_CLS:
+            cut = 8
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += 64
+                except Exception:
+                    raw = cand
+                    break
+        elif cls == FLAC_FLIP_CLS:
+            pos = len(raw) // 2
+            while True:
+                cand = bytearray(raw)
+                cand[pos] ^= 0x10
+                try:
+                    decode_payload(bytes(cand))
+                    pos = (pos + 37) % len(raw)
+                except Exception:
+                    raw = bytes(cand)
+                    break
+        else:
+            # ledger truth: exact-integer downmix of the SOURCE channels
+            mono = (stereo[:, 0] + stereo[:, 1]) >> 1
+            n_dec = int(len(mono))
+            dec_md5 = _hashlib.md5(
+                mono.astype("<i2").tobytes().hex().upper().encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), FLAC_SR_HZ, dur, "flac",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def flac_stereo_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_flac2_{n}")
+
+
+# --- WAV bit-depth/channel ledger corpus (8/16/24-bit, mono/stereo) -------
+# Real ingestion sees WAV at more than one bit depth and channel count;
+# rows cycle through five layouts — pcm8 mono, pcm24 mono, pcm16 stereo,
+# pcm8 stereo, pcm24 stereo — and the ledger truth is computed from the
+# SOURCE samples with the decoder's own exact integer conventions
+# ((u-128)<<8 for 8-bit, arithmetic >>8 for 24-bit, (l+r)>>1 downmix).
+# 24-bit payloads carry hash-derived NOISY low bytes, so the top-16-bit
+# extraction is exercised on non-trivial values (floor shift on negatives).
+WAVD_CLASS_MOD = 11
+WAVD_CLS_TRUNC = 6
+WAVD_SR_HZ = 16000
+WAVD_LAYOUTS = ((8, 1), (24, 1), (16, 2), (8, 2), (24, 2))
+
+
+def synth_wav_depth_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 900),
+) -> DataFrame:
+    """Clips whose payloads are REAL RIFF/WAVE PCM at cycled bit depths
+    and channel counts; ledger truth from the source samples."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import encode_wav_pcm
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = WAVD_SR_HZ * dur // 1000
+        bits, chans = WAVD_LAYOUTS[i % len(WAVD_LAYOUTS)]
+        sigs = []
+        for c in range(chans):
+            tag = cid if chans == 1 else f"{cid}#{'LR'[c]}"
+            sigs.append(
+                pcm16_from_float(reference_signal(tag, n_samples)).astype(
+                    np.int64
+                )
+            )
+        if bits == 8:
+            stored = [s >> 8 for s in sigs]           # [-128, 127]
+            mono16 = [s << 8 for s in stored]         # decoder scale
+        elif bits == 16:
+            stored = sigs
+            mono16 = sigs
+        else:
+            # noisy low byte: deterministic per (row, channel, sample)
+            stored = []
+            for c, s in enumerate(sigs):
+                rng = np.random.RandomState((i * 7 + c) & 0x7FFFFFFF)
+                stored.append((s << 8) | rng.randint(0, 256, len(s)))
+            mono16 = [s >> 8 for s in stored]         # == sigs exactly
+        if chans == 1:
+            src = stored[0]
+            mono = mono16[0]
+        else:
+            src = np.stack(stored, axis=1)
+            mono = (mono16[0] + mono16[1]) >> 1
+        raw = encode_wav_pcm(src, WAVD_SR_HZ, bits=bits)
+        cls = i % WAVD_CLASS_MOD
+        frame = (bits // 8) * chans
+        if cls == WAVD_CLS_TRUNC:
+            # torn upload: raw PCM has NO integrity chain (unlike FLAC/
+            # ADPCM), so a mid-data cut still DECODES — just short. The
+            # realistic catch is length reconciliation (n_samples vs
+            # sr*dur), so the ledger certifies the TRUNCATED decode
+            # (source arithmetic: whole frames below the cut) and the
+            # contract query flags the row via len_ok=false. Cut off a
+            # non-frame boundary to exercise the partial-frame trim.
+            cut = 44 + (len(raw) - 44) // 2 + 1
+            raw = raw[:cut]
+            k = (cut - 44) // frame
+            mono = mono[:k]
+        n_dec = int(len(mono))
+        dec_md5 = _hashlib.md5(
+            mono.astype("<i2").tobytes().hex().upper().encode()
+        ).hexdigest()
+        return (cid, bytearray(raw), WAVD_SR_HZ, dur, f"pcm_s{bits}",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def wav_depth_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_wavdepth_{n}")
+
+
+def materialized_wav_depth_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """WAV-depth ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = wav_depth_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_wav_depth_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
+def materialized_flac_stereo_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Stereo-FLAC ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = flac_stereo_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_flac_stereo_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
 def materialized_flac_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
     """FLAC ledger table materialized once (oracle-cache protocol)."""
     import os

@@ -100,6 +100,111 @@ def test_subset_bounds_rejected():
         encode_flac(np.array([40000], dtype=np.int64), 16000)
 
 
+# ---------------------------------------------------------------- stereo --
+def _stereo_signal(n: int, seed: int = 7) -> np.ndarray:
+    """Correlated stereo test signal (decorrelation must actually win)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    l = (6000 * np.sin(t / 23.0) + rng.randint(-300, 300, n)).astype(np.int64)
+    r = (l * 0.8).astype(np.int64) + rng.randint(-500, 500, n)
+    return np.clip(np.stack([l, r], axis=1), -32768, 32767).astype(np.int16)
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side", None]
+)
+def test_stereo_roundtrip_all_assignments(mode):
+    st = _stereo_signal(9000)
+    raw = encode_flac(st, 16000, stereo_mode=mode)
+    sr, out = decode_flac(raw)
+    assert sr == 16000 and out.shape == (9000, 2)
+    assert np.array_equal(out, st.astype(np.int32))
+
+
+def test_stereo_17bit_side_extremes():
+    # l=32767, r=-32768 -> side = 65535 needs the full 17-bit channel
+    alt = np.tile(
+        np.array([[32767, -32768], [-32768, 32767]], dtype=np.int16),
+        (3000, 1),
+    )
+    for mode in ("left_side", "right_side", "mid_side"):
+        sr, out = decode_flac(encode_flac(alt, 8000, stereo_mode=mode))
+        assert np.array_equal(out, alt.astype(np.int32)), mode
+
+
+def test_stereo_midside_parity_reconstruction():
+    # odd l+r exercises the (mid<<1)|(side&1) parity-restore path
+    st = np.array([[3, 2], [2, 3], [-5, 2], [1, -2]] * 700, dtype=np.int16)
+    sr, out = decode_flac(encode_flac(st, 8000, stereo_mode="mid_side"))
+    assert np.array_equal(out, st.astype(np.int32))
+
+
+def test_stereo_decorrelation_beats_independent():
+    # highly correlated channels: a side-coded stream must be smaller
+    st = _stereo_signal(16000)
+    indep = len(encode_flac(st, 16000, stereo_mode="independent"))
+    auto = len(encode_flac(st, 16000))
+    assert auto < indep
+
+
+def test_stereo_md5_is_interleaved_and_checked():
+    st = _stereo_signal(2500)
+    raw = encode_flac(st, 16000)
+    # spec: MD5 over the channel-interleaved little-endian sample stream
+    assert raw[26:42] == hashlib.md5(st.astype("<i2").tobytes()).digest()
+    flipped = bytearray(raw)
+    flipped[len(raw) // 2] ^= 0x04
+    with pytest.raises(ValueError):
+        decode_flac(bytes(flipped))
+
+
+def test_stereo_decode_payload_downmixes():
+    # engine convention: stereo -> mono via exact (l+r)>>1 (downmix_batch)
+    st = _stereo_signal(3000)
+    out = decode_payload(encode_flac(st, 16000))
+    want = (st[:, 0].astype(np.int64) + st[:, 1].astype(np.int64)) >> 1
+    assert out.ndim == 1
+    assert np.array_equal(np.asarray(out, dtype=np.int64), want)
+
+
+def test_stereo_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros((10, 3), dtype=np.int16), 16000)
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros((0, 2), dtype=np.int16), 16000)
+    with pytest.raises(ValueError):
+        encode_flac(np.zeros((10, 2), dtype=np.int16), 16000,
+                    stereo_mode="joint")
+
+
+def test_synth_flac_stereo_ledger(spark):
+    from jsonschema_spark.sources.clips import (
+        FLAC_CLASS_MOD,
+        FLAC_FLIP_CLS,
+        FLAC_TRUNC_CLS,
+        synth_flac_stereo_clips,
+    )
+
+    rows = synth_flac_stereo_clips(spark, 29).collect()
+    assert len(rows) == 29
+    n_bad = 0
+    for r in rows:
+        cls = r["_row_idx"] % FLAC_CLASS_MOD
+        if cls in (FLAC_TRUNC_CLS, FLAC_FLIP_CLS):
+            n_bad += 1
+            assert r["_dec_md5"] is None
+            with pytest.raises(ValueError):
+                decode_payload(bytes(r["bytes"]))
+        else:
+            dec = decode_payload(bytes(r["bytes"]))  # decodes + downmixes
+            assert len(dec) == r["_n_dec"]
+            got = hashlib.md5(
+                np.asarray(dec, dtype="<i2").tobytes().hex().upper().encode()
+            ).hexdigest()
+            assert got == r["_dec_md5"]
+    assert n_bad > 0
+
+
 def test_synth_flac_ledger(spark):
     from jsonschema_spark.sources.clips import (
         FLAC_CLASS_MOD,
