@@ -2067,6 +2067,58 @@ def _q_clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSAMPLE_SR = 32000
+
+
+def _q_clips_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-factor linear-interpolation upsampling (16 kHz -> 32 kHz;
+    the 8->16 telephony->ASR prep op) in one Arrow hop. Output sample j
+    is the exact-integer blend ((L-r)*(x[q]+32768) + r*(x[q+1]+32768))
+    // L - 32768 (offset-binary keeps the numerator nonnegative so
+    truncating division IS floor cross-engine; r=0 reproduces the
+    original samples bit-for-bit). The oracle rebuilds the interpolated
+    payload hex sample-by-sample and compares md5s."""
+    from jsonschema_spark.operators.trim import upsample_pcm
+    from jsonschema_spark.sources.clips import materialized_padded_clips
+
+    clips, _ = materialized_padded_clips(spark, _PAD_N)
+    r = upsample_pcm(clips.select(*_CLIPS_COLS), _UPSAMPLE_SR)
+    return r.select(
+        "clip_id",
+        F.col("sr_hz").cast("long").alias("sr_out"),
+        "n_out",
+        F.col("dur_ms").cast("long").alias("out_ms"),
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
+def _q_clips_transcode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archival normalization proven LOSSLESS end-to-end: the WAV-depth
+    corpus (8/16/24-bit, mono/stereo, torn uploads included) is
+    transcoded to REAL FLAC in one Arrow hop, then RE-DECODED in a
+    second hop — and the re-decoded fingerprint must land on the SAME
+    source-sample ledger the direct decode matches (truth never passes
+    through either codec). Two stacked ArrowEvalPython stages, one scan,
+    zero shuffle — the 100-TB archival-rewrite plan."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.operators.trim import transcode_to_flac
+    from jsonschema_spark.sources.clips import materialized_wav_depth_clips
+
+    clips, _ = materialized_wav_depth_clips(spark, _WAVD_N)
+    tc = transcode_to_flac(
+        clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+    )
+    prof = tc.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+    )
+
+
 _SUITE_CONFIG = {
     "checks": [
         {"type": "schema", "name": "orders_schema", "table": "orders",
@@ -3518,6 +3570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_decode": _q_clips_flac_decode,
         "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
         "clips_wav_depths": _q_clips_wav_depths,
+        "clips_upsample": _q_clips_upsample,
+        "clips_transcode_flac": _q_clips_transcode_flac,
         "clips_pcm24_decode": _q_clips_pcm24_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
@@ -5218,6 +5272,74 @@ def _clips_resample_sql() -> str:
                CAST({_RESAMPLE_SR} AS BIGINT) AS sr_out,
                CAST(n_out AS BIGINT) AS n_out,
                CAST(floor(n_out * 1000.0 / {_RESAMPLE_SR}) AS BIGINT)
+                 AS out_ms,
+               md5(oh) AS out_md5
+        FROM h
+    """
+
+
+def _clips_transcode_flac_sql() -> str:
+    """Lossless-transcode oracle: the re-decoded FLAC must land on the
+    same SOURCE-sample ledger as the direct WAV decode — so the
+    expectation is simply the wav_depth ledger columns again (truth
+    never passes through either codec)."""
+    from jsonschema_spark.sources.clips import wav_depth_clips_path
+
+    src = f"read_parquet('{wav_depth_clips_path(_WAVD_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5
+        FROM {src}
+    """
+
+
+def _clips_upsample_sql() -> str:
+    """Interpolation oracle: parse each int16-LE sample from hex into
+    offset-binary us = s + 32768, emit out[j] = ((L-r)*us[q] + r*us[q+1
+    clamped]) // L - 32768 (nonnegative numerator: truncating division
+    IS floor, bit-identical to the numpy kernel), rebuild the payload
+    hex ORDER BY j and md5."""
+    from jsonschema_spark.sources.clips import padded_clips_path
+
+    src = f"read_parquet('{padded_clips_path(_PAD_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, hex(bytes) AS hx,
+                 octet_length(bytes) // 2 AS n,
+                 {_UPSAMPLE_SR} // sr_hz AS L
+          FROM {src}
+        ), g AS (
+          SELECT clip_id, n, L, hx,
+                 unnest(generate_series(0, n * L - 1)) AS j
+          FROM t WHERE n > 0
+        ), p AS (
+          SELECT clip_id, n, L, j, j // L AS q, j % L AS r, hx
+          FROM g
+        ), u AS (
+          SELECT clip_id, n, L, j, r,
+                 (CAST(('0x' || substr(hx, q * 4 + 3, 2)
+                              || substr(hx, q * 4 + 1, 2)) AS INTEGER)
+                  + 32768) % 65536 AS usq,
+                 (CAST(('0x' || substr(hx, least(q + 1, n - 1) * 4 + 3, 2)
+                              || substr(hx, least(q + 1, n - 1) * 4 + 1, 2))
+                       AS INTEGER) + 32768) % 65536 AS usq1
+          FROM p
+        ), v AS (
+          SELECT clip_id, n, L, j,
+                 ((L - r) * usq + r * usq1) // L AS uval
+          FROM u
+        ), h AS (
+          SELECT clip_id, any_value(n * L) AS n_out,
+                 string_agg(printf('%02X%02X', uval % 256,
+                                   (uval // 256 + 128) % 256), ''
+                            ORDER BY j) AS oh
+          FROM v GROUP BY clip_id
+        )
+        SELECT clip_id,
+               CAST({_UPSAMPLE_SR} AS BIGINT) AS sr_out,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(floor(n_out * 1000.0 / {_UPSAMPLE_SR}) AS BIGINT)
                  AS out_ms,
                md5(oh) AS out_md5
         FROM h
@@ -7988,6 +8110,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_flac_decode": _clips_flac_decode_sql(),
         "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
         "clips_wav_depths": _clips_wav_depths_sql(),
+        "clips_upsample": _clips_upsample_sql(),
+        "clips_transcode_flac": _clips_transcode_flac_sql(),
         "clips_pcm24_decode": _clips_pcm24_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),

@@ -1183,6 +1183,127 @@ def decimate(
     )
 
 
+def interpolate_batch(
+    payloads: pd.Series, srs: pd.Series, target_sr: int
+) -> pd.DataFrame:
+    """Vectorized batch kernel: integer-factor linear-interpolation
+    upsampling (8 kHz telephony -> 16 kHz ASR models, 16 -> 32, ...).
+
+    Row is resampled iff it decodes and ``target_sr % sr == 0`` with
+    factor L > 1; output sample j (of n*L) is the exact-integer linear
+    blend of input q = j//L and q+1 (clamped):
+
+        out[j] = ((L-r)*(x[q]+32768) + r*(x[q+1]+32768)) // L - 32768
+
+    with r = j%L — the +32768 offset-binary trick keeps the numerator
+    nonnegative so truncating division IS floor on every engine, and
+    r == 0 reproduces the original samples bit-for-bit. Rows that don't
+    qualify return NULL bytes + n_out = -1 (pass through unchanged,
+    LOUDLY flag non-integer ratios — mirror of decimate_batch).
+
+    Linear interpolation adds no imaging filter; production would put a
+    polyphase FIR in this same Arrow hop — plumbing unchanged."""
+    if target_sr <= 0:
+        raise ValueError("target_sr must be positive")
+    n_rows = len(payloads)
+    outb: list = [None] * n_rows
+    nout = np.full(n_rows, -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        sr = int(sr)
+        if sr <= 0 or target_sr % sr != 0 or target_sr // sr < 2:
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        n = len(pcm)
+        if n == 0:
+            outb[i] = b""
+            nout[i] = 0
+            continue
+        L = target_sr // sr
+        x = pcm.astype(np.int64) + 32768          # offset-binary
+        j = np.arange(n * L, dtype=np.int64)
+        q, r = j // L, j % L
+        xq = x[q]
+        xq1 = x[np.minimum(q + 1, n - 1)]
+        val = ((L - r) * xq + r * xq1) // L - 32768
+        outb[i] = val.astype("<i2").tobytes()
+        nout[i] = n * L
+    return pd.DataFrame({"out_bytes": outb, "n_out": nout})
+
+
+def upsample(
+    payload: Column | str,
+    sr_hz: Column | str,
+    target_sr: int,
+) -> Column:
+    """struct(out_bytes, n_out): payload linearly upsampled to
+    ``target_sr`` (see interpolate_batch). One Arrow hop; n_out = -1
+    marks not-resampled rows."""
+
+    @pandas_udf(DECIMATE_TYPE)
+    def _up(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return interpolate_batch(p, sr, target_sr)
+
+    return _up(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
+def transcode_flac_batch(
+    payloads: pd.Series, srs: pd.Series
+) -> pd.DataFrame:
+    """Vectorized batch kernel: archival codec normalization — decode any
+    supported payload (WAV 8/16/24-bit mono/stereo, G.711, ADPCM, FLAC,
+    raw PCM) and re-encode the mono int16 stream as REAL FLAC
+    (functions/flac.py). FLAC is lossless, so decode(transcode(x)) must
+    equal decode(x) bit-for-bit — the invariant the contract query pins
+    against the source-sample ledger. Undecodable or empty rows return
+    NULL bytes + n_out = -1 (quarantine upstream, never guess)."""
+    from jsonschema_spark.functions.flac import encode_flac
+
+    n_rows = len(payloads)
+    outb: list = [None] * n_rows
+    nout = np.full(n_rows, -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        sr = int(sr)
+        if sr <= 0:
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        if len(pcm) == 0:
+            continue  # encode_flac rejects empty signals
+        outb[i] = encode_flac(pcm.astype(np.int64), sr)
+        nout[i] = len(pcm)
+    return pd.DataFrame({"out_bytes": outb, "n_out": nout})
+
+
+def transcode_flac(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+) -> Column:
+    """struct(out_bytes, n_out): payload re-encoded as REAL FLAC (see
+    transcode_flac_batch). One Arrow hop; n_out = -1 marks rows that
+    could not be transcoded."""
+
+    @pandas_udf(DECIMATE_TYPE)
+    def _tc(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return transcode_flac_batch(p, sr)
+
+    return _tc(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
 def gain_normalize_batch(
     payloads: pd.Series,
     target_rms: float = 0.1,

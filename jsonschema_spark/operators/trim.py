@@ -128,6 +128,48 @@ def resample_pcm(
     count for resampled rows (floor(n_out * 1000 / target_sr)).
     """
     d = df.withColumn("_dec", decimate(payload_col, sr_col, target_sr))
+    return _apply_rate_rewrite(
+        df, d, target_sr, payload_col, sr_col, codec_col, dur_col
+    )
+
+
+def upsample_pcm(
+    df: DataFrame,
+    target_sr: int,
+    payload_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    codec_col: str = "codec",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Normalize sample rate UP by integer-factor linear interpolation
+    (8 kHz telephony -> 16 kHz ASR input; functions/audio.upsample).
+
+    Mirror of resample_pcm: rows where ``target_sr % sr_hz == 0`` (factor
+    >= 2) and decode are rewritten to raw pcm_s16le at ``target_sr``
+    (out[j] = exact-integer blend of neighbors; every L-th sample is the
+    original bit-for-bit); everything else passes through unchanged with
+    ``resampled = false`` — non-integer ratios flagged, never silently
+    approximated."""
+    from jsonschema_spark.functions.audio import upsample
+
+    d = df.withColumn("_dec", upsample(payload_col, sr_col, target_sr))
+    return _apply_rate_rewrite(
+        df, d, target_sr, payload_col, sr_col, codec_col, dur_col
+    )
+
+
+def _apply_rate_rewrite(
+    df: DataFrame,
+    d: DataFrame,
+    target_sr: int,
+    payload_col: str,
+    sr_col: str,
+    codec_col: str,
+    dur_col: str,
+) -> DataFrame:
+    """Shared column rewrite below a rate-conversion Arrow hop (``_dec``
+    struct): swap payload/sr/codec/dur on converted rows, pass everything
+    else through, add (resampled, n_out)."""
     ok = F.coalesce(F.col("_dec.n_out") >= 0, F.lit(False))
 
     out_cols = []
@@ -167,6 +209,47 @@ def resample_pcm(
         *out_cols,
         ok.alias("resampled"),
         F.when(ok, F.col("_dec.n_out")).alias("n_out"),
+    )
+
+
+def transcode_to_flac(
+    df: DataFrame,
+    payload_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Archival codec normalization: rewrite every decodable payload as
+    REAL FLAC (lossless — functions/flac.py), the storage-side twin of
+    resample/downmix's compute-side normalization. Undecodable rows pass
+    through unchanged with ``transcoded = false`` (quarantine them with
+    the validation family, never drop silently). Adds (transcoded,
+    n_out). At 100 TB this is the pattern that matters: one scan, one
+    Arrow hop, zero shuffle — the written corpus is typically 2-4x
+    smaller, which every downstream scan repays."""
+    from jsonschema_spark.functions.audio import transcode_flac
+
+    d = df.withColumn("_tc", transcode_flac(payload_col, sr_col))
+    ok = F.coalesce(F.col("_tc.n_out") >= 0, F.lit(False))
+    out_cols = []
+    for c in df.columns:
+        if c == payload_col:
+            out_cols.append(
+                F.when(ok, F.col("_tc.out_bytes"))
+                .otherwise(F.col(payload_col))
+                .alias(payload_col)
+            )
+        elif c == codec_col:
+            out_cols.append(
+                F.when(ok, F.lit("flac"))
+                .otherwise(F.col(codec_col))
+                .alias(codec_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return d.select(
+        *out_cols,
+        ok.alias("transcoded"),
+        F.when(ok, F.col("_tc.n_out")).alias("n_out"),
     )
 
 

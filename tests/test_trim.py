@@ -103,6 +103,60 @@ def test_decimate_rejects_non_integer_ratio():
 
 
 # ---------------------------------------------------------------------------
+# kernel: interpolate_batch (upsampling)
+# ---------------------------------------------------------------------------
+
+
+def test_interpolate_exact_blend_and_passthrough():
+    from jsonschema_spark.functions.audio import interpolate_batch
+
+    x = np.array([100, -200, 32767, -32768, 1], dtype=np.int16)
+    d = interpolate_batch(pd.Series([x.tobytes()]), pd.Series([16000]), 32000)
+    out = np.frombuffer(bytes(d.iloc[0]["out_bytes"]), dtype="<i2").astype(
+        np.int64
+    )
+    assert d.iloc[0]["n_out"] == 10
+    # even outputs reproduce the originals bit-for-bit
+    assert np.array_equal(out[0::2], x.astype(np.int64))
+    # odd outputs are the exact floor midpoint; last one clamps (repeat)
+    want = [
+        (100 - 200) // 2,          # floor(-50) = -50
+        (-200 + 32767) // 2,       # 16283 (floor of 16283.5)
+        (32767 - 32768) // 2,      # floor(-0.5) = -1  <- floor, not trunc
+        (-32768 + 1) // 2,         # floor(-16383.5) = -16384
+        1,                          # clamp: repeat last sample
+    ]
+    assert out[1::2].tolist() == want
+
+
+def test_interpolate_factor_4_and_flags():
+    from jsonschema_spark.functions.audio import interpolate_batch
+
+    x = np.array([0, 1000], dtype=np.int16)
+    d = interpolate_batch(
+        pd.Series([x.tobytes(), x.tobytes(), None]),
+        pd.Series([8000, 22050, 8000]),
+        32000,
+    )
+    out = np.frombuffer(bytes(d.iloc[0]["out_bytes"]), dtype="<i2")
+    assert out.tolist() == [0, 250, 500, 750, 1000, 1000, 1000, 1000]
+    # non-integer ratio and NULL payload: flagged, never approximated
+    assert d["n_out"].tolist() == [8, -1, -1]
+    assert d.iloc[1]["out_bytes"] is None and d.iloc[2]["out_bytes"] is None
+
+
+def test_interpolate_inverts_decimate_on_even_samples():
+    from jsonschema_spark.functions.audio import interpolate_batch
+
+    pay = _pcm(_body(3200))
+    up = interpolate_batch(pd.Series([pay]), pd.Series([16000]), 32000)
+    back = decimate_batch(
+        pd.Series([bytes(up.iloc[0]["out_bytes"])]), pd.Series([32000]), 16000
+    )
+    assert bytes(back.iloc[0]["out_bytes"]) == pay
+
+
+# ---------------------------------------------------------------------------
 # DataFrame operators
 # ---------------------------------------------------------------------------
 
@@ -164,6 +218,20 @@ def test_trim_single_arrow_hop(clips):
     assert "BatchEvalPython" not in plan
 
 
+def test_upsample_frame(clips):
+    from jsonschema_spark.operators.trim import upsample_pcm
+
+    out = {r["clip_id"]: r for r in upsample_pcm(clips, 32000).collect()}
+    p = out["pad"]
+    assert p["resampled"] and p["sr_hz"] == 32000 and p["n_out"] == 9600
+    assert p["codec"] == "pcm_s16le" and p["dur_ms"] == 300
+    c = out["container"]
+    assert c["resampled"] and c["codec"] == "pcm_s16le" and c["n_out"] == 6400
+    # non-integer ratio + NULL pass through, loudly flagged
+    assert not out["oddrate"]["resampled"] and out["oddrate"]["sr_hz"] == 22050
+    assert not out["nullpay"]["resampled"] and out["nullpay"]["n_out"] is None
+
+
 def test_trim_then_resample_composes(clips):
     """The curation order that minimizes bytes: trim first, then decimate."""
     t = trim_silence(clips).drop(
@@ -174,6 +242,36 @@ def test_trim_then_resample_composes(clips):
     assert r["pad"]["n_out"] == 1600  # 3200 speech samples / 2
     body = _body(3200)
     assert bytes(r["pad"]["bytes"]) == pcm16_from_float(body)[::2].tobytes()
+
+
+def test_transcode_to_flac_lossless(clips):
+    from jsonschema_spark.operators.trim import transcode_to_flac
+
+    out = {r["clip_id"]: r for r in transcode_to_flac(clips).collect()}
+    orig = {r["clip_id"]: r for r in clips.collect()}
+    for cid in ("pad", "allsilent", "container", "oddrate"):
+        r = out[cid]
+        assert r["transcoded"] and r["codec"] == "flac", cid
+        assert bytes(r["bytes"])[:4] == b"fLaC"
+        # lossless: decode(transcode(x)) == decode(x) bit-for-bit
+        want = decode_payload(bytes(orig[cid]["bytes"]))
+        got = decode_payload(bytes(r["bytes"]))
+        assert np.array_equal(got, want), cid
+        assert r["n_out"] == len(want)
+    # tonal audio actually compresses vs raw PCM16
+    assert len(bytes(out["pad"]["bytes"])) < len(bytes(orig["pad"]["bytes"]))
+    n = out["nullpay"]
+    assert not n["transcoded"] and n["bytes"] is None and n["n_out"] is None
+
+
+def test_transcode_single_arrow_hop(clips):
+    from jsonschema_spark.operators.trim import transcode_to_flac
+
+    plan = (
+        transcode_to_flac(clips)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
 
 
 # ---------------------------------------------------------------------------
