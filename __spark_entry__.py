@@ -2119,6 +2119,41 @@ def _q_clips_transcode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_suite_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio payload axis inside the declarative CI gate: one suite
+    run over TWO ledger corpora — decode-rate gate on the FLAC corpus
+    (planted trunc/flip classes push the rate to exactly 1 - n_bad/N)
+    and decode + length-reconciliation gates on the WAV-depth corpus
+    (torn raw PCM decodes SHORT, so decodable=1.0 while length < 1).
+    The oracle recomputes every metric from the ledger columns alone."""
+    from jsonschema_spark.operators.suite import run_suite
+    from jsonschema_spark.sources.clips import (
+        materialized_flac_clips,
+        materialized_wav_depth_clips,
+    )
+
+    flac, _ = materialized_flac_clips(spark, _FLAC_N)
+    wav, _ = materialized_wav_depth_clips(spark, _WAVD_N)
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms"]
+    cfg = {"checks": [
+        {"type": "row_count", "name": "flac_nonempty", "table": "clips_flac",
+         "min_rows": 1},
+        {"type": "unique", "name": "flac_pk", "table": "clips_flac",
+         "keys": ["clip_id"]},
+        {"type": "audio_decode", "name": "flac_decodable",
+         "table": "clips_flac", "min_pass_rate": 0.8},
+        {"type": "audio_decode", "name": "wav_decodable",
+         "table": "clips_wav", "min_pass_rate": 1.0},
+        {"type": "audio_decode", "name": "wav_length_ok",
+         "table": "clips_wav", "min_pass_rate": 0.95,
+         "check_length": True},
+    ]}
+    return run_suite(
+        {"clips_flac": flac.select(*cols), "clips_wav": wav.select(*cols)},
+        cfg,
+    )
+
+
 _SUITE_CONFIG = {
     "checks": [
         {"type": "schema", "name": "orders_schema", "table": "orders",
@@ -3572,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_wav_depths": _q_clips_wav_depths,
         "clips_upsample": _q_clips_upsample,
         "clips_transcode_flac": _q_clips_transcode_flac,
+        "suite_report_clips": _q_suite_report_clips,
         "clips_pcm24_decode": _q_clips_pcm24_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
@@ -5292,6 +5328,51 @@ def _clips_transcode_flac_sql() -> str:
                _dec_md5 AS dec_md5
         FROM {src}
     """
+
+
+def _suite_report_clips_sql() -> str:
+    """Suite-over-audio oracle: every metric recomputed from the ledger
+    columns alone (decode-rate from the planted-class arithmetic on the
+    FLAC corpus; length rate from _n_dec vs sr*dur//1000 on the WAV-depth
+    corpus; WAV rows ALL decode — raw PCM has no integrity chain). The
+    wav_length_ok row deliberately FAILS (rate 500/550 < 0.95): the gate
+    must be seen firing."""
+    from jsonschema_spark.sources.clips import (
+        FLAC_CLASS_MOD,
+        FLAC_FLIP_CLS,
+        FLAC_TRUNC_CLS,
+        flac_clips_path,
+        wav_depth_clips_path,
+    )
+
+    f = f"read_parquet('{flac_clips_path(_FLAC_N)}/*.parquet')"
+    w = f"read_parquet('{wav_depth_clips_path(_WAVD_N)}/*.parquet')"
+    bad = f"_row_idx % {FLAC_CLASS_MOD} IN ({FLAC_TRUNC_CLS}, {FLAC_FLIP_CLS})"
+
+    def row(name, ctype, metric, threshold, passed):
+        return f"""
+        SELECT '{name}' AS check_name, '{ctype}' AS check_type,
+               CAST({metric} AS DOUBLE) AS metric,
+               CAST({threshold} AS DOUBLE) AS threshold,
+               CASE WHEN {passed} THEN 'pass' ELSE 'fail' END AS status
+        """
+
+    n_flac = f"(SELECT count(*) FROM {f})"
+    dup = (f"(SELECT count(*) FROM (SELECT clip_id FROM {f} "
+           f"GROUP BY clip_id HAVING count(*) > 1))")
+    flac_rate = (f"(SELECT avg(CASE WHEN {bad} THEN 0.0 ELSE 1.0 END) "
+                 f"FROM {f})")
+    wav_len = (f"(SELECT avg(CASE WHEN _n_dec = CAST(sr_hz AS BIGINT) "
+               f"* dur_ms // 1000 THEN 1.0 ELSE 0.0 END) FROM {w})")
+    return " UNION ALL ".join([
+        row("flac_nonempty", "row_count", n_flac, 1, f"{n_flac} >= 1"),
+        row("flac_pk", "unique", dup, 0, f"{dup} <= 0"),
+        row("flac_decodable", "audio_decode", flac_rate, 0.8,
+            f"{flac_rate} >= 0.8"),
+        row("wav_decodable", "audio_decode", "1.0", 1.0, "TRUE"),
+        row("wav_length_ok", "audio_decode", wav_len, 0.95,
+            f"{wav_len} >= 0.95"),
+    ])
 
 
 def _clips_upsample_sql() -> str:
@@ -8112,6 +8193,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_wav_depths": _clips_wav_depths_sql(),
         "clips_upsample": _clips_upsample_sql(),
         "clips_transcode_flac": _clips_transcode_flac_sql(),
+        "suite_report_clips": _suite_report_clips_sql(),
         "clips_pcm24_decode": _clips_pcm24_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),

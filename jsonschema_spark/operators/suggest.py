@@ -26,6 +26,7 @@ table-level contract from data.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -265,4 +266,46 @@ def as_suite_config(
                            "table": table, "column": c,
                            "pattern": r["param_str"],
                            "max_violation_rate": 0.0})
+    audio = _audio_shape(df)
+    if audio is not None:
+        payload, id_col, sr_col, dur_col = audio
+        rate = _measured_decode_rate(df, payload, id_col, sr_col, dur_col)
+        # floor to 3 decimals: the drafted suite must PASS on the data it
+        # was drafted from, while still gating regressions
+        checks.append({
+            "type": "audio_decode", "name": f"{table}_audio_decode",
+            "table": table, "payload_col": payload, "id_col": id_col,
+            "sr_col": sr_col, "dur_col": dur_col,
+            "min_pass_rate": math.floor(rate * 1000) / 1000,
+        })
     return {"checks": checks}
+
+
+def _audio_shape(df: DataFrame) -> tuple[str, str, str, str] | None:
+    """Detect the engine's audio-table shape (input_hint: clip_id string,
+    bytes binary, sr_hz int, dur_ms int) by name + type; None otherwise."""
+    names = {f.name: f.dataType for f in df.schema.fields}
+    if (
+        isinstance(names.get("bytes"), T.BinaryType)
+        and isinstance(names.get("clip_id"), T.StringType)
+        and "sr_hz" in names
+        and "dur_ms" in names
+    ):
+        return ("bytes", "clip_id", "sr_hz", "dur_ms")
+    return None
+
+
+def _measured_decode_rate(
+    df: DataFrame, payload: str, id_col: str, sr_col: str, dur_col: str
+) -> float:
+    """Current decode-ok fraction (one Arrow hop, one aggregate) — the
+    floor the drafted audio_decode check is anchored to."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+
+    prof = df.select(
+        audio_decode_profile(payload, id_col, sr_col, dur_col).alias("p")
+    )
+    row = prof.agg(
+        F.avg(F.col("p.n_samples").isNotNull().cast("double")).alias("r")
+    ).collect()[0]
+    return 1.0 if row["r"] is None else float(row["r"])

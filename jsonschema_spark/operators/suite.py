@@ -511,6 +511,54 @@ def _check_manifest(
     )(agg)
 
 
+def _check_audio_decode(df: DataFrame, spec: dict) -> DataFrame:
+    """The payload axis as a declarative gate: decode every audio payload
+    in ONE Arrow hop (functions/audio.audio_decode_profile) and require a
+    minimum fraction of rows to (a) decode at all, (b) optionally meet
+    the per-row SNR invariant vs the reference signal (``min_snr_db`` —
+    the engine's decoded-PCM content check), and (c) optionally
+    length-reconcile (``check_length``: n_samples == sr*dur div 1000 —
+    the torn-upload catch for raw PCM, which has no integrity chain).
+    Metric = passing fraction; threshold ``min_pass_rate``. Empty tables
+    pass vacuously (pair with a row_count check)."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+
+    payload = spec.get("payload_col", "bytes")
+    id_col = spec.get("id_col", "clip_id")
+    sr_col = spec.get("sr_col", "sr_hz")
+    dur_col = spec.get("dur_col", "dur_ms")
+    min_rate = float(spec.get("min_pass_rate", 1.0))
+    min_snr = spec.get("min_snr_db")
+    check_length = bool(spec.get("check_length", False))
+
+    prof = df.select(
+        audio_decode_profile(payload, id_col, sr_col, dur_col).alias("p"),
+        F.col(sr_col).cast("bigint").alias("_sr"),
+        F.col(dur_col).cast("bigint").alias("_dur"),
+    )
+    ok = F.col("p.n_samples").isNotNull()
+    if min_snr is not None:
+        ok = ok & F.coalesce(
+            F.col("p.snr") >= F.lit(float(min_snr)), F.lit(False)
+        )
+    if check_length:
+        ok = ok & F.coalesce(
+            F.col("p.n_samples") == F.expr("_sr * _dur div 1000"),
+            F.lit(False),
+        )
+    agg = prof.agg(
+        F.coalesce(
+            F.sum(ok.cast("long")) / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(1.0),
+        ).alias("rate"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    metric = F.when(F.col("n") == 0, F.lit(1.0)).otherwise(F.col("rate"))
+    return _report_row(
+        spec["name"], "audio_decode", metric, min_rate, metric >= min_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -538,6 +586,7 @@ _CHECKS = {
     "encoding": lambda df, spec, tables: _check_encoding(df, spec),
     "values_in_set": lambda df, spec, tables: _check_values_in_set(df, spec),
     "expr": lambda df, spec, tables: _check_expr(df, spec),
+    "audio_decode": lambda df, spec, tables: _check_audio_decode(df, spec),
 }
 
 

@@ -98,3 +98,44 @@ def test_suggest_job_chain(spark, tmp_path):
     assert any(c["type"] == "unique" for c in conf["checks"])
     # the suggested suite gates green on its own source
     assert suite_main(["--config", cfg]) == 0
+
+
+def test_suggest_audio_shape_drafts_decode_gate(spark):
+    """A table with the engine's audio shape (clip_id/bytes/sr_hz/dur_ms)
+    gets an audio_decode check drafted at the MEASURED decode-rate floor,
+    and the drafted suite passes on its own source."""
+    from jsonschema_spark.functions.audio import (
+        encode_wav_pcm,
+        pcm16_from_float,
+        reference_signal,
+    )
+    from jsonschema_spark.functions.flac import encode_flac
+
+    def clip(i, corrupt=False):
+        cid = f"clip-{i:012d}"
+        pcm = pcm16_from_float(reference_signal(cid, 3200))
+        if corrupt:
+            raw = bytearray(encode_flac(pcm, 16000))
+            raw[len(raw) // 2] ^= 0x10
+            return (cid, bytes(raw), 16000, 200)
+        return (cid, encode_wav_pcm(pcm, 16000), 16000, 200)
+
+    rows = [clip(i, corrupt=(i == 7)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int"
+    )
+    sugg = column_suggestions(df, ["clip_id", "sr_hz"])
+    cfg = as_suite_config(df, sugg, table="clips")
+    audio = [c for c in cfg["checks"] if c["type"] == "audio_decode"]
+    assert len(audio) == 1
+    # measured 9/10 decode, floored to 3 decimals
+    assert audio[0]["min_pass_rate"] == 0.9
+    assert audio[0]["payload_col"] == "bytes"
+    report = run_suite({"clips": df}, cfg).collect()
+    assert all(r["status"] == "pass" for r in report)
+    # non-audio tables draft no audio check
+    plain = df.select("clip_id", "sr_hz")
+    cfg2 = as_suite_config(
+        plain, column_suggestions(plain, ["clip_id"]), table="t"
+    )
+    assert not [c for c in cfg2["checks"] if c["type"] == "audio_decode"]

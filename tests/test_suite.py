@@ -456,3 +456,61 @@ def test_suite_expr_check(spark):
     assert rows["a_lt_b"]["status"] == "fail"
     assert rows["a_lt_b"]["metric"] == pytest.approx(2 / 3)
     assert rows["a_lt_b_loose"]["status"] == "pass"
+
+
+def test_suite_audio_decode_check(spark):
+    """The payload axis as a declarative gate: decode rate, SNR invariant
+    and length reconciliation in one Arrow hop."""
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import (
+        encode_wav_pcm,
+        pcm16_from_float,
+        reference_signal,
+    )
+    from jsonschema_spark.functions.flac import encode_flac
+
+    def clip(i, corrupt=False, short=False):
+        cid = f"clip-{i:012d}"
+        n = 16000 * 200 // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n))
+        if corrupt:
+            raw = bytearray(encode_flac(pcm, 16000))
+            raw[len(raw) // 2] ^= 0x10  # CRC/MD5 chain must raise
+            return (cid, bytes(raw), 16000, 200)
+        raw = encode_wav_pcm(pcm, 16000)
+        if short:
+            raw = raw[: 44 + (len(raw) - 44) // 2]  # torn PCM: decodes SHORT
+        return (cid, raw, 16000, 200)
+
+    rows = [clip(0), clip(1), clip(2, corrupt=True), clip(3, short=True)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int"
+    )
+    rep = _report({"clips": df}, [
+        {"type": "audio_decode", "name": "decodable", "table": "clips",
+         "min_pass_rate": 0.75},
+        {"type": "audio_decode", "name": "decodable_strict", "table": "clips",
+         "min_pass_rate": 0.76},
+        {"type": "audio_decode", "name": "length_ok", "table": "clips",
+         "min_pass_rate": 0.5, "check_length": True},
+        {"type": "audio_decode", "name": "snr_ok", "table": "clips",
+         "min_pass_rate": 0.5, "min_snr_db": 30.0},
+    ])
+    # 3/4 decode (the bit-flipped FLAC raises)
+    assert rep["decodable"]["metric"] == pytest.approx(0.75)
+    assert rep["decodable"]["status"] == "pass"
+    assert rep["decodable_strict"]["status"] == "fail"
+    # torn PCM decodes but fails length reconciliation -> 2/4
+    assert rep["length_ok"]["metric"] == pytest.approx(0.5)
+    assert rep["length_ok"]["status"] == "pass"
+    # clean clips meet the reference-signal SNR invariant; torn one does
+    # not (truncated-vs-reference SNR is -inf) -> 2/4
+    assert rep["snr_ok"]["metric"] == pytest.approx(0.5)
+    # empty table passes vacuously
+    rep0 = _report({"clips": df.where(F.lit(False))}, [
+        {"type": "audio_decode", "name": "vacuous", "table": "clips",
+         "min_pass_rate": 1.0},
+    ])
+    assert rep0["vacuous"]["status"] == "pass"
+    assert rep0["vacuous"]["metric"] == 1.0
