@@ -342,6 +342,30 @@ def q_clips_normalize(spark: SparkSession):
     ).collect()
 
 
+def q_clips_transcode(spark: SparkSession):
+    """Archival codec normalization at corpus scale: every payload of the
+    quality corpus re-encoded as REAL FLAC in one Arrow hop (the 100-TB
+    storage-rewrite plan: one scan, zero shuffle); byte-total checksums
+    fold so the encode work cannot be pruned."""
+    from jsonschema_spark.operators.trim import transcode_to_flac
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    # deterministic 1/4 subset via hash filter — keeps the scan parallel
+    # (limit() would collapse it to one partition); the FLAC bit-writer
+    # is the priciest kernel in the suite, so bound its share of total
+    sub = clips.where(F.xxhash64("clip_id") % 4 == 0)
+    tc = transcode_to_flac(
+        sub.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+    )
+    return tc.agg(
+        F.count(F.lit(1)),
+        F.sum(F.length("bytes")),
+        F.sum("n_out"),
+        F.sum(F.col("transcoded").cast("long")),
+    ).collect()
+
+
 def q_pq_adc(spark: SparkSession):
     """PQ encode + ADC top-k: the memory-bound ANN path (corpus scan reads
     only (id, code); codebooks ride as literals)."""
@@ -598,6 +622,7 @@ QUERIES = {
     "join_guard": q_join_guard,
     "model_eval": q_model_eval,
     "clips_bandwidth": q_clips_bandwidth,
+    "clips_transcode": q_clips_transcode,
     "suggest": q_suggest,
 }
 

@@ -232,3 +232,80 @@ def test_synth_flac_ledger(spark):
             ).hexdigest()
             assert got == r["_dec_md5"]
     assert n_bad > 0
+
+
+# ------------------------------------------------- vectorized kernels --
+def test_vectorized_residual_writer_bit_identical():
+    """The numpy Rice writer must produce the EXACT bytes of the per-
+    sample reference loop, from any bit alignment."""
+    from jsonschema_spark.functions.flac import (
+        _BitWriter,
+        _write_residual,
+        _write_residual_scalar,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial in range(25):
+        n = rng.randint(1, 5000)
+        scale = int(rng.choice([1, 10, 1000, 30000]))
+        res = rng.randint(-scale, scale + 1, n).astype(np.int64)
+        pre = rng.randint(0, 17)
+        w1, w2 = _BitWriter(), _BitWriter()
+        for w in (w1, w2):
+            w.write(0x2B, 6)
+            w.write(0, pre)
+        _write_residual(w1, res)
+        _write_residual_scalar(w2, res)
+        w1.align(), w2.align()
+        assert w1.bytes() == w2.bytes(), trial
+
+
+def test_vectorized_residual_reader_bit_identical():
+    """The windowed numpy Rice reader must decode the same values AND
+    leave the reader at the same bit position as the per-bit loop."""
+    from jsonschema_spark.functions.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_residual,
+        _read_residual_scalar,
+        _write_residual,
+    )
+
+    rng = np.random.RandomState(9)
+    for trial in range(25):
+        n = rng.randint(1, 5000)
+        scale = int(rng.choice([1, 10, 1000, 30000]))
+        res = rng.randint(-scale, scale + 1, n).astype(np.int64)
+        order = rng.randint(0, min(5, n))
+        w = _BitWriter()
+        pre = rng.randint(0, 17)
+        w.write(0, pre)
+        sb, sbit = len(w.buf), w.nbits
+        _write_residual(w, res[order:] if order else res)
+        w.align()
+        data = w.bytes()
+        r1, r2 = _BitReader(data), _BitReader(data)
+        r1.byte, r1.bit = sb, sbit
+        r2.byte, r2.bit = sb, sbit
+        a = _read_residual(r1, n, order)
+        b = _read_residual_scalar(r2, n, order)
+        assert np.array_equal(a, b), trial
+        assert (r1.byte, r1.bit) == (r2.byte, r2.bit), trial
+
+
+def test_vectorized_fixed_restore_matches_recurrence():
+    from jsonschema_spark.functions.flac import (
+        _fixed_restore,
+        _fixed_restore_scalar,
+    )
+
+    rng = np.random.RandomState(3)
+    for trial in range(40):
+        order = rng.randint(0, 5)
+        n = rng.randint(0, 800)
+        res = rng.randint(-100000, 100000, n).astype(np.int64)
+        warm = [int(v) for v in rng.randint(-32768, 32768, order)]
+        assert np.array_equal(
+            _fixed_restore(res, warm, order),
+            _fixed_restore_scalar(res, warm, order),
+        ), (trial, order)
