@@ -2119,6 +2119,50 @@ def _q_clips_transcode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEEK_N = 200
+
+
+def _q_clips_flac_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random access INTO compressed audio: extract each clip's fixed
+    training window (off = 40% of dur, 250 ms) via the FLAC SEEKTABLE —
+    only the frames covering the window are parsed, O(window) not
+    O(clip). The skip is PROVEN, not assumed: one planted class corrupts
+    a byte inside frame 0, so its full decode raises (decode_ok=false
+    from a second Arrow hop) while its window STILL lands on the
+    source-certified fingerprint — impossible unless the seek really
+    skipped the leading frames."""
+    from jsonschema_spark.functions.audio import (
+        audio_decode_profile,
+        window_pcm,
+    )
+    from jsonschema_spark.sources.clips import materialized_flac_seek_clips
+
+    clips, _ = materialized_flac_seek_clips(spark, _SEEK_N)
+    w = clips.select(
+        "clip_id",
+        "bytes",
+        "sr_hz",
+        "dur_ms",
+        window_pcm(
+            "bytes", "sr_hz",
+            F.expr("CAST(dur_ms AS BIGINT) * 2 div 5"),
+            F.lit(250),
+        ).alias("w"),
+    )
+    prof = w.select(
+        "clip_id",
+        F.col("w.n_out").alias("n_win"),
+        F.md5(F.upper(F.hex("w.out_bytes"))).alias("win_md5"),
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        "n_win",
+        "win_md5",
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
 def _q_suite_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio payload axis inside the declarative CI gate: one suite
     run over TWO ledger corpora — decode-rate gate on the FLAC corpus
@@ -3608,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_upsample": _q_clips_upsample,
         "clips_transcode_flac": _q_clips_transcode_flac,
         "suite_report_clips": _q_suite_report_clips,
+        "clips_flac_window": _q_clips_flac_window,
         "clips_pcm24_decode": _q_clips_pcm24_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
@@ -5326,6 +5371,28 @@ def _clips_transcode_flac_sql() -> str:
         SELECT clip_id,
                _n_dec AS n_samples,
                _dec_md5 AS dec_md5
+        FROM {src}
+    """
+
+
+def _clips_flac_window_sql() -> str:
+    """Seek-window oracle: the window fingerprint comes from the SOURCE
+    samples (synth-certified, incl. for the early-corrupt rows whose
+    full decode fails) and decode_ok from the planted-class arithmetic —
+    together they pin that random access skips leading frames."""
+    from jsonschema_spark.sources.clips import (
+        SEEK_CLASS_MOD,
+        SEEK_CLS_EARLY_CORRUPT,
+        flac_seek_clips_path,
+    )
+
+    src = f"read_parquet('{flac_seek_clips_path(_SEEK_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _win_n AS n_win,
+               _win_md5 AS win_md5,
+               (_row_idx % {SEEK_CLASS_MOD} <> {SEEK_CLS_EARLY_CORRUPT})
+                 AS decode_ok
         FROM {src}
     """
 
@@ -8194,6 +8261,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_upsample": _clips_upsample_sql(),
         "clips_transcode_flac": _clips_transcode_flac_sql(),
         "suite_report_clips": _suite_report_clips_sql(),
+        "clips_flac_window": _clips_flac_window_sql(),
         "clips_pcm24_decode": _clips_pcm24_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),

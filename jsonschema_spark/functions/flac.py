@@ -34,7 +34,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_flac", "decode_flac", "FLAC_MARKER"]
+__all__ = [
+    "encode_flac",
+    "decode_flac",
+    "decode_flac_range",
+    "flac_seek_points",
+    "FLAC_MARKER",
+]
 
 FLAC_MARKER = b"fLaC"
 _BLOCKSIZE = 4096
@@ -476,6 +482,7 @@ def encode_flac(
     sr_hz: int,
     blocksize: int = _BLOCKSIZE,
     stereo_mode: str | None = None,
+    seek_every: int | None = None,
 ) -> bytes:
     """int16 PCM -> FLAC stream (fixed predictors, Rice residuals).
 
@@ -483,7 +490,10 @@ def encode_flac(
     forces one channel assignment (``independent`` / ``left_side`` /
     ``right_side`` / ``mid_side``); ``None`` picks the cheapest per
     frame by summed best-fixed-predictor |residual| (the spec's own
-    guidance for fixed-predictor encoders)."""
+    guidance for fixed-predictor encoders). ``seek_every=k`` emits a
+    SEEKTABLE metadata block (type 3) with one seek point every k
+    frames — the random-access index decode_flac_range uses to pull a
+    window out of a long clip without decoding the leading frames."""
     x = np.asarray(pcm, dtype=np.int64)
     if x.ndim == 1:
         channels = 1
@@ -493,6 +503,8 @@ def encode_flac(
         raise ValueError("encode_flac: expected 1-D mono or (n, 2) stereo")
     if stereo_mode is not None and stereo_mode not in _STEREO_MODES:
         raise ValueError(f"encode_flac: unknown stereo_mode {stereo_mode!r}")
+    if seek_every is not None and seek_every < 1:
+        raise ValueError("encode_flac: seek_every must be >= 1")
     n_total = x.shape[0]
     if n_total == 0:
         raise ValueError("encode_flac: empty signal")
@@ -502,6 +514,14 @@ def encode_flac(
     # ((n, 2) int16 in C order IS the interleaved l0 r0 l1 r1 ... stream)
     md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
 
+    frames = bytearray()
+    seeks: list[tuple[int, int, int]] = []
+    for frame_no, pos in enumerate(range(0, n_total, blocksize)):
+        blk = x[pos : pos + blocksize]
+        if seek_every is not None and frame_no % seek_every == 0:
+            seeks.append((pos, len(frames), blk.shape[0]))
+        frames += _encode_frame(blk, frame_no, blocksize, stereo_mode)
+
     out = bytearray(FLAC_MARKER)
     streaminfo = struct.pack(">HH", blocksize, blocksize)
     streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
@@ -509,11 +529,14 @@ def encode_flac(
     packed = (sr_hz << 44) | ((channels - 1) << 41) | (15 << 36) | n_total
     streaminfo += packed.to_bytes(8, "big")
     streaminfo += md5
-    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
-
-    for frame_no, pos in enumerate(range(0, n_total, blocksize)):
-        blk = x[pos : pos + blocksize]
-        out += _encode_frame(blk, frame_no, blocksize, stereo_mode)
+    last = 0x00 if seeks else 0x80
+    out += bytes([last]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    if seeks:
+        table = b"".join(
+            struct.pack(">QQH", s, off, bs) for s, off, bs in seeks
+        )
+        out += bytes([0x83]) + len(table).to_bytes(3, "big") + table
+    out += frames
     return bytes(out)
 
 
@@ -609,15 +632,15 @@ def _encode_frame(
 
 
 # -------------------------------------------------------------- decoder --
-def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
-    """FLAC stream -> (sr_hz, int32 PCM): 1-D for mono, (n, 2) for stereo.
-    Verifies frame-header CRC-8, frame CRC-16 and the STREAMINFO MD5 of
-    the decoded (channel-interleaved) PCM — any mismatch or truncation
-    raises ValueError (decode fails LOUDLY)."""
+def _parse_stream(data: bytes):
+    """Walk the metadata region; return (min_bs, sr, channels, bits,
+    total, want_md5, seeks, frames_start). Enforces the decoder's subset
+    bounds (mono/stereo 16-bit, fixed blocksize)."""
     if data[:4] != FLAC_MARKER:
         raise ValueError("malformed FLAC: missing fLaC marker")
     pos = 4
     streaminfo = None
+    seeks: list[tuple[int, int, int]] = []
     while True:
         if pos + 4 > len(data):
             raise ValueError("malformed FLAC: truncated metadata")
@@ -632,6 +655,13 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
             if length != 34:
                 raise ValueError("malformed FLAC: bad STREAMINFO length")
             streaminfo = body
+        elif btype == 3:
+            if length % 18:
+                raise ValueError("malformed FLAC: bad SEEKTABLE length")
+            for i in range(0, length, 18):
+                s, off, bs = struct.unpack(">QQH", body[i : i + 18])
+                if s != 0xFFFFFFFFFFFFFFFF:  # skip placeholder points
+                    seeks.append((s, off, bs))
         pos += 4 + length
         if last:
             break
@@ -648,13 +678,31 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("unsupported FLAC layout: only mono/stereo 16-bit")
     if min_bs != max_bs:
         raise ValueError("unsupported FLAC layout: variable blocksize")
+    return min_bs, sr, channels, bits, total, want_md5, seeks, pos
 
+
+def flac_seek_points(data: bytes) -> tuple[list[tuple[int, int, int]], int]:
+    """(seek points, frames_start): each point is (first sample number,
+    byte offset from the first frame byte, frame blocksize). Empty list
+    when the stream carries no SEEKTABLE."""
+    min_bs, sr, channels, bits, total, md5, seeks, pos = _parse_stream(data)
+    return seeks, pos
+
+
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """FLAC stream -> (sr_hz, int32 PCM): 1-D for mono, (n, 2) for stereo.
+    Verifies frame-header CRC-8, frame CRC-16 and the STREAMINFO MD5 of
+    the decoded (channel-interleaved) PCM — any mismatch or truncation
+    raises ValueError (decode fails LOUDLY)."""
+    min_bs, sr, channels, bits, total, want_md5, _seeks, pos = _parse_stream(
+        data
+    )
     out: list[np.ndarray] = []
     got = 0
     while got < total:
         if pos >= len(data):
             raise ValueError("malformed FLAC: stream ends before all samples")
-        blk, pos = _decode_frame(data, pos, min_bs, channels)
+        blk, pos, _fno = _decode_frame(data, pos, min_bs, channels)
         out.append(blk)
         got += blk.shape[0]
     pcm = np.concatenate(out, axis=0)[:total].astype(np.int64)
@@ -662,6 +710,52 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != want_md5:
         raise ValueError("FLAC integrity failure: STREAMINFO MD5 mismatch")
     return sr, pcm.astype(np.int32)
+
+
+def decode_flac_range(
+    data: bytes, start: int, count: int
+) -> tuple[int, np.ndarray]:
+    """Decode ONLY the frames covering samples [start, start+count) —
+    random access via the SEEKTABLE (falls back to decoding from the
+    first frame when absent). Frames before the chosen seek point are
+    never parsed, so corruption there cannot fail the read and the cost
+    is O(window), not O(clip): the property that makes window extraction
+    from long compressed clips scale. Frame CRC-8/CRC-16 are verified on
+    every frame actually decoded; the STREAMINFO MD5 covers the whole
+    stream and is NOT checkable on a partial decode (by design).
+    Returns (sr_hz, pcm) clamped to the stream length."""
+    min_bs, sr, channels, bits, total, _md5, seeks, frames_start = (
+        _parse_stream(data)
+    )
+    start = max(0, int(start))
+    end = min(start + max(0, int(count)), total)
+    if end <= start:
+        shape = (0,) if channels == 1 else (0, 2)
+        return sr, np.empty(shape, dtype=np.int32)
+    base_off = 0
+    for s, off, _bs in seeks:
+        if s <= start and s % min_bs == 0:
+            base_off = off
+    pos = frames_start + base_off
+    out: list[np.ndarray] = []
+    first: int | None = None
+    covered = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("malformed FLAC: stream ends before the window")
+        blk, pos, fno = _decode_frame(data, pos, min_bs, channels)
+        fstart = fno * min_bs
+        if first is None:
+            if fstart > start:
+                raise ValueError("malformed FLAC: seek table overshoots")
+            first = fstart
+        out.append(blk)
+        covered = fstart + blk.shape[0]
+        if covered >= end:
+            break
+    pcm = np.concatenate(out, axis=0).astype(np.int64)
+    assert first is not None
+    return sr, pcm[start - first : end - first].astype(np.int32)
 
 
 def _read_subframe(r: _BitReader, blocksize: int, depth: int) -> np.ndarray:
@@ -689,7 +783,7 @@ def _read_subframe(r: _BitReader, blocksize: int, depth: int) -> np.ndarray:
 
 def _decode_frame(
     data: bytes, pos: int, nominal_bs: int, channels: int = 1
-) -> tuple[np.ndarray, int]:
+) -> tuple[np.ndarray, int, int]:
     r = _BitReader(data, pos)
     if r.read(14) != 0b11111111111110:
         raise ValueError("malformed FLAC: lost frame sync")
@@ -718,7 +812,7 @@ def _decode_frame(
         raise ValueError("malformed FLAC: channel assignment vs STREAMINFO")
     if ss_code != 0b100:
         raise ValueError("unsupported FLAC: non-16-bit sample size")
-    _frame_no = _utf8_decode(r)
+    frame_no = _utf8_decode(r)
     if bs_code == 0b0110:
         blocksize = r.read(8) + 1
     elif bs_code == 0b0111:
@@ -764,4 +858,4 @@ def _decode_frame(
     (want16,) = struct.unpack(">H", data[body_end : body_end + 2])
     if _crc16(data[pos:body_end]) != want16:
         raise ValueError("FLAC integrity failure: frame CRC-16")
-    return blk, body_end + 2
+    return blk, body_end + 2, frame_no

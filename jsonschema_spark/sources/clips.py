@@ -1392,6 +1392,126 @@ def wav_depth_clips_path(n: int) -> str:
     return oracle_cache_path(f"clips_wavdepth_{n}")
 
 
+# --- FLAC seek/window ledger corpus (SEEKTABLE random access) -------------
+# LONG clips (3-8 s) encoded with a SEEKTABLE every 4 frames; the fixed
+# per-row window spec (off = 40% of dur, 250 ms) is certified from the
+# SOURCE samples. One planted class flips a byte inside FRAME 0's body:
+# the FULL decode provably raises while the WINDOW decode — which seeks
+# past frame 0 — still lands on the certified fingerprint. That pair of
+# facts is the proof that random access genuinely skips leading frames.
+SEEK_CLASS_MOD = 7
+SEEK_CLS_EARLY_CORRUPT = 3
+SEEK_SR_HZ = 16000
+SEEK_EVERY = 4
+
+
+def window_spec(dur_ms: int) -> tuple[int, int]:
+    """The corpus's fixed window: (off_ms, win_ms) = (40% of dur, 250)."""
+    return (int(dur_ms) * 2 // 5, 250)
+
+
+def synth_flac_seek_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (3000, 8000),
+) -> DataFrame:
+    """Long seekable-FLAC clips with a certified window fingerprint."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.flac import (
+        decode_flac,
+        decode_flac_range,
+        encode_flac,
+        flac_seek_points,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = SEEK_SR_HZ * dur // 1000
+        stereo = i % 2 == 1
+        if stereo:
+            left = pcm16_from_float(reference_signal(cid + "#L", n_samples))
+            right = pcm16_from_float(reference_signal(cid + "#R", n_samples))
+            src = np.stack(
+                [left.astype(np.int64), right.astype(np.int64)], axis=1
+            )
+            mono = (src[:, 0] + src[:, 1]) >> 1
+        else:
+            src = pcm16_from_float(reference_signal(cid, n_samples)).astype(
+                np.int64
+            )
+            mono = src
+        raw = encode_flac(src, SEEK_SR_HZ, seek_every=SEEK_EVERY)
+        off_ms, win_ms = window_spec(dur)
+        start = SEEK_SR_HZ * off_ms // 1000
+        cnt = SEEK_SR_HZ * win_ms // 1000
+        win = mono[start : start + cnt]
+        win_md5 = _hashlib.md5(
+            win.astype("<i2").tobytes().hex().upper().encode()
+        ).hexdigest()
+        if i % SEEK_CLASS_MOD == SEEK_CLS_EARLY_CORRUPT:
+            _pts, frames_start = flac_seek_points(raw)
+            cand = bytearray(raw)
+            cand[frames_start + 40] ^= 0x20  # inside frame 0's body
+            # synth-VERIFY both halves of the skip proof
+            try:
+                decode_flac(bytes(cand))
+                raise AssertionError("early corruption must fail full decode")
+            except ValueError:
+                pass
+            _sr, wdec = decode_flac_range(bytes(cand), start, cnt)
+            if wdec.ndim == 2:
+                wdec = (wdec[:, 0].astype(np.int64) + wdec[:, 1]) >> 1
+            assert np.array_equal(np.asarray(wdec, dtype=np.int64), win)
+            raw = bytes(cand)
+        return (cid, bytearray(raw), SEEK_SR_HZ, dur, "flac",
+                transcript_for(cid), i, int(len(win)), win_md5)
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_win_n", T.LongType(), True),
+            T.StructField("_win_md5", T.StringType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_win_n", "_win_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def flac_seek_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_flacseek_{n}")
+
+
+def materialized_flac_seek_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Seekable-FLAC ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = flac_seek_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_flac_seek_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
 def materialized_wav_depth_clips(
     spark: SparkSession, n: int
 ) -> tuple[DataFrame, str]:

@@ -156,14 +156,23 @@ def test_wav_riff_real_decode_round_trip():
     np.testing.assert_array_equal(dec, pcm.astype(np.int32))
     assert snr_db(pcm.astype(np.int32), dec) == float("inf")
 
-    # stereo / non-PCM layouts fail loudly (ValueError -> decode-failure row)
+    # stereo PCM16 now DOWNMIXES ((l+r)>>1 — the multi-depth WAV family);
+    # genuinely unsupported layouts (3 channels, unknown format) still
+    # fail loudly (ValueError -> decode-failure row)
     import struct
 
-    bad_fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
-    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
-    with _pytest.raises(ValueError):
-        decode_payload(b"RIFF" + struct.pack("<I", len(body)) + body)
+    st = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(st)) + st
+    body += b"data" + struct.pack("<I", 8) + struct.pack("<hhhh", 10, 20, -7, 3)
+    mixed = decode_payload(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert list(mixed) == [(10 + 20) >> 1, (-7 + 3) >> 1]
+    for fmt_ch in ((1, 3), (99, 1)):
+        bad_fmt = struct.pack("<HHIIHH", fmt_ch[0], fmt_ch[1], 16000,
+                              64000, 4, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        with _pytest.raises(ValueError):
+            decode_payload(b"RIFF" + struct.pack("<I", len(body)) + body)
 
     # truncated fmt chunk (declared 16 bytes, fewer present) must surface
     # as a decode failure (ValueError), NOT struct.error crashing the task
@@ -491,11 +500,12 @@ def test_stereo_wav_downmix_kernel():
     # mono WAV / NULL / raw PCM pass through
     assert out["n_out"].tolist()[1:] == [-1, -1, -1]
     assert all(out["out_bytes"][k] is None for k in (1, 2, 3))
-    # decode_payload still rejects stereo through the mono invariant path
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        decode_payload(wav)
+    # decode_payload now downmixes stereo DIRECTLY with the same exact
+    # arithmetic (the multi-depth WAV family), so both paths agree
+    assert np.array_equal(
+        np.asarray(decode_payload(wav), dtype=np.int64),
+        (left.astype(np.int64) + right.astype(np.int64)) >> 1,
+    )
 
 
 def test_downmix_mono_operator(spark):
