@@ -3001,6 +3001,30 @@ def _q_clips_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_msadpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL compressed-audio decode proof: mono MS ADPCM
+    (WAVE_FORMAT_ADPCM = 0x0002 — 7 canonical predictor pairs chosen
+    per block by the encoder, 16-entry delta adaptation, 7-byte block
+    headers, HIGH nibble first) in a standard WAV container, decoded in
+    ONE Arrow hop. Ledger oracle, IMA stance: synth-time fingerprints +
+    synth-VERIFIED torn uploads (decode_ok=false, never silent partial
+    audio)."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_msadpcm_clips
+
+    clips, _ = materialized_msadpcm_clips(spark, _ADPCM_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
 _FLAC_N = 400
 
 
@@ -3646,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_gain_normalize": _q_clips_gain_normalize,
         "clips_ulaw_decode": _q_clips_ulaw_decode,
         "clips_adpcm_decode": _q_clips_adpcm_decode,
+        "clips_msadpcm_decode": _q_clips_msadpcm_decode,
         "clips_flac_decode": _q_clips_flac_decode,
         "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
         "clips_wav_depths": _q_clips_wav_depths,
@@ -5787,6 +5812,27 @@ def _clips_adpcm_decode_sql() -> str:
                _n_dec AS n_samples,
                _dec_md5 AS dec_md5,
                (_row_idx % 11 <> 7) AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_msadpcm_decode_sql() -> str:
+    """Ledger oracle for the MS ADPCM decode (same stance as the IMA
+    oracle: synth-time fingerprints + synth-VERIFIED truncations in the
+    SAME parquet files)."""
+    from jsonschema_spark.sources.clips import (
+        MSADPCM_TRUNC_CLS,
+        MSADPCM_TRUNC_MOD,
+        msadpcm_clips_path,
+    )
+
+    src = f"read_parquet('{msadpcm_clips_path(_ADPCM_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % {MSADPCM_TRUNC_MOD} <> {MSADPCM_TRUNC_CLS})
+                 AS decode_ok
         FROM {src}
     """
 
@@ -8255,6 +8301,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_gain_normalize": _clips_gain_normalize_sql(),
         "clips_ulaw_decode": _clips_ulaw_decode_sql(),
         "clips_adpcm_decode": _clips_adpcm_decode_sql(),
+        "clips_msadpcm_decode": _clips_msadpcm_decode_sql(),
         "clips_flac_decode": _clips_flac_decode_sql(),
         "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
         "clips_wav_depths": _clips_wav_depths_sql(),

@@ -378,6 +378,136 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# MS ADPCM (WAVE_FORMAT_ADPCM = 0x0002) — Microsoft's other classic 4-bit
+# compressed-WAV codec (public spec: RIFF/WAVE "Multimedia Programming
+# Interface and Data Specifications" + MSDN WAVEFORMAT docs): 7 fixed
+# prediction-coefficient pairs, a 16-entry delta-adaptation table, 7-byte
+# mono block header (bPredictor u8, iDelta i16, iSamp1 i16, iSamp2 i16 —
+# chronological output starts with iSamp2 then iSamp1), two 4-bit codes
+# per byte HIGH nibble first. The per-sample recurrence
+#   pred = (s1*coef1 + s2*coef2) >> 8;  s = clamp(pred + signed4 * delta)
+#   delta = max(16, (adapt[code] * delta) >> 8)
+# adapts sequentially like IMA; the encoder picks the best of the 7
+# predictors PER BLOCK by squared reconstruction error.
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def msadpcm_decode(
+    data: bytes, block_align: int, n_samples: int | None = None
+) -> np.ndarray:
+    """MS ADPCM block stream -> int32 PCM (mono). Torn blocks and
+    reserved predictor indices raise ValueError (decode fails loudly);
+    ``n_samples`` (the WAV fact count) trims the final block's padding."""
+    import struct
+
+    if block_align < 8:
+        raise ValueError("malformed MS ADPCM: block_align too small")
+    out: list[int] = []
+    for pos in range(0, len(data), block_align):
+        blk = data[pos : pos + block_align]
+        if len(blk) < 7:
+            raise ValueError("malformed MS ADPCM: torn block header")
+        pred_idx = blk[0]
+        if pred_idx > 6:
+            raise ValueError("malformed MS ADPCM: reserved predictor index")
+        c1, c2 = _MS_COEF1[pred_idx], _MS_COEF2[pred_idx]
+        delta, s1, s2 = struct.unpack("<hhh", blk[1:7])
+        out.append(s2)
+        out.append(s1)
+        for byte in blk[7:]:
+            for code in (byte >> 4, byte & 0x0F):
+                signed = code - 16 if code >= 8 else code
+                pred = (s1 * c1 + s2 * c2) >> 8
+                smp = max(-32768, min(32767, pred + signed * delta))
+                s2, s1 = s1, smp
+                delta = max(16, (_MS_ADAPT[code] * delta) >> 8)
+                out.append(smp)
+    if n_samples is not None:
+        if n_samples > len(out):
+            raise ValueError("malformed MS ADPCM: fact count exceeds payload")
+        out = out[:n_samples]
+    return np.array(out, dtype=np.int32)
+
+
+def _msadpcm_encode_block(
+    blk: list[int], pred_idx: int, block_align: int
+) -> tuple[bytes, int]:
+    """Encode one block with a fixed predictor; returns (bytes, sq_err)."""
+    import struct
+
+    s2 = max(-32768, min(32767, int(blk[0])))
+    s1 = max(-32768, min(32767, int(blk[min(1, len(blk) - 1)])))
+    rest = blk[2:]
+    step = 16
+    if len(rest) > 1:
+        step = max(16, int(np.mean(np.abs(np.diff(rest[:64]))) / 4))
+    delta = min(step, 32767)
+    head = struct.pack("<Bhhh", pred_idx, delta, s1, s2)
+    c1, c2 = _MS_COEF1[pred_idx], _MS_COEF2[pred_idx]
+    nibbles: list[int] = []
+    err = 0
+    for s in rest:
+        pred = (s1 * c1 + s2 * c2) >> 8
+        diff = int(s) - pred
+        code = max(-8, min(7, int(round(diff / delta))))
+        code_u = code & 0xF
+        smp = max(-32768, min(32767, pred + code * delta))
+        err += (int(s) - smp) * (int(s) - smp)
+        s2, s1 = s1, smp
+        delta = max(16, (_MS_ADAPT[code_u] * delta) >> 8)
+        nibbles.append(code_u)
+    while len(nibbles) < (block_align - 7) * 2:  # zero-pad final block
+        nibbles.append(0)
+    body = bytes(
+        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, len(nibbles), 2)
+    )
+    return head + body, err
+
+
+def msadpcm_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
+    """int16 PCM -> MS ADPCM block stream (mono): per block, all 7
+    predictors are trial-encoded and the one with least squared
+    reconstruction error wins — the strategy the format was designed
+    for. The WAV ``fact`` chunk records the true sample count."""
+    x = np.asarray(pcm, dtype=np.int32).tolist()
+    spb = (block_align - 7) * 2 + 2
+    out = bytearray()
+    for pos in range(0, len(x), spb):
+        blk = x[pos : pos + spb]
+        best = None
+        for pi in range(7):
+            enc, err = _msadpcm_encode_block(blk, pi, block_align)
+            if best is None or err < best[1]:
+                best = (enc, err)
+        out += best[0]
+    return bytes(out)
+
+
+def encode_wav_msadpcm(
+    pcm: np.ndarray, sr_hz: int, block_align: int = 256
+) -> bytes:
+    """RIFF/WAVE container around mono MS ADPCM (WAVE_FORMAT_ADPCM = 2):
+    extended fmt chunk (cbSize=32: wSamplesPerBlock, wNumCoef=7, the
+    seven canonical coefficient pairs) + the mandatory ``fact`` chunk."""
+    import struct
+
+    data = msadpcm_encode(pcm, block_align)
+    spb = (block_align - 7) * 2 + 2
+    byte_rate = (sr_hz * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, 1, sr_hz, byte_rate, block_align, 4, 32, spb, 7
+    )
+    for c1, c2 in zip(_MS_COEF1, _MS_COEF2):
+        fmt += struct.pack("<hh", c1, c2)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<I", 4) + struct.pack("<I", len(pcm))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _parse_wav(raw: bytes) -> tuple[int, int, int, int, int, int | None, bytes]:
     """Walk RIFF/WAVE chunks (chunks pad to even); return
     (audio_format, channels, sr_hz, bits, block_align, fact_samples,
@@ -422,17 +552,19 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
     audio_format, channels, _sr, bits, block_align, fact, data = _parse_wav(raw)
     pcm_ok = audio_format == 1 and bits in (8, 16, 24) and channels in (1, 2)
     g711_ok = (audio_format, bits, channels) in ((7, 8, 1), (6, 8, 1))
-    adpcm_ok = (audio_format, bits, channels) == (0x11, 4, 1)
+    adpcm_ok = (audio_format, bits, channels) in ((0x11, 4, 1), (0x02, 4, 1))
     if not (pcm_ok or g711_ok or adpcm_ok):
         raise ValueError(
             f"unsupported WAV layout (format={audio_format}, "
             f"channels={channels}, bits={bits}); only PCM 8/16/24-bit "
-            "mono/stereo or G.711 mu-law / A-law / IMA ADPCM mono"
+            "mono/stereo or G.711 mu-law / A-law / IMA / MS ADPCM mono"
         )
     if audio_format == 7:
         return ulaw_decode(np.frombuffer(data, dtype=np.uint8))
     if audio_format == 6:
         return alaw_decode(np.frombuffer(data, dtype=np.uint8))
+    if audio_format == 0x02:
+        return msadpcm_decode(data, block_align, n_samples=fact)
     if audio_format == 0x11:
         if block_align < 5:
             raise ValueError("malformed ADPCM: block_align too small")

@@ -1109,6 +1109,94 @@ def materialized_adpcm_clips(spark: SparkSession, n: int) -> tuple[DataFrame, st
     return spark.read.parquet(path), path
 
 
+# --- MS-ADPCM ledger corpus (WAVE_FORMAT_ADPCM = 0x0002) ------------------
+# Same ledger stance as the IMA corpus: non-truncated rows carry the
+# synth-time decode fingerprint (encode -> store -> distribute -> decode
+# certified end-to-end); the planted torn-upload class is deepened until
+# the decoder provably raises. The encoder picks the best of the 7
+# canonical predictors per block, so the corpus exercises predictor
+# switching in the distributed decode.
+MSADPCM_TRUNC_MOD = 11
+MSADPCM_TRUNC_CLS = 7
+
+
+def synth_msadpcm_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 900),
+) -> DataFrame:
+    """Clips whose payloads are REAL MS ADPCM (format 0x0002) WAVs."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import (
+        decode_payload,
+        encode_wav_msadpcm,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = ADPCM_SR_HZ * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n_samples))
+        raw = encode_wav_msadpcm(pcm, ADPCM_SR_HZ, ADPCM_BLOCK_ALIGN)
+        n_dec = None
+        dec_md5 = None
+        if i % MSADPCM_TRUNC_MOD == MSADPCM_TRUNC_CLS:
+            cut = 3
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += ADPCM_BLOCK_ALIGN // 2
+                except Exception:
+                    raw = cand
+                    break
+        else:
+            dec = decode_payload(raw)
+            d16 = np.clip(dec, -32768, 32767).astype("<i2")
+            n_dec = len(dec)
+            dec_md5 = _hashlib.md5(
+                d16.tobytes().hex().upper().encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), ADPCM_SR_HZ, dur, "adpcm_ms",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def msadpcm_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_msadpcm_{n}")
+
+
+def materialized_msadpcm_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """MS-ADPCM ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = msadpcm_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_msadpcm_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
 # --- REAL-FLAC ledger corpus (functions/flac.py subset codec) ------------
 # FLAC is LOSSLESS, so the ledger fingerprint is computed from the SOURCE
 # samples directly (truth never passes through the codec — the images.py
