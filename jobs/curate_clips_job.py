@@ -64,6 +64,7 @@ def curate_clips(
     trim: bool = False,
     resample_sr: int | None = None,
     target_rms: float | None = None,
+    transcode: bool = False,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -91,7 +92,10 @@ def curate_clips(
     byte-identity dedup): silence trimming + integer-factor decimation
     (operators/trim.py), with bytes_in/bytes_out attribution in the
     report — the byte-reduction stage that shrinks every downstream
-    consumer of the curated corpus.
+    consumer of the curated corpus. ``transcode=True`` re-encodes the
+    FINAL payloads as REAL FLAC (operators/trim.transcode_to_flac,
+    lossless) — the archival stage runs last so the storage format wraps
+    whatever samples the normalization chain produced.
     """
     schema = schema or CLIPS_JSON_SCHEMA
     opts = CompileOptions(
@@ -203,10 +207,11 @@ def curate_clips(
     # fraction is 20 TB every downstream stage would otherwise carry.
     norm_stats = {}
     norm = None
-    if trim or resample_sr or target_rms is not None:
+    if trim or resample_sr or target_rms is not None or transcode:
         from jsonschema_spark.operators.trim import (
             normalize_loudness,
             resample_pcm,
+            transcode_to_flac,
             trim_silence,
         )
 
@@ -222,6 +227,12 @@ def curate_clips(
         if target_rms is not None:
             norm = normalize_loudness(norm, target_rms=target_rms)
             added += ["normalized", "gain"]
+        if transcode:
+            if "n_out" in norm.columns:  # resample already claimed the name
+                norm = norm.withColumnRenamed("n_out", "n_out_resample")
+                added[added.index("n_out")] = "n_out_resample"
+            norm = transcode_to_flac(norm)
+            added += ["transcoded", "n_out"]
         norm = norm.persist()
         bytes_in = curated.agg(F.sum(F.length("bytes"))).collect()[0][0] or 0
         agg = norm.agg(
@@ -232,6 +243,8 @@ def curate_clips(
               if resample_sr else []),
             *([F.sum(F.col("normalized").cast("long")).alias("n_normalized")]
               if target_rms is not None else []),
+            *([F.sum(F.col("transcoded").cast("long")).alias("n_transcoded")]
+              if transcode else []),
         ).collect()[0]
         norm_stats = {
             "bytes_in": int(bytes_in),
@@ -241,6 +254,8 @@ def curate_clips(
                if resample_sr else {}),
             **({"rows_normalized": int(agg["n_normalized"] or 0)}
                if target_rms is not None else {}),
+            **({"rows_transcoded": int(agg["n_transcoded"] or 0)}
+               if transcode else {}),
         }
         curated = norm.drop(*added)
 
@@ -310,6 +325,10 @@ def main(argv=None) -> int:
     p.add_argument("--target-rms", type=float, metavar="LIN",
                    help="normalize loudness to this linear full-scale RMS "
                         "on output (0.1 = -20 dBFS)")
+    p.add_argument("--transcode-flac", action="store_true",
+                   help="re-encode the final curated payloads as REAL "
+                        "FLAC (lossless archival normalization; runs "
+                        "after trim/resample/loudness)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
@@ -355,6 +374,7 @@ def main(argv=None) -> int:
         trim=args.trim_silence,
         resample_sr=args.resample,
         target_rms=args.target_rms,
+        transcode=args.transcode_flac,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -188,3 +188,41 @@ def test_curate_clips_bandwidth_gate(spark):
     _, stats_off = curate_clips(clips, snr_threshold_db=None)
     assert stats_off["bandwidth_rejected"] == 0
     assert stats_off["output_rows"] == n
+
+
+def test_curate_clips_transcode_stage(spark):
+    """--transcode-flac re-encodes the FINAL payloads losslessly: runs
+    after trim/resample, codec column flips to flac, byte totals shrink,
+    and decode(transcoded) == the post-normalization samples."""
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import decode_payload
+
+    a, b = "clip-000000000001", "clip-000000000002"
+    n = 16000 * 400 // 1000
+    rows = []
+    for cid in (a, b):
+        sig = reference_signal(cid, n).astype(np.float64)
+        rows.append(Row(
+            clip_id=cid, bytes=bytearray(pcm16_from_float(sig).tobytes()),
+            sr_hz=16000, dur_ms=400, codec="pcm_s16le",
+            transcript=reference_transcript(cid),
+        ))
+    df = spark.createDataFrame(rows, CLIPS_SCHEMA)
+    curated, stats = curate_clips(
+        df, snr_threshold_db=None, resample_sr=8000, transcode=True
+    )
+    assert stats["output_rows"] == 2
+    assert stats["rows_resampled"] == 2 and stats["rows_transcoded"] == 2
+    assert stats["bytes_out"] < stats["bytes_in"]
+    out = {r["clip_id"]: r for r in curated.collect()}
+    for cid in (a, b):
+        r = out[cid]
+        assert r["codec"] == "flac" and bytes(r["bytes"])[:4] == b"fLaC"
+        ref = pcm16_from_float(reference_signal(cid, n).astype(np.float64))
+        dec = decode_payload(bytes(r["bytes"]))
+        assert np.array_equal(
+            np.asarray(dec, dtype=np.int64),
+            ref[::2].astype(np.int64),  # decimated first, then lossless
+        )
+    assert stats["by_codec"] == {"flac": 2}
