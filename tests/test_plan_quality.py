@@ -201,3 +201,49 @@ def test_pq_topk_corpus_never_reshuffled(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     # the only sort is the per-query top-k window
     assert p.count("SortMergeJoin") == 0
+
+
+def test_flac_window_single_fused_arrow_hop(spark):
+    """clips_flac_window: the window UDF and the decode-profile UDF both
+    read only scan columns, so Spark FUSES them into ONE ArrowEvalPython
+    node (one batch stream feeds both) — pin that, plus zero shuffles
+    and no per-row Python."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["clips_flac_window"](spark, SF_DIR)
+    p = plan(df)
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p  # one scan, zero shuffles
+
+
+def test_transcode_query_two_arrow_hops(spark):
+    """clips_transcode_flac: encode hop + re-decode hop stack without
+    duplication; no shuffle anywhere in the archival-rewrite plan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["clips_transcode_flac"](spark, SF_DIR)
+    p = plan(df)
+    assert p.count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_wav_depths_single_hop_no_shuffle(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["clips_wav_depths"](spark, SF_DIR)
+    p = plan(df)
+    assert p.count("ArrowEvalPython") == 1
+    assert "Exchange" not in p
+
+
+def test_upsample_single_hop(spark):
+    from jsonschema_spark.operators.trim import upsample_pcm
+    from jsonschema_spark.sources.clips import synth_clips
+
+    clips = synth_clips(spark, 40, partitions=2)
+    p = plan(upsample_pcm(clips, 32000))
+    # mapInPandas generator source + ONE upsample hop
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
