@@ -447,3 +447,61 @@ def test_streaming_wasserstein_matches_batch(spark, events_dir, tmp_path):
         ).collect()[0]
         assert r.w1_dist == pytest.approx(want.w1_dist, abs=1e-9), r
         assert (r.n_cur, r.n_base) == (want.n_cur, want.n_base)
+
+
+def test_streaming_window_and_transcode_match_batch(spark, tmp_path):
+    """The new payload-rewrite ops are stateless projections, so the SAME
+    plan runs under readStream: snippet windows (container-aware seek)
+    and lossless FLAC transcode must produce byte-identical rows to the
+    batch run over the same files."""
+    import numpy as np
+
+    from jsonschema_spark.functions.audio import (
+        pcm16_from_float,
+        reference_signal,
+        transcode_flac,
+        window_pcm,
+    )
+    from jsonschema_spark.functions.flac import encode_flac
+
+    rows = []
+    for i in range(40):
+        cid = f"clip-{i:012d}"
+        n = 16000 * 1500 // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n))
+        raw = (encode_flac(pcm, 16000, seek_every=4) if i % 2
+               else pcm.astype("<i2").tobytes())
+        rows.append((cid, bytearray(raw), 16000, 1500))
+    d = str(tmp_path / "clips_payload_stream")
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int"
+    ).repartition(4).write.mode("overwrite").parquet(d)
+    batch_df = spark.read.parquet(d)
+
+    def transform(df):
+        return df.select(
+            "clip_id",
+            window_pcm("bytes", "sr_hz", F.lit(600), F.lit(250)).alias("w"),
+            transcode_flac("bytes", "sr_hz").alias("t"),
+        ).select(
+            "clip_id",
+            F.md5(F.hex("w.out_bytes")).alias("win_md5"),
+            F.col("w.n_out").alias("n_win"),
+            F.md5(F.hex("t.out_bytes")).alias("tc_md5"),
+        )
+
+    want = sorted(tuple(r) for r in transform(batch_df).collect())
+    stream = spark.readStream.schema(batch_df.schema).parquet(d)
+    q = (
+        transform(stream).writeStream.format("memory")
+        .queryName("payload_rw_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_payload_rw"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM payload_rw_stream").collect()
+    )
+    assert got == want and len(got) == 40
