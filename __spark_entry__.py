@@ -2163,6 +2163,63 @@ def _q_clips_flac_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGD_N = 300
+
+
+def _q_clips_segment_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-then-segment across the WHOLE codec surface: a mixed corpus
+    (real FLAC, WAV16, IMA ADPCM, G.711 u-law, raw PCM + a torn-FLAC
+    class) is decoded ONCE per clip inside one Arrow hop and exploded
+    JVM-side into fixed 250 ms training windows; every segment's
+    fingerprint must land on the per-segment ledger certified at synth
+    time (source samples for the lossless containers, decode fixpoint
+    for the lossy ones), and the torn class must surface as exactly one
+    loud NULL-segment row. One scan -> one ArrowEvalPython -> one
+    Generate, zero shuffle — the 100-TB segmentation plan."""
+    from jsonschema_spark.operators.segments import segment_decoded
+    from jsonschema_spark.sources.clips import (
+        SEGD_SEG_MS,
+        materialized_segment_clips,
+    )
+
+    clips, _ = materialized_segment_clips(spark, _SEGD_N)
+    seg = segment_decoded(clips, segment_ms=SEGD_SEG_MS)
+    return seg.select(
+        "clip_id",
+        "seg_idx",
+        "seg_n_samples",
+        "n_samples",
+        F.md5(F.upper(F.hex("seg_bytes"))).alias("seg_md5"),
+    )
+
+
+def _q_clips_segment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmentation ROUTER: raw pcm_s16le rows byte-slice entirely
+    JVM-side (zero Python — the payload never crosses the Arrow
+    boundary), container rows take the decode-once Arrow hop; both
+    branches must land on the SAME per-segment ledger, which pins that
+    the slice path is byte-identical to a decode of the same payload.
+    The oracle adds the routing column from the codec alone — the two
+    predicate-disjoint scans both push their codec filter into the
+    parquet scan."""
+    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.sources.clips import (
+        SEGD_SEG_MS,
+        materialized_segment_clips,
+    )
+
+    clips, _ = materialized_segment_clips(spark, _SEGD_N)
+    seg = segment_auto(clips, segment_ms=SEGD_SEG_MS)
+    return seg.select(
+        "clip_id",
+        "seg_idx",
+        "seg_n_samples",
+        "n_samples",
+        F.md5(F.upper(F.hex("seg_bytes"))).alias("seg_md5"),
+        "seg_path",
+    )
+
+
 def _q_suite_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio payload axis inside the declarative CI gate: one suite
     run over TWO ledger corpora — decode-rate gate on the FLAC corpus
@@ -3678,6 +3735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_transcode_flac": _q_clips_transcode_flac,
         "suite_report_clips": _q_suite_report_clips,
         "clips_flac_window": _q_clips_flac_window,
+        "clips_segment_decoded": _q_clips_segment_decoded,
+        "clips_segment_auto": _q_clips_segment_auto,
         "clips_pcm24_decode": _q_clips_pcm24_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
@@ -5396,6 +5455,43 @@ def _clips_transcode_flac_sql() -> str:
         SELECT clip_id,
                _n_dec AS n_samples,
                _dec_md5 AS dec_md5
+        FROM {src}
+    """
+
+
+def _clips_segment_decoded_sql() -> str:
+    """Segmentation oracle: lockstep-unnest the per-segment ledger arrays
+    (DuckDB zips same-SELECT unnests positionally) — one expected row per
+    certified segment, and the torn class's [NULL] arrays yield exactly
+    the one NULL row the loud posexplode_outer path must emit."""
+    from jsonschema_spark.sources.clips import segment_clips_path
+
+    src = f"read_parquet('{segment_clips_path(_SEGD_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               unnest(_seg_idxs) AS seg_idx,
+               unnest(_seg_ns) AS seg_n_samples,
+               _n_dec AS n_samples,
+               unnest(_seg_md5s) AS seg_md5
+        FROM {src}
+    """
+
+
+def _clips_segment_auto_sql() -> str:
+    """Router oracle: the same lockstep-unnested per-segment ledger, with
+    the expected path derived from the codec column alone (pcm_s16le ->
+    slice, everything else -> decode)."""
+    from jsonschema_spark.sources.clips import segment_clips_path
+
+    src = f"read_parquet('{segment_clips_path(_SEGD_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               unnest(_seg_idxs) AS seg_idx,
+               unnest(_seg_ns) AS seg_n_samples,
+               _n_dec AS n_samples,
+               unnest(_seg_md5s) AS seg_md5,
+               CASE WHEN codec = 'pcm_s16le' THEN 'slice'
+                    ELSE 'decode' END AS seg_path
         FROM {src}
     """
 
@@ -8309,6 +8405,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_transcode_flac": _clips_transcode_flac_sql(),
         "suite_report_clips": _suite_report_clips_sql(),
         "clips_flac_window": _clips_flac_window_sql(),
+        "clips_segment_decoded": _clips_segment_decoded_sql(),
+        "clips_segment_auto": _clips_segment_auto_sql(),
         "clips_pcm24_decode": _clips_pcm24_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),

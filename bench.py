@@ -290,6 +290,25 @@ def q_clips_segments(spark: SparkSession):
     ).collect()
 
 
+def q_clips_segment_decoded(spark: SparkSession):
+    """Decode-then-segment for compressed containers: one Arrow decode hop
+    per clip (array of 250ms PCM16 windows) + JVM posexplode — the path
+    segment_clips defers for its sliceable=false rows; checksums fold so
+    neither the decode nor the fan-out can be pruned."""
+    from jsonschema_spark.operators.segments import segment_decoded
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    segs = segment_decoded(
+        clips.select("clip_id", "bytes", "sr_hz", "codec"), 250
+    )
+    return segs.agg(
+        F.count(F.lit(1)),
+        F.sum("seg_n_samples"),
+        F.sum(F.length("seg_bytes")),
+    ).collect()
+
+
 def q_infer_schema(spark: SparkSession):
     """Schema inference profile over orders: two exact hash aggregates
     (bounds/nulls/distincts, then gated enum collect)."""
@@ -607,6 +626,7 @@ QUERIES = {
     "audio_dedup": q_audio_dedup,
     "audio_quality": q_audio_quality,
     "clips_segments": q_clips_segments,
+    "clips_segment_decoded": q_clips_segment_decoded,
     "infer_schema": q_infer_schema,
     "reconcile": q_reconcile,
     "sample_token_budget": q_sample_token_budget,

@@ -1806,3 +1806,73 @@ def downmix(payload: Column | str = "bytes") -> Column:
     pcm_s16le (see downmix_batch). One Arrow hop; n_out = -1 marks
     pass-through (already-mono / non-WAV / undecodable) rows."""
     return _downmix_udf(F.col(payload) if isinstance(payload, str) else payload)
+
+
+SEGMENT_TYPE = T.StructType(
+    [
+        T.StructField("segs", T.ArrayType(T.BinaryType())),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def segment_pcm_batch(
+    payloads: pd.Series, srs: pd.Series, segment_ms: int
+) -> pd.DataFrame:
+    """Vectorized batch kernel: decode each payload ONCE (any supported
+    container — WAV 8/16/24-bit mono/stereo, G.711, IMA/MS ADPCM, real
+    FLAC, raw PCM) and slice the mono int16 stream into fixed
+    ``segment_ms`` training windows, returned as an array of raw
+    pcm_s16le segment payloads. This is the decode-then-segment path for
+    COMPRESSED containers that ``operators.segments.segment_clips``
+    cannot byte-slice (its ``sliceable=false`` rows): the O(clip) decode
+    happens exactly once per clip inside one Arrow hop, and the
+    per-segment fan-out stays JVM-side (``posexplode`` over the returned
+    array) so segment rows never round-trip through Python.
+
+    The final segment keeps its natural tail (shorter than segment_ms);
+    concatenating the segments in index order reproduces the full decoded
+    stream byte-for-byte (slicing is exhaustive and non-overlapping).
+    Undecodable / NULL / non-positive-rate rows return NULL segs +
+    n_samples = -1 (quarantine upstream, never guess)."""
+    n_rows = len(payloads)
+    segs: list = [None] * n_rows
+    n_dec = np.full(n_rows, -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (
+            isinstance(sr, float) and np.isnan(sr)
+        ):
+            continue
+        sr = int(sr)
+        sps = sr * segment_ms // 1000
+        if sr <= 0 or sps <= 0:
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        b = pcm.astype("<i2").tobytes()
+        n_dec[i] = len(pcm)
+        step = 2 * sps
+        segs[i] = [b[o : o + step] for o in range(0, len(b), step)]
+    return pd.DataFrame({"segs": segs, "n_samples": n_dec})
+
+
+def segment_pcm(
+    payload: Column | str,
+    sr_hz: Column | str,
+    segment_ms: int,
+) -> Column:
+    """struct(segs array<binary>, n_samples): the payload decoded once and
+    sliced into fixed ``segment_ms`` raw-PCM16 windows (see
+    segment_pcm_batch). One Arrow hop; NULL segs + n_samples = -1 marks
+    undecodable rows."""
+    if segment_ms <= 0:
+        raise ValueError("segment_ms must be positive")
+
+    @pandas_udf(SEGMENT_TYPE)
+    def _seg(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return segment_pcm_batch(p, sr, segment_ms)
+
+    c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
+    return _seg(c(payload), c(sr_hz))

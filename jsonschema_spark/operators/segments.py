@@ -185,3 +185,225 @@ def segment_summary(segments: DataFrame) -> DataFrame:
         )
         .orderBy("clip_id")
     )
+
+
+def segment_decoded(
+    df: DataFrame,
+    segment_ms: int,
+    min_tail_ms: int = 0,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Segment COMPRESSED audio: decode each payload once (any container
+    ``functions.audio.decode_payload`` speaks — WAV depths, G.711, ADPCM,
+    real FLAC, raw PCM) and explode the decoded stream into fixed
+    ``segment_ms`` raw-PCM16 training windows.
+
+    This is the decode-then-segment hop ``segment_clips`` deliberately
+    defers for its ``sliceable=false`` container rows: the decode is
+    O(clip) and runs EXACTLY ONCE per clip inside one Arrow hop
+    (functions.audio.segment_pcm returns array<binary>); the per-segment
+    fan-out is a JVM ``posexplode_outer`` over that array — segment rows
+    never round-trip through Python, and undecodable clips surface as one
+    loud row (NULL seg_idx/seg_bytes, n_samples = -1) instead of silently
+    vanishing.
+
+    Returns (clip_id, segment_id, seg_idx, seg_start_sample,
+    seg_n_samples, n_samples, sr_hz, codec, seg_bytes). Boundaries are in
+    SAMPLES (seg_start_sample = seg_idx * (sr*segment_ms div 1000)) —
+    exact integers, unlike ms starts which floor-divide unevenly at
+    odd rates. The final segment keeps its natural tail; tails shorter
+    than ``min_tail_ms`` are dropped when requested (the filter sits
+    ABOVE the generate so the decode UDF still runs once).
+
+    Scale shape (10^12 clips): one scan -> one ArrowEvalPython -> one
+    Generate — zero shuffle, parallelism = input partitions; output rows
+    multiply but each segment references its own window of the decoded
+    buffer. Downstream shuffles belong AFTER any per-segment reduction.
+    """
+    from jsonschema_spark.functions.audio import segment_pcm
+
+    dec = df.select(
+        F.col(id_col),
+        F.col(sr_col),
+        F.col(codec_col),
+        segment_pcm(payload_col, sr_col, segment_ms).alias("_seg"),
+    )
+    # own projection: posexplode must reference the struct ATTRIBUTE, not
+    # re-expand the UDF expression per field (project collapsing)
+    dec = dec.select(
+        F.col(id_col),
+        F.col(sr_col),
+        F.col(codec_col),
+        F.col("_seg.n_samples").alias("n_samples"),
+        F.posexplode_outer("_seg.segs").alias("seg_idx", "seg_bytes"),
+    )
+    sps = (F.col(sr_col).cast("long") * segment_ms / 1000).cast("long")
+    out = dec.select(
+        F.col(id_col),
+        F.when(
+            F.col("seg_idx").isNotNull(),
+            F.concat(
+                F.col(id_col),
+                F.lit("#"),
+                F.lpad(F.col("seg_idx").cast("string"), 5, "0"),
+            ),
+        ).alias("segment_id"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        (F.col("seg_idx").cast("long") * sps).alias("seg_start_sample"),
+        (F.length("seg_bytes") / BYTES_PER_SAMPLE).cast("long").alias(
+            "seg_n_samples"
+        ),
+        F.col("n_samples"),
+        F.col(sr_col),
+        F.col(codec_col),
+        F.col("seg_bytes"),
+    )
+    if min_tail_ms > 0:
+        min_samples = (
+            F.col(sr_col).cast("long") * min_tail_ms / 1000
+        ).cast("long")
+        out = out.where(
+            F.col("seg_idx").isNull()
+            | (F.col("seg_n_samples") >= min_samples)
+        )
+    return out
+
+
+def segment_auto(
+    df: DataFrame,
+    segment_ms: int,
+    min_tail_ms: int = 0,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Route every row through the CHEAPEST correct segmentation path:
+    raw ``pcm_s16le`` rows are byte-sliced entirely JVM-side (substring
+    over an exploded index sequence — zero Python, the payload never
+    crosses the Arrow boundary), everything else (WAV depths, G.711,
+    ADPCM, real FLAC — and NULL codecs, which must be sniffed) takes the
+    decode-once Arrow hop of ``segment_decoded``. Both branches emit the
+    SAME sample-exact schema plus ``seg_path`` ('slice' | 'decode'), and
+    the slice branch is byte-identical to what the decode branch would
+    produce for the same payload (raw PCM "decode" is the identity).
+
+    Scale shape: the two branches are predicate-disjoint scans of the
+    input (`codec = 'pcm_s16le'` vs the rest) — the filter pushes to the
+    parquet scan, and a corpus PARTITIONED BY codec prunes each branch to
+    its own files, so the union costs one logical pass. No shuffle in
+    either branch; the union is a plan-level concatenation, not an
+    exchange."""
+    pcm_mask = F.coalesce(
+        F.col(codec_col) == PCM_CODEC, F.lit(False)
+    )
+
+    sps = (F.col(sr_col).cast("long") * segment_ms / 1000).cast("long")
+    n_samples = (F.length(F.col(payload_col)) / BYTES_PER_SAMPLE).cast(
+        "long"
+    )
+    n_seg = F.ceil(n_samples / sps).cast("long")
+    # odd-length payloads are MALFORMED pcm_s16le, not floorable: the
+    # decode path's frombuffer raises, so the slice path must go loud
+    # (n_samples = -1, one NULL-segment row) on them too
+    even_len = F.length(F.col(payload_col)) % 2 == 0
+    slice_ok = (
+        F.col(payload_col).isNotNull()
+        & F.col(sr_col).isNotNull()
+        & (sps > 0)
+        & (n_samples > 0)
+        & even_len
+    )
+    idxs = F.when(slice_ok, F.sequence(F.lit(0), (n_seg - 1).cast("int")))
+    sliced = (
+        df.where(pcm_mask)
+        .select(
+            F.col(id_col),
+            F.col(payload_col),
+            F.col(sr_col),
+            F.col(codec_col),
+            sps.alias("_sps"),
+            n_samples.alias("_n"),
+            F.posexplode_outer(idxs).alias("_p", "seg_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("seg_idx").isNotNull(),
+                F.concat(
+                    F.col(id_col),
+                    F.lit("#"),
+                    F.lpad(F.col("seg_idx").cast("string"), 5, "0"),
+                ),
+            ).alias("segment_id"),
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            (F.col("seg_idx").cast("long") * F.col("_sps")).alias(
+                "seg_start_sample"
+            ),
+            F.when(
+                F.col("seg_idx").isNotNull(),
+                F.least(
+                    F.col("_sps"),
+                    F.col("_n") - F.col("seg_idx").cast("long") * F.col("_sps"),
+                ),
+            ).alias("seg_n_samples"),
+            # parity with the decode path's loud convention: -1 for
+            # rows it could not decode (NULL payload / unusable rate),
+            # the true decoded length otherwise (0 for empty payloads,
+            # which also surface as one NULL-segment row)
+            F.when(
+                F.col(payload_col).isNull()
+                | F.col(sr_col).isNull()
+                | (F.col("_sps") <= 0)
+                | (F.length(F.col(payload_col)) % 2 == 1),
+                F.lit(-1),
+            )
+            .otherwise(F.col("_n"))
+            .alias("n_samples"),
+            F.col(sr_col),
+            F.col(codec_col),
+            F.when(
+                F.col("seg_idx").isNotNull(),
+                F.substring(
+                    F.col(payload_col),
+                    (
+                        F.col("seg_idx").cast("long")
+                        * F.col("_sps")
+                        * BYTES_PER_SAMPLE
+                        + 1
+                    ).cast("int"),
+                    # least(...) trims BOTH the natural tail and any odd
+                    # trailing byte (raw "decode" floors to whole samples)
+                    (
+                        F.least(
+                            F.col("_sps"),
+                            F.col("_n")
+                            - F.col("seg_idx").cast("long") * F.col("_sps"),
+                        )
+                        * BYTES_PER_SAMPLE
+                    ).cast("int"),
+                ),
+            ).alias("seg_bytes"),
+            F.lit("slice").alias("seg_path"),
+        )
+    )
+    if min_tail_ms > 0:
+        min_s = (F.col(sr_col).cast("long") * min_tail_ms / 1000).cast(
+            "long"
+        )
+        sliced = sliced.where(
+            F.col("seg_idx").isNull() | (F.col("seg_n_samples") >= min_s)
+        )
+    decoded = segment_decoded(
+        df.where(~pcm_mask),
+        segment_ms,
+        min_tail_ms=min_tail_ms,
+        id_col=id_col,
+        payload_col=payload_col,
+        sr_col=sr_col,
+        codec_col=codec_col,
+    ).withColumn("seg_path", F.lit("decode"))
+    return sliced.unionByName(decoded)

@@ -1635,3 +1635,153 @@ def materialized_flac_clips(spark: SparkSession, n: int) -> tuple[DataFrame, str
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_flac_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- decode-then-segment ledger corpus -------------------------------------
+# One corpus exercising EVERY container decode_payload speaks, so the
+# decode-once-then-posexplode segmentation operator (operators/segments.
+# segment_decoded) is pinned across the whole codec surface in one query.
+# Ledger stance per class: lossless containers (FLAC / WAV16 / raw PCM)
+# certify segments from the SOURCE samples (truth never passes through the
+# codec); lossy codecs (IMA ADPCM / G.711 u-law) certify the synth-time
+# decode fixpoint (encode -> store -> distribute -> decode, same stance as
+# the ADPCM corpus); the torn-FLAC class is deepened until the decoder
+# provably raises, and the ledger plants the single NULL segment row the
+# loud posexplode_outer path must emit.
+SEGD_CLASS_MOD = 6
+SEGD_CLS_FLAC = 0
+SEGD_CLS_WAV16 = 1
+SEGD_CLS_ADPCM = 2
+SEGD_CLS_ULAW = 3
+SEGD_CLS_RAW = 4
+SEGD_CLS_TORN = 5
+SEGD_SEG_MS = 250
+
+SEGD_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_n_dec", T.LongType(), False),
+        T.StructField("_seg_idxs", T.ArrayType(T.LongType(), True), True),
+        T.StructField("_seg_ns", T.ArrayType(T.LongType(), True), True),
+        T.StructField("_seg_md5s", T.ArrayType(T.StringType(), True), True),
+    ]
+)
+
+
+def synth_segment_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (600, 1800),
+) -> DataFrame:
+    """Mixed-container clips with a per-segment certified ledger: each
+    non-torn row carries the expected (idx, n_samples, md5) of every
+    SEGD_SEG_MS window of its decoded mono PCM16 stream."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import (
+        decode_payload,
+        encode_wav_adpcm,
+        encode_wav_pcm,
+        encode_wav_ulaw,
+    )
+    from jsonschema_spark.functions.flac import encode_flac
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _segment_ledger(dec16: np.ndarray, sr: int) -> tuple:
+        sps = sr * SEGD_SEG_MS // 1000
+        b = dec16.astype("<i2").tobytes()
+        idxs, ns, md5s = [], [], []
+        for k, off in enumerate(range(0, len(b), 2 * sps)):
+            seg = b[off : off + 2 * sps]
+            idxs.append(k)
+            ns.append(len(seg) // 2)
+            md5s.append(
+                _hashlib.md5(seg.hex().upper().encode()).hexdigest()
+            )
+        return idxs, ns, md5s
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % SEGD_CLASS_MOD
+        sr = 16000 if (h >> 8) % 2 == 0 else 8000
+        n_samples = sr * dur // 1000
+        pcm = pcm16_from_float(reference_signal(cid, n_samples))
+        if cls == SEGD_CLS_FLAC or cls == SEGD_CLS_TORN:
+            raw = encode_flac(pcm.astype(np.int64), sr)
+            codec = "flac"
+            dec16 = pcm
+        elif cls == SEGD_CLS_WAV16:
+            raw = encode_wav_pcm(pcm, sr, bits=16)
+            codec = "wav"
+            dec16 = pcm
+        elif cls == SEGD_CLS_ADPCM:
+            raw = encode_wav_adpcm(pcm, sr)
+            codec = "adpcm"
+            dec16 = np.clip(
+                decode_payload(raw), -32768, 32767
+            ).astype("<i2")
+        elif cls == SEGD_CLS_ULAW:
+            raw = encode_wav_ulaw(pcm, sr)
+            codec = "ulaw"
+            dec16 = np.clip(
+                decode_payload(raw), -32768, 32767
+            ).astype("<i2")
+        else:
+            raw = pcm.astype("<i2").tobytes()
+            codec = "pcm_s16le"
+            dec16 = pcm
+        if cls == SEGD_CLS_TORN:
+            cut = 3
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += 16
+                except Exception:
+                    raw = cand
+                    break
+            n_dec, idxs, ns, md5s = -1, [None], [None], [None]
+        else:
+            n_dec = len(dec16)
+            idxs, ns, md5s = _segment_ledger(dec16, sr)
+        return (cid, bytearray(raw), sr, dur, codec, transcript_for(cid),
+                i, n_dec, idxs, ns, md5s)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_seg_idxs",
+                "_seg_ns", "_seg_md5s"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=SEGD_CLIPS_SCHEMA
+    )
+
+
+def segment_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_segment_{n}")
+
+
+def materialized_segment_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Segmentation ledger table materialized once (oracle-cache
+    protocol); the DuckDB oracle lockstep-unnests the ledger arrays over
+    the SAME files."""
+    import os
+
+    path = segment_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_segment_clips(spark, n), path)
+    return spark.read.parquet(path), path
