@@ -1,0 +1,49 @@
+"""Segmentation job (jobs/segment_clips_job.py): routed fan-out into
+fixed training windows + one-pass report."""
+
+from jsonschema_spark.sources.clips import synth_segment_clips
+
+
+def test_segment_table_report_and_output(spark, tmp_path):
+    from jobs.segment_clips_job import segment_table
+
+    clips = synth_segment_clips(spark, 48).drop(
+        "_row_idx", "_n_dec", "_seg_idxs", "_seg_ns", "_seg_md5s"
+    )
+    out = str(tmp_path / "segs")
+    segs, stats = segment_table(clips, segment_ms=250, output=out)
+    try:
+        assert stats["clips"] == 48
+        # torn-FLAC class is 1/6 of the corpus
+        assert stats["undecodable_clips"] == 8
+        assert stats["slice_segments"] + stats["decode_segments"] == stats[
+            "segments"
+        ]
+        assert stats["slice_segments"] > 0 and stats["decode_segments"] > 0
+        # every non-torn clip ends in a natural tail at these durations
+        assert 0 < stats["short_tails"] <= stats["segments"]
+        written = spark.read.parquet(out)
+        assert written.count() == stats["segments"]
+        assert written.where("seg_idx IS NULL").count() == 0
+    finally:
+        segs.unpersist()
+
+
+def test_segment_job_cli_smoke(spark, tmp_path, capsys):
+    import json
+
+    from jobs.segment_clips_job import main
+
+    out = str(tmp_path / "cli_segs")
+    rc = main(
+        [
+            "--synthesize", "36",
+            "--output", out,
+            "--segment-ms", "250",
+            "--min-tail-ms", "50",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["clips"] == 36 and stats["undecodable_clips"] == 6
+    assert spark.read.parquet(out).count() == stats["segments"]

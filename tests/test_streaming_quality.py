@@ -64,3 +64,41 @@ def test_segmentation_streaming_parity(spark, tmp_path):
     q.stop()
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM q_seg_stream").collect())
     assert got == want and len(got) > 120
+
+
+def test_segment_auto_streaming_parity(spark, tmp_path):
+    """The segmentation ROUTER under readStream: the slice branch, the
+    Arrow decode branch, and their union are all stateless, so the same
+    compiled plan must emit byte-identical segment rows per micro-batch
+    (north rule: one plan, batch and streaming)."""
+    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.sources.clips import synth_segment_clips
+
+    d = str(tmp_path / "sa_clips")
+    synth_segment_clips(spark, 48, partitions=4).drop(
+        "_row_idx", "_n_dec", "_seg_idxs", "_seg_ns", "_seg_md5s"
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def segs(df):
+        return segment_auto(df, 250).select(
+            "clip_id", "seg_idx", "seg_n_samples", "n_samples",
+            "seg_path", F.md5(F.hex("seg_bytes")).alias("h"),
+        )
+
+    want = sorted(tuple(r) for r in segs(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        segs(stream)
+        .writeStream.format("memory").queryName("q_segauto_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sa"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM q_segauto_stream").collect()
+    )
+    assert got == want
