@@ -2220,6 +2220,73 @@ def _q_clips_segment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_segment_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment energy + silence gate over the routed fan-out: one
+    more Arrow hop computes integer-EXACT sum-of-squares / peak per
+    window, and the planted dead windows (segment 1 zeroed in the SOURCE
+    for ~1/4 of clips) must fire the silence gate — certified through
+    the lossless classes exactly and through the lossy codecs' decode
+    fixpoint. Integer arithmetic end-to-end = bit-exact DuckDB replay
+    from the ledger arrays."""
+    from jsonschema_spark.operators.segments import (
+        segment_auto,
+        segment_energy,
+    )
+    from jsonschema_spark.sources.clips import (
+        SEGD_SEG_MS,
+        materialized_segment_clips,
+    )
+
+    clips, _ = materialized_segment_clips(spark, _SEGD_N)
+    seg = segment_energy(segment_auto(clips, segment_ms=SEGD_SEG_MS))
+    return seg.select(
+        "clip_id", "seg_idx", "seg_sumsq", "seg_peak", "silent"
+    )
+
+
+# Constraint contract for the SEGMENT fan-out (validate-after-segment:
+# the north-star pipeline applied one level below clips)
+SEGMENTS_JSON_SCHEMA = {
+    "$id": "https://example.com/segments.schema.json",
+    "type": "object",
+    "required": ["clip_id", "segment_id", "seg_idx", "seg_n_samples"],
+    "properties": {
+        "clip_id": {"type": "string", "pattern": "^clip-\\d{12}$"},
+        "segment_id": {
+            "type": "string",
+            "pattern": "^clip-\\d{12}#\\d{5}$",
+        },
+        "seg_idx": {"type": "integer", "minimum": 0},
+        "seg_n_samples": {"type": "integer", "minimum": 1, "maximum": 4000},
+        "n_samples": {"type": "integer", "minimum": 0},
+        "sr_hz": {"enum": [8000, 16000]},
+        "codec": {"enum": ["pcm_s16le", "wav", "flac", "adpcm", "ulaw"]},
+    },
+    "additionalProperties": True,
+}
+
+
+def _q_validate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint evaluation over the SEGMENT fan-out: the same compiled
+    keyword DAG the clips north star uses, applied one level below —
+    every torn clip's loud NULL row must fail required(segment_id /
+    seg_idx / seg_n_samples) and minimum(n_samples), and nothing else in
+    the corpus may violate. Segmentation explode + codegen'd checks stay
+    in one stage; the oracle replays every check arm from the
+    lockstep-unnested ledger."""
+    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.sources.clips import (
+        SEGD_SEG_MS,
+        materialized_segment_clips,
+    )
+
+    clips, _ = materialized_segment_clips(spark, _SEGD_N)
+    seg = segment_auto(clips, segment_ms=SEGD_SEG_MS).drop("seg_bytes")
+    return validate(seg, SEGMENTS_JSON_SCHEMA).violations(
+        ["clip_id", "seg_idx"]
+    )
+
+
 def _q_suite_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio payload axis inside the declarative CI gate: one suite
     run over TWO ledger corpora — decode-rate gate on the FLAC corpus
@@ -3737,6 +3804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_window": _q_clips_flac_window,
         "clips_segment_decoded": _q_clips_segment_decoded,
         "clips_segment_auto": _q_clips_segment_auto,
+        "clips_segment_energy": _q_clips_segment_energy,
+        "validate_segments": _q_validate_segments,
         "clips_pcm24_decode": _q_clips_pcm24_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
@@ -5494,6 +5563,95 @@ def _clips_segment_auto_sql() -> str:
                     ELSE 'decode' END AS seg_path
         FROM {src}
     """
+
+
+def _segd_segs_cte() -> str:
+    """Shared CTE: the segment relation rebuilt from the ledger arrays
+    (lockstep unnest) with segment_id re-derived by the same lpad
+    arithmetic the operator uses."""
+    from jsonschema_spark.sources.clips import segment_clips_path
+
+    src = f"read_parquet('{segment_clips_path(_SEGD_N)}/*.parquet')"
+    return f"""
+        WITH segs AS (
+            SELECT clip_id,
+                   unnest(_seg_idxs) AS seg_idx,
+                   unnest(_seg_ns) AS seg_n,
+                   unnest(_seg_sumsqs) AS seg_sumsq,
+                   unnest(_seg_peaks) AS seg_peak,
+                   _n_dec AS n_samples,
+                   sr_hz, codec
+            FROM {src}
+        ), segs2 AS (
+            SELECT *,
+                   CASE WHEN seg_idx IS NOT NULL THEN
+                        clip_id || '#' || lpad(CAST(seg_idx AS VARCHAR), 5, '0')
+                   END AS segment_id
+            FROM segs
+        )
+    """
+
+
+def _clips_segment_energy_sql() -> str:
+    """Energy oracle: integer sum-of-squares / peak straight off the
+    ledger arrays; the silence gate is the same integer inequality the
+    operator evaluates (sumsq < n * 16)."""
+    return (
+        _segd_segs_cte()
+        + """
+        SELECT clip_id, seg_idx, seg_sumsq, seg_peak,
+               seg_sumsq < seg_n * 16 AS silent
+        FROM segs2
+    """
+    )
+
+
+def _validate_segments_sql() -> str:
+    """Segment-validation oracle: every check arm of
+    SEGMENTS_JSON_SCHEMA replayed over the ledger-rebuilt segment
+    relation (one UNION ALL arm per keyword, orders-violations style).
+    Only the torn class can fire (required x3 + minimum n_samples); the
+    other arms are exact replays that must stay empty."""
+    arms = [
+        ("/required", "required", "segment_id",
+         "instance.segment_id is required", "segment_id IS NULL"),
+        ("/required", "required", "seg_idx",
+         "instance.seg_idx is required", "seg_idx IS NULL"),
+        ("/required", "required", "seg_n_samples",
+         "instance.seg_n_samples is required", "seg_n IS NULL"),
+        ("/required", "required", "clip_id",
+         "instance.clip_id is required", "clip_id IS NULL"),
+        ("/properties/n_samples/minimum", "minimum", "n_samples",
+         "n_samples must be >= 0", "n_samples < 0"),
+        ("/properties/seg_idx/minimum", "minimum", "seg_idx",
+         "seg_idx must be >= 0", "seg_idx < 0"),
+        ("/properties/seg_n_samples/minimum", "minimum", "seg_n_samples",
+         "seg_n_samples must be >= 1", "seg_n < 1"),
+        ("/properties/seg_n_samples/maximum", "maximum", "seg_n_samples",
+         "seg_n_samples must be <= 4000", "seg_n > 4000"),
+        ("/properties/clip_id/pattern", "pattern", "clip_id",
+         'clip_id must match pattern "^clip-\\d{12}$"',
+         "NOT regexp_matches(clip_id, '^clip-\\d{12}$')"),
+        ("/properties/segment_id/pattern", "pattern", "segment_id",
+         'segment_id must match pattern "^clip-\\d{12}#\\d{5}$"',
+         "segment_id IS NOT NULL AND "
+         "NOT regexp_matches(segment_id, '^clip-\\d{12}#\\d{5}$')"),
+        ("/properties/sr_hz/enum", "enum", "sr_hz",
+         "sr_hz must be one of the enumerated values",
+         "sr_hz NOT IN (8000, 16000)"),
+        ("/properties/codec/enum", "enum", "codec",
+         "codec must be one of the enumerated values",
+         "codec NOT IN ('pcm_s16le', 'wav', 'flac', 'adpcm', 'ulaw')"),
+    ]
+    parts = []
+    for ptr, kw, col, msg, fail in arms:
+        msg_sql = msg.replace("'", "''")
+        parts.append(
+            f"SELECT clip_id, seg_idx, '{ptr}' AS keyword_path, "
+            f"'{kw}' AS keyword, '{col}' AS \"column\", "
+            f"'{msg_sql}' AS message FROM segs2 WHERE {fail}"
+        )
+    return _segd_segs_cte() + " UNION ALL ".join(parts)
 
 
 def _clips_flac_window_sql() -> str:
@@ -8407,6 +8565,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_flac_window": _clips_flac_window_sql(),
         "clips_segment_decoded": _clips_segment_decoded_sql(),
         "clips_segment_auto": _clips_segment_auto_sql(),
+        "clips_segment_energy": _clips_segment_energy_sql(),
+        "validate_segments": _validate_segments_sql(),
         "clips_pcm24_decode": _clips_pcm24_decode_sql(),
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),

@@ -50,6 +50,8 @@ def segment_table(
     segment_ms: int = 250,
     min_tail_ms: int = 0,
     output: str | None = None,
+    energy: bool = False,
+    msq_floor: int = 16,
 ) -> tuple[DataFrame, dict]:
     """Segment ``clips`` and report; returns (segments DataFrame, stats).
 
@@ -57,11 +59,18 @@ def segment_table(
     seg_n_samples, n_samples, sr_hz, codec, seg_bytes, seg_path) —
     undecodable clips' loud NULL rows are counted in the stats and
     dropped from the written table."""
-    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.operators.segments import (
+        segment_auto,
+        segment_energy,
+    )
 
     seg = segment_auto(
         clips, segment_ms=segment_ms, min_tail_ms=min_tail_ms
-    ).persist()
+    )
+    if energy:
+        # integer-exact sumsq/peak + silence gate, one extra Arrow hop
+        seg = segment_energy(seg, msq_floor=msq_floor)
+    seg = seg.persist()
     agg = seg.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("clip_id").alias("clips"),
@@ -97,6 +106,17 @@ def segment_table(
             ),
             F.lit(0),
         ).alias("short_tails"),
+        *(
+            [
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("silent"), F.lit(False))
+                          .cast("long")),
+                    F.lit(0),
+                ).alias("silent_segments")
+            ]
+            if energy
+            else []
+        ),
     ).collect()[0]
     ok = seg.where(F.col("seg_idx").isNotNull())
     if output:
@@ -113,6 +133,8 @@ def segment_table(
         "segment_ms": int(segment_ms),
         "min_tail_ms": int(min_tail_ms),
     }
+    if energy:
+        stats["silent_segments"] = int(agg["silent_segments"])
     return ok, stats
 
 
@@ -126,6 +148,11 @@ def main(argv=None) -> int:
                    help="window length (ms, default 250)")
     p.add_argument("--min-tail-ms", type=int, default=0,
                    help="drop final segments shorter than this (ms)")
+    p.add_argument("--energy", action="store_true",
+                   help="add integer-exact seg_sumsq/seg_peak + silence "
+                        "gate columns (one extra Arrow hop)")
+    p.add_argument("--msq-floor", type=int, default=16,
+                   help="silence gate: mean-square floor (default 16)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
@@ -160,6 +187,8 @@ def main(argv=None) -> int:
         segment_ms=args.segment_ms,
         min_tail_ms=args.min_tail_ms,
         output=args.output,
+        energy=args.energy,
+        msq_floor=args.msq_floor,
     )
     print(json.dumps(stats))
     segs.unpersist()

@@ -1876,3 +1876,55 @@ def segment_pcm(
 
     c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
     return _seg(c(payload), c(sr_hz))
+
+
+ENERGY_TYPE = T.StructType(
+    [
+        T.StructField("sumsq", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def pcm_energy_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Vectorized batch kernel: integer-EXACT energy of raw mono
+    pcm_s16le payloads — sum of squares and peak |sample| of the int16
+    stream (int64-safe: a 10-second 48 kHz window is < 2^49). Integer
+    arithmetic end-to-end, so a SQL engine re-decoding the same bytes
+    reproduces both values bit-for-bit. NULL payloads return NULL row
+    values; odd trailing bytes are malformed PCM16 and also return NULL
+    (loud, consistent with decode_payload's frombuffer raise)."""
+    n_rows = len(payloads)
+    sumsq = np.full(n_rows, np.nan, dtype=np.float64)
+    peak = np.full(n_rows, np.nan, dtype=np.float64)
+    for i, raw in enumerate(payloads.tolist()):
+        if raw is None or len(raw) % 2 == 1:
+            continue
+        w = np.frombuffer(bytes(raw), dtype="<i2").astype(np.int64)
+        sumsq[i] = float(np.dot(w, w))
+        peak[i] = float(np.abs(w).max()) if len(w) else 0.0
+    return pd.DataFrame(
+        {
+            "sumsq": pd.array(
+                [None if np.isnan(v) else int(v) for v in sumsq],
+                dtype="Int64",
+            ),
+            "peak": pd.array(
+                [None if np.isnan(v) else int(v) for v in peak],
+                dtype="Int64",
+            ),
+        }
+    )
+
+
+@pandas_udf(ENERGY_TYPE)
+def _pcm_energy_udf(p: pd.Series) -> pd.DataFrame:
+    return pcm_energy_batch(p)
+
+
+def pcm_energy(payload: Column | str = "seg_bytes") -> Column:
+    """struct(sumsq, peak): integer-exact energy of a raw pcm_s16le
+    payload (see pcm_energy_batch). One Arrow hop."""
+    return _pcm_energy_udf(
+        F.col(payload) if isinstance(payload, str) else payload
+    )

@@ -407,3 +407,41 @@ def segment_auto(
         codec_col=codec_col,
     ).withColumn("seg_path", F.lit("decode"))
     return sliced.unionByName(decoded)
+
+
+def segment_energy(
+    segments: DataFrame,
+    msq_floor: int = 16,
+    payload_col: str = "seg_bytes",
+    n_col: str = "seg_n_samples",
+) -> DataFrame:
+    """Per-segment energy profile + silence gate over segmented PCM16:
+    adds ``seg_sumsq`` / ``seg_peak`` (integer-EXACT sum of squares and
+    peak |sample| — one Arrow hop, functions/audio.pcm_energy) and
+    ``silent`` = sumsq < n_samples * ``msq_floor`` (an integer
+    mean-square floor: msq_floor=16 flags anything quieter than a
+    constant amplitude-4 tone). All integer arithmetic, so a SQL engine
+    re-decoding the same bytes reproduces every value bit-for-bit.
+
+    NULL payloads (a router's loud undecodable rows) carry NULL energy
+    and NULL ``silent`` — they are not silently "loud" OR "quiet";
+    gate them with the validation family, not this flag.
+
+    Scale shape: one ArrowEvalPython over the segment rows, zero
+    shuffle; at 10^12 segments this pipelines behind the segmentation
+    Generate in the same stage. The energy hop could be fused into the
+    decode kernel, but a separate hop works uniformly over BOTH router
+    paths (slice output never touches Python otherwise)."""
+    from jsonschema_spark.functions.audio import pcm_energy
+
+    e = segments.withColumn("_e", pcm_energy(payload_col))
+    return (
+        e.withColumn("seg_sumsq", F.col("_e.sumsq"))
+        .withColumn("seg_peak", F.col("_e.peak"))
+        .withColumn(
+            "silent",
+            F.col("_e.sumsq")
+            < F.col(n_col).cast("long") * F.lit(int(msq_floor)),
+        )
+        .drop("_e")
+    )

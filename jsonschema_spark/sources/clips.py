@@ -1665,6 +1665,8 @@ SEGD_CLIPS_SCHEMA = T.StructType(
         T.StructField("_seg_idxs", T.ArrayType(T.LongType(), True), True),
         T.StructField("_seg_ns", T.ArrayType(T.LongType(), True), True),
         T.StructField("_seg_md5s", T.ArrayType(T.StringType(), True), True),
+        T.StructField("_seg_sumsqs", T.ArrayType(T.LongType(), True), True),
+        T.StructField("_seg_peaks", T.ArrayType(T.LongType(), True), True),
     ]
 )
 
@@ -1695,15 +1697,21 @@ def synth_segment_clips(
     def _segment_ledger(dec16: np.ndarray, sr: int) -> tuple:
         sps = sr * SEGD_SEG_MS // 1000
         b = dec16.astype("<i2").tobytes()
-        idxs, ns, md5s = [], [], []
+        idxs, ns, md5s, sumsqs, peaks = [], [], [], [], []
+        d64 = dec16.astype(np.int64)
         for k, off in enumerate(range(0, len(b), 2 * sps)):
             seg = b[off : off + 2 * sps]
+            w = d64[off // 2 : off // 2 + sps]
             idxs.append(k)
             ns.append(len(seg) // 2)
             md5s.append(
                 _hashlib.md5(seg.hex().upper().encode()).hexdigest()
             )
-        return idxs, ns, md5s
+            # integer-exact energy ledger: sum of squares and peak |x|
+            # of the int16 window (fits int64: 4000 * 32768^2 < 2^43)
+            sumsqs.append(int(np.dot(w, w)))
+            peaks.append(int(np.abs(w).max()) if len(w) else 0)
+        return idxs, ns, md5s, sumsqs, peaks
 
     def _row(i: int) -> tuple:
         h = _hash(i)
@@ -1714,6 +1722,14 @@ def synth_segment_clips(
         sr = 16000 if (h >> 8) % 2 == 0 else 8000
         n_samples = sr * dur // 1000
         pcm = pcm16_from_float(reference_signal(cid, n_samples))
+        # plant a DEAD window in ~1/4 of rows: segment 1 is zeroed in the
+        # SOURCE, so the energy ledger certifies sumsq == 0 through the
+        # lossless classes (and the tiny lossy-codec residual through the
+        # fixpoint) — the silence gate must be SEEN firing
+        sps_plant = sr * SEGD_SEG_MS // 1000
+        if (h >> 24) % 4 == 0 and n_samples >= 2 * sps_plant:
+            pcm = pcm.copy()
+            pcm[sps_plant : 2 * sps_plant] = 0
         if cls == SEGD_CLS_FLAC or cls == SEGD_CLS_TORN:
             raw = encode_flac(pcm.astype(np.int64), sr)
             codec = "flac"
@@ -1748,17 +1764,20 @@ def synth_segment_clips(
                 except Exception:
                     raw = cand
                     break
-            n_dec, idxs, ns, md5s = -1, [None], [None], [None]
+            n_dec = -1
+            idxs, ns, md5s, sumsqs, peaks = (
+                [None], [None], [None], [None], [None]
+            )
         else:
             n_dec = len(dec16)
-            idxs, ns, md5s = _segment_ledger(dec16, sr)
+            idxs, ns, md5s, sumsqs, peaks = _segment_ledger(dec16, sr)
         return (cid, bytearray(raw), sr, dur, codec, transcript_for(cid),
-                i, n_dec, idxs, ns, md5s)
+                i, n_dec, idxs, ns, md5s, sumsqs, peaks)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
                 "transcript", "_row_idx", "_n_dec", "_seg_idxs",
-                "_seg_ns", "_seg_md5s"]
+                "_seg_ns", "_seg_md5s", "_seg_sumsqs", "_seg_peaks"]
         for b in batches:
             rows = [_row(int(i)) for i in b["id"].to_numpy()]
             yield pd.DataFrame(rows, columns=cols)
@@ -1769,7 +1788,10 @@ def synth_segment_clips(
 
 
 def segment_clips_path(n: int) -> str:
-    return oracle_cache_path(f"clips_segment_{n}")
+    # "segment3": the ledger gained the energy arrays (_seg_sumsqs/
+    # _seg_peaks) — a schema change needs its own cache key or a stale
+    # pre-energy or pre-planted-silence table would satisfy the _SUCCESS check
+    return oracle_cache_path(f"clips_segment3_{n}")
 
 
 def materialized_segment_clips(

@@ -311,3 +311,90 @@ def test_auto_plan_slice_branch_is_jvm_only(spark, tmp_path):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     assert "PushedFilters" in plan and "pcm_s16le" in plan
+
+
+def test_pcm_energy_kernel_exact_and_loud():
+    from jsonschema_spark.functions.audio import pcm_energy_batch
+
+    w = np.array([3, -4, 0, 32767], dtype="<i2")
+    out = pcm_energy_batch(
+        pd.Series([w.tobytes(), None, b"\x01\x02\x03", b""])
+    )
+    assert int(out["sumsq"][0]) == 9 + 16 + 0 + 32767 * 32767
+    assert int(out["peak"][0]) == 32767
+    assert out["sumsq"][1] is pd.NA and out["peak"][1] is pd.NA
+    # odd trailing byte = malformed PCM16 -> loud NULL, not a floor
+    assert out["sumsq"][2] is pd.NA
+    assert int(out["sumsq"][3]) == 0 and int(out["peak"][3]) == 0
+
+
+def test_segment_energy_silence_gate_and_ledger(spark):
+    from jsonschema_spark.operators.segments import (
+        segment_auto,
+        segment_energy,
+    )
+    from jsonschema_spark.sources.clips import (
+        SEGD_SEG_MS,
+        synth_segment_clips,
+    )
+
+    clips = synth_segment_clips(spark, 48).cache()
+    try:
+        got = segment_energy(
+            segment_auto(clips, segment_ms=SEGD_SEG_MS)
+        ).select("clip_id", "seg_idx", "seg_sumsq", "seg_peak", "silent")
+        exp = clips.select(
+            "clip_id",
+            F.posexplode_outer(
+                F.arrays_zip("_seg_idxs", "_seg_ns", "_seg_sumsqs",
+                             "_seg_peaks")
+            ).alias("_p", "z"),
+        ).select(
+            "clip_id",
+            F.col("z._seg_idxs").alias("seg_idx"),
+            F.col("z._seg_sumsqs").alias("seg_sumsq"),
+            F.col("z._seg_peaks").alias("seg_peak"),
+            (F.col("z._seg_sumsqs") < F.col("z._seg_ns") * 16).alias(
+                "silent"
+            ),
+        )
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+        # the planted dead windows must FIRE the gate (seen firing), and
+        # torn rows must stay three-valued (NULL, not quietly False)
+        assert got.where("silent").count() > 0
+        assert got.where("seg_idx IS NULL AND silent IS NULL").count() > 0
+    finally:
+        clips.unpersist()
+
+
+def test_validate_segments_flags_only_torn_class(spark):
+    from __spark_entry__ import SEGMENTS_JSON_SCHEMA
+    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.operators.validate import validate
+    from jsonschema_spark.sources.clips import (
+        SEGD_CLASS_MOD,
+        SEGD_CLS_TORN,
+        SEGD_SEG_MS,
+        synth_segment_clips,
+    )
+
+    clips = synth_segment_clips(spark, 48).cache()
+    try:
+        seg = segment_auto(
+            clips.drop("_n_dec", "_seg_idxs", "_seg_ns", "_seg_md5s",
+                       "_seg_sumsqs", "_seg_peaks", "_row_idx"),
+            segment_ms=SEGD_SEG_MS,
+        ).drop("seg_bytes")
+        v = validate(seg, SEGMENTS_JSON_SCHEMA).violations(
+            ["clip_id", "seg_idx"]
+        )
+        rows = v.collect()
+        torn = {f"clip-{i:012d}" for i in range(48)
+                if i % SEGD_CLASS_MOD == SEGD_CLS_TORN}
+        assert {r.clip_id for r in rows} == torn
+        # each torn clip: required x3 + minimum(n_samples)
+        assert len(rows) == 4 * len(torn)
+        assert {r.keyword for r in rows} == {"required", "minimum"}
+    finally:
+        clips.unpersist()

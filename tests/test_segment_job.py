@@ -47,3 +47,19 @@ def test_segment_job_cli_smoke(spark, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["clips"] == 36 and stats["undecodable_clips"] == 6
     assert spark.read.parquet(out).count() == stats["segments"]
+
+
+def test_segment_job_energy_flag(spark, tmp_path, capsys):
+    import json
+
+    from jobs.segment_clips_job import main
+
+    out = str(tmp_path / "cli_energy")
+    rc = main(["--synthesize", "36", "--output", out, "--energy"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the planted dead windows fire the gate through the CLI too
+    assert stats["silent_segments"] > 0
+    written = spark.read.parquet(out)
+    assert {"seg_sumsq", "seg_peak", "silent"} <= set(written.columns)
+    assert written.where("silent").count() == stats["silent_segments"]
