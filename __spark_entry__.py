@@ -3177,6 +3177,34 @@ def _q_clips_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLACL_N = 400
+
+
+def _q_clips_flac_lpc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPC-FLAC decode proof (RFC 9639 §9.2.4 — the subframe type that
+    dominates real-world FLAC): payloads carry quantized Levinson-Durbin
+    predictors (synth asserts per row that LPC actually fired, mono and
+    17-bit stereo side channels alike) and the distributed decode must
+    STILL land bit-for-bit on the pre-encode SOURCE samples — lossless
+    compression with a genuinely adaptive predictor. Planted torn
+    uploads and mid-stream bit flips (synth-verified to raise) must fail
+    loudly through the CRC-8/CRC-16/STREAMINFO-MD5 chain."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_flac_lpc_clips
+
+    clips, _ = materialized_flac_lpc_clips(spark, _FLACL_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
 _FLAC2_N = 400
 
 
@@ -3796,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_adpcm_decode": _q_clips_adpcm_decode,
         "clips_msadpcm_decode": _q_clips_msadpcm_decode,
         "clips_flac_decode": _q_clips_flac_decode,
+        "clips_flac_lpc_decode": _q_clips_flac_lpc_decode,
         "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
         "clips_wav_depths": _q_clips_wav_depths,
         "clips_upsample": _q_clips_upsample,
@@ -6087,6 +6116,28 @@ def _clips_msadpcm_decode_sql() -> str:
                _dec_md5 AS dec_md5,
                (_row_idx % {MSADPCM_TRUNC_MOD} <> {MSADPCM_TRUNC_CLS})
                  AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_flac_lpc_decode_sql() -> str:
+    """Ledger oracle for the LPC-FLAC decode: same SOURCE-sample stance
+    as the fixed-predictor corpus (truth never passes through the
+    codec); decode_ok from the planted-class arithmetic."""
+    from jsonschema_spark.sources.clips import (
+        FLACL_CLASS_MOD,
+        FLACL_FLIP_CLS,
+        FLACL_TRUNC_CLS,
+        flac_lpc_clips_path,
+    )
+
+    src = f"read_parquet('{flac_lpc_clips_path(_FLACL_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % {FLACL_CLASS_MOD}
+                  NOT IN ({FLACL_TRUNC_CLS}, {FLACL_FLIP_CLS})) AS decode_ok
         FROM {src}
     """
 
@@ -8557,6 +8608,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_adpcm_decode": _clips_adpcm_decode_sql(),
         "clips_msadpcm_decode": _clips_msadpcm_decode_sql(),
         "clips_flac_decode": _clips_flac_decode_sql(),
+        "clips_flac_lpc_decode": _clips_flac_lpc_decode_sql(),
         "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
         "clips_wav_depths": _clips_wav_depths_sql(),
         "clips_upsample": _clips_upsample_sql(),

@@ -4,11 +4,16 @@ Implements the FLAC format per the public specification (RFC 9639 /
 xiph.org): "fLaC" marker, STREAMINFO metadata block (incl. the MD5 of the
 unencoded PCM — verified on decode, so bitstream corruption fails LOUDLY),
 frames with CRC-8-protected headers and CRC-16-protected bodies, UTF-8
-coded frame numbers, and subframes of type CONSTANT, VERBATIM and FIXED
-(orders 0-4) with partitioned-Rice-coded residuals.
+coded frame numbers, and subframes of type CONSTANT, VERBATIM, FIXED
+(orders 0-4) and LPC (orders 1-32, quantized coefficients + arithmetic
+shift per RFC 9639 §9.2.4) with partitioned-Rice-coded residuals. The
+encoder emits LPC only when asked (``lpc_max_order``, Levinson-Durbin
+estimate, quantized-integer residuals) and when it beats the fixed
+predictors; the DECODER accepts any conforming LPC stream regardless —
+which is most real-world FLAC.
 
 Subset bounds (raise loudly, never guess): mono or stereo, 16-bit, fixed
-blocksize; LPC subframes, wasted bits and variable blocksize are rejected
+blocksize; wasted bits and variable blocksize are rejected
 with ValueError. Stereo implements ALL FOUR channel assignments of the
 spec — independent, left/side, right/side and mid/side — with the side
 channel at 17 bits and the canonical reconstruction
@@ -264,6 +269,124 @@ def _fixed_restore(res: np.ndarray, warmup: list[int], order: int) -> np.ndarray
     return np.concatenate([w, cur])
 
 
+def _lpc_restore(
+    res: np.ndarray, warmup: list[int], coefs: list[int], shift: int
+) -> np.ndarray:
+    """Invert an LPC predictor (RFC 9639 §9.2.4): s[i] = res[i] +
+    ((sum_j coef[j] * s[i-1-j]) >> shift). The recurrence is an IIR —
+    inherently sequential — so this is the one scalar loop in the
+    decoder; Python ints keep the arithmetic exact and ``>>`` is the
+    spec's arithmetic (floor) shift for negative accumulators."""
+    out = [int(v) for v in warmup]
+    cf = [int(c) for c in coefs]
+    order = len(cf)
+    lim = 1 << 31
+    for r in res.tolist():
+        acc = 0
+        for j in range(order):
+            acc += cf[j] * out[-1 - j]
+        v = int(r) + (acc >> shift)
+        if v >= lim or v < -lim:
+            # a conforming 16/17-bit stream can never reach this; garbage
+            # coefficients from a corrupted bitstream drive the IIR
+            # unstable, and unbounded Python ints would otherwise grow
+            # until an uncatchable OverflowError kills the Arrow task
+            raise ValueError("malformed FLAC: LPC sample overflow")
+        out.append(v)
+    return np.array(out, dtype=np.int64)
+
+
+def _lpc_analyze(
+    ch: np.ndarray, max_order: int, precision: int = 14
+) -> tuple[int, list[int], int, int] | None:
+    """Estimate and quantize an LPC predictor for one subframe channel:
+    float Levinson-Durbin on the (Hann-windowed) autocorrelation — which
+    yields the predictor at EVERY intermediate order in one pass — then
+    each order's coefficients rounded to ``precision``-bit signed
+    integers with the largest nonnegative shift (<= 15) that keeps them
+    in range, and the winner chosen by MEASURED quantized |residual|
+    (low orders often quantize better than the full-order solution).
+    Returns (order, coefs, shift, precision) or None when no usable
+    predictor exists (flat/degenerate signals — CONSTANT/FIXED cover
+    those). Estimation quality only affects compression, never
+    correctness: the residual is computed with the QUANTIZED integers,
+    so decode inverts it exactly whatever the floats did."""
+    n = len(ch)
+    max_order = min(max_order, 32, n - 1)
+    if max_order < 1:
+        return None
+    x = ch.astype(np.float64)
+    # Taper before autocorrelation (Hann), as real FLAC encoders do: the
+    # unwindowed autocorrelation method implicitly zero-pads the block,
+    # and its edge discontinuities wreck near-unit-circle predictors
+    # (measured 100x worse residual on tonal blocks). Floats touch only
+    # the ESTIMATE — the residual below uses the quantized integers.
+    if n > 1:
+        x = x * (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / (n - 1)))
+    r = np.array(
+        [float(np.dot(x[: n - k], x[k:])) for k in range(max_order + 1)]
+    )
+    if r[0] <= 0.0:
+        return None
+    a = np.zeros(max_order + 1)
+    err = r[0]
+    by_order: list[np.ndarray] = []
+    for m in range(1, max_order + 1):
+        acc = r[m]
+        for j in range(1, m):
+            acc -= a[j] * r[m - j]
+        if err <= 0.0 or not np.isfinite(acc):
+            break
+        k = acc / err
+        if not np.isfinite(k) or abs(k) >= 1.0:
+            break
+        prev = a[1:m].copy()
+        a[m] = k
+        for j in range(1, m):
+            a[j] = prev[j - 1] - k * prev[m - 1 - j]
+        err *= 1.0 - k * k
+        by_order.append(a[1 : m + 1].copy())
+    lim = (1 << (precision - 1)) - 1
+    best: tuple[int, list[int], int, int] | None = None
+    best_cost = None
+    for cf in by_order:
+        cmax = float(np.abs(cf).max())
+        if cmax == 0.0 or not np.isfinite(cmax):
+            continue
+        shift = 0
+        while shift < 15 and cmax * (1 << (shift + 1)) <= lim:
+            shift += 1
+        if cmax * (1 << shift) > lim:
+            continue  # coefficients too large even unshifted
+        q = np.clip(np.round(cf * (1 << shift)), -lim - 1, lim).astype(
+            np.int64
+        )
+        if not np.any(q):
+            continue
+        coefs = [int(v) for v in q]
+        cost = int(np.abs(_lpc_residual(ch, coefs, shift)).sum())
+        if best_cost is None or cost < best_cost:
+            best = (len(coefs), coefs, shift, precision)
+            best_cost = cost
+    return best
+
+
+def _lpc_residual(
+    ch: np.ndarray, coefs: list[int], shift: int
+) -> np.ndarray:
+    """Forward LPC residual with the QUANTIZED integer predictor —
+    vectorized (one sliding-window matmul + arithmetic shift), exact
+    inverse of _lpc_restore."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    order = len(coefs)
+    x = ch.astype(np.int64)
+    c = np.array(coefs, dtype=np.int64)
+    wins = sliding_window_view(x, order)[:-1]
+    pred = (wins @ c[::-1]) >> shift
+    return x[order:] - pred
+
+
 def _fixed_restore_scalar(
     res: np.ndarray, warmup: list[int], order: int
 ) -> np.ndarray:
@@ -483,6 +606,7 @@ def encode_flac(
     blocksize: int = _BLOCKSIZE,
     stereo_mode: str | None = None,
     seek_every: int | None = None,
+    lpc_max_order: int = 0,
 ) -> bytes:
     """int16 PCM -> FLAC stream (fixed predictors, Rice residuals).
 
@@ -493,7 +617,11 @@ def encode_flac(
     guidance for fixed-predictor encoders). ``seek_every=k`` emits a
     SEEKTABLE metadata block (type 3) with one seek point every k
     frames — the random-access index decode_flac_range uses to pull a
-    window out of a long clip without decoding the leading frames."""
+    window out of a long clip without decoding the leading frames.
+    ``lpc_max_order=k`` (default 0 = fixed-only, bit-identical legacy
+    bitstreams) trials a quantized order-<=k LPC predictor per subframe
+    and emits it when it beats the fixed predictors — the decoder
+    accepts any conforming LPC stream regardless."""
     x = np.asarray(pcm, dtype=np.int64)
     if x.ndim == 1:
         channels = 1
@@ -520,7 +648,9 @@ def encode_flac(
         blk = x[pos : pos + blocksize]
         if seek_every is not None and frame_no % seek_every == 0:
             seeks.append((pos, len(frames), blk.shape[0]))
-        frames += _encode_frame(blk, frame_no, blocksize, stereo_mode)
+        frames += _encode_frame(
+            blk, frame_no, blocksize, stereo_mode, lpc_max_order
+        )
 
     out = bytearray(FLAC_MARKER)
     streaminfo = struct.pack(">HH", blocksize, blocksize)
@@ -555,8 +685,14 @@ def _best_fixed(ch: np.ndarray) -> tuple[int, np.ndarray, int]:
     return best_order, best_res, best_cost
 
 
-def _write_subframe(w: _BitWriter, ch: np.ndarray, depth: int) -> None:
-    """One subframe at the given bit depth (17 for a side channel)."""
+def _write_subframe(
+    w: _BitWriter, ch: np.ndarray, depth: int, lpc_max_order: int = 0
+) -> None:
+    """One subframe at the given bit depth (17 for a side channel).
+    ``lpc_max_order > 0`` additionally trials a quantized LPC predictor
+    (Levinson-Durbin estimate) and emits it when it beats the best fixed
+    predictor by summed |residual|; 0 keeps the legacy fixed-only
+    bitstreams bit-identical."""
     mask = (1 << depth) - 1
     if np.all(ch == ch[0]):
         w.write(0, 1)
@@ -564,7 +700,30 @@ def _write_subframe(w: _BitWriter, ch: np.ndarray, depth: int) -> None:
         w.write(0, 1)
         w.write(int(ch[0]) & mask, depth)
         return
-    order, res, _cost = _best_fixed(ch)
+    order, res, cost = _best_fixed(ch)
+    # LPC headers (warmup + coefficients) only amortize over real blocks;
+    # the |residual|-sum proxy ignores them, so skip tiny subframes
+    if lpc_max_order > 0 and len(ch) >= 64:
+        lpc = _lpc_analyze(ch, lpc_max_order)
+        if lpc is not None:
+            lorder, coefs, shift, prec = lpc
+            lres = _lpc_residual(ch, coefs, shift)
+            lcost = int(np.abs(lres).sum())
+            if lcost < cost and int(np.abs(lres).max(initial=0)) <= (
+                1 << 30
+            ):
+                w.write(0, 1)
+                w.write(0b100000 | (lorder - 1), 6)   # LPC, order
+                w.write(0, 1)                          # no wasted bits
+                for s in ch[:lorder].tolist():
+                    w.write(int(s) & mask, depth)
+                w.write(prec - 1, 4)
+                w.write(shift, 5)
+                pmask = (1 << prec) - 1
+                for c in coefs:
+                    w.write(int(c) & pmask, prec)
+                _write_residual(w, lres)
+                return
     w.write(0, 1)
     w.write(0b001000 | order, 6)   # FIXED, order
     w.write(0, 1)                  # no wasted bits
@@ -578,6 +737,7 @@ def _encode_frame(
     frame_no: int,
     nominal_bs: int,
     stereo_mode: str | None = None,
+    lpc_max_order: int = 0,
 ) -> bytes:
     n = blk.shape[0]
     if blk.ndim == 1:
@@ -625,7 +785,7 @@ def _encode_frame(
     w.write(_crc8(header), 8)
 
     for ch, depth in subframes:
-        _write_subframe(w, ch, depth)
+        _write_subframe(w, ch, depth, lpc_max_order)
     w.align()
     body = bytes(w.buf)
     return body + struct.pack(">H", _crc16(body))
@@ -777,7 +937,24 @@ def _read_subframe(r: _BitReader, blocksize: int, depth: int) -> np.ndarray:
         res = _read_residual(r, blocksize, order)
         return _fixed_restore(res, warmup, order)
     if stype >= 0b100000:
-        raise ValueError("unsupported FLAC: LPC subframes")
+        # LPC, order 1..32 (RFC 9639 §9.2.4) — a conforming decoder must
+        # accept any stream, not just our encoder's predictor choices
+        order = (stype & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("malformed FLAC: LPC order exceeds blocksize")
+        warmup = [r.read_signed(depth) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 0b1111:
+            raise ValueError(
+                "malformed FLAC: invalid LPC coefficient precision"
+            )
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("malformed FLAC: negative LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _read_residual(r, blocksize, order)
+        return _lpc_restore(res, warmup, coefs, shift)
     raise ValueError("malformed FLAC: reserved subframe type")
 
 

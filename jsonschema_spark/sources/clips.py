@@ -1807,3 +1807,140 @@ def materialized_segment_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_segment_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- REAL-FLAC LPC ledger corpus (RFC 9639 §9.2.4) -------------------------
+# Same SOURCE-sample ledger stance as the fixed-predictor FLAC corpora,
+# but every payload is encoded with LPC trials enabled over a SMOOTHED
+# (strongly autocorrelated) program signal, and synth ASSERTS per row
+# that the emitted stream differs from the fixed-only encoding — i.e.
+# the quantized Levinson-Durbin predictor actually fired, so the
+# distributed decode provably exercises the LPC restore recurrence
+# (including on 17-bit side channels: rows alternate mono/stereo).
+# Planted torn uploads and mid-stream bit flips are deepened until the
+# CRC-8/CRC-16/STREAMINFO-MD5 chain provably raises through the LPC path.
+FLACL_CLASS_MOD = 11
+FLACL_TRUNC_CLS = 3
+FLACL_FLIP_CLS = 7
+FLACL_SR_HZ = 16000
+FLACL_LPC_ORDER = 8
+
+
+def _smoothed_signal(tag: str, n: int) -> np.ndarray:
+    """Deterministic strongly-correlated int16 program material: the
+    reference signal through an 8-tap integer moving average (cumsum
+    difference — exact) plus a hash-seeded two-tone resonant component.
+    Tonal content is where LPC predictors (near-unit-circle resonators)
+    beat the fixed difference predictors decisively, so every clip's
+    stream provably contains LPC frames (synth asserts it)."""
+    x = pcm16_from_float(reference_signal(tag, n + 8)).astype(np.int64)
+    c = np.concatenate(([0], np.cumsum(x)))
+    y = (c[8:] - c[:-8]) // 8
+    h = int.from_bytes(
+        hashlib.md5(tag.encode("utf-8")).digest()[:8], "big"
+    )
+    t = np.arange(n, dtype=np.float64)
+    w1 = 0.04 + ((h >> 8) % 997) / 997.0 * 0.22
+    w2 = 0.04 + ((h >> 24) % 991) / 991.0 * 0.22
+    ph = ((h >> 40) % 628) / 100.0
+    tone = 9000.0 * np.sin(w1 * t + ph) + 4000.0 * np.sin(w2 * t)
+    out = y[:n] // 3 + np.floor(tone + 0.5).astype(np.int64)
+    return np.clip(out, -32768, 32767)
+
+
+def synth_flac_lpc_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 900),
+) -> DataFrame:
+    """Clips whose payloads are REAL FLAC streams with LPC subframes."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.functions.flac import encode_flac
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = FLACL_SR_HZ * dur // 1000
+        stereo = i % 2 == 1
+        if stereo:
+            left = _smoothed_signal(cid + "#L", n_samples)
+            right = _smoothed_signal(cid + "#R", n_samples)
+            src = np.stack([left, right], axis=1)
+            mono = (left + right) >> 1
+        else:
+            src = _smoothed_signal(cid, n_samples)
+            mono = src
+        raw = encode_flac(
+            src, FLACL_SR_HZ, lpc_max_order=FLACL_LPC_ORDER
+        )
+        # the LPC trial must have FIRED somewhere in this stream
+        assert raw != encode_flac(src, FLACL_SR_HZ), cid
+        cls = i % FLACL_CLASS_MOD
+        n_dec = None
+        dec_md5 = None
+        if cls == FLACL_TRUNC_CLS:
+            cut = 8
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += 64
+                except Exception:
+                    raw = cand
+                    break
+        elif cls == FLACL_FLIP_CLS:
+            pos = len(raw) // 2
+            while True:
+                cand = bytearray(raw)
+                cand[pos] ^= 0x10
+                try:
+                    decode_payload(bytes(cand))
+                    pos = (pos + 37) % len(raw)
+                except Exception:
+                    raw = bytes(cand)
+                    break
+        else:
+            # ledger truth from the SOURCE samples, not through the codec
+            n_dec = len(mono)
+            dec_md5 = _hashlib.md5(
+                mono.astype("<i2").tobytes().hex().upper().encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), FLACL_SR_HZ, dur, "flac",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def flac_lpc_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_flaclpc_{n}")
+
+
+def materialized_flac_lpc_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """LPC-FLAC ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = flac_lpc_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_flac_lpc_clips(spark, n), path)
+    return spark.read.parquet(path), path

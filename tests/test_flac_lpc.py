@@ -1,0 +1,206 @@
+"""LPC subframes (functions/flac.py — RFC 9639 §9.2.4): quantized
+Levinson-Durbin predictors, the subframe type that dominates real-world
+FLAC. Encode emits LPC only when it beats the fixed predictors; decode
+accepts any conforming stream and must stay bit-exact and LOUD."""
+
+import numpy as np
+import pytest
+
+from jsonschema_spark.functions.flac import (
+    _BitReader,
+    _BitWriter,
+    _crc16,
+    _crc8,
+    _lpc_analyze,
+    _lpc_residual,
+    _lpc_restore,
+    _write_residual,
+    decode_flac,
+    encode_flac,
+)
+
+
+def _tone(n: int, w1: float = 0.15, w2: float = 0.23) -> np.ndarray:
+    t = np.arange(n, dtype=np.float64)
+    x = 9000 * np.sin(w1 * t) + 4000 * np.sin(w2 * t + 1.0)
+    return np.clip(np.floor(x + 0.5), -32768, 32767).astype(np.int64)
+
+
+def test_lpc_restore_hand_computed():
+    # s[i] = res[i] + ((c0*s[i-1] + c1*s[i-2]) >> shift), shift 1
+    # warmup [10, 20]; coefs [3, -1] (c0 applies to the most recent)
+    # s2 = 5 + ((3*20 - 1*10) >> 1) = 5 + 25 = 30
+    # s3 = -2 + ((3*30 - 1*20) >> 1) = -2 + 35 = 33
+    out = _lpc_restore(
+        np.array([5, -2], dtype=np.int64), [10, 20], [3, -1], 1
+    )
+    assert out.tolist() == [10, 20, 30, 33]
+
+
+def test_lpc_restore_negative_accumulator_floors():
+    # acc = -3, shift 1 -> arithmetic shift gives -2 (floor), not -1
+    out = _lpc_restore(np.array([0], dtype=np.int64), [-3], [1], 1)
+    assert out.tolist() == [-3, -2]
+
+
+def test_lpc_residual_inverts_restore():
+    x = _tone(3000)
+    lpc = _lpc_analyze(x, 8)
+    assert lpc is not None
+    order, coefs, shift, prec = lpc
+    res = _lpc_residual(x, coefs, shift)
+    back = _lpc_restore(res, [int(v) for v in x[:order]], coefs, shift)
+    assert np.array_equal(back, x)
+
+
+def test_lpc_beats_fixed_on_tonal_blocks():
+    x = _tone(20000)
+    lpc_bytes = encode_flac(x, 16000, lpc_max_order=8)
+    fixed_bytes = encode_flac(x, 16000)
+    assert len(lpc_bytes) < 0.8 * len(fixed_bytes)
+    sr, dec = decode_flac(lpc_bytes)
+    assert sr == 16000
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), x)
+
+
+def test_lpc_stereo_all_assignments_roundtrip():
+    l = _tone(9000, 0.11, 0.19)
+    r = np.clip((l * 3) // 4 + _tone(9000, 0.07)[:9000] // 8,
+                -32768, 32767)
+    st = np.stack([l, r], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        raw = encode_flac(st, 16000, stereo_mode=mode, lpc_max_order=8)
+        _sr, dec = decode_flac(raw)
+        assert np.array_equal(np.asarray(dec, dtype=np.int64), st), mode
+
+
+def test_legacy_bitstreams_bit_identical():
+    x = _tone(10000)
+    assert encode_flac(x, 16000) == encode_flac(x, 16000, lpc_max_order=0)
+
+
+def _lpc_frame_bytes(
+    warmup, coefs, shift, res, prec=12, blocksize=None, depth=16
+):
+    """Hand-assemble one mono LPC frame (frame 0) + minimal stream."""
+    n = blocksize or (len(warmup) + len(res))
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(0b0111, 4)
+    w.write(0, 4)
+    w.write(0, 4)
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.write(0, 8)          # utf8 frame 0
+    w.write(n - 1, 16)
+    header = bytes(w.buf)
+    w.write(_crc8(header), 8)
+    order = len(coefs)
+    w.write(0, 1)
+    w.write(0b100000 | (order - 1), 6)
+    w.write(0, 1)
+    mask = (1 << depth) - 1
+    for s in warmup:
+        w.write(int(s) & mask, depth)
+    w.write(prec - 1, 4)
+    w.write(shift & 0x1F, 5)
+    pmask = (1 << prec) - 1
+    for c in coefs:
+        w.write(int(c) & pmask, prec)
+    _write_residual(w, np.asarray(res, dtype=np.int64))
+    w.align()
+    body = bytes(w.buf)
+    import struct as _struct
+
+    frame = body + _struct.pack(">H", _crc16(body))
+    try:
+        if shift < 0 or prec >= 16:
+            raise ValueError("malformed fixture")
+        pcm = _lpc_restore(np.asarray(res, dtype=np.int64),
+                           [int(v) for v in warmup], list(coefs), shift)
+    except ValueError:
+        # malformed-stream fixtures (bad shift/precision, unstable
+        # coefficients): the decoder raises before the MD5 check, so any
+        # placeholder digest input will do
+        pcm = np.zeros(n, dtype=np.int64)
+    import hashlib as _hashlib
+
+    md5 = _hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+    out = bytearray(b"fLaC")
+    streaminfo = _struct.pack(">HH", n, n) + b"\x00\x00\x00" * 2
+    packed = (16000 << 44) | (0 << 41) | (15 << 36) | n
+    streaminfo += packed.to_bytes(8, "big") + md5
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    out += frame
+    return bytes(out), pcm
+
+
+def test_handassembled_lpc_stream_decodes():
+    raw, pcm = _lpc_frame_bytes(
+        [100, -50], [1500, -700], 10, list(range(-5, 59))
+    )
+    sr, dec = decode_flac(raw)
+    assert sr == 16000
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), pcm)
+
+
+def test_negative_lpc_shift_rejected():
+    raw, _ = _lpc_frame_bytes([100, -50], [1500, -700], -1,
+                              list(range(64)))
+    with pytest.raises(ValueError, match="negative LPC shift"):
+        decode_flac(raw)
+
+
+def test_invalid_precision_rejected():
+    raw, _ = _lpc_frame_bytes([100, -50], [-1, -1], 3, list(range(64)),
+                              prec=16)
+    # prec-1 = 15 = 0b1111 is the spec's invalid escape
+    with pytest.raises(ValueError, match="LPC coefficient precision"):
+        decode_flac(raw)
+
+
+def test_unstable_corrupt_stream_fails_loudly():
+    # garbage near-max coefficients with shift 0: the IIR explodes; the
+    # decoder must raise (sample overflow or CRC/MD5), never hang or
+    # crash the task with an uncatchable OverflowError
+    raw, _ = _lpc_frame_bytes([30000, 30000], [2047, 2047], 0,
+                              [1000] * 200)
+    with pytest.raises(ValueError):
+        decode_flac(raw)
+
+
+def test_truncation_and_bitflip_fail_loudly():
+    x = _tone(12000)
+    raw = encode_flac(x, 16000, lpc_max_order=8)
+    with pytest.raises(ValueError):
+        decode_flac(raw[:-9])
+    cand = bytearray(raw)
+    cand[len(raw) // 2] ^= 0x10
+    try:
+        sr, dec = decode_flac(bytes(cand))
+        # astronomically unlikely, but if CRCs collide the MD5 must catch
+        assert np.array_equal(np.asarray(dec, dtype=np.int64), x)
+    except ValueError:
+        pass
+
+
+def test_lpc_ledger_corpus_verifies(spark):
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.sources.clips import synth_flac_lpc_clips
+
+    rows = synth_flac_lpc_clips(spark, 24).collect()
+    import hashlib as _hashlib
+
+    for r in rows:
+        if r["_n_dec"] is None:
+            with pytest.raises(Exception):
+                decode_payload(bytes(r["bytes"]))
+        else:
+            dec = decode_payload(bytes(r["bytes"]))
+            assert len(dec) == r["_n_dec"]
+            got = _hashlib.md5(
+                np.asarray(dec).astype("<i2").tobytes().hex().upper()
+                .encode()
+            ).hexdigest()
+            assert got == r["_dec_md5"]
