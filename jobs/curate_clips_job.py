@@ -65,6 +65,7 @@ def curate_clips(
     resample_sr: int | None = None,
     target_rms: float | None = None,
     transcode: bool = False,
+    lpc_order: int = 0,
 ):
     """Run the funnel; returns (curated DataFrame, stats dict).
 
@@ -231,7 +232,7 @@ def curate_clips(
             if "n_out" in norm.columns:  # resample already claimed the name
                 norm = norm.withColumnRenamed("n_out", "n_out_resample")
                 added[added.index("n_out")] = "n_out_resample"
-            norm = transcode_to_flac(norm)
+            norm = transcode_to_flac(norm, lpc_max_order=lpc_order)
             added += ["transcoded", "n_out"]
         norm = norm.persist()
         bytes_in = curated.agg(F.sum(F.length("bytes"))).collect()[0][0] or 0
@@ -325,6 +326,9 @@ def main(argv=None) -> int:
     p.add_argument("--target-rms", type=float, metavar="LIN",
                    help="normalize loudness to this linear full-scale RMS "
                         "on output (0.1 = -20 dBFS)")
+    p.add_argument("--lpc-order", type=int, default=0,
+                   help="FLAC transcode: trial quantized LPC predictors "
+                        "up to this order (0 = fixed-only)")
     p.add_argument("--transcode-flac", action="store_true",
                    help="re-encode the final curated payloads as REAL "
                         "FLAC (lossless archival normalization; runs "
@@ -375,6 +379,7 @@ def main(argv=None) -> int:
         resample_sr=args.resample,
         target_rms=args.target_rms,
         transcode=args.transcode_flac,
+        lpc_order=args.lpc_order,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -1469,7 +1469,7 @@ def window_pcm(
 
 
 def transcode_flac_batch(
-    payloads: pd.Series, srs: pd.Series
+    payloads: pd.Series, srs: pd.Series, lpc_max_order: int = 0
 ) -> pd.DataFrame:
     """Vectorized batch kernel: archival codec normalization — decode any
     supported payload (WAV 8/16/24-bit mono/stereo, G.711, ADPCM, FLAC,
@@ -1495,7 +1495,9 @@ def transcode_flac_batch(
             continue
         if len(pcm) == 0:
             continue  # encode_flac rejects empty signals
-        outb[i] = encode_flac(pcm.astype(np.int64), sr)
+        outb[i] = encode_flac(
+            pcm.astype(np.int64), sr, lpc_max_order=lpc_max_order
+        )
         nout[i] = len(pcm)
     return pd.DataFrame({"out_bytes": outb, "n_out": nout})
 
@@ -1503,14 +1505,17 @@ def transcode_flac_batch(
 def transcode_flac(
     payload: Column | str = "bytes",
     sr_hz: Column | str = "sr_hz",
+    lpc_max_order: int = 0,
 ) -> Column:
     """struct(out_bytes, n_out): payload re-encoded as REAL FLAC (see
     transcode_flac_batch). One Arrow hop; n_out = -1 marks rows that
-    could not be transcoded."""
+    could not be transcoded. ``lpc_max_order=k`` enables the quantized
+    LPC predictor trial (smaller archives on tonal material; still
+    lossless either way)."""
 
     @pandas_udf(DECIMATE_TYPE)
     def _tc(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
-        return transcode_flac_batch(p, sr)
+        return transcode_flac_batch(p, sr, lpc_max_order)
 
     return _tc(
         F.col(payload) if isinstance(payload, str) else payload,

@@ -217,6 +217,7 @@ def transcode_to_flac(
     payload_col: str = "bytes",
     sr_col: str = "sr_hz",
     codec_col: str = "codec",
+    lpc_max_order: int = 0,
 ) -> DataFrame:
     """Archival codec normalization: rewrite every decodable payload as
     REAL FLAC (lossless — functions/flac.py), the storage-side twin of
@@ -228,7 +229,9 @@ def transcode_to_flac(
     smaller, which every downstream scan repays."""
     from jsonschema_spark.functions.audio import transcode_flac
 
-    d = df.withColumn("_tc", transcode_flac(payload_col, sr_col))
+    d = df.withColumn(
+        "_tc", transcode_flac(payload_col, sr_col, lpc_max_order)
+    )
     ok = F.coalesce(F.col("_tc.n_out") >= 0, F.lit(False))
     out_cols = []
     for c in df.columns:

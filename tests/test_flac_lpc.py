@@ -204,3 +204,35 @@ def test_lpc_ledger_corpus_verifies(spark):
                 .encode()
             ).hexdigest()
             assert got == r["_dec_md5"]
+
+
+def test_seek_range_into_lpc_stream():
+    from jsonschema_spark.functions.flac import decode_flac_range
+
+    x = _tone(30000)
+    raw = encode_flac(x, 16000, lpc_max_order=8, seek_every=2)
+    # extract a window starting mid-stream: the seek skips leading
+    # frames, and LPC frames inside the window must decode bit-exact
+    _sr, w = decode_flac_range(raw, 17000, 3000)
+    assert np.array_equal(np.asarray(w, dtype=np.int64), x[17000:20000])
+
+
+def test_transcode_lpc_stays_lossless(spark):
+    from pyspark.sql import Row
+
+    from jsonschema_spark.functions.audio import (
+        decode_payload,
+        encode_wav_pcm,
+    )
+    from jsonschema_spark.operators.trim import transcode_to_flac
+
+    x = _tone(8000)
+    df = spark.createDataFrame(
+        [Row(clip_id="a", bytes=bytearray(encode_wav_pcm(x, 16000)),
+             sr_hz=16000, codec="wav")]
+    )
+    out = transcode_to_flac(df, lpc_max_order=8).collect()[0]
+    assert out.transcoded and out.n_out == len(x)
+    dec = decode_payload(bytes(out.bytes))
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), x)
+    assert bytes(out.bytes)[:4] == b"fLaC"

@@ -62,10 +62,15 @@ def test_flac_roundtrip_fuzz(seed):
         else:
             x = _rand_pcm(rng, n, rng.random() < 0.3)
             mode = None
-        raw = encode_flac(x, 16000, blocksize=bs, stereo_mode=mode)
+        lmo = rng.choice([0, 4, 8])   # fixed-only and LPC paths alike
+        raw = encode_flac(
+            x, 16000, blocksize=bs, stereo_mode=mode, lpc_max_order=lmo
+        )
         sr, out = decode_flac(raw)
         assert sr == 16000
-        assert np.array_equal(out.astype(np.int64), x), (seed, trial, mode)
+        assert np.array_equal(out.astype(np.int64), x), (
+            seed, trial, mode, lmo,
+        )
 
 
 @pytest.mark.parametrize("seed", [7, 33])
@@ -80,7 +85,7 @@ def test_flac_bit_flips_never_silently_change_samples_fuzz(seed):
     rng = random.Random(seed)
     x = _rand_pcm(rng, 700, False)
     st = np.stack([x, -x], axis=1)
-    raw = bytearray(encode_flac(st, 8000, blocksize=256))
+    raw = bytearray(encode_flac(st, 8000, blocksize=256, lpc_max_order=8))
     n_raised = 0
     for _ in range(150):
         pos = rng.randrange(len(raw))
