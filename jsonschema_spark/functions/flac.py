@@ -12,9 +12,12 @@ estimate, quantized-integer residuals) and when it beats the fixed
 predictors; the DECODER accepts any conforming LPC stream regardless —
 which is most real-world FLAC.
 
+Wasted bits (§9.2.2) decode per spec (subframe coded at depth-k, samples
+restored << k) and are emitted on request (``detect_wasted``) when every
+sample shares k low zero bits.
+
 Subset bounds (raise loudly, never guess): mono or stereo, 16-bit, fixed
-blocksize; wasted bits and variable blocksize are rejected
-with ValueError. Stereo implements ALL FOUR channel assignments of the
+blocksize; variable blocksize is rejected with ValueError. Stereo implements ALL FOUR channel assignments of the
 spec — independent, left/side, right/side and mid/side — with the side
 channel at 17 bits and the canonical reconstruction
 ``mid2 = (mid << 1) | (side & 1); l = (mid2 + side) >> 1; r = l - side``
@@ -607,6 +610,7 @@ def encode_flac(
     stereo_mode: str | None = None,
     seek_every: int | None = None,
     lpc_max_order: int = 0,
+    detect_wasted: bool = False,
 ) -> bytes:
     """int16 PCM -> FLAC stream (fixed predictors, Rice residuals).
 
@@ -649,7 +653,8 @@ def encode_flac(
         if seek_every is not None and frame_no % seek_every == 0:
             seeks.append((pos, len(frames), blk.shape[0]))
         frames += _encode_frame(
-            blk, frame_no, blocksize, stereo_mode, lpc_max_order
+            blk, frame_no, blocksize, stereo_mode, lpc_max_order,
+            detect_wasted,
         )
 
     out = bytearray(FLAC_MARKER)
@@ -686,18 +691,42 @@ def _best_fixed(ch: np.ndarray) -> tuple[int, np.ndarray, int]:
 
 
 def _write_subframe(
-    w: _BitWriter, ch: np.ndarray, depth: int, lpc_max_order: int = 0
+    w: _BitWriter,
+    ch: np.ndarray,
+    depth: int,
+    lpc_max_order: int = 0,
+    detect_wasted: bool = False,
 ) -> None:
     """One subframe at the given bit depth (17 for a side channel).
     ``lpc_max_order > 0`` additionally trials a quantized LPC predictor
     (Levinson-Durbin estimate) and emits it when it beats the best fixed
-    predictor by summed |residual|; 0 keeps the legacy fixed-only
-    bitstreams bit-identical."""
+    predictor by summed |residual|; ``detect_wasted`` emits the wasted-
+    bits field when every sample shares k low zero bits (shifted/
+    upscaled material — 8-bit sources stored as 16-bit), coding the
+    subframe at depth-k. Defaults keep the legacy bitstreams
+    bit-identical."""
+    wasted = 0
+    if detect_wasted and np.any(ch):
+        # trailing zeros common to ALL samples = trailing zeros of the OR
+        acc = int(np.bitwise_or.reduce(ch))
+        while wasted < depth - 1 and (acc >> wasted) & 1 == 0:
+            wasted += 1
+        if wasted:
+            ch = ch >> wasted
+            depth -= wasted
+
+    def _header(stype: int) -> None:
+        w.write(0, 1)
+        w.write(stype, 6)
+        if wasted:
+            w.write(1, 1)
+            w.write(1, wasted)     # unary: (k-1) zeros then a one
+        else:
+            w.write(0, 1)
+
     mask = (1 << depth) - 1
     if np.all(ch == ch[0]):
-        w.write(0, 1)
-        w.write(0b000000, 6)       # CONSTANT
-        w.write(0, 1)
+        _header(0b000000)          # CONSTANT
         w.write(int(ch[0]) & mask, depth)
         return
     order, res, cost = _best_fixed(ch)
@@ -712,9 +741,7 @@ def _write_subframe(
             if lcost < cost and int(np.abs(lres).max(initial=0)) <= (
                 1 << 30
             ):
-                w.write(0, 1)
-                w.write(0b100000 | (lorder - 1), 6)   # LPC, order
-                w.write(0, 1)                          # no wasted bits
+                _header(0b100000 | (lorder - 1))       # LPC, order
                 for s in ch[:lorder].tolist():
                     w.write(int(s) & mask, depth)
                 w.write(prec - 1, 4)
@@ -724,9 +751,7 @@ def _write_subframe(
                     w.write(int(c) & pmask, prec)
                 _write_residual(w, lres)
                 return
-    w.write(0, 1)
-    w.write(0b001000 | order, 6)   # FIXED, order
-    w.write(0, 1)                  # no wasted bits
+    _header(0b001000 | order)      # FIXED, order
     for s in ch[:order].tolist():
         w.write(int(s) & mask, depth)
     _write_residual(w, res)
@@ -738,6 +763,7 @@ def _encode_frame(
     nominal_bs: int,
     stereo_mode: str | None = None,
     lpc_max_order: int = 0,
+    detect_wasted: bool = False,
 ) -> bytes:
     n = blk.shape[0]
     if blk.ndim == 1:
@@ -785,7 +811,7 @@ def _encode_frame(
     w.write(_crc8(header), 8)
 
     for ch, depth in subframes:
-        _write_subframe(w, ch, depth, lpc_max_order)
+        _write_subframe(w, ch, depth, lpc_max_order, detect_wasted)
     w.align()
     body = bytes(w.buf)
     return body + struct.pack(">H", _crc16(body))
@@ -922,8 +948,23 @@ def _read_subframe(r: _BitReader, blocksize: int, depth: int) -> np.ndarray:
     if r.read(1) != 0:
         raise ValueError("malformed FLAC: bad subframe padding bit")
     stype = r.read(6)
+    # wasted bits (RFC 9639 §9.2.2): flag bit, then k-1 in unary; the
+    # subframe is coded at depth-k and every sample is restored << k —
+    # real encoders emit this on shifted/upscaled material
+    wasted = 0
     if r.read(1) != 0:
-        raise ValueError("unsupported FLAC: wasted bits")
+        wasted = r.read_unary() + 1
+        if wasted >= depth:
+            raise ValueError("malformed FLAC: wasted bits exceed depth")
+        depth -= wasted
+    if wasted:
+        return _read_subframe_body(r, blocksize, depth, stype) << wasted
+    return _read_subframe_body(r, blocksize, depth, stype)
+
+
+def _read_subframe_body(
+    r: _BitReader, blocksize: int, depth: int, stype: int
+) -> np.ndarray:
     if stype == 0:
         val = r.read_signed(depth)
         return np.full(blocksize, val, dtype=np.int64)

@@ -236,3 +236,50 @@ def test_transcode_lpc_stays_lossless(spark):
     dec = decode_payload(bytes(out.bytes))
     assert np.array_equal(np.asarray(dec, dtype=np.int64), x)
     assert bytes(out.bytes)[:4] == b"fLaC"
+
+
+def test_wasted_bits_roundtrip_and_smaller():
+    # 8-bit source stored as 16-bit: every sample has 8 trailing zeros
+    x = (_tone(12000) >> 8) << 8
+    raw = encode_flac(x, 16000, detect_wasted=True)
+    plain = encode_flac(x, 16000)
+    assert len(raw) < 0.8 * len(plain)
+    _sr, dec = decode_flac(raw)
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), x)
+    # with LPC on top
+    raw2 = encode_flac(x, 16000, detect_wasted=True, lpc_max_order=8)
+    _sr, dec2 = decode_flac(raw2)
+    assert np.array_equal(np.asarray(dec2, dtype=np.int64), x)
+
+
+def test_wasted_bits_stereo_and_legacy_identity():
+    x = (_tone(6000) >> 4) << 4
+    st = np.stack([x, -x], axis=1)
+    raw = encode_flac(st, 16000, detect_wasted=True)
+    _sr, dec = decode_flac(raw)
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), st)
+    # no shared trailing zeros -> detect_wasted is a no-op, bit-identical
+    y = _tone(5000)
+    y[0] |= 1
+    assert encode_flac(y, 16000, detect_wasted=True) == encode_flac(
+        y, 16000
+    )
+
+
+def test_wasted_bits_exceeding_depth_rejected():
+    raw, _ = _lpc_frame_bytes([100, -50], [1500, -700], 10,
+                              list(range(64)))
+    # hand-corrupting the wasted field is fiddly; instead assert the
+    # decoder guard directly on a depth-16 subframe claiming 16+ wasted
+    from jsonschema_spark.functions.flac import _BitReader, _read_subframe
+
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0b000000, 6)
+    w.write(1, 1)            # wasted flag
+    w.write(0, 15)
+    w.write(1, 1)            # unary 15 -> wasted = 16 == depth
+    w.write(0, 16)
+    w.align()
+    with pytest.raises(ValueError, match="wasted bits exceed depth"):
+        _read_subframe(_BitReader(bytes(w.buf)), 4, 16)

@@ -63,8 +63,11 @@ def test_flac_roundtrip_fuzz(seed):
             x = _rand_pcm(rng, n, rng.random() < 0.3)
             mode = None
         lmo = rng.choice([0, 4, 8])   # fixed-only and LPC paths alike
+        if rng.random() < 0.3:        # shifted material: wasted bits
+            x = (x >> 2) << 2
         raw = encode_flac(
-            x, 16000, blocksize=bs, stereo_mode=mode, lpc_max_order=lmo
+            x, 16000, blocksize=bs, stereo_mode=mode, lpc_max_order=lmo,
+            detect_wasted=rng.random() < 0.5,
         )
         sr, out = decode_flac(raw)
         assert sr == 16000
