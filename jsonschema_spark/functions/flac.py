@@ -820,8 +820,10 @@ def _encode_frame(
 # -------------------------------------------------------------- decoder --
 def _parse_stream(data: bytes):
     """Walk the metadata region; return (min_bs, sr, channels, bits,
-    total, want_md5, seeks, frames_start). Enforces the decoder's subset
-    bounds (mono/stereo 16-bit, fixed blocksize)."""
+    total, want_md5, seeks, frames_start, variable). Enforces the
+    decoder's subset bounds (mono/stereo 16-bit); ``variable`` is the
+    STREAMINFO min/max-blocksize hint (variable-blocksize streams
+    address frames by SAMPLE number)."""
     if data[:4] != FLAC_MARKER:
         raise ValueError("malformed FLAC: missing fLaC marker")
     pos = 4
@@ -862,16 +864,17 @@ def _parse_stream(data: bytes):
     want_md5 = streaminfo[18:34]
     if channels not in (1, 2) or bits != 16:
         raise ValueError("unsupported FLAC layout: only mono/stereo 16-bit")
-    if min_bs != max_bs:
-        raise ValueError("unsupported FLAC layout: variable blocksize")
-    return min_bs, sr, channels, bits, total, want_md5, seeks, pos
+    return (min_bs, sr, channels, bits, total, want_md5, seeks, pos,
+            min_bs != max_bs)
 
 
 def flac_seek_points(data: bytes) -> tuple[list[tuple[int, int, int]], int]:
     """(seek points, frames_start): each point is (first sample number,
     byte offset from the first frame byte, frame blocksize). Empty list
     when the stream carries no SEEKTABLE."""
-    min_bs, sr, channels, bits, total, md5, seeks, pos = _parse_stream(data)
+    min_bs, sr, channels, bits, total, md5, seeks, pos, _var = (
+        _parse_stream(data)
+    )
     return seeks, pos
 
 
@@ -880,15 +883,20 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     Verifies frame-header CRC-8, frame CRC-16 and the STREAMINFO MD5 of
     the decoded (channel-interleaved) PCM — any mismatch or truncation
     raises ValueError (decode fails LOUDLY)."""
-    min_bs, sr, channels, bits, total, want_md5, _seeks, pos = _parse_stream(
-        data
-    )
+    (min_bs, sr, channels, bits, total, want_md5, _seeks, pos,
+     _var) = _parse_stream(data)
     out: list[np.ndarray] = []
     got = 0
+    first_blocking: int | None = None
     while got < total:
         if pos >= len(data):
             raise ValueError("malformed FLAC: stream ends before all samples")
-        blk, pos, _fno = _decode_frame(data, pos, min_bs, channels)
+        blk, pos, _fno, blocking = _decode_frame(data, pos, min_bs, channels)
+        if first_blocking is None:
+            first_blocking = blocking
+        elif blocking != first_blocking:
+            # spec: the blocking strategy must not change mid-stream
+            raise ValueError("malformed FLAC: mixed blocking strategy")
         out.append(blk)
         got += blk.shape[0]
     pcm = np.concatenate(out, axis=0)[:total].astype(np.int64)
@@ -910,9 +918,8 @@ def decode_flac_range(
     every frame actually decoded; the STREAMINFO MD5 covers the whole
     stream and is NOT checkable on a partial decode (by design).
     Returns (sr_hz, pcm) clamped to the stream length."""
-    min_bs, sr, channels, bits, total, _md5, seeks, frames_start = (
-        _parse_stream(data)
-    )
+    (min_bs, sr, channels, bits, total, _md5, seeks, frames_start,
+     variable) = _parse_stream(data)
     start = max(0, int(start))
     end = min(start + max(0, int(count)), total)
     if end <= start:
@@ -920,7 +927,9 @@ def decode_flac_range(
         return sr, np.empty(shape, dtype=np.int32)
     base_off = 0
     for s, off, _bs in seeks:
-        if s <= start and s % min_bs == 0:
+        # frame-number addressing needs min_bs-aligned points; sample-
+        # number addressing (variable streams) trusts the table directly
+        if s <= start and (variable or s % min_bs == 0):
             base_off = off
     pos = frames_start + base_off
     out: list[np.ndarray] = []
@@ -929,8 +938,8 @@ def decode_flac_range(
     while True:
         if pos >= len(data):
             raise ValueError("malformed FLAC: stream ends before the window")
-        blk, pos, fno = _decode_frame(data, pos, min_bs, channels)
-        fstart = fno * min_bs
+        blk, pos, fno, blocking = _decode_frame(data, pos, min_bs, channels)
+        fstart = fno if blocking else fno * min_bs
         if first is None:
             if fstart > start:
                 raise ValueError("malformed FLAC: seek table overshoots")
@@ -1012,8 +1021,9 @@ def _decode_frame(
     ch_code = r.read(4)
     ss_code = r.read(3)
     r.read(1)
-    if blocking != 0:
-        raise ValueError("unsupported FLAC: variable-blocksize frames")
+    # blocking == 1 (variable blocksize): the UTF-8 field carries the
+    # frame's first SAMPLE number instead of its frame number; each
+    # frame's size comes from its own bs code either way
     if channels == 1:
         if ch_code != 0:
             raise ValueError("malformed FLAC: stereo frame in a mono stream")
@@ -1076,4 +1086,4 @@ def _decode_frame(
     (want16,) = struct.unpack(">H", data[body_end : body_end + 2])
     if _crc16(data[pos:body_end]) != want16:
         raise ValueError("FLAC integrity failure: frame CRC-16")
-    return blk, body_end + 2, frame_no
+    return blk, body_end + 2, frame_no, blocking

@@ -283,3 +283,75 @@ def test_wasted_bits_exceeding_depth_rejected():
     w.align()
     with pytest.raises(ValueError, match="wasted bits exceed depth"):
         _read_subframe(_BitReader(bytes(w.buf)), 4, 16)
+
+
+def _encode_variable(pcm, sr_hz, block_sizes, blocking_bits=None):
+    """Test-side VARIABLE-blocksize encoder (the production encoder is
+    fixed-bs by design): blocking bit 1, UTF-8 field = first SAMPLE
+    number, per-frame 16-bit blocksize at end of header."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    from jsonschema_spark.functions.flac import _write_subframe
+
+    x = np.asarray(pcm, dtype=np.int64)
+    assert sum(block_sizes) == len(x)
+    frames = bytearray()
+    sample = 0
+    from jsonschema_spark.functions.flac import _utf8_encode
+
+    for k, bs in enumerate(block_sizes):
+        blk = x[sample : sample + bs]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(1 if blocking_bits is None else blocking_bits[k], 1)
+        w.write(0b0111, 4)
+        w.write(0, 4)
+        w.write(0, 4)
+        w.write(0b100, 3)
+        w.write(0, 1)
+        for b in _utf8_encode(sample):
+            w.write(b, 8)
+        w.write(bs - 1, 16)
+        header = bytes(w.buf)
+        w.write(_crc8(header), 8)
+        _write_subframe(w, blk, 16)
+        w.align()
+        body = bytes(w.buf)
+        frames += body + _struct.pack(">H", _crc16(body))
+        sample += bs
+    out = bytearray(b"fLaC")
+    md5 = _hashlib.md5(x.astype("<i2").tobytes()).digest()
+    streaminfo = _struct.pack(">HH", min(block_sizes), max(block_sizes))
+    streaminfo += b"\x00\x00\x00" * 2
+    packed = (sr_hz << 44) | (0 << 41) | (15 << 36) | len(x)
+    streaminfo += packed.to_bytes(8, "big") + md5
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    out += frames
+    return bytes(out)
+
+
+def test_variable_blocksize_stream_decodes():
+    x = _tone(3000)
+    raw = _encode_variable(x, 16000, [1000, 700, 1300])
+    sr, dec = decode_flac(raw)
+    assert sr == 16000
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), x)
+
+
+def test_variable_blocksize_range_decode_sample_addressing():
+    from jsonschema_spark.functions.flac import decode_flac_range
+
+    x = _tone(5000)
+    raw = _encode_variable(x, 16000, [900, 1100, 1500, 1500])
+    # no seek table: walks from frame 0, addresses by SAMPLE number
+    _sr, w = decode_flac_range(raw, 2300, 1000)
+    assert np.array_equal(np.asarray(w, dtype=np.int64), x[2300:3300])
+
+
+def test_mixed_blocking_strategy_rejected():
+    x = _tone(2000)
+    raw = _encode_variable(x, 16000, [1000, 1000], blocking_bits=[1, 0])
+    with pytest.raises(ValueError, match="mixed blocking strategy"):
+        decode_flac(raw)
