@@ -278,6 +278,15 @@ def as_suite_config(
             "sr_col": sr_col, "dur_col": dur_col,
             "min_pass_rate": math.floor(rate * 1000) / 1000,
         })
+        srate = _measured_silent_rate(df, payload, id_col, sr_col)
+        # ceil to 3 decimals (same must-pass-on-draft-data stance as the
+        # decode floor, mirrored for an upper bound)
+        checks.append({
+            "type": "audio_silence", "name": f"{table}_audio_silence",
+            "table": table, "payload_col": payload, "id_col": id_col,
+            "sr_col": sr_col,
+            "max_silent_rate": math.ceil(srate * 1000) / 1000,
+        })
     return {"checks": checks}
 
 
@@ -293,6 +302,39 @@ def _audio_shape(df: DataFrame) -> tuple[str, str, str, str] | None:
     ):
         return ("bytes", "clip_id", "sr_hz", "dur_ms")
     return None
+
+
+def _measured_silent_rate(
+    df: DataFrame, payload: str, id_col: str, sr_col: str
+) -> float:
+    """Current silent-window fraction over decodable segments (the
+    segmentation fan-out + energy hop) — the ceiling the drafted
+    audio_silence check is anchored to."""
+    from pyspark.sql import functions as F  # local alias parity
+
+    from jsonschema_spark.operators.segments import (
+        segment_auto,
+        segment_energy,
+    )
+
+    if "codec" not in df.columns:
+        df = df.withColumn("codec", F.lit(None).cast("string"))
+    seg = segment_energy(
+        segment_auto(
+            df, segment_ms=250, id_col=id_col, payload_col=payload,
+            sr_col=sr_col,
+        )
+    )
+    row = (
+        seg.where(F.col("seg_idx").isNotNull())
+        .agg(
+            F.avg(
+                F.coalesce(F.col("silent"), F.lit(False)).cast("double")
+            ).alias("r")
+        )
+        .collect()[0]
+    )
+    return 0.0 if row["r"] is None else float(row["r"])
 
 
 def _measured_decode_rate(

@@ -559,6 +559,51 @@ def _check_audio_decode(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_silence(df: DataFrame, spec: dict) -> DataFrame:
+    """Segment-level dead-air gate: route every clip through the
+    segmentation fan-out (operators/segments.segment_auto — PCM rows
+    byte-slice JVM-side, containers decode once per clip) and the
+    integer-exact energy hop (segment_energy), then bound the fraction
+    of SILENT windows (sumsq < n * ``msq_floor``) among decodable
+    segments by ``max_silent_rate``. A corpus that decodes perfectly can
+    still be unusable training data if half its windows are dead air —
+    this is the gate that catches it. Undecodable clips don't count
+    either way (gate them with audio_decode); empty tables pass
+    vacuously (pair with row_count)."""
+    from jsonschema_spark.operators.segments import (
+        segment_auto,
+        segment_energy,
+    )
+
+    codec_col = spec.get("codec_col", "codec")
+    if codec_col not in df.columns:
+        # no codec column: every row takes the sniffing decode path
+        df = df.withColumn(codec_col, F.lit(None).cast("string"))
+    seg = segment_energy(
+        segment_auto(
+            df,
+            segment_ms=int(spec.get("segment_ms", 250)),
+            id_col=spec.get("id_col", "clip_id"),
+            payload_col=spec.get("payload_col", "bytes"),
+            sr_col=spec.get("sr_col", "sr_hz"),
+            codec_col=codec_col,
+        ),
+        msq_floor=int(spec.get("msq_floor", 16)),
+    )
+    max_rate = float(spec.get("max_silent_rate", 0.0))
+    agg = seg.where(F.col("seg_idx").isNotNull()).agg(
+        F.coalesce(
+            F.sum(F.coalesce(F.col("silent"), F.lit(False)).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate"),
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_silence", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -587,6 +632,7 @@ _CHECKS = {
     "values_in_set": lambda df, spec, tables: _check_values_in_set(df, spec),
     "expr": lambda df, spec, tables: _check_expr(df, spec),
     "audio_decode": lambda df, spec, tables: _check_audio_decode(df, spec),
+    "audio_silence": lambda df, spec, tables: _check_audio_silence(df, spec),
 }
 
 

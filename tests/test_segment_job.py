@@ -63,3 +63,49 @@ def test_segment_job_energy_flag(spark, tmp_path, capsys):
     written = spark.read.parquet(out)
     assert {"seg_sumsq", "seg_peak", "silent"} <= set(written.columns)
     assert written.where("silent").count() == stats["silent_segments"]
+
+
+def test_suite_audio_silence_check(spark):
+    from jsonschema_spark.operators.suite import run_suite
+
+    clips = synth_segment_clips(spark, 48).drop(
+        "_row_idx", "_n_dec", "_seg_idxs", "_seg_ns", "_seg_md5s",
+        "_seg_sumsqs", "_seg_peaks",
+    )
+    report = run_suite(
+        {"clips": clips},
+        {"checks": [
+            # the corpus plants dead windows in ~1/4 of clips: a zero
+            # ceiling must FAIL (the gate is seen firing) ...
+            {"type": "audio_silence", "name": "no_dead_air",
+             "table": "clips", "max_silent_rate": 0.0},
+            # ... and a generous ceiling must pass
+            {"type": "audio_silence", "name": "bounded_dead_air",
+             "table": "clips", "max_silent_rate": 0.5},
+        ]},
+    ).collect()
+    by = {r.check_name: r for r in report}
+    assert by["no_dead_air"].status == "fail"
+    assert by["bounded_dead_air"].status == "pass"
+    assert 0.0 < by["no_dead_air"].metric <= 0.5
+
+
+def test_suggest_drafts_audio_silence(spark):
+    from jsonschema_spark.operators.suite import run_suite
+    from jsonschema_spark.operators.suggest import (
+        as_suite_config,
+        column_suggestions,
+    )
+
+    clips = synth_segment_clips(spark, 36).drop(
+        "_row_idx", "_n_dec", "_seg_idxs", "_seg_ns", "_seg_md5s",
+        "_seg_sumsqs", "_seg_peaks",
+    )
+    cfg = as_suite_config(
+        clips, column_suggestions(clips, ["clip_id", "codec"]), "clips"
+    )
+    silence = [c for c in cfg["checks"] if c["type"] == "audio_silence"]
+    assert len(silence) == 1
+    # the drafted suite must pass on the data it was drafted from
+    report = run_suite({"clips": clips}, {"checks": silence}).collect()
+    assert report[0].status == "pass"
