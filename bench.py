@@ -309,6 +309,31 @@ def q_clips_segment_decoded(spark: SparkSession):
     ).collect()
 
 
+def q_validate_segments(spark: SparkSession):
+    """Constraint-eval throughput one level below clips: the routed
+    segmentation fan-out (byte-slice + decode paths) flows straight into
+    the compiled keyword DAG and a totals aggregate — scan -> fan-out ->
+    codegen checks -> partial agg, zero shuffle before the 1-row total."""
+    import copy
+
+    from __spark_entry__ import SEGMENTS_JSON_SCHEMA
+    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    schema = copy.deepcopy(SEGMENTS_JSON_SCHEMA)
+    # quality corpus runs up to 48 kHz: 250 ms windows reach 12000 samples,
+    # and its sr/codec domains differ from the ledger corpus — keep the
+    # structural checks (required/pattern/bounds), retarget the domains
+    schema["properties"]["seg_n_samples"]["maximum"] = 12000
+    schema["properties"]["sr_hz"] = {"type": "integer", "minimum": 1}
+    schema["properties"]["codec"] = {"type": "string"}
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    seg = segment_auto(
+        clips.select("clip_id", "bytes", "sr_hz", "codec"), 250
+    ).drop("seg_bytes")
+    return validate(seg, schema).totals().collect()
+
+
 def q_infer_schema(spark: SparkSession):
     """Schema inference profile over orders: two exact hash aggregates
     (bounds/nulls/distincts, then gated enum collect)."""
@@ -627,6 +652,7 @@ QUERIES = {
     "audio_quality": q_audio_quality,
     "clips_segments": q_clips_segments,
     "clips_segment_decoded": q_clips_segment_decoded,
+    "validate_segments": q_validate_segments,
     "infer_schema": q_infer_schema,
     "reconcile": q_reconcile,
     "sample_token_budget": q_sample_token_budget,

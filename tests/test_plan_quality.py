@@ -247,3 +247,42 @@ def test_upsample_single_hop(spark):
     # mapInPandas generator source + ONE upsample hop
     assert p.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_segment_energy_query_plan(spark):
+    """clips_segment_energy: decode hop (one ArrowEvalPython on the
+    container branch), energy hop per router branch, JVM Generate fan-out
+    — and zero shuffles anywhere."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["clips_segment_energy"](spark, SF_DIR)
+    p = plan(df)
+    # decode branch: segment UDF + energy UDF; slice branch: energy UDF
+    assert p.count("ArrowEvalPython") == 3
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_validate_segments_query_plan(spark):
+    """validate_segments: the segmentation fan-out flows straight into
+    the codegen'd keyword checks — one decode hop total, the violations
+    explode stays JVM-side, zero exchanges below the final explode."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["validate_segments"](spark, SF_DIR)
+    p = plan(df)
+    assert p.count("ArrowEvalPython") == 1   # decode branch only
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_flac_lpc_decode_query_plan(spark):
+    """clips_flac_lpc_decode: same single-hop shape as the fixed-
+    predictor FLAC query — LPC must not change the plan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["clips_flac_lpc_decode"](spark, SF_DIR)
+    p = plan(df)
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
