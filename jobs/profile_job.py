@@ -126,6 +126,44 @@ def profile_table(df, skew_candidates=None):
             ).alias("e")
         ).select("e.*")
         sections.append(long_form(enc, "encoding", "column"))
+    # audio payload health (engine input_hint shape: clip_id/bytes/sr_hz/
+    # dur_ms): container-magic histogram (pure codegen), decode rate (one
+    # Arrow hop) and dead-air rate over the segmentation fan-out
+    from jsonschema_spark.operators.suggest import (
+        _audio_shape,
+        _measured_decode_rate,
+        _measured_silent_rate,
+    )
+
+    audio = _audio_shape(df)
+    if audio is not None:
+        payload, id_col, sr_col, dur_col = audio
+        pre = F.substring(F.col(payload), 1, 4)
+        sniff = df.agg(
+            F.avg((pre == F.lit(b"RIFF")).cast("double")).alias("riff"),
+            F.avg((pre == F.lit(b"fLaC")).cast("double")).alias("flac"),
+            F.avg(F.col(payload).isNull().cast("double")).alias("nul"),
+        ).collect()[0]
+        metrics = {
+            "riff_frac": 0.0 if sniff["riff"] is None else sniff["riff"],
+            "flac_frac": 0.0 if sniff["flac"] is None else sniff["flac"],
+            "null_frac": 0.0 if sniff["nul"] is None else sniff["nul"],
+            "decode_rate": _measured_decode_rate(
+                df, payload, id_col, sr_col, dur_col
+            ),
+            "silent_seg_rate": _measured_silent_rate(
+                df, payload, id_col, sr_col
+            ),
+        }
+        spark = df.sparkSession
+        sections.append(
+            spark.createDataFrame(
+                [("audio", payload, k, f"{v:.6f}", float(v))
+                 for k, v in metrics.items()],
+                "section string, column string, metric string, "
+                "value_str string, value_num double",
+            )
+        )
     for c in skew_candidates or []:
         rep = stats.skew_report(df, c).withColumn("column", F.lit(c))
         sections.append(long_form(rep, "skew", "column"))

@@ -109,3 +109,24 @@ def test_suggest_drafts_audio_silence(spark):
     # the drafted suite must pass on the data it was drafted from
     report = run_suite({"clips": clips}, {"checks": silence}).collect()
     assert report[0].status == "pass"
+
+
+def test_profile_job_audio_section(spark):
+    from jobs.profile_job import profile_table
+
+    clips = synth_segment_clips(spark, 36).drop(
+        "_row_idx", "_n_dec", "_seg_idxs", "_seg_ns", "_seg_md5s",
+        "_seg_sumsqs", "_seg_peaks",
+    )
+    prof = profile_table(clips)
+    audio = {r.metric: r.value_num
+             for r in prof.where("section = 'audio'").collect()}
+    assert set(audio) == {"riff_frac", "flac_frac", "null_frac",
+                          "decode_rate", "silent_seg_rate"}
+    # torn-FLAC class is 1/6: decode rate 5/6; classes 0+5 are FLAC (2/6),
+    # classes 1/2/3 are RIFF (3/6); planted dead windows keep the silent
+    # rate strictly inside (0, 0.5)
+    assert abs(audio["decode_rate"] - 5 / 6) < 0.02
+    assert abs(audio["flac_frac"] - 2 / 6) < 0.02
+    assert abs(audio["riff_frac"] - 3 / 6) < 0.02
+    assert 0.0 < audio["silent_seg_rate"] < 0.5
