@@ -2287,6 +2287,27 @@ def _q_validate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_segment_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(audio, text) pair cutting across the ROUTER: every segment row
+    carries the weak-alignment transcript window (char range
+    [floor(start*len/n), floor(end*len/n)) — monotone exhaustive integer
+    boundaries, so concatenation over seg_idx reassembles the transcript
+    exactly), on the byte-slice path and the decode path alike; torn
+    clips carry NULL. The oracle recomputes every window with DuckDB
+    integer division over the lockstep-unnested ledger."""
+    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.sources.clips import (
+        SEGD_SEG_MS,
+        materialized_segment_clips,
+    )
+
+    clips, _ = materialized_segment_clips(spark, _SEGD_N)
+    seg = segment_auto(
+        clips, segment_ms=SEGD_SEG_MS, transcript_col="transcript"
+    )
+    return seg.select("clip_id", "seg_idx", "seg_path", "seg_transcript")
+
+
 def _q_suite_report_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio payload axis inside the declarative CI gate: one suite
     run over TWO ledger corpora — decode-rate gate on the FLAC corpus
@@ -3834,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segment_decoded": _q_clips_segment_decoded,
         "clips_segment_auto": _q_clips_segment_auto,
         "clips_segment_energy": _q_clips_segment_energy,
+        "clips_segment_transcripts": _q_clips_segment_transcripts,
         "validate_segments": _q_validate_segments,
         "clips_pcm24_decode": _q_clips_pcm24_decode,
         "image_dhash": _q_image_dhash,
@@ -5609,7 +5631,7 @@ def _segd_segs_cte() -> str:
                    unnest(_seg_sumsqs) AS seg_sumsq,
                    unnest(_seg_peaks) AS seg_peak,
                    _n_dec AS n_samples,
-                   sr_hz, codec
+                   sr_hz, codec, transcript
             FROM {src}
         ), segs2 AS (
             SELECT *,
@@ -5631,6 +5653,44 @@ def _clips_segment_energy_sql() -> str:
         SELECT clip_id, seg_idx, seg_sumsq, seg_peak,
                seg_sumsq < seg_n * 16 AS silent
         FROM segs2
+    """
+    )
+
+
+def _clips_segment_transcripts_sql() -> str:
+    """Transcript-window oracle: the same integer floor arithmetic the
+    operator uses, in DuckDB integer division (`//` — exact, no DECIMAL
+    creep) over the ledger relation; start sample = seg_idx * (sr*ms div
+    1000), end = start + seg_n."""
+    from jsonschema_spark.sources.clips import SEGD_SEG_MS
+
+    _SEGD_SEG_MS_SQL = int(SEGD_SEG_MS)
+    return (
+        _segd_segs_cte()
+        + f"""
+        , segs3 AS (
+            SELECT *,
+                   (CAST(sr_hz AS BIGINT) * {_SEGD_SEG_MS_SQL}) // 1000
+                       AS sps,
+                   CAST(length(transcript) AS BIGINT) AS tx_len
+            FROM segs2
+        )
+        SELECT clip_id,
+               seg_idx,
+               CASE WHEN codec = 'pcm_s16le' THEN 'slice'
+                    ELSE 'decode' END AS seg_path,
+               CASE WHEN seg_idx IS NOT NULL AND n_samples > 0 THEN
+                   substr(
+                       transcript,
+                       CAST((seg_idx * sps * tx_len) // n_samples
+                            AS BIGINT) + 1,
+                       CAST(((seg_idx * sps + seg_n) * tx_len)
+                                // n_samples
+                            - (seg_idx * sps * tx_len) // n_samples
+                            AS BIGINT)
+                   )
+               END AS seg_transcript
+        FROM segs3
     """
     )
 
@@ -8618,6 +8678,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_segment_decoded": _clips_segment_decoded_sql(),
         "clips_segment_auto": _clips_segment_auto_sql(),
         "clips_segment_energy": _clips_segment_energy_sql(),
+        "clips_segment_transcripts": _clips_segment_transcripts_sql(),
         "validate_segments": _validate_segments_sql(),
         "clips_pcm24_decode": _clips_pcm24_decode_sql(),
         "image_dhash": _image_dhash_sql(),

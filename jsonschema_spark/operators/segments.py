@@ -195,6 +195,7 @@ def segment_decoded(
     payload_col: str = "bytes",
     sr_col: str = "sr_hz",
     codec_col: str = "codec",
+    transcript_col: str | None = None,
 ) -> DataFrame:
     """Segment COMPRESSED audio: decode each payload once (any container
     ``functions.audio.decode_payload`` speaks — WAV depths, G.711, ADPCM,
@@ -225,10 +226,15 @@ def segment_decoded(
     """
     from jsonschema_spark.functions.audio import segment_pcm
 
+    tx_in = (
+        [F.col(transcript_col).alias("_transcript")] if transcript_col
+        else []
+    )
     dec = df.select(
         F.col(id_col),
         F.col(sr_col),
         F.col(codec_col),
+        *tx_in,
         segment_pcm(payload_col, sr_col, segment_ms).alias("_seg"),
     )
     # own projection: posexplode must reference the struct ATTRIBUTE, not
@@ -237,6 +243,7 @@ def segment_decoded(
         F.col(id_col),
         F.col(sr_col),
         F.col(codec_col),
+        *([F.col("_transcript")] if transcript_col else []),
         F.col("_seg.n_samples").alias("n_samples"),
         F.posexplode_outer("_seg.segs").alias("seg_idx", "seg_bytes"),
     )
@@ -260,6 +267,12 @@ def segment_decoded(
         F.col(sr_col),
         F.col(codec_col),
         F.col("seg_bytes"),
+        *_seg_transcript_cols(
+            transcript_col,
+            F.col("seg_idx").cast("long") * sps,
+            (F.length("seg_bytes") / BYTES_PER_SAMPLE).cast("long"),
+            F.col("n_samples"),
+        ),
     )
     if min_tail_ms > 0:
         min_samples = (
@@ -272,6 +285,30 @@ def segment_decoded(
     return out
 
 
+def _seg_transcript_cols(transcript_col, start_sample, this_samples, n):
+    """Weak-alignment transcript window for a segment row: char range
+    [floor(start*len/n), floor(end*len/n)) — monotone exhaustive integer
+    boundaries, so concatenation over seg_idx reassembles the transcript
+    exactly (the same convention segment_clips uses); NULL on the loud
+    undecodable rows (n <= 0 divides to NULL and the when() gate keeps
+    it NULL). Returns [] when no transcript column was requested."""
+    if not transcript_col:
+        return []
+    tx = F.col("_transcript")
+    tx_len = F.length(tx).cast("long")
+    ch_start = F.floor(start_sample * tx_len / n).cast("long")
+    ch_end = F.floor((start_sample + this_samples) * tx_len / n).cast(
+        "long"
+    )
+    return [
+        F.when(
+            start_sample.isNotNull() & (n > 0),
+            F.substring(tx, (ch_start + 1).cast("int"),
+                        (ch_end - ch_start).cast("int")),
+        ).alias("seg_transcript")
+    ]
+
+
 def segment_auto(
     df: DataFrame,
     segment_ms: int,
@@ -280,6 +317,7 @@ def segment_auto(
     payload_col: str = "bytes",
     sr_col: str = "sr_hz",
     codec_col: str = "codec",
+    transcript_col: str | None = None,
 ) -> DataFrame:
     """Route every row through the CHEAPEST correct segmentation path:
     raw ``pcm_s16le`` rows are byte-sliced entirely JVM-side (substring
@@ -318,6 +356,10 @@ def segment_auto(
         & even_len
     )
     idxs = F.when(slice_ok, F.sequence(F.lit(0), (n_seg - 1).cast("int")))
+    tx_in = (
+        [F.col(transcript_col).alias("_transcript")] if transcript_col
+        else []
+    )
     sliced = (
         df.where(pcm_mask)
         .select(
@@ -325,6 +367,7 @@ def segment_auto(
             F.col(payload_col),
             F.col(sr_col),
             F.col(codec_col),
+            *tx_in,
             sps.alias("_sps"),
             n_samples.alias("_n"),
             F.posexplode_outer(idxs).alias("_p", "seg_idx"),
@@ -388,6 +431,22 @@ def segment_auto(
                 ),
             ).alias("seg_bytes"),
             F.lit("slice").alias("seg_path"),
+            *_seg_transcript_cols(
+                transcript_col,
+                F.col("seg_idx").cast("long") * F.col("_sps"),
+                F.least(
+                    F.col("_sps"),
+                    F.col("_n")
+                    - F.col("seg_idx").cast("long") * F.col("_sps"),
+                ),
+                F.when(
+                    F.col(payload_col).isNull()
+                    | F.col(sr_col).isNull()
+                    | (F.col("_sps") <= 0)
+                    | (F.length(F.col(payload_col)) % 2 == 1),
+                    F.lit(-1),
+                ).otherwise(F.col("_n")),
+            ),
         )
     )
     if min_tail_ms > 0:
@@ -405,6 +464,7 @@ def segment_auto(
         payload_col=payload_col,
         sr_col=sr_col,
         codec_col=codec_col,
+        transcript_col=transcript_col,
     ).withColumn("seg_path", F.lit("decode"))
     return sliced.unionByName(decoded)
 

@@ -398,3 +398,51 @@ def test_validate_segments_flags_only_torn_class(spark):
         assert {r.keyword for r in rows} == {"required", "minimum"}
     finally:
         clips.unpersist()
+
+
+def test_transcript_windows_reassemble_across_router(spark):
+    from jsonschema_spark.operators.segments import segment_auto
+    from jsonschema_spark.sources.clips import (
+        SEGD_SEG_MS,
+        synth_segment_clips,
+    )
+
+    clips = synth_segment_clips(spark, 36).cache()
+    try:
+        seg = segment_auto(
+            clips, segment_ms=SEGD_SEG_MS, transcript_col="transcript"
+        )
+        ok = seg.where("seg_idx IS NOT NULL")
+        rebuilt = ok.groupBy("clip_id").agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("seg_idx", "seg_transcript")
+                    )
+                ).getField("seg_transcript"),
+            ).alias("rebuilt")
+        )
+        chk = rebuilt.join(
+            clips.select("clip_id", "transcript"), "clip_id"
+        )
+        # integer-floor boundaries are monotone + exhaustive: exact
+        assert chk.where("rebuilt <> transcript").count() == 0
+        # torn clips carry NULL, never a misaligned window
+        assert (
+            seg.where("seg_idx IS NULL")
+            .where("seg_transcript IS NOT NULL")
+            .count()
+            == 0
+        )
+        # both router paths emit windows
+        paths = {
+            r.seg_path
+            for r in ok.where("seg_transcript IS NOT NULL")
+            .select("seg_path")
+            .distinct()
+            .collect()
+        }
+        assert paths == {"slice", "decode"}
+    finally:
+        clips.unpersist()
