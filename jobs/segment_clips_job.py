@@ -52,6 +52,7 @@ def segment_table(
     output: str | None = None,
     energy: bool = False,
     msq_floor: int = 16,
+    partition_by: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Segment ``clips`` and report; returns (segments DataFrame, stats).
 
@@ -120,7 +121,12 @@ def segment_table(
     ).collect()[0]
     ok = seg.where(F.col("seg_idx").isNotNull())
     if output:
-        ok.write.mode("overwrite").parquet(output)
+        w = ok.write.mode("overwrite")
+        if partition_by:
+            # e.g. codec: downstream codec-routed readers (segment_auto's
+            # predicate-disjoint scans) then PRUNE to their own files
+            w = w.partitionBy(partition_by)
+        w.parquet(output)
     stats = {
         "clips": int(agg["clips"]),
         "segments": int(agg["segments"]),
@@ -153,6 +159,9 @@ def main(argv=None) -> int:
                         "gate columns (one extra Arrow hop)")
     p.add_argument("--msq-floor", type=int, default=16,
                    help="silence gate: mean-square floor (default 16)")
+    p.add_argument("--partition-by", default=None,
+                   help="partition the output table by this column "
+                        "(e.g. codec: codec-routed readers prune files)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
@@ -189,6 +198,7 @@ def main(argv=None) -> int:
         output=args.output,
         energy=args.energy,
         msq_floor=args.msq_floor,
+        partition_by=args.partition_by,
     )
     print(json.dumps(stats))
     segs.unpersist()

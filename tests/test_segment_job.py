@@ -130,3 +130,64 @@ def test_profile_job_audio_section(spark):
     assert abs(audio["flac_frac"] - 2 / 6) < 0.02
     assert abs(audio["riff_frac"] - 3 / 6) < 0.02
     assert 0.0 < audio["silent_seg_rate"] < 0.5
+
+
+def test_codec_partitioned_corpus_prunes_router_branches(spark, tmp_path):
+    """The scale claim in segment_auto's docstring, proven: over a corpus
+    PARTITIONED BY codec, each router branch's codec predicate becomes a
+    PartitionFilter — the slice branch reads only codec=pcm_s16le files,
+    the decode branch only the rest."""
+    from jsonschema_spark.operators.segments import segment_auto
+
+    clips = synth_segment_clips(spark, 36).drop(
+        "_row_idx", "_n_dec", "_seg_idxs", "_seg_ns", "_seg_md5s",
+        "_seg_sumsqs", "_seg_peaks",
+    )
+    p = str(tmp_path / "by_codec")
+    clips.write.partitionBy("codec").parquet(p)
+    part = spark.read.parquet(p)
+    plan = (
+        segment_auto(part, 250)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # slice branch prunes TO codec=pcm_s16le, decode branch prunes it OUT
+    assert re.search(
+        r"PartitionFilters: \[coalesce\(\(codec#\d+ = pcm_s16le\)", plan
+    )
+    assert re.search(
+        r"PartitionFilters: \[NOT coalesce\(\(codec#\d+ = pcm_s16le\)",
+        plan,
+    )
+    assert "Exchange" not in plan
+    # and the routed output over the partitioned table still matches the
+    # unpartitioned routing
+    a = sorted(
+        (r.clip_id, r.seg_idx, r.seg_path)
+        for r in segment_auto(part, 250)
+        .select("clip_id", "seg_idx", "seg_path")
+        .collect()
+    )
+    b = sorted(
+        (r.clip_id, r.seg_idx, r.seg_path)
+        for r in segment_auto(clips, 250)
+        .select("clip_id", "seg_idx", "seg_path")
+        .collect()
+    )
+    assert a == b
+
+
+def test_segment_job_partition_by(spark, tmp_path, capsys):
+    import os
+
+    from jobs.segment_clips_job import main
+
+    out = str(tmp_path / "parted")
+    rc = main(["--synthesize", "24", "--output", out,
+               "--partition-by", "codec"])
+    assert rc == 0
+    subdirs = {d for d in os.listdir(out) if d.startswith("codec=")}
+    assert "codec=pcm_s16le" in subdirs and len(subdirs) >= 4
