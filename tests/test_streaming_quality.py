@@ -80,10 +80,15 @@ def test_segment_auto_streaming_parity(spark, tmp_path):
     ).write.mode("overwrite").parquet(d)
     batch = spark.read.parquet(d)
 
+    from jsonschema_spark.operators.segments import segment_energy
+
     def segs(df):
-        return segment_auto(df, 250).select(
+        return segment_energy(
+            segment_auto(df, 250, transcript_col="transcript")
+        ).select(
             "clip_id", "seg_idx", "seg_n_samples", "n_samples",
-            "seg_path", F.md5(F.hex("seg_bytes")).alias("h"),
+            "seg_path", "seg_sumsq", "seg_peak", "silent",
+            "seg_transcript", F.md5(F.hex("seg_bytes")).alias("h"),
         )
 
     want = sorted(tuple(r) for r in segs(batch).collect())
