@@ -603,16 +603,23 @@ def decode_payload(raw: bytes) -> np.ndarray:
         return np.cumsum(deltas, dtype=np.int64).astype(np.int32)
     if raw[:4] == b"fLaC":
         # REAL FLAC (functions/flac.py): lossless, CRC+MD5 verified decode
-        from jsonschema_spark.functions.flac import decode_flac
+        from jsonschema_spark.functions.flac import _parse_stream, decode_flac
 
+        bits = _parse_stream(bytes(raw))[3]
         _sr, pcm = decode_flac(bytes(raw))
         if pcm.ndim == 2:
             # stereo -> mono with the engine's exact-integer downmix
             # convention ((l + r) >> 1 == floor((l+r)/2) — downmix_batch)
-            return ((pcm[:, 0].astype(np.int64) + pcm[:, 1]) >> 1).astype(
-                np.int32
-            )
-        return pcm
+            pcm = (pcm[:, 0].astype(np.int64) + pcm[:, 1]) >> 1
+        # engine PCM model is int16: same depth conventions as WAV
+        # ingestion (24-bit keeps the top 16 via arithmetic >>8; 8-bit
+        # FLAC samples are SIGNED, so plain <<8 — unlike WAV's offset
+        # binary)
+        if bits == 24:
+            pcm = np.asarray(pcm, dtype=np.int64) >> 8
+        elif bits == 8:
+            pcm = np.asarray(pcm, dtype=np.int64) << 8
+        return np.asarray(pcm, dtype=np.int32)
     if raw[:4] == _OPUS_MAGIC:
         q = np.frombuffer(raw[4:], dtype="<i2").astype(np.int32)
         return q << 2

@@ -53,6 +53,22 @@ __all__ = [
 FLAC_MARKER = b"fLaC"
 _BLOCKSIZE = 4096
 
+# supported stream bit depths <-> frame-header sample-size codes
+_SS_CODES = {8: 0b001, 16: 0b100, 24: 0b110}
+_SS_BITS = {v: k for k, v in _SS_CODES.items()}
+
+
+def _md5_sample_bytes(pcm: np.ndarray, bits: int) -> bytes:
+    """The byte stream the STREAMINFO MD5 covers: channel-interleaved
+    little-endian samples at the stream's byte width (1/2/3 bytes for
+    8/16/24-bit). (n, 2) arrays in C order ARE the interleaved stream."""
+    if bits == 8:
+        return pcm.astype(np.int8).tobytes()
+    if bits == 16:
+        return pcm.astype("<i2").tobytes()
+    b = np.frombuffer(pcm.astype("<i4").tobytes(), dtype=np.uint8)
+    return b.reshape(-1, 4)[:, :3].tobytes()
+
 
 # ---------------------------------------------------------------- CRCs --
 # Table-driven (one lookup per byte): the bit-at-a-time loop was 88% of
@@ -611,6 +627,7 @@ def encode_flac(
     seek_every: int | None = None,
     lpc_max_order: int = 0,
     detect_wasted: bool = False,
+    bits: int = 16,
 ) -> bytes:
     """int16 PCM -> FLAC stream (fixed predictors, Rice residuals).
 
@@ -640,11 +657,13 @@ def encode_flac(
     n_total = x.shape[0]
     if n_total == 0:
         raise ValueError("encode_flac: empty signal")
-    if x.max(initial=0) > 32767 or x.min(initial=0) < -32768:
-        raise ValueError("encode_flac: samples exceed 16-bit range")
+    if bits not in _SS_CODES:
+        raise ValueError("encode_flac: bits must be 8, 16 or 24")
+    lim = 1 << (bits - 1)
+    if x.max(initial=0) > lim - 1 or x.min(initial=0) < -lim:
+        raise ValueError(f"encode_flac: samples exceed {bits}-bit range")
     # spec: MD5 of the unencoded audio, channel-interleaved, little-endian
-    # ((n, 2) int16 in C order IS the interleaved l0 r0 l1 r1 ... stream)
-    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_md5_sample_bytes(x, bits)).digest()
 
     frames = bytearray()
     seeks: list[tuple[int, int, int]] = []
@@ -654,14 +673,16 @@ def encode_flac(
             seeks.append((pos, len(frames), blk.shape[0]))
         frames += _encode_frame(
             blk, frame_no, blocksize, stereo_mode, lpc_max_order,
-            detect_wasted,
+            detect_wasted, bits,
         )
 
     out = bytearray(FLAC_MARKER)
     streaminfo = struct.pack(">HH", blocksize, blocksize)
     streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
     # 20 bits sr | 3 bits channels-1 | 5 bits bits-1 | 36 bits total samples
-    packed = (sr_hz << 44) | ((channels - 1) << 41) | (15 << 36) | n_total
+    packed = (
+        (sr_hz << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | n_total
+    )
     streaminfo += packed.to_bytes(8, "big")
     streaminfo += md5
     last = 0x00 if seeks else 0x80
@@ -764,11 +785,12 @@ def _encode_frame(
     stereo_mode: str | None = None,
     lpc_max_order: int = 0,
     detect_wasted: bool = False,
+    bits: int = 16,
 ) -> bytes:
     n = blk.shape[0]
     if blk.ndim == 1:
         ch_code = 0
-        subframes = [(blk.astype(np.int64), 16)]
+        subframes = [(blk.astype(np.int64), bits)]
     else:
         l = blk[:, 0].astype(np.int64)
         r = blk[:, 1].astype(np.int64)
@@ -787,13 +809,13 @@ def _encode_frame(
             }
             ch_code = min(costs, key=lambda k: (costs[k], k))
         if ch_code == _CH_INDEP2:
-            subframes = [(l, 16), (r, 16)]
+            subframes = [(l, bits), (r, bits)]
         elif ch_code == _CH_LEFT_SIDE:
-            subframes = [(l, 16), (side, 17)]
+            subframes = [(l, bits), (side, bits + 1)]
         elif ch_code == _CH_RIGHT_SIDE:
-            subframes = [(side, 17), (r, 16)]
+            subframes = [(side, bits + 1), (r, bits)]
         else:
-            subframes = [(mid, 16), (side, 17)]
+            subframes = [(mid, bits), (side, bits + 1)]
 
     w = _BitWriter()
     w.write(0b11111111111110, 14)  # sync
@@ -802,7 +824,7 @@ def _encode_frame(
     w.write(0b0111, 4)             # blocksize: 16-bit at end of header
     w.write(0, 4)                  # sample rate: from STREAMINFO
     w.write(ch_code, 4)            # channels / stereo decorrelation
-    w.write(0b100, 3)              # sample size: 16 bits
+    w.write(_SS_CODES[bits], 3)    # sample size
     w.write(0, 1)                  # reserved
     for b in _utf8_encode(frame_no):
         w.write(b, 8)
@@ -862,8 +884,10 @@ def _parse_stream(data: bytes):
     bits = ((packed >> 36) & 0x1F) + 1
     total = packed & ((1 << 36) - 1)
     want_md5 = streaminfo[18:34]
-    if channels not in (1, 2) or bits != 16:
-        raise ValueError("unsupported FLAC layout: only mono/stereo 16-bit")
+    if channels not in (1, 2) or bits not in _SS_CODES:
+        raise ValueError(
+            "unsupported FLAC layout: only mono/stereo 8/16/24-bit"
+        )
     return (min_bs, sr, channels, bits, total, want_md5, seeks, pos,
             min_bs != max_bs)
 
@@ -891,7 +915,9 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
     while got < total:
         if pos >= len(data):
             raise ValueError("malformed FLAC: stream ends before all samples")
-        blk, pos, _fno, blocking = _decode_frame(data, pos, min_bs, channels)
+        blk, pos, _fno, blocking = _decode_frame(
+            data, pos, min_bs, channels, bits
+        )
         if first_blocking is None:
             first_blocking = blocking
         elif blocking != first_blocking:
@@ -900,8 +926,8 @@ def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
         out.append(blk)
         got += blk.shape[0]
     pcm = np.concatenate(out, axis=0)[:total].astype(np.int64)
-    # spec MD5 is over the interleaved stream; (n, 2) int16 C-order == it
-    if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != want_md5:
+    # spec MD5 is over the interleaved stream at the stream's byte width
+    if hashlib.md5(_md5_sample_bytes(pcm, bits)).digest() != want_md5:
         raise ValueError("FLAC integrity failure: STREAMINFO MD5 mismatch")
     return sr, pcm.astype(np.int32)
 
@@ -938,7 +964,9 @@ def decode_flac_range(
     while True:
         if pos >= len(data):
             raise ValueError("malformed FLAC: stream ends before the window")
-        blk, pos, fno, blocking = _decode_frame(data, pos, min_bs, channels)
+        blk, pos, fno, blocking = _decode_frame(
+            data, pos, min_bs, channels, bits
+        )
         fstart = fno if blocking else fno * min_bs
         if first is None:
             if fstart > start:
@@ -1009,7 +1037,8 @@ def _read_subframe_body(
 
 
 def _decode_frame(
-    data: bytes, pos: int, nominal_bs: int, channels: int = 1
+    data: bytes, pos: int, nominal_bs: int, channels: int = 1,
+    bits: int = 16,
 ) -> tuple[np.ndarray, int, int]:
     r = _BitReader(data, pos)
     if r.read(14) != 0b11111111111110:
@@ -1027,19 +1056,21 @@ def _decode_frame(
     if channels == 1:
         if ch_code != 0:
             raise ValueError("malformed FLAC: stereo frame in a mono stream")
-        depths = [16]
+        depths = [bits]
     elif ch_code == _CH_INDEP2:
-        depths = [16, 16]
+        depths = [bits, bits]
     elif ch_code == _CH_LEFT_SIDE:
-        depths = [16, 17]
+        depths = [bits, bits + 1]
     elif ch_code == _CH_RIGHT_SIDE:
-        depths = [17, 16]
+        depths = [bits + 1, bits]
     elif ch_code == _CH_MID_SIDE:
-        depths = [16, 17]
+        depths = [bits, bits + 1]
     else:
         raise ValueError("malformed FLAC: channel assignment vs STREAMINFO")
-    if ss_code != 0b100:
-        raise ValueError("unsupported FLAC: non-16-bit sample size")
+    if _SS_BITS.get(ss_code) != bits:
+        raise ValueError(
+            "unsupported FLAC: frame sample size vs STREAMINFO"
+        )
     frame_no = _utf8_decode(r)
     if bs_code == 0b0110:
         blocksize = r.read(8) + 1

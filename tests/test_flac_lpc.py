@@ -355,3 +355,50 @@ def test_mixed_blocking_strategy_rejected():
     raw = _encode_variable(x, 16000, [1000, 1000], blocking_bits=[1, 0])
     with pytest.raises(ValueError, match="mixed blocking strategy"):
         decode_flac(raw)
+
+
+def test_depth_matrix_roundtrips():
+    base = _tone(9000)
+    for bits, x in (
+        (8, base >> 8),
+        (16, base),
+        (24, np.clip(base << 8 | (base & 0xFF), -(1 << 23), (1 << 23) - 1)),
+    ):
+        for lmo in (0, 8):
+            raw = encode_flac(x, 16000, bits=bits, lpc_max_order=lmo)
+            _sr, dec = decode_flac(raw)
+            assert np.array_equal(np.asarray(dec, dtype=np.int64), x), (
+                bits, lmo,
+            )
+        st = np.stack([x, -x - 1], axis=1)
+        raw = encode_flac(st, 16000, bits=bits, lpc_max_order=8)
+        _sr, dec = decode_flac(raw)
+        assert np.array_equal(np.asarray(dec, dtype=np.int64), st), bits
+
+
+def test_depth_range_enforced_and_md5_width():
+    x = _tone(2000)
+    with pytest.raises(ValueError, match="8-bit range"):
+        encode_flac(x, 16000, bits=8)
+    with pytest.raises(ValueError, match="bits must be"):
+        encode_flac(x, 16000, bits=12)
+    # 24-bit MD5 covers 3-byte samples: a torn stream still fails loudly
+    x24 = x << 8
+    raw = encode_flac(x24, 16000, bits=24)
+    with pytest.raises(ValueError):
+        decode_flac(raw[:-5])
+
+
+def test_decode_payload_depth_conventions():
+    from jsonschema_spark.functions.audio import decode_payload
+
+    base = _tone(4000)
+    # 24-bit with a noisy low byte: decode_payload keeps the top 16
+    # (arithmetic >>8), the same convention as 24-bit WAV ingestion
+    x24 = (base << 8) | 0x5A
+    out = decode_payload(encode_flac(x24, 16000, bits=24))
+    assert np.array_equal(np.asarray(out, dtype=np.int64), x24 >> 8)
+    # 8-bit FLAC samples are SIGNED: plain << 8
+    x8 = base >> 8
+    out = decode_payload(encode_flac(x8, 16000, bits=8))
+    assert np.array_equal(np.asarray(out, dtype=np.int64), x8 << 8)
