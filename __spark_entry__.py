@@ -3226,6 +3226,34 @@ def _q_clips_flac_lpc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLACD_N = 360
+
+
+def _q_clips_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC bit-depth matrix decode proof: 8/16/24-bit mono/stereo
+    LPC-encoded streams (incl. noisy-low-byte 24-bit) must land on the
+    SOURCE-certified engine-convention int16 ledger — the spec MD5 is
+    verified at each stream's true byte width, stereo downmixes before
+    depth conversion, and the torn class fails loudly through the
+    CRC/MD5 chain."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import (
+        materialized_flac_depth_clips,
+    )
+
+    clips, _ = materialized_flac_depth_clips(spark, _FLACD_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
 _FLAC2_N = 400
 
 
@@ -3846,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_msadpcm_decode": _q_clips_msadpcm_decode,
         "clips_flac_decode": _q_clips_flac_decode,
         "clips_flac_lpc_decode": _q_clips_flac_lpc_decode,
+        "clips_flac_depths": _q_clips_flac_depths,
         "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
         "clips_wav_depths": _q_clips_wav_depths,
         "clips_upsample": _q_clips_upsample,
@@ -6175,6 +6204,26 @@ def _clips_msadpcm_decode_sql() -> str:
                _n_dec AS n_samples,
                _dec_md5 AS dec_md5,
                (_row_idx % {MSADPCM_TRUNC_MOD} <> {MSADPCM_TRUNC_CLS})
+                 AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_flac_depths_sql() -> str:
+    """Depth-matrix oracle: ledger columns + planted-class arithmetic
+    (same SOURCE-sample stance as every FLAC corpus)."""
+    from jsonschema_spark.sources.clips import (
+        FLACD_CLASS_MOD,
+        FLACD_CLS_TORN,
+        flac_depth_clips_path,
+    )
+
+    src = f"read_parquet('{flac_depth_clips_path(_FLACD_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % {FLACD_CLASS_MOD} <> {FLACD_CLS_TORN})
                  AS decode_ok
         FROM {src}
     """
@@ -8669,6 +8718,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_msadpcm_decode": _clips_msadpcm_decode_sql(),
         "clips_flac_decode": _clips_flac_decode_sql(),
         "clips_flac_lpc_decode": _clips_flac_lpc_decode_sql(),
+        "clips_flac_depths": _clips_flac_depths_sql(),
         "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
         "clips_wav_depths": _clips_wav_depths_sql(),
         "clips_upsample": _clips_upsample_sql(),

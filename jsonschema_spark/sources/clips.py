@@ -1944,3 +1944,116 @@ def materialized_flac_lpc_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_flac_lpc_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- FLAC bit-depth ledger corpus (8/16/24-bit, mono/stereo, LPC on) -------
+# Mirrors the WAV-depth corpus for the compressed container: rows cycle
+# through five depth/channel layouts (plus a torn-24-bit class), every
+# stream is LPC-encoded, and the ledger certifies the ENGINE-CONVENTION
+# int16 stream (24-bit >>8 keeps the top 16; 8-bit FLAC is SIGNED so
+# <<8; stereo downmixes (l+r)>>1 BEFORE conversion) from the SOURCE
+# samples — truth never passes through the codec.
+FLACD_CLASS_MOD = 6
+FLACD_CLS_TORN = 5
+FLACD_SR_HZ = 16000
+
+
+def synth_flac_depth_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 700),
+) -> DataFrame:
+    """Multi-depth FLAC clips with a source-certified ledger."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.functions.flac import encode_flac
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = FLACD_SR_HZ * dur // 1000
+        cls = i % FLACD_CLASS_MOD
+        base = _smoothed_signal(cid, n_samples)
+        base_r = _smoothed_signal(cid + "#R", n_samples)
+        if cls == 0:                       # 8-bit mono
+            bits, src = 8, base >> 8
+            mono16 = (base >> 8) << 8
+        elif cls == 1:                     # 16-bit stereo
+            bits = 16
+            src = np.stack([base, base_r], axis=1)
+            mono16 = (base + base_r) >> 1
+        elif cls == 2:                     # 24-bit mono, noisy low byte
+            bits = 24
+            src = (base << 8) | (h & 0xFF)
+            mono16 = src >> 8
+        elif cls == 3:                     # 24-bit stereo
+            bits = 24
+            l24, r24 = base << 8, base_r << 8
+            src = np.stack([l24, r24], axis=1)
+            mono16 = ((l24 + r24) >> 1) >> 8
+        else:                              # 8-bit stereo / torn source
+            bits = 8 if cls == 4 else 24
+            if cls == 4:
+                l8, r8 = base >> 8, base_r >> 8
+                src = np.stack([l8, r8], axis=1)
+                mono16 = (((l8 + r8) >> 1) << 8)
+            else:
+                src = base << 8
+                mono16 = base
+        raw = encode_flac(src, FLACD_SR_HZ, bits=bits, lpc_max_order=8)
+        n_dec = None
+        dec_md5 = None
+        if cls == FLACD_CLS_TORN:
+            cut = 8
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += 64
+                except Exception:
+                    raw = cand
+                    break
+        else:
+            n_dec = len(mono16)
+            dec_md5 = _hashlib.md5(
+                mono16.astype("<i2").tobytes().hex().upper().encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), FLACD_SR_HZ, dur, "flac",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def flac_depth_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_flacdepth_{n}")
+
+
+def materialized_flac_depth_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """FLAC-depth ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = flac_depth_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_flac_depth_clips(spark, n), path)
+    return spark.read.parquet(path), path

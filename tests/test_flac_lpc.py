@@ -402,3 +402,26 @@ def test_decode_payload_depth_conventions():
     x8 = base >> 8
     out = decode_payload(encode_flac(x8, 16000, bits=8))
     assert np.array_equal(np.asarray(out, dtype=np.int64), x8 << 8)
+
+
+def test_flac_depth_ledger_corpus_verifies(spark):
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.sources.clips import synth_flac_depth_clips
+
+    rows = synth_flac_depth_clips(spark, 18).collect()
+    import hashlib as _hashlib
+
+    torn = 0
+    for r in rows:
+        if r["_n_dec"] is None:
+            torn += 1
+            with pytest.raises(Exception):
+                decode_payload(bytes(r["bytes"]))
+        else:
+            dec = decode_payload(bytes(r["bytes"]))
+            got = _hashlib.md5(
+                np.asarray(dec).astype("<i2").tobytes().hex().upper()
+                .encode()
+            ).hexdigest()
+            assert got == r["_dec_md5"], r["_row_idx"]
+    assert torn == 3  # class 5 of 6
