@@ -608,9 +608,11 @@ def decode_payload(raw: bytes) -> np.ndarray:
         bits = _parse_stream(bytes(raw))[3]
         _sr, pcm = decode_flac(bytes(raw))
         if pcm.ndim == 2:
-            # stereo -> mono with the engine's exact-integer downmix
-            # convention ((l + r) >> 1 == floor((l+r)/2) — downmix_batch)
-            pcm = (pcm[:, 0].astype(np.int64) + pcm[:, 1]) >> 1
+            # N channels -> mono with the engine's exact-integer downmix
+            # convention floor(sum/n) ((l+r)>>1 for stereo — downmix_batch)
+            pcm = np.floor_divide(
+                pcm.astype(np.int64).sum(axis=1), pcm.shape[1]
+            )
         # engine PCM model is int16: same depth conventions as WAV
         # ingestion (24-bit keeps the top 16 via arithmetic >>8; 8-bit
         # FLAC samples are SIGNED, so plain <<8 — unlike WAV's offset
@@ -1432,9 +1434,20 @@ def window_pcm_batch(
         raw = bytes(raw)
         try:
             if raw[:4] == b"fLaC":
+                from jsonschema_spark.functions.flac import _parse_stream
+
+                fbits = _parse_stream(raw)[3]
                 _sr2, w = decode_flac_range(raw, start, cnt)
                 if w.ndim == 2:
-                    w = (w[:, 0].astype(np.int64) + w[:, 1]) >> 1
+                    w = np.floor_divide(
+                        w.astype(np.int64).sum(axis=1), w.shape[1]
+                    )
+                # engine int16 conventions (see decode_payload): 24-bit
+                # keeps the top 16, signed 8-bit scales up
+                if fbits == 24:
+                    w = np.asarray(w, dtype=np.int64) >> 8
+                elif fbits == 8:
+                    w = np.asarray(w, dtype=np.int64) << 8
             elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                 fmt, ch, _s, bits, _ba, _fact, data = _parse_wav(raw)
                 if (fmt, ch, bits) == (1, 1, 16):

@@ -646,10 +646,12 @@ def encode_flac(
     x = np.asarray(pcm, dtype=np.int64)
     if x.ndim == 1:
         channels = 1
-    elif x.ndim == 2 and x.shape[1] == 2:
-        channels = 2
+    elif x.ndim == 2 and 2 <= x.shape[1] <= 8:
+        channels = x.shape[1]
     else:
-        raise ValueError("encode_flac: expected 1-D mono or (n, 2) stereo")
+        raise ValueError(
+            "encode_flac: expected 1-D mono or (n, 2..8) multichannel"
+        )
     if stereo_mode is not None and stereo_mode not in _STEREO_MODES:
         raise ValueError(f"encode_flac: unknown stereo_mode {stereo_mode!r}")
     if seek_every is not None and seek_every < 1:
@@ -791,6 +793,17 @@ def _encode_frame(
     if blk.ndim == 1:
         ch_code = 0
         subframes = [(blk.astype(np.int64), bits)]
+    elif blk.shape[1] > 2:
+        # multichannel: independent subframes (no decorrelation per spec)
+        ch_code = blk.shape[1] - 1
+        subframes = [
+            (blk[:, c].astype(np.int64), bits)
+            for c in range(blk.shape[1])
+        ]
+        if stereo_mode is not None:
+            raise ValueError(
+                "encode_flac: stereo_mode applies to 2-channel input"
+            )
     else:
         l = blk[:, 0].astype(np.int64)
         r = blk[:, 1].astype(np.int64)
@@ -884,9 +897,9 @@ def _parse_stream(data: bytes):
     bits = ((packed >> 36) & 0x1F) + 1
     total = packed & ((1 << 36) - 1)
     want_md5 = streaminfo[18:34]
-    if channels not in (1, 2) or bits not in _SS_CODES:
+    if not 1 <= channels <= 8 or bits not in _SS_CODES:
         raise ValueError(
-            "unsupported FLAC layout: only mono/stereo 8/16/24-bit"
+            "unsupported FLAC layout: only 1-8 channels at 8/16/24-bit"
         )
     return (min_bs, sr, channels, bits, total, want_md5, seeks, pos,
             min_bs != max_bs)
@@ -949,7 +962,7 @@ def decode_flac_range(
     start = max(0, int(start))
     end = min(start + max(0, int(count)), total)
     if end <= start:
-        shape = (0,) if channels == 1 else (0, 2)
+        shape = (0,) if channels == 1 else (0, channels)
         return sr, np.empty(shape, dtype=np.int32)
     base_off = 0
     for s, off, _bs in seeks:
@@ -1057,6 +1070,13 @@ def _decode_frame(
         if ch_code != 0:
             raise ValueError("malformed FLAC: stereo frame in a mono stream")
         depths = [bits]
+    elif channels > 2:
+        # multichannel (3-8): independent subframes only per spec
+        if ch_code != channels - 1:
+            raise ValueError(
+                "malformed FLAC: channel assignment vs STREAMINFO"
+            )
+        depths = [bits] * channels
     elif ch_code == _CH_INDEP2:
         depths = [bits, bits]
     elif ch_code == _CH_LEFT_SIDE:
@@ -1098,6 +1118,8 @@ def _decode_frame(
     chans = [_read_subframe(r, blocksize, depth) for depth in depths]
     if channels == 1:
         blk = chans[0]
+    elif channels > 2:
+        blk = np.stack(chans, axis=1)
     elif ch_code == _CH_INDEP2:
         blk = np.stack(chans, axis=1)
     elif ch_code == _CH_LEFT_SIDE:

@@ -168,8 +168,10 @@ def test_stereo_decode_payload_downmixes():
 
 
 def test_stereo_rejects_bad_shapes():
+    # (n, 3) became VALID with multichannel support; 9 channels is the
+    # spec bound
     with pytest.raises(ValueError):
-        encode_flac(np.zeros((10, 3), dtype=np.int16), 16000)
+        encode_flac(np.zeros((10, 9), dtype=np.int16), 16000)
     with pytest.raises(ValueError):
         encode_flac(np.zeros((0, 2), dtype=np.int16), 16000)
     with pytest.raises(ValueError):

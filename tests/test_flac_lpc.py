@@ -425,3 +425,52 @@ def test_flac_depth_ledger_corpus_verifies(spark):
             ).hexdigest()
             assert got == r["_dec_md5"], r["_row_idx"]
     assert torn == 3  # class 5 of 6
+
+
+def test_multichannel_roundtrip_and_downmix():
+    from jsonschema_spark.functions.audio import decode_payload
+
+    base = _tone(6000)
+    chans = [base, -base, base // 2, np.clip(base * 2, -32768, 32767)]
+    mc = np.stack(chans, axis=1)
+    raw = encode_flac(mc, 16000, lpc_max_order=8)
+    _sr, dec = decode_flac(raw)
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), mc)
+    # engine downmix: floor(sum / n) — stereo's (l+r)>>1 generalized
+    want = np.floor_divide(mc.sum(axis=1), 4)
+    out = decode_payload(raw)
+    assert np.array_equal(np.asarray(out, dtype=np.int64), want)
+    # torn multichannel still fails loudly
+    with pytest.raises(ValueError):
+        decode_flac(raw[:-7])
+
+
+def test_multichannel_rejects_stereo_mode_and_9ch():
+    base = _tone(600)
+    mc = np.stack([base, base, base], axis=1)
+    with pytest.raises(ValueError, match="stereo_mode"):
+        encode_flac(mc, 16000, stereo_mode="mid_side")
+    nine = np.stack([base] * 9, axis=1)
+    with pytest.raises(ValueError, match="2..8"):
+        encode_flac(nine, 16000)
+
+
+def test_window_pcm_depth_and_multichannel_conventions():
+    from jsonschema_spark.functions.audio import window_pcm_batch
+    import pandas as pd
+
+    base = _tone(8000)
+    x24 = (base << 8) | 0x11
+    raw24 = encode_flac(x24, 16000, bits=24)
+    mc = np.stack([base, -base, base // 3], axis=1)
+    rawmc = encode_flac(mc, 16000)
+    out = window_pcm_batch(
+        pd.Series([raw24, rawmc]),
+        pd.Series([16000, 16000]),
+        pd.Series([100, 100]),
+        pd.Series([250, 250]),
+    )
+    w24 = np.frombuffer(out["out_bytes"][0], dtype="<i2").astype(np.int64)
+    assert np.array_equal(w24, (x24 >> 8)[1600:5600])
+    wmc = np.frombuffer(out["out_bytes"][1], dtype="<i2").astype(np.int64)
+    assert np.array_equal(wmc, np.floor_divide(mc.sum(axis=1), 3)[1600:5600])
