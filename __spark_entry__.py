@@ -3254,6 +3254,32 @@ def _q_clips_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLACM_N = 250
+
+
+def _q_clips_flac_multichannel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multichannel FLAC decode proof: 3/4/6/8-channel LPC streams (the
+    spec's independent-subframe layout) must land on the SOURCE-certified
+    floor(sum/n) downmix ledger — the N-way interleaved MD5 and per-frame
+    CRCs still gate the torn class loudly."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import (
+        materialized_flac_multichannel_clips,
+    )
+
+    clips, _ = materialized_flac_multichannel_clips(spark, _FLACM_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
 _FLAC2_N = 400
 
 
@@ -3875,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_decode": _q_clips_flac_decode,
         "clips_flac_lpc_decode": _q_clips_flac_lpc_decode,
         "clips_flac_depths": _q_clips_flac_depths,
+        "clips_flac_multichannel": _q_clips_flac_multichannel,
         "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
         "clips_wav_depths": _q_clips_wav_depths,
         "clips_upsample": _q_clips_upsample,
@@ -6204,6 +6231,27 @@ def _clips_msadpcm_decode_sql() -> str:
                _n_dec AS n_samples,
                _dec_md5 AS dec_md5,
                (_row_idx % {MSADPCM_TRUNC_MOD} <> {MSADPCM_TRUNC_CLS})
+                 AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_flac_multichannel_sql() -> str:
+    """Multichannel oracle: ledger columns + planted-class arithmetic."""
+    from jsonschema_spark.sources.clips import (
+        FLACM_CLASS_MOD,
+        FLACM_CLS_TORN,
+        flac_multichannel_clips_path,
+    )
+
+    src = (
+        f"read_parquet('{flac_multichannel_clips_path(_FLACM_N)}/*.parquet')"
+    )
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % {FLACM_CLASS_MOD} <> {FLACM_CLS_TORN})
                  AS decode_ok
         FROM {src}
     """
@@ -8719,6 +8767,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_flac_decode": _clips_flac_decode_sql(),
         "clips_flac_lpc_decode": _clips_flac_lpc_decode_sql(),
         "clips_flac_depths": _clips_flac_depths_sql(),
+        "clips_flac_multichannel": _clips_flac_multichannel_sql(),
         "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
         "clips_wav_depths": _clips_wav_depths_sql(),
         "clips_upsample": _clips_upsample_sql(),

@@ -2057,3 +2057,93 @@ def materialized_flac_depth_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_flac_depth_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- FLAC multichannel ledger corpus (3-8 channels, independent) ----------
+# Rows cycle through 3/4/6/8-channel LPC streams (plus a torn class);
+# the ledger certifies the engine downmix floor(sum/n) from the SOURCE
+# channels — truth never passes through the codec.
+FLACM_CLASS_MOD = 5
+FLACM_CLS_TORN = 4
+FLACM_SR_HZ = 16000
+FLACM_CHANNELS = (3, 4, 6, 8)
+
+
+def synth_flac_multichannel_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 600),
+) -> DataFrame:
+    """Multichannel FLAC clips with a source-certified downmix ledger."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.functions.flac import encode_flac
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = FLACM_SR_HZ * dur // 1000
+        cls = i % FLACM_CLASS_MOD
+        nch = FLACM_CHANNELS[cls % len(FLACM_CHANNELS)]
+        chans = [
+            _smoothed_signal(f"{cid}#C{c}", n_samples) for c in range(nch)
+        ]
+        src = np.stack(chans, axis=1)
+        mono16 = np.floor_divide(src.sum(axis=1), nch)
+        raw = encode_flac(src, FLACM_SR_HZ, lpc_max_order=8)
+        n_dec = None
+        dec_md5 = None
+        if cls == FLACM_CLS_TORN:
+            cut = 8
+            while True:
+                cand = raw[:-cut]
+                try:
+                    decode_payload(bytes(cand))
+                    cut += 64
+                except Exception:
+                    raw = cand
+                    break
+        else:
+            n_dec = len(mono16)
+            dec_md5 = _hashlib.md5(
+                mono16.astype("<i2").tobytes().hex().upper().encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), FLACM_SR_HZ, dur, "flac",
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def flac_multichannel_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_flacmc_{n}")
+
+
+def materialized_flac_multichannel_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Multichannel-FLAC ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = flac_multichannel_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_flac_multichannel_clips(spark, n), path)
+    return spark.read.parquet(path), path

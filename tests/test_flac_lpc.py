@@ -474,3 +474,28 @@ def test_window_pcm_depth_and_multichannel_conventions():
     assert np.array_equal(w24, (x24 >> 8)[1600:5600])
     wmc = np.frombuffer(out["out_bytes"][1], dtype="<i2").astype(np.int64)
     assert np.array_equal(wmc, np.floor_divide(mc.sum(axis=1), 3)[1600:5600])
+
+
+def test_flac_multichannel_ledger_corpus_verifies(spark):
+    from jsonschema_spark.functions.audio import decode_payload
+    from jsonschema_spark.sources.clips import (
+        synth_flac_multichannel_clips,
+    )
+
+    rows = synth_flac_multichannel_clips(spark, 15).collect()
+    import hashlib as _hashlib
+
+    torn = 0
+    for r in rows:
+        if r["_n_dec"] is None:
+            torn += 1
+            with pytest.raises(Exception):
+                decode_payload(bytes(r["bytes"]))
+        else:
+            dec = decode_payload(bytes(r["bytes"]))
+            got = _hashlib.md5(
+                np.asarray(dec).astype("<i2").tobytes().hex().upper()
+                .encode()
+            ).hexdigest()
+            assert got == r["_dec_md5"], r["_row_idx"]
+    assert torn == 3  # class 4 of 5
