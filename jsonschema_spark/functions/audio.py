@@ -614,13 +614,13 @@ def decode_payload(raw: bytes) -> np.ndarray:
                 pcm.astype(np.int64).sum(axis=1), pcm.shape[1]
             )
         # engine PCM model is int16: same depth conventions as WAV
-        # ingestion (24-bit keeps the top 16 via arithmetic >>8; 8-bit
-        # FLAC samples are SIGNED, so plain <<8 — unlike WAV's offset
-        # binary)
-        if bits == 24:
-            pcm = np.asarray(pcm, dtype=np.int64) >> 8
-        elif bits == 8:
-            pcm = np.asarray(pcm, dtype=np.int64) << 8
+        # ingestion — deeper streams keep the top 16 bits (arithmetic
+        # right shift), shallower SIGNED streams scale up (plain left
+        # shift — unlike WAV's 8-bit offset binary)
+        if bits > 16:
+            pcm = np.asarray(pcm, dtype=np.int64) >> (bits - 16)
+        elif bits < 16:
+            pcm = np.asarray(pcm, dtype=np.int64) << (16 - bits)
         return np.asarray(pcm, dtype=np.int32)
     if raw[:4] == _OPUS_MAGIC:
         q = np.frombuffer(raw[4:], dtype="<i2").astype(np.int32)
@@ -1442,12 +1442,11 @@ def window_pcm_batch(
                     w = np.floor_divide(
                         w.astype(np.int64).sum(axis=1), w.shape[1]
                     )
-                # engine int16 conventions (see decode_payload): 24-bit
-                # keeps the top 16, signed 8-bit scales up
-                if fbits == 24:
-                    w = np.asarray(w, dtype=np.int64) >> 8
-                elif fbits == 8:
-                    w = np.asarray(w, dtype=np.int64) << 8
+                # engine int16 conventions (see decode_payload)
+                if fbits > 16:
+                    w = np.asarray(w, dtype=np.int64) >> (fbits - 16)
+                elif fbits < 16:
+                    w = np.asarray(w, dtype=np.int64) << (16 - fbits)
             elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
                 fmt, ch, _s, bits, _ba, _fact, data = _parse_wav(raw)
                 if (fmt, ch, bits) == (1, 1, 16):

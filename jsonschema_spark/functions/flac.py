@@ -54,17 +54,18 @@ FLAC_MARKER = b"fLaC"
 _BLOCKSIZE = 4096
 
 # supported stream bit depths <-> frame-header sample-size codes
-_SS_CODES = {8: 0b001, 16: 0b100, 24: 0b110}
+_SS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
 _SS_BITS = {v: k for k, v in _SS_CODES.items()}
 
 
 def _md5_sample_bytes(pcm: np.ndarray, bits: int) -> bytes:
     """The byte stream the STREAMINFO MD5 covers: channel-interleaved
-    little-endian samples at the stream's byte width (1/2/3 bytes for
-    8/16/24-bit). (n, 2) arrays in C order ARE the interleaved stream."""
+    little-endian samples at ceil(bits/8) bytes per sample (1 byte for
+    8-bit, 2 for 12/16, 3 for 20/24 — RFC 9639 §8.1). (n, k) arrays in
+    C order ARE the interleaved stream."""
     if bits == 8:
         return pcm.astype(np.int8).tobytes()
-    if bits == 16:
+    if bits <= 16:
         return pcm.astype("<i2").tobytes()
     b = np.frombuffer(pcm.astype("<i4").tobytes(), dtype=np.uint8)
     return b.reshape(-1, 4)[:, :3].tobytes()
@@ -660,7 +661,7 @@ def encode_flac(
     if n_total == 0:
         raise ValueError("encode_flac: empty signal")
     if bits not in _SS_CODES:
-        raise ValueError("encode_flac: bits must be 8, 16 or 24")
+        raise ValueError("encode_flac: bits must be 8, 12, 16, 20 or 24")
     lim = 1 << (bits - 1)
     if x.max(initial=0) > lim - 1 or x.min(initial=0) < -lim:
         raise ValueError(f"encode_flac: samples exceed {bits}-bit range")
@@ -899,7 +900,7 @@ def _parse_stream(data: bytes):
     want_md5 = streaminfo[18:34]
     if not 1 <= channels <= 8 or bits not in _SS_CODES:
         raise ValueError(
-            "unsupported FLAC layout: only 1-8 channels at 8/16/24-bit"
+            "unsupported FLAC layout: 1-8 channels at 8/12/16/20/24-bit"
         )
     return (min_bs, sr, channels, bits, total, want_md5, seeks, pos,
             min_bs != max_bs)

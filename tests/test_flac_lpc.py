@@ -381,7 +381,7 @@ def test_depth_range_enforced_and_md5_width():
     with pytest.raises(ValueError, match="8-bit range"):
         encode_flac(x, 16000, bits=8)
     with pytest.raises(ValueError, match="bits must be"):
-        encode_flac(x, 16000, bits=12)
+        encode_flac(x, 16000, bits=32)
     # 24-bit MD5 covers 3-byte samples: a torn stream still fails loudly
     x24 = x << 8
     raw = encode_flac(x24, 16000, bits=24)
@@ -499,3 +499,27 @@ def test_flac_multichannel_ledger_corpus_verifies(spark):
             ).hexdigest()
             assert got == r["_dec_md5"], r["_row_idx"]
     assert torn == 3  # class 4 of 5
+
+
+def test_depths_12_and_20_roundtrip_and_conventions():
+    from jsonschema_spark.functions.audio import decode_payload
+
+    base = _tone(6000)
+    for bits, x in ((12, base >> 4), (20, base << 4 | 0x7)):
+        for lmo in (0, 8):
+            raw = encode_flac(x, 16000, bits=bits, lpc_max_order=lmo)
+            _sr, dec = decode_flac(raw)
+            assert np.array_equal(np.asarray(dec, dtype=np.int64), x), (
+                bits, lmo,
+            )
+        st = np.stack([x, -x - 1], axis=1)
+        raw = encode_flac(st, 16000, bits=bits, lpc_max_order=8)
+        _sr, dec = decode_flac(raw)
+        assert np.array_equal(np.asarray(dec, dtype=np.int64), st), bits
+    # engine conventions: 12-bit scales up by 4 bits, 20-bit keeps top 16
+    x12 = base >> 4
+    out = decode_payload(encode_flac(x12, 16000, bits=12))
+    assert np.array_equal(np.asarray(out, dtype=np.int64), x12 << 4)
+    x20 = (base << 4) | 0x9
+    out = decode_payload(encode_flac(x20, 16000, bits=20))
+    assert np.array_equal(np.asarray(out, dtype=np.int64), x20 >> 4)
