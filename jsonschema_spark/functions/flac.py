@@ -54,21 +54,25 @@ FLAC_MARKER = b"fLaC"
 _BLOCKSIZE = 4096
 
 # supported stream bit depths <-> frame-header sample-size codes
-_SS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+# (the full RFC 9639 table: 0b011 is reserved, 0b000 means "from
+# STREAMINFO" — our encoder always writes the explicit code)
+_SS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}
 _SS_BITS = {v: k for k, v in _SS_CODES.items()}
 
 
 def _md5_sample_bytes(pcm: np.ndarray, bits: int) -> bytes:
     """The byte stream the STREAMINFO MD5 covers: channel-interleaved
     little-endian samples at ceil(bits/8) bytes per sample (1 byte for
-    8-bit, 2 for 12/16, 3 for 20/24 — RFC 9639 §8.1). (n, k) arrays in
-    C order ARE the interleaved stream."""
+    8-bit, 2 for 12/16, 3 for 20/24, 4 for 32 — RFC 9639 §8.1). (n, k)
+    arrays in C order ARE the interleaved stream."""
     if bits == 8:
         return pcm.astype(np.int8).tobytes()
     if bits <= 16:
         return pcm.astype("<i2").tobytes()
-    b = np.frombuffer(pcm.astype("<i4").tobytes(), dtype=np.uint8)
-    return b.reshape(-1, 4)[:, :3].tobytes()
+    if bits <= 24:
+        b = np.frombuffer(pcm.astype("<i4").tobytes(), dtype=np.uint8)
+        return b.reshape(-1, 4)[:, :3].tobytes()
+    return pcm.astype("<i4").tobytes()
 
 
 # ---------------------------------------------------------------- CRCs --
@@ -290,24 +294,31 @@ def _fixed_restore(res: np.ndarray, warmup: list[int], order: int) -> np.ndarray
 
 
 def _lpc_restore(
-    res: np.ndarray, warmup: list[int], coefs: list[int], shift: int
+    res: np.ndarray,
+    warmup: list[int],
+    coefs: list[int],
+    shift: int,
+    depth: int = 32,
 ) -> np.ndarray:
     """Invert an LPC predictor (RFC 9639 §9.2.4): s[i] = res[i] +
     ((sum_j coef[j] * s[i-1-j]) >> shift). The recurrence is an IIR —
     inherently sequential — so this is the one scalar loop in the
     decoder; Python ints keep the arithmetic exact and ``>>`` is the
-    spec's arithmetic (floor) shift for negative accumulators."""
+    spec's arithmetic (floor) shift for negative accumulators.
+    ``depth`` widens the overflow guard for 33-bit side channels
+    (32-bit stereo decorrelation) — conforming samples always fit the
+    subframe depth."""
     out = [int(v) for v in warmup]
     cf = [int(c) for c in coefs]
     order = len(cf)
-    lim = 1 << 31
+    lim = 1 << max(31, depth - 1)
     for r in res.tolist():
         acc = 0
         for j in range(order):
             acc += cf[j] * out[-1 - j]
         v = int(r) + (acc >> shift)
         if v >= lim or v < -lim:
-            # a conforming 16/17-bit stream can never reach this; garbage
+            # a conforming depth-d stream can never reach this; garbage
             # coefficients from a corrupted bitstream drive the IIR
             # unstable, and unbounded Python ints would otherwise grow
             # until an uncatchable OverflowError kills the Arrow task
@@ -426,28 +437,38 @@ def _zigzag(r: np.ndarray) -> np.ndarray:
     return np.where(r >= 0, r << 1, (-r << 1) - 1).astype(np.int64)
 
 
-def _rice_param(res: np.ndarray) -> int:
+def _rice_param(res: np.ndarray, cap: int = 14) -> int:
     if len(res) == 0:
         return 0
     mean = int(np.abs(res).mean()) + 1
     p = 0
-    while (1 << (p + 1)) < 2 * mean and p < 14:
+    while (1 << (p + 1)) < 2 * mean and p < cap:
         p += 1
     return p
 
 
-def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
+def _write_residual(w: _BitWriter, res: np.ndarray, wide: bool = False) -> None:
     """Rice coding method 00 (4-bit parameters), partition order 0 —
     vectorized: the whole residual blob is built as ONE numpy bit array
     (unary terminators scattered at cumulative offsets, the fixed-width
     p-bit remainders filled in p vectorized passes) and merged with a
     single packbits. Bit-identical to the scalar writer
     (_write_residual_scalar, kept for the differential pin); measured
-    ~15x on the 4096-sample blocks that dominate encode time."""
-    w.write(0, 2)   # coding method: rice, 4-bit params
-    w.write(0, 4)   # partition order 0 -> one partition
-    p = _rice_param(res)
-    w.write(p, 4)
+    ~15x on the 4096-sample blocks that dominate encode time.
+    ``wide`` switches to method 01 (5-bit parameters, p <= 30) for deep
+    subframes (32-bit streams / their 33-bit side channels) where a
+    p<=14 quotient would explode; legacy (<=25-bit) emissions are
+    untouched."""
+    if wide:
+        w.write(1, 2)   # coding method: rice2, 5-bit params
+        w.write(0, 4)
+        p = _rice_param(res, cap=30)
+        w.write(p, 5)
+    else:
+        w.write(0, 2)   # coding method: rice, 4-bit params
+        w.write(0, 4)   # partition order 0 -> one partition
+        p = _rice_param(res)
+        w.write(p, 4)
     u = _zigzag(res)
     q = u >> p
     lens = q + 1 + p                      # q zeros, a one, p remainder bits
@@ -460,13 +481,21 @@ def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
     w.write_bits(bits)
 
 
-def _write_residual_scalar(w: _BitWriter, res: np.ndarray) -> None:
+def _write_residual_scalar(
+    w: _BitWriter, res: np.ndarray, wide: bool = False
+) -> None:
     """Per-sample reference writer (the original loop) — the vectorized
     path must stay bit-identical to this."""
-    w.write(0, 2)
-    w.write(0, 4)
-    p = _rice_param(res)
-    w.write(p, 4)
+    if wide:
+        w.write(1, 2)
+        w.write(0, 4)
+        p = _rice_param(res, cap=30)
+        w.write(p, 5)
+    else:
+        w.write(0, 2)
+        w.write(0, 4)
+        p = _rice_param(res)
+        w.write(p, 4)
     for u in _zigzag(res).tolist():
         w.write_unary(u >> p)
         w.write(u & ((1 << p) - 1), p)
@@ -661,7 +690,7 @@ def encode_flac(
     if n_total == 0:
         raise ValueError("encode_flac: empty signal")
     if bits not in _SS_CODES:
-        raise ValueError("encode_flac: bits must be 8, 12, 16, 20 or 24")
+        raise ValueError("encode_flac: bits must be 8, 12, 16, 20, 24 or 32")
     lim = 1 << (bits - 1)
     if x.max(initial=0) > lim - 1 or x.min(initial=0) < -lim:
         raise ValueError(f"encode_flac: samples exceed {bits}-bit range")
@@ -749,6 +778,9 @@ def _write_subframe(
             w.write(0, 1)
 
     mask = (1 << depth) - 1
+    # deep subframes (32-bit streams / 33-bit side channels): rice2
+    # 5-bit parameters, or a p<=14 quotient would explode into unary
+    wide = depth > 26
     if np.all(ch == ch[0]):
         _header(0b000000)          # CONSTANT
         w.write(int(ch[0]) & mask, depth)
@@ -773,12 +805,12 @@ def _write_subframe(
                 pmask = (1 << prec) - 1
                 for c in coefs:
                     w.write(int(c) & pmask, prec)
-                _write_residual(w, lres)
+                _write_residual(w, lres, wide)
                 return
     _header(0b001000 | order)      # FIXED, order
     for s in ch[:order].tolist():
         w.write(int(s) & mask, depth)
-    _write_residual(w, res)
+    _write_residual(w, res, wide)
 
 
 def _encode_frame(
@@ -900,7 +932,7 @@ def _parse_stream(data: bytes):
     want_md5 = streaminfo[18:34]
     if not 1 <= channels <= 8 or bits not in _SS_CODES:
         raise ValueError(
-            "unsupported FLAC layout: 1-8 channels at 8/12/16/20/24-bit"
+            "unsupported FLAC layout: 1-8 channels at 8/12/16/20/24/32-bit"
         )
     return (min_bs, sr, channels, bits, total, want_md5, seeks, pos,
             min_bs != max_bs)
@@ -1046,7 +1078,7 @@ def _read_subframe_body(
             raise ValueError("malformed FLAC: negative LPC shift")
         coefs = [r.read_signed(prec) for _ in range(order)]
         res = _read_residual(r, blocksize, order)
-        return _lpc_restore(res, warmup, coefs, shift)
+        return _lpc_restore(res, warmup, coefs, shift, depth)
     raise ValueError("malformed FLAC: reserved subframe type")
 
 

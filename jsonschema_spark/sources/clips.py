@@ -190,7 +190,7 @@ def synth_clips(
 # Bump when the generator arithmetic changes: the cache path is content-
 # addressed by (version, n, dur_range, buckets), so stale materializations
 # from earlier rounds can never be read.
-_MATERIALIZE_VERSION = "v1"
+_MATERIALIZE_VERSION = "v2"  # v2: depth corpus grew 12/20/32-bit classes
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
 
 
@@ -1953,7 +1953,7 @@ def materialized_flac_lpc_clips(
 # int16 stream (24-bit >>8 keeps the top 16; 8-bit FLAC is SIGNED so
 # <<8; stereo downmixes (l+r)>>1 BEFORE conversion) from the SOURCE
 # samples — truth never passes through the codec.
-FLACD_CLASS_MOD = 6
+FLACD_CLASS_MOD = 9
 FLACD_CLS_TORN = 5
 FLACD_SR_HZ = 16000
 
@@ -1964,7 +1964,11 @@ def synth_flac_depth_clips(
     partitions: Optional[int] = None,
     dur_range: tuple[int, int] = (150, 700),
 ) -> DataFrame:
-    """Multi-depth FLAC clips with a source-certified ledger."""
+    """Multi-depth FLAC clips with a source-certified ledger: the full
+    RFC 9639 depth matrix (8/12/16/20/24/32-bit, mono + stereo, noisy
+    low bits on the deep classes) plus a torn class. The ledger
+    certifies the engine-convention int16 stream from the SOURCE
+    samples (stereo downmixes before depth conversion)."""
     import hashlib as _hashlib
 
     from jsonschema_spark.functions.audio import decode_payload
@@ -1999,15 +2003,28 @@ def synth_flac_depth_clips(
             l24, r24 = base << 8, base_r << 8
             src = np.stack([l24, r24], axis=1)
             mono16 = ((l24 + r24) >> 1) >> 8
-        else:                              # 8-bit stereo / torn source
-            bits = 8 if cls == 4 else 24
-            if cls == 4:
-                l8, r8 = base >> 8, base_r >> 8
-                src = np.stack([l8, r8], axis=1)
-                mono16 = (((l8 + r8) >> 1) << 8)
-            else:
-                src = base << 8
-                mono16 = base
+        elif cls == 4:                     # 8-bit stereo
+            bits = 8
+            l8, r8 = base >> 8, base_r >> 8
+            src = np.stack([l8, r8], axis=1)
+            mono16 = (((l8 + r8) >> 1) << 8)
+        elif cls == 5:                     # torn 24-bit source
+            bits = 24
+            src = base << 8
+            mono16 = base
+        elif cls == 6:                     # 12-bit mono
+            bits, src = 12, base >> 4
+            mono16 = (base >> 4) << 4
+        elif cls == 7:                     # 20-bit stereo, noisy low nibble
+            bits = 20
+            l20 = (base << 4) | (h & 0xF)
+            r20 = (base_r << 4) | ((h >> 4) & 0xF)
+            src = np.stack([l20, r20], axis=1)
+            mono16 = ((l20 + r20) >> 1) >> 4
+        else:                              # 32-bit mono, noisy low 16
+            bits = 32
+            src = (base << 16) | (h & 0xFFFF)
+            mono16 = src >> 16
         raw = encode_flac(src, FLACD_SR_HZ, bits=bits, lpc_max_order=8)
         n_dec = None
         dec_md5 = None
@@ -2146,4 +2163,136 @@ def materialized_flac_multichannel_clips(
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_flac_multichannel_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
+# --- AIFF / AIFF-C / Sun AU container ledger corpus ------------------------
+# The interchange-container roster beyond RIFF/WAVE: rows cycle through
+# AIFF PCM (16/24/8-bit, mono/stereo), AIFF-C sowt (byte-swapped 16-bit),
+# and Sun AU (BE PCM 16/24-bit + G.711 mu-law/A-law), plus a torn-AIFF
+# class. PCM-class truth is certified from the SOURCE samples by pure
+# integer shifts (never through the codec); the G.711 classes certify
+# via the engine kernels, which are themselves pinned bit-exact against
+# the public Sun reference over the full 16-bit domain (test_audio /
+# test_alaw) — the only honest truth for a lossy quantization law.
+CONT_CLASS_MOD = 9
+CONT_CLS_TORN = 8
+CONT_SR_HZ = 16000
+
+
+def synth_container_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (150, 700),
+) -> DataFrame:
+    """AIFF/AIFC/AU clips with a source-certified ledger (see the class
+    roster above; class 8 is torn AIFF that must fail loudly)."""
+    import hashlib as _hashlib
+
+    from jsonschema_spark.functions.audio import (
+        alaw_decode,
+        alaw_encode,
+        encode_aiff,
+        encode_au,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        n_samples = CONT_SR_HZ * dur // 1000
+        cls = i % CONT_CLASS_MOD
+        base = _smoothed_signal(cid, n_samples)
+        base_r = _smoothed_signal(cid + "#R", n_samples)
+        codec = "aiff"
+        if cls == 0:                       # AIFF pcm16 mono
+            raw = encode_aiff(base, CONT_SR_HZ)
+            mono16 = base
+        elif cls == 1:                     # AIFF pcm24 stereo, noisy low
+            l24 = (base << 8) | (h & 0xFF)
+            r24 = (base_r << 8) | ((h >> 8) & 0xFF)
+            raw = encode_aiff(
+                np.stack([l24, r24], axis=1), CONT_SR_HZ, bits=24
+            )
+            mono16 = ((l24 + r24) >> 1) >> 8
+        elif cls == 2:                     # AIFF-C sowt stereo
+            codec = "aifc"
+            raw = encode_aiff(
+                np.stack([base, base_r], axis=1), CONT_SR_HZ,
+                compression="sowt",
+            )
+            mono16 = (base + base_r) >> 1
+        elif cls == 3:                     # AIFF pcm8 mono (SIGNED)
+            raw = encode_aiff(base >> 8, CONT_SR_HZ, bits=8)
+            mono16 = (base >> 8) << 8
+        elif cls == 4:                     # AU pcm16 stereo
+            codec = "au"
+            raw = encode_au(np.stack([base, base_r], axis=1), CONT_SR_HZ)
+            mono16 = (base + base_r) >> 1
+        elif cls == 5:                     # AU pcm24 mono, noisy low byte
+            codec = "au"
+            src = (base << 8) | (h & 0xFF)
+            raw = encode_au(src, CONT_SR_HZ, encoding="pcm24")
+            mono16 = src >> 8
+        elif cls == 6:                     # AU G.711 mu-law mono
+            codec = "au"
+            raw = encode_au(base, CONT_SR_HZ, encoding="ulaw")
+            mono16 = ulaw_decode(ulaw_encode(base.astype(np.int16)))
+        elif cls == 7:                     # AU G.711 A-law mono
+            codec = "au"
+            raw = encode_au(base, CONT_SR_HZ, encoding="alaw")
+            mono16 = alaw_decode(alaw_encode(base.astype(np.int16)))
+        else:                              # torn AIFF: SSND cut mid-frame
+            raw = encode_aiff(base, CONT_SR_HZ)[:-9]
+            mono16 = base
+        n_dec = None
+        dec_md5 = None
+        if cls != CONT_CLS_TORN:
+            n_dec = len(mono16)
+            dec_md5 = _hashlib.md5(
+                np.asarray(mono16)
+                .astype("<i2")
+                .tobytes()
+                .hex()
+                .upper()
+                .encode()
+            ).hexdigest()
+        return (cid, bytearray(raw), CONT_SR_HZ, dur, codec,
+                transcript_for(cid), i, n_dec, dec_md5)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_n_dec", "_dec_md5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADPCM_CLIPS_SCHEMA
+    )
+
+
+def container_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_cont_{n}")
+
+
+def materialized_container_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """AIFF/AU container ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = container_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_container_clips(spark, n), path)
     return spark.read.parquet(path), path

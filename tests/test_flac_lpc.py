@@ -381,7 +381,7 @@ def test_depth_range_enforced_and_md5_width():
     with pytest.raises(ValueError, match="8-bit range"):
         encode_flac(x, 16000, bits=8)
     with pytest.raises(ValueError, match="bits must be"):
-        encode_flac(x, 16000, bits=32)
+        encode_flac(x, 16000, bits=48)
     # 24-bit MD5 covers 3-byte samples: a torn stream still fails loudly
     x24 = x << 8
     raw = encode_flac(x24, 16000, bits=24)
@@ -424,7 +424,7 @@ def test_flac_depth_ledger_corpus_verifies(spark):
                 .encode()
             ).hexdigest()
             assert got == r["_dec_md5"], r["_row_idx"]
-    assert torn == 3  # class 5 of 6
+    assert torn == 2  # class 5 of 9 (rows 5 and 14)
 
 
 def test_multichannel_roundtrip_and_downmix():
@@ -523,3 +523,44 @@ def test_depths_12_and_20_roundtrip_and_conventions():
     x20 = (base << 4) | 0x9
     out = decode_payload(encode_flac(x20, 16000, bits=20))
     assert np.array_equal(np.asarray(out, dtype=np.int64), x20 >> 4)
+
+
+def test_depth_32_roundtrip_and_conventions():
+    """32-bit closes the RFC 9639 sample-size table: full-scale samples
+    (|v| up to 2^31), a 33-bit side channel under stereo decorrelation,
+    the MD5 at 4-byte little-endian width, and the rice2 (5-bit
+    parameter) residual method deep subframes require."""
+    from jsonschema_spark.functions.audio import decode_payload
+
+    base = _tone(6000)
+    # full-scale 32-bit: the tone scaled near the int32 rails, noisy lows
+    rng = np.random.RandomState(11)
+    x = (base << 17) | rng.randint(0, 1 << 17, len(base)).astype(np.int64)
+    assert int(np.abs(x).max()) > (1 << 30)  # genuinely beyond 24-bit
+    for lmo in (0, 8):
+        raw = encode_flac(x, 16000, bits=32, lpc_max_order=lmo)
+        _sr, dec = decode_flac(raw)
+        assert np.array_equal(np.asarray(dec, dtype=np.int64), x), lmo
+    # int32 boundary values survive the round-trip exactly
+    edge = np.array(
+        [-(1 << 31), (1 << 31) - 1, 0, -1, 12345678], dtype=np.int64
+    )
+    _sr, dec = decode_flac(encode_flac(edge, 16000, bits=32))
+    assert np.array_equal(np.asarray(dec, dtype=np.int64), edge)
+    # stereo: every channel assignment's 33-bit side channel reconstructs
+    st = np.stack([x, -x - 1], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side", None):
+        raw = encode_flac(st, 16000, bits=32, stereo_mode=mode,
+                          lpc_max_order=8)
+        _sr, dec = decode_flac(raw)
+        assert np.array_equal(np.asarray(dec, dtype=np.int64), st), mode
+    # MD5 covers 4-byte samples: a torn stream fails loudly
+    raw = encode_flac(x, 16000, bits=32)
+    with pytest.raises(ValueError):
+        decode_flac(raw[:-5])
+    # engine convention: 32-bit keeps the top 16 via arithmetic >> 16
+    out = decode_payload(encode_flac(x, 16000, bits=32))
+    assert np.array_equal(np.asarray(out, dtype=np.int64), x >> 16)
+    # 33-bit range check still applies (samples exceeding 32-bit reject)
+    with pytest.raises(ValueError, match="32-bit range"):
+        encode_flac(np.array([1 << 31], dtype=np.int64), 16000, bits=32)

@@ -65,11 +65,11 @@ def test_flac_roundtrip_fuzz(seed):
         lmo = rng.choice([0, 4, 8])   # fixed-only and LPC paths alike
         if rng.random() < 0.3:        # shifted material: wasted bits
             x = (x >> 2) << 2
-        depth = rng.choice([8, 12, 16, 20, 24])
+        depth = rng.choice([8, 12, 16, 20, 24, 32])
         if depth < 16:
             x = x >> (16 - depth)     # scale into range; zeros stay valid
         elif depth > 16:
-            x = x << (depth - 16)
+            x = x << (depth - 16)     # 32-bit rides the int32 rails
         raw = encode_flac(
             x, 16000, blocksize=bs, stereo_mode=mode, lpc_max_order=lmo,
             detect_wasted=rng.random() < 0.5, bits=depth,
