@@ -1425,6 +1425,17 @@ def _q_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.moments(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def _q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over l_extendedprice
+    (multi-magnitude monetary amounts — the canonical Benford feed):
+    9 rows of observed-vs-log10(1+1/d) fractions, per-digit MAD terms
+    and chi-square contributions. Digit extracted from the STRING form
+    (cross-engine-stable, unlike log10/pow floor games); ONE narrow
+    groupBy, shuffle ≤ 9 rows per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.benford_report(li, "l_extendedprice")
+
+
 def _q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation over lineitem's numeric columns with
     exact DECIMAL(38,12) moment sums (order-independent — F.corr's double
@@ -3226,22 +3237,50 @@ def _q_clips_flac_lpc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FLACD_N = 360
+_FLACD_N = 450
 
 
 def _q_clips_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAC bit-depth matrix decode proof: 8/16/24-bit mono/stereo
-    LPC-encoded streams (incl. noisy-low-byte 24-bit) must land on the
+    """FLAC bit-depth matrix decode proof: the FULL RFC 9639 depth table
+    (8/12/16/20/24/32-bit, mono + stereo, noisy low bits on the deep
+    classes) as LPC-encoded streams that must land on the
     SOURCE-certified engine-convention int16 ledger — the spec MD5 is
-    verified at each stream's true byte width, stereo downmixes before
-    depth conversion, and the torn class fails loudly through the
-    CRC/MD5 chain."""
+    verified at each stream's true byte width (1/2/3/4-byte samples),
+    stereo downmixes before depth conversion, and the torn class fails
+    loudly through the CRC/MD5 chain."""
     from jsonschema_spark.functions.audio import audio_decode_profile
     from jsonschema_spark.sources.clips import (
         materialized_flac_depth_clips,
     )
 
     clips, _ = materialized_flac_depth_clips(spark, _FLACD_N)
+    prof = clips.select(
+        "clip_id",
+        audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
+_CONT_N = 450
+
+
+def _q_clips_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-container roster beyond RIFF/WAVE: AIFF PCM
+    (16/24/8-bit, mono/stereo big-endian), AIFF-C sowt (byte-swapped),
+    and Sun AU (BE PCM + G.711 mu-law/A-law) must land on the
+    SOURCE-certified engine-convention int16 ledger; the torn-AIFF class
+    (SSND shorter than COMM frames) fails loudly. Both containers are
+    cross-validated against the stdlib aifc/sunau reference codecs in
+    tests/test_aiff_au.py."""
+    from jsonschema_spark.functions.audio import audio_decode_profile
+    from jsonschema_spark.sources.clips import materialized_container_clips
+
+    clips, _ = materialized_container_clips(spark, _CONT_N)
     prof = clips.select(
         "clip_id",
         audio_decode_profile("bytes", "clip_id", "sr_hz", "dur_ms").alias("p"),
@@ -3863,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_lineitem": _q_correlation_lineitem,
         "distinctness_events": _q_distinctness_events,
         "moments_lineitem": _q_moments_lineitem,
+        "benford_lineitem": _q_benford_lineitem,
         "mutual_information_events": _q_mutual_information_events,
         "repair_defaults_events": _q_repair_defaults_events,
         "repair_impact_events": _q_repair_impact_events,
@@ -3901,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_decode": _q_clips_flac_decode,
         "clips_flac_lpc_decode": _q_clips_flac_lpc_decode,
         "clips_flac_depths": _q_clips_flac_depths,
+        "clips_containers": _q_clips_containers,
         "clips_flac_multichannel": _q_clips_flac_multichannel,
         "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
         "clips_wav_depths": _q_clips_wav_depths,
@@ -6277,6 +6318,27 @@ def _clips_flac_depths_sql() -> str:
     """
 
 
+def _clips_containers_sql() -> str:
+    """AIFF/AU container-roster oracle: ledger columns + planted-class
+    arithmetic (PCM classes certified by pure integer shifts from SOURCE
+    samples; G.711 classes by the Sun-reference-pinned kernels)."""
+    from jsonschema_spark.sources.clips import (
+        CONT_CLASS_MOD,
+        CONT_CLS_TORN,
+        container_clips_path,
+    )
+
+    src = f"read_parquet('{container_clips_path(_CONT_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _n_dec AS n_samples,
+               _dec_md5 AS dec_md5,
+               (_row_idx % {CONT_CLASS_MOD} <> {CONT_CLS_TORN})
+                 AS decode_ok
+        FROM {src}
+    """
+
+
 def _clips_flac_lpc_decode_sql() -> str:
     """Ledger oracle for the LPC-FLAC decode: same SOURCE-sample stance
     as the fixed-predictor corpus (truth never passes through the
@@ -8353,6 +8415,34 @@ def oracle_sql() -> dict[str, str]:
             )"""
             for c in ("event_type", "user_id", "event_id")
         ),
+        "benford_lineitem": (
+            lambda _e: f"""
+            WITH src AS (
+              SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                                    '[1-9]') AS d
+              FROM lineitem
+            ), cnt AS (
+              SELECT d, CAST(count(*) AS BIGINT) AS n
+              FROM src WHERE d <> '' GROUP BY d
+            ), base AS (
+              SELECT * FROM (VALUES {', '.join(
+                  f"('{dd}', CAST({e!r} AS DOUBLE))" for dd, e in _e
+              )}) AS t(d, e)
+            ), j AS (
+              SELECT CAST(base.d AS INT) AS digit,
+                     CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n, base.e AS e
+              FROM base LEFT JOIN cnt ON base.d = cnt.d
+            ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM j)
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE) / t, 6) AS observed_frac,
+                   round(e, 6) AS expected_frac,
+                   round(abs(CAST(n AS DOUBLE) / t - e), 6) AS abs_dev,
+                   round((CAST(n AS DOUBLE) - t * e)
+                         * (CAST(n AS DOUBLE) - t * e) / (t * e), 6)
+                     AS chi2_term
+            FROM j, tot ORDER BY digit
+            """
+        )([(d, __import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10)]),
         "moments_lineitem": " UNION ALL ".join(
             f"""(
             WITH m AS (
@@ -8767,6 +8857,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_flac_decode": _clips_flac_decode_sql(),
         "clips_flac_lpc_decode": _clips_flac_lpc_decode_sql(),
         "clips_flac_depths": _clips_flac_depths_sql(),
+        "clips_containers": _clips_containers_sql(),
         "clips_flac_multichannel": _clips_flac_multichannel_sql(),
         "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
         "clips_wav_depths": _clips_wav_depths_sql(),

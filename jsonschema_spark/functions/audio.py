@@ -586,16 +586,252 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
     return x
 
 
+# --- AIFF / AIFF-C (Apple, EA IFF 85) and Sun AU (.snd) containers --------
+# Both are REAL interchange formats every audio tool reads; both are
+# chunk/header walks around integer PCM (or G.711 for AU), so the decode
+# conventions are the exact-integer ones the WAV path already defines:
+# 24-bit keeps the top 16 via arithmetic >>8, 8-bit SIGNED scales <<8
+# (AIFF/AU 8-bit is signed, unlike WAV's offset-binary), stereo
+# downmixes (l+r)>>1. AIFF is big-endian throughout; its sample rate is
+# an 80-bit IEEE 754 extended float (the format's one exotic corner).
+
+
+def _f80_encode(rate: int) -> bytes:
+    """Integer -> 80-bit extended float (1+15-bit sign/exponent, explicit
+    64-bit mantissa), the AIFF COMM sampleRate encoding."""
+    if rate <= 0:
+        raise ValueError("AIFF sample rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    """80-bit extended float -> nearest int (sample rates are integral)."""
+    se, mant = struct.unpack(">HQ", b[:10])
+    if se & 0x8000 or (se == 0 and mant == 0):
+        raise ValueError("malformed AIFF: non-positive sample rate")
+    return int(round(mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)))
+
+
+def encode_aiff(
+    samples: np.ndarray, sr_hz: int, bits: int = 16,
+    compression: str | None = None,
+) -> bytes:
+    """AIFF (or AIFF-C) container around signed big-endian integer PCM at
+    8/16/24 bits, mono (1-D) or stereo ((n, 2) interleaved). AIFF-C is
+    emitted when ``compression`` is ``"NONE"`` (BE PCM) or ``"sowt"``
+    (the classic byte-swapped little-endian 16-bit variant); plain AIFF
+    when None. Real format: FORM/COMM/SSND per EA IFF 85 + Apple AIFF
+    1.3 / AIFF-C spec, F80 sample rate, FVER in AIFF-C."""
+    x = np.asarray(samples, dtype=np.int64)
+    channels = 1 if x.ndim == 1 else x.shape[1]
+    if x.ndim == 2 and channels != 2:
+        raise ValueError("encode_aiff: mono (1-D) or stereo (n, 2) only")
+    if bits not in (8, 16, 24):
+        raise ValueError("encode_aiff: bits must be 8, 16 or 24")
+    if compression not in (None, "NONE", "sowt"):
+        raise ValueError("encode_aiff: compression must be None/NONE/sowt")
+    if compression == "sowt" and bits != 16:
+        raise ValueError("encode_aiff: sowt is 16-bit only")
+    lim = 1 << (bits - 1)
+    if x.max(initial=0) > lim - 1 or x.min(initial=0) < -lim:
+        raise ValueError(f"encode_aiff: samples exceed {bits}-bit range")
+    flat = x.reshape(-1)  # (n, 2) C-order IS the interleaved stream
+    n_frames = len(x)
+    if bits == 8:
+        data = flat.astype(np.int8).tobytes()
+    elif bits == 16:
+        data = flat.astype("<i2" if compression == "sowt" else ">i2").tobytes()
+    else:
+        be = np.frombuffer(flat.astype(">i4").tobytes(), np.uint8)
+        data = be.reshape(-1, 4)[:, 1:].tobytes()  # top 3 bytes of >i4
+    comm = struct.pack(">hIh", channels, n_frames, bits) + _f80_encode(sr_hz)
+    body = b""
+    if compression is not None:
+        comp = compression.encode("ascii")
+        # AIFF-C COMM carries compressionType + a pstring name (padded even)
+        name = {b"NONE": b"not compressed", b"sowt": b"little-endian"}[comp]
+        pstr = bytes([len(name)]) + name
+        if len(pstr) & 1:
+            pstr += b"\x00"
+        comm += comp + pstr
+        body += b"FVER" + struct.pack(">II", 4, 0xA2805140)
+    body += b"COMM" + struct.pack(">I", len(comm)) + comm
+    if len(comm) & 1:
+        body += b"\x00"
+    ssnd = struct.pack(">II", 0, 0) + data
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        body += b"\x00"
+    form = (b"AIFC" if compression is not None else b"AIFF") + body
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
+def _decode_aiff(raw: bytes) -> np.ndarray:
+    """Real AIFF / AIFF-C decode -> engine int16-scale PCM (int32). PCM
+    at 8 (signed) / 16 / 24 bits, mono or stereo; AIFF-C accepted for
+    compressionType NONE (big-endian) and sowt (little-endian 16-bit).
+    Unsupported layouts and malformed chunk walks raise ValueError."""
+    form_type = raw[8:12]
+    pos, n = 12, len(raw)
+    comm = None
+    data = None
+    comp = b"NONE"
+    while pos + 8 <= n:
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack(">I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            if len(body) < 18:
+                raise ValueError("malformed AIFF: truncated COMM chunk")
+            channels, n_frames, bits = struct.unpack(">hIh", body[:8])
+            sr = _f80_decode(body[8:18])
+            comm = (channels, n_frames, bits, sr)
+            if form_type == b"AIFC":
+                if len(body) < 22:
+                    raise ValueError("malformed AIFC: COMM lacks compression")
+                comp = body[18:22]
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise ValueError("malformed AIFF: truncated SSND chunk")
+            (offset,) = struct.unpack(">I", body[:4])
+            data = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or data is None:
+        raise ValueError("malformed AIFF: missing COMM/SSND chunk")
+    channels, n_frames, bits, _sr = comm
+    if comp not in (b"NONE", b"sowt"):
+        raise ValueError(f"unsupported AIFF-C compression {comp!r}")
+    if bits not in (8, 16, 24) or channels not in (1, 2):
+        raise ValueError(
+            f"unsupported AIFF layout (channels={channels}, bits={bits})"
+        )
+    frame = (bits // 8) * channels
+    want = n_frames * frame
+    if len(data) < want:
+        raise ValueError("malformed AIFF: SSND shorter than COMM frames")
+    data = data[:want]
+    if bits == 16:
+        dt = "<i2" if comp == b"sowt" else ">i2"
+        x = np.frombuffer(data, dtype=dt).astype(np.int32)
+    elif bits == 8:
+        x = np.frombuffer(data, dtype=np.int8).astype(np.int32) << 8
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v24 = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]  # big-endian
+        v24 -= (v24 >= (1 << 23)) * (1 << 24)
+        x = v24 >> 8
+    if channels == 2:
+        x = (x[0::2] + x[1::2]) >> 1
+    return x
+
+
+_AU_MAGIC = b".snd"
+# Sun/NeXT audio encodings (public header spec): mu-law, signed PCM at
+# 8/16/24 bits (big-endian), A-law.
+_AU_ULAW, _AU_PCM8, _AU_PCM16, _AU_PCM24, _AU_ALAW = 1, 2, 3, 4, 27
+_AU_ENCODINGS = {
+    "ulaw": _AU_ULAW, "pcm8": _AU_PCM8, "pcm16": _AU_PCM16,
+    "pcm24": _AU_PCM24, "alaw": _AU_ALAW,
+}
+
+
+def encode_au(
+    samples: np.ndarray, sr_hz: int, encoding: str = "pcm16"
+) -> bytes:
+    """Sun AU (.snd) container — the original NeXT/Sun interchange
+    format: 24-byte big-endian header (magic, data offset, data size,
+    encoding, rate, channels) + payload. Encodings: signed PCM at
+    8/16/24 bits (big-endian) and G.711 mu-law / A-law (mono int16
+    input, the engine's G.711 kernels). Mono (1-D) or stereo ((n, 2))
+    for PCM; G.711 is mono."""
+    code = _AU_ENCODINGS.get(encoding)
+    if code is None:
+        raise ValueError(f"encode_au: unknown encoding {encoding!r}")
+    x = np.asarray(samples, dtype=np.int64)
+    channels = 1 if x.ndim == 1 else x.shape[1]
+    if x.ndim == 2 and channels != 2:
+        raise ValueError("encode_au: mono (1-D) or stereo (n, 2) only")
+    if code in (_AU_ULAW, _AU_ALAW):
+        if channels != 1:
+            raise ValueError("encode_au: G.711 payloads are mono")
+        pcm16 = x.astype(np.int16)
+        enc = ulaw_encode(pcm16) if code == _AU_ULAW else alaw_encode(pcm16)
+        data = enc.astype(np.uint8).tobytes()
+    else:
+        bits = {_AU_PCM8: 8, _AU_PCM16: 16, _AU_PCM24: 24}[code]
+        lim = 1 << (bits - 1)
+        if x.max(initial=0) > lim - 1 or x.min(initial=0) < -lim:
+            raise ValueError(f"encode_au: samples exceed {bits}-bit range")
+        flat = x.reshape(-1)
+        if bits == 8:
+            data = flat.astype(np.int8).tobytes()
+        elif bits == 16:
+            data = flat.astype(">i2").tobytes()
+        else:
+            be = np.frombuffer(flat.astype(">i4").tobytes(), np.uint8)
+            data = be.reshape(-1, 4)[:, 1:].tobytes()
+    hdr = _AU_MAGIC + struct.pack(">IIIII", 24, len(data), code, sr_hz,
+                                  channels)
+    return hdr + data
+
+
+def _decode_au(raw: bytes) -> np.ndarray:
+    """Real Sun AU decode -> engine int16-scale PCM (int32): signed PCM
+    8/16/24-bit big-endian (mono/stereo) and G.711 mu-law / A-law
+    (mono). A data size of 0xFFFFFFFF means "to end of file" per the
+    header spec. Unsupported encodings raise ValueError."""
+    if len(raw) < 24:
+        raise ValueError("malformed AU: truncated header")
+    offset, size, code, _sr, channels = struct.unpack(">IIIII", raw[4:24])
+    if offset < 24 or offset > len(raw):
+        raise ValueError("malformed AU: bad data offset")
+    data = raw[offset:]
+    if size != 0xFFFFFFFF:
+        if len(data) < size:
+            raise ValueError("malformed AU: data shorter than header size")
+        data = data[:size]
+    if code == _AU_ULAW and channels == 1:
+        return ulaw_decode(np.frombuffer(data, dtype=np.uint8))
+    if code == _AU_ALAW and channels == 1:
+        return alaw_decode(np.frombuffer(data, dtype=np.uint8))
+    if code not in (_AU_PCM8, _AU_PCM16, _AU_PCM24) or channels not in (1, 2):
+        raise ValueError(
+            f"unsupported AU layout (encoding={code}, channels={channels})"
+        )
+    bits = {_AU_PCM8: 8, _AU_PCM16: 16, _AU_PCM24: 24}[code]
+    frame = (bits // 8) * channels
+    data = data[: (len(data) // frame) * frame]
+    if bits == 16:
+        x = np.frombuffer(data, dtype=">i2").astype(np.int32)
+    elif bits == 8:
+        x = np.frombuffer(data, dtype=np.int8).astype(np.int32) << 8
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v24 = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v24 -= (v24 >= (1 << 23)) * (1 << 24)
+        x = v24 >> 8
+    if channels == 2:
+        x = (x[0::2] + x[1::2]) >> 1
+    return x
+
+
 def decode_payload(raw: bytes) -> np.ndarray:
     """Decode a payload back to int16 PCM (container sniffed from magic).
 
     ``RIFF/WAVE`` is decoded for real (PCM16 / G.711 / IMA ADPCM mono),
-    and REAL FLAC streams (``fLaC`` marker) decode through the pure-numpy
-    subset codec in functions/flac.py; the legacy synthetic flac/opus
-    containers remain for the roster corpora; anything else decodes as
-    raw little-endian PCM16."""
+    as are ``FORM/AIFF``+``AIFC`` (big-endian PCM + sowt) and Sun AU
+    (``.snd``: BE PCM + G.711), and REAL FLAC streams (``fLaC`` marker)
+    decode through the pure-numpy subset codec in functions/flac.py; the
+    legacy synthetic flac/opus containers remain for the roster corpora;
+    anything else decodes as raw little-endian PCM16."""
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return _decode_wav_pcm16(raw)
+    if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(raw)
+    if raw[:4] == _AU_MAGIC:
+        return _decode_au(raw)
     if raw[:5] == _FLAC_MAGIC:
         # legacy synthetic container ("fLaC0": byte 5 = 0x30, a RESERVED
         # metadata type no conforming real stream carries — unambiguous)

@@ -485,6 +485,71 @@ def correlation_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     )
 
 
+def benford_report(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic forensic-accounting / data-fabrication screen (Nigrini):
+    naturally-occurring multi-magnitude numerics (amounts, populations,
+    file sizes) follow P(d) = log10(1 + 1/d); fabricated or truncated
+    feeds don't.
+
+    Returns exactly 9 rows (digit 1-9): n, observed_frac, expected_frac,
+    abs_dev (|obs - exp|, the per-digit MAD term) and chi2_term
+    ((n - N·e)²/(N·e), summing to the chi-square statistic), all rounded
+    to 6. Digits never observed still appear with n = 0.
+
+    Determinism design: the digit is extracted from the value's STRING
+    form (first ``[1-9]`` char — sign/zeros/decimal point skipped), not
+    from log10/pow arithmetic whose floor() flips across engines at
+    exact powers of ten; expected fractions are Python-computed
+    full-precision literals. Zero and NULL carry no first significant
+    digit and are excluded (their count is recoverable from column_stats).
+
+    Plan shape: ONE narrow groupBy over a codegen'd regexp projection
+    (shuffle carries ≤9 rows per task), joined to a 9-row literal frame
+    — no window over the data, no second scan."""
+    import math
+
+    from pyspark.sql import Window
+
+    digit = F.regexp_extract(F.col(column).cast("string"), "[1-9]", 0)
+    obs = (
+        df.select(digit.alias("d"))
+        .where(F.col("d") != "")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = df.sparkSession.createDataFrame(
+        [(str(d), math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "d string, expected double",
+    )
+    joined = base.join(obs, "d", "left").select(
+        F.col("d").cast("int").alias("digit"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        "expected",
+    )
+    total = F.sum("n").over(Window.partitionBy())  # 9 post-agg rows
+    nd = F.col("n").cast("double")
+    td = F.col("_t").cast("double")
+    exp_n = td * F.col("expected")
+    # a column with NO significant digits (empty/all-zero/all-NULL) has
+    # no distribution: fractions stay NULL (ANSI-safe), callers fail loud
+    obs = F.when(td > 0, nd / td)
+    return (
+        joined.withColumn("_t", total)
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_frac"),
+            F.round(F.col("expected"), 6).alias("expected_frac"),
+            F.round(F.abs(obs - F.col("expected")), 6).alias("abs_dev"),
+            F.when(
+                td > 0, F.round((nd - exp_n) * (nd - exp_n) / exp_n, 6)
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     column: str,

@@ -476,6 +476,25 @@ def _check_entropy_min(df: DataFrame, spec: dict) -> DataFrame:
     return _report_row(spec["name"], "entropy_min", metric, floor, passed)(e)
 
 
+def _check_benford(df: DataFrame, spec: dict) -> DataFrame:
+    """Benford first-digit conformity gate (Nigrini MAD test): metric =
+    mean absolute deviation of the observed first-significant-digit
+    fractions from log10(1 + 1/d). Thresholds per the published bands:
+    ``max_mad`` defaults to 0.015 (the nonconformity line; close
+    conformity is < 0.006). A column with no significant digits at all
+    (empty / all-zero / all-NULL) yields NULL observed fractions and
+    FAILS loudly."""
+    from jsonschema_spark.operators.stats import benford_report
+
+    max_mad = float(spec.get("max_mad", 0.015))
+    rep = benford_report(df, spec["column"]).agg(
+        F.avg("abs_dev").alias("mad")
+    )
+    metric = F.round(F.col("mad"), 6)
+    passed = F.coalesce(metric <= max_mad, F.lit(False))
+    return _report_row(spec["name"], "benford", metric, max_mad, passed)(rep)
+
+
 def _check_manifest(
     df: DataFrame, spec: dict, tables: dict[str, DataFrame]
 ) -> DataFrame:
@@ -623,6 +642,7 @@ _CHECKS = {
     "skew": lambda df, spec, tables: _check_skew(df, spec),
     "mean_between": lambda df, spec, tables: _check_mean_between(df, spec),
     "entropy_min": lambda df, spec, tables: _check_entropy_min(df, spec),
+    "benford": lambda df, spec, tables: _check_benford(df, spec),
     "completeness_categories": lambda df, spec, tables:
         _check_completeness_categories(df, spec),
     "manifest": _check_manifest,

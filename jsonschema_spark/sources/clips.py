@@ -2222,7 +2222,10 @@ def synth_container_clips(
             raw = encode_aiff(
                 np.stack([l24, r24], axis=1), CONT_SR_HZ, bits=24
             )
-            mono16 = ((l24 + r24) >> 1) >> 8
+            # WAV-family convention: depth-convert per channel FIRST
+            # (>>8 keeps the top 16), THEN downmix — unlike FLAC, whose
+            # decoder downmixes the full-depth channels before conversion
+            mono16 = ((l24 >> 8) + (r24 >> 8)) >> 1
         elif cls == 2:                     # AIFF-C sowt stereo
             codec = "aifc"
             raw = encode_aiff(
