@@ -2929,6 +2929,11 @@ def _suite_suggest_sql() -> str:
         SELECT col, 'mean_between', mn, mx, CAST(NULL AS VARCHAR)
         FROM f WHERE is_num AND n_distinct > 12
         UNION ALL
+        SELECT col, 'benford', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS VARCHAR)
+        FROM f WHERE is_num AND n_distinct > 12 AND mn > 0
+                 AND mx >= 100 * mn
+        UNION ALL
         SELECT col, 'matches_regex', CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE), CASE {pick} END
         FROM f WHERE n_nonnull > 0 AND ({any_rx})
@@ -3263,6 +3268,62 @@ def _q_clips_flac_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n_samples").alias("n_samples"),
         F.col("p.dec_md5").alias("dec_md5"),
         F.col("p.n_samples").isNotNull().alias("decode_ok"),
+    )
+
+
+_LOUD_N = 300
+
+
+def _q_clips_loudness_r128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BS.1770-4 / EBU R128 loudness over a SOURCE-certified ledger
+    corpus: integrated LUFS (two-stage -70 LUFS absolute + relative
+    -10 LU gate), momentary-max LUFS, 4x-oversampled true peak (dBTP)
+    and gating-block count must land bit-for-bit on the ledger doubles
+    computed from the pre-encode samples (every class is lossless; the
+    kernel itself is pinned against the spec's 48 kHz coefficient table
+    and the EBU 997 Hz / gating stimuli in tests/test_loudness.py).
+    Torn WAV rows yield NULL metrics with n_blocks = -1, sub-block
+    clips NULL loudness with n_blocks = 0. ONE Arrow hop; the
+    per-sample IIR advances all clips of a batch together."""
+    from jsonschema_spark.functions.audio import audio_loudness
+    from jsonschema_spark.sources.clips import materialized_loudness_clips
+
+    clips, _ = materialized_loudness_clips(spark, _LOUD_N)
+    prof = clips.select(
+        "clip_id", audio_loudness("bytes", "sr_hz").alias("l")
+    )
+    nn = lambda c: F.when(~F.isnan(c), c)  # noqa: E731  NaN -> NULL
+    return prof.select(
+        "clip_id",
+        nn(F.col("l.lufs_integrated")).alias("lufs_integrated"),
+        nn(F.col("l.lufs_momentary_max")).alias("lufs_momentary_max"),
+        nn(F.col("l.true_peak_dbtp")).alias("true_peak_dbtp"),
+        F.col("l.n_blocks").alias("n_blocks"),
+    )
+
+
+def _q_clips_lufs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization to -23 LUFS (trim.normalize_to_lufs — the
+    EBU R128 curation rewrite): gain = min(cap, 10^((target-L)/20)) from
+    the BS.1770-gated measurement, samples rewritten floor(v*gain + 0.5).
+    The gain path is NOT SQL-replayable (pow + the K-weighting IIR), so
+    the oracle is the synth-time ledger: expected gain AND the md5 of
+    the expected output payload, computed from the pre-encode samples
+    with the same arithmetic. Unmeasurable clips (torn / sub-block) must
+    pass through with normalized = false."""
+    from jsonschema_spark.operators.trim import normalize_to_lufs
+    from jsonschema_spark.sources.clips import materialized_loudness_clips
+
+    clips, _ = materialized_loudness_clips(spark, _LOUD_N)
+    norm = normalize_to_lufs(
+        clips.select("clip_id", "bytes", "sr_hz", "codec"),
+        target_lufs=-23.0, max_gain=8.0,
+    )
+    return norm.select(
+        "clip_id",
+        "normalized",
+        "gain",
+        F.when(F.col("normalized"), F.md5("bytes")).alias("out_md5"),
     )
 
 
@@ -3942,6 +4003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_lpc_decode": _q_clips_flac_lpc_decode,
         "clips_flac_depths": _q_clips_flac_depths,
         "clips_containers": _q_clips_containers,
+        "clips_loudness_r128": _q_clips_loudness_r128,
+        "clips_lufs_normalize": _q_clips_lufs_normalize,
         "clips_flac_multichannel": _q_clips_flac_multichannel,
         "clips_flac_stereo_decode": _q_clips_flac_stereo_decode,
         "clips_wav_depths": _q_clips_wav_depths,
@@ -6314,6 +6377,38 @@ def _clips_flac_depths_sql() -> str:
                _dec_md5 AS dec_md5,
                (_row_idx % {FLACD_CLASS_MOD} <> {FLACD_CLS_TORN})
                  AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_loudness_sql() -> str:
+    """Loudness oracle: the ledger columns ARE the expected kernel
+    outputs (computed at synth time from the pre-encode samples; the
+    decode->kernel path must reproduce them bit-for-bit)."""
+    from jsonschema_spark.sources.clips import loudness_clips_path
+
+    src = f"read_parquet('{loudness_clips_path(_LOUD_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _lufs_i AS lufs_integrated,
+               _lufs_mm AS lufs_momentary_max,
+               _tp AS true_peak_dbtp,
+               _n_blocks AS n_blocks
+        FROM {src}
+    """
+
+
+def _clips_lufs_normalize_sql() -> str:
+    """Normalization ledger oracle: expected gain + output-payload md5
+    from the synth-time rewrite of the pre-encode samples."""
+    from jsonschema_spark.sources.clips import loudness_clips_path
+
+    src = f"read_parquet('{loudness_clips_path(_LOUD_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               (_ngain IS NOT NULL) AS normalized,
+               _ngain AS gain,
+               _nmd5 AS out_md5
         FROM {src}
     """
 
@@ -8858,6 +8953,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_flac_lpc_decode": _clips_flac_lpc_decode_sql(),
         "clips_flac_depths": _clips_flac_depths_sql(),
         "clips_containers": _clips_containers_sql(),
+        "clips_loudness_r128": _clips_loudness_sql(),
+        "clips_lufs_normalize": _clips_lufs_normalize_sql(),
         "clips_flac_multichannel": _clips_flac_multichannel_sql(),
         "clips_flac_stereo_decode": _clips_flac_stereo_decode_sql(),
         "clips_wav_depths": _clips_wav_depths_sql(),

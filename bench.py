@@ -276,6 +276,35 @@ def q_audio_quality(spark: SparkSession):
     )
 
 
+def q_clips_loudness(spark: SparkSession):
+    """BS.1770-4 / EBU R128 program loudness + 4x-oversampled true peak
+    (functions/loudness.py) over the quality corpus — decode + the
+    K-weighting IIR (advanced across all clips of a batch together) +
+    gated LUFS + interpolated peak in ONE Arrow hop."""
+    from jsonschema_spark.functions.audio import audio_loudness
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    # deterministic 1/4 subset via hash filter (limit() would collapse
+    # the payload scan to one partition — CLAUDE.md gotcha)
+    clips = clips.where(F.xxhash64("clip_id") % 4 == 0)
+    l = audio_loudness("bytes", "sr_hz")
+    return (
+        clips.select(l.alias("l"))
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("l.n_blocks")),
+            F.sum(
+                F.when(
+                    ~F.isnan(F.col("l.lufs_integrated")),
+                    F.col("l.lufs_integrated"),
+                ).otherwise(F.lit(0.0))
+            ),
+        )
+        .collect()
+    )
+
+
 def q_clips_segments(spark: SparkSession):
     """PCM segmentation: sequence/explode/binary-substring, zero Python —
     slices every payload into 250ms training windows and folds a checksum
@@ -650,6 +679,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "audio_dedup": q_audio_dedup,
     "audio_quality": q_audio_quality,
+    "clips_loudness": q_clips_loudness,
     "clips_segments": q_clips_segments,
     "clips_segment_decoded": q_clips_segment_decoded,
     "validate_segments": q_validate_segments,

@@ -64,6 +64,7 @@ def curate_clips(
     trim: bool = False,
     resample_sr: int | None = None,
     target_rms: float | None = None,
+    target_lufs: float | None = None,
     transcode: bool = False,
     lpc_order: int = 0,
 ):
@@ -208,9 +209,11 @@ def curate_clips(
     # fraction is 20 TB every downstream stage would otherwise carry.
     norm_stats = {}
     norm = None
-    if trim or resample_sr or target_rms is not None or transcode:
+    if (trim or resample_sr or target_rms is not None
+            or target_lufs is not None or transcode):
         from jsonschema_spark.operators.trim import (
             normalize_loudness,
+            normalize_to_lufs,
             resample_pcm,
             transcode_to_flac,
             trim_silence,
@@ -228,6 +231,16 @@ def curate_clips(
         if target_rms is not None:
             norm = normalize_loudness(norm, target_rms=target_rms)
             added += ["normalized", "gain"]
+        if target_lufs is not None:
+            # BS.1770-gated perceptual normalization (mutually sensible
+            # with --target-rms only as a deliberate two-stage chain)
+            norm = normalize_to_lufs(norm, target_lufs=target_lufs)
+            if "normalized" in added:  # rms stage already claimed names
+                norm = (norm.withColumnRenamed("normalized", "normalized_lufs")
+                        .withColumnRenamed("gain", "gain_lufs"))
+                added += ["normalized_lufs", "gain_lufs", "lufs_in"]
+            else:
+                added += ["normalized", "gain", "lufs_in"]
         if transcode:
             if "n_out" in norm.columns:  # resample already claimed the name
                 norm = norm.withColumnRenamed("n_out", "n_out_resample")
@@ -244,6 +257,10 @@ def curate_clips(
               if resample_sr else []),
             *([F.sum(F.col("normalized").cast("long")).alias("n_normalized")]
               if target_rms is not None else []),
+            *([F.sum(F.col(
+                "normalized_lufs" if target_rms is not None else "normalized"
+              ).cast("long")).alias("n_lufs_normalized")]
+              if target_lufs is not None else []),
             *([F.sum(F.col("transcoded").cast("long")).alias("n_transcoded")]
               if transcode else []),
         ).collect()[0]
@@ -255,6 +272,8 @@ def curate_clips(
                if resample_sr else {}),
             **({"rows_normalized": int(agg["n_normalized"] or 0)}
                if target_rms is not None else {}),
+            **({"rows_lufs_normalized": int(agg["n_lufs_normalized"] or 0)}
+               if target_lufs is not None else {}),
             **({"rows_transcoded": int(agg["n_transcoded"] or 0)}
                if transcode else {}),
         }
@@ -323,6 +342,10 @@ def main(argv=None) -> int:
     p.add_argument("--resample", type=int, metavar="SR",
                    help="normalize sample rate by integer-factor "
                         "decimation on output (containers transcoded)")
+    p.add_argument("--target-lufs", type=float, metavar="LUFS",
+                   help="normalize integrated program loudness to this "
+                        "BS.1770-gated LUFS target (e.g. -23; clips whose "
+                        "loudness cannot be measured pass through)")
     p.add_argument("--target-rms", type=float, metavar="LIN",
                    help="normalize loudness to this linear full-scale RMS "
                         "on output (0.1 = -20 dBFS)")
@@ -378,6 +401,7 @@ def main(argv=None) -> int:
         trim=args.trim_silence,
         resample_sr=args.resample,
         target_rms=args.target_rms,
+        target_lufs=args.target_lufs,
         transcode=args.transcode_flac,
         lpc_order=args.lpc_order,
     )

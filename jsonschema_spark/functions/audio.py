@@ -1208,6 +1208,94 @@ def audio_quality(
     )
 
 
+AUDIO_LOUDNESS_TYPE = T.StructType(
+    [
+        T.StructField("lufs_integrated", T.DoubleType()),
+        T.StructField("lufs_momentary_max", T.DoubleType()),
+        T.StructField("true_peak_dbtp", T.DoubleType()),
+        T.StructField("n_blocks", T.LongType()),
+    ]
+)
+
+
+def loudness_profile_batch(
+    payloads: pd.Series, srs: pd.Series
+) -> pd.DataFrame:
+    """Vectorized batch kernel: BS.1770-4 / EBU R128 loudness per clip
+    (integrated LUFS with the -70 LUFS absolute + relative -10 LU
+    two-stage gate, momentary-max LUFS, 4x-oversampled true peak in
+    dBTP, gating-block count). Decode failures yield NULL metrics and
+    n_blocks = -1; clips shorter than one 400 ms gating block yield NULL
+    loudness with n_blocks = 0 (true peak is still measured).
+
+    The per-sample K-weighting IIR is the one sequential loop — run
+    ONCE per distinct sample rate over a (max_len, n_clips) matrix, so
+    it advances every clip together; per-clip results are bit-identical
+    to single-clip evaluation (pinned), which is what lets driver-side
+    ledgers certify executor output exactly. Shared by the pandas UDF
+    and unit tests (no SparkSession needed)."""
+    from jsonschema_spark.functions.loudness import loudness_batch
+
+    n = len(payloads)
+    signals: list = [None] * n
+    srs_l = srs.tolist()
+    for i, raw in enumerate(payloads.tolist()):
+        sr = srs_l[i]
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        try:
+            signals[i] = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+    out = {
+        "lufs_integrated": np.full(n, np.nan),
+        "lufs_momentary_max": np.full(n, np.nan),
+        "true_peak_dbtp": np.full(n, np.nan),
+        "n_blocks": np.full(n, -1, dtype=np.int64),
+    }
+    by_sr: dict[int, list[int]] = {}
+    for i, s in enumerate(signals):
+        if s is not None:
+            by_sr.setdefault(int(srs_l[i]), []).append(i)
+    # bound the padded working set: ~256 clips per kernel call keeps the
+    # (max_len x clips) float64 matrix tens of MB regardless of Arrow
+    # batch size; chunking SORTED by length means each chunk's recursion
+    # only runs to that chunk's own max (measured 1.6x on mixed-duration
+    # corpora). Results are batch-invariant — pinned — so neither
+    # chunking nor ordering can change values.
+    chunk = 256
+    for sr, idxs in by_sr.items():
+        idxs = sorted(idxs, key=lambda i: len(signals[i]))
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0 : c0 + chunk]
+            r = loudness_batch([signals[i] for i in part], sr)
+            for k in out:
+                out[k][part] = r[k]
+    df = pd.DataFrame(out)
+    df["n_blocks"] = df["n_blocks"].astype(np.int64)
+    return df
+
+
+def audio_loudness(
+    payload: Column | str = "bytes", sr_hz: Column | str = "sr_hz"
+) -> Column:
+    """struct(lufs_integrated, lufs_momentary_max, true_peak_dbtp,
+    n_blocks) — BS.1770-4 program loudness + true peak in ONE Arrow hop
+    (functions/loudness.py). NaN marks undefined metrics (undecodable /
+    sub-block-length / fully-gated clips); persist the projected struct
+    before deriving multiple gate columns (project-collapsing re-runs
+    the UDF per referencing expression otherwise)."""
+
+    @pandas_udf(AUDIO_LOUDNESS_TYPE)
+    def _al(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return loudness_profile_batch(p, sr)
+
+    return _al(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
 def quality_gates(
     q: Column,
     max_silence_frac: float = 0.2,
@@ -1851,6 +1939,109 @@ def gain_normalize(
         return gain_normalize_batch(p, target_rms, max_gain)
 
     return _gn(F.col(payload) if isinstance(payload, str) else payload)
+
+
+def lufs_normalize_batch(
+    payloads: pd.Series,
+    srs: pd.Series,
+    target_lufs: float = -23.0,
+    max_gain: float = 8.0,
+) -> pd.DataFrame:
+    """Vectorized batch kernel: loudness normalization to a target
+    INTEGRATED program loudness (BS.1770-4 gated LUFS — the broadcast /
+    speech-corpus convention, e.g. EBU R128's -23), the perceptual
+    upgrade over plain RMS normalization (gain_normalize): K-weighting
+    discounts inaudible LF rumble and the gate ignores silence, so two
+    clips normalized here sound equally loud even when their RMS differ.
+
+    gain = min(max_gain, 10^((target - measured)/20)); each sample
+    becomes clip(floor(v * gain + 0.5)) re-emitted as raw pcm_s16le.
+    Unlike the RMS path the GAIN is not SQL-replayable (pow/log and the
+    K-weighting IIR are not correctly-rounded cross-engine), so the
+    contract oracle is a synth-time ledger (clips_lufs_normalize)
+    instead of a DuckDB recomputation — the sample rewrite itself is
+    still the exact floor(v*g + 0.5) integer path. Clips whose loudness
+    is UNDEFINED (undecodable, shorter than one 400 ms gating block, or
+    fully gated) pass through unmodified with n_out = -1 — a normalizer
+    that cannot measure must not guess. One loudness measurement + one
+    rewrite per clip, one Arrow hop."""
+    from jsonschema_spark.functions.loudness import loudness_batch
+
+    n = len(payloads)
+    outb: list = [None] * n
+    nout = np.full(n, -1, dtype=np.int64)
+    gains = np.full(n, np.nan)
+    lufs = np.full(n, np.nan)
+    signals: list = [None] * n
+    srs_l = srs.tolist()
+    for i, raw in enumerate(payloads.tolist()):
+        sr = srs_l[i]
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        try:
+            signals[i] = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+    by_sr: dict[int, list[int]] = {}
+    for i, s in enumerate(signals):
+        if s is not None and len(s) > 0:
+            by_sr.setdefault(int(srs_l[i]), []).append(i)
+    chunk = 256
+    for sr, idxs in by_sr.items():
+        idxs = sorted(idxs, key=lambda i: len(signals[i]))
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0 : c0 + chunk]
+            li = loudness_batch([signals[i] for i in part], sr)[
+                "lufs_integrated"
+            ]
+            for k, i in enumerate(part):
+                if np.isnan(li[k]):
+                    continue
+                lufs[i] = li[k]
+                g = min(
+                    float(max_gain),
+                    10.0 ** ((target_lufs - float(li[k])) / 20.0),
+                )
+                gains[i] = g
+                pcm = signals[i]
+                out = np.floor(pcm.astype(np.float64) * g + 0.5)
+                out = np.clip(out, -32768.0, 32767.0).astype("<i2")
+                outb[i] = out.tobytes()
+                nout[i] = len(pcm)
+    return pd.DataFrame(
+        {"out_bytes": outb, "n_out": nout, "gain": gains,
+         "lufs_in": lufs}
+    )
+
+
+LUFS_NORMALIZE_TYPE = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("gain", T.DoubleType()),
+        T.StructField("lufs_in", T.DoubleType()),
+    ]
+)
+
+
+def lufs_normalize(
+    payload: Column | str,
+    sr_hz: Column | str = "sr_hz",
+    target_lufs: float = -23.0,
+    max_gain: float = 8.0,
+) -> Column:
+    """struct(out_bytes, n_out, gain, lufs_in): BS.1770-gated loudness
+    normalization (see lufs_normalize_batch). One Arrow hop; n_out = -1
+    marks pass-through (undecodable or unmeasurable loudness)."""
+
+    @pandas_udf(LUFS_NORMALIZE_TYPE)
+    def _ln(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return lufs_normalize_batch(p, sr, target_lufs, max_gain)
+
+    return _ln(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -188,6 +188,15 @@ def column_suggestions(
             F.col("is_num") & (F.col("n_distinct") > cm),
             _elem("mean_between", F.col("mn"), F.col("mx")),
         ),
+        # Benford candidate: strictly-positive high-cardinality numerics
+        # spanning >= 2 decades (first-digit law only emerges on
+        # multi-magnitude data); the drafted threshold is measured from
+        # the data in as_suite_config so the suite passes on its source
+        F.when(
+            F.col("is_num") & (F.col("n_distinct") > cm)
+            & (F.col("mn") > 0) & (F.col("mx") >= 100 * F.col("mn")),
+            _elem("benford", nul, nul),
+        ),
         F.when(
             (F.col("n_nonnull") > 0) & pattern_lit.isNotNull(),
             _elem("matches_regex", nul, nul, pattern_lit),
@@ -266,6 +275,15 @@ def as_suite_config(
                            "table": table, "column": c,
                            "pattern": r["param_str"],
                            "max_violation_rate": 0.0})
+        elif ct == "benford":
+            # measured conformity, ceiled to 3 decimals (must-pass-on-
+            # draft-data stance); a column that is NOT currently
+            # Benford-ish still gets its measured band — the check then
+            # gates drift AWAY from the observed distribution shape
+            mad = _measured_benford_mad(df, c)
+            checks.append({"type": "benford", "name": name,
+                           "table": table, "column": c,
+                           "max_mad": math.ceil(mad * 1000) / 1000})
     audio = _audio_shape(df)
     if audio is not None:
         payload, id_col, sr_col, dur_col = audio
@@ -288,6 +306,15 @@ def as_suite_config(
             "max_silent_rate": math.ceil(srate * 1000) / 1000,
         })
     return {"checks": checks}
+
+
+def _measured_benford_mad(df: DataFrame, column: str) -> float:
+    """Observed Benford MAD of ``column`` (one aggregate; driver gets
+    one scalar)."""
+    from jsonschema_spark.operators.stats import benford_report
+
+    row = benford_report(df, column).agg(F.avg("abs_dev").alias("m")).first()
+    return float(row["m"]) if row["m"] is not None else 1.0
 
 
 def _audio_shape(df: DataFrame) -> tuple[str, str, str, str] | None:

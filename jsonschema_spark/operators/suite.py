@@ -623,6 +623,43 @@ def _check_audio_silence(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_loudness(df: DataFrame, spec: dict) -> DataFrame:
+    """Broadcast-loudness gate (BS.1770-4 / EBU R128): bound the
+    fraction of clips whose integrated program loudness falls outside
+    [``min_lufs``, ``max_lufs``] (defaults -30 / -10: the band real
+    speech-corpus specs target around the -23 LUFS broadcast anchor) or
+    whose true peak exceeds ``max_true_peak_dbtp`` (default -1 dBTP,
+    the EBU R128 ceiling). Clips with UNDEFINED loudness (undecodable,
+    shorter than one 400 ms gating block, or fully gated) count as
+    violating — a gate that cannot certify a clip must not pass it.
+    Metric = violating fraction; threshold ``max_violation_rate``."""
+    from jsonschema_spark.functions.audio import audio_loudness
+
+    lo = float(spec.get("min_lufs", -30.0))
+    hi = float(spec.get("max_lufs", -10.0))
+    tp_max = float(spec.get("max_true_peak_dbtp", -1.0))
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    l = audio_loudness(
+        spec.get("payload_col", "bytes"), spec.get("sr_col", "sr_hz")
+    )
+    li = l["lufs_integrated"]
+    tp = l["true_peak_dbtp"]
+    ok = (
+        F.coalesce(~F.isnan(li) & (li >= lo) & (li <= hi), F.lit(False))
+        & F.coalesce(~F.isnan(tp) & (tp <= tp_max), F.lit(False))
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~ok).cast("long")) / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_loudness", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -653,6 +690,7 @@ _CHECKS = {
     "expr": lambda df, spec, tables: _check_expr(df, spec),
     "audio_decode": lambda df, spec, tables: _check_audio_decode(df, spec),
     "audio_silence": lambda df, spec, tables: _check_audio_silence(df, spec),
+    "audio_loudness": lambda df, spec, tables: _check_audio_loudness(df, spec),
 }
 
 

@@ -190,7 +190,7 @@ def synth_clips(
 # Bump when the generator arithmetic changes: the cache path is content-
 # addressed by (version, n, dur_range, buckets), so stale materializations
 # from earlier rounds can never be read.
-_MATERIALIZE_VERSION = "v2"  # v2: depth corpus grew 12/20/32-bit classes
+_MATERIALIZE_VERSION = "v3"  # v3: loudness true-peak kernel went float32
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
 
 
@@ -2281,6 +2281,140 @@ def synth_container_clips(
     return spark.range(0, n, 1, parts).mapInPandas(
         gen, schema=ADPCM_CLIPS_SCHEMA
     )
+
+
+# --- BS.1770 / EBU R128 loudness ledger corpus ------------------------------
+# Classes cycle program material, a -23 dBFS 997 Hz tone (the EBU Tech
+# 3341 reference stimulus), quiet program, FLAC-compressed program
+# (lossless -> identical samples through the codec), a sub-block-length
+# clip (NULL loudness, n_blocks 0) and a torn WAV (NULL everything,
+# n_blocks -1). The ledger certifies the EXACT kernel outputs computed
+# at synth time from the SOURCE samples (truth never passes through the
+# container decode — lossless for every class); the batch kernel is
+# pinned bit-identical to single-clip evaluation and to the EBU
+# analytic references in tests, so the query's decode->kernel path must
+# match the ledger doubles bit-for-bit.
+LOUD_CLASS_MOD = 6
+LOUD_CLS_SHORT = 4
+LOUD_CLS_TORN = 5
+LOUD_SR_HZ = 16000
+
+
+def synth_loudness_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (500, 1500),
+) -> DataFrame:
+    """Loudness ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import (
+        encode_wav_pcm16,
+    )
+    from jsonschema_spark.functions.flac import encode_flac
+    from jsonschema_spark.functions.loudness import loudness_batch
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % LOUD_CLASS_MOD
+        if cls == LOUD_CLS_SHORT:
+            dur = 200  # < one 400 ms gating block
+        n_samples = LOUD_SR_HZ * dur // 1000
+        base = _smoothed_signal(cid, n_samples)
+        codec = "wav"
+        if cls == 1:    # EBU 3341 stimulus: 997 Hz sine at -23 dBFS RMS
+            t = np.arange(n_samples, dtype=np.float64)
+            amp = 10.0 ** (-23.0 / 20.0) * np.sqrt(2.0) * 32768.0
+            src = np.round(
+                amp * np.sin(2.0 * np.pi * 997.0 * t / LOUD_SR_HZ)
+            ).astype(np.int64)
+        elif cls == 2:  # quiet program (~ -24 dB below class 0)
+            src = base >> 4
+        else:
+            src = base
+        if cls == 3:
+            codec = "flac"
+            raw = encode_flac(src, LOUD_SR_HZ, lpc_max_order=8)
+        else:
+            raw = encode_wav_pcm16(src.astype(np.int32), LOUD_SR_HZ)
+        lufs_i = lufs_mm = tp = ngain = nmd5 = None
+        nb = -1
+        if cls == LOUD_CLS_TORN:
+            raw = raw[:25]  # fmt chunk torn: decode fails loudly
+        else:
+            r = loudness_batch([src], LOUD_SR_HZ)
+            nb = int(r["n_blocks"][0])
+
+            def _f(v):
+                return None if np.isnan(v) else float(v)
+
+            lufs_i = _f(r["lufs_integrated"][0])
+            lufs_mm = _f(r["lufs_momentary_max"][0])
+            tp = _f(r["true_peak_dbtp"][0])
+            if lufs_i is not None:
+                # expected -23 LUFS normalization rewrite (same gain +
+                # floor(v*g+0.5) arithmetic as lufs_normalize_batch)
+                ngain = min(8.0, 10.0 ** ((-23.0 - lufs_i) / 20.0))
+                out = np.floor(src.astype(np.float64) * ngain + 0.5)
+                out = np.clip(out, -32768.0, 32767.0).astype("<i2")
+                import hashlib as _h2
+
+                nmd5 = _h2.md5(out.tobytes()).hexdigest()
+        return (cid, bytearray(raw), LOUD_SR_HZ, dur, codec,
+                transcript_for(cid), i, lufs_i, lufs_mm, tp, nb,
+                ngain, nmd5)
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("dur_ms", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("transcript", T.StringType()),
+            T.StructField("_row_idx", T.LongType()),
+            T.StructField("_lufs_i", T.DoubleType()),
+            T.StructField("_lufs_mm", T.DoubleType()),
+            T.StructField("_tp", T.DoubleType()),
+            T.StructField("_n_blocks", T.LongType()),
+            T.StructField("_ngain", T.DoubleType()),
+            T.StructField("_nmd5", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_lufs_i", "_lufs_mm", "_tp",
+                "_n_blocks", "_ngain", "_nmd5"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def loudness_clips_path(n: int) -> str:
+    # g2: generator grew the -23 LUFS normalization ledger columns
+    return oracle_cache_path(f"clips_loud_{n}_g2")
+
+
+def materialized_loudness_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Loudness ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = loudness_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_loudness_clips(spark, n), path)
+    return spark.read.parquet(path), path
 
 
 def container_clips_path(n: int) -> str:

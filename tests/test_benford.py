@@ -64,6 +64,39 @@ def test_benford_suite_check_pass_and_fail(spark):
     assert rows["bad_v"]["metric"] > 0.015
 
 
+def test_benford_suggestion_and_drafted_suite_self_passes(spark):
+    """column_suggestions proposes a benford check for strictly-positive
+    high-cardinality numerics spanning >= 2 decades, and the suite
+    as_suite_config drafts from it PASSES on the data it was drafted
+    from (the measured-MAD ceiling stance every suggested audio check
+    already follows)."""
+    from jsonschema_spark.operators.suggest import (
+        as_suite_config,
+        column_suggestions,
+    )
+
+    rng_vals = []
+    for d in range(1, 10):  # roughly Benford counts across 3 decades
+        for k in range(round(120 * math.log10(1 + 1 / d))):
+            rng_vals.append((float(d) * 10 ** (k % 3) + k,))
+    t = spark.createDataFrame(rng_vals, "v double")
+    sugg = column_suggestions(t, ["v"])
+    kinds = {r["check_type"] for r in sugg.collect()}
+    assert "benford" in kinds
+    cfg = as_suite_config(t, sugg, table="t")
+    bch = [c for c in cfg["checks"] if c["type"] == "benford"]
+    assert bch and bch[0]["column"] == "v"
+    rep = run_suite({"t": t}, cfg)
+    statuses = {r["check_name"]: r["status"] for r in rep.collect()}
+    assert statuses["v_benford"] == "pass"
+    # narrow-range numerics (one decade) must NOT suggest benford
+    u = spark.createDataFrame(
+        [(float(v),) for v in range(50, 99)], "v double"
+    )
+    kinds_u = {r["check_type"] for r in column_suggestions(u, ["v"]).collect()}
+    assert "benford" not in kinds_u
+
+
 def test_benford_empty_column_fails_loudly(spark):
     t = spark.createDataFrame([(0.0,), (None,)], "v double")
     rep = run_suite(

@@ -115,7 +115,10 @@ def test_column_suggestions_fuzz(spark, seed):
 
     rng = random.Random(seed)
     n = rng.randint(5, 120)
-    a = [rng.choice([None, rng.randint(0, 8)]) for _ in range(n)]
+    # the wide-positive arm drives n_distinct past the enum bound and
+    # spans >= 2 decades, so the mean_between AND benford rules both fire
+    a = [rng.choice([None, rng.randint(0, 8), rng.randint(1, 50000)])
+         for _ in range(n)]
     pool = ["a", "b", "c", "D4", "ee_ff", "2026-01-02", "42"]
     b = [rng.choice([None, rng.choice(pool)]) for _ in range(n)]
     df = spark.createDataFrame(list(zip(a, b)), "a int, b string")
@@ -138,6 +141,8 @@ def test_column_suggestions_fuzz(spark, seed):
             out[(col, "values_in_set")] = (float(nd), None, None)
         if numeric and nd > 12:
             out[(col, "mean_between")] = (float(min(nn)), float(max(nn)), None)
+            if min(nn) > 0 and max(nn) >= 100 * min(nn):
+                out[(col, "benford")] = (None, None, None)
         if not numeric and nn:
             for _, pat in PATTERN_LIBRARY:
                 if all(re.search(pat, str(v)) for v in nn):
