@@ -155,6 +155,38 @@ def profile_table(df, skew_candidates=None):
                 df, payload, id_col, sr_col
             ),
         }
+        # broadcast-loudness profile (BS.1770-4): median integrated LUFS,
+        # measurable fraction, and the true-peak-over rate (> -1 dBTP,
+        # the EBU R128 ceiling) — ONE Arrow hop + one aggregate
+        from jsonschema_spark.functions.audio import audio_loudness
+
+        l = audio_loudness(payload, sr_col)
+        lrow = (
+            df.select(
+                l["lufs_integrated"].alias("_li"),
+                l["true_peak_dbtp"].alias("_tp"),
+            )
+            .agg(
+                F.avg(
+                    (~F.isnan(F.coalesce(F.col("_li"), F.lit(float("nan")))))
+                    .cast("double")
+                ).alias("measurable"),
+                F.median(
+                    F.when(~F.isnan(F.col("_li")), F.col("_li"))
+                ).alias("med_lufs"),
+                F.avg(
+                    F.coalesce(
+                        ~F.isnan(F.col("_tp")) & (F.col("_tp") > -1.0),
+                        F.lit(False),
+                    ).cast("double")
+                ).alias("tp_over"),
+            )
+            .collect()[0]
+        )
+        metrics["lufs_measurable_frac"] = float(lrow["measurable"] or 0.0)
+        if lrow["med_lufs"] is not None:
+            metrics["lufs_integrated_median"] = float(lrow["med_lufs"])
+        metrics["true_peak_over_rate"] = float(lrow["tp_over"] or 0.0)
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

@@ -121,8 +121,14 @@ def test_profile_job_audio_section(spark):
     prof = profile_table(clips)
     audio = {r.metric: r.value_num
              for r in prof.where("section = 'audio'").collect()}
-    assert set(audio) == {"riff_frac", "flac_frac", "null_frac",
-                          "decode_rate", "silent_seg_rate"}
+    assert set(audio) >= {"riff_frac", "flac_frac", "null_frac",
+                          "decode_rate", "silent_seg_rate",
+                          "lufs_measurable_frac", "true_peak_over_rate"}
+    # loudness section: decodable >=400ms clips are measurable; a sane
+    # corpus sits between always and never
+    assert 0.0 < audio["lufs_measurable_frac"] <= 5 / 6 + 0.02
+    if "lufs_integrated_median" in audio:
+        assert -70.0 < audio["lufs_integrated_median"] < 0.0
     # torn-FLAC class is 1/6: decode rate 5/6; classes 0+5 are FLAC (2/6),
     # classes 1/2/3 are RIFF (3/6); planted dead windows keep the silent
     # rate strictly inside (0, 0.5)

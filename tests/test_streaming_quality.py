@@ -107,3 +107,60 @@ def test_segment_auto_streaming_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_segauto_stream").collect()
     )
     assert got == want
+
+
+def test_loudness_streaming_parity(spark, tmp_path):
+    """BS.1770 loudness + the LUFS normalization rewrite under
+    readStream: both are stateless per-row transforms (one Arrow hop),
+    so the same compiled plan must emit bit-identical metrics and
+    payloads per micro-batch (north rule: one plan, batch and
+    streaming)."""
+    from jsonschema_spark.functions.audio import audio_loudness
+    from jsonschema_spark.operators.trim import normalize_to_lufs
+    from jsonschema_spark.sources.clips import synth_loudness_clips
+
+    d = str(tmp_path / "l_clips")
+    synth_loudness_clips(spark, 36, partitions=4).drop(
+        "_row_idx", "_lufs_i", "_lufs_mm", "_tp", "_n_blocks", "_ngain",
+        "_nmd5"
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def norm_only(df):
+        n = normalize_to_lufs(
+            df.select("clip_id", "bytes", "sr_hz", "codec"),
+            target_lufs=-23.0,
+        )
+        return n.select(
+            "clip_id", "normalized", "gain",
+            F.md5(F.coalesce("bytes", F.lit(b""))).alias("out_md5"),
+        )
+
+    def loud_only(df):
+        l = audio_loudness("bytes", "sr_hz")
+        return df.select(
+            "clip_id",
+            l["lufs_integrated"].alias("li"),
+            l["true_peak_dbtp"].alias("tp"),
+            l["n_blocks"].alias("nb"),
+        )
+
+    for name, fn in (("norm", norm_only), ("loud", loud_only)):
+        want = sorted(
+            tuple(r) for r in fn(batch).fillna(-9999.0).collect()
+        )
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        q = (
+            fn(stream).fillna(-9999.0)
+            .writeStream.format("memory").queryName(f"q_lufs_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            tuple(r)
+            for r in spark.sql(f"SELECT * FROM q_lufs_{name}").collect()
+        )
+        assert got == want and len(got) == 36, name
