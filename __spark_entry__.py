@@ -3354,6 +3354,42 @@ def _q_clips_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP3_N = 480
+
+
+def _q_clips_mp3_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 (MPEG audio) frame-header walk — structural validation of the
+    web's dominant compressed-audio format WITHOUT a decoder: every frame
+    header is checked (sync, version/layer/bitrate/sample-rate indices),
+    frame lengths chain per the ISO 11172-3/13818-3 arithmetic, CRC-16-
+    protected Layer III side info is verified, ID3v2/ID3v1 wrappers are
+    skipped, and Xing/Info/VBRI declared frame counts are cross-checked
+    against the walked count. The corpus cycles MPEG 1/2/2.5, Layers
+    I/II/III, CBR + VBR, and three planted-failure classes (torn tail,
+    corrupted CRC, mid-stream sync loss) that must fail loudly. Ledger
+    truth is GENERATOR arithmetic — the walker never runs at synth time."""
+    from jsonschema_spark.functions.mp3 import audio_mp3_profile
+    from jsonschema_spark.sources.clips import materialized_mp3_clips
+
+    clips, _ = materialized_mp3_clips(spark, _MP3_N)
+    prof = clips.select(
+        "clip_id", audio_mp3_profile("bytes").alias("p")
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.ok").alias("ok"),
+        F.col("p.error").alias("error"),
+        F.col("p.n_frames").alias("n_frames"),
+        F.col("p.parsed_dur_ms").alias("parsed_dur_ms"),
+        F.col("p.br_min_kbps").alias("br_min_kbps"),
+        F.col("p.br_max_kbps").alias("br_max_kbps"),
+        F.col("p.vbr").alias("vbr"),
+        F.col("p.info_frames").alias("info_frames"),
+        F.col("p.info_ok").alias("info_ok"),
+        F.col("p.crc_frames").alias("crc_frames"),
+    )
+
+
 _FLACM_N = 250
 
 
@@ -4003,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_lpc_decode": _q_clips_flac_lpc_decode,
         "clips_flac_depths": _q_clips_flac_depths,
         "clips_containers": _q_clips_containers,
+        "clips_mp3_headers": _q_clips_mp3_headers,
         "clips_loudness_r128": _q_clips_loudness_r128,
         "clips_lufs_normalize": _q_clips_lufs_normalize,
         "clips_flac_multichannel": _q_clips_flac_multichannel,
@@ -6430,6 +6467,29 @@ def _clips_containers_sql() -> str:
                _dec_md5 AS dec_md5,
                (_row_idx % {CONT_CLASS_MOD} <> {CONT_CLS_TORN})
                  AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_mp3_headers_sql() -> str:
+    """MP3 header-walk oracle: the ledger's generator-arithmetic truth
+    (frame totals, n*spf*1000//sr durations, bitrate-schedule min/max,
+    declared-vs-actual info counts, planted-failure classes)."""
+    from jsonschema_spark.sources.clips import mp3_clips_path
+
+    src = f"read_parquet('{mp3_clips_path(_MP3_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _ok AS ok,
+               _err AS error,
+               _n_frames AS n_frames,
+               _parsed_dur_ms AS parsed_dur_ms,
+               _br_min AS br_min_kbps,
+               _br_max AS br_max_kbps,
+               _vbr AS vbr,
+               _info_frames AS info_frames,
+               _info_ok AS info_ok,
+               _crc_frames AS crc_frames
         FROM {src}
     """
 
@@ -8953,6 +9013,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_flac_lpc_decode": _clips_flac_lpc_decode_sql(),
         "clips_flac_depths": _clips_flac_depths_sql(),
         "clips_containers": _clips_containers_sql(),
+        "clips_mp3_headers": _clips_mp3_headers_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),
         "clips_lufs_normalize": _clips_lufs_normalize_sql(),
         "clips_flac_multichannel": _clips_flac_multichannel_sql(),

@@ -305,6 +305,31 @@ def q_clips_loudness(spark: SparkSession):
     )
 
 
+_MP3_BENCH_N = int(os.environ.get("SPARK_GRAFT_MP3", "10000"))
+
+
+def q_clips_mp3_walk(spark: SparkSession):
+    """MP3 frame-header walk (functions/mp3.py): full structural
+    validation of MPEG audio streams without a decoder — every header
+    checked, frame lengths chained, Layer III CRC-16 verified, Xing/
+    VBRI counts cross-checked — one Arrow hop, O(frames) per clip."""
+    from jsonschema_spark.functions.mp3 import audio_mp3_profile
+    from jsonschema_spark.sources.clips import materialized_mp3_clips
+
+    clips, _ = materialized_mp3_clips(spark, _MP3_BENCH_N)
+    p = audio_mp3_profile("bytes")
+    return (
+        clips.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.n_frames"),
+            F.sum("p.parsed_dur_ms"),
+            F.sum("p.crc_frames"),
+        )
+        .collect()
+    )
+
+
 def q_clips_segments(spark: SparkSession):
     """PCM segmentation: sequence/explode/binary-substring, zero Python —
     slices every payload into 250ms training windows and folds a checksum
@@ -680,6 +705,7 @@ QUERIES = {
     "audio_dedup": q_audio_dedup,
     "audio_quality": q_audio_quality,
     "clips_loudness": q_clips_loudness,
+    "clips_mp3_walk": q_clips_mp3_walk,
     "clips_segments": q_clips_segments,
     "clips_segment_decoded": q_clips_segment_decoded,
     "validate_segments": q_validate_segments,

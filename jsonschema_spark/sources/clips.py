@@ -2433,3 +2433,163 @@ def materialized_container_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_container_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- MP3 frame-header-walk ledger corpus -------------------------------------
+# MP3 payload bits are opaque to a header walker, so the ledger is
+# SOURCE-certified by pure arithmetic over the generator's own parameters
+# (frame counts, the spec's n*spf*1000//sr duration, the bitrate schedule,
+# declared-vs-actual Xing/VBRI counts) — the truth never passes through
+# the parser under test. Classes cover every MPEG version (1 / 2 / 2.5),
+# all three layers, CBR + VBR, Xing/Info/VBRI declarations, ID3v2/v1
+# wrappers, CRC-16-protected streams, and three planted-failure classes
+# (torn tail, corrupted CRC, mid-stream sync loss) that must fail loudly.
+MP3_CLASS_MOD = 12
+MP3_CLS_INFO_MISMATCH = 8
+MP3_CLS_TORN = 9
+MP3_CLS_CRC_BAD = 10
+MP3_CLS_SYNC_LOST = 11
+MP3_ERR_CLASSES = {MP3_CLS_TORN: "truncated",
+                   MP3_CLS_CRC_BAD: "crc_mismatch",
+                   MP3_CLS_SYNC_LOST: "sync_lost"}
+
+MP3_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_n_frames", T.IntegerType(), True),
+        T.StructField("_parsed_dur_ms", T.IntegerType(), True),
+        T.StructField("_br_min", T.IntegerType(), True),
+        T.StructField("_br_max", T.IntegerType(), True),
+        T.StructField("_vbr", T.BooleanType(), True),
+        T.StructField("_info_frames", T.IntegerType(), True),
+        T.StructField("_info_ok", T.BooleanType(), True),
+        T.StructField("_crc_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_mp3_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (300, 1500),
+) -> DataFrame:
+    """MP3 ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.mp3 import (
+        encode_mp3_stream,
+        samples_per_frame,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % MP3_CLASS_MOD
+        # (version_id, layer, sr, mode, bitrate schedule) per class
+        if cls in (0, 7, 8, 9, 11):
+            vid, layer, sr, mode, brs = 3, 3, 44100, "stereo", (128,)
+        elif cls == 1:
+            vid, layer, sr, mode, brs = 3, 3, 44100, "joint", (96, 128, 160)
+        elif cls == 2:
+            vid, layer, sr, mode, brs = 2, 3, 16000, "mono", (64,)
+        elif cls == 3:
+            vid, layer, sr, mode, brs = 0, 3, 8000, "mono", (40,)
+        elif cls == 4:
+            vid, layer, sr, mode, brs = 3, 2, 48000, "stereo", (192,)
+        elif cls == 5:
+            vid, layer, sr, mode, brs = 3, 1, 32000, "stereo", (256,)
+        else:  # 6, 10: CRC-protected MPEG2 Layer III
+            vid, layer, sr, mode, brs = 2, 3, 22050, "mono", (64,)
+        spf = samples_per_frame(vid, layer)
+        n_audio = max(len(brs), dur * sr // (spf * 1000))
+        protected = cls in (6, MP3_CLS_CRC_BAD)
+        kw: dict = {"protected": protected}
+        has_info = False
+        declared = None
+        if cls == 1:
+            kw["xing"] = "xing"
+            has_info = True
+        elif cls == 5:
+            kw["padding_pattern"] = (0, 1)
+        elif cls == 7:
+            kw["id3v2_size"] = 200 + (h % 300)
+            kw["id3v1"] = True
+        elif cls == MP3_CLS_INFO_MISMATCH:
+            kw["xing"] = "info"
+            kw["xing_frames"] = n_audio + 1 + 7  # planted over-count
+            has_info = True
+            declared = n_audio + 1 + 7
+        elif cls == 2:
+            kw["vbri_frames"] = n_audio + 1
+            has_info = True
+        raw = encode_mp3_stream(
+            n_audio, vid, layer, sr, mode, brs, seed=i, **kw
+        )
+        if cls == MP3_CLS_TORN:
+            raw = raw[:-9]
+        elif cls == MP3_CLS_SYNC_LOST:
+            # zero the second frame's sync byte (frame 0 is 417 or 418B;
+            # schedule is CBR 128k@44100 unpadded = 417)
+            b = bytearray(raw)
+            b[417] = 0x00
+            raw = bytes(b)
+        elif cls == MP3_CLS_CRC_BAD:
+            b = bytearray(raw)
+            b[8] ^= 0x40  # side-info bit of frame 0: CRC must catch it
+            raw = bytes(b)
+        total = n_audio + (1 if has_info else 0)
+        if has_info and declared is None:
+            declared = total
+        if cls in MP3_ERR_CLASSES:
+            led = (False, MP3_ERR_CLASSES[cls], None, None, None, None,
+                   None, None, None, None)
+        else:
+            sched = [brs[k % len(brs)] for k in range(n_audio)]
+            if has_info:
+                sched.append(brs[0])
+            led = (
+                True, None, total, total * spf * 1000 // sr,
+                min(sched), max(sched), min(sched) != max(sched),
+                declared, None if declared is None else declared == total,
+                total if protected else 0,
+            )
+        return (cid, bytearray(raw), sr, dur, "mp3",
+                transcript_for(cid), i) + led
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_n_frames",
+                "_parsed_dur_ms", "_br_min", "_br_max", "_vbr",
+                "_info_frames", "_info_ok", "_crc_frames"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=MP3_CLIPS_SCHEMA
+    )
+
+
+def mp3_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_mp3_{n}")
+
+
+def materialized_mp3_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """MP3 ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = mp3_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_mp3_clips(spark, n), path)
+    return spark.read.parquet(path), path
