@@ -3354,6 +3354,42 @@ def _q_clips_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HUM_N = 300
+
+
+def _q_clips_hum_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mains-hum + DC-offset screen: single-bin DFT power at the 50- and
+    60 Hz harmonic families pooled per family, reported both RELATIVE to
+    the signal mean square (audibility) and as LINE PROMINENCE over the
+    ±7 Hz flanking bins (a true mains line towers over its local noise
+    floor; program content that merely occupies low bins does not), plus
+    the exact DC offset. Gate: suspect iff level > -25 dBr AND
+    prominence > 10 dB on either family, or |DC| > 2% FS; undecodable
+    clips fail the ok gate loudly. Ledger = synth-time kernel outputs
+    from SOURCE samples (PCM16 WAV is lossless); analytic anchors for
+    the kernel live in tests/test_hum.py."""
+    from jsonschema_spark.functions.audio import audio_hum, hum_gates
+    from jsonschema_spark.sources.clips import materialized_hum_clips
+
+    clips, _ = materialized_hum_clips(spark, _HUM_N)
+    prof = clips.select(
+        "clip_id", audio_hum("bytes", "sr_hz").alias("h")
+    )
+    g = hum_gates(F.col("h"))
+    return prof.select(
+        "clip_id",
+        F.col("h.dc_offset").alias("dc_offset"),
+        F.col("h.hum_dbr_50").alias("hum_dbr_50"),
+        F.col("h.hum_dbr_60").alias("hum_dbr_60"),
+        F.col("h.hum_prom_50").alias("hum_prom_50"),
+        F.col("h.hum_prom_60").alias("hum_prom_60"),
+        F.col("h.n_samples").alias("n_samples"),
+        g["hum_suspect"].alias("hum_suspect"),
+        g["dc_suspect"].alias("dc_suspect"),
+        g["hum_ok"].alias("hum_ok"),
+    )
+
+
 _MP3_N = 480
 
 
@@ -4040,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_depths": _q_clips_flac_depths,
         "clips_containers": _q_clips_containers,
         "clips_mp3_headers": _q_clips_mp3_headers,
+        "clips_hum_screen": _q_clips_hum_screen,
         "clips_loudness_r128": _q_clips_loudness_r128,
         "clips_lufs_normalize": _q_clips_lufs_normalize,
         "clips_flac_multichannel": _q_clips_flac_multichannel,
@@ -6467,6 +6504,42 @@ def _clips_containers_sql() -> str:
                _dec_md5 AS dec_md5,
                (_row_idx % {CONT_CLASS_MOD} <> {CONT_CLS_TORN})
                  AS decode_ok
+        FROM {src}
+    """
+
+
+def _clips_hum_screen_sql() -> str:
+    """Hum/DC ledger oracle: synth-time kernel doubles + the gate
+    arithmetic replayed over them (NaN sentinels are stored as NULL via
+    Arrow nan-as-null, so plain IS NOT NULL replicates the Spark-side
+    isNotNull/isnan guards)."""
+    from jsonschema_spark.sources.clips import hum_clips_path
+
+    src = f"read_parquet('{hum_clips_path(_HUM_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _dc AS dc_offset,
+               _h50 AS hum_dbr_50,
+               _h60 AS hum_dbr_60,
+               _p50 AS hum_prom_50,
+               _p60 AS hum_prom_60,
+               _n AS n_samples,
+               (COALESCE(_h50 > CAST(-25.0 AS DOUBLE)
+                         AND _p50 > CAST(10.0 AS DOUBLE), FALSE)
+                OR COALESCE(_h60 > CAST(-25.0 AS DOUBLE)
+                            AND _p60 > CAST(10.0 AS DOUBLE), FALSE))
+                 AS hum_suspect,
+               COALESCE(_dc IS NOT NULL
+                        AND abs(_dc) > CAST(0.02 AS DOUBLE), FALSE)
+                 AS dc_suspect,
+               (_dc IS NOT NULL
+                AND NOT (COALESCE(_h50 > CAST(-25.0 AS DOUBLE)
+                                  AND _p50 > CAST(10.0 AS DOUBLE), FALSE)
+                         OR COALESCE(_h60 > CAST(-25.0 AS DOUBLE)
+                                     AND _p60 > CAST(10.0 AS DOUBLE),
+                                     FALSE))
+                AND NOT COALESCE(abs(_dc) > CAST(0.02 AS DOUBLE), FALSE))
+                 AS hum_ok
         FROM {src}
     """
 
@@ -9014,6 +9087,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_flac_depths": _clips_flac_depths_sql(),
         "clips_containers": _clips_containers_sql(),
         "clips_mp3_headers": _clips_mp3_headers_sql(),
+        "clips_hum_screen": _clips_hum_screen_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),
         "clips_lufs_normalize": _clips_lufs_normalize_sql(),
         "clips_flac_multichannel": _clips_flac_multichannel_sql(),

@@ -1417,6 +1417,172 @@ def bandwidth_gates(
     )
 
 
+AUDIO_HUM_TYPE = T.StructType(
+    [
+        T.StructField("dc_offset", T.DoubleType()),
+        T.StructField("hum_dbr_50", T.DoubleType()),
+        T.StructField("hum_dbr_60", T.DoubleType()),
+        T.StructField("hum_prom_50", T.DoubleType()),
+        T.StructField("hum_prom_60", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+# 50 Hz hum needs >= ~2 cycles AND enough window to separate the 50 and
+# 60 Hz families (1/(60-50) = 100 ms); require 200 ms before estimating.
+_HUM_MIN_WINDOW_FRAC = 5  # n_samples >= sr / 5
+
+
+def hum_profile_batch(payloads: pd.Series, srs: pd.Series) -> pd.DataFrame:
+    """Vectorized batch kernel: mains-hum + DC-offset screen per clip.
+
+      dc_offset   mean(x) / 32768 — a nonzero DC bias is the signature of
+                  a miswired ADC / bad high-pass stage and silently eats
+                  headroom in every downstream augmentation
+      hum_dbr_50  10*log10(tone_ms / signal_ms) where tone_ms pools the
+                  50/100/150 Hz single-bin DFT power estimates (mains
+                  hum carries harmonics) and signal_ms is the DC-removed
+                  mean square; NaN when undecodable, shorter than 200 ms
+                  (50 vs 60 Hz unresolvable), or digitally silent
+      hum_dbr_60  same for the 60/120/180 Hz family
+      hum_prom_50 line PROMINENCE: 10*log10(tone_ms / flank_ms) against
+                  the same harmonics' bins offset ±7 Hz — a true mains
+                  line towers over its local noise floor, while program
+                  material has comparable power in neighboring bins, so
+                  prominence is what separates hum from low-frequency
+                  content that merely OCCUPIES the 50/60 Hz bins
+      hum_prom_60 same for the 60 Hz family
+      n_samples   decoded count (-1 on decode failure)
+
+    The single-bin DFT amplitude estimate is c = (2/n)|Σ x e^{-2πi f t/sr}|
+    (exact for a steady tone, window-leakage-bounded otherwise); each
+    family's tone mean square is Σ c²/2 over its in-band harmonics. Pure
+    numpy dot products per clip — O(n) per family, no FFT length games.
+    Shared by the pandas UDF and unit tests (no SparkSession needed)."""
+    n = len(payloads)
+    dc = np.full(n, np.nan)
+    h50 = np.full(n, np.nan)
+    h60 = np.full(n, np.nan)
+    p50 = np.full(n, np.nan)
+    p60 = np.full(n, np.nan)
+    nsamp = np.full(n, -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (isinstance(sr, float) and np.isnan(sr)):
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(pcm)
+        nsamp[i] = m
+        if m == 0:
+            continue
+        x = pcm.astype(np.float64)
+        mean = x.mean()
+        dc[i] = mean / 32768.0
+        if m * _HUM_MIN_WINDOW_FRAC < sr:
+            continue
+        xd = x - mean
+        sig_ms = float(np.mean(xd * xd))
+        if sig_ms <= 0.0:
+            continue
+        t = np.arange(m, dtype=np.float64) * (2.0 * np.pi / float(sr))
+
+        def _bin_ms(f: float) -> float:
+            ph = t * f
+            c_re = float(np.dot(xd, np.cos(ph)))
+            c_im = float(np.dot(xd, np.sin(ph)))
+            amp = 2.0 / m * np.sqrt(c_re * c_re + c_im * c_im)
+            return amp * amp / 2.0
+
+        out = ((h50, p50), (h60, p60))
+        for k, fam in enumerate((50.0, 60.0)):
+            tone_ms = 0.0
+            flank_ms = 0.0
+            n_flank = 0
+            for harm in (1.0, 2.0, 3.0):
+                f = fam * harm
+                if 2.0 * (f + 7.0) >= float(sr):
+                    break
+                tone_ms += _bin_ms(f)
+                flank_ms += _bin_ms(f - 7.0) + _bin_ms(f + 7.0)
+                n_flank += 2
+            # zero power (analytically orthogonal content) stays NaN —
+            # never emit infinities into cross-engine-compared columns
+            if tone_ms > 0.0:
+                out[k][0][i] = 10.0 * np.log10(tone_ms / sig_ms)
+                # floor the flank denominator (CLAUDE.md: a zero/NULL
+                # denominator silently unflags) — prominence caps at
+                # 120 dB over the signal floor instead of emitting inf
+                floor = sig_ms * 1e-12
+                out[k][1][i] = 10.0 * np.log10(
+                    tone_ms / max(flank_ms / n_flank, floor)
+                )
+    return pd.DataFrame(
+        {"dc_offset": dc, "hum_dbr_50": h50, "hum_dbr_60": h60,
+         "hum_prom_50": p50, "hum_prom_60": p60, "n_samples": nsamp}
+    )
+
+
+def audio_hum(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+) -> Column:
+    """struct(dc_offset, hum_dbr_50, hum_dbr_60, n_samples) — ONE Arrow
+    hop. Persist the projected struct before deriving multiple gate
+    columns (Catalyst project collapsing re-runs the UDF otherwise)."""
+
+    @pandas_udf(AUDIO_HUM_TYPE)
+    def _hum(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return hum_profile_batch(p, sr)
+
+    return _hum(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
+def hum_gates(
+    h: Column,
+    max_hum_dbr: float = -25.0,
+    min_prom_db: float = 10.0,
+    max_dc_offset: float = 0.02,
+) -> Column:
+    """struct(hum_suspect, dc_suspect, hum_ok) over an ``audio_hum``
+    struct — pure Column expressions, NULL-safe (undecodable clips fail
+    the ok gate loudly, flag neither suspect; clips too short to resolve
+    mains frequencies gate on DC alone).
+
+    A family is hum ONLY when both hold: its pooled level exceeds
+    ``max_hum_dbr`` relative to the signal (audibility) AND its line
+    prominence over the ±7 Hz flanking bins exceeds ``min_prom_db``
+    (it's a LINE, not program content occupying low bins)."""
+    d = h["dc_offset"]
+    # the kernel's NaN sentinels arrive as NULL through Arrow
+    # (nan-as-null), and Spark's isnan(NULL) is FALSE — guard with
+    # isNotNull, not isnan alone, or torn rows yield NULL gates
+    decoded = d.isNotNull() & ~F.isnan(d)
+
+    def _fam(lvl: Column, prom: Column) -> Column:
+        return F.coalesce(
+            ~F.isnan(lvl) & (lvl > max_hum_dbr)
+            & ~F.isnan(prom) & (prom > min_prom_db),
+            F.lit(False),
+        )
+
+    hum = _fam(h["hum_dbr_50"], h["hum_prom_50"]) | _fam(
+        h["hum_dbr_60"], h["hum_prom_60"]
+    )
+    dc_bad = F.coalesce(
+        decoded & (F.abs(d) > max_dc_offset), F.lit(False)
+    )
+    return F.struct(
+        hum.alias("hum_suspect"),
+        dc_bad.alias("dc_suspect"),
+        (decoded & ~hum & ~dc_bad).alias("hum_ok"),
+    )
+
+
 def reference_transcript(clip_id: str) -> str:
     """Ground-truth transcript regenerated from clip_id alone (the row
     invariant's second half: transcript string equality per input_hint).

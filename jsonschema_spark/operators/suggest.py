@@ -305,6 +305,12 @@ def as_suite_config(
             "sr_col": sr_col,
             "max_silent_rate": math.ceil(srate * 1000) / 1000,
         })
+        hrate = _measured_hum_rate(df, payload, sr_col)
+        checks.append({
+            "type": "audio_hum", "name": f"{table}_audio_hum",
+            "table": table, "payload_col": payload, "sr_col": sr_col,
+            "max_violation_rate": math.ceil(hrate * 1000) / 1000,
+        })
     return {"checks": checks}
 
 
@@ -329,6 +335,19 @@ def _audio_shape(df: DataFrame) -> tuple[str, str, str, str] | None:
     ):
         return ("bytes", "clip_id", "sr_hz", "dur_ms")
     return None
+
+
+def _measured_hum_rate(df: DataFrame, payload: str, sr_col: str) -> float:
+    """Current mains-hum/DC violating fraction at the default gate
+    thresholds — the ceiling the drafted audio_hum check is anchored
+    to (must-pass-on-draft-data stance)."""
+    from jsonschema_spark.functions.audio import audio_hum, hum_gates
+
+    g = hum_gates(audio_hum(payload, sr_col))
+    row = df.agg(
+        F.avg((~g["hum_ok"]).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
 
 
 def _measured_silent_rate(

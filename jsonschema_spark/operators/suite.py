@@ -660,6 +660,38 @@ def _check_audio_loudness(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_hum(df: DataFrame, spec: dict) -> DataFrame:
+    """Mains-hum / DC-offset gate: bound the fraction of clips carrying
+    a 50/60 Hz-family mains line (pooled level above ``max_hum_dbr``
+    relative to signal AND ±7 Hz line prominence above ``min_prom_db``)
+    or a DC offset beyond ``max_dc_offset`` of full scale. Undecodable
+    clips count as violating — a gate that cannot measure must not pass;
+    clips too short to resolve 50 vs 60 Hz gate on DC alone.
+    Metric = violating fraction; threshold ``max_violation_rate``."""
+    from jsonschema_spark.functions.audio import audio_hum, hum_gates
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = hum_gates(
+        audio_hum(
+            spec.get("payload_col", "bytes"), spec.get("sr_col", "sr_hz")
+        ),
+        max_hum_dbr=float(spec.get("max_hum_dbr", -25.0)),
+        min_prom_db=float(spec.get("min_prom_db", 10.0)),
+        max_dc_offset=float(spec.get("max_dc_offset", 0.02)),
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~g["hum_ok"]).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_hum", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -691,6 +723,7 @@ _CHECKS = {
     "audio_decode": lambda df, spec, tables: _check_audio_decode(df, spec),
     "audio_silence": lambda df, spec, tables: _check_audio_silence(df, spec),
     "audio_loudness": lambda df, spec, tables: _check_audio_loudness(df, spec),
+    "audio_hum": lambda df, spec, tables: _check_audio_hum(df, spec),
 }
 
 

@@ -2593,3 +2593,129 @@ def materialized_mp3_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_mp3_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- mains-hum / DC-offset ledger corpus -------------------------------------
+# Classes: clean program; 60 Hz-family hum injected (fundamental +
+# harmonics); 50 Hz-family hum; DC-biased; sub-window (too short to
+# resolve 50 vs 60 Hz — DC defined, hum NaN); torn WAV (all NULL-ish).
+# The ledger certifies the EXACT kernel outputs computed at synth time
+# from the SOURCE samples (PCM16 WAV is lossless, so the distributed
+# decode must land on them bit-for-bit); the analytic anchors that make
+# the kernel itself trustworthy live in tests/test_hum.py (a pure tone
+# of known amplitude must read within 0.2 dB of 20*log10(A_rms/sig_rms)).
+HUM_CLASS_MOD = 6
+HUM_CLS_SHORT = 4
+HUM_CLS_TORN = 5
+HUM_SR_HZ = 16000
+
+
+def _hum_program(tag: str, n: int) -> np.ndarray:
+    """Program material for the hum corpus: LINE-FREE smoothed hash
+    noise plus resonant tones constrained to [0.1, 0.3] rad/sample
+    (255-764 Hz at 16 kHz) — deliberately clear of the 50/60 Hz harmonic
+    bins AND their ±7 Hz prominence flanks, so the CLEAN class's truth
+    is unambiguous. (`_smoothed_signal`/`reference_signal` are unusable
+    here: their hash-seeded tones range down to 80 Hz and can land
+    EXACTLY on a mains harmonic bin — observed at 150 Hz.)"""
+    h = int.from_bytes(hashlib.md5(tag.encode("utf-8")).digest()[:8], "big")
+    idx = np.arange(n + 8, dtype=np.uint64)
+    v = idx * np.uint64(6364136223846793005) + np.uint64(h | 1)
+    x = ((v >> np.uint64(20)) % np.uint64(16384)).astype(np.int64) - 8192
+    c = np.concatenate(([0], np.cumsum(x)))
+    y = (c[8:] - c[:-8])[:n] // 8  # 8-tap MA: smooth PSD, no lines
+    t = np.arange(n, dtype=np.float64)
+    w1 = 0.10 + ((h >> 8) % 997) / 997.0 * 0.20
+    w2 = 0.10 + ((h >> 24) % 991) / 991.0 * 0.20
+    ph = ((h >> 40) % 628) / 100.0
+    tone = 9000.0 * np.sin(w1 * t + ph) + 4000.0 * np.sin(w2 * t)
+    return np.clip(y + np.floor(tone + 0.5).astype(np.int64), -32768, 32767)
+
+
+def synth_hum_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (400, 1200),
+) -> DataFrame:
+    """Hum/DC ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import (
+        encode_wav_pcm16,
+        hum_profile_batch,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    sr = HUM_SR_HZ
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % HUM_CLASS_MOD
+        if cls == HUM_CLS_SHORT:
+            dur = 100  # < 200 ms hum-resolution window
+        m = sr * dur // 1000
+        x = _hum_program(cid, m).astype(np.float64)
+        t = np.arange(m, dtype=np.float64) * (2.0 * np.pi / sr)
+        if cls == 1:   # 60 Hz family
+            x = x + 1500.0 * np.sin(60.0 * t) + 500.0 * np.sin(120.0 * t)
+        elif cls == 2:  # 50 Hz family
+            x = (x + 1200.0 * np.sin(50.0 * t)
+                 + 600.0 * np.sin(100.0 * t) + 300.0 * np.sin(150.0 * t))
+        elif cls == 3:  # DC bias at 5% full scale
+            x = x + 0.05 * 32768.0
+        pcm = np.clip(np.floor(x + 0.5), -32768, 32767).astype(np.int64)
+        raw = encode_wav_pcm16(pcm, sr)
+        if cls == HUM_CLS_TORN:
+            raw = raw[:25]  # fmt chunk torn: decode fails loudly
+        led = hum_profile_batch(
+            pd.Series([raw]), pd.Series([sr])
+        ).iloc[0]
+        return (cid, bytearray(raw), sr, dur, "wav",
+                transcript_for(cid), i,
+                float(led["dc_offset"]), float(led["hum_dbr_50"]),
+                float(led["hum_dbr_60"]), float(led["hum_prom_50"]),
+                float(led["hum_prom_60"]), int(led["n_samples"]))
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_dc", T.DoubleType(), True),
+            T.StructField("_h50", T.DoubleType(), True),
+            T.StructField("_h60", T.DoubleType(), True),
+            T.StructField("_p50", T.DoubleType(), True),
+            T.StructField("_p60", T.DoubleType(), True),
+            T.StructField("_n", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_dc", "_h50", "_h60",
+                "_p50", "_p60", "_n"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def hum_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_hum_{n}")
+
+
+def materialized_hum_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Hum/DC ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = hum_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_hum_clips(spark, n), path)
+    return spark.read.parquet(path), path
