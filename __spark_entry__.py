@@ -3426,6 +3426,43 @@ def _q_clips_mp3_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OGG_N = 400
+
+
+def _q_clips_ogg_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container walk (RFC 3533 + RFC 7845 OpusHead / Vorbis ident):
+    page CRC-32 verified for EVERY page (batched matrix kernel — one
+    byte column per step across all pages of an Arrow batch), page
+    sequence continuity, BOS/EOS/continuation flag discipline, packet
+    reassembly across lacing-255 chains, codec identification, and the
+    exact duration from the final granule position (Opus: 48 kHz clock
+    minus pre-skip). The corpus cycles Opus/Vorbis shapes, a VALID
+    packet continued across pages, and five planted-failure classes
+    (torn, CRC-corrupt, seq gap, missing EOS, serial switch) that must
+    fail loudly with the precise error. Ledger truth is GENERATOR
+    arithmetic — the walker never runs at synth time."""
+    from jsonschema_spark.functions.ogg import audio_ogg_profile
+    from jsonschema_spark.sources.clips import materialized_ogg_clips
+
+    clips, _ = materialized_ogg_clips(spark, _OGG_N)
+    prof = clips.select(
+        "clip_id", audio_ogg_profile("bytes").alias("p")
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.ok").alias("ok"),
+        F.col("p.error").alias("error"),
+        F.col("p.codec").alias("ogg_codec"),
+        F.col("p.channels").alias("channels"),
+        F.col("p.sample_rate").alias("sample_rate"),
+        F.col("p.pre_skip").alias("pre_skip"),
+        F.col("p.n_pages").alias("n_pages"),
+        F.col("p.n_packets").alias("n_packets"),
+        F.col("p.last_granule").alias("last_granule"),
+        F.col("p.duration_ms").alias("duration_ms"),
+    )
+
+
 _FLACM_N = 250
 
 
@@ -4077,6 +4114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_containers": _q_clips_containers,
         "clips_mp3_headers": _q_clips_mp3_headers,
         "clips_hum_screen": _q_clips_hum_screen,
+        "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_loudness_r128": _q_clips_loudness_r128,
         "clips_lufs_normalize": _q_clips_lufs_normalize,
         "clips_flac_multichannel": _q_clips_flac_multichannel,
@@ -6540,6 +6578,29 @@ def _clips_hum_screen_sql() -> str:
                                      FALSE))
                 AND NOT COALESCE(abs(_dc) > CAST(0.02 AS DOUBLE), FALSE))
                  AS hum_ok
+        FROM {src}
+    """
+
+
+def _clips_ogg_walk_sql() -> str:
+    """Ogg ledger oracle: generator-arithmetic truth (page/packet
+    counts, granule positions, 48 kHz-clock durations, planted-failure
+    error names)."""
+    from jsonschema_spark.sources.clips import ogg_clips_path
+
+    src = f"read_parquet('{ogg_clips_path(_OGG_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _ok AS ok,
+               _err AS error,
+               _codec AS ogg_codec,
+               _channels AS channels,
+               _rate AS sample_rate,
+               _pre_skip AS pre_skip,
+               _n_pages AS n_pages,
+               _n_packets AS n_packets,
+               _granule AS last_granule,
+               _dur AS duration_ms
         FROM {src}
     """
 
@@ -9088,6 +9149,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_containers": _clips_containers_sql(),
         "clips_mp3_headers": _clips_mp3_headers_sql(),
         "clips_hum_screen": _clips_hum_screen_sql(),
+        "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),
         "clips_lufs_normalize": _clips_lufs_normalize_sql(),
         "clips_flac_multichannel": _clips_flac_multichannel_sql(),

@@ -330,6 +330,31 @@ def q_clips_mp3_walk(spark: SparkSession):
     )
 
 
+_OGG_BENCH_N = int(os.environ.get("SPARK_GRAFT_OGG", "10000"))
+
+
+def q_clips_ogg_walk(spark: SparkSession):
+    """Ogg page walk (functions/ogg.py): every page's CRC-32 verified
+    via the batched matrix kernel (one byte column per step across all
+    pages of an Arrow batch), flags/sequence/lacing discipline, codec
+    ident, granule-clock durations — one Arrow hop."""
+    from jsonschema_spark.functions.ogg import audio_ogg_profile
+    from jsonschema_spark.sources.clips import materialized_ogg_clips
+
+    clips, _ = materialized_ogg_clips(spark, _OGG_BENCH_N)
+    p = audio_ogg_profile("bytes")
+    return (
+        clips.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.n_pages"),
+            F.sum("p.n_packets"),
+            F.sum("p.duration_ms"),
+        )
+        .collect()
+    )
+
+
 def q_clips_segments(spark: SparkSession):
     """PCM segmentation: sequence/explode/binary-substring, zero Python —
     slices every payload into 250ms training windows and folds a checksum
@@ -706,6 +731,7 @@ QUERIES = {
     "audio_quality": q_audio_quality,
     "clips_loudness": q_clips_loudness,
     "clips_mp3_walk": q_clips_mp3_walk,
+    "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,
     "clips_segment_decoded": q_clips_segment_decoded,
     "validate_segments": q_validate_segments,

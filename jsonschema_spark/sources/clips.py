@@ -2719,3 +2719,180 @@ def materialized_hum_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_hum_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- Ogg container-walk ledger corpus ----------------------------------------
+# Classes: Opus mono/stereo, Vorbis stereo/mono, a VALID continued
+# packet spanning pages (lacing 255 chain + continuation flag), then
+# five planted-failure classes: torn tail, CRC-corrupted body, page
+# sequence gap, missing EOS, and a mid-stream serial switch
+# (single-stream walker rejects multiplexing by design). Ledger truth is
+# GENERATOR arithmetic (page/packet/granule counts from the synthesis
+# parameters) — the walker never runs at synth time.
+OGG_CLASS_MOD = 10
+OGG_ERR_CLASSES = {5: "truncated", 6: "crc_mismatch", 7: "seq_gap",
+                   8: "bad_flags", 9: "multiplexed"}
+
+OGG_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_codec", T.StringType(), True),
+        T.StructField("_channels", T.IntegerType(), True),
+        T.StructField("_rate", T.IntegerType(), True),
+        T.StructField("_pre_skip", T.IntegerType(), True),
+        T.StructField("_n_pages", T.IntegerType(), True),
+        T.StructField("_n_packets", T.IntegerType(), True),
+        T.StructField("_granule", T.LongType(), True),
+        T.StructField("_dur", T.LongType(), True),
+    ]
+)
+
+
+def synth_ogg_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (300, 1200),
+) -> DataFrame:
+    """Ogg ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.ogg import (
+        build_page,
+        encode_ogg_opus,
+        encode_ogg_vorbis,
+        opus_head_packet,
+        opus_tags_packet,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % OGG_CLASS_MOD
+        led = None
+        if cls == 0:   # Opus mono 16 k, 20 ms packets, 3/page
+            pk = max(1, dur // 20)
+            raw = encode_ogg_opus(pk, 1, 312, 16000, seed=i)
+            led = ("opus", 1, 16000, 312, 2 + -(-pk // 3), pk + 2,
+                   312 + pk * 960, pk * 960 * 1000 // 48000)
+            sr, codec = 16000, "opus"
+        elif cls == 1:  # Opus stereo 48 k, zero pre-skip, 2/page
+            pk = max(1, dur // 20)
+            raw = encode_ogg_opus(
+                pk, 2, 0, 48000, packet_bytes=800, packets_per_page=2,
+                seed=i,
+            )
+            led = ("opus", 2, 48000, 0, 2 + -(-pk // 2), pk + 2,
+                   pk * 960, pk * 20)
+            sr, codec = 48000, "opus"
+        elif cls == 2:  # Vorbis stereo 44.1 k
+            pk = max(1, dur * 44100 // (1024 * 1000))
+            raw = encode_ogg_vorbis(pk, 2, 44100, seed=i)
+            led = ("vorbis", 2, 44100, None, 2 + -(-pk // 4), pk + 3,
+                   pk * 1024, pk * 1024 * 1000 // 44100)
+            sr, codec = 44100, "vorbis"
+        elif cls == 3:  # Vorbis mono 8 k, short blocks
+            pk = max(1, dur * 8000 // (512 * 1000))
+            raw = encode_ogg_vorbis(
+                pk, 1, 8000, samples_per_packet=512, packets_per_page=5,
+                seed=i,
+            )
+            led = ("vorbis", 1, 8000, None, 2 + -(-pk // 5), pk + 3,
+                   pk * 512, pk * 512 * 1000 // 8000)
+            sr, codec = 8000, "vorbis"
+        elif cls == 4:  # VALID continued packet spanning two pages
+            s = 0x42
+            long_pkt = bytes(
+                ((np.arange(610, dtype=np.int64) * 31 + i) % 251)
+                .astype(np.uint8)
+            )
+            norm = bytes(
+                ((np.arange(400, dtype=np.int64) * 17 + i) % 251)
+                .astype(np.uint8)
+            )
+            pages = [
+                build_page(s, 0, 0, [opus_head_packet(1, 312, 16000)],
+                           bos=True),
+                build_page(s, 1, 0, [opus_tags_packet()]),
+                # one complete packet + the first 510 B of the long one
+                build_page(s, 2, 312 + 960, [norm, long_pkt[:510]],
+                           open_ended=True),
+                # continuation tail + one more complete packet, EOS
+                build_page(s, 3, 312 + 3 * 960, [long_pkt[510:], norm],
+                           cont=True, eos=True),
+            ]
+            raw = b"".join(pages)
+            led = ("opus", 1, 16000, 312, 4, 5, 312 + 3 * 960, 60)
+            sr, codec = 16000, "opus"
+        elif cls == 5:  # torn tail
+            raw = encode_ogg_opus(max(1, dur // 20), 1, 312, 16000,
+                                  seed=i)[:-5]
+            sr, codec = 16000, "opus"
+        elif cls == 6:  # body byte flipped: page CRC must catch it
+            b = bytearray(
+                encode_ogg_opus(max(1, dur // 20), 1, 312, 16000, seed=i)
+            )
+            b[-3] ^= 0x01
+            raw = bytes(b)
+            sr, codec = 16000, "opus"
+        else:
+            s = 0x42
+            pkt = bytes(
+                ((np.arange(300, dtype=np.int64) * 13 + i) % 251)
+                .astype(np.uint8)
+            )
+            p0 = build_page(s, 0, 0, [opus_head_packet(1, 312, 16000)],
+                            bos=True)
+            p1 = build_page(s, 1, 0, [opus_tags_packet()])
+            if cls == 7:    # sequence gap: page 2 arrives as seq 3
+                p2 = build_page(s, 3, 312 + 960, [pkt], eos=True)
+            elif cls == 8:  # missing EOS on the final page
+                p2 = build_page(s, 2, 312 + 960, [pkt])
+            else:           # 9: serial switch mid-stream
+                p2 = build_page(s + 1, 2, 312 + 960, [pkt], eos=True)
+            raw = p0 + p1 + p2
+            sr, codec = 16000, "opus"
+        if led is None:
+            out = (False, OGG_ERR_CLASSES[cls], None, None, None, None,
+                   None, None, None, None)
+        else:
+            out = (True, None) + led
+        return (cid, bytearray(raw), sr, dur, codec,
+                transcript_for(cid), i) + out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_codec",
+                "_channels", "_rate", "_pre_skip", "_n_pages",
+                "_n_packets", "_granule", "_dur"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=OGG_CLIPS_SCHEMA
+    )
+
+
+def ogg_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_ogg_{n}")
+
+
+def materialized_ogg_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Ogg ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = ogg_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_ogg_clips(spark, n), path)
+    return spark.read.parquet(path), path
