@@ -3463,6 +3463,45 @@ def _q_clips_ogg_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXED_N = 400
+
+
+def _q_clips_container_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified container dispatch over a HETEROGENEOUS corpus: one magic
+    sniff routes each payload to its strongest check (full CRC/MD5-
+    verified decode for WAV/FLAC/AIFF/AU; structural frame/page walks
+    for MP3/Ogg), and the normalized profile feeds ONE metadata gate —
+    does the payload's own header agree with the table's sr_hz column
+    and its parsed duration with dur_ms? The corpus cycles all seven
+    container shapes plus planted header-vs-column disagreements (wrong
+    rate column, wrong duration column) and a torn class. Ledger truth
+    is generator arithmetic; gates are replayed in the oracle."""
+    from jsonschema_spark.functions.containers import (
+        audio_container_profile,
+        container_meta_gates,
+    )
+    from jsonschema_spark.sources.clips import materialized_mixed_clips
+
+    clips, _ = materialized_mixed_clips(spark, _MIXED_N)
+    prof = clips.select(
+        "clip_id", "sr_hz", "dur_ms",
+        audio_container_profile("bytes").alias("p"),
+    )
+    g = container_meta_gates(F.col("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.container").alias("container"),
+        F.col("p.ok").alias("ok"),
+        F.col("p.sample_rate").alias("sample_rate"),
+        F.col("p.channels").alias("channels"),
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.parsed_dur_ms").alias("parsed_dur_ms"),
+        g["rate_ok"].alias("rate_ok"),
+        g["dur_ok"].alias("dur_ok"),
+        g["meta_ok"].alias("meta_ok"),
+    )
+
+
 _FLACM_N = 250
 
 
@@ -4115,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_mp3_headers": _q_clips_mp3_headers,
         "clips_hum_screen": _q_clips_hum_screen,
         "clips_ogg_walk": _q_clips_ogg_walk,
+        "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
         "clips_lufs_normalize": _q_clips_lufs_normalize,
         "clips_flac_multichannel": _q_clips_flac_multichannel,
@@ -6578,6 +6618,27 @@ def _clips_hum_screen_sql() -> str:
                                      FALSE))
                 AND NOT COALESCE(abs(_dc) > CAST(0.02 AS DOUBLE), FALSE))
                  AS hum_ok
+        FROM {src}
+    """
+
+
+def _clips_container_dispatch_sql() -> str:
+    """Mixed-container ledger oracle: generator-arithmetic truth for the
+    normalized profile plus the gate booleans replayed at synth time."""
+    from jsonschema_spark.sources.clips import mixed_clips_path
+
+    src = f"read_parquet('{mixed_clips_path(_MIXED_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _container AS container,
+               _ok AS ok,
+               _rate AS sample_rate,
+               _channels AS channels,
+               _n AS n_samples,
+               _pdur AS parsed_dur_ms,
+               _rate_ok AS rate_ok,
+               _dur_ok AS dur_ok,
+               _meta_ok AS meta_ok
         FROM {src}
     """
 
@@ -9150,6 +9211,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_mp3_headers": _clips_mp3_headers_sql(),
         "clips_hum_screen": _clips_hum_screen_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
+        "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),
         "clips_lufs_normalize": _clips_lufs_normalize_sql(),
         "clips_flac_multichannel": _clips_flac_multichannel_sql(),

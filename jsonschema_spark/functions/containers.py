@@ -1,0 +1,234 @@
+"""Unified audio-container dispatch: one sniff, every format the engine
+knows — metadata-vs-payload consistency over a HETEROGENEOUS crawl.
+
+A real ingest table mixes containers: decodable formats (RIFF/WAVE,
+FLAC, AIFF/AIFF-C, Sun AU), structurally-validatable compressed formats
+(MPEG audio via the frame-header walk, Ogg via the page walk), and bare
+PCM blobs. This profiler sniffs the magic once and routes each payload
+to its strongest available check, then normalizes the result so ONE
+downstream gate can ask the questions that matter at corpus scale:
+does the payload's own header agree with the table's ``sr_hz`` column,
+and does its parsed duration agree with ``dur_ms``? Header-vs-column
+disagreement is the classic signature of mislabeled uploads and broken
+transcode pipelines — undetectable by schema keywords alone.
+
+Routing:
+- wav / flac / aiff / au -> full decode (CRC/MD5-verified where the
+  format carries them) + header sample rate/channels
+- mp3 -> ISO 11172-3/13818-3 frame-header walk (functions/mp3.py)
+- ogg -> RFC 3533 page walk + Opus/Vorbis ident (functions/ogg.py)
+- no known magic -> 'raw' little-endian PCM16 (n_samples = len/2; no
+  header to disagree with, so metadata gates fall back to the column
+  rate for the duration check)
+
+One Arrow hop; the per-payload work is the same vectorized kernels the
+per-format operators use.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column
+
+from jsonschema_spark.functions.audio import (
+    _AU_MAGIC,
+    _f80_decode,
+    _parse_wav,
+    decode_payload,
+)
+from jsonschema_spark.functions.mp3 import parse_mp3_stream
+from jsonschema_spark.functions.ogg import parse_ogg_stream
+
+__all__ = [
+    "container_sniff",
+    "container_profile_batch",
+    "audio_container_profile",
+    "container_meta_gates",
+    "CONTAINER_PROFILE_TYPE",
+]
+
+CONTAINER_PROFILE_TYPE = T.StructType(
+    [
+        T.StructField("container", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("parsed_dur_ms", T.LongType()),
+    ]
+)
+
+
+def container_sniff(raw: bytes) -> str:
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "wav"
+    if raw[:4] == b"fLaC":
+        return "flac"
+    if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if raw[:4] == _AU_MAGIC:
+        return "au"
+    if raw[:4] == b"OggS":
+        return "ogg"
+    if raw[:3] == b"ID3" or (
+        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
+    return "raw"
+
+
+def _aiff_comm(raw: bytes) -> tuple[int, int]:
+    """(sample_rate, channels) from the COMM chunk (EA IFF 85 walk)."""
+    pos, n = 12, len(raw)
+    while pos + 8 <= n:
+        cid = raw[pos:pos + 4]
+        (size,) = struct.unpack(">I", raw[pos + 4:pos + 8])
+        if cid == b"COMM" and size >= 18:
+            body = raw[pos + 8:pos + 8 + size]
+            channels = struct.unpack(">h", body[0:2])[0]
+            rate = _f80_decode(body[8:18])
+            return rate, channels
+        pos += 8 + size + (size & 1)
+    raise ValueError("malformed AIFF: missing COMM chunk")
+
+
+def _profile_one(raw: bytes) -> dict:
+    kind = container_sniff(raw)
+    out = {
+        "container": kind, "ok": False, "error": None, "sample_rate": None,
+        "channels": None, "n_samples": None, "parsed_dur_ms": None,
+    }
+    try:
+        if kind == "wav":
+            fmt, channels, sr, _bits, _ba, _fact, _data = _parse_wav(raw)
+            pcm = decode_payload(raw)  # mono downmix; len == frames
+            out.update(ok=True, sample_rate=sr, channels=channels,
+                       n_samples=len(pcm),
+                       parsed_dur_ms=len(pcm) * 1000 // sr)
+        elif kind == "flac":
+            from jsonschema_spark.functions.flac import _parse_stream
+
+            if raw[4:5] == b"0":  # legacy synthetic roster container
+                pcm = decode_payload(raw)
+                out.update(container="flac-synth", ok=True,
+                           n_samples=len(pcm))
+            else:
+                _mb, sr, channels, _bits, total, *_ = _parse_stream(
+                    bytes(raw)
+                )
+                decode_payload(raw)  # CRC/MD5-verified full decode
+                out.update(ok=True, sample_rate=sr, channels=channels,
+                           n_samples=total,
+                           parsed_dur_ms=total * 1000 // sr)
+        elif kind == "aiff":
+            sr, channels = _aiff_comm(raw)
+            pcm = decode_payload(raw)
+            out.update(ok=True, sample_rate=sr, channels=channels,
+                       n_samples=len(pcm),
+                       parsed_dur_ms=len(pcm) * 1000 // sr)
+        elif kind == "au":
+            sr = int.from_bytes(raw[16:20], "big")
+            channels = int.from_bytes(raw[20:24], "big")
+            pcm = decode_payload(raw)
+            out.update(ok=True, sample_rate=sr, channels=channels,
+                       n_samples=len(pcm),
+                       parsed_dur_ms=len(pcm) * 1000 // sr)
+        elif kind == "mp3":
+            r = parse_mp3_stream(raw)
+            if not r["ok"]:
+                out["error"] = r["error"]
+            else:
+                out.update(
+                    ok=True, sample_rate=r["sr_hz"],
+                    channels=1 if r["mode"] == "mono" else 2,
+                    parsed_dur_ms=r["parsed_dur_ms"],
+                )
+        elif kind == "ogg":
+            r = parse_ogg_stream(raw)
+            if not r["ok"]:
+                out["error"] = r["error"]
+            else:
+                out.update(
+                    ok=True, sample_rate=r["sample_rate"],
+                    channels=r["channels"],
+                    parsed_dur_ms=r["duration_ms"],
+                )
+        else:  # bare LE-PCM16 blob: no header to disagree with
+            out.update(ok=len(raw) % 2 == 0, n_samples=len(raw) // 2)
+            if len(raw) % 2:
+                out["error"] = "odd_pcm_length"
+    except (ValueError, TypeError, struct.error) as e:
+        out["ok"] = False
+        out["error"] = f"decode_failed: {e}"
+    return out
+
+
+def container_profile_batch(payloads: pd.Series) -> pd.DataFrame:
+    rows = []
+    for p in payloads:
+        if p is None:
+            rows.append(
+                {"container": None, "ok": False, "error": "null_payload",
+                 "sample_rate": None, "channels": None, "n_samples": None,
+                 "parsed_dur_ms": None}
+            )
+        else:
+            rows.append(_profile_one(bytes(p)))
+    return pd.DataFrame(
+        rows, columns=[f.name for f in CONTAINER_PROFILE_TYPE]
+    )
+
+
+@F.pandas_udf(CONTAINER_PROFILE_TYPE)
+def _container_profile_udf(p: pd.Series) -> pd.DataFrame:
+    return container_profile_batch(p)
+
+
+def audio_container_profile(payload: Column | str = "bytes") -> Column:
+    """struct(container, ok, error, sample_rate, channels, n_samples,
+    parsed_dur_ms) — the unified sniff-and-route profile, one Arrow
+    hop. Persist the projected struct before deriving multiple gate
+    columns (Catalyst project collapsing re-runs the UDF otherwise)."""
+    return _container_profile_udf(
+        F.col(payload) if isinstance(payload, str) else payload
+    )
+
+
+def container_meta_gates(
+    p: Column,
+    sr_hz: Column | str = "sr_hz",
+    dur_ms: Column | str = "dur_ms",
+    tol_ms: int = 50,
+) -> Column:
+    """struct(rate_ok, dur_ok, meta_ok) over an
+    ``audio_container_profile`` struct — pure Column expressions,
+    NULL-safe (structural failure fails every gate loudly; formats with
+    no header rate — bare PCM — fall back to the COLUMN rate for the
+    duration check, and their rate gate passes vacuously)."""
+    sr = (F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz).cast("long")
+    dur = (F.col(dur_ms) if isinstance(dur_ms, str) else dur_ms).cast("long")
+    ok = F.coalesce(p["ok"], F.lit(False))
+    rate_ok = ok & F.coalesce(
+        p["sample_rate"].isNull() | (p["sample_rate"].cast("long") == sr),
+        F.lit(False),
+    )
+    parsed = F.coalesce(
+        p["parsed_dur_ms"],
+        # bare PCM: derive duration from the column rate
+        F.floor(p["n_samples"] * F.lit(1000) / sr).cast("long"),
+    )
+    dur_ok = ok & F.coalesce(
+        F.abs(parsed - dur) <= F.lit(tol_ms), F.lit(False)
+    )
+    return F.struct(
+        rate_ok.alias("rate_ok"),
+        dur_ok.alias("dur_ok"),
+        (rate_ok & dur_ok).alias("meta_ok"),
+    )

@@ -2896,3 +2896,157 @@ def materialized_ogg_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_ogg_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- mixed-container dispatch ledger corpus ----------------------------------
+# One corpus, every container family the engine knows: decodable (WAV,
+# real FLAC, AIFF stereo, AU mu-law), structural (MP3 frame walk, Ogg
+# Opus/Vorbis page walk), plus two metadata-violation classes (header
+# sample rate disagreeing with the sr_hz COLUMN; parsed duration
+# disagreeing with dur_ms) and a torn class. Ledger truth is generator
+# arithmetic; gate booleans are replayed from it in the oracle.
+MIXED_CLASS_MOD = 10
+MIXED_CLS_BAD_RATE = 7
+MIXED_CLS_BAD_DUR = 8
+MIXED_CLS_TORN = 9
+
+
+def synth_mixed_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (300, 900),
+) -> DataFrame:
+    """Mixed-container ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import (
+        encode_au,
+        encode_aiff,
+        encode_wav_pcm16,
+    )
+    from jsonschema_spark.functions.flac import encode_flac
+    from jsonschema_spark.functions.mp3 import encode_mp3_stream
+    from jsonschema_spark.functions.ogg import (
+        encode_ogg_opus,
+        encode_ogg_vorbis,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % MIXED_CLASS_MOD
+        sr_col = 16000
+        dur_col = dur
+        err = False
+        if cls in (0, 7):        # WAV PCM16 mono @16 k
+            m = 16000 * dur // 1000
+            raw = encode_wav_pcm16(_smoothed_signal(cid, m), 16000)
+            led = ("wav", 16000, 1, m, m * 1000 // 16000)
+            if cls == MIXED_CLS_BAD_RATE:
+                sr_col = 22050   # planted header-vs-column disagreement
+        elif cls in (1, 9):      # real FLAC mono @16 k
+            m = 16000 * dur // 1000
+            raw = encode_flac(
+                _smoothed_signal(cid, m).astype(np.int32), 16000
+            )
+            led = ("flac", 16000, 1, m, m * 1000 // 16000)
+            if cls == MIXED_CLS_TORN:
+                raw = raw[:-9]
+                err = True
+        elif cls == 2:           # AIFF stereo @16 k
+            m = 16000 * dur // 1000
+            st = np.stack(
+                [_smoothed_signal(cid, m), _smoothed_signal(cid + "#R", m)],
+                axis=1,
+            )
+            raw = encode_aiff(st, 16000)
+            led = ("aiff", 16000, 2, m, m * 1000 // 16000)
+        elif cls == 3:           # AU G.711 mu-law mono @16 k
+            m = 16000 * dur // 1000
+            raw = encode_au(_smoothed_signal(cid, m), 16000,
+                            encoding="ulaw")
+            led = ("au", 16000, 1, m, m * 1000 // 16000)
+        elif cls in (4, 8):      # MP3 MPEG2 L3 64k @16 k mono
+            pk = max(1, dur * 16000 // (576 * 1000))
+            raw = encode_mp3_stream(pk, 2, 3, 16000, "mono", (64,),
+                                    seed=i)
+            pdur = pk * 576 * 1000 // 16000
+            led = ("mp3", 16000, 1, None, pdur)
+            dur_col = pdur
+            if cls == MIXED_CLS_BAD_DUR:
+                dur_col = pdur + 500  # planted duration disagreement
+        elif cls == 5:           # Ogg Opus mono, declared 16 k input
+            pk = max(1, dur // 20)
+            raw = encode_ogg_opus(pk, 1, 312, 16000, seed=i)
+            led = ("ogg", 16000, 1, None, pk * 20)
+            dur_col = pk * 20
+        else:                    # 6: Ogg Vorbis mono @16 k
+            pk = max(1, dur * 16000 // (1024 * 1000))
+            raw = encode_ogg_vorbis(pk, 1, 16000, seed=i)
+            pdur = pk * 1024 * 1000 // 16000
+            led = ("ogg", 16000, 1, None, pdur)
+            dur_col = pdur
+        if err:
+            # magic still sniffs (the container IS identifiable); every
+            # downstream metric and gate fails
+            out = ("flac", False, None, None, None, None,
+                   False, False, False)
+        else:
+            cont, rate, ch, nsamp, pdur = led
+            rate_ok = rate == sr_col
+            dur_ok = abs(pdur - dur_col) <= 50
+            out = (cont, True, rate, ch, nsamp, pdur,
+                   rate_ok, dur_ok, rate_ok and dur_ok)
+        return (cid, bytearray(raw), sr_col, dur_col,
+                out[0] if out[0] else "flac",
+                transcript_for(cid), i) + out
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_container", T.StringType(), True),
+            T.StructField("_ok", T.BooleanType(), False),
+            T.StructField("_rate", T.IntegerType(), True),
+            T.StructField("_channels", T.IntegerType(), True),
+            T.StructField("_n", T.LongType(), True),
+            T.StructField("_pdur", T.LongType(), True),
+            T.StructField("_rate_ok", T.BooleanType(), False),
+            T.StructField("_dur_ok", T.BooleanType(), False),
+            T.StructField("_meta_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_container", "_ok", "_rate",
+                "_channels", "_n", "_pdur", "_rate_ok", "_dur_ok",
+                "_meta_ok"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def mixed_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_mixed_{n}")
+
+
+def materialized_mixed_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Mixed-container ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = mixed_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_mixed_clips(spark, n), path)
+    return spark.read.parquet(path), path
