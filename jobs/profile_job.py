@@ -187,6 +187,40 @@ def profile_table(df, skew_candidates=None):
         if lrow["med_lufs"] is not None:
             metrics["lufs_integrated_median"] = float(lrow["med_lufs"])
         metrics["true_peak_over_rate"] = float(lrow["tp_over"] or 0.0)
+        # container-dispatch mix (one sniff routes every format: decode
+        # for WAV/FLAC/AIFF/AU, frame/page walks for MP3/Ogg) and the
+        # header-vs-column metadata agreement rate — ONE Arrow hop
+        from jsonschema_spark.functions.containers import (
+            audio_container_profile,
+            container_meta_gates,
+        )
+
+        prof = df.select(
+            F.col(sr_col), F.col(dur_col),
+            audio_container_profile(payload).alias("_p"),
+        )
+        g = container_meta_gates(F.col("_p"), sr_col, dur_col)
+        crow = prof.agg(
+            F.avg(F.coalesce(F.col("_p.ok"), F.lit(False)).cast("double"))
+            .alias("c_ok"),
+            F.avg(g["meta_ok"].cast("double")).alias("meta"),
+            F.avg(
+                (F.col("_p.container") == F.lit("mp3")).cast("double")
+            ).alias("mp3"),
+            F.avg(
+                (F.col("_p.container") == F.lit("ogg")).cast("double")
+            ).alias("ogg"),
+        ).collect()[0]
+        metrics["container_ok_rate"] = float(crow["c_ok"] or 0.0)
+        metrics["container_meta_ok_rate"] = float(crow["meta"] or 0.0)
+        metrics["mp3_frac"] = float(crow["mp3"] or 0.0)
+        metrics["ogg_frac"] = float(crow["ogg"] or 0.0)
+        # mains-hum / DC screen: violating fraction at the default gates
+        from jsonschema_spark.operators.suggest import _measured_hum_rate
+
+        metrics["hum_dc_violation_rate"] = _measured_hum_rate(
+            df, payload, sr_col
+        )
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

@@ -136,6 +136,14 @@ def test_profile_job_audio_section(spark):
     assert abs(audio["flac_frac"] - 2 / 6) < 0.02
     assert abs(audio["riff_frac"] - 3 / 6) < 0.02
     assert 0.0 < audio["silent_seg_rate"] < 0.5
+    # container-dispatch section: same decodability through the unified
+    # sniff; no MP3/Ogg in this corpus; hum screen counts at least the
+    # torn class as violating
+    assert set(audio) >= {"container_ok_rate", "container_meta_ok_rate",
+                          "mp3_frac", "ogg_frac", "hum_dc_violation_rate"}
+    assert abs(audio["container_ok_rate"] - 5 / 6) < 0.02
+    assert audio["mp3_frac"] == 0.0 and audio["ogg_frac"] == 0.0
+    assert audio["hum_dc_violation_rate"] >= 1 / 6 - 0.02
 
 
 def test_codec_partitioned_corpus_prunes_router_branches(spark, tmp_path):

@@ -164,3 +164,49 @@ def test_loudness_streaming_parity(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM q_lufs_{name}").collect()
         )
         assert got == want and len(got) == 36, name
+
+
+def test_container_walk_streaming_parity(spark, tmp_path):
+    """The container walkers (MP3 frame walk, Ogg page walk, unified
+    dispatch + metadata gates) are stateless per-row transforms — the
+    same compiled plan must emit identical rows under readStream (north
+    rule: one plan, batch and streaming). The mixed corpus drives all
+    routes through one stream."""
+    from jsonschema_spark.functions.containers import (
+        audio_container_profile,
+        container_meta_gates,
+    )
+    from jsonschema_spark.sources.clips import synth_mixed_clips
+
+    d = str(tmp_path / "mixed_clips")
+    synth_mixed_clips(spark, 40, partitions=4).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec"
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def profile(df):
+        prof = df.select(
+            "clip_id", "sr_hz", "dur_ms",
+            audio_container_profile("bytes").alias("p"),
+        )
+        g = container_meta_gates(F.col("p"))
+        return prof.select(
+            "clip_id", "p.container", "p.ok", "p.sample_rate",
+            "p.parsed_dur_ms", g["meta_ok"].alias("meta_ok"),
+        )
+
+    want = sorted(tuple(r) for r in profile(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        profile(stream)
+        .writeStream.format("memory").queryName("q_mixed_walk")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mixed"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM q_mixed_walk").collect()
+    )
+    assert got == want and len(got) == 40
