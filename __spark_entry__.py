@@ -3390,6 +3390,41 @@ def _q_clips_hum_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PITCH_N = 300
+
+
+def _q_clips_pitch_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch / voicing screen — speech-plausibility per clip: NACF pitch
+    tracking (40 ms frames, 20 ms hop, batched FFT autocorrelation,
+    smallest-lag tie-break so harmonic stacks resolve to the
+    FUNDAMENTAL), voiced = NACF > 0.5 above an absolute energy floor.
+    Gates: speechlike (enough voiced frames, median f0 in the human
+    60-400 Hz band), unvoiced (measurable but under-voiced — noise or
+    ambience mislabeled as speech), measurable (undecodable / sub-window
+    clips must fail loudly, not pass). Ledger = synth-time kernel
+    outputs from SOURCE samples (PCM16 WAV is lossless); analytic
+    anchors (planted f0 recovered within lag quantization) live in
+    tests/test_pitch.py."""
+    from jsonschema_spark.functions.pitch import audio_pitch, pitch_gates
+    from jsonschema_spark.sources.clips import materialized_pitch_clips
+
+    clips, _ = materialized_pitch_clips(spark, _PITCH_N)
+    prof = clips.select(
+        "clip_id", audio_pitch("bytes", "sr_hz").alias("p")
+    )
+    g = pitch_gates(F.col("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.f0_median_hz").alias("f0_median_hz"),
+        F.col("p.voiced_frac").alias("voiced_frac"),
+        F.col("p.n_frames").alias("n_frames"),
+        F.col("p.n_samples").alias("n_samples"),
+        g["speechlike"].alias("speechlike"),
+        g["unvoiced"].alias("unvoiced"),
+        g["measurable"].alias("measurable"),
+    )
+
+
 _MP3_N = 480
 
 
@@ -4153,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_containers": _q_clips_containers,
         "clips_mp3_headers": _q_clips_mp3_headers,
         "clips_hum_screen": _q_clips_hum_screen,
+        "clips_pitch_screen": _q_clips_pitch_screen,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6618,6 +6654,28 @@ def _clips_hum_screen_sql() -> str:
                                      FALSE))
                 AND NOT COALESCE(abs(_dc) > CAST(0.02 AS DOUBLE), FALSE))
                  AS hum_ok
+        FROM {src}
+    """
+
+
+def _clips_pitch_screen_sql() -> str:
+    """Pitch ledger oracle: synth-time kernel doubles + gate booleans
+    recorded in the ledger (gate arithmetic is boolean over NULLable
+    doubles, already replayed at synth time — the ledger stores the
+    final booleans, so the oracle is a straight ledger read; NaN
+    sentinels land as NULL via Arrow nan-as-null on BOTH sides)."""
+    from jsonschema_spark.sources.clips import pitch_clips_path
+
+    src = f"read_parquet('{pitch_clips_path(_PITCH_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _f0 AS f0_median_hz,
+               _vf AS voiced_frac,
+               _nfr AS n_frames,
+               _n AS n_samples,
+               _speech AS speechlike,
+               _unvoiced AS unvoiced,
+               _meas AS measurable
         FROM {src}
     """
 
@@ -9210,6 +9268,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_containers": _clips_containers_sql(),
         "clips_mp3_headers": _clips_mp3_headers_sql(),
         "clips_hum_screen": _clips_hum_screen_sql(),
+        "clips_pitch_screen": _clips_pitch_screen_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

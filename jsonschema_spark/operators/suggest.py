@@ -311,6 +311,12 @@ def as_suite_config(
             "table": table, "payload_col": payload, "sr_col": sr_col,
             "max_violation_rate": math.ceil(hrate * 1000) / 1000,
         })
+        prate = _measured_pitch_rate(df, payload, sr_col)
+        checks.append({
+            "type": "audio_pitch", "name": f"{table}_audio_pitch",
+            "table": table, "payload_col": payload, "sr_col": sr_col,
+            "max_violation_rate": math.ceil(prate * 1000) / 1000,
+        })
     return {"checks": checks}
 
 
@@ -346,6 +352,19 @@ def _measured_hum_rate(df: DataFrame, payload: str, sr_col: str) -> float:
     g = hum_gates(audio_hum(payload, sr_col))
     row = df.agg(
         F.avg((~g["hum_ok"]).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
+
+
+def _measured_pitch_rate(df: DataFrame, payload: str, sr_col: str) -> float:
+    """Current not-speechlike fraction at the default pitch-gate
+    thresholds — the ceiling the drafted audio_pitch check is anchored
+    to (must-pass-on-draft-data stance)."""
+    from jsonschema_spark.functions.pitch import audio_pitch, pitch_gates
+
+    g = pitch_gates(audio_pitch(payload, sr_col))
+    row = df.agg(
+        F.avg((~g["speechlike"]).cast("double")).alias("r")
     ).first()
     return float(row["r"]) if row["r"] is not None else 1.0
 

@@ -692,6 +692,37 @@ def _check_audio_hum(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_pitch(df: DataFrame, spec: dict) -> DataFrame:
+    """Speech-plausibility gate: bound the fraction of clips that are
+    NOT speechlike (voiced_frac >= ``min_voiced_frac`` with a median f0
+    inside [``f0_lo_hz``, ``f0_hi_hz``]) — noise, tones, music or
+    undecodable payloads mislabeled as speech all count as violating
+    (a gate that cannot certify a clip must not pass it).
+    Metric = violating fraction; threshold ``max_violation_rate``."""
+    from jsonschema_spark.functions.pitch import audio_pitch, pitch_gates
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = pitch_gates(
+        audio_pitch(
+            spec.get("payload_col", "bytes"), spec.get("sr_col", "sr_hz")
+        ),
+        min_voiced_frac=float(spec.get("min_voiced_frac", 0.2)),
+        f0_lo_hz=float(spec.get("f0_lo_hz", 60.0)),
+        f0_hi_hz=float(spec.get("f0_hi_hz", 400.0)),
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~g["speechlike"]).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_pitch", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -724,6 +755,7 @@ _CHECKS = {
     "audio_silence": lambda df, spec, tables: _check_audio_silence(df, spec),
     "audio_loudness": lambda df, spec, tables: _check_audio_loudness(df, spec),
     "audio_hum": lambda df, spec, tables: _check_audio_hum(df, spec),
+    "audio_pitch": lambda df, spec, tables: _check_audio_pitch(df, spec),
 }
 
 

@@ -3050,3 +3050,148 @@ def materialized_mixed_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_mixed_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- pitch / voicing ledger corpus -------------------------------------------
+# Classes: harmonically-rich voiced "vowels" at hash-drawn f0 (90-250 Hz),
+# broadband noise (unvoiced), half-voiced/half-noise, a low-pitch 70 Hz
+# voice (range floor), a sub-window clip (unmeasurable) and a torn WAV.
+# Ledger certifies the EXACT kernel outputs from SOURCE samples plus the
+# gate booleans replayed arithmetically; the analytic anchors that make
+# the kernel trustworthy (planted f0 recovered within lag quantization)
+# live in tests/test_pitch.py.
+PITCH_CLASS_MOD = 6
+PITCH_CLS_SHORT = 4
+PITCH_CLS_TORN = 5
+PITCH_SR_HZ = 16000
+
+
+def _voiced_signal(f0: float, n: int, seed: int, noise: int = 300) -> np.ndarray:
+    """Harmonically rich periodic 'vowel': 8 harmonics with 1/h decay +
+    deterministic hash noise — the pulse-train-like shape whose NACF
+    resolves to the FUNDAMENTAL (first-arg max on ties)."""
+    t = np.arange(n, dtype=np.float64) / PITCH_SR_HZ
+    x = np.zeros(n)
+    for h in range(1, 9):
+        x += (6000.0 / h) * np.sin(2 * np.pi * f0 * h * t + 0.3 * h)
+    rng = (np.arange(n, dtype=np.int64) * 2654435761 + seed) % (2 * noise)
+    x += rng - noise
+    return np.clip(np.floor(x + 0.5), -32768, 32767).astype(np.int64)
+
+
+def _noise_signal(n: int, seed: int) -> np.ndarray:
+    # splitmix64 avalanche per sample — a linear (Weyl) sequence mod m
+    # is a periodic sawtooth that the NACF reads as VOICED; true noise
+    # needs per-sample diffusion
+    v = (np.arange(n, dtype=np.uint64) + np.uint64(seed)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return (v % np.uint64(16000)).astype(np.int64) - 8000
+
+
+def synth_pitch_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (400, 1200),
+) -> DataFrame:
+    """Pitch/voicing ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import encode_wav_pcm16
+    from jsonschema_spark.functions.pitch import (
+        F0_HI_HZ,
+        F0_LO_HZ,
+        pitch_profile_batch,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    sr = PITCH_SR_HZ
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % PITCH_CLASS_MOD
+        if cls == PITCH_CLS_SHORT:
+            dur = 30  # shorter than one 40 ms analysis window
+        m = sr * dur // 1000
+        f0 = 90.0 + ((h >> 8) % 161)  # 90..250 Hz
+        if cls in (0, PITCH_CLS_TORN):
+            pcm = _voiced_signal(f0, m, i)
+        elif cls == 1:
+            pcm = _noise_signal(m, i)
+        elif cls == 2:
+            half = m // 2
+            pcm = np.concatenate(
+                [_voiced_signal(f0, half, i), _noise_signal(m - half, i)]
+            )
+        elif cls == 3:
+            pcm = _voiced_signal(70.0, m, i)
+        else:  # short
+            pcm = _voiced_signal(f0, m, i)
+        raw = encode_wav_pcm16(pcm, sr)
+        if cls == PITCH_CLS_TORN:
+            raw = raw[:25]
+        led = pitch_profile_batch(
+            pd.Series([raw]), pd.Series([sr])
+        ).iloc[0]
+        led_f0 = float(led["f0_median_hz"])
+        led_vf = float(led["voiced_frac"])
+        meas = led["n_frames"] > 0 and not np.isnan(led_vf)
+        speech = bool(
+            meas and led_vf >= 0.2 and not np.isnan(led_f0)
+            and F0_LO_HZ <= led_f0 <= F0_HI_HZ
+        )
+        unvoiced = bool(meas and led_vf < 0.2)
+        return (cid, bytearray(raw), sr, dur, "wav",
+                transcript_for(cid), i, led_f0, led_vf,
+                int(led["n_frames"]), int(led["n_samples"]),
+                speech, unvoiced, bool(meas))
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_f0", T.DoubleType(), True),
+            T.StructField("_vf", T.DoubleType(), True),
+            T.StructField("_nfr", T.IntegerType(), False),
+            T.StructField("_n", T.LongType(), False),
+            T.StructField("_speech", T.BooleanType(), False),
+            T.StructField("_unvoiced", T.BooleanType(), False),
+            T.StructField("_meas", T.BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_f0", "_vf", "_nfr", "_n",
+                "_speech", "_unvoiced", "_meas"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def pitch_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_pitch_{n}")
+
+
+def materialized_pitch_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Pitch ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = pitch_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_pitch_clips(spark, n), path)
+    return spark.read.parquet(path), path
