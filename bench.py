@@ -305,6 +305,28 @@ def q_clips_loudness(spark: SparkSession):
     )
 
 
+def q_clips_pitch(spark: SparkSession):
+    """NACF pitch/voicing screen (functions/pitch.py): decode + framed
+    batched-FFT autocorrelation + lag search in ONE Arrow hop —
+    speech-plausibility (voiced_frac, median f0) per clip."""
+    from jsonschema_spark.functions.pitch import audio_pitch, pitch_gates
+    from jsonschema_spark.sources.clips import materialized_quality_clips
+
+    clips, _ = materialized_quality_clips(spark, _QUALITY_BENCH_N)
+    clips = clips.where(F.xxhash64("clip_id") % 4 == 1)
+    g = pitch_gates(audio_pitch("bytes", "sr_hz"))
+    return (
+        clips.select(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("g.speechlike").cast("long")),
+            F.sum(F.col("g.unvoiced").cast("long")),
+            F.sum(F.col("g.measurable").cast("long")),
+        )
+        .collect()
+    )
+
+
 _MP3_BENCH_N = int(os.environ.get("SPARK_GRAFT_MP3", "10000"))
 
 
@@ -730,6 +752,7 @@ QUERIES = {
     "audio_dedup": q_audio_dedup,
     "audio_quality": q_audio_quality,
     "clips_loudness": q_clips_loudness,
+    "clips_pitch": q_clips_pitch,
     "clips_mp3_walk": q_clips_mp3_walk,
     "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,

@@ -221,6 +221,12 @@ def profile_table(df, skew_candidates=None):
         metrics["hum_dc_violation_rate"] = _measured_hum_rate(
             df, payload, sr_col
         )
+        # pitch/voicing screen: not-speechlike fraction at default gates
+        from jsonschema_spark.operators.suggest import _measured_pitch_rate
+
+        metrics["not_speechlike_rate"] = _measured_pitch_rate(
+            df, payload, sr_col
+        )
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

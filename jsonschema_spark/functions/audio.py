@@ -586,6 +586,36 @@ def _decode_wav_pcm16(raw: bytes) -> np.ndarray:
     return x
 
 
+def decode_wav_channels(raw: bytes) -> np.ndarray:
+    """RIFF/WAVE -> channel-PRESERVING int32 PCM of shape ``(n, ch)`` at
+    int16 scale — the same parse/validation/depth conventions as
+    ``_decode_wav_pcm16`` (which this mirrors minus the stereo downmix);
+    the G.711 / ADPCM formats are mono by validation, returned as
+    ``(n, 1)``. Raises ValueError on unsupported layouts."""
+    audio_format, channels, _sr, bits, _ba, _fact, data = _parse_wav(raw)
+    if audio_format != 1 or channels == 1:
+        return _decode_wav_pcm16(raw).reshape(-1, 1)
+    if not (bits in (8, 16, 24) and channels == 2):
+        raise ValueError(
+            f"unsupported WAV layout for channel decode (format=1, "
+            f"channels={channels}, bits={bits})"
+        )
+    # decode interleaved without the downmix (same arithmetic as
+    # _decode_wav_pcm16's PCM branch)
+    frame = (bits // 8) * channels
+    data = data[: (len(data) // frame) * frame]
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) << 8
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v24 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v24 -= (v24 >= (1 << 23)) * (1 << 24)
+        x = v24 >> 8
+    return x.reshape(-1, channels)
+
+
 # --- AIFF / AIFF-C (Apple, EA IFF 85) and Sun AU (.snd) containers --------
 # Both are REAL interchange formats every audio tool reads; both are
 # chunk/header walks around integer PCM (or G.711 for AU), so the decode

@@ -210,3 +210,48 @@ def test_container_walk_streaming_parity(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM q_mixed_walk").collect()
     )
     assert got == want and len(got) == 40
+
+
+def test_pitch_streaming_parity(spark, tmp_path):
+    """NACF pitch/voicing screen under readStream: stateless per-row
+    transform (one Arrow hop), so the same compiled plan must emit
+    bit-identical profiles + gates per micro-batch (north rule: one
+    plan, batch and streaming)."""
+    from jsonschema_spark.functions.pitch import audio_pitch, pitch_gates
+    from jsonschema_spark.sources.clips import synth_pitch_clips
+
+    d = str(tmp_path / "p_clips")
+    synth_pitch_clips(spark, 24, partitions=4).drop(
+        "_row_idx", "_f0", "_vf", "_nfr", "_n",
+        "_speech", "_unvoiced", "_meas",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def prof(df):
+        p = audio_pitch("bytes", "sr_hz")
+        g = pitch_gates(p)
+        return df.select(
+            "clip_id",
+            p["f0_median_hz"].alias("f0"),
+            p["voiced_frac"].alias("vf"),
+            p["n_frames"].alias("nf"),
+            g["speechlike"].alias("sp"),
+            g["measurable"].alias("ms"),
+        )
+
+    want = sorted(tuple(r) for r in prof(batch).fillna(-9999.0).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        prof(stream).fillna(-9999.0)
+        .writeStream.format("memory").queryName("q_pitch_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pitch"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM q_pitch_stream").collect()
+    )
+    assert got == want and len(got) == 24
