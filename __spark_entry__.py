@@ -3425,6 +3425,49 @@ def _q_clips_pitch_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STEREO_N = 320
+
+
+def _q_clips_stereo_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo-integrity screen — channel-layout health per clip over
+    the engine's four REAL stereo containers (WAV/AIFF/AU/FLAC):
+    channel-preserving decode, Pearson L/R correlation, per-channel +
+    mid/side RMS, then gates for the web's classic fake-stereo failure
+    classes: dual_mono (side/mid under 0.1% — 2x bytes, zero
+    information), out_of_phase (corr <= -0.9 — the engine's own mono
+    downmix would CANCEL the clip), imbalanced (dead/near-dead channel
+    under 1% of its sibling). Mono passes trivially; undecodable is
+    not measurable (must not pass a suite gate). Ledger = kernel
+    replayed at synth time on the lossless SOURCE payloads + gate
+    arithmetic mirrored in Python (identical IEEE ops; NaN -> NULL on
+    both sides via Arrow). Class 7 anchors floor-tightness: corr ~0.99
+    real stereo must stay stereo_ok."""
+    from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
+    from jsonschema_spark.sources.clips import materialized_stereo_clips
+
+    clips, _ = materialized_stereo_clips(spark, _STEREO_N)
+    prof = clips.select(
+        "clip_id", audio_stereo("bytes").alias("p")
+    )
+    g = stereo_gates(F.col("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.n_channels").alias("n_channels"),
+        F.col("p.corr_lr").alias("corr_lr"),
+        F.col("p.rms_l").alias("rms_l"),
+        F.col("p.rms_r").alias("rms_r"),
+        F.col("p.rms_mid").alias("rms_mid"),
+        F.col("p.rms_side").alias("rms_side"),
+        F.col("p.n_samples").alias("n_samples"),
+        g["is_stereo"].alias("is_stereo"),
+        g["dual_mono"].alias("dual_mono"),
+        g["out_of_phase"].alias("out_of_phase"),
+        g["imbalanced"].alias("imbalanced"),
+        g["stereo_ok"].alias("stereo_ok"),
+        g["measurable"].alias("measurable"),
+    )
+
+
 _MP3_N = 480
 
 
@@ -4189,6 +4232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_mp3_headers": _q_clips_mp3_headers,
         "clips_hum_screen": _q_clips_hum_screen,
         "clips_pitch_screen": _q_clips_pitch_screen,
+        "clips_stereo_screen": _q_clips_stereo_screen,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6675,6 +6719,35 @@ def _clips_pitch_screen_sql() -> str:
                _n AS n_samples,
                _speech AS speechlike,
                _unvoiced AS unvoiced,
+               _meas AS measurable
+        FROM {src}
+    """
+
+
+def _clips_stereo_screen_sql() -> str:
+    """Stereo ledger oracle: kernel doubles + gate booleans recorded at
+    synth time (the gate arithmetic is boolean over the same kernel
+    doubles, replayed in Python with identical IEEE comparisons — the
+    ledger stores the final booleans, so the oracle is a straight
+    ledger read; NaN sentinels land as NULL via Arrow nan-as-null on
+    BOTH sides)."""
+    from jsonschema_spark.sources.clips import stereo_clips_path
+
+    src = f"read_parquet('{stereo_clips_path(_STEREO_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _nch AS n_channels,
+               _corr AS corr_lr,
+               _rmsl AS rms_l,
+               _rmsr AS rms_r,
+               _rmsm AS rms_mid,
+               _rmss AS rms_side,
+               _n AS n_samples,
+               _stereo AS is_stereo,
+               _dual AS dual_mono,
+               _phase AS out_of_phase,
+               _imb AS imbalanced,
+               _ok AS stereo_ok,
                _meas AS measurable
         FROM {src}
     """
@@ -9269,6 +9342,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_mp3_headers": _clips_mp3_headers_sql(),
         "clips_hum_screen": _clips_hum_screen_sql(),
         "clips_pitch_screen": _clips_pitch_screen_sql(),
+        "clips_stereo_screen": _clips_stereo_screen_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

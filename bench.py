@@ -327,6 +327,32 @@ def q_clips_pitch(spark: SparkSession):
     )
 
 
+_STEREO_BENCH_N = int(os.environ.get("SPARK_GRAFT_STEREO", "6000"))
+
+
+def q_clips_stereo(spark: SparkSession):
+    """Stereo-integrity screen (functions/stereo.py): channel-preserving
+    decode across WAV/AIFF/AU/FLAC + L/R correlation + mid/side RMS in
+    ONE Arrow hop — dual-mono / out-of-phase / dead-channel gates per
+    clip."""
+    from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
+    from jsonschema_spark.sources.clips import materialized_stereo_clips
+
+    clips, _ = materialized_stereo_clips(spark, _STEREO_BENCH_N)
+    g = stereo_gates(audio_stereo("bytes"))
+    return (
+        clips.select(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("g.dual_mono").cast("long")),
+            F.sum(F.col("g.out_of_phase").cast("long")),
+            F.sum(F.col("g.imbalanced").cast("long")),
+            F.sum(F.col("g.stereo_ok").cast("long")),
+        )
+        .collect()
+    )
+
+
 _MP3_BENCH_N = int(os.environ.get("SPARK_GRAFT_MP3", "10000"))
 
 
@@ -753,6 +779,7 @@ QUERIES = {
     "audio_quality": q_audio_quality,
     "clips_loudness": q_clips_loudness,
     "clips_pitch": q_clips_pitch,
+    "clips_stereo": q_clips_stereo,
     "clips_mp3_walk": q_clips_mp3_walk,
     "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,

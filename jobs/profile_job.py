@@ -227,6 +227,11 @@ def profile_table(df, skew_candidates=None):
         metrics["not_speechlike_rate"] = _measured_pitch_rate(
             df, payload, sr_col
         )
+        # stereo-integrity screen: dual-mono / out-of-phase / dead-
+        # channel / undecodable fraction at default gates
+        from jsonschema_spark.operators.suggest import _measured_stereo_rate
+
+        metrics["stereo_violation_rate"] = _measured_stereo_rate(df, payload)
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

@@ -698,11 +698,13 @@ def encode_aiff(
     return b"FORM" + struct.pack(">I", len(form)) + form
 
 
-def _decode_aiff(raw: bytes) -> np.ndarray:
+def _decode_aiff(raw: bytes, downmix: bool = True) -> np.ndarray:
     """Real AIFF / AIFF-C decode -> engine int16-scale PCM (int32). PCM
     at 8 (signed) / 16 / 24 bits, mono or stereo; AIFF-C accepted for
     compressionType NONE (big-endian) and sowt (little-endian 16-bit).
-    Unsupported layouts and malformed chunk walks raise ValueError."""
+    Unsupported layouts and malformed chunk walks raise ValueError.
+    ``downmix=False`` keeps stereo as ``(n, 2)`` (same arithmetic up to
+    the final mix — the stereo-integrity screen's channel view)."""
     form_type = raw[8:12]
     pos, n = 12, len(raw)
     comm = None
@@ -753,6 +755,8 @@ def _decode_aiff(raw: bytes) -> np.ndarray:
         v24 -= (v24 >= (1 << 23)) * (1 << 24)
         x = v24 >> 8
     if channels == 2:
+        if not downmix:
+            return x.reshape(-1, 2)
         x = (x[0::2] + x[1::2]) >> 1
     return x
 
@@ -807,11 +811,12 @@ def encode_au(
     return hdr + data
 
 
-def _decode_au(raw: bytes) -> np.ndarray:
+def _decode_au(raw: bytes, downmix: bool = True) -> np.ndarray:
     """Real Sun AU decode -> engine int16-scale PCM (int32): signed PCM
     8/16/24-bit big-endian (mono/stereo) and G.711 mu-law / A-law
     (mono). A data size of 0xFFFFFFFF means "to end of file" per the
-    header spec. Unsupported encodings raise ValueError."""
+    header spec. Unsupported encodings raise ValueError.
+    ``downmix=False`` keeps stereo as ``(n, 2)``."""
     if len(raw) < 24:
         raise ValueError("malformed AU: truncated header")
     offset, size, code, _sr, channels = struct.unpack(">IIIII", raw[4:24])
@@ -843,6 +848,8 @@ def _decode_au(raw: bytes) -> np.ndarray:
         v24 -= (v24 >= (1 << 23)) * (1 << 24)
         x = v24 >> 8
     if channels == 2:
+        if not downmix:
+            return x.reshape(-1, 2)
         x = (x[0::2] + x[1::2]) >> 1
     return x
 
@@ -892,6 +899,41 @@ def decode_payload(raw: bytes) -> np.ndarray:
         q = np.frombuffer(raw[4:], dtype="<i2").astype(np.int32)
         return q << 2
     return np.frombuffer(raw, dtype="<i2").astype(np.int32)
+
+
+def decode_payload_channels(raw: bytes) -> np.ndarray:
+    """Channel-PRESERVING decode: payload -> int16-scale int32 PCM of
+    shape ``(n, ch)`` (mono arrives as ``(n, 1)``) — the view the
+    stereo-integrity screen needs; ``decode_payload`` is this plus the
+    engine downmix. Same container sniff, same depth conventions,
+    identical per-channel arithmetic: WAV/AIFF/AU keep interleaved
+    stereo un-mixed; REAL FLAC returns decode_flac's native (n, ch)
+    after the depth shift; every mono-by-construction path (G.711,
+    ADPCM, legacy synthetic containers, raw PCM16) reshapes to (n, 1).
+    Raises ValueError on malformed/unsupported payloads, exactly like
+    decode_payload."""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return decode_wav_channels(raw)
+    if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
+        x = _decode_aiff(raw, downmix=False)
+        return x if x.ndim == 2 else x.reshape(-1, 1)
+    if raw[:4] == _AU_MAGIC:
+        x = _decode_au(raw, downmix=False)
+        return x if x.ndim == 2 else x.reshape(-1, 1)
+    if raw[:5] != _FLAC_MAGIC and raw[:4] == b"fLaC":
+        from jsonschema_spark.functions.flac import _parse_stream, decode_flac
+
+        bits = _parse_stream(bytes(raw))[3]
+        _sr, pcm = decode_flac(bytes(raw))
+        if pcm.ndim == 1:
+            pcm = pcm.reshape(-1, 1)
+        pcm = pcm.astype(np.int64)
+        if bits > 16:
+            pcm = pcm >> (bits - 16)
+        elif bits < 16:
+            pcm = pcm << (16 - bits)
+        return pcm.astype(np.int32)
+    return decode_payload(raw).reshape(-1, 1)
 
 
 def snr_db(ref: np.ndarray, dec: np.ndarray) -> float:

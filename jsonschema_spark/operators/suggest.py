@@ -317,6 +317,12 @@ def as_suite_config(
             "table": table, "payload_col": payload, "sr_col": sr_col,
             "max_violation_rate": math.ceil(prate * 1000) / 1000,
         })
+        strate = _measured_stereo_rate(df, payload)
+        checks.append({
+            "type": "audio_stereo", "name": f"{table}_audio_stereo",
+            "table": table, "payload_col": payload,
+            "max_violation_rate": math.ceil(strate * 1000) / 1000,
+        })
     return {"checks": checks}
 
 
@@ -365,6 +371,19 @@ def _measured_pitch_rate(df: DataFrame, payload: str, sr_col: str) -> float:
     g = pitch_gates(audio_pitch(payload, sr_col))
     row = df.agg(
         F.avg((~g["speechlike"]).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
+
+
+def _measured_stereo_rate(df: DataFrame, payload: str) -> float:
+    """Current stereo-integrity violating fraction at the default gate
+    thresholds — the ceiling the drafted audio_stereo check is anchored
+    to (must-pass-on-draft-data stance)."""
+    from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
+
+    g = stereo_gates(audio_stereo(payload))
+    row = df.agg(
+        F.avg((~g["stereo_ok"]).cast("double")).alias("r")
     ).first()
     return float(row["r"]) if row["r"] is not None else 1.0
 

@@ -723,6 +723,37 @@ def _check_audio_pitch(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_stereo(df: DataFrame, spec: dict) -> DataFrame:
+    """Stereo-integrity gate: bound the fraction of clips that fail the
+    channel-layout screen — dual mono (side/mid RMS under
+    ``max_side_ratio``), out of phase (L/R correlation at or below
+    ``max_phase_corr``; a mono downmix cancels these), a dead/near-dead
+    channel (min/max channel RMS under ``min_balance``), or an
+    undecodable payload (not measurable must not pass). Mono clips
+    pass trivially. Metric = violating fraction; threshold
+    ``max_violation_rate``."""
+    from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = stereo_gates(
+        audio_stereo(spec.get("payload_col", "bytes")),
+        max_side_ratio=float(spec.get("max_side_ratio", 1e-3)),
+        max_phase_corr=float(spec.get("max_phase_corr", -0.9)),
+        min_balance=float(spec.get("min_balance", 0.01)),
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~g["stereo_ok"]).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_stereo", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -756,6 +787,7 @@ _CHECKS = {
     "audio_loudness": lambda df, spec, tables: _check_audio_loudness(df, spec),
     "audio_hum": lambda df, spec, tables: _check_audio_hum(df, spec),
     "audio_pitch": lambda df, spec, tables: _check_audio_pitch(df, spec),
+    "audio_stereo": lambda df, spec, tables: _check_audio_stereo(df, spec),
 }
 
 

@@ -3195,3 +3195,157 @@ def materialized_pitch_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_pitch_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- stereo-integrity ledger corpus (functions/stereo.py) ------------------
+# Class roster (i % 8): every failure mode the screen gates, across the
+# engine's stereo-capable REAL containers (WAV / AIFF / AU / FLAC):
+#   0 true stereo, FLAC    independent L/R noise -> corr ~ 0, all gates clear
+#   1 dual mono, AIFF      R == L -> side RMS 0, dual_mono
+#   2 out of phase, WAV    R == -L -> corr -1, out_of_phase (mono downmix
+#                          would CANCEL this clip)
+#   3 dead channel, AU     R == 0 -> imbalanced (corr degenerate -> NaN)
+#   4 imbalanced, WAV      quiet independent R (>>8 scale) -> imbalanced
+#   5 mono, WAV            nothing to check -> stereo_ok
+#   6 torn, WAV            truncated payload -> decode fails, not measurable
+#   7 real stereo, WAV     R = L + small independent component: corr HIGH
+#                          (~0.99) but side/mid well above the dual-mono
+#                          floor -> must stay stereo_ok (floor-tightness
+#                          anchor for the dual_mono gate)
+# Ledger truth = the kernel replayed at synth time on the SOURCE payload
+# (all four containers are lossless here) + gate arithmetic mirrored in
+# Python (same IEEE ops, NaN -> NULL on both sides via Arrow).
+
+STEREO_SR_HZ = 16000
+STEREO_CLASS_MOD = 8
+STEREO_CLS_TORN = 6
+
+
+def synth_stereo_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (300, 900),
+) -> DataFrame:
+    """Stereo-integrity ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import (
+        encode_aiff,
+        encode_au,
+        encode_wav_pcm,
+        encode_wav_pcm16,
+    )
+    from jsonschema_spark.functions.flac import encode_flac
+    from jsonschema_spark.functions.stereo import stereo_profile_batch
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    sr = STEREO_SR_HZ
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % STEREO_CLASS_MOD
+        m = sr * dur // 1000
+        # disjoint splitmix64 seed windows (>= 2^31 apart, m << 2^31)
+        left = _noise_signal(m, i * (1 << 32))
+        alt = _noise_signal(m, i * (1 << 32) + (1 << 31))
+        codec = "pcm_s16le"
+        if cls == 0:
+            st = np.stack([left, alt], axis=1)
+            raw = encode_flac(st.astype(np.int64), sr)
+            codec = "flac"
+        elif cls == 1:
+            st = np.stack([left, left], axis=1)
+            raw = encode_aiff(st, sr, bits=16)
+            codec = "aiff"
+        elif cls == 2:
+            raw = encode_wav_pcm(np.stack([left, -left], axis=1), sr)
+        elif cls == 3:
+            st = np.stack([left, np.zeros(m, dtype=np.int64)], axis=1)
+            raw = encode_au(st, sr, encoding="pcm16")
+            codec = "au"
+        elif cls == 4:
+            raw = encode_wav_pcm(np.stack([left, alt >> 8], axis=1), sr)
+        elif cls in (5, STEREO_CLS_TORN):
+            raw = encode_wav_pcm16(left, sr)
+        else:  # 7: realistic correlated-but-true stereo
+            raw = encode_wav_pcm(np.stack([left, left + (alt >> 3)], axis=1),
+                                 sr)
+        if cls == STEREO_CLS_TORN:
+            raw = raw[:25]
+        led = stereo_profile_batch(pd.Series([raw])).iloc[0]
+        nch = int(led["n_channels"])
+        corr = float(led["corr_lr"])
+        rmsl, rmsr = float(led["rms_l"]), float(led["rms_r"])
+        rmsm, rmss = float(led["rms_mid"]), float(led["rms_side"])
+        n_samp = int(led["n_samples"])
+        # gate arithmetic mirrored from functions/stereo.stereo_gates
+        # (identical IEEE comparisons over identical kernel doubles)
+        meas = n_samp > 0
+        stereo = meas and nch >= 2
+        dual = bool(
+            stereo and not np.isnan(rmss)
+            and rmss <= 1e-3 * max(rmsm, 1e-12)
+        )
+        phase = bool(stereo and not np.isnan(corr) and corr <= -0.9)
+        imb = bool(
+            stereo and not np.isnan(min(rmsl, rmsr))
+            and min(rmsl, rmsr) <= 0.01 * max(rmsl, rmsr, 1e-12)
+        )
+        ok = bool(meas and (not stereo or (not dual and not phase
+                                           and not imb)))
+        return (cid, bytearray(raw), sr, dur, codec,
+                transcript_for(cid), i, nch, corr, rmsl, rmsr, rmsm,
+                rmss, n_samp, bool(stereo), dual, phase, imb, ok,
+                bool(meas))
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_nch", T.IntegerType(), False),
+            T.StructField("_corr", T.DoubleType(), True),
+            T.StructField("_rmsl", T.DoubleType(), True),
+            T.StructField("_rmsr", T.DoubleType(), True),
+            T.StructField("_rmsm", T.DoubleType(), True),
+            T.StructField("_rmss", T.DoubleType(), True),
+            T.StructField("_n", T.LongType(), False),
+            T.StructField("_stereo", T.BooleanType(), False),
+            T.StructField("_dual", T.BooleanType(), False),
+            T.StructField("_phase", T.BooleanType(), False),
+            T.StructField("_imb", T.BooleanType(), False),
+            T.StructField("_ok", T.BooleanType(), False),
+            T.StructField("_meas", T.BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_nch", "_corr", "_rmsl",
+                "_rmsr", "_rmsm", "_rmss", "_n", "_stereo", "_dual",
+                "_phase", "_imb", "_ok", "_meas"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def stereo_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_stereo_{n}")
+
+
+def materialized_stereo_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Stereo ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = stereo_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_stereo_clips(spark, n), path)
+    return spark.read.parquet(path), path

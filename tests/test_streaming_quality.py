@@ -255,3 +255,50 @@ def test_pitch_streaming_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_pitch_stream").collect()
     )
     assert got == want and len(got) == 24
+
+
+def test_stereo_streaming_parity(spark, tmp_path):
+    """Stereo-integrity screen under readStream: stateless per-row
+    transform (one Arrow hop), so the same compiled plan must emit
+    bit-identical profiles + gates per micro-batch (north rule: one
+    plan, batch and streaming)."""
+    from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
+    from jsonschema_spark.sources.clips import synth_stereo_clips
+
+    d = str(tmp_path / "s_clips")
+    synth_stereo_clips(spark, 24, partitions=4).drop(
+        "_row_idx", "_nch", "_corr", "_rmsl", "_rmsr", "_rmsm", "_rmss",
+        "_n", "_stereo", "_dual", "_phase", "_imb", "_ok", "_meas",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def prof(df):
+        p = audio_stereo("bytes")
+        g = stereo_gates(p)
+        return df.select(
+            "clip_id",
+            p["n_channels"].alias("nch"),
+            p["corr_lr"].alias("corr"),
+            p["rms_side"].alias("rs"),
+            g["dual_mono"].alias("dm"),
+            g["out_of_phase"].alias("op"),
+            g["imbalanced"].alias("im"),
+            g["stereo_ok"].alias("ok"),
+        )
+
+    want = sorted(tuple(r) for r in prof(batch).fillna(-9999.0).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        prof(stream).fillna(-9999.0)
+        .writeStream.format("memory").queryName("q_stereo_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stereo"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM q_stereo_stream").collect()
+    )
+    assert got == want and len(got) == 24
