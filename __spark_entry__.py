@@ -3468,6 +3468,50 @@ def _q_clips_stereo_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TONALITY_N = 320
+
+
+def _q_clips_tonality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tonality / spectral-flatness screen — synthetic-signal
+    contamination per clip: Wiener-entropy spectral flatness over
+    Hann-windowed 64 ms frames (ONE batched rfft per clip), top-8-bin
+    line fraction, dominant-bin stability. Gates: tonal (test tones,
+    DTMF, sweeps — flat_med under 1e-3; the pitch screen calls an
+    in-band pure tone "speechlike", only the spectrum tells it from
+    voice), steady_tone (tonal with ONE dominant bin — separates tones
+    from sweeps), noiselike (static, flat_med over 0.4), spectral_ok,
+    measurable (silence/undecodable must fail loudly). Measured class
+    margins: tones+1% noise <= 6.1e-5, worst speech proxy >= 7.7e-3,
+    static >= 0.55. Ledger = kernel replayed at synth time on lossless
+    WAV + gate arithmetic mirrored in Python; analytic anchors in
+    tests/test_tonality.py."""
+    from jsonschema_spark.functions.tonality import (
+        audio_tonality,
+        tonality_gates,
+    )
+    from jsonschema_spark.sources.clips import materialized_tonality_clips
+
+    clips, _ = materialized_tonality_clips(spark, _TONALITY_N)
+    prof = clips.select(
+        "clip_id", audio_tonality("bytes", "sr_hz").alias("p")
+    )
+    g = tonality_gates(F.col("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.flat_med").alias("flat_med"),
+        F.col("p.line_frac").alias("line_frac"),
+        F.col("p.dom_stab").alias("dom_stab"),
+        F.col("p.energ_frac").alias("energ_frac"),
+        F.col("p.n_frames").alias("n_frames"),
+        F.col("p.n_samples").alias("n_samples"),
+        g["tonal"].alias("tonal"),
+        g["steady_tone"].alias("steady_tone"),
+        g["noiselike"].alias("noiselike"),
+        g["spectral_ok"].alias("spectral_ok"),
+        g["measurable"].alias("measurable"),
+    )
+
+
 _MP3_N = 480
 
 
@@ -4233,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_hum_screen": _q_clips_hum_screen,
         "clips_pitch_screen": _q_clips_pitch_screen,
         "clips_stereo_screen": _q_clips_stereo_screen,
+        "clips_tonality_screen": _q_clips_tonality_screen,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6748,6 +6793,30 @@ def _clips_stereo_screen_sql() -> str:
                _phase AS out_of_phase,
                _imb AS imbalanced,
                _ok AS stereo_ok,
+               _meas AS measurable
+        FROM {src}
+    """
+
+
+def _clips_tonality_screen_sql() -> str:
+    """Tonality ledger oracle: kernel doubles + gate booleans recorded
+    at synth time (straight ledger read; NaN -> NULL on both sides via
+    Arrow nan-as-null)."""
+    from jsonschema_spark.sources.clips import tonality_clips_path
+
+    src = f"read_parquet('{tonality_clips_path(_TONALITY_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _flat AS flat_med,
+               _line AS line_frac,
+               _stab AS dom_stab,
+               _efrac AS energ_frac,
+               _nfr AS n_frames,
+               _n AS n_samples,
+               _tonal AS tonal,
+               _steady AS steady_tone,
+               _noise AS noiselike,
+               _ok AS spectral_ok,
                _meas AS measurable
         FROM {src}
     """
@@ -9343,6 +9412,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_hum_screen": _clips_hum_screen_sql(),
         "clips_pitch_screen": _clips_pitch_screen_sql(),
         "clips_stereo_screen": _clips_stereo_screen_sql(),
+        "clips_tonality_screen": _clips_tonality_screen_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

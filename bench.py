@@ -353,6 +353,34 @@ def q_clips_stereo(spark: SparkSession):
     )
 
 
+_TONALITY_BENCH_N = int(os.environ.get("SPARK_GRAFT_TONALITY", "6000"))
+
+
+def q_clips_tonality(spark: SparkSession):
+    """Tonality / spectral-flatness screen (functions/tonality.py):
+    decode + Hann-framed batched-FFT Wiener entropy in ONE Arrow hop —
+    tone/DTMF/sweep/static contamination gates per clip."""
+    from jsonschema_spark.functions.tonality import (
+        audio_tonality,
+        tonality_gates,
+    )
+    from jsonschema_spark.sources.clips import materialized_tonality_clips
+
+    clips, _ = materialized_tonality_clips(spark, _TONALITY_BENCH_N)
+    g = tonality_gates(audio_tonality("bytes", "sr_hz"))
+    return (
+        clips.select(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("g.tonal").cast("long")),
+            F.sum(F.col("g.steady_tone").cast("long")),
+            F.sum(F.col("g.noiselike").cast("long")),
+            F.sum(F.col("g.spectral_ok").cast("long")),
+        )
+        .collect()
+    )
+
+
 _MP3_BENCH_N = int(os.environ.get("SPARK_GRAFT_MP3", "10000"))
 
 
@@ -780,6 +808,7 @@ QUERIES = {
     "clips_loudness": q_clips_loudness,
     "clips_pitch": q_clips_pitch,
     "clips_stereo": q_clips_stereo,
+    "clips_tonality": q_clips_tonality,
     "clips_mp3_walk": q_clips_mp3_walk,
     "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,

@@ -232,6 +232,14 @@ def profile_table(df, skew_candidates=None):
         from jsonschema_spark.operators.suggest import _measured_stereo_rate
 
         metrics["stereo_violation_rate"] = _measured_stereo_rate(df, payload)
+        # tonality screen: tone / static / silent fraction at default gates
+        from jsonschema_spark.operators.suggest import (
+            _measured_tonality_rate,
+        )
+
+        metrics["not_spectral_ok_rate"] = _measured_tonality_rate(
+            df, payload, sr_col
+        )
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

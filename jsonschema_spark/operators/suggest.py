@@ -323,6 +323,12 @@ def as_suite_config(
             "table": table, "payload_col": payload,
             "max_violation_rate": math.ceil(strate * 1000) / 1000,
         })
+        tnrate = _measured_tonality_rate(df, payload, sr_col)
+        checks.append({
+            "type": "audio_tonality", "name": f"{table}_audio_tonality",
+            "table": table, "payload_col": payload, "sr_col": sr_col,
+            "max_violation_rate": math.ceil(tnrate * 1000) / 1000,
+        })
     return {"checks": checks}
 
 
@@ -384,6 +390,22 @@ def _measured_stereo_rate(df: DataFrame, payload: str) -> float:
     g = stereo_gates(audio_stereo(payload))
     row = df.agg(
         F.avg((~g["stereo_ok"]).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
+
+
+def _measured_tonality_rate(df: DataFrame, payload: str, sr_col: str) -> float:
+    """Current spectral-screen violating fraction at the default gate
+    thresholds — the ceiling the drafted audio_tonality check is
+    anchored to (must-pass-on-draft-data stance)."""
+    from jsonschema_spark.functions.tonality import (
+        audio_tonality,
+        tonality_gates,
+    )
+
+    g = tonality_gates(audio_tonality(payload, sr_col))
+    row = df.agg(
+        F.avg((~g["spectral_ok"]).cast("double")).alias("r")
     ).first()
     return float(row["r"]) if row["r"] is not None else 1.0
 

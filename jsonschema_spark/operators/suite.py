@@ -754,6 +754,39 @@ def _check_audio_stereo(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_tonality(df: DataFrame, spec: dict) -> DataFrame:
+    """Synthetic-signal gate: bound the fraction of clips that fail the
+    spectral screen — line spectra (test tones, DTMF, sweeps:
+    flat_med <= ``max_tonal_flat``), static (flat_med >=
+    ``min_noise_flat``), or silent/undecodable payloads (not
+    measurable must not pass). Metric = violating fraction; threshold
+    ``max_violation_rate``."""
+    from jsonschema_spark.functions.tonality import (
+        audio_tonality,
+        tonality_gates,
+    )
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = tonality_gates(
+        audio_tonality(
+            spec.get("payload_col", "bytes"), spec.get("sr_col", "sr_hz")
+        ),
+        max_tonal_flat=float(spec.get("max_tonal_flat", 1e-3)),
+        min_noise_flat=float(spec.get("min_noise_flat", 0.4)),
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~g["spectral_ok"]).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_tonality", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -788,6 +821,9 @@ _CHECKS = {
     "audio_hum": lambda df, spec, tables: _check_audio_hum(df, spec),
     "audio_pitch": lambda df, spec, tables: _check_audio_pitch(df, spec),
     "audio_stereo": lambda df, spec, tables: _check_audio_stereo(df, spec),
+    "audio_tonality": lambda df, spec, tables: _check_audio_tonality(
+        df, spec
+    ),
 }
 
 

@@ -3349,3 +3349,173 @@ def materialized_stereo_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_stereo_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- tonality / spectral-flatness ledger corpus (functions/tonality.py) -----
+# Class roster (i % 8) — the synthetic-signal contamination classes a
+# web speech corpus actually carries, plus the screen's blind-spot
+# motivator (a pure tone INSIDE the pitch band reads "speechlike" to
+# the pitch screen; only the spectrum tells it from voice):
+#   0 speech proxy       formant-shaped harmonic stack (f0 90-250 Hz
+#                        hash-drawn) + aspiration noise + 3.7 Hz
+#                        syllabic AM -> spectral_ok
+#   1 steady tone        hash-drawn 300-6000 Hz, 1% noise floor ->
+#                        tonal + steady_tone
+#   2 DTMF               real keypad pair (697-941 x 1209-1633 Hz) ->
+#                        tonal + steady_tone
+#   3 sine sweep         200-1000 -> 3000-7000 Hz linear chirp ->
+#                        tonal, NOT steady
+#   4 static             splitmix64 white noise -> noiselike
+#   5 low-f0 speech      f0 70-90 Hz variant of class 0 -> spectral_ok
+#   6 digital silence    zeros -> no energetic frame, not measurable
+#   7 torn               truncated payload -> decode fails, not
+#                        measurable
+# Ledger truth = the kernel replayed at synth time on the lossless WAV
+# payload + gate arithmetic mirrored in Python (identical IEEE
+# comparisons; NaN -> NULL on both sides via Arrow).
+
+TONALITY_SR_HZ = 16000
+TONALITY_CLASS_MOD = 8
+TONALITY_CLS_TORN = 7
+
+_DTMF_ROWS = (697.0, 770.0, 852.0, 941.0)
+_DTMF_COLS = (1209.0, 1336.0, 1477.0, 1633.0)
+
+
+def _speech_proxy(f0: float, n: int, seed: int, noise: int) -> np.ndarray:
+    """Formant-shaped voiced proxy: full harmonic stack to 7.6 kHz under
+    three Gaussian formant bumps (500/1500/2500 Hz) with spectral
+    rolloff, aspiration noise, and 3.7 Hz syllabic amplitude
+    modulation — broadband enough that spectral flatness sits >=2x
+    above the tonal gate (measured: worst 2.0e-3 vs tones 4.5e-5)."""
+    t = np.arange(n, dtype=np.float64) / TONALITY_SR_HZ
+    x = np.zeros(n)
+    for h in range(1, int(7600.0 / f0) + 1):
+        fh = f0 * h
+        env = 0.02
+        for fc, bw, a in ((500.0, 120.0, 1.0), (1500.0, 200.0, 0.5),
+                          (2500.0, 300.0, 0.25)):
+            env += a * np.exp(-0.5 * ((fh - fc) / bw) ** 2)
+        env *= np.exp(-fh / 4000.0)
+        x += 6000.0 * env * np.sin(2 * np.pi * fh * t + 0.3 * h)
+    x += _noise_signal(n, seed) * (noise / 8000.0)
+    x *= 0.55 + 0.45 * np.sin(2 * np.pi * 3.7 * t)
+    return np.clip(np.round(x), -32768, 32767).astype(np.int64)
+
+
+def synth_tonality_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (400, 1200),
+) -> DataFrame:
+    """Tonality ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import encode_wav_pcm16
+    from jsonschema_spark.functions.tonality import tonality_profile_batch
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    sr = TONALITY_SR_HZ
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % TONALITY_CLASS_MOD
+        m = sr * dur // 1000
+        t = np.arange(m, dtype=np.float64) / sr
+        noise_amp = 600 + ((h >> 8) % 601)  # 600..1200
+        if cls in (0, 5):
+            f0 = (70.0 + (h >> 8) % 21) if cls == 5 else (
+                90.0 + (h >> 8) % 161
+            )
+            pcm = _speech_proxy(f0, m, i * (1 << 32), noise_amp)
+        elif cls == 1:
+            f = 300.0 + ((h >> 8) % 5701)  # 300..6000 Hz
+            x = 7000.0 * np.sin(2 * np.pi * f * t)
+            x += _noise_signal(m, i * (1 << 32)) * 0.01
+            pcm = np.round(x).astype(np.int64)
+        elif cls == 2:
+            lo = _DTMF_ROWS[(h >> 8) % 4]
+            hi = _DTMF_COLS[(h >> 12) % 4]
+            x = 5000.0 * (np.sin(2 * np.pi * lo * t)
+                          + np.sin(2 * np.pi * hi * t))
+            pcm = np.round(x).astype(np.int64)
+        elif cls == 3:
+            f_a = 200.0 + ((h >> 8) % 801)
+            f_b = 3000.0 + ((h >> 12) % 4001)
+            rate = (f_b - f_a) / (2.0 * (m / sr))
+            x = 7000.0 * np.sin(2 * np.pi * (f_a * t + rate * t * t))
+            pcm = np.round(x).astype(np.int64)
+        elif cls == 4:
+            pcm = _noise_signal(m, i * (1 << 32))
+        else:  # 6 silence, 7 torn (torn content irrelevant)
+            pcm = np.zeros(m, dtype=np.int64)
+        raw = encode_wav_pcm16(pcm, sr)
+        if cls == TONALITY_CLS_TORN:
+            raw = raw[:25]
+        led = tonality_profile_batch(
+            pd.Series([raw]), pd.Series([sr])
+        ).iloc[0]
+        fl = float(led["flat_med"])
+        ln = float(led["line_frac"])
+        st = float(led["dom_stab"])
+        ef = float(led["energ_frac"])
+        nfr, nsp = int(led["n_frames"]), int(led["n_samples"])
+        # gate arithmetic mirrored from functions/tonality.tonality_gates
+        meas = (not np.isnan(fl)) and nfr > 0
+        tonal = bool(meas and fl <= 1e-3)
+        steady = bool(tonal and not np.isnan(st) and st >= 0.9)
+        noiselike = bool(meas and fl >= 0.4)
+        ok = bool(meas and not tonal and not noiselike)
+        return (cid, bytearray(raw), sr, dur, "pcm_s16le",
+                transcript_for(cid), i, fl, ln, st, ef, nfr, nsp,
+                tonal, steady, noiselike, ok, bool(meas))
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_flat", T.DoubleType(), True),
+            T.StructField("_line", T.DoubleType(), True),
+            T.StructField("_stab", T.DoubleType(), True),
+            T.StructField("_efrac", T.DoubleType(), True),
+            T.StructField("_nfr", T.IntegerType(), False),
+            T.StructField("_n", T.LongType(), False),
+            T.StructField("_tonal", T.BooleanType(), False),
+            T.StructField("_steady", T.BooleanType(), False),
+            T.StructField("_noise", T.BooleanType(), False),
+            T.StructField("_ok", T.BooleanType(), False),
+            T.StructField("_meas", T.BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_flat", "_line", "_stab",
+                "_efrac", "_nfr", "_n", "_tonal", "_steady", "_noise",
+                "_ok", "_meas"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def tonality_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_tonality_{n}")
+
+
+def materialized_tonality_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Tonality ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = tonality_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_tonality_clips(spark, n), path)
+    return spark.read.parquet(path), path

@@ -302,3 +302,52 @@ def test_stereo_streaming_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_stereo_stream").collect()
     )
     assert got == want and len(got) == 24
+
+
+def test_tonality_streaming_parity(spark, tmp_path):
+    """Tonality screen under readStream: stateless per-row transform
+    (one Arrow hop), so the same compiled plan must emit bit-identical
+    profiles + gates per micro-batch (north rule: one plan, batch and
+    streaming)."""
+    from jsonschema_spark.functions.tonality import (
+        audio_tonality,
+        tonality_gates,
+    )
+    from jsonschema_spark.sources.clips import synth_tonality_clips
+
+    d = str(tmp_path / "t_clips")
+    synth_tonality_clips(spark, 24, partitions=4).drop(
+        "_row_idx", "_flat", "_line", "_stab", "_efrac", "_nfr", "_n",
+        "_tonal", "_steady", "_noise", "_ok", "_meas",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def prof(df):
+        p = audio_tonality("bytes", "sr_hz")
+        g = tonality_gates(p)
+        return df.select(
+            "clip_id",
+            p["flat_med"].alias("fl"),
+            p["dom_stab"].alias("st"),
+            g["tonal"].alias("tn"),
+            g["steady_tone"].alias("sd"),
+            g["noiselike"].alias("nz"),
+            g["spectral_ok"].alias("ok"),
+        )
+
+    want = sorted(tuple(r) for r in prof(batch).fillna(-9999.0).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        prof(stream).fillna(-9999.0)
+        .writeStream.format("memory").queryName("q_tonality_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tonality"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM q_tonality_stream").collect()
+    )
+    assert got == want and len(got) == 24
