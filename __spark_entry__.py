@@ -3512,6 +3512,39 @@ def _q_clips_tonality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODEC_N = 320
+
+
+def _q_clips_codec_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-label agreement — the codec COLUMN (metadata someone
+    typed) vs the payload's own magic bytes (ground truth): a lying
+    label is the misrouted-upload signature (the segmentation router
+    prunes by codec; archival transcode picks targets by codec). One
+    container sniff per clip (the same audio_container_profile hop the
+    dispatch query uses) + a when-chain over the CODEC_ACCEPT family
+    mapping (G.711 legitimately lives in WAV and AU; bare PCM in WAV
+    or headerless blobs; opus/vorbis in Ogg). Unknown labels ("amr")
+    and NULLs cannot be certified. Ledger = the deterministic lie plan
+    + the shared mapping applied in Python."""
+    from jsonschema_spark.functions.containers import (
+        audio_container_profile,
+        codec_match_gate,
+    )
+    from jsonschema_spark.sources.clips import materialized_codec_clips
+
+    clips, _ = materialized_codec_clips(spark, _CODEC_N)
+    prof = clips.select(
+        "clip_id", "codec",
+        audio_container_profile("bytes").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        "codec",
+        F.col("p.container").alias("container"),
+        codec_match_gate(F.col("p"), "codec").alias("codec_ok"),
+    )
+
+
 _MP3_N = 480
 
 
@@ -4278,6 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_pitch_screen": _q_clips_pitch_screen,
         "clips_stereo_screen": _q_clips_stereo_screen,
         "clips_tonality_screen": _q_clips_tonality_screen,
+        "clips_codec_match": _q_clips_codec_match,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6818,6 +6852,22 @@ def _clips_tonality_screen_sql() -> str:
                _noise AS noiselike,
                _ok AS spectral_ok,
                _meas AS measurable
+        FROM {src}
+    """
+
+
+def _clips_codec_match_sql() -> str:
+    """Codec-label ledger oracle: the lie plan + shared CODEC_ACCEPT
+    mapping replayed in Python at synth time (straight ledger read;
+    container truth is generator arithmetic)."""
+    from jsonschema_spark.sources.clips import codec_clips_path
+
+    src = f"read_parquet('{codec_clips_path(_CODEC_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               codec,
+               _container AS container,
+               _codec_ok AS codec_ok
         FROM {src}
     """
 
@@ -9413,6 +9463,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_pitch_screen": _clips_pitch_screen_sql(),
         "clips_stereo_screen": _clips_stereo_screen_sql(),
         "clips_tonality_screen": _clips_tonality_screen_sql(),
+        "clips_codec_match": _clips_codec_match_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

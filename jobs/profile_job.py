@@ -240,6 +240,15 @@ def profile_table(df, skew_candidates=None):
         metrics["not_spectral_ok_rate"] = _measured_tonality_rate(
             df, payload, sr_col
         )
+        # codec-label agreement: column metadata vs payload magic bytes
+        if "codec" in df.columns:
+            from jsonschema_spark.operators.suggest import (
+                _measured_codec_rate,
+            )
+
+            metrics["codec_mismatch_rate"] = _measured_codec_rate(
+                df, payload, "codec"
+            )
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

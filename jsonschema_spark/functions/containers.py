@@ -232,3 +232,66 @@ def container_meta_gates(
         dur_ok.alias("dur_ok"),
         (rate_ok & dur_ok).alias("meta_ok"),
     )
+
+
+# --- codec-column vs payload-container agreement ---------------------------
+# The codec COLUMN is metadata someone typed; the payload's magic bytes
+# are ground truth. A lying label is the misrouted-upload signature:
+# the segmentation router PRUNES by codec, archival transcode picks a
+# target by codec, and a "flac" that is really an mp3 silently lands in
+# the wrong branch. Acceptable containers per (lowercased) codec label —
+# single source of truth shared by the Spark gate and ledger synthesis:
+CODEC_ACCEPT: dict[str, tuple[str, ...]] = {
+    # bare PCM labels legitimately arrive as WAV or headerless blobs
+    "pcm_s16le": ("wav", "raw"),
+    "wav": ("wav",),
+    "wave": ("wav",),
+    "pcm_u8": ("wav",),
+    "pcm_s24le": ("wav",),
+    # G.711 lives in both WAV (format 6/7) and Sun AU containers
+    "g711_ulaw": ("wav", "au"),
+    "g711_alaw": ("wav", "au"),
+    "ulaw": ("wav", "au"),
+    "alaw": ("wav", "au"),
+    "adpcm_ima_wav": ("wav",),
+    "adpcm_ms": ("wav",),
+    # the legacy synthetic roster container also sniffs as FLAC family
+    "flac": ("flac", "flac-synth"),
+    "aiff": ("aiff",),
+    "aifc": ("aiff",),
+    "au": ("au",),
+    "snd": ("au",),
+    "mp3": ("mp3",),
+    "mp2": ("mp3",),
+    "mp1": ("mp3",),
+    "mpeg": ("mp3",),
+    "ogg": ("ogg",),
+    "opus": ("ogg",),
+    "vorbis": ("ogg",),
+}
+
+
+def codec_matches_container(label: str | None, container: str | None) -> bool:
+    """Python-side truth for the gate (ledger synthesis + tests): does
+    the codec label name the container family the payload sniffs as?
+    Unknown labels and NULLs certify nothing."""
+    if label is None or container is None:
+        return False
+    return container in CODEC_ACCEPT.get(label.strip().lower(), ())
+
+
+def codec_match_gate(
+    p: Column, codec: Column | str = "codec"
+) -> Column:
+    """codec_ok — the codec COLUMN agrees with the payload's sniffed
+    container (``audio_container_profile`` struct). Pure Column
+    expression (a small when-chain over CODEC_ACCEPT), NULL-safe:
+    a NULL codec, a NULL container (null payload) or an unknown label
+    (e.g. "amr") cannot be certified and gates False."""
+    c = F.lower(F.trim(F.col(codec) if isinstance(codec, str) else codec))
+    gate = F.lit(False)
+    # build the chain in reverse so the first dict entry is outermost
+    for label, containers in reversed(CODEC_ACCEPT.items()):
+        gate = F.when(c == F.lit(label),
+                      p["container"].isin(*containers)).otherwise(gate)
+    return F.coalesce(gate, F.lit(False))

@@ -329,6 +329,19 @@ def as_suite_config(
             "table": table, "payload_col": payload, "sr_col": sr_col,
             "max_violation_rate": math.ceil(tnrate * 1000) / 1000,
         })
+        if isinstance(
+            dict(
+                (f.name, f.dataType) for f in df.schema.fields
+            ).get("codec"),
+            T.StringType,
+        ):
+            crate = _measured_codec_rate(df, payload, "codec")
+            checks.append({
+                "type": "audio_codec", "name": f"{table}_audio_codec",
+                "table": table, "payload_col": payload,
+                "codec_col": "codec",
+                "max_violation_rate": math.ceil(crate * 1000) / 1000,
+            })
     return {"checks": checks}
 
 
@@ -407,6 +420,20 @@ def _measured_tonality_rate(df: DataFrame, payload: str, sr_col: str) -> float:
     row = df.agg(
         F.avg((~g["spectral_ok"]).cast("double")).alias("r")
     ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
+
+
+def _measured_codec_rate(df: DataFrame, payload: str, codec_col: str) -> float:
+    """Current codec-label disagreement fraction — the ceiling the
+    drafted audio_codec check is anchored to (must-pass-on-draft-data
+    stance)."""
+    from jsonschema_spark.functions.containers import (
+        audio_container_profile,
+        codec_match_gate,
+    )
+
+    ok = codec_match_gate(audio_container_profile(payload), codec_col)
+    row = df.agg(F.avg((~ok).cast("double")).alias("r")).first()
     return float(row["r"]) if row["r"] is not None else 1.0
 
 

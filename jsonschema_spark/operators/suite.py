@@ -787,6 +787,34 @@ def _check_audio_tonality(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_codec(df: DataFrame, spec: dict) -> DataFrame:
+    """Codec-label gate: bound the fraction of clips whose codec COLUMN
+    disagrees with the payload's sniffed container (or carries a label
+    the CODEC_ACCEPT mapping cannot certify, or a NULL). Metric =
+    violating fraction; threshold ``max_violation_rate``."""
+    from jsonschema_spark.functions.containers import (
+        audio_container_profile,
+        codec_match_gate,
+    )
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    ok = codec_match_gate(
+        audio_container_profile(spec.get("payload_col", "bytes")),
+        spec.get("codec_col", "codec"),
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~ok).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_codec", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -824,6 +852,7 @@ _CHECKS = {
     "audio_tonality": lambda df, spec, tables: _check_audio_tonality(
         df, spec
     ),
+    "audio_codec": lambda df, spec, tables: _check_audio_codec(df, spec),
 }
 
 

@@ -3519,3 +3519,71 @@ def materialized_tonality_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_tonality_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- codec-label ledger corpus (containers.codec_match_gate) ----------------
+# The mixed-container corpus with a deterministic lie plan over the
+# codec COLUMN: _row_idx % 4 == 1 rows lie — % 8 == 1 claims a WRONG
+# real family (wav<->flac, aiff->mp3, au->ogg, mp3->aiff,
+# ogg->pcm_s16le), % 8 == 5 claims an UNKNOWN label ("amr", which the
+# gate cannot certify). All other rows keep the truthful container
+# name. Ledger truth = the lie plan + the shared CODEC_ACCEPT mapping
+# applied in Python (codec_matches_container).
+
+_CODEC_LIE = {
+    "wav": "flac", "flac": "wav", "aiff": "mp3",
+    "au": "ogg", "mp3": "aiff", "ogg": "pcm_s16le",
+}
+
+
+def synth_codec_clips(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    """Codec-label ledger corpus (see the lie plan above)."""
+    from jsonschema_spark.functions.containers import (
+        codec_matches_container,
+    )
+
+    base = synth_mixed_clips(spark, n, partitions)
+    schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField("_codec_ok", T.BooleanType(), False)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            codecs, oks = [], []
+            for idx, cont, cod in zip(
+                b["_row_idx"].tolist(), b["_container"].tolist(),
+                b["codec"].tolist(),
+            ):
+                if idx % 8 == 5:
+                    cod = "amr"
+                elif idx % 4 == 1:
+                    cod = _CODEC_LIE[cont]
+                codecs.append(cod)
+                oks.append(codec_matches_container(cod, cont))
+            b = b.copy()
+            b["codec"] = codecs
+            b["_codec_ok"] = oks
+            yield b
+
+    return base.mapInPandas(gen, schema=schema)
+
+
+def codec_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_codec_{n}")
+
+
+def materialized_codec_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Codec-label ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = codec_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_codec_clips(spark, n), path)
+    return spark.read.parquet(path), path
