@@ -3512,6 +3512,44 @@ def _q_clips_tonality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNR_N = 280
+
+
+def _q_clips_snr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-free SNR screen — recording quality without a
+    reference: percentile-energy method over 32 ms frames (speech has
+    pauses; the quiet frames ARE the noise floor, the loud frames are
+    speech+noise) -> snr_est_db = 10*log10(p90/p10), activity
+    fraction, absolute floor/level estimates. Gates: too_noisy (under
+    15 dB), snr_ok, measurable (silence/sub-window/undecodable certify
+    nothing). Stationary static reads ~0 dB — the correct verdict for
+    noise mislabeled as speech. Ledger = kernel replayed at synth time
+    on lossless WAV; the corpus plants TRUE SNRs by construction
+    (alpha-scaled noise against measured speech power) and
+    tests/test_snrest.py pins estimate-vs-planted tracking (+2-4 dB
+    bias from speech-frame variance, monotone)."""
+    from jsonschema_spark.functions.snrest import audio_snr_est, snr_gates
+    from jsonschema_spark.sources.clips import materialized_snr_clips
+
+    clips, _ = materialized_snr_clips(spark, _SNR_N)
+    prof = clips.select(
+        "clip_id", audio_snr_est("bytes", "sr_hz").alias("p")
+    )
+    g = snr_gates(F.col("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.snr_est_db").alias("snr_est_db"),
+        F.col("p.noise_ms_p10").alias("noise_ms_p10"),
+        F.col("p.speech_ms_p90").alias("speech_ms_p90"),
+        F.col("p.activity_frac").alias("activity_frac"),
+        F.col("p.n_frames").alias("n_frames"),
+        F.col("p.n_samples").alias("n_samples"),
+        g["too_noisy"].alias("too_noisy"),
+        g["snr_ok"].alias("snr_ok"),
+        g["measurable"].alias("measurable"),
+    )
+
+
 _CODEC_N = 320
 
 
@@ -4312,6 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_stereo_screen": _q_clips_stereo_screen,
         "clips_tonality_screen": _q_clips_tonality_screen,
         "clips_codec_match": _q_clips_codec_match,
+        "clips_snr_screen": _q_clips_snr_screen,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6851,6 +6890,28 @@ def _clips_tonality_screen_sql() -> str:
                _steady AS steady_tone,
                _noise AS noiselike,
                _ok AS spectral_ok,
+               _meas AS measurable
+        FROM {src}
+    """
+
+
+def _clips_snr_screen_sql() -> str:
+    """SNR ledger oracle: kernel doubles + gate booleans recorded at
+    synth time (straight ledger read; NaN -> NULL on both sides via
+    Arrow nan-as-null; +inf survives parquet on both sides)."""
+    from jsonschema_spark.sources.clips import snr_clips_path
+
+    src = f"read_parquet('{snr_clips_path(_SNR_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _est AS snr_est_db,
+               _p10 AS noise_ms_p10,
+               _p90 AS speech_ms_p90,
+               _act AS activity_frac,
+               _nfr AS n_frames,
+               _n AS n_samples,
+               _noisy AS too_noisy,
+               _ok AS snr_ok,
                _meas AS measurable
         FROM {src}
     """
@@ -9464,6 +9525,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_stereo_screen": _clips_stereo_screen_sql(),
         "clips_tonality_screen": _clips_tonality_screen_sql(),
         "clips_codec_match": _clips_codec_match_sql(),
+        "clips_snr_screen": _clips_snr_screen_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -381,6 +381,30 @@ def q_clips_tonality(spark: SparkSession):
     )
 
 
+_SNR_BENCH_N = int(os.environ.get("SPARK_GRAFT_SNR", "5000"))
+
+
+def q_clips_snr(spark: SparkSession):
+    """Reference-free SNR screen (functions/snrest.py): decode +
+    percentile-energy noise-floor estimate in ONE Arrow hop —
+    too-noisy / snr-ok gates per clip."""
+    from jsonschema_spark.functions.snrest import audio_snr_est, snr_gates
+    from jsonschema_spark.sources.clips import materialized_snr_clips
+
+    clips, _ = materialized_snr_clips(spark, _SNR_BENCH_N)
+    g = snr_gates(audio_snr_est("bytes", "sr_hz"))
+    return (
+        clips.select(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("g.too_noisy").cast("long")),
+            F.sum(F.col("g.snr_ok").cast("long")),
+            F.sum(F.col("g.measurable").cast("long")),
+        )
+        .collect()
+    )
+
+
 _MP3_BENCH_N = int(os.environ.get("SPARK_GRAFT_MP3", "10000"))
 
 
@@ -809,6 +833,7 @@ QUERIES = {
     "clips_pitch": q_clips_pitch,
     "clips_stereo": q_clips_stereo,
     "clips_tonality": q_clips_tonality,
+    "clips_snr": q_clips_snr,
     "clips_mp3_walk": q_clips_mp3_walk,
     "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,

@@ -240,6 +240,10 @@ def profile_table(df, skew_candidates=None):
         metrics["not_spectral_ok_rate"] = _measured_tonality_rate(
             df, payload, sr_col
         )
+        # reference-free SNR: too-noisy / silent / undecodable fraction
+        from jsonschema_spark.operators.suggest import _measured_snr_rate
+
+        metrics["low_snr_rate"] = _measured_snr_rate(df, payload, sr_col)
         # codec-label agreement: column metadata vs payload magic bytes
         if "codec" in df.columns:
             from jsonschema_spark.operators.suggest import (

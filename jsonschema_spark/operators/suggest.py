@@ -329,6 +329,12 @@ def as_suite_config(
             "table": table, "payload_col": payload, "sr_col": sr_col,
             "max_violation_rate": math.ceil(tnrate * 1000) / 1000,
         })
+        snrate = _measured_snr_rate(df, payload, sr_col)
+        checks.append({
+            "type": "audio_snr", "name": f"{table}_audio_snr",
+            "table": table, "payload_col": payload, "sr_col": sr_col,
+            "max_violation_rate": math.ceil(snrate * 1000) / 1000,
+        })
         if isinstance(
             dict(
                 (f.name, f.dataType) for f in df.schema.fields
@@ -419,6 +425,19 @@ def _measured_tonality_rate(df: DataFrame, payload: str, sr_col: str) -> float:
     g = tonality_gates(audio_tonality(payload, sr_col))
     row = df.agg(
         F.avg((~g["spectral_ok"]).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
+
+
+def _measured_snr_rate(df: DataFrame, payload: str, sr_col: str) -> float:
+    """Current reference-free-SNR violating fraction at the default
+    gate threshold — the ceiling the drafted audio_snr check is
+    anchored to (must-pass-on-draft-data stance)."""
+    from jsonschema_spark.functions.snrest import audio_snr_est, snr_gates
+
+    g = snr_gates(audio_snr_est(payload, sr_col))
+    row = df.agg(
+        F.avg((~g["snr_ok"]).cast("double")).alias("r")
     ).first()
     return float(row["r"]) if row["r"] is not None else 1.0
 

@@ -815,6 +815,35 @@ def _check_audio_codec(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_snr(df: DataFrame, spec: dict) -> DataFrame:
+    """Recording-quality gate: bound the fraction of clips whose
+    reference-free SNR estimate (percentile-energy method) falls under
+    ``min_snr_db`` — or that are silent/undecodable (not measurable
+    must not pass). Stationary static reads ~0 dB and violates, the
+    correct verdict for noise mislabeled as speech. Metric = violating
+    fraction; threshold ``max_violation_rate``."""
+    from jsonschema_spark.functions.snrest import audio_snr_est, snr_gates
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = snr_gates(
+        audio_snr_est(
+            spec.get("payload_col", "bytes"), spec.get("sr_col", "sr_hz")
+        ),
+        min_snr_db=float(spec.get("min_snr_db", 15.0)),
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~g["snr_ok"]).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_snr", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -853,6 +882,7 @@ _CHECKS = {
         df, spec
     ),
     "audio_codec": lambda df, spec, tables: _check_audio_codec(df, spec),
+    "audio_snr": lambda df, spec, tables: _check_audio_snr(df, spec),
 }
 
 

@@ -3587,3 +3587,144 @@ def materialized_codec_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_codec_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- reference-free SNR ledger corpus (functions/snrest.py) -----------------
+# Class roster (i % 7), all 16 kHz WAV PCM16. Speech classes are the
+# formant-shaped proxy HARD-GATED 300 ms on / 200 ms off (the
+# percentile method requires pauses; the pauses are where the noise
+# floor shows), mixed with avalanche-hash noise scaled to a PLANTED
+# SNR (alpha = sqrt(Ps/Pn/10^(snr/10)) from the measured powers):
+#   0 near-clean   planted 35-45 dB -> snr_ok
+#   1 acceptable   planted 22 dB    -> snr_ok   (est ~24-26, gate 15)
+#   2 noisy        planted 7 dB     -> too_noisy (est ~10-12)
+#   3 drowned      planted 0 dB     -> too_noisy
+#   4 pure noise   stationary -> p90/p10 ~ 1 -> est ~0.5 dB, too_noisy
+#                  (the correct verdict for static mislabeled speech)
+#   5 silence      no certifiable level -> not measurable
+#   6 torn         decode fails -> not measurable
+# Ledger truth = the kernel replayed at synth time on the lossless WAV
+# + gate arithmetic mirrored in Python.
+
+SNR_SR_HZ = 16000
+SNR_CLASS_MOD = 7
+SNR_CLS_TORN = 6
+
+
+def _gated_speech(f0: float, n: int, seed: int) -> np.ndarray:
+    """Noise-free speech proxy with hard 300/200 ms on/off duty — the
+    pause structure the percentile SNR method reads the floor from."""
+    x = _speech_proxy(f0, n, seed, 0).astype(np.float64)
+    t = np.arange(n)
+    on = (t % (SNR_SR_HZ // 2)) < (3 * SNR_SR_HZ // 10)
+    return x * on
+
+
+def synth_snr_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (500, 1500),
+) -> DataFrame:
+    """Reference-free-SNR ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import encode_wav_pcm16
+    from jsonschema_spark.functions.snrest import snr_profile_batch
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    sr = SNR_SR_HZ
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % SNR_CLASS_MOD
+        m = sr * dur // 1000
+        planted = None
+        if cls == 0:
+            planted = 35.0 + ((h >> 8) % 11)
+        elif cls == 1:
+            planted = 22.0
+        elif cls == 2:
+            planted = 7.0
+        elif cls == 3:
+            planted = 0.0
+        if planted is not None:
+            f0 = 100.0 + ((h >> 8) % 141)
+            s = _gated_speech(f0, m, i * (1 << 32))
+            nz = _noise_signal(m, i * (1 << 32) + (1 << 31)).astype(
+                np.float64
+            )
+            p_s = float((s[s != 0.0] ** 2).mean())
+            p_n = float((nz ** 2).mean())
+            alpha = np.sqrt(p_s / p_n / 10.0 ** (planted / 10.0))
+            pcm = np.clip(
+                np.round(s + alpha * nz), -32768, 32767
+            ).astype(np.int64)
+        elif cls == 4:
+            pcm = _noise_signal(m, i * (1 << 32))
+        else:  # 5 silence, 6 torn
+            pcm = np.zeros(m, dtype=np.int64)
+        raw = encode_wav_pcm16(pcm, sr)
+        if cls == SNR_CLS_TORN:
+            raw = raw[:25]
+        led = snr_profile_batch(
+            pd.Series([raw]), pd.Series([sr])
+        ).iloc[0]
+        est = float(led["snr_est_db"])
+        p10, p90 = float(led["noise_ms_p10"]), float(led["speech_ms_p90"])
+        act = float(led["activity_frac"])
+        nfr, nsp = int(led["n_frames"]), int(led["n_samples"])
+        # gate arithmetic mirrored from functions/snrest.snr_gates
+        meas = not np.isnan(est)
+        noisy = bool(meas and est < 15.0)
+        ok = bool(meas and not noisy)
+        return (cid, bytearray(raw), sr, dur, "pcm_s16le",
+                transcript_for(cid), i, planted, est, p10, p90, act,
+                nfr, nsp, noisy, ok, bool(meas))
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_planted_db", T.DoubleType(), True),
+            T.StructField("_est", T.DoubleType(), True),
+            T.StructField("_p10", T.DoubleType(), True),
+            T.StructField("_p90", T.DoubleType(), True),
+            T.StructField("_act", T.DoubleType(), True),
+            T.StructField("_nfr", T.IntegerType(), False),
+            T.StructField("_n", T.LongType(), False),
+            T.StructField("_noisy", T.BooleanType(), False),
+            T.StructField("_ok", T.BooleanType(), False),
+            T.StructField("_meas", T.BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_planted_db", "_est", "_p10",
+                "_p90", "_act", "_nfr", "_n", "_noisy", "_ok", "_meas"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def snr_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_snr_{n}")
+
+
+def materialized_snr_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """SNR ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = snr_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_snr_clips(spark, n), path)
+    return spark.read.parquet(path), path

@@ -351,3 +351,48 @@ def test_tonality_streaming_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_tonality_stream").collect()
     )
     assert got == want and len(got) == 24
+
+
+def test_snr_streaming_parity(spark, tmp_path):
+    """Reference-free SNR screen under readStream: stateless per-row
+    transform (one Arrow hop), so the same compiled plan must emit
+    bit-identical profiles + gates per micro-batch (north rule: one
+    plan, batch and streaming)."""
+    from jsonschema_spark.functions.snrest import audio_snr_est, snr_gates
+    from jsonschema_spark.sources.clips import synth_snr_clips
+
+    d = str(tmp_path / "n_clips")
+    synth_snr_clips(spark, 21, partitions=4).drop(
+        "_row_idx", "_planted_db", "_est", "_p10", "_p90", "_act",
+        "_nfr", "_n", "_noisy", "_ok", "_meas",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def prof(df):
+        p = audio_snr_est("bytes", "sr_hz")
+        g = snr_gates(p)
+        return df.select(
+            "clip_id",
+            p["snr_est_db"].alias("snr"),
+            p["activity_frac"].alias("act"),
+            g["too_noisy"].alias("tn"),
+            g["snr_ok"].alias("ok"),
+            g["measurable"].alias("ms"),
+        )
+
+    want = sorted(tuple(r) for r in prof(batch).fillna(-9999.0).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        prof(stream).fillna(-9999.0)
+        .writeStream.format("memory").queryName("q_snr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_snr"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM q_snr_stream").collect()
+    )
+    assert got == want and len(got) == 21
