@@ -3512,6 +3512,50 @@ def _q_clips_tonality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DROPOUT_N = 300
+
+
+def _q_clips_dropout_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropout / click screen — transport-damage artifacts that survive
+    every container check: exact-digital-zero runs inside the signal
+    region (packet-loss / buffer-underrun concealment; real rooms have
+    a noise floor, concealment doesn't) and single-sample impulses via
+    the two-sided opposite-sign criterion (an impulse makes BOTH
+    neighboring first differences large with OPPOSITE signs; speech's
+    big diffs are same-sign zero-crossing swings). Ledger truth for
+    counts/durations is GENERATOR ARITHMETIC — the corpus plants runs
+    with forced-nonzero boundaries and impulses at quiet
+    neighborhoods, and synth ASSERTS the detector recovers the plant
+    exactly (detector regressions fail synth loudly). Margins: worst
+    speech impulse score 0.60 x p99 vs 2 x p99 threshold, planted
+    >= 3.4 x p99."""
+    from jsonschema_spark.functions.dropouts import (
+        artifact_gates,
+        audio_artifacts,
+    )
+    from jsonschema_spark.sources.clips import materialized_dropout_clips
+
+    clips, _ = materialized_dropout_clips(spark, _DROPOUT_N)
+    prof = clips.select(
+        "clip_id", audio_artifacts("bytes", "sr_hz").alias("p")
+    )
+    g = artifact_gates(F.col("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.n_dropouts").alias("n_dropouts"),
+        F.col("p.dropout_ms").alias("dropout_ms"),
+        F.col("p.max_dropout_ms").alias("max_dropout_ms"),
+        F.col("p.n_clicks").alias("n_clicks"),
+        F.col("p.click_thr").alias("click_thr"),
+        F.col("p.interior_n").alias("interior_n"),
+        F.col("p.n_samples").alias("n_samples"),
+        g["has_dropouts"].alias("has_dropouts"),
+        g["clicky"].alias("clicky"),
+        g["artifact_ok"].alias("artifact_ok"),
+        g["measurable"].alias("measurable"),
+    )
+
+
 _SNR_N = 280
 
 
@@ -4351,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_tonality_screen": _q_clips_tonality_screen,
         "clips_codec_match": _q_clips_codec_match,
         "clips_snr_screen": _q_clips_snr_screen,
+        "clips_dropout_screen": _q_clips_dropout_screen,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6890,6 +6935,30 @@ def _clips_tonality_screen_sql() -> str:
                _steady AS steady_tone,
                _noise AS noiselike,
                _ok AS spectral_ok,
+               _meas AS measurable
+        FROM {src}
+    """
+
+
+def _clips_dropout_screen_sql() -> str:
+    """Dropout/click ledger oracle: counts and durations are GENERATOR
+    arithmetic (the plant plan, asserted against the detector at synth
+    time); click_thr is kernel replay. Straight ledger read."""
+    from jsonschema_spark.sources.clips import dropout_clips_path
+
+    src = f"read_parquet('{dropout_clips_path(_DROPOUT_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _nd AS n_dropouts,
+               _dms AS dropout_ms,
+               _mdms AS max_dropout_ms,
+               _nc AS n_clicks,
+               _thr AS click_thr,
+               _int AS interior_n,
+               _n AS n_samples,
+               _drop AS has_dropouts,
+               _click AS clicky,
+               _ok AS artifact_ok,
                _meas AS measurable
         FROM {src}
     """
@@ -9526,6 +9595,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_tonality_screen": _clips_tonality_screen_sql(),
         "clips_codec_match": _clips_codec_match_sql(),
         "clips_snr_screen": _clips_snr_screen_sql(),
+        "clips_dropout_screen": _clips_dropout_screen_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -381,6 +381,33 @@ def q_clips_tonality(spark: SparkSession):
     )
 
 
+_DROPOUT_BENCH_N = int(os.environ.get("SPARK_GRAFT_DROPOUT", "5000"))
+
+
+def q_clips_dropouts(spark: SparkSession):
+    """Dropout/click screen (functions/dropouts.py): decode + exact
+    zero-run walk + two-sided impulse detector in ONE Arrow hop —
+    transport-damage gates per clip."""
+    from jsonschema_spark.functions.dropouts import (
+        artifact_gates,
+        audio_artifacts,
+    )
+    from jsonschema_spark.sources.clips import materialized_dropout_clips
+
+    clips, _ = materialized_dropout_clips(spark, _DROPOUT_BENCH_N)
+    g = artifact_gates(audio_artifacts("bytes", "sr_hz"))
+    return (
+        clips.select(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("g.has_dropouts").cast("long")),
+            F.sum(F.col("g.clicky").cast("long")),
+            F.sum(F.col("g.artifact_ok").cast("long")),
+        )
+        .collect()
+    )
+
+
 _SNR_BENCH_N = int(os.environ.get("SPARK_GRAFT_SNR", "5000"))
 
 
@@ -834,6 +861,7 @@ QUERIES = {
     "clips_stereo": q_clips_stereo,
     "clips_tonality": q_clips_tonality,
     "clips_snr": q_clips_snr,
+    "clips_dropouts": q_clips_dropouts,
     "clips_mp3_walk": q_clips_mp3_walk,
     "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,

@@ -240,6 +240,14 @@ def profile_table(df, skew_candidates=None):
         metrics["not_spectral_ok_rate"] = _measured_tonality_rate(
             df, payload, sr_col
         )
+        # dropout/click screen: transport-damage fraction
+        from jsonschema_spark.operators.suggest import (
+            _measured_artifact_rate,
+        )
+
+        metrics["artifact_rate"] = _measured_artifact_rate(
+            df, payload, sr_col
+        )
         # reference-free SNR: too-noisy / silent / undecodable fraction
         from jsonschema_spark.operators.suggest import _measured_snr_rate
 

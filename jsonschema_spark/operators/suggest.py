@@ -329,6 +329,13 @@ def as_suite_config(
             "table": table, "payload_col": payload, "sr_col": sr_col,
             "max_violation_rate": math.ceil(tnrate * 1000) / 1000,
         })
+        arate = _measured_artifact_rate(df, payload, sr_col)
+        checks.append({
+            "type": "audio_artifacts",
+            "name": f"{table}_audio_artifacts",
+            "table": table, "payload_col": payload, "sr_col": sr_col,
+            "max_violation_rate": math.ceil(arate * 1000) / 1000,
+        })
         snrate = _measured_snr_rate(df, payload, sr_col)
         checks.append({
             "type": "audio_snr", "name": f"{table}_audio_snr",
@@ -425,6 +432,24 @@ def _measured_tonality_rate(df: DataFrame, payload: str, sr_col: str) -> float:
     g = tonality_gates(audio_tonality(payload, sr_col))
     row = df.agg(
         F.avg((~g["spectral_ok"]).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
+
+
+def _measured_artifact_rate(
+    df: DataFrame, payload: str, sr_col: str
+) -> float:
+    """Current dropout/click violating fraction — the ceiling the
+    drafted audio_artifacts check is anchored to (must-pass-on-
+    draft-data stance)."""
+    from jsonschema_spark.functions.dropouts import (
+        artifact_gates,
+        audio_artifacts,
+    )
+
+    g = artifact_gates(audio_artifacts(payload, sr_col))
+    row = df.agg(
+        F.avg((~g["artifact_ok"]).cast("double")).alias("r")
     ).first()
     return float(row["r"]) if row["r"] is not None else 1.0
 

@@ -844,6 +844,37 @@ def _check_audio_snr(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_audio_artifacts(df: DataFrame, spec: dict) -> DataFrame:
+    """Transport-damage gate: bound the fraction of clips carrying
+    packet-loss dropouts (exact-zero runs >= 20 ms inside the signal
+    region), click impulses (two-sided opposite-sign criterion), or no
+    certifiable signal at all (silence/undecodable must not pass).
+    Metric = violating fraction; threshold ``max_violation_rate``."""
+    from jsonschema_spark.functions.dropouts import (
+        artifact_gates,
+        audio_artifacts,
+    )
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = artifact_gates(
+        audio_artifacts(
+            spec.get("payload_col", "bytes"), spec.get("sr_col", "sr_hz")
+        )
+    )
+    agg = df.agg(
+        F.coalesce(
+            F.sum((~g["artifact_ok"]).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "audio_artifacts", metric, max_rate,
+        metric <= max_rate,
+    )(agg)
+
+
 _CHECKS = {
     "schema": lambda df, spec, tables: _check_schema(df, spec),
     "unique": lambda df, spec, tables: _check_unique(df, spec),
@@ -883,6 +914,9 @@ _CHECKS = {
     ),
     "audio_codec": lambda df, spec, tables: _check_audio_codec(df, spec),
     "audio_snr": lambda df, spec, tables: _check_audio_snr(df, spec),
+    "audio_artifacts": lambda df, spec, tables: _check_audio_artifacts(
+        df, spec
+    ),
 }
 
 

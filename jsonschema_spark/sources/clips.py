@@ -3728,3 +3728,186 @@ def materialized_snr_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_snr_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- dropout / click ledger corpus (functions/dropouts.py) ------------------
+# Class roster (i % 6), all 16 kHz WAV PCM16 over the formant-shaped
+# speech proxy (never exact zero for long runs — its noise floor is the
+# point):
+#   0 clean            no artifacts -> artifact_ok
+#   1 dropouts         2-4 planted exact-zero runs of 25-80 ms, spaced
+#                      in slots, boundaries FORCED nonzero so measured
+#                      run length == planted length exactly
+#   2 clicks           3-6 single-sample +-28000 impulses planted at
+#                      quiet neighborhoods (|x| < 2500 across q-1..q+1,
+#                      >= 100 samples apart) -> detector score >= 25500
+#                      vs threshold <= ~15000
+#   3 both             dropouts + clicks
+#   4 digital silence  no signal region -> not measurable
+#   5 torn             decode fails -> not measurable
+# Ledger truth for the counts/durations is GENERATOR ARITHMETIC (the
+# plant plan), not kernel replay — and synth ASSERTS the detector
+# recovers the plant exactly (a detector regression fails the synth
+# loudly, not silently). click_thr is kernel replay (documented).
+
+DROPOUT_SR_HZ = 16000
+DROPOUT_CLASS_MOD = 6
+DROPOUT_CLS_TORN = 5
+
+
+def _plant_artifacts(
+    x: np.ndarray, h: int, want_drops: bool, want_clicks: bool
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Plant the artifact plan into a speech-proxy clip; returns
+    (pcm, n_dropouts, dropout_ms_total, max_dropout_ms, n_clicks) with
+    every quantity from generator arithmetic."""
+    sr = DROPOUT_SR_HZ
+    m = len(x)
+    x = x.copy()
+    lo, hi = m // 8, m - m // 8
+    drop_spans: list[tuple[int, int]] = []
+    if want_drops:
+        k_d = 2 + h % 3
+        slot = (hi - lo) // k_d
+        for j in range(k_d):
+            length = sr * (25 + ((h >> (4 * j)) % 56)) // 1000
+            off = ((h >> (8 + 3 * j)) % max(1, slot - length - 4)) + 2
+            s = lo + j * slot + off
+            x[s: s + length] = 0
+            # force the run boundaries nonzero: measured length == planted
+            if x[s - 1] == 0:
+                x[s - 1] = 137
+            if x[s + length] == 0:
+                x[s + length] = 137
+            drop_spans.append((s, s + length))
+        lens = [b - a for a, b in drop_spans]
+        n_drop, drop_ms = k_d, int(sum(lens) * 1000 // sr)
+        max_ms = int(max(lens) * 1000 // sr)
+    else:
+        n_drop = drop_ms = max_ms = 0
+    n_click = 0
+    if want_clicks:
+        want = 3 + h % 4
+        last_q = -(10 ** 9)
+        q = lo
+        while q < hi and n_click < want:
+            near_drop = any(a - 4 <= q <= b + 4 for a, b in drop_spans)
+            if (
+                not near_drop
+                and q - last_q >= 100
+                and max(abs(x[q - 1]), abs(x[q]), abs(x[q + 1])) < 2500
+            ):
+                x[q] = 28000 if (q & 1) else -28000
+                last_q = q
+                n_click += 1
+            q += 1
+        if n_click != want:  # deterministic corpus: never under-plant
+            raise RuntimeError(
+                f"click plant underflow: {n_click}/{want}"
+            )
+    return x, n_drop, drop_ms, max_ms, n_click
+
+
+def synth_dropout_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (600, 1400),
+) -> DataFrame:
+    """Dropout/click ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.audio import encode_wav_pcm16
+    from jsonschema_spark.functions.dropouts import artifact_profile_batch
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    sr = DROPOUT_SR_HZ
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % DROPOUT_CLASS_MOD
+        m = sr * dur // 1000
+        noise_amp = 600 + ((h >> 8) % 601)
+        nd = dms = mdms = nc = 0
+        if cls in (0, 1, 2, 3):
+            f0 = 100.0 + ((h >> 8) % 141)
+            base = _speech_proxy(f0, m, i * (1 << 32), noise_amp)
+            pcm, nd, dms, mdms, nc = _plant_artifacts(
+                base, h, want_drops=cls in (1, 3),
+                want_clicks=cls in (2, 3),
+            )
+        else:  # 4 silence, 5 torn
+            pcm = np.zeros(m, dtype=np.int64)
+        raw = encode_wav_pcm16(pcm, sr)
+        if cls == DROPOUT_CLS_TORN:
+            raw = raw[:25]
+        led = artifact_profile_batch(
+            pd.Series([raw]), pd.Series([sr])
+        ).iloc[0]
+        if cls in (0, 1, 2, 3):
+            got = (int(led["n_dropouts"]), int(led["dropout_ms"]),
+                   int(led["max_dropout_ms"]), int(led["n_clicks"]))
+            if got != (nd, dms, mdms, nc):
+                raise RuntimeError(
+                    f"detector != plant on row {i}: {got} vs "
+                    f"{(nd, dms, mdms, nc)}"
+                )
+        thr = float(led["click_thr"])
+        itn, nsp = int(led["interior_n"]), int(led["n_samples"])
+        # gate arithmetic mirrored from functions/dropouts.artifact_gates
+        meas = nsp > 0 and itn > 0
+        has_d = bool(meas and nd > 0)
+        clk = bool(meas and nc > 0)
+        ok = bool(meas and not has_d and not clk)
+        return (cid, bytearray(raw), sr, dur, "pcm_s16le",
+                transcript_for(cid), i, nd, dms, mdms, nc, thr, itn,
+                nsp, has_d, clk, ok, bool(meas))
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_nd", T.IntegerType(), False),
+            T.StructField("_dms", T.LongType(), False),
+            T.StructField("_mdms", T.LongType(), False),
+            T.StructField("_nc", T.IntegerType(), False),
+            T.StructField("_thr", T.DoubleType(), True),
+            T.StructField("_int", T.LongType(), False),
+            T.StructField("_n", T.LongType(), False),
+            T.StructField("_drop", T.BooleanType(), False),
+            T.StructField("_click", T.BooleanType(), False),
+            T.StructField("_ok", T.BooleanType(), False),
+            T.StructField("_meas", T.BooleanType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_nd", "_dms", "_mdms", "_nc",
+                "_thr", "_int", "_n", "_drop", "_click", "_ok", "_meas"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def dropout_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_dropout_{n}")
+
+
+def materialized_dropout_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Dropout/click ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = dropout_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_dropout_clips(spark, n), path)
+    return spark.read.parquet(path), path

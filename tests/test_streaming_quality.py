@@ -396,3 +396,52 @@ def test_snr_streaming_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_snr_stream").collect()
     )
     assert got == want and len(got) == 21
+
+
+def test_dropout_streaming_parity(spark, tmp_path):
+    """Dropout/click screen under readStream: stateless per-row
+    transform (one Arrow hop), so the same compiled plan must emit
+    bit-identical profiles + gates per micro-batch (north rule: one
+    plan, batch and streaming)."""
+    from jsonschema_spark.functions.dropouts import (
+        artifact_gates,
+        audio_artifacts,
+    )
+    from jsonschema_spark.sources.clips import synth_dropout_clips
+
+    d = str(tmp_path / "d_clips")
+    synth_dropout_clips(spark, 18, partitions=4).drop(
+        "_row_idx", "_nd", "_dms", "_mdms", "_nc", "_thr", "_int", "_n",
+        "_drop", "_click", "_ok", "_meas",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def prof(df):
+        p = audio_artifacts("bytes", "sr_hz")
+        g = artifact_gates(p)
+        return df.select(
+            "clip_id",
+            p["n_dropouts"].alias("nd"),
+            p["dropout_ms"].alias("dm"),
+            p["n_clicks"].alias("nc"),
+            g["has_dropouts"].alias("hd"),
+            g["clicky"].alias("ck"),
+            g["artifact_ok"].alias("ok"),
+        )
+
+    want = sorted(tuple(r) for r in prof(batch).fillna(-9999.0).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        prof(stream).fillna(-9999.0)
+        .writeStream.format("memory").queryName("q_dropout_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dropout"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM q_dropout_stream").collect()
+    )
+    assert got == want and len(got) == 18
