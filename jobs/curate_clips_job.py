@@ -61,6 +61,10 @@ def curate_clips(
     bandwidth_gate: bool = False,
     upsample_frac: float = 1.0 / 32.0,
     crowd_frac: float = 0.45,
+    tonality_gate: bool = False,
+    artifact_gate: bool = False,
+    snr_est_gate: bool = False,
+    min_snr_est_db: float = 15.0,
     trim: bool = False,
     resample_sr: int | None = None,
     target_rms: float | None = None,
@@ -83,7 +87,15 @@ def curate_clips(
     the signal struct is computed in one Arrow hop inside the SAME
     persisted projection as the other annotations, and the gate filter
     sits ABOVE the persist barrier (filtering on a UDF output below a
-    persist duplicates the UDF). ``near_dedup=True`` appends
+    persist duplicates the UDF). ``tonality_gate`` / ``artifact_gate``
+    / ``snr_est_gate`` add the content-hygiene screens (spectral
+    tonality, dropout/click, reference-free SNR —
+    functions/tonality.py, dropouts.py, snrest.py): each is its own
+    Arrow hop in the SAME persisted projection with its own
+    funnel-attribution stage, in chain order tonality -> artifacts ->
+    snr (a clip failing several stages is attributed to the FIRST);
+    like the quality gate they need no ground truth, so they apply to
+    real corpora. ``near_dedup=True`` appends
     audio-fingerprint near-duplicate removal (re-encodes / gain-adjusted
     copies of the same recording under different ids): pairs from the
     spectral-fingerprint LSH, transitive clusters via connected
@@ -144,23 +156,71 @@ def curate_clips(
         )
     else:
         ann = ann.withColumn("_bwok", F.lit(True))
+    if tonality_gate:
+        from jsonschema_spark.functions.tonality import (
+            audio_tonality,
+            tonality_gates,
+        )
+
+        ann = ann.withColumn(
+            "_tonok",
+            tonality_gates(audio_tonality("bytes", "sr_hz"))["spectral_ok"],
+        )
+    else:
+        ann = ann.withColumn("_tonok", F.lit(True))
+    if artifact_gate:
+        from jsonschema_spark.functions.dropouts import (
+            artifact_gates,
+            audio_artifacts,
+        )
+
+        ann = ann.withColumn(
+            "_artok",
+            artifact_gates(audio_artifacts("bytes", "sr_hz"))["artifact_ok"],
+        )
+    else:
+        ann = ann.withColumn("_artok", F.lit(True))
+    if snr_est_gate:
+        from jsonschema_spark.functions.snrest import (
+            audio_snr_est,
+            snr_gates,
+        )
+
+        ann = ann.withColumn(
+            "_snrok",
+            snr_gates(
+                audio_snr_est("bytes", "sr_hz"),
+                min_snr_db=min_snr_est_db,
+            )["snr_ok"],
+        )
+    else:
+        ann = ann.withColumn("_snrok", F.lit(True))
     ann = ann.persist()
 
     pre_quality = F.col("_valid") & F.col("_tok")
     qgate = pre_quality & F.col("_qpass")
-    gate = qgate & F.col("_bwok")
+    g_bw = qgate & F.col("_bwok")
+    g_ton = g_bw & F.col("_tonok")
+    g_art = g_ton & F.col("_artok")
+    gate = g_art & F.col("_snrok")
     funnel = ann.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("_valid").cast("long")).alias("n_valid"),
         F.sum(pre_quality.cast("long")).alias("n_pre_quality"),
         F.sum(qgate.cast("long")).alias("n_qgated"),
+        F.sum(g_bw.cast("long")).alias("n_bwgated"),
+        F.sum(g_ton.cast("long")).alias("n_tongated"),
+        F.sum(g_art.cast("long")).alias("n_artgated"),
         F.sum(gate.cast("long")).alias("n_gated"),
     ).collect()[0]
     n_input = funnel["n_input"]
     n_invalid = n_input - funnel["n_valid"]
     n_invariant = funnel["n_valid"] - funnel["n_pre_quality"]
     n_quality = funnel["n_pre_quality"] - funnel["n_qgated"]
-    n_bandwidth = funnel["n_qgated"] - funnel["n_gated"]
+    n_bandwidth = funnel["n_qgated"] - funnel["n_bwgated"]
+    n_tonality = funnel["n_bwgated"] - funnel["n_tongated"]
+    n_artifacts = funnel["n_tongated"] - funnel["n_artgated"]
+    n_snr_est = funnel["n_artgated"] - funnel["n_gated"]
     gated = ann.filter(gate)
 
     # duplicate clip_ids: smallest payload-md5 survives (deterministic,
@@ -172,8 +232,7 @@ def curate_clips(
         ["clip_id"]
     )
     n_after_ids = unique_ids.count()
-    n_dup_ids = (n_input - n_invalid - n_invariant - n_quality
-                 - n_bandwidth - n_after_ids)
+    n_dup_ids = funnel["n_gated"] - n_after_ids
 
     # exact payload dedup across ids: smallest clip_id survives
     payload_survivors = unique_ids.groupBy("_pfp").agg(
@@ -296,6 +355,9 @@ def curate_clips(
         "invariant_failed": n_invariant,
         "quality_rejected": n_quality,
         "bandwidth_rejected": n_bandwidth,
+        "tonality_rejected": n_tonality,
+        "artifact_rejected": n_artifacts,
+        "snr_est_rejected": n_snr_est,
         "duplicate_ids_removed": n_dup_ids,
         "duplicate_payloads_removed": n_dup_payload,
         "near_duplicates_removed": n_near_dups,
@@ -336,6 +398,18 @@ def main(argv=None) -> int:
                    help="flag when est content freq < sr * this")
     p.add_argument("--crowd-frac", type=float, default=0.45,
                    help="flag when est content freq > sr * this")
+    p.add_argument("--tonality-gate", action="store_true",
+                   help="drop clips failing the spectral screen (test "
+                        "tones / DTMF / sweeps / static — "
+                        "functions/tonality.py)")
+    p.add_argument("--artifact-gate", action="store_true",
+                   help="drop clips carrying packet-loss dropouts or "
+                        "click impulses (functions/dropouts.py)")
+    p.add_argument("--snr-est-gate", action="store_true",
+                   help="drop clips under the reference-free SNR floor "
+                        "(percentile-energy method — functions/snrest.py)")
+    p.add_argument("--min-snr-est", type=float, default=15.0,
+                   help="reference-free SNR floor in dB")
     p.add_argument("--trim-silence", action="store_true",
                    help="trim leading/trailing silence from PCM payloads "
                         "on output (energy VAD; operators/trim.py)")
@@ -398,6 +472,10 @@ def main(argv=None) -> int:
         bandwidth_gate=args.bandwidth_gate,
         upsample_frac=args.upsample_frac,
         crowd_frac=args.crowd_frac,
+        tonality_gate=args.tonality_gate,
+        artifact_gate=args.artifact_gate,
+        snr_est_gate=args.snr_est_gate,
+        min_snr_est_db=args.min_snr_est,
         trim=args.trim_silence,
         resample_sr=args.resample,
         target_rms=args.target_rms,

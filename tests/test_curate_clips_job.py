@@ -226,3 +226,70 @@ def test_curate_clips_transcode_stage(spark):
             ref[::2].astype(np.int64),  # decimated first, then lossless
         )
     assert stats["by_codec"] == {"flac": 2}
+
+
+def test_curate_clips_hygiene_gates(spark):
+    """The three content-hygiene screens compose into the funnel with
+    first-failing-stage attribution: dropout-corpus classes route to
+    the artifact stage (silence/torn clips fail tonality FIRST when
+    both gates are on), and each gate defaults off."""
+    from jsonschema_spark.sources.clips import (
+        DROPOUT_CLASS_MOD,
+        synth_dropout_clips,
+    )
+
+    n = 4 * DROPOUT_CLASS_MOD
+    led = ["_nd", "_dms", "_mdms", "_nc", "_thr", "_int", "_n",
+           "_drop", "_click", "_ok", "_meas"]
+    clips = synth_dropout_clips(spark, n, partitions=4).drop(
+        "_row_idx", *led
+    )
+    # artifact gate alone: classes 1,2,3 (planted artifacts) + 4,5
+    # (silence/torn: not measurable) all attribute to the artifact stage
+    curated, stats = curate_clips(
+        clips, snr_threshold_db=None, artifact_gate=True
+    )
+    assert stats["artifact_rejected"] == 4 * 5
+    assert stats["tonality_rejected"] == 0
+    assert stats["output_rows"] == 4
+    assert curated.count() == 4
+
+    # tonality + artifacts: silence/torn are unmeasurable to BOTH
+    # screens and the tonality stage runs FIRST in the chain, so it
+    # claims them; the artifact stage keeps only the planted classes
+    _, stats2 = curate_clips(
+        clips, snr_threshold_db=None, tonality_gate=True,
+        artifact_gate=True,
+    )
+    assert stats2["tonality_rejected"] == 4 * 2  # silence + torn
+    assert stats2["artifact_rejected"] == 4 * 3  # dropouts/clicks/both
+    assert stats2["output_rows"] == 4
+
+    # all gates off: everything flows through
+    _, stats_off = curate_clips(clips, snr_threshold_db=None)
+    assert stats_off["artifact_rejected"] == 0
+    assert stats_off["snr_est_rejected"] == 0
+    assert stats_off["output_rows"] == n
+
+
+def test_curate_clips_snr_est_gate(spark):
+    """The reference-free SNR stage rejects exactly the under-floor
+    classes of the SNR ledger corpus (planted 7/0 dB mixes, static,
+    silence, torn)."""
+    from jsonschema_spark.sources.clips import (
+        SNR_CLASS_MOD,
+        synth_snr_clips,
+    )
+
+    n = 4 * SNR_CLASS_MOD
+    clips = synth_snr_clips(spark, n, partitions=4).drop(
+        "_row_idx", "_planted_db", "_est", "_p10", "_p90", "_act",
+        "_nfr", "_n", "_noisy", "_ok", "_meas",
+    )
+    curated, stats = curate_clips(
+        clips, snr_threshold_db=None, snr_est_gate=True
+    )
+    # classes 2,3,4,5,6 of 7 violate the 15 dB floor / measurability
+    assert stats["snr_est_rejected"] == 4 * 5
+    assert stats["output_rows"] == 4 * 2
+    assert curated.count() == 4 * 2
