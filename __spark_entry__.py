@@ -3512,6 +3512,54 @@ def _q_clips_tonality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FBANK_N = 240
+
+
+def _q_clips_fbank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-mel filterbank features — the bridge from validation to
+    training-data production: 25/10 ms Hann frames, rfft power, HTK
+    40-mel bank, log10, QUANTIZED to int64 millis and reduced per clip
+    to per-bin sum / sum-of-squares (one Arrow hop; the fixed point
+    makes every downstream aggregate exact and order-independent).
+    Output = one row per (clip, mel bin); undecodable clips carry
+    empty arrays and explode to no rows."""
+    from jsonschema_spark.functions.fbank import audio_fbank_stats
+    from jsonschema_spark.sources.clips import materialized_fbank_clips
+
+    clips, _ = materialized_fbank_clips(spark, _FBANK_N)
+    s = clips.select(
+        "clip_id", audio_fbank_stats("bytes", "sr_hz").alias("s")
+    )
+    return s.select(
+        "clip_id",
+        F.posexplode(F.arrays_zip("s.sum_q", "s.sumsq_q")).alias(
+            "bin", "z"
+        ),
+        F.col("s.n_frames").alias("n_frames"),
+    ).select(
+        "clip_id",
+        "bin",
+        F.col("z.sum_q").alias("sum_q"),
+        F.col("z.sumsq_q").alias("sumsq_q"),
+        "n_frames",
+    )
+
+
+def _q_clips_fbank_cmvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus CMVN over the log-mel corpus: EXACT int64 aggregation of
+    the quantized per-clip partials (bit-reproducible on any
+    partitioning — the reason for the fixed point), final mean/std in
+    correctly-rounded double ops only (cast, /, *, -, sqrt), so the
+    DuckDB replay over the same ledger integers matches
+    bit-for-bit. The skinny shuffle is O(clips x 40) long rows ->
+    40 output rows."""
+    from jsonschema_spark.functions.fbank import cmvn_stats
+    from jsonschema_spark.sources.clips import materialized_fbank_clips
+
+    clips, _ = materialized_fbank_clips(spark, _FBANK_N)
+    return cmvn_stats(clips)
+
+
 _DROPOUT_N = 300
 
 
@@ -4396,6 +4444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_codec_match": _q_clips_codec_match,
         "clips_snr_screen": _q_clips_snr_screen,
         "clips_dropout_screen": _q_clips_dropout_screen,
+        "clips_fbank_features": _q_clips_fbank_features,
+        "clips_fbank_cmvn": _q_clips_fbank_cmvn,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6937,6 +6987,70 @@ def _clips_tonality_screen_sql() -> str:
                _ok AS spectral_ok,
                _meas AS measurable
         FROM {src}
+    """
+
+
+def _clips_fbank_features_sql() -> str:
+    """Log-mel ledger oracle: index the quantized per-clip arrays with
+    a range(40) cross join + list_extract (this DuckDB build lacks
+    WITH ORDINALITY) — pure integer ledger read. Empty arrays (torn /
+    sub-window clips) produce no rows, matching posexplode."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_clips_path
+
+    src = f"read_parquet('{fbank_clips_path(_FBANK_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               CAST(r.range AS INTEGER) AS bin,
+               list_extract(_sumq, CAST(r.range + 1 AS INTEGER))
+                   AS sum_q,
+               list_extract(_sumsqq, CAST(r.range + 1 AS INTEGER))
+                   AS sumsq_q,
+               _nfr AS n_frames
+        FROM {src}, range({N_MELS}) AS r
+        WHERE len(_sumq) = {N_MELS}
+    """
+
+
+def _clips_fbank_cmvn_sql() -> str:
+    """CMVN oracle: the SAME exact-integer aggregation over the ledger
+    arrays, final double math replicated op-for-op (cast, /, *, -,
+    sqrt are correctly rounded — the float-oracle whitelist; every
+    constant CAST to DOUBLE against DuckDB's DECIMAL-literal trap)."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_clips_path
+
+    src = f"read_parquet('{fbank_clips_path(_FBANK_N)}/*.parquet')"
+    return f"""
+        WITH e AS (
+            SELECT r.range AS bin,
+                   list_extract(_sumq, CAST(r.range + 1 AS INTEGER))
+                       AS sq,
+                   list_extract(_sumsqq, CAST(r.range + 1 AS INTEGER))
+                       AS sq2,
+                   _nfr AS nf
+            FROM {src}, range({N_MELS}) AS r
+            WHERE len(_sumq) = {N_MELS}
+        ), a AS (
+            SELECT bin,
+                   CAST(SUM(nf) AS BIGINT) AS nf,
+                   CAST(SUM(sq) AS BIGINT) AS tq,
+                   CAST(SUM(sq2) AS BIGINT) AS tsq
+            FROM e GROUP BY bin
+        ), b AS (
+            SELECT bin, nf,
+                   CAST(tq AS DOUBLE) / CAST(1000 AS DOUBLE)
+                       / CAST(nf AS DOUBLE) AS mean,
+                   CAST(tsq AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                       / CAST(nf AS DOUBLE) AS ex2
+            FROM a
+        )
+        SELECT CAST(bin AS INTEGER) AS bin,
+               nf AS n_frames,
+               mean AS mean_logmel,
+               sqrt(greatest(ex2 - mean * mean,
+                             CAST(0 AS DOUBLE))) AS std_logmel
+        FROM b
     """
 
 
@@ -9596,6 +9710,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_codec_match": _clips_codec_match_sql(),
         "clips_snr_screen": _clips_snr_screen_sql(),
         "clips_dropout_screen": _clips_dropout_screen_sql(),
+        "clips_fbank_features": _clips_fbank_features_sql(),
+        "clips_fbank_cmvn": _clips_fbank_cmvn_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -408,6 +408,21 @@ def q_clips_dropouts(spark: SparkSession):
     )
 
 
+_FBANK_BENCH_N = int(os.environ.get("SPARK_GRAFT_FBANK", "5000"))
+
+
+def q_clips_fbank(spark: SparkSession):
+    """Log-mel + corpus CMVN (functions/fbank.py): decode + framed FFT
+    + mel matmul + fixed-point reduction in ONE Arrow hop, then the
+    exact int64 CMVN aggregation (skinny O(clips x 40) shuffle -> 40
+    rows)."""
+    from jsonschema_spark.functions.fbank import cmvn_stats
+    from jsonschema_spark.sources.clips import materialized_fbank_clips
+
+    clips, _ = materialized_fbank_clips(spark, _FBANK_BENCH_N)
+    return cmvn_stats(clips).collect()
+
+
 _SNR_BENCH_N = int(os.environ.get("SPARK_GRAFT_SNR", "5000"))
 
 
@@ -862,6 +877,7 @@ QUERIES = {
     "clips_tonality": q_clips_tonality,
     "clips_snr": q_clips_snr,
     "clips_dropouts": q_clips_dropouts,
+    "clips_fbank": q_clips_fbank,
     "clips_mp3_walk": q_clips_mp3_walk,
     "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,

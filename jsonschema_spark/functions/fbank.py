@@ -1,0 +1,224 @@
+"""Log-mel filterbank features + corpus CMVN — the bridge from
+validation to training-data production, in pure numpy (no audio libs).
+
+Every speech model consumes log-mel energies, and every training run
+needs corpus-level cepstral mean/variance normalization (CMVN) stats.
+Both are computed here with the scale shape a 100 TB corpus demands:
+
+  per clip (ONE Arrow hop)   25 ms / 10 ms Hann frames, rfft power,
+                             HTK mel triangle bank (40 mels,
+                             20-7600 Hz), log10 with a 1e-10 floor —
+                             then QUANTIZED to fixed point
+                             (floor(v*1000 + 0.5), int64 millis) and
+                             reduced to per-bin SUM and SUM-OF-SQUARES
+                             plus the frame count. The quantization is
+                             the whole trick: int64 partials make the
+                             cross-clip aggregation EXACT and
+                             order-independent, so the corpus CMVN is
+                             bit-reproducible on any partitioning AND
+                             DuckDB-oracle-checkable (float sums are
+                             order-dependent; integer sums are not).
+                             Overflow headroom: sumsq at 1e9 frames
+                             (~100k h of audio) is ~1.3e17 << 2^63.
+  corpus CMVN (JVM side)     arrays_zip + posexplode -> groupBy(bin)
+                             -> SUM(long) -> final mean/std in
+                             correctly-rounded double ops only
+                             (cast, /, *, -, sqrt — the float-oracle
+                             whitelist), bit-equal to the DuckDB
+                             replay of the same ledger integers.
+
+Scale shape: one Arrow hop per clip; the CMVN shuffle is
+O(clips x n_mels) skinny long rows -> n_mels output rows.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+from jsonschema_spark.functions.audio import decode_payload
+
+__all__ = [
+    "mel_filterbank",
+    "logmel_frames_q",
+    "fbank_stats_batch",
+    "audio_fbank_stats",
+    "cmvn_stats",
+    "FBANK_STATS_TYPE",
+    "N_MELS",
+    "FBANK_Q",
+]
+
+N_MELS = 40
+FBANK_Q = 1000  # fixed-point scale: log-mel millis
+_N_FFT = 512
+_WIN_MS = 25
+_HOP_MS = 10
+_FMIN_HZ = 20.0
+_FMAX_HZ = 7600.0
+_POWER_FLOOR = 1e-10
+
+FBANK_STATS_TYPE = T.StructType(
+    [
+        T.StructField("sum_q", T.ArrayType(T.LongType())),
+        T.StructField("sumsq_q", T.ArrayType(T.LongType())),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _mel(f: np.ndarray | float) -> np.ndarray | float:
+    return 2595.0 * np.log10(1.0 + f / 700.0)
+
+
+def _imel(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    sr: int,
+    n_fft: int = _N_FFT,
+    n_mels: int = N_MELS,
+    fmin: float = _FMIN_HZ,
+    fmax: float = _FMAX_HZ,
+) -> np.ndarray:
+    """(n_mels, n_fft//2+1) HTK-style triangular mel bank (the classic
+    floor((n_fft+1)*f/sr) bin mapping)."""
+    fmax = min(fmax, sr / 2.0)
+    pts = _imel(np.linspace(_mel(fmin), _mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for j in range(n_mels):
+        a, b, c = bins[j], bins[j + 1], bins[j + 2]
+        for i in range(a, b):
+            fb[j, i] = (i - a) / max(1, b - a)
+        for i in range(b, c):
+            fb[j, i] = (c - i) / max(1, c - b)
+    return fb
+
+
+_FB_CACHE: dict[int, np.ndarray] = {}
+
+
+def _bank(sr: int) -> np.ndarray:
+    fb = _FB_CACHE.get(sr)
+    if fb is None:
+        fb = _FB_CACHE[sr] = mel_filterbank(sr)
+    return fb
+
+
+def logmel_frames_q(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """(n_frames, N_MELS) int64 fixed-point (millis) log-mel matrix —
+    shared by the batch kernel, the synth ledger and unit tests."""
+    win = sr * _WIN_MS // 1000
+    hop = sr * _HOP_MS // 1000
+    n = len(pcm)
+    k = 1 + (n - win) // hop if n >= win else 0
+    if k <= 0:
+        return np.zeros((0, N_MELS), dtype=np.int64)
+    idx = np.arange(win)[None, :] + hop * np.arange(k)[:, None]
+    fr = pcm[idx].astype(np.float64) * np.hanning(win)
+    spec = np.fft.rfft(fr, _N_FFT, axis=1)
+    power = spec.real * spec.real + spec.imag * spec.imag
+    m = power @ _bank(sr).T
+    v = np.log10(np.maximum(m, _POWER_FLOOR))
+    return np.floor(v * FBANK_Q + 0.5).astype(np.int64)
+
+
+def fbank_stats_batch(payloads: pd.Series, srs: pd.Series) -> pd.DataFrame:
+    sums: list[list[int]] = []
+    sqs: list[list[int]] = []
+    kf = np.zeros(len(payloads), dtype=np.int64)
+    ns = np.full(len(payloads), -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (
+            isinstance(sr, float) and np.isnan(sr)
+        ):
+            sums.append([])
+            sqs.append([])
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            sums.append([])
+            sqs.append([])
+            continue
+        ns[i] = len(pcm)
+        q = logmel_frames_q(pcm, int(sr))
+        kf[i] = q.shape[0]
+        if q.shape[0] == 0:
+            sums.append([])
+            sqs.append([])
+        else:
+            sums.append(q.sum(axis=0).tolist())
+            sqs.append((q * q).sum(axis=0).tolist())
+    return pd.DataFrame(
+        {
+            "sum_q": sums,
+            "sumsq_q": sqs,
+            "n_frames": kf.astype(np.int32),
+            "n_samples": ns,
+        }
+    )
+
+
+@F.pandas_udf(FBANK_STATS_TYPE)
+def _fbank_udf(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+    return fbank_stats_batch(p, sr)
+
+
+def audio_fbank_stats(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+) -> Column:
+    """struct(sum_q, sumsq_q, n_frames, n_samples) — ONE Arrow hop.
+    Undecodable / sub-window clips carry EMPTY arrays and n_frames 0
+    (they contribute nothing to CMVN and explode to no feature
+    rows)."""
+    return _fbank_udf(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )
+
+
+def cmvn_stats(
+    df: DataFrame,
+    payload: str = "bytes",
+    sr_hz: str = "sr_hz",
+) -> DataFrame:
+    """Corpus CMVN: (bin, n_frames, mean_logmel, std_logmel) — one
+    Arrow hop per clip, then an EXACT int64 aggregation (bit-equal on
+    any partitioning) and final double math restricted to
+    correctly-rounded ops so a DuckDB replay matches bit-for-bit."""
+    s = audio_fbank_stats(payload, sr_hz)
+    z = df.select(s.alias("s")).select(
+        F.posexplode(F.arrays_zip("s.sum_q", "s.sumsq_q")).alias(
+            "bin", "z"
+        ),
+        F.col("s.n_frames").alias("nf"),
+    )
+    agg = z.groupBy("bin").agg(
+        F.sum("nf").alias("n_frames"),
+        F.sum("z.sum_q").alias("tot_q"),
+        F.sum("z.sumsq_q").alias("tot_sq"),
+    )
+    n = agg["n_frames"].cast("double")
+    mean = agg["tot_q"].cast("double") / F.lit(float(FBANK_Q)) / n
+    ex2 = (
+        agg["tot_sq"].cast("double")
+        / F.lit(float(FBANK_Q * FBANK_Q))
+        / n
+    )
+    var = ex2 - mean * mean
+    return agg.select(
+        "bin",
+        "n_frames",
+        mean.alias("mean_logmel"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_logmel"),
+    )

@@ -1,0 +1,154 @@
+"""Log-mel filterbank + corpus CMVN (functions/fbank.py).
+
+Analytic anchors: the mel bank covers every FFT bin in [fmin, fmax]
+with triangle weights; a pure tone concentrates its energy in the mel
+bins whose triangles cover its frequency; the fixed-point kernel is
+bit-deterministic; and — the design's whole point — the CMVN
+aggregation is EXACTLY order-independent: any repartitioning of the
+corpus yields bit-identical means/stds because the cross-clip sums
+are int64.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jsonschema_spark.functions.fbank import (
+    FBANK_Q,
+    N_MELS,
+    fbank_stats_batch,
+    logmel_frames_q,
+    mel_filterbank,
+)
+
+SR = 16000
+
+
+def test_filterbank_shape_and_coverage():
+    fb = mel_filterbank(SR)
+    assert fb.shape == (N_MELS, 257)
+    # triangles are non-negative and each mel row sums positive
+    assert (fb >= 0).all() and (fb.sum(axis=1) > 0).all()
+    # mid-band FFT bins are covered by at least one triangle
+    covered = fb.sum(axis=0)
+    lo_bin = int(513 * 100 / SR)
+    hi_bin = int(513 * 7000 / SR)
+    assert (covered[lo_bin:hi_bin] > 0).all()
+
+
+def test_tone_energy_lands_in_its_mel_bin():
+    t = np.arange(SR) / SR
+    for f in (300.0, 1000.0, 4000.0):
+        x = np.round(8000 * np.sin(2 * np.pi * f * t)).astype(np.int64)
+        q = logmel_frames_q(x, SR)
+        fb = mel_filterbank(SR)
+        fft_bin = int(round(f * 512 / SR))
+        expected = np.argmax(fb[:, fft_bin])
+        got = int(np.argmax(q.mean(axis=0)))
+        assert abs(got - expected) <= 1, f
+
+
+def test_kernel_deterministic_and_quantized():
+    from jsonschema_spark.sources.clips import _speech_proxy
+
+    x = _speech_proxy(140.0, SR, 1 << 40, 800)
+    q1, q2 = logmel_frames_q(x, SR), logmel_frames_q(x, SR)
+    assert np.array_equal(q1, q2)
+    assert q1.dtype == np.int64 and q1.shape[1] == N_MELS
+    # expected frame count for 25/10ms framing
+    assert q1.shape[0] == 1 + (SR - 400) // 160
+
+
+def test_subwindow_and_failures():
+    assert logmel_frames_q(np.ones(100, dtype=np.int64), SR).shape == (
+        0, N_MELS,
+    )
+    out = fbank_stats_batch(
+        pd.Series([None, b"RIFF1234WAVEbroken"]), pd.Series([SR, SR])
+    )
+    assert list(out["n_samples"]) == [-1, -1]
+    assert out["sum_q"].map(len).tolist() == [0, 0]
+
+
+def test_fbank_ledger_corpus_verifies(spark):
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.functions.fbank import audio_fbank_stats
+    from jsonschema_spark.sources.clips import (
+        FBANK_CLASS_MOD,
+        synth_fbank_clips,
+    )
+
+    clips = synth_fbank_clips(spark, 4 * FBANK_CLASS_MOD)
+    prof = clips.select(
+        "_row_idx", "_sumq", "_sumsqq", "_nfr", "_n",
+        audio_fbank_stats("bytes", "sr_hz").alias("p"),
+    )
+    bad = prof.where(
+        ~(
+            (F.col("p.sum_q") == F.col("_sumq"))
+            & (F.col("p.sumsq_q") == F.col("_sumsqq"))
+            & (F.col("p.n_frames") == F.col("_nfr"))
+            & (F.col("p.n_samples") == F.col("_n"))
+        )
+    ).count()
+    assert bad == 0
+    torn = clips.where(F.col("_row_idx") % FBANK_CLASS_MOD == 3)
+    assert torn.where(F.size("_sumq") != 0).count() == 0
+
+
+def test_cmvn_is_partitioning_invariant(spark):
+    """The design claim: int64 partials make corpus CMVN bit-identical
+    under ANY repartitioning (a float sum would drift in the last
+    bits and break reproducibility at 1000 executors)."""
+    from jsonschema_spark.functions.fbank import cmvn_stats
+    from jsonschema_spark.sources.clips import synth_fbank_clips
+
+    clips = synth_fbank_clips(spark, 24, partitions=4).persist()
+    a = sorted(tuple(r) for r in cmvn_stats(clips).collect())
+    b = sorted(
+        tuple(r) for r in cmvn_stats(clips.repartition(13)).collect()
+    )
+    c = sorted(
+        tuple(r) for r in cmvn_stats(clips.coalesce(1)).collect()
+    )
+    clips.unpersist()
+    assert a == b == c  # bit-equal, not approximately equal
+    assert len(a) == N_MELS
+    # stds are positive for a mixed corpus
+    assert all(row[3] > 0 for row in a)
+
+
+def test_cmvn_matches_numpy_reference(spark):
+    """End-to-end CMVN equals a single-machine numpy replay of the
+    same quantized kernel over the same clips."""
+    from jsonschema_spark.functions.fbank import cmvn_stats
+    from jsonschema_spark.sources.clips import synth_fbank_clips
+
+    clips = synth_fbank_clips(spark, 12, partitions=3)
+    rows = clips.select("bytes", "sr_hz").collect()
+    from jsonschema_spark.functions.audio import decode_payload
+
+    tot = np.zeros(N_MELS, dtype=np.int64)
+    tot2 = np.zeros(N_MELS, dtype=np.int64)
+    n = 0
+    for r in rows:
+        try:
+            pcm = decode_payload(bytes(r["bytes"]))
+        except ValueError:
+            continue
+        q = logmel_frames_q(pcm, r["sr_hz"])
+        tot += q.sum(axis=0)
+        tot2 += (q * q).sum(axis=0)
+        n += q.shape[0]
+    got = {
+        r["bin"]: (r["n_frames"], r["mean_logmel"], r["std_logmel"])
+        for r in cmvn_stats(clips).collect()
+    }
+    for b in range(N_MELS):
+        mean = float(tot[b]) / FBANK_Q / n
+        ex2 = float(tot2[b]) / (FBANK_Q * FBANK_Q) / n
+        std = np.sqrt(max(ex2 - mean * mean, 0.0))
+        assert got[b][0] == n
+        assert got[b][1] == pytest.approx(mean, rel=1e-12)
+        assert got[b][2] == pytest.approx(std, rel=1e-12)

@@ -445,3 +445,50 @@ def test_dropout_streaming_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_dropout_stream").collect()
     )
     assert got == want and len(got) == 18
+
+
+def test_fbank_streaming_parity(spark, tmp_path):
+    """Log-mel feature extraction under readStream: stateless per-row
+    transform + generate (posexplode), so the same compiled plan must
+    emit bit-identical quantized features per micro-batch (north rule:
+    one plan, batch and streaming)."""
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.functions.fbank import audio_fbank_stats
+    from jsonschema_spark.sources.clips import synth_fbank_clips
+
+    d = str(tmp_path / "f_clips")
+    synth_fbank_clips(spark, 16, partitions=4).drop(
+        "_row_idx", "_sumq", "_sumsqq", "_nfr", "_n",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def feats(df):
+        s = audio_fbank_stats("bytes", "sr_hz")
+        return df.select("clip_id", s.alias("s")).select(
+            "clip_id",
+            F.posexplode(F.arrays_zip("s.sum_q", "s.sumsq_q")).alias(
+                "bin", "z"
+            ),
+        ).select(
+            "clip_id", "bin",
+            F.col("z.sum_q").alias("sq"),
+            F.col("z.sumsq_q").alias("sq2"),
+        )
+
+    want = sorted(tuple(r) for r in feats(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        feats(stream)
+        .writeStream.format("memory").queryName("q_fbank_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fbank"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM q_fbank_stream").collect()
+    )
+    assert got == want and len(got) == 12 * 40  # 12 decodable clips
