@@ -3512,6 +3512,35 @@ def _q_clips_tonality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TAR_N = 400  # == _MIXED_N: reuse the already-materialized mixed corpus
+
+
+def _q_clips_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round trip — the de-facto training-corpus
+    distribution format: the mixed-container corpus (WAV/FLAC/AIFF/AU/
+    MP3/Ogg) packed ONCE into size-capped tars (payload + JSON sidecar
+    per key, reproducible USTAR bytes, one mapInPandas pass, no
+    shuffle), then read back via a binaryFile scan (one task per
+    shard — the format's native parallelism) + one unpacking Arrow
+    hop. Output = per-clip identity tuple (payload md5 over hex, all
+    sidecar metadata); the oracle reads the SOURCE parquet, so the
+    whole pack->unpack cycle must be lossless for every container
+    type."""
+    from jsonschema_spark.sources.clips import materialized_tar_shards
+    from jsonschema_spark.sources.shards import read_tar_shards
+
+    path = materialized_tar_shards(spark, _TAR_N)
+    back = read_tar_shards(spark, path + "/*.tar")
+    return back.select(
+        "clip_id",
+        F.md5(F.hex("bytes")).alias("payload_md5"),
+        "sr_hz",
+        "dur_ms",
+        "codec",
+        "transcript",
+    )
+
+
 _FBANK_N = 240
 
 
@@ -4446,6 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_dropout_screen": _q_clips_dropout_screen,
         "clips_fbank_features": _q_clips_fbank_features,
         "clips_fbank_cmvn": _q_clips_fbank_cmvn,
+        "clips_tar_roundtrip": _q_clips_tar_roundtrip,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -6986,6 +7016,24 @@ def _clips_tonality_screen_sql() -> str:
                _noise AS noiselike,
                _ok AS spectral_ok,
                _meas AS measurable
+        FROM {src}
+    """
+
+
+def _clips_tar_roundtrip_sql() -> str:
+    """Tar round-trip oracle: the SOURCE parquet of the mixed corpus —
+    the pack->unpack cycle must reproduce every payload byte (md5 over
+    hex, the repo's BLOB-hash convention) and every sidecar field."""
+    from jsonschema_spark.sources.clips import mixed_clips_path
+
+    src = f"read_parquet('{mixed_clips_path(_TAR_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               md5(hex(bytes)) AS payload_md5,
+               sr_hz,
+               dur_ms,
+               codec,
+               transcript
         FROM {src}
     """
 
@@ -9712,6 +9760,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_dropout_screen": _clips_dropout_screen_sql(),
         "clips_fbank_features": _clips_fbank_features_sql(),
         "clips_fbank_cmvn": _clips_fbank_cmvn_sql(),
+        "clips_tar_roundtrip": _clips_tar_roundtrip_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

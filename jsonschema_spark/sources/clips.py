@@ -4009,3 +4009,39 @@ def materialized_fbank_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_fbank_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- WebDataset tar-shard cache (sources/shards.py round-trip oracle) -------
+
+
+def tar_shards_dir(n: int) -> str:
+    return oracle_cache_path(f"clips_tar_{n}")
+
+
+def materialized_tar_shards(spark: SparkSession, n: int) -> str:
+    """WebDataset tars packed ONCE from the mixed-container corpus
+    (range-partitioned + sorted by clip_id -> deterministic shard
+    contents); the round-trip oracle reads the SOURCE parquet."""
+    import os
+
+    from jsonschema_spark.sources.shards import write_tar_shards
+
+    path = tar_shards_dir(n)
+    ok = os.path.join(path, "_SHARDS_OK")
+    if not os.path.exists(ok):
+        clips, _ = materialized_mixed_clips(spark, n)
+        led = [c for c in clips.columns if c.startswith("_")]
+        src = (
+            clips.drop(*led)
+            .repartitionByRange(4, "clip_id")
+            .sortWithinPartitions("clip_id")
+        )
+        from pyspark.sql import functions as F
+
+        manifest = write_tar_shards(src, path, shard_bytes=1 << 20)
+        total = manifest.agg(F.sum("n_samples")).collect()[0][0]
+        if total != n:
+            raise RuntimeError(f"tar pack lost rows: {total}/{n}")
+        with open(ok, "w") as f:
+            f.write(str(total))
+    return path
