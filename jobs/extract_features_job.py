@@ -1,0 +1,203 @@
+"""spark-submit entry point: training-feature extraction.
+
+The production last-mile: take a clips corpus (parquet, or WebDataset
+tar shards — the format training corpora actually ship in), optionally
+drop transport-damaged / synthetic-signal / low-SNR clips (the
+reference-free hygiene screens), extract quantized log-mel features
+(functions/fbank.py: per-clip per-bin fixed-point partials in ONE
+Arrow hop), and write:
+
+  --features   parquet of (clip_id, sum_q, sumsq_q, n_frames,
+               n_samples) — the per-clip feature partials
+  --cmvn       parquet of (bin, n_frames, mean_logmel, std_logmel) —
+               the corpus CMVN stats, computed by the EXACT int64
+               aggregation (bit-identical on any partitioning)
+
+plus ONE JSON report line (input/gated/decoded counts, total frames).
+
+    spark-submit --py-files jsonschema_spark.zip \\
+        jobs/extract_features_job.py --shards '/corpus/shards/*.tar' \\
+        --gate --features /out/feats --cmvn /out/cmvn
+
+Sandbox smoke:
+
+    python jobs/extract_features_job.py --synthesize 400 \\
+        --features /tmp/feats --cmvn /tmp/cmvn --master 'local[8]'
+
+Scale shape: payloads cross the Arrow boundary once for the gates (if
+enabled) and once for the features; the only shuffle is the skinny
+O(clips x 40) long-row CMVN aggregation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def extract_features(
+    clips,
+    gate: bool = False,
+    min_snr_est_db: float | None = None,
+    features: str | None = None,
+    cmvn: str | None = None,
+):
+    """Run the extraction; returns (features DF, cmvn DF, stats)."""
+    from jsonschema_spark.functions.fbank import audio_fbank_stats
+
+    n_input = clips.count()
+    n_gated = 0
+    if gate or min_snr_est_db is not None:
+        from jsonschema_spark.functions.dropouts import (
+            artifact_gates,
+            audio_artifacts,
+        )
+        from jsonschema_spark.functions.tonality import (
+            audio_tonality,
+            tonality_gates,
+        )
+
+        ok = F.lit(True)
+        if gate:
+            ok = (
+                ok
+                & tonality_gates(
+                    audio_tonality("bytes", "sr_hz")
+                )["spectral_ok"]
+                & artifact_gates(
+                    audio_artifacts("bytes", "sr_hz")
+                )["artifact_ok"]
+            )
+        if min_snr_est_db is not None:
+            from jsonschema_spark.functions.snrest import (
+                audio_snr_est,
+                snr_gates,
+            )
+
+            ok = ok & snr_gates(
+                audio_snr_est("bytes", "sr_hz"),
+                min_snr_db=min_snr_est_db,
+            )["snr_ok"]
+        ann = clips.withColumn("_ok", ok).persist()
+        kept = ann.filter(F.col("_ok")).drop("_ok")
+        n_kept = kept.count()
+        n_gated = n_input - n_kept
+        clips = kept
+    feats = clips.select(
+        "clip_id", audio_fbank_stats("bytes", "sr_hz").alias("s")
+    ).select(
+        "clip_id",
+        F.col("s.sum_q").alias("sum_q"),
+        F.col("s.sumsq_q").alias("sumsq_q"),
+        F.col("s.n_frames").alias("n_frames"),
+        F.col("s.n_samples").alias("n_samples"),
+    ).persist()
+    if features:
+        feats.write.mode("overwrite").parquet(features)
+    # CMVN from the WRITTEN partials (no second decode pass): the same
+    # exact int64 arithmetic as functions/fbank.cmvn_stats
+    from jsonschema_spark.functions.fbank import FBANK_Q
+
+    z = feats.select(
+        F.posexplode(F.arrays_zip("sum_q", "sumsq_q")).alias("bin", "z"),
+        F.col("n_frames").alias("nf"),
+    )
+    agg = z.groupBy("bin").agg(
+        F.sum("nf").alias("n_frames"),
+        F.sum("z.sum_q").alias("tot_q"),
+        F.sum("z.sumsq_q").alias("tot_sq"),
+    )
+    n = agg["n_frames"].cast("double")
+    mean = agg["tot_q"].cast("double") / F.lit(float(FBANK_Q)) / n
+    ex2 = (
+        agg["tot_sq"].cast("double")
+        / F.lit(float(FBANK_Q * FBANK_Q))
+        / n
+    )
+    var = ex2 - mean * mean
+    cm = agg.select(
+        "bin",
+        "n_frames",
+        mean.alias("mean_logmel"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_logmel"),
+    )
+    if cmvn:
+        cm.write.mode("overwrite").parquet(cmvn)
+    summary = feats.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.col("n_frames") > 0).cast("long")).alias("decoded"),
+        F.sum("n_frames").alias("frames"),
+    ).collect()[0]
+    stats = {
+        "input_rows": n_input,
+        "gated_rows": n_gated,
+        "feature_rows": summary["rows"],
+        "decoded_rows": int(summary["decoded"] or 0),
+        "total_frames": int(summary["frames"] or 0),
+    }
+    return feats, cm, stats
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="clips parquet path")
+    p.add_argument("--shards", help="WebDataset tar shard glob")
+    p.add_argument("--synthesize", type=int,
+                   help="generate N synthetic clips instead")
+    p.add_argument("--features", help="feature-partials parquet output")
+    p.add_argument("--cmvn", help="corpus CMVN parquet output")
+    p.add_argument("--gate", action="store_true",
+                   help="drop tonality/artifact-violating clips first")
+    p.add_argument("--min-snr-est", type=float, default=None,
+                   help="also drop clips under this reference-free SNR")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+    if not (args.input or args.shards or args.synthesize):
+        p.error("--input, --shards or --synthesize required")
+
+    preexisting = SparkSession.getActiveSession() is not None
+    builder = SparkSession.builder.appName("jsonschema-spark-features")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        .config("spark.driver.extraJavaOptions",
+                "-XX:G1HeapRegionSize=32m")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:G1HeapRegionSize=32m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.shards:
+        from jsonschema_spark.sources.shards import read_tar_shards
+
+        clips = read_tar_shards(spark, args.shards)
+    elif args.input:
+        clips = spark.read.parquet(args.input)
+    else:
+        from jsonschema_spark.sources.clips import synth_fbank_clips
+
+        clips = synth_fbank_clips(spark, args.synthesize)
+    meta = [c for c in clips.columns if c.startswith("_")]
+    if meta:
+        clips = clips.drop(*meta)
+    _f, _c, stats = extract_features(
+        clips,
+        gate=args.gate,
+        min_snr_est_db=args.min_snr_est,
+        features=args.features,
+        cmvn=args.cmvn,
+    )
+    print(json.dumps(stats))
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

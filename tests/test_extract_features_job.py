@@ -1,0 +1,83 @@
+"""Feature-extraction job (jobs/extract_features_job.py): the
+production last-mile — shards/parquet in, gated, quantized log-mel
+partials + corpus CMVN out, one JSON report."""
+
+import glob
+import json
+
+import pyspark.sql.functions as F
+
+from jobs.extract_features_job import extract_features, main
+
+
+def test_cmvn_matches_library_path(spark, tmp_path):
+    """The job's CMVN (computed from the WRITTEN partials, no second
+    decode pass) is bit-equal to functions/fbank.cmvn_stats."""
+    from jsonschema_spark.functions.fbank import cmvn_stats
+    from jsonschema_spark.sources.clips import synth_fbank_clips
+
+    clips = synth_fbank_clips(spark, 16, partitions=4).drop(
+        "_row_idx", "_sumq", "_sumsqq", "_nfr", "_n"
+    ).persist()
+    feats, cm, stats = extract_features(
+        clips,
+        features=str(tmp_path / "feats"),
+        cmvn=str(tmp_path / "cmvn"),
+    )
+    want = sorted(tuple(r) for r in cmvn_stats(clips).collect())
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "cmvn")).collect()
+    )
+    assert got == want
+    assert stats["input_rows"] == 16 and stats["gated_rows"] == 0
+    assert stats["feature_rows"] == 16
+    assert stats["decoded_rows"] == 12  # torn class undecodable
+    written = spark.read.parquet(str(tmp_path / "feats"))
+    assert written.count() == 16
+    clips.unpersist()
+
+
+def test_gated_extraction_drops_bad_clips(spark, tmp_path):
+    """--gate composes the tonality + artifact screens: the dropout
+    corpus's damaged/silent/torn classes never reach features."""
+    from jsonschema_spark.sources.clips import (
+        DROPOUT_CLASS_MOD,
+        synth_dropout_clips,
+    )
+
+    n = 2 * DROPOUT_CLASS_MOD
+    clips = synth_dropout_clips(spark, n, partitions=4)
+    clips = clips.drop(*[c for c in clips.columns if c.startswith("_")])
+    feats, cm, stats = extract_features(clips, gate=True)
+    # only class 0 (clean) survives both screens
+    assert stats["input_rows"] == n
+    assert stats["gated_rows"] == 2 * 5
+    assert stats["feature_rows"] == 2
+    assert feats.where(F.col("n_frames") > 0).count() == 2
+
+
+def test_job_cli_from_shards(spark, tmp_path, capsys):
+    """End to end from WebDataset shards: pack a corpus, run the CLI
+    against the shard glob, read back features + CMVN."""
+    from jsonschema_spark.sources.clips import synth_fbank_clips
+    from jsonschema_spark.sources.shards import write_tar_shards
+
+    d = str(tmp_path / "shards")
+    clips = synth_fbank_clips(spark, 12, partitions=2).drop(
+        "_row_idx", "_sumq", "_sumsqq", "_nfr", "_n"
+    )
+    write_tar_shards(clips.coalesce(1), d, shard_bytes=1 << 20).collect()
+    assert glob.glob(d + "/*.tar")
+    rc = main([
+        "--shards", d + "/*.tar",
+        "--features", str(tmp_path / "f"),
+        "--cmvn", str(tmp_path / "c"),
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_rows"] == 12
+    assert stats["feature_rows"] == 12
+    cm = spark.read.parquet(str(tmp_path / "c"))
+    assert cm.count() == 40
+    assert cm.where(F.col("n_frames") > 0).count() == 40
