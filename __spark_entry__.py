@@ -3512,6 +3512,31 @@ def _q_clips_tonality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FBANK_MAT_N = 96
+
+
+def _q_clips_fbank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame feature tensor — the actual training input, pinned
+    element-for-element: the full quantized log-mel matrix per clip
+    (row-major frame x mel, int64 millis), exploded to (clip_id, pos,
+    q) scalar rows so the cross-engine compare is over exact integers
+    (pos -> frame = pos div 40, mel = pos mod 40). Undecodable clips
+    carry empty tensors and emit no rows."""
+    from jsonschema_spark.functions.fbank import audio_fbank_matrix
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    s = clips.select(
+        "clip_id", audio_fbank_matrix("bytes", "sr_hz").alias("s")
+    )
+    return s.select(
+        "clip_id",
+        F.posexplode("s.mat_q").alias("pos", "q"),
+    )
+
+
 _TAR_N = 400  # == _MIXED_N: reuse the already-materialized mixed corpus
 
 
@@ -4476,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_fbank_features": _q_clips_fbank_features,
         "clips_fbank_cmvn": _q_clips_fbank_cmvn,
         "clips_tar_roundtrip": _q_clips_tar_roundtrip,
+        "clips_fbank_matrix": _q_clips_fbank_matrix,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7017,6 +7043,23 @@ def _clips_tonality_screen_sql() -> str:
                _ok AS spectral_ok,
                _meas AS measurable
         FROM {src}
+    """
+
+
+def _clips_fbank_matrix_sql() -> str:
+    """Feature-tensor ledger oracle: per-element read of the flattened
+    quantized matrix via a CONSTANT range cross join filtered to each
+    row's length (DuckDB's range() table function cannot be lateral) +
+    list_extract (1-based)."""
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               CAST(r.range AS INTEGER) AS pos,
+               list_extract(_mat, CAST(r.range + 1 AS INTEGER)) AS q
+        FROM {src}, range(4096) AS r
+        WHERE r.range < len(_mat)
     """
 
 
@@ -9761,6 +9804,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_fbank_features": _clips_fbank_features_sql(),
         "clips_fbank_cmvn": _clips_fbank_cmvn_sql(),
         "clips_tar_roundtrip": _clips_tar_roundtrip_sql(),
+        "clips_fbank_matrix": _clips_fbank_matrix_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

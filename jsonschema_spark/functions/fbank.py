@@ -222,3 +222,61 @@ def cmvn_stats(
         mean.alias("mean_logmel"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_logmel"),
     )
+
+
+FBANK_MATRIX_TYPE = T.StructType(
+    [
+        T.StructField("mat_q", T.ArrayType(T.LongType())),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def fbank_matrix_batch(payloads: pd.Series, srs: pd.Series) -> pd.DataFrame:
+    """Per-clip FLATTENED quantized log-mel matrix (row-major
+    frame x mel, int64 millis) — the actual training input tensor;
+    empty for undecodable / sub-window clips."""
+    mats: list[list[int]] = []
+    kf = np.zeros(len(payloads), dtype=np.int64)
+    ns = np.full(len(payloads), -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (
+            isinstance(sr, float) and np.isnan(sr)
+        ):
+            mats.append([])
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            mats.append([])
+            continue
+        ns[i] = len(pcm)
+        q = logmel_frames_q(pcm, int(sr))
+        kf[i] = q.shape[0]
+        mats.append(q.reshape(-1).tolist())
+    return pd.DataFrame(
+        {
+            "mat_q": mats,
+            "n_frames": kf.astype(np.int32),
+            "n_samples": ns,
+        }
+    )
+
+
+@F.pandas_udf(FBANK_MATRIX_TYPE)
+def _fbank_matrix_udf(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+    return fbank_matrix_batch(p, sr)
+
+
+def audio_fbank_matrix(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+) -> Column:
+    """struct(mat_q, n_frames, n_samples) — the full per-frame feature
+    tensor, ONE Arrow hop; mat_q is row-major (frame, mel) flattened
+    so pos -> (pos div N_MELS, pos mod N_MELS)."""
+    return _fbank_matrix_udf(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )

@@ -4045,3 +4045,91 @@ def materialized_tar_shards(spark: SparkSession, n: int) -> str:
         with open(ok, "w") as f:
             f.write(str(total))
     return path
+
+
+# --- per-frame feature-tensor ledger corpus (fbank matrix query) ------------
+
+
+def synth_fbank_mat_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (300, 700),
+) -> DataFrame:
+    """Same class roster as the fbank stats corpus, but the ledger
+    stores the FULL flattened per-frame quantized matrix — the actual
+    training tensor, pinned element-for-element."""
+    from jsonschema_spark.functions.audio import encode_wav_pcm16
+    from jsonschema_spark.functions.fbank import fbank_matrix_batch
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    sr = FBANK_SR_HZ
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % FBANK_CLASS_MOD
+        m = sr * dur // 1000
+        if cls == 0:
+            f0 = 100.0 + ((h >> 8) % 141)
+            pcm = _speech_proxy(f0, m, i * (1 << 32),
+                                600 + ((h >> 8) % 601))
+        elif cls == 1:
+            t = np.arange(m, dtype=np.float64) / sr
+            f = 300.0 + ((h >> 8) % 5701)
+            pcm = np.round(7000.0 * np.sin(2 * np.pi * f * t)).astype(
+                np.int64
+            )
+        elif cls == 2:
+            pcm = _noise_signal(m, i * (1 << 32))
+        else:
+            pcm = np.zeros(m, dtype=np.int64)
+        raw = encode_wav_pcm16(pcm, sr)
+        if cls == FBANK_CLS_TORN:
+            raw = raw[:25]
+        led = fbank_matrix_batch(
+            pd.Series([raw]), pd.Series([sr])
+        ).iloc[0]
+        return (cid, bytearray(raw), sr, dur, "pcm_s16le",
+                transcript_for(cid), i, list(led["mat_q"]),
+                int(led["n_frames"]), int(led["n_samples"]))
+
+    schema = T.StructType(
+        list(CLIPS_SCHEMA.fields)
+        + [
+            T.StructField("_row_idx", T.LongType(), False),
+            T.StructField("_mat", T.ArrayType(T.LongType()), False),
+            T.StructField("_nfr", T.IntegerType(), False),
+            T.StructField("_n", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_mat", "_nfr", "_n"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def fbank_mat_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_fbank_mat_{n}")
+
+
+def materialized_fbank_mat_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Feature-tensor ledger table materialized once."""
+    import os
+
+    path = fbank_mat_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_fbank_mat_clips(spark, n), path)
+    return spark.read.parquet(path), path

@@ -152,3 +152,30 @@ def test_cmvn_matches_numpy_reference(spark):
         assert got[b][0] == n
         assert got[b][1] == pytest.approx(mean, rel=1e-12)
         assert got[b][2] == pytest.approx(std, rel=1e-12)
+
+
+def test_fbank_matrix_ledger_and_layout(spark):
+    """The flattened tensor UDF matches the ledger element-for-element
+    and the row-major layout convention (pos = frame*N_MELS + mel)."""
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.functions.fbank import audio_fbank_matrix
+    from jsonschema_spark.sources.clips import synth_fbank_mat_clips
+
+    clips = synth_fbank_mat_clips(spark, 8, partitions=2)
+    prof = clips.select(
+        "_row_idx", "_mat", "_nfr", "_n", "bytes", "sr_hz",
+        audio_fbank_matrix("bytes", "sr_hz").alias("p"),
+    )
+    rows = prof.collect()
+    assert len(rows) == 8
+    from jsonschema_spark.functions.audio import decode_payload
+
+    for r in rows:
+        assert list(r["p"]["mat_q"]) == list(r["_mat"]), r["_row_idx"]
+        assert r["p"]["n_frames"] == r["_nfr"]
+        assert len(r["_mat"]) == r["_nfr"] * N_MELS
+        if r["_nfr"] > 0:
+            pcm = decode_payload(bytes(r["bytes"]))
+            q = logmel_frames_q(pcm, r["sr_hz"])
+            assert list(q.reshape(-1)) == list(r["_mat"])
