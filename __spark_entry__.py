@@ -3425,7 +3425,7 @@ def _q_clips_pitch_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STEREO_N = 320
+_STEREO_SCREEN_N = 320
 
 
 def _q_clips_stereo_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3443,9 +3443,11 @@ def _q_clips_stereo_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides via Arrow). Class 7 anchors floor-tightness: corr ~0.99
     real stereo must stay stereo_ok."""
     from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
-    from jsonschema_spark.sources.clips import materialized_stereo_clips
+    from jsonschema_spark.sources.clips import (
+        materialized_stereo_screen_clips,
+    )
 
-    clips, _ = materialized_stereo_clips(spark, _STEREO_N)
+    clips, _ = materialized_stereo_screen_clips(spark, _STEREO_SCREEN_N)
     prof = clips.select(
         "clip_id", audio_stereo("bytes").alias("p")
     )
@@ -7000,9 +7002,12 @@ def _clips_stereo_screen_sql() -> str:
     ledger stores the final booleans, so the oracle is a straight
     ledger read; NaN sentinels land as NULL via Arrow nan-as-null on
     BOTH sides)."""
-    from jsonschema_spark.sources.clips import stereo_clips_path
+    from jsonschema_spark.sources.clips import stereo_screen_clips_path
 
-    src = f"read_parquet('{stereo_clips_path(_STEREO_N)}/*.parquet')"
+    src = (
+        f"read_parquet('{stereo_screen_clips_path(_STEREO_SCREEN_N)}"
+        "/*.parquet')"
+    )
     return f"""
         SELECT clip_id,
                _nch AS n_channels,

@@ -336,9 +336,9 @@ def q_clips_stereo(spark: SparkSession):
     ONE Arrow hop — dual-mono / out-of-phase / dead-channel gates per
     clip."""
     from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
-    from jsonschema_spark.sources.clips import materialized_stereo_clips
+    from jsonschema_spark.sources.clips import materialized_stereo_screen_clips
 
-    clips, _ = materialized_stereo_clips(spark, _STEREO_BENCH_N)
+    clips, _ = materialized_stereo_screen_clips(spark, _STEREO_BENCH_N)
     g = stereo_gates(audio_stereo("bytes"))
     return (
         clips.select(g.alias("g"))

@@ -3216,12 +3216,11 @@ def materialized_pitch_clips(
 # (all four containers are lossless here) + gate arithmetic mirrored in
 # Python (same IEEE ops, NaN -> NULL on both sides via Arrow).
 
-STEREO_SR_HZ = 16000
 STEREO_CLASS_MOD = 8
 STEREO_CLS_TORN = 6
 
 
-def synth_stereo_clips(
+def synth_stereo_screen_clips(
     spark: SparkSession,
     n: int,
     partitions: Optional[int] = None,
@@ -3334,20 +3333,20 @@ def synth_stereo_clips(
     return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
 
 
-def stereo_clips_path(n: int) -> str:
-    return oracle_cache_path(f"clips_stereo_{n}")
+def stereo_screen_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_stereo_screen_{n}")
 
 
-def materialized_stereo_clips(
+def materialized_stereo_screen_clips(
     spark: SparkSession, n: int
 ) -> tuple[DataFrame, str]:
     """Stereo ledger table materialized once (oracle-cache protocol)."""
     import os
 
-    path = stereo_clips_path(n)
+    path = stereo_screen_clips_path(n)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        publish_once(synth_stereo_clips(spark, n), path)
+        publish_once(synth_stereo_screen_clips(spark, n), path)
     return spark.read.parquet(path), path
 
 

@@ -122,10 +122,10 @@ def test_stereo_ledger_corpus_verifies(spark):
     from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
     from jsonschema_spark.sources.clips import (
         STEREO_CLASS_MOD,
-        synth_stereo_clips,
+        synth_stereo_screen_clips,
     )
 
-    clips = synth_stereo_clips(spark, 2 * STEREO_CLASS_MOD)
+    clips = synth_stereo_screen_clips(spark, 2 * STEREO_CLASS_MOD)
     prof = clips.select(
         "_row_idx", "_nch", "_corr", "_rmsl", "_rmsr", "_rmsm", "_rmss",
         "_n", "_stereo", "_dual", "_phase", "_imb", "_ok", "_meas",
@@ -171,10 +171,10 @@ def test_audio_stereo_suite_check(spark):
     from jsonschema_spark.operators.suite import run_suite
     from jsonschema_spark.sources.clips import (
         STEREO_CLASS_MOD,
-        synth_stereo_clips,
+        synth_stereo_screen_clips,
     )
 
-    clips = synth_stereo_clips(spark, 2 * STEREO_CLASS_MOD)
+    clips = synth_stereo_screen_clips(spark, 2 * STEREO_CLASS_MOD)
     cfg = {
         "checks": [
             {"name": "stereo", "type": "audio_stereo", "table": "clips",
@@ -203,10 +203,10 @@ def test_suggest_drafts_audio_stereo(spark):
     from jsonschema_spark.operators.suite import run_suite
     from jsonschema_spark.sources.clips import (
         STEREO_CLASS_MOD,
-        synth_stereo_clips,
+        synth_stereo_screen_clips,
     )
 
-    clips = synth_stereo_clips(spark, 2 * STEREO_CLASS_MOD).drop(
+    clips = synth_stereo_screen_clips(spark, 2 * STEREO_CLASS_MOD).drop(
         "_row_idx", "_nch", "_corr", "_rmsl", "_rmsr", "_rmsm", "_rmss",
         "_n", "_stereo", "_dual", "_phase", "_imb", "_ok", "_meas",
     )

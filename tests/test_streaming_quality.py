@@ -263,10 +263,10 @@ def test_stereo_streaming_parity(spark, tmp_path):
     bit-identical profiles + gates per micro-batch (north rule: one
     plan, batch and streaming)."""
     from jsonschema_spark.functions.stereo import audio_stereo, stereo_gates
-    from jsonschema_spark.sources.clips import synth_stereo_clips
+    from jsonschema_spark.sources.clips import synth_stereo_screen_clips
 
     d = str(tmp_path / "s_clips")
-    synth_stereo_clips(spark, 24, partitions=4).drop(
+    synth_stereo_screen_clips(spark, 24, partitions=4).drop(
         "_row_idx", "_nch", "_corr", "_rmsl", "_rmsr", "_rmsm", "_rmss",
         "_n", "_stereo", "_dual", "_phase", "_imb", "_ok", "_meas",
     ).write.mode("overwrite").parquet(d)
