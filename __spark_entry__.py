@@ -3539,6 +3539,112 @@ def _q_clips_fbank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_fbank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta / delta-delta features derived from the feature tensor in
+    PURE Column algebra (element_at window regressions over the
+    materialized flattened matrix — no second decode pass, no Python):
+    the int64 numerators (true delta = d_num/10, delta-delta =
+    dd_num/100, the HTK/Kaldi N=2 regression with edge replication)
+    stay exact, so the DuckDB oracle recomputes EVERY element from the
+    `_mat` ledger with the identical clamp arithmetic — a cross-engine
+    kernel recompute, not a ledger read. The double d/dd columns are
+    one correctly-rounded division each (the float-oracle whitelist)."""
+    from jsonschema_spark.functions.fbank import (
+        audio_fbank_matrix,
+        delta_features,
+    )
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    s = clips.select(
+        "clip_id", audio_fbank_matrix("bytes", "sr_hz").alias("s")
+    )
+    base = s.select(
+        "clip_id",
+        F.col("s.mat_q").alias("mat_q"),
+        F.col("s.n_frames").alias("nfr"),
+    )
+    d, dd = delta_features("mat_q", "nfr")
+    z = base.select(
+        "clip_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("mat_q").alias("q"),
+                d.alias("dnum"),
+                dd.alias("ddnum"),
+            )
+        ).alias("pos", "z"),
+    )
+    return z.select(
+        "clip_id",
+        "pos",
+        F.col("z.q").alias("q"),
+        F.col("z.dnum").alias("d_num"),
+        F.col("z.ddnum").alias("dd_num"),
+        (F.col("z.dnum").cast("double") / F.lit(10.0)).alias("d"),
+        (F.col("z.ddnum").cast("double") / F.lit(100.0)).alias("dd"),
+    )
+
+
+_SPECAUG_SEED = "ep0"
+
+
+def _q_clips_specaugment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpecAugment time/frequency masking over the feature tensor —
+    deterministic epoch draws (md5_60 of (seed, clip_id) for every
+    width and start), zero Python, zero shuffle: mask scalars are
+    codegen'd projection attributes (pinned by the plan assert in
+    tests/test_augment.py — lambda-hidden references would otherwise
+    re-inline the md5 draw per matrix element) and the rewrite is one
+    array transform. The oracle replays the draws AND every masked
+    element from the `_mat` ledger with the identical integer
+    arithmetic."""
+    from jsonschema_spark.functions.fbank import audio_fbank_matrix
+    from jsonschema_spark.operators.augment import spec_augment
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    s = clips.select(
+        "clip_id", audio_fbank_matrix("bytes", "sr_hz").alias("s")
+    )
+    base = s.select(
+        "clip_id",
+        F.col("s.mat_q").alias("mat_q"),
+        F.col("s.n_frames").alias("n_frames"),
+    )
+    aug = spec_augment(base, seed=_SPECAUG_SEED)
+    # every _sa_* param must stay in the projection: a mask scalar
+    # referenced ONLY inside the transform lambda is re-inlined by
+    # project collapsing (one md5 per matrix element)
+    params = [
+        F.col(f"_sa_{a}_{p}{i}").alias(f"{a}_{p}{i}")
+        for a in ("t", "f")
+        for i in (0, 1)
+        for p in ("s", "w")
+    ]
+    z = aug.select(
+        "clip_id",
+        *params,
+        F.posexplode(
+            F.arrays_zip(
+                F.col("mat_q").alias("q"), F.col("aug_q").alias("a")
+            )
+        ).alias("pos", "z"),
+    )
+    return z.select(
+        "clip_id",
+        *[f"{a}_{p}{i}" for a in ("t", "f") for i in (0, 1)
+          for p in ("s", "w")],
+        "pos",
+        F.col("z.q").alias("q"),
+        F.col("z.a").alias("q_aug"),
+    )
+
+
 _TAR_N = 400  # == _MIXED_N: reuse the already-materialized mixed corpus
 
 
@@ -4504,6 +4610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_fbank_cmvn": _q_clips_fbank_cmvn,
         "clips_tar_roundtrip": _q_clips_tar_roundtrip,
         "clips_fbank_matrix": _q_clips_fbank_matrix,
+        "clips_fbank_delta": _q_clips_fbank_delta,
+        "clips_specaugment": _q_clips_specaugment,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7065,6 +7173,144 @@ def _clips_fbank_matrix_sql() -> str:
                list_extract(_mat, CAST(r.range + 1 AS INTEGER)) AS q
         FROM {src}, range(4096) AS r
         WHERE r.range < len(_mat)
+    """
+
+
+def _clips_fbank_delta_sql() -> str:
+    """Delta-feature oracle: recompute every numerator element from the
+    `_mat` ledger with the IDENTICAL edge-replicating regression
+    arithmetic (integer clamp + list_extract terms) — the delta-delta
+    expands the inner regression in closed form exactly as the Spark
+    Column algebra does."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+
+    def _at(t_expr: str) -> str:
+        return (
+            f"list_extract(_mat, CAST(({t_expr}) * {nm} + m + 1"
+            " AS INTEGER))"
+        )
+
+    def _clamp(t_expr: str) -> str:
+        return f"greatest(0, least({t_expr}, _nfr - 1))"
+
+    def _dnum(t_expr: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"{k} * ({_at(_clamp(f'({t_expr}) + {k}'))}"
+                f" - {_at(_clamp(f'({t_expr}) - {k}'))})"
+                for k in (1, 2)
+            )
+            + ")"
+        )
+
+    d_expr = _dnum("t")
+    dd_expr = (
+        "("
+        + " + ".join(
+            f"{j} * ({_dnum(_clamp(f't + {j}'))}"
+            f" - {_dnum(_clamp(f't - {j}'))})"
+            for j in (1, 2)
+        )
+        + ")"
+    )
+    return f"""
+        WITH e AS (
+            SELECT clip_id, _nfr, _mat,
+                   CAST(r.range AS INTEGER) AS pos,
+                   CAST(r.range // {nm} AS INTEGER) AS t,
+                   CAST(r.range % {nm} AS INTEGER) AS m
+            FROM {src}, range(4096) AS r
+            WHERE r.range < len(_mat)
+        )
+        SELECT clip_id, pos,
+               list_extract(_mat, pos + 1) AS q,
+               CAST({d_expr} AS BIGINT) AS d_num,
+               CAST({dd_expr} AS BIGINT) AS dd_num,
+               CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
+               CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
+        FROM e
+    """
+
+
+def _clips_specaugment_sql() -> str:
+    """SpecAugment oracle: replay every md5_60 width/start draw and
+    every masked element from the `_mat` ledger — integer arithmetic
+    end to end."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+    seed = _SPECAUG_SEED
+    max_t, max_f = 20, 8
+
+    def draw(tag: str) -> str:
+        return _h60(f"'{seed}:{tag}' || '|' || clip_id")
+
+    widths = ",\n                   ".join(
+        [
+            f"{draw(f'tw{i}')} % {max_t + 1} AS t_w{i}"
+            for i in (0, 1)
+        ]
+        + [
+            f"{draw(f'fw{i}')} % {max_f + 1} AS f_w{i}"
+            for i in (0, 1)
+        ]
+    )
+    starts = ",\n                   ".join(
+        [
+            f"{draw(f'ts{i}')} % greatest(1, _nfr - t_w{i} + 1)"
+            f" AS t_s{i}"
+            for i in (0, 1)
+        ]
+        + [
+            f"{draw(f'fs{i}')} % greatest(1, {nm} - f_w{i} + 1)"
+            f" AS f_s{i}"
+            for i in (0, 1)
+        ]
+    )
+    hit = " OR ".join(
+        [
+            f"(t >= t_s{i} AND t < t_s{i} + t_w{i})"
+            for i in (0, 1)
+        ]
+        + [
+            f"(m >= f_s{i} AND m < f_s{i} + f_w{i})"
+            for i in (0, 1)
+        ]
+    )
+    return f"""
+        WITH w AS (
+            SELECT clip_id, _nfr, _mat,
+                   {widths}
+            FROM {src}
+        ), p AS (
+            SELECT *,
+                   {starts}
+            FROM w
+        ), e AS (
+            SELECT clip_id, _mat,
+                   t_s0, t_w0, t_s1, t_w1,
+                   f_s0, f_w0, f_s1, f_w1,
+                   CAST(r.range AS INTEGER) AS pos,
+                   CAST(r.range // {nm} AS BIGINT) AS t,
+                   CAST(r.range % {nm} AS BIGINT) AS m
+            FROM p, range(4096) AS r
+            WHERE r.range < len(_mat)
+        )
+        SELECT clip_id,
+               t_s0, t_w0, t_s1, t_w1,
+               f_s0, f_w0, f_s1, f_w1,
+               pos,
+               list_extract(_mat, pos + 1) AS q,
+               CASE WHEN {hit} THEN 0
+                    ELSE list_extract(_mat, pos + 1) END AS q_aug
+        FROM e
     """
 
 
@@ -9810,6 +10056,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_fbank_cmvn": _clips_fbank_cmvn_sql(),
         "clips_tar_roundtrip": _clips_tar_roundtrip_sql(),
         "clips_fbank_matrix": _clips_fbank_matrix_sql(),
+        "clips_fbank_delta": _clips_fbank_delta_sql(),
+        "clips_specaugment": _clips_specaugment_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -280,3 +280,109 @@ def audio_fbank_matrix(
         F.col(payload) if isinstance(payload, str) else payload,
         F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta / delta-delta features — derived from the STORED quantized matrix
+# ---------------------------------------------------------------------------
+
+DELTA_N = 2  # regression half-window (the Kaldi/HTK default)
+DELTA_DENOM = 2 * sum(k * k for k in range(1, DELTA_N + 1))  # = 10
+
+
+def _clamp_frame(t: Column, n_frames: Column) -> Column:
+    """Edge-replicating frame clamp to [0, n_frames-1] (HTK/Kaldi
+    boundary convention for the delta regression)."""
+    return F.greatest(F.lit(0), F.least(t, n_frames - F.lit(1)))
+
+
+def _delta_num_at(
+    mat: Column, t: Column, m: Column, n_frames: Column, n_mels: int
+) -> Column:
+    """Int64 delta NUMERATOR at (frame t, mel m) over a flattened
+    row-major matrix attribute:
+
+        num[t,m] = sum_{k=1..N} k * (q[min(t+k,T-1),m] - q[max(t-k,0),m])
+
+    The true delta is num / DELTA_DENOM; keeping the numerator integer
+    keeps the whole feature chain exact and cross-engine checkable."""
+    total: Column | None = None
+    for k in range(1, DELTA_N + 1):
+        up = F.element_at(
+            mat,
+            (_clamp_frame(t + F.lit(k), n_frames) * F.lit(n_mels)
+             + m + F.lit(1)).cast("int"),
+        )
+        dn = F.element_at(
+            mat,
+            (_clamp_frame(t - F.lit(k), n_frames) * F.lit(n_mels)
+             + m + F.lit(1)).cast("int"),
+        )
+        term = F.lit(k).cast("long") * (up - dn)
+        total = term if total is None else total + term
+    return total
+
+
+def delta_features(
+    mat_col: str, n_frames_col: str, n_mels: int = N_MELS
+) -> tuple[Column, Column]:
+    """(delta_num, ddelta_num) int64 array columns over a MATERIALIZED
+    flattened quantized log-mel matrix — pure Column algebra, no decode
+    pass, no Python: deltas for a 100 TB corpus are derived from the
+    already-written feature parquet (one scan, zero shuffles) instead
+    of re-decoding payloads.
+
+    True values: delta = delta_num / 10, delta-delta = ddelta_num / 100
+    (DELTA_DENOM and its square); both divisions are single
+    correctly-rounded IEEE ops, so the doubles are oracle-safe too.
+
+    The delta-delta is the regression-of-the-regression with the SAME
+    edge-replication clamp, expanded in closed form against the matrix
+    attribute (16 element_at per element) rather than materializing the
+    intermediate delta array — project collapsing would otherwise
+    inline the whole first transform into every element_at of the
+    second (the nested-rewrite blowup documented in CLAUDE.md).
+
+    ``mat_col``/``n_frames_col`` MUST name plain attributes (HOF
+    lambdas re-evaluate non-lambda subexpressions per element)."""
+    mat = F.col(mat_col)
+    nfr = F.col(n_frames_col)
+
+    def _d(v: Column, pos: Column) -> Column:
+        t = F.floor(pos / F.lit(n_mels)).cast("int")
+        m = F.pmod(pos, F.lit(n_mels))
+        return _delta_num_at(mat, t, m, nfr, n_mels)
+
+    def _dd(v: Column, pos: Column) -> Column:
+        t = F.floor(pos / F.lit(n_mels)).cast("int")
+        m = F.pmod(pos, F.lit(n_mels))
+        total: Column | None = None
+        for j in range(1, DELTA_N + 1):
+            up = _delta_num_at(
+                mat, _clamp_frame(t + F.lit(j), nfr), m, nfr, n_mels
+            )
+            dn = _delta_num_at(
+                mat, _clamp_frame(t - F.lit(j), nfr), m, nfr, n_mels
+            )
+            term = F.lit(j).cast("long") * (up - dn)
+            total = term if total is None else total + term
+        return total
+
+    return F.transform(mat, _d), F.transform(mat, _dd)
+
+
+def delta_features_np(q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Reference numpy implementation of the SAME integer numerators
+    over a (n_frames, n_mels) int64 matrix — unit-test pin."""
+    T_, _ = q.shape
+    d = np.zeros_like(q)
+    for k in range(1, DELTA_N + 1):
+        up = q[np.minimum(np.arange(T_) + k, T_ - 1)]
+        dn = q[np.maximum(np.arange(T_) - k, 0)]
+        d += k * (up - dn)
+    dd = np.zeros_like(q)
+    for j in range(1, DELTA_N + 1):
+        up = d[np.minimum(np.arange(T_) + j, T_ - 1)]
+        dn = d[np.maximum(np.arange(T_) - j, 0)]
+        dd += j * (up - dn)
+    return d, dd

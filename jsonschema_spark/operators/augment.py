@@ -239,3 +239,98 @@ def mix_overlay(
         F.col("_noise_idx").alias("noise_idx"),
         F.when(ok, F.col("_mx.n_out")).alias("n_out"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment — feature-space time/frequency masking
+# ---------------------------------------------------------------------------
+
+
+def spec_augment(
+    df: DataFrame,
+    mat_col: str = "mat_q",
+    n_frames_col: str = "n_frames",
+    clip_id_col: str = "clip_id",
+    n_time_masks: int = 2,
+    max_t_frames: int = 20,
+    n_freq_masks: int = 2,
+    max_f_bins: int = 8,
+    n_mels: int = 40,
+    seed: str = "",
+    out_col: str = "aug_q",
+) -> DataFrame:
+    """SpecAugment (Park et al. 1904.08779) over the flattened quantized
+    log-mel matrix: ``n_time_masks`` frame spans and ``n_freq_masks``
+    mel-bin spans are zeroed (q = 0). Everything is deterministic —
+    widths and starts are md5_60 arithmetic on (seed, clip_id), so the
+    SAME masks apply on re-runs, resumed checkpoints and in the DuckDB
+    oracle replay; a training epoch re-draws by changing ``seed``.
+
+    Scale shape: ZERO Python, zero shuffle — mask scalars are codegen'd
+    md5 expressions and the rewrite is one array ``transform`` per row
+    over the materialized matrix attribute. Mask draws:
+
+        t_w[i] = md5_60(seed:tw{i} | clip_id) % (max_t_frames + 1)
+        t_s[i] = md5_60(seed:ts{i} | clip_id) % max(1, T - t_w[i] + 1)
+
+    (freq masks analogously over ``n_mels``), i.e. a width-uniform
+    draw then a start-uniform draw over valid positions — masks wider
+    than the clip clamp to the whole axis.
+
+    The mask parameter columns (``_sa_t_s0`` ...) are RETURNED next to
+    ``out_col`` — augmentation provenance for auditing, and a hard
+    requirement: an alias referenced ONLY inside a HOF lambda is
+    re-inlined by project collapsing (lambda-hidden references are not
+    counted), which would re-run the md5 draw once per matrix element;
+    keeping the scalars in the output projection pins them as
+    attributes (verified by the plan assert in tests/test_fbank.py)."""
+    cid = F.col(clip_id_col)
+    nfr = F.col(n_frames_col)
+
+    widths = {}
+    for i in range(n_time_masks):
+        widths[f"_sa_t_w{i}"] = F.pmod(
+            _md5_60(F.concat_ws("|", F.lit(f"{seed}:tw{i}"), cid)),
+            F.lit(max_t_frames + 1),
+        )
+    for i in range(n_freq_masks):
+        widths[f"_sa_f_w{i}"] = F.pmod(
+            _md5_60(F.concat_ws("|", F.lit(f"{seed}:fw{i}"), cid)),
+            F.lit(max_f_bins + 1),
+        )
+    a = df.withColumns(widths)
+
+    starts = {}
+    for i in range(n_time_masks):
+        dom = F.greatest(
+            F.lit(1).cast("long"),
+            nfr.cast("long") - F.col(f"_sa_t_w{i}") + F.lit(1),
+        )
+        starts[f"_sa_t_s{i}"] = F.pmod(
+            _md5_60(F.concat_ws("|", F.lit(f"{seed}:ts{i}"), cid)), dom
+        )
+    for i in range(n_freq_masks):
+        dom = F.greatest(
+            F.lit(1).cast("long"),
+            F.lit(n_mels).cast("long") - F.col(f"_sa_f_w{i}") + F.lit(1),
+        )
+        starts[f"_sa_f_s{i}"] = F.pmod(
+            _md5_60(F.concat_ws("|", F.lit(f"{seed}:fs{i}"), cid)), dom
+        )
+    b = a.withColumns(starts)
+
+    mat = F.col(mat_col)
+
+    def _mask(v, pos):
+        t = F.floor(pos / F.lit(n_mels)).cast("long")
+        m = F.pmod(pos, F.lit(n_mels)).cast("long")
+        hit = F.lit(False)
+        for i in range(n_time_masks):
+            s, w = F.col(f"_sa_t_s{i}"), F.col(f"_sa_t_w{i}")
+            hit = hit | ((t >= s) & (t < s + w))
+        for i in range(n_freq_masks):
+            s, w = F.col(f"_sa_f_s{i}"), F.col(f"_sa_f_w{i}")
+            hit = hit | ((m >= s) & (m < s + w))
+        return F.when(hit, F.lit(0).cast("long")).otherwise(v)
+
+    return b.withColumn(out_col, F.transform(mat, _mask))

@@ -211,3 +211,117 @@ def test_mix_overlay_plan_single_arrow_hop(aug_df):
     p = _plan(mix_overlay(aug_df.drop("_row_idx"), aug_df, n_noise=8))
     assert p.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment feature-space masking
+# ---------------------------------------------------------------------------
+
+
+def _md5_60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _expected_masks(cid, nfr, seed="", nt=2, max_t=20, nf=2, max_f=8,
+                    n_mels=40):
+    tm, fm = [], []
+    for i in range(nt):
+        w = _md5_60_py(f"{seed}:tw{i}|{cid}") % (max_t + 1)
+        s = _md5_60_py(f"{seed}:ts{i}|{cid}") % max(1, nfr - w + 1)
+        tm.append((s, w))
+    for i in range(nf):
+        w = _md5_60_py(f"{seed}:fw{i}|{cid}") % (max_f + 1)
+        s = _md5_60_py(f"{seed}:fs{i}|{cid}") % max(1, n_mels - w + 1)
+        fm.append((s, w))
+    return tm, fm
+
+
+def test_spec_augment_matches_python_replay(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.operators.augment import spec_augment
+
+    n_mels = 6
+    rng = np.random.default_rng(3)
+    rows = []
+    for i, nfr in enumerate([0, 1, 5, 40]):
+        q = rng.integers(1, 5000, size=nfr * n_mels).astype(np.int64)
+        rows.append((f"c{i}", [int(v) for v in q], nfr))
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = spec_augment(df, n_mels=n_mels, seed="ep0", max_t_frames=7,
+                       max_f_bins=3)
+    got = {r["clip_id"]: r for r in out.collect()}
+    for cid, flat, nfr in rows:
+        tm, fm = _expected_masks(cid, nfr, seed="ep0", max_t=7,
+                                 max_f=3, n_mels=n_mels)
+        aug = got[cid]["aug_q"]
+        assert len(aug) == len(flat)
+        for pos, v in enumerate(flat):
+            t, m = pos // n_mels, pos % n_mels
+            masked = any(s <= t < s + w for s, w in tm) or any(
+                s <= m < s + w for s, w in fm
+            )
+            assert aug[pos] == (0 if masked else v), (cid, pos)
+        # provenance columns replay the draw
+        assert got[cid]["_sa_t_s0"] == tm[0][0]
+        assert got[cid]["_sa_t_w0"] == tm[0][1]
+        assert got[cid]["_sa_f_s1"] == fm[1][0]
+
+
+def test_spec_augment_epoch_seed_redraws(spark):
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.operators.augment import spec_augment
+
+    rows = [(f"c{i}", [1] * 200, 20) for i in range(10)]
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    a = spec_augment(df, n_mels=10, seed="ep0").collect()
+    b = spec_augment(df, n_mels=10, seed="ep0").collect()
+    c = spec_augment(df, n_mels=10, seed="ep1").collect()
+    key = lambda rs: {r["clip_id"]: r["aug_q"] for r in rs}
+    assert key(a) == key(b)  # deterministic replay
+    assert key(a) != key(c)  # a new epoch draws new masks
+
+
+def test_spec_augment_plan_keeps_md5_out_of_the_lambda(spark):
+    """The md5 mask draws must survive as projection attributes — if
+    project collapsing inlined them into the transform lambda they
+    would re-evaluate once PER MATRIX ELEMENT (the lambda-hidden
+    reference trap)."""
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.operators.augment import spec_augment
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame([("c0", [1] * 80, 8)], schema)
+    out = spec_augment(df, n_mels=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # 8 draws (2 time + 2 freq, width + start each) — exactly one md5
+    # per draw; inlining would multiply them into the lambda
+    assert plan.count("md5(") == 8, plan
+    lam = plan[plan.index("lambdafunction"):]
+    assert "md5(" not in lam.split(" AS aug_q")[0]

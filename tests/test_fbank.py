@@ -179,3 +179,93 @@ def test_fbank_matrix_ledger_and_layout(spark):
             pcm = decode_payload(bytes(r["bytes"]))
             q = logmel_frames_q(pcm, r["sr_hz"])
             assert list(q.reshape(-1)) == list(r["_mat"])
+
+
+# ---------------------------------------------------------------------------
+# Delta / delta-delta numerators (JVM algebra vs numpy reference)
+# ---------------------------------------------------------------------------
+
+
+def _delta_brute(q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Raw per-(t,m) loop spelling of the regression numerators —
+    independent of both implementations under test."""
+    T_, M = q.shape
+    d = np.zeros_like(q)
+    for t in range(T_):
+        for m in range(M):
+            for k in (1, 2):
+                d[t, m] += k * (
+                    q[min(t + k, T_ - 1), m] - q[max(t - k, 0), m]
+                )
+    dd = np.zeros_like(q)
+    for t in range(T_):
+        for m in range(M):
+            for j in (1, 2):
+                dd[t, m] += j * (
+                    d[min(t + j, T_ - 1), m] - d[max(t - j, 0), m]
+                )
+    return d, dd
+
+
+def test_delta_np_matches_brute():
+    from jsonschema_spark.functions.fbank import delta_features_np
+
+    rng = np.random.default_rng(7)
+    q = rng.integers(-9000, 3000, size=(11, 5)).astype(np.int64)
+    d, dd = delta_features_np(q)
+    bd, bdd = _delta_brute(q)
+    assert (d == bd).all() and (dd == bdd).all()
+
+
+def test_delta_constant_and_ramp_anchors():
+    from jsonschema_spark.functions.fbank import delta_features_np
+
+    # constant matrix -> zero deltas everywhere
+    q = np.full((6, 3), 1234, dtype=np.int64)
+    d, dd = delta_features_np(q)
+    assert (d == 0).all() and (dd == 0).all()
+    # linear ramp in t -> interior delta numerator = 10*slope
+    # (denominator 10: true delta == slope), interior dd = 0
+    slope = 7
+    q = (slope * np.arange(12))[:, None] * np.ones((1, 3), dtype=np.int64)
+    d, dd = delta_features_np(q.astype(np.int64))
+    assert (d[2:-2] == 10 * slope).all()
+    # d deviates only within 2 frames of each edge, so dd (a second
+    # clamped regression) is zero once 4 frames from either edge
+    assert (dd[4:-4] == 0).all()
+
+
+def test_delta_spark_matches_numpy(spark):
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.functions.fbank import (
+        delta_features,
+        delta_features_np,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i, nfr in enumerate([1, 2, 3, 9, 17]):
+        q = rng.integers(-9000, 3000, size=(nfr, 4)).astype(np.int64)
+        rows.append((f"c{i}", [int(v) for v in q.reshape(-1)], nfr))
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("nfr", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    d_col, dd_col = delta_features("mat_q", "nfr", n_mels=4)
+    got = {
+        r["clip_id"]: (r["d"], r["dd"])
+        for r in df.select(
+            "clip_id", d_col.alias("d"), dd_col.alias("dd")
+        ).collect()
+    }
+    for (cid, flat, nfr) in rows:
+        q = np.asarray(flat, dtype=np.int64).reshape(nfr, 4)
+        ed, edd = delta_features_np(q)
+        assert got[cid][0] == ed.reshape(-1).tolist(), cid
+        assert got[cid][1] == edd.reshape(-1).tolist(), cid
