@@ -3588,6 +3588,28 @@ def _q_clips_fbank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_ctc_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTC trainability gate — metadata-only integer arithmetic (frame
+    count from (sr, dur) under the 25/10 ms framing, subsample-4
+    reduction, char labels with the blank rule: T_sub >= len +
+    adjacent_repeats). Zero decode, zero Python: the clips a training
+    run would diverge on are identified at scan speed. The oracle
+    replays every term, including the adjacent-repeat count via a
+    range/list_filter character walk (RE2 has no backreferences, so
+    the regex spelling is out for DuckDB)."""
+    from jsonschema_spark.functions.fbank import ctc_feasibility
+
+    return ctc_feasibility(_clips(spark)).select(
+        "clip_id",
+        "n_frames_meta",
+        "frames_sub",
+        "label_len",
+        "label_repeats",
+        "min_frames",
+        "ctc_ok",
+    )
+
+
 _SPECAUG_SEED = "ep0"
 
 
@@ -4612,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_fbank_matrix": _q_clips_fbank_matrix,
         "clips_fbank_delta": _q_clips_fbank_delta,
         "clips_specaugment": _q_clips_specaugment,
+        "clips_ctc_feasibility": _q_clips_ctc_feasibility,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7234,6 +7257,55 @@ def _clips_fbank_delta_sql() -> str:
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
         FROM e
+    """
+
+
+def _clips_ctc_feasibility_sql() -> str:
+    """CTC gate oracle: integer frame arithmetic + a range/list_filter
+    walk for adjacent equal label chars (substr(i) = substr(i+1));
+    empty/NULL transcripts fail closed exactly as the Spark gate."""
+    from jsonschema_spark.sources.clips import clips_path
+
+    src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    return f"""
+        WITH f AS (
+            SELECT clip_id, transcript,
+                   CAST(sr_hz AS BIGINT) * dur_ms // 1000 AS samples,
+                   CAST(sr_hz AS BIGINT) * 25 // 1000 AS win,
+                   CAST(sr_hz AS BIGINT) * 10 // 1000 AS hop
+            FROM {src}
+        ), g AS (
+            SELECT clip_id, transcript,
+                   CASE WHEN samples >= win
+                        THEN 1 + (samples - win) // hop
+                        ELSE 0 END AS n_frames_meta,
+                   COALESCE(CAST(length(transcript) AS INTEGER), 0)
+                       AS label_len,
+                   CAST(len(list_filter(
+                       range(1, greatest(
+                           COALESCE(length(transcript), 0), 1)),
+                       i -> substr(transcript, CAST(i AS INTEGER), 1)
+                            = substr(transcript,
+                                     CAST(i + 1 AS INTEGER), 1)
+                   )) AS INTEGER) AS label_repeats
+            FROM f
+        )
+        SELECT clip_id,
+               n_frames_meta,
+               CASE WHEN n_frames_meta > 0
+                    THEN 1 + (n_frames_meta - 1) // 4
+                    ELSE 0 END AS frames_sub,
+               label_len,
+               label_repeats,
+               CAST(label_len + label_repeats AS BIGINT) AS min_frames,
+               COALESCE(
+                   label_len > 0
+                   AND (CASE WHEN n_frames_meta > 0
+                             THEN 1 + (n_frames_meta - 1) // 4
+                             ELSE 0 END)
+                       >= label_len + label_repeats,
+                   FALSE) AS ctc_ok
+        FROM g
     """
 
 
@@ -10058,6 +10130,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_fbank_matrix": _clips_fbank_matrix_sql(),
         "clips_fbank_delta": _clips_fbank_delta_sql(),
         "clips_specaugment": _clips_specaugment_sql(),
+        "clips_ctc_feasibility": _clips_ctc_feasibility_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

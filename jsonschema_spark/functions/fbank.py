@@ -386,3 +386,97 @@ def delta_features_np(q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         dn = d[np.maximum(np.arange(T_) - j, 0)]
         dd += j * (up - dn)
     return d, dd
+
+
+# ---------------------------------------------------------------------------
+# CTC feasibility — can (features, transcript) pairs train at all?
+# ---------------------------------------------------------------------------
+
+
+def frames_from_metadata(
+    sr_col: Column | str = "sr_hz", dur_col: Column | str = "dur_ms"
+) -> Column:
+    """Feature-frame count implied by the METADATA alone (the 25/10 ms
+    framing this module extracts): samples = sr*dur//1000, frames =
+    1 + (samples - win)//hop for samples >= win else 0. Pure integer
+    Column arithmetic — no decode, no Python — so a 10^12-row
+    feasibility sweep is scan-speed. Pair with the payload-integrity
+    checks when the metadata itself is suspect; products < 2^52 keep
+    the floor-division exact."""
+    sr = (F.col(sr_col) if isinstance(sr_col, str) else sr_col).cast("long")
+    dur = (F.col(dur_col) if isinstance(dur_col, str) else dur_col).cast(
+        "long"
+    )
+    samples = F.floor(sr * dur / F.lit(1000)).cast("long")
+    win = F.floor(sr * F.lit(_WIN_MS) / F.lit(1000)).cast("long")
+    hop = F.floor(sr * F.lit(_HOP_MS) / F.lit(1000)).cast("long")
+    return F.when(
+        samples >= win,
+        F.lit(1) + F.floor((samples - win) / hop).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def ctc_feasibility(
+    df: DataFrame,
+    transcript_col: str = "transcript",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    subsample: int = 4,
+) -> DataFrame:
+    """CTC trainability gate: a (features, label) pair is only usable if
+    the subsampled frame count can emit the label under CTC's blank
+    rule — T_sub >= label_len + adjacent_repeats (each adjacent equal
+    label pair needs a blank between emissions). Clips failing this are
+    undecodable loss terms (infinite loss / skipped batches) that a
+    100 TB curation pass must drop BEFORE feature extraction, which is
+    why everything here is metadata-only integer Column arithmetic:
+    frames from (sr, dur), char labels from the transcript, zero decode
+    and zero Python.
+
+    ``subsample`` models the encoder's time reduction (the usual conv
+    front end): T_sub = 1 + (T-1)//subsample for T > 0.
+
+    Appends: n_frames_meta, frames_sub, label_len, label_repeats,
+    min_frames, ctc_ok. NULL/empty transcripts and unframeable clips
+    get ctc_ok = false (never NULL)."""
+    t = F.col(transcript_col)
+    frames = frames_from_metadata(sr_col, dur_col)
+    n = F.length(t)
+    # adjacent equal char pairs: compare positions i / i+1 (1-based).
+    # sequence(1, 0) DESCENDS — gate short strings before building it.
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: (
+            t.substr(i, F.lit(1)) == t.substr(i + 1, F.lit(1))
+        ).cast("int"),
+    )
+    repeats = F.when(n.isNull() | (n < 2), F.lit(0)).otherwise(
+        F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+    )
+    out = (
+        df.withColumn("n_frames_meta", frames)
+        .withColumn(
+            "frames_sub",
+            F.when(
+                F.col("n_frames_meta") > 0,
+                F.lit(1)
+                + F.floor(
+                    (F.col("n_frames_meta") - 1) / F.lit(subsample)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn("label_len", F.coalesce(n, F.lit(0)))
+        .withColumn("label_repeats", repeats)
+        .withColumn(
+            "min_frames",
+            (F.col("label_len") + F.col("label_repeats")).cast("long"),
+        )
+    )
+    return out.withColumn(
+        "ctc_ok",
+        F.coalesce(
+            (F.col("label_len") > 0)
+            & (F.col("frames_sub") >= F.col("min_frames")),
+            F.lit(False),
+        ),
+    )

@@ -269,3 +269,61 @@ def test_delta_spark_matches_numpy(spark):
         ed, edd = delta_features_np(q)
         assert got[cid][0] == ed.reshape(-1).tolist(), cid
         assert got[cid][1] == edd.reshape(-1).tolist(), cid
+
+
+# ---------------------------------------------------------------------------
+# CTC feasibility gate
+# ---------------------------------------------------------------------------
+
+
+def _frames_py(sr: int, dur: int, win_ms: int = 25, hop_ms: int = 10) -> int:
+    samples = sr * dur // 1000
+    win, hop = sr * win_ms // 1000, sr * hop_ms // 1000
+    return 1 + (samples - win) // hop if samples >= win else 0
+
+
+def test_ctc_feasibility_matches_python(spark):
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.functions.fbank import ctc_feasibility
+
+    rows = [
+        ("c0", "hello", 16000, 1000),     # plenty of frames
+        ("c1", "aaa", 16000, 30),          # 1 frame, needs 3+2=5
+        ("c2", "", 16000, 500),            # empty label -> not ok
+        ("c3", None, 16000, 500),          # null label -> false, not NULL
+        ("c4", "aabbcc", 16000, 24),       # sub-window -> 0 frames
+        ("c5", "ab", 8000, 200),
+        ("c6", "a", 16000, 100),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("transcript", T.StringType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("dur_ms", T.IntegerType()),
+        ]
+    )
+    out = {
+        r["clip_id"]: r
+        for r in ctc_feasibility(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    for cid, txt, sr, dur in rows:
+        r = out[cid]
+        frames = _frames_py(sr, dur)
+        fsub = 1 + (frames - 1) // 4 if frames > 0 else 0
+        n = len(txt) if txt is not None else 0
+        reps = (
+            sum(1 for i in range(len(txt) - 1) if txt[i] == txt[i + 1])
+            if txt
+            else 0
+        )
+        assert r["n_frames_meta"] == frames, cid
+        assert r["frames_sub"] == fsub, cid
+        assert r["label_len"] == n, cid
+        assert r["label_repeats"] == reps, cid
+        assert r["min_frames"] == n + reps, cid
+        expect = n > 0 and fsub >= n + reps
+        assert r["ctc_ok"] is expect, cid  # strict boolean, never NULL
