@@ -3588,6 +3588,26 @@ def _q_clips_fbank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_SEED = "b1"
+
+
+def _q_clips_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed deterministic batch plan — the concrete batch
+    assignment behind the padding-waste report: bucket = dur//250 ms
+    bounds per-clip padding, md5_60 shards split hot buckets, one
+    window per (bucket, shard) (no global sort). The oracle replays
+    the row_number walk and both batch windows in SQL."""
+    from jsonschema_spark.operators.chunk import batch_assign
+
+    return batch_assign(
+        _clips(spark),
+        batch_size=16,
+        bucket_ms=250,
+        n_shards=4,
+        seed=_BATCH_SEED,
+    )
+
+
 def _q_clips_ctc_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTC trainability gate — metadata-only integer arithmetic (frame
     count from (sr, dur) under the 25/10 ms framing, subsample-4
@@ -4635,6 +4655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_fbank_delta": _q_clips_fbank_delta,
         "clips_specaugment": _q_clips_specaugment,
         "clips_ctc_feasibility": _q_clips_ctc_feasibility,
+        "clips_batch_assign": _q_clips_batch_assign,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7257,6 +7278,47 @@ def _clips_fbank_delta_sql() -> str:
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
         FROM e
+    """
+
+
+def _clips_batch_assign_sql() -> str:
+    """Batch-plan oracle: identical md5_60 shard draw, bucket floor
+    division, and the same (dur, id) window order — ORDER BY spelled
+    with explicit ASC (no NULLs survive the filter, but the Spark/
+    DuckDB NULLS FIRST/LAST default split makes explicitness policy)."""
+    from jsonschema_spark.sources.clips import clips_path
+
+    src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    key = f"'{_BATCH_SEED}' || '|' || clip_id"
+    shard = f"{_h60(key)} % 4"
+    return f"""
+        WITH b AS (
+            SELECT clip_id AS id,
+                   CAST(dur_ms AS BIGINT) AS dur,
+                   CAST(dur_ms AS BIGINT) // 250 AS bucket,
+                   {shard} AS shard
+            FROM {src}
+            WHERE clip_id IS NOT NULL AND dur_ms IS NOT NULL
+              AND dur_ms >= 0
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY bucket, shard
+                       ORDER BY dur ASC, id ASC
+                   ) - 1 AS rn
+            FROM b
+        ), a AS (
+            SELECT id, dur, bucket, shard,
+                   rn // 16 AS batch_idx,
+                   CAST(rn % 16 AS INTEGER) AS pos_in_batch
+            FROM r
+        )
+        SELECT id, dur, bucket, shard, batch_idx, pos_in_batch,
+               count(*) OVER w AS batch_n,
+               max(dur) OVER w AS batch_max_ms,
+               max(dur) OVER w - dur AS pad_ms
+        FROM a
+        WINDOW w AS (PARTITION BY bucket, shard, batch_idx)
     """
 
 
@@ -10131,6 +10193,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_fbank_delta": _clips_fbank_delta_sql(),
         "clips_specaugment": _clips_specaugment_sql(),
         "clips_ctc_feasibility": _clips_ctc_feasibility_sql(),
+        "clips_batch_assign": _clips_batch_assign_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -205,3 +205,77 @@ def padding_waste_report(
             "bucketed_waste_ratio"
         ),
     )
+
+
+def batch_assign(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+    batch_size: int = 16,
+    bucket_ms: int = 250,
+    n_shards: int = 1,
+    seed: str = "",
+) -> DataFrame:
+    """The actual batch plan behind ``duration_buckets``' accounting:
+    assign every clip to a concrete training batch — length-bucketed
+    so padding per clip is bounded by ``bucket_ms``, deterministic so
+    re-runs and resumed jobs rebuild the identical plan.
+
+        bucket = dur // bucket_ms          (the padding bound)
+        shard  = md5_60(seed|id) % n_shards  (the parallelism knob)
+        within (bucket, shard): order by (dur, id), batch_idx =
+        (row_number-1) // batch_size, pos_in_batch = remainder.
+
+    Scale shape: one window per (bucket, shard) partition — each sorts
+    independently, no global sort. A hot bucket (most speech is 2-8 s)
+    is split across ``n_shards`` deterministic shards; sharding costs
+    only one extra partial batch per (bucket, shard), while the
+    per-clip padding stays bounded by the bucket width. ``pad_ms``
+    (batch max - clip dur) is computed with a second window over the
+    SAME partitioning+ordering — Spark reuses the sort.
+
+    NULL/negative durations and NULL ids are excluded (surface them
+    with schema checks); output is (id, dur, bucket, shard, batch_idx,
+    pos_in_batch, batch_n, batch_max_ms, pad_ms)."""
+    from .sampling import sample_hash
+
+    if batch_size <= 0 or bucket_ms <= 0 or n_shards <= 0:
+        raise ValueError("batch_size, bucket_ms, n_shards must be positive")
+    d = F.col(dur_col).cast("long")
+    base = df.where(
+        F.col(id_col).isNotNull() & d.isNotNull() & (d >= 0)
+    ).select(
+        F.col(id_col).alias("id"),
+        d.alias("dur"),
+        F.floor(d / F.lit(int(bucket_ms))).alias("bucket"),
+        F.pmod(
+            sample_hash(F.col(id_col), seed), F.lit(int(n_shards))
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("dur").asc(), F.col("id").asc()
+    )
+    assigned = base.select(
+        "id",
+        "dur",
+        "bucket",
+        "shard",
+        ((F.row_number().over(w) - 1) / F.lit(batch_size))
+        .cast("long")
+        .alias("batch_idx"),
+        F.pmod(F.row_number().over(w) - 1, F.lit(batch_size)).alias(
+            "pos_in_batch"
+        ),
+    )
+    wb = Window.partitionBy("bucket", "shard", "batch_idx")
+    return assigned.select(
+        "id",
+        "dur",
+        "bucket",
+        "shard",
+        "batch_idx",
+        "pos_in_batch",
+        F.count(F.lit(1)).over(wb).alias("batch_n"),
+        F.max("dur").over(wb).alias("batch_max_ms"),
+        (F.max("dur").over(wb) - F.col("dur")).alias("pad_ms"),
+    )

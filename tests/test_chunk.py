@@ -133,3 +133,91 @@ def test_duration_buckets_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         duration_buckets(df, "dur_ms", 0)
+
+
+# ---------------------------------------------------------------------------
+# batch_assign — length-bucketed deterministic batch plan
+# ---------------------------------------------------------------------------
+
+
+def test_batch_assign_python_replay_and_invariants(spark):
+    import hashlib
+
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.operators.chunk import batch_assign
+
+    rows = [
+        (f"c{i:03d}", (i * 37) % 900 + (0 if i % 7 else 300))
+        for i in range(120)
+    ] + [("cnull", None), (None, 100)]
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("dur_ms", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = batch_assign(
+        df, batch_size=4, bucket_ms=250, n_shards=3, seed="b1"
+    ).collect()
+    # NULL id / NULL dur rows are excluded
+    assert len(out) == 120
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    clean = [(c, d) for c, d in rows if c is not None and d is not None]
+    expect = {}
+    groups = {}
+    for c, d in clean:
+        b, s = d // 250, h60(f"b1|{c}") % 3
+        groups.setdefault((b, s), []).append((d, c))
+    for (b, s), members in groups.items():
+        members.sort()
+        batches = {}
+        for rn, (d, c) in enumerate(members):
+            bi, pos = rn // 4, rn % 4
+            batches.setdefault(bi, []).append(d)
+            expect[c] = (d, b, s, bi, pos)
+        for rn, (d, c) in enumerate(members):
+            bi = rn // 4
+            expect[c] += (
+                len(batches[bi]),
+                max(batches[bi]),
+                max(batches[bi]) - d,
+            )
+    for r in out:
+        assert (
+            r["dur"], r["bucket"], r["shard"], r["batch_idx"],
+            r["pos_in_batch"], r["batch_n"], r["batch_max_ms"],
+            r["pad_ms"],
+        ) == expect[r["id"]], r["id"]
+    # the structural guarantee bucketing buys: padding < bucket width
+    assert all(r["pad_ms"] < 250 for r in out)
+    # batches are full except at most one trailing partial per group
+    partial = {}
+    for r in out:
+        if r["batch_n"] < 4:
+            key = (r["bucket"], r["shard"])
+            assert partial.setdefault(key, r["batch_idx"]) == r["batch_idx"]
+
+
+def test_batch_assign_partitioning_invariant(spark):
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.operators.chunk import batch_assign
+
+    rows = [(f"c{i}", (i * 53) % 2000) for i in range(200)]
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("dur_ms", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    a = sorted(map(tuple, batch_assign(df, n_shards=2).collect()))
+    b = sorted(
+        map(tuple, batch_assign(df.repartition(7), n_shards=2).collect())
+    )
+    assert a == b
