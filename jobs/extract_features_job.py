@@ -44,8 +44,20 @@ def extract_features(
     min_snr_est_db: float | None = None,
     features: str | None = None,
     cmvn: str | None = None,
+    matrix: str | None = None,
+    deltas: bool = False,
+    specaugment: str | None = None,
 ):
-    """Run the extraction; returns (features DF, cmvn DF, stats)."""
+    """Run the extraction; returns (features DF, cmvn DF, stats).
+
+    ``matrix`` additionally writes the per-clip training tensors
+    (clip_id, mat_q, n_frames, n_samples); tensor and partials come
+    from ONE decode+FFT Arrow hop (audio_fbank_full) so requesting
+    both never decodes twice. ``deltas`` appends the int64
+    delta/delta-delta numerator arrays (pure Column algebra over the
+    materialized matrix — no extra Python); ``specaugment`` appends a
+    masked ``aug_q`` drawn deterministically from (seed, clip_id),
+    mask provenance columns included."""
     from jsonschema_spark.functions.fbank import audio_fbank_stats
 
     n_input = clips.count()
@@ -86,15 +98,50 @@ def extract_features(
         n_kept = kept.count()
         n_gated = n_input - n_kept
         clips = kept
-    feats = clips.select(
-        "clip_id", audio_fbank_stats("bytes", "sr_hz").alias("s")
-    ).select(
-        "clip_id",
-        F.col("s.sum_q").alias("sum_q"),
-        F.col("s.sumsq_q").alias("sumsq_q"),
-        F.col("s.n_frames").alias("n_frames"),
-        F.col("s.n_samples").alias("n_samples"),
-    ).persist()
+    if matrix:
+        from jsonschema_spark.functions.fbank import audio_fbank_full
+
+        # ONE Arrow hop for tensor + partials, persisted: tensors and
+        # the CMVN path both read it, and a second reference would
+        # re-plan (and re-decode) the whole upstream otherwise
+        full = clips.select(
+            "clip_id", audio_fbank_full("bytes", "sr_hz").alias("s")
+        ).select(
+            "clip_id",
+            F.col("s.mat_q").alias("mat_q"),
+            F.col("s.sum_q").alias("sum_q"),
+            F.col("s.sumsq_q").alias("sumsq_q"),
+            F.col("s.n_frames").alias("n_frames"),
+            F.col("s.n_samples").alias("n_samples"),
+        ).persist()
+        tensors = full.select(
+            "clip_id", "mat_q", "n_frames", "n_samples"
+        )
+        if deltas:
+            from jsonschema_spark.functions.fbank import delta_features
+
+            d, dd = delta_features("mat_q", "n_frames")
+            tensors = tensors.withColumns(
+                {"delta_q": d, "ddelta_q": dd}
+            )
+        if specaugment is not None:
+            from jsonschema_spark.operators.augment import spec_augment
+
+            tensors = spec_augment(tensors, seed=specaugment)
+        tensors.write.mode("overwrite").parquet(matrix)
+        feats = full.select(
+            "clip_id", "sum_q", "sumsq_q", "n_frames", "n_samples"
+        )
+    else:
+        feats = clips.select(
+            "clip_id", audio_fbank_stats("bytes", "sr_hz").alias("s")
+        ).select(
+            "clip_id",
+            F.col("s.sum_q").alias("sum_q"),
+            F.col("s.sumsq_q").alias("sumsq_q"),
+            F.col("s.n_frames").alias("n_frames"),
+            F.col("s.n_samples").alias("n_samples"),
+        ).persist()
     if features:
         feats.write.mode("overwrite").parquet(features)
     # CMVN from the WRITTEN partials (no second decode pass): the same
@@ -149,6 +196,12 @@ def main(argv=None) -> int:
                    help="generate N synthetic clips instead")
     p.add_argument("--features", help="feature-partials parquet output")
     p.add_argument("--cmvn", help="corpus CMVN parquet output")
+    p.add_argument("--matrix", help="per-clip feature-tensor parquet output")
+    p.add_argument("--deltas", action="store_true",
+                   help="append delta/delta-delta arrays to --matrix")
+    p.add_argument("--specaugment", default=None, metavar="SEED",
+                   help="append a SpecAugment-masked aug_q to --matrix "
+                        "(deterministic per (SEED, clip_id))")
     p.add_argument("--gate", action="store_true",
                    help="drop tonality/artifact-violating clips first")
     p.add_argument("--min-snr-est", type=float, default=None,
@@ -186,12 +239,17 @@ def main(argv=None) -> int:
     meta = [c for c in clips.columns if c.startswith("_")]
     if meta:
         clips = clips.drop(*meta)
+    if (args.deltas or args.specaugment is not None) and not args.matrix:
+        p.error("--deltas/--specaugment require --matrix")
     _f, _c, stats = extract_features(
         clips,
         gate=args.gate,
         min_snr_est_db=args.min_snr_est,
         features=args.features,
         cmvn=args.cmvn,
+        matrix=args.matrix,
+        deltas=args.deltas,
+        specaugment=args.specaugment,
     )
     print(json.dumps(stats))
     if not preexisting:

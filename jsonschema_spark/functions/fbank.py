@@ -480,3 +480,76 @@ def ctc_feasibility(
             F.lit(False),
         ),
     )
+
+
+FBANK_FULL_TYPE = T.StructType(
+    [
+        T.StructField("mat_q", T.ArrayType(T.LongType())),
+        T.StructField("sum_q", T.ArrayType(T.LongType())),
+        T.StructField("sumsq_q", T.ArrayType(T.LongType())),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def fbank_full_batch(payloads: pd.Series, srs: pd.Series) -> pd.DataFrame:
+    """Matrix AND partials from ONE decode+FFT pass — the feature job's
+    kernel when both the per-clip tensor and the corpus CMVN are
+    wanted (two separate UDFs would decode every payload twice)."""
+    mats: list[list[int]] = []
+    sums: list[list[int]] = []
+    sqs: list[list[int]] = []
+    kf = np.zeros(len(payloads), dtype=np.int64)
+    ns = np.full(len(payloads), -1, dtype=np.int64)
+    for i, (raw, sr) in enumerate(zip(payloads.tolist(), srs.tolist())):
+        if raw is None or sr is None or (
+            isinstance(sr, float) and np.isnan(sr)
+        ):
+            mats.append([])
+            sums.append([])
+            sqs.append([])
+            continue
+        try:
+            pcm = decode_payload(bytes(raw))
+        except (ValueError, TypeError, struct.error):
+            mats.append([])
+            sums.append([])
+            sqs.append([])
+            continue
+        ns[i] = len(pcm)
+        q = logmel_frames_q(pcm, int(sr))
+        kf[i] = q.shape[0]
+        mats.append(q.reshape(-1).tolist())
+        if q.shape[0] == 0:
+            sums.append([])
+            sqs.append([])
+        else:
+            sums.append(q.sum(axis=0).tolist())
+            sqs.append((q * q).sum(axis=0).tolist())
+    return pd.DataFrame(
+        {
+            "mat_q": mats,
+            "sum_q": sums,
+            "sumsq_q": sqs,
+            "n_frames": kf.astype(np.int32),
+            "n_samples": ns,
+        }
+    )
+
+
+@F.pandas_udf(FBANK_FULL_TYPE)
+def _fbank_full_udf(p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+    return fbank_full_batch(p, sr)
+
+
+def audio_fbank_full(
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+) -> Column:
+    """struct(mat_q, sum_q, sumsq_q, n_frames, n_samples) — tensor and
+    partials in ONE Arrow hop."""
+    return _fbank_full_udf(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )

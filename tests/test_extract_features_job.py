@@ -81,3 +81,63 @@ def test_job_cli_from_shards(spark, tmp_path, capsys):
     cm = spark.read.parquet(str(tmp_path / "c"))
     assert cm.count() == 40
     assert cm.where(F.col("n_frames") > 0).count() == 40
+
+
+def test_matrix_deltas_specaugment_output(spark, tmp_path):
+    """--matrix writes training tensors from the SAME decode pass as
+    the partials (one Arrow hop); --deltas matches the numpy regression
+    reference; --specaugment matches the md5 mask replay; and the CMVN
+    path is bit-equal to the non-matrix run."""
+    import numpy as np
+
+    from jsonschema_spark.functions.fbank import (
+        N_MELS,
+        delta_features_np,
+    )
+    from jsonschema_spark.sources.clips import synth_fbank_mat_clips
+    from tests.test_augment import _expected_masks
+
+    raw = synth_fbank_mat_clips(spark, 12, partitions=3).persist()
+    clips = raw.drop(*[c for c in raw.columns if c.startswith("_")])
+    feats, cm, stats = extract_features(
+        clips,
+        features=str(tmp_path / "feats"),
+        cmvn=str(tmp_path / "cmvn"),
+        matrix=str(tmp_path / "mat"),
+        deltas=True,
+        specaugment="ep0",
+    )
+    # CMVN equals the plain (no-matrix) path bit-for-bit
+    _, _, _ = extract_features(clips, cmvn=str(tmp_path / "cmvn2"))
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "cmvn")).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "cmvn2")).collect()
+    )
+    assert a == b
+
+    mat = spark.read.parquet(str(tmp_path / "mat"))
+    ledger = {
+        r["clip_id"]: (list(r["_mat"]), r["_nfr"])
+        for r in raw.select("clip_id", "_mat", "_nfr").collect()
+    }
+    rows = mat.collect()
+    assert len(rows) == 12
+    for r in rows:
+        flat, nfr = ledger[r["clip_id"]]
+        assert list(r["mat_q"]) == flat
+        q = np.asarray(flat, dtype=np.int64).reshape(nfr, N_MELS)
+        ed, edd = delta_features_np(q)
+        assert list(r["delta_q"]) == ed.reshape(-1).tolist()
+        assert list(r["ddelta_q"]) == edd.reshape(-1).tolist()
+        tm, fm = _expected_masks(r["clip_id"], nfr, seed="ep0")
+        for pos, v in enumerate(flat):
+            t, m = pos // N_MELS, pos % N_MELS
+            masked = any(s <= t < s + w for s, w in tm) or any(
+                s <= m < s + w for s, w in fm
+            )
+            assert r["aug_q"][pos] == (0 if masked else v)
+    raw.unpersist()
