@@ -3588,6 +3588,39 @@ def _q_clips_fbank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_cmvn_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-utterance CMVN-normalized tensor — the double values a
+    network actually trains on, pinned element-for-element across
+    engines: tensor + int64 partials from ONE Arrow hop, then
+    x = (q/Q - mean_b)/std_b in a fixed exact-op order (cast, /, *,
+    -, sqrt only), so the DuckDB replay (which re-derives the per-bin
+    sums from the `_mat` ledger) hash-matches the doubles bit-for-bit
+    with no tolerance band."""
+    from jsonschema_spark.functions.fbank import (
+        audio_fbank_full,
+        cmvn_normalize,
+    )
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    s = clips.select(
+        "clip_id", audio_fbank_full("bytes", "sr_hz").alias("s")
+    )
+    base = s.select(
+        "clip_id",
+        F.col("s.mat_q").alias("mat_q"),
+        F.col("s.sum_q").alias("sum_q"),
+        F.col("s.sumsq_q").alias("sumsq_q"),
+        F.col("s.n_frames").alias("n_frames"),
+    )
+    x = cmvn_normalize("mat_q", "sum_q", "sumsq_q", "n_frames")
+    return base.select(
+        "clip_id", F.posexplode(x).alias("pos", "x")
+    )
+
+
 _BATCH_SEED = "b1"
 
 
@@ -4656,6 +4689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_specaugment": _q_clips_specaugment,
         "clips_ctc_feasibility": _q_clips_ctc_feasibility,
         "clips_batch_assign": _q_clips_batch_assign,
+        "clips_cmvn_normalize": _q_clips_cmvn_normalize,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7278,6 +7312,47 @@ def _clips_fbank_delta_sql() -> str:
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
         FROM e
+    """
+
+
+def _clips_cmvn_normalize_sql() -> str:
+    """CMVN-normalize oracle: re-derive the per-(clip, bin) int64 sums
+    from the `_mat` ledger, then replay the exact-op double chain —
+    every constant CAST to DOUBLE (DECIMAL-literal trap), divisions
+    left-associated exactly as the Spark expression tree."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+    return f"""
+        WITH e AS (
+            SELECT clip_id, _nfr,
+                   CAST(r.range AS INTEGER) AS pos,
+                   CAST(r.range % {nm} AS INTEGER) AS m,
+                   list_extract(_mat, CAST(r.range + 1 AS INTEGER)) AS q
+            FROM {src}, range(4096) AS r
+            WHERE r.range < len(_mat)
+        ), s AS (
+            SELECT clip_id, m,
+                   SUM(q) AS sb, SUM(q * q) AS ssb
+            FROM e GROUP BY clip_id, m
+        ), j AS (
+            SELECT e.clip_id, e.pos, e.q, e._nfr, s.sb, s.ssb,
+                   CAST(s.sb AS DOUBLE) / CAST(1000.0 AS DOUBLE)
+                       / CAST(e._nfr AS DOUBLE) AS mean,
+                   CAST(s.ssb AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                       / CAST(e._nfr AS DOUBLE) AS ex2
+            FROM e JOIN s ON e.clip_id = s.clip_id AND e.m = s.m
+        )
+        SELECT clip_id, pos,
+               (CAST(q AS DOUBLE) / CAST(1000.0 AS DOUBLE) - mean)
+               / (CASE WHEN sqrt(greatest(ex2 - mean * mean,
+                                          CAST(0.0 AS DOUBLE))) > 0
+                       THEN sqrt(greatest(ex2 - mean * mean,
+                                          CAST(0.0 AS DOUBLE)))
+                       ELSE CAST(1.0 AS DOUBLE) END) AS x
+        FROM j
     """
 
 
@@ -10194,6 +10269,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_specaugment": _clips_specaugment_sql(),
         "clips_ctc_feasibility": _clips_ctc_feasibility_sql(),
         "clips_batch_assign": _clips_batch_assign_sql(),
+        "clips_cmvn_normalize": _clips_cmvn_normalize_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

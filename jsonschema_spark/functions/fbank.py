@@ -553,3 +553,47 @@ def audio_fbank_full(
         F.col(payload) if isinstance(payload, str) else payload,
         F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
     )
+
+
+def cmvn_normalize(
+    mat_col: str,
+    sum_col: str,
+    sumsq_col: str,
+    n_frames_col: str,
+    n_mels: int = N_MELS,
+) -> Column:
+    """Per-utterance CMVN-normalized feature tensor (array<double>) —
+    the value a network actually consumes: x = (q/Q - mean_b) / std_b
+    per mel bin, from the SAME row's int64 partials (no join, no
+    shuffle, no Python).
+
+    Every float op is in the correctly-rounded IEEE whitelist (cast,
+    /, *, -, sqrt) in a FIXED association order — mean_b =
+    (sum_b / Q) / T, ex2_b = (sumsq_b / Q^2) / T, var = ex2 - mean^2,
+    std = sqrt(max(var, 0)) — so a DuckDB replay of the identical
+    expression tree matches bit-for-bit (the gain_normalize lesson:
+    exact-op chains make float oracles possible; pow/log/exp would
+    not). Zero-variance bins divide by 1.0, which maps their centered
+    value to exactly 0.0.
+
+    Column-name args must reference materialized attributes (HOF
+    lambda subexpression rule)."""
+    mat = F.col(mat_col)
+    s = F.col(sum_col)
+    ss = F.col(sumsq_col)
+    nfr = F.col(n_frames_col).cast("double")
+    q = float(FBANK_Q)
+
+    def _norm(v: Column, pos: Column) -> Column:
+        b = (F.pmod(pos, F.lit(n_mels)) + F.lit(1)).cast("int")
+        mean = F.element_at(s, b).cast("double") / F.lit(q) / nfr
+        ex2 = (
+            F.element_at(ss, b).cast("double") / F.lit(q * q) / nfr
+        )
+        var = ex2 - mean * mean
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        return (v.cast("double") / F.lit(q) - mean) / F.when(
+            std > F.lit(0.0), std
+        ).otherwise(F.lit(1.0))
+
+    return F.transform(mat, _norm)

@@ -327,3 +327,65 @@ def test_ctc_feasibility_matches_python(spark):
         assert r["min_frames"] == n + reps, cid
         expect = n > 0 and fsub >= n + reps
         assert r["ctc_ok"] is expect, cid  # strict boolean, never NULL
+
+
+# ---------------------------------------------------------------------------
+# Per-utterance CMVN normalization
+# ---------------------------------------------------------------------------
+
+
+def test_cmvn_normalize_matches_numpy(spark):
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.functions.fbank import cmvn_normalize
+
+    n_mels = 4
+    rng = np.random.default_rng(5)
+    rows = []
+    for i, nfr in enumerate([1, 3, 20]):
+        q = rng.integers(-8000, 4000, size=(nfr, n_mels)).astype(np.int64)
+        if i == 1:
+            q[:, 2] = 777  # a zero-variance bin
+        rows.append(
+            (
+                f"c{i}",
+                [int(v) for v in q.reshape(-1)],
+                [int(v) for v in q.sum(axis=0)],
+                [int(v) for v in (q * q).sum(axis=0)],
+                nfr,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("sum_q", T.ArrayType(T.LongType())),
+            T.StructField("sumsq_q", T.ArrayType(T.LongType())),
+            T.StructField("nfr", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["clip_id"]: r["x"]
+        for r in df.select(
+            "clip_id",
+            cmvn_normalize(
+                "mat_q", "sum_q", "sumsq_q", "nfr", n_mels=n_mels
+            ).alias("x"),
+        ).collect()
+    }
+    for cid, flat, sums, sqs, nfr in rows:
+        got = out[cid]
+        for pos, v in enumerate(flat):
+            b = pos % n_mels
+            mean = (float(sums[b]) / 1000.0) / float(nfr)
+            ex2 = (float(sqs[b]) / 1e6) / float(nfr)
+            var = ex2 - mean * mean
+            std = np.sqrt(max(var, 0.0))
+            want = (float(v) / 1000.0 - mean) / (std if std > 0 else 1.0)
+            assert got[pos] == want, (cid, pos)  # BIT-equal, not approx
+        # zero-variance bin centers to exactly 0.0
+        if cid == "c1":
+            for t in range(nfr):
+                assert got[t * n_mels + 2] == 0.0
