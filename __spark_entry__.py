@@ -3588,6 +3588,50 @@ def _q_clips_fbank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_train_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-hop production tensor kernel (bench.py's
+    clips_train_tensors path, ~13x the JVM derive chain): decode +
+    matrix + delta/delta-delta + SpecAugment + CMVN-normalize
+    vectorized in a single Arrow crossing. Every element of all five
+    arrays is hash-matched against ONE DuckDB replay (delta regression
+    + mask draws + exact-op normalize over the `_mat` ledger) — so the
+    fast path and the Column-algebra path are BOTH pinned to the same
+    external arithmetic, not merely to each other."""
+    from jsonschema_spark.functions.fbank import audio_train_tensors
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    s = clips.select(
+        "clip_id",
+        audio_train_tensors(
+            "clip_id", "bytes", "sr_hz", seed=_SPECAUG_SEED
+        ).alias("s"),
+    )
+    z = s.select(
+        "clip_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("s.mat_q").alias("q"),
+                F.col("s.delta_q").alias("dn"),
+                F.col("s.ddelta_q").alias("ddn"),
+                F.col("s.aug_q").alias("a"),
+                F.col("s.x").alias("xx"),
+            )
+        ).alias("pos", "z"),
+    )
+    return z.select(
+        "clip_id",
+        "pos",
+        F.col("z.q").alias("q"),
+        F.col("z.dn").alias("d_num"),
+        F.col("z.ddn").alias("dd_num"),
+        F.col("z.a").alias("q_aug"),
+        F.col("z.xx").alias("x"),
+    )
+
+
 def _q_clips_cmvn_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-utterance CMVN-normalized tensor — the double values a
     network actually trains on, pinned element-for-element across
@@ -4690,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_ctc_feasibility": _q_clips_ctc_feasibility,
         "clips_batch_assign": _q_clips_batch_assign,
         "clips_cmvn_normalize": _q_clips_cmvn_normalize,
+        "clips_train_tensors": _q_clips_train_tensors,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7254,17 +7299,11 @@ def _clips_fbank_matrix_sql() -> str:
     """
 
 
-def _clips_fbank_delta_sql() -> str:
-    """Delta-feature oracle: recompute every numerator element from the
-    `_mat` ledger with the IDENTICAL edge-replicating regression
-    arithmetic (integer clamp + list_extract terms) — the delta-delta
-    expands the inner regression in closed form exactly as the Spark
-    Column algebra does."""
-    from jsonschema_spark.functions.fbank import N_MELS
-    from jsonschema_spark.sources.clips import fbank_mat_clips_path
-
-    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
-    nm = N_MELS
+def _delta_sql_exprs(nm: int) -> tuple[str, str]:
+    """(d_num, dd_num) SQL expressions over an element row carrying
+    (t, m, _mat, _nfr) — the edge-replicating N=2 regression, the
+    delta-delta expanded in closed form exactly as the Spark Column
+    algebra. Shared by the delta and train-tensor oracles."""
 
     def _at(t_expr: str) -> str:
         return (
@@ -7296,6 +7335,21 @@ def _clips_fbank_delta_sql() -> str:
         )
         + ")"
     )
+    return d_expr, dd_expr
+
+
+def _clips_fbank_delta_sql() -> str:
+    """Delta-feature oracle: recompute every numerator element from the
+    `_mat` ledger with the IDENTICAL edge-replicating regression
+    arithmetic (integer clamp + list_extract terms) — the delta-delta
+    expands the inner regression in closed form exactly as the Spark
+    Column algebra does."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+    d_expr, dd_expr = _delta_sql_exprs(nm)
     return f"""
         WITH e AS (
             SELECT clip_id, _nfr, _mat,
@@ -7312,6 +7366,87 @@ def _clips_fbank_delta_sql() -> str:
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
         FROM e
+    """
+
+
+def _clips_train_tensors_sql() -> str:
+    """One replay for the whole one-hop tensor chain: per-element
+    delta regression, SpecAugment mask draws, and the exact-op CMVN
+    normalization, all from the `_mat` ledger in a single WITH chain
+    (separate WITH statements cannot UNION in DuckDB)."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+    seed = _SPECAUG_SEED
+    max_t, max_f = 20, 8
+    d_expr, dd_expr = _delta_sql_exprs(nm)
+
+    def draw(tag: str) -> str:
+        return _h60(f"'{seed}:{tag}' || '|' || clip_id")
+
+    widths = ",\n                   ".join(
+        [f"{draw(f'tw{i}')} % {max_t + 1} AS t_w{i}" for i in (0, 1)]
+        + [f"{draw(f'fw{i}')} % {max_f + 1} AS f_w{i}" for i in (0, 1)]
+    )
+    starts = ",\n                   ".join(
+        [
+            f"{draw(f'ts{i}')} % greatest(1, _nfr - t_w{i} + 1)"
+            f" AS t_s{i}"
+            for i in (0, 1)
+        ]
+        + [
+            f"{draw(f'fs{i}')} % greatest(1, {nm} - f_w{i} + 1)"
+            f" AS f_s{i}"
+            for i in (0, 1)
+        ]
+    )
+    hit = " OR ".join(
+        [f"(t >= t_s{i} AND t < t_s{i} + t_w{i})" for i in (0, 1)]
+        + [f"(m >= f_s{i} AND m < f_s{i} + f_w{i})" for i in (0, 1)]
+    )
+    return f"""
+        WITH w AS (
+            SELECT clip_id, _nfr, _mat,
+                   {widths}
+            FROM {src}
+        ), p AS (
+            SELECT *,
+                   {starts}
+            FROM w
+        ), e AS (
+            SELECT clip_id, _nfr, _mat,
+                   t_s0, t_w0, t_s1, t_w1,
+                   f_s0, f_w0, f_s1, f_w1,
+                   CAST(r.range AS INTEGER) AS pos,
+                   CAST(r.range // {nm} AS INTEGER) AS t,
+                   CAST(r.range % {nm} AS INTEGER) AS m,
+                   list_extract(_mat, CAST(r.range + 1 AS INTEGER)) AS q
+            FROM p, range(4096) AS r
+            WHERE r.range < len(_mat)
+        ), s AS (
+            SELECT clip_id, m, SUM(q) AS sb, SUM(q * q) AS ssb
+            FROM e GROUP BY clip_id, m
+        ), j AS (
+            SELECT e.*, s.sb, s.ssb,
+                   CAST(s.sb AS DOUBLE) / CAST(1000.0 AS DOUBLE)
+                       / CAST(e._nfr AS DOUBLE) AS mean,
+                   CAST(s.ssb AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                       / CAST(e._nfr AS DOUBLE) AS ex2
+            FROM e JOIN s ON e.clip_id = s.clip_id AND e.m = s.m
+        )
+        SELECT clip_id, pos, q,
+               CAST({d_expr} AS BIGINT) AS d_num,
+               CAST({dd_expr} AS BIGINT) AS dd_num,
+               CASE WHEN {hit} THEN 0 ELSE q END AS q_aug,
+               (CAST(q AS DOUBLE) / CAST(1000.0 AS DOUBLE) - mean)
+               / (CASE WHEN sqrt(greatest(ex2 - mean * mean,
+                                          CAST(0.0 AS DOUBLE))) > 0
+                       THEN sqrt(greatest(ex2 - mean * mean,
+                                          CAST(0.0 AS DOUBLE)))
+                       ELSE CAST(1.0 AS DOUBLE) END) AS x
+        FROM j
     """
 
 
@@ -10270,6 +10405,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_ctc_feasibility": _clips_ctc_feasibility_sql(),
         "clips_batch_assign": _clips_batch_assign_sql(),
         "clips_cmvn_normalize": _clips_cmvn_normalize_sql(),
+        "clips_train_tensors": _clips_train_tensors_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -423,6 +423,34 @@ def q_clips_fbank(spark: SparkSession):
     return cmvn_stats(clips).collect()
 
 
+def q_clips_train_tensors(spark: SparkSession):
+    """Full training-tensor production: decode + log-mel matrix +
+    delta/delta-delta + SpecAugment + per-utterance CMVN-normalize,
+    all vectorized in ONE Arrow hop (audio_train_tensors; bit-equal
+    to the JVM derive-from-stored-parquet algebra, test-pinned) —
+    the complete per-clip network input, reduced to checksums
+    (try_element_at forces full tensor evaluation without collecting
+    the arrays)."""
+    from jsonschema_spark.functions.fbank import audio_train_tensors
+    from jsonschema_spark.sources.clips import materialized_fbank_clips
+
+    clips, _ = materialized_fbank_clips(spark, _FBANK_BENCH_N)
+    out = clips.select(
+        audio_train_tensors("clip_id", "bytes", "sr_hz", seed="ep0")
+        .alias("s")
+    ).select("s.mat_q", "s.delta_q", "s.ddelta_q", "s.aug_q", "s.x",
+             "s.n_frames")
+    last = F.greatest(F.size("mat_q"), F.lit(1))
+    return out.agg(
+        F.count(F.lit(1)),
+        F.sum("n_frames"),
+        F.sum(F.try_element_at("aug_q", last)),
+        F.sum(F.try_element_at("delta_q", last)),
+        F.sum(F.try_element_at("ddelta_q", last)),
+        F.sum(F.try_element_at("x", last)),
+    ).collect()
+
+
 _SNR_BENCH_N = int(os.environ.get("SPARK_GRAFT_SNR", "5000"))
 
 
@@ -878,6 +906,7 @@ QUERIES = {
     "clips_snr": q_clips_snr,
     "clips_dropouts": q_clips_dropouts,
     "clips_fbank": q_clips_fbank,
+    "clips_train_tensors": q_clips_train_tensors,
     "clips_mp3_walk": q_clips_mp3_walk,
     "clips_ogg_walk": q_clips_ogg_walk,
     "clips_segments": q_clips_segments,

@@ -99,36 +99,43 @@ def extract_features(
         n_gated = n_input - n_kept
         clips = kept
     if matrix:
-        from jsonschema_spark.functions.fbank import audio_fbank_full
-
         # ONE Arrow hop for tensor + partials, persisted: tensors and
         # the CMVN path both read it, and a second reference would
-        # re-plan (and re-decode) the whole upstream otherwise
-        full = clips.select(
-            "clip_id", audio_fbank_full("bytes", "sr_hz").alias("s")
-        ).select(
+        # re-plan (and re-decode) the whole upstream otherwise.
+        # With extras requested, the one-hop vectorized kernel beats
+        # the JVM derive-from-stored algebra ~13x (the interpreted
+        # HOF element walk becomes a numpy matrix op); without them,
+        # audio_fbank_full avoids shipping unused arrays over Arrow.
+        tensor_cols = ["mat_q"]
+        if deltas:
+            tensor_cols += ["delta_q", "ddelta_q"]
+        if specaugment is not None:
+            tensor_cols += ["aug_q"]
+        if deltas or specaugment is not None:
+            from jsonschema_spark.functions.fbank import (
+                audio_train_tensors,
+            )
+
+            s = audio_train_tensors(
+                "clip_id", "bytes", "sr_hz", seed=specaugment or ""
+            )
+        else:
+            from jsonschema_spark.functions.fbank import (
+                audio_fbank_full,
+            )
+
+            s = audio_fbank_full("bytes", "sr_hz")
+        full = clips.select("clip_id", s.alias("s")).select(
             "clip_id",
-            F.col("s.mat_q").alias("mat_q"),
+            *[F.col(f"s.{c}").alias(c) for c in tensor_cols],
             F.col("s.sum_q").alias("sum_q"),
             F.col("s.sumsq_q").alias("sumsq_q"),
             F.col("s.n_frames").alias("n_frames"),
             F.col("s.n_samples").alias("n_samples"),
         ).persist()
-        tensors = full.select(
-            "clip_id", "mat_q", "n_frames", "n_samples"
-        )
-        if deltas:
-            from jsonschema_spark.functions.fbank import delta_features
-
-            d, dd = delta_features("mat_q", "n_frames")
-            tensors = tensors.withColumns(
-                {"delta_q": d, "ddelta_q": dd}
-            )
-        if specaugment is not None:
-            from jsonschema_spark.operators.augment import spec_augment
-
-            tensors = spec_augment(tensors, seed=specaugment)
-        tensors.write.mode("overwrite").parquet(matrix)
+        full.select(
+            "clip_id", *tensor_cols, "n_frames", "n_samples"
+        ).write.mode("overwrite").parquet(matrix)
         feats = full.select(
             "clip_id", "sum_q", "sumsq_q", "n_frames", "n_samples"
         )

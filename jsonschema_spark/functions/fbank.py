@@ -597,3 +597,158 @@ def cmvn_normalize(
         ).otherwise(F.lit(1.0))
 
     return F.transform(mat, _norm)
+
+
+# ---------------------------------------------------------------------------
+# One-hop training tensors: mat + delta + SpecAugment + CMVN-normalize
+# ---------------------------------------------------------------------------
+
+TRAIN_TENSOR_TYPE = T.StructType(
+    [
+        T.StructField("mat_q", T.ArrayType(T.LongType())),
+        T.StructField("delta_q", T.ArrayType(T.LongType())),
+        T.StructField("ddelta_q", T.ArrayType(T.LongType())),
+        T.StructField("aug_q", T.ArrayType(T.LongType())),
+        T.StructField("x", T.ArrayType(T.DoubleType())),
+        T.StructField("sum_q", T.ArrayType(T.LongType())),
+        T.StructField("sumsq_q", T.ArrayType(T.LongType())),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _md5_60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def spec_masks_py(
+    clip_id: str,
+    n_frames: int,
+    seed: str = "",
+    n_time_masks: int = 2,
+    max_t_frames: int = 20,
+    n_freq_masks: int = 2,
+    max_f_bins: int = 8,
+    n_mels: int = N_MELS,
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """The EXACT SpecAugment draw of operators/augment.spec_augment,
+    replayed in Python (md5_60 of 'seed:tag|clip_id') — shared by the
+    one-hop tensor kernel, tests, and synth ledgers."""
+    tm, fm = [], []
+    for i in range(n_time_masks):
+        w = _md5_60_py(f"{seed}:tw{i}|{clip_id}") % (max_t_frames + 1)
+        s = _md5_60_py(f"{seed}:ts{i}|{clip_id}") % max(
+            1, n_frames - w + 1
+        )
+        tm.append((s, w))
+    for i in range(n_freq_masks):
+        w = _md5_60_py(f"{seed}:fw{i}|{clip_id}") % (max_f_bins + 1)
+        s = _md5_60_py(f"{seed}:fs{i}|{clip_id}") % max(1, n_mels - w + 1)
+        fm.append((s, w))
+    return tm, fm
+
+
+def train_tensor_batch(
+    clip_ids: pd.Series,
+    payloads: pd.Series,
+    srs: pd.Series,
+    seed: str,
+) -> pd.DataFrame:
+    """The whole per-clip tensor chain in ONE decode pass, vectorized:
+    quantized log-mel matrix, integer delta/delta-delta numerators
+    (delta_features_np — bit-equal to the JVM Column algebra, pinned
+    by test), SpecAugment-masked matrix (spec_masks_py — the identical
+    md5 draw), and the per-utterance CMVN-normalized doubles in the
+    same fixed exact-op association order as ``cmvn_normalize``.
+
+    This is the PRODUCTION path when payloads are being decoded anyway
+    (the JVM-algebra ops exist for deriving from already-written
+    feature parquet without touching payloads): the interpreted HOF
+    cost of the derive path (~20 element_at per element) becomes a
+    numpy matrix op, at the price of shipping the extra arrays across
+    Arrow once."""
+    n = len(payloads)
+    out = {
+        "mat_q": [],
+        "delta_q": [],
+        "ddelta_q": [],
+        "aug_q": [],
+        "x": [],
+        "sum_q": [],
+        "sumsq_q": [],
+    }
+    kf = np.zeros(n, dtype=np.int64)
+    ns = np.full(n, -1, dtype=np.int64)
+    for i, (cid, raw, sr) in enumerate(
+        zip(clip_ids.tolist(), payloads.tolist(), srs.tolist())
+    ):
+        q = np.zeros((0, N_MELS), dtype=np.int64)
+        if raw is not None and sr is not None and not (
+            isinstance(sr, float) and np.isnan(sr)
+        ):
+            try:
+                pcm = decode_payload(bytes(raw))
+            except (ValueError, TypeError, struct.error):
+                pcm = None
+            if pcm is not None:
+                ns[i] = len(pcm)
+                q = logmel_frames_q(pcm, int(sr))
+        kf[i] = q.shape[0]
+        d, dd = delta_features_np(q)
+        aug = q.copy()
+        tmask, fmask = spec_masks_py(str(cid), q.shape[0], seed=seed)
+        for s, w in tmask:
+            aug[s : s + w, :] = 0
+        for s, w in fmask:
+            aug[:, s : s + w] = 0
+        if q.shape[0]:
+            mean = (q.sum(axis=0, dtype=np.int64) / FBANK_Q) / float(
+                q.shape[0]
+            )
+            ex2 = (
+                (q.astype(np.int64) ** 2).sum(axis=0, dtype=np.int64)
+                / float(FBANK_Q * FBANK_Q)
+            ) / float(q.shape[0])
+            std = np.sqrt(np.maximum(ex2 - mean * mean, 0.0))
+            x = (q / float(FBANK_Q) - mean) / np.where(
+                std > 0.0, std, 1.0
+            )
+        else:
+            x = np.zeros((0, N_MELS))
+        out["mat_q"].append(q.reshape(-1).tolist())
+        out["delta_q"].append(d.reshape(-1).tolist())
+        out["ddelta_q"].append(dd.reshape(-1).tolist())
+        out["aug_q"].append(aug.reshape(-1).tolist())
+        out["x"].append(x.reshape(-1).tolist())
+        if q.shape[0]:
+            out["sum_q"].append(q.sum(axis=0).tolist())
+            out["sumsq_q"].append((q * q).sum(axis=0).tolist())
+        else:
+            out["sum_q"].append([])
+            out["sumsq_q"].append([])
+    out["n_frames"] = kf.astype(np.int32)
+    out["n_samples"] = ns
+    return pd.DataFrame(out)
+
+
+def audio_train_tensors(
+    clip_id: Column | str = "clip_id",
+    payload: Column | str = "bytes",
+    sr_hz: Column | str = "sr_hz",
+    seed: str = "",
+) -> Column:
+    """struct(mat_q, delta_q, ddelta_q, aug_q, x, n_frames,
+    n_samples) — the complete training input in ONE Arrow hop."""
+
+    @F.pandas_udf(TRAIN_TENSOR_TYPE)
+    def _udf(c: pd.Series, p: pd.Series, sr: pd.Series) -> pd.DataFrame:
+        return train_tensor_batch(c, p, sr, seed)
+
+    return _udf(
+        F.col(clip_id) if isinstance(clip_id, str) else clip_id,
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
+    )

@@ -389,3 +389,54 @@ def test_cmvn_normalize_matches_numpy(spark):
         if cid == "c1":
             for t in range(nfr):
                 assert got[t * n_mels + 2] == 0.0
+
+
+def test_one_hop_tensors_equal_jvm_algebra(spark):
+    """The vectorized one-hop kernel (audio_train_tensors) and the
+    JVM Column-algebra derive path (delta_features + spec_augment +
+    cmvn_normalize over the stored matrix) are BIT-equal on every
+    array — integers and doubles — across the ledger corpus, torn
+    class included."""
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.functions.fbank import (
+        audio_fbank_full,
+        audio_train_tensors,
+        cmvn_normalize,
+        delta_features,
+    )
+    from jsonschema_spark.operators.augment import spec_augment
+    from jsonschema_spark.sources.clips import synth_fbank_mat_clips
+
+    clips = synth_fbank_mat_clips(spark, 12, partitions=3).persist()
+    one = clips.select(
+        "clip_id",
+        audio_train_tensors("clip_id", "bytes", "sr_hz", seed="ep0")
+        .alias("s"),
+    ).select("clip_id", "s.mat_q", "s.delta_q", "s.ddelta_q",
+             "s.aug_q", "s.x", "s.n_frames")
+    base = clips.select(
+        "clip_id", audio_fbank_full("bytes", "sr_hz").alias("s")
+    ).select(
+        "clip_id",
+        F.col("s.mat_q").alias("mat_q"),
+        F.col("s.sum_q").alias("sum_q"),
+        F.col("s.sumsq_q").alias("sumsq_q"),
+        F.col("s.n_frames").alias("n_frames"),
+    )
+    d, dd = delta_features("mat_q", "n_frames")
+    jvm = spec_augment(base, seed="ep0").withColumns(
+        {
+            "delta_q": d,
+            "ddelta_q": dd,
+            "x": cmvn_normalize("mat_q", "sum_q", "sumsq_q", "n_frames"),
+        }
+    )
+    a = {r["clip_id"]: r for r in one.collect()}
+    b = {r["clip_id"]: r for r in jvm.collect()}
+    assert set(a) == set(b) and len(a) == 12
+    for cid in a:
+        for col in ("mat_q", "delta_q", "ddelta_q", "aug_q", "x",
+                    "n_frames"):
+            assert a[cid][col] == b[cid][col], (cid, col)
+    clips.unpersist()
