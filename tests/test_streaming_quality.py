@@ -492,3 +492,46 @@ def test_fbank_streaming_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM q_fbank_stream").collect()
     )
     assert got == want and len(got) == 12 * 40  # 12 decodable clips
+
+
+def test_train_tensors_streaming_parity(spark, tmp_path):
+    """The one-hop training-tensor kernel is a stateless per-row
+    transform, so the SAME compiled plan must produce bit-identical
+    tensors (integers and doubles) under readStream — feature
+    extraction can run as a continuous job on arriving shards."""
+    from jsonschema_spark.functions.fbank import audio_train_tensors
+    from jsonschema_spark.sources.clips import synth_fbank_mat_clips
+
+    d = str(tmp_path / "tt_clips")
+    raw = synth_fbank_mat_clips(spark, 24, partitions=3)
+    raw.drop(*[c for c in raw.columns if c.startswith("_")]).write.mode(
+        "overwrite"
+    ).parquet(d)
+    batch = spark.read.parquet(d)
+
+    def tensors(df):
+        s = audio_train_tensors("clip_id", "bytes", "sr_hz", seed="ep0")
+        return df.select("clip_id", s.alias("s")).select(
+            "clip_id",
+            F.md5(F.to_json(F.col("s.mat_q"))).alias("h_mat"),
+            F.md5(F.to_json(F.col("s.delta_q"))).alias("h_d"),
+            F.md5(F.to_json(F.col("s.aug_q"))).alias("h_aug"),
+            F.md5(F.to_json(F.col("s.x"))).alias("h_x"),
+            F.col("s.n_frames").alias("n_frames"),
+        )
+
+    want = sorted(tuple(r) for r in tensors(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        tensors(stream)
+        .writeStream.format("memory").queryName("q_tt_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM q_tt_stream").collect()
+    )
+    assert got == want and len(got) == 24
