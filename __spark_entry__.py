@@ -3588,6 +3588,36 @@ def _q_clips_fbank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC over the feature tensor — DCT-II with a QUANTIZED integer
+    basis (floor(c*2^20+0.5)), so the cepstral matmul stays exact
+    int64 end-to-end: pure Column algebra over the materialized
+    matrix (no decode pass), hash-matched element-for-element against
+    a DuckDB replay that consumes the IDENTICAL driver-built
+    coefficient literal."""
+    from jsonschema_spark.functions.fbank import (
+        audio_fbank_matrix,
+        mfcc_q,
+    )
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    s = clips.select(
+        "clip_id", audio_fbank_matrix("bytes", "sr_hz").alias("s")
+    )
+    base = s.select(
+        "clip_id",
+        F.col("s.mat_q").alias("mat_q"),
+        F.col("s.n_frames").alias("nfr"),
+    )
+    return base.select(
+        "clip_id",
+        F.posexplode(mfcc_q("mat_q", "nfr")).alias("pos", "cep"),
+    )
+
+
 def _q_clips_train_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-hop production tensor kernel (bench.py's
     clips_train_tensors path, ~13x the JVM derive chain): decode +
@@ -4735,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_batch_assign": _q_clips_batch_assign,
         "clips_cmvn_normalize": _q_clips_cmvn_normalize,
         "clips_train_tensors": _q_clips_train_tensors,
+        "clips_mfcc": _q_clips_mfcc,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7365,6 +7396,47 @@ def _clips_fbank_delta_sql() -> str:
                CAST({dd_expr} AS BIGINT) AS dd_num,
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
+        FROM e
+    """
+
+
+def _clips_mfcc_sql() -> str:
+    """MFCC oracle: the same integer DCT basis (built once on the
+    driver, inlined verbatim) applied per (frame, cep) element via a
+    range/list_transform matmul over the `_mat` ledger."""
+    from jsonschema_spark.functions.fbank import (
+        N_CEPS,
+        N_MELS,
+        mfcc_coeffs_q,
+    )
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm, nc = N_MELS, N_CEPS
+    c_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]"
+            for row in mfcc_coeffs_q()
+        )
+        + "]"
+    )
+    return f"""
+        WITH c AS (SELECT {c_lit} AS cc), e AS (
+            SELECT clip_id, _nfr, _mat, cc,
+                   CAST(r.range AS INTEGER) AS pos,
+                   CAST(r.range // {nc} AS INTEGER) AS t,
+                   CAST(r.range % {nc} AS INTEGER) AS k
+            FROM {src}, c, range(4096) AS r
+            WHERE r.range < _nfr * {nc}
+        )
+        SELECT clip_id, pos,
+               CAST(list_sum(list_transform(range(0, {nm}),
+                   mm -> list_extract(_mat,
+                             CAST(t * {nm} + mm + 1 AS INTEGER))
+                         * list_extract(list_extract(cc, k + 1),
+                             CAST(mm + 1 AS INTEGER))
+               )) AS BIGINT) AS cep
         FROM e
     """
 
@@ -10406,6 +10478,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_batch_assign": _clips_batch_assign_sql(),
         "clips_cmvn_normalize": _clips_cmvn_normalize_sql(),
         "clips_train_tensors": _clips_train_tensors_sql(),
+        "clips_mfcc": _clips_mfcc_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -752,3 +752,103 @@ def audio_train_tensors(
         F.col(payload) if isinstance(payload, str) else payload,
         F.col(sr_hz) if isinstance(sr_hz, str) else sr_hz,
     )
+
+
+# ---------------------------------------------------------------------------
+# MFCC — quantized-coefficient DCT-II over the stored log-mel matrix
+# ---------------------------------------------------------------------------
+
+N_CEPS = 13
+MFCC_COEF_Q = 1 << 20  # fixed-point scale for the DCT basis
+
+
+def mfcc_coeffs_q(
+    n_ceps: int = N_CEPS,
+    n_mels: int = N_MELS,
+    scale: int = MFCC_COEF_Q,
+) -> list[list[int]]:
+    """Orthonormal DCT-II basis rows (k = 0..n_ceps-1, the HTK/Kaldi
+    cepstral convention: k=0 carries sqrt(1/M), higher k sqrt(2/M)),
+    QUANTIZED to integers (floor(c*scale + 0.5), half-up like every
+    fixed-point step here). The quantization is what makes MFCC an
+    exact-integer op: the matmul against the int64 log-mel millis
+    stays in int64 (|q| ~ 1e4 * |c_q| ~ 2.3e5 * 40 mels ~ 9e10 << 2^63)
+    and is therefore bit-reproducible on any engine — the SAME ints
+    are inlined into the Spark literal and the DuckDB oracle."""
+    rows: list[list[int]] = []
+    for k in range(n_ceps):
+        a = np.sqrt((1.0 if k == 0 else 2.0) / n_mels)
+        row = [
+            int(
+                np.floor(
+                    a
+                    * np.cos(np.pi * (m + 0.5) * k / n_mels)
+                    * scale
+                    + 0.5
+                )
+            )
+            for m in range(n_mels)
+        ]
+        rows.append(row)
+    return rows
+
+
+def mfcc_q(
+    mat_col: str,
+    n_frames_col: str,
+    n_ceps: int = N_CEPS,
+    n_mels: int = N_MELS,
+) -> Column:
+    """Int64 MFCC numerators over a MATERIALIZED flattened log-mel
+    matrix: out[t*n_ceps + k] = sum_m mat[t*n_mels+m] * C_q[k][m]
+    (true cepstrum = out / (FBANK_Q * MFCC_COEF_Q)). Pure Column
+    algebra — cepstral features for a written feature table without a
+    decode pass. The basis is ONE foldable 2-D array literal consumed
+    through small HOF lambdas (the PQ-ADC lesson: unrolled literal
+    chains blow janino's method limit and re-evaluate under
+    interpreted eval; a literal array + aggregate does not)."""
+    mat = F.col(mat_col)
+    nfr = F.col(n_frames_col)
+    coeffs = mfcc_coeffs_q(n_ceps, n_mels)
+    c_lit = F.array(
+        *[
+            F.array(*[F.lit(v).cast("long") for v in row])
+            for row in coeffs
+        ]
+    )
+
+    def _cep(pos: Column) -> Column:
+        t = F.floor(pos / F.lit(n_ceps)).cast("int")
+        k = F.pmod(pos, F.lit(n_ceps)).cast("int")
+        row = F.element_at(c_lit, k + F.lit(1))
+
+        def _fold(acc: Column, m: Column) -> Column:
+            return acc + F.element_at(
+                mat, (t * F.lit(n_mels) + m + F.lit(1)).cast("int")
+            ) * F.element_at(row, (m + F.lit(1)).cast("int"))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_mels - 1)),
+            F.lit(0).cast("long"),
+            _fold,
+        )
+
+    return F.when(
+        nfr < 1, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(0), nfr.cast("int") * F.lit(n_ceps) - F.lit(1)
+            ),
+            _cep,
+        )
+    )
+
+
+def mfcc_np(q: np.ndarray, n_ceps: int = N_CEPS) -> np.ndarray:
+    """Reference numpy replay of the SAME integer matmul."""
+    c = np.asarray(mfcc_coeffs_q(n_ceps, q.shape[1] or N_MELS),
+                   dtype=np.int64)
+    if q.shape[0] == 0:
+        return np.zeros((0, n_ceps), dtype=np.int64)
+    return q.astype(np.int64) @ c.T

@@ -440,3 +440,51 @@ def test_one_hop_tensors_equal_jvm_algebra(spark):
                     "n_frames"):
             assert a[cid][col] == b[cid][col], (cid, col)
     clips.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# MFCC (quantized-coefficient DCT-II)
+# ---------------------------------------------------------------------------
+
+
+def test_mfcc_spark_matches_numpy(spark):
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.functions.fbank import N_CEPS, mfcc_np, mfcc_q
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i, nfr in enumerate([0, 1, 7]):
+        q = rng.integers(-9000, 3000, size=(nfr, 40)).astype(np.int64)
+        rows.append((f"c{i}", [int(v) for v in q.reshape(-1)], nfr))
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("nfr", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["clip_id"]: r["cep"]
+        for r in df.select(
+            "clip_id", mfcc_q("mat_q", "nfr").alias("cep")
+        ).collect()
+    }
+    for cid, flat, nfr in rows:
+        q = np.asarray(flat, dtype=np.int64).reshape(nfr, 40)
+        want = mfcc_np(q).reshape(-1).tolist()
+        assert got[cid] == want, cid
+        assert len(got[cid]) == nfr * N_CEPS
+
+
+def test_mfcc_dc_anchor():
+    """A constant log-mel frame concentrates in c0: the quantized
+    basis rows for k>0 sum to ~0 (rounding residual only), so their
+    cepstra are tiny relative to c0."""
+    from jsonschema_spark.functions.fbank import mfcc_np
+
+    q = np.full((1, 40), 5000, dtype=np.int64)
+    cep = mfcc_np(q)[0]
+    assert cep[0] > 10**9  # 5000 * 40 * sqrt(1/40)*2^20
+    assert all(abs(c) <= 5000 * 40 for c in cep[1:])  # rounding only
