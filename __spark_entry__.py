@@ -3588,6 +3588,38 @@ def _q_clips_fbank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_tensor_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-tensor WebDataset round trip: the one-hop tensor kernel
+    packed ONCE into npy tar shards (int64 mat + float64 x members,
+    reproducible USTAR bytes, zero-frame clips skipped), read back via
+    a binaryFile scan + one unpacking Arrow hop, exploded per element.
+    The oracle recomputes BOTH tensors from the `_mat` ledger — the
+    whole pack->unpack cycle must be lossless for integers and IEEE
+    doubles alike."""
+    from jsonschema_spark.sources.clips import materialized_tensor_shards
+    from jsonschema_spark.sources.shards import read_tensor_shards
+
+    path = materialized_tensor_shards(spark, _FBANK_MAT_N)
+    back = read_tensor_shards(
+        spark, path + "/*.tar",
+        members={"mat": "long", "x": "double"},
+    )
+    z = back.select(
+        "clip_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("mat").alias("q"), F.col("x").alias("xx")
+            )
+        ).alias("pos", "z"),
+    )
+    return z.select(
+        "clip_id",
+        "pos",
+        F.col("z.q").alias("q"),
+        F.col("z.xx").alias("x"),
+    )
+
+
 def _q_clips_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MFCC over the feature tensor — DCT-II with a QUANTIZED integer
     basis (floor(c*2^20+0.5)), so the cepstral matmul stays exact
@@ -4766,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_cmvn_normalize": _q_clips_cmvn_normalize,
         "clips_train_tensors": _q_clips_train_tensors,
         "clips_mfcc": _q_clips_mfcc,
+        "clips_tensor_shards": _q_clips_tensor_shards,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7397,6 +7430,46 @@ def _clips_fbank_delta_sql() -> str:
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
         FROM e
+    """
+
+
+def _clips_tensor_shards_sql() -> str:
+    """Tensor-shard oracle: recompute the int64 matrix elements AND the
+    exact-op normalized doubles from the `_mat` ledger (zero-frame
+    clips produce no elements, matching the sink's skip)."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+    return f"""
+        WITH e AS (
+            SELECT clip_id, _nfr,
+                   CAST(r.range AS INTEGER) AS pos,
+                   CAST(r.range % {nm} AS INTEGER) AS m,
+                   list_extract(_mat, CAST(r.range + 1 AS INTEGER)) AS q
+            FROM {src}, range(4096) AS r
+            WHERE r.range < len(_mat)
+        ), s AS (
+            SELECT clip_id, m,
+                   SUM(q) AS sb, SUM(q * q) AS ssb
+            FROM e GROUP BY clip_id, m
+        ), j AS (
+            SELECT e.clip_id, e.pos, e.q, e._nfr, s.sb, s.ssb,
+                   CAST(s.sb AS DOUBLE) / CAST(1000.0 AS DOUBLE)
+                       / CAST(e._nfr AS DOUBLE) AS mean,
+                   CAST(s.ssb AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                       / CAST(e._nfr AS DOUBLE) AS ex2
+            FROM e JOIN s ON e.clip_id = s.clip_id AND e.m = s.m
+        )
+        SELECT clip_id, pos, q,
+               (CAST(q AS DOUBLE) / CAST(1000.0 AS DOUBLE) - mean)
+               / (CASE WHEN sqrt(greatest(ex2 - mean * mean,
+                                          CAST(0.0 AS DOUBLE))) > 0
+                       THEN sqrt(greatest(ex2 - mean * mean,
+                                          CAST(0.0 AS DOUBLE)))
+                       ELSE CAST(1.0 AS DOUBLE) END) AS x
+        FROM j
     """
 
 
@@ -10479,6 +10552,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_cmvn_normalize": _clips_cmvn_normalize_sql(),
         "clips_train_tensors": _clips_train_tensors_sql(),
         "clips_mfcc": _clips_mfcc_sql(),
+        "clips_tensor_shards": _clips_tensor_shards_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

@@ -28,6 +28,7 @@ from typing import Iterator, Optional
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jsonschema_spark.functions.audio import (
@@ -4132,3 +4133,52 @@ def materialized_fbank_mat_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_fbank_mat_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+def tensor_shards_dir(n: int) -> str:
+    return oracle_cache_path(f"clips_tensor_shards_{n}")
+
+
+def materialized_tensor_shards(spark: SparkSession, n: int) -> str:
+    """Training-tensor npy tars packed ONCE: the fbank ledger corpus
+    -> one-hop tensor kernel -> write_tensor_shards (mat int64 + x
+    float64 members). The round-trip oracle recomputes both tensors
+    from the `_mat` ledger, so pack -> unpack must be lossless for
+    integers AND doubles."""
+    import os
+
+    from jsonschema_spark.functions.fbank import audio_train_tensors
+    from jsonschema_spark.sources.shards import write_tensor_shards
+
+    path = tensor_shards_dir(n)
+    ok = os.path.join(path, "_SHARDS_OK")
+    if not os.path.exists(ok):
+        clips, _ = materialized_fbank_mat_clips(spark, n)
+        src = (
+            clips.select(
+                "clip_id", "transcript",
+                audio_train_tensors(
+                    "clip_id", "bytes", "sr_hz", seed="ep0"
+                ).alias("s"),
+            )
+            .select(
+                "clip_id",
+                F.col("s.mat_q").alias("mat_q"),
+                F.col("s.x").alias("x"),
+                F.col("s.n_frames").alias("n_frames"),
+                "transcript",
+            )
+            .repartitionByRange(4, "clip_id")
+            .sortWithinPartitions("clip_id")
+        )
+        manifest = write_tensor_shards(
+            src, path,
+            tensor_cols={"mat_q": "mat", "x": "x"},
+            shard_bytes=1 << 20,
+        )
+        total = manifest.agg(F.sum("n_samples")).collect()[0][0]
+        if not total or total <= 0:
+            raise RuntimeError("tensor pack produced no samples")
+        with open(ok, "w") as f:
+            f.write(str(total))
+    return path

@@ -204,3 +204,209 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.select("content").mapInPandas(
         unpack, schema=CLIPS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Tensor shards: .npy members — the training-side WebDataset format
+# ---------------------------------------------------------------------------
+
+
+def _npy_bytes(arr) -> bytes:
+    """Standard NPY v1.0 serialization (np.save to a buffer) — the
+    member format every training loader (webdataset, torch, numpy
+    mmap) consumes natively. Deterministic for a given dtype/shape."""
+    import numpy as np
+
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+def write_tensor_shards(
+    df: DataFrame,
+    out_dir: str,
+    tensor_cols: dict[str, str] | None = None,
+    n_frames_col: str = "n_frames",
+    id_col: str = "clip_id",
+    meta_cols: tuple[str, ...] = ("transcript",),
+    shard_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Pack per-clip feature tensors into WebDataset tars: each key
+    carries one ``<key>.<member>.npy`` per tensor column (reshaped to
+    (n_frames, width); int64 arrays as <i8, doubles as <f8) plus a
+    ``<key>.json`` sidecar (n_frames + ``meta_cols``). The training
+    job reads these directly — no engine required on the consumer
+    side, which is the point of shipping npy instead of parquet.
+
+    Same scale shape as ``write_tar_shards``: one mapInPandas pass,
+    no shuffle, reproducible tar bytes, manifest returned. Clips with
+    n_frames == 0 (undecodable / sub-window) are SKIPPED — there is
+    no tensor to train on; count them upstream via the extraction
+    report, not here."""
+    import numpy as np
+
+    tensor_cols = tensor_cols or {"mat_q": "mat"}
+    os.makedirs(out_dir, exist_ok=True)
+    meta_present = [c for c in meta_cols if c in df.columns]
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        buf: io.BytesIO | None = None
+        tar: tarfile.TarFile | None = None
+        count = 0
+        manifest: list[tuple[str, int, int]] = []
+
+        def flush():
+            nonlocal buf, tar, count, seq
+            if tar is None:
+                return
+            tar.close()
+            data = buf.getvalue()
+            path = os.path.join(
+                out_dir, f"tensors-{pid:05d}-{seq:05d}.tar"
+            )
+            with open(path, "wb") as f:
+                f.write(data)
+            manifest.append((path, count, len(data)))
+            buf = tar = None
+            count = 0
+            seq += 1
+
+        def ensure() -> tarfile.TarFile:
+            nonlocal buf, tar
+            if tar is None:
+                buf = io.BytesIO()
+                tar = tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                )
+            return tar
+
+        for b in batches:
+            for row in b.itertuples(index=False):
+                d = row._asdict()
+                key = d[id_col]
+                nfr = int(d[n_frames_col] or 0)
+                if nfr <= 0:
+                    continue
+                t = ensure()
+                for col, member in tensor_cols.items():
+                    flat = d[col]
+                    vals = list(flat)
+                    width = len(vals) // nfr
+                    if width * nfr != len(vals):
+                        raise ValueError(
+                            f"{col} length {len(vals)} not divisible"
+                            f" by n_frames {nfr} for {key}"
+                        )
+                    if vals and isinstance(vals[0], float):
+                        arr = np.asarray(vals, dtype="<f8")
+                    else:
+                        arr = np.asarray(vals, dtype="<i8")
+                    _tar_member(
+                        t,
+                        f"{key}.{member}.npy",
+                        _npy_bytes(arr.reshape(nfr, width)),
+                    )
+                meta = {"n_frames": nfr}
+                for c in meta_present:
+                    v = d[c]
+                    if v is not None and (
+                        isinstance(v, (str, bytes)) or not pd.isna(v)
+                    ):
+                        meta[c] = v if isinstance(v, str) else int(v)
+                _tar_member(
+                    t,
+                    f"{key}.json",
+                    json.dumps(meta, sort_keys=True).encode(),
+                )
+                count += 1
+                if buf.tell() >= shard_bytes:
+                    flush()
+        flush()
+        yield pd.DataFrame(
+            manifest, columns=["shard", "n_samples", "bytes"]
+        )
+
+    return df.mapInPandas(pack, schema=MANIFEST_TYPE)
+
+
+def read_tensor_shards(
+    spark: SparkSession,
+    path_glob: str,
+    members: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read tensor tars back: one binaryFile row per shard, one Arrow
+    hop unpacking npy members (``members`` maps member name ->
+    'long' | 'double') into flattened arrays + n_frames + transcript.
+    Torn tars and key mismatches fail loudly."""
+    import numpy as np
+
+    members = members or {"mat": "long"}
+    fields = [T.StructField("clip_id", T.StringType(), False)]
+    for name, kind in members.items():
+        fields.append(
+            T.StructField(
+                name,
+                T.ArrayType(
+                    T.LongType() if kind == "long" else T.DoubleType()
+                ),
+            )
+        )
+    fields += [
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("transcript", T.StringType()),
+    ]
+    schema = T.StructType(fields)
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for raw in b["content"]:
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(raw)), mode="r"
+                ) as tar:
+                    tensors: dict[str, dict[str, list]] = {}
+                    metas: dict[str, dict] = {}
+                    for m in tar.getmembers():
+                        data = tar.extractfile(m).read()
+                        if m.name.endswith(".json"):
+                            metas[m.name[:-5]] = json.loads(data)
+                            continue
+                        if not m.name.endswith(".npy"):
+                            raise ValueError(
+                                f"unexpected member {m.name}"
+                            )
+                        stem = m.name[:-4]
+                        key, _, member = stem.rpartition(".")
+                        arr = np.load(
+                            io.BytesIO(data), allow_pickle=False
+                        )
+                        tensors.setdefault(key, {})[member] = (
+                            arr.reshape(-1).tolist()
+                        )
+                    if set(tensors) != set(metas):
+                        raise ValueError(
+                            "tensor shard npy/sidecar key mismatch"
+                        )
+                    for key in sorted(tensors):
+                        meta = metas[key]
+                        rows.append(
+                            (key,)
+                            + tuple(
+                                tensors[key].get(name)
+                                for name in members
+                            )
+                            + (
+                                meta.get("n_frames"),
+                                meta.get("transcript"),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return files.select("content").mapInPandas(unpack, schema=schema)

@@ -101,3 +101,81 @@ def test_sidecar_mismatch_fails_loudly(spark, tmp_path):
         f.write(buf.getvalue())
     with pytest.raises(Exception):
         read_tar_shards(spark, d + "/*.tar").count()
+
+
+# ---------------------------------------------------------------------------
+# Tensor shards (.npy members)
+# ---------------------------------------------------------------------------
+
+
+def test_tensor_roundtrip_lossless(spark, tmp_path):
+    """int64 and float64 tensors survive the npy+tar cycle bit-for-bit
+    (doubles included — npy is raw IEEE bytes), sidecars carry
+    n_frames + transcript, and zero-frame clips are skipped."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.sources.shards import (
+        read_tensor_shards,
+        write_tensor_shards,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i, nfr in enumerate([3, 1, 0, 7]):
+        mat = rng.integers(-9000, 3000, size=nfr * 4).astype(np.int64)
+        x = rng.standard_normal(nfr * 4)
+        rows.append(
+            (
+                f"c{i}",
+                [int(v) for v in mat],
+                [float(v) for v in x],
+                nfr,
+                f"transcript {i}",
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("x", T.ArrayType(T.DoubleType())),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("transcript", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).repartition(2, "clip_id")
+    out = str(tmp_path / "tshards")
+    man = write_tensor_shards(
+        df, out, tensor_cols={"mat_q": "mat", "x": "x"}
+    ).collect()
+    assert sum(m["n_samples"] for m in man) == 3  # zero-frame skipped
+    back = read_tensor_shards(
+        spark, out + "/*.tar", members={"mat": "long", "x": "double"}
+    ).collect()
+    got = {r["clip_id"]: r for r in back}
+    assert set(got) == {"c0", "c1", "c3"}
+    for cid, mat, x, nfr, txt in rows:
+        if nfr == 0:
+            continue
+        r = got[cid]
+        assert list(r["mat"]) == mat
+        assert list(r["x"]) == x  # bit-equal doubles
+        assert r["n_frames"] == nfr and r["transcript"] == txt
+
+
+def test_tensor_shard_bad_length_fails(spark, tmp_path):
+    import pyspark.sql.types as T
+    import pytest as _pytest
+
+    from jsonschema_spark.sources.shards import write_tensor_shards
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame([("c0", [1, 2, 3], 2)], schema)
+    with _pytest.raises(Exception, match="not divisible"):
+        write_tensor_shards(df, str(tmp_path / "bad")).collect()
