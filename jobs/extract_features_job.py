@@ -47,6 +47,7 @@ def extract_features(
     matrix: str | None = None,
     deltas: bool = False,
     specaugment: str | None = None,
+    tensor_shards: str | None = None,
 ):
     """Run the extraction; returns (features DF, cmvn DF, stats).
 
@@ -57,7 +58,9 @@ def extract_features(
     delta/delta-delta numerator arrays (pure Column algebra over the
     materialized matrix — no extra Python); ``specaugment`` appends a
     masked ``aug_q`` drawn deterministically from (seed, clip_id),
-    mask provenance columns included."""
+    mask provenance columns included. ``tensor_shards`` packs the
+    tensors (mat + CMVN-normalized x, plus any extras) into WebDataset
+    npy tar shards — the consumer-side training format."""
     from jsonschema_spark.functions.fbank import audio_fbank_stats
 
     n_input = clips.count()
@@ -98,7 +101,8 @@ def extract_features(
         n_kept = kept.count()
         n_gated = n_input - n_kept
         clips = kept
-    if matrix:
+    shard_manifest = None
+    if matrix or tensor_shards:
         # ONE Arrow hop for tensor + partials, persisted: tensors and
         # the CMVN path both read it, and a second reference would
         # re-plan (and re-decode) the whole upstream otherwise.
@@ -111,7 +115,7 @@ def extract_features(
             tensor_cols += ["delta_q", "ddelta_q"]
         if specaugment is not None:
             tensor_cols += ["aug_q"]
-        if deltas or specaugment is not None:
+        if deltas or specaugment is not None or tensor_shards:
             from jsonschema_spark.functions.fbank import (
                 audio_train_tensors,
             )
@@ -119,23 +123,47 @@ def extract_features(
             s = audio_train_tensors(
                 "clip_id", "bytes", "sr_hz", seed=specaugment or ""
             )
+            if tensor_shards:
+                tensor_cols = tensor_cols + ["x"]
         else:
             from jsonschema_spark.functions.fbank import (
                 audio_fbank_full,
             )
 
             s = audio_fbank_full("bytes", "sr_hz")
-        full = clips.select("clip_id", s.alias("s")).select(
+        keep_meta = (
+            ["transcript"] if "transcript" in clips.columns else []
+        )
+        full = clips.select("clip_id", *keep_meta, s.alias("s")).select(
             "clip_id",
+            *keep_meta,
             *[F.col(f"s.{c}").alias(c) for c in tensor_cols],
             F.col("s.sum_q").alias("sum_q"),
             F.col("s.sumsq_q").alias("sumsq_q"),
             F.col("s.n_frames").alias("n_frames"),
             F.col("s.n_samples").alias("n_samples"),
         ).persist()
-        full.select(
-            "clip_id", *tensor_cols, "n_frames", "n_samples"
-        ).write.mode("overwrite").parquet(matrix)
+        if matrix:
+            full.select(
+                "clip_id",
+                *[c for c in tensor_cols if c != "x"],
+                "n_frames",
+                "n_samples",
+            ).write.mode("overwrite").parquet(matrix)
+        if tensor_shards:
+            from jsonschema_spark.sources.shards import (
+                write_tensor_shards,
+            )
+
+            members = {"mat_q": "mat", "x": "x"}
+            if deltas:
+                members["delta_q"] = "delta"
+                members["ddelta_q"] = "ddelta"
+            if specaugment is not None:
+                members["aug_q"] = "aug"
+            shard_manifest = write_tensor_shards(
+                full, tensor_shards, tensor_cols=members
+            ).collect()
         feats = full.select(
             "clip_id", "sum_q", "sumsq_q", "n_frames", "n_samples"
         )
@@ -192,6 +220,14 @@ def extract_features(
         "decoded_rows": int(summary["decoded"] or 0),
         "total_frames": int(summary["frames"] or 0),
     }
+    if shard_manifest is not None:
+        stats["tensor_shards"] = len(shard_manifest)
+        stats["shard_samples"] = int(
+            sum(m["n_samples"] for m in shard_manifest)
+        )
+        stats["shard_bytes"] = int(
+            sum(m["bytes"] for m in shard_manifest)
+        )
     return feats, cm, stats
 
 
@@ -209,6 +245,9 @@ def main(argv=None) -> int:
     p.add_argument("--specaugment", default=None, metavar="SEED",
                    help="append a SpecAugment-masked aug_q to --matrix "
                         "(deterministic per (SEED, clip_id))")
+    p.add_argument("--tensor-shards", default=None, metavar="DIR",
+                   help="pack tensors (mat + normalized x + extras) "
+                        "into WebDataset npy tar shards")
     p.add_argument("--gate", action="store_true",
                    help="drop tonality/artifact-violating clips first")
     p.add_argument("--min-snr-est", type=float, default=None,
@@ -246,8 +285,11 @@ def main(argv=None) -> int:
     meta = [c for c in clips.columns if c.startswith("_")]
     if meta:
         clips = clips.drop(*meta)
-    if (args.deltas or args.specaugment is not None) and not args.matrix:
-        p.error("--deltas/--specaugment require --matrix")
+    if (args.deltas or args.specaugment is not None) and not (
+        args.matrix or args.tensor_shards
+    ):
+        p.error("--deltas/--specaugment require --matrix or "
+                "--tensor-shards")
     _f, _c, stats = extract_features(
         clips,
         gate=args.gate,
@@ -257,6 +299,7 @@ def main(argv=None) -> int:
         matrix=args.matrix,
         deltas=args.deltas,
         specaugment=args.specaugment,
+        tensor_shards=args.tensor_shards,
     )
     print(json.dumps(stats))
     if not preexisting:

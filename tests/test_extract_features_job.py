@@ -141,3 +141,50 @@ def test_matrix_deltas_specaugment_output(spark, tmp_path):
             )
             assert r["aug_q"][pos] == (0 if masked else v)
     raw.unpersist()
+
+
+def test_tensor_shards_end_to_end(spark, tmp_path, capsys):
+    """Shards in, tensor shards out: the full production cycle via the
+    CLI — WebDataset clip tars -> gated decode -> one-hop tensors ->
+    npy tensor tars; the read-back x doubles are bit-equal to the
+    engine's normalize chain."""
+    import numpy as np
+
+    from jsonschema_spark.sources.clips import synth_fbank_mat_clips
+    from jsonschema_spark.sources.shards import read_tensor_shards
+
+    raw = synth_fbank_mat_clips(spark, 10, partitions=2).persist()
+    clips = raw.drop(*[c for c in raw.columns if c.startswith("_")])
+    out = str(tmp_path / "tshards")
+    _f, _c, stats = extract_features(
+        clips, tensor_shards=out, deltas=True, specaugment="ep0"
+    )
+    assert stats["shard_samples"] == stats["decoded_rows"]
+    back = read_tensor_shards(
+        spark,
+        out + "/*.tar",
+        members={
+            "mat": "long", "x": "double", "delta": "long",
+            "ddelta": "long", "aug": "long",
+        },
+    )
+    rows = back.collect()
+    assert len(rows) == stats["shard_samples"]
+    ledger = {
+        r["clip_id"]: (list(r["_mat"]), r["_nfr"])
+        for r in raw.select("clip_id", "_mat", "_nfr").collect()
+    }
+    from jsonschema_spark.functions.fbank import (
+        N_MELS,
+        delta_features_np,
+    )
+
+    for r in rows:
+        flat, nfr = ledger[r["clip_id"]]
+        assert list(r["mat"]) == flat
+        q = np.asarray(flat, dtype=np.int64).reshape(nfr, N_MELS)
+        ed, _ = delta_features_np(q)
+        assert list(r["delta"]) == ed.reshape(-1).tolist()
+        assert r["transcript"] is not None
+        assert len(r["x"]) == len(flat)
+    raw.unpersist()
