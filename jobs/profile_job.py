@@ -261,6 +261,15 @@ def profile_table(df, skew_candidates=None):
             metrics["codec_mismatch_rate"] = _measured_codec_rate(
                 df, payload, "codec"
             )
+        # CTC trainability: (frames, transcript) infeasible fraction
+        if "transcript" in df.columns and "dur_ms" in df.columns:
+            from jsonschema_spark.operators.suggest import (
+                _measured_ctc_rate,
+            )
+
+            metrics["ctc_infeasible_rate"] = _measured_ctc_rate(
+                df, sr_col, "dur_ms"
+            )
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

@@ -355,6 +355,17 @@ def as_suite_config(
                 "codec_col": "codec",
                 "max_violation_rate": math.ceil(crate * 1000) / 1000,
             })
+        types = dict((f.name, f.dataType) for f in df.schema.fields)
+        if isinstance(types.get("transcript"), T.StringType) and (
+            "dur_ms" in types
+        ):
+            ctcrate = _measured_ctc_rate(df, sr_col, "dur_ms")
+            checks.append({
+                "type": "ctc_feasible", "name": f"{table}_ctc_feasible",
+                "table": table, "transcript_col": "transcript",
+                "sr_col": sr_col, "dur_col": "dur_ms",
+                "max_violation_rate": math.ceil(ctcrate * 1000) / 1000,
+            })
     return {"checks": checks}
 
 
@@ -416,6 +427,19 @@ def _measured_stereo_rate(df: DataFrame, payload: str) -> float:
     g = stereo_gates(audio_stereo(payload))
     row = df.agg(
         F.avg((~g["stereo_ok"]).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0
+
+
+def _measured_ctc_rate(df: DataFrame, sr_col: str, dur_col: str) -> float:
+    """Current CTC-infeasible fraction (metadata-only) — the ceiling
+    the drafted ctc_feasible check is anchored to (must-pass-on-
+    draft-data stance)."""
+    from jsonschema_spark.functions.fbank import ctc_feasibility
+
+    gated = ctc_feasibility(df, sr_col=sr_col, dur_col=dur_col)
+    row = gated.agg(
+        F.avg((~F.col("ctc_ok")).cast("double")).alias("r")
     ).first()
     return float(row["r"]) if row["r"] is not None else 1.0
 

@@ -787,6 +787,37 @@ def _check_audio_tonality(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_ctc_feasible(df: DataFrame, spec: dict) -> DataFrame:
+    """CTC trainability gate: bound the fraction of (clip, transcript)
+    pairs whose subsampled frame count cannot emit the label under
+    CTC's blank rule (T_sub >= len + adjacent_repeats). Metadata-only
+    integer arithmetic — zero decode; NULL/empty transcripts count as
+    infeasible. Metric = infeasible fraction; threshold
+    ``max_violation_rate``; ``subsample`` models the encoder front
+    end (default 4)."""
+    from jsonschema_spark.functions.fbank import ctc_feasibility
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    gated = ctc_feasibility(
+        df,
+        transcript_col=spec.get("transcript_col", "transcript"),
+        sr_col=spec.get("sr_col", "sr_hz"),
+        dur_col=spec.get("dur_col", "dur_ms"),
+        subsample=int(spec.get("subsample", 4)),
+    )
+    agg = gated.agg(
+        F.coalesce(
+            F.sum((~F.col("ctc_ok")).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "ctc_feasible", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 def _check_audio_codec(df: DataFrame, spec: dict) -> DataFrame:
     """Codec-label gate: bound the fraction of clips whose codec COLUMN
     disagrees with the payload's sniffed container (or carries a label
@@ -913,6 +944,7 @@ _CHECKS = {
         df, spec
     ),
     "audio_codec": lambda df, spec, tables: _check_audio_codec(df, spec),
+    "ctc_feasible": lambda df, spec, tables: _check_ctc_feasible(df, spec),
     "audio_snr": lambda df, spec, tables: _check_audio_snr(df, spec),
     "audio_artifacts": lambda df, spec, tables: _check_audio_artifacts(
         df, spec

@@ -488,3 +488,61 @@ def test_mfcc_dc_anchor():
     cep = mfcc_np(q)[0]
     assert cep[0] > 10**9  # 5000 * 40 * sqrt(1/40)*2^20
     assert all(abs(c) <= 5000 * 40 for c in cep[1:])  # rounding only
+
+
+def test_ctc_suite_check_and_suggest(spark):
+    """Suite integration: the ctc_feasible check bounds the infeasible
+    fraction; suggest drafts it anchored to the measured rate
+    (must-pass-on-draft-data) whenever transcript + dur_ms exist."""
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.operators.suggest import (
+        as_suite_config,
+        column_suggestions,
+    )
+    from jsonschema_spark.operators.suite import run_suite
+
+    rows = [
+        # 3 feasible (long clips, short labels), 1 infeasible
+        ("c0", b"\x00" * 64, 16000, 2000, "pcm_s16le", "hello there"),
+        ("c1", b"\x00" * 64, 16000, 1500, "pcm_s16le", "ok"),
+        ("c2", b"\x00" * 64, 16000, 3000, "pcm_s16le", "fine words"),
+        ("c3", b"\x00" * 64, 16000, 40, "pcm_s16le",
+         "much too long a label for four frames"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("dur_ms", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("transcript", T.StringType()),
+        ]
+    )
+    clips = spark.createDataFrame(rows, schema)
+    cfg = {
+        "checks": [
+            {"name": "ctc", "type": "ctc_feasible", "table": "clips",
+             "max_violation_rate": 0.0},
+            {"name": "ctc_loose", "type": "ctc_feasible",
+             "table": "clips", "max_violation_rate": 0.25},
+        ]
+    }
+    rep = {
+        r["check_name"]: r
+        for r in run_suite({"clips": clips}, cfg).collect()
+    }
+    assert rep["ctc"]["status"] == "fail"
+    assert rep["ctc_loose"]["status"] == "pass"
+    assert abs(rep["ctc"]["metric"] - 0.25) < 1e-9
+
+    drafted = as_suite_config(
+        clips, column_suggestions(clips, ["clip_id", "sr_hz"]),
+        table="clips",
+    )
+    ctc = [c for c in drafted["checks"] if c["type"] == "ctc_feasible"]
+    assert len(ctc) == 1
+    assert ctc[0]["max_violation_rate"] >= 0.25
+    rep2 = run_suite({"clips": clips}, {"checks": ctc}).collect()
+    assert rep2[0]["status"] == "pass"
