@@ -48,6 +48,7 @@ def extract_features(
     deltas: bool = False,
     specaugment: str | None = None,
     tensor_shards: str | None = None,
+    labels: bool = False,
 ):
     """Run the extraction; returns (features DF, cmvn DF, stats).
 
@@ -60,7 +61,10 @@ def extract_features(
     masked ``aug_q`` drawn deterministically from (seed, clip_id),
     mask provenance columns included. ``tensor_shards`` packs the
     tensors (mat + CMVN-normalized x, plus any extras) into WebDataset
-    npy tar shards — the consumer-side training format."""
+    npy tar shards — the consumer-side training format. ``labels``
+    additionally encodes transcripts through the char-CTC vocabulary
+    (blank 0 reserved, OOV dropped and counted) so the shards carry
+    complete (features, labels) training pairs."""
     from jsonschema_spark.functions.fbank import audio_fbank_stats
 
     n_input = clips.count()
@@ -143,10 +147,17 @@ def extract_features(
             F.col("s.n_frames").alias("n_frames"),
             F.col("s.n_samples").alias("n_samples"),
         ).persist()
+        label_cols = []
+        if labels:
+            from jsonschema_spark.operators.labels import encode_labels
+
+            full = encode_labels(full)
+            label_cols = ["label_ids", "label_len", "oov_count"]
         if matrix:
             full.select(
                 "clip_id",
                 *[c for c in tensor_cols if c != "x"],
+                *label_cols,
                 "n_frames",
                 "n_samples",
             ).write.mode("overwrite").parquet(matrix)
@@ -162,7 +173,12 @@ def extract_features(
             if specaugment is not None:
                 members["aug_q"] = "aug"
             shard_manifest = write_tensor_shards(
-                full, tensor_shards, tensor_cols=members
+                full,
+                tensor_shards,
+                tensor_cols=members,
+                vector_cols=(
+                    {"label_ids": "labels"} if labels else None
+                ),
             ).collect()
         feats = full.select(
             "clip_id", "sum_q", "sumsq_q", "n_frames", "n_samples"
@@ -248,6 +264,9 @@ def main(argv=None) -> int:
     p.add_argument("--tensor-shards", default=None, metavar="DIR",
                    help="pack tensors (mat + normalized x + extras) "
                         "into WebDataset npy tar shards")
+    p.add_argument("--labels", action="store_true",
+                   help="encode transcripts as char-CTC label ids "
+                        "(blank 0 reserved) into --matrix/--tensor-shards")
     p.add_argument("--gate", action="store_true",
                    help="drop tonality/artifact-violating clips first")
     p.add_argument("--min-snr-est", type=float, default=None,
@@ -285,10 +304,10 @@ def main(argv=None) -> int:
     meta = [c for c in clips.columns if c.startswith("_")]
     if meta:
         clips = clips.drop(*meta)
-    if (args.deltas or args.specaugment is not None) and not (
-        args.matrix or args.tensor_shards
-    ):
-        p.error("--deltas/--specaugment require --matrix or "
+    if (
+        args.deltas or args.specaugment is not None or args.labels
+    ) and not (args.matrix or args.tensor_shards):
+        p.error("--deltas/--specaugment/--labels require --matrix or "
                 "--tensor-shards")
     _f, _c, stats = extract_features(
         clips,
@@ -300,6 +319,7 @@ def main(argv=None) -> int:
         deltas=args.deltas,
         specaugment=args.specaugment,
         tensor_shards=args.tensor_shards,
+        labels=args.labels,
     )
     print(json.dumps(stats))
     if not preexisting:

@@ -230,6 +230,7 @@ def write_tensor_shards(
     id_col: str = "clip_id",
     meta_cols: tuple[str, ...] = ("transcript",),
     shard_bytes: int = 128 * 1024 * 1024,
+    vector_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Pack per-clip feature tensors into WebDataset tars: each key
     carries one ``<key>.<member>.npy`` per tensor column (reshaped to
@@ -237,6 +238,9 @@ def write_tensor_shards(
     ``<key>.json`` sidecar (n_frames + ``meta_cols``). The training
     job reads these directly — no engine required on the consumer
     side, which is the point of shipping npy instead of parquet.
+
+    ``vector_cols`` members are 1-D arrays written at their own length
+    (label id sequences, per-clip embeddings) — no frame reshape.
 
     Same scale shape as ``write_tar_shards``: one mapInPandas pass,
     no shuffle, reproducible tar bytes, manifest returned. Clips with
@@ -246,6 +250,7 @@ def write_tensor_shards(
     import numpy as np
 
     tensor_cols = tensor_cols or {"mat_q": "mat"}
+    vector_cols = vector_cols or {}
     os.makedirs(out_dir, exist_ok=True)
     meta_present = [c for c in meta_cols if c in df.columns]
 
@@ -309,6 +314,15 @@ def write_tensor_shards(
                         t,
                         f"{key}.{member}.npy",
                         _npy_bytes(arr.reshape(nfr, width)),
+                    )
+                for col, member in vector_cols.items():
+                    vals = list(d[col]) if d[col] is not None else []
+                    if vals and isinstance(vals[0], float):
+                        arr = np.asarray(vals, dtype="<f8")
+                    else:
+                        arr = np.asarray(vals, dtype="<i8")
+                    _tar_member(
+                        t, f"{key}.{member}.npy", _npy_bytes(arr)
                     )
                 meta = {"n_frames": nfr}
                 for c in meta_present:

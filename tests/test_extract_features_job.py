@@ -188,3 +188,34 @@ def test_tensor_shards_end_to_end(spark, tmp_path, capsys):
         assert r["transcript"] is not None
         assert len(r["x"]) == len(flat)
     raw.unpersist()
+
+
+def test_labels_in_tensor_shards(spark, tmp_path):
+    """(features, labels) pairs: --labels encodes transcripts through
+    the char-CTC vocab into 1-D npy members next to the tensors."""
+    from jsonschema_spark.operators.labels import DEFAULT_VOCAB
+    from jsonschema_spark.sources.clips import synth_fbank_mat_clips
+    from jsonschema_spark.sources.shards import read_tensor_shards
+
+    raw = synth_fbank_mat_clips(spark, 8, partitions=2)
+    clips = raw.drop(*[c for c in raw.columns if c.startswith("_")])
+    out = str(tmp_path / "lshards")
+    _f, _c, stats = extract_features(
+        clips, tensor_shards=out, labels=True
+    )
+    back = read_tensor_shards(
+        spark,
+        out + "/*.tar",
+        members={"mat": "long", "x": "double", "labels": "long"},
+    ).collect()
+    assert len(back) == stats["shard_samples"] > 0
+    import re
+
+    for r in back:
+        norm = re.sub(r"\s+", " ", r["transcript"].lower()).strip()
+        want = [
+            DEFAULT_VOCAB.find(c) + 1
+            for c in norm
+            if DEFAULT_VOCAB.find(c) >= 0
+        ]
+        assert list(r["labels"]) == want
