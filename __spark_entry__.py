@@ -3769,6 +3769,26 @@ def _q_clips_ctc_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTC label encoding — normalized transcript chars mapped through
+    the vocabulary with instr() (1-based position IS the id, blank 0
+    reserved, OOV dropped and counted). One codegen'd expression per
+    row; ids rendered as a CSV string for the compare. The oracle
+    replays normalization and the strpos walk over the same parquet
+    transcripts."""
+    from jsonschema_spark.operators.labels import encode_labels
+
+    enc = encode_labels(_clips(spark))
+    return enc.select(
+        "clip_id",
+        "label_len",
+        "oov_count",
+        F.concat_ws(
+            ",", F.transform(F.col("label_ids"), lambda v: v.cast("string"))
+        ).alias("ids_csv"),
+    )
+
+
 _SPECAUG_SEED = "ep0"
 
 
@@ -4799,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_train_tensors": _q_clips_train_tensors,
         "clips_mfcc": _q_clips_mfcc,
         "clips_tensor_shards": _q_clips_tensor_shards,
+        "clips_labels": _q_clips_labels,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7430,6 +7451,47 @@ def _clips_fbank_delta_sql() -> str:
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
         FROM e
+    """
+
+
+def _clips_labels_sql() -> str:
+    """Label-encoding oracle: the same normalize + strpos(vocab, char)
+    walk (both engines: 1-based position, 0 = absent); the vocab's
+    apostrophe is SQL-escaped."""
+    from jsonschema_spark.operators.labels import DEFAULT_VOCAB
+    from jsonschema_spark.sources.clips import clips_path
+
+    src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    vocab_sql = "'" + DEFAULT_VOCAB.replace("'", "''") + "'"
+    return f"""
+        WITH n AS (
+            SELECT clip_id,
+                   trim(regexp_replace(lower(transcript),
+                                       '\\s+', ' ', 'g')) AS norm
+            FROM {src}
+        ), r AS (
+            SELECT clip_id,
+                   list_filter(
+                       list_transform(
+                           range(1, COALESCE(length(norm), 0) + 1),
+                           i -> strpos({vocab_sql},
+                                       substr(norm,
+                                              CAST(i AS INTEGER), 1))
+                       ), v -> v > 0) AS ids,
+                   len(list_filter(
+                       list_transform(
+                           range(1, COALESCE(length(norm), 0) + 1),
+                           i -> strpos({vocab_sql},
+                                       substr(norm,
+                                              CAST(i AS INTEGER), 1))
+                       ), v -> v = 0)) AS oovs
+            FROM n
+        )
+        SELECT clip_id,
+               CAST(len(ids) AS INTEGER) AS label_len,
+               CAST(oovs AS INTEGER) AS oov_count,
+               COALESCE(array_to_string(ids, ','), '') AS ids_csv
+        FROM r
     """
 
 
@@ -10553,6 +10615,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_train_tensors": _clips_train_tensors_sql(),
         "clips_mfcc": _clips_mfcc_sql(),
         "clips_tensor_shards": _clips_tensor_shards_sql(),
+        "clips_labels": _clips_labels_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),
