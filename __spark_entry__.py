@@ -3769,6 +3769,72 @@ def _q_clips_ctc_feasibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_cmvn_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level CMVN apply — per-bin stats reduced ONCE on the
+    driver from the exact int64 partials (same association order as
+    cmvn_stats, so the doubles are bit-reproducible) and inlined as
+    foldable literal arrays: zero joins, zero shuffles in the apply.
+    The oracle recomputes the global stats from the `_mat` ledger in
+    SQL and replays the identical exact-op chain — literals and SQL
+    agree bit-for-bit because both sides reduce the same integers with
+    correctly-rounded ops."""
+    from jsonschema_spark.functions.fbank import (
+        audio_fbank_full,
+        cmvn_normalize_with,
+        corpus_cmvn_arrays,
+    )
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    base = (
+        clips.select(
+            "clip_id", audio_fbank_full("bytes", "sr_hz").alias("s")
+        )
+        .select(
+            "clip_id",
+            F.col("s.mat_q").alias("mat_q"),
+            F.col("s.sum_q").alias("sum_q"),
+            F.col("s.sumsq_q").alias("sumsq_q"),
+            F.col("s.n_frames").alias("n_frames"),
+        )
+        .persist()
+    )
+    mean, std = corpus_cmvn_arrays(base)
+    xg = cmvn_normalize_with("mat_q", mean, std)
+    return base.select(
+        "clip_id", F.posexplode(xg).alias("pos", "xg")
+    )
+
+
+def _q_clips_frame_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-frame-rate stacking (stack 3 / stride 3) — an index gather
+    over the stored matrix (values untouched), edge-replicating past
+    the end; T_out = ceil(T/3). The oracle replays the gather index
+    arithmetic per element."""
+    from jsonschema_spark.functions.fbank import (
+        audio_fbank_matrix,
+        stack_frames,
+    )
+    from jsonschema_spark.sources.clips import (
+        materialized_fbank_mat_clips,
+    )
+
+    clips, _ = materialized_fbank_mat_clips(spark, _FBANK_MAT_N)
+    base = clips.select(
+        "clip_id", audio_fbank_matrix("bytes", "sr_hz").alias("s")
+    ).select(
+        "clip_id",
+        F.col("s.mat_q").alias("mat_q"),
+        F.col("s.n_frames").alias("nfr"),
+    )
+    st = stack_frames("mat_q", "nfr", stack=3, stride=3)
+    return base.select(
+        "clip_id", F.posexplode(st).alias("pos", "q")
+    )
+
+
 def _q_clips_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTC label encoding — normalized transcript chars mapped through
     the vocabulary with instr() (1-based position IS the id, blank 0
@@ -4820,6 +4886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_mfcc": _q_clips_mfcc,
         "clips_tensor_shards": _q_clips_tensor_shards,
         "clips_labels": _q_clips_labels,
+        "clips_cmvn_global": _q_clips_cmvn_global,
+        "clips_frame_stack": _q_clips_frame_stack,
         "clips_ogg_walk": _q_clips_ogg_walk,
         "clips_container_dispatch": _q_clips_container_dispatch,
         "clips_loudness_r128": _q_clips_loudness_r128,
@@ -7450,6 +7518,69 @@ def _clips_fbank_delta_sql() -> str:
                CAST({dd_expr} AS BIGINT) AS dd_num,
                CAST({d_expr} AS DOUBLE) / CAST(10.0 AS DOUBLE) AS d,
                CAST({dd_expr} AS DOUBLE) / CAST(100.0 AS DOUBLE) AS dd
+        FROM e
+    """
+
+
+def _clips_cmvn_global_sql() -> str:
+    """Corpus-CMVN oracle: GLOBAL per-bin sums from the ledger, then
+    the exact-op apply chain per element."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+    return f"""
+        WITH e AS (
+            SELECT clip_id,
+                   CAST(r.range AS INTEGER) AS pos,
+                   CAST(r.range % {nm} AS INTEGER) AS m,
+                   list_extract(_mat, CAST(r.range + 1 AS INTEGER)) AS q
+            FROM {src}, range(4096) AS r
+            WHERE r.range < len(_mat)
+        ), g AS (
+            SELECT m,
+                   CAST(SUM(q) AS DOUBLE) / CAST(1000.0 AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean,
+                   CAST(SUM(q * q) AS DOUBLE)
+                       / CAST(1000000.0 AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS ex2
+            FROM e GROUP BY m
+        )
+        SELECT e.clip_id, e.pos,
+               (CAST(e.q AS DOUBLE) / CAST(1000.0 AS DOUBLE) - g.mean)
+               / (CASE WHEN sqrt(greatest(g.ex2 - g.mean * g.mean,
+                                          CAST(0.0 AS DOUBLE))) > 0
+                       THEN sqrt(greatest(g.ex2 - g.mean * g.mean,
+                                          CAST(0.0 AS DOUBLE)))
+                       ELSE CAST(1.0 AS DOUBLE) END) AS xg
+        FROM e JOIN g ON e.m = g.m
+    """
+
+
+def _clips_frame_stack_sql() -> str:
+    """Frame-stack oracle: the same gather index arithmetic
+    (i = pos//width, j/m from the remainder, src = least(i*stride+j,
+    T-1)) over the `_mat` ledger."""
+    from jsonschema_spark.functions.fbank import N_MELS
+    from jsonschema_spark.sources.clips import fbank_mat_clips_path
+
+    src = f"read_parquet('{fbank_mat_clips_path(_FBANK_MAT_N)}/*.parquet')"
+    nm = N_MELS
+    width = 3 * nm
+    return f"""
+        WITH e AS (
+            SELECT clip_id, _nfr, _mat,
+                   CAST(r.range AS INTEGER) AS pos
+            FROM {src}, range(4096) AS r
+            WHERE r.range < ((_nfr + 2) // 3) * {width}
+              AND _nfr > 0
+        )
+        SELECT clip_id, pos,
+               list_extract(_mat, CAST(
+                   least((pos // {width}) * 3 + (pos % {width}) // {nm},
+                         _nfr - 1) * {nm} + pos % {nm} + 1
+               AS INTEGER)) AS q
         FROM e
     """
 
@@ -10616,6 +10747,8 @@ def oracle_sql() -> dict[str, str]:
         "clips_mfcc": _clips_mfcc_sql(),
         "clips_tensor_shards": _clips_tensor_shards_sql(),
         "clips_labels": _clips_labels_sql(),
+        "clips_cmvn_global": _clips_cmvn_global_sql(),
+        "clips_frame_stack": _clips_frame_stack_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
         "clips_container_dispatch": _clips_container_dispatch_sql(),
         "clips_loudness_r128": _clips_loudness_sql(),

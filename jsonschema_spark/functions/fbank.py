@@ -852,3 +852,119 @@ def mfcc_np(q: np.ndarray, n_ceps: int = N_CEPS) -> np.ndarray:
     if q.shape[0] == 0:
         return np.zeros((0, n_ceps), dtype=np.int64)
     return q.astype(np.int64) @ c.T
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level CMVN apply + low-frame-rate stacking
+# ---------------------------------------------------------------------------
+
+
+def corpus_cmvn_arrays(
+    feats: DataFrame,
+    sum_col: str = "sum_q",
+    sumsq_col: str = "sumsq_q",
+    n_frames_col: str = "n_frames",
+    n_mels: int = N_MELS,
+) -> tuple[list[float], list[float]]:
+    """(mean, std) per bin from a partials frame — the driver-side
+    reduction of the corpus CMVN, in the SAME exact-op association
+    order as ``cmvn_stats``/DuckDB ((sum/Q)/n, (sumsq/Q²)/n,
+    sqrt(max(ex2-mean², 0))): the int64 sums are exact on any
+    partitioning and every float op is correctly rounded, so these
+    doubles are bit-reproducible and safely inlined as literals."""
+    z = feats.select(
+        F.posexplode(
+            F.arrays_zip(F.col(sum_col), F.col(sumsq_col))
+        ).alias("bin", "z"),
+        F.col(n_frames_col).alias("nf"),
+    )
+    rows = (
+        z.groupBy("bin")
+        .agg(
+            F.sum("nf").alias("n"),
+            F.sum(f"z.{sum_col}").alias("s"),
+            F.sum(f"z.{sumsq_col}").alias("ss"),
+        )
+        .collect()
+    )
+    mean = [0.0] * n_mels
+    std = [0.0] * n_mels
+    for r in rows:
+        b, n = r["bin"], float(r["n"])
+        m = (float(r["s"]) / float(FBANK_Q)) / n
+        ex2 = (float(r["ss"]) / float(FBANK_Q * FBANK_Q)) / n
+        v = ex2 - m * m
+        mean[b] = m
+        std[b] = float(np.sqrt(max(v, 0.0)))
+    return mean, std
+
+
+def cmvn_normalize_with(
+    mat_col: str,
+    mean: list[float],
+    std: list[float],
+    n_mels: int = N_MELS,
+) -> Column:
+    """Corpus-level CMVN apply: normalize every element against
+    driver-provided per-bin stats (foldable literal arrays — zero
+    joins, zero shuffles; the 40-double broadcast is the expression
+    itself). Same exact-op chain as the per-utterance variant, so the
+    doubles remain oracle-safe. Zero/absent-variance bins divide by
+    1.0."""
+    mat = F.col(mat_col)
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    std_lit = F.array(*[F.lit(float(v)) for v in std])
+
+    def _norm(v: Column, pos: Column) -> Column:
+        b = (F.pmod(pos, F.lit(n_mels)) + F.lit(1)).cast("int")
+        m = F.element_at(mean_lit, b)
+        s = F.element_at(std_lit, b)
+        return (v.cast("double") / F.lit(float(FBANK_Q)) - m) / F.when(
+            s > F.lit(0.0), s
+        ).otherwise(F.lit(1.0))
+
+    return F.transform(mat, _norm)
+
+
+def stack_frames(
+    mat_col: str,
+    n_frames_col: str,
+    stack: int = 3,
+    stride: int = 3,
+    n_mels: int = N_MELS,
+) -> Column:
+    """Low-frame-rate transform (the transducer/LAS front end): stack
+    ``stack`` consecutive frames into one super-frame every ``stride``
+    frames, edge-replicating past the end — T_out = ceil(T/stride),
+    width = stack*n_mels:
+
+        out[i, j*n_mels + m] = mat[min(i*stride + j, T-1), m]
+
+    Pure Column algebra over the materialized matrix (an index
+    gather — the values are untouched int64, so the op is trivially
+    exact cross-engine)."""
+    mat = F.col(mat_col)
+    nfr = F.col(n_frames_col)
+    width = stack * n_mels
+    t_out = F.floor(
+        (nfr.cast("long") + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+
+    def _gather(pos: Column) -> Column:
+        i = F.floor(pos / F.lit(width)).cast("int")
+        r = F.pmod(pos, F.lit(width))
+        j = F.floor(r / F.lit(n_mels)).cast("int")
+        m = F.pmod(r, F.lit(n_mels))
+        src_t = F.least(i * F.lit(stride) + j, nfr - F.lit(1))
+        return F.element_at(
+            mat, (src_t * F.lit(n_mels) + m + F.lit(1)).cast("int")
+        )
+
+    return F.when(
+        nfr < 1, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), t_out * F.lit(width) - F.lit(1)),
+            _gather,
+        )
+    )

@@ -546,3 +546,110 @@ def test_ctc_suite_check_and_suggest(spark):
     assert ctc[0]["max_violation_rate"] >= 0.25
     rep2 = run_suite({"clips": clips}, {"checks": ctc}).collect()
     assert rep2[0]["status"] == "pass"
+
+
+# ---------------------------------------------------------------------------
+# Corpus CMVN apply + frame stacking
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_cmvn_apply_matches_python(spark):
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.functions.fbank import (
+        cmvn_normalize_with,
+        corpus_cmvn_arrays,
+    )
+
+    n_mels = 3
+    rng = np.random.default_rng(21)
+    rows = []
+    for i, nfr in enumerate([2, 5]):
+        q = rng.integers(-5000, 5000, size=(nfr, n_mels)).astype(np.int64)
+        rows.append(
+            (
+                f"c{i}",
+                [int(v) for v in q.reshape(-1)],
+                [int(v) for v in q.sum(axis=0)],
+                [int(v) for v in (q * q).sum(axis=0)],
+                nfr,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("sum_q", T.ArrayType(T.LongType())),
+            T.StructField("sumsq_q", T.ArrayType(T.LongType())),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).persist()
+    mean, std = corpus_cmvn_arrays(df, n_mels=n_mels)
+    # driver stats equal a plain numpy reduction in the same op order
+    tot = np.zeros(n_mels, dtype=np.int64)
+    tot2 = np.zeros(n_mels, dtype=np.int64)
+    n = 0
+    for _, flat, _, _, nfr in rows:
+        q = np.asarray(flat, dtype=np.int64).reshape(nfr, n_mels)
+        tot += q.sum(axis=0)
+        tot2 += (q * q).sum(axis=0)
+        n += nfr
+    for b in range(n_mels):
+        m = (float(tot[b]) / 1000.0) / float(n)
+        ex2 = (float(tot2[b]) / 1e6) / float(n)
+        assert mean[b] == m
+        assert std[b] == np.sqrt(max(ex2 - m * m, 0.0))
+    out = {
+        r["clip_id"]: r["xg"]
+        for r in df.select(
+            "clip_id",
+            cmvn_normalize_with("mat_q", mean, std, n_mels=n_mels)
+            .alias("xg"),
+        ).collect()
+    }
+    for cid, flat, *_ in rows:
+        for pos, v in enumerate(flat):
+            b = pos % n_mels
+            s = std[b] if std[b] > 0 else 1.0
+            assert out[cid][pos] == (float(v) / 1000.0 - mean[b]) / s
+    df.unpersist()
+
+
+def test_stack_frames_gather(spark):
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.functions.fbank import stack_frames
+
+    n_mels = 2
+    rows = []
+    for i, nfr in enumerate([0, 1, 4, 7]):
+        q = np.arange(nfr * n_mels, dtype=np.int64) + 100 * i
+        rows.append((f"c{i}", [int(v) for v in q], nfr))
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("mat_q", T.ArrayType(T.LongType())),
+            T.StructField("nfr", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["clip_id"]: r["st"]
+        for r in df.select(
+            "clip_id",
+            stack_frames(
+                "mat_q", "nfr", stack=3, stride=2, n_mels=n_mels
+            ).alias("st"),
+        ).collect()
+    }
+    for cid, flat, nfr in rows:
+        q = np.asarray(flat, dtype=np.int64).reshape(nfr, n_mels)
+        t_out = -(-nfr // 2) if nfr else 0
+        want = []
+        for i in range(t_out):
+            for j in range(3):
+                src = min(i * 2 + j, nfr - 1)
+                want.extend(q[src].tolist())
+        assert list(out[cid]) == want, cid
+        assert len(out[cid]) == t_out * 3 * n_mels
