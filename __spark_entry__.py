@@ -2569,6 +2569,34 @@ def _q_clips_mix_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_SNR_R = 2.0  # linear rms(sig)/rms(scaled noise) target (~6 dB)
+
+
+def _q_clips_mix_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNR-targeted noise mixing: per-pair gain from MEASURED int64
+    powers over the overlap (g = sqrt(Pa)/sqrt(Pb)/r, every float op
+    correctly rounded in a fixed order), so rms(signal)/rms(scaled
+    noise) lands on the linear target. The oracle re-decodes both
+    int16 streams from parquet hex, recomputes the power sums, the
+    gain AND every output sample — gain doubles and payload md5s both
+    hash-matched."""
+    from jsonschema_spark.operators.augment import mix_overlay
+    from jsonschema_spark.sources.clips import materialized_padded_clips
+
+    clips, _ = materialized_padded_clips(spark, _PAD_N)
+    r = mix_overlay(
+        clips.select(*_CLIPS_COLS), clips, n_noise=_PAD_N,
+        snr_lin=_MIX_SNR_R,
+    )
+    return r.select(
+        "clip_id",
+        "noise_idx",
+        "n_out",
+        "mix_gain",
+        F.md5(F.hex("bytes")).alias("out_md5"),
+    )
+
+
 _MANIFEST_BUCKETS = 16
 
 
@@ -4918,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_speed_perturb": _q_clips_speed_perturb,
         "clips_time_mask": _q_clips_time_mask,
         "clips_mix_overlay": _q_clips_mix_overlay,
+        "clips_mix_snr": _q_clips_mix_snr,
         "clips_downmix": _q_clips_downmix,
         "clips_content_manifest": _q_clips_content_manifest,
         "suite_report_orders": _q_suite_report_orders,
@@ -8618,6 +8647,90 @@ def _clips_mix_overlay_sql() -> str:
     """
 
 
+def _clips_mix_snr_sql() -> str:
+    """SNR-mix oracle: replay the selection hash, decode both int16-LE
+    streams from hex, recompute the int64 power sums over the overlap
+    (i < nb inside the i < na domain == i < min(na, nb)), the gain in
+    the IDENTICAL op order (sqrt / sqrt / r), and every output
+    sample."""
+    from jsonschema_spark.sources.clips import padded_clips_path
+
+    src = f"read_parquet('{padded_clips_path(_PAD_N)}/*.parquet')"
+    return f"""
+        WITH t AS (
+          SELECT clip_id, _row_idx, hex(bytes) AS hx,
+                 octet_length(bytes) // 2 AS n
+          FROM {src}
+        ), k AS (
+          SELECT clip_id, hx, n,
+                 CAST(('0x' || substr(md5(clip_id || ':mx'), 1, 15))
+                      AS BIGINT) % {_PAD_N} AS nid
+          FROM t
+        ), j AS (
+          SELECT k.clip_id, k.nid, k.hx AS ha, k.n AS na,
+                 t2.hx AS hb, t2.n AS nb
+          FROM k JOIN t t2 ON t2._row_idx = k.nid
+        ), e AS (
+          SELECT clip_id, nid, na, nb, ha, hb,
+                 unnest(generate_series(0, na - 1)) AS i
+          FROM j WHERE na > 0
+        ), v AS (
+          SELECT clip_id, nid, nb, i,
+                 CAST(CASE WHEN rawa >= 32768 THEN rawa - 65536
+                           ELSE rawa END AS BIGINT) AS sa,
+                 CAST(CASE WHEN rawb IS NULL THEN NULL
+                           WHEN rawb >= 32768 THEN rawb - 65536
+                           ELSE rawb END AS BIGINT) AS sb
+          FROM (
+            SELECT clip_id, nid, nb, i,
+                   CAST(('0x' || substr(ha, i * 4 + 3, 2)
+                              || substr(ha, i * 4 + 1, 2)) AS INTEGER)
+                       AS rawa,
+                   CASE WHEN i < nb
+                        THEN CAST(('0x' || substr(hb, i * 4 + 3, 2)
+                                        || substr(hb, i * 4 + 1, 2))
+                                  AS INTEGER)
+                        END AS rawb
+            FROM e
+          )
+        ), p AS (
+          SELECT clip_id,
+                 COALESCE(SUM(sa * sa) FILTER (WHERE i < nb), 0) AS pa,
+                 COALESCE(SUM(sb * sb) FILTER (WHERE i < nb), 0) AS pb
+          FROM v GROUP BY clip_id
+        ), gg AS (
+          SELECT clip_id,
+                 CASE WHEN pb > 0 AND pa > 0
+                      THEN sqrt(CAST(pa AS DOUBLE))
+                           / sqrt(CAST(pb AS DOUBLE))
+                           / CAST({_MIX_SNR_R!r} AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS g
+          FROM p
+        ), w AS (
+          SELECT v.clip_id, v.nid, v.i, gg.g,
+                 CAST(greatest(least(floor(
+                   CAST(v.sa AS DOUBLE)
+                   + COALESCE(CAST(v.sb AS DOUBLE), CAST(0.0 AS DOUBLE))
+                     * gg.g
+                   + 0.5), 32767.0), -32768.0) AS INTEGER) AS val
+          FROM v JOIN gg ON v.clip_id = gg.clip_id
+        ), h AS (
+          SELECT clip_id, any_value(nid) AS nid, any_value(g) AS g,
+                 count(*) AS n_out,
+                 string_agg(printf('%02X%02X', (val & 65535) % 256,
+                                   (val & 65535) // 256), ''
+                            ORDER BY i) AS oh
+          FROM w GROUP BY clip_id
+        )
+        SELECT clip_id,
+               CAST(nid AS BIGINT) AS noise_idx,
+               CAST(n_out AS BIGINT) AS n_out,
+               g AS mix_gain,
+               md5(oh) AS out_md5
+        FROM h
+    """
+
+
 def _clips_alaw_decode_sql() -> str:
     """Independent G.711 A-law decoder in pure integer SQL: XOR the stored
     byte with 0x55, split sign/segment/mantissa, expand with the CCITT
@@ -10779,6 +10892,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_speed_perturb": _clips_speed_perturb_sql(),
         "clips_time_mask": _clips_time_mask_sql(),
         "clips_mix_overlay": _clips_mix_overlay_sql(),
+        "clips_mix_snr": _clips_mix_snr_sql(),
         "clips_downmix": _clips_downmix_sql(),
         "clips_content_manifest": _clips_content_manifest_sql(),
         "suite_report_orders": _suite_report_orders_sql(),

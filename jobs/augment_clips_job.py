@@ -76,6 +76,7 @@ def augment_clips(
     mask_ms: int = 100,
     noise: DataFrame | None = None,
     mix_gain: float = 0.25,
+    mix_snr_lin: float | None = None,
     speed_set: list[tuple[int, int]] | None = None,
     output: str | None = None,
 ) -> tuple[DataFrame, dict]:
@@ -123,9 +124,11 @@ def augment_clips(
             )
         n_noise = noise.count()
         cur = (
-            mix_overlay(cur, noise, n_noise=n_noise, gain=mix_gain)
+            mix_overlay(cur, noise, n_noise=n_noise, gain=mix_gain,
+                        snr_lin=mix_snr_lin)
             .withColumnRenamed("mixed", "_aug_mixed")
-            .drop("noise_idx", "n_out")
+            .drop("noise_idx", "n_out",
+                  *(["mix_gain"] if mix_snr_lin is not None else []))
         )
 
     flag_cols = [c for c in cur.columns if c.startswith("_aug_")]
@@ -195,6 +198,9 @@ def main(argv=None) -> int:
                    help="noise-bank parquet for overlay mixing "
                         "('self' = the input corpus)")
     p.add_argument("--mix-gain", type=float, default=0.25)
+    p.add_argument("--mix-snr", type=float, default=None, metavar="R",
+                   help="SNR-targeted mixing: linear rms(sig)/rms(noise) "
+                        "ratio (overrides --mix-gain)")
     p.add_argument("--speed-set", metavar="FRACS",
                    help="comma-separated rational factors, e.g. 9/10,11/10"
                         " — each adds a full corpus copy")
@@ -241,6 +247,7 @@ def main(argv=None) -> int:
         mask_ms=args.mask_ms,
         noise=noise,
         mix_gain=args.mix_gain,
+        mix_snr_lin=args.mix_snr,
         speed_set=_parse_speed_set(args.speed_set) if args.speed_set else None,
         output=args.output,
     )

@@ -2388,6 +2388,85 @@ def mix_payloads_batch(
     return pd.DataFrame({"out_bytes": outb, "n_out": nout})
 
 
+def mix_payloads_snr_batch(
+    payloads: pd.Series, noise: pd.Series, snr_lin: float
+) -> pd.DataFrame:
+    """SNR-targeted overlay mixing: per-pair gain derived from MEASURED
+    powers over the overlap region k = min(len(a), len(b)) —
+
+        g = sqrt(Pa) / sqrt(Pb) / r,   P = int64 sum of squares
+
+    so after scaling, rms(signal)/rms(noise) == r (``snr_lin``, a
+    LINEAR amplitude ratio — dB would drag pow/log into the float
+    path and break cross-engine bit-parity; callers convert once on
+    the driver). Every float op is correctly rounded in a fixed order
+    (sqrt, /, *, +, floor), so the DuckDB oracle rebuilds the gain AND
+    every output sample bit-for-bit. Silent noise or silent signal
+    over the overlap -> g = 0 (output == input through the same
+    rounding path); undecodable rows pass through with n_out = -1."""
+    n = len(payloads)
+    outb: list = [None] * n
+    nout = np.full(n, -1, dtype=np.int64)
+    gains = np.zeros(n, dtype=np.float64)
+    r = float(snr_lin)
+    for i, (ra, rb) in enumerate(zip(payloads.tolist(), noise.tolist())):
+        if ra is None or rb is None:
+            continue
+        try:
+            a = decode_payload(bytes(ra))
+            b = decode_payload(bytes(rb))
+        except (ValueError, TypeError, struct.error):
+            continue
+        m = len(a)
+        nout[i] = m
+        if m == 0:
+            outb[i] = b""
+            continue
+        k = min(m, len(b))
+        a64 = a.astype(np.int64)
+        b64 = b.astype(np.int64)
+        pa = int((a64[:k] * a64[:k]).sum()) if k else 0
+        pb = int((b64[:k] * b64[:k]).sum()) if k else 0
+        if pb > 0 and pa > 0:
+            g = float(np.sqrt(float(pa))) / float(np.sqrt(float(pb))) / r
+        else:
+            g = 0.0
+        gains[i] = g
+        mixed = a.astype(np.float64).copy()
+        if k:
+            mixed[:k] += b[:k].astype(np.float64) * g
+        out = np.clip(np.floor(mixed + 0.5), -32768.0, 32767.0)
+        outb[i] = out.astype("<i2").tobytes()
+    return pd.DataFrame(
+        {"out_bytes": outb, "n_out": nout, "gain": gains}
+    )
+
+
+MIX_SNR_TYPE = T.StructType(
+    [
+        T.StructField("out_bytes", T.BinaryType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("gain", T.DoubleType()),
+    ]
+)
+
+
+def mix_payloads_snr(
+    payload: Column | str, noise_payload: Column | str, snr_lin: float
+) -> Column:
+    """struct(out_bytes, n_out, gain): SNR-targeted overlay (see
+    mix_payloads_snr_batch). One Arrow hop."""
+
+    @pandas_udf(MIX_SNR_TYPE)
+    def _mx(p: pd.Series, q: pd.Series) -> pd.DataFrame:
+        return mix_payloads_snr_batch(p, q, snr_lin)
+
+    return _mx(
+        F.col(payload) if isinstance(payload, str) else payload,
+        F.col(noise_payload) if isinstance(noise_payload, str) else noise_payload,
+    )
+
+
 MIX_PAYLOADS_TYPE = T.StructType(
     [
         T.StructField("out_bytes", T.BinaryType()),

@@ -191,6 +191,7 @@ def mix_overlay(
     codec_col: str = "codec",
     noise_idx_col: str = "_row_idx",
     noise_payload_col: str = "bytes",
+    snr_lin: float | None = None,
 ) -> DataFrame:
     """Overlay every clip with a deterministically selected noise-bank
     clip at ``gain`` (noise augmentation).
@@ -202,7 +203,14 @@ def mix_overlay(
     over len(a), exactly-rounded double arithmetic so the output payload
     is SQL-reproducible. Rewrites payload as raw pcm_s16le; adds
     (mixed, noise_idx, n_out). Rows whose payload or selected noise is
-    NULL/undecodable pass through with ``mixed = false``."""
+    NULL/undecodable pass through with ``mixed = false``.
+
+    ``snr_lin`` switches to SNR-TARGETED mixing: the per-pair gain is
+    derived from measured powers over the overlap so that
+    rms(signal)/rms(scaled noise) == snr_lin (a linear amplitude
+    ratio — convert from dB once on the driver; pow/log in the row
+    path would break cross-engine bit-parity). Adds a ``mix_gain``
+    column; silent signal/noise overlap mixes at gain 0."""
     if n_noise <= 0:
         raise ValueError("n_noise must be positive")
     nid = _md5_60(F.concat(F.col(id_col), F.lit(":mx"))) % n_noise
@@ -210,10 +218,16 @@ def mix_overlay(
         F.col(noise_idx_col).cast("long").alias("_noise_idx"),
         F.col(noise_payload_col).alias("_noise_bytes"),
     )
+    if snr_lin is not None:
+        from jsonschema_spark.functions.audio import mix_payloads_snr
+
+        mx = mix_payloads_snr(payload_col, "_noise_bytes", snr_lin)
+    else:
+        mx = mix_payloads(payload_col, "_noise_bytes", gain)
     d = (
         df.withColumn("_noise_idx", nid)
         .join(bank, "_noise_idx", "left")
-        .withColumn("_mx", mix_payloads(payload_col, "_noise_bytes", gain))
+        .withColumn("_mx", mx)
     )
     ok = F.coalesce(F.col("_mx.n_out") >= 0, F.lit(False))
 
@@ -233,11 +247,17 @@ def mix_overlay(
             )
         else:
             out_cols.append(F.col(c))
+    extra = (
+        [F.when(ok, F.col("_mx.gain")).alias("mix_gain")]
+        if snr_lin is not None
+        else []
+    )
     return d.select(
         *out_cols,
         ok.alias("mixed"),
         F.col("_noise_idx").alias("noise_idx"),
         F.when(ok, F.col("_mx.n_out")).alias("n_out"),
+        *extra,
     )
 
 

@@ -325,3 +325,81 @@ def test_spec_augment_plan_keeps_md5_out_of_the_lambda(spark):
     assert plan.count("md5(") == 8, plan
     lam = plan[plan.index("lambdafunction"):]
     assert "md5(" not in lam.split(" AS aug_q")[0]
+
+
+# ---------------------------------------------------------------------------
+# SNR-targeted overlay mixing
+# ---------------------------------------------------------------------------
+
+
+def test_mix_snr_kernel_hits_target_ratio():
+    import numpy as np
+    import pandas as pd
+
+    from jsonschema_spark.functions.audio import (
+        encode_wav_pcm16,
+        mix_payloads_snr_batch,
+    )
+
+    rng = np.random.default_rng(31)
+    sr = 16000
+    a = (6000 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(
+        np.int64
+    )
+    b = rng.integers(-12000, 12000, size=sr).astype(np.int64)
+    r = 2.0  # rms_sig / rms_noise_scaled target
+    out = mix_payloads_snr_batch(
+        pd.Series([bytearray(encode_wav_pcm16(a, sr))]),
+        pd.Series([bytearray(encode_wav_pcm16(b, sr))]),
+        r,
+    )
+    g = out["gain"][0]
+    pa = float((a * a).sum())
+    pb = float((b * b).sum())
+    import math
+
+    assert g == math.sqrt(pa) / math.sqrt(pb) / r  # exact op order
+    mixed = np.frombuffer(out["out_bytes"][0], dtype="<i2").astype(
+        np.float64
+    )
+    noise_part = mixed - a  # added noise incl. rounding
+    ratio = np.sqrt((a * a).mean()) / np.sqrt((noise_part**2).mean())
+    assert abs(ratio - r) / r < 0.01  # target hit to rounding error
+    # silent noise -> gain 0, output == input samples
+    out2 = mix_payloads_snr_batch(
+        pd.Series([bytearray(encode_wav_pcm16(a, sr))]),
+        pd.Series([bytearray(encode_wav_pcm16(np.zeros(10, np.int64), sr))]),
+        r,
+    )
+    assert out2["gain"][0] == 0.0
+    back = np.frombuffer(out2["out_bytes"][0], dtype="<i2")
+    assert (back == a).all()
+
+
+def test_mix_overlay_snr_operator(spark):
+    import numpy as np
+    import pyspark.sql.functions as SF
+
+    from jsonschema_spark.operators.augment import mix_overlay
+    from jsonschema_spark.sources.clips import synth_padded_clips
+
+    clips = synth_padded_clips(spark, 24, partitions=3).persist()
+    plain = clips.select("clip_id", "bytes", "sr_hz", "dur_ms",
+                         "codec", "transcript")
+    r = mix_overlay(plain, clips, n_noise=24, snr_lin=2.0)
+    rows = r.select("clip_id", "mixed", "mix_gain", "n_out").collect()
+    assert len(rows) == 24
+    mixed_rows = [x for x in rows if x["mixed"]]
+    assert mixed_rows, "no rows mixed"
+    for x in mixed_rows:
+        assert x["mix_gain"] is not None and x["mix_gain"] >= 0.0
+        assert x["n_out"] >= 0
+    # deterministic: same plan, same gains
+    again = {
+        x["clip_id"]: x["mix_gain"]
+        for x in mix_overlay(plain, clips, n_noise=24, snr_lin=2.0)
+        .select("clip_id", "mix_gain").collect()
+    }
+    for x in rows:
+        assert again[x["clip_id"]] == x["mix_gain"]
+    clips.unpersist()
