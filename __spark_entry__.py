@@ -3883,6 +3883,34 @@ def _q_clips_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_label_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-fit rollup for the label side: per-codec clip counts,
+    total label/OOV chars and the OOV rate (one exact-op division) —
+    the report that decides whether the char vocabulary covers a new
+    corpus slice before a training run commits to it. One scan + one
+    narrow groupBy."""
+    from jsonschema_spark.operators.labels import encode_labels
+
+    enc = encode_labels(_clips(spark))
+    g = enc.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("label_len").alias("label_chars"),
+        F.sum("oov_count").alias("oov_chars"),
+        F.sum((F.col("label_len") == 0).cast("long")).alias("empty_labels"),
+    )
+    denom = (F.col("label_chars") + F.col("oov_chars")).cast("double")
+    return g.select(
+        "codec",
+        "n_clips",
+        "label_chars",
+        "oov_chars",
+        "empty_labels",
+        F.when(denom > 0, F.col("oov_chars").cast("double") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )
+
+
 _SPECAUG_SEED = "ep0"
 
 
@@ -4914,6 +4942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_mfcc": _q_clips_mfcc,
         "clips_tensor_shards": _q_clips_tensor_shards,
         "clips_labels": _q_clips_labels,
+        "clips_label_coverage": _q_clips_label_coverage,
         "clips_cmvn_global": _q_clips_cmvn_global,
         "clips_frame_stack": _q_clips_frame_stack,
         "clips_ogg_walk": _q_clips_ogg_walk,
@@ -7652,6 +7681,56 @@ def _clips_labels_sql() -> str:
                CAST(oovs AS INTEGER) AS oov_count,
                COALESCE(array_to_string(ids, ','), '') AS ids_csv
         FROM r
+    """
+
+
+def _clips_label_coverage_sql() -> str:
+    """Label-coverage oracle: the same normalize + strpos walk,
+    aggregated per codec; label totals as BIGINT, the OOV rate as one
+    exact-op double division."""
+    from jsonschema_spark.operators.labels import DEFAULT_VOCAB
+    from jsonschema_spark.sources.clips import clips_path
+
+    src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    vocab_sql = "'" + DEFAULT_VOCAB.replace("'", "''") + "'"
+    return f"""
+        WITH n AS (
+            SELECT clip_id, codec,
+                   trim(regexp_replace(lower(transcript),
+                                       '\\s+', ' ', 'g')) AS norm
+            FROM {src}
+        ), r AS (
+            SELECT clip_id, codec,
+                   len(list_filter(
+                       list_transform(
+                           range(1, COALESCE(length(norm), 0) + 1),
+                           i -> strpos({vocab_sql},
+                                       substr(norm,
+                                              CAST(i AS INTEGER), 1))
+                       ), v -> v > 0)) AS ll,
+                   len(list_filter(
+                       list_transform(
+                           range(1, COALESCE(length(norm), 0) + 1),
+                           i -> strpos({vocab_sql},
+                                       substr(norm,
+                                              CAST(i AS INTEGER), 1))
+                       ), v -> v = 0)) AS oo
+            FROM n
+        ), g AS (
+            SELECT codec,
+                   CAST(COUNT(*) AS BIGINT) AS n_clips,
+                   CAST(SUM(ll) AS BIGINT) AS label_chars,
+                   CAST(SUM(oo) AS BIGINT) AS oov_chars,
+                   CAST(SUM(CASE WHEN ll = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS empty_labels
+            FROM r GROUP BY codec
+        )
+        SELECT codec, n_clips, label_chars, oov_chars, empty_labels,
+               CASE WHEN label_chars + oov_chars > 0
+                    THEN CAST(oov_chars AS DOUBLE)
+                         / CAST(label_chars + oov_chars AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS oov_rate
+        FROM g
     """
 
 
@@ -10860,6 +10939,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_mfcc": _clips_mfcc_sql(),
         "clips_tensor_shards": _clips_tensor_shards_sql(),
         "clips_labels": _clips_labels_sql(),
+        "clips_label_coverage": _clips_label_coverage_sql(),
         "clips_cmvn_global": _clips_cmvn_global_sql(),
         "clips_frame_stack": _clips_frame_stack_sql(),
         "clips_ogg_walk": _clips_ogg_walk_sql(),
