@@ -2569,6 +2569,24 @@ def _q_clips_mix_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clips_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-access shard index: every tar member's absolute data
+    offset + size from one binaryFile pass — the artifact that turns
+    a WebDataset corpus into ranged object-store reads. The oracle
+    REBUILDS the entire USTAR layout arithmetically from the source
+    parquet (member order = sorted keys × (payload, json); offset =
+    cumulative 512-header + 512-padded data; sidecar size = the exact
+    json.dumps text length) — the index is pinned against tar-format
+    math, not against another tar parser."""
+    from jsonschema_spark.sources.clips import (
+        materialized_tar_shards_flat,
+    )
+    from jsonschema_spark.sources.shards import tar_member_index
+
+    path = materialized_tar_shards_flat(spark, _TAR_N)
+    return tar_member_index(spark, path + "/*.tar")
+
+
 _MIX_SNR_R = 2.0  # linear rms(sig)/rms(scaled noise) target (~6 dB)
 
 
@@ -4976,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_time_mask": _q_clips_time_mask,
         "clips_mix_overlay": _q_clips_mix_overlay,
         "clips_mix_snr": _q_clips_mix_snr,
+        "clips_tar_index": _q_clips_tar_index,
         "clips_downmix": _q_clips_downmix,
         "clips_content_manifest": _q_clips_content_manifest,
         "suite_report_orders": _q_suite_report_orders,
@@ -8726,6 +8745,53 @@ def _clips_mix_overlay_sql() -> str:
     """
 
 
+def _clips_tar_index_sql() -> str:
+    """Tar-index oracle: rebuild the USTAR layout from the source rows
+    alone — two members per clip in sorted-key order (payload with the
+    codec-mapped extension, then the json sidecar whose size is the
+    exact json.dumps text length), each costing 512 header bytes +
+    data padded to 512; offsets are the running sum."""
+    from jsonschema_spark.sources.clips import mixed_clips_path
+
+    src = f"read_parquet('{mixed_clips_path(_TAR_N)}/*.parquet')"
+    ext = (
+        "CASE codec WHEN 'flac' THEN 'flac' WHEN 'aiff' THEN 'aiff'"
+        " WHEN 'au' THEN 'au' WHEN 'mp3' THEN 'mp3'"
+        " WHEN 'ogg' THEN 'ogg' WHEN 'opus' THEN 'ogg'"
+        " WHEN 'vorbis' THEN 'ogg' ELSE 'wav' END"
+    )
+    sidecar = (
+        "'{\"codec\": \"' || codec || '\", \"dur_ms\": ' || dur_ms"
+        " || ', \"sr_hz\": ' || sr_hz"
+        " || ', \"transcript\": \"' || transcript || '\"}'"
+    )
+    return f"""
+        WITH m AS (
+            SELECT clip_id AS key,
+                   clip_id || '.' || {ext} AS member,
+                   CAST(octet_length(bytes) AS BIGINT) AS size_bytes,
+                   0 AS kind
+            FROM {src}
+            UNION ALL
+            SELECT clip_id AS key,
+                   clip_id || '.json' AS member,
+                   CAST(length({sidecar}) AS BIGINT) AS size_bytes,
+                   1 AS kind
+            FROM {src}
+        ), o AS (
+            SELECT key, member, size_bytes,
+                   COALESCE(SUM(512 + ((size_bytes + 511) // 512) * 512)
+                       OVER (ORDER BY key ASC, kind ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) + 512 AS offset_data
+            FROM m
+        )
+        SELECT 'shard-00000-00000.tar' AS shard,
+               key, member, offset_data, size_bytes
+        FROM o
+    """
+
+
 def _clips_mix_snr_sql() -> str:
     """SNR-mix oracle: replay the selection hash, decode both int16-LE
     streams from hex, recompute the int64 power sums over the overlap
@@ -10973,6 +11039,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_time_mask": _clips_time_mask_sql(),
         "clips_mix_overlay": _clips_mix_overlay_sql(),
         "clips_mix_snr": _clips_mix_snr_sql(),
+        "clips_tar_index": _clips_tar_index_sql(),
         "clips_downmix": _clips_downmix_sql(),
         "clips_content_manifest": _clips_content_manifest_sql(),
         "suite_report_orders": _suite_report_orders_sql(),

@@ -4182,3 +4182,37 @@ def materialized_tensor_shards(spark: SparkSession, n: int) -> str:
         with open(ok, "w") as f:
             f.write(str(total))
     return path
+
+
+def tar_flat_dir(n: int) -> str:
+    return oracle_cache_path(f"clips_tar_flat_{n}")
+
+
+def materialized_tar_shards_flat(spark: SparkSession, n: int) -> str:
+    """ONE deterministic tar of the mixed corpus (coalesce(1) + sorted
+    keys): member order, sizes and therefore every USTAR offset become
+    pure functions of the parquet rows, so the member-index oracle can
+    rebuild the whole layout arithmetically (header 512 + data padded
+    to 512 per member). The flat pack is the ORACLE corpus only — the
+    operator itself is per-shard parallel."""
+    import os
+
+    from jsonschema_spark.sources.shards import write_tar_shards
+
+    path = tar_flat_dir(n)
+    ok = os.path.join(path, "_SHARDS_OK")
+    if not os.path.exists(ok):
+        clips, _ = materialized_mixed_clips(spark, n)
+        led = [c for c in clips.columns if c.startswith("_")]
+        src = (
+            clips.drop(*led)
+            .coalesce(1)
+            .sortWithinPartitions("clip_id")
+        )
+        manifest = write_tar_shards(src, path, shard_bytes=1 << 30)
+        total = manifest.agg(F.sum("n_samples")).collect()[0][0]
+        if total != n:
+            raise RuntimeError(f"flat tar pack lost rows: {total}/{n}")
+        with open(ok, "w") as f:
+            f.write(str(total))
+    return path

@@ -424,3 +424,55 @@ def read_tensor_shards(
             )
 
     return files.select("content").mapInPandas(unpack, schema=schema)
+
+
+TAR_INDEX_TYPE = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("member", T.StringType(), False),
+        T.StructField("offset_data", T.LongType(), False),
+        T.StructField("size_bytes", T.LongType(), False),
+    ]
+)
+
+
+def tar_member_index(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Random-access index over WebDataset shards: one row per tar
+    member with its absolute data offset and size — the artifact a
+    training loader uses to read any sample with a single ranged
+    read (object-store GET with Range header) instead of streaming
+    the whole shard. One binaryFile row per shard, one Arrow hop; a
+    100 TB corpus indexes in one pass with no shuffle.
+
+    Offsets come from the tar structure itself (``offset_data``), so
+    the index is valid for ANY tar, not just this engine's packs —
+    but this engine's packs are reproducible USTAR, which is what
+    makes the index externally auditable (the contract oracle rebuilds
+    every offset from member sizes alone: header 512 + data padded to
+    512 per member)."""
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, raw in zip(b["path"], b["content"]):
+                name = os.path.basename(str(path))
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(raw)), mode="r"
+                ) as tar:
+                    for m in tar.getmembers():
+                        key, _, _ext = m.name.rpartition(".")
+                        if m.name.endswith(".npy"):
+                            key = key.rpartition(".")[0] or key
+                        rows.append(
+                            (name, key, m.name, m.offset_data, m.size)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TAR_INDEX_TYPE.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        walk, schema=TAR_INDEX_TYPE
+    )

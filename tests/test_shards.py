@@ -179,3 +179,56 @@ def test_tensor_shard_bad_length_fails(spark, tmp_path):
     df = spark.createDataFrame([("c0", [1, 2, 3], 2)], schema)
     with _pytest.raises(Exception, match="not divisible"):
         write_tensor_shards(df, str(tmp_path / "bad")).collect()
+
+
+def test_tar_member_index_random_access(spark, tmp_path):
+    """The index enables ranged reads: bytes[offset:offset+size] from
+    the raw shard file equal the member content — no tarfile needed on
+    the consumer side."""
+    import tarfile as _tf
+
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.sources.shards import (
+        tar_member_index,
+        write_tar_shards,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("dur_ms", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("transcript", T.StringType()),
+        ]
+    )
+    rows = [
+        (f"c{i:03d}", bytes([i]) * (100 + 37 * i), 16000, 100,
+         "pcm_s16le", f"t {i}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1).sortWithinPartitions("clip_id")
+    out = str(tmp_path / "ix")
+    write_tar_shards(df, out).collect()
+    idx = tar_member_index(spark, out + "/*.tar").collect()
+    assert len(idx) == 24  # payload + json per clip
+    by_member = {}
+    import os as _os
+
+    for r in idx:
+        path = _os.path.join(out, r["shard"])
+        with open(path, "rb") as f:
+            f.seek(r["offset_data"])
+            data = f.read(r["size_bytes"])
+        by_member[r["member"]] = data
+        assert r["key"] == r["member"].rsplit(".", 1)[0]
+    # ranged reads equal tarfile extraction
+    shard_path = _os.path.join(out, idx[0]["shard"])
+    with _tf.open(shard_path) as tar:
+        for m in tar.getmembers():
+            assert by_member[m.name] == tar.extractfile(m).read()
+    # and payload members equal the source bytes
+    for cid, payload, *_ in rows:
+        assert by_member[f"{cid}.wav"] == payload
