@@ -535,3 +535,37 @@ def test_train_tensors_streaming_parity(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM q_tt_stream").collect()
     )
     assert got == want and len(got) == 24
+
+
+def test_label_encoding_streaming_parity(spark, tmp_path):
+    """encode_labels is pure Column algebra — identical id sequences
+    under readStream (continuous label encoding on arriving shards)."""
+    from jsonschema_spark.operators.labels import encode_labels
+    from jsonschema_spark.sources.clips import synth_clips
+
+    d = str(tmp_path / "lab_clips")
+    synth_clips(spark, 60, partitions=3).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def enc(df):
+        return encode_labels(df).select(
+            "clip_id", "label_len", "oov_count",
+            F.concat_ws(",", F.col("label_ids").cast("array<string>"))
+            .alias("csv"),
+        )
+
+    want = sorted(tuple(r) for r in enc(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        enc(stream)
+        .writeStream.format("memory").queryName("q_lab_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lab"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM q_lab_stream").collect()
+    )
+    assert got == want and len(got) == 60
