@@ -2569,6 +2569,17 @@ def _q_clips_mix_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_transcript_char_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus character histogram over normalized transcripts — the
+    evidence `learn_char_vocab` orders into a vocabulary (freq desc,
+    codepoint tie-break). One scan + one explode + one narrow groupBy
+    on single-char keys; the oracle replays the normalize + char walk
+    per row."""
+    from jsonschema_spark.operators.labels import char_counts
+
+    return char_counts(_clips(spark))
+
+
 def _q_clips_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-access shard index: every tar member's absolute data
     offset + size from one binaryFile pass — the artifact that turns
@@ -4995,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_mix_overlay": _q_clips_mix_overlay,
         "clips_mix_snr": _q_clips_mix_snr,
         "clips_tar_index": _q_clips_tar_index,
+        "transcript_char_counts": _q_transcript_char_counts,
         "clips_downmix": _q_clips_downmix,
         "clips_content_manifest": _q_clips_content_manifest,
         "suite_report_orders": _q_suite_report_orders,
@@ -8745,6 +8757,28 @@ def _clips_mix_overlay_sql() -> str:
     """
 
 
+def _transcript_char_counts_sql() -> str:
+    """Char-histogram oracle: normalize + per-position substr walk,
+    grouped by character."""
+    from jsonschema_spark.sources.clips import clips_path
+
+    src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    return f"""
+        WITH n AS (
+            SELECT trim(regexp_replace(lower(transcript),
+                                       '\\s+', ' ', 'g')) AS norm
+            FROM {src}
+            WHERE transcript IS NOT NULL
+        ), e AS (
+            SELECT substr(norm, CAST(r.range AS INTEGER), 1) AS char
+            FROM n, range(1, 4096) AS r
+            WHERE r.range <= length(norm) AND length(norm) > 0
+        )
+        SELECT char, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM e GROUP BY char
+    """
+
+
 def _clips_tar_index_sql() -> str:
     """Tar-index oracle: rebuild the USTAR layout from the source rows
     alone — two members per clip in sorted-key order (payload with the
@@ -11040,6 +11074,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_mix_overlay": _clips_mix_overlay_sql(),
         "clips_mix_snr": _clips_mix_snr_sql(),
         "clips_tar_index": _clips_tar_index_sql(),
+        "transcript_char_counts": _transcript_char_counts_sql(),
         "clips_downmix": _clips_downmix_sql(),
         "clips_content_manifest": _clips_content_manifest_sql(),
         "suite_report_orders": _suite_report_orders_sql(),

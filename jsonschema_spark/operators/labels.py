@@ -100,3 +100,47 @@ def decode_labels(
             ).otherwise(F.lit("")),
         ),
     )
+
+
+def char_counts(
+    df: DataFrame, transcript_col: str = "transcript"
+) -> DataFrame:
+    """(char, n_occurrences) over NORMALIZED transcripts — the
+    evidence a vocabulary decision is made from. One projection + one
+    explode + one narrow groupBy (shuffle keys are single characters);
+    the char array is materialized in its own projection before the
+    explode (project-collapsing rule)."""
+    norm = normalize(F.col(transcript_col))
+    chars = (
+        df.select(norm.alias("_n"))
+        .where(F.length("_n") > 0)
+        .select(F.split(F.col("_n"), "").alias("_cs"))
+        .select(F.explode("_cs").alias("char"))
+        .where(F.length("char") > 0)
+    )
+    return chars.groupBy("char").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+
+
+def learn_char_vocab(
+    df: DataFrame,
+    transcript_col: str = "transcript",
+    min_occurrences: int = 1,
+    max_size: int = 256,
+) -> str:
+    """Derive the character vocabulary FROM the corpus: every
+    normalized char with at least ``min_occurrences``, most frequent
+    first (ties broken by codepoint for determinism), capped at
+    ``max_size``. The result feeds ``encode_labels`` directly —
+    rare/garbage codepoints become counted OOV instead of vocabulary
+    entries. Driver-side result (vocabularies are tiny); the count
+    plan is one scan + one narrow groupBy + TakeOrdered."""
+    rows = (
+        char_counts(df, transcript_col)
+        .where(F.col("n_occurrences") >= min_occurrences)
+        .orderBy(F.col("n_occurrences").desc(), F.col("char").asc())
+        .limit(max_size)
+        .collect()
+    )
+    return "".join(r["char"] for r in rows)

@@ -73,3 +73,49 @@ def test_bad_args(spark):
         encode_labels(_frame(spark, [("c", "x")]), oov="explode")
     with pytest.raises(ValueError, match="duplicate"):
         encode_labels(_frame(spark, [("c", "x")]), vocab="aba")
+
+
+def test_learn_char_vocab(spark):
+    from collections import Counter
+    import re
+
+    from jsonschema_spark.operators.labels import (
+        char_counts,
+        learn_char_vocab,
+    )
+
+    rows = [
+        ("c0", "Hello  World"),
+        ("c1", "hello there"),
+        ("c2", "zzz!"),
+        ("c3", None),
+        ("c4", ""),
+    ]
+    df = _frame(spark, rows)
+    cnt = Counter()
+    for _, t in rows:
+        if t:
+            cnt.update(re.sub(r"\s+", " ", t.lower()).strip())
+    got = {
+        r["char"]: r["n_occurrences"]
+        for r in char_counts(df).collect()
+    }
+    assert got == dict(cnt)
+    v = learn_char_vocab(df)
+    # most frequent first, codepoint tie-break, every observed char
+    expect = "".join(
+        c for c, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    )
+    assert v == expect
+    # min_occurrences drops singletons into OOV territory
+    v2 = learn_char_vocab(df, min_occurrences=2)
+    assert set(v2) == {c for c, n in cnt.items() if n >= 2}
+    # the learned vocab round-trips through the encoder with zero OOV
+    from jsonschema_spark.operators.labels import encode_labels
+
+    enc = encode_labels(df, vocab=v).agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum(
+            "oov_count"
+        )
+    ).collect()[0][0]
+    assert enc == 0
