@@ -8010,34 +8010,48 @@ def _clips_batch_assign_sql() -> str:
 
 
 def _clips_ctc_feasibility_sql() -> str:
-    """CTC gate oracle: integer frame arithmetic + a range/list_filter
-    walk for adjacent equal label chars (substr(i) = substr(i+1));
-    empty/NULL transcripts fail closed exactly as the Spark gate."""
+    """CTC gate oracle: integer frame arithmetic + the SAME normalize +
+    strpos vocabulary walk the clips_labels oracle pins (lowercase /
+    collapse-ws / trim, 1-based vocab positions, OOV dropped), then
+    adjacent equal IDS via a range/list_filter walk over the id list;
+    empty/NULL/all-OOV transcripts fail closed exactly as the Spark
+    gate."""
+    from jsonschema_spark.operators.labels import DEFAULT_VOCAB
     from jsonschema_spark.sources.clips import clips_path
 
     src = f"read_parquet('{clips_path(_CLIPS_N)}/*.parquet')"
+    vocab_sql = "'" + DEFAULT_VOCAB.replace("'", "''") + "'"
     return f"""
         WITH f AS (
-            SELECT clip_id, transcript,
+            SELECT clip_id,
+                   trim(regexp_replace(lower(transcript),
+                                       '\\s+', ' ', 'g')) AS norm,
                    CAST(sr_hz AS BIGINT) * dur_ms // 1000 AS samples,
                    CAST(sr_hz AS BIGINT) * 25 // 1000 AS win,
                    CAST(sr_hz AS BIGINT) * 10 // 1000 AS hop
             FROM {src}
+        ), r AS (
+            SELECT clip_id, samples, win, hop,
+                   list_filter(
+                       list_transform(
+                           range(1, COALESCE(length(norm), 0) + 1),
+                           i -> strpos({vocab_sql},
+                                       substr(norm,
+                                              CAST(i AS INTEGER), 1))
+                       ), v -> v > 0) AS ids
+            FROM f
         ), g AS (
-            SELECT clip_id, transcript,
+            SELECT clip_id,
                    CASE WHEN samples >= win
                         THEN 1 + (samples - win) // hop
                         ELSE 0 END AS n_frames_meta,
-                   COALESCE(CAST(length(transcript) AS INTEGER), 0)
-                       AS label_len,
+                   CAST(len(ids) AS INTEGER) AS label_len,
                    CAST(len(list_filter(
-                       range(1, greatest(
-                           COALESCE(length(transcript), 0), 1)),
-                       i -> substr(transcript, CAST(i AS INTEGER), 1)
-                            = substr(transcript,
-                                     CAST(i + 1 AS INTEGER), 1)
+                       range(1, greatest(len(ids), 1)),
+                       i -> ids[CAST(i AS INTEGER)]
+                            = ids[CAST(i + 1 AS INTEGER)]
                    )) AS INTEGER) AS label_repeats
-            FROM f
+            FROM r
         )
         SELECT clip_id,
                n_frames_meta,
@@ -8907,6 +8921,16 @@ def _clips_mix_snr_sql() -> str:
                g AS mix_gain,
                md5(oh) AS out_md5
         FROM h
+        UNION ALL
+        -- zero-sample payloads: the Spark kernel emits n_out=0, gain 0,
+        -- empty output; the per-sample CTEs above drop them (na > 0), so
+        -- union them back to keep the oracle total over the corpus
+        SELECT clip_id,
+               CAST(nid AS BIGINT) AS noise_idx,
+               CAST(0 AS BIGINT) AS n_out,
+               CAST(0.0 AS DOUBLE) AS mix_gain,
+               md5('') AS out_md5
+        FROM j WHERE na = 0
     """
 
 
@@ -9874,8 +9898,8 @@ def oracle_sql() -> dict[str, str]:
             ), j AS (
               SELECT o.o_orderkey, o.o_totalprice, l.detail_total,
                      COALESCE(l.detail_rows, 0) AS detail_rows,
-                     round(abs(o.o_totalprice - CAST(l.detail_total AS DOUBLE))
-                           / greatest(abs(o.o_totalprice), 1e-12), 6) AS rel_diff
+                     abs(o.o_totalprice - CAST(l.detail_total AS DOUBLE))
+                           / greatest(abs(o.o_totalprice), 1e-12) AS rel_diff
               FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
               WHERE o.o_orderkey IS NOT NULL
             )

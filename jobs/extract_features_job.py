@@ -244,6 +244,15 @@ def extract_features(
         stats["shard_bytes"] = int(
             sum(m["bytes"] for m in shard_manifest)
         )
+    # every output is materialized by now — release the payload-bearing
+    # caches instead of pinning them for the caller's lifetime (ADVICE
+    # r2). Callers re-using the returned `feats` pay a recompute, which
+    # is the right trade against holding 42KB-payload partitions in
+    # executor memory.
+    if gate or min_snr_est_db is not None:
+        ann.unpersist()
+    if matrix or tensor_shards:
+        full.unpersist()
     return feats, cm, stats
 
 

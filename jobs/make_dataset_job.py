@@ -106,8 +106,12 @@ def make_dataset(
         n_kept = clips.count()
         report["gated_rows"] = n_input - n_kept
 
-    # content-fingerprint grouping: byte-identical clips share a split
-    grouped = clips.withColumn("_grp", F.md5(F.hex("bytes")))
+    # content-fingerprint grouping: byte-identical clips share a split.
+    # md5 over the BINARY directly — hex() first would materialize a
+    # string 2x the payload per row just for an internal group key,
+    # aggravating the documented G1 humongous-allocation issue (no
+    # cross-engine oracle depends on this key's spelling).
+    grouped = clips.withColumn("_grp", F.md5("bytes"))
     split = assign_splits(
         grouped, "clip_id", fractions, group_col="_grp", seed=seed
     ).drop("_grp")
@@ -144,6 +148,12 @@ def make_dataset(
 
         tens = encode_labels(tens)
     tens = tens.persist()
+    tens.count()  # materialize the tensor cache ONCE, then release the
+    # gated payload cache — keeping `ann` pinned through the per-split
+    # shard writes + CMVN would hold payload-bearing partitions in
+    # memory for the rest of the job (ADVICE r2)
+    if gate or min_snr_est_db is not None:
+        ann.unpersist()
 
     members = {"mat_q": "mat", "x": "x"}
     if deltas:

@@ -422,6 +422,7 @@ def ctc_feasibility(
     sr_col: str = "sr_hz",
     dur_col: str = "dur_ms",
     subsample: int = 4,
+    vocab: str | None = None,
 ) -> DataFrame:
     """CTC trainability gate: a (features, label) pair is only usable if
     the subsampled frame count can emit the label under CTC's blank
@@ -433,28 +434,62 @@ def ctc_feasibility(
     frames from (sr, dur), char labels from the transcript, zero decode
     and zero Python.
 
+    Label statistics come from the SAME normalize + vocabulary walk
+    ``labels.encode_labels`` trains on (lowercase/collapse-ws/trim,
+    then 1-based ``instr`` positions with OOV chars dropped) — NOT the
+    raw transcript. The distinction matters: an all-OOV transcript
+    (non-Latin text vs a char vocab) has a truly EMPTY label sequence
+    and must gate ctc_ok=false, and raw uppercase/whitespace must not
+    inflate min_frames. ``label_repeats`` counts adjacent equal IDS in
+    the OOV-dropped sequence (what the loss actually sees).
+
     ``subsample`` models the encoder's time reduction (the usual conv
-    front end): T_sub = 1 + (T-1)//subsample for T > 0.
+    front end): T_sub = 1 + (T-1)//subsample for T > 0. ``vocab``
+    defaults to ``labels.DEFAULT_VOCAB``.
 
     Appends: n_frames_meta, frames_sub, label_len, label_repeats,
-    min_frames, ctc_ok. NULL/empty transcripts and unframeable clips
-    get ctc_ok = false (never NULL)."""
-    t = F.col(transcript_col)
+    min_frames, ctc_ok. NULL/empty/all-OOV transcripts and unframeable
+    clips get ctc_ok = false (never NULL)."""
+    from jsonschema_spark.operators.labels import DEFAULT_VOCAB
+    from jsonschema_spark.operators.text import normalize
+
+    if vocab is None:
+        vocab = DEFAULT_VOCAB
     frames = frames_from_metadata(sr_col, dur_col)
-    n = F.length(t)
-    # adjacent equal char pairs: compare positions i / i+1 (1-based).
-    # sequence(1, 0) DESCENDS — gate short strings before building it.
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: (
-            t.substr(i, F.lit(1)) == t.substr(i + 1, F.lit(1))
-        ).cast("int"),
+    base = df.withColumn("_ctc_norm", normalize(F.col(transcript_col)))
+    s = F.col("_ctc_norm")
+    n = F.length(s)
+    # the encode_labels walk: 1-based vocab positions, OOV (0) dropped.
+    # sequence(1, 0) DESCENDS — gate empty strings before building it.
+    raw = F.when(
+        F.coalesce(n, F.lit(0)) < 1, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.instr(F.lit(vocab), s.substr(i, F.lit(1))).cast(
+                "int"
+            ),
+        )
     )
-    repeats = F.when(n.isNull() | (n < 2), F.lit(0)).otherwise(
-        F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+    base = base.withColumn("_ctc_ids", F.filter(raw, lambda v: v > 0))
+    ids = F.col("_ctc_ids")
+    m = F.size(ids)
+    # adjacent equal id pairs: zip ids with ids[2:]; the trailing
+    # element pairs with NULL -> NULL == x is NULL -> coalesce false.
+    repeats = F.when(m < 2, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    ids,
+                    F.slice(ids, 2, F.greatest(m - 1, F.lit(1))),
+                    lambda a, b: a == b,
+                ),
+                lambda v: F.coalesce(v, F.lit(False)),
+            )
+        )
     )
     out = (
-        df.withColumn("n_frames_meta", frames)
+        base.withColumn("n_frames_meta", frames)
         .withColumn(
             "frames_sub",
             F.when(
@@ -465,7 +500,7 @@ def ctc_feasibility(
                 ).cast("long"),
             ).otherwise(F.lit(0).cast("long")),
         )
-        .withColumn("label_len", F.coalesce(n, F.lit(0)))
+        .withColumn("label_len", m)
         .withColumn("label_repeats", repeats)
         .withColumn(
             "min_frames",
@@ -479,7 +514,7 @@ def ctc_feasibility(
             & (F.col("frames_sub") >= F.col("min_frames")),
             F.lit(False),
         ),
-    )
+    ).drop("_ctc_norm", "_ctc_ids")
 
 
 FBANK_FULL_TYPE = T.StructType(

@@ -209,14 +209,47 @@ def psi(current: DataFrame, baseline: DataFrame, column: str, eps: float = 1e-6)
 # ---------------------------------------------------------------------------
 
 
-def ks_statistic_exact(current: DataFrame, baseline: DataFrame, column: str) -> DataFrame:
+EXACT_AUDIT_MAX_ROWS = 10_000_000
+
+
+class ExactAuditScaleError(RuntimeError):
+    """Raised when an exact audit path (global no-partition window) is asked
+    to run over more rows than its documented ceiling. The exact paths are
+    single-reducer by construction; at corpus scale use the registered
+    binned defaults (``ks_statistic_binned`` / ``roc_auc_binned``)."""
+
+
+def _guard_exact_audit(n_rows: int, op: str, max_rows: int) -> None:
+    if n_rows > max_rows:
+        raise ExactAuditScaleError(
+            f"{op}: {n_rows} rows exceeds the exact-audit ceiling of "
+            f"{max_rows}. This path uses a global no-partition window (a "
+            f"single reducer) and must not run at corpus scale; use the "
+            f"binned variant, or pass max_rows explicitly for a deliberate "
+            f"larger audit."
+        )
+
+
+def ks_statistic_exact(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    max_rows: int = EXACT_AUDIT_MAX_ROWS,
+) -> DataFrame:
     """One-row DataFrame (ks_stat, n_cur, n_base): exact two-sample KS.
 
     Pools both samples, computes running ECDFs with a single ordered window
     over value, takes max |F_cur - F_base|.
+
+    AUDIT path: the window is a global no-partition sort. Guarded by a
+    row-count ceiling (``max_rows``, default 10^7) so it can never silently
+    run single-reducer at corpus scale — ``ks_statistic_binned`` is the
+    registered large-scale default. The guard costs one narrow count
+    aggregate, negligible beside the global sort it protects.
     """
     cur = current.select(F.col(column).cast("double").alias("v")).na.drop()
     base = baseline.select(F.col(column).cast("double").alias("v")).na.drop()
+    _guard_exact_audit(cur.count() + base.count(), "ks_statistic_exact", max_rows)
     u = cur.withColumn("is_cur", F.lit(1)).unionByName(base.withColumn("is_cur", F.lit(0)))
 
     counts = u.agg(

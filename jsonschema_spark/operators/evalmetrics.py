@@ -167,13 +167,30 @@ def _auc_from_groups(g: DataFrame, order_col: str) -> DataFrame:
     )
 
 
-def roc_auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def roc_auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_rows: int = None,
+) -> DataFrame:
     """Exact tie-corrected ROC-AUC (one row: n_pos, n_neg, auc). AUDIT
     path: the rank window is a global order over DISTINCT scores — a single
     reducer when the score is continuous. Use ``roc_auc_binned`` as the
     registered/large-scale default (same disposition as exact vs binned KS).
+
+    Guarded by a row-count ceiling (default ``drift.EXACT_AUDIT_MAX_ROWS``,
+    10^7) so the single-reducer window can never silently run at corpus
+    scale; raises ``drift.ExactAuditScaleError`` above it.
     """
+    from jsonschema_spark.operators.drift import (
+        EXACT_AUDIT_MAX_ROWS,
+        _guard_exact_audit,
+    )
+
+    if max_rows is None:
+        max_rows = EXACT_AUDIT_MAX_ROWS
     d = _scored(df, score_col, label_col)
+    _guard_exact_audit(d.count(), "roc_auc_exact", max_rows)
     g = d.groupBy("s").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("y").cast("long")).alias("np"),

@@ -51,9 +51,17 @@ def reconcile(
     that have no detail rows at all.
 
     Returns (key, header_value, detail_total, detail_rows, rel_diff) with
-    rel_diff rounded to 6 places (NULL when no detail rows exist).
+    rel_diff an UNROUNDED double (NULL when no detail rows exist).
     ``detail_amount`` is any per-row Column; it is cast to DECIMAL(28,6)
     before aggregation for exact, order-independent sums.
+
+    rel_diff is deliberately NOT rounded: every op in its chain (decimal
+    cast, subtract, abs, divide, greatest) is a correctly-rounded IEEE
+    operation, so the emitted double is bit-identical across engines.
+    ``round(double, n)`` is not correctly rounded (Spark rounds via exact
+    BigDecimal HALF_UP, DuckDB via float-scaled std::round) and a 1-ulp
+    input difference near a tie flips the 6th decimal — the round-2 driver
+    hash failure on this very operator.
     """
     agg = (
         detail.where(F.col(detail_key).isNotNull())
@@ -70,10 +78,9 @@ def reconcile(
     # under non-ANSI divide and silently DROP a 100%-wrong total from the
     # mismatch set; with the floor, h=0 vs d=100 scores rel_diff ~1e14 and
     # is flagged. NULL header values are flagged explicitly.
-    rel = F.round(
+    rel = (
         F.abs(F.col(header_value) - F.col("detail_total").cast("double"))
-        / F.greatest(F.abs(F.col(header_value)), F.lit(1e-12)),
-        6,
+        / F.greatest(F.abs(F.col(header_value)), F.lit(1e-12))
     )
     return (
         joined.select(

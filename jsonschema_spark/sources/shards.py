@@ -124,6 +124,14 @@ def write_tar_shards(
             for row in b.itertuples(index=False):
                 d = row._asdict()
                 key = d["clip_id"]
+                # WebDataset keys may not contain '.' (readers split
+                # member names on the last dot) — reject at pack time.
+                if not key or "." in key:
+                    raise ValueError(
+                        f"shard key {key!r} is empty or contains '.' — "
+                        f"WebDataset member names split on the last "
+                        f"dot; sanitize clip_id first"
+                    )
                 payload = bytes(d["bytes"])
                 meta = {}
                 for c in meta_present:
@@ -293,6 +301,17 @@ def write_tensor_shards(
             for row in b.itertuples(index=False):
                 d = row._asdict()
                 key = d[id_col]
+                # WebDataset keys may not contain '.': readers split
+                # '<key>.<member>.npy' on the LAST dot, so a dotted or
+                # empty id silently mis-groups members. Fail at pack
+                # time, loudly, instead.
+                if not key or "." in key:
+                    raise ValueError(
+                        f"tensor-shard key {key!r} is empty or contains "
+                        f"'.' — WebDataset member names are "
+                        f"'<key>.<member>.npy' and split on the last "
+                        f"dot; sanitize the id column first"
+                    )
                 nfr = int(d[n_frames_col] or 0)
                 if nfr <= 0:
                     continue

@@ -499,3 +499,15 @@ def test_summary_rollup_levels_and_plan(spark):
     plan = roll._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ks_exact_guard_trips_above_ceiling(spark):
+    """The exact-KS audit path must refuse to run its global no-partition
+    window above the documented row-count ceiling (VERDICT r2 item 3)."""
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(drift.ExactAuditScaleError, match="ks_statistic_exact"):
+        drift.ks_statistic_exact(ev, ev, "value", max_rows=10)
+    # at/below the ceiling it runs normally
+    small = ev.limit(5)
+    row = drift.ks_statistic_exact(small, small, "value", max_rows=10).collect()[0]
+    assert row.ks_stat == 0.0

@@ -295,6 +295,10 @@ def test_ctc_feasibility_matches_python(spark):
         ("c4", "aabbcc", 16000, 24),       # sub-window -> 0 frames
         ("c5", "ab", 8000, 200),
         ("c6", "a", 16000, 100),
+        # ADVICE r2: feasibility must see what encode_labels trains on
+        ("c7", "ЖЖЖ", 16000, 1000),  # all-OOV -> empty labels -> false
+        ("c8", "  A!!A  ", 16000, 40),     # normalized+OOV-dropped = "aa" (repeat)
+        ("c9", "Hello   WORLD", 16000, 1000),  # case/ws must not inflate len
     ]
     schema = T.StructType(
         [
@@ -310,16 +314,21 @@ def test_ctc_feasibility_matches_python(spark):
             spark.createDataFrame(rows, schema)
         ).collect()
     }
+    import re
+
+    from jsonschema_spark.operators.labels import DEFAULT_VOCAB
+
     for cid, txt, sr, dur in rows:
         r = out[cid]
         frames = _frames_py(sr, dur)
         fsub = 1 + (frames - 1) // 4 if frames > 0 else 0
-        n = len(txt) if txt is not None else 0
-        reps = (
-            sum(1 for i in range(len(txt) - 1) if txt[i] == txt[i + 1])
-            if txt
-            else 0
-        )
+        # the encode_labels walk: normalize, vocab-encode, drop OOV
+        norm = re.sub(r"\s+", " ", (txt or "").lower()).strip()
+        ids = [
+            DEFAULT_VOCAB.index(ch) + 1 for ch in norm if ch in DEFAULT_VOCAB
+        ]
+        n = len(ids)
+        reps = sum(1 for i in range(n - 1) if ids[i] == ids[i + 1])
         assert r["n_frames_meta"] == frames, cid
         assert r["frames_sub"] == fsub, cid
         assert r["label_len"] == n, cid
@@ -327,6 +336,10 @@ def test_ctc_feasibility_matches_python(spark):
         assert r["min_frames"] == n + reps, cid
         expect = n > 0 and fsub >= n + reps
         assert r["ctc_ok"] is expect, cid  # strict boolean, never NULL
+    # the ADVICE scenarios, pinned explicitly
+    assert out["c7"]["label_len"] == 0 and out["c7"]["ctc_ok"] is False
+    assert out["c8"]["label_len"] == 2 and out["c8"]["label_repeats"] == 1
+    assert out["c9"]["label_len"] == len("hello world")
 
 
 # ---------------------------------------------------------------------------

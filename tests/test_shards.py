@@ -232,3 +232,27 @@ def test_tar_member_index_random_access(spark, tmp_path):
     # and payload members equal the source bytes
     for cid, payload, *_ in rows:
         assert by_member[f"{cid}.wav"] == payload
+
+
+def test_dotted_or_empty_keys_rejected_at_pack_time(spark, tmp_path):
+    """WebDataset member names are '<key>.<member>.<ext>' and readers
+    split on the LAST dot — a dotted clip_id would silently mis-group
+    members on read. Both packers must reject at pack time (ADVICE r2)."""
+    from jsonschema_spark.sources.shards import write_tensor_shards
+
+    clips = _clips(spark, 4).withColumn(
+        "clip_id", F.concat(F.col("clip_id"), F.lit(".v2"))
+    )
+    with pytest.raises(Exception, match="contains '\\.'"):
+        write_tar_shards(
+            clips, str(tmp_path / "bad1"), shard_bytes=1 << 20
+        ).collect()
+
+    tens = spark.createDataFrame(
+        [("a.b", [1, 2, 3, 4], 2, "hi")],
+        "clip_id string, mat_q array<long>, n_frames int, transcript string",
+    )
+    with pytest.raises(Exception, match="contains '\\.'"):
+        write_tensor_shards(
+            tens, str(tmp_path / "bad2"), tensor_cols={"mat_q": "mat"}
+        ).collect()

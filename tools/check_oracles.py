@@ -7,6 +7,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -25,10 +26,17 @@ TABLES = (
 
 
 def norm_cell(v):
+    # Full shortest-round-trip precision (repr), NOT %.9g: the round-2 driver
+    # hash failure (reconcile_orders_lineitem) was a 1-ulp cross-engine drift
+    # that %.9g masked locally. Decimal cells carry a type tag so a Spark
+    # double silently compared against a DuckDB DECIMAL fails loudly instead
+    # of matching by string accident.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
     return str(v)
 
 
