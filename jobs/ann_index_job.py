@@ -44,6 +44,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
+from jsonschema_spark.functions.grid import grid_round
 
 from jsonschema_spark.operators import similarity  # noqa: E402
 
@@ -160,7 +161,7 @@ def query(
     )
     hits = (
         cand.select(
-            "query_id", meta["id_col"], F.round(total, 6).alias("approx_dist")
+            "query_id", meta["id_col"], grid_round(total, 6).alias("approx_dist")
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

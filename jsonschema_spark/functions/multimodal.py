@@ -258,15 +258,16 @@ def decode_image(raw: bytes) -> tuple[int, int, np.ndarray]:
     if raw[:8] == _PNG_MAGIC:
         return _decode_png(raw)
     if raw[:2] == b"\xff\xd8":
-        # REAL baseline JPEG (grayscale SOF0) in pure numpy — color/
-        # progressive streams raise NotImplementedError inside
+        # REAL JPEG in pure numpy: baseline (SOF0, incl. color/luma)
+        # and progressive (SOF2, Annex G) both decode; arithmetic /
+        # 12-bit streams raise NotImplementedError inside
         from jsonschema_spark.functions.jpeg import decode_jpeg_gray
 
         return decode_jpeg_gray(raw)
     raise NotImplementedError(
         "webp/other compressed image codecs are not available in this "
-        "environment; plug a PIL/turbojpeg decode in here (baseline "
-        "grayscale JPEG decodes natively — functions/jpeg.py)"
+        "environment; plug a PIL/turbojpeg decode in here (baseline + "
+        "progressive JPEG decode natively — functions/jpeg.py)"
     )
 
 

@@ -467,3 +467,505 @@ def audio_ogg_profile(payload: Column | str = "bytes") -> Column:
     return _ogg_profile_udf(
         F.col(payload) if isinstance(payload, str) else payload
     )
+
+
+# ---- Opus packet-level validation (RFC 6716 §3.1/§3.2) ----------------------
+#
+# The page walk above certifies the CONTAINER; this layer certifies the
+# Opus framing INSIDE each audio packet without a decoder: TOC config ->
+# frame duration, frame-count code -> frame boundaries (CBR split, VBR
+# length codes, code-3 count/padding), the 120 ms packet ceiling, the
+# 1275-byte frame ceiling, and the stream-level duration cross-check
+# sum(packet samples) vs the final granule position (RFC 7845 §4 end
+# trimming). No PLC, no sample decode — every check is integer framing
+# arithmetic, which is exactly what a validation engine can certify
+# for a lossy codec without shipping libopus.
+
+#: samples per frame at the 48 kHz granule clock, indexed by TOC config
+_OPUS_CFG_SAMPLES = (
+    # SILK-only NB/MB/WB x 10/20/40/60 ms (configs 0-11)
+    [480, 960, 1920, 2880][0:4] * 3
+    # Hybrid SWB/FB x 10/20 ms (configs 12-15)
+    + [480, 960, 480, 960]
+    # CELT-only NB/WB/SWB/FB x 2.5/5/10/20 ms (configs 16-31)
+    + [120, 240, 480, 960] * 4
+)
+
+_OPUS_MAX_FRAME_BYTES = 1275
+_OPUS_MAX_PACKET_SAMPLES = 5760  # 120 ms at 48 kHz
+
+
+def _opus_frame_len(pkt: bytes, pos: int):
+    """RFC 6716 §3.2.1 frame-length code: returns (length, next_pos) or
+    None when truncated."""
+    if pos >= len(pkt):
+        return None
+    x = pkt[pos]
+    if x < 252:
+        return x, pos + 1
+    if pos + 1 >= len(pkt):
+        return None
+    return 4 * pkt[pos + 1] + x, pos + 2
+
+
+def opus_packet_samples(pkt: bytes):
+    """(samples_48k, n_frames, error) for ONE Opus packet. error is None
+    for a conforming packet; otherwise one of empty_packet /
+    truncated_packet / bad_frame_count / packet_too_long /
+    frame_too_long / bad_cbr_split / bad_vbr_len."""
+    if len(pkt) == 0:
+        return 0, 0, "empty_packet"
+    toc = pkt[0]
+    fs = _OPUS_CFG_SAMPLES[toc >> 3]
+    code = toc & 0x3
+    if code == 0:
+        if len(pkt) - 1 > _OPUS_MAX_FRAME_BYTES:
+            return 0, 0, "frame_too_long"
+        nf = 1
+    elif code == 1:
+        r = len(pkt) - 1
+        if r % 2:
+            return 0, 0, "bad_cbr_split"
+        if r // 2 > _OPUS_MAX_FRAME_BYTES:
+            return 0, 0, "frame_too_long"
+        nf = 2
+    elif code == 2:
+        got = _opus_frame_len(pkt, 1)
+        if got is None:
+            return 0, 0, "truncated_packet"
+        n1, pos = got
+        if n1 > _OPUS_MAX_FRAME_BYTES:
+            return 0, 0, "frame_too_long"
+        if pos + n1 > len(pkt):
+            return 0, 0, "bad_vbr_len"
+        if len(pkt) - pos - n1 > _OPUS_MAX_FRAME_BYTES:
+            return 0, 0, "frame_too_long"
+        nf = 2
+    else:  # code 3: arbitrary frame count
+        if len(pkt) < 2:
+            return 0, 0, "truncated_packet"
+        fc = pkt[1]
+        vbr, pad, m = fc & 0x80, fc & 0x40, fc & 0x3F
+        if m == 0:
+            return 0, 0, "bad_frame_count"
+        if m * fs > _OPUS_MAX_PACKET_SAMPLES:
+            return 0, 0, "packet_too_long"
+        pos = 2
+        padlen = 0
+        if pad:
+            while True:
+                if pos >= len(pkt):
+                    return 0, 0, "truncated_packet"
+                b = pkt[pos]
+                pos += 1
+                if b == 255:
+                    padlen += 254
+                else:
+                    padlen += b
+                    break
+        if vbr:
+            total = 0
+            for _ in range(m - 1):
+                got = _opus_frame_len(pkt, pos)
+                if got is None:
+                    return 0, 0, "truncated_packet"
+                ln, pos = got
+                if ln > _OPUS_MAX_FRAME_BYTES:
+                    return 0, 0, "frame_too_long"
+                total += ln
+            rem = len(pkt) - pos - padlen
+            last = rem - total
+            if last < 0:
+                return 0, 0, "bad_vbr_len"
+            if last > _OPUS_MAX_FRAME_BYTES:
+                return 0, 0, "frame_too_long"
+        else:
+            rem = len(pkt) - pos - padlen
+            if rem < 0 or rem % m:
+                return 0, 0, "bad_cbr_split"
+            if rem // m > _OPUS_MAX_FRAME_BYTES:
+                return 0, 0, "frame_too_long"
+        nf = m
+    return nf * fs, nf, None
+
+
+def opus_stream_packet_stats(
+    packets: Sequence[bytes], pre_skip: int, last_granule: int
+) -> dict:
+    """Stream-level packet audit over the AUDIO packets (callers strip
+    the two header packets): per-packet framing plus the RFC 7845
+    granule cross-check. end_trim = pre_skip + sum_samples -
+    last_granule must lie in [0, last_packet_samples]."""
+    n_audio = len(packets)
+    total = 0
+    frames = 0
+    last_samples = 0
+    for k, pkt in enumerate(packets):
+        s, nf, err = opus_packet_samples(bytes(pkt))
+        if err is not None:
+            return {
+                "ok": False, "error": f"{err}@{k}", "n_audio_packets": n_audio,
+                "n_frames": None, "sum_samples": None, "end_trim": None,
+                "duration_ms": None,
+            }
+        total += s
+        frames += nf
+        last_samples = s
+    end_trim = pre_skip + total - last_granule
+    if n_audio == 0 or end_trim < 0 or end_trim > last_samples:
+        return {
+            "ok": False, "error": "granule_mismatch",
+            "n_audio_packets": n_audio, "n_frames": frames,
+            "sum_samples": total, "end_trim": end_trim,
+            "duration_ms": None,
+        }
+    return {
+        "ok": True, "error": None, "n_audio_packets": n_audio,
+        "n_frames": frames, "sum_samples": total, "end_trim": end_trim,
+        "duration_ms": (total - end_trim) * 1000 // 48000,
+    }
+
+
+OPUS_PACKET_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("n_audio_packets", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("end_trim", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+_PKT_FIELDS = (
+    "ok", "error", "n_audio_packets", "n_frames", "sum_samples",
+    "end_trim", "duration_ms",
+)
+
+
+def _pkt_fail(err: str) -> dict:
+    d = {k: None for k in _PKT_FIELDS}
+    d["ok"] = False
+    d["error"] = err
+    return d
+
+
+def _collect_packets(pages: list[tuple]) -> list[bytes] | str:
+    """All packets in order (the flag/seq discipline of _finish_packets,
+    but keeping every packet body)."""
+    got = _finish_packets(pages)
+    if isinstance(got, str):
+        return got
+    out: list[bytes] = []
+    pending = b""
+    for flags, granule, serial, seq, lacing, body, _, _ in pages:
+        off = 0
+        for lv in lacing:
+            pending += body[off:off + lv]
+            off += lv
+            if lv < 255:
+                out.append(pending)
+                pending = b""
+    return out
+
+
+def parse_opus_packets(raw: bytes) -> dict:
+    """Single-clip packet audit: container walk first (any page-level
+    failure surfaces as that error), then the Opus framing audit."""
+    pages = _scan_pages(bytes(raw))
+    if isinstance(pages, str):
+        return _pkt_fail(pages)
+    crcs = ogg_crc_pages([p[7] for p in pages])
+    for k, p in enumerate(pages):
+        if int(crcs[k]) != p[6]:
+            return _pkt_fail("crc_mismatch")
+    packets = _collect_packets(pages)
+    if isinstance(packets, str):
+        return _pkt_fail(packets)
+    if not packets:
+        return _pkt_fail("bad_ident")
+    ident = _parse_ident(packets[0])
+    if isinstance(ident, str):
+        return _pkt_fail(ident)
+    codec, _channels, _rate, pre_skip = ident
+    if codec != "opus":
+        return _pkt_fail("not_opus")
+    if len(packets) < 2 or packets[1][:8] != b"OpusTags":
+        return _pkt_fail("missing_tags")
+    return opus_stream_packet_stats(
+        packets[2:], pre_skip, pages[-1][1]
+    )
+
+
+def opus_packet_profile_batch(payloads: pd.Series) -> pd.DataFrame:
+    rows = []
+    for p in payloads:
+        if p is None:
+            rows.append(_pkt_fail("null_payload"))
+        else:
+            rows.append(parse_opus_packets(bytes(p)))
+    return pd.DataFrame(rows, columns=list(_PKT_FIELDS))
+
+
+@F.pandas_udf(OPUS_PACKET_TYPE)
+def _opus_packet_udf(p: pd.Series) -> pd.DataFrame:
+    return opus_packet_profile_batch(p)
+
+
+def audio_opus_packet_profile(payload: Column | str = "bytes") -> Column:
+    """struct(ok, error, n_audio_packets, n_frames, sum_samples,
+    end_trim, duration_ms): RFC 6716 TOC/framing validation + RFC 7845
+    granule cross-check per clip, one Arrow hop. Extends the SNR ladder
+    one tier for compressed web audio: structural walk -> packet-level
+    framing certification (sample decode stays out of scope without
+    libopus — documented ceiling, SURVEY §2C)."""
+    return _opus_packet_udf(
+        F.col(payload) if isinstance(payload, str) else payload
+    )
+
+
+def _opus_len_code(n: int) -> bytes:
+    """Inverse of _opus_frame_len (RFC 6716 §3.2.1)."""
+    if n < 252:
+        return bytes((n,))
+    b1 = 252 + (n - 252) % 4
+    return bytes((b1, (n - b1) // 4))
+
+
+def build_opus_packet(
+    config: int,
+    code: int,
+    frame_sizes: Sequence[int],
+    seed: int = 0,
+    vbr: bool = False,
+    pad_len: int = 0,
+    stereo: bool = False,
+) -> bytes:
+    """One RFC 6716-framed Opus packet with seeded opaque frame bodies
+    (ledger corpora + tests). ``frame_sizes`` are per-frame byte sizes;
+    code 3 honors ``vbr`` and ``pad_len`` (padding DATA bytes)."""
+    toc = (config << 3) | ((4 if stereo else 0)) | code
+    parts = [bytes((toc,))]
+    if code == 0:
+        parts.append(_fill(frame_sizes[0], seed))
+    elif code == 1:
+        parts.append(_fill(frame_sizes[0], seed))
+        parts.append(_fill(frame_sizes[1], seed + 1))
+    elif code == 2:
+        parts.append(_opus_len_code(frame_sizes[0]))
+        parts.append(_fill(frame_sizes[0], seed))
+        parts.append(_fill(frame_sizes[1], seed + 1))
+    else:
+        m = len(frame_sizes)
+        fc = (0x80 if vbr else 0) | (0x40 if pad_len else 0) | m
+        parts.append(bytes((fc,)))
+        if pad_len:
+            chain = []
+            p = pad_len
+            while p > 254:
+                chain.append(255)
+                p -= 254
+            chain.append(p)
+            parts.append(bytes(chain))
+        if vbr:
+            for s in frame_sizes[:-1]:
+                parts.append(_opus_len_code(s))
+        for j, s in enumerate(frame_sizes):
+            parts.append(_fill(s, seed + j))
+        if pad_len:
+            parts.append(_fill(pad_len, seed ^ 0x7F))
+    return b"".join(parts)
+
+
+def encode_ogg_opus_framed(
+    audio_packets: Sequence[bytes],
+    channels: int = 1,
+    pre_skip: int = 312,
+    input_sr: int = 16000,
+    serial: int = 0x5150,
+    packets_per_page: int = 3,
+    final_granule: Optional[int] = None,
+    granule_samples: Optional[Sequence[int]] = None,
+) -> bytes:
+    """Conforming Ogg-Opus stream around CALLER-BUILT audio packets
+    (build_opus_packet), with the final granule either derived from
+    ``granule_samples`` (per-packet 48 kHz counts) or forced via
+    ``final_granule`` (to plant granule mismatches)."""
+    pages = [
+        build_page(serial, 0, 0,
+                   [_opus_head(channels, pre_skip, input_sr)], bos=True),
+        build_page(serial, 1, 0, [opus_tags_packet()]),
+    ]
+    seq = 2
+    done = 0
+    gran = pre_skip
+    n = len(audio_packets)
+    while done < n:
+        k = min(packets_per_page, n - done)
+        chunk = list(audio_packets[done:done + k])
+        if granule_samples is not None:
+            gran += sum(granule_samples[done:done + k])
+        done += k
+        is_last = done == n
+        g = final_granule if (is_last and final_granule is not None) else gran
+        pages.append(build_page(serial, seq, g, chunk, eos=is_last))
+        seq += 1
+    return b"".join(pages)
+
+
+# ---- Vorbis packet-level validation (Vorbis I spec §4.2) --------------------
+# Header discipline + packet-type certification without a decoder: the
+# three header packets (ident 0x01 / comment 0x03 / setup 0x05, each
+# with the "vorbis" magic) must appear in order; the ident's blocksize
+# nibbles must satisfy 64 <= bs0 <= bs1 <= 8192 with the framing bit
+# set; every audio packet must be non-empty with the type LSB clear
+# (audio packets are type-even by spec). Mode/window decode needs the
+# setup codebooks — out of scope without libvorbis, documented ceiling.
+
+_VORBIS_PKT_FIELDS = (
+    "ok", "error", "n_audio_packets", "blocksize_0", "blocksize_1",
+)
+
+
+def _vorbis_pkt_fail(err: str) -> dict:
+    d = {k: None for k in _VORBIS_PKT_FIELDS}
+    d["ok"] = False
+    d["error"] = err
+    return d
+
+
+def parse_vorbis_packets(raw: bytes) -> dict:
+    """Single-clip Vorbis packet audit: container walk first, then the
+    header-discipline + packet-type checks."""
+    pages = _scan_pages(bytes(raw))
+    if isinstance(pages, str):
+        return _vorbis_pkt_fail(pages)
+    crcs = ogg_crc_pages([p[7] for p in pages])
+    for k, p in enumerate(pages):
+        if int(crcs[k]) != p[6]:
+            return _vorbis_pkt_fail("crc_mismatch")
+    packets = _collect_packets(pages)
+    if isinstance(packets, str):
+        return _vorbis_pkt_fail(packets)
+    if not packets or packets[0][:7] != b"\x01vorbis":
+        return _vorbis_pkt_fail("bad_ident")
+    ident = packets[0]
+    if len(ident) < 30 or int.from_bytes(ident[7:11], "little") != 0:
+        return _vorbis_pkt_fail("bad_ident")
+    bs = ident[28]
+    bs0, bs1 = 1 << (bs & 0xF), 1 << (bs >> 4)
+    if not (64 <= bs0 <= bs1 <= 8192):
+        return _vorbis_pkt_fail("bad_blocksizes")
+    if len(ident) < 30 or not (ident[29] & 0x1):
+        return _vorbis_pkt_fail("bad_framing")
+    if len(packets) < 3:
+        return _vorbis_pkt_fail("missing_headers")
+    if packets[1][:7] != b"\x03vorbis":
+        return _vorbis_pkt_fail("missing_comment")
+    if packets[2][:7] != b"\x05vorbis":
+        return _vorbis_pkt_fail("missing_setup")
+    for k, pkt in enumerate(packets[3:]):
+        if len(pkt) == 0:
+            return _vorbis_pkt_fail(f"empty_packet@{k}")
+        if pkt[0] & 0x1:
+            return _vorbis_pkt_fail(f"bad_packet_type@{k}")
+    return {
+        "ok": True, "error": None,
+        "n_audio_packets": len(packets) - 3,
+        "blocksize_0": bs0, "blocksize_1": bs1,
+    }
+
+
+VORBIS_PACKET_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("n_audio_packets", T.IntegerType()),
+        T.StructField("blocksize_0", T.IntegerType()),
+        T.StructField("blocksize_1", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(VORBIS_PACKET_TYPE)
+def _vorbis_packet_udf(p: pd.Series) -> pd.DataFrame:
+    rows = []
+    for raw in p:
+        if raw is None:
+            rows.append(_vorbis_pkt_fail("null_payload"))
+        else:
+            rows.append(parse_vorbis_packets(bytes(raw)))
+    return pd.DataFrame(rows, columns=list(_VORBIS_PKT_FIELDS))
+
+
+def audio_vorbis_packet_profile(payload: Column | str = "bytes") -> Column:
+    """struct(ok, error, n_audio_packets, blocksize_0, blocksize_1):
+    Vorbis I header-discipline + packet-type certification, one Arrow
+    hop (see parse_vorbis_packets)."""
+    return _vorbis_packet_udf(
+        F.col(payload) if isinstance(payload, str) else payload
+    )
+
+
+def vorbis_header_packets(
+    channels: int = 2,
+    rate: int = 44100,
+    blocksize_byte: int = 0xB8,
+    framing: int = 1,
+    seed: int = 0,
+) -> list[bytes]:
+    """[ident, comment, setup] header packets for corpus assembly, with
+    the blocksize nibbles / framing bit parameterized so ledger corpora
+    can plant header violations."""
+    ident = (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")
+        + bytes((channels,))
+        + int(rate).to_bytes(4, "little")
+        + (0).to_bytes(4, "little", signed=True) * 3
+        + bytes((blocksize_byte,))
+        + bytes((1 if framing else 0,))
+    )
+    comment = (
+        b"\x03vorbis" + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + bytes((1,))
+    )
+    setup = b"\x05vorbis" + _fill(64, seed ^ 0x5E)
+    return [ident, comment, setup]
+
+
+def vorbis_audio_packet(n: int, seed: int) -> bytes:
+    """Opaque seeded AUDIO packet with the type LSB clear (spec: audio
+    packets are type-even)."""
+    b = bytearray(_fill(n, seed))
+    b[0] &= 0xFE
+    return bytes(b)
+
+
+def encode_ogg_vorbis_framed(
+    audio_packets: Sequence[bytes],
+    header_packets: Optional[list[bytes]] = None,
+    serial: int = 0x5657,
+    packets_per_page: int = 4,
+    samples_per_packet: int = 1024,
+) -> bytes:
+    """Conforming Ogg-Vorbis stream around caller-built packets."""
+    hdrs = header_packets or vorbis_header_packets()
+    pages = [build_page(serial, 0, 0, [hdrs[0]], bos=True)]
+    if len(hdrs) > 1:
+        pages.append(build_page(serial, 1, 0, list(hdrs[1:])))
+    seq = len(pages)
+    done = 0
+    gran = 0
+    n = len(audio_packets)
+    while done < n:
+        k = min(packets_per_page, n - done)
+        chunk = list(audio_packets[done:done + k])
+        gran += k * samples_per_packet
+        done += k
+        pages.append(
+            build_page(serial, seq, gran, chunk, eos=(done == n))
+        )
+        seq += 1
+    return b"".join(pages)

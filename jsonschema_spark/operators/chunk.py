@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 from .text import tokens
 
@@ -162,7 +163,7 @@ def duration_buckets(
         padded,
         F.when(
             (F.col("n_clips") * F.col("max_ms")) > 0,
-            F.round(
+            grid_round(
                 F.lit(1.0)
                 - F.col("total_ms").cast("double")
                 / (F.col("n_clips") * F.col("max_ms")).cast("double"),
@@ -192,7 +193,7 @@ def padding_waste_report(
     )
     gpad = (F.col("n_clips") * F.col("global_max_ms")).cast("double")
     ratio = lambda num: F.when(  # noqa: E731
-        num > 0, F.round(F.lit(1.0) - F.col("total_ms").cast("double") / num, 9)
+        num > 0, grid_round(F.lit(1.0) - F.col("total_ms").cast("double") / num, 9)
     ).otherwise(F.lit(0.0))
     return agg.select(
         "n_clips",

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 from .dedup import word_shingles_from_tokens
 from .text import tokens
@@ -87,7 +88,7 @@ def contamination_report(
         )
         .withColumn(
             "contamination",
-            F.round(
+            grid_round(
                 F.col("contaminated_ngrams")
                 / F.greatest(F.col("total_ngrams"), F.lit(1)).cast("double"),
                 6,

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+from jsonschema_spark.functions.grid import grid_round
 
 from jsonschema_spark.operators.text import fingerprint, normalize, tokens
 
@@ -171,7 +172,7 @@ def jaccard_pairs(
     )
     jac = common.withColumn(
         "jaccard",
-        F.round(F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 6),
+        grid_round(F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 6),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -291,7 +292,7 @@ def minhash_lsh_pairs(
         .join(sh.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vsh", "_shb"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            grid_round(
                 F.size(F.array_intersect("_sha", "_shb"))
                 / F.size(F.array_union("_sha", "_shb")).cast("double"),
                 6,
@@ -321,7 +322,7 @@ def embedding_pairs_bruteforce(
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
+        "id_a", "id_b", grid_round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
     )
     return scored.filter(F.col("cos") >= threshold)
 
@@ -368,7 +369,7 @@ def embedding_near_dups(
         .distinct()
     )
     scored = cand.select(
-        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
+        "id_a", "id_b", grid_round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos")
     )
     return scored.filter(F.col("cos") >= threshold)
 
@@ -616,7 +617,7 @@ def audio_near_dup_pairs(
               .withColumnRenamed("_v", "_vb"), "id_b")
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            grid_round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
         )
     )
     return scored.filter(F.col("cos") >= threshold)
@@ -700,7 +701,7 @@ def audio_containment_pairs(
         )
         .select(
             "id_a", "id_b", "seg_a", "seg_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            grid_round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 
 # ---------------------------------------------------------------------------
@@ -51,8 +52,8 @@ def chi_square_table(current: DataFrame, baseline: DataFrame, column: str) -> Da
     return j.select(
         "category",
         "observed",
-        F.round(expected, 6).alias("expected"),
-        F.round(
+        grid_round(expected, 6).alias("expected"),
+        grid_round(
             F.when(expected > 0, F.pow(F.col("observed") - expected, 2) / expected).otherwise(
                 F.when(F.col("observed") > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
             ),
@@ -147,9 +148,9 @@ def psi_table_from_histograms(
     p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(eps))
     return j.select(
         "category",
-        F.round(p_cur, 6).alias("p_cur"),
-        F.round(p_base, 6).alias("p_base"),
-        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("contribution"),
+        grid_round(p_cur, 6).alias("p_cur"),
+        grid_round(p_base, 6).alias("p_base"),
+        grid_round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias("contribution"),
     )
 
 
@@ -266,7 +267,7 @@ def ks_statistic_exact(
     return (
         ecdf.crossJoin(F.broadcast(counts))
         .agg(
-            F.round(
+            grid_round(
                 F.max(F.abs(F.col("c_cur") / F.col("n_cur") - F.col("c_base") / F.col("n_base"))),
                 6,
             ).alias("ks_stat"),
@@ -347,7 +348,7 @@ def ks_statistic_binned(
     return (
         e.crossJoin(F.broadcast(totals))
         .agg(
-            F.round(
+            grid_round(
                 F.max(
                     F.abs(
                         F.col("c_cur") / F.col("n_cur")
@@ -435,7 +436,7 @@ def wasserstein_binned(
         "weight"
     )
     return e.agg(
-        F.round(
+        grid_round(
             F.sum(F.when(F.col("bin") <= n_bins, scaled).otherwise(F.lit(0)))
             / F.lit(1e9),
             6,

@@ -58,6 +58,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 from jsonschema_spark.operators.drift import binned_ecdf_bin
 
@@ -125,12 +126,12 @@ def confusion_report(
         fp.alias("fp"),
         tn.alias("tn"),
         fn.alias("fn"),
-        F.when(F.col("pp") > 0, F.round(tp / F.col("pp"), 9)).alias("precision"),
-        F.when(F.col("np") > 0, F.round(tp / F.col("np"), 9)).alias("recall"),
+        F.when(F.col("pp") > 0, grid_round(tp / F.col("pp"), 9)).alias("precision"),
+        F.when(F.col("np") > 0, grid_round(tp / F.col("np"), 9)).alias("recall"),
         F.when(
-            (2 * tp + fp + fn) > 0, F.round(2 * tp / (2 * tp + fp + fn), 9)
+            (2 * tp + fp + fn) > 0, grid_round(2 * tp / (2 * tp + fp + fn), 9)
         ).alias("f1"),
-        F.when(F.col("n") > 0, F.round((tp + tn) / F.col("n"), 9)).alias(
+        F.when(F.col("n") > 0, grid_round((tp + tn) / F.col("n"), 9)).alias(
             "accuracy"
         ),
     ).orderBy("threshold")
@@ -162,7 +163,7 @@ def _auc_from_groups(g: DataFrame, order_col: str) -> DataFrame:
         (F.col("n_all") - F.col("n_pos")).cast("long").alias("n_neg"),
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_all") > F.col("n_pos")),
-            F.round(num / den, 9),
+            grid_round(num / den, 9),
         ).alias("auc"),
     )
 
@@ -280,7 +281,7 @@ def roc_auc_binned_by(
         (F.col("n_all") - F.col("n_pos")).cast("long").alias("n_neg"),
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_all") > F.col("n_pos")),
-            F.round(num / den, 9),
+            grid_round(num / den, 9),
         ).alias("auc"),
     )
 
@@ -321,8 +322,8 @@ def pr_curve(
         pp.alias("n_pred"),
         tp.alias("tp"),
         (pp - tp).alias("fp"),
-        F.when(pp > 0, F.round(tp / pp, 9)).alias("precision"),
-        F.when(n_pos > 0, F.round(tp / n_pos, 9)).alias("recall"),
+        F.when(pp > 0, grid_round(tp / pp, 9)).alias("precision"),
+        F.when(n_pos > 0, grid_round(tp / n_pos, 9)).alias("recall"),
     ).orderBy("bin")
 
 
@@ -352,9 +353,9 @@ def calibration_report(
         "bin",
         "n",
         "n_pos",
-        F.round(F.col("ssum").cast("double") / nd, 9).alias("avg_score"),
-        F.round(F.col("n_pos") / nd, 9).alias("pos_rate"),
-        F.round(dev / nd, 9).alias("gap"),
+        grid_round(F.col("ssum").cast("double") / nd, 9).alias("avg_score"),
+        grid_round(F.col("n_pos") / nd, 9).alias("pos_rate"),
+        grid_round(dev / nd, 9).alias("gap"),
     ).orderBy("bin")
 
 
@@ -388,7 +389,7 @@ def expected_calibration_error(
         "n_bins_present",
         F.when(
             F.col("n") > 0,
-            F.round(F.col("dev").cast("double") / F.col("n").cast("double"), 9),
+            grid_round(F.col("dev").cast("double") / F.col("n").cast("double"), 9),
         ).alias("ece"),
     )
 
@@ -419,9 +420,9 @@ def agreement_report(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         "n_a",
         "n_b",
         "n_both",
-        F.when(F.col("n") > 0, F.round(po, 9)).alias("observed_agreement"),
-        F.when(F.col("n") > 0, F.round(pe, 9)).alias("expected_agreement"),
-        F.when((F.col("n") > 0) & (pe < 1.0), F.round((po - pe) / (1 - pe), 9)).alias(
+        F.when(F.col("n") > 0, grid_round(po, 9)).alias("observed_agreement"),
+        F.when(F.col("n") > 0, grid_round(pe, 9)).alias("expected_agreement"),
+        F.when((F.col("n") > 0) & (pe < 1.0), grid_round((po - pe) / (1 - pe), 9)).alias(
             "kappa"
         ),
     )

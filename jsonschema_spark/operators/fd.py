@@ -42,6 +42,7 @@ from typing import Mapping, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 #: separator for multi-column determinant keys (never appears in numeric
 #: or categorical test data; documented contract for string determinants)
@@ -146,7 +147,7 @@ def fd_report(
             "violating_groups",
             "violating_rows",
             "max_distinct",
-            F.round(
+            grid_round(
                 (F.col("_n") - F.col("_keep")) / F.col("_n").cast("double"), 6
             ).alias("g3_error"),
             (F.col("violating_groups") == 0).alias("fd_holds"),

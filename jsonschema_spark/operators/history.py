@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 HISTORY_COLS = ("run_id", "check", "metric")
 
@@ -91,7 +92,7 @@ def metric_regressions(
         "check", F.col("metric").cast("double").alias("metric")
     )
     j = cur.join(base, "check", "left")
-    z = F.round(
+    z = grid_round(
         F.lit(0.6745)
         * (F.col("metric") - F.col("baseline_median"))
         / F.col("baseline_mad"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 
 def _to_double(v: Column) -> Column:
@@ -78,7 +79,7 @@ def cosine_topk(
     scored = joined.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
+        grid_round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
     return (
@@ -155,7 +156,7 @@ def lsh_ann_topk(
         query_id_col, id_col, F.col(vec_col), F.col("_qv")
     ).distinct()
     scored = cand.select(
-        query_id_col, id_col, F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos")
+        query_id_col, id_col, grid_round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos")
     ).groupBy(query_id_col, id_col).agg(F.max("cos").alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
     return (
@@ -261,7 +262,7 @@ def _cell_sims(
     return F.array(
         *[
             F.struct(
-                F.round(cosine(F.col(vec_col), _centroid_lit(cents[cell])), 9).alias("sim"),
+                grid_round(cosine(F.col(vec_col), _centroid_lit(cents[cell])), 9).alias("sim"),
                 F.lit(cell).alias("cell"),
             )
             for cell in range(len(cents))
@@ -326,7 +327,7 @@ def ivf_topk(
     )
     cand = c.join(_maybe_broadcast(q, broadcast_queries), "ivf_cell")
     scored = cand.select(
-        query_id_col, id_col, F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos")
+        query_id_col, id_col, grid_round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
     return (
@@ -542,7 +543,7 @@ def pq_topk(
         )
         total = term if total is None else total + term
     scored = joined.select(
-        query_id_col, id_col, F.round(total, 6).alias("approx_dist")
+        query_id_col, id_col, grid_round(total, 6).alias("approx_dist")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_dist").asc(), F.col(id_col).asc()
@@ -614,7 +615,7 @@ def ivfpq_topk(
         )
         total = term if total is None else total + term
     scored = cand.select(
-        query_id_col, id_col, F.round(total, 6).alias("approx_dist")
+        query_id_col, id_col, grid_round(total, 6).alias("approx_dist")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_dist").asc(), F.col(id_col).asc()

@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from jsonschema_spark.functions.grid import grid_round
 
 _MINMAXABLE = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
@@ -46,7 +47,7 @@ def column_quantiles(
     wide = df.agg(agg.alias("_qs"))
     entries = [
         F.struct(F.lit(q).alias("quantile"),
-                 F.round(F.element_at("_qs", i + 1), 6).alias("value"))
+                 grid_round(F.element_at("_qs", i + 1), 6).alias("value"))
         for i, q in enumerate(qs)
     ]
     return (
@@ -92,7 +93,7 @@ def column_stats(
             F.lit(c).alias("column"),
             F.col("_rows").alias("row_count"),
             F.col(f"_null_{c}").alias("null_count"),
-            F.round(F.col(f"_null_{c}") / F.col("_rows"), 6).alias("null_frac"),
+            grid_round(F.col(f"_null_{c}") / F.col("_rows"), 6).alias("null_frac"),
             F.col(f"_min_{c}").alias("min"),
             F.col(f"_max_{c}").alias("max"),
             F.col(f"_dist_{c}").alias("distinct_count"),
@@ -315,11 +316,11 @@ def distinctness_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         "column",
         "n_rows",
         "n_distinct",
-        F.round(F.col("n_distinct") / F.col("n_rows"), 6).alias("distinctness"),
-        F.round(F.col("n_unique") / F.col("n_distinct"), 6).alias(
+        grid_round(F.col("n_distinct") / F.col("n_rows"), 6).alias("distinctness"),
+        grid_round(F.col("n_unique") / F.col("n_distinct"), 6).alias(
             "unique_value_ratio"
         ),
-        F.when(F.col("n_rows") > 0, F.round(entropy, 6)).alias("entropy"),
+        F.when(F.col("n_rows") > 0, grid_round(entropy, 6)).alias("entropy"),
     )
 
 
@@ -367,7 +368,7 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     scaled = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     return j.agg(
         F.max("n").alias("n"),
-        F.round(
+        grid_round(
             (F.sum(scaled) / F.lit(1e6)) / F.max("n").cast("double"), 6
         ).alias("mi"),
     ).select(
@@ -409,10 +410,10 @@ def moments(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return agg.select(
         "column",
         "n",
-        F.round(sx / nd, 6).alias("mean"),
+        grid_round(sx / nd, 6).alias("mean"),
         F.when(
             F.col("n") > 0,
-            F.round(F.sqrt(F.greatest(nd * sxx - sx * sx, F.lit(0.0))) / nd, 6),
+            grid_round(F.sqrt(F.greatest(nd * sxx - sx * sx, F.lit(0.0))) / nd, 6),
         ).alias("stddev"),
     )
 
@@ -481,7 +482,7 @@ def correlation_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         F.split_part(F.col("pair"), F.lit("\x1f"), F.lit(1)).alias("col_x"),
         F.split_part(F.col("pair"), F.lit("\x1f"), F.lit(2)).alias("col_y"),
         "n",
-        F.when(den > 0, F.round(cov / den, 6)).alias("corr"),
+        F.when(den > 0, grid_round(cov / den, 6)).alias("corr"),
     )
 
 
@@ -539,11 +540,11 @@ def benford_report(df: DataFrame, column: str) -> DataFrame:
         .select(
             "digit",
             "n",
-            F.round(obs, 6).alias("observed_frac"),
-            F.round(F.col("expected"), 6).alias("expected_frac"),
-            F.round(F.abs(obs - F.col("expected")), 6).alias("abs_dev"),
+            grid_round(obs, 6).alias("observed_frac"),
+            grid_round(F.col("expected"), 6).alias("expected_frac"),
+            grid_round(F.abs(obs - F.col("expected")), 6).alias("abs_dev"),
             F.when(
-                td > 0, F.round((nd - exp_n) * (nd - exp_n) / exp_n, 6)
+                td > 0, grid_round((nd - exp_n) * (nd - exp_n) / exp_n, 6)
             ).alias("chi2_term"),
         )
         .orderBy("digit")
@@ -566,7 +567,7 @@ def mad_outliers(
     one codegen'd filter scan — no window, no sort of the data."""
     stats = robust_center_spread(df, column, exact=exact)
     c = F.col(column).cast("double")
-    z = F.round(F.lit(0.6745) * F.abs(c - F.col("median")) / F.col("mad"), 6)
+    z = grid_round(F.lit(0.6745) * F.abs(c - F.col("median")) / F.col("mad"), 6)
     return (
         df.crossJoin(F.broadcast(stats))
         .where(c.isNotNull() & (F.col("mad") > 0) & (z > k))

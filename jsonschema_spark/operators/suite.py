@@ -53,6 +53,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 REPORT_SCHEMA = (
     "check_name string, check_type string, metric double, "
@@ -172,7 +173,7 @@ def _check_drift_chi2(
     max_stat = float(spec["max_stat"])
     base = tables[spec["baseline_table"]]
     agg = drift.chi_square_table(df, base, spec["column"]).agg(
-        F.round(F.sum("contribution"), 6).alias("stat")
+        grid_round(F.sum("contribution"), 6).alias("stat")
     )
     metric = F.col("stat")
     return _report_row(
@@ -188,7 +189,7 @@ def _check_drift_psi(
     max_psi = float(spec["max_psi"])
     base = tables[spec["baseline_table"]]
     agg = drift.psi_table(df, base, spec["column"]).agg(
-        F.round(F.sum("contribution"), 6).alias("psi")
+        grid_round(F.sum("contribution"), 6).alias("psi")
     )
     metric = F.col("psi")
     return _report_row(
@@ -490,7 +491,7 @@ def _check_benford(df: DataFrame, spec: dict) -> DataFrame:
     rep = benford_report(df, spec["column"]).agg(
         F.avg("abs_dev").alias("mad")
     )
-    metric = F.round(F.col("mad"), 6)
+    metric = grid_round(F.col("mad"), 6)
     passed = F.coalesce(metric <= max_mad, F.lit(False))
     return _report_row(spec["name"], "benford", metric, max_mad, passed)(rep)
 
@@ -818,6 +819,51 @@ def _check_ctc_feasible(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_opus_packets(df: DataFrame, spec: dict) -> DataFrame:
+    """Opus packet-framing gate: bound the fraction of clips failing
+    RFC 6716 TOC/framing certification or the RFC 7845 granule
+    cross-check (functions/ogg.audio_opus_packet_profile). Metric =
+    failing fraction; threshold ``max_violation_rate``. One Arrow
+    hop over the payload column."""
+    from jsonschema_spark.functions.ogg import audio_opus_packet_profile
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = audio_opus_packet_profile(spec.get("payload_col", "bytes"))
+    agg = df.select(g["ok"].alias("_ok")).agg(
+        F.coalesce(
+            F.sum((~F.col("_ok")).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "opus_packets", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
+def _check_vorbis_packets(df: DataFrame, spec: dict) -> DataFrame:
+    """Vorbis packet-discipline gate (header order/magic, blocksize +
+    framing validity, audio packet-type rule). Metric = failing
+    fraction; threshold ``max_violation_rate``."""
+    from jsonschema_spark.functions.ogg import audio_vorbis_packet_profile
+
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    g = audio_vorbis_packet_profile(spec.get("payload_col", "bytes"))
+    agg = df.select(g["ok"].alias("_ok")).agg(
+        F.coalesce(
+            F.sum((~F.col("_ok")).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "vorbis_packets", metric, max_rate,
+        metric <= max_rate,
+    )(agg)
+
+
 def _check_audio_codec(df: DataFrame, spec: dict) -> DataFrame:
     """Codec-label gate: bound the fraction of clips whose codec COLUMN
     disagrees with the payload's sniffed container (or carries a label
@@ -945,6 +991,10 @@ _CHECKS = {
     ),
     "audio_codec": lambda df, spec, tables: _check_audio_codec(df, spec),
     "ctc_feasible": lambda df, spec, tables: _check_ctc_feasible(df, spec),
+    "opus_packets": lambda df, spec, tables: _check_opus_packets(df, spec),
+    "vorbis_packets": lambda df, spec, tables: _check_vorbis_packets(
+        df, spec
+    ),
     "audio_snr": lambda df, spec, tables: _check_audio_snr(df, spec),
     "audio_artifacts": lambda df, spec, tables: _check_audio_artifacts(
         df, spec

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
 
@@ -47,7 +48,7 @@ def punct_ratio(col: Column) -> Column:
     total = F.length(col)
     stripped = F.length(F.regexp_replace(col, "[\\p{Punct}]", ""))
     return F.when(total == 0, F.lit(0.0)).otherwise(
-        F.round((total - stripped) / total.cast("double"), 6)
+        grid_round((total - stripped) / total.cast("double"), 6)
     )
 
 
@@ -55,14 +56,14 @@ def stopword_ratio(col: Column) -> Column:
     toks = tokens(col)
     n = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return F.when(n <= 0, F.lit(0.0)).otherwise(F.round(sw / n.cast("double"), 6))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(grid_round(sw / n.cast("double"), 6))
 
 
 def mean_token_length(col: Column) -> Column:
     toks = tokens(col)
     n = F.size(toks)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(n <= 0, F.lit(0.0)).otherwise(F.round(total / n.cast("double"), 6))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(grid_round(total / n.cast("double"), 6))
 
 
 def quality_score(col: Column) -> Column:
@@ -74,14 +75,14 @@ def quality_score(col: Column) -> Column:
     sw_score = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
     p = punct_ratio(col)
     punct_score = F.when(p <= 0.2, F.lit(1.0)).otherwise(F.lit(0.3))
-    return F.round(0.5 * len_score + 0.3 * sw_score + 0.2 * punct_score, 6)
+    return grid_round(0.5 * len_score + 0.3 * sw_score + 0.2 * punct_score, 6)
 
 
 def digit_ratio(col: Column) -> Column:
     total = F.length(col)
     stripped = F.length(F.regexp_replace(col, "[0-9]", ""))
     return F.when(total == 0, F.lit(0.0)).otherwise(
-        F.round((total - stripped) / total.cast("double"), 6)
+        grid_round((total - stripped) / total.cast("double"), 6)
     )
 
 
@@ -89,7 +90,7 @@ def unique_token_ratio(col: Column) -> Column:
     toks = tokens(col)
     n = token_count(col)
     return F.when(n <= 0, F.lit(0.0)).otherwise(
-        F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6)
+        grid_round(F.size(F.array_distinct(toks)) / n.cast("double"), 6)
     )
 
 
@@ -133,7 +134,7 @@ def _margin(feats: dict[str, Column], weights: dict[str, float] | None) -> Colum
     score = F.lit(float(w["bias"]))
     for name, fcol in feats.items():
         score = score + F.lit(float(w[name])) * fcol
-    return F.round(score, 9)
+    return grid_round(score, 9)
 
 
 def model_quality_profile(
@@ -205,7 +206,7 @@ def corpus_summary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.count(F.lit(1)).alias("docs"),
             F.sum("token_count").cast("long").alias("total_tokens"),
             F.sum("subword_count").cast("long").alias("total_subwords"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            grid_round(F.avg("quality"), 6).alias("avg_quality"),
         )
         .orderBy("lang_pred")
     )
@@ -248,7 +249,7 @@ def dup_ngram_fraction(col: Column, n: int) -> Column:
     grams = _ngrams(tokens(col), n)
     total = F.size(grams)
     return F.when(total == 0, F.lit(0.0)).otherwise(
-        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6)
+        grid_round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6)
     )
 
 
@@ -282,7 +283,7 @@ def repetition_profile(
             F.count(F.lit(1)).alias("_c")
         )
         return per_term.groupBy(id_col).agg(
-            F.round(F.max("_c") / F.sum("_c").cast("double"), 6).alias(name)
+            grid_round(F.max("_c") / F.sum("_c").cast("double"), 6).alias(name)
         )
 
     top_tok = _top_frac(F.col("_toks"), "top_token_frac")
@@ -350,7 +351,7 @@ def vocab_coverage(
         )
         .withColumn(
             "oov_ratio",
-            F.round(
+            grid_round(
                 F.col("oov_tokens")
                 / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
                 6,

@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 from jsonschema_spark.plans.compile import (
     CompiledSchema,
@@ -222,10 +223,10 @@ class ValidationResult:
             *group_cols,
             "rows",
             "failed",
-            F.round(F.col("failed") / F.col("rows"), 9).alias("fail_rate"),
+            grid_round(F.col("failed") / F.col("rows"), 9).alias("fail_rate"),
         )
         st = robust_center_spread(rates, "fail_rate", exact=exact)
-        z = F.round(
+        z = grid_round(
             F.lit(0.6745)
             * F.abs(F.col("fail_rate") - F.col("median"))
             / F.col("mad"),

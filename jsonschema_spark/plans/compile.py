@@ -39,6 +39,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from jsonschema_spark.plans.regexlint import lint_pattern
 from jsonschema_spark.resolve import ResolveConfig, resolve_reference
 from jsonschema_spark.schema import Schema
 from jsonschema_spark.walk import Walk
@@ -613,7 +614,12 @@ class _Compiler:
         # ---- type ----
         if s.type is not None and not is_variant:
             verdicts = [_json_type_matches(t, dtype) for t in s.type]
-            if "null" in s.type or any(v is True for v in verdicts):
+            # "null" in the union must NOT waive the check: it only means
+            # NULL values pass (which _vacuous already grants every
+            # keyword). A present value still needs some non-null member
+            # to match — {"type": ["integer", "null"]} over an array
+            # column rejects every non-null array (fuzz-caught r3).
+            if any(v is True for v in verdicts):
                 pass  # statically satisfied for non-null values or absents
             elif any(v is None for v in verdicts):
                 # integer-vs-fractional: runtime whole-number test
@@ -693,6 +699,7 @@ class _Compiler:
         if s.min_length is not None and is_stringy:
             out("minLength", F.length(col) >= s.min_length, f"{name} length must be >= {s.min_length}")
         if s.pattern is not None and is_stringy:
+            lint_pattern(s.pattern, f"{ptr}/pattern")
             out("pattern", col.rlike(s.pattern), f'{name} must match pattern "{s.pattern}"')
 
         # ---- array validation ----
@@ -1074,6 +1081,7 @@ class _Compiler:
             out("minLength", ~v_str | (F.length(sval) >= s.min_length),
                 f"{name} length must be >= {s.min_length}")
         if s.pattern is not None:
+            lint_pattern(s.pattern, f"{ptr}/pattern")
             out("pattern", ~v_str | sval.rlike(s.pattern),
                 f'{name} must match pattern "{s.pattern}"')
 
@@ -1253,6 +1261,7 @@ class _Compiler:
         if s.pattern_properties:
             for pat, sub in s.pattern_properties.items():
                 child_ptr = f"{ptr}/patternProperties/{_escape(pat)}"
+                lint_pattern(pat, child_ptr)
                 if is_struct:
                     rx = re.compile(pat)
                     for key, ft in fields.items():
@@ -1614,6 +1623,10 @@ class _Compiler:
 def _any_rlike(k: Column, patterns: list[str]) -> Column:
     raw = F.lit(False)
     for p in patterns:
+        # every dynamic key-regex evaluation funnels through here — the
+        # subset lint guards paths (unevaluatedProperties branches) that
+        # never pass the patternProperties compile loop
+        lint_pattern(p, "patternProperties")
         raw = raw | k.rlike(p)
     return raw
 
@@ -1633,8 +1646,13 @@ def _static_string_ok(s: Schema, value: str) -> bool:
         return False
     if s.max_length is not None and len(value) > s.max_length:
         return False
-    if s.pattern is not None and not re.search(s.pattern, value):
-        return False
+    if s.pattern is not None:
+        # static keys evaluate in Python's dialect — hold them to the
+        # same cross-engine subset so a schema compiles either for all
+        # engines or for none
+        lint_pattern(s.pattern, "propertyNames/pattern")
+        if not re.search(s.pattern, value):
+            return False
     if s.enum is not None and value not in s.enum:
         return False
     if s.const is not None and value != s.const:

@@ -4216,3 +4216,260 @@ def materialized_tar_shards_flat(spark: SparkSession, n: int) -> str:
         with open(ok, "w") as f:
             f.write(str(total))
     return path
+
+
+# --- Opus packet-framing ledger corpus ---------------------------------------
+# VERDICT r2 item 4: extend the compressed-web-audio ladder one tier —
+# packet-level RFC 6716 TOC/framing certification + RFC 7845 granule
+# cross-check (functions/ogg.audio_opus_packet_profile). Four VALID
+# classes exercise every frame-count code (0 single, 1 CBR pair, 2 VBR
+# pair with the 2-byte length code, 3 arbitrary-count VBR + padding
+# chain) and a nonzero end-trim; four planted-failure classes cover the
+# framing error taxonomy. Ledger truth is generator arithmetic — the
+# walker never runs at synth time.
+OPUS_PKT_CLASS_MOD = 8
+
+OPUS_PKT_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_n_audio", T.IntegerType(), True),
+        T.StructField("_n_frames", T.IntegerType(), True),
+        T.StructField("_sum_samples", T.LongType(), True),
+        T.StructField("_end_trim", T.LongType(), True),
+        T.StructField("_dur48", T.LongType(), True),
+    ]
+)
+
+
+def synth_opus_packet_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 900),
+) -> DataFrame:
+    """Opus packet-framing ledger corpus (see the class roster above)."""
+    from jsonschema_spark.functions.ogg import (
+        build_opus_packet,
+        encode_ogg_opus_framed,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+    pre = 312
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % OPUS_PKT_CLASS_MOD
+        if cls == 0:    # code 0, WB 20 ms, end-trim 120
+            k = max(1, dur // 20)
+            pk = [build_opus_packet(9, 0, [40 + (i + j) % 50], seed=i + j)
+                  for j in range(k)]
+            total, frames, trim = k * 960, k, 120
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[960] * k,
+                final_granule=pre + total - trim)
+            led = (True, None, k, frames, total, trim,
+                   (total - trim) * 1000 // 48000)
+        elif cls == 1:  # code 1 CBR pairs, CELT FB 10 ms
+            k = max(1, dur // 20)
+            pk = [build_opus_packet(30, 1, [33 + j % 7] * 2, seed=i + j)
+                  for j in range(k)]
+            total = k * 960
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[960] * k)
+            led = (True, None, k, 2 * k, total, 0, total * 1000 // 48000)
+        elif cls == 2:  # code 2 VBR pair, 2-byte length code exercised
+            k = max(1, dur // 40)
+            pk = [build_opus_packet(
+                    9, 2, [260 + (i + j) % 30, 20 + j % 40], seed=i + j)
+                  for j in range(k)]
+            total = k * 1920
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[1920] * k,
+                packets_per_page=2)
+            led = (True, None, k, 2 * k, total, 0, total * 1000 // 48000)
+        elif cls == 3:  # code 3 VBR x3 + padding chain, CELT NB 5 ms
+            k = max(1, dur // 15)
+            pk = [build_opus_packet(
+                    17, 3, [25 + j % 20, 35, 45], seed=i + j, vbr=True,
+                    pad_len=100 + (i + j) % 300)
+                  for j in range(k)]
+            total = k * 720
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[720] * k,
+                packets_per_page=4)
+            led = (True, None, k, 3 * k, total, 0, total * 1000 // 48000)
+        elif cls == 4:  # CBR pair with an ODD split at packet 1
+            good = build_opus_packet(9, 0, [40], seed=i)
+            bad = bytes(((9 << 3) | 1,)) + b"\x01\x02\x03"
+            pk = [good, bad, good]
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[960] * 3)
+            led = (False, "bad_cbr_split@1", 3, None, None, None, None)
+        elif cls == 5:  # code 3 with M*frame_dur over the 120 ms ceiling
+            pk = [build_opus_packet(11, 3, [10, 10, 10], seed=i)]
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[8640])
+            led = (False, "packet_too_long@0", 1, None, None, None, None)
+        elif cls == 6:  # final granule overshoots every decodable sample
+            pk = [build_opus_packet(9, 0, [44], seed=i + j)
+                  for j in range(3)]
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[960] * 3,
+                final_granule=pre + 3 * 960 + 500)
+            led = (False, "granule_mismatch", 3, 3, 2880, -500, None)
+        else:           # empty audio packet planted at index 2
+            good = build_opus_packet(9, 0, [40], seed=i)
+            pk = [good, good, b"", good]
+            raw = encode_ogg_opus_framed(
+                pk, pre_skip=pre, granule_samples=[960, 960, 0, 960])
+            led = (False, "empty_packet@2", 4, None, None, None, None)
+        return (cid, bytearray(raw), 48000, dur, "opus",
+                transcript_for(cid), i) + led
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_n_audio",
+                "_n_frames", "_sum_samples", "_end_trim", "_dur48"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=OPUS_PKT_CLIPS_SCHEMA
+    )
+
+
+def opus_packet_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_opuspkt_{n}")
+
+
+def materialized_opus_packet_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Opus packet-framing ledger table materialized once."""
+    import os
+
+    path = opus_packet_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_opus_packet_clips(spark, n), path)
+    return spark.read.parquet(path), path
+
+
+# --- Vorbis packet-discipline ledger corpus ----------------------------------
+# Companion to the Opus packet corpus (VERDICT r2 item 4): header
+# discipline (ident/comment/setup order + magic), ident blocksize and
+# framing-bit validity, and the audio packet-type rule (type LSB
+# clear). Two VALID classes + four planted header/type violations.
+VORBIS_PKT_CLASS_MOD = 6
+
+VORBIS_PKT_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_n_audio", T.IntegerType(), True),
+        T.StructField("_bs0", T.IntegerType(), True),
+        T.StructField("_bs1", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_vorbis_packet_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 900),
+) -> DataFrame:
+    """Vorbis packet-discipline ledger corpus (class roster above)."""
+    from jsonschema_spark.functions.ogg import (
+        encode_ogg_vorbis_framed,
+        vorbis_audio_packet,
+        vorbis_header_packets,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % VORBIS_PKT_CLASS_MOD
+        k = max(2, dur * 44100 // (1024 * 1000))
+        pk = [vorbis_audio_packet(120 + (i + j) % 80, i + j)
+              for j in range(k)]
+        sr = 44100
+        if cls == 0:    # valid stereo 44.1k (256/2048 blocks)
+            raw = encode_ogg_vorbis_framed(pk)
+            led = (True, None, k, 256, 2048)
+        elif cls == 1:  # valid mono 8k, short blocks (64/256)
+            raw = encode_ogg_vorbis_framed(
+                pk, header_packets=vorbis_header_packets(
+                    1, 8000, blocksize_byte=0x86, seed=i),
+                packets_per_page=5, samples_per_packet=256)
+            led = (True, None, k, 64, 256)
+            sr = 8000
+        elif cls == 2:  # audio packet with the type LSB SET at idx 1
+            bad = list(pk)
+            b = bytearray(bad[1])
+            b[0] |= 1
+            bad[1] = bytes(b)
+            raw = encode_ogg_vorbis_framed(bad)
+            led = (False, "bad_packet_type@1", None, None, None)
+        elif cls == 3:  # setup header missing
+            raw = encode_ogg_vorbis_framed(
+                pk, header_packets=vorbis_header_packets(seed=i)[:2])
+            led = (False, "missing_setup", None, None, None)
+        elif cls == 4:  # blocksize nibbles out of range / inverted
+            raw = encode_ogg_vorbis_framed(
+                pk, header_packets=vorbis_header_packets(
+                    blocksize_byte=0x4B, seed=i))
+            led = (False, "bad_blocksizes", None, None, None)
+        else:           # framing bit clear
+            raw = encode_ogg_vorbis_framed(
+                pk, header_packets=vorbis_header_packets(
+                    framing=0, seed=i))
+            led = (False, "bad_framing", None, None, None)
+        return (cid, bytearray(raw), sr, dur, "vorbis",
+                transcript_for(cid), i) + led
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_n_audio",
+                "_bs0", "_bs1"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=VORBIS_PKT_CLIPS_SCHEMA
+    )
+
+
+def vorbis_packet_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_vorbispkt_{n}")
+
+
+def materialized_vorbis_packet_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Vorbis packet-discipline ledger table materialized once."""
+    import os
+
+    path = vorbis_packet_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_vorbis_packet_clips(spark, n), path)
+    return spark.read.parquet(path), path

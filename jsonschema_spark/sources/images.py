@@ -182,3 +182,108 @@ def materialized_jpeg_images(spark: SparkSession, n: int) -> tuple[DataFrame, st
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_jpeg_images(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- PROGRESSIVE-JPEG ledger corpus (SOF2, T.81 Annex G) ----------------
+# VERDICT r2 item 5: most real web JPEGs are progressive. Rows cycle
+# two scan scripts (the libjpeg-shaped successive-approximation script
+# and a spectral-selection-only script), two qualities, and the same
+# verified-truncation class as the baseline corpus. The ledger carries
+# the decoded Y-plane sum computed at synth time by the SAME decoder —
+# and synth ALSO asserts the progressive decode equals the BASELINE
+# decode of the same pixels (quantized coefficients are identical), so
+# the corpus itself certifies Annex G against Annex F.
+_PJPEG_VER = "v2"
+PJPEG_SPECTRAL_ONLY = ((0, 0, 0, 0), (1, 31, 0, 0), (32, 63, 0, 0))
+
+
+def _pjpeg_rgb(i: int) -> np.ndarray:
+    """Deterministic RGB frame: three phase-shifted copies of the
+    grayscale family pixels."""
+    px = _pixels(i).astype(np.int16)
+    return np.stack(
+        [
+            np.clip(px, 0, 255),
+            np.clip(255 - px, 0, 255),
+            np.clip((px // 2) + 60, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _pjpeg_row(i: int) -> tuple:
+    from jsonschema_spark.functions.jpeg import (
+        PROG_SCANS_GRAY,
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_color,
+        encode_jpeg_progressive_gray,
+    )
+
+    quality = 40 if i % 2 else 85
+    color_cls = i % 5  # 2 -> color 4:4:4, 3 -> color 4:2:0
+    if color_cls in (2, 3):
+        rgb = _pjpeg_rgb(i)
+        sub = "444" if color_cls == 2 else "420"
+        raw = encode_jpeg_progressive_color(rgb, quality, sub)
+        px = None
+    else:
+        px = _pixels(i)
+        scans = PJPEG_SPECTRAL_ONLY if i % 3 == 1 else PROG_SCANS_GRAY
+        raw = encode_jpeg_progressive_gray(px, quality, scans)
+    truncated = i % JPEG_TRUNC_MOD == JPEG_TRUNC_CLS
+    ysum = None
+    if truncated:
+        cut = JPEG_TRUNC_BYTES
+        while True:
+            cand = raw[:-cut]
+            try:
+                decode_jpeg_progressive(bytes(cand))
+                cut += 12
+            except Exception:
+                raw = cand
+                break
+    else:
+        _, _, dec = decode_jpeg_progressive(raw)
+        ysum = int(dec.astype(np.int64).sum())
+        # Annex G vs Annex F cross-check, planted into the ledger build
+        if color_cls in (2, 3):
+            base_raw = encode_jpeg_color(
+                _pjpeg_rgb(i), quality, "444" if color_cls == 2 else "420"
+            )
+        else:
+            base_raw = encode_jpeg_gray(px, quality)
+        _, _, base = decode_jpeg_gray(base_raw)
+        if not np.array_equal(dec, base):
+            raise AssertionError(
+                f"progressive decode != baseline decode at row {i}"
+            )
+    return (f"pjp-{i:06d}", bytearray(raw), IMG_W, IMG_H, i, ysum)
+
+
+def synth_progressive_jpeg_images(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    """Deterministic PROGRESSIVE-JPEG table with the decoded-sum ledger."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_pjpeg_row),
+        JPEG_IMAGES_SCHEMA,
+    )
+
+
+def progressive_jpeg_images_path(n: int) -> str:
+    return os.path.join(
+        _MATERIALIZE_ROOT, f"images_pjpeg_{_PJPEG_VER}_{n}"
+    )
+
+
+def materialized_progressive_jpeg_images(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    path = progressive_jpeg_images_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_progressive_jpeg_images(spark, n), path)
+    return spark.read.parquet(path), path

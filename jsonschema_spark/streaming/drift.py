@@ -15,6 +15,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from jsonschema_spark.functions.grid import grid_round
 
 from jsonschema_spark.operators.drift import (
     category_histogram,
@@ -77,7 +78,7 @@ def psi_by_window(
     j = joined.join(totals, wcols)
     p_cur = F.greatest(F.col("cur_cnt") / F.col("n_cur"), F.lit(eps))
     p_base = F.greatest(F.col("base_cnt") / F.col("n_base"), F.lit(eps))
-    contrib = F.round((p_cur - p_base) * F.log(p_cur / p_base), 6)
+    contrib = grid_round((p_cur - p_base) * F.log(p_cur / p_base), 6)
     return (
         j.select(*wcols, contrib.alias("contribution"))
         .groupBy(*wcols)
@@ -153,7 +154,7 @@ def ks_by_window(batch: DataFrame, base_hist: DataFrame) -> DataFrame:
         e.join(totals, wcols)
         .groupBy(*wcols)
         .agg(
-            F.round(
+            grid_round(
                 F.max(
                     F.abs(
                         F.col("c_cur") / F.col("n_cur")
@@ -219,7 +220,7 @@ def wasserstein_by_window(
         "weight"
     )
     return e.groupBy(*wcols).agg(
-        F.round(
+        grid_round(
             F.sum(F.when(F.col("bin") <= n_bins, scaled).otherwise(F.lit(0)))
             / F.lit(1e9),
             6,

@@ -942,3 +942,38 @@ def test_examples_two_phase_exact(spark):
     again = res.examples(["id"], k=5, salt_buckets=16).collect()
     assert sorted((r.keyword, r.rank, r.id) for r in again) == \
            sorted((r.keyword, r.rank, r.id) for r in ex)
+
+
+def test_type_union_with_null_still_rejects_mismatched_values(spark):
+    """{"type": ["integer", "null"]} over an ARRAY column: null passes,
+    any non-null array fails. "null" in the union must not waive the
+    type check for present values (fuzz-caught in round 3 — the
+    compiler used to fold the whole check to statically-true whenever
+    "null" appeared in the union)."""
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.operators.validate import validate
+
+    df = spark.createDataFrame(
+        [(0, None), (1, []), (2, [5])],
+        T.StructType([
+            T.StructField("rid", T.LongType()),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+        ]),
+    )
+    schema = {
+        "type": "object",
+        "patternProperties": {"^a": {"type": ["integer", "null"]}},
+    }
+    got = {
+        r["rid"]: r["_valid"]
+        for r in validate(df, schema).annotated.select("rid", "_valid").collect()
+    }
+    assert got == {0: True, 1: False, 2: False}
+    # and the union still passes when a member DOES match the column
+    ok = {
+        "type": "object",
+        "properties": {"rid": {"type": ["integer", "null"]}},
+    }
+    vals = [r["_valid"] for r in validate(df, ok).annotated.collect()]
+    assert vals == [True, True, True]

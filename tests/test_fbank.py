@@ -666,3 +666,24 @@ def test_stack_frames_gather(spark):
                 want.extend(q[src].tolist())
         assert list(out[cid]) == want, cid
         assert len(out[cid]) == t_out * 3 * n_mels
+
+
+def test_grid_round_matches_duckdb_everywhere(spark):
+    """grid_round and its SQL spelling are bit-identical across engines
+    for positives, negatives, ties and NULL — the property round(double,n)
+    lacks (the r2 reconcile driver failure)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.functions.grid import grid_round, grid_round_sql
+
+    vals = [0.1234565, -0.1234565, 0.0000005, -0.0000005, 1.5e-7,
+            123456.789125, -3.0000015, 0.9999995, None, 0.0, -0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r["g"] for r in df.select(
+        grid_round(F.col("v"), 6).alias("g")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT {grid_round_sql('?::DOUBLE', 6)}", [v]).fetchone()[0]
+        for v in vals]
+    assert got == want

@@ -1,9 +1,11 @@
 """Baseline JPEG codec (functions/jpeg.py — pure numpy, Annex K tables).
 
 Pins: round-trip fidelity bounds by quality, exact flat-image recovery,
-odd (non-multiple-of-8) dimensions, loud rejection of color/progressive/
-malformed streams, dispatch through decode_image, and the end-to-end
-Spark decode over the ledger corpus incl. verified truncations.
+odd (non-multiple-of-8) dimensions, color (4:4:4/4:2:0) and progressive
+(SOF2 Annex G) decode — including progressive==baseline bit-equality —
+loud rejection of arithmetic/malformed streams, dispatch through
+decode_image, and the end-to-end Spark decode over the ledger corpora
+incl. verified truncations.
 """
 
 import struct
@@ -67,10 +69,12 @@ def test_exotic_component_count_rejected_loudly():
         decode_jpeg_gray(bytes(raw))
 
 
-def test_progressive_rejected_loudly():
+def test_arithmetic_sof_rejected_loudly():
+    # progressive (SOF2) is now SUPPORTED (dispatched to Annex G);
+    # arithmetic-coded SOF9 remains a loud rejection
     raw = bytearray(encode_jpeg_gray(_img(5), 85))
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # SOF2 (progressive)
+    raw[i + 1] = 0xC9  # SOF9 (arithmetic sequential)
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg_gray(bytes(raw))
 
@@ -174,3 +178,137 @@ def test_color_420_decodes_to_full_res_luma():
     assert _rmse(lum, ytrue) < 3.0
     # 4:2:0 should be smaller than 4:4:4 of the same image
     assert len(raw) < len(encode_jpeg_color(rgb, 95, subsample="444"))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2, Annex G) — VERDICT r2 item 5
+# ---------------------------------------------------------------------------
+
+
+def _texture(h, w, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        128 + 60 * np.sin(xx / 7.0) + 40 * np.cos(yy / 9.0)
+        + rng.integers(-20, 20, (h, w))
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_progressive_equals_baseline_decode():
+    """Progressive encode -> Annex G decode is bit-identical to the
+    baseline decode of the same pixels (identical quantized
+    coefficients) across sizes, qualities and edge-padded shapes."""
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    for seed, (h, w) in enumerate([(8, 8), (17, 31), (64, 48), (33, 9)]):
+        px = _texture(h, w, 40 + seed)
+        for q in (30, 85, 95):
+            base = decode_jpeg_gray(encode_jpeg_gray(px, q))[2]
+            prog = decode_jpeg_progressive(
+                encode_jpeg_progressive_gray(px, q)
+            )[2]
+            assert np.array_equal(base, prog), (h, w, q)
+
+
+def test_progressive_spectral_only_script():
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    px = _texture(40, 56, 99)
+    scans = ((0, 0, 0, 0), (1, 31, 0, 0), (32, 63, 0, 0))
+    prog = decode_jpeg_progressive(
+        encode_jpeg_progressive_gray(px, 85, scans)
+    )[2]
+    base = decode_jpeg_gray(encode_jpeg_gray(px, 85))[2]
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_dispatch_from_decode_jpeg_gray():
+    """decode_jpeg_gray now dispatches SOF2 to the Annex G decoder
+    instead of raising NotImplementedError."""
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    px = _texture(24, 24, 7)
+    w, h, out = decode_jpeg_gray(encode_jpeg_progressive_gray(px, 85))
+    assert (w, h) == (24, 24) and out.shape == (24, 24)
+
+
+def test_progressive_scan_script_validation():
+    from jsonschema_spark.functions.jpeg import encode_jpeg_progressive_gray
+
+    px = _texture(16, 16, 3)
+    with pytest.raises(ValueError, match="DC and AC"):
+        encode_jpeg_progressive_gray(px, 85, ((0, 63, 0, 0),))
+    with pytest.raises(ValueError, match="first DC scan"):
+        encode_jpeg_progressive_gray(px, 85, ((1, 63, 0, 0),))
+
+
+def test_progressive_truncation_fails_loudly():
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+    )
+
+    px = _texture(32, 32, 11)
+    raw = encode_jpeg_progressive_gray(px, 85)
+    with pytest.raises((ValueError, NotImplementedError, IndexError)):
+        decode_jpeg_progressive(raw[:100])
+
+
+def test_progressive_ledger_corpus(spark):
+    """Corpus round-trip through the Spark-side kernel shape: decoded
+    sums equal the ledger; truncated rows fail loudly."""
+    from jsonschema_spark.functions.jpeg import decode_jpeg_progressive
+    from jsonschema_spark.sources.images import (
+        JPEG_TRUNC_CLS,
+        JPEG_TRUNC_MOD,
+        synth_progressive_jpeg_images,
+    )
+
+    rows = synth_progressive_jpeg_images(spark, 27).collect()
+    assert len(rows) == 27
+    for r in rows:
+        trunc = r["_row_idx"] % JPEG_TRUNC_MOD == JPEG_TRUNC_CLS
+        if trunc:
+            with pytest.raises(Exception):
+                decode_jpeg_progressive(bytes(r["bytes"]))
+        else:
+            w, h, px = decode_jpeg_progressive(bytes(r["bytes"]))
+            assert (w, h) == (r["width"], r["height"])
+            assert int(px.astype(np.int64).sum()) == r["_ysum"]
+
+
+def test_progressive_color_interleaved_dc_equals_baseline():
+    """Color progressive (interleaved DC first + refinement, per-
+    component AC spectral scans, 4:4:4 AND 4:2:0) decodes to the SAME
+    luma as the baseline color stream — exercises the interleaved-DC
+    and subsampled-component-dims paths of the Annex G decoder."""
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    rng = np.random.default_rng(3)
+    for (h, w) in [(16, 16), (33, 41)]:
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub in ("444", "420"):
+            for q in (85, 45):
+                base = decode_jpeg_gray(encode_jpeg_color(rgb, q, sub))[2]
+                prog = decode_jpeg_progressive(
+                    encode_jpeg_progressive_color(rgb, q, sub)
+                )[2]
+                assert np.array_equal(base, prog), (h, w, sub, q)
