@@ -1061,6 +1061,54 @@ def _q_validate_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viol.unionByName(J.parse_failures(df, J.doc_id_col()))
 
 
+def _q_validate_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME JSONL ingest-validate pipeline over the GZIP twin of
+    the corpus (Spark's text source decompresses .gz transparently;
+    one task per file — shard large corpora into many .gz files). The
+    oracle reads the UNCOMPRESSED twin, so the hash match certifies
+    decompress -> try_parse_json -> keyword algebra end-to-end."""
+    from jsonschema_spark.sources import jsonl as J
+
+    path = J.materialized_jsonl_gz(_JSONL_N)
+    df = J.read_jsonl(spark, path)
+    frame = df.select(J.doc_id_col().alias("doc_id"), "doc", "raw")
+    viol = (
+        validate(frame, J.JSONL_DOC_SCHEMA)
+        .violations(["doc_id"])
+        .select("doc_id", "keyword_path", "keyword")
+    )
+    return viol.unionByName(J.parse_failures(df, J.doc_id_col()))
+
+
+def _q_validate_orders_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders validation plan over an ORC twin of the table
+    (sources/formats.py — Spark's built-in ORC reader, no extra jars).
+    The oracle reads the parquet ground truth: a hash match certifies
+    the ORC round trip changes nothing about validation output."""
+    from jsonschema_spark.sources.formats import materialized_orc_twin
+
+    path = materialized_orc_twin(spark, sf_dir, "orders")
+    return validate(
+        spark.read.orc(path), ORDERS_JSON_SCHEMA
+    ).violations(["o_orderkey"])
+
+
+def _q_validate_orders_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders validation plan over a CSV twin (explicit schema, no
+    inference; Spark writes doubles at shortest-round-trip precision
+    and quotes comment text, so the read-back is value-identical). The
+    oracle reads the parquet ground truth."""
+    from jsonschema_spark.sources.formats import (
+        materialized_csv_twin,
+        read_csv_twin,
+    )
+
+    path = materialized_csv_twin(spark, sf_dir, "orders")
+    return validate(
+        read_csv_twin(spark, sf_dir, "orders", path), ORDERS_JSON_SCHEMA
+    ).violations(["o_orderkey"])
+
+
 def _q_variant_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime JSON-type profile of a VARIANT column (dynamic-JSON dtype
     histogram) over derived instances spanning every JSON type."""
@@ -3232,6 +3280,107 @@ def _q_images_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.select("image_id", "bytes").mapInPandas(kernel, schema)
 
 
+_MJPEG_N = 270
+
+
+def _q_videos_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video frame sampling: Motion-JPEG AVI (RIFF
+    container walk + per-frame baseline-JPEG decode, functions/avi.py
+    — zero codec libs). Every 2nd frame index from the metadata is
+    decoded inside ONE Arrow hop (sampled rows are emitted from
+    Python, so payload bytes are never duplicated across an exchange);
+    indices past the last COMPLETE frame (torn tails, over-declared
+    counts) surface as decode_ok=false. The oracle replays the
+    per-frame Y sums from the synth-time ledger (computed by the SAME
+    decoder, with class verdicts asserted during synthesis)."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from jsonschema_spark.functions.avi import (
+        avi_frame_chunks,
+        decode_avi_frame,
+    )
+    from jsonschema_spark.sources.videos import materialized_mjpeg_videos
+
+    vids, _ = materialized_mjpeg_videos(spark, _MJPEG_N)
+
+    def kernel(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in
+                   ("video_id", "frame_index", "frame_ysum", "decode_ok")}
+            for vid, raw, n in zip(
+                b["video_id"].tolist(), b["bytes"].tolist(),
+                b["n_frames"].tolist(),
+            ):
+                data = bytes(raw)
+                n_complete = len(avi_frame_chunks(data))
+                for k in range(0, int(n), 2):
+                    out["video_id"].append(vid)
+                    out["frame_index"].append(k)
+                    if k < n_complete:
+                        px = decode_avi_frame(data, k)
+                        out["frame_ysum"].append(
+                            int(px.astype("int64").sum())
+                        )
+                        out["decode_ok"].append(True)
+                    else:
+                        out["frame_ysum"].append(None)
+                        out["decode_ok"].append(False)
+            yield _pd.DataFrame(out)
+
+    return vids.select("video_id", "bytes", "n_frames").mapInPandas(
+        kernel,
+        "video_id string, frame_index int, frame_ysum long, "
+        "decode_ok boolean",
+    )
+
+
+def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG AVI container integrity: RIFF size discipline, avih
+    vs BITMAPINFOHEADER dimension agreement, declared dwTotalFrames vs
+    counted '00dc' chunks, idx1 offset/size agreement with the actual
+    chunk layout. Planted classes (torn tail, over-declared count,
+    corrupted index) must land on their exact verdicts — ledger truth
+    asserted at synth time."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from jsonschema_spark.functions.avi import parse_avi_mjpeg
+    from jsonschema_spark.sources.videos import materialized_mjpeg_videos
+
+    vids, _ = materialized_mjpeg_videos(spark, _MJPEG_N)
+
+    def kernel(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        cols = ("video_id", "avi_ok", "avi_error", "avi_width",
+                "avi_height", "fps", "declared_frames", "actual_frames",
+                "index_ok")
+        for b in batches:
+            out = {k: [] for k in cols}
+            for vid, raw in zip(
+                b["video_id"].tolist(), b["bytes"].tolist()
+            ):
+                p = parse_avi_mjpeg(bytes(raw))
+                out["video_id"].append(vid)
+                out["avi_ok"].append(p["ok"])
+                out["avi_error"].append(p["error"])
+                out["avi_width"].append(p["width"])
+                out["avi_height"].append(p["height"])
+                out["fps"].append(p["fps"])
+                out["declared_frames"].append(p["declared_frames"])
+                out["actual_frames"].append(p["actual_frames"])
+                out["index_ok"].append(p["index_ok"])
+            yield _pd.DataFrame(out)
+
+    return vids.select("video_id", "bytes").mapInPandas(
+        kernel,
+        "video_id string, avi_ok boolean, avi_error string, "
+        "avi_width int, avi_height int, fps int, declared_frames int, "
+        "actual_frames int, index_ok boolean",
+    )
+
+
 _VIDEOS_N = 300
 
 
@@ -5030,6 +5179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_props_map": _q_validate_props_map,
         "validate_props_variant": _q_validate_props_variant,
         "validate_jsonl_docs": _q_validate_jsonl_docs,
+        "validate_jsonl_gz": _q_validate_jsonl_gz,
+        "validate_orders_orc": _q_validate_orders_orc,
+        "validate_orders_csv": _q_validate_orders_csv,
         "validate_props_content_schema": _q_validate_props_content_schema,
         "validate_embeddings_array": _q_validate_embeddings_array,
         "column_stats_orders": _q_column_stats_orders,
@@ -5180,6 +5332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": _q_image_dhash,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
         "videos_y4m_frames": _q_videos_y4m_frames,
+        "videos_mjpeg_frames": _q_videos_mjpeg_frames,
+        "videos_mjpeg_integrity": _q_videos_mjpeg_integrity,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -7449,6 +7603,49 @@ def _videos_y4m_frames_sql() -> str:
                CAST(NULL AS DOUBLE) AS frame_luma,
                FALSE AS decode_ok
         FROM e WHERE fi >= actual_frames
+    """
+
+
+def _videos_mjpeg_frames_sql() -> str:
+    """MJPEG frame-sampling oracle: the ledger's per-frame Y sums
+    (computed at synth by the same JPEG decoder, class verdicts
+    asserted then); sampled index k decodes iff k < len(_ysums)."""
+    from jsonschema_spark.sources.videos import mjpeg_videos_path
+
+    src = f"read_parquet('{mjpeg_videos_path(_MJPEG_N)}/*.parquet')"
+    return f"""
+        WITH e AS (
+          SELECT video_id, _ysums,
+                 unnest(generate_series(0, n_frames - 1, 2)) AS fi
+          FROM {src}
+        )
+        SELECT video_id,
+               CAST(fi AS INT) AS frame_index,
+               CASE WHEN fi < len(_ysums)
+                    THEN _ysums[CAST(fi + 1 AS INTEGER)] END AS frame_ysum,
+               fi < len(_ysums) AS decode_ok
+        FROM e
+    """
+
+
+def _videos_mjpeg_integrity_sql() -> str:
+    """MJPEG integrity oracle: ledger verdicts + generator-arithmetic
+    profile fields (valid rows carry the synthesis parameters; failed
+    walks carry NULLs exactly as the walker emits)."""
+    from jsonschema_spark.sources.videos import mjpeg_videos_path
+
+    src = f"read_parquet('{mjpeg_videos_path(_MJPEG_N)}/*.parquet')"
+    return f"""
+        SELECT video_id,
+               _ok AS avi_ok,
+               _err AS avi_error,
+               CASE WHEN _ok THEN width END AS avi_width,
+               CASE WHEN _ok THEN height END AS avi_height,
+               CASE WHEN _ok THEN 25 END AS fps,
+               CASE WHEN _ok THEN n_frames END AS declared_frames,
+               CAST(_actual AS INTEGER) AS actual_frames,
+               _idx_ok AS index_ok
+        FROM {src}
     """
 
 
@@ -10041,6 +10238,11 @@ def oracle_sql() -> dict[str, str]:
                        x -> x IS NULL OR x >= 0.3)) > 10
         """,
         "validate_jsonl_docs": _jsonl_sql(),
+        # format twins: the oracle reads the UNCOMPRESSED / parquet
+        # ground truth — the hash match certifies the format round trip
+        "validate_jsonl_gz": _jsonl_sql(),
+        "validate_orders_orc": _orders_violations_sql(),
+        "validate_orders_csv": _orders_violations_sql(),
         "validate_props_variant": """
             WITH d AS (
               SELECT event_id,
@@ -11327,6 +11529,8 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _image_dhash_sql(),
         "image_near_dup_pairs": _image_near_dup_pairs_sql(),
         "videos_y4m_frames": _videos_y4m_frames_sql(),
+        "videos_mjpeg_frames": _videos_mjpeg_frames_sql(),
+        "videos_mjpeg_integrity": _videos_mjpeg_integrity_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

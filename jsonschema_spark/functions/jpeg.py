@@ -1042,6 +1042,15 @@ def decode_jpeg_progressive(raw: bytes) -> tuple[int, int, np.ndarray]:
             )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
+            if restart_interval:
+                # restart markers inside progressive scans would need
+                # per-scan-type predictor/EOB-run resets; without them
+                # the bit reader would misparse at the first RSTn —
+                # reject LOUDLY rather than decode garbage
+                raise NotImplementedError(
+                    "restart intervals in progressive JPEG scans are "
+                    "not supported (DRI > 0 with SOF2)"
+                )
         elif marker == 0xDA:
             if comps is None:
                 raise ValueError("SOS before SOF2")

@@ -344,9 +344,11 @@ def decode_y4m_frame_luma(raw: bytes, index: int) -> float:
 
 
 def decode_video_frame(raw: bytes, index: int) -> float:
-    """Mean luma of one frame. REAL for Y4M (YUV4MPEG2) streams; the
-    synthetic FVID container stays for plumbing tests; compressed codecs
-    (h264/vp9) need ffmpeg/pyav this environment doesn't ship."""
+    """Mean luma of one frame. REAL for Y4M (YUV4MPEG2) streams AND
+    Motion-JPEG AVI (functions/avi.py — RIFF walk + our own T.81
+    decoder, a genuinely COMPRESSED video path); the synthetic FVID
+    container stays for plumbing tests; inter-frame codecs (h264/vp9)
+    need ffmpeg/pyav this environment doesn't ship."""
     if raw[:4] == _VID_MAGIC:
         (n,) = struct.unpack("<H", raw[4:6])
         if not 0 <= index < n:
@@ -354,9 +356,15 @@ def decode_video_frame(raw: bytes, index: int) -> float:
         return float(raw[6 + index])
     if raw[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
         return decode_y4m_frame_luma(raw, index)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        from jsonschema_spark.functions.avi import decode_avi_frame
+
+        px = decode_avi_frame(raw, index)
+        return float(int(px.astype(np.int64).sum()) / px.size)
     raise NotImplementedError(
-        "compressed video codecs (h264/vp9) are not available in this "
-        "container; plug an ffmpeg/pyav frame extraction in here"
+        "inter-frame video codecs (h264/vp9) are not available in this "
+        "container; plug an ffmpeg/pyav frame extraction in here "
+        "(Y4M and Motion-JPEG AVI decode natively)"
     )
 
 

@@ -355,6 +355,25 @@ def as_suite_config(
                 "codec_col": "codec",
                 "max_violation_rate": math.ceil(crate * 1000) / 1000,
             })
+        # compressed-container corpora: draft the packet-level framing
+        # gates when the codec column says the corpus is opus/vorbis
+        # (one cheap distinct over the codec labels)
+        if "codec" in df.columns:
+            codecs = {
+                r["codec"]
+                for r in df.select("codec").distinct().collect()
+                if r["codec"]
+            }
+            for cname, ctype in (
+                ("opus", "opus_packets"), ("vorbis", "vorbis_packets")
+            ):
+                if codecs == {cname}:
+                    prate = _measured_packet_rate(df, payload, ctype)
+                    checks.append({
+                        "type": ctype, "name": f"{table}_{ctype}",
+                        "table": table, "payload_col": payload,
+                        "max_violation_rate": math.ceil(prate * 1000) / 1000,
+                    })
         types = dict((f.name, f.dataType) for f in df.schema.fields)
         if isinstance(types.get("transcript"), T.StringType) and (
             "dur_ms" in types
@@ -552,3 +571,22 @@ def _measured_decode_rate(
         F.avg(F.col("p.n_samples").isNotNull().cast("double")).alias("r")
     ).collect()[0]
     return 1.0 if row["r"] is None else float(row["r"])
+
+
+def _measured_packet_rate(df: DataFrame, payload: str, ctype: str) -> float:
+    """Current packet-framing failure fraction — the ceiling the drafted
+    opus_packets / vorbis_packets check is anchored to."""
+    if ctype == "opus_packets":
+        from jsonschema_spark.functions.ogg import audio_opus_packet_profile
+
+        g = audio_opus_packet_profile(payload)
+    else:
+        from jsonschema_spark.functions.ogg import (
+            audio_vorbis_packet_profile,
+        )
+
+        g = audio_vorbis_packet_profile(payload)
+    row = df.select(g["ok"].alias("_ok")).agg(
+        F.avg((~F.col("_ok")).cast("double")).alias("r")
+    ).first()
+    return float(row["r"]) if row["r"] is not None else 1.0

@@ -184,3 +184,34 @@ def parse_failures(
         F.lit("/parse").alias("keyword_path"),
         F.lit("parse").alias("keyword"),
     )
+
+
+def jsonl_gz_path(n: int) -> str:
+    return oracle_cache_path(f"docs_{n}.jsonl.gz")
+
+
+def materialized_jsonl_gz(n: int) -> str:
+    """Gzip twin of the JSONL corpus — SAME lines, compressed. Spark's
+    text source decompresses .gz transparently (one task per file — gz
+    is not splittable; shard large corpora into many .gz files). The
+    oracle keeps reading the UNCOMPRESSED twin: the certification is
+    exactly that decompress->parse->validate lands on the same output.
+    gzip mtime pinned to 0 so the artifact is bit-identical across
+    sessions (oracle-cache protocol)."""
+    import gzip
+
+    path = jsonl_gz_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = ("\n".join(synth_jsonl_lines(n)) + "\n").encode()
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        # filename="" — GzipFile would otherwise embed the random tmp
+        # name in the FNAME header and break bit-determinism
+        with gzip.GzipFile(
+            filename="", fileobj=f, mode="wb", mtime=0
+        ) as gz:
+            gz.write(data)
+    os.replace(tmp, path)
+    return path

@@ -101,3 +101,115 @@ def materialized_videos(spark: SparkSession, n: int) -> tuple[DataFrame, str]:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_videos(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- Motion-JPEG AVI ledger corpus -------------------------------------------
+# REAL compressed video (functions/avi.py: RIFF/AVI container around
+# our own baseline-JPEG frames — closes the "compressed video
+# loud-rejects" gap with an actual decoder). Classes (i % 9):
+#   6 -> torn mid-final-frame (complete frames = n-1)
+#   7 -> dwTotalFrames over-declared by 2 (count_mismatch; sampling
+#        past the end must fail loudly per frame)
+#   8 -> idx1 first offset corrupted (index_ok=False; frames fine)
+#   else valid. The per-frame ledger (_ysums) holds decoded Y sums
+# computed at synth by the SAME decoder — certifying encode -> store
+# -> walk -> JPEG decode end to end; oracle reads the ledger.
+_MJPEG_VER = "v1"
+MJPEG_CLS_MOD = 9
+MJPEG_TORN_CLS = 6
+MJPEG_OVER_CLS = 7
+MJPEG_IDX_CLS = 8
+MJPEG_W = MJPEG_H = 16
+
+MJPEG_VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ysums", T.ArrayType(T.LongType()), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_actual", T.IntegerType(), True),
+        T.StructField("_idx_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def mjpeg_frames(i: int) -> np.ndarray:
+    """(n, 16, 16) uint8 luma stack for ledger row i (smooth texture +
+    per-frame drift so JPEG has realistic spectra)."""
+    n = 3 + (i % 6)
+    f = np.arange(n, dtype=np.int64)[:, None, None]
+    yy = np.arange(MJPEG_H, dtype=np.int64)[None, :, None]
+    xx = np.arange(MJPEG_W, dtype=np.int64)[None, None, :]
+    y = (i * 31 + f * 17 + yy * 9 + xx * 5 + (yy * xx) % 7) % 256
+    return y.astype(np.uint8)
+
+
+def _mjpeg_row(i: int) -> tuple:
+    from jsonschema_spark.functions.avi import (
+        avi_frame_chunks,
+        decode_avi_frame,
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    frames = mjpeg_frames(i)
+    n = frames.shape[0]
+    cls = i % MJPEG_CLS_MOD
+    declared = n + 2 if cls == MJPEG_OVER_CLS else None
+    raw = encode_avi_mjpeg(
+        frames, declared_frames=declared,
+        corrupt_index=(cls == MJPEG_IDX_CLS),
+    )
+    if cls == MJPEG_TORN_CLS:
+        # cut into the middle of the LAST frame chunk (verified below)
+        chunks = avi_frame_chunks(raw)
+        off, ln = chunks[-1]
+        raw = raw[: off + ln // 2]
+    got = parse_avi_mjpeg(raw)
+    complete = avi_frame_chunks(raw)
+    ysums = [
+        int(decode_avi_frame(raw, k).astype(np.int64).sum())
+        for k in range(len(complete))
+    ]
+    # synth-time verification: the walker's verdict matches the class
+    if cls == MJPEG_TORN_CLS:
+        assert got["error"] == "truncated" and len(complete) == n - 1, i
+    elif cls == MJPEG_OVER_CLS:
+        assert got["error"] == "count_mismatch", i
+    elif cls == MJPEG_IDX_CLS:
+        assert got["ok"] and got["index_ok"] is False, i
+    else:
+        assert got["ok"] and got["index_ok"] is True, i
+    return (
+        f"mjv-{i:06d}", bytearray(raw), MJPEG_W, MJPEG_H, n, i,
+        ysums, got["ok"], got["error"], got["actual_frames"],
+        got["index_ok"],
+    )
+
+
+def synth_mjpeg_videos(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_mjpeg_row),
+        MJPEG_VIDEOS_SCHEMA,
+    )
+
+
+def mjpeg_videos_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"videos_mjpeg_{_MJPEG_VER}_{n}")
+
+
+def materialized_mjpeg_videos(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    path = mjpeg_videos_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_mjpeg_videos(spark, n), path)
+    return spark.read.parquet(path), path

@@ -7,8 +7,6 @@ params sizing follows the standard formulas; the probe plan contains
 no join and no Python.
 """
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -134,4 +132,43 @@ def test_probe_matches_duckdb_replay(spark):
         FROM p GROUP BY v
     """).fetchall()
     want = {(v,): h for v, h in rows}
+    assert got == want
+
+
+def test_bloom_probe_streaming_parity(spark, tmp_path):
+    """The probe is a stateless constant-folded expression, so the SAME
+    words drive identical verdicts under readStream (north rule: one
+    compiled plan, batch and streaming) — the shape of a live
+    contamination screen on an ingest stream."""
+    d = str(tmp_path / "bloom_docs")
+    docs = spark.range(400).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc")
+    )
+    docs.write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    ref = batch.where(F.expr("substring(doc, 2) % 4 = 0")).select(
+        F.col("doc").alias("r")
+    )
+    m, k = bloom_params(100, 0.01)
+    words = bloom_words(ref, "r", m, k)
+
+    def screen(df):
+        return df.select(
+            "doc", bloom_probe_expr(F.col("doc"), words, k).alias("hit")
+        )
+
+    want = sorted(tuple(r) for r in screen(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        screen(stream)
+        .writeStream.format("memory").queryName("q_bloom_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bl"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM q_bloom_stream").collect()
+    )
     assert got == want

@@ -977,3 +977,88 @@ def test_type_union_with_null_still_rejects_mismatched_values(spark):
     }
     vals = [r["_valid"] for r in validate(df, ok).annotated.collect()]
     assert vals == [True, True, True]
+
+
+def test_dynamic_ref_cross_resource_outer_wins(spark):
+    """FULL cross-resource $dynamicRef (r3): a $dynamicRef inside an
+    embedded resource binds to the OUTERMOST $dynamicAnchor in its
+    dynamic scope — the ROOT resource's declaration overrides the
+    embedded resource's local one (the spec's tree/strict-tree
+    extension pattern). The round-2 lexical subset rejected this;
+    worse, a per-resource binding would have let rid=2 pass."""
+    doc = {
+        "$defs": {
+            "ext_root": {"$dynamicAnchor": "ext", "minimum": 10},
+            "sub": {
+                "$id": "https://example.com/dyn-sub",
+                "$defs": {
+                    "ext_local": {"$dynamicAnchor": "ext", "minimum": 0}
+                },
+                "$dynamicRef": "#ext",
+            },
+        },
+        "properties": {"v": {"$ref": "#/$defs/sub"}},
+    }
+    df = spark.createDataFrame([(1, 50), (2, 5), (3, -1)], "rid long, v int")
+    v = _violated(validate(df, doc), "rid")
+    assert 1 not in v
+    assert 2 in v and 3 in v  # the ROOT's minimum 10 applies
+
+
+def test_dynamic_ref_cross_resource_local_when_outer_silent(spark):
+    """When no outer resource declares the name, the embedded
+    resource's own $dynamicAnchor wins (it is the outermost in scope)."""
+    doc = {
+        "$defs": {
+            "sub": {
+                "$id": "https://example.com/dyn-sub2",
+                "$defs": {
+                    "loc": {"$dynamicAnchor": "ext2", "maximum": 3}
+                },
+                "$dynamicRef": "#ext2",
+            },
+        },
+        "properties": {"v": {"$ref": "#/$defs/sub"}},
+    }
+    df = spark.createDataFrame([(1, 2), (2, 9)], "rid long, v int")
+    v = _violated(validate(df, doc), "rid")
+    assert 1 not in v and 2 in v
+
+
+def test_dynamic_ref_meta_schema_items_extension(spark):
+    """The meta-schema shape: a reusable list resource validates its
+    items through $dynamicRef '#items'; the root document overrides
+    the item type by declaring its own $dynamicAnchor 'items'."""
+    doc = {
+        "$defs": {
+            "root_items": {"$dynamicAnchor": "items", "type": "integer"},
+            "list": {
+                "$id": "https://example.com/dyn-list",
+                "$defs": {
+                    "default_items": {
+                        "$dynamicAnchor": "items",
+                        "type": "string",
+                    }
+                },
+                "type": "array",
+                "items": {"$dynamicRef": "#items"},
+            },
+        },
+        "properties": {"arr": {"$ref": "#/$defs/list"}},
+    }
+    import pyspark.sql.types as T
+
+    st = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+    ])
+    df = spark.createDataFrame([(1, [1, 2]), (2, None), (3, [7])], st)
+    # LongType elements satisfy "integer" (the ROOT override); had the
+    # list resource's local "string" anchor won, every row would fail
+    v = _violated(validate(df, doc), "rid")
+    assert not v
+    # counter-proof: remove the root override -> local 'string' wins
+    doc2 = {k: v2 for k, v2 in doc.items()}
+    doc2["$defs"] = {"list": doc["$defs"]["list"]}
+    v2 = _violated(validate(df, doc2), "rid")
+    assert 1 in v2 and 3 in v2 and 2 not in v2

@@ -312,3 +312,20 @@ def test_progressive_color_interleaved_dc_equals_baseline():
                     encode_jpeg_progressive_color(rgb, q, sub)
                 )[2]
                 assert np.array_equal(base, prog), (h, w, sub, q)
+
+
+def test_progressive_dri_rejected_loudly():
+    """Progressive + restart intervals: not supported — must reject
+    loudly (a misparsed RSTn would silently corrupt coefficients)."""
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_gray,
+    )
+
+    raw = bytearray(encode_jpeg_progressive_gray(_texture(16, 16, 5), 85))
+    # splice a DRI (interval 4) right after the DQT segment
+    i = raw.find(b"\xff\xc2")
+    dri = b"\xff\xdd\x00\x04\x00\x04"
+    patched = bytes(raw[:i]) + dri + bytes(raw[i:])
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_progressive(patched)

@@ -214,3 +214,40 @@ def test_suite_packet_checks(spark):
     assert rows["vb_strict"]["status"] == "fail"
     assert rows["vb_loose"]["status"] == "pass"
     assert abs(rows["vb_strict"]["metric"] - 4 / 6) < 1e-9
+
+
+def test_suggest_drafts_packet_checks(spark):
+    """suggest drafts opus_packets / vorbis_packets checks for corpora
+    whose codec column is uniformly that codec, anchored to the
+    measured failure rate (must-pass-on-draft-data)."""
+    from jsonschema_spark.operators.suggest import (
+        as_suite_config,
+        column_suggestions,
+    )
+    from jsonschema_spark.operators.suite import run_suite
+    from jsonschema_spark.sources.clips import (
+        synth_opus_packet_clips,
+        synth_vorbis_packet_clips,
+    )
+
+    opus = synth_opus_packet_clips(spark, 16).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    drafted = as_suite_config(
+        opus, column_suggestions(opus, ["clip_id", "sr_hz"]), table="t"
+    )
+    op = [c for c in drafted["checks"] if c["type"] == "opus_packets"]
+    assert len(op) == 1 and op[0]["max_violation_rate"] >= 0.5
+    assert not [c for c in drafted["checks"] if c["type"] == "vorbis_packets"]
+    rep = run_suite({"t": opus}, {"checks": op}).collect()
+    assert rep[0]["status"] == "pass"  # drafted suites pass by construction
+
+    vorb = synth_vorbis_packet_clips(spark, 12).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    drafted_v = as_suite_config(
+        vorb, column_suggestions(vorb, ["clip_id"]), table="t"
+    )
+    vb = [c for c in drafted_v["checks"] if c["type"] == "vorbis_packets"]
+    assert len(vb) == 1
+    assert not [c for c in drafted_v["checks"] if c["type"] == "opus_packets"]
