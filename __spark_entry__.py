@@ -3381,6 +3381,61 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AV_N = 250
+
+
+def _q_videos_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V demux: interleaved '01wb' PCM audio extracted from Motion-
+    JPEG AVI payloads byte-exact (WAVEFORMATEX meta + concatenated
+    chunk bodies), the feed for the engine's audio-validation chain.
+    Torn tails keep the complete leading audio chunks; video-only
+    files report has_audio=false. Oracle = synth-time demux ledger
+    (md5 over the post-tear byte stream)."""
+    from typing import Iterator as _It
+
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from jsonschema_spark.functions.avi import (
+        avi_audio_meta,
+        avi_audio_pcm,
+    )
+    from jsonschema_spark.sources.videos import materialized_av_videos
+
+    vids, _ = materialized_av_videos(spark, _AV_N)
+
+    def kernel(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        cols = ("video_id", "has_audio", "sample_rate", "n_audio_bytes",
+                "audio_md5")
+        for b in batches:
+            out = {k: [] for k in cols}
+            for vid, raw in zip(
+                b["video_id"].tolist(), b["bytes"].tolist()
+            ):
+                data = bytes(raw)
+                meta = avi_audio_meta(data)
+                out["video_id"].append(vid)
+                if meta is None or not meta["pcm"]:
+                    out["has_audio"].append(False)
+                    out["sample_rate"].append(None)
+                    out["n_audio_bytes"].append(0)
+                    out["audio_md5"].append(None)
+                    continue
+                audio = avi_audio_pcm(data)
+                out["has_audio"].append(True)
+                out["sample_rate"].append(meta["sample_rate"])
+                out["n_audio_bytes"].append(len(audio))
+                out["audio_md5"].append(_hl.md5(audio).hexdigest())
+            yield _pd.DataFrame(out)
+
+    return vids.select("video_id", "bytes").mapInPandas(
+        kernel,
+        "video_id string, has_audio boolean, sample_rate int, "
+        "n_audio_bytes long, audio_md5 string",
+    )
+
+
 _VIDEOS_N = 300
 
 
@@ -5334,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "videos_y4m_frames": _q_videos_y4m_frames,
         "videos_mjpeg_frames": _q_videos_mjpeg_frames,
         "videos_mjpeg_integrity": _q_videos_mjpeg_integrity,
+        "videos_av_demux": _q_videos_av_demux,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -7645,6 +7701,22 @@ def _videos_mjpeg_integrity_sql() -> str:
                CASE WHEN _ok THEN n_frames END AS declared_frames,
                CAST(_actual AS INTEGER) AS actual_frames,
                _idx_ok AS index_ok
+        FROM {src}
+    """
+
+
+def _videos_av_demux_sql() -> str:
+    """A/V demux oracle: the synth-time demux ledger (sample rates,
+    post-tear byte counts and md5s; video-only rows carry NULLs)."""
+    from jsonschema_spark.sources.videos import av_videos_path
+
+    src = f"read_parquet('{av_videos_path(_AV_N)}/*.parquet')"
+    return f"""
+        SELECT video_id,
+               _has_audio AS has_audio,
+               CAST(_sr AS INTEGER) AS sample_rate,
+               CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
+               _audio_md5 AS audio_md5
         FROM {src}
     """
 
@@ -11531,6 +11603,7 @@ def oracle_sql() -> dict[str, str]:
         "videos_y4m_frames": _videos_y4m_frames_sql(),
         "videos_mjpeg_frames": _videos_mjpeg_frames_sql(),
         "videos_mjpeg_integrity": _videos_mjpeg_integrity_sql(),
+        "videos_av_demux": _videos_av_demux_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

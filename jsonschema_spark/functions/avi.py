@@ -171,13 +171,18 @@ def parse_avi_mjpeg(raw: bytes) -> dict:
                         if f2 == b"avih":
                             avih = raw[b2 : b2 + l2]
                         elif f2 == b"LIST" and raw[b2 : b2 + 4] == b"strl":
+                            sh = sf = None
                             for f3, b3, l3 in _walk_chunks(
                                 raw, b2 + 4, b2 + l2
                             ):
                                 if f3 == b"strh":
-                                    strh = raw[b3 : b3 + l3]
+                                    sh = raw[b3 : b3 + l3]
                                 elif f3 == b"strf":
-                                    strf = raw[b3 : b3 + l3]
+                                    sf = raw[b3 : b3 + l3]
+                            # keep the VIDEO stream's headers — an A/V
+                            # file's audio strl must not shadow them
+                            if sh is not None and sh[:4] == b"vids":
+                                strh, strf = sh, sf
                 elif kind == b"movi":
                     movi_span = (body + 4, body + ln)
                     movi_fourcc_pos = body
@@ -271,3 +276,140 @@ def decode_avi_frame(raw: bytes, k: int) -> np.ndarray:
         raise ValueError(f"frame {k} not present ({len(chunks)} complete)")
     off, ln = chunks[k]
     return decode_jpeg_gray(bytes(raw)[off : off + ln])[2]
+
+
+# ---- interleaved audio stream ('01wb' PCM) ----------------------------------
+# Real A/V corpora carry audio INSIDE the video container; the demux
+# below feeds the engine's whole audio-validation chain (decode, SNR,
+# loudness, transcript invariants) from the same payload that feeds the
+# frame pipeline. PCM audio keeps the chain lossless end to end.
+
+
+def encode_avi_mjpeg_av(
+    frames: np.ndarray,
+    pcm: np.ndarray,
+    sample_rate: int = 16000,
+    fps: int = 25,
+    quality: int = 85,
+) -> bytes:
+    """Motion-JPEG AVI with an interleaved 16-bit mono PCM audio stream
+    ('01wb' chunks, one per video frame, round-robin interleaved).
+    ``pcm`` is int16 samples; the per-frame split is samples//n_frames
+    with the remainder on the last chunk (sample-exact round trip)."""
+    from jsonschema_spark.functions.jpeg import encode_jpeg_gray
+
+    n, h, w = frames.shape
+    pcm = pcm.astype("<i2")
+    jpegs = [encode_jpeg_gray(frames[k], quality) for k in range(n)]
+    max_sz = max((len(j) for j in jpegs), default=0)
+    per = len(pcm) // max(n, 1)
+    audio_chunks = [
+        pcm[k * per : (k + 1) * per if k < n - 1 else len(pcm)].tobytes()
+        for k in range(n)
+    ]
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_sz * fps, 0, AVIF_HASINDEX,
+        n, 0, 2, max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh_v = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      max_sz, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    strh_a = (
+        b"auds" + b"\x00\x00\x00\x00"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, sample_rate, 0,
+                      len(pcm), max(per * 2, 2), 0xFFFFFFFF, 2)
+        + struct.pack("<4h", 0, 0, 0, 0)
+    )
+    strf_a = struct.pack(  # WAVEFORMATEX, PCM mono 16-bit
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+        + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
+    )
+    movi_body = b""
+    idx_entries = []
+    for k in range(n):
+        idx_entries.append((b"00dc", 4 + len(movi_body), len(jpegs[k])))
+        movi_body += _chunk(b"00dc", jpegs[k])
+        idx_entries.append((b"01wb", 4 + len(movi_body),
+                            len(audio_chunks[k])))
+        movi_body += _chunk(b"01wb", audio_chunks[k])
+    movi = _list(b"movi", movi_body)
+    idx = b"".join(
+        f4 + struct.pack("<III", AVIIF_KEYFRAME, off, sz)
+        for f4, off, sz in idx_entries
+    )
+    riff_body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_audio_meta(raw: bytes) -> dict | None:
+    """(sample_rate, channels, bits) from the 'auds' stream's
+    WAVEFORMATEX, or None when the AVI has no audio stream."""
+    raw = bytes(raw)
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return None
+    end = min(8 + struct.unpack("<I", raw[4:8])[0], len(raw))
+    try:
+        for fourcc, body, ln in _walk_chunks(raw, 12, end):
+            if fourcc != b"LIST" or raw[body : body + 4] != b"hdrl":
+                continue
+            for f2, b2, l2 in _walk_chunks(raw, body + 4, body + ln):
+                if f2 != b"LIST" or raw[b2 : b2 + 4] != b"strl":
+                    continue
+                strh = strf = None
+                for f3, b3, l3 in _walk_chunks(raw, b2 + 4, b2 + l2):
+                    if f3 == b"strh":
+                        strh = raw[b3 : b3 + l3]
+                    elif f3 == b"strf":
+                        strf = raw[b3 : b3 + l3]
+                if strh is not None and strh[:4] == b"auds" and strf:
+                    fmt, ch, sr = struct.unpack("<HHI", strf[:8])
+                    bits = struct.unpack("<H", strf[14:16])[0]
+                    if fmt != 1:
+                        return {"sample_rate": None, "channels": None,
+                                "bits": None, "pcm": False}
+                    return {"sample_rate": sr, "channels": ch,
+                            "bits": bits, "pcm": True}
+    except ValueError:
+        return None
+    return None
+
+
+def avi_audio_pcm(raw: bytes) -> bytes:
+    """Concatenated '01wb' audio payload (raw little-endian PCM) — the
+    demux feeding the engine's audio-validation chain. Torn tails keep
+    the complete leading chunks (same stance as the frame walk)."""
+    raw = bytes(raw)
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return b""
+    end = min(8 + struct.unpack("<I", raw[4:8])[0], len(raw))
+    out = []
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = raw[pos : pos + 4]
+        (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = pos + 8
+        if fourcc == b"LIST" and raw[body : body + 4] == b"movi":
+            p2 = body + 4
+            stop = min(body + ln, len(raw))
+            while p2 + 8 <= stop:
+                f2 = raw[p2 : p2 + 4]
+                (l2,) = struct.unpack("<I", raw[p2 + 4 : p2 + 8])
+                if p2 + 8 + l2 > stop:
+                    break
+                if f2 == b"01wb":
+                    out.append(raw[p2 + 8 : p2 + 8 + l2])
+                p2 += 8 + l2 + (l2 & 1)
+        pos = body + ln + (ln & 1)
+    return b"".join(out)

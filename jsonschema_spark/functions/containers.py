@@ -69,6 +69,12 @@ CONTAINER_PROFILE_TYPE = T.StructType(
 def container_sniff(raw: bytes) -> str:
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:4] == b"RIFF":
+        # RIFF but NOT an audio form (AVI video, WebP, ...): without
+        # this branch the payload would fall through to the bare-PCM16
+        # fallback and "decode" container bytes as samples — the
+        # mislabeled-upload class the sniffer exists to catch
+        return "avi" if raw[8:12] == b"AVI " else "riff_other"
     if raw[:4] == b"fLaC":
         return "flac"
     if raw[:4] == b"FORM" and raw[8:12] in (b"AIFF", b"AIFC"):
@@ -160,6 +166,12 @@ def _profile_one(raw: bytes) -> dict:
                     channels=r["channels"],
                     parsed_dur_ms=r["duration_ms"],
                 )
+        elif kind in ("avi", "riff_other"):
+            # a video/other RIFF payload in an AUDIO column is never ok
+            # here — route it loudly to the violation report (the A/V
+            # demux path, functions/avi.avi_audio_pcm, is the supported
+            # way to get audio OUT of an AVI)
+            out["error"] = "not_audio_container"
         else:  # bare LE-PCM16 blob: no header to disagree with
             out.update(ok=len(raw) % 2 == 0, n_samples=len(raw) // 2)
             if len(raw) % 2:

@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from jsonschema_spark.functions.multimodal import encode_y4m
-from jsonschema_spark.sources.clips import _MATERIALIZE_ROOT, publish_once
+from jsonschema_spark.sources.clips import (
+    _MATERIALIZE_ROOT,
+    _hash,
+    publish_once,
+)
 
 _VIDEOS_VER = "v1"
 VID_W = VID_H = 8
@@ -212,4 +216,101 @@ def materialized_mjpeg_videos(
     path = mjpeg_videos_path(n)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_mjpeg_videos(spark, n), path)
+    return spark.read.parquet(path), path
+
+
+# --- A/V (MJPEG video + interleaved PCM audio) ledger corpus -----------------
+# The multimodal demux story: audio arrives INSIDE the video container
+# ('01wb' chunks) and must reach the audio-validation chain byte-exact.
+# Classes (i % 5): 3 -> torn tail (leading audio chunks survive and
+# their md5 is the post-tear ledger truth), 4 -> video-only (no audio
+# stream at all), else valid at a cycling sample rate. Ledger truth
+# for audio is computed AT SYNTH by the same demux (then pinned by
+# independent arithmetic in tests).
+_AV_VER = "v1"
+AV_CLS_MOD = 5
+AV_TORN_CLS = 3
+AV_SILENT_CLS = 4
+
+AV_VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_has_audio", T.BooleanType(), False),
+        T.StructField("_sr", T.IntegerType(), True),
+        T.StructField("_n_audio_bytes", T.LongType(), False),
+        T.StructField("_audio_md5", T.StringType(), True),
+    ]
+)
+
+_AV_RATES = (16000, 8000, 22050)
+
+
+def av_pcm(i: int, n_samples: int) -> np.ndarray:
+    """Deterministic int16 signal for ledger row i (avalanche-hashed
+    per-index — the Weyl-sawtooth trap does not matter for byte-exact
+    demux checks, but stay consistent with the corpus conventions)."""
+    idx = np.arange(n_samples, dtype=np.uint64)
+    z = idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(_hash(i))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return ((z % np.uint64(60001)).astype(np.int64) - 30000).astype(
+        np.int16
+    )
+
+
+def _av_row(i: int) -> tuple:
+    import hashlib
+
+    from jsonschema_spark.functions.avi import (
+        avi_frame_chunks,
+        avi_audio_pcm,
+        encode_avi_mjpeg,
+        encode_avi_mjpeg_av,
+    )
+
+    frames = mjpeg_frames(i)
+    n = frames.shape[0]
+    cls = i % AV_CLS_MOD
+    if cls == AV_SILENT_CLS:
+        raw = encode_avi_mjpeg(frames)
+        return (f"avv-{i:06d}", bytearray(raw), n, i, False, None, 0,
+                None)
+    sr = _AV_RATES[i % len(_AV_RATES)]
+    pcm = av_pcm(i, sr * n // 25)  # n frames at 25 fps
+    raw = encode_avi_mjpeg_av(frames, pcm, sr)
+    if cls == AV_TORN_CLS:
+        chunks = avi_frame_chunks(raw)
+        off, ln = chunks[-1]
+        raw = raw[: off + ln // 2]
+    audio = avi_audio_pcm(raw)
+    return (
+        f"avv-{i:06d}", bytearray(raw), n, i, True, sr, len(audio),
+        hashlib.md5(audio).hexdigest(),
+    )
+
+
+def synth_av_videos(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_av_row),
+        AV_VIDEOS_SCHEMA,
+    )
+
+
+def av_videos_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"videos_av_{_AV_VER}_{n}")
+
+
+def materialized_av_videos(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    path = av_videos_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_av_videos(spark, n), path)
     return spark.read.parquet(path), path

@@ -108,3 +108,98 @@ def test_sample_frames_dispatch_handles_mjpeg(spark):
             int(decode_avi_frame(raw, k).astype(np.int64).sum()) / (16 * 16)
         )
         assert decode_video_frame(raw, k) == want
+
+
+# ---------------------------------------------------------------------------
+# Interleaved audio stream (A/V demux)
+# ---------------------------------------------------------------------------
+
+
+def test_av_container_round_trip_and_demux():
+    """A/V mux: the video walk still certifies the MJPEG stream (the
+    audio strl must not shadow the vids headers), the audio demux is
+    SAMPLE-EXACT, and the demuxed PCM feeds the engine's audio decode
+    chain directly."""
+    rng = np.random.default_rng(4)
+    frames = _frames(5)
+    pcm = rng.integers(-20000, 20000, 16000).astype(np.int16)
+    from jsonschema_spark.functions.avi import (
+        avi_audio_meta,
+        avi_audio_pcm,
+        encode_avi_mjpeg_av,
+    )
+
+    raw = encode_avi_mjpeg_av(frames, pcm, 16000)
+    p = parse_avi_mjpeg(raw)
+    assert p["ok"] and p["actual_frames"] == 5 and p["index_ok"]
+    meta = avi_audio_meta(raw)
+    assert meta == {"sample_rate": 16000, "channels": 1, "bits": 16,
+                    "pcm": True}
+    back = np.frombuffer(avi_audio_pcm(raw), dtype="<i2")
+    assert np.array_equal(back, pcm)
+    # demuxed payload decodes through the audio chain (raw s16le)
+    from jsonschema_spark.functions.audio import decode_payload
+
+    dec = decode_payload(avi_audio_pcm(raw))
+    assert np.array_equal(dec, pcm.astype(np.int64))
+    # video-only files report no audio stream
+    assert avi_audio_meta(encode_avi_mjpeg(frames)) is None
+    # torn tails keep the complete leading audio chunks
+    torn = raw[: len(raw) // 2]
+    part = np.frombuffer(avi_audio_pcm(torn), dtype="<i2")
+    assert 0 < len(part) < len(pcm)
+    assert np.array_equal(part, pcm[: len(part)])
+
+
+def test_av_ledger_corpus_independent_pin(spark):
+    """The AV corpus ledger md5 must equal an INDEPENDENT rebuild from
+    the generator arithmetic (av_pcm) — proving the container stored
+    the true signal, not merely that demux(x) == demux(x)."""
+    import hashlib
+
+    from jsonschema_spark.sources.videos import (
+        AV_CLS_MOD,
+        AV_SILENT_CLS,
+        AV_TORN_CLS,
+        _AV_RATES,
+        av_pcm,
+        mjpeg_frames,
+        synth_av_videos,
+    )
+
+    rows = synth_av_videos(spark, 2 * AV_CLS_MOD).collect()
+    for r in rows:
+        i = r["_row_idx"]
+        cls = i % AV_CLS_MOD
+        if cls == AV_SILENT_CLS:
+            assert r["_has_audio"] is False and r["_n_audio_bytes"] == 0
+            continue
+        n = mjpeg_frames(i).shape[0]
+        sr = _AV_RATES[i % len(_AV_RATES)]
+        full = av_pcm(i, sr * n // 25).astype("<i2").tobytes()
+        assert r["_sr"] == sr
+        if cls == AV_TORN_CLS:
+            # demuxed stream is a PREFIX of the true signal
+            assert 0 < r["_n_audio_bytes"] < len(full)
+            want = hashlib.md5(full[: r["_n_audio_bytes"]]).hexdigest()
+        else:
+            assert r["_n_audio_bytes"] == len(full)
+            want = hashlib.md5(full).hexdigest()
+        assert r["_audio_md5"] == want, i
+
+
+def test_audio_sniffer_rejects_avi_payloads():
+    """An AVI payload in an AUDIO column must never silently 'decode'
+    as bare PCM16 — the sniffer classifies RIFF-non-WAVE forms and the
+    profile fails loudly."""
+    from jsonschema_spark.functions.containers import (
+        _profile_one,
+        container_sniff,
+    )
+
+    raw = encode_avi_mjpeg(_frames(3))
+    assert container_sniff(raw) == "avi"
+    p = _profile_one(raw)
+    assert p["ok"] is False and p["error"] == "not_audio_container"
+    webp_ish = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 8
+    assert container_sniff(webp_ish) == "riff_other"
