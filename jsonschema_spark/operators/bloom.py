@@ -109,6 +109,14 @@ def bloom_words(
     return words
 
 
+#: probe-literal ceiling: 2^20 words = 64 Mbit = 8 MB of plan literal
+#: (~6.7 M reference items at 1% FPR). Above this the bitmap stops
+#: being a sensible plan constant — use a coarser FPR, shard the
+#: reference into several screens, or fall back to the exact
+#: decontamination join.
+MAX_PROBE_WORDS = 1 << 20
+
+
 def bloom_probe_expr(
     col: Column,
     words: Sequence[int],
@@ -118,7 +126,15 @@ def bloom_probe_expr(
 
     The bitmap folds into ONE array literal (constant-folded by
     Catalyst — the PQ-codebook pattern); each probe is element_at +
-    shiftright + mask. NULL values probe to NULL."""
+    shiftright + mask. NULL values probe to NULL. Guarded by
+    ``MAX_PROBE_WORDS`` so an oversized reference set fails loudly
+    instead of shipping a multi-hundred-MB plan."""
+    if len(words) > MAX_PROBE_WORDS:
+        raise ValueError(
+            f"bloom_probe_expr: {len(words)} words exceeds the "
+            f"{MAX_PROBE_WORDS}-word plan-literal ceiling (8 MB); use a "
+            f"coarser fpr, shard the reference, or the exact join"
+        )
     n_bits = len(words) * WORD_BITS
     lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
     hit = F.lit(True)

@@ -172,3 +172,10 @@ def test_bloom_probe_streaming_parity(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM q_bloom_stream").collect()
     )
     assert got == want
+
+
+def test_probe_literal_ceiling_guard():
+    from jsonschema_spark.operators.bloom import MAX_PROBE_WORDS
+
+    with pytest.raises(ValueError, match="plan-literal ceiling"):
+        bloom_probe_expr(F.lit("x"), [0] * (MAX_PROBE_WORDS + 1), 3)
