@@ -680,6 +680,12 @@ def parse_opus_packets(raw: bytes) -> dict:
     for k, p in enumerate(pages):
         if int(crcs[k]) != p[6]:
             return _pkt_fail("crc_mismatch")
+    return _opus_packets_from_pages(pages)
+
+
+def _opus_packets_from_pages(pages: list[tuple]) -> dict:
+    """Framing audit over an already-CRC-verified page list (shared by
+    the single-clip and the batched walkers)."""
     packets = _collect_packets(pages)
     if isinstance(packets, str):
         return _pkt_fail(packets)
@@ -699,12 +705,36 @@ def parse_opus_packets(raw: bytes) -> dict:
 
 
 def opus_packet_profile_batch(payloads: pd.Series) -> pd.DataFrame:
-    rows = []
+    """Batch walker: per-clip structural scan, then ONE batched CRC
+    kernel over every page of every clip in the Arrow batch (the
+    matrix kernel amortizes its per-byte Python cost over thousands of
+    pages — running it per clip measured ~20x slower), then the
+    framing audit per clip."""
+    scans: list = []
+    all_pages: list[bytes] = []
+    spans: list[tuple[int, int]] = []
     for p in payloads:
         if p is None:
-            rows.append(_pkt_fail("null_payload"))
+            scans.append("null_payload")
+            spans.append((0, 0))
+            continue
+        s = _scan_pages(bytes(p))
+        scans.append(s)
+        if isinstance(s, str):
+            spans.append((0, 0))
         else:
-            rows.append(parse_opus_packets(bytes(p)))
+            spans.append((len(all_pages), len(s)))
+            all_pages.extend(pg[7] for pg in s)
+    crcs = ogg_crc_pages(all_pages)
+    rows = []
+    for s, (start, cnt) in zip(scans, spans):
+        if isinstance(s, str):
+            rows.append(_pkt_fail(s))
+            continue
+        if any(int(crcs[start + k]) != s[k][6] for k in range(cnt)):
+            rows.append(_pkt_fail("crc_mismatch"))
+            continue
+        rows.append(_opus_packets_from_pages(s))
     return pd.DataFrame(rows, columns=list(_PKT_FIELDS))
 
 
@@ -845,6 +875,11 @@ def parse_vorbis_packets(raw: bytes) -> dict:
     for k, p in enumerate(pages):
         if int(crcs[k]) != p[6]:
             return _vorbis_pkt_fail("crc_mismatch")
+    return _vorbis_packets_from_pages(pages)
+
+
+def _vorbis_packets_from_pages(pages: list[tuple]) -> dict:
+    """Discipline audit over an already-CRC-verified page list."""
     packets = _collect_packets(pages)
     if isinstance(packets, str):
         return _vorbis_pkt_fail(packets)
@@ -890,12 +925,33 @@ VORBIS_PACKET_TYPE = T.StructType(
 
 @F.pandas_udf(VORBIS_PACKET_TYPE)
 def _vorbis_packet_udf(p: pd.Series) -> pd.DataFrame:
-    rows = []
+    # ONE batched CRC kernel per Arrow batch (see
+    # opus_packet_profile_batch — per-clip CRC measured ~20x slower)
+    scans: list = []
+    all_pages: list[bytes] = []
+    spans: list[tuple[int, int]] = []
     for raw in p:
         if raw is None:
-            rows.append(_vorbis_pkt_fail("null_payload"))
+            scans.append("null_payload")
+            spans.append((0, 0))
+            continue
+        s = _scan_pages(bytes(raw))
+        scans.append(s)
+        if isinstance(s, str):
+            spans.append((0, 0))
         else:
-            rows.append(parse_vorbis_packets(bytes(raw)))
+            spans.append((len(all_pages), len(s)))
+            all_pages.extend(pg[7] for pg in s)
+    crcs = ogg_crc_pages(all_pages)
+    rows = []
+    for s, (start, cnt) in zip(scans, spans):
+        if isinstance(s, str):
+            rows.append(_vorbis_pkt_fail(s))
+            continue
+        if any(int(crcs[start + k]) != s[k][6] for k in range(cnt)):
+            rows.append(_vorbis_pkt_fail("crc_mismatch"))
+            continue
+        rows.append(_vorbis_packets_from_pages(s))
     return pd.DataFrame(rows, columns=list(_VORBIS_PKT_FIELDS))
 
 

@@ -251,3 +251,42 @@ def test_suggest_drafts_packet_checks(spark):
     vb = [c for c in drafted_v["checks"] if c["type"] == "vorbis_packets"]
     assert len(vb) == 1
     assert not [c for c in drafted_v["checks"] if c["type"] == "opus_packets"]
+
+
+def test_opus_packet_profile_streaming_parity(spark, tmp_path):
+    """The packet walk is a stateless Arrow-hop transform — identical
+    verdicts under readStream (north rule: one compiled plan, batch
+    and streaming)."""
+    import pyspark.sql.functions as F
+
+    from jsonschema_spark.functions.ogg import audio_opus_packet_profile
+    from jsonschema_spark.sources.clips import synth_opus_packet_clips
+
+    d = str(tmp_path / "opus_pkt")
+    synth_opus_packet_clips(spark, 24).drop(
+        "_ok", "_err", "_n_audio", "_n_frames", "_sum_samples",
+        "_end_trim", "_dur48", "_row_idx",
+    ).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+
+    def prof(df):
+        p = audio_opus_packet_profile("bytes")
+        return df.select(
+            "clip_id", p["ok"].alias("ok"), p["error"].alias("err"),
+            p["sum_samples"].alias("ss"),
+        )
+
+    want = sorted(tuple(r) for r in prof(batch).collect())
+    q = (
+        prof(spark.readStream.schema(batch.schema).parquet(d))
+        .writeStream.format("memory").queryName("q_opus_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_op"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM q_opus_stream").collect()
+    )
+    assert got == want
