@@ -203,3 +203,36 @@ def test_audio_sniffer_rejects_avi_payloads():
     assert p["ok"] is False and p["error"] == "not_audio_container"
     webp_ish = b"RIFF" + b"\x10\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 8
     assert container_sniff(webp_ish) == "riff_other"
+
+
+def test_avi_walkers_never_crash_on_random_tears():
+    """Any prefix/mutation of a valid stream gets a VERDICT (ok=False
+    or a reduced chunk list), never an exception — the crawl-corpus
+    robustness contract every walker in this engine holds."""
+    import random
+
+    from jsonschema_spark.functions.avi import (
+        avi_audio_meta,
+        avi_audio_pcm,
+        encode_avi_mjpeg_av,
+    )
+
+    rng = random.Random(9)
+    rng_np = np.random.default_rng(9)
+    frames = _frames(4)
+    pcm = rng_np.integers(-100, 100, 4000).astype(np.int16)
+    raw = encode_avi_mjpeg_av(frames, pcm, 16000)
+    for _ in range(120):
+        mode = rng.random()
+        if mode < 0.5:
+            cand = raw[: rng.randrange(len(raw) + 1)]
+        else:
+            b = bytearray(raw)
+            for _k in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            cand = bytes(b)
+        p = parse_avi_mjpeg(cand)
+        assert isinstance(p["ok"], bool)
+        avi_frame_chunks(cand)
+        avi_audio_pcm(cand)
+        avi_audio_meta(cand)

@@ -329,3 +329,43 @@ def test_progressive_dri_rejected_loudly():
     patched = bytes(raw[:i]) + dri + bytes(raw[i:])
     with pytest.raises(NotImplementedError, match="restart"):
         decode_jpeg_progressive(patched)
+
+
+def test_progressive_random_scan_scripts_fuzz():
+    """Bounded fuzz: random VALID scan scripts (random spectral band
+    splits, random successive-approximation ladders) must all decode
+    bit-identical to baseline — the EOB-run/refinement control flow has
+    no script-shape assumptions."""
+    import random
+
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = random.Random(77)
+    for trial in range(12):
+        h, w = rng.randint(8, 48), rng.randint(8, 48)
+        px = _texture(h, w, 100 + trial)
+        q = rng.choice([30, 60, 85, 95])
+        # random spectral split of 1..63 into 1-3 bands
+        cuts = sorted(rng.sample(range(2, 63), rng.randint(0, 2)))
+        bands = []
+        lo = 1
+        for c in cuts + [63]:
+            bands.append((lo, c))
+            lo = c + 1
+        # random AC approximation depth 0..2
+        al_ac = rng.randint(0, 2)
+        scans = [(0, 0, 0, 1)]
+        scans += [(ss, se, 0, al_ac) for ss, se in bands]
+        for a in range(al_ac, 0, -1):
+            scans.append((1, 63, a, a - 1))
+        scans.append((0, 0, 1, 0))
+        base = decode_jpeg_gray(encode_jpeg_gray(px, q))[2]
+        prog = decode_jpeg_progressive(
+            encode_jpeg_progressive_gray(px, q, tuple(scans))
+        )[2]
+        assert np.array_equal(base, prog), (trial, h, w, q, scans)

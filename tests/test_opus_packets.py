@@ -290,3 +290,76 @@ def test_opus_packet_profile_streaming_parity(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM q_opus_stream").collect()
     )
     assert got == want
+
+
+def test_opus_packet_fuzz_random_framings():
+    """Bounded fuzz: random valid packets across all configs, codes,
+    VBR/CBR, padding chains and the 2-byte length form must parse to
+    the constructed (samples, frames); random mutations must never
+    crash (always a verdict, never an exception)."""
+    import random
+
+    rng = random.Random(31)
+    for trial in range(200):
+        config = rng.randrange(32)
+        fs = _OPUS_CFG_SAMPLES[config]
+        code = rng.randrange(4)
+        if code == 0:
+            sizes = [rng.randrange(0, 300)]
+        elif code == 1:
+            s = rng.randrange(0, 300)
+            sizes = [s, s]
+        elif code == 2:
+            sizes = [rng.randrange(0, 600), rng.randrange(0, 300)]
+        vbr = False
+        if code == 3:
+            m = rng.randint(1, max(1, min(48, 5760 // fs)))
+            vbr = rng.random() < 0.5
+            sizes = (
+                [rng.randrange(0, 200) for _ in range(m)]
+                if vbr
+                else [rng.randrange(0, 200)] * m
+            )
+        pad = rng.choice([0, 0, 3, 254, 255, 400]) if code == 3 else 0
+        pkt = build_opus_packet(
+            config, code, sizes, seed=trial, vbr=vbr, pad_len=pad,
+        )
+        samples, frames, err = opus_packet_samples(pkt)
+        assert err is None, (trial, config, code, sizes, err)
+        assert frames == len(sizes)
+        assert samples == len(sizes) * fs
+        # mutation: flip a random byte / truncate — verdict, not crash
+        b = bytearray(pkt)
+        if b:
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        opus_packet_samples(bytes(b))
+        opus_packet_samples(pkt[: rng.randrange(len(pkt) + 1)])
+
+
+def test_stream_walkers_never_crash_on_random_tears():
+    """Stream-level robustness: any prefix/mutation of valid Ogg-Opus /
+    Ogg-Vorbis streams yields a verdict, never an exception."""
+    import random
+
+    from jsonschema_spark.functions.ogg import (
+        encode_ogg_vorbis_framed,
+        parse_vorbis_packets,
+        vorbis_audio_packet,
+    )
+
+    rng = random.Random(13)
+    pk_o = [build_opus_packet(9, 0, [40 + j], seed=j) for j in range(6)]
+    opus = encode_ogg_opus_framed(pk_o, granule_samples=[960] * 6)
+    pk_v = [vorbis_audio_packet(100 + j, j) for j in range(6)]
+    vorb = encode_ogg_vorbis_framed(pk_v)
+    for raw, fn in ((opus, parse_opus_packets),
+                    (vorb, parse_vorbis_packets)):
+        for _ in range(80):
+            if rng.random() < 0.5:
+                cand = raw[: rng.randrange(len(raw) + 1)]
+            else:
+                b = bytearray(raw)
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                cand = bytes(b)
+            out = fn(cand)
+            assert isinstance(out["ok"], bool)
