@@ -864,6 +864,45 @@ def _check_vorbis_packets(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _check_bloom_screen(
+    df: DataFrame, spec: dict, tables: dict
+) -> DataFrame:
+    """Contamination-screen gate: bound the fraction of rows whose
+    ``column`` MIGHT be in ``reference_table.reference_column`` (Bloom
+    screen — no false negatives, so the metric upper-bounds the true
+    contamination rate). Spec keys: column, reference_table,
+    reference_column, max_hit_rate, optional fpr (default 0.01).
+    The reference reduces to a broadcast-size bitmap; the scan side
+    stays join-free."""
+    from jsonschema_spark.operators.bloom import bloom_screen
+
+    ref_name = spec["reference_table"]
+    if ref_name not in tables:
+        raise ValueError(
+            f"bloom_screen check {spec.get('name')!r}: unknown "
+            f"reference_table {ref_name!r}"
+        )
+    max_rate = float(spec.get("max_hit_rate", 0.0))
+    screened = bloom_screen(
+        df,
+        spec["column"],
+        tables[ref_name],
+        spec["reference_column"],
+        fpr=float(spec.get("fpr", 0.01)),
+    )
+    agg = screened.agg(
+        F.coalesce(
+            F.avg(F.coalesce(F.col("bloom_hit"), F.lit(False))
+                  .cast("double")),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], "bloom_screen", metric, max_rate, metric <= max_rate
+    )(agg)
+
+
 def _check_audio_codec(df: DataFrame, spec: dict) -> DataFrame:
     """Codec-label gate: bound the fraction of clips whose codec COLUMN
     disagrees with the payload's sniffed container (or carries a label
@@ -992,6 +1031,7 @@ _CHECKS = {
     "audio_codec": lambda df, spec, tables: _check_audio_codec(df, spec),
     "ctc_feasible": lambda df, spec, tables: _check_ctc_feasible(df, spec),
     "opus_packets": lambda df, spec, tables: _check_opus_packets(df, spec),
+    "bloom_screen": _check_bloom_screen,
     "vorbis_packets": lambda df, spec, tables: _check_vorbis_packets(
         df, spec
     ),

@@ -179,3 +179,35 @@ def test_probe_literal_ceiling_guard():
 
     with pytest.raises(ValueError, match="plan-literal ceiling"):
         bloom_probe_expr(F.lit("x"), [0] * (MAX_PROBE_WORDS + 1), 3)
+
+
+def test_suite_bloom_screen_check(spark):
+    """Declarative suite integration: the bloom_screen check type
+    bounds the (over-approximate) contamination hit rate against a
+    reference table, join-free on the scan side."""
+    from jsonschema_spark.operators.suite import run_suite
+
+    docs = spark.range(400).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc")
+    )
+    ref = docs.where("substring(doc, 2) % 5 = 0").select(
+        F.col("doc").alias("bench_doc")
+    )
+    cfg = {
+        "checks": [
+            {"name": "contam_strict", "type": "bloom_screen",
+             "table": "docs", "column": "doc",
+             "reference_table": "bench", "reference_column": "bench_doc",
+             "fpr": 0.001, "max_hit_rate": 0.0},
+            {"name": "contam_loose", "type": "bloom_screen",
+             "table": "docs", "column": "doc",
+             "reference_table": "bench", "reference_column": "bench_doc",
+             "fpr": 0.001, "max_hit_rate": 0.25},
+        ]
+    }
+    rows = {r["check_name"]: r for r in run_suite(
+        {"docs": docs, "bench": ref}, cfg).collect()}
+    # 20% true members (+ tiny FPR) -> strict fails, loose passes
+    assert rows["contam_strict"]["status"] == "fail"
+    assert rows["contam_loose"]["status"] == "pass"
+    assert 0.199 <= rows["contam_strict"]["metric"] <= 0.24
