@@ -1062,3 +1062,58 @@ def test_dynamic_ref_meta_schema_items_extension(spark):
     doc2["$defs"] = {"list": doc["$defs"]["list"]}
     v2 = _violated(validate(df, doc2), "rid")
     assert 1 in v2 and 3 in v2 and 2 not in v2
+
+
+def test_dynamic_ref_cross_resource_recursion_bounded(spark):
+    """A cross-resource recursive $dynamicRef (embedded list resource
+    whose items dynamically re-enter the ROOT's node schema, which
+    itself contains arrays of nodes) must compile via the bounded
+    unroll — no infinite loop, levels beyond the bound accepted."""
+    import pyspark.sql.types as T
+
+    doc = {
+        "$defs": {
+            "node": {
+                "$dynamicAnchor": "node",
+                "type": "object",
+                "properties": {
+                    "kids": {"$ref": "#/$defs/list"},
+                },
+            },
+            "list": {
+                "$id": "https://example.com/dyn-rec-list",
+                "type": "array",
+                "items": {"$dynamicRef": "#node"},
+                "$defs": {
+                    "fallback": {
+                        "$dynamicAnchor": "node",
+                        "type": "string",
+                    }
+                },
+            },
+        },
+        "properties": {"root": {"$ref": "#/$defs/node"}},
+    }
+    st = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField(
+            "root",
+            T.StructType([
+                T.StructField(
+                    "kids",
+                    T.ArrayType(T.StructType([
+                        T.StructField("kids", T.ArrayType(T.StringType())),
+                    ])),
+                ),
+            ]),
+        ),
+    ])
+    df = spark.createDataFrame(
+        [(1, ([([],)],)), (2, None)], st
+    )
+    from jsonschema_spark.operators.validate import validate
+
+    # compiles (bounded unroll, outermost 'node' anchor wins at every
+    # level) and nested objects satisfy the object-typed node schema
+    v = _violated(validate(df, doc), "rid")
+    assert not v
