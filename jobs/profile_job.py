@@ -270,6 +270,26 @@ def profile_table(df, skew_candidates=None):
             metrics["ctc_infeasible_rate"] = _measured_ctc_rate(
                 df, sr_col, "dur_ms"
             )
+        # compressed-container corpora: packet-framing failure fraction
+        # (RFC 6716 / Vorbis I certification) when the codec column is
+        # uniformly that codec
+        if "codec" in df.columns:
+            codecs = {
+                r["codec"]
+                for r in df.select("codec").distinct().collect()
+                if r["codec"]
+            }
+            for cname, ctype in (
+                ("opus", "opus_packets"), ("vorbis", "vorbis_packets")
+            ):
+                if codecs == {cname}:
+                    from jsonschema_spark.operators.suggest import (
+                        _measured_packet_rate,
+                    )
+
+                    metrics[f"{cname}_packet_fail_rate"] = (
+                        _measured_packet_rate(df, payload, ctype)
+                    )
         spark = df.sparkSession
         sections.append(
             spark.createDataFrame(

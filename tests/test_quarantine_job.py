@@ -135,3 +135,28 @@ def test_profile_encoding_section(spark):
     assert rows[("t", "control_total")] == 1.0
     assert rows[("t", "mojibake_total")] == 0.0
     assert rows[("t", "bad_row_rate")] == 0.5  # 1 damaged of 2 non-NULL
+
+
+def test_profile_packet_rate_metric(spark):
+    """profile_table reports the packet-framing failure fraction for a
+    uniformly-opus corpus (RFC 6716 certification as a profile metric,
+    beside codec_mismatch_rate / ctc_infeasible_rate)."""
+    from jobs.profile_job import profile_table
+    from jsonschema_spark.sources.clips import (
+        OPUS_PKT_CLASS_MOD,
+        synth_opus_packet_clips,
+    )
+
+    clips = synth_opus_packet_clips(spark, 2 * OPUS_PKT_CLASS_MOD).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    rep = profile_table(clips).collect()
+    rows = {
+        r["metric"]: r["value_num"]
+        for r in rep
+        if r["section"] == "audio"
+    }
+    assert "opus_packet_fail_rate" in rows
+    # 4 of 8 ledger classes are planted framing failures
+    assert abs(rows["opus_packet_fail_rate"] - 0.5) < 1e-9
+    assert "vorbis_packet_fail_rate" not in rows
