@@ -102,11 +102,18 @@ def demux_table(
                     out["video_id"].append(vid)
                     out["frame_index"].append(k)
                     if k < n:
-                        px = decode_avi_frame(data, k)
-                        out["frame_ysum"].append(
-                            int(px.astype("int64").sum())
-                        )
-                        out["decode_ok"].append(True)
+                        # a chunk complete at container level can still
+                        # carry a corrupt JPEG payload — that is data to
+                        # classify (decode_ok=False), not a job failure
+                        try:
+                            px = decode_avi_frame(data, k)
+                            out["frame_ysum"].append(
+                                int(px.astype("int64").sum())
+                            )
+                            out["decode_ok"].append(True)
+                        except Exception:
+                            out["frame_ysum"].append(None)
+                            out["decode_ok"].append(False)
                     else:
                         out["frame_ysum"].append(None)
                         out["decode_ok"].append(False)

@@ -194,6 +194,12 @@ def parse_avi_mjpeg(raw: bytes) -> dict:
         return _avi_fail("missing_hdrl")
     if movi_span is None:
         return _avi_fail("missing_movi")
+    # a foreign AVI can frame these chunks correctly but carry SHORT
+    # bodies — unpacking a short buffer raises struct.error, which would
+    # escape the per-row walker and kill the task instead of producing
+    # the error row this validator exists to emit
+    if len(avih) < 56 or len(strh) < 8 or len(strf) < 20:
+        return _avi_fail("truncated")
     a = struct.unpack("<14I", avih[:56])
     usec, flags, decl, w, h = a[0], a[3], a[4], a[8], a[9]
     if strh[:4] != b"vids" or strh[4:8] != b"MJPG":
@@ -374,6 +380,8 @@ def avi_audio_meta(raw: bytes) -> dict | None:
                     elif f3 == b"strf":
                         strf = raw[b3 : b3 + l3]
                 if strh is not None and strh[:4] == b"auds" and strf:
+                    if len(strf) < 16:  # short WAVEFORMATEX body: treat
+                        return None     # as no usable audio stream
                     fmt, ch, sr = struct.unpack("<HHI", strf[:8])
                     bits = struct.unpack("<H", strf[14:16])[0]
                     if fmt != 1:

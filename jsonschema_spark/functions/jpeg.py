@@ -60,6 +60,12 @@ ZIG_COLS = np.array([c for _, c in _Z])
 # K.3.1 luminance DC Huffman table: BITS (codes per length 1..16) + values
 DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_VALS = list(range(12))
+# K.3.3 chrominance DC Huffman table — used as DC table 1 (Td=1) by the
+# progressive color encoder, mirroring libjpeg's default scan script; a
+# decoder that shares one DC table across the interleaved DC scan
+# misparses exactly this layout
+CHROMA_DC_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+CHROMA_DC_VALS = list(range(12))
 # K.3.2 luminance AC Huffman table
 AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 AC_VALS = [
@@ -95,6 +101,7 @@ def _build_codes(bits, vals):
     return codes
 
 _DC_ENC = _build_codes(DC_BITS, DC_VALS)
+_CHROMA_DC_ENC = _build_codes(CHROMA_DC_BITS, CHROMA_DC_VALS)
 _AC_ENC = _build_codes(AC_BITS, AC_VALS)
 
 
@@ -867,13 +874,17 @@ def _entropy_end(raw: bytes, pos: int) -> int:
     return n
 
 
-def _decode_dc_scan(reader, blocks_iter, dc_tab, al, first, comp_of):
+def _decode_dc_scan(reader, blocks_iter, dc_tab_of, al, first, comp_of):
     """Shared DC scan walk. ``blocks_iter`` yields (ci, zz_view);
+    ``dc_tab_of`` maps component index → its DC Huffman table (the scan
+    header assigns a Td PER COMPONENT — libjpeg's default progressive
+    scan script gives luma Td=0 and chroma Td=1 in the interleaved DC
+    scan, so a single shared table misparses real web JPEGs);
     ``comp_of`` is the number of components (for predictor reset)."""
     preds = [0] * comp_of
     for ci, zz in blocks_iter:
         if first:
-            cat = reader.huff(dc_tab)
+            cat = reader.huff(dc_tab_of[ci])
             preds[ci] += _extend(reader.read(cat), cat)
             zz[0] = preds[ci] << al
         else:
@@ -1100,12 +1111,16 @@ def decode_jpeg_progressive(raw: bytes) -> tuple[int, int, np.ndarray]:
                             for bx in range(wb):
                                 yield ci, coefs[ci][by, bx]
 
-                td = scan[0][1]
-                if ah == 0 and td not in dc_tabs:
-                    raise ValueError("missing DC table")
+                if ah == 0:
+                    for (_ci, s_td, _ta) in scan:
+                        if s_td not in dc_tabs:
+                            raise ValueError("missing DC table")
+                dc_tab_of = {
+                    s_ci: dc_tabs.get(s_td) for (s_ci, s_td, _ta) in scan
+                }
                 _decode_dc_scan(
                     reader, dc_blocks(),
-                    dc_tabs.get(td), al, ah == 0, len(comps),
+                    dc_tab_of, al, ah == 0, len(comps),
                 )
             else:
                 if se < ss or se > 63:
@@ -1166,7 +1181,12 @@ def encode_jpeg_progressive_color(
     component (Y, Cb, Cr — AC scans must be single-component,
     G.1.1.1). Same plane prep / quantized coefficients as
     encode_jpeg_color, so the decoded LUMA is bit-identical to the
-    baseline color stream's."""
+    baseline color stream's.
+
+    DC tables follow libjpeg's default layout: luma uses DC table 0
+    (Td=0, K.3.1), chroma uses DC table 1 (Td=1, K.3.3) in the SAME
+    interleaved DC scan — the real-web shape that catches decoders
+    sharing one DC table across scan components."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB")
     if subsample not in ("444", "420"):
@@ -1218,7 +1238,8 @@ def encode_jpeg_progressive_color(
                                 v = dc >> al
                                 cat, bits = _magnitude(v - preds[ci])
                                 preds[ci] = v
-                                code, ln = _DC_ENC[cat]
+                                enc = _DC_ENC if ci == 0 else _CHROMA_DC_ENC
+                                code, ln = enc[cat]
                                 bw_writer.write(code, ln)
                                 if cat:
                                     bw_writer.write(bits, cat)
@@ -1236,10 +1257,16 @@ def encode_jpeg_progressive_color(
     out.append(seg(0xC2, struct.pack(">BHHB", 8, h, w, 3) + sof_comps))
     out.append(seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)))
     out.append(
+        seg(0xC4, b"\x01" + bytes(CHROMA_DC_BITS) + bytes(CHROMA_DC_VALS))
+    )
+    out.append(
         seg(0xC4, b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS))
     )
-    # scan 1: interleaved DC first at Al=1
-    sos_dc = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    # scan 1: interleaved DC first at Al=1 — luma Td=0, chroma Td=1
+    # (libjpeg's default progressive DC table assignment)
+    sos_dc = b"".join(
+        bytes([cid, 0x00 if cid == 1 else 0x10]) for cid in (1, 2, 3)
+    )
     out.append(seg(0xDA, bytes([3]) + sos_dc + bytes([0, 0, 0x01])))
     out.append(dc_scan(1, True))
     # scans 2-4: one spectral-selection AC scan per component (Al=0)

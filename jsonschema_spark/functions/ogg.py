@@ -195,7 +195,12 @@ def encode_ogg_opus(
     pages.append(build_page(serial, 1, 0, [opus_tags_packet()]))
     seq = 2
     done = 0
-    granule = pre_skip  # pre-roll: decoder output starts after pre_skip
+    # RFC 7845 §4.1: the granule position counts ALL decoded samples
+    # from 0 — INCLUDING the pre-skip region (playback subtracts
+    # pre_skip; it is never added to the granule). Starting the
+    # accumulator at pre_skip (the rounds-1..3 convention) over-counts
+    # every granule by pre_skip vs real opusenc output.
+    granule = 0
     while done < n_audio_packets:
         k = min(packets_per_page, n_audio_packets - done)
         pk = [
@@ -593,9 +598,15 @@ def opus_stream_packet_stats(
     packets: Sequence[bytes], pre_skip: int, last_granule: int
 ) -> dict:
     """Stream-level packet audit over the AUDIO packets (callers strip
-    the two header packets): per-packet framing plus the RFC 7845
-    granule cross-check. end_trim = pre_skip + sum_samples -
-    last_granule must lie in [0, last_packet_samples]."""
+    the two header packets): per-packet framing plus the RFC 7845 §4.1
+    granule cross-check. Granules count ALL decoded samples (including
+    the pre-skip region), so end_trim = sum_samples - last_granule must
+    lie in [0, last_packet_samples] and the output duration is
+    last_granule - pre_skip. (Adding pre_skip into end_trim — the
+    rounds-1..3 convention — over-counts trimming by pre_skip against
+    real opusenc files: a valid file whose last packet is shorter than
+    pre_skip would be falsely flagged, while a granule overshooting the
+    decoded total by up to pre_skip would pass.)"""
     n_audio = len(packets)
     total = 0
     frames = 0
@@ -611,7 +622,7 @@ def opus_stream_packet_stats(
         total += s
         frames += nf
         last_samples = s
-    end_trim = pre_skip + total - last_granule
+    end_trim = total - last_granule
     if n_audio == 0 or end_trim < 0 or end_trim > last_samples:
         return {
             "ok": False, "error": "granule_mismatch",
@@ -622,7 +633,7 @@ def opus_stream_packet_stats(
     return {
         "ok": True, "error": None, "n_audio_packets": n_audio,
         "n_frames": frames, "sum_samples": total, "end_trim": end_trim,
-        "duration_ms": (total - end_trim) * 1000 // 48000,
+        "duration_ms": max(0, last_granule - pre_skip) * 1000 // 48000,
     }
 
 
@@ -829,7 +840,7 @@ def encode_ogg_opus_framed(
     ]
     seq = 2
     done = 0
-    gran = pre_skip
+    gran = 0  # RFC 7845 §4.1: granules count all decoded samples from 0
     n = len(audio_packets)
     while done < n:
         k = min(packets_per_page, n - done)

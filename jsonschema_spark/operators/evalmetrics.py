@@ -31,18 +31,21 @@ no per-row windows, no Python):
                            histogram + descending cumulative over bins.
 - ``calibration_report`` / ``expected_calibration_error`` — reliability
                            table and ECE for a [0,1]-score. ECE's numerator is
-                           SUM_b |sum_score_b - n_pos_b| computed in exact
-                           DECIMAL(38,12) (n_b·|avg_b - rate_b| = that), so the
-                           statistic is partition-order independent and
-                           engine-replayable (the F.avg trap in CLAUDE.md).
+                           SUM_b |sum_score_q_b - n_pos_b·2^30| over exact
+                           binary-grid INTEGER score sums (fixed_q;
+                           n_b·|avg_b - rate_b| = that·2^-30), so the statistic
+                           is partition-order independent and engine/build-
+                           replayable (the F.avg trap in CLAUDE.md).
 - ``agreement_report``   — Cohen's kappa between two boolean gate columns
                            (heuristic vs model keep, two annotators, old vs
                            new model) from one 4-cell aggregate.
 
 Determinism contract (shared with stats.moments/correlation_pairs): every
-cross-row float accumulation goes through DECIMAL(38,12); everything after
-the aggregate is a fixed sequence of correctly-rounded double ops, so the
-DuckDB oracles reproduce results bit-for-bit. Rank arithmetic keeps
+cross-row float accumulation goes through exact fixed-point INTEGER sums
+(functions/grid.fixed_q — never a double→scaled-DECIMAL cast, whose tie
+rounding is engine/build-dependent); everything after the aggregate is a
+fixed sequence of correctly-rounded double ops, so the DuckDB oracles
+reproduce results bit-for-bit on any build. Rank arithmetic keeps
 2·ranksum as an exact integer (DECIMAL(38,0) — long overflows past ~3e9
 rows) via the tie-group identity  sum_ranks = n_pos_g·(2·cum_less + n_g + 1)/2.
 
@@ -58,12 +61,20 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from jsonschema_spark.functions.grid import grid_round
+from jsonschema_spark.functions.grid import (
+    FIXED_BIN_INV,
+    fixed_q,
+    grid_round,
+)
 
 from jsonschema_spark.operators.drift import binned_ecdf_bin
 
-_DEC = "decimal(38,12)"
 _DEC0 = "decimal(38,0)"
+# Score sums quantize per row on the exact binary grid floor(s·2^30 + 0.5)
+# (functions/grid.fixed_q) and sum INTEGERS — order-independent AND
+# engine/build-portable; a per-row double→DECIMAL(38,12) cast is the
+# build-dependent trap of the rounds-2/3 driver failures.
+_FIXED_SCALE_LONG = 1 << 30
 
 
 def _scored(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
@@ -337,23 +348,28 @@ def calibration_report(
 ) -> DataFrame:
     """Reliability table for a [lo,hi] score: per occupied bin —
     (bin, n, n_pos, avg_score, pos_rate, gap). ``gap`` = |avg_score −
-    pos_rate| computed as |sum_score − n_pos|/n from the exact DECIMAL sum
-    (one division, one rounding — engine-stable)."""
+    pos_rate| computed as |sum_score_q − n_pos·2^30|·2^-30/n from the
+    exact binary-grid integer score sum (fixed_q — integer subtract, one
+    exact power-of-two scale, one division: engine/build-stable)."""
     d = _scored(df, score_col, label_col)
     g = d.groupBy(
         binned_ecdf_bin(F.col("s"), lo, hi, n_bins).alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("y").cast("long")).alias("n_pos"),
-        F.sum(F.col("s").cast(_DEC)).alias("ssum"),
+        F.sum(fixed_q(F.col("s"))).alias("ssum_q"),
     )
     nd = F.col("n").cast("double")
-    dev = F.abs(F.col("ssum") - F.col("n_pos").cast(_DEC)).cast("double")
+    ssum = F.col("ssum_q").cast("long").cast("double") * F.lit(FIXED_BIN_INV)
+    dev_q = F.abs(
+        F.col("ssum_q").cast("long") - F.col("n_pos") * F.lit(_FIXED_SCALE_LONG)
+    )
+    dev = dev_q.cast("double") * F.lit(FIXED_BIN_INV)
     return g.select(
         "bin",
         "n",
         "n_pos",
-        grid_round(F.col("ssum").cast("double") / nd, 9).alias("avg_score"),
+        grid_round(ssum / nd, 9).alias("avg_score"),
         grid_round(F.col("n_pos") / nd, 9).alias("pos_rate"),
         grid_round(dev / nd, 9).alias("gap"),
     ).orderBy("bin")
@@ -368,28 +384,37 @@ def expected_calibration_error(
     hi: float = 1.0,
 ) -> DataFrame:
     """One row (n, n_bins_present, ece). ECE = SUM_b (n_b/N)·|avg_b −
-    rate_b| = SUM_b |sum_score_b − n_pos_b| / N with the numerator summed in
-    exact DECIMAL — partition-order independent, no per-bin double adds."""
+    rate_b| = SUM_b |sum_score_q_b − n_pos_b·2^30|·2^-30 / N with every
+    cross-row accumulation an exact INTEGER sum (fixed_q binary grid) —
+    partition-order independent, no per-bin double adds, no double→DECIMAL
+    cast."""
     d = _scored(df, score_col, label_col)
     g = d.groupBy(
         binned_ecdf_bin(F.col("s"), lo, hi, n_bins).alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("y").cast("long")).alias("n_pos"),
-        F.sum(F.col("s").cast(_DEC)).alias("ssum"),
+        F.sum(fixed_q(F.col("s"))).alias("ssum_q"),
     )
-    num = F.abs(F.col("ssum") - F.col("n_pos").cast(_DEC))
+    num_q = F.abs(
+        F.col("ssum_q").cast("long") - F.col("n_pos") * F.lit(_FIXED_SCALE_LONG)
+    )
     agg = g.agg(
         F.sum("n").alias("n"),
         F.count(F.lit(1)).alias("n_bins_present"),
-        F.sum(num).alias("dev"),
+        F.sum(num_q.cast(_DEC0)).alias("dev_q"),
     )
     return agg.select(
         "n",
         "n_bins_present",
         F.when(
             F.col("n") > 0,
-            grid_round(F.col("dev").cast("double") / F.col("n").cast("double"), 9),
+            grid_round(
+                F.col("dev_q").cast("long").cast("double")
+                * F.lit(FIXED_BIN_INV)
+                / F.col("n").cast("double"),
+                9,
+            ),
         ).alias("ece"),
     )
 

@@ -17,10 +17,15 @@ Scale design (10^12 rows):
   (broadcast when the header side is small, shuffle otherwise). No windows,
   no driver round-trips.
 - Float determinism: detail amounts are computed per-row in IEEE double
-  (deterministic — same multiply order everywhere) and CAST TO DECIMAL
-  BEFORE SUMMING, so the aggregate is exact and associative — identical
+  (deterministic — same multiply order everywhere), quantized to exact
+  integer MICROS with the explicit grid ``floor(x·1e6 + 0.5)`` (multiply/
+  add/floor are correctly-rounded IEEE ops — identical on any engine or
+  build), and summed as DECIMAL(38,0) — exact and associative, identical
   across engines, partitionings, and retries. Summing raw doubles would
-  make the result depend on merge order.
+  depend on merge order; ``CAST(double AS DECIMAL(p,s>0))`` is the trap
+  this replaced: Spark converts via shortest-repr string + BigDecimal
+  HALF_UP, DuckDB via scaled hugeint arithmetic whose tie rounding has
+  changed between releases — the rounds-2/3 driver hash failures.
 - ``date_completeness`` aggregates the observed domain (distinct on the
   partition value — one narrow shuffle), generates the expected domain
   with ``sequence()`` from the min/max (tiny), and anti-joins. The
@@ -33,8 +38,6 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-DETAIL_DECIMAL = "decimal(28,6)"
 
 
 def reconcile(
@@ -52,23 +55,36 @@ def reconcile(
 
     Returns (key, header_value, detail_total, detail_rows, rel_diff) with
     rel_diff an UNROUNDED double (NULL when no detail rows exist).
-    ``detail_amount`` is any per-row Column; it is cast to DECIMAL(28,6)
-    before aggregation for exact, order-independent sums.
+    ``detail_amount`` is any per-row Column; it is quantized to exact
+    integer MICROS — ``floor(x·1e6 + 0.5)``, each step a correctly-rounded
+    IEEE op — and summed as DECIMAL(38,0) for exact, order-independent,
+    engine-portable sums (precondition |amount| < 9.2e12 per row for the
+    long floor; currency-scale always). ``detail_total`` is the micros sum
+    divided back once (sum/1e6): per-key micros stay far below 2^53, so
+    the BIGINT→double conversion is exact and the single divide correctly
+    rounded — bit-identical in any engine/build.
 
-    rel_diff is deliberately NOT rounded: every op in its chain (decimal
-    cast, subtract, abs, divide, greatest) is a correctly-rounded IEEE
-    operation, so the emitted double is bit-identical across engines.
-    ``round(double, n)`` is not correctly rounded (Spark rounds via exact
-    BigDecimal HALF_UP, DuckDB via float-scaled std::round) and a 1-ulp
-    input difference near a tie flips the 6th decimal — the round-2 driver
-    hash failure on this very operator.
+    rel_diff is deliberately NOT rounded, and the micros path deliberately
+    avoids ``CAST(double AS DECIMAL(p,s))``: Spark converts via shortest-
+    repr string + BigDecimal HALF_UP, DuckDB via scaled hugeint arithmetic
+    whose tie rounding differs between builds — a 1-micro flip on one row
+    changed detail_total AND rel_diff and failed the driver hash in rounds
+    2 and 3 while local DuckDB agreed bit-for-bit.
     """
+    micros = F.floor(detail_amount * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
     agg = (
         detail.where(F.col(detail_key).isNotNull())
         .groupBy(F.col(detail_key).alias("_k"))
         .agg(
-            F.sum(detail_amount.cast(DETAIL_DECIMAL)).alias("detail_total"),
+            F.sum(micros).alias("_dt_micros"),
             F.count(F.lit(1)).alias("detail_rows"),
+        )
+        .select(
+            "_k",
+            (F.col("_dt_micros").cast("long").cast("double") / F.lit(1e6)).alias(
+                "detail_total"
+            ),
+            "detail_rows",
         )
     )
     joined = header.where(F.col(header_key).isNotNull()).join(
@@ -79,7 +95,7 @@ def reconcile(
     # mismatch set; with the floor, h=0 vs d=100 scores rel_diff ~1e14 and
     # is flagged. NULL header values are flagged explicitly.
     rel = (
-        F.abs(F.col(header_value) - F.col("detail_total").cast("double"))
+        F.abs(F.col(header_value) - F.col("detail_total"))
         / F.greatest(F.abs(F.col(header_value)), F.lit(1e-12))
     )
     return (

@@ -377,13 +377,18 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
 
 
 def moments(df: DataFrame, columns: Sequence[str]) -> DataFrame:
-    """Per-column mean / population-stddev with exact DECIMAL(38,12)
+    """Per-column mean / population-stddev with exact two-part fixed-point
     moment sums (order-independent — ``F.avg``/``F.stddev`` accumulate
-    doubles in partition order and are not replayable cross-engine).
-    Returns (column, n, mean, stddev) — same stacked one-pass shape as
+    doubles in partition order and are not replayable cross-engine; a
+    per-row double→DECIMAL(38,12) cast is the build-dependent trap that
+    failed reconcile on the rounds-2/3 drivers — see functions/grid.py).
+    Each moment is quantized per row into (floor(x), floor(frac·2^30+0.5))
+    exact integers and summed as DECIMAL(38,0); reconstruction is one
+    exact 2^-30 multiply + one correctly-rounded add. Returns (column, n,
+    mean, stddev) — same stacked one-pass shape as
     :func:`correlation_pairs`. stddev is the population form
     sqrt(n·sxx - sx²)/n; NULL for n == 0."""
-    dec = "decimal(38,12)"
+    from jsonschema_spark.functions.grid import fixed_parts, fixed_parts_total
     entries = [
         F.when(
             F.col(c).isNotNull(),
@@ -399,14 +404,18 @@ def moments(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         .where(F.col("e").isNotNull())
         .select("e.column", "e.x")
     )
+    x_i, x_f = fixed_parts(F.col("x"))
+    xx_i, xx_f = fixed_parts(F.col("x") * F.col("x"))
     agg = stacked.groupBy("column").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum(x_i).alias("sx_i"),
+        F.sum(x_f).alias("sx_f"),
+        F.sum(xx_i).alias("sxx_i"),
+        F.sum(xx_f).alias("sxx_f"),
     )
     nd = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sxx = F.col("sxx").cast("double")
+    sx = fixed_parts_total("sx_i", "sx_f")
+    sxx = fixed_parts_total("sxx_i", "sxx_f")
     return agg.select(
         "column",
         "n",
@@ -425,11 +434,14 @@ def correlation_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
 
     Determinism design: ``F.corr`` (and any naive double accumulation)
     depends on partition merge order. Here every moment (sum x, sum y,
-    sum x², sum y², sum xy) is a per-row DOUBLE product CAST TO
-    DECIMAL(38,12) BEFORE SUMMING — exact, associative, identical across
-    engines/partitionings/retries (same trick as reconcile's detail
-    sums); Pearson r is then a fixed sequence of correctly-rounded double
-    ops over those exact sums, so DuckDB reproduces it bit-for-bit.
+    sum x², sum y², sum xy) is a per-row DOUBLE product quantized into
+    two-part exact integers — (floor(v), floor(frac·2^30+0.5)), see
+    functions/grid.py — and summed as DECIMAL(38,0): exact, associative,
+    identical across engines/partitionings/retries/builds (a per-row
+    double→scaled-DECIMAL cast is the build-dependent trap that failed
+    reconcile on the rounds-2/3 drivers); Pearson r is then a fixed
+    sequence of correctly-rounded double ops over those exact sums, so
+    DuckDB reproduces it bit-for-bit.
 
     Plan shape: each row explodes into one (pair, x, y) entry per pair
     (codegen'd generator), then ONE narrow groupBy(pair) — partial
@@ -438,7 +450,8 @@ def correlation_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     and no aggregate grows wide enough to fall out of whole-stage codegen
     (the >100-field cliff a one-sum-per-pair wide aggregate hits).
     """
-    dec = "decimal(38,12)"
+    from jsonschema_spark.functions.grid import fixed_parts, fixed_parts_total
+
     pairs = [
         (columns[i], columns[j])
         for i in range(len(columns))
@@ -463,20 +476,25 @@ def correlation_pairs(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         .where(F.col("e").isNotNull())
         .select("e.pair", "e.x", "e.y")
     )
-    agg = stacked.groupBy("pair").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-    )
+    moment_cols = {
+        "sx": F.col("x"),
+        "sy": F.col("y"),
+        "sxx": F.col("x") * F.col("x"),
+        "syy": F.col("y") * F.col("y"),
+        "sxy": F.col("x") * F.col("y"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, expr in moment_cols.items():
+        p_i, p_f = fixed_parts(expr)
+        aggs.append(F.sum(p_i).alias(f"{name}_i"))
+        aggs.append(F.sum(p_f).alias(f"{name}_f"))
+    agg = stacked.groupBy("pair").agg(*aggs)
     nd = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    cov = nd * F.col("sxy").cast("double") - sx * sy
-    vx = nd * F.col("sxx").cast("double") - sx * sx
-    vy = nd * F.col("syy").cast("double") - sy * sy
+    sx = fixed_parts_total("sx_i", "sx_f")
+    sy = fixed_parts_total("sy_i", "sy_f")
+    cov = nd * fixed_parts_total("sxy_i", "sxy_f") - sx * sy
+    vx = nd * fixed_parts_total("sxx_i", "sxx_f") - sx * sx
+    vy = nd * fixed_parts_total("syy_i", "syy_f") - sy * sy
     den = F.sqrt(vx) * F.sqrt(vy)
     return agg.select(
         F.split_part(F.col("pair"), F.lit("\x1f"), F.lit(1)).alias("col_x"),

@@ -309,10 +309,15 @@ def time_rollup(
       0 = the grand total; rolled-up key columns are NULL.
 
     Keys are emitted as explicit-format STRINGS (date_format) so they
-    replay byte-identically in any engine; the value sum accumulates in
-    exact DECIMAL(38,12) (order-independent — a double F.sum is not
-    replayable) and converts to double once. NULL ts/value rows are
-    excluded loudly (count them with a not_null check)."""
+    replay byte-identically in any engine; the value sum accumulates as
+    two-part exact fixed-point integers (floor(v) / floor(frac·2^30+0.5)
+    per row, DECIMAL(38,0) sums — order-independent AND engine/build-
+    portable; a per-row double→DECIMAL(38,12) cast is the build-dependent
+    trap of the rounds-2/3 driver failures, see functions/grid.py) and
+    reconstructs to double once. NULL ts/value rows are excluded loudly
+    (count them with a not_null check)."""
+    from jsonschema_spark.functions.grid import fixed_parts, fixed_parts_total
+
     ts = F.col(ts_col)
     v = F.col(value_col).cast("double")
     base = df.where(ts.isNotNull() & v.isNotNull()).select(
@@ -324,11 +329,13 @@ def time_rollup(
         v.alias("v"),
     )
     gid = F.grouping_id(F.col("day"), F.col("hour"), F.col("minute"))
+    v_i, v_f = fixed_parts(F.col("v"))
     return (
         base.rollup("day", "hour", "minute")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("v").cast("decimal(38,12)")).alias("_sv"),
+            F.sum(v_i).alias("_sv_i"),
+            F.sum(v_f).alias("_sv_f"),
             F.min("v").alias("value_min"),
             F.max("v").alias("value_max"),
             gid.alias("_gid"),
@@ -341,7 +348,7 @@ def time_rollup(
              - F.log2(F.col("_gid").cast("double") + 1).cast("long"))
             .alias("depth"),
             "n",
-            F.col("_sv").cast("double").alias("value_sum"),
+            fixed_parts_total("_sv_i", "_sv_f").alias("value_sum"),
             "value_min",
             "value_max",
         )

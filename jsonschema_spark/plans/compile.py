@@ -875,7 +875,7 @@ class _Compiler:
         if s.min_length is not None and is_stringy:
             out("minLength", F.length(col) >= s.min_length, f"{name} length must be >= {s.min_length}")
         if s.pattern is not None and is_stringy:
-            lint_pattern(s.pattern, f"{ptr}/pattern")
+            lint_pattern(s.pattern, f"{ptr}/pattern", strict=self.opts.strict)
             out("pattern", col.rlike(s.pattern), f'{name} must match pattern "{s.pattern}"')
 
         # ---- array validation ----
@@ -1257,7 +1257,7 @@ class _Compiler:
             out("minLength", ~v_str | (F.length(sval) >= s.min_length),
                 f"{name} length must be >= {s.min_length}")
         if s.pattern is not None:
-            lint_pattern(s.pattern, f"{ptr}/pattern")
+            lint_pattern(s.pattern, f"{ptr}/pattern", strict=self.opts.strict)
             out("pattern", ~v_str | sval.rlike(s.pattern),
                 f'{name} must match pattern "{s.pattern}"')
 
@@ -1437,7 +1437,7 @@ class _Compiler:
         if s.pattern_properties:
             for pat, sub in s.pattern_properties.items():
                 child_ptr = f"{ptr}/patternProperties/{_escape(pat)}"
-                lint_pattern(pat, child_ptr)
+                lint_pattern(pat, child_ptr, strict=self.opts.strict)
                 if is_struct:
                     rx = re.compile(pat)
                     for key, ft in fields.items():
@@ -1501,7 +1501,8 @@ class _Compiler:
                         k.isin(*sorted(declared)) if declared else F.lit(False),
                         F.lit(False),
                     )
-                    & ~_any_rlike(k, [p.pattern for p in patterns]),
+                    & ~_any_rlike(k, [p.pattern for p in patterns],
+                                  strict=self.opts.strict),
                 )
                 if sub.is_false():
                     out(
@@ -1521,7 +1522,8 @@ class _Compiler:
             pn = s.property_names
             pn_ptr = f"{ptr}/propertyNames"
             if is_struct:
-                bad = [k for k in fields if not _static_string_ok(pn, k)]
+                bad = [k for k in fields
+                       if not _static_string_ok(pn, k, self.opts.strict)]
                 for k in bad:
                     kp = f"{path}.{k}" if path else k
                     out(
@@ -1688,7 +1690,8 @@ class _Compiler:
                 if any(re.search(p, key) for p in s.pattern_properties):
                     return True
             else:
-                parts.append(_any_rlike(key_col, list(s.pattern_properties)))
+                parts.append(_any_rlike(key_col, list(s.pattern_properties),
+                                        strict=self.opts.strict))
 
         def add_branch(branch: Schema, applies: Optional[Column] = None) -> None:
             ev = self._props_evaluated(branch, col, dtype, key, key_col)
@@ -1796,13 +1799,13 @@ class _Compiler:
         return raw
 
 
-def _any_rlike(k: Column, patterns: list[str]) -> Column:
+def _any_rlike(k: Column, patterns: list[str], strict: bool = True) -> Column:
     raw = F.lit(False)
     for p in patterns:
         # every dynamic key-regex evaluation funnels through here — the
         # subset lint guards paths (unevaluatedProperties branches) that
         # never pass the patternProperties compile loop
-        lint_pattern(p, "patternProperties")
+        lint_pattern(p, "patternProperties", strict=strict)
         raw = raw | k.rlike(p)
     return raw
 
@@ -1811,7 +1814,7 @@ def _escape(seg: str) -> str:
     return seg.replace("~", "~0").replace("/", "~1")
 
 
-def _static_string_ok(s: Schema, value: str) -> bool:
+def _static_string_ok(s: Schema, value: str, strict: bool = True) -> bool:
     """Compile-time evaluation of a string schema against a literal (used for
     struct propertyNames, whose key set is static)."""
     if s.is_true():
@@ -1826,7 +1829,7 @@ def _static_string_ok(s: Schema, value: str) -> bool:
         # static keys evaluate in Python's dialect — hold them to the
         # same cross-engine subset so a schema compiles either for all
         # engines or for none
-        lint_pattern(s.pattern, "propertyNames/pattern")
+        lint_pattern(s.pattern, "propertyNames/pattern", strict=strict)
         if not re.search(s.pattern, value):
             return False
     if s.enum is not None and value not in s.enum:

@@ -37,19 +37,41 @@ is engine surface, not reference parity.
 from __future__ import annotations
 
 import re
+import warnings
 
 
 class RegexSubsetError(ValueError):
     """Pattern uses a construct outside the documented RE2∩Java subset."""
 
 
+class RegexSubsetWarning(UserWarning):
+    """Non-strict compile: pattern is outside the subset but the schema
+    author opted out of rejection (CompileOptions.strict=False) — the
+    pattern may evaluate differently (or fail) at runtime."""
+
+
 _INLINE_FLAGS_OK = set("ims")
 
 
-def lint_pattern(pattern: str, where: str = "pattern") -> None:
+def lint_pattern(
+    pattern: str, where: str = "pattern", strict: bool = True
+) -> None:
     """Raise RegexSubsetError if ``pattern`` is outside the documented
     cross-engine subset; otherwise return None. Also rejects patterns
-    that do not compile at all."""
+    that do not compile at all. With ``strict=False`` (the
+    CompileOptions.strict opt-out) subset violations downgrade to a
+    RegexSubsetWarning — the schema compiles, the dialect risk is the
+    author's."""
+    if not strict:
+        try:
+            _lint(pattern, where)
+        except RegexSubsetError as e:
+            warnings.warn(str(e), RegexSubsetWarning, stacklevel=2)
+        return
+    _lint(pattern, where)
+
+
+def _lint(pattern: str, where: str) -> None:
 
     def bad(construct: str, at: int) -> None:
         raise RegexSubsetError(
@@ -73,6 +95,18 @@ def lint_pattern(pattern: str, where: str = "pattern") -> None:
                 bad(f"a backreference \\{nxt}", i)
             if nxt in "kgGZKRX":
                 bad(f"the dialect-specific escape \\{nxt}", i)
+            if nxt in "pP" and not in_class:
+                # \p{Name} / \P{Name} / single-letter \pL — consume the
+                # whole construct so its '{' never reaches the brace lint
+                if i + 2 < n and pattern[i + 2] == "{":
+                    j = pattern.find("}", i + 3)
+                    if j == -1:
+                        bad(f"an unterminated \\{nxt}{{...}}", i)
+                    i = j + 1
+                else:
+                    i += 3
+                prev_quant_ok = True
+                continue
             i += 2
             prev_quant_ok = True
             continue
@@ -133,16 +167,25 @@ def lint_pattern(pattern: str, where: str = "pattern") -> None:
             j = pattern.find("}", i)
             body = pattern[i + 1 : j] if j != -1 else ""
             if j != -1 and re.fullmatch(r"\d+(,\d*)?", body):
-                # a real {m,n} quantifier — possessive if followed by '+'
+                # a real {m}/{m,}/{m,n} quantifier — possessive if
+                # followed by '+'; Java rejects a quantifier with no
+                # preceding token where RE2/Python read a literal
                 if j + 1 < n and pattern[j + 1] == "+":
                     bad("a possessive quantifier '{m,n}+'", i)
+                if not prev_quant_ok:
+                    bad("a quantifier '{...}' with nothing to repeat "
+                        "(java.util.regex rejects it; escape as \\{)", i)
                 i = j + 1
                 prev_quant_ok = False
                 continue
-            # literal '{' (or \p{...} body handled after its escape)
-            i += 1
-            prev_quant_ok = True
-            continue
+            # an unescaped '{' NOT forming a valid quantifier: Java
+            # throws 'Illegal repetition' at rlike time for bodies like
+            # '{,5}', '{}' or an unclosed '{' while RE2/Python silently
+            # match it literally — the exact cross-engine divergence
+            # this lint exists to reject. Escape as \{ for a literal.
+            bad("a bare '{' not forming a valid {m}/{m,}/{m,n} "
+                "quantifier (java.util.regex 'Illegal repetition'; "
+                "escape as \\{)", i)
         i += 1
         prev_quant_ok = ch not in "|^$"
     if in_class:
@@ -151,7 +194,9 @@ def lint_pattern(pattern: str, where: str = "pattern") -> None:
         # syntactic sanity check via Python re (close to the common
         # subset); \p{...}/\P{...} are shared by Java+RE2 but absent
         # from Python re — substitute a plain class first
-        re.compile(re.sub(r"\\[pP]\{[^}]*\}", "[a-z]", pattern))
+        re.compile(
+            re.sub(r"\\[pP](\{[^}]*\}|[A-Za-z])", "[a-z]", pattern)
+        )
     except re.error as e:
         raise RegexSubsetError(
             f"{where}: regex {pattern!r} does not compile: {e}"

@@ -191,7 +191,7 @@ def synth_clips(
 # Bump when the generator arithmetic changes: the cache path is content-
 # addressed by (version, n, dur_range, buckets), so stale materializations
 # from earlier rounds can never be read.
-_MATERIALIZE_VERSION = "v3"  # v3: loudness true-peak kernel went float32
+_MATERIALIZE_VERSION = "v4"  # v4: RFC 7845 granule convention (no pre_skip in granules)
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
 
 
@@ -2782,7 +2782,7 @@ def synth_ogg_clips(
             pk = max(1, dur // 20)
             raw = encode_ogg_opus(pk, 1, 312, 16000, seed=i)
             led = ("opus", 1, 16000, 312, 2 + -(-pk // 3), pk + 2,
-                   312 + pk * 960, pk * 960 * 1000 // 48000)
+                   pk * 960, (pk * 960 - 312) * 1000 // 48000)
             sr, codec = 16000, "opus"
         elif cls == 1:  # Opus stereo 48 k, zero pre-skip, 2/page
             pk = max(1, dur // 20)
@@ -2823,14 +2823,15 @@ def synth_ogg_clips(
                            bos=True),
                 build_page(s, 1, 0, [opus_tags_packet()]),
                 # one complete packet + the first 510 B of the long one
-                build_page(s, 2, 312 + 960, [norm, long_pkt[:510]],
+                build_page(s, 2, 960, [norm, long_pkt[:510]],
                            open_ended=True),
                 # continuation tail + one more complete packet, EOS
-                build_page(s, 3, 312 + 3 * 960, [long_pkt[510:], norm],
+                build_page(s, 3, 3 * 960, [long_pkt[510:], norm],
                            cont=True, eos=True),
             ]
             raw = b"".join(pages)
-            led = ("opus", 1, 16000, 312, 4, 5, 312 + 3 * 960, 60)
+            led = ("opus", 1, 16000, 312, 4, 5, 3 * 960,
+                   (3 * 960 - 312) * 1000 // 48000)
             sr, codec = 16000, "opus"
         elif cls == 5:  # torn tail
             raw = encode_ogg_opus(max(1, dur // 20), 1, 312, 16000,
@@ -2853,11 +2854,11 @@ def synth_ogg_clips(
                             bos=True)
             p1 = build_page(s, 1, 0, [opus_tags_packet()])
             if cls == 7:    # sequence gap: page 2 arrives as seq 3
-                p2 = build_page(s, 3, 312 + 960, [pkt], eos=True)
+                p2 = build_page(s, 3, 960, [pkt], eos=True)
             elif cls == 8:  # missing EOS on the final page
-                p2 = build_page(s, 2, 312 + 960, [pkt])
+                p2 = build_page(s, 2, 960, [pkt])
             else:           # 9: serial switch mid-stream
-                p2 = build_page(s + 1, 2, 312 + 960, [pkt], eos=True)
+                p2 = build_page(s + 1, 2, 960, [pkt], eos=True)
             raw = p0 + p1 + p2
             sr, codec = 16000, "opus"
         if led is None:
@@ -2984,7 +2985,8 @@ def synth_mixed_clips(
         elif cls == 5:           # Ogg Opus mono, declared 16 k input
             pk = max(1, dur // 20)
             raw = encode_ogg_opus(pk, 1, 312, 16000, seed=i)
-            led = ("ogg", 16000, 1, None, pk * 20)
+            pdur = (pk * 960 - 312) * 1000 // 48000
+            led = ("ogg", 16000, 1, None, pdur)
             dur_col = pk * 20
         else:                    # 6: Ogg Vorbis mono @16 k
             pk = max(1, dur * 16000 // (1024 * 1000))
@@ -4274,9 +4276,9 @@ def synth_opus_packet_clips(
             total, frames, trim = k * 960, k, 120
             raw = encode_ogg_opus_framed(
                 pk, pre_skip=pre, granule_samples=[960] * k,
-                final_granule=pre + total - trim)
+                final_granule=total - trim)
             led = (True, None, k, frames, total, trim,
-                   (total - trim) * 1000 // 48000)
+                   (total - trim - pre) * 1000 // 48000)
         elif cls == 1:  # code 1 CBR pairs, CELT FB 10 ms
             k = max(1, dur // 20)
             pk = [build_opus_packet(30, 1, [33 + j % 7] * 2, seed=i + j)
@@ -4284,7 +4286,8 @@ def synth_opus_packet_clips(
             total = k * 960
             raw = encode_ogg_opus_framed(
                 pk, pre_skip=pre, granule_samples=[960] * k)
-            led = (True, None, k, 2 * k, total, 0, total * 1000 // 48000)
+            led = (True, None, k, 2 * k, total, 0,
+                   (total - pre) * 1000 // 48000)
         elif cls == 2:  # code 2 VBR pair, 2-byte length code exercised
             k = max(1, dur // 40)
             pk = [build_opus_packet(
@@ -4294,7 +4297,8 @@ def synth_opus_packet_clips(
             raw = encode_ogg_opus_framed(
                 pk, pre_skip=pre, granule_samples=[1920] * k,
                 packets_per_page=2)
-            led = (True, None, k, 2 * k, total, 0, total * 1000 // 48000)
+            led = (True, None, k, 2 * k, total, 0,
+                   (total - pre) * 1000 // 48000)
         elif cls == 3:  # code 3 VBR x3 + padding chain, CELT NB 5 ms
             k = max(1, dur // 15)
             pk = [build_opus_packet(
@@ -4305,7 +4309,8 @@ def synth_opus_packet_clips(
             raw = encode_ogg_opus_framed(
                 pk, pre_skip=pre, granule_samples=[720] * k,
                 packets_per_page=4)
-            led = (True, None, k, 3 * k, total, 0, total * 1000 // 48000)
+            led = (True, None, k, 3 * k, total, 0,
+                   (total - pre) * 1000 // 48000)
         elif cls == 4:  # CBR pair with an ODD split at packet 1
             good = build_opus_packet(9, 0, [40], seed=i)
             bad = bytes(((9 << 3) | 1,)) + b"\x01\x02\x03"
@@ -4323,7 +4328,7 @@ def synth_opus_packet_clips(
                   for j in range(3)]
             raw = encode_ogg_opus_framed(
                 pk, pre_skip=pre, granule_samples=[960] * 3,
-                final_granule=pre + 3 * 960 + 500)
+                final_granule=3 * 960 + 500)
             led = (False, "granule_mismatch", 3, 3, 2880, -500, None)
         else:           # empty audio packet planted at index 2
             good = build_opus_packet(9, 0, [40], seed=i)

@@ -193,7 +193,7 @@ def materialized_jpeg_images(spark: SparkSession, n: int) -> tuple[DataFrame, st
 # and synth ALSO asserts the progressive decode equals the BASELINE
 # decode of the same pixels (quantized coefficients are identical), so
 # the corpus itself certifies Annex G against Annex F.
-_PJPEG_VER = "v2"
+_PJPEG_VER = "v3"  # v3: chroma DC table Td=1 in interleaved DC scan
 PJPEG_SPECTRAL_ONLY = ((0, 0, 0, 0), (1, 31, 0, 0), (32, 63, 0, 0))
 
 

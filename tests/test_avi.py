@@ -236,3 +236,49 @@ def test_avi_walkers_never_crash_on_random_tears():
         avi_frame_chunks(cand)
         avi_audio_pcm(cand)
         avi_audio_meta(cand)
+
+
+def _shrink_chunk(raw: bytes, fourcc: bytes, keep: int) -> bytes:
+    """Rewrite the first `fourcc` chunk to a `keep`-byte body with valid
+    framing (length field updated, remainder of the file intact) — the
+    foreign-AVI shape: correct chunk discipline, short header body."""
+    i = raw.index(fourcc)
+    (ln,) = struct.unpack("<I", raw[i + 4 : i + 8])
+    body = raw[i + 8 : i + 8 + ln]
+    pad = b"\x00" if keep & 1 else b""
+    return (
+        raw[:i]
+        + fourcc
+        + struct.pack("<I", keep)
+        + body[:keep]
+        + pad
+        + raw[i + 8 + ln + (ln & 1):]
+    )
+
+
+def test_short_header_bodies_classified_not_crash():
+    """ADVICE r3: avih/strf chunk bodies SHORTER than their fixed struct
+    (valid framing) must produce an error verdict, not a struct.error
+    that escapes the per-row walker and kills the Spark task."""
+    from jsonschema_spark.functions.avi import avi_audio_meta
+
+    raw = encode_avi_mjpeg(_frames(3))
+    short_avih = _shrink_chunk(raw, b"avih", 40)
+    p = parse_avi_mjpeg(short_avih)
+    assert p["ok"] is False and p["error"] == "truncated"
+    short_strf = _shrink_chunk(raw, b"strf", 10)
+    p = parse_avi_mjpeg(short_strf)
+    assert p["ok"] is False and p["error"] == "truncated"
+    # short auds WAVEFORMATEX → no usable audio stream, not a crash
+    from jsonschema_spark.functions.avi import encode_avi_mjpeg_av
+
+    pcm = np.zeros(1600, dtype=np.int16)
+    av = encode_avi_mjpeg_av(_frames(2), pcm, 16000)
+    # the audio strf is the second strf chunk; shrink the LAST one
+    j = av.rindex(b"strf")
+    (ln,) = struct.unpack("<I", av[j + 4 : j + 8])
+    short = (
+        av[:j] + b"strf" + struct.pack("<I", 8) + av[j + 8 : j + 16]
+        + av[j + 8 + ln + (ln & 1):]
+    )
+    assert avi_audio_meta(short) is None

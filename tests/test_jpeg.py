@@ -369,3 +369,28 @@ def test_progressive_random_scan_scripts_fuzz():
             encode_jpeg_progressive_gray(px, q, tuple(scans))
         )[2]
         assert np.array_equal(base, prog), (trial, h, w, q, scans)
+
+
+def test_progressive_color_uses_distinct_dc_tables():
+    """ADVICE r3: libjpeg's default progressive scan script assigns
+    DISTINCT DC tables in the interleaved DC scan (luma Td=0, chroma
+    Td=1). Pin that the encoder emits that layout (so the corpus
+    exercises it) AND that the decoder selects the table per component
+    (shared-table decoders misparse this bitstream)."""
+    from jsonschema_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    raw = encode_jpeg_progressive_color(rgb, 85, "444")
+    # the interleaved DC SOS: Ns=3, (1,0x00),(2,0x10),(3,0x10), Ss=Se=0
+    assert raw.find(bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0])) > 0
+    # two DC DHT segments present (class 0 ids 0 and 1)
+    assert b"\xff\xc4" in raw
+    base = decode_jpeg_gray(encode_jpeg_color(rgb, 85, "444"))[2]
+    prog = decode_jpeg_progressive(raw)[2]
+    assert np.array_equal(base, prog)

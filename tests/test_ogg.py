@@ -52,8 +52,10 @@ def test_opus_roundtrip():
     assert (r["channels"], r["pre_skip"], r["sample_rate"]) == (1, 312,
                                                                 16000)
     assert r["n_packets"] == 27  # 25 audio + OpusHead + OpusTags
-    assert r["last_granule"] == 312 + 25 * 960
-    assert r["duration_ms"] == 25 * 20  # granule clock is 48 kHz
+    # RFC 7845 §4.1: granules count all decoded samples from 0 (pre_skip
+    # is subtracted at playback, never added to the granule)
+    assert r["last_granule"] == 25 * 960
+    assert r["duration_ms"] == (25 * 960 - 312) * 1000 // 48000
     assert r["crc_pages"] == r["n_pages"]
 
 
@@ -73,8 +75,8 @@ def test_continued_packet_across_pages():
     pages = [
         build_page(s, 0, 0, [opus_head_packet()], bos=True),
         build_page(s, 1, 0, [opus_tags_packet()]),
-        build_page(s, 2, 312 + 960, [long_pkt[:510]], open_ended=True),
-        build_page(s, 3, 312 + 2 * 960, [long_pkt[510:]], cont=True,
+        build_page(s, 2, 960, [long_pkt[:510]], open_ended=True),
+        build_page(s, 3, 2 * 960, [long_pkt[510:]], cont=True,
                    eos=True),
     ]
     r = parse_ogg_stream(b"".join(pages))

@@ -71,12 +71,12 @@ def test_stream_granule_cross_check():
     # end-trim inside the last packet: fine
     trim = parse_opus_packets(
         encode_ogg_opus_framed(
-            pk, granule_samples=[960] * 5, final_granule=312 + 4800 - 959
+            pk, granule_samples=[960] * 5, final_granule=4800 - 959
         )
     )
     assert trim["ok"] and trim["end_trim"] == 959
     # overshoot and over-trim both reject
-    for g in (312 + 4800 + 1, 312 + 4800 - 961):
+    for g in (4800 + 1, 4800 - 961):
         bad = parse_opus_packets(
             encode_ogg_opus_framed(pk, granule_samples=[960] * 5, final_granule=g)
         )

@@ -102,3 +102,34 @@ def test_compile_accepts_subset_pattern(spark):
     )
     st = T.StructType([T.StructField("s", T.StringType())])
     compile_schema(schema, st, CompileOptions())  # no raise
+
+
+def test_illegal_repetition_braces_rejected():
+    """ADVICE r3: '{' bodies Java rejects at rlike time ('{,5}', '{}',
+    unclosed '{', quantifier with nothing to repeat) must be caught at
+    COMPILE time — Python/RE2 read them as literals, so the earlier
+    Python-re sanity check alone let them through to a runtime job
+    failure."""
+    for bad in ["a{,5}", "a{}", "a{", "{2}", "a{x}"]:
+        with pytest.raises(RegexSubsetError):
+            lint_pattern(bad)
+    # valid quantifiers and escaped literal braces stay in the subset
+    for good in ["a{2}", "a{2,}", "a{2,5}", r"\{x\}", "[{}]",
+                 r"\p{Lu}{2}", r"x\pL{1,3}"]:
+        lint_pattern(good)
+
+
+def test_non_strict_downgrades_to_warning():
+    """CompileOptions.strict=False opts out of rejection: the lint warns
+    (RegexSubsetWarning) instead of raising, so previously-compiling
+    lookaround/possessive schemas keep compiling when the author accepts
+    the dialect risk."""
+    import warnings
+
+    from jsonschema_spark.plans.regexlint import RegexSubsetWarning
+
+    for pat in ["(?=x)y", "a{,5}", "a*+"]:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            lint_pattern(pat, strict=False)
+        assert any(issubclass(x.category, RegexSubsetWarning) for x in w)
