@@ -999,7 +999,20 @@ QUERIES = {
 }
 
 
+R1_SUBSET = [
+    "clips_uniqueness", "clips_validate", "column_stats_lineitem",
+    "corpus_summary", "cosine_topk", "curate_documents",
+    "dedup_minhash", "drift_chi2", "drift_ks", "embedding_lsh",
+    "quantiles", "referential", "text_profile",
+    "uniqueness_lineitem", "validate_orders", "validate_part_logic",
+]
+
+
 def main():
+    # --quick: the r1-subset only (the stable cross-round yardstick) —
+    # cheap to re-run in a quiet window before round close (VERDICT r3
+    # item 6); emits the same one-line JSON with "quick": true
+    quick = "--quick" in sys.argv[1:]
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up outside the timed region
@@ -1016,8 +1029,11 @@ def main():
     # run-to-run CPU-steal variance (identical scans measured 2s and 52s
     # back-to-back) and the min is the honest capability
     timings: dict[str, float] = {}
+    bench_queries = (
+        {k: QUERIES[k] for k in R1_SUBSET} if quick else QUERIES
+    )
     for _pass in range(int(os.environ.get("SPARK_GRAFT_PASSES", "3"))):
-        for name, fn in QUERIES.items():
+        for name, fn in bench_queries.items():
             t0 = time.perf_counter()
             fn(spark)
             dt = round(time.perf_counter() - t0, 3)
@@ -1028,13 +1044,7 @@ def main():
     # the 16 queries benchmarked since round 1 — tracked as their own
     # subtotal so round-over-round regression detection stays one
     # subtraction (judge r2 item 8)
-    r1_subset = [
-        "clips_uniqueness", "clips_validate", "column_stats_lineitem",
-        "corpus_summary", "cosine_topk", "curate_documents",
-        "dedup_minhash", "drift_chi2", "drift_ks", "embedding_lsh",
-        "quantiles", "referential", "text_profile",
-        "uniqueness_lineitem", "validate_orders", "validate_part_logic",
-    ]
+    r1_subset = R1_SUBSET
     out = {
         "metric": "total_runtime",
         "value": total,
@@ -1049,6 +1059,8 @@ def main():
         ),
         "passes": int(os.environ.get("SPARK_GRAFT_PASSES", "3")),
     }
+    if quick:
+        out["quick"] = True
     print(json.dumps(out))
     spark.stop()
 
