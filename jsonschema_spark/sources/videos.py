@@ -314,3 +314,131 @@ def materialized_av_videos(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_av_videos(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- H.264 Annex B ledger corpus (VERDICT r3 item 7) -------------------------
+# Structural-walk certification for the web's dominant video codec: NAL
+# discipline, SPS/PPS parse, slice-header frame counting. Six VALID
+# classes exercise profiles/crop/multi-slice/POC-1/EPB-heavy payloads;
+# six planted-failure classes cover the NAL error taxonomy with exact
+# error@index strings. Ledger truth is generator arithmetic — the
+# walker never runs at synth time.
+_H264_VER = "v1"
+H264_CLASS_MOD = 12
+
+H264_VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_n_nals", T.IntegerType(), True),
+        T.StructField("_n_frames", T.IntegerType(), True),
+        T.StructField("_n_idr", T.IntegerType(), True),
+        T.StructField("_n_slices", T.IntegerType(), True),
+        T.StructField("_profile", T.IntegerType(), True),
+        T.StructField("_level", T.IntegerType(), True),
+        T.StructField("_w", T.IntegerType(), True),
+        T.StructField("_h", T.IntegerType(), True),
+    ]
+)
+
+
+def _h264_row(i: int) -> tuple:
+    from jsonschema_spark.functions.h264 import (
+        NAL_PPS,
+        NAL_SPS,
+        _nal,
+        build_pps,
+        build_slice_nal,
+        build_sps,
+        encode_h264_stream,
+    )
+
+    cls = i % H264_CLASS_MOD
+    k = 4 + (_hash(i) >> 8) % 9  # 4..12 frames
+    vid = f"h264-{i:06d}"
+    led = None
+    if cls == 0:      # baseline, single-slice frames
+        raw = encode_h264_stream(k, idr_period=6, seed=i)
+        led = (k + 2, k, -(-k // 6), k, 66, 30, 64, 48)
+    elif cls == 1:    # High profile + frame cropping (non-16-multiple dims)
+        raw = encode_h264_stream(
+            k, profile_idc=100, width_mbs=5, height_mbs=4,
+            crop_right=3, crop_bottom=2, seed=i,
+        )
+        led = (k + 2, k, -(-k // 8), k, 100, 30, 74, 60)
+    elif cls == 2:    # multi-slice frames: count pictures, not slices
+        raw = encode_h264_stream(k, slices_per_frame=3, seed=i)
+        led = (3 * k + 2, k, -(-k // 8), 3 * k, 66, 30, 64, 48)
+    elif cls == 3:    # pic_order_cnt_type 1 SPS branch
+        raw = encode_h264_stream(k, poc_type=1, seed=i)
+        led = (k + 2, k, -(-k // 8), k, 66, 30, 64, 48)
+    elif cls == 4:    # EPB-heavy payloads (long runs forcing 00 00 03)
+        raw = encode_h264_stream(k, payload_bytes=260, seed=i)
+        led = (k + 2, k, -(-k // 8), k, 66, 30, 64, 48)
+    elif cls == 5:    # level/size variant (level 41, bigger mb grid)
+        raw = encode_h264_stream(k, width_mbs=8, height_mbs=6, seed=i)
+        led = (k + 2, k, -(-k // 8), k, 66, 30, 128, 96)
+    elif cls == 6:    # torn mid-SPS: the truncation class
+        full = _nal(NAL_SPS, build_sps())
+        raw = full[:7] + encode_h264_stream(k, seed=i)[len(full):]
+        led = None
+        err = "truncated@0"
+    elif cls == 7:    # forbidden bit set on the first slice NAL
+        head = _nal(NAL_SPS, build_sps()) + _nal(NAL_PPS, build_pps())
+        sl = build_slice_nal(True, 0, seed=i)
+        flipped = sl[:4] + bytes((sl[4] | 0x80,)) + sl[5:]
+        raw = head + flipped
+        err = "forbidden_bit@2"
+    elif cls == 8:    # slice before PPS
+        raw = (
+            _nal(NAL_SPS, build_sps())
+            + build_slice_nal(True, 0, seed=i)
+            + _nal(NAL_PPS, build_pps())
+        )
+        err = "slice_before_pps@1"
+    elif cls == 9:    # reserved NAL type planted mid-stream
+        good = encode_h264_stream(3, seed=i)
+        raw = good + _nal(17, b"\x55\xaa")
+        err = "reserved_nal@5"
+    elif cls == 10:   # §7.4.1.1 violation: raw 00 00 02 in a payload
+        head = _nal(NAL_SPS, build_sps()) + _nal(NAL_PPS, build_pps())
+        raw = head + b"\x00\x00\x00\x01\x65" + b"\x22\x00\x00\x02\x11"
+        err = "epb_violation@2"
+    else:             # stream opens with a non-IDR picture
+        raw = (
+            _nal(NAL_SPS, build_sps())
+            + _nal(NAL_PPS, build_pps())
+            + build_slice_nal(False, 0, seed=i)
+        )
+        err = "no_idr_start@2"
+    if led is None:
+        out = (False, err, None, None, None, None, None, None, None, None)
+    else:
+        out = (True, None) + led
+    return (vid, bytearray(raw), i) + out
+
+
+def synth_h264_videos(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_h264_row),
+        H264_VIDEOS_SCHEMA,
+    )
+
+
+def h264_videos_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"videos_h264_{_H264_VER}_{n}")
+
+
+def materialized_h264_videos(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    path = h264_videos_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_h264_videos(spark, n), path)
+    return spark.read.parquet(path), path
