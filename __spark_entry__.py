@@ -3392,6 +3392,53 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VORBIS_DEC_N = 320
+
+
+def _q_clips_vorbis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Vorbis I SAMPLE decode (VERDICT r3 item 5 — the SNR
+    invariant on a genuinely lossy web codec, one tier past the r3
+    packet certification): payloads are real Ogg-Vorbis streams
+    (functions/vorbis — codebook Huffman/VQ, floor-1 curve synthesis
+    with the exact integer render_line, type-2 residue partitions,
+    IMDCT + §4.3.7 windows incl. 128/1024 window switching,
+    center-aligned overlap-add) decoded in ONE Arrow hop and compared
+    against the regenerated reference signal. Clean classes must clear
+    the 30 dB SNR gate (synth asserts >= 33 dB margin); planted torn
+    tails, page-CRC flips and setup-sync corruption must fail loudly
+    with the exact ledger error. Oracle = the synth-time decode of the
+    same payloads (the ADPCM protocol — encode -> store -> distribute
+    -> decode certified end-to-end); Opus SILK/CELT sample decode
+    remains the documented ceiling."""
+    from jsonschema_spark.functions.vorbis import audio_vorbis_decode_profile
+    from jsonschema_spark.sources.clips import (
+        VORBIS_DEC_SNR_GATE_DB,
+        materialized_vorbis_decode_clips,
+    )
+
+    clips, _ = materialized_vorbis_decode_clips(spark, _VORBIS_DEC_N)
+    prof = clips.select(
+        "clip_id",
+        audio_vorbis_decode_profile("bytes", "clip_id", "sr_hz",
+                                    "dur_ms").alias("p"),
+    )
+    return prof.select(
+        "clip_id",
+        F.col("p.ok").alias("vb_ok"),
+        F.col("p.error").alias("vb_error"),
+        F.col("p.n_samples").alias("n_samples"),
+        F.col("p.channels").alias("channels"),
+        F.col("p.dec_md5").alias("dec_md5"),
+        F.when(
+            F.col("p.ok"),
+            F.coalesce(
+                F.col("p.snr_db") >= F.lit(VORBIS_DEC_SNR_GATE_DB),
+                F.lit(False),
+            ),
+        ).alias("snr_ok"),
+    )
+
+
 _H264_N = 360
 
 
@@ -5277,6 +5324,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "suite_report_orders",
     "clips_ogg_walk",
     "clips_opus_packets",
+    "clips_vorbis_decode",
     "images_jpeg_progressive",
     "videos_mjpeg_integrity",
     "videos_mjpeg_frames",
@@ -5313,7 +5361,6 @@ _DRIVER_SAMPLE_PREFIX = [
     "clips_drift_report",
     "drift_ks_binned_events",
     "drift_psi_value_binned",
-    "drift_matrix_events",
     # temporal / joins
     "sessionize_events",
     "asof_attribution_events",
@@ -5522,6 +5569,7 @@ def _registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "videos_mjpeg_integrity": _q_videos_mjpeg_integrity,
         "videos_av_demux": _q_videos_av_demux,
         "videos_h264_nals": _q_videos_h264_nals,
+        "clips_vorbis_decode": _q_clips_vorbis_decode,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -7938,6 +7986,29 @@ def _videos_av_demux_sql() -> str:
                CAST(_sr AS INTEGER) AS sample_rate,
                CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
                _audio_md5 AS audio_md5
+        FROM {src}
+    """
+
+
+def _clips_vorbis_decode_sql() -> str:
+    """Real-Vorbis decode oracle: the synth-time decode ledger
+    (fingerprints + SNR-gate booleans; planted-failure error strings)."""
+    from jsonschema_spark.sources.clips import (
+        VORBIS_DEC_SNR_GATE_DB,
+        vorbis_decode_clips_path,
+    )
+
+    src = f"read_parquet('{vorbis_decode_clips_path(_VORBIS_DEC_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _ok AS vb_ok,
+               _err AS vb_error,
+               CAST(_n_samples AS BIGINT) AS n_samples,
+               CAST(_channels AS INTEGER) AS channels,
+               _dec_md5 AS dec_md5,
+               CASE WHEN _ok
+                    THEN COALESCE(_snr_db >= CAST({VORBIS_DEC_SNR_GATE_DB!r} AS DOUBLE), FALSE)
+               END AS snr_ok
         FROM {src}
     """
 
@@ -11794,6 +11865,7 @@ def oracle_sql() -> dict[str, str]:
         "videos_mjpeg_integrity": _videos_mjpeg_integrity_sql(),
         "videos_av_demux": _videos_av_demux_sql(),
         "videos_h264_nals": _videos_h264_nals_sql(),
+        "clips_vorbis_decode": _clips_vorbis_decode_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

@@ -861,8 +861,9 @@ def encode_ogg_opus_framed(
 # with the "vorbis" magic) must appear in order; the ident's blocksize
 # nibbles must satisfy 64 <= bs0 <= bs1 <= 8192 with the framing bit
 # set; every audio packet must be non-empty with the type LSB clear
-# (audio packets are type-even by spec). Mode/window decode needs the
-# setup codebooks — out of scope without libvorbis, documented ceiling.
+# (audio packets are type-even by spec). FULL sample decode (setup
+# codebooks, floor-1, residue, IMDCT) lives in functions/vorbis.py
+# (round 4); this walk remains the cheap structural tier.
 
 _VORBIS_PKT_FIELDS = (
     "ok", "error", "n_audio_packets", "blocksize_0", "blocksize_1",

@@ -4478,3 +4478,151 @@ def materialized_vorbis_packet_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_vorbis_packet_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- REAL Vorbis decoded-PCM ledger corpus (VERDICT r3 item 5) ---------------
+# The SNR invariant on a genuinely lossy web codec: payloads are real
+# Ogg-Vorbis streams produced by functions/vorbis.encode_vorbis_clip
+# (floor-1 + type-2 residue + IMDCT/window per the Vorbis I spec) around
+# the engine's deterministic reference signal; the contract query
+# re-decodes them sample-by-sample. Five VALID classes (mono/stereo,
+# equal blocksizes, 128/1024 window switching, 8-22.05 kHz) + three
+# planted failures (torn tail, page-CRC bit flip, setup-header sync
+# corruption). Ledger truth = the synth-time decode of the SAME payload
+# (the ADPCM protocol: encode -> store -> distribute -> decode certified
+# end-to-end); synth asserts every clean row clears the SNR gate with
+# margin and every planted failure raises the EXACT ledger error.
+VORBIS_DEC_CLASS_MOD = 8
+VORBIS_DEC_SNR_GATE_DB = 30.0
+_VORBIS_DEC_SYNTH_MARGIN_DB = 33.0  # synth-time floor for clean rows
+
+VORBIS_DEC_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_n_samples", T.LongType(), True),
+        T.StructField("_channels", T.IntegerType(), True),
+        T.StructField("_dec_md5", T.StringType(), True),
+        T.StructField("_snr_db", T.DoubleType(), True),
+    ]
+)
+
+
+def synth_vorbis_decode_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (250, 700),
+) -> DataFrame:
+    """Real-Vorbis ledger corpus (class roster above)."""
+    import pandas as _pd
+
+    from jsonschema_spark.functions.vorbis import (
+        encode_vorbis_clip,
+        encode_vorbis_packets,
+        frame_vorbis_packets,
+        vorbis_decode_profile_batch,
+        vorbis_reference,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % VORBIS_DEC_CLASS_MOD
+        base_cls = cls if cls < 5 else (cls - 5)  # failures reuse shapes
+        sr, ch, kw = [
+            (16000, 1, {}),
+            (16000, 2, {}),
+            (16000, 1, dict(bs0=128, bs1=1024, switching=True)),
+            (22050, 2, dict(bs0=128, bs1=1024, switching=True)),
+            (8000, 1, dict(bs0=512, bs1=512)),
+        ][base_cls]
+        n_src = sr * dur // 1000
+        src = vorbis_reference(cid, n_src, ch)
+        serial = 0x5600 + i % 251
+        err = None
+        if cls == 7:
+            # setup-header codebook sync corrupted BEFORE framing, so
+            # every page CRC stays valid and the CODEC layer must be
+            # the one that rejects
+            packets, centers = encode_vorbis_packets(src, sr, **kw)
+            setup = bytearray(packets[2])
+            setup[8] ^= 0xFF  # first codebook sync byte after \x05vorbis
+            packets[2] = bytes(setup)
+            raw = frame_vorbis_packets(packets, centers, serial)
+            err = "bad_codebook_sync"
+        else:
+            raw, _dec_n = encode_vorbis_clip(src, sr, serial=serial, **kw)
+        if cls == 5:      # torn tail: Ogg container walk must reject
+            raw = raw[:-7]
+            err = "truncated"
+        elif cls == 6:    # body bit flip: page CRC must catch it
+            b = bytearray(raw)
+            b[-3] ^= 0x01
+            raw = bytes(b)
+            err = "crc_mismatch"
+        # ledger = the synth-time decode of the exact stored payload
+        prof = vorbis_decode_profile_batch(
+            _pd.Series([bytearray(raw)]), _pd.Series([cid]),
+            _pd.Series([sr]), _pd.Series([dur]),
+        ).iloc[0]
+        if err is None:
+            if not bool(prof["ok"]):
+                raise AssertionError(
+                    f"clean vorbis row {i} failed decode: {prof['error']}"
+                )
+            if float(prof["snr_db"]) < _VORBIS_DEC_SYNTH_MARGIN_DB:
+                raise AssertionError(
+                    f"vorbis row {i} SNR {prof['snr_db']:.1f} below the "
+                    f"synth margin {_VORBIS_DEC_SYNTH_MARGIN_DB}"
+                )
+            led = (True, None, int(prof["n_samples"]),
+                   int(prof["channels"]), str(prof["dec_md5"]),
+                   float(prof["snr_db"]))
+        else:
+            if bool(prof["ok"]) or str(prof["error"]) != err:
+                raise AssertionError(
+                    f"planted vorbis failure {i} decoded as "
+                    f"{prof['ok']}/{prof['error']}, expected {err}"
+                )
+            led = (False, err, None, None, None, None)
+        return (cid, bytearray(raw), sr, dur, "vorbis",
+                transcript_for(cid), i) + led
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_n_samples",
+                "_channels", "_dec_md5", "_snr_db"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=VORBIS_DEC_CLIPS_SCHEMA
+    )
+
+
+def vorbis_decode_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_vorbisdec_{n}")
+
+
+def materialized_vorbis_decode_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Real-Vorbis ledger table materialized once (oracle-cache
+    protocol)."""
+    import os
+
+    path = vorbis_decode_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_vorbis_decode_clips(spark, n), path)
+    return spark.read.parquet(path), path
