@@ -3392,6 +3392,45 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP4_N = 300
+
+
+def _q_videos_mp4_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF / MP4 structural walk (round 4 — the container tier
+    beside the h264 Annex B walk): box discipline (size tiling, 64-bit
+    largesize, ftyp-first, exactly one moov, mdat presence), moov parse
+    (mvhd/tkhd/mdhd/hdlr), full sample tables (stsd incl. avc1 + avcC
+    whose EMBEDDED SPS is parsed by the Annex B machinery and cross-
+    checked against the stsd entry; stts/stsz/stsc/stco) and the
+    consistency gates (stts total == stsz count, chunk offsets inside
+    mdat, avcC dims == stsd dims). Corpus: five valid classes (video-
+    only, A/V with 'sowt' PCM, High profile, 30 fps, High+audio) + five
+    planted failures; ledger truth is generator arithmetic."""
+    from jsonschema_spark.functions.mp4 import video_mp4_profile
+    from jsonschema_spark.sources.videos import materialized_mp4_videos
+
+    vids, _ = materialized_mp4_videos(spark, _MP4_N)
+    prof = vids.select("video_id", video_mp4_profile("bytes").alias("p"))
+    return prof.select(
+        "video_id",
+        F.col("p.ok").alias("mp4_ok"),
+        F.col("p.error").alias("mp4_error"),
+        F.col("p.major_brand").alias("major_brand"),
+        F.col("p.n_tracks").alias("n_tracks"),
+        F.col("p.video_codec").alias("video_codec"),
+        F.col("p.width").alias("width"),
+        F.col("p.height").alias("height"),
+        F.col("p.video_samples").alias("video_samples"),
+        F.col("p.profile_idc").alias("profile_idc"),
+        F.col("p.audio_codec").alias("audio_codec"),
+        F.col("p.sample_rate").alias("sample_rate"),
+        F.col("p.channels").alias("channels"),
+        F.col("p.audio_samples").alias("audio_samples"),
+        F.col("p.duration_ms").alias("duration_ms"),
+        F.col("p.tables_consistent").alias("tables_consistent"),
+    )
+
+
 _VORBIS_DEC_N = 320
 
 
@@ -5330,6 +5369,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "videos_mjpeg_frames",
     "videos_av_demux",
     "videos_h264_nals",
+    "videos_mp4_structure",
     # audio codec ladder — never driver-sampled in r1-r3
     "clips_flac_decode",
     "clips_flac_lpc_decode",
@@ -5360,7 +5400,6 @@ _DRIVER_SAMPLE_PREFIX = [
     "clips_drift_matrix_codec",
     "clips_drift_report",
     "drift_ks_binned_events",
-    "drift_psi_value_binned",
     # temporal / joins
     "sessionize_events",
     "asof_attribution_events",
@@ -5570,6 +5609,7 @@ def _registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "videos_av_demux": _q_videos_av_demux,
         "videos_h264_nals": _q_videos_h264_nals,
         "clips_vorbis_decode": _q_clips_vorbis_decode,
+        "videos_mp4_structure": _q_videos_mp4_structure,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -7986,6 +8026,33 @@ def _videos_av_demux_sql() -> str:
                CAST(_sr AS INTEGER) AS sample_rate,
                CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
                _audio_md5 AS audio_md5
+        FROM {src}
+    """
+
+
+def _videos_mp4_structure_sql() -> str:
+    """MP4 ledger oracle: generator-arithmetic truth (box/track/sample
+    counts, SPS-derived dims, consistency gates, error strings)."""
+    from jsonschema_spark.sources.videos import mp4_videos_path
+
+    src = f"read_parquet('{mp4_videos_path(_MP4_N)}/*.parquet')"
+    return f"""
+        SELECT video_id,
+               _ok AS mp4_ok,
+               _err AS mp4_error,
+               _brand AS major_brand,
+               CAST(_n_tracks AS INTEGER) AS n_tracks,
+               _vcodec AS video_codec,
+               CAST(_w AS INTEGER) AS width,
+               CAST(_h AS INTEGER) AS height,
+               CAST(_vsamp AS INTEGER) AS video_samples,
+               CAST(_profile AS INTEGER) AS profile_idc,
+               _acodec AS audio_codec,
+               CAST(_sr AS INTEGER) AS sample_rate,
+               CAST(_ch AS INTEGER) AS channels,
+               CAST(_asamp AS INTEGER) AS audio_samples,
+               CAST(_dur AS BIGINT) AS duration_ms,
+               _consistent AS tables_consistent
         FROM {src}
     """
 
@@ -11866,6 +11933,7 @@ def oracle_sql() -> dict[str, str]:
         "videos_av_demux": _videos_av_demux_sql(),
         "videos_h264_nals": _videos_h264_nals_sql(),
         "clips_vorbis_decode": _clips_vorbis_decode_sql(),
+        "videos_mp4_structure": _videos_mp4_structure_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

@@ -442,3 +442,122 @@ def materialized_h264_videos(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_h264_videos(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- ISO-BMFF / MP4 ledger corpus (round 4) ----------------------------------
+# Box-discipline + sample-table certification for the container that
+# carries most real-web video. Five VALID classes (video-only baseline,
+# A/V with 'sowt' PCM, High profile, higher fps, High+audio) + five
+# planted failures (torn tail, stts/stsz count disagreement, corrupt
+# avcC profile, missing ftyp, chunk offset outside mdat). Ledger truth
+# is generator arithmetic.
+_MP4_VER = "v1"
+MP4_CLASS_MOD = 10
+
+MP4_VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_brand", T.StringType(), True),
+        T.StructField("_n_tracks", T.IntegerType(), True),
+        T.StructField("_vcodec", T.StringType(), True),
+        T.StructField("_w", T.IntegerType(), True),
+        T.StructField("_h", T.IntegerType(), True),
+        T.StructField("_vsamp", T.IntegerType(), True),
+        T.StructField("_profile", T.IntegerType(), True),
+        T.StructField("_acodec", T.StringType(), True),
+        T.StructField("_sr", T.IntegerType(), True),
+        T.StructField("_ch", T.IntegerType(), True),
+        T.StructField("_asamp", T.IntegerType(), True),
+        T.StructField("_dur", T.LongType(), True),
+        T.StructField("_consistent", T.BooleanType(), True),
+    ]
+)
+
+
+def _mp4_row(i: int) -> tuple:
+    import struct as _st
+
+    from jsonschema_spark.functions.mp4 import encode_mp4_h264
+
+    cls = i % MP4_CLASS_MOD
+    k = 6 + (_hash(i) >> 9) % 10  # 6..15 frames
+    vid = f"mp4-{i:06d}"
+    base_cls = cls if cls < 5 else (cls - 5)
+    cfg = [
+        dict(),
+        dict(audio_samples=2000 + (i % 5) * 400),
+        dict(profile_idc=100, width_mbs=6, height_mbs=4),
+        dict(fps=30),
+        dict(profile_idc=100, audio_samples=1600, audio_sr=8000),
+    ][base_cls]
+    raw = encode_mp4_h264(k, seed=i, **cfg)
+    fps = cfg.get("fps", 25)
+    w = 16 * cfg.get("width_mbs", 4)
+    h = 16 * cfg.get("height_mbs", 3)
+    asamp = cfg.get("audio_samples")
+    led = ("isom", 2 if asamp else 1, "avc1", w, h, k,
+           cfg.get("profile_idc", 66),
+           "sowt" if asamp else None,
+           cfg.get("audio_sr", 16000) if asamp else None,
+           1 if asamp else None, asamp,
+           k * 1000 // fps, True)
+    err = None
+    if cls == 5:      # torn tail
+        raw = raw[:-11]
+        err = "truncated"
+    elif cls == 6:    # stts total != stsz count (consistency gate)
+        j = raw.index(b"stts")
+        b = bytearray(raw)
+        cnt = _st.unpack(">I", raw[j + 12 : j + 16])[0]
+        b[j + 12 : j + 16] = _st.pack(">I", cnt + 1)
+        raw = bytes(b)
+        led = led[:-1] + (False,)
+    elif cls == 7:    # avcC profile disagrees with its embedded SPS
+        a = raw.index(b"avcC")
+        b = bytearray(raw)
+        b[a + 5] = 244
+        raw = bytes(b)
+        err = "avcc_sps_mismatch"
+    elif cls == 8:    # ftyp stripped
+        p = raw.index(b"ftyp") - 4
+        (sz,) = _st.unpack(">I", raw[p : p + 4])
+        raw = raw[p + sz :]
+        err = "missing_ftyp"
+    elif cls == 9:    # first chunk offset beyond the file
+        kk = raw.index(b"stco")
+        b = bytearray(raw)
+        b[kk + 12 : kk + 16] = _st.pack(">I", len(raw) + 64)
+        raw = bytes(b)
+        led = led[:-1] + (False,)
+    if err is not None:
+        out = (False, err) + (None,) * 13
+    else:
+        out = (True, None) + led
+    return (vid, bytearray(raw), i) + out
+
+
+def synth_mp4_videos(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_mp4_row),
+        MP4_VIDEOS_SCHEMA,
+    )
+
+
+def mp4_videos_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"videos_mp4_{_MP4_VER}_{n}")
+
+
+def materialized_mp4_videos(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    path = mp4_videos_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_mp4_videos(spark, n), path)
+    return spark.read.parquet(path), path

@@ -1,0 +1,100 @@
+"""ISO-BMFF / MP4 structural walk (functions/mp4.py) — box discipline,
+sample tables, avcC cross-checks. Spec: ISO/IEC 14496-12/-15 (public)."""
+
+import struct
+
+import pytest
+
+from jsonschema_spark.functions.mp4 import (
+    encode_mp4_h264,
+    parse_avcc,
+    parse_mp4,
+    walk_boxes,
+)
+
+
+def test_round_trip_video_only():
+    p = parse_mp4(encode_mp4_h264(12, seed=1))
+    assert p["ok"] and p["video_samples"] == 12
+    assert (p["width"], p["height"]) == (64, 48)
+    assert p["profile_idc"] == 66 and p["tables_consistent"]
+    assert p["duration_ms"] == 12 * 1000 // 25
+
+
+def test_round_trip_av_high_profile():
+    p = parse_mp4(
+        encode_mp4_h264(8, width_mbs=5, height_mbs=4, profile_idc=100,
+                        audio_samples=3000, audio_sr=8000, seed=2)
+    )
+    assert p["ok"] and p["n_tracks"] == 2
+    assert p["audio_codec"] == "sowt" and p["sample_rate"] == 8000
+    assert p["audio_samples"] == 3000 and p["profile_idc"] == 100
+
+
+def test_largesize_and_to_eof_boxes():
+    raw = encode_mp4_h264(4, seed=3)
+    # rewrite mdat as a largesize box: size=1 + 64-bit size
+    i = raw.index(b"mdat") - 4
+    (sz,) = struct.unpack(">I", raw[i : i + 4])
+    big = (
+        raw[:i]
+        + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", sz + 8)
+        + raw[i + 8 : i + sz]
+        + raw[i + sz :]
+    )
+    # chunk offsets shifted by 8 — patch stco
+    j = big.index(b"stco")
+    n = struct.unpack(">I", big[j + 8 : j + 12])[0]
+    b = bytearray(big)
+    for k in range(n):
+        o = struct.unpack(">I", big[j + 12 + 4 * k : j + 16 + 4 * k])[0]
+        b[j + 12 + 4 * k : j + 16 + 4 * k] = struct.pack(">I", o + 8)
+    p = parse_mp4(bytes(b))
+    assert p["ok"] and p["tables_consistent"], p
+
+
+def test_failure_taxonomy():
+    raw = encode_mp4_h264(10, seed=4)
+    assert parse_mp4(raw[:-9])["error"] == "truncated"
+    assert parse_mp4(b"\x00\x00\x00\x08free" + raw)["error"] == (
+        "missing_ftyp"
+    )
+    # avcC profile byte disagreeing with its embedded SPS
+    a = raw.index(b"avcC")
+    b = bytearray(raw)
+    b[a + 5] = 244
+    assert parse_mp4(bytes(b))["error"] == "avcc_sps_mismatch"
+    # stts/stsz disagreement -> consistency gate, not a parse error
+    j = raw.index(b"stts")
+    b = bytearray(raw)
+    cnt = struct.unpack(">I", raw[j + 12 : j + 16])[0]
+    b[j + 12 : j + 16] = struct.pack(">I", cnt + 1)
+    p = parse_mp4(bytes(b))
+    assert p["ok"] and p["tables_consistent"] is False
+
+
+def test_ledger_corpus_independent_pin():
+    from jsonschema_spark.functions.mp4 import MP4_PROFILE_FIELDS
+    from jsonschema_spark.sources.videos import MP4_CLASS_MOD, _mp4_row
+
+    for i in range(2 * MP4_CLASS_MOD):
+        row = _mp4_row(i)
+        p = parse_mp4(bytes(row[1]))
+        assert tuple(p[f] for f in MP4_PROFILE_FIELDS) == row[3:], i
+
+
+def test_walker_never_crashes_on_random_tears():
+    import random
+
+    rng = random.Random(11)
+    raw = encode_mp4_h264(6, audio_samples=1000, seed=5)
+    for _ in range(150):
+        if rng.random() < 0.5:
+            cand = raw[: rng.randrange(len(raw) + 1)]
+        else:
+            b = bytearray(raw)
+            for _k in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            cand = bytes(b)
+        p = parse_mp4(cand)
+        assert isinstance(p["ok"], bool)
