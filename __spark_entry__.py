@@ -3392,6 +3392,42 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ADTS_N = 360
+
+
+def _q_clips_aac_adts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC ADTS frame-walk certification (round 4 — the web's dominant
+    lossy-audio bitstream after MP3): per-frame syncword/layer/
+    sampling-index/channel validation against ISO 14496-3, CRC-16
+    verification on protected frames (the MPEG polynomial shared with
+    the MP3 walker), exact next-frame positioning from the declared
+    aac_frame_length (no resync scanning — junk between frames is a
+    framing error), cross-frame parameter constancy, and duration from
+    (raw_data_blocks+1)*1024 samples/frame. Payload bits stay opaque
+    (AAC Huffman decode needs the MDCT toolchain — documented ceiling,
+    same stance as MP3). Corpus: five valid classes (Main/LC/SSR/LTP,
+    8-48 kHz, mono/stereo, CRC frames, multi-block frames) + four
+    planted failures with exact error@index strings; ledger truth is
+    generator arithmetic."""
+    from jsonschema_spark.functions.aac import audio_adts_profile
+    from jsonschema_spark.sources.clips import materialized_adts_clips
+
+    clips, _ = materialized_adts_clips(spark, _ADTS_N)
+    prof = clips.select("clip_id", audio_adts_profile("bytes").alias("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.ok").alias("adts_ok"),
+        F.col("p.error").alias("adts_error"),
+        F.col("p.n_frames").alias("n_frames"),
+        F.col("p.profile").alias("aac_profile"),
+        F.col("p.sample_rate").alias("sample_rate"),
+        F.col("p.channels").alias("channels"),
+        F.col("p.crc_frames").alias("crc_frames"),
+        F.col("p.total_blocks").alias("total_blocks"),
+        F.col("p.duration_ms").alias("duration_ms"),
+    )
+
+
 _MP4_N = 300
 
 
@@ -5385,6 +5421,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "clips_wav_depths",
     "clips_mp3_headers",
     "clips_vorbis_packets",
+    "clips_aac_adts",
     "clips_containers",
     "clips_container_dispatch",
     # dedup family
@@ -5394,7 +5431,6 @@ _DRIVER_SAMPLE_PREFIX = [
     "span_dedup_documents",
     "audio_containment_clips",
     "image_dhash",
-    "image_near_dup_pairs",
     # drift family
     "clips_drift_wasserstein",
     "clips_drift_matrix_codec",
@@ -5610,6 +5646,7 @@ def _registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "videos_h264_nals": _q_videos_h264_nals,
         "clips_vorbis_decode": _q_clips_vorbis_decode,
         "videos_mp4_structure": _q_videos_mp4_structure,
+        "clips_aac_adts": _q_clips_aac_adts,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -8026,6 +8063,27 @@ def _videos_av_demux_sql() -> str:
                CAST(_sr AS INTEGER) AS sample_rate,
                CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
                _audio_md5 AS audio_md5
+        FROM {src}
+    """
+
+
+def _clips_aac_adts_sql() -> str:
+    """ADTS ledger oracle: generator-arithmetic truth (frame/block
+    counts, profile/rate/channels, CRC counts, error@index strings)."""
+    from jsonschema_spark.sources.clips import adts_clips_path
+
+    src = f"read_parquet('{adts_clips_path(_ADTS_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _ok AS adts_ok,
+               _err AS adts_error,
+               CAST(_n_frames AS INTEGER) AS n_frames,
+               _profile AS aac_profile,
+               CAST(_sr AS INTEGER) AS sample_rate,
+               CAST(_ch AS INTEGER) AS channels,
+               CAST(_crc_frames AS INTEGER) AS crc_frames,
+               CAST(_blocks AS INTEGER) AS total_blocks,
+               CAST(_dur AS BIGINT) AS duration_ms
         FROM {src}
     """
 
@@ -11934,6 +11992,7 @@ def oracle_sql() -> dict[str, str]:
         "videos_h264_nals": _videos_h264_nals_sql(),
         "clips_vorbis_decode": _clips_vorbis_decode_sql(),
         "videos_mp4_structure": _videos_mp4_structure_sql(),
+        "clips_aac_adts": _clips_aac_adts_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

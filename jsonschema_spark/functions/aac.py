@@ -1,0 +1,214 @@
+"""AAC ADTS STRUCTURAL validation (ISO/IEC 14496-3 §1.A.2, public) —
+the dominant web lossy-audio bitstream after MP3, completing the
+compressed-audio ladder's structural tier: MP3 frame walk / Ogg page
+walk / Opus packet framing / Vorbis sample decode / **ADTS frame walk**.
+
+Per frame (7-byte header, 9 with CRC):
+- syncword 0xFFF (12 bits), MPEG version ID (1), layer (2 — MUST be 00),
+  protection_absent (1);
+- profile/object type (2 bits: Main/LC/SSR/LTP), sampling_frequency_index
+  (4 bits against the normative 13-entry table — 13/14 reserved, 15
+  forbidden), private (1), channel_configuration (3), original (1),
+  home (1);
+- copyright id bit/start (2), aac_frame_length (13, INCLUDING the
+  header), adts_buffer_fullness (11), number_of_raw_data_blocks (2);
+- CRC-16 (the MPEG polynomial 0x8005, shared with the MP3 walker) when
+  protection_absent == 0 — presence/length certified; payload bits stay
+  opaque (AAC Huffman decode needs the full MDCT toolchain; documented
+  ceiling, same stance as MP3).
+
+Stream discipline: every frame syncs exactly at the previous frame's
+declared end (no resync scanning — a declared length that misses the
+next sync is a framing error, the torn-upload signature), and profile /
+sampling rate / channel configuration must stay CONSTANT across frames
+(a mid-stream parameter change is a corrupt concatenation). Duration =
+sum over frames of (raw_data_blocks + 1) * 1024 samples at the header
+rate. One Arrow hop per clip, no shuffles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ISO 14496-3 sampling_frequency_index table (13 valid entries)
+ADTS_SR_TABLE = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+
+ADTS_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+SAMPLES_PER_BLOCK = 1024
+
+
+def build_adts_frame(
+    payload: bytes,
+    sr_index: int = 8,
+    profile: int = 1,
+    channels: int = 1,
+    crc: bool = False,
+    raw_blocks: int = 0,
+    frame_length_override: int | None = None,
+    layer: int = 0,
+    sync_break: bool = False,
+) -> bytes:
+    """One ADTS frame around an opaque payload (ledger corpora + tests;
+    the override/layer/sync knobs plant exact violations)."""
+    from jsonschema_spark.functions.mp3 import crc16_mpeg
+
+    hdr_len = 9 if crc else 7
+    flen = (
+        frame_length_override
+        if frame_length_override is not None
+        else hdr_len + len(payload)
+    )
+    bits = 0
+    bits = (bits << 12) | (0xFFE if sync_break else 0xFFF)
+    bits = (bits << 1) | 0  # MPEG-4
+    bits = (bits << 2) | layer
+    bits = (bits << 1) | (0 if crc else 1)  # protection_absent
+    bits = (bits << 2) | profile
+    bits = (bits << 4) | sr_index
+    bits = (bits << 1) | 0  # private
+    bits = (bits << 3) | channels
+    bits = (bits << 1) | 0  # original
+    bits = (bits << 1) | 0  # home
+    bits = (bits << 1) | 0  # copyright id bit
+    bits = (bits << 1) | 0  # copyright id start
+    bits = (bits << 13) | (flen & 0x1FFF)
+    bits = (bits << 11) | 0x7FF  # buffer fullness: VBR marker
+    bits = (bits << 2) | raw_blocks
+    head = bits.to_bytes(7, "big")
+    if crc:
+        c = crc16_mpeg(head)
+        return head + c.to_bytes(2, "big") + payload
+    return head + payload
+
+
+def encode_adts_stream(
+    n_frames: int,
+    sr_index: int = 8,
+    profile: int = 1,
+    channels: int = 1,
+    crc: bool = False,
+    raw_blocks: int = 0,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic conforming ADTS stream with seeded opaque payloads."""
+    out = []
+    for f in range(n_frames):
+        n = 60 + (seed + f * 7) % 120
+        payload = bytes(((i * 31 + seed + f) % 251) for i in range(n))
+        out.append(
+            build_adts_frame(payload, sr_index, profile, channels, crc,
+                             raw_blocks)
+        )
+    return b"".join(out)
+
+
+ADTS_PROFILE_FIELDS = (
+    "ok", "error", "n_frames", "profile", "sample_rate", "channels",
+    "crc_frames", "total_blocks", "duration_ms",
+)
+
+ADTS_PROFILE_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("profile", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("crc_frames", T.IntegerType()),
+        T.StructField("total_blocks", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def _adts_fail(err: str) -> dict:
+    d = {k: None for k in ADTS_PROFILE_FIELDS}
+    d["ok"] = False
+    d["error"] = err
+    return d
+
+
+def parse_adts_stream(raw: bytes) -> dict:
+    raw = bytes(raw)
+    n = len(raw)
+    if n < 7:
+        return _adts_fail("too_short")
+    pos = 0
+    k = 0
+    params = None
+    crc_frames = 0
+    total_blocks = 0
+    while pos < n:
+        if n - pos < 7:
+            return _adts_fail(f"truncated@{k}")
+        h = int.from_bytes(raw[pos : pos + 7], "big")
+        if (h >> 44) != 0xFFF:
+            return _adts_fail(f"bad_sync@{k}" if k else "no_sync")
+        layer = (h >> 41) & 0x3
+        if layer != 0:
+            return _adts_fail(f"bad_layer@{k}")
+        protection_absent = (h >> 40) & 1
+        profile = (h >> 38) & 0x3
+        sr_index = (h >> 34) & 0xF
+        if sr_index >= len(ADTS_SR_TABLE):
+            return _adts_fail(f"bad_sr_index@{k}")
+        channels = (h >> 30) & 0x7
+        if channels == 0:
+            return _adts_fail(f"bad_channels@{k}")  # PCE config: out of scope
+        flen = (h >> 13) & 0x1FFF
+        raw_blocks = h & 0x3
+        hdr_len = 7 if protection_absent else 9
+        if flen < hdr_len:
+            return _adts_fail(f"bad_frame_length@{k}")
+        if pos + flen > n:
+            return _adts_fail(f"truncated@{k}")
+        if not protection_absent:
+            from jsonschema_spark.functions.mp3 import crc16_mpeg
+
+            stored = int.from_bytes(raw[pos + 7 : pos + 9], "big")
+            if crc16_mpeg(raw[pos : pos + 7]) != stored:
+                return _adts_fail(f"crc_mismatch@{k}")
+            crc_frames += 1
+        these = (profile, sr_index, channels)
+        if params is None:
+            params = these
+        elif these != params:
+            return _adts_fail(f"param_change@{k}")
+        total_blocks += raw_blocks + 1
+        pos += flen
+        k += 1
+    if k == 0 or params is None:
+        return _adts_fail("no_sync")
+    sr = ADTS_SR_TABLE[params[1]]
+    return {
+        "ok": True, "error": None, "n_frames": k,
+        "profile": ADTS_PROFILES[params[0]],
+        "sample_rate": sr, "channels": params[2],
+        "crc_frames": crc_frames, "total_blocks": total_blocks,
+        "duration_ms": total_blocks * SAMPLES_PER_BLOCK * 1000 // sr,
+    }
+
+
+def adts_profile_batch(p: pd.Series) -> pd.DataFrame:
+    rows = [parse_adts_stream(bytes(x)) for x in p]
+    return pd.DataFrame(rows, columns=list(ADTS_PROFILE_FIELDS))
+
+
+@F.pandas_udf(ADTS_PROFILE_TYPE)
+def _adts_udf(p: pd.Series) -> pd.DataFrame:
+    return adts_profile_batch(p)
+
+
+def audio_adts_profile(payload: Column | str = "bytes") -> Column:
+    """struct(ok, error, n_frames, profile, sample_rate, channels,
+    crc_frames, total_blocks, duration_ms): ADTS frame-walk
+    certification per clip, one Arrow hop."""
+    return _adts_udf(F.col(payload) if isinstance(payload, str) else payload)

@@ -4626,3 +4626,132 @@ def materialized_vorbis_decode_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_vorbis_decode_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- AAC ADTS ledger corpus (round 4) ----------------------------------------
+# Frame-walk certification for the web's dominant lossy-audio bitstream
+# after MP3: five VALID classes (profiles Main/LC/SSR/LTP, 8-48 kHz,
+# mono/stereo, CRC-protected frames, multi-raw-block frames) + four
+# planted-failure classes with exact error@index strings. Ledger truth
+# is generator arithmetic.
+ADTS_CLASS_MOD = 9
+
+ADTS_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_n_frames", T.IntegerType(), True),
+        T.StructField("_profile", T.StringType(), True),
+        T.StructField("_sr", T.IntegerType(), True),
+        T.StructField("_ch", T.IntegerType(), True),
+        T.StructField("_crc_frames", T.IntegerType(), True),
+        T.StructField("_blocks", T.IntegerType(), True),
+        T.StructField("_dur", T.LongType(), True),
+    ]
+)
+
+
+def synth_adts_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+    dur_range: tuple[int, int] = (200, 900),
+) -> DataFrame:
+    """ADTS ledger corpus (class roster above)."""
+    from jsonschema_spark.functions.aac import (
+        ADTS_PROFILES,
+        ADTS_SR_TABLE,
+        build_adts_frame,
+        encode_adts_stream,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    dur_min, dur_max = dur_range
+    log_lo, log_hi = np.log(dur_min), np.log(dur_max)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        u = ((h >> 16) % 1_000_000) / 1_000_000.0
+        dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
+        cid = f"clip-{i:012d}"
+        cls = i % ADTS_CLASS_MOD
+        k = max(3, dur // 30)
+        base_cls = cls if cls < 5 else (cls - 5) % 5
+        prof, sridx, ch, crc, blocks = [
+            (1, 8, 1, False, 0),   # LC 16k mono
+            (0, 4, 2, True, 0),    # Main 44.1k stereo + CRC
+            (1, 11, 1, False, 2),  # LC 8k, 3 raw blocks per frame
+            (3, 6, 2, False, 0),   # LTP 24k stereo
+            (2, 3, 2, True, 0),    # SSR 48k stereo + CRC
+        ][base_cls]
+        raw = encode_adts_stream(k, sridx, prof, ch, crc, blocks, seed=i)
+        sr = ADTS_SR_TABLE[sridx]
+        tb = k * (blocks + 1)
+        led = (k, ADTS_PROFILES[prof], sr, ch, k if crc else 0, tb,
+               tb * 1024 * 1000 // sr)
+        err = None
+        if cls == 5:      # torn tail lands in the last frame
+            raw = raw[:-5]
+            err = f"truncated@{k - 1}"
+        elif cls == 6:    # mid-stream parameter change
+            j = max(1, k // 2)
+            raw = (
+                encode_adts_stream(j, sridx, prof, ch, crc, blocks, seed=i)
+                + encode_adts_stream(k - j, 5, prof, ch, crc, blocks,
+                                     seed=i)
+            )
+            err = f"param_change@{j}"
+        elif cls == 7:    # layer bits set on a planted frame
+            j = max(1, k // 3)
+            good = encode_adts_stream(j, sridx, prof, ch, crc, blocks,
+                                      seed=i)
+            bad = build_adts_frame(b"\x10" * 40, sridx, prof, ch, crc,
+                                   blocks, layer=3)
+            raw = good + bad
+            err = f"bad_layer@{j}"
+        elif cls == 8:    # junk between frames: the next sync misses
+            j = max(1, k // 2)
+            good = encode_adts_stream(j + 1, sridx, prof, ch, crc,
+                                      blocks, seed=i)
+            tailf = encode_adts_stream(2, sridx, prof, ch, crc, blocks,
+                                       seed=i + 1)
+            raw = good + b"\x22\x22\x22\x22" + tailf
+            err = f"bad_sync@{j + 1}"
+        if err is not None:
+            out = (False, err, None, None, None, None, None, None, None)
+        else:
+            out = (True, None) + led
+        return (cid, bytearray(raw), sr, dur, "aac",
+                transcript_for(cid), i) + out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_n_frames",
+                "_profile", "_sr", "_ch", "_crc_frames", "_blocks",
+                "_dur"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=ADTS_CLIPS_SCHEMA
+    )
+
+
+def adts_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_adts_{n}")
+
+
+def materialized_adts_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """ADTS ledger table materialized once (oracle-cache protocol)."""
+    import os
+
+    path = adts_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_adts_clips(spark, n), path)
+    return spark.read.parquet(path), path

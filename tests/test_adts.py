@@ -1,0 +1,94 @@
+"""AAC ADTS frame walk (functions/aac.py) — ISO/IEC 14496-3 §1.A.2."""
+
+import pytest
+
+from jsonschema_spark.functions.aac import (
+    ADTS_SR_TABLE,
+    build_adts_frame,
+    encode_adts_stream,
+    parse_adts_stream,
+)
+
+
+def test_round_trip_profiles_rates():
+    for prof, sridx, ch, crc, blocks in [
+        (1, 8, 1, False, 0), (0, 4, 2, True, 0), (2, 3, 2, True, 0),
+        (3, 6, 2, False, 0), (1, 11, 1, False, 2),
+    ]:
+        raw = encode_adts_stream(12, sridx, prof, ch, crc, blocks, seed=3)
+        p = parse_adts_stream(raw)
+        assert p["ok"] and p["n_frames"] == 12
+        assert p["sample_rate"] == ADTS_SR_TABLE[sridx]
+        assert p["channels"] == ch
+        assert p["crc_frames"] == (12 if crc else 0)
+        assert p["total_blocks"] == 12 * (blocks + 1)
+        assert p["duration_ms"] == (
+            12 * (blocks + 1) * 1024 * 1000 // ADTS_SR_TABLE[sridx]
+        )
+
+
+def test_failure_taxonomy_exact_errors():
+    raw = encode_adts_stream(8, seed=4)
+    assert parse_adts_stream(raw[:-5])["error"] == "truncated@7"
+    assert parse_adts_stream(b"\x12" * 40)["error"] == "no_sync"
+    b = bytearray(encode_adts_stream(4, crc=True, seed=5))
+    b[8] ^= 1  # stored CRC byte
+    assert parse_adts_stream(bytes(b))["error"] == "crc_mismatch@0"
+    assert parse_adts_stream(
+        raw + build_adts_frame(b"x" * 10, layer=2)
+    )["error"] == "bad_layer@8"
+    assert parse_adts_stream(
+        build_adts_frame(b"x" * 10, sr_index=15)
+    )["error"] == "bad_sr_index@0"
+    mix = encode_adts_stream(3, 8, seed=6) + encode_adts_stream(2, 5, seed=6)
+    assert parse_adts_stream(mix)["error"] == "param_change@3"
+    junk = encode_adts_stream(2, seed=7) + b"\x44" * 4 + encode_adts_stream(
+        1, seed=8
+    )
+    assert parse_adts_stream(junk)["error"] == "bad_sync@2"
+    assert parse_adts_stream(
+        build_adts_frame(b"x" * 9, frame_length_override=5)
+    )["error"] == "bad_frame_length@0"
+
+
+def test_ledger_corpus_matches_walker(spark):
+    """Every materialized ledger row equals the walker verdict — the
+    generator-arithmetic contract the oracle serves."""
+    from jsonschema_spark.functions.aac import audio_adts_profile
+    from jsonschema_spark.sources.clips import materialized_adts_clips
+
+    clips, _ = materialized_adts_clips(spark, 54)
+    got = clips.select(
+        "_row_idx", "_ok", "_err", "_n_frames", "_profile", "_sr", "_ch",
+        "_crc_frames", "_blocks", "_dur",
+        audio_adts_profile("bytes").alias("p"),
+    ).collect()
+    assert len(got) == 54
+    for r in got:
+        assert r["p"]["ok"] == r["_ok"], r["_row_idx"]
+        assert r["p"]["error"] == r["_err"], r["_row_idx"]
+        if r["_ok"]:
+            assert r["p"]["n_frames"] == r["_n_frames"]
+            assert r["p"]["profile"] == r["_profile"]
+            assert r["p"]["sample_rate"] == r["_sr"]
+            assert r["p"]["channels"] == r["_ch"]
+            assert r["p"]["crc_frames"] == r["_crc_frames"]
+            assert r["p"]["total_blocks"] == r["_blocks"]
+            assert r["p"]["duration_ms"] == r["_dur"]
+
+
+def test_walker_never_crashes_on_random_tears():
+    import random
+
+    rng = random.Random(13)
+    raw = encode_adts_stream(10, crc=True, seed=9)
+    for _ in range(150):
+        if rng.random() < 0.5:
+            cand = raw[: rng.randrange(len(raw) + 1)]
+        else:
+            b = bytearray(raw)
+            for _k in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            cand = bytes(b)
+        p = parse_adts_stream(cand)
+        assert isinstance(p["ok"], bool)
