@@ -17,6 +17,10 @@ Routing:
   format carries them) + header sample rate/channels
 - mp3 -> ISO 11172-3/13818-3 frame-header walk (functions/mp3.py)
 - ogg -> RFC 3533 page walk + Opus/Vorbis ident (functions/ogg.py)
+- adts -> ISO 14496-3 AAC ADTS frame walk (functions/aac.py; sniffed
+  BEFORE mp3 — both share the 0xFFF sync, ADTS is layer 00)
+- mp4 -> ISO-BMFF box walk (functions/mp4.py); profiled via its audio
+  track when one exists, not_audio_container otherwise
 - no known magic -> 'raw' little-endian PCM16 (n_samples = len/2; no
   header to disagree with, so metadata gates fall back to the column
   rate for the duration check)
@@ -83,6 +87,12 @@ def container_sniff(raw: bytes) -> str:
         return "au"
     if raw[:4] == b"OggS":
         return "ogg"
+    if len(raw) >= 8 and raw[4:8] == b"ftyp":
+        return "mp4"
+    # ADTS before MP3: both start 0xFFF; ADTS has layer bits 00 where
+    # MPEG audio layers are 01/10/11
+    if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xF6) == 0xF0:
+        return "adts"
     if raw[:3] == b"ID3" or (
         len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
     ):
@@ -165,6 +175,35 @@ def _profile_one(raw: bytes) -> dict:
                     ok=True, sample_rate=r["sample_rate"],
                     channels=r["channels"],
                     parsed_dur_ms=r["duration_ms"],
+                )
+        elif kind == "adts":
+            from jsonschema_spark.functions.aac import parse_adts_stream
+
+            r = parse_adts_stream(raw)
+            if not r["ok"]:
+                out["error"] = r["error"]
+            else:
+                out.update(
+                    ok=True, sample_rate=r["sample_rate"],
+                    channels=r["channels"],
+                    parsed_dur_ms=r["duration_ms"],
+                )
+        elif kind == "mp4":
+            from jsonschema_spark.functions.mp4 import parse_mp4
+
+            r = parse_mp4(raw)
+            if not r["ok"]:
+                out["error"] = r["error"]
+            elif r["audio_codec"] is None:
+                out["error"] = "not_audio_container"
+            else:
+                out.update(
+                    ok=True, sample_rate=r["sample_rate"],
+                    channels=r["channels"],
+                    n_samples=r["audio_samples"],
+                    parsed_dur_ms=(
+                        r["audio_samples"] * 1000 // r["sample_rate"]
+                    ),
                 )
         elif kind in ("avi", "riff_other"):
             # a video/other RIFF payload in an AUDIO column is never ok
@@ -330,6 +369,10 @@ CODEC_ACCEPT: dict[str, tuple[str, ...]] = {
     "ogg": ("ogg",),
     "opus": ("ogg",),
     "vorbis": ("ogg",),
+    "aac": ("adts", "mp4"),
+    "adts": ("adts",),
+    "mp4": ("mp4",),
+    "m4a": ("mp4",),
 }
 
 

@@ -191,7 +191,7 @@ def synth_clips(
 # Bump when the generator arithmetic changes: the cache path is content-
 # addressed by (version, n, dur_range, buckets), so stale materializations
 # from earlier rounds can never be read.
-_MATERIALIZE_VERSION = "v4"  # v4: RFC 7845 granule convention (no pre_skip in granules)
+_MATERIALIZE_VERSION = "v5"  # v5: mixed corpus adds ADTS + MP4 dispatch classes
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
 
 
@@ -2903,11 +2903,13 @@ def materialized_ogg_clips(
 # --- mixed-container dispatch ledger corpus ----------------------------------
 # One corpus, every container family the engine knows: decodable (WAV,
 # real FLAC, AIFF stereo, AU mu-law), structural (MP3 frame walk, Ogg
-# Opus/Vorbis page walk), plus two metadata-violation classes (header
-# sample rate disagreeing with the sr_hz COLUMN; parsed duration
-# disagreeing with dur_ms) and a torn class. Ledger truth is generator
-# arithmetic; gate booleans are replayed from it in the oracle.
-MIXED_CLASS_MOD = 10
+# Opus/Vorbis page walk, AAC ADTS frame walk, ISO-BMFF/MP4 audio-track
+# profile — the round-4 classes), plus two metadata-violation classes
+# (header sample rate disagreeing with the sr_hz COLUMN; parsed
+# duration disagreeing with dur_ms) and a torn class. Ledger truth is
+# generator arithmetic; gate booleans are replayed from it in the
+# oracle.
+MIXED_CLASS_MOD = 12
 MIXED_CLS_BAD_RATE = 7
 MIXED_CLS_BAD_DUR = 8
 MIXED_CLS_TORN = 9
@@ -2988,12 +2990,29 @@ def synth_mixed_clips(
             pdur = (pk * 960 - 312) * 1000 // 48000
             led = ("ogg", 16000, 1, None, pdur)
             dur_col = pk * 20
-        else:                    # 6: Ogg Vorbis mono @16 k
+        elif cls == 6:           # Ogg Vorbis mono @16 k
             pk = max(1, dur * 16000 // (1024 * 1000))
             raw = encode_ogg_vorbis(pk, 1, 16000, seed=i)
             pdur = pk * 1024 * 1000 // 16000
             led = ("ogg", 16000, 1, None, pdur)
             dur_col = pdur
+        elif cls == 10:          # AAC ADTS LC mono @16 k (round 4)
+            from jsonschema_spark.functions.aac import encode_adts_stream
+
+            pk = max(1, dur * 16000 // (1024 * 1000))
+            raw = encode_adts_stream(pk, 8, 1, 1, seed=i)
+            pdur = pk * 1024 * 1000 // 16000
+            led = ("adts", 16000, 1, None, pdur)
+            dur_col = pdur
+        else:                    # 11: MP4 with a 'sowt' PCM track (round 4)
+            from jsonschema_spark.functions.mp4 import encode_mp4_h264
+
+            m = 16000 * dur // 1000
+            raw = encode_mp4_h264(
+                6 + i % 5, audio_samples=m, audio_sr=16000, seed=i
+            )
+            led = ("mp4", 16000, 1, m, m * 1000 // 16000)
+            dur_col = m * 1000 // 16000
         if err:
             # magic still sniffs (the container IS identifiable); every
             # downstream metric and gate fails
