@@ -45,6 +45,7 @@ from __spark_entry__ import ORDERS_JSON_SCHEMA
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CLIPS_N = int(os.environ.get("SPARK_GRAFT_CLIPS", "20000"))
+_VORBISDEC_BENCH_N = 1280  # real-Vorbis decode corpus rows for the bench query
 
 
 def build_spark() -> SparkSession:
@@ -905,6 +906,32 @@ def q_model_eval(spark: SparkSession):
     return auc, ece
 
 
+def q_clips_vorbis_decode(spark: SparkSession):
+    """REAL Vorbis I sample decode + SNR invariant over the materialized
+    decode-ledger corpus (round 4): codebook Huffman/VQ, floor-1 curve,
+    type-2 residues, IMDCT + window switching, batch-CRC'd Ogg layer —
+    one Arrow hop; reports pass/fail + SNR-gate counts."""
+    from jsonschema_spark.functions.vorbis import audio_vorbis_decode_profile
+    from jsonschema_spark.sources.clips import (
+        VORBIS_DEC_SNR_GATE_DB,
+        materialized_vorbis_decode_clips,
+    )
+
+    clips, _ = materialized_vorbis_decode_clips(spark, _VORBISDEC_BENCH_N)
+    p = clips.select(
+        audio_vorbis_decode_profile(
+            "bytes", "clip_id", "sr_hz", "dur_ms"
+        ).alias("p")
+    )
+    return p.select(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.ok").cast("long")).alias("n_ok"),
+        F.sum(
+            (F.col("p.snr_db") >= VORBIS_DEC_SNR_GATE_DB).cast("long")
+        ).alias("n_snr_ok"),
+    ).collect()
+
+
 def q_clips_bandwidth(spark: SparkSession):
     """Bandwidth/upsample consistency over half the clips table: decode ->
     zero-crossing count in one Arrow hop -> JVM gate booleans; reports the
@@ -993,6 +1020,7 @@ QUERIES = {
     "asof_attribution": q_asof_attribution,
     "join_guard": q_join_guard,
     "model_eval": q_model_eval,
+    "clips_vorbis_decode": q_clips_vorbis_decode,
     "clips_bandwidth": q_clips_bandwidth,
     "clips_transcode": q_clips_transcode,
     "suggest": q_suggest,

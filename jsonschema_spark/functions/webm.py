@@ -1,0 +1,388 @@
+"""WebM / Matroska STRUCTURAL validation (EBML, RFC 8794 + the public
+Matroska/WebM specs) — the second dominant web video container beside
+ISO-BMFF, completing the `videos_*` container tier: MJPEG-AVI (RIFF),
+MP4 (ISO-BMFF), WebM (EBML).
+
+Scope (no sample decode — VP8/VP9/AV1 need libvpx/libaom; documented
+ceiling, same stance as h264 payloads):
+
+- EBML primitives: variable-length element IDs (leading-bit class) and
+  VINT data sizes incl. the all-ones "unknown size" marker (legal ONLY
+  on Segment), exact tiling — an element overrunning its parent or the
+  file is a torn upload.
+- EBML header discipline: magic 0x1A45DFA3 first, DocType must be
+  "webm" or "matroska", EBMLReadVersion <= 1.
+- Segment walk: Info (TimestampScale, float Duration), Tracks
+  (TrackEntry: number, type, CodecID, Video PixelWidth/PixelHeight,
+  Audio SamplingFrequency/Channels), Clusters (Timestamp + SimpleBlock
+  track-number VINTs counted per track).
+- Consistency: every SimpleBlock must reference a declared track;
+  track numbers unique; video/audio metadata complete for their types.
+
+One Arrow hop per file; no shuffles.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# element IDs (with their class-prefix bits, as they appear in streams)
+EBML_HEADER = 0x1A45DFA3
+SEGMENT = 0x18538067
+INFO = 0x1549A966
+TRACKS = 0x1654AE6B
+CLUSTER = 0x1F43B675
+DOCTYPE = 0x4282
+EBML_READ_VERSION = 0x42F7
+TIMESTAMP_SCALE = 0x2AD7B1
+DURATION = 0x4489
+TRACK_ENTRY = 0xAE
+TRACK_NUMBER = 0xD7
+TRACK_TYPE = 0x83
+CODEC_ID = 0x86
+VIDEO = 0xE0
+AUDIO = 0xE1
+PIXEL_WIDTH = 0xB0
+PIXEL_HEIGHT = 0xBA
+SAMPLING_FREQUENCY = 0xB5
+CHANNELS = 0x9F
+TIMESTAMP = 0xE7
+SIMPLE_BLOCK = 0xA3
+
+_KNOWN_CODECS = {
+    "V_VP8", "V_VP9", "V_AV1", "V_MPEG4/ISO/AVC",
+    "A_OPUS", "A_VORBIS", "A_PCM/INT/LIT",
+}
+
+_MASTERS = {SEGMENT, INFO, TRACKS, CLUSTER, TRACK_ENTRY, VIDEO, AUDIO}
+
+
+def read_vint(raw: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, next_pos). ``keep_marker`` True for element IDs (the
+    length-marker bit stays part of the ID), False for data sizes."""
+    if pos >= len(raw):
+        raise ValueError("truncated")
+    first = raw[pos]
+    if first == 0:
+        raise ValueError("bad_vint")
+    length = 9 - first.bit_length()  # leading-zeros + 1
+    if pos + length > len(raw):
+        raise ValueError("truncated")
+    v = first if keep_marker else first & (0xFF >> length)
+    for k in range(1, length):
+        v = (v << 8) | raw[pos + k]
+    return v, pos + length
+
+
+def _vint_is_unknown(size: int, first_byte: int) -> bool:
+    length = 9 - first_byte.bit_length()
+    return size == (1 << (7 * length)) - 1
+
+
+def walk_ebml(raw: bytes, pos: int, end: int, depth: int = 0):
+    """Yield (element_id, body_start, body_end, unknown_size)."""
+    if depth > 8:
+        raise ValueError("ebml_depth")
+    while pos < end:
+        eid, p2 = read_vint(raw, pos, True)
+        first = raw[p2] if p2 < len(raw) else 0
+        size, p3 = read_vint(raw, p2, False)
+        unknown = _vint_is_unknown(size, first)
+        if unknown:
+            if eid != SEGMENT:
+                raise ValueError("unknown_size")
+            yield eid, p3, end, True
+            return
+        if p3 + size > end:
+            raise ValueError("truncated")
+        yield eid, p3, p3 + size, False
+        pos = p3 + size
+
+
+def _uint(raw: bytes, a: int, b: int) -> int:
+    return int.from_bytes(raw[a:b], "big")
+
+
+def _float(raw: bytes, a: int, b: int) -> float:
+    if b - a == 4:
+        return struct.unpack(">f", raw[a:b])[0]
+    if b - a == 8:
+        return struct.unpack(">d", raw[a:b])[0]
+    raise ValueError("bad_float")
+
+
+WEBM_PROFILE_FIELDS = (
+    "ok", "error", "doctype", "n_tracks", "video_codec", "width",
+    "height", "audio_codec", "sample_rate", "channels", "n_clusters",
+    "video_blocks", "audio_blocks", "duration_ms", "blocks_consistent",
+)
+
+WEBM_PROFILE_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("doctype", T.StringType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_clusters", T.IntegerType()),
+        T.StructField("video_blocks", T.IntegerType()),
+        T.StructField("audio_blocks", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("blocks_consistent", T.BooleanType()),
+    ]
+)
+
+
+def _webm_fail(err: str) -> dict:
+    d = {k: None for k in WEBM_PROFILE_FIELDS}
+    d["ok"] = False
+    d["error"] = err
+    return d
+
+
+def _parse_track(raw: bytes, a: int, b: int) -> dict:
+    t = {"number": None, "type": None, "codec": None, "width": None,
+         "height": None, "sr": None, "channels": None}
+    for eid, c, d, _u in walk_ebml(raw, a, b, 3):
+        if eid == TRACK_NUMBER:
+            t["number"] = _uint(raw, c, d)
+        elif eid == TRACK_TYPE:
+            t["type"] = _uint(raw, c, d)
+        elif eid == CODEC_ID:
+            t["codec"] = raw[c:d].decode("latin1")
+        elif eid == VIDEO:
+            for e2, e, f, _ in walk_ebml(raw, c, d, 4):
+                if e2 == PIXEL_WIDTH:
+                    t["width"] = _uint(raw, e, f)
+                elif e2 == PIXEL_HEIGHT:
+                    t["height"] = _uint(raw, e, f)
+        elif eid == AUDIO:
+            for e2, e, f, _ in walk_ebml(raw, c, d, 4):
+                if e2 == SAMPLING_FREQUENCY:
+                    t["sr"] = int(_float(raw, e, f))
+                elif e2 == CHANNELS:
+                    t["channels"] = _uint(raw, e, f)
+    if t["number"] is None or t["type"] is None or t["codec"] is None:
+        raise ValueError("bad_track_entry")
+    return t
+
+
+def parse_webm(raw: bytes) -> dict:
+    raw = bytes(raw)
+    if raw[:4] != b"\x1aE\xdf\xa3":
+        return _webm_fail("missing_ebml_header")
+    try:
+        top = list(walk_ebml(raw, 0, len(raw)))
+    except ValueError as e:
+        return _webm_fail(str(e))
+    if not top or top[0][0] != EBML_HEADER:
+        return _webm_fail("missing_ebml_header")
+    doctype = None
+    try:
+        for eid, a, b, _u in walk_ebml(raw, top[0][1], top[0][2], 1):
+            if eid == DOCTYPE:
+                doctype = raw[a:b].decode("latin1")
+            elif eid == EBML_READ_VERSION and _uint(raw, a, b) > 1:
+                return _webm_fail("unreadable_version")
+    except ValueError as e:
+        return _webm_fail(str(e))
+    if doctype not in ("webm", "matroska"):
+        return _webm_fail("bad_doctype")
+    segs = [t for t in top if t[0] == SEGMENT]
+    if len(segs) != 1:
+        return _webm_fail("missing_segment" if not segs else "multi_segment")
+    s0, s1 = segs[0][1], segs[0][2]
+    ts_scale = 1_000_000
+    duration = None
+    tracks: list[dict] = []
+    n_clusters = 0
+    block_counts: dict[int, int] = {}
+    stray_block = False
+    try:
+        for eid, a, b, _u in walk_ebml(raw, s0, s1, 1):
+            if eid == INFO:
+                for e2, c, d, _ in walk_ebml(raw, a, b, 2):
+                    if e2 == TIMESTAMP_SCALE:
+                        ts_scale = _uint(raw, c, d)
+                    elif e2 == DURATION:
+                        duration = _float(raw, c, d)
+            elif eid == TRACKS:
+                for e2, c, d, _ in walk_ebml(raw, a, b, 2):
+                    if e2 == TRACK_ENTRY:
+                        tracks.append(_parse_track(raw, c, d))
+            elif eid == CLUSTER:
+                n_clusters += 1
+                for e2, c, d, _ in walk_ebml(raw, a, b, 2):
+                    if e2 == SIMPLE_BLOCK:
+                        tn, _p = read_vint(raw, c, False)
+                        block_counts[tn] = block_counts.get(tn, 0) + 1
+    except ValueError as e:
+        return _webm_fail(str(e))
+    if not tracks:
+        return _webm_fail("missing_tracks")
+    nums = [t["number"] for t in tracks]
+    if len(set(nums)) != len(nums):
+        return _webm_fail("duplicate_track_numbers")
+    for tn in block_counts:
+        if tn not in nums:
+            stray_block = True
+    out = {k: None for k in WEBM_PROFILE_FIELDS}
+    out.update(ok=True, error=None, doctype=doctype,
+               n_tracks=len(tracks), n_clusters=n_clusters,
+               blocks_consistent=not stray_block)
+    if duration is not None:
+        out["duration_ms"] = int(duration * ts_scale / 1_000_000)
+    vb = ab = 0
+    for t in tracks:
+        if t["type"] == 1 and out["video_codec"] is None:
+            out["video_codec"] = t["codec"]
+            out["width"] = t["width"]
+            out["height"] = t["height"]
+            vb = block_counts.get(t["number"], 0)
+        elif t["type"] == 2 and out["audio_codec"] is None:
+            out["audio_codec"] = t["codec"]
+            out["sample_rate"] = t["sr"]
+            out["channels"] = t["channels"]
+            ab = block_counts.get(t["number"], 0)
+    out["video_blocks"] = vb
+    out["audio_blocks"] = ab
+    return out
+
+
+def webm_profile_batch(p: pd.Series) -> pd.DataFrame:
+    rows = []
+    for raw in p:
+        try:
+            rows.append(parse_webm(bytes(raw)))
+        except Exception as e:
+            rows.append(_webm_fail(f"parse_error:{type(e).__name__}"))
+    return pd.DataFrame(rows, columns=list(WEBM_PROFILE_FIELDS))
+
+
+@F.pandas_udf(WEBM_PROFILE_TYPE)
+def _webm_udf(p: pd.Series) -> pd.DataFrame:
+    return webm_profile_batch(p)
+
+
+def video_webm_profile(payload: Column | str = "bytes") -> Column:
+    """struct(ok, error, doctype, track/codec metadata, cluster/block
+    counts, duration_ms, blocks_consistent): EBML/WebM structural walk
+    per file, one Arrow hop."""
+    return _webm_udf(F.col(payload) if isinstance(payload, str) else payload)
+
+
+# ---- minimal conforming writer (ledger corpora + tests) ---------------------
+
+
+def _id_bytes(eid: int) -> bytes:
+    n = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(n, "big")
+
+
+def _size_vint(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def elem(eid: int, body: bytes) -> bytes:
+    return _id_bytes(eid) + _size_vint(len(body)) + body
+
+
+def _uint_body(v: int, width: int = 0) -> bytes:
+    n = max(width, (v.bit_length() + 7) // 8, 1)
+    return v.to_bytes(n, "big")
+
+
+def encode_webm(
+    n_video_blocks: int,
+    n_audio_blocks: int = 0,
+    width: int = 320,
+    height: int = 240,
+    video_codec: str = "V_VP9",
+    audio_codec: str = "A_OPUS",
+    sr: int = 48000,
+    channels: int = 1,
+    duration_ms: int = 2000,
+    doctype: str = "webm",
+    blocks_per_cluster: int = 8,
+    seed: int = 0,
+) -> bytes:
+    """Minimal conforming WebM: EBML header + Segment(Info, Tracks,
+    Clusters of SimpleBlocks with opaque seeded payloads)."""
+    header = elem(
+        EBML_HEADER,
+        elem(0x4286, _uint_body(1))        # EBMLVersion
+        + elem(EBML_READ_VERSION, _uint_body(1))
+        + elem(0x42F2, _uint_body(4))      # MaxIDLength
+        + elem(0x42F3, _uint_body(8))      # MaxSizeLength
+        + elem(DOCTYPE, doctype.encode())
+        + elem(0x4287, _uint_body(4))      # DocTypeVersion
+        + elem(0x4285, _uint_body(2)),     # DocTypeReadVersion
+    )
+    info = elem(
+        INFO,
+        elem(TIMESTAMP_SCALE, _uint_body(1_000_000))
+        + elem(DURATION, struct.pack(">d", float(duration_ms))),
+    )
+    video_entry = elem(
+        TRACK_ENTRY,
+        elem(TRACK_NUMBER, _uint_body(1))
+        + elem(0x73C5, _uint_body(0xAB01))  # TrackUID
+        + elem(TRACK_TYPE, _uint_body(1))
+        + elem(CODEC_ID, video_codec.encode())
+        + elem(VIDEO,
+               elem(PIXEL_WIDTH, _uint_body(width))
+               + elem(PIXEL_HEIGHT, _uint_body(height))),
+    )
+    entries = video_entry
+    if n_audio_blocks:
+        entries += elem(
+            TRACK_ENTRY,
+            elem(TRACK_NUMBER, _uint_body(2))
+            + elem(0x73C5, _uint_body(0xAB02))
+            + elem(TRACK_TYPE, _uint_body(2))
+            + elem(CODEC_ID, audio_codec.encode())
+            + elem(AUDIO,
+                   elem(SAMPLING_FREQUENCY, struct.pack(">d", float(sr)))
+                   + elem(CHANNELS, _uint_body(channels))),
+        )
+    tracks = elem(TRACKS, entries)
+
+    def block(track: int, ts: int, k: int) -> bytes:
+        payload = bytes(((j * 37 + seed + k) % 251)
+                        for j in range(24 + (seed + k) % 40))
+        body = (
+            (0x80 | track).to_bytes(1, "big")
+            + struct.pack(">h", ts)
+            + b"\x80"  # keyframe flag
+            + payload
+        )
+        return elem(SIMPLE_BLOCK, body)
+
+    blocks = []
+    for k in range(n_video_blocks):
+        blocks.append((k * 40, block(1, 0, k)))
+    for k in range(n_audio_blocks):
+        blocks.append((k * 20 + 1, block(2, 0, 1000 + k)))
+    blocks.sort(key=lambda x: x[0])
+    clusters = b""
+    for c0 in range(0, len(blocks), blocks_per_cluster):
+        chunk = blocks[c0 : c0 + blocks_per_cluster]
+        body = elem(TIMESTAMP, _uint_body(chunk[0][0]))
+        body += b"".join(b for (_t, b) in chunk)
+        clusters += elem(CLUSTER, body)
+    segment = elem(SEGMENT, info + tracks + clusters)
+    return header + segment

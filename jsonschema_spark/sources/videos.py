@@ -561,3 +561,145 @@ def materialized_mp4_videos(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_mp4_videos(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- WebM / Matroska (EBML) ledger corpus (round 4) --------------------------
+# EBML element discipline + track/cluster certification for the second
+# dominant web video container. Five VALID classes (VP9-only, VP9+Opus,
+# VP8+Vorbis matroska, AVC-in-mkv, multi-cluster long) + five planted
+# failures (torn element, non-EBML magic, unknown DocType, stray
+# SimpleBlock track, duplicate track numbers). Ledger truth is
+# generator arithmetic.
+_WEBM_VER = "v1"
+WEBM_CLASS_MOD = 10
+
+WEBM_VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_doctype", T.StringType(), True),
+        T.StructField("_n_tracks", T.IntegerType(), True),
+        T.StructField("_vcodec", T.StringType(), True),
+        T.StructField("_w", T.IntegerType(), True),
+        T.StructField("_h", T.IntegerType(), True),
+        T.StructField("_acodec", T.StringType(), True),
+        T.StructField("_sr", T.IntegerType(), True),
+        T.StructField("_ch", T.IntegerType(), True),
+        T.StructField("_n_clusters", T.IntegerType(), True),
+        T.StructField("_vblocks", T.IntegerType(), True),
+        T.StructField("_ablocks", T.IntegerType(), True),
+        T.StructField("_dur", T.LongType(), True),
+        T.StructField("_consistent", T.BooleanType(), True),
+    ]
+)
+
+
+def _webm_row(i: int) -> tuple:
+    from jsonschema_spark.functions.webm import (
+        SIMPLE_BLOCK,
+        elem,
+        encode_webm,
+    )
+
+    cls = i % WEBM_CLASS_MOD
+    vb = 8 + (_hash(i) >> 10) % 12
+    vid = f"webm-{i:06d}"
+    base_cls = cls if cls < 5 else (cls - 5)
+    cfg = [
+        dict(),
+        dict(n_audio_blocks=2 * (8 + (_hash(i) >> 10) % 12)),
+        dict(n_audio_blocks=10, doctype="matroska",
+             video_codec="V_VP8", audio_codec="A_VORBIS", sr=44100,
+             channels=2),
+        dict(doctype="matroska", video_codec="V_MPEG4/ISO/AVC",
+             width=640, height=360),
+        dict(n_audio_blocks=30, blocks_per_cluster=4,
+             duration_ms=5000),
+    ][base_cls]
+    raw = encode_webm(vb, seed=i, **cfg)
+    ab = cfg.get("n_audio_blocks", 0)
+    bpc = cfg.get("blocks_per_cluster", 8)
+    n_clusters = -(-(vb + ab) // bpc)
+    led = (cfg.get("doctype", "webm"), 2 if ab else 1,
+           cfg.get("video_codec", "V_VP9"),
+           cfg.get("width", 320), cfg.get("height", 240),
+           cfg.get("audio_codec", "A_OPUS") if ab else None,
+           cfg.get("sr", 48000) if ab else None,
+           cfg.get("channels", 1) if ab else None,
+           n_clusters, vb, ab,
+           cfg.get("duration_ms", 2000), True)
+    err = None
+    if cls == 5:      # torn element
+        raw = raw[:-6]
+        err = "truncated"
+    elif cls == 6:    # not EBML at all
+        raw = b"\x00\x01" + raw[2:]
+        err = "missing_ebml_header"
+    elif cls == 7:    # unknown DocType
+        raw = encode_webm(vb, seed=i, doctype="webp")
+        err = "bad_doctype"
+    elif cls == 8:    # stray SimpleBlock referencing an undeclared track
+        stray = elem(SIMPLE_BLOCK, b"\x83\x00\x00\x80" + b"\x55" * 20)
+        # splice into the LAST cluster: rebuild with an extra block via
+        # a direct append inside the final cluster is intricate — wrap
+        # a fresh single-block cluster instead (still inside Segment)
+        from jsonschema_spark.functions.webm import (
+            CLUSTER,
+            TIMESTAMP,
+            _uint_body,
+        )
+
+        extra = elem(CLUSTER, elem(TIMESTAMP, _uint_body(9000)) + stray)
+        # appending a cluster changes the Segment size — re-encode the
+        # Segment element around (old body + extra)
+        from jsonschema_spark.functions.webm import SEGMENT, walk_ebml
+
+        top = list(walk_ebml(raw, 0, len(raw)))
+        s = next(t for t in top if t[0] == SEGMENT)
+        seg_body = raw[s[1] : s[2]] + extra
+        hdr_end = top[0][2]
+        raw = raw[:hdr_end] + elem(SEGMENT, seg_body)
+        led = led[:8] + (n_clusters + 1,) + led[9:-1] + (False,)
+    else:             # 9: duplicate track numbers
+        from jsonschema_spark.functions.webm import (
+            TRACK_NUMBER,
+        )
+
+        raw = encode_webm(vb, n_audio_blocks=6, seed=i)
+        # rewrite the audio TrackEntry's number (2) to 1: TrackNumber
+        # elements are 0xD7 0x81 <n> — patch the SECOND occurrence
+        pat = bytes((0xD7, 0x81, 2))
+        k = raw.index(pat)
+        raw = raw[:k] + bytes((0xD7, 0x81, 1)) + raw[k + 3 :]
+        err = "duplicate_track_numbers"
+    if err is not None:
+        out = (False, err) + (None,) * 13
+    else:
+        out = (True, None) + led
+    return (vid, bytearray(raw), i) + out
+
+
+def synth_webm_videos(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_webm_row),
+        WEBM_VIDEOS_SCHEMA,
+    )
+
+
+def webm_videos_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"videos_webm_{_WEBM_VER}_{n}")
+
+
+def materialized_webm_videos(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    path = webm_videos_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_webm_videos(spark, n), path)
+    return spark.read.parquet(path), path
