@@ -3392,6 +3392,46 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEBM_N = 300
+
+
+def _q_videos_webm_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM / Matroska EBML structural walk (round 4 — the second
+    dominant web video container beside ISO-BMFF): RFC 8794 vints
+    (element IDs, data sizes, the unknown-size marker legal only on
+    Segment), exact element tiling, EBML-header + DocType discipline,
+    Info/Tracks/Cluster parse (codec ids, visual dims, audio rate/
+    channels, float Duration x TimestampScale), and SimpleBlock
+    track-number accounting with the stray-block consistency gate.
+    VP8/VP9/AV1 sample decode stays the documented ceiling (libvpx).
+    Corpus: five valid classes (VP9, VP9+Opus, VP8+Vorbis matroska,
+    AVC-in-mkv, multi-cluster) + five planted failures; ledger truth
+    is generator arithmetic."""
+    from jsonschema_spark.functions.webm import video_webm_profile
+    from jsonschema_spark.sources.videos import materialized_webm_videos
+
+    vids, _ = materialized_webm_videos(spark, _WEBM_N)
+    prof = vids.select("video_id", video_webm_profile("bytes").alias("p"))
+    return prof.select(
+        "video_id",
+        F.col("p.ok").alias("webm_ok"),
+        F.col("p.error").alias("webm_error"),
+        F.col("p.doctype").alias("doctype"),
+        F.col("p.n_tracks").alias("n_tracks"),
+        F.col("p.video_codec").alias("video_codec"),
+        F.col("p.width").alias("width"),
+        F.col("p.height").alias("height"),
+        F.col("p.audio_codec").alias("audio_codec"),
+        F.col("p.sample_rate").alias("sample_rate"),
+        F.col("p.channels").alias("channels"),
+        F.col("p.n_clusters").alias("n_clusters"),
+        F.col("p.video_blocks").alias("video_blocks"),
+        F.col("p.audio_blocks").alias("audio_blocks"),
+        F.col("p.duration_ms").alias("duration_ms"),
+        F.col("p.blocks_consistent").alias("blocks_consistent"),
+    )
+
+
 _ADTS_N = 360
 
 
@@ -5406,6 +5446,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "videos_av_demux",
     "videos_h264_nals",
     "videos_mp4_structure",
+    "videos_webm_structure",
     # audio codec ladder — never driver-sampled in r1-r3
     "clips_flac_decode",
     "clips_flac_lpc_decode",
@@ -5429,7 +5470,6 @@ _DRIVER_SAMPLE_PREFIX = [
     "dedup_audio_clips",
     "dedup_transcript_edits",
     "span_dedup_documents",
-    "audio_containment_clips",
     "image_dhash",
     # drift family
     "clips_drift_wasserstein",
@@ -5647,6 +5687,7 @@ def _registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "clips_vorbis_decode": _q_clips_vorbis_decode,
         "videos_mp4_structure": _q_videos_mp4_structure,
         "clips_aac_adts": _q_clips_aac_adts,
+        "videos_webm_structure": _q_videos_webm_structure,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -8063,6 +8104,33 @@ def _videos_av_demux_sql() -> str:
                CAST(_sr AS INTEGER) AS sample_rate,
                CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
                _audio_md5 AS audio_md5
+        FROM {src}
+    """
+
+
+def _videos_webm_structure_sql() -> str:
+    """WebM ledger oracle: generator-arithmetic truth (track/codec
+    metadata, cluster/block counts, consistency gates, error strings)."""
+    from jsonschema_spark.sources.videos import webm_videos_path
+
+    src = f"read_parquet('{webm_videos_path(_WEBM_N)}/*.parquet')"
+    return f"""
+        SELECT video_id,
+               _ok AS webm_ok,
+               _err AS webm_error,
+               _doctype AS doctype,
+               CAST(_n_tracks AS INTEGER) AS n_tracks,
+               _vcodec AS video_codec,
+               CAST(_w AS INTEGER) AS width,
+               CAST(_h AS INTEGER) AS height,
+               _acodec AS audio_codec,
+               CAST(_sr AS INTEGER) AS sample_rate,
+               CAST(_ch AS INTEGER) AS channels,
+               CAST(_n_clusters AS INTEGER) AS n_clusters,
+               CAST(_vblocks AS INTEGER) AS video_blocks,
+               CAST(_ablocks AS INTEGER) AS audio_blocks,
+               CAST(_dur AS BIGINT) AS duration_ms,
+               _consistent AS blocks_consistent
         FROM {src}
     """
 
@@ -11993,6 +12061,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_vorbis_decode": _clips_vorbis_decode_sql(),
         "videos_mp4_structure": _videos_mp4_structure_sql(),
         "clips_aac_adts": _clips_aac_adts_sql(),
+        "videos_webm_structure": _videos_webm_structure_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),
