@@ -21,6 +21,7 @@ Routing:
   BEFORE mp3 — both share the 0xFFF sync, ADTS is layer 00)
 - mp4 -> ISO-BMFF box walk (functions/mp4.py); profiled via its audio
   track when one exists, not_audio_container otherwise
+- webm -> EBML walk (functions/webm.py); same audio-track stance
 - no known magic -> 'raw' little-endian PCM16 (n_samples = len/2; no
   header to disagree with, so metadata gates fall back to the column
   rate for the duration check)
@@ -89,6 +90,8 @@ def container_sniff(raw: bytes) -> str:
         return "ogg"
     if len(raw) >= 8 and raw[4:8] == b"ftyp":
         return "mp4"
+    if raw[:4] == b"\x1aE\xdf\xa3":
+        return "webm"
     # ADTS before MP3: both start 0xFFF; ADTS has layer bits 00 where
     # MPEG audio layers are 01/10/11
     if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xF6) == 0xF0:
@@ -204,6 +207,22 @@ def _profile_one(raw: bytes) -> dict:
                     parsed_dur_ms=(
                         r["audio_samples"] * 1000 // r["sample_rate"]
                     ),
+                )
+        elif kind == "webm":
+            from jsonschema_spark.functions.webm import parse_webm
+
+            r = parse_webm(raw)
+            if not r["ok"]:
+                out["error"] = r["error"]
+            elif r["audio_codec"] is None:
+                out["error"] = "not_audio_container"
+            else:
+                # EBML carries no per-track sample count; duration is
+                # the Segment-level declared duration
+                out.update(
+                    ok=True, sample_rate=r["sample_rate"],
+                    channels=r["channels"],
+                    parsed_dur_ms=r["duration_ms"],
                 )
         elif kind in ("avi", "riff_other"):
             # a video/other RIFF payload in an AUDIO column is never ok
@@ -373,6 +392,9 @@ CODEC_ACCEPT: dict[str, tuple[str, ...]] = {
     "adts": ("adts",),
     "mp4": ("mp4",),
     "m4a": ("mp4",),
+    "webm": ("webm",),
+    "mkv": ("webm",),
+    "matroska": ("webm",),
 }
 
 

@@ -83,3 +83,18 @@ def test_walker_never_crashes_on_random_tears():
             cand = bytes(b)
         p = parse_webm(cand)
         assert isinstance(p["ok"], bool)
+
+
+def test_container_sniff_routes_webm():
+    from jsonschema_spark.functions.containers import (
+        _profile_one,
+        container_sniff,
+    )
+
+    av = encode_webm(5, 10, seed=21)
+    assert container_sniff(av) == "webm"
+    p = _profile_one(av)
+    assert p["ok"] and p["sample_rate"] == 48000 and p["channels"] == 1
+    video_only = encode_webm(5, seed=22)
+    p = _profile_one(video_only)
+    assert not p["ok"] and p["error"] == "not_audio_container"
