@@ -1061,25 +1061,30 @@ def build_setup_packet(
     channels: int, bs0: int, bs1: int,
     minimum_packed: int, delta_packed: int,
     rangebits: int = 10,
+    value_bits: int = _VALUE_BITS,
+    coupling: bool = False,
 ) -> bytes:
-    """Fixed corpus layout: classbook (2×1-bit) + value book (1024×10-bit
-    scalar lattice with the per-clip quantizer), one constant floor-1,
-    one type-2 residue per blocksize, one mapping+mode per blocksize."""
+    """Fixed corpus layout: classbook (2×1-bit) + a uniform scalar value
+    book (2^value_bits entries carrying the per-clip quantizer lattice),
+    one constant floor-1, one type-2 residue per blocksize, one
+    mapping+mode per blocksize. ``coupling`` adds one square-polar step
+    (magnitude ch 0, angle ch 1) to every mapping — the value book then
+    carries the WIDER coupled lattice (see encode_vorbis_packets)."""
     w = BitWriter()
     w.write(1, 8)  # codebook_count - 1 = 1 -> 2 codebooks
     # codebook 0: classbook, 2 entries length 1, no lookup
     cb0 = Codebook(1, 2, _uniform_codebook_codes(2, 1), 0, None)
     cb0.header_bits(w)
-    # codebook 1: value book, 1024 entries length 10, lookup type 1 dim 1
-    cb1 = Codebook(1, 1 << _VALUE_BITS,
-                   _uniform_codebook_codes(1 << _VALUE_BITS, _VALUE_BITS),
+    # codebook 1: value book, uniform codes, lookup type 1 dim 1
+    cb1 = Codebook(1, 1 << value_bits,
+                   _uniform_codebook_codes(1 << value_bits, value_bits),
                    1, None)
     cb1.header_bits(w, {
         "minimum_packed": minimum_packed,
         "delta_packed": delta_packed,
-        "value_bits": _VALUE_BITS,
+        "value_bits": value_bits,
         "sequence_p": 0,
-        "multiplicands": list(range(1 << _VALUE_BITS)),
+        "multiplicands": list(range(1 << value_bits)),
     })
     w.write(0, 6)  # time_count - 1
     w.write(0, 16)  # time transform 0
@@ -1116,7 +1121,14 @@ def build_setup_packet(
     for ri in (0, 1):
         w.write(0, 16)  # mapping type 0
         w.write(0, 1)  # 1 submap
-        w.write(0, 1)  # no coupling
+        if coupling:
+            w.write(1, 1)
+            w.write(0, 8)  # coupling_steps - 1 = 0 -> 1 step
+            cb = ilog(channels - 1)
+            w.write(0, cb)  # magnitude channel
+            w.write(1, cb)  # angle channel
+        else:
+            w.write(0, 1)  # no coupling
         w.write(0, 2)  # reserved
         w.write(0, 8)  # time config (unused)
         w.write(0, 8)  # floor 0
@@ -1132,12 +1144,27 @@ def build_setup_packet(
     return b"\x05vorbis" + w.bytes()
 
 
+def _forward_couple(l: np.ndarray, r: np.ndarray):
+    """EXACT integer-lattice inverse of the §4.3.5 square-polar decode:
+    quantize per channel FIRST, then couple the integer levels — the
+    lossless-transform order real encoders use (coupling floats before
+    quantization would flip decode branches at sign boundaries)."""
+    m = np.where(l > r, np.where(l > 0, l, r), np.where(r > 0, r, l))
+    a = np.where(
+        l > r,
+        np.where(l > 0, l - r, r - l),
+        np.where(r > 0, l - r, r - l),
+    )
+    return m, a
+
+
 def encode_vorbis_packets(
     pcm: np.ndarray,
     rate: int,
     bs0: int = 256,
     bs1: int = 256,
     switching: bool = False,
+    coupling: bool = False,
 ) -> tuple[list[bytes], list[int]]:
     """Header + audio packets and the per-packet block centers —
     the un-framed half of :func:`encode_vorbis_clip` (corpora corrupt
@@ -1183,18 +1210,53 @@ def encode_vorbis_packets(
     # per-clip quantizer from the residue range
     amax = max(float(np.abs(X).max()) for X, _, _, _ in spectra)
     amax = max(amax, 1e-9)
-    min_packed, minimum = float32_pack(-amax)
-    delta_packed, delta = float32_pack(2.0 * amax / ((1 << _VALUE_BITS) - 1))
+    if coupling:
+        if ch != 2:
+            raise ValueError("coupling needs exactly 2 channels")
+        # coupled lattice: per-channel levels k in [-1023, 1023] at step
+        # delta; the angle channel carries level DIFFERENCES, so the
+        # shared value book spans [-2048*delta, 2047*delta) — 4096
+        # entries, with the minimum an exact power-of-two multiple of
+        # the packed delta (both sides agree bit-for-bit)
+        value_bits = _VALUE_BITS + 1
+        delta_packed, delta = float32_pack(amax / 1023.0)
+        minimum = -2048.0 * delta
+        min_packed, min_exact = float32_pack(minimum)
+        if min_exact != minimum:
+            raise BadStream("coupled_minimum_not_exact")
+        zero_entry = 2048
+        zero_exact = True
+    else:
+        value_bits = _VALUE_BITS
+        min_packed, minimum = float32_pack(-amax)
+        delta_packed, delta = float32_pack(
+            2.0 * amax / ((1 << value_bits) - 1)
+        )
+        zero_entry = int(np.clip(round((0.0 - minimum) / delta), 0,
+                                 (1 << value_bits) - 1))
+        zero_exact = zero_entry * delta + minimum == 0.0
     headers = [
         build_ident_packet(ch, rate, bs0, bs1),
         build_comment_packet(),
-        build_setup_packet(ch, bs0, bs1, min_packed, delta_packed),
+        build_setup_packet(ch, bs0, bs1, min_packed, delta_packed,
+                           value_bits=value_bits, coupling=coupling),
     ]
     audio = []
     for X, long_block, prev_flag, next_flag in spectra:
+        if coupling:
+            k = np.clip(np.round(X / delta), -1023, 1023).astype(np.int64)
+            km, ka = _forward_couple(k[0], k[1])
+            q = np.stack([km + 2048, ka + 2048], axis=0).T.reshape(-1)
+        else:
+            inter = X.T.reshape(-1)  # v[i*ch + c]
+            q = np.clip(
+                np.round((inter - minimum) / delta),
+                0, (1 << value_bits) - 1,
+            ).astype(np.int64)
         audio.append(
             _encode_audio_packet(
-                X, ch, long_block, prev_flag, next_flag, minimum, delta
+                q, ch, long_block, prev_flag, next_flag,
+                value_bits, zero_entry, zero_exact,
             )
         )
     return headers + audio, centers
@@ -1234,6 +1296,7 @@ def encode_vorbis_clip(
     bs0: int = 256,
     bs1: int = 256,
     switching: bool = False,
+    coupling: bool = False,
     serial: int = 0x5649,
 ) -> tuple[bytes, int]:
     """Encode float PCM (n_samples,) or (n_samples, ch) into a REAL
@@ -1242,17 +1305,20 @@ def encode_vorbis_clip(
     Returns (ogg_bytes, decodable_samples). ``switching=True``
     alternates short/long blocks to exercise window switching."""
     packets, centers = encode_vorbis_packets(
-        pcm, rate, bs0=bs0, bs1=bs1, switching=switching
+        pcm, rate, bs0=bs0, bs1=bs1, switching=switching,
+        coupling=coupling,
     )
     return frame_vorbis_packets(packets, centers, serial), centers[-1]
 
 
 def _encode_audio_packet(
-    X: np.ndarray, ch: int, long_block: bool,
+    q: np.ndarray, ch: int, long_block: bool,
     prev_flag: int, next_flag: int,
-    minimum: float, delta: float,
+    value_bits: int, zero_entry: int, zero_exact: bool,
 ) -> bytes:
-    n2 = X.shape[1]
+    """``q``: the type-2 interleaved ENTRY indices for the whole block
+    (quantization — and coupling, when on — already applied by the
+    caller)."""
     w = BitWriter()
     w.write(0, 1)  # audio packet
     w.write(1 if long_block else 0, 1)  # mode number (ilog(2-1)=1 bit)
@@ -1264,22 +1330,14 @@ def _encode_audio_packet(
         w.write(1, 1)
         w.write(_FLOOR_LEVEL, 8)
         w.write(_FLOOR_LEVEL, 8)
-    # residue type 2: interleave channels, quantize, partition-classify
-    inter = X.T.reshape(-1)  # v[i*ch + c]
-    q = np.clip(
-        np.round((inter - minimum) / delta), 0, (1 << _VALUE_BITS) - 1
-    ).astype(np.int64)
-    zero_level = int(np.clip(round((0.0 - minimum) / delta), 0,
-                             (1 << _VALUE_BITS) - 1))
     n_part = len(q) // _RES_PSIZE
     classes = []
     for pslot in range(n_part):
         seg = q[pslot * _RES_PSIZE : (pslot + 1) * _RES_PSIZE]
-        classes.append(0 if np.all(seg == zero_level) else 1)
+        classes.append(0 if np.all(seg == zero_entry) else 1)
     # class 0 partitions decode as +0.0 residue: exact only when the
     # quantizer's zero level reproduces 0.0 — enforce by never using
     # class 0 unless the dequantized zero level IS zero
-    zero_exact = zero_level * delta + minimum == 0.0
     for pslot in range(n_part):
         if classes[pslot] == 0 and not zero_exact:
             classes[pslot] = 1
@@ -1288,7 +1346,7 @@ def _encode_audio_packet(
         if classes[pslot]:
             seg = q[pslot * _RES_PSIZE : (pslot + 1) * _RES_PSIZE]
             for v in seg:
-                w.write_huff(int(v), _VALUE_BITS)
+                w.write_huff(int(v), value_bits)
     return w.bytes()
 
 

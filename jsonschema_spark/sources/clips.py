@@ -4504,14 +4504,16 @@ def materialized_vorbis_packet_clips(
 # Ogg-Vorbis streams produced by functions/vorbis.encode_vorbis_clip
 # (floor-1 + type-2 residue + IMDCT/window per the Vorbis I spec) around
 # the engine's deterministic reference signal; the contract query
-# re-decodes them sample-by-sample. Five VALID classes (mono/stereo,
-# equal blocksizes, 128/1024 window switching, 8-22.05 kHz) + three
+# re-decodes them sample-by-sample. Seven VALID classes (mono/stereo,
+# equal blocksizes, 128/1024 window switching, 8-22.05 kHz, and
+# square-polar COUPLED stereo — integer-lattice coupling on a shared
+# 12-bit value book, with and without window switching) + three
 # planted failures (torn tail, page-CRC bit flip, setup-header sync
 # corruption). Ledger truth = the synth-time decode of the SAME payload
 # (the ADPCM protocol: encode -> store -> distribute -> decode certified
 # end-to-end); synth asserts every clean row clears the SNR gate with
 # margin and every planted failure raises the EXACT ledger error.
-VORBIS_DEC_CLASS_MOD = 8
+VORBIS_DEC_CLASS_MOD = 10
 VORBIS_DEC_SNR_GATE_DB = 30.0
 _VORBIS_DEC_SYNTH_MARGIN_DB = 33.0  # synth-time floor for clean rows
 
@@ -4556,19 +4558,22 @@ def synth_vorbis_decode_clips(
         dur = int(np.exp(log_lo + u * (log_hi - log_lo)))
         cid = f"clip-{i:012d}"
         cls = i % VORBIS_DEC_CLASS_MOD
-        base_cls = cls if cls < 5 else (cls - 5)  # failures reuse shapes
+        base_cls = cls if cls < 7 else (cls - 7)  # failures reuse shapes
         sr, ch, kw = [
             (16000, 1, {}),
             (16000, 2, {}),
             (16000, 1, dict(bs0=128, bs1=1024, switching=True)),
             (22050, 2, dict(bs0=128, bs1=1024, switching=True)),
             (8000, 1, dict(bs0=512, bs1=512)),
+            (16000, 2, dict(coupling=True)),  # square-polar coupled
+            (16000, 2, dict(bs0=128, bs1=1024, switching=True,
+                            coupling=True)),
         ][base_cls]
         n_src = sr * dur // 1000
         src = vorbis_reference(cid, n_src, ch)
         serial = 0x5600 + i % 251
         err = None
-        if cls == 7:
+        if cls == 9:
             # setup-header codebook sync corrupted BEFORE framing, so
             # every page CRC stays valid and the CODEC layer must be
             # the one that rejects
@@ -4580,10 +4585,10 @@ def synth_vorbis_decode_clips(
             err = "bad_codebook_sync"
         else:
             raw, _dec_n = encode_vorbis_clip(src, sr, serial=serial, **kw)
-        if cls == 5:      # torn tail: Ogg container walk must reject
+        if cls == 7:      # torn tail: Ogg container walk must reject
             raw = raw[:-7]
             err = "truncated"
-        elif cls == 6:    # body bit flip: page CRC must catch it
+        elif cls == 8:    # body bit flip: page CRC must catch it
             b = bytearray(raw)
             b[-3] ^= 0x01
             raw = bytes(b)
@@ -4630,7 +4635,10 @@ def synth_vorbis_decode_clips(
 
 
 def vorbis_decode_clips_path(n: int) -> str:
-    return oracle_cache_path(f"clips_vorbisdec_{n}")
+    # local generation tag (g2: + coupled-stereo classes) — renaming the
+    # cached table is equivalent to a version bump without invalidating
+    # every other corpus
+    return oracle_cache_path(f"clips_vorbisdec_g2_{n}")
 
 
 def materialized_vorbis_decode_clips(

@@ -99,6 +99,8 @@ def test_tdac_perfect_reconstruction():
         (1, dict(bs0=128, bs1=1024, switching=True)),
         (2, dict(bs0=128, bs1=1024, switching=True)),
         (1, dict(bs0=512, bs1=512)),
+        (2, dict(coupling=True)),
+        (2, dict(bs0=128, bs1=1024, switching=True, coupling=True)),
     ],
 )
 def test_encode_decode_snr(ch, kw):
@@ -127,6 +129,32 @@ def test_failure_classes_exact_errors():
     packets[2] = bytes(setup)
     with pytest.raises(BadStream, match="bad_codebook_sync"):
         decode_vorbis_stream(frame_vorbis_packets(packets, centers))
+
+
+def test_integer_coupling_is_lossless():
+    """Encoder-side square-polar coupling (quantize first, couple the
+    integer levels) composed with the decoder's §4.3.5 inverse is the
+    identity — coupling adds ZERO loss beyond quantization."""
+    import numpy as np
+
+    from jsonschema_spark.functions.vorbis import _forward_couple
+
+    rng = np.random.default_rng(3)
+    l = rng.integers(-1023, 1024, 5000)
+    r = rng.integers(-1023, 1024, 5000)
+    m, a = _forward_couple(l, r)
+    assert np.abs(a).max() <= 2046 and np.abs(m).max() <= 1023
+    new_m = m.astype(float).copy()
+    new_a = a.astype(float).copy()
+    pm = m > 0
+    pa = a > 0
+    new_a[pm & pa] = (m - a)[pm & pa]
+    new_m[pm & ~pa] = (m + a)[pm & ~pa]
+    new_a[pm & ~pa] = m[pm & ~pa]
+    new_a[~pm & pa] = (m + a)[~pm & pa]
+    new_m[~pm & ~pa] = (m - a)[~pm & ~pa]
+    new_a[~pm & ~pa] = m[~pm & ~pa]
+    assert (new_m == l).all() and (new_a == r).all()
 
 
 def test_inverse_coupling_spec_cases():
