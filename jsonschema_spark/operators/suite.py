@@ -864,6 +864,90 @@ def _check_vorbis_packets(df: DataFrame, spec: dict) -> DataFrame:
     )(agg)
 
 
+def _fail_rate_gate(df: DataFrame, spec: dict, ctype: str,
+                    ok_col) -> DataFrame:
+    """Shared shape for the walker-backed gates: metric = fraction of
+    rows whose profile ``ok`` is false (NULL counts as failing);
+    threshold ``max_violation_rate``. One Arrow hop, one aggregate."""
+    max_rate = float(spec.get("max_violation_rate", 0.0))
+    agg = df.select(ok_col.alias("_ok")).agg(
+        F.coalesce(
+            F.sum(
+                (~F.coalesce(F.col("_ok"), F.lit(False))).cast("long")
+            ) / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            F.lit(0.0),
+        ).alias("rate")
+    )
+    metric = F.col("rate")
+    return _report_row(
+        spec["name"], ctype, metric, max_rate, metric <= max_rate
+    )(agg)
+
+
+def _check_vorbis_decode(df: DataFrame, spec: dict) -> DataFrame:
+    """REAL Vorbis sample-decode gate (round 4): bound the fraction of
+    clips that fail full decode OR the SNR invariant vs the reference
+    (``min_snr_db``, default the corpus 30 dB gate). A clip counts as
+    failing when it cannot decode or its decoded-PCM SNR is below the
+    floor."""
+    from jsonschema_spark.functions.vorbis import audio_vorbis_decode_profile
+
+    min_snr = float(spec.get("min_snr_db", 30.0))
+    g = audio_vorbis_decode_profile(
+        spec.get("payload_col", "bytes"),
+        spec.get("id_col", "clip_id"),
+        spec.get("sr_col", "sr_hz"),
+        spec.get("dur_col", "dur_ms"),
+    )
+    ok = g["ok"] & F.coalesce(g["snr_db"] >= min_snr, F.lit(False))
+    return _fail_rate_gate(df, spec, "vorbis_decode", ok)
+
+
+def _check_adts(df: DataFrame, spec: dict) -> DataFrame:
+    """AAC ADTS frame-walk gate (round 4): bound the fraction of clips
+    failing sync/layer/CRC/length-chain/parameter-constancy
+    certification."""
+    from jsonschema_spark.functions.aac import audio_adts_profile
+
+    g = audio_adts_profile(spec.get("payload_col", "bytes"))
+    return _fail_rate_gate(df, spec, "adts", g["ok"])
+
+
+def _check_h264(df: DataFrame, spec: dict) -> DataFrame:
+    """H.264 Annex B gate (round 4): bound the fraction of streams
+    failing NAL discipline / SPS-PPS parse / frame-count walk."""
+    from jsonschema_spark.functions.h264 import video_h264_profile
+
+    g = video_h264_profile(spec.get("payload_col", "bytes"))
+    return _fail_rate_gate(df, spec, "h264", g["ok"])
+
+
+def _check_mp4_structure(df: DataFrame, spec: dict) -> DataFrame:
+    """ISO-BMFF gate (round 4): bound the fraction of files failing box
+    discipline or (when ``require_consistent``) the sample-table
+    consistency gates."""
+    from jsonschema_spark.functions.mp4 import video_mp4_profile
+
+    g = video_mp4_profile(spec.get("payload_col", "bytes"))
+    ok = g["ok"]
+    if spec.get("require_consistent", True):
+        ok = ok & F.coalesce(g["tables_consistent"], F.lit(False))
+    return _fail_rate_gate(df, spec, "mp4_structure", ok)
+
+
+def _check_webm_structure(df: DataFrame, spec: dict) -> DataFrame:
+    """WebM/EBML gate (round 4): bound the fraction of files failing
+    element discipline or (when ``require_consistent``) the SimpleBlock
+    track-accounting gate."""
+    from jsonschema_spark.functions.webm import video_webm_profile
+
+    g = video_webm_profile(spec.get("payload_col", "bytes"))
+    ok = g["ok"]
+    if spec.get("require_consistent", True):
+        ok = ok & F.coalesce(g["blocks_consistent"], F.lit(False))
+    return _fail_rate_gate(df, spec, "webm_structure", ok)
+
+
 def _check_bloom_screen(
     df: DataFrame, spec: dict, tables: dict
 ) -> DataFrame:
@@ -1037,6 +1121,13 @@ _CHECKS = {
     ),
     "audio_snr": lambda df, spec, tables: _check_audio_snr(df, spec),
     "audio_artifacts": lambda df, spec, tables: _check_audio_artifacts(
+        df, spec
+    ),
+    "vorbis_decode": lambda df, spec, tables: _check_vorbis_decode(df, spec),
+    "adts": lambda df, spec, tables: _check_adts(df, spec),
+    "h264": lambda df, spec, tables: _check_h264(df, spec),
+    "mp4_structure": lambda df, spec, tables: _check_mp4_structure(df, spec),
+    "webm_structure": lambda df, spec, tables: _check_webm_structure(
         df, spec
     ),
 }

@@ -514,3 +514,75 @@ def test_suite_audio_decode_check(spark):
     ])
     assert rep0["vacuous"]["status"] == "pass"
     assert rep0["vacuous"]["metric"] == 1.0
+
+
+def test_round4_walker_gates(spark):
+    """The round-4 walker-backed check types: Vorbis sample-decode SNR,
+    ADTS, h264, MP4 and WebM structure gates — clean corpora pass at
+    rate 0, planted-failure corpora fail their thresholds."""
+    import pandas as pd
+
+    from jsonschema_spark.functions.aac import encode_adts_stream
+    from jsonschema_spark.functions.h264 import encode_h264_stream
+    from jsonschema_spark.functions.mp4 import encode_mp4_h264
+    from jsonschema_spark.functions.vorbis import (
+        encode_vorbis_clip,
+        vorbis_reference,
+    )
+    from jsonschema_spark.functions.webm import encode_webm
+    from jsonschema_spark.operators.suite import run_suite
+
+    def tbl(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    vb = []
+    for i in range(6):
+        pcm = vorbis_reference(f"s{i}", 3000, 1 + i % 2)
+        raw, _ = encode_vorbis_clip(pcm, 16000, coupling=(i % 2 == 1))
+        vb.append((f"s{i}", bytearray(raw), 16000, 187))
+    vb.append(("s-bad", bytearray(raw[:-5]), 16000, 187))
+    clips = tbl(vb, "clip_id string, bytes binary, sr_hz int, dur_ms int")
+
+    media = tbl(
+        [
+            ("a0", bytearray(encode_adts_stream(6, seed=1))),
+            ("a1", bytearray(encode_adts_stream(6, crc=True, seed=2))),
+            ("h0", bytearray(encode_h264_stream(4, seed=3))),
+            ("m0", bytearray(encode_mp4_h264(4, seed=4))),
+            ("w0", bytearray(encode_webm(4, 6, seed=5))),
+        ],
+        "media_id string, bytes binary",
+    )
+    tables = {"clips": clips, "media": media}
+    cfg = {
+        "checks": [
+            {"type": "vorbis_decode", "name": "vb", "table": "clips",
+             "max_violation_rate": 0.2},
+            {"type": "adts", "name": "aac", "table": "media",
+             "max_violation_rate": 0.7},
+            {"type": "h264", "name": "h", "table": "media",
+             "max_violation_rate": 0.9},
+            {"type": "mp4_structure", "name": "m", "table": "media",
+             "max_violation_rate": 0.9},
+            {"type": "webm_structure", "name": "w", "table": "media",
+             "max_violation_rate": 0.9},
+        ],
+    }
+    rows = {r["check_name"]: r for r in run_suite(tables, cfg).collect()}
+    # clips: 1 of 7 fails decode -> rate ~0.143 <= 0.2 passes
+    assert rows["vb"]["status"] == "pass"
+    assert abs(rows["vb"]["metric"] - 1 / 7) < 1e-9
+    # media table mixes formats: each gate sees the others as failures,
+    # rates are (n - matching)/n
+    assert abs(rows["aac"]["metric"] - 3 / 5) < 1e-9
+    assert rows["aac"]["status"] == "pass"
+    for name, matching in (("h", 1), ("m", 1), ("w", 1)):
+        assert abs(rows[name]["metric"] - (5 - matching) / 5) < 1e-9
+        assert rows[name]["status"] == "pass"
+    # tightening the threshold flips the verdict
+    cfg["checks"] = [
+        {"type": "vorbis_decode", "name": "vb0", "table": "clips",
+         "max_violation_rate": 0.0},
+    ]
+    r = run_suite(tables, cfg).collect()[0]
+    assert r["status"] == "fail"
