@@ -280,7 +280,8 @@ def profile_table(df, skew_candidates=None):
                 if r["codec"]
             }
             for cname, ctype in (
-                ("opus", "opus_packets"), ("vorbis", "vorbis_packets")
+                ("opus", "opus_packets"), ("vorbis", "vorbis_packets"),
+                ("aac", "adts"),
             ):
                 if codecs == {cname}:
                     from jsonschema_spark.operators.suggest import (

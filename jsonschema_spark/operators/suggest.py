@@ -574,12 +574,16 @@ def _measured_decode_rate(
 
 
 def _measured_packet_rate(df: DataFrame, payload: str, ctype: str) -> float:
-    """Current packet-framing failure fraction — the ceiling the drafted
-    opus_packets / vorbis_packets check is anchored to."""
+    """Current packet/frame-walk failure fraction — the ceiling the
+    drafted opus_packets / vorbis_packets / adts check is anchored to."""
     if ctype == "opus_packets":
         from jsonschema_spark.functions.ogg import audio_opus_packet_profile
 
         g = audio_opus_packet_profile(payload)
+    elif ctype == "adts":
+        from jsonschema_spark.functions.aac import audio_adts_profile
+
+        g = audio_adts_profile(payload)
     else:
         from jsonschema_spark.functions.ogg import (
             audio_vorbis_packet_profile,
