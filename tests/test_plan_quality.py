@@ -352,3 +352,17 @@ def test_survey_count_matches_registry():
         f"SURVEY.md claims {counts[-1]} contract queries; "
         f"queries() registers {len(q)}"
     )
+
+
+def test_driver_sample_prefix_integrity():
+    """The driver hashes the first 50 registered queries; the rotation
+    prefix must stay exactly 50 names, every name must resolve, and the
+    three-round-red reconcile row must lead it (its fix is the round's
+    top certification target)."""
+    import __spark_entry__ as m
+
+    prefix = m._DRIVER_SAMPLE_PREFIX
+    assert len(prefix) == 50 and len(set(prefix)) == 50
+    q = list(m.queries())
+    assert q[:50] == prefix
+    assert prefix[0] == "reconcile_orders_lineitem"
