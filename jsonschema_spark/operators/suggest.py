@@ -365,7 +365,8 @@ def as_suite_config(
                 if r["codec"]
             }
             for cname, ctype in (
-                ("opus", "opus_packets"), ("vorbis", "vorbis_packets")
+                ("opus", "opus_packets"), ("vorbis", "vorbis_packets"),
+                ("aac", "adts"),
             ):
                 if codecs == {cname}:
                     prate = _measured_packet_rate(df, payload, ctype)

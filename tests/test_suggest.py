@@ -139,3 +139,34 @@ def test_suggest_audio_shape_drafts_decode_gate(spark):
         plain, column_suggestions(plain, ["clip_id"]), table="t"
     )
     assert not [c for c in cfg2["checks"] if c["type"] == "audio_decode"]
+
+
+def test_suggest_drafts_adts_gate_for_uniform_aac(spark):
+    """A uniformly-AAC clips table drafts the round-4 adts frame-walk
+    gate, anchored to the measured failure rate (the opus/vorbis
+    packet-gate pattern)."""
+    from jsonschema_spark.functions.aac import encode_adts_stream
+
+    rows = [
+        (f"c{i}", bytearray(encode_adts_stream(5, seed=i)), 16000, 320,
+         "aac", "hello world")
+        for i in range(6)
+    ]
+    rows.append(
+        ("c-bad", bytearray(b"\x00" * 40), 16000, 320, "aac",
+         "hello world")
+    )
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sugg = column_suggestions(df, ["clip_id", "codec"])
+    cfg = as_suite_config(df, sugg, table="clips")
+    adts = [c for c in cfg["checks"] if c["type"] == "adts"]
+    assert len(adts) == 1
+    assert abs(adts[0]["max_violation_rate"] - 0.143) < 1e-9  # ceil(1/7)
+    # the drafted gate passes by construction on the profiled table
+    rep = {r["check_name"]: r
+           for r in run_suite({"clips": df}, cfg).collect()}
+    assert rep["clips_adts"]["status"] == "pass"
