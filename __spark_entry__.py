@@ -3392,6 +3392,39 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FMP4_N = 240
+
+
+def _q_videos_mp4_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented-MP4 (DASH/CMAF, ISO 14496-12 §8.8) fragment-layer
+    discipline (round 4): init-segment mvex/trex presence, strictly
+    increasing mfhd sequence numbers, traf tfhd track ids declared in
+    moov, trun sample-count accounting (box sized to hold its declared
+    rows), and the moof-followed-by-mdat layout rule — the profile that
+    certifies streaming segment chains where the moov sample tables are
+    EMPTY and videos_mp4_structure alone sees nothing. Corpus: three
+    valid classes (short/long chains, plain progressive MP4 reporting
+    fragmented=false) + sequence-break, stray-track and torn planted
+    failures; ledger truth is generator arithmetic."""
+    from jsonschema_spark.functions.mp4 import video_mp4_fragment_profile
+    from jsonschema_spark.sources.videos import materialized_fmp4_videos
+
+    vids, _ = materialized_fmp4_videos(spark, _FMP4_N)
+    prof = vids.select(
+        "video_id", video_mp4_fragment_profile("bytes").alias("p")
+    )
+    return prof.select(
+        "video_id",
+        F.col("p.ok").alias("frag_ok"),
+        F.col("p.error").alias("frag_error"),
+        F.col("p.fragmented").alias("fragmented"),
+        F.col("p.n_fragments").alias("n_fragments"),
+        F.col("p.frag_samples").alias("frag_samples"),
+        F.col("p.seq_ok").alias("seq_ok"),
+        F.col("p.frag_tracks_ok").alias("frag_tracks_ok"),
+    )
+
+
 _WEBM_N = 300
 
 
@@ -5447,6 +5480,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "videos_h264_nals",
     "videos_mp4_structure",
     "videos_webm_structure",
+    "videos_mp4_fragments",
     # audio codec ladder — never driver-sampled in r1-r3
     "clips_flac_decode",
     "clips_flac_lpc_decode",
@@ -5470,7 +5504,6 @@ _DRIVER_SAMPLE_PREFIX = [
     "dedup_audio_clips",
     "dedup_transcript_edits",
     "span_dedup_documents",
-    "image_dhash",
     # drift family
     "clips_drift_wasserstein",
     "clips_drift_matrix_codec",
@@ -5688,6 +5721,7 @@ def _registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "videos_mp4_structure": _q_videos_mp4_structure,
         "clips_aac_adts": _q_clips_aac_adts,
         "videos_webm_structure": _q_videos_webm_structure,
+        "videos_mp4_fragments": _q_videos_mp4_fragments,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -8104,6 +8138,24 @@ def _videos_av_demux_sql() -> str:
                CAST(_sr AS INTEGER) AS sample_rate,
                CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
                _audio_md5 AS audio_md5
+        FROM {src}
+    """
+
+
+def _videos_mp4_fragments_sql() -> str:
+    """fMP4 ledger oracle (generator-arithmetic truth)."""
+    from jsonschema_spark.sources.videos import fmp4_videos_path
+
+    src = f"read_parquet('{fmp4_videos_path(_FMP4_N)}/*.parquet')"
+    return f"""
+        SELECT video_id,
+               _ok AS frag_ok,
+               _err AS frag_error,
+               _fragmented AS fragmented,
+               CAST(_n_frags AS INTEGER) AS n_fragments,
+               CAST(_samples AS INTEGER) AS frag_samples,
+               _seq_ok AS seq_ok,
+               _tracks_ok AS frag_tracks_ok
         FROM {src}
     """
 
@@ -12062,6 +12114,7 @@ def oracle_sql() -> dict[str, str]:
         "videos_mp4_structure": _videos_mp4_structure_sql(),
         "clips_aac_adts": _clips_aac_adts_sql(),
         "videos_webm_structure": _videos_webm_structure_sql(),
+        "videos_mp4_fragments": _videos_mp4_fragments_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

@@ -506,3 +506,230 @@ def encode_mp4_h264(
                  + struct.pack(">I", 3))
     moov = _box(b"moov", mvhd + traks)
     return ftyp + mdat + moov
+
+
+# ---- fragmented MP4 (fMP4 / DASH / CMAF, ISO 14496-12 §8.8) -----------------
+# Real crawls carry moof-fragmented streams (DASH segments, CMAF
+# chunks): an init portion (ftyp + moov with an mvex/trex) followed by
+# movie fragments (moof with mfhd sequence numbers and traf/tfhd/trun
+# sample runs) and their mdat boxes. The fragmented profile walks that
+# layout, sums trun sample counts per track, and enforces:
+# - mvex/trex presence when moof boxes exist (an init segment that
+#   never declared fragmenting is a broken mux);
+# - mfhd sequence numbers strictly increasing from 1;
+# - every traf's tfhd track id declared in moov;
+# - each moof followed by the mdat its data-offsets point into.
+
+
+def _parse_trun(raw: bytes, b0: int, b1: int) -> int:
+    flags = struct.unpack(">I", raw[b0 : b0 + 4])[0] & 0xFFFFFF
+    count = struct.unpack(">I", raw[b0 + 4 : b0 + 8])[0]
+    # per-sample field sizes depend on flags; we only need the count,
+    # but validate the box is large enough to HOLD the declared rows
+    per = 0
+    for bit in (0x100, 0x200, 0x400, 0x800):
+        if flags & bit:
+            per += 4
+    head = 8
+    if flags & 0x1:
+        head += 4  # data_offset
+    if flags & 0x4:
+        head += 4  # first_sample_flags
+    if b1 - b0 < head + per * count:
+        raise ValueError("truncated_trun")
+    return count
+
+
+MP4_FRAG_FIELDS = (
+    "ok", "error", "fragmented", "n_fragments", "frag_samples",
+    "seq_ok", "frag_tracks_ok",
+)
+
+MP4_FRAG_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("fragmented", T.BooleanType()),
+        T.StructField("n_fragments", T.IntegerType()),
+        T.StructField("frag_samples", T.IntegerType()),
+        T.StructField("seq_ok", T.BooleanType()),
+        T.StructField("frag_tracks_ok", T.BooleanType()),
+    ]
+)
+
+
+def _frag_fail(err: str) -> dict:
+    d = {k: None for k in MP4_FRAG_FIELDS}
+    d["ok"] = False
+    d["error"] = err
+    return d
+
+
+def parse_mp4_fragments(raw: bytes) -> dict:
+    """Fragment-layer profile (complements :func:`parse_mp4`, which
+    reads the moov sample tables — empty in an fMP4 init segment)."""
+    raw = bytes(raw)
+    try:
+        top = _find_boxes(raw, 0, len(raw))
+    except ValueError as e:
+        return _frag_fail(str(e))
+    if not top or top[0][0] != b"ftyp":
+        return _frag_fail("missing_ftyp")
+    moovs = [b for b in top if b[0] == b"moov"]
+    if len(moovs) != 1:
+        return _frag_fail("missing_moov" if not moovs else "multiple_moov")
+    moofs = [b for b in top if b[0] == b"moof"]
+    # declared track ids + mvex presence from moov
+    track_ids = set()
+    has_mvex = False
+    try:
+        for t, b0, b1, _h in walk_boxes(raw, moovs[0][1], moovs[0][2], 1):
+            if t == b"mvex":
+                has_mvex = True
+            elif t == b"trak":
+                for t2, c0, c1, _ in walk_boxes(raw, b0, b1, 2):
+                    if t2 == b"tkhd":
+                        track_ids.add(
+                            struct.unpack(">I", raw[c0 + 12 : c0 + 16])[0]
+                        )
+    except ValueError as e:
+        return _frag_fail(str(e))
+    if not moofs:
+        return {
+            "ok": True, "error": None, "fragmented": False,
+            "n_fragments": 0, "frag_samples": 0, "seq_ok": True,
+            "frag_tracks_ok": True,
+        }
+    if not has_mvex:
+        return _frag_fail("moof_without_mvex")
+    seq_ok = True
+    tracks_ok = True
+    total = 0
+    expected_seq = 1
+    try:
+        for _mt, m0, m1, _h in ((b[0], b[1], b[2], b[3]) for b in moofs):
+            for t, b0, b1, _h2 in walk_boxes(raw, m0, m1, 1):
+                if t == b"mfhd":
+                    seq = struct.unpack(">I", raw[b0 + 4 : b0 + 8])[0]
+                    if seq != expected_seq:
+                        seq_ok = False
+                    expected_seq += 1
+                elif t == b"traf":
+                    for t2, c0, c1, _ in walk_boxes(raw, b0, b1, 2):
+                        if t2 == b"tfhd":
+                            tid = struct.unpack(
+                                ">I", raw[c0 + 4 : c0 + 8]
+                            )[0]
+                            if tid not in track_ids:
+                                tracks_ok = False
+                        elif t2 == b"trun":
+                            total += _parse_trun(raw, c0, c1)
+    except ValueError as e:
+        return _frag_fail(str(e))
+    # each moof must be directly followed by an mdat sibling
+    kinds = [b[0] for b in top]
+    for i, k in enumerate(kinds):
+        if k == b"moof" and (i + 1 >= len(kinds) or kinds[i + 1] != b"mdat"):
+            return _frag_fail("moof_without_mdat")
+    return {
+        "ok": True, "error": None, "fragmented": True,
+        "n_fragments": len(moofs), "frag_samples": total,
+        "seq_ok": seq_ok, "frag_tracks_ok": tracks_ok,
+    }
+
+
+def mp4_fragment_batch(p: pd.Series) -> pd.DataFrame:
+    rows = []
+    for raw in p:
+        try:
+            rows.append(parse_mp4_fragments(bytes(raw)))
+        except Exception as e:
+            rows.append(_frag_fail(f"parse_error:{type(e).__name__}"))
+    return pd.DataFrame(rows, columns=list(MP4_FRAG_FIELDS))
+
+
+@F.pandas_udf(MP4_FRAG_TYPE)
+def _mp4_frag_udf(p: pd.Series) -> pd.DataFrame:
+    return mp4_fragment_batch(p)
+
+
+def video_mp4_fragment_profile(payload: Column | str = "bytes") -> Column:
+    """struct(ok, error, fragmented, n_fragments, frag_samples, seq_ok,
+    frag_tracks_ok): fMP4/DASH fragment-layer discipline, one Arrow
+    hop."""
+    return _mp4_frag_udf(
+        F.col(payload) if isinstance(payload, str) else payload
+    )
+
+
+def encode_mp4_fragmented(
+    n_fragments: int,
+    samples_per_fragment: int = 8,
+    width_mbs: int = 4,
+    height_mbs: int = 3,
+    seed: int = 0,
+    break_seq: bool = False,
+    stray_track: bool = False,
+) -> bytes:
+    """Minimal conforming fMP4: init segment (ftyp + moov with EMPTY
+    sample tables and an mvex/trex) + n_fragments x (moof + mdat)."""
+    from jsonschema_spark.functions.h264 import (
+        _rbsp_to_ebsp,
+        build_pps,
+        build_sps,
+    )
+
+    sps_nal = bytes((0x67,)) + _rbsp_to_ebsp(
+        build_sps(66, 30, width_mbs, height_mbs)
+    )
+    pps_nal = bytes((0x68,)) + _rbsp_to_ebsp(build_pps())
+    avcc = (
+        bytes((1, 66, 0, 30, 0xFF, 0xE1))
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes((1,))
+        + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+    w, h = width_mbs * 16, height_mbs * 16
+    stbl_v = _stbl_video(0, [], [], avcc, w, h, 1)
+    trak = _trak(b"vide", 1, stbl_v, 25, 0, w, h)
+    trex = _full(b"trex", 0, 0,
+                 struct.pack(">IIIII", 1, 1, 1, 100, 0))
+    mvex = _box(b"mvex", trex)
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">II", 0, 0) + struct.pack(">II", 25, 0)
+                 + struct.pack(">I", 0x00010000)
+                 + struct.pack(">H", 0x0100) + b"\x00" * 10
+                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+    out = [
+        _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5cmfc"),
+        _box(b"moov", mvhd + trak + mvex),
+    ]
+    for f in range(n_fragments):
+        samples = [
+            bytes(((j * 31 + seed + f * 7 + k) % 251)
+                  for j in range(20 + (seed + k) % 9))
+            for k in range(samples_per_fragment)
+        ]
+        sizes = b"".join(struct.pack(">I", len(s)) for s in samples)
+        mfhd = _full(b"mfhd", 0, 0,
+                     struct.pack(">I", (f + 2 if break_seq and f == 1
+                                        else f + 1)))
+        tfhd = _full(b"tfhd", 0, 0x020000,  # default-base-is-moof
+                     struct.pack(">I", 3 if stray_track and f == 0 else 1))
+        # trun: data_offset + sample sizes present
+        trun = _full(b"trun", 0, 0x000201,
+                     struct.pack(">I", samples_per_fragment)
+                     + struct.pack(">i", 0)  # patched below
+                     + sizes)
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # patch trun data_offset: moof start -> first sample byte
+        off = len(moof) + 8
+        moof = bytearray(moof)
+        k = bytes(moof).index(b"trun")
+        moof[k + 12 : k + 16] = struct.pack(">i", off)
+        out.append(bytes(moof))
+        out.append(_box(b"mdat", b"".join(samples)))
+    return b"".join(out)

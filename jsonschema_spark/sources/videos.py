@@ -703,3 +703,80 @@ def materialized_webm_videos(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_webm_videos(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- fragmented-MP4 (DASH/CMAF) ledger corpus (round 4) ----------------------
+_FMP4_VER = "v1"
+FMP4_CLASS_MOD = 6
+
+FMP4_VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_fragmented", T.BooleanType(), True),
+        T.StructField("_n_frags", T.IntegerType(), True),
+        T.StructField("_samples", T.IntegerType(), True),
+        T.StructField("_seq_ok", T.BooleanType(), True),
+        T.StructField("_tracks_ok", T.BooleanType(), True),
+    ]
+)
+
+
+def _fmp4_row(i: int) -> tuple:
+    from jsonschema_spark.functions.mp4 import (
+        encode_mp4_fragmented,
+        encode_mp4_h264,
+    )
+
+    cls = i % FMP4_CLASS_MOD
+    nf = 2 + (_hash(i) >> 11) % 5
+    spf = 6 + i % 5
+    vid = f"fmp4-{i:06d}"
+    if cls == 0:      # small CMAF-style segment chain
+        raw = encode_mp4_fragmented(nf, spf, seed=i)
+        led = (True, None, True, nf, nf * spf, True, True)
+    elif cls == 1:    # longer chain, bigger frames
+        raw = encode_mp4_fragmented(nf + 4, spf, width_mbs=6,
+                                    height_mbs=4, seed=i)
+        led = (True, None, True, nf + 4, (nf + 4) * spf, True, True)
+    elif cls == 2:    # plain progressive MP4: fragmented = False
+        raw = encode_mp4_h264(5 + i % 4, seed=i)
+        led = (True, None, False, 0, 0, True, True)
+    elif cls == 3:    # mfhd sequence break
+        raw = encode_mp4_fragmented(max(nf, 3), spf, seed=i,
+                                    break_seq=True)
+        led = (True, None, True, max(nf, 3), max(nf, 3) * spf, False,
+               True)
+    elif cls == 4:    # traf referencing an undeclared track
+        raw = encode_mp4_fragmented(nf, spf, seed=i, stray_track=True)
+        led = (True, None, True, nf, nf * spf, True, False)
+    else:             # torn mid-fragment
+        raw = encode_mp4_fragmented(nf, spf, seed=i)[:-13]
+        led = (False, "truncated", None, None, None, None, None)
+    return (vid, bytearray(raw), i) + led
+
+
+def synth_fmp4_videos(
+    spark: SparkSession, n: int, partitions: Optional[int] = None
+) -> DataFrame:
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(range(n), parts).map(_fmp4_row),
+        FMP4_VIDEOS_SCHEMA,
+    )
+
+
+def fmp4_videos_path(n: int) -> str:
+    return os.path.join(_MATERIALIZE_ROOT, f"videos_fmp4_{_FMP4_VER}_{n}")
+
+
+def materialized_fmp4_videos(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    path = fmp4_videos_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_fmp4_videos(spark, n), path)
+    return spark.read.parquet(path), path

@@ -98,3 +98,42 @@ def test_walker_never_crashes_on_random_tears():
             cand = bytes(b)
         p = parse_mp4(cand)
         assert isinstance(p["ok"], bool)
+
+
+def test_fragmented_round_trip_and_failures():
+    """fMP4 fragment layer (§8.8): init + moof/mdat chains, sequence
+    discipline, track declaration, trun accounting."""
+    from jsonschema_spark.functions.mp4 import (
+        encode_mp4_fragmented,
+        parse_mp4_fragments,
+    )
+
+    p = parse_mp4_fragments(encode_mp4_fragmented(4, 8, seed=1))
+    assert p["ok"] and p["fragmented"] and p["n_fragments"] == 4
+    assert p["frag_samples"] == 32 and p["seq_ok"] and p["frag_tracks_ok"]
+    p = parse_mp4_fragments(encode_mp4_h264(5, seed=2))
+    assert p["ok"] and not p["fragmented"]
+    assert not parse_mp4_fragments(
+        encode_mp4_fragmented(3, seed=3, break_seq=True)
+    )["seq_ok"]
+    assert not parse_mp4_fragments(
+        encode_mp4_fragmented(3, seed=4, stray_track=True)
+    )["frag_tracks_ok"]
+    raw = encode_mp4_fragmented(3, seed=5)
+    assert parse_mp4_fragments(raw[:-9])["error"] == "truncated"
+    # moof with its mdat stripped
+    i = raw.rindex(b"mdat") - 4
+    assert parse_mp4_fragments(raw[:i])["error"] == "moof_without_mdat"
+
+
+def test_fmp4_ledger_corpus_independent_pin():
+    from jsonschema_spark.functions.mp4 import (
+        MP4_FRAG_FIELDS,
+        parse_mp4_fragments,
+    )
+    from jsonschema_spark.sources.videos import FMP4_CLASS_MOD, _fmp4_row
+
+    for i in range(2 * FMP4_CLASS_MOD):
+        row = _fmp4_row(i)
+        p = parse_mp4_fragments(bytes(row[1]))
+        assert tuple(p[f] for f in MP4_FRAG_FIELDS) == row[3:], i
