@@ -117,6 +117,62 @@ def _float(raw: bytes, a: int, b: int) -> float:
     raise ValueError("bad_float")
 
 
+def _parse_simple_block(raw: bytes, c: int, d: int) -> tuple[int, int]:
+    """(track_number, frame_count) from a SimpleBlock body — the three
+    Matroska lacing modes (Xiph 0b01, fixed 0b10, EBML 0b11) carry
+    several codec frames per block (how real muxers pack Vorbis/Opus
+    audio); declared lacing sizes must tile the remaining body exactly
+    or the block is structurally broken ("bad_lacing")."""
+    tn, p = read_vint(raw, c, False)
+    p += 2  # s16 relative timestamp
+    if p >= d:
+        raise ValueError("bad_lacing")
+    flags = raw[p]
+    p += 1
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        if p > d:
+            raise ValueError("bad_lacing")
+        return tn, 1
+    if p >= d:
+        raise ValueError("bad_lacing")
+    nframes = raw[p] + 1
+    p += 1
+    remaining = d - p
+    if lacing == 2:  # fixed: equal split, no size table
+        if nframes == 0 or remaining % nframes:
+            raise ValueError("bad_lacing")
+        return tn, nframes
+    sizes = []
+    if lacing == 1:  # Xiph: 255-continued bytes per frame except last
+        for _ in range(nframes - 1):
+            v = 0
+            while True:
+                if p >= d:
+                    raise ValueError("bad_lacing")
+                b = raw[p]
+                p += 1
+                v += b
+                if b != 255:
+                    break
+            sizes.append(v)
+    else:  # EBML lacing: first absolute vint, then signed vint deltas
+        first, p = read_vint(raw, p, False)
+        sizes.append(first)
+        for k in range(1, nframes - 1):
+            dlt, p2 = read_vint(raw, p, False)
+            length = p2 - p
+            p = p2
+            # signed vint: range-shift by 2^(7*len-1) - 1
+            sizes.append(sizes[-1] + dlt - ((1 << (7 * length - 1)) - 1))
+    body_left = d - p
+    declared = sum(sizes)
+    last = body_left - declared
+    if any(sz < 0 for sz in sizes) or last < 0:
+        raise ValueError("bad_lacing")
+    return tn, nframes
+
+
 WEBM_PROFILE_FIELDS = (
     "ok", "error", "doctype", "n_tracks", "video_codec", "width",
     "height", "audio_codec", "sample_rate", "channels", "n_clusters",
@@ -225,8 +281,8 @@ def parse_webm(raw: bytes) -> dict:
                 n_clusters += 1
                 for e2, c, d, _ in walk_ebml(raw, a, b, 2):
                     if e2 == SIMPLE_BLOCK:
-                        tn, _p = read_vint(raw, c, False)
-                        block_counts[tn] = block_counts.get(tn, 0) + 1
+                        tn, nf = _parse_simple_block(raw, c, d)
+                        block_counts[tn] = block_counts.get(tn, 0) + nf
     except ValueError as e:
         return _webm_fail(str(e))
     if not tracks:
@@ -318,6 +374,8 @@ def encode_webm(
     duration_ms: int = 2000,
     doctype: str = "webm",
     blocks_per_cluster: int = 8,
+    audio_lacing: int = 0,
+    audio_frames_per_block: int = 1,
     seed: int = 0,
 ) -> bytes:
     """Minimal conforming WebM: EBML header + Segment(Info, Tracks,
@@ -361,22 +419,53 @@ def encode_webm(
         )
     tracks = elem(TRACKS, entries)
 
-    def block(track: int, ts: int, k: int) -> bytes:
-        payload = bytes(((j * 37 + seed + k) % 251)
-                        for j in range(24 + (seed + k) % 40))
-        body = (
+    def block(track: int, ts: int, k: int, lacing: int = 0,
+              nframes: int = 1) -> bytes:
+        def payload(j0: int, n: int) -> bytes:
+            return bytes(((j * 37 + seed + k + j0) % 251)
+                         for j in range(n))
+
+        flags = 0x80 | (lacing << 1)
+        head = (
             (0x80 | track).to_bytes(1, "big")
             + struct.pack(">h", ts)
-            + b"\x80"  # keyframe flag
-            + payload
+            + bytes((flags,))
         )
-        return elem(SIMPLE_BLOCK, body)
+        if lacing == 0:
+            return elem(SIMPLE_BLOCK,
+                        head + payload(0, 24 + (seed + k) % 40))
+        if lacing == 2:  # fixed: equal frame sizes, no table
+            fl = 16 + (seed + k) % 8
+            body = bytes((nframes - 1,)) + b"".join(
+                payload(j, fl) for j in range(nframes)
+            )
+            return elem(SIMPLE_BLOCK, head + body)
+        sizes = [10 + ((seed + k + j) % 300) for j in range(nframes)]
+        if lacing == 1:  # Xiph
+            table = b""
+            for sz in sizes[:-1]:
+                table += b"\xff" * (sz // 255) + bytes((sz % 255,))
+        else:  # EBML
+            table = _size_vint(sizes[0])
+            for j in range(1, nframes - 1):
+                delta = sizes[j] - sizes[j - 1]
+                # 2-byte signed vint: shift by 2^13 - 1
+                table += ((1 << 14) | (delta + (1 << 13) - 1)).to_bytes(
+                    2, "big"
+                )
+        body = bytes((nframes - 1,)) + table + b"".join(
+            payload(j, sz) for j, sz in enumerate(sizes)
+        )
+        return elem(SIMPLE_BLOCK, head + body)
 
     blocks = []
     for k in range(n_video_blocks):
         blocks.append((k * 40, block(1, 0, k)))
     for k in range(n_audio_blocks):
-        blocks.append((k * 20 + 1, block(2, 0, 1000 + k)))
+        blocks.append(
+            (k * 20 + 1,
+             block(2, 0, 1000 + k, audio_lacing, audio_frames_per_block))
+        )
     blocks.sort(key=lambda x: x[0])
     clusters = b""
     for c0 in range(0, len(blocks), blocks_per_cluster):

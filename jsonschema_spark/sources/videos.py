@@ -570,8 +570,8 @@ def materialized_mp4_videos(
 # failures (torn element, non-EBML magic, unknown DocType, stray
 # SimpleBlock track, duplicate track numbers). Ledger truth is
 # generator arithmetic.
-_WEBM_VER = "v1"
-WEBM_CLASS_MOD = 10
+_WEBM_VER = "v2"  # v2: lacing classes
+WEBM_CLASS_MOD = 14
 
 WEBM_VIDEOS_SCHEMA = T.StructType(
     [
@@ -607,8 +607,8 @@ def _webm_row(i: int) -> tuple:
     cls = i % WEBM_CLASS_MOD
     vb = 8 + (_hash(i) >> 10) % 12
     vid = f"webm-{i:06d}"
-    base_cls = cls if cls < 5 else (cls - 5)
-    cfg = [
+    base_cls = cls if cls < 5 else ((cls - 5) if cls < 10 else (cls - 10))
+    cfgs = [
         dict(),
         dict(n_audio_blocks=2 * (8 + (_hash(i) >> 10) % 12)),
         dict(n_audio_blocks=10, doctype="matroska",
@@ -618,10 +618,28 @@ def _webm_row(i: int) -> tuple:
              width=640, height=360),
         dict(n_audio_blocks=30, blocks_per_cluster=4,
              duration_ms=5000),
-    ][base_cls]
+        # lacing classes (v2): several codec frames per SimpleBlock —
+        # Xiph, fixed, and EBML-delta size tables (how real muxers
+        # pack Vorbis/Opus audio)
+        dict(n_audio_blocks=6, audio_lacing=1,
+             audio_frames_per_block=3 + i % 3,
+             audio_codec="A_VORBIS"),
+        dict(n_audio_blocks=5, audio_lacing=2,
+             audio_frames_per_block=2 + i % 4),
+        dict(n_audio_blocks=4, audio_lacing=3,
+             audio_frames_per_block=3 + i % 4,
+             doctype="matroska", audio_codec="A_VORBIS", sr=32000),
+    ]
+    if 10 <= cls < 13:
+        cfg = cfgs[5 + (cls - 10)]  # the three lacing modes, valid
+    elif cls == 13:
+        cfg = cfgs[5]  # Xiph shape; a corrupt laced block is appended
+    else:
+        cfg = cfgs[base_cls]  # 0-4 valid, 5-9 reuse shapes for failures
     raw = encode_webm(vb, seed=i, **cfg)
     ab = cfg.get("n_audio_blocks", 0)
     bpc = cfg.get("blocks_per_cluster", 8)
+    fpb = cfg.get("audio_frames_per_block", 1)
     n_clusters = -(-(vb + ab) // bpc)
     led = (cfg.get("doctype", "webm"), 2 if ab else 1,
            cfg.get("video_codec", "V_VP9"),
@@ -629,7 +647,7 @@ def _webm_row(i: int) -> tuple:
            cfg.get("audio_codec", "A_OPUS") if ab else None,
            cfg.get("sr", 48000) if ab else None,
            cfg.get("channels", 1) if ab else None,
-           n_clusters, vb, ab,
+           n_clusters, vb, ab * fpb,
            cfg.get("duration_ms", 2000), True)
     err = None
     if cls == 5:      # torn element
@@ -663,7 +681,27 @@ def _webm_row(i: int) -> tuple:
         hdr_end = top[0][2]
         raw = raw[:hdr_end] + elem(SEGMENT, seg_body)
         led = led[:8] + (n_clusters + 1,) + led[9:-1] + (False,)
-    else:             # 9: duplicate track numbers
+    elif cls == 13:   # lacing size table overruns the block body
+        # append a corrupt laced block: declares 3 frames whose Xiph
+        # sizes exceed the remaining bytes
+        from jsonschema_spark.functions.webm import (
+            CLUSTER,
+            SEGMENT,
+            TIMESTAMP,
+            _uint_body,
+            walk_ebml,
+        )
+
+        bad = elem(SIMPLE_BLOCK,
+                   b"\x82\x00\x00\x82\x02\xf0\xf0" + b"\x11" * 10)
+        extra = elem(CLUSTER, elem(TIMESTAMP, _uint_body(9500)) + bad)
+        top = list(walk_ebml(raw, 0, len(raw)))
+        seg = next(t for t in top if t[0] == SEGMENT)
+        raw = raw[: top[0][2]] + elem(
+            SEGMENT, raw[seg[1] : seg[2]] + extra
+        )
+        err = "bad_lacing"
+    elif cls == 9:    # duplicate track numbers
         from jsonschema_spark.functions.webm import (
             TRACK_NUMBER,
         )

@@ -98,3 +98,34 @@ def test_container_sniff_routes_webm():
     video_only = encode_webm(5, seed=22)
     p = _profile_one(video_only)
     assert not p["ok"] and p["error"] == "not_audio_container"
+
+
+def test_lacing_modes_frame_counts():
+    """Matroska lacing (Xiph / fixed / EBML-delta): frame counts per
+    track come from the lacing tables, and a size table overrunning
+    the block body is a structural error."""
+    p = parse_webm(encode_webm(4, 6, audio_lacing=1,
+                               audio_frames_per_block=4, seed=2))
+    assert p["audio_blocks"] == 24 and p["video_blocks"] == 4
+    p = parse_webm(encode_webm(4, 5, audio_lacing=2,
+                               audio_frames_per_block=3, seed=3))
+    assert p["audio_blocks"] == 15
+    p = parse_webm(encode_webm(4, 5, audio_lacing=3,
+                               audio_frames_per_block=4, seed=4))
+    assert p["audio_blocks"] == 20
+    # corrupt Xiph table: declared sizes exceed the body
+    from jsonschema_spark.functions.webm import (
+        CLUSTER,
+        SEGMENT,
+        SIMPLE_BLOCK,
+        TIMESTAMP,
+        _uint_body,
+    )
+
+    raw = encode_webm(3, seed=5)
+    bad = elem(SIMPLE_BLOCK, b"\x81\x00\x00\x82\x02\xf0\xf0" + b"\x11" * 6)
+    extra = elem(CLUSTER, elem(TIMESTAMP, _uint_body(50)) + bad)
+    top = list(walk_ebml(raw, 0, len(raw)))
+    seg = next(t for t in top if t[0] == SEGMENT)
+    patched = raw[: top[0][2]] + elem(SEGMENT, raw[seg[1]:seg[2]] + extra)
+    assert parse_webm(patched)["error"] == "bad_lacing"
