@@ -3392,6 +3392,35 @@ def _q_videos_mjpeg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TAGS_N = 320
+
+
+def _q_clips_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction (round 4): ID3v2.3/2.4 text frames
+    (latin-1 / UTF-16-BOM / UTF-8 encodings, syncsafe v2.4 frame sizes,
+    padding tolerance), Vorbis comments and OpusTags (the shared
+    vendor + KEY=value layout) — the provenance fields a training
+    pipeline joins against its manifest. Untagged payloads report a
+    loud no_tags; truncated tags and frame-size lies raise exact
+    structural errors. Ledger truth is generator strings."""
+    from jsonschema_spark.functions.tags import audio_tags_profile
+    from jsonschema_spark.sources.clips import materialized_tagged_clips
+
+    clips, _ = materialized_tagged_clips(spark, _TAGS_N)
+    prof = clips.select("clip_id", audio_tags_profile("bytes").alias("p"))
+    return prof.select(
+        "clip_id",
+        F.col("p.ok").alias("tags_ok"),
+        F.col("p.error").alias("tags_error"),
+        F.col("p.tag_format").alias("tag_format"),
+        F.col("p.n_tags").alias("n_tags"),
+        F.col("p.title").alias("title"),
+        F.col("p.artist").alias("artist"),
+        F.col("p.album").alias("album"),
+        F.col("p.vendor").alias("vendor"),
+    )
+
+
 _FMP4_N = 240
 
 
@@ -5497,6 +5526,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "clips_mp3_headers",
     "clips_vorbis_packets",
     "clips_aac_adts",
+    "clips_tags",
     "clips_containers",
     "clips_container_dispatch",
     # dedup family
@@ -5508,7 +5538,6 @@ _DRIVER_SAMPLE_PREFIX = [
     "clips_drift_wasserstein",
     "clips_drift_matrix_codec",
     "clips_drift_report",
-    "drift_ks_binned_events",
     # temporal / joins
     "sessionize_events",
     "asof_attribution_events",
@@ -5722,6 +5751,7 @@ def _registered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         "clips_aac_adts": _q_clips_aac_adts,
         "videos_webm_structure": _q_videos_webm_structure,
         "videos_mp4_fragments": _q_videos_mp4_fragments,
+        "clips_tags": _q_clips_tags,
         "images_jpeg_decode": _q_images_jpeg_decode,
         "images_jpeg_progressive": _q_images_jpeg_progressive,
         "layout_report_range": _q_layout_report("range"),
@@ -8138,6 +8168,25 @@ def _videos_av_demux_sql() -> str:
                CAST(_sr AS INTEGER) AS sample_rate,
                CAST(_n_audio_bytes AS BIGINT) AS n_audio_bytes,
                _audio_md5 AS audio_md5
+        FROM {src}
+    """
+
+
+def _clips_tags_sql() -> str:
+    """Tag-extraction ledger oracle (generator strings)."""
+    from jsonschema_spark.sources.clips import tagged_clips_path
+
+    src = f"read_parquet('{tagged_clips_path(_TAGS_N)}/*.parquet')"
+    return f"""
+        SELECT clip_id,
+               _ok AS tags_ok,
+               _err AS tags_error,
+               _fmt AS tag_format,
+               CAST(_n_tags AS INTEGER) AS n_tags,
+               _title AS title,
+               _artist AS artist,
+               _album AS album,
+               _vendor AS vendor
         FROM {src}
     """
 
@@ -12115,6 +12164,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_aac_adts": _clips_aac_adts_sql(),
         "videos_webm_structure": _videos_webm_structure_sql(),
         "videos_mp4_fragments": _videos_mp4_fragments_sql(),
+        "clips_tags": _clips_tags_sql(),
         "images_jpeg_decode": _images_jpeg_decode_sql(),
         "images_jpeg_progressive": _images_jpeg_progressive_sql(),
         "layout_report_range": _layout_report_sql("range"),

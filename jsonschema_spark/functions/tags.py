@@ -1,0 +1,260 @@
+"""Audio METADATA extraction — ID3v2 text frames (ID3v2.3/2.4,
+informal standard id3.org), Vorbis comments (Vorbis I §5) and OpusTags
+(RFC 7845 §5.2) — the per-asset metadata a training-data pipeline
+joins against its manifest (title/artist provenance, dedup keys,
+rights screening).
+
+One sniff routes each payload:
+- MP3 with a leading ID3v2 tag -> frame walk (syncsafe tag size; v2.4
+  syncsafe frame sizes vs v2.3 plain; encoding bytes 0 latin-1 /
+  1 UTF-16-BOM / 3 UTF-8; padding tolerated; TIT2/TPE1/TALB extracted,
+  total frame count reported).
+- Ogg -> packet 1 of the stream: Vorbis comment header (\\x03vorbis) or
+  OpusTags magic, then the shared vendor + "KEY=value" list layout
+  (little-endian lengths).
+- Anything else -> ok=false, no_tags.
+
+Extraction NEVER decodes audio; structural errors (truncated tag
+header, frame overrunning the tag, bad comment lengths) surface as
+exact error strings. One Arrow hop, no shuffles.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TEXT_KEYS = {"TIT2": "title", "TPE1": "artist", "TALB": "album"}
+
+
+def syncsafe(b: bytes) -> int:
+    v = 0
+    for x in b:
+        if x & 0x80:
+            raise ValueError("bad_syncsafe")
+        v = (v << 7) | x
+    return v
+
+
+def _decode_text(body: bytes) -> str:
+    if not body:
+        return ""
+    enc = body[0]
+    data = body[1:].split(b"\x00\x00" if enc in (1, 2) else b"\x00")[0]
+    if enc == 0:
+        return data.decode("latin-1")
+    if enc in (1, 2):
+        return data.decode("utf-16" if enc == 1 else "utf-16-be")
+    if enc == 3:
+        return data.decode("utf-8")
+    raise ValueError("bad_text_encoding")
+
+
+def parse_id3v2(raw: bytes) -> dict:
+    """Text-frame walk of a leading ID3v2 tag. Returns {version,
+    n_frames, title, artist, album} or raises ValueError."""
+    if raw[:3] != b"ID3":
+        raise ValueError("no_id3")
+    if len(raw) < 10:
+        raise ValueError("truncated_tag")
+    ver = raw[3]
+    if ver not in (3, 4):
+        raise ValueError("bad_id3_version")
+    size = syncsafe(raw[6:10])
+    end = 10 + size
+    if end > len(raw):
+        raise ValueError("truncated_tag")
+    pos = 10
+    out = {"version": ver, "n_frames": 0, "title": None, "artist": None,
+           "album": None}
+    while pos + 10 <= end:
+        fid = raw[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise ValueError("bad_frame_id")
+        if ver == 4:
+            fsize = syncsafe(raw[pos + 4 : pos + 8])
+        else:
+            (fsize,) = struct.unpack(">I", raw[pos + 4 : pos + 8])
+        body0 = pos + 10
+        if body0 + fsize > end:
+            raise ValueError("frame_overrun")
+        out["n_frames"] += 1
+        key = _TEXT_KEYS.get(fid.decode("latin-1"))
+        if key and out[key] is None:  # duplicate frames: first one wins
+            out[key] = _decode_text(raw[body0 : body0 + fsize])
+        pos = body0 + fsize
+    return out
+
+
+def parse_comment_block(body: bytes, pos: int = 0) -> dict:
+    """Shared Vorbis-comment layout (vendor + user list, LE lengths)."""
+    if pos + 4 > len(body):
+        raise ValueError("truncated_comments")
+    (vl,) = struct.unpack("<I", body[pos : pos + 4])
+    pos += 4
+    if pos + vl > len(body):
+        raise ValueError("truncated_comments")
+    vendor = body[pos : pos + vl].decode("utf-8", "replace")
+    pos += vl
+    if pos + 4 > len(body):
+        raise ValueError("truncated_comments")
+    (n,) = struct.unpack("<I", body[pos : pos + 4])
+    pos += 4
+    if n > 10_000:
+        raise ValueError("bad_comment_count")
+    out = {"vendor": vendor, "n_frames": 0, "title": None,
+           "artist": None, "album": None}
+    for _ in range(n):
+        if pos + 4 > len(body):
+            raise ValueError("truncated_comments")
+        (cl,) = struct.unpack("<I", body[pos : pos + 4])
+        pos += 4
+        if pos + cl > len(body):
+            raise ValueError("truncated_comments")
+        item = body[pos : pos + cl].decode("utf-8", "replace")
+        pos += cl
+        out["n_frames"] += 1
+        if "=" in item:
+            k, v = item.split("=", 1)
+            k = k.upper()
+            if k in ("TITLE", "ARTIST", "ALBUM") and out[k.lower()] is None:
+                out[k.lower()] = v
+    return out
+
+
+TAGS_FIELDS = (
+    "ok", "error", "tag_format", "n_tags", "title", "artist", "album",
+    "vendor",
+)
+
+TAGS_TYPE = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("tag_format", T.StringType()),
+        T.StructField("n_tags", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("vendor", T.StringType()),
+    ]
+)
+
+
+def _tags_fail(err: str) -> dict:
+    d = {k: None for k in TAGS_FIELDS}
+    d["ok"] = False
+    d["error"] = err
+    return d
+
+
+def parse_audio_tags(raw: bytes) -> dict:
+    raw = bytes(raw)
+    try:
+        if raw[:3] == b"ID3":
+            t = parse_id3v2(raw)
+            return {
+                "ok": True, "error": None,
+                "tag_format": f"id3v2.{t['version']}",
+                "n_tags": t["n_frames"], "title": t["title"],
+                "artist": t["artist"], "album": t["album"],
+                "vendor": None,
+            }
+        if raw[:4] == b"OggS":
+            from jsonschema_spark.functions.ogg import (
+                _collect_packets,
+                _scan_pages,
+            )
+
+            pages = _scan_pages(raw)
+            if isinstance(pages, str):
+                return _tags_fail(pages)
+            packets = _collect_packets(pages)
+            if isinstance(packets, str):
+                return _tags_fail(packets)
+            if len(packets) < 2:
+                return _tags_fail("missing_comment_packet")
+            pk = bytes(packets[1])
+            if pk[:7] == b"\x03vorbis":
+                t = parse_comment_block(pk, 7)
+                fmt = "vorbis_comment"
+            elif pk[:8] == b"OpusTags":
+                t = parse_comment_block(pk, 8)
+                fmt = "opus_tags"
+            else:
+                return _tags_fail("unknown_comment_packet")
+            return {
+                "ok": True, "error": None, "tag_format": fmt,
+                "n_tags": t["n_frames"], "title": t["title"],
+                "artist": t["artist"], "album": t["album"],
+                "vendor": t["vendor"],
+            }
+        return _tags_fail("no_tags")
+    except ValueError as e:
+        return _tags_fail(str(e))
+
+
+def audio_tags_batch(p: pd.Series) -> pd.DataFrame:
+    rows = [parse_audio_tags(bytes(x)) for x in p]
+    return pd.DataFrame(rows, columns=list(TAGS_FIELDS))
+
+
+@F.pandas_udf(TAGS_TYPE)
+def _tags_udf(p: pd.Series) -> pd.DataFrame:
+    return audio_tags_batch(p)
+
+
+def audio_tags_profile(payload: Column | str = "bytes") -> Column:
+    """struct(ok, error, tag_format, n_tags, title, artist, album,
+    vendor): ID3v2 / Vorbis-comment / OpusTags metadata extraction,
+    one Arrow hop."""
+    return _tags_udf(F.col(payload) if isinstance(payload, str) else payload)
+
+
+# ---- writers (ledger corpora + tests) ---------------------------------------
+
+
+def _syncsafe_bytes(v: int) -> bytes:
+    return bytes(((v >> 21) & 0x7F, (v >> 14) & 0x7F, (v >> 7) & 0x7F,
+                  v & 0x7F))
+
+
+def build_id3v2(
+    title: str, artist: str, album: Optional[str] = None,
+    version: int = 3, encoding: int = 3, padding: int = 16,
+) -> bytes:
+    """A real ID3v2.3/2.4 tag with TIT2/TPE1(/TALB) text frames."""
+    frames = b""
+    for fid, text in (("TIT2", title), ("TPE1", artist), ("TALB", album)):
+        if text is None:
+            continue
+        if encoding == 0:
+            body = b"\x00" + text.encode("latin-1")
+        elif encoding == 1:
+            body = b"\x01" + text.encode("utf-16")
+        else:
+            body = b"\x03" + text.encode("utf-8")
+        size = (_syncsafe_bytes(len(body)) if version == 4
+                else struct.pack(">I", len(body)))
+        frames += fid.encode() + size + b"\x00\x00" + body
+    frames += b"\x00" * padding
+    return (b"ID3" + bytes((version, 0, 0))
+            + _syncsafe_bytes(len(frames)) + frames)
+
+
+def build_comment_fields(
+    vendor: str, comments: list[str]
+) -> bytes:
+    out = struct.pack("<I", len(vendor.encode())) + vendor.encode()
+    out += struct.pack("<I", len(comments))
+    for c in comments:
+        cb = c.encode()
+        out += struct.pack("<I", len(cb)) + cb
+    return out

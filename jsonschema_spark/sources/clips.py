@@ -4782,3 +4782,148 @@ def materialized_adts_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_adts_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- tagged-metadata ledger corpus (round 4) ---------------------------------
+# ID3v2.3/2.4 text frames (latin-1/UTF-16/UTF-8 encodings), Vorbis
+# comments, OpusTags — the provenance metadata a pipeline joins against
+# its manifest. Five VALID classes + untagged + two planted structural
+# failures. Ledger truth is generator strings.
+TAGS_CLASS_MOD = 8
+
+TAGS_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_fmt", T.StringType(), True),
+        T.StructField("_n_tags", T.IntegerType(), True),
+        T.StructField("_title", T.StringType(), True),
+        T.StructField("_artist", T.StringType(), True),
+        T.StructField("_album", T.StringType(), True),
+        T.StructField("_vendor", T.StringType(), True),
+    ]
+)
+
+
+def synth_tagged_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Tagged-metadata ledger corpus (class roster above)."""
+    from jsonschema_spark.functions.mp3 import encode_mp3_stream
+    from jsonschema_spark.functions.ogg import (
+        build_opus_packet,
+        build_page,
+        encode_ogg_vorbis_framed,
+        opus_head_packet,
+        vorbis_header_packets,
+    )
+    from jsonschema_spark.functions.tags import (
+        build_comment_fields,
+        build_id3v2,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def _row(i: int) -> tuple:
+        cid = f"clip-{i:012d}"
+        cls = i % TAGS_CLASS_MOD
+        title = f"Take {i} ♪"
+        artist = f"Ensemble {i % 97}"
+        album = f"Sessions vol. {i % 13}"
+        mp3 = encode_mp3_stream(4 + i % 5, 2, 3, 16000, "mono", (64,),
+                                seed=i)
+        err = None
+        led = None
+        codec = "mp3"
+        if cls == 0:    # ID3v2.3 UTF-8, three frames
+            raw = build_id3v2(title, artist, album, 3, 3) + mp3
+            led = ("id3v2.3", 3, title, artist, album, None)
+        elif cls == 1:  # ID3v2.4 UTF-16, syncsafe frame sizes
+            raw = build_id3v2(title, artist, None, 4, 1) + mp3
+            led = ("id3v2.4", 2, title, artist, None, None)
+        elif cls == 2:  # ID3v2.3 latin-1 (ASCII-safe strings)
+            t2 = f"Take {i}"
+            raw = build_id3v2(t2, artist, None, 3, 0) + mp3
+            led = ("id3v2.3", 2, t2, artist, None, None)
+        elif cls == 3:  # Vorbis comments
+            hdrs = list(vorbis_header_packets())
+            hdrs[1] = (
+                b"\x03vorbis"
+                + build_comment_fields(
+                    "jss-enc", [f"TITLE={title}", f"ARTIST={artist}",
+                                "ENCODER=jss"]
+                )
+                + b"\x01"
+            )
+            raw = encode_ogg_vorbis_framed(
+                [b"\x00" + bytes(30 + i % 20)] * 4, header_packets=hdrs
+            )
+            led = ("vorbis_comment", 3, title, artist, None, "jss-enc")
+            codec = "vorbis"
+        elif cls == 4:  # OpusTags
+            tags_pkt = b"OpusTags" + build_comment_fields(
+                "libjss", [f"TITLE={title}", f"ARTIST={artist}",
+                           f"ALBUM={album}"]
+            )
+            pk = [build_opus_packet(9, 0, [40], seed=i + j)
+                  for j in range(3)]
+            pages = [
+                build_page(0x70 + i % 11, 0, 0,
+                           [opus_head_packet(1, 312, 16000)], bos=True),
+                build_page(0x70 + i % 11, 1, 0, [tags_pkt]),
+                build_page(0x70 + i % 11, 2, 3 * 960, pk, eos=True),
+            ]
+            raw = b"".join(pages)
+            led = ("opus_tags", 3, title, artist, album, "libjss")
+            codec = "opus"
+        elif cls == 5:  # untagged mp3: loud no_tags, not a silent None
+            raw = mp3
+            err = "no_tags"
+        elif cls == 6:  # tag size overruns the payload
+            tag = build_id3v2(title, artist, None, 3, 3)
+            raw = tag[: len(tag) // 2]
+            err = "truncated_tag"
+        else:           # 7: frame size overruns the tag
+            tag = bytearray(build_id3v2(title, artist, None, 3, 3))
+            tag[14:18] = (1 << 20).to_bytes(4, "big")  # TIT2 size lie
+            raw = bytes(tag) + mp3
+            err = "frame_overrun"
+        if led is None:
+            out = (False, err, None, None, None, None, None, None)
+        else:
+            out = (True, None) + led
+        return (cid, bytearray(raw), 16000, 200 + i % 400, codec,
+                transcript_for(cid), i) + out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_fmt",
+                "_n_tags", "_title", "_artist", "_album", "_vendor"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=TAGS_CLIPS_SCHEMA
+    )
+
+
+def tagged_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_tagged_{n}")
+
+
+def materialized_tagged_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """Tagged-metadata ledger table materialized once."""
+    import os
+
+    path = tagged_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_tagged_clips(spark, n), path)
+    return spark.read.parquet(path), path
