@@ -199,6 +199,10 @@ def _profile_one(raw: bytes) -> dict:
                 out["error"] = r["error"]
             elif r["audio_codec"] is None:
                 out["error"] = "not_audio_container"
+            elif not r["sample_rate"]:
+                # a sowt entry may declare sample_rate 0 — a divide
+                # guard, not a task-killing ZeroDivisionError
+                out["error"] = "bad_sample_rate"
             else:
                 out.update(
                     ok=True, sample_rate=r["sample_rate"],
@@ -234,7 +238,13 @@ def _profile_one(raw: bytes) -> dict:
             out.update(ok=len(raw) % 2 == 0, n_samples=len(raw) // 2)
             if len(raw) % 2:
                 out["error"] = "odd_pcm_length"
-    except (ValueError, TypeError, struct.error) as e:
+    except (ValueError, TypeError, struct.error, IndexError,
+            OverflowError, ZeroDivisionError) as e:
+        # the broadened tuple is the backstop for walker escapes the
+        # per-format guards miss (r4 ADVICE: empty mvhd body IndexError,
+        # infinite EBML float OverflowError, zero-rate ZeroDivisionError)
+        # — a malformed payload must become an error ROW, never a dead
+        # Spark task
         out["ok"] = False
         out["error"] = f"decode_failed: {e}"
     return out

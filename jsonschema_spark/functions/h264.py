@@ -360,7 +360,13 @@ def parse_h264_stream(raw: bytes) -> dict:
 
 
 def h264_profile_batch(p: pd.Series) -> pd.DataFrame:
-    rows = [parse_h264_stream(bytes(x)) for x in p]
+    # NULL payloads are failing rows, not task-killing TypeErrors —
+    # the suite gates promise "NULL counts as failing".
+    rows = [
+        _h264_fail("null_payload") if x is None
+        else parse_h264_stream(bytes(x))
+        for x in p
+    ]
     return pd.DataFrame(rows, columns=list(H264_PROFILE_FIELDS))
 
 

@@ -70,23 +70,43 @@ def _find_boxes(raw: bytes, pos: int, end: int, depth: int = 0) -> list:
     return list(walk_boxes(raw, pos, end, depth))
 
 
-def _parse_mvhd(raw: bytes, b0: int, b1: int) -> tuple[int, int]:
+def _parse_mvhd(raw: bytes, b0: int, b1: int) -> tuple[int, Optional[int]]:
+    if b1 - b0 < 20:  # empty/short body must not escape as IndexError
+        raise ValueError("bad_mvhd")
     ver = raw[b0]
     if ver == 1:
+        if b1 - b0 < 32:
+            raise ValueError("bad_mvhd")
         ts, dur = struct.unpack(">IQ", raw[b0 + 20 : b0 + 32])
+        if dur == 0xFFFFFFFFFFFFFFFF:  # unknown-duration sentinel
+            dur = None
     else:
         ts, dur = struct.unpack(">II", raw[b0 + 12 : b0 + 20])
+        if dur == 0xFFFFFFFF:  # unknown-duration sentinel (live files)
+            dur = None
     if ts == 0:
         raise ValueError("bad_mvhd")
     return ts, dur
 
 
-def _parse_mdhd(raw: bytes, b0: int, b1: int) -> tuple[int, int]:
+def _parse_mdhd(raw: bytes, b0: int, b1: int) -> tuple[int, Optional[int]]:
+    if b1 - b0 < 20:
+        raise ValueError("bad_mdhd")
     ver = raw[b0]
     if ver == 1:
-        ts, dur = struct.unpack(">IQ", raw[b0 + 16 : b0 + 28])
+        # v1 layout mirrors mvhd: ver/flags(4) + creation(8) +
+        # modification(8) => timescale at b0+20 (ISO 14496-12 §8.4.2;
+        # the old b0+16 read the tail of modification_time as the
+        # timescale on real version-1 files)
+        if b1 - b0 < 32:
+            raise ValueError("bad_mdhd")
+        ts, dur = struct.unpack(">IQ", raw[b0 + 20 : b0 + 32])
+        if dur == 0xFFFFFFFFFFFFFFFF:
+            dur = None
     else:
         ts, dur = struct.unpack(">II", raw[b0 + 12 : b0 + 20])
+        if dur == 0xFFFFFFFF:
+            dur = None
     if ts == 0:
         raise ValueError("bad_mdhd")
     return ts, dur
@@ -289,7 +309,9 @@ def parse_mp4(raw: bytes) -> dict:
     out["error"] = None
     out["major_brand"] = brand
     out["n_tracks"] = len(tracks)
-    out["duration_ms"] = mv_dur * 1000 // mv_ts
+    # mv_dur None = the all-ones unknown-duration sentinel (live /
+    # still-recording files): report NULL, not an astronomical number
+    out["duration_ms"] = None if mv_dur is None else mv_dur * 1000 // mv_ts
     consistent = True
     for handler, md_ts, md_dur, stbl in tracks:
         if stbl is None or handler is None:

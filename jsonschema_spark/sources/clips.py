@@ -191,7 +191,8 @@ def synth_clips(
 # Bump when the generator arithmetic changes: the cache path is content-
 # addressed by (version, n, dur_range, buckets), so stale materializations
 # from earlier rounds can never be read.
-_MATERIALIZE_VERSION = "v5"  # v5: mixed corpus adds ADTS + MP4 dispatch classes
+_MATERIALIZE_VERSION = "v6"  # v6: tagged corpus adds terminated-UTF-16 /
+# ext-header / UTF-16BE / unsync classes (r4 judge items)
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
 
 
@@ -4784,12 +4785,17 @@ def materialized_adts_clips(
     return spark.read.parquet(path), path
 
 
-# --- tagged-metadata ledger corpus (round 4) ---------------------------------
-# ID3v2.3/2.4 text frames (latin-1/UTF-16/UTF-8 encodings), Vorbis
-# comments, OpusTags — the provenance metadata a pipeline joins against
-# its manifest. Five VALID classes + untagged + two planted structural
-# failures. Ledger truth is generator strings.
-TAGS_CLASS_MOD = 8
+# --- tagged-metadata ledger corpus (round 4; widened round 5) ----------------
+# ID3v2.3/2.4 text frames (latin-1/UTF-16/UTF-16BE/UTF-8 encodings),
+# Vorbis comments, OpusTags — the provenance metadata a pipeline joins
+# against its manifest. Round 5 adds the real-world layouts the r4
+# judge showed the parser mishandled: NUL-TERMINATED UTF-16 frames
+# (the iTunes/mutagen layout — terminator at an even code-unit
+# offset), extended headers (v2.3 size-excluded / v2.4 size-included),
+# UTF-16BE encoding byte 2, and an unsynchronised tag that must be
+# REJECTED loudly ("unsync_unsupported"), not misparsed. Ledger truth
+# is generator strings.
+TAGS_CLASS_MOD = 12
 
 TAGS_CLIPS_SCHEMA = T.StructType(
     list(CLIPS_SCHEMA.fields)
@@ -4887,11 +4893,28 @@ def synth_tagged_clips(
             tag = build_id3v2(title, artist, None, 3, 3)
             raw = tag[: len(tag) // 2]
             err = "truncated_tag"
-        else:           # 7: frame size overruns the tag
+        elif cls == 7:  # frame size overruns the tag
             tag = bytearray(build_id3v2(title, artist, None, 3, 3))
             tag[14:18] = (1 << 20).to_bytes(4, "big")  # TIT2 size lie
             raw = bytes(tag) + mp3
             err = "frame_overrun"
+        elif cls == 8:  # v2.3 TERMINATED UTF-16+BOM — the iTunes layout
+            raw = build_id3v2(title, artist, album, 3, 1,
+                              terminated=True) + mp3
+            led = ("id3v2.3", 3, title, artist, album, None)
+        elif cls == 9:  # v2.4 UTF-16BE (encoding byte 2), terminated
+            raw = build_id3v2(title, artist, None, 4, 2,
+                              terminated=True) + mp3
+            led = ("id3v2.4", 2, title, artist, None, None)
+        elif cls == 10:  # extended header precedes the frames
+            ver = 3 if i % 2 else 4
+            raw = build_id3v2(title, artist, None, ver, 3,
+                              ext_header=True) + mp3
+            led = (f"id3v2.{ver}", 2, title, artist, None, None)
+        else:           # 11: unsynchronised tag: rejected loudly
+            raw = build_id3v2(title, artist, None, 3, 3,
+                              unsync_flag=True) + mp3
+            err = "unsync_unsupported"
         if led is None:
             out = (False, err, None, None, None, None, None, None)
         else:

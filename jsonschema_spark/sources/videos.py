@@ -571,7 +571,7 @@ def materialized_mp4_videos(
 # SimpleBlock track, duplicate track numbers). Ledger truth is
 # generator arithmetic.
 _WEBM_VER = "v2"  # v2: lacing classes
-WEBM_CLASS_MOD = 14
+WEBM_CLASS_MOD = 15
 
 WEBM_VIDEOS_SCHEMA = T.StructType(
     [
@@ -630,13 +630,19 @@ def _webm_row(i: int) -> tuple:
              audio_frames_per_block=3 + i % 4,
              doctype="matroska", audio_codec="A_VORBIS", sr=32000),
     ]
+    streamed = cls == 14
     if 10 <= cls < 13:
         cfg = cfgs[5 + (cls - 10)]  # the three lacing modes, valid
     elif cls == 13:
         cfg = cfgs[5]  # Xiph shape; a corrupt laced block is appended
+    elif cls == 14:
+        # streamed/live-muxer layout (round 5): Segment AND every
+        # Cluster carry the all-ones unknown-size VINT — valid, the
+        # walker resolves cluster extents by walking children
+        cfg = dict(n_audio_blocks=12, blocks_per_cluster=5)
     else:
         cfg = cfgs[base_cls]  # 0-4 valid, 5-9 reuse shapes for failures
-    raw = encode_webm(vb, seed=i, **cfg)
+    raw = encode_webm(vb, seed=i, streamed=streamed, **cfg)
     ab = cfg.get("n_audio_blocks", 0)
     bpc = cfg.get("blocks_per_cluster", 8)
     fpb = cfg.get("audio_frames_per_block", 1)

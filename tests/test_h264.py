@@ -118,3 +118,19 @@ def test_walker_never_crashes_on_random_tears():
         p = parse_h264_stream(cand)
         assert isinstance(p["ok"], bool)
         split_annexb_nals(cand)
+
+
+def test_null_payload_is_failing_row():
+    import pandas as pd
+
+    from jsonschema_spark.functions.h264 import (
+        encode_h264_stream,
+        h264_profile_batch,
+    )
+
+    rows = h264_profile_batch(
+        pd.Series([None, encode_h264_stream(2, seed=1)], dtype=object)
+    )
+    assert bool(rows.iloc[0]["ok"]) is False
+    assert rows.iloc[0]["error"] == "null_payload"
+    assert bool(rows.iloc[1]["ok"]) is True

@@ -137,3 +137,41 @@ def test_fmp4_ledger_corpus_independent_pin():
         row = _fmp4_row(i)
         p = parse_mp4_fragments(bytes(row[1]))
         assert tuple(p[f] for f in MP4_FRAG_FIELDS) == row[3:], i
+
+
+# ---- round-5: unknown-duration sentinel + short-body guards -----------------
+
+
+def test_unknown_duration_sentinel_reports_null():
+    """All-ones mvhd duration (version 0) = 'unknown / still recording'
+    (live files): duration_ms must be NULL, not an astronomical number
+    silently passing duration gates in the wrong direction (r4 ADVICE)."""
+    raw = bytearray(encode_mp4_h264(6, seed=9))
+    i = bytes(raw).index(b"mvhd")
+    b0 = i + 4  # version/flags
+    raw[b0 + 16 : b0 + 20] = b"\xff\xff\xff\xff"
+    p = parse_mp4(bytes(raw))
+    assert p["ok"] is True and p["duration_ms"] is None
+
+
+def test_empty_mvhd_is_error_row_not_crash():
+    """r4 ADVICE repro: an MP4 with an EMPTY mvhd body at EOF raised
+    IndexError out of the walker and killed the task."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    mdat = struct.pack(">I", 12) + b"mdat" + b"\x00" * 4
+    mvhd = struct.pack(">I", 8) + b"mvhd"  # empty body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    p = parse_mp4(ftyp + mdat + moov)
+    assert p["ok"] is False and p["error"] == "bad_mvhd"
+
+    import pandas as pd
+
+    from jsonschema_spark.functions.containers import (
+        container_profile_batch,
+    )
+
+    rows = container_profile_batch(
+        pd.Series([ftyp + mdat + moov], dtype=object)
+    )
+    assert bool(rows.iloc[0]["ok"]) is False
+    assert rows.iloc[0]["error"] == "bad_mvhd"
