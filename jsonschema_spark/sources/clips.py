@@ -4950,3 +4950,129 @@ def materialized_tagged_clips(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         publish_once(synth_tagged_clips(spark, n), path)
     return spark.read.parquet(path), path
+
+
+# --- MP3 Layer III side-info ledger corpus (round 5) -------------------------
+# The intermediate tier toward full Layer III decode (VERDICT r4 item
+# 4): per-granule side-information + BIT-RESERVOIR discipline
+# (main_data_begin back-pointer validation). Six VALID classes (CBR/
+# VBR, MPEG-1/LSF, mono/stereo, short-block mix, reservoir-heavy) +
+# five planted-failure classes with exact error@index strings. Ledger
+# truth is generator arithmetic (the writer's own reservoir schedule).
+MP3SI_CLASS_MOD = 11
+
+MP3SI_CLIPS_SCHEMA = T.StructType(
+    list(CLIPS_SCHEMA.fields)
+    + [
+        T.StructField("_row_idx", T.LongType(), False),
+        T.StructField("_ok", T.BooleanType(), False),
+        T.StructField("_err", T.StringType(), True),
+        T.StructField("_n_frames", T.IntegerType(), True),
+        T.StructField("_n_granules", T.IntegerType(), True),
+        T.StructField("_part23_bits", T.LongType(), True),
+        T.StructField("_max_mdb", T.IntegerType(), True),
+        T.StructField("_short_blocks", T.IntegerType(), True),
+        T.StructField("_reservoir_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_mp3si_clips(
+    spark: SparkSession,
+    n: int,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """MP3 side-info ledger corpus (class roster above)."""
+    from jsonschema_spark.functions.mp3 import samples_per_frame
+    from jsonschema_spark.functions.mp3_sideinfo import (
+        encode_sideinfo_stream,
+    )
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def _row(i: int) -> tuple:
+        h = _hash(i)
+        cid = f"clip-{i:012d}"
+        cls = i % MP3SI_CLASS_MOD
+        k = 6 + (h >> 12) % 18
+        cfg = dict(n_frames=k, seed=i)
+        plant = None
+        if cls == 0:    # MPEG-1 44.1k stereo 128 CBR
+            cfg.update(version_id=3, sr_hz=44100, mode="stereo",
+                       bitrates_kbps=(128,))
+        elif cls == 1:  # MPEG-1 32k mono, reservoir-heavy
+            cfg.update(version_id=3, sr_hz=32000, mode="mono",
+                       bitrates_kbps=(64,))
+        elif cls == 2:  # MPEG-2 LSF 16k mono
+            cfg.update(version_id=2, sr_hz=16000, mode="mono",
+                       bitrates_kbps=(48,))
+        elif cls == 3:  # short blocks every 3rd frame
+            cfg.update(version_id=3, sr_hz=48000, mode="stereo",
+                       bitrates_kbps=(96,), short_every=3)
+        elif cls == 4:  # VBR cycling
+            cfg.update(version_id=3, sr_hz=44100, mode="stereo",
+                       bitrates_kbps=(64, 96, 128))
+        elif cls == 5:  # MPEG-2.5 11k stereo
+            cfg.update(version_id=0, sr_hz=11025, mode="stereo",
+                       bitrates_kbps=(32,))
+        elif cls == 6:  # cut mid-reservoir (unflushed byte-slice)
+            cfg.update(version_id=3, sr_hz=32000, mode="mono",
+                       bitrates_kbps=(64,))
+            plant = ("mid_reservoir", 0)
+        elif cls == 7:  # declared main data runs past the frame end
+            cfg.update(version_id=3, sr_hz=44100, mode="mono",
+                       bitrates_kbps=(32,))
+            plant = ("part23_overflow", max(1, k // 2))
+        elif cls == 8:  # window switching with reserved block_type 0
+            cfg.update(version_id=3, sr_hz=44100, mode="stereo",
+                       bitrates_kbps=(128,))
+            plant = ("bad_block_type", max(1, k // 3))
+        elif cls == 9:  # Huffman table 4 (undefined) selected
+            cfg.update(version_id=3, sr_hz=48000, mode="stereo",
+                       bitrates_kbps=(112,))
+            plant = ("bad_table_select", max(1, k // 2))
+        else:           # 10: big_values beyond the 576-line granule
+            cfg.update(version_id=3, sr_hz=32000, mode="mono",
+                       bitrates_kbps=(80,))
+            plant = ("big_values", max(1, 2 * k // 3))
+        raw, led = encode_sideinfo_stream(plant=plant, **cfg)
+        sr = cfg["sr_hz"]
+        spf = samples_per_frame(cfg["version_id"], 3)
+        dur = k * spf * 1000 // sr
+        out = (
+            led["ok"], led["error"], led["n_frames"], led["n_granules"],
+            led["part23_bits"], led["max_mdb"], led["short_blocks"],
+            led["reservoir_frames"],
+        )
+        return (cid, bytearray(raw), sr, dur, "mp3",
+                transcript_for(cid), i) + out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript", "_row_idx", "_ok", "_err", "_n_frames",
+                "_n_granules", "_part23_bits", "_max_mdb",
+                "_short_blocks", "_reservoir_frames"]
+        for b in batches:
+            rows = [_row(int(i)) for i in b["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema=MP3SI_CLIPS_SCHEMA
+    )
+
+
+def mp3si_clips_path(n: int) -> str:
+    return oracle_cache_path(f"clips_mp3si_{n}")
+
+
+def materialized_mp3si_clips(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, str]:
+    """MP3 side-info ledger table materialized once."""
+    import os
+
+    path = mp3si_clips_path(n)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        publish_once(synth_mp3si_clips(spark, n), path)
+    return spark.read.parquet(path), path

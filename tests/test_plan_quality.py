@@ -356,9 +356,13 @@ def test_survey_count_matches_registry():
 
 def test_driver_sample_prefix_integrity():
     """The driver hashes the first 50 registered queries; the rotation
-    prefix must stay exactly 50 names, every name must resolve, and the
-    three-round-red reconcile row must lead it (its fix is the round's
-    top certification target)."""
+    prefix must stay exactly 50 names, every name must resolve, the
+    reconcile regression sentinel must lead it, and (rotation #2,
+    VERDICT r4 item 1) at least 45 of the 50 must have had NO driver
+    evidence in rounds 1-4."""
+    import json
+    from pathlib import Path
+
     import __spark_entry__ as m
 
     prefix = m._DRIVER_SAMPLE_PREFIX
@@ -366,3 +370,24 @@ def test_driver_sample_prefix_integrity():
     q = list(m.queries())
     assert q[:50] == prefix
     assert prefix[0] == "reconcile_orders_lineitem"
+    root = Path(__file__).resolve().parent.parent
+    seen = set()
+    for r in range(1, 5):
+        f = root / f"CORRECTNESS_r0{r}.json"
+        if f.exists():
+            seen |= set(json.loads(f.read_text()))
+    first_time = [k for k in prefix if k not in seen]
+    assert len(first_time) >= 45, (len(first_time), sorted(set(prefix) & seen))
+
+
+def test_mp3_sideinfo_query_plan(spark):
+    """clips_mp3_sideinfo: scan -> one Arrow hop -> project; zero
+    shuffles (the codec-tier plan shape, pinned like the other
+    walkers)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["clips_mp3_sideinfo"](spark, SF_DIR)
+    p = plan(df)
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
