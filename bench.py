@@ -966,6 +966,141 @@ def q_suggest(spark: SparkSession):
     ).collect()
 
 
+# ---- round-5 structural-walker bench rows (VERDICT r4 item 5):
+# the five r4 walkers + the r5 MP3 side-info tier, each over its own
+# materialized ledger corpus at bench scale — scan -> one Arrow hop ->
+# partial agg, zero shuffles (the pinned codec-tier plan shape).
+_ADTS_BENCH_N = int(os.environ.get("SPARK_GRAFT_ADTS", "10000"))
+_TAGS_BENCH_N = int(os.environ.get("SPARK_GRAFT_TAGS", "10000"))
+_H264_BENCH_N = int(os.environ.get("SPARK_GRAFT_H264", "4000"))
+_MP4_BENCH_N = int(os.environ.get("SPARK_GRAFT_MP4", "4000"))
+_WEBM_BENCH_N = int(os.environ.get("SPARK_GRAFT_WEBM", "4000"))
+_MP3SI_BENCH_N = int(os.environ.get("SPARK_GRAFT_MP3SI", "10000"))
+
+
+def q_clips_aac_adts(spark: SparkSession):
+    """ADTS frame walk (functions/aac.py): header discipline, exact
+    next-frame positioning, parameter constancy, CRC presence — one
+    Arrow hop, O(frames) per clip."""
+    from jsonschema_spark.functions.aac import audio_adts_profile
+    from jsonschema_spark.sources.clips import materialized_adts_clips
+
+    clips, _ = materialized_adts_clips(spark, _ADTS_BENCH_N)
+    p = audio_adts_profile("bytes")
+    return (
+        clips.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.n_frames"),
+            F.sum("p.total_blocks"),
+            F.sum("p.duration_ms"),
+        )
+        .collect()
+    )
+
+
+def q_clips_tags(spark: SparkSession):
+    """Metadata-tag extraction (functions/tags.py): ID3v2 frame walk
+    (incl. terminated UTF-16 / ext-header layouts), Vorbis comments,
+    OpusTags — one Arrow hop."""
+    from jsonschema_spark.functions.tags import audio_tags_profile
+    from jsonschema_spark.sources.clips import materialized_tagged_clips
+
+    clips, _ = materialized_tagged_clips(spark, _TAGS_BENCH_N)
+    p = audio_tags_profile("bytes")
+    return (
+        clips.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.n_tags"),
+            F.count(F.col("p.title")),
+        )
+        .collect()
+    )
+
+
+def q_videos_h264_nals(spark: SparkSession):
+    """H.264 Annex B NAL walk (functions/h264.py): start-code scan,
+    EBSP->RBSP, SPS/PPS parse, slice-header frame counting — one
+    Arrow hop."""
+    from jsonschema_spark.functions.h264 import video_h264_profile
+    from jsonschema_spark.sources.videos import materialized_h264_videos
+
+    vids, _ = materialized_h264_videos(spark, _H264_BENCH_N)
+    p = video_h264_profile("bytes")
+    return (
+        vids.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.n_nals"),
+            F.sum("p.n_frames"),
+        )
+        .collect()
+    )
+
+
+def q_videos_mp4_structure(spark: SparkSession):
+    """ISO-BMFF box walk (functions/mp4.py): tiling, moov/stbl sample
+    tables, avcC cross-checks — one Arrow hop."""
+    from jsonschema_spark.functions.mp4 import video_mp4_profile
+    from jsonschema_spark.sources.videos import materialized_mp4_videos
+
+    vids, _ = materialized_mp4_videos(spark, _MP4_BENCH_N)
+    p = video_mp4_profile("bytes")
+    return (
+        vids.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.video_samples"),
+            F.sum("p.duration_ms"),
+        )
+        .collect()
+    )
+
+
+def q_videos_webm_structure(spark: SparkSession):
+    """WebM/EBML walk (functions/webm.py): vint discipline, track
+    parse, SimpleBlock lacing tables, streamed unknown-size clusters —
+    one Arrow hop."""
+    from jsonschema_spark.functions.webm import video_webm_profile
+    from jsonschema_spark.sources.videos import materialized_webm_videos
+
+    vids, _ = materialized_webm_videos(spark, _WEBM_BENCH_N)
+    p = video_webm_profile("bytes")
+    return (
+        vids.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.video_blocks"),
+            F.sum("p.audio_blocks"),
+        )
+        .collect()
+    )
+
+
+def q_clips_mp3_sideinfo(spark: SparkSession):
+    """MP3 Layer III side-info + bit-reservoir walk
+    (functions/mp3_sideinfo.py): per-granule bit parse and
+    main_data_begin back-pointer discipline — one Arrow hop."""
+    from jsonschema_spark.functions.mp3_sideinfo import (
+        audio_mp3_sideinfo_profile,
+    )
+    from jsonschema_spark.sources.clips import materialized_mp3si_clips
+
+    clips, _ = materialized_mp3si_clips(spark, _MP3SI_BENCH_N)
+    p = audio_mp3_sideinfo_profile("bytes")
+    return (
+        clips.select(p.alias("p"))
+        .agg(
+            F.sum(F.col("p.ok").cast("long")),
+            F.sum("p.n_granules"),
+            F.sum("p.part23_bits"),
+            F.sum("p.max_mdb"),
+        )
+        .collect()
+    )
+
+
 QUERIES = {
     "clips_validate": q_clips_validate,
     "clips_uniqueness": q_clips_uniqueness,
@@ -1021,6 +1156,12 @@ QUERIES = {
     "join_guard": q_join_guard,
     "model_eval": q_model_eval,
     "clips_vorbis_decode": q_clips_vorbis_decode,
+    "clips_aac_adts": q_clips_aac_adts,
+    "clips_tags": q_clips_tags,
+    "videos_h264_nals": q_videos_h264_nals,
+    "videos_mp4_structure": q_videos_mp4_structure,
+    "videos_webm_structure": q_videos_webm_structure,
+    "clips_mp3_sideinfo": q_clips_mp3_sideinfo,
     "clips_bandwidth": q_clips_bandwidth,
     "clips_transcode": q_clips_transcode,
     "suggest": q_suggest,

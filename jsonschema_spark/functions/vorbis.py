@@ -971,6 +971,27 @@ def decode_audio_packet(setup: VorbisSetup, packet: bytes):
     return pcm, n
 
 
+# Setup-header cache (round 5): corpus/real-world clips encoded by one
+# encoder configuration share byte-identical setup packets, but the
+# Huffman/codebook parse (Codebook.__init__ + assign_codewords) was
+# re-run per CLIP — ~25% of decode time at profile. Keyed by the exact
+# packet bytes; VorbisSetup is append-only-memoized during decode
+# (Floor1 curve cache), so reuse across clips within a task is sound.
+_SETUP_CACHE: dict = {}
+
+
+def _cached_setup(setup_pk: bytes, channels: int, rate: int,
+                  bs0: int, bs1: int) -> "VorbisSetup":
+    key = (setup_pk, channels, rate, bs0, bs1)
+    s = _SETUP_CACHE.get(key)
+    if s is None:
+        if len(_SETUP_CACHE) >= 256:
+            _SETUP_CACHE.clear()
+        s = parse_setup(setup_pk, channels, rate, bs0, bs1)
+        _SETUP_CACHE[key] = s
+    return s
+
+
 def decode_vorbis_packets(packets: Sequence[bytes]) -> tuple:
     """Full stream decode from the packet list (ident, comment, setup,
     audio...): returns (pcm float64 (n_samples, ch), sample_rate).
@@ -986,7 +1007,7 @@ def decode_vorbis_packets(packets: Sequence[bytes]) -> tuple:
     channels, rate, bs0, bs1 = parse_ident(bytes(packets[0]))
     if bytes(packets[1])[:7] != b"\x03vorbis":
         raise BadStream("bad_comment")
-    setup = parse_setup(bytes(packets[2]), channels, rate, bs0, bs1)
+    setup = _cached_setup(bytes(packets[2]), channels, rate, bs0, bs1)
     prev_n = None
     acc = None  # windowed samples from last center to last block end
     chunks = []

@@ -363,3 +363,29 @@ def test_stream_walkers_never_crash_on_random_tears():
                 cand = bytes(b)
             out = fn(cand)
             assert isinstance(out["ok"], bool)
+
+
+def test_ogg_crc_kernel_identity():
+    """The r5 zlib-routed CRC kernel must be bit-identical to the RFC
+    3533 parameterization (poly 0x04C11DB7, init 0, unreflected, no
+    xorout) — pinned against an independent per-byte table walk."""
+    import numpy as np
+
+    from jsonschema_spark.functions.ogg import _OGG_CRC, ogg_crc_pages
+
+    def ref_crc(page):
+        c = 0
+        for b in page:
+            c = ((c << 8) & 0xFFFFFFFF) ^ int(
+                _OGG_CRC[((c >> 24) ^ b) & 0xFF]
+            )
+        return c
+
+    rng = np.random.default_rng(7)
+    pages = [
+        rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes()
+        for n in rng.integers(0, 6000, size=40)
+    ]
+    got = ogg_crc_pages(pages)
+    assert all(int(g) == ref_crc(p) for g, p in zip(got, pages))
+    assert len(ogg_crc_pages([])) == 0
