@@ -185,11 +185,23 @@ def _si_fail(err: str) -> dict:
 
 
 def parse_mp3_sideinfo(raw: bytes) -> dict:
-    """Layer III side-info walk + bit-reservoir discipline over a bare
-    MP3 stream (no ID3 handling here — strip tags upstream)."""
+    """Layer III side-info walk + bit-reservoir discipline. Leading
+    ID3v2 / trailing ID3v1 tags are skipped (same rules as
+    mp3.parse_mp3_stream) so real-world tagged files walk."""
     buf = bytes(raw)
     end = len(buf)
     pos = 0
+    if buf[:3] == b"ID3":
+        if len(buf) < 10 or any(b & 0x80 for b in buf[6:10]):
+            return _si_fail("no_sync")
+        size = 0
+        for b in buf[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size + (10 if buf[5] & 0x10 else 0)
+        if pos > end:
+            return _si_fail("no_sync")
+    if end - pos >= 128 and buf[end - 128 : end - 125] == b"TAG":
+        end -= 128
     k = 0
     avail = 0  # main-data bytes accumulated from prior frames
     ptr_max: Optional[int] = None

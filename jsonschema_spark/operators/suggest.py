@@ -366,7 +366,7 @@ def as_suite_config(
             }
             for cname, ctype in (
                 ("opus", "opus_packets"), ("vorbis", "vorbis_packets"),
-                ("aac", "adts"),
+                ("aac", "adts"), ("mp3", "mp3_sideinfo"),
             ):
                 if codecs == {cname}:
                     prate = _measured_packet_rate(df, payload, ctype)
@@ -576,7 +576,8 @@ def _measured_decode_rate(
 
 def _measured_packet_rate(df: DataFrame, payload: str, ctype: str) -> float:
     """Current packet/frame-walk failure fraction — the ceiling the
-    drafted opus_packets / vorbis_packets / adts check is anchored to."""
+    drafted opus_packets / vorbis_packets / adts / mp3_sideinfo check
+    is anchored to."""
     if ctype == "opus_packets":
         from jsonschema_spark.functions.ogg import audio_opus_packet_profile
 
@@ -585,6 +586,12 @@ def _measured_packet_rate(df: DataFrame, payload: str, ctype: str) -> float:
         from jsonschema_spark.functions.aac import audio_adts_profile
 
         g = audio_adts_profile(payload)
+    elif ctype == "mp3_sideinfo":
+        from jsonschema_spark.functions.mp3_sideinfo import (
+            audio_mp3_sideinfo_profile,
+        )
+
+        g = audio_mp3_sideinfo_profile(payload)
     else:
         from jsonschema_spark.functions.ogg import (
             audio_vorbis_packet_profile,

@@ -913,6 +913,20 @@ def _check_adts(df: DataFrame, spec: dict) -> DataFrame:
     return _fail_rate_gate(df, spec, "adts", g["ok"])
 
 
+def _check_mp3_sideinfo(df: DataFrame, spec: dict) -> DataFrame:
+    """MP3 Layer III side-info gate (round 5): bound the fraction of
+    streams failing the per-granule side-information parse or the
+    bit-reservoir back-pointer discipline (reservoir_underflow is the
+    unflushed-stream-cut signature — exactly what a corpus of
+    byte-range-sliced MP3s trips)."""
+    from jsonschema_spark.functions.mp3_sideinfo import (
+        audio_mp3_sideinfo_profile,
+    )
+
+    g = audio_mp3_sideinfo_profile(spec.get("payload_col", "bytes"))
+    return _fail_rate_gate(df, spec, "mp3_sideinfo", g["ok"])
+
+
 def _check_h264(df: DataFrame, spec: dict) -> DataFrame:
     """H.264 Annex B gate (round 4): bound the fraction of streams
     failing NAL discipline / SPS-PPS parse / frame-count walk."""
@@ -1125,6 +1139,7 @@ _CHECKS = {
     ),
     "vorbis_decode": lambda df, spec, tables: _check_vorbis_decode(df, spec),
     "adts": lambda df, spec, tables: _check_adts(df, spec),
+    "mp3_sideinfo": lambda df, spec, tables: _check_mp3_sideinfo(df, spec),
     "h264": lambda df, spec, tables: _check_h264(df, spec),
     "mp4_structure": lambda df, spec, tables: _check_mp4_structure(df, spec),
     "webm_structure": lambda df, spec, tables: _check_webm_structure(

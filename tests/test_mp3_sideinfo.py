@@ -177,3 +177,44 @@ def test_ledger_corpus_matches_walker(spark):
             assert r["p"]["max_mdb"] == r["_max_mdb"]
             assert r["p"]["short_blocks"] == r["_short_blocks"]
             assert r["p"]["reservoir_frames"] == r["_reservoir_frames"]
+
+
+def test_id3_tags_skipped():
+    from jsonschema_spark.functions.mp3 import _id3v1, _id3v2
+
+    raw, led = encode_sideinfo_stream(n_frames=5, seed=6)
+    tagged = _id3v2(240, seed=1) + raw + _id3v1(2)
+    assert parse_mp3_sideinfo(tagged) == led
+
+
+def test_suggest_drafts_mp3_sideinfo_gate(spark):
+    """A uniformly-mp3 corpus drafts the side-info gate anchored at
+    the measured failure rate (the adts-drafting pattern)."""
+    from jsonschema_spark.operators.suggest import (
+        as_suite_config,
+        column_suggestions,
+    )
+    from jsonschema_spark.operators.suite import run_suite
+
+    rows = []
+    for i in range(6):
+        raw, _ = encode_sideinfo_stream(n_frames=5, seed=i)
+        rows.append((f"c{i}", bytearray(raw), 44100, 200, "mp3", "x"))
+    bad, _ = encode_sideinfo_stream(
+        n_frames=4, seed=99, plant=("bad_table_select", 1),
+        mode="stereo", bitrates_kbps=(112,), sr_hz=48000,
+    )
+    rows.append(("c-bad", bytearray(bad), 48000, 100, "mp3", "y"))
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    sugg = column_suggestions(df, ["clip_id", "codec"])
+    cfg = as_suite_config(df, sugg, table="clips")
+    drafted = [c for c in cfg["checks"] if c["type"] == "mp3_sideinfo"]
+    assert len(drafted) == 1
+    assert abs(drafted[0]["max_violation_rate"] - 0.143) < 1e-9
+    rep = {r["check_name"]: r
+           for r in run_suite({"clips": df}, cfg).collect()}
+    assert rep["clips_mp3_sideinfo"]["status"] == "pass"

@@ -586,3 +586,37 @@ def test_round4_walker_gates(spark):
     ]
     r = run_suite(tables, cfg).collect()[0]
     assert r["status"] == "fail"
+
+
+def test_mp3_sideinfo_gate(spark):
+    """Round-5 mp3_sideinfo check type: a corpus with one unflushed
+    byte-slice (reservoir_underflow) and one conforming stream."""
+    from jsonschema_spark.functions.mp3 import frame_length
+    from jsonschema_spark.functions.mp3_sideinfo import (
+        encode_sideinfo_stream,
+    )
+    from jsonschema_spark.operators.suite import run_suite
+
+    good, _ = encode_sideinfo_stream(
+        n_frames=8, version_id=3, sr_hz=32000, mode="mono",
+        bitrates_kbps=(64,), seed=2,
+    )
+    ln = frame_length(3, 3, 64000, 32000, 0)
+    cut = good[3 * ln :]  # mdb now points before the stream start
+    clips = spark.createDataFrame(
+        [("g", bytearray(good)), ("c", bytearray(cut))],
+        "clip_id string, bytes binary",
+    )
+    cfg = {
+        "checks": [
+            {"type": "mp3_sideinfo", "name": "si", "table": "clips",
+             "max_violation_rate": 0.5},
+            {"type": "mp3_sideinfo", "name": "si0", "table": "clips",
+             "max_violation_rate": 0.0},
+        ],
+    }
+    rows = {r["check_name"]: r for r in
+            run_suite({"clips": clips}, cfg).collect()}
+    assert rows["si"]["status"] == "pass"
+    assert abs(rows["si"]["metric"] - 0.5) < 1e-9
+    assert rows["si0"]["status"] == "fail"
