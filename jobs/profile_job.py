@@ -281,7 +281,7 @@ def profile_table(df, skew_candidates=None):
             }
             for cname, ctype in (
                 ("opus", "opus_packets"), ("vorbis", "vorbis_packets"),
-                ("aac", "adts"),
+                ("aac", "adts"), ("mp3", "mp3_sideinfo"),
             ):
                 if codecs == {cname}:
                     from jsonschema_spark.operators.suggest import (

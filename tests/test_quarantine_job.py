@@ -160,3 +160,25 @@ def test_profile_packet_rate_metric(spark):
     # 4 of 8 ledger classes are planted framing failures
     assert abs(rows["opus_packet_fail_rate"] - 0.5) < 1e-9
     assert "vorbis_packet_fail_rate" not in rows
+
+
+def test_profile_mp3_sideinfo_rate_metric(spark):
+    """Round-5: a uniformly-mp3 corpus profiles the Layer III
+    side-info / bit-reservoir failure fraction."""
+    from jobs.profile_job import profile_table
+    from jsonschema_spark.sources.clips import (
+        MP3SI_CLASS_MOD,
+        synth_mp3si_clips,
+    )
+
+    clips = synth_mp3si_clips(spark, 2 * MP3SI_CLASS_MOD).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    rows = {
+        r["metric"]: r["value_num"]
+        for r in profile_table(clips).collect()
+        if r["section"] == "audio"
+    }
+    assert "mp3_packet_fail_rate" in rows
+    # 5 of 11 ledger classes are planted failures
+    assert abs(rows["mp3_packet_fail_rate"] - 5 / 11) < 1e-9
