@@ -252,10 +252,10 @@ def _profile_one(raw: bytes) -> dict:
 
 def container_profile_batch(payloads: pd.Series) -> pd.DataFrame:
     """Mixed-container batch profile. Ogg payloads get the BATCHED page
-    CRC treatment (one matrix-kernel invocation across every Ogg page
-    of the Arrow batch — per-clip CRC measured ~20x slower, see
-    ogg.opus_packet_profile_batch); every other container profiles
-    per clip as before."""
+    CRC treatment (one kernel invocation across every Ogg page of the
+    Arrow batch; since r5 the kernel routes through zlib's C CRC via
+    the reflection identity — see ogg.ogg_crc_pages); every other
+    container profiles per clip as before."""
     from jsonschema_spark.functions.ogg import (
         _finalize,
         _scan_pages,

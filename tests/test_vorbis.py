@@ -245,3 +245,36 @@ def test_residue_begin_end_clamp():
     r = BitReader(w.bytes())
     out = res.decode(r, [classbook, valbook], [False], 64, 1)
     assert out.shape == (1, 64) and not out.any()
+
+
+def test_residue_fast_path_equals_general_walk():
+    """The round-5 batched residue decode (full-uniform-tree gather)
+    must be BIT-identical to the reference per-partition walk — forced
+    by monkeypatching the fast path off and comparing raw float64 PCM."""
+    import numpy as np
+
+    from jsonschema_spark.functions import vorbis as V
+    from jsonschema_spark.functions.ogg import _collect_packets, _scan_pages
+
+    orig = V.Residue._decode_fast_single
+    try:
+        for i, (sr, ch, kw) in enumerate([
+            (16000, 1, {}),
+            (16000, 2, dict(coupling=True)),
+            (16000, 2, dict(bs0=128, bs1=1024, switching=True,
+                            coupling=True)),
+            (8000, 1, dict(bs0=512, bs1=512)),
+        ]):
+            src = V.vorbis_reference(f"fp{i}", sr * 400 // 1000, ch)
+            raw, _ = V.encode_vorbis_clip(src, sr, serial=0x700 + i, **kw)
+            pks = _collect_packets(_scan_pages(raw))
+            V._SETUP_CACHE.clear()
+            fast, _ = V.decode_vorbis_packets(pks)
+            V.Residue._decode_fast_single = lambda *a, **k: False
+            V._SETUP_CACHE.clear()
+            gen, _ = V.decode_vorbis_packets(pks)
+            V.Residue._decode_fast_single = orig
+            assert fast.shape == gen.shape
+            assert np.array_equal(fast, gen), i
+    finally:
+        V.Residue._decode_fast_single = orig
