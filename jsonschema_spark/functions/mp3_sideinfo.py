@@ -139,23 +139,64 @@ def _parse_granule(br: _BitReader, lsf: bool) -> dict:
 
 
 def parse_sideinfo_bits(si: bytes, version_id: int, mono: bool) -> dict:
-    """One frame's side info -> {mdb, granules: [per gr x ch dicts]}."""
+    """One frame's side info -> {mdb, scfsi (per channel), granules:
+    [per gr x ch dicts]}."""
     lsf = version_id != 3
     br = _BitReader(si)
     mdb = br.read(8 if lsf else 9)
     nch = 1 if mono else 2
+    scfsi = [0] * nch
     if lsf:
         br.read(1 if mono else 2)  # private_bits
         ngr = 1
     else:
         br.read(5 if mono else 3)
-        for _ in range(nch):
-            br.read(4)  # scfsi
+        for c in range(nch):
+            scfsi[c] = br.read(4)  # group flags, MSB = group 0
         ngr = 2
     grs = [
         _parse_granule(br, lsf) for _gr in range(ngr) for _ch in range(nch)
     ]
-    return {"mdb": mdb, "granules": grs, "ngr": ngr, "nch": nch}
+    return {"mdb": mdb, "scfsi": scfsi, "granules": grs,
+            "ngr": ngr, "nch": nch}
+
+
+# ISO 11172-3 §2.4.2.7: scalefac_compress -> (slen1, slen2) — the bit
+# widths of the two scalefactor-band groups. Structure, not Annex B
+# codebook data.
+SLEN_TABLE = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+
+# scfsi band groups over the 21 long-block scalefactor bands:
+# group 0 = sfb 0-5 (slen1), 1 = sfb 6-10 (slen1), 2 = sfb 11-15
+# (slen2), 3 = sfb 16-20 (slen2)
+_SCFSI_GROUP_BANDS = ((6, 1), (5, 1), (5, 2), (5, 2))  # (n_bands, slen#)
+
+
+def part2_bits_mpeg1(g: dict, granule_idx: int, scfsi: int) -> int:
+    """Scalefactor (part2) bit count for one MPEG-1 granule-channel
+    (ISO 11172-3 §2.4.2.7): long blocks transmit 11 bands at slen1 +
+    10 at slen2; short (non-mixed) 2x(6 bands x 3 windows); mixed
+    17 slen1 + 18 slen2 values. scfsi groups suppress granule-1
+    transmission for LONG-block granules only (short granules always
+    transmit in full — scfsi ignored there, matching mainstream
+    decoders)."""
+    s1, s2 = SLEN_TABLE[g["scalefac_compress"] & 0xF]
+    short = g["ws"] == 1 and g["block_type"] == 2
+    if short and not g["mixed"]:
+        return 18 * s1 + 18 * s2
+    if short and g["mixed"]:
+        return 17 * s1 + 18 * s2
+    if granule_idx == 1 and scfsi:
+        total = 0
+        for grp, (nb, which) in enumerate(_SCFSI_GROUP_BANDS):
+            if (scfsi >> (3 - grp)) & 1:
+                continue  # shared with granule 0: not transmitted
+            total += nb * (s1 if which == 1 else s2)
+        return total
+    return 11 * s1 + 10 * s2
 
 
 SIDEINFO_FIELDS = (
@@ -245,13 +286,24 @@ def parse_mp3_sideinfo(raw: bytes) -> dict:
         ptr_max = 255 if version_id != 3 else 511
         capacity = ln - hdr - side_len
         frame_bits = 0
-        for g in si["granules"]:
+        nch_f = si["nch"]
+        for gi, g in enumerate(si["granules"]):
             if g["ws"] and g["block_type"] == 0:
                 return _si_fail(f"bad_block_type@{k}")
             if any(t in _INVALID_TABLES for t in g["tables"]):
                 return _si_fail(f"bad_table_select@{k}")
             if g["big_values"] > _MAX_BIG_VALUES:
                 return _si_fail(f"big_values_overflow@{k}")
+            if version_id == 3:
+                # part2 accounting: the scalefactor bits implied by
+                # scalefac_compress/block shape/scfsi must FIT inside
+                # part2_3_length (LSF uses a different slen scheme —
+                # not accounted; its side-info walk is still full)
+                p2 = part2_bits_mpeg1(
+                    g, gi // nch_f, si["scfsi"][gi % nch_f]
+                )
+                if p2 > g["part23"]:
+                    return _si_fail(f"part2_overflow@{k}")
             frame_bits += g["part23"]
             if g["block_type"] == 2:
                 short_blocks += 1
@@ -357,6 +409,7 @@ def build_l3_sideinfo_frame(
     mdb: int,
     granules: list[dict],
     seed: int = 0,
+    scfsi: Optional[tuple] = None,
 ) -> bytes:
     """One Layer III frame with a fully-specified side-info block and
     seeded sub-0x80 main-data filler."""
@@ -376,8 +429,9 @@ def build_l3_sideinfo_frame(
         bw.write(0, 1 if mono else 2)
     else:
         bw.write(0, 5 if mono else 3)
-        for _ in range(1 if mono else 2):
-            bw.write(0, 4)  # scfsi
+        nch = 1 if mono else 2
+        for c in range(nch):
+            bw.write(scfsi[c] if scfsi else 0, 4)
     for g in granules:
         _write_granule(bw, g, lsf)
     si = bw.to_bytes(side_len)
@@ -427,12 +481,17 @@ def encode_sideinfo_stream(
     seed: int = 0,
     short_every: int = 0,
     reservoir: bool = True,
+    scfsi_groups: int = 0,
     plant: Optional[tuple[str, int]] = None,
 ) -> tuple[bytes, dict]:
     """Deterministic conforming Layer III stream with a REAL reservoir
-    schedule; returns (bytes, ledger aggregates matching the walker).
-    ``plant`` = (kind, frame_idx) with kind in {mid_reservoir,
-    part23_overflow, bad_block_type, bad_table_select, big_values} —
+    schedule and part2-aware bit allocation (every granule-channel's
+    part2_3_length covers at least its scalefactor bits); returns
+    (bytes, ledger aggregates matching the walker). ``scfsi_groups``
+    sets the per-channel scfsi group mask on MPEG-1 long-block frames
+    (granule-1 scalefactors shared with granule 0). ``plant`` =
+    (kind, frame_idx) with kind in {mid_reservoir, part23_overflow,
+    bad_block_type, bad_table_select, big_values, part2_overflow} —
     the ledger then carries the exact error@idx string instead."""
     mono = mode == "mono"
     ngr = 2 if version_id == 3 else 1
@@ -468,12 +527,29 @@ def encode_sideinfo_stream(
             want = 8 * max(0, cap - slack)
         want = min(want, fields * 4095)
         short = short_every > 0 and k % short_every == 0
-        base, rem = divmod(want, fields)
-        grs = []
-        for f_i in range(fields):
-            p23 = base + (1 if f_i < rem else 0)
-            g = _default_granule(_h64(seed, k, f_i), short, p23)
-            grs.append(g)
+        grs = [
+            _default_granule(_h64(seed, k, f_i), short, 0)
+            for f_i in range(fields)
+        ]
+        # part2-aware allocation: each field's part2_3_length must
+        # cover its scalefactor bits; the remainder is spread evenly
+        scfsi_here = (
+            scfsi_groups if (version_id == 3 and not short) else 0
+        )
+        if version_id == 3:
+            mins = [
+                part2_bits_mpeg1(g, f_i // nch, scfsi_here)
+                for f_i, g in enumerate(grs)
+            ]
+        else:
+            mins = [0] * fields
+        want = max(want, sum(mins))
+        extra = want - sum(mins)
+        base, rem = divmod(extra, fields)
+        for f_i, g in enumerate(grs):
+            g["part23"] = min(
+                4095, mins[f_i] + base + (1 if f_i < rem else 0)
+            )
         if plant_here:
             if plant[0] == "bad_block_type":
                 grs[0]["ws"] = 1
@@ -487,9 +563,20 @@ def encode_sideinfo_stream(
             elif plant[0] == "big_values":
                 grs[0]["big_values"] = _MAX_BIG_VALUES + 1 + h % 200
                 err = f"big_values_overflow@{k}"
+            elif plant[0] == "part2_overflow":
+                # declare maximal scalefactor widths but a
+                # part2_3_length too small to hold them
+                grs[0]["scalefac_compress"] = 13  # slen (3,3)
+                p2 = part2_bits_mpeg1(grs[0], 0, scfsi_here)
+                grs[0]["part23"] = max(0, p2 - 1 - h % 16)
+                err = f"part2_overflow@{k}"
+        nch_sc = 1 if mode == "mono" else 2
         chunks.append(
-            build_l3_sideinfo_frame(version_id, br, sr_hz, mode, mdb,
-                                    grs, seed=_h64(seed, k, 0xAA))
+            build_l3_sideinfo_frame(
+                version_id, br, sr_hz, mode, mdb, grs,
+                seed=_h64(seed, k, 0xAA),
+                scfsi=(scfsi_here,) * nch_sc if scfsi_here else None,
+            )
         )
         if err is not None:
             break  # walker stops at the first violation

@@ -191,8 +191,9 @@ def synth_clips(
 # Bump when the generator arithmetic changes: the cache path is content-
 # addressed by (version, n, dur_range, buckets), so stale materializations
 # from earlier rounds can never be read.
-_MATERIALIZE_VERSION = "v6"  # v6: tagged corpus adds terminated-UTF-16 /
-# ext-header / UTF-16BE / unsync classes (r4 judge items)
+_MATERIALIZE_VERSION = "v7"  # v7: mp3si corpus gains part2 accounting
+# (part2-aware allocation + part2_overflow + scfsi classes); v6 added
+# the tagged-corpus terminated-UTF-16 / ext-header / unsync classes
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
 
 
@@ -4959,7 +4960,7 @@ def materialized_tagged_clips(
 # VBR, MPEG-1/LSF, mono/stereo, short-block mix, reservoir-heavy) +
 # five planted-failure classes with exact error@index strings. Ledger
 # truth is generator arithmetic (the writer's own reservoir schedule).
-MP3SI_CLASS_MOD = 11
+MP3SI_CLASS_MOD = 13
 
 MP3SI_CLIPS_SCHEMA = T.StructType(
     list(CLIPS_SCHEMA.fields)
@@ -5031,10 +5032,17 @@ def synth_mp3si_clips(
             cfg.update(version_id=3, sr_hz=48000, mode="stereo",
                        bitrates_kbps=(112,))
             plant = ("bad_table_select", max(1, k // 2))
-        else:           # 10: big_values beyond the 576-line granule
+        elif cls == 10:  # big_values beyond the 576-line granule
             cfg.update(version_id=3, sr_hz=32000, mode="mono",
                        bitrates_kbps=(80,))
             plant = ("big_values", max(1, 2 * k // 3))
+        elif cls == 11:  # scalefactor bits overflow part2_3_length
+            cfg.update(version_id=3, sr_hz=44100, mode="stereo",
+                       bitrates_kbps=(96,))
+            plant = ("part2_overflow", max(1, k // 4))
+        else:           # 12: scfsi-active (granule-1 shares groups 0+2)
+            cfg.update(version_id=3, sr_hz=44100, mode="stereo",
+                       bitrates_kbps=(128,), scfsi_groups=0b1010)
         raw, led = encode_sideinfo_stream(plant=plant, **cfg)
         sr = cfg["sr_hz"]
         spf = samples_per_frame(cfg["version_id"], 3)

@@ -218,3 +218,42 @@ def test_suggest_drafts_mp3_sideinfo_gate(spark):
     rep = {r["check_name"]: r
            for r in run_suite({"clips": df}, cfg).collect()}
     assert rep["clips_mp3_sideinfo"]["status"] == "pass"
+
+
+def test_part2_accounting_and_scfsi():
+    """Round-5b: scalefactor (part2) bits must fit part2_3_length;
+    scfsi suppresses granule-1 long-block group transmission."""
+    from jsonschema_spark.functions.mp3_sideinfo import (
+        SLEN_TABLE,
+        part2_bits_mpeg1,
+    )
+
+    # slen spot values from ISO 11172-3 §2.4.2.7
+    assert SLEN_TABLE[0] == (0, 0) and SLEN_TABLE[15] == (4, 3)
+    g_long = {"scalefac_compress": 15, "ws": 0, "block_type": 0,
+              "mixed": 0}
+    assert part2_bits_mpeg1(g_long, 0, 0) == 11 * 4 + 10 * 3
+    g_short = {"scalefac_compress": 15, "ws": 1, "block_type": 2,
+               "mixed": 0}
+    assert part2_bits_mpeg1(g_short, 0, 0) == 18 * 4 + 18 * 3
+    # scfsi groups 0+2 shared: granule 1 drops 6*slen1 + 5*slen2
+    assert part2_bits_mpeg1(g_long, 1, 0b1010) == (
+        11 * 4 + 10 * 3 - 6 * 4 - 5 * 3
+    )
+    # granule 0 never shares
+    assert part2_bits_mpeg1(g_long, 0, 0b1111) == 11 * 4 + 10 * 3
+    # short granules transmit in full regardless of scfsi
+    assert part2_bits_mpeg1(g_short, 1, 0b1111) == 18 * 4 + 18 * 3
+
+    raw, led = encode_sideinfo_stream(
+        n_frames=6, seed=4, plant=("part2_overflow", 2),
+        mode="stereo", bitrates_kbps=(96,),
+    )
+    got = parse_mp3_sideinfo(raw)
+    assert got == led and got["error"] == "part2_overflow@2"
+
+    raw, led = encode_sideinfo_stream(
+        n_frames=7, seed=5, scfsi_groups=0b1010,
+        mode="stereo", bitrates_kbps=(128,),
+    )
+    assert parse_mp3_sideinfo(raw) == led and led["ok"]

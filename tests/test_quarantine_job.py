@@ -180,5 +180,5 @@ def test_profile_mp3_sideinfo_rate_metric(spark):
         if r["section"] == "audio"
     }
     assert "mp3_packet_fail_rate" in rows
-    # 5 of 11 ledger classes are planted failures
-    assert abs(rows["mp3_packet_fail_rate"] - 5 / 11) < 1e-9
+    # 6 of 13 ledger classes are planted failures
+    assert abs(rows["mp3_packet_fail_rate"] - 6 / 13) < 1e-9
