@@ -1,5 +1,6 @@
-"""Audio METADATA extraction — ID3v2 text frames (ID3v2.3/2.4,
-informal standard id3.org), Vorbis comments (Vorbis I §5) and OpusTags
+"""Audio METADATA extraction — ID3v2 text frames (ID3v2.2/2.3/2.4,
+informal standard id3.org; v2.2 is the 3-char-ID / 3-byte-size layout
+old iTunes wrote), Vorbis comments (Vorbis I §5) and OpusTags
 (RFC 7845 §5.2) — the per-asset metadata a training-data pipeline
 joins against its manifest (title/artist provenance, dedup keys,
 rights screening).
@@ -71,6 +72,68 @@ def _decode_text(body: bytes) -> str:
     raise ValueError("bad_text_encoding")
 
 
+_V22_TEXT_KEYS = {"TT2": "title", "TP1": "artist", "TAL": "album"}
+
+
+def _parse_id3v22(raw: bytes) -> dict:
+    """ID3v2.2 (the layout old iTunes wrote): 3-character frame IDs,
+    3-byte big-endian frame sizes, same text-frame bodies. Encoding
+    byte 1 means UCS-2 with BOM (decoded as UTF-16)."""
+    flags = raw[5]
+    if flags & 0x80:
+        raise ValueError("unsync_unsupported")
+    if flags & 0x40:
+        # v2.2 "compression" bit: the informal standard says a tag
+        # with it set must be ignored entirely
+        raise ValueError("v22_compression_unsupported")
+    size = syncsafe(raw[6:10])
+    end = 10 + size
+    if end > len(raw):
+        raise ValueError("truncated_tag")
+    pos = 10
+    out = {"version": 2, "n_frames": 0, "title": None, "artist": None,
+           "album": None}
+    while pos + 6 <= end:
+        fid = raw[pos : pos + 3]
+        if fid == b"\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A for c in fid):
+            raise ValueError("bad_frame_id")
+        fsize = int.from_bytes(raw[pos + 3 : pos + 6], "big")
+        body0 = pos + 6
+        if body0 + fsize > end:
+            raise ValueError("frame_overrun")
+        out["n_frames"] += 1
+        key = _V22_TEXT_KEYS.get(fid.decode("latin-1"))
+        if key and out[key] is None:
+            out[key] = _decode_text(raw[body0 : body0 + fsize])
+        pos = body0 + fsize
+    return out
+
+
+def build_id3v22(
+    title: str, artist: str, album: Optional[str] = None,
+    encoding: int = 0, padding: int = 12, terminated: bool = False,
+) -> bytes:
+    """A real ID3v2.2 tag with TT2/TP1(/TAL) text frames."""
+    frames = b""
+    for fid, text in (("TT2", title), ("TP1", artist), ("TAL", album)):
+        if text is None:
+            continue
+        if encoding == 0:
+            body = b"\x00" + text.encode("latin-1")
+            term = b"\x00"
+        else:
+            body = b"\x01" + text.encode("utf-16")
+            term = b"\x00\x00"
+        if terminated:
+            body += term
+        frames += (fid.encode() + len(body).to_bytes(3, "big") + body)
+    frames += b"\x00" * padding
+    return (b"ID3" + bytes((2, 0, 0))
+            + _syncsafe_bytes(len(frames)) + frames)
+
+
 def parse_id3v2(raw: bytes) -> dict:
     """Text-frame walk of a leading ID3v2 tag. Returns {version,
     n_frames, title, artist, album} or raises ValueError."""
@@ -79,6 +142,8 @@ def parse_id3v2(raw: bytes) -> dict:
     if len(raw) < 10:
         raise ValueError("truncated_tag")
     ver = raw[3]
+    if ver == 2:
+        return _parse_id3v22(raw)
     if ver not in (3, 4):
         raise ValueError("bad_id3_version")
     flags = raw[5]

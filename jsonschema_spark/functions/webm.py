@@ -58,6 +58,9 @@ SAMPLING_FREQUENCY = 0xB5
 CHANNELS = 0x9F
 TIMESTAMP = 0xE7
 SIMPLE_BLOCK = 0xA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
+REFERENCE_BLOCK = 0xFB
 
 _KNOWN_CODECS = {
     "V_VP8", "V_VP9", "V_AV1", "V_MPEG4/ISO/AVC",
@@ -334,6 +337,17 @@ def parse_webm(raw: bytes) -> dict:
                     if e2 == SIMPLE_BLOCK:
                         tn, nf = _parse_simple_block(raw, c, d)
                         block_counts[tn] = block_counts.get(tn, 0) + nf
+                    elif e2 == BLOCK_GROUP:
+                        # BlockGroup wraps a Block (same body layout as
+                        # SimpleBlock minus the keyframe bit) plus
+                        # ReferenceBlock etc. — how muxers write
+                        # non-keyframe video
+                        for e3, g0, g1, _ in walk_ebml(raw, c, d, 3):
+                            if e3 == BLOCK:
+                                tn, nf = _parse_simple_block(raw, g0, g1)
+                                block_counts[tn] = (
+                                    block_counts.get(tn, 0) + nf
+                                )
     except ValueError as e:
         return _webm_fail(str(e))
     if not tracks:
@@ -430,6 +444,7 @@ def encode_webm(
     audio_lacing: int = 0,
     audio_frames_per_block: int = 1,
     streamed: bool = False,
+    block_groups: bool = False,
     seed: int = 0,
 ) -> bytes:
     """Minimal conforming WebM: EBML header + Segment(Info, Tracks,
@@ -519,7 +534,18 @@ def encode_webm(
 
     blocks = []
     for k in range(n_video_blocks):
-        blocks.append((k * 40, block(1, 0, k)))
+        vb = block(1, 0, k)
+        if block_groups and k % 2:
+            # every second video block rides a BlockGroup (Block +
+            # ReferenceBlock) — the non-keyframe layout real muxers
+            # write; Block shares SimpleBlock's body minus the
+            # keyframe flag bit
+            _eid, p2 = read_vint(vb, 0, True)
+            _sz, p3 = read_vint(vb, p2, False)
+            inner = elem(BLOCK, vb[p3:])
+            ref = elem(REFERENCE_BLOCK, bytes((0x7F,)))  # -1 delta
+            vb = elem(BLOCK_GROUP, inner + ref)
+        blocks.append((k * 40, vb))
     for k in range(n_audio_blocks):
         blocks.append(
             (k * 20 + 1,

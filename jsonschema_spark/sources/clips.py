@@ -191,7 +191,8 @@ def synth_clips(
 # Bump when the generator arithmetic changes: the cache path is content-
 # addressed by (version, n, dur_range, buckets), so stale materializations
 # from earlier rounds can never be read.
-_MATERIALIZE_VERSION = "v7"  # v7: mp3si corpus gains part2 accounting
+_MATERIALIZE_VERSION = "v8"  # v8: tagged corpus adds ID3v2.2, webm
+# corpus adds BlockGroup class; v7: mp3si corpus gains part2 accounting
 # (part2-aware allocation + part2_overflow + scfsi classes); v6 added
 # the tagged-corpus terminated-UTF-16 / ext-header / unsync classes
 _MATERIALIZE_ROOT = "/tmp/jss_oracle_cache"
@@ -4796,7 +4797,7 @@ def materialized_adts_clips(
 # UTF-16BE encoding byte 2, and an unsynchronised tag that must be
 # REJECTED loudly ("unsync_unsupported"), not misparsed. Ledger truth
 # is generator strings.
-TAGS_CLASS_MOD = 12
+TAGS_CLASS_MOD = 13
 
 TAGS_CLIPS_SCHEMA = T.StructType(
     list(CLIPS_SCHEMA.fields)
@@ -4912,10 +4913,23 @@ def synth_tagged_clips(
             raw = build_id3v2(title, artist, None, ver, 3,
                               ext_header=True) + mp3
             led = (f"id3v2.{ver}", 2, title, artist, None, None)
-        else:           # 11: unsynchronised tag: rejected loudly
+        elif cls == 11:  # unsynchronised tag: rejected loudly
             raw = build_id3v2(title, artist, None, 3, 3,
                               unsync_flag=True) + mp3
             err = "unsync_unsupported"
+        else:           # 12: ID3v2.2 — 3-char IDs, 3-byte sizes (the
+                        # layout old iTunes wrote); UCS-2 terminated on
+                        # odd rows, latin-1 (ASCII-safe) on even
+            from jsonschema_spark.functions.tags import build_id3v22
+
+            if i % 2:
+                raw = build_id3v22(title, artist, album, 1,
+                                   terminated=True) + mp3
+                led = ("id3v2.2", 3, title, artist, album, None)
+            else:
+                t2 = f"Take {i}"
+                raw = build_id3v22(t2, artist, album, 0) + mp3
+                led = ("id3v2.2", 3, t2, artist, album, None)
         if led is None:
             out = (False, err, None, None, None, None, None, None)
         else:

@@ -571,7 +571,7 @@ def materialized_mp4_videos(
 # SimpleBlock track, duplicate track numbers). Ledger truth is
 # generator arithmetic.
 _WEBM_VER = "v2"  # v2: lacing classes
-WEBM_CLASS_MOD = 15
+WEBM_CLASS_MOD = 16
 
 WEBM_VIDEOS_SCHEMA = T.StructType(
     [
@@ -640,6 +640,10 @@ def _webm_row(i: int) -> tuple:
         # Cluster carry the all-ones unknown-size VINT — valid, the
         # walker resolves cluster extents by walking children
         cfg = dict(n_audio_blocks=12, blocks_per_cluster=5)
+    elif cls == 15:
+        # BlockGroup(Block + ReferenceBlock) non-keyframe layout
+        # (round 5): counted exactly like SimpleBlocks
+        cfg = dict(n_audio_blocks=8, block_groups=True)
     else:
         cfg = cfgs[base_cls]  # 0-4 valid, 5-9 reuse shapes for failures
     raw = encode_webm(vb, seed=i, streamed=streamed, **cfg)

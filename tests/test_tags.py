@@ -194,3 +194,28 @@ def test_tagged_ledger_corpus_matches_parser(spark):
             assert r["p"]["artist"] == r["_artist"]
             assert r["p"]["album"] == r["_album"]
             assert r["p"]["vendor"] == r["_vendor"]
+
+
+@pytest.mark.parametrize("encoding,terminated", [(0, False), (0, True),
+                                                 (1, False), (1, True)])
+def test_id3v22_round_trip(encoding, terminated):
+    from jsonschema_spark.functions.tags import build_id3v22
+
+    title = "Take 7" if encoding == 0 else "Prise n° 7 ♪"
+    raw = build_id3v22(title, "Band", "LP", encoding,
+                       terminated=terminated) + _mp3()
+    t = parse_audio_tags(raw)
+    assert t["ok"], t["error"]
+    assert t["tag_format"] == "id3v2.2"
+    assert t["title"] == title and t["artist"] == "Band"
+    assert t["album"] == "LP" and t["n_tags"] == 3
+
+
+def test_id3v22_compression_bit_rejected():
+    from jsonschema_spark.functions.tags import build_id3v22
+
+    tag = bytearray(build_id3v22("T", "A"))
+    tag[5] |= 0x40  # v2.2 compression bit: tag must be ignored loudly
+    t = parse_audio_tags(bytes(tag) + _mp3())
+    assert t["ok"] is False
+    assert t["error"] == "v22_compression_unsupported"

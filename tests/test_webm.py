@@ -194,3 +194,19 @@ def test_webm_escapes_are_error_rows_in_container_dispatch():
     rows = container_profile_batch(pd.Series([bytes(raw)], dtype=object))
     assert bool(rows.iloc[0]["ok"]) is False
     assert rows.iloc[0]["error"] == "bad_duration"
+
+
+def test_block_groups_counted_like_simple_blocks():
+    """BlockGroup(Block + ReferenceBlock) — the non-keyframe layout
+    real muxers write — must count into per-track block accounting
+    exactly like SimpleBlocks (round 5)."""
+    a = parse_webm(encode_webm(9, 6, seed=21))
+    b = parse_webm(encode_webm(9, 6, block_groups=True, seed=21))
+    assert b["ok"], b
+    for k in ("n_tracks", "n_clusters", "video_blocks", "audio_blocks",
+              "blocks_consistent"):
+        assert a[k] == b[k], k
+    c = parse_webm(
+        encode_webm(9, 6, block_groups=True, streamed=True, seed=21)
+    )
+    assert c["ok"] and c["video_blocks"] == a["video_blocks"]
